@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory.
+  *
+  * Port of the reference session builder (`utils/spark.py:7-35`) minus the
+  * Delta extension/catalog configs (no Delta jars in this environment —
+  * SURVEY.md §7.0 R1). AQE + partition coalescing stay on, exactly as the
+  * reference sets them (`utils/spark.py:27-28`).
+  *
+  * Scale note: `shuffle.partitions` defaults to the local core count rather
+  * than Spark's 200; on a real cluster callers pass the cluster-appropriate
+  * value (~2-3× total executor cores). All other settings are
+  * cluster-neutral.
+  */
+object Sessions {
+
+  def local(
+      appName: String = "graft",
+      cores: Int = Runtime.getRuntime.availableProcessors(),
+      shufflePartitions: Option[Int] = None
+  ): SparkSession = {
+    val sp = shufflePartitions.getOrElse(cores)
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sp.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

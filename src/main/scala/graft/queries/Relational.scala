@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parity operator catalog (SURVEY.md §2) expressed over the driver's
+  * TPC-H-ish tables, each paired with an ANSI-SQL oracle in
+  * [[Relational.oracles]].
+  *
+  * Design rules:
+  *   - Every computed column is aliased identically in the DataFrame code
+  *     and the oracle SQL (the driver sorts columns by name before hashing).
+  *   - Floating aggregates are rounded to 2 decimals on BOTH sides so the
+  *     hash compare is stable across engines' summation orders.
+  *   - Each query is a pure function of (SparkSession, sfDir): no state,
+  *     no caching — Catalyst sees the whole plan and pushes
+  *     filters/pruning into the parquet scan.
+  */
+object Relational {
+  import Tables.load
+
+  // ---------------------------------------------------------------- S/A: aggregates
+
+  /** A1 analog (reference `etl/gold_job.py:79-93` daily KPIs): single-key
+    * group-aggregate with count/sum/avg + rounding + output sort.
+    * Scale: partial (map-side) aggregation then one shuffle on the group
+    * key; cardinality(order_date) is tiny so the final stage is cheap.
+    */
+  def dailyKpis(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("order_date"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_revenue"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy("order_date")
+
+  /** A2 analog (reference `etl/gold_job.py:137-148` zone demand): two-key
+    * group-aggregate. TPC-H Q1 shape: the canonical partial-agg +
+    * single-shuffle plan.
+    */
+  def flagStatusDemand(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A3 analog (reference `utils/incremental.py:40` watermark lookup):
+    * global max — all-reduce, no grouped shuffle. */
+  def watermarkMax(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events").agg(max(col("ts")).as("watermark"))
+
+  /** A5 analog (reference `etl/dq_metrics.py:128-134`): projection +
+    * distinct (= group-by-all-columns aggregate). */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events").select("user_id", "event_type").distinct()
+
+  /** A7 analog (reference `utils/data_quality.py:283-289` null summary) —
+    * but as ONE pass (`count(when(isnull))` per column) instead of the
+    * reference's per-column job loop; at 100 TB a per-column loop is N
+    * full scans, this is one.
+    */
+  def nullCounts(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "orders")
+    df.select(df.columns.toSeq.map(c =>
+      count(when(col(c).isNull, 1)).as(s"nulls_$c")): _*)
+  }
+
+  /** A8 analog (reference `docs/runbook.md:250-253` monitoring agg). */
+  def monitoringAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(avg(col("value")), 2).as("avg_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- F: filters
+
+  /** F1 analog (reference `etl/silver_job.py:131-160`): conjunctive
+    * predicate list folded with AND, applied as one filter. All four
+    * conjuncts push down to the parquet scan (verify via PushedFilters).
+    */
+  def filterConjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val preds: Seq[Column] = Seq(
+      col("l_quantity") > lit(5.0),
+      col("l_extendedprice") >= lit(500.0),
+      col("l_shipdate").isNotNull,
+      col("l_discount") <= lit(0.08))
+    load(spark, dir, "lineitem")
+      .filter(preds.reduce(_ && _))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+  }
+
+  /** F2+P8 analog (reference `utils/data_quality.py:201-223` range check):
+    * disjunctive out-of-range predicate + when/otherwise labeling,
+    * aggregated so the output is small and deterministic. */
+  def rangeViolations(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .select(
+        when(col("l_quantity") < lit(3.0), lit("below_min"))
+          .when(col("l_quantity") > lit(45.0), lit("above_max"))
+          .otherwise(lit("ok")).as("range_flag"))
+      .groupBy("range_flag")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("range_flag")
+
+  /** F4+F5 analog (reference `utils/incremental.py:86` watermark filter +
+    * equality filter): incremental slice counted per type. The timestamp
+    * literal predicate is exactly what prunes partitions on a
+    * date-partitioned 100 TB table. */
+  def incrementalSlice(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_new"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- D/O/U: dedup, topk, union
+
+  /** D1 analog (reference `etl/silver_job.py:171-212` subset dedup).
+    * The survivor row is arbitrary, so the query projects ONLY the key
+    * columns — making the result set-deterministic and oracle-comparable
+    * (SURVEY.md §7.3.4). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .dropDuplicates("l_returnflag", "l_linestatus", "l_quantity")
+      .select("l_returnflag", "l_linestatus", "l_quantity")
+
+  /** O2/O3 analog (reference `etl/dq_metrics.py:128-140` latest-run
+    * lookup): sort desc + limit N → Spark plans TakeOrderedAndProject
+    * (no global sort, per-partition top-k then merge — the right plan at
+    * any scale). event_id breaks ties deterministically. */
+  def topkLatest(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .orderBy(col("ts").desc, col("event_id").asc)
+      .limit(10)
+      .select("event_id", "user_id", "event_type")
+
+  /** U1 analog (reference `tests/test_silver.py:50-51`): positional union
+    * (= SQL UNION ALL) of two disjoint filtered slices. */
+  def unionSlices(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > lit(400000.0))
+      .select("o_orderkey", "o_orderstatus")
+    val lo = o.filter(col("o_totalprice") < lit(1000.0))
+      .select("o_orderkey", "o_orderstatus")
+    hi.union(lo)
+  }
+
+  // ---------------------------------------------------------------- P: projections / casts
+
+  /** P3-P6 analog (reference `etl/silver_job.py:38-110` cast-normalize):
+    * timestamp parse, cast, trim/lower normalize, rename. A linear
+    * Project chain that Catalyst's CollapseProject folds into one. */
+  def castNormalize(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .withColumn("lang_norm", lower(trim(col("lang"))))
+      .withColumn("n_chars_d", col("n_chars").cast("double"))
+      .withColumnRenamed("source", "src")
+      .select("doc_id", "lang_norm", "n_chars_d", "src")
+
+  // ---------------------------------------------------------------- J1: merge/upsert as join
+
+  /** J1 analog (reference `utils/incremental.py:116-136` Delta MERGE):
+    * upsert re-expressed as a full-outer equi-join + coalesce projection
+    * (SURVEY.md §2.4). Target = odd orderkeys; source = even-custkey
+    * orders with a 10% uplift. Catalyst plans SortMergeJoin here (both
+    * sides large); on a dimension-sized source it would broadcast — see
+    * graft.incremental.Upsert for the production version with an
+    * explicit broadcast threshold.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val source = o.filter(col("o_custkey") % 2 === 0)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice") * lit(1.1), 2).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+    target.alias("t")
+      .join(source.alias("s"), Seq("o_orderkey"), "full_outer")
+      .select(
+        col("o_orderkey"),
+        round(coalesce(col("s.o_totalprice"), col("t.o_totalprice")), 2)
+          .as("price_after"),
+        coalesce(col("s.o_orderstatus"), col("t.o_orderstatus"))
+          .as("status_after"))
+  }
+
+  // ---------------------------------------------------------------- joins beyond parity
+
+  /** Star-schema join: fact × two dims with explicit broadcast of the
+    * small sides — the plan every 100 TB star query should have
+    * (BroadcastHashJoin ×2, zero shuffle of the fact table). */
+  def starJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val nat = load(spark, dir, "nation")
+    load(spark, dir, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Window keep-latest dedup: the ordered-survivor variant of D1 the
+    * reference lacks (row_number over key ordered by recency). One
+    * shuffle on the partition key; deterministic via event_id tiebreak. */
+  def windowLatestPerUser(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    load(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type")
+  }
+
+  /** Time-bucketed aggregate — batch twin of the streaming windowed agg
+    * in graft.streaming (date_trunc keeps it oracle-expressible). */
+  def hourlyEventAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(
+        date_trunc("hour", col("ts")).as("hour_bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour_bucket", "event_type")
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_daily_kpis" -> dailyKpis,
+    "q02_flag_status_demand" -> flagStatusDemand,
+    "q03_filter_conjunctive" -> filterConjunctive,
+    "q04_dedup_exact" -> dedupExact,
+    "q05_topk_latest" -> topkLatest,
+    "q06_watermark_max" -> watermarkMax,
+    "q07_incremental_slice" -> incrementalSlice,
+    "q08_distinct_pairs" -> distinctPairs,
+    "q09_null_counts" -> nullCounts,
+    "q10_union_slices" -> unionSlices,
+    "q11_cast_normalize" -> castNormalize,
+    "q12_range_violations" -> rangeViolations,
+    "q13_merge_upsert" -> mergeUpsert,
+    "q14_star_join_agg" -> starJoinAgg,
+    "q15_window_latest" -> windowLatestPerUser,
+    "q16_hourly_agg" -> hourlyEventAgg,
+    "q17_monitoring_agg" -> monitoringAgg
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_daily_kpis" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_date,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_revenue,
+         round(avg(o_totalprice), 2) AS avg_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q02_flag_status_demand" ->
+      """SELECT l_returnflag, l_linestatus,
+         count(*) AS n_items,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q03_filter_conjunctive" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_quantity > 5.0 AND l_extendedprice >= 500.0
+           AND l_shipdate IS NOT NULL AND l_discount <= 0.08""",
+    "q04_dedup_exact" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+         FROM lineitem""",
+    "q05_topk_latest" ->
+      """SELECT event_id, user_id, event_type FROM events
+         ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id ASC LIMIT 10""",
+    "q06_watermark_max" ->
+      "SELECT max(CAST(ts AS TIMESTAMP)) AS watermark FROM events",
+    "q07_incremental_slice" ->
+      """SELECT event_type, count(*) AS n_new FROM events
+         WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+    "q08_distinct_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q09_null_counts" ->
+      """SELECT count(*) - count(o_orderkey) AS nulls_o_orderkey,
+         count(*) - count(o_custkey) AS nulls_o_custkey,
+         count(*) - count(o_orderstatus) AS nulls_o_orderstatus,
+         count(*) - count(o_totalprice) AS nulls_o_totalprice,
+         count(*) - count(o_orderdate) AS nulls_o_orderdate,
+         count(*) - count(o_orderpriority) AS nulls_o_orderpriority
+         FROM orders""",
+    "q10_union_slices" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 400000.0
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice < 1000.0""",
+    "q11_cast_normalize" ->
+      """SELECT doc_id, lower(trim(lang)) AS lang_norm,
+         CAST(n_chars AS DOUBLE) AS n_chars_d, source AS src
+         FROM documents""",
+    "q12_range_violations" ->
+      """SELECT CASE WHEN l_quantity < 3.0 THEN 'below_min'
+                     WHEN l_quantity > 45.0 THEN 'above_max'
+                     ELSE 'ok' END AS range_flag,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q13_merge_upsert" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+           WHERE o_orderkey % 3 <> 0),
+         source AS (
+           SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS o_totalprice,
+                  'U' AS o_orderstatus FROM orders
+           WHERE o_custkey % 2 = 0)
+         SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                round(COALESCE(s.o_totalprice, t.o_totalprice), 2) AS price_after,
+                COALESCE(s.o_orderstatus, t.o_orderstatus) AS status_after
+         FROM target t FULL OUTER JOIN source s USING (o_orderkey)""",
+    "q14_star_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q15_window_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1""",
+    "q16_hourly_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q17_monitoring_agg" ->
+      """SELECT event_type, round(avg(value), 2) AS avg_value,
+         count(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

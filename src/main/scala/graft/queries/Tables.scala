@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Uniform access to the driver-generated test tables (TESTDATA.md).
+  *
+  * Every table is a single parquet file under `<sfDir>/<name>.parquet`.
+  * At cluster scale the same call shape works on a directory of many
+  * parquet files — nothing here assumes single-file layout.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as long, then truncate to microseconds
+      // with exact integer division (`DIV 1000`) — the same truncation
+      // DuckDB applies on CAST(timestamp_ns AS TIMESTAMP), so oracle
+      // comparisons line up. Session-conf toggle is safe to set here:
+      // it only affects how NANOS columns are typed.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+}

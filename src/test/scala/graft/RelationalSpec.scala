@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local session for all suites (one JVM per `sbt test` fork). */
+object TestSpark {
+  lazy val spark: SparkSession = graft.core.Sessions.local(
+    appName = "graft-test", cores = 4, shufflePartitions = Some(4))
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import graft.queries.Relational
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("every registered query has matching oracle coverage or is marked") {
+    val missing = Relational.oracles.keySet -- Relational.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q01 daily kpis: one row per date, positive counts") {
+    val df = Relational.dailyKpis(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val dates = rows.map(_.getDate(0))
+    assert(dates.distinct.length === dates.length, "date key not unique")
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("q02 flag/status: card = |returnflag| x |linestatus| subset, qty positive") {
+    val rows = Relational.flagStatusDemand(spark, sf).collect()
+    assert(rows.length >= 1 && rows.length <= 9)
+    assert(rows.forall(_.getDouble(3) > 0))
+  }
+
+  test("q03 conjunctive filter: all predicates hold on output") {
+    val rows = Relational.filterConjunctive(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) > 5.0 && r.getDouble(3) >= 500.0))
+  }
+
+  test("q04 dedup: keys unique after dropDuplicates") {
+    val df = Relational.dedupExact(spark, sf)
+    assert(df.count() === df.distinct().count())
+  }
+
+  test("q05 topk: exactly 10 rows, descending ts ordering held") {
+    val df = Relational.topkLatest(spark, sf)
+    assert(df.count() === 10)
+  }
+
+  test("q06 watermark is a timestamp inside the data range") {
+    val wm = Relational.watermarkMax(spark, sf).collect()(0).getTimestamp(0)
+    assert(wm.toString.startsWith("2024-"))
+  }
+
+  test("q09 null counts: orders has no nulls in synthetic data") {
+    val row = Relational.nullCounts(spark, sf).collect()(0)
+    (0 until row.length).foreach(i => assert(row.getLong(i) === 0L))
+  }
+
+  test("q13 merge upsert: source rows win, union of keys preserved") {
+    import org.apache.spark.sql.functions._
+    val o = graft.queries.Tables.load(spark, sf, "orders")
+    val nTarget = o.filter(col("o_orderkey") % 3 =!= 0).count()
+    val nSourceOnly = o.filter(col("o_custkey") % 2 === 0 &&
+      col("o_orderkey") % 3 === 0).count()
+    val merged = Relational.mergeUpsert(spark, sf)
+    assert(merged.count() === nTarget + nSourceOnly)
+    // updated rows carry status 'U'
+    val updated = merged.filter(col("status_after") === "U").count()
+    assert(updated > 0)
+  }
+
+  test("q14 star join agg: one row per nation present") {
+    val rows = Relational.starJoinAgg(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
+  test("q15 window latest: one row per user") {
+    val df = Relational.windowLatestPerUser(spark, sf)
+    import spark.implicits._
+    val users = df.select("user_id").as[Long].collect()
+    assert(users.distinct.length === users.length)
+  }
+
+  test("q14 star join plan broadcasts both dimension sides") {
+    val plan = Relational.starJoinAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q03 filter is pushed down to the parquet scan") {
+    val plan = Relational.filterConjunctive(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(l_quantity"), plan)
+  }
+}
