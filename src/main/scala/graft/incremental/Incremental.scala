@@ -1,0 +1,111 @@
+package graft.incremental
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.TableIO
+import graft.util.Cols
+
+/** Batch incremental processing: watermark + filter + append/upsert
+  * (reference `utils/incremental.py`).
+  *
+  * The watermark is a batch high-water-mark (max of the target's
+  * watermark column), not a streaming watermark — kept as in the
+  * reference (SURVEY.md §2.11). The streaming path lives in
+  * `graft.streaming`.
+  */
+object Incremental {
+
+  /** A3 (reference `utils/incremental.py:13-50`): current watermark of a
+    * target table; None when the table is missing/empty/lacks the column.
+    * Single `max` aggregate — no count() pre-check scan. */
+  def getWatermark(spark: SparkSession, tablePath: String,
+      watermarkColumn: String): Option[Any] = {
+    if (!TableIO.exists(spark, tablePath)) return None
+    val df = TableIO.read(spark, tablePath)
+    Cols.resolve(df, watermarkColumn).flatMap { c =>
+      val row = df.agg(max(col(c))).head
+      if (row.isNullAt(0)) None else Some(row.get(0))
+    }
+  }
+
+  /** F5 (reference `utils/incremental.py:53-87`): keep only rows newer
+    * than the watermark; first run honors initialLoadDate. On a
+    * date-partitioned table this predicate partition-prunes. */
+  def filterIncremental(df: DataFrame, watermarkColumn: String,
+      watermark: Option[Any], initialLoadDate: Option[String] = None): DataFrame =
+    Cols.resolve(df, watermarkColumn) match {
+      case None => df
+      case Some(c) => watermark match {
+        case Some(wm) => df.filter(col(c) > lit(wm))
+        case None => initialLoadDate match {
+          case Some(d) => df.filter(col(c) >= lit(d))
+          case None => df
+        }
+      }
+    }
+}
+
+/** J1 (reference `utils/incremental.py:89-156` Delta MERGE): upsert
+  * rebuilt as a join (SURVEY.md §2.4).
+  *
+  * Semantics match `whenMatchedUpdate(set) + whenNotMatchedInsertAll`:
+  * matched target rows take the source's values for `updateColumns`
+  * (default: all non-key source columns), unmatched source rows are
+  * inserted whole, unmatched target rows pass through.
+  *
+  * Scale strategy: the source of an incremental merge is usually much
+  * smaller than the target. When the source fits the broadcast threshold
+  * we broadcast it, so the target is NOT shuffled — each target partition
+  * streams once against the broadcast hash table. Otherwise a full-outer
+  * sort-merge join shuffles both sides on the keys, which AQE can
+  * re-plan per-partition (skew split). Either way the table is rewritten
+  * once — the rewrite, like Delta's MERGE file rewrite, is the dominant
+  * cost.
+  */
+object Upsert {
+
+  /** Pure upsert of `source` into `target`, returned as a DataFrame. */
+  def upsert(target: DataFrame, source: DataFrame, mergeKeys: Seq[String],
+      updateColumns: Option[Seq[String]] = None,
+      broadcastSource: Boolean = false): DataFrame = {
+    require(mergeKeys.nonEmpty, "mergeKeys must be non-empty")
+    val updateCols = updateColumns.getOrElse(
+      source.columns.toSeq.filterNot(mergeKeys.contains))
+    val src = if (broadcastSource) broadcast(source) else source
+
+    // full_outer USING join: the key columns are coalesced automatically;
+    // matched rows -> source values for updateCols, else target values.
+    val joined = target.alias("t").join(src.alias("s"), mergeKeys, "full_outer")
+    val projection: Seq[Column] = mergeKeys.map(col) ++
+      target.columns.toSeq.filterNot(mergeKeys.contains).map { c =>
+        if (updateCols.contains(c) && source.columns.contains(c))
+          coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+        else if (source.columns.contains(c))
+          // insert-all: unmatched source rows still carry this column
+          coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
+        else col(s"t.$c").as(c)
+      }
+    joined.select(projection: _*)
+  }
+
+  /** Merge into a stored table and rewrite it
+    * (reference `utils/incremental.py:116-136`). */
+  def mergeIntoTable(spark: SparkSession, source: DataFrame, targetPath: String,
+      mergeKeys: Seq[String], updateColumns: Option[Seq[String]] = None,
+      partitionBy: Option[String] = None): Long = {
+    if (!TableIO.exists(spark, targetPath)) {
+      TableIO.write(source, targetPath, SaveMode.Overwrite, partitionBy)
+    } else {
+      val target = TableIO.read(spark, targetPath)
+      val merged = upsert(target, source, mergeKeys, updateColumns)
+      // Rewrite via temp dir: the plan reads the files being replaced.
+      val tmp = targetPath + "__merge_tmp"
+      TableIO.write(merged, tmp, SaveMode.Overwrite, partitionBy)
+      val p = new org.apache.hadoop.fs.Path(targetPath)
+      val fs = TableIO.fs(spark, p)
+      fs.delete(p, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    }
+    TableIO.read(spark, targetPath).count()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Path-addressed table IO on Parquet.
+  *
+  * The single seam isolating the storage format (SURVEY.md §7.0 R1: the
+  * build env has no Delta jars, so Delta reads/writes from the reference —
+  * `etl/bronze_job.py:79-89,107` — are rebuilt on Parquet). Versioned
+  * tables (time travel / restore / vacuum / history, reference
+  * `utils/delta_ops.py`) live in [[VersionedTable]].
+  *
+  * All paths go through Hadoop's FileSystem API, so the same code runs on
+  * local disk, HDFS, or object stores.
+  */
+object TableIO {
+
+  /** S1: CSV directory scan with header + schema inference
+    * (reference `etl/bronze_job.py:30-35`). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(path)
+
+  /** S2: curated-table read (reference reads Delta; Parquet here). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S3: batch sink with mode + optional Hive-style partitioning
+    * (reference `etl/bronze_job.py:79-89`). `partitionBy` is what makes
+    * watermark/date predicates prune directories at scale. */
+  def write(
+      df: DataFrame,
+      path: String,
+      mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Option[String] = None): Unit = {
+    val writer = df.write.mode(mode)
+    partitionBy.filter(df.columns.contains).fold(writer)(writer.partitionBy(_))
+      .parquet(path)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    fs(spark, p).exists(p)
+  }
+
+  def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** M6: table detail — file count + total bytes
+    * (reference `utils/delta_ops.py:207-241`). */
+  def detail(spark: SparkSession, path: String): TableDetail = {
+    val root = new Path(path)
+    val filesystem = fs(spark, root)
+    if (!filesystem.exists(root)) return TableDetail(path, 0, 0L)
+    val it = filesystem.listFiles(root, true)
+    var n = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        n += 1
+        bytes += f.getLen
+      }
+    }
+    TableDetail(path, n, bytes)
+  }
+}
+
+final case class TableDetail(location: String, numFiles: Long, sizeInBytes: Long)

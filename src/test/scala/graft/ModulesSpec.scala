@@ -1,0 +1,262 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.model.Schemas
+import graft.io.VersionedTable
+import graft.incremental.{Incremental, Upsert}
+import graft.maintenance.Maintenance
+import graft.orchestration.{Dag, Task}
+
+class SchemasSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("validate: exact schema passes strict validation") {
+    val (ok, errs) = Schemas.validate(Schemas.silver, Schemas.silver,
+      allowExtraColumns = false)
+    assert(ok, errs.mkString("; "))
+  }
+
+  test("validate: missing field and incompatible type reported") {
+    val actual = StructType(Seq(
+      StructField("vendorid", StringType))) // wrong type, everything else missing
+    val (ok, errs) = Schemas.validate(actual, Schemas.silver)
+    assert(!ok)
+    assert(errs.exists(_.contains("Missing required field")))
+    assert(errs.exists(_.contains("Type mismatch for field 'vendorid'")))
+  }
+
+  test("validate: compatibility lattice allows string->timestamp, int->long/double") {
+    assert(Schemas.typesCompatible(StringType, TimestampType))
+    assert(Schemas.typesCompatible(IntegerType, LongType))
+    assert(Schemas.typesCompatible(IntegerType, DoubleType))
+    assert(!Schemas.typesCompatible(DoubleType, IntegerType))
+    assert(!Schemas.typesCompatible(StringType, DoubleType))
+  }
+
+  test("enforce: case-insensitive rename + cast in one projection") {
+    import scala.jdk.CollectionConverters._
+    val in = spark.createDataFrame(
+      Seq(Row("7", "2023-01-01 10:00:00")).asJava,
+      StructType(Seq(
+        StructField("VENDORID", StringType),
+        StructField("TPEP_PICKUP_DATETIME", StringType))))
+    val (out, warnings) = Schemas.enforce(in, Schemas.silver)
+    assert(out.columns.toSeq === Seq("vendorid", "tpep_pickup_datetime"))
+    assert(out.schema("vendorid").dataType === IntegerType)
+    assert(out.schema("tpep_pickup_datetime").dataType === TimestampType)
+    assert(warnings.length === 2)
+    val row = out.head
+    assert(row.getInt(0) === 7)
+    assert(row.getTimestamp(1).toString.startsWith("2023-01-01 10:00"))
+  }
+}
+
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsert: matched rows updated, unmatched source inserted, target kept") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "status", "amount")
+    val source = Seq((2L, "B", 99.0), (4L, "d", 40.0))
+      .toDF("id", "status", "amount")
+    val merged = Upsert.upsert(target, source, Seq("id"))
+      .orderBy("id").collect()
+    assert(merged.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    val byId = merged.map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(byId(1L) === ("a", 10.0)) // untouched target
+    assert(byId(2L) === ("B", 99.0)) // updated
+    assert(byId(4L) === ("d", 40.0)) // inserted
+  }
+
+  test("upsert: updateColumns subset only updates listed columns") {
+    val target = Seq((1L, "a", 10.0)).toDF("id", "status", "amount")
+    val source = Seq((1L, "Z", 99.0)).toDF("id", "status", "amount")
+    val merged = Upsert.upsert(target, source, Seq("id"),
+      updateColumns = Some(Seq("amount"))).collect()(0)
+    assert(merged.getString(1) === "a")  // status NOT updated
+    assert(merged.getDouble(2) === 99.0) // amount updated
+  }
+
+  test("mergeIntoTable: creates then merges; watermark reflects new data") {
+    val base = Fixtures.tempDir("graft-merge")
+    val path = s"$base/t"
+    val t0 = Seq((1L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00"), 1.0))
+      .toDF("id", "ts", "v")
+    Upsert.mergeIntoTable(spark, t0, path, Seq("id"))
+    val wm0 = Incremental.getWatermark(spark, path, "ts").get
+    val newer = Seq((2L, java.sql.Timestamp.valueOf("2023-02-01 00:00:00"), 2.0))
+      .toDF("id", "ts", "v")
+    val n = Upsert.mergeIntoTable(spark, newer, path, Seq("id"))
+    assert(n === 2)
+    val wm1 = Incremental.getWatermark(spark, path, "ts").get
+    assert(wm1.toString > wm0.toString)
+  }
+
+  test("filterIncremental honors watermark and initial load date") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2023-02-01 00:00:00"))).toDF("id", "ts")
+    val wm = java.sql.Timestamp.valueOf("2023-01-15 00:00:00")
+    assert(Incremental.filterIncremental(df, "ts", Some(wm)).count() === 1)
+    assert(Incremental.filterIncremental(df, "ts", None,
+      Some("2023-01-01")).count() === 2)
+    assert(Incremental.filterIncremental(df, "missing_col", Some(wm)).count() === 2)
+  }
+}
+
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("write/read/time-travel/restore/history/vacuum") {
+    val root = Fixtures.tempDir("graft-vt") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    assert(!vt.exists)
+
+    val v0 = vt.write(Seq((1, "a")).toDF("id", "s"))
+    val v1 = vt.write(Seq((2, "b")).toDF("id", "s"), SaveMode.Append)
+    assert((v0, v1) === (0L, 1L))
+    assert(vt.read().count() === 2)
+    assert(vt.readVersion(0).count() === 1) // S4 time travel
+
+    vt.restore(0) // M5
+    assert(vt.read().count() === 1)
+
+    val hist = vt.history() // M4
+    assert(hist.length === 3)
+    assert(hist.head.operation.startsWith("RESTORE"))
+
+    vt.write(Seq((3, "c")).toDF("id", "s")) // v2 from restored v0
+    val deleted = vt.vacuum(retainVersions = 1) // M3
+    assert(deleted.nonEmpty)
+    assert(vt.read().count() === 1) // current version survives vacuum
+  }
+}
+
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compact reduces many small files to few") {
+    val path = Fixtures.tempDir("graft-compact") + "/t"
+    (1 to 1000).toDF("n").repartition(16)
+      .write.mode("overwrite").parquet(path)
+    val (before, after) = Maintenance.compact(spark, path, targetFileMB = 128)
+    assert(before === 16)
+    assert(after < before)
+    assert(spark.read.parquet(path).count() === 1000)
+  }
+
+  test("sortBy rewrites clustered by column (row-group skipping layout)") {
+    val path = Fixtures.tempDir("graft-sort") + "/t"
+    (1 to 1000).map(i => (i % 50, i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(path)
+    Maintenance.sortBy(spark, path, Seq("k"), numPartitions = Some(4))
+    val df = spark.read.parquet(path)
+    assert(df.count() === 1000)
+    // within each output file, k must be non-decreasing
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    val violations = df
+      .withColumn("prev", lag("k", 1).over(w))
+      .filter(col("prev") > col("k")).count()
+    assert(violations === 0)
+  }
+}
+
+class DagSpec extends AnyFunSuite {
+
+  test("topological order respects dependencies; fail-stop halts downstream") {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dag = new Dag("test")
+    dag.addTask(new Task("gold", () => ran += "gold", Seq("silver")))
+    dag.addTask(new Task("bronze", () => ran += "bronze"))
+    dag.addTask(new Task("silver", () => ran += "silver", Seq("bronze")))
+    val summary = dag.execute()
+    assert(ran.toSeq === Seq("bronze", "silver", "gold"))
+    assert(summary.status === "success")
+  }
+
+  test("retries: flaky task succeeds on second attempt") {
+    var calls = 0
+    val dag = new Dag("retry")
+    dag.addTask(new Task("flaky", () => {
+      calls += 1
+      if (calls < 2) throw new RuntimeException("boom")
+      "ok"
+    }, retries = 1))
+    val summary = dag.execute()
+    assert(summary.status === "success")
+    assert(calls === 2)
+  }
+
+  test("failure stops the DAG and downstream tasks never run") {
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dag = new Dag("failstop")
+    dag.addTask(new Task("a", () => throw new RuntimeException("x")))
+    dag.addTask(new Task("b", () => ran += "b", Seq("a")))
+    val summary = dag.execute()
+    assert(summary.status === "failed")
+    assert(ran.isEmpty)
+  }
+
+  test("cycle detection") {
+    val dag = new Dag("cycle")
+    dag.addTask(new Task("a", () => (), Seq("b")))
+    dag.addTask(new Task("b", () => (), Seq("a")))
+    assertThrows[IllegalStateException](dag.execute())
+  }
+}
+
+class DataQualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("range check counts below-min violations") {
+    val fw = new graft.dq.DataQualityFramework(spark)
+    fw.addRangeCheck("trip_distance", minVal = Some(0.0))
+    val df = Seq(1.0, -2.0, 3.0, -0.5).toDF("trip_distance")
+    val results = fw.runAllChecks(df, "test")
+    assert(results.length === 1)
+    assert(!results.head.passed)
+    assert(results.head.violationCount === 2)
+  }
+
+  test("null check passes at 0 nulls, fails above threshold") {
+    val fw = new graft.dq.DataQualityFramework(spark)
+    fw.addNullCheck(Seq("a"), maxNullPct = 0.0)
+    val clean = Seq("x", "y").toDF("a")
+    assert(fw.runAllChecks(clean, "t").head.passed)
+    val dirty = Seq(Some("x"), None, Some("y")).toDF("a")
+    assert(!fw.runAllChecks(dirty, "t").head.passed)
+  }
+
+  test("missing column is itself a violation") {
+    val fw = new graft.dq.DataQualityFramework(spark)
+    fw.addNullCheck(Seq("nope"))
+    val res = fw.runAllChecks(Seq(1).toDF("a"), "t")
+    assert(!res.head.passed)
+  }
+
+  test("row count bounds") {
+    val fw = new graft.dq.DataQualityFramework(spark)
+    fw.addRowCountCheck(Some(2L), Some(3L))
+    assert(!fw.runAllChecks(Seq(1).toDF("a"), "t").head.passed)
+    assert(fw.runAllChecks(Seq(1, 2).toDF("a"), "t").head.passed)
+  }
+
+  test("summary stats: one-pass null counts per column") {
+    val df = Seq((Some(1), Some("x")), (None, Some("y")), (Some(3), None))
+      .toDF("a", "b")
+    val fw = new graft.dq.DataQualityFramework(spark)
+    val row = fw.summaryStats(df).head
+    assert(row.getLong(0) === 3)   // total_rows
+    assert(row.getLong(1) === 1)   // nulls_a
+    assert(row.getLong(2) === 1)   // nulls_b
+  }
+}

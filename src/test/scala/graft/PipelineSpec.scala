@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.config.PipelineConfig
+import graft.etl.{BronzeJob, GoldJob, SilverJob}
+import graft.io.TableIO
+
+/** Full Bronze→Silver→Gold round trip on the taxi fixture (shape of
+  * reference `tests/integration/test_pipeline.py:10-127`). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val cfg: PipelineConfig = {
+    val base = Fixtures.tempDir("graft-pipeline")
+    // Reference test config disables fail-on-DQ (`tests/conftest.py:88`) —
+    // the fixture deliberately contains a null-pickup row for silver to drop.
+    val c = PipelineConfig().under(base) match {
+      case p => p.copy(dataQuality = p.dataQuality.copy(failOnDqErrors = false))
+    }
+    Fixtures.writeRawCsv(spark, c.paths.raw)
+    c
+  }
+
+  test("bronze: ingests all rows, adds metadata + partition column") {
+    val res = BronzeJob.run(spark, cfg)
+    assert(res.rowsIngested === 6)
+    assert(res.rowsWritten === 6)
+    val bronze = TableIO.read(spark, cfg.paths.bronze)
+    assert(bronze.columns.contains("ingestion_ts"))
+    assert(bronze.columns.contains("source_file"))
+    assert(bronze.columns.contains("trip_date"))
+  }
+
+  test("silver: filters invalid rows and removes the duplicate") {
+    BronzeJob.run(spark, cfg)
+    val res = SilverJob.run(spark, cfg)
+    assert(res.rowsIn === 6)
+    // zero-distance and null-pickup rows are filtered
+    assert(res.rowsAfterFilter === 4)
+    // the fabricated duplicate collapses
+    assert(res.rowsAfterDedup === 3)
+    val silver = TableIO.read(spark, cfg.paths.silver)
+    assert(silver.schema("tpep_pickup_datetime").dataType.typeName === "timestamp")
+    assert(silver.columns.forall(c => c == c.toLowerCase))
+  }
+
+  test("gold: daily kpis + zone demand with expected columns and counts") {
+    BronzeJob.run(spark, cfg)
+    SilverJob.run(spark, cfg)
+    val res = GoldJob.run(spark, cfg)
+    assert(res.dailyKpisRows === 2) // 2 distinct trip dates survive
+    val daily = TableIO.read(spark, cfg.paths.goldDailyKpis)
+    assert(daily.columns.toSet === Set("trip_date", "daily_trip_count",
+      "daily_total_revenue", "avg_trip_distance", "avg_passenger_count"))
+    // row-count monotonicity: sum(daily_trip_count) == silver rows
+    val total = daily.agg(sum("daily_trip_count")).head.getLong(0)
+    val silverCount = TableIO.read(spark, cfg.paths.silver).count()
+    assert(total === silverCount)
+    val zone = TableIO.read(spark, cfg.paths.goldZoneDemand)
+    assert(zone.columns.toSet === Set("trip_date", "pu_location_id",
+      "trip_count", "total_revenue"))
+    assert(zone.count() >= res.dailyKpisRows)
+  }
+
+  test("silver write is partitioned by trip_date (hive-style dirs)") {
+    BronzeJob.run(spark, cfg)
+    SilverJob.run(spark, cfg)
+    val dirs = new java.io.File(cfg.paths.silver).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("trip_date=")), dirs.mkString(", "))
+  }
+}
