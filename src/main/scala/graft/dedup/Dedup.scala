@@ -1,0 +1,203 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators: exact (hash), MinHash+LSH,
+  * SimHash, and blocked n-gram Jaccard.
+  *
+  * Scale design (the point of this module):
+  *   - Signatures (shingles → minhash / simhash) are PER-ROW
+  *     expressions — computed in one scan with whole-stage codegen,
+  *     zero shuffle. A 100 TB corpus signs in a single map stage.
+  *   - Candidate generation is a self-equi-join on (band, bandKey) —
+  *     i.e. a hash-partitioned bucket join where only documents whose
+  *     band signature collides ever meet. This is the step that turns
+  *     O(n²) pairwise comparison into O(collisions).
+  *   - Verification joins candidates back to shingle sets by doc id
+  *     and computes exact Jaccard only for the (tiny) candidate set.
+  *   - All hashes derive from md5 hex prefixes so any engine (and the
+  *     DuckDB oracle) reproduces them exactly; swap `hash64` for
+  *     `xxhash64` when cross-engine parity is not required.
+  */
+object Dedup {
+
+  /** Deterministic 32-bit hash (as long) of `e` under seed `k`:
+    * integer value of the first 8 hex digits of md5("k:" ++ e). */
+  def hash64(e: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), e)), 1, 8), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of the lowercased text, built
+    * per-row with array higher-order functions (no explode, no
+    * shuffle). Documents shorter than n tokens yield an empty set. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(text), " ")
+    val idxs = sequence(lit(0), size(toks) - n)
+    val grams = transform(idxs, i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Spread a small-partition-count input across the cluster before a
+    * CPU-heavy narrow stage (md5 signing, shingle hashing). A single
+    * small parquet file arrives as ONE partition and would pin all
+    * signature work to one core; at real scale inputs already have
+    * many splits and this is a no-op. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** One minhash value: min over the shingle set of hash_seed. */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => hash64(s, seed)))
+
+  /** Slice `idx` (0..3) of a 32-hex md5 string column as a 32-bit value:
+    * one md5 yields FOUR independent minhash functions, so k hash
+    * functions cost ceil(k/4) md5 evaluations per shingle instead of k. */
+  def hexSlice(md5Hex: Column, idx: Int): Column =
+    conv(substring(md5Hex, 1 + 8 * idx, 8), 16, 10).cast("long")
+
+  /** Jaccard similarity of two distinct-element sets, via a single
+    * intersect pass: |A∩B| / (|A|+|B|−|A∩B|). (array_union would be a
+    * second O(|A|+|B|) hash build per pair — measurable at millions of
+    * candidate pairs.) */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** MinHash signatures: input (id, text) → (id, shingles, mh_0..mh_{k-1}).
+    * Narrow, one scan. Hash k is hex-slice k%4 of md5("⌊k/4⌋:" ++ s),
+    * so the md5 arrays are materialized once per seed group and reused
+    * by four slice/min passes (4× fewer md5 evaluations; the dominant
+    * cost of signing a corpus). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int = 3): DataFrame = {
+    val numSeeds = (numHashes + 3) / 4
+    val withSh = spread(df).select(col(idCol),
+      wordShingles(col(textCol), shingleN).as("shingles"))
+    val withMd5 = (0 until numSeeds).foldLeft(withSh) { (d, seed) =>
+      d.withColumn(s"_md5_$seed",
+        transform(col("shingles"), s => md5(concat(lit(s"$seed:"), s))))
+    }
+    val mhCols = (0 until numHashes).map { k =>
+      array_min(transform(col(s"_md5_${k / 4}"), h => hexSlice(h, k % 4)))
+        .as(s"mh_$k")
+    }
+    withMd5.select(col(idCol) +: col("shingles") +: mhCols: _*)
+  }
+
+  /** LSH candidate pairs: signatures → (band, bandKey) rows → self-join
+    * on band equality. `rowsPerBand` minhashes concatenate into one band
+    * key. Returns distinct (doc_a, doc_b) with doc_a < doc_b. */
+  def lshCandidates(sigs: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val key = concat_ws("_",
+        (0 until rowsPerBand).map(r =>
+          col(s"mh_${b * rowsPerBand + r}").cast("string")): _*)
+      struct(lit(b).as("band"), key.as("band_key"))
+    }
+    val bands = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: sign → band-join candidates →
+    * exact-Jaccard verify ≥ threshold. Output (doc_a, doc_b, jaccard). */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val cand = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
+    val sets = sigs.select(col(idCol), col("shingles"))
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 3).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document SimHash over whitespace tokens, `bits` wide (≤ 32).
+    * bit_j(doc) = sign of Σ_tokens (±1 by bit j of hash(token)). Pure
+    * per-row arithmetic — one scan, no shuffle; near-dups then cluster
+    * by exact simhash equality or small Hamming distance. */
+  def simhash(text: Column, bits: Int, seed: Int = 99): Column = {
+    val toks = split(lower(text), " ")
+    (0 until bits).map { j =>
+      val bitSum = aggregate(
+        transform(toks, t =>
+          when(shiftright(hash64(t, seed), j) % 2 === 1, 1).otherwise(-1)),
+        lit(0), (acc, x) => acc + x)
+      when(bitSum >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Exact n-gram-Jaccard near-dup join with PPJoin-style prefix
+    * filtering (Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08 — public algorithm): two sets with
+    * Jaccard ≥ t MUST share at least one element among the first
+    * ⌊(1−t)·|S|⌋+1 elements of any fixed total order of each set. So
+    * candidates come from an equi-join on (bucket, prefix-token) —
+    * shuffle-partitioned by token, never all-pairs — and only the
+    * candidates pay the exact-Jaccard verification. Output is identical
+    * to [[blockedJaccardPairs]] (guaranteed no false negatives);
+    * runtime is O(collisions), not O(bucket²). */
+  def prefixFilteredJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, bucketExpr: Column, shingleN: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val d = spread(df).select(col(idCol), bucketExpr.as("bucket"),
+      wordShingles(col(textCol), shingleN).as("s"))
+      .withColumn("prefix", slice(array_sort(col("s")), lit(1),
+        (floor(size(col("s")) * (1 - threshold)) + 1).cast("int")))
+    val pref = d.select(col(idCol), col("bucket"),
+      explode(col("prefix")).as("tok"))
+    val cand = pref.alias("a")
+      .join(pref.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.tok") === col("b.tok") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val sets = d.select(col(idCol), col("s"))
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("s").as("sh_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("s").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 3).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Blocked exact n-gram-Jaccard near-dup baseline: pairwise compare
+    * ONLY within a blocking bucket (here: length band). The honest
+    * quadratic baseline — kept as ground truth for LSH/prefix-filter
+    * recall tests; use [[prefixFilteredJaccardPairs]] at scale. */
+  def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      bucketExpr: Column, shingleN: Int = 2,
+      threshold: Double = 0.6): DataFrame = {
+    val d = df.select(col(idCol), bucketExpr.as("bucket"),
+      wordShingles(col(textCol), shingleN).as("s"))
+    d.alias("a")
+      .join(d.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        round(jaccard(col("a.s"), col("b.s")), 3).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+}

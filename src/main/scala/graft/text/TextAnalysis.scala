@@ -1,0 +1,87 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is a narrow (per-row) transformation built from
+  * codegen'd `org.apache.spark.sql.functions` — no UDFs, no shuffles.
+  * On a 100 TB corpus these run as a single scan with whole-stage
+  * codegen; any aggregation the caller adds on top gets map-side
+  * partial aggregation for free.
+  *
+  * Hash parity note: fingerprints use md5 (hex) → first-N-hex-digits →
+  * integer, which every engine reproduces bit-for-bit. For pure-speed
+  * paths where cross-engine parity is not needed, swap in `xxhash64`
+  * (also codegen'd, ~10× faster than md5).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** BPE-ish word/number/punct tokens: runs of letters, runs of digits,
+    * or single non-alphanumeric marks — the standard pre-tokenizer shape
+    * (regex kept engine-portable: no shorthand classes). */
+  val wordTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def wordTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(wordTokenPattern), lit(0))
+
+  /** Tiny embedded stopword lists for the language-ID heuristic. */
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+  val xxStopwords: Seq[String] =
+    Seq("le", "la", "der", "die", "el", "los", "und", "et", "des", "du")
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Stopword-hit-count language ID (n-gram-free heuristic: function
+    * words are the strongest cheap signal). Returns "en"/"xx"/"und". */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val en = hitCount(t, enStopwords)
+    val xx = hitCount(t, xxStopwords)
+    when(en > xx && en >= 2, lit("en"))
+      .when(xx > en && xx >= 2, lit("xx"))
+      .otherwise(lit("und"))
+  }
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    hitCount(t, enStopwords) / size(t)
+  }
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[a-z0-9 ]", "")) / length(text)
+
+  /** Composite quality score in [0,1]: linear blend of stopword ratio
+    * (naturalness), low punctuation density, and length. Deliberately
+    * arithmetic-only so external oracles reproduce it exactly. */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text))
+    round(
+      stopwordRatio(text) * 0.5 +
+        (lit(1.0) - punctRatio(text)) * 0.3 +
+        least(nTok / lit(100.0), lit(1.0)) * 0.2,
+      3)
+  }
+
+  /** 60-bit content fingerprint: first 15 hex digits of md5(lower(text))
+    * as a long. Used for exact-duplicate detection at scale — group or
+    * join on the fingerprint instead of the full text (shuffle keys are
+    * 8 bytes, not document bodies). */
+  def fingerprint64(text: Column): Column =
+    conv(substring(md5(lower(text)), 1, 15), 16, 10).cast("long")
+
+  /** Per-document token statistics. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("n_ws_tokens"),
+      size(wordTokens(col(textCol))).as("n_word_tokens"))
+}

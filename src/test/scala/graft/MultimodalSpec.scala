@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the multimodal binary-column plumbing: schema, typed
+  * decode via mapPartitions, frame sampling, resize metadata. The
+  * decoder is a deterministic stub; what these tests pin down is the
+  * distributed shape — schemas, row counts, per-partition behavior. */
+class MultimodalSpec extends AnyFunSuite {
+  import graft.multimodal.Multimodal
+
+  lazy val spark = TestSpark.spark
+
+  private def mediaDf() = {
+    import spark.implicits._
+    Seq(
+      (1L, "x".repeat(3000)), // 3000 bytes → ~2 "frames"
+      (2L, "hello world"),
+      (3L, "")) // empty payload must not crash the decoder
+      .toDF("media_id", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+  }
+
+  test("featurize: schema and deterministic features from the stub decoder") {
+    val out = Multimodal.featurize(spark, mediaDf(), "media_id", "payload", "image")
+    assert(out.columns.toSeq === Seq("media_id", "media_type", "n_bytes",
+      "checksum", "width", "height", "n_frames", "feature"))
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getInt(2) === 3000)
+    assert(rows(2L).getInt(2) === 11)
+    assert(rows(3L).getInt(2) === 0)
+    // determinism: same payload → same checksum on re-run
+    val again = Multimodal.featurize(spark, mediaDf(), "media_id", "payload", "image")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { case (id, r) => assert(r.getLong(3) === again(id)) }
+    // feature is a normalized 8-bin histogram
+    val feat = rows(1L).getSeq[Float](7)
+    assert(feat.length === 8)
+    assert(math.abs(feat.sum - 1.0f) < 1e-3)
+  }
+
+  test("video media type derives frame counts from payload size") {
+    val out = Multimodal.featurize(spark, mediaDf(), "media_id", "payload", "video")
+    val frames = out.collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(frames(1L) === 2) // 3000 / 1024
+    assert(frames(2L) === 1)
+    assert(frames(3L) === 1)
+  }
+
+  test("sampleFrames: stride-samples kilobyte frames with correct bytes") {
+    val ds = Multimodal.fromBinary(mediaDf(), "media_id", "payload", "video")
+    val frames = Multimodal.sampleFrames(ds, stride = 2).collect()
+    val byMedia = frames.groupBy(_.getLong(0))
+    // media 1: 2 frames (idx 0,1), stride 2 → keep idx 0 only
+    assert(byMedia(1L).map(_.getInt(1)).toSeq === Seq(0))
+    assert(byMedia(1L).head.getAs[Array[Byte]](2).length === 1024)
+    // media 2: one short frame, kept
+    assert(byMedia(2L).head.getAs[Array[Byte]](2).length === 11)
+  }
+
+  test("resizePlan: clamps to bounding box, keeps aspect, never upscales") {
+    import spark.implicits._
+    val meta = Seq((1L, 4000, 2000), (2L, 100, 50), (3L, 200, 800))
+      .toDF("media_id", "width", "height")
+    val out = Multimodal.resizePlan(meta, maxW = 1000, maxH = 1000)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) === ((1000, 500)))
+    assert(out(2L) === ((100, 50))) // no upscale
+    assert(out(3L) === ((200, 800))) // already inside the box
+  }
+
+  test("decode runs per-partition (mapPartitions), preserving partition count") {
+    val ds = Multimodal.fromBinary(mediaDf().repartition(3),
+      "media_id", "payload", "image")
+    val decoded = Multimodal.decode(ds)
+    assert(decoded.rdd.getNumPartitions === 3)
+    assert(decoded.count() === 3)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MemoryStream-driven specs for graft.streaming: windowed aggregation
+  * with watermark, streaming dedup, and keyed running state. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedAgg: hourly counts per key from a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = graft.streaming.Streaming.windowedAgg(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", "1 hour", "10 minutes")
+    val q = df.writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 4.0),
+        (ts("2024-01-01 10:20:00"), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1),
+          r.getLong(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._2))
+      assert(rows.toSeq === Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 8.0),
+        ("2024-01-01 11:00:00.0", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("dedupStream: duplicate keys within watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = graft.streaming.Streaming.dedupStream(
+      input.toDF().toDF("ts", "event_id", "payload"),
+      "ts", Seq("event_id"), "1 hour")
+    val q = df.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:01:00"), 1L, "a-dup"),
+        (ts("2024-01-01 10:02:00"), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:03:00"), 2L, "b-dup"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(1)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("runningTotals: keyed state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{KeyedEvent, KeyedRunning}
+    val input = MemoryStream[KeyedEvent]
+    val out = graft.streaming.Streaming.runningTotals(input.toDS())
+    val q = out.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(KeyedEvent("a", 1.0), KeyedEvent("a", 2.0),
+        KeyedEvent("b", 10.0))
+      q.processAllAvailable()
+      input.addData(KeyedEvent("a", 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("running").collect()
+        .map(r => KeyedRunning(r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_.key).view.mapValues(_.maxBy(_.n)).toMap
+      assert(latest("a") === KeyedRunning("a", 3L, 7.0))
+      assert(latest("b") === KeyedRunning("b", 1L, 10.0))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-data-pipeline operators (dedup, similarity,
+  * text analysis) — correctness on the sf0.001 tables plus plan-shape
+  * assertions that guard the scale properties (no shuffle in signature
+  * stages, broadcast on the query side of KNN). */
+class TrainingDataSpec extends AnyFunSuite {
+  import graft.queries.{Tables, TrainingData}
+  import graft.dedup.Dedup
+  import graft.similarity.Similarity
+
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  test("every training-data oracle has a registered query") {
+    val missing = TrainingData.oracles.keySet -- TrainingData.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+    assert(TrainingData.queries.keySet === TrainingData.oracles.keySet)
+  }
+
+  test("minhash-lsh pairs are all above threshold and ordered") {
+    val rows = TrainingData.minhashLshPairs(spark, sf).collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.8))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("lsh recall: finds every pair the exhaustive quadratic scan finds") {
+    val docs = Tables.load(spark, sf, "documents")
+    // exhaustive ground truth at >= 0.8 on the same 3-gram shingles
+    // (single blocking bucket = compare everything)
+    val truth = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+      bucketExpr = lit(0), shingleN = 3, threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TrainingData.minhashLshPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.subsetOf(lsh),
+      s"LSH missed pairs: ${truth -- lsh}")
+    assert(lsh === truth, s"LSH extra pairs: ${lsh -- truth}")
+  }
+
+  test("prefix-filtered jaccard join ≡ quadratic blocked scan (no lost pairs)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bucket = floor(col("n_chars") / 50)
+    def keyset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val quad = keyset(Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+      bucket, shingleN = 2, threshold = 0.6))
+    val pref = keyset(Dedup.prefixFilteredJaccardPairs(docs, "doc_id", "text",
+      bucket, shingleN = 2, threshold = 0.6))
+    assert(pref === quad, s"missing=${quad -- pref} extra=${pref -- quad}")
+  }
+
+  test("simhash: verified near-dup pairs have small hamming distance") {
+    val sims = TrainingData.simhashDocs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pairs = TrainingData.minhashLshPairs(spark, sf).collect()
+    assert(pairs.nonEmpty || sims.nonEmpty)
+    pairs.foreach { p =>
+      val d = Integer.bitCount(sims(p.getLong(0)) ^ sims(p.getLong(1)))
+      assert(d <= 6, s"pair ${p.getLong(0)},${p.getLong(1)} hamming $d")
+    }
+  }
+
+  test("minhash signature stage is shuffle-free (pure map) on spread input") {
+    // pre-spread so the operator's one-time input spreading is a no-op;
+    // the signing itself must then plan as a pure map (no Exchange)
+    val docs = Tables.load(spark, sf, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val plan = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length <= 2,
+      s"signature stage adds shuffles beyond the input repartition:\n$plan")
+  }
+
+  test("knn brute force: k rows per query, cosine in [-1,1], broadcast plan") {
+    val df = TrainingData.knnCosineBrute(spark, sf)
+    val rows = df.collect()
+    val perQuery = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQuery.forall(_ == 3))
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast join:\n$plan")
+  }
+
+  test("ann lsh: neighbors share the query's sign bucket; cosine valid") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("bucket", Similarity.signBucket(col("v"), 6))
+    val buckets = e.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ann = TrainingData.annLshBucketed(spark, sf).collect()
+    ann.foreach { r =>
+      assert(buckets(r.getLong(0)) === buckets(r.getLong(1)),
+        s"neighbor ${r.getLong(1)} not in query ${r.getLong(0)}'s bucket")
+    }
+    assert(ann.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("ann results are a subset of the full scored space (never better than brute)") {
+    val brute = TrainingData.knnCosineBrute(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).max).toMap
+    val ann = TrainingData.annLshBucketed(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).max).toMap
+    ann.foreach { case (q, annBest) =>
+      assert(annBest <= brute(q) + 1e-9,
+        s"query $q: ann best $annBest beats brute ${brute(q)}")
+    }
+  }
+
+  test("quality score lies in [0,1]; ratios consistent") {
+    val rows = TrainingData.qualityScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val score = r.getDouble(4)
+      assert(score >= 0.0 && score <= 1.0, s"score $score out of range")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("language id: prediction matrix covers all docs") {
+    val docs = Tables.load(spark, sf, "documents").count()
+    val matrix = TrainingData.languageId(spark, sf).collect()
+    assert(matrix.map(_.getLong(2)).sum === docs)
+  }
+
+  test("fingerprint is injective on distinct texts") {
+    val d = Tables.load(spark, sf, "documents")
+    val nTexts = d.select(countDistinct(col("text"))).head.getLong(0)
+    val nFps = TrainingData.fingerprint(spark, sf)
+      .select(countDistinct(col("fp"))).head.getLong(0)
+    assert(nFps === nTexts)
+  }
+
+  test("exact dedup: fabricated duplicates collapse under the hash") {
+    TrainingData.dedupExactDocs(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "unique > total")
+    }
+  }
+
+  test("token stats: word tokens at least as many as ws tokens on punct-free text") {
+    val rows = TrainingData.tokenStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(1) > 0 && r.getInt(2) > 0))
+  }
+}
