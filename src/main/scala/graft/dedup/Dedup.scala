@@ -161,9 +161,22 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     val d = spread(df).select(col(idCol), bucketExpr.as("bucket"),
       wordShingles(col(textCol), shingleN).as("s"))
-      .withColumn("prefix", slice(array_sort(col("s")), lit(1),
-        (floor(size(col("s")) * (1 - threshold)) + 1).cast("int")))
-    val pref = d.select(col(idCol), col("bucket"),
+    // Canonical order = ascending document frequency (ties: token) —
+    // the PPJoin ordering. Prefixes then hold each set's RAREST
+    // shingles, so the candidate equi-join only collides documents
+    // sharing rare content, not ones sharing stopword-grams. The
+    // frequency dictionary is one aggregation over the exploded
+    // shingles; any fixed total order keeps the no-false-negative
+    // guarantee, this one minimizes collisions.
+    val exploded = d.select(col(idCol), col("bucket"), explode(col("s")).as("tok"))
+    val freqs = exploded.groupBy("tok").agg(count(lit(1)).as("tok_df"))
+    val sorted = exploded.join(freqs, "tok")
+      .groupBy(col(idCol), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("tok_df"), col("tok")))).as("st"))
+      .withColumn("sorted_s", transform(col("st"), x => x.getField("tok")))
+      .withColumn("prefix", slice(col("sorted_s"), lit(1),
+        (floor(size(col("sorted_s")) * (1 - threshold)) + 1).cast("int")))
+    val pref = sorted.select(col(idCol), col("bucket"),
       explode(col("prefix")).as("tok"))
     val cand = pref.alias("a")
       .join(pref.alias("b"),

@@ -108,6 +108,26 @@ object TrainingData {
       idCol = "vec_id", vecCol = "embedding", k = 3, bits = 6)
   }
 
+  /** Embedding-cosine near-dup pairs: 4-bit sign-LSH buckets, verified
+    * at cosine ≥ 0.4 (threshold calibrated to the synthetic corpus —
+    * real near-dup dedup uses ~0.95 on normalized embeddings). */
+  def embedNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(embs(spark, dir), "vec_id", "embedding",
+      bits = 4, threshold = 0.4)
+
+  /** IVF ANN top-3 (nlist=8, nprobe=3, 2 Lloyd rounds) for the same
+    * query set as q26/q27. Iterative training → no SQL oracle; the
+    * driver records the weaker rows-only check, and TrainingDataSpec
+    * checks recall against the brute-force ground truth. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.ivfTopK(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding",
+      k = 3, nlist = 8, nprobe = 3)
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Byte-level stats of the text payload treated as an opaque binary
@@ -137,7 +157,9 @@ object TrainingData {
     "q25_ngram_jaccard_pairs" -> ngramJaccardPairs,
     "q26_knn_cosine_brute" -> knnCosineBrute,
     "q27_ann_lsh_bucketed" -> annLshBucketed,
-    "q28_byte_stats" -> byteStats
+    "q28_byte_stats" -> byteStats,
+    "q29_embed_neardup" -> embedNearDup,
+    "q30_ann_ivf" -> annIvf
   )
 
   /** DuckDB hash helper fragment: integer of first 8 md5 hex digits of
@@ -302,6 +324,28 @@ object TrainingData {
       """SELECT source, count(*) AS n_docs,
          sum(strlen(text)) AS total_bytes,
          round(avg(strlen(text)), 2) AS avg_bytes
-         FROM documents GROUP BY 1 ORDER BY 1"""
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    // q30_ann_ivf intentionally has NO oracle: IVF training is
+    // iterative (Lloyd) and not expressible as one SQL statement; the
+    // driver records a rows-only check and TrainingDataSpec verifies
+    // recall against the exact brute-force ground truth.
+    "q29_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM e)
+         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
+         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         WHERE list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))) >= 0.4
+         ORDER BY vec_a, vec_b"""
   )
 }

@@ -63,6 +63,106 @@ object Similarity {
       .orderBy("q_id", "neighbor_id")
   }
 
+  /** Embedding-cosine near-duplicate pairs: sign-LSH bucketed self-join
+    * (only same-bucket vectors meet), verified at cosine ≥ threshold.
+    * The embedding-space analog of graft.dedup.minhashNearDupPairs —
+    * single-probe, so recall < 1; lower `bits` or union multiple bucket
+    * rotations to raise it. */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int, threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    c.alias("a")
+      .join(c.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // -------------------------------------------------------------------- IVF
+
+  /** Assign each vector its nearest centroid (squared L2) — centroids
+    * ship as a broadcast-sized literal array, so assignment is a pure
+    * map over the corpus. */
+  private def withCluster(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    vecs
+      .withColumn("_dists", transform(centLit, c =>
+        aggregate(zip_with(c, col("v"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)))
+      .withColumn("cluster",
+        expr("array_position(_dists, array_min(_dists)) - 1").cast("int"))
+      .drop("_dists")
+  }
+
+  /** Train an IVF coarse quantizer: deterministic init (the `nlist`
+    * lowest-id vectors), then `iters` Lloyd rounds. Each round is one
+    * distributed pass: assign (map) → per-(cluster, dim) partial sums
+    * (one shuffle of nlist×dim rows) → new means on the driver.
+    * Centroids are rounded to 6 decimals so summation order cannot
+    * flip assignments between runs. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): Array[Array[Double]] = {
+    val e = corpus.select(col(idCol).cast("long").as("id"),
+      toDouble(col(vecCol)).as("v"))
+    var centroids: Array[Array[Double]] = e.orderBy("id").limit(nlist)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 0 until iters) {
+      val stats = withCluster(e, centroids)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val (cl, pos) = (r.getInt(0), r.getInt(1))
+        next(cl)(pos) =
+          math.rint(r.getDouble(2) / r.getLong(3) * 1e6) / 1e6
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** IVF ANN top-k: train the coarse quantizer, assign the corpus to
+    * inverted lists, probe each query's `nprobe` nearest lists, exact
+    * cosine rank inside the probed lists. At scale the corpus side is
+    * written bucketed by `cluster`, so the probe join is co-located and
+    * touches ~nprobe/nlist of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nprobe: Int,
+      iters: Int = 2): DataFrame = {
+    val centroids = ivfTrain(corpus, idCol, vecCol, nlist, iters)
+    val c = withCluster(
+      corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v")),
+      centroids)
+    val centLit = array(centroids.map(cc => array(cc.map(lit): _*)): _*)
+    val q = broadcast(
+      queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
+        .withColumn("_dists", transform(centLit, cc =>
+          aggregate(zip_with(cc, col("qv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, d) => acc + d)))
+        .withColumn("_ranked", transform(
+          array_sort(transform(col("_dists"), (d, i) => struct(d.as("d"), i.as("i")))),
+          s => s.getField("i")))
+        .withColumn("_probe", explode(slice(col("_ranked"), 1, nprobe)))
+        .withColumn("cluster", col("_probe").cast("int"))
+        .select(col("q_id"), col("qv"), col("cluster")))
+    val cos = cosine(col("qv"), col("v"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(cos.desc, col("neighbor_id").asc)
+    q.join(c, Seq("cluster"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(cos, 4).as("cosine"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
   /** Sign-LSH ANN top-k: queries probe only their own bucket. Returns
     * the same shape as [[bruteForceTopK]]; recall < 1 by construction
     * (single-probe). Multi-probe = union over neighboring buckets. */

@@ -18,7 +18,24 @@ class TrainingDataSpec extends AnyFunSuite {
   test("every training-data oracle has a registered query") {
     val missing = TrainingData.oracles.keySet -- TrainingData.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    assert(TrainingData.queries.keySet === TrainingData.oracles.keySet)
+    // q30 is the one deliberate omission: IVF training is iterative and
+    // has no single-statement SQL oracle (rows-only check + recall spec)
+    assert(TrainingData.queries.keySet -- TrainingData.oracles.keySet
+      === Set("q30_ann_ivf"))
+  }
+
+  test("ivf ann: k rows per query max, deterministic, decent recall vs brute") {
+    val ivf1 = TrainingData.annIvf(spark, sf).collect()
+    val ivf2 = TrainingData.annIvf(spark, sf).collect()
+    assert(ivf1.map(_.toString).sorted.toSeq === ivf2.map(_.toString).sorted.toSeq,
+      "IVF result not deterministic across runs")
+    val perQuery = ivf1.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ <= 3))
+    // recall@3 vs the exact answer: with nprobe=3 of nlist=8 expect > 0
+    val brute = TrainingData.knnCosineBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = ivf1.map(r => (r.getLong(0), r.getLong(1))).count(brute)
+    assert(hits > 0, s"IVF found none of the true top-3: $brute")
   }
 
   test("minhash-lsh pairs are all above threshold and ordered") {
