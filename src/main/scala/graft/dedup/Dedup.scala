@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document-deduplication operators: exact (hash), MinHash+LSH,
   * SimHash, and blocked n-gram Jaccard.
@@ -27,17 +28,40 @@ object Dedup {
   def hash64(e: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed:"), e)), 1, 8), 16, 10).cast("long")
 
-  /** Distinct word n-gram shingles of the lowercased text, built
-    * per-row with array higher-order functions (no explode, no
-    * shuffle). Documents shorter than n tokens yield an empty set. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(text), " ")
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    * array column. `toks` must be a plain column reference (not the
+    * `split` expression itself): higher-order functions evaluate
+    * interpreted, so an expression referenced inside the lambda — here
+    * `element_at(toks, …)` — is re-evaluated per element. Passing the
+    * split inline re-tokenizes the document once per gram per
+    * element_at (~100× per row); a column reference is a row lookup. */
+  def wordShinglesFromTokens(toks: Column, n: Int): Column = {
     val idxs = sequence(lit(0), size(toks) - n)
     val grams = transform(idxs, i =>
       concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
     when(size(toks) >= n, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** (id, bucket?, shingles) projection that tokenizes each document
+    * exactly once: the token array is materialized as a real column in
+    * a separate projection so the gram lambda reads it instead of
+    * re-splitting (see [[wordShinglesFromTokens]]). */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+      n: Int, extra: Seq[(String, Column)] = Nil): DataFrame = {
+    val base = df.select(
+      Seq(col(idCol)) ++ extra.map { case (nm, e) => e.as(nm) } :+
+        split(lower(col(textCol)), " ").as("_toks"): _*)
+    base.select(
+      Seq(col(idCol)) ++ extra.map { case (nm, _) => col(nm) } :+
+        wordShinglesFromTokens(col("_toks"), n).as("s"): _*)
+  }
+
+  /** Distinct word n-gram shingles of the lowercased text, per-row.
+    * Convenience form for tests/one-off use; hot paths go through
+    * [[shingleSets]] to avoid per-element re-tokenization. */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(split(lower(text), " "), n)
 
   /** Spread a small-partition-count input across the cluster before a
     * CPU-heavy narrow stage (md5 signing, shingle hashing). A single
@@ -76,8 +100,8 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
     val numSeeds = (numHashes + 3) / 4
-    val withSh = spread(df).select(col(idCol),
-      wordShingles(col(textCol), shingleN).as("shingles"))
+    val withSh = shingleSets(spread(df), idCol, textCol, shingleN)
+      .withColumnRenamed("s", "shingles")
     val withMd5 = (0 until numSeeds).foldLeft(withSh) { (d, seed) =>
       d.withColumn(s"_md5_$seed",
         transform(col("shingles"), s => md5(concat(lit(s"$seed:"), s))))
@@ -119,9 +143,15 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    // Signing (k md5s per shingle) feeds both the band join and the
+    // verification sets — persist so the corpus is signed exactly once.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
-    val sets = sigs.select(col(idCol), col("shingles"))
+    // Verify in hashed-shingle space: same Jaccard absent 64-bit
+    // collisions, far cheaper intersects/shuffles than string sets.
+    val sets = sigs.select(col(idCol),
+      transform(col("shingles"), t => xxhash64(t)).as("shingles"))
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -159,9 +189,23 @@ object Dedup {
   def prefixFilteredJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, bucketExpr: Column, shingleN: Int = 2,
       threshold: Double = 0.6): DataFrame = {
-    val d = spread(df).select(col(idCol), bucketExpr.as("bucket"),
-      wordShingles(col(textCol), shingleN).as("s"))
-    // Canonical order = ascending document frequency (ties: token) —
+    // Shingling is the CPU-heavy stage and its output feeds FOUR
+    // consumers (frequency dictionary, prefix build, and both sides of
+    // the verification join) — persist it so the corpus is shingled
+    // once, not once per consumer. At real scale this materialization
+    // is the "signature table" a production pipeline would write out.
+    //
+    // All downstream work happens in HASHED shingle space: each string
+    // shingle maps to its xxhash64. Jaccard over the hash sets equals
+    // Jaccard over the string sets absent 64-bit collisions, while the
+    // frequency join, candidate shuffle, and verification intersect
+    // move 8-byte longs instead of ~15-char strings.
+    val d = shingleSets(spread(df), idCol, textCol, shingleN,
+        extra = Seq("bucket" -> bucketExpr))
+      .select(col(idCol), col("bucket"),
+        transform(col("s"), t => xxhash64(t)).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Canonical order = ascending document frequency (ties: hash) —
     // the PPJoin ordering. Prefixes then hold each set's RAREST
     // shingles, so the candidate equi-join only collides documents
     // sharing rare content, not ones sharing stopword-grams. The
@@ -174,15 +218,32 @@ object Dedup {
       .groupBy(col(idCol), col("bucket"))
       .agg(array_sort(collect_list(struct(col("tok_df"), col("tok")))).as("st"))
       .withColumn("sorted_s", transform(col("st"), x => x.getField("tok")))
+      .withColumn("sz", size(col("sorted_s")))
       .withColumn("prefix", slice(col("sorted_s"), lit(1),
-        (floor(size(col("sorted_s")) * (1 - threshold)) + 1).cast("int")))
-    val pref = sorted.select(col(idCol), col("bucket"),
-      explode(col("prefix")).as("tok"))
+        (floor(col("sz") * (1 - threshold)) + 1).cast("int")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+    // posexplode: `pos` is the token's 0-based rank in the canonical
+    // order (the prefix IS the first elements of that order), which the
+    // positional filter below needs.
+    val pref = sorted.select(col(idCol), col("bucket"), col("sz"),
+      posexplode(col("prefix")).as(Seq("pos", "tok")))
+    // PPJoin candidate filters (beyond sharing a prefix token):
+    //   length filter  — J(A,B) ≥ t forces t·|A| ≤ |B| (and symm.);
+    //   positional one — overlap must reach α = t/(1+t)·(|A|+|B|), and
+    //     a shared token at ranks (pa, pb) caps it at
+    //     min(|A|−pa, |B|−pb); the FIRST shared token of a true pair
+    //     always passes, so no false negatives.
+    val alpha = (lit(threshold) / (1 + threshold)) *
+      (col("a.sz") + col("b.sz"))
     val cand = pref.alias("a")
       .join(pref.alias("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.tok") === col("b.tok") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("a.sz") * threshold <= col("b.sz") &&
+          col("b.sz") * threshold <= col("a.sz") &&
+          least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
+            >= alpha)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
     val sets = d.select(col(idCol), col("s"))
@@ -202,8 +263,8 @@ object Dedup {
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bucketExpr: Column, shingleN: Int = 2,
       threshold: Double = 0.6): DataFrame = {
-    val d = df.select(col(idCol), bucketExpr.as("bucket"),
-      wordShingles(col(textCol), shingleN).as("s"))
+    val d = shingleSets(df, idCol, textCol, shingleN,
+      extra = Seq("bucket" -> bucketExpr))
     d.alias("a")
       .join(d.alias("b"),
         col("a.bucket") === col("b.bucket") &&

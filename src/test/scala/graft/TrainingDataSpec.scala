@@ -85,7 +85,12 @@ class TrainingDataSpec extends AnyFunSuite {
 
   test("minhash signature stage is shuffle-free (pure map) on spread input") {
     // pre-spread so the operator's one-time input spreading is a no-op;
-    // the signing itself must then plan as a pure map (no Exchange)
+    // the signing itself must then plan as a pure map (no Exchange).
+    // Clear the cache first: a prior test's persisted signature table
+    // has an identical logical plan, and CacheManager would substitute
+    // an InMemoryRelation whose cached-plan string carries its own
+    // Exchange, tripping the count below.
+    spark.catalog.clearCache()
     val docs = Tables.load(spark, sf, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
     val plan = Dedup.minhashSignatures(docs, "doc_id", "text", 8)
