@@ -49,17 +49,33 @@ object Similarity {
     * ascending corpus id for determinism. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // Norms are per-vector, not per-pair: compute them on each side
+    // before the join, and materialize the cosine once as a column so
+    // ranking and output share it (same sqrt(dot(v,v)) values → results
+    // bit-identical to the inline form).
     val q = broadcast(queries.select(
-      col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv")))
+      col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv")))))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
-    val cos = cosine(col("qv"), col("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    rankTopK(q.crossJoin(c), k)
+  }
+
+  /** Shared tail of the top-k operators: score each (query, candidate)
+    * row with one dot product over precomputed norms (`qv`/`nq`,
+    * `v`/`nv` columns), keep k per query by window rank, emit rounded.
+    * The cosine is materialized as ONE column shared by ranking and
+    * output instead of being re-derived in each expression. */
+  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(cos.desc, col("neighbor_id").asc)
-    q.crossJoin(c)
+      .orderBy(col("_cos").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("_cos", dot(col("qv"), col("v")) / (col("nq") * col("nv")))
+      .select(col("q_id"), col("neighbor_id"), col("_cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("q_id"), col("neighbor_id"), round(cos, 4).as("cosine"))
+      .select(col("q_id"), col("neighbor_id"), round(col("_cos"), 4).as("cosine"))
       .orderBy("q_id", "neighbor_id")
   }
 
@@ -70,16 +86,27 @@ object Similarity {
     * rotations to raise it. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       bits: Int, threshold: Double): DataFrame = {
+    // Precompute each vector's norm ONCE (and persist: the bucketed
+    // projection feeds both sides of the self-join). cosine(a,b) =
+    // dot(a,b)/(‖a‖·‖b‖) then costs one dot per candidate pair instead
+    // of three — the norms are the exact same sqrt(dot(v,v)) values, so
+    // results are bit-identical to the inline form.
     val c = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", signBucket(col("v"), bits))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawCos = dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv"))
     c.alias("a")
       .join(c.alias("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("_cos", rawCos)
+      // threshold the RAW cosine (as an external SQL oracle does), then
+      // round only for output
+      .filter(col("_cos") >= threshold)
       .select(
         col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        round(col("_cos"), 4).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -140,6 +167,7 @@ object Similarity {
     val c = withCluster(
       corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v")),
       centroids)
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
     val centLit = array(centroids.map(cc => array(cc.map(lit): _*)): _*)
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
@@ -151,16 +179,11 @@ object Similarity {
           s => s.getField("i")))
         .withColumn("_probe", explode(slice(col("_ranked"), 1, nprobe)))
         .withColumn("cluster", col("_probe").cast("int"))
-        .select(col("q_id"), col("qv"), col("cluster")))
-    val cos = cosine(col("qv"), col("v"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(cos.desc, col("neighbor_id").asc)
-    q.join(c, Seq("cluster"))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("neighbor_id"), round(cos, 4).as("cosine"))
-      .orderBy("q_id", "neighbor_id")
+        .select(col("q_id"), col("qv"), col("cluster"))
+        .withColumn("nq", sqrt(dot(col("qv"), col("qv")))))
+    rankTopK(
+      q.join(c, Seq("cluster"))
+        .filter(col("q_id") =!= col("neighbor_id")), k)
   }
 
   /** Sign-LSH ANN top-k: queries probe only their own bucket. Returns
@@ -170,18 +193,14 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", signBucket(col("qv"), bits)))
+      .withColumn("bucket", signBucket(col("qv"), bits))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv")))))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", signBucket(col("v"), bits))
-    val cos = cosine(col("qv"), col("v"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(cos.desc, col("neighbor_id").asc)
-    q.join(c, Seq("bucket"))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("neighbor_id"), round(cos, 4).as("cosine"))
-      .orderBy("q_id", "neighbor_id")
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    rankTopK(
+      q.join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("neighbor_id")), k)
   }
 }
