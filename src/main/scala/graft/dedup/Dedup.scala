@@ -63,15 +63,9 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(split(lower(text), " "), n)
 
-  /** Spread a small-partition-count input across the cluster before a
-    * CPU-heavy narrow stage (md5 signing, shingle hashing). A single
-    * small parquet file arrives as ONE partition and would pin all
-    * signature work to one core; at real scale inputs already have
-    * many splits and this is a no-op. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  /** See graft.util.Spread: conditional input spreading before the
+    * CPU-heavy signing stages; no-op on multi-split inputs. */
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread(df)
 
   /** One minhash value: min over the shingle set of hash_seed. */
   def minhash(shingles: Column, seed: Int): Column =

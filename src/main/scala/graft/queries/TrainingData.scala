@@ -17,6 +17,11 @@ import graft.text.TextAnalysis
 object TrainingData {
   import Tables.load
 
+  // NOT spread here: for the cheap one-pass queries (token stats,
+  // fingerprints, simhash) a repartition of even a tiny table costs
+  // more than the per-row work it parallelizes. The heavy operators
+  // (MinHash/PPJoin dedup, ANN) spread internally where the signing
+  // stage dominates — measured, not assumed.
   private def docs(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
   private def embs(spark: SparkSession, dir: String): DataFrame =
@@ -39,8 +44,8 @@ object TrainingData {
 
   /** Language-ID heuristic, summarized as a (actual, predicted) matrix. */
   def languageId(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    TextAnalysis.withLangPred(docs(spark, dir), "text")
+      .select(col("lang"), col("lang_pred"))
       .groupBy("lang", "lang_pred")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "lang_pred")

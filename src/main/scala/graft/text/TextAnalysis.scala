@@ -38,15 +38,30 @@ object TextAnalysis {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
-  /** Stopword-hit-count language ID (n-gram-free heuristic: function
-    * words are the strongest cheap signal). Returns "en"/"xx"/"und". */
-  def langId(text: Column): Column = {
-    val t = tokens(text)
-    val en = hitCount(t, enStopwords)
-    val xx = hitCount(t, xxStopwords)
+  /** Language decision from materialized stopword-hit counts. */
+  def langIdFromCounts(en: Column, xx: Column): Column =
     when(en > xx && en >= 2, lit("en"))
       .when(xx > en && xx >= 2, lit("xx"))
       .otherwise(lit("und"))
+
+  /** Adds a `lang_pred` column ("en"/"xx"/"und"): stopword-hit-count
+    * language ID (n-gram-free heuristic: function words are the
+    * strongest cheap signal). The token array and both hit counts are
+    * materialized as real columns first — the when-chain references
+    * each count four times, and inline subtrees would re-tokenize the
+    * document on every reference (HOFs evaluate interpreted). */
+  def withLangPred(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_en", hitCount(col("_toks"), enStopwords))
+      .withColumn("_xx", hitCount(col("_toks"), xxStopwords))
+      .withColumn("lang_pred", langIdFromCounts(col("_en"), col("_xx")))
+      .drop("_toks", "_en", "_xx")
+
+  /** Column-level convenience form (tests / one-off use); hot paths go
+    * through [[withLangPred]] to avoid per-reference re-tokenization. */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    langIdFromCounts(hitCount(t, enStopwords), hitCount(t, xxStopwords))
   }
 
   /** Fraction of tokens that are (English) stopwords. */

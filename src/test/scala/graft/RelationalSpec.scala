@@ -100,4 +100,12 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PushedFilters: ["), plan)
     assert(plan.contains("GreaterThan(l_quantity"), plan)
   }
+
+  test("q05 topk plans as TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.topkLatest(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"top-k must not global-sort:\n$plan")
+  }
 }
