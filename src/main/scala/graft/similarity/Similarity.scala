@@ -25,9 +25,11 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a left fold in ascending index order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Σ aᵢ·bᵢ in ascending index order — a codegen'd native Catalyst
+    * expression (graft.functions.ArrayDotProduct). Bit-identical to the
+    * `aggregate(zip_with(…))` fold it replaces, but runs as a primitive
+    * loop inside whole-stage codegen instead of an interpreted HOF. */
+  def dot(a: Column, b: Column): Column = graft.functions.vector.arrayDot(a, b)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -119,8 +121,7 @@ object Similarity {
     val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
     vecs
       .withColumn("_dists", transform(centLit, c =>
-        aggregate(zip_with(c, col("v"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, d) => acc + d)))
+        graft.functions.vector.arrayL2Sq(c, col("v"))))
       .withColumn("cluster",
         expr("array_position(_dists, array_min(_dists)) - 1").cast("int"))
       .drop("_dists")
@@ -172,8 +173,7 @@ object Similarity {
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
         .withColumn("_dists", transform(centLit, cc =>
-          aggregate(zip_with(cc, col("qv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, d) => acc + d)))
+          graft.functions.vector.arrayL2Sq(cc, col("qv"))))
         .withColumn("_ranked", transform(
           array_sort(transform(col("_dists"), (d, i) => struct(d.as("d"), i.as("i")))),
           s => s.getField("i")))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.vector._
+
+/** Native vector expressions: equivalence with the HOF fold they
+  * replace, null semantics, and whole-stage-codegen participation. */
+class VectorExpressionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  test("arrayDot equals the aggregate/zip_with fold bit-for-bit") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.1, -0.2), Seq(-0.3, 0.7)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val rows = df.select(
+      arrayDot(col("a"), col("b")).as("native"),
+      fold(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("arrayDot null semantics: null array, length mismatch, null element") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+         (CAST(null AS array<double>), array(1.0d)),
+         (array(1.0d, 2.0d), array(1.0d)),
+         (array(1.0d, CAST(null AS double)), array(1.0d, 2.0d))
+         AS t(a, b)""")
+    val out = df.select(arrayDot(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)), out.mkString(","))
+  }
+
+  test("arrayL2Sq computes squared euclidean distance") {
+    val d = Seq((Seq(1.0, 2.0), Seq(4.0, 6.0))).toDF("a", "b")
+      .select(arrayL2Sq(col("a"), col("b"))).head.getDouble(0)
+    assert(d === 25.0)
+  }
+
+  test("expressions run inside whole-stage codegen (not CodegenFallback)") {
+    // non-literal source so constant folding can't collapse the plan
+    val df = spark.range(3)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), col("id").cast("double")).as("b"))
+      .select(col("a"), col("b"), arrayDot(col("a"), col("b")).as("d"))
+      .filter(col("d") > 0)
+    // `*(n)` is the WholeStageCodegen marker; a CodegenFallback
+    // expression would force its operator out of the starred stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") &&
+      plan.contains("*(1) Filter (graft_dot"), plan)
+    // id=1: [1,2]·[3,1] = 5
+    assert(df.collect().map(_.getDouble(2)).contains(5.0))
+  }
+
+  test("type check rejects non-double arrays") {
+    val err = intercept[Exception] {
+      Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+        .select(arrayDot(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<double>")
+      || err.getMessage.contains("graft_dot"), err.getMessage)
+  }
+}
