@@ -144,13 +144,17 @@ object Dedup {
     val cand = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
     // Verify in hashed-shingle space: same Jaccard absent 64-bit
     // collisions, far cheaper intersects/shuffles than string sets.
+    // Sets are sorted once per document so the per-pair Jaccard is a
+    // codegen'd two-pointer merge (graft.functions.SortedLongSetJaccard)
+    // instead of a boxed hash-set build per candidate pair.
     val sets = sigs.select(col(idCol),
-      transform(col("shingles"), t => xxhash64(t)).as("shingles"))
+      array_sort(transform(col("shingles"), t => xxhash64(t))).as("shingles"))
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 3).as("jaccard"))
+        round(graft.functions.SortedLongSetJaccard.sortedJaccard(
+          col("sh_a"), col("sh_b")), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -190,14 +194,16 @@ object Dedup {
     // is the "signature table" a production pipeline would write out.
     //
     // All downstream work happens in HASHED shingle space: each string
-    // shingle maps to its xxhash64. Jaccard over the hash sets equals
+    // shingle maps to its XXH64 hash. Jaccard over the hash sets equals
     // Jaccard over the string sets absent 64-bit collisions, while the
     // frequency join, candidate shuffle, and verification intersect
-    // move 8-byte longs instead of ~15-char strings.
-    val d = shingleSets(spread(df), idCol, textCol, shingleN,
-        extra = Seq("bucket" -> bucketExpr))
-      .select(col(idCol), col("bucket"),
-        transform(col("s"), t => xxhash64(t)).as("s"))
+    // move 8-byte longs instead of ~15-char strings. The whole
+    // tokenize→gram→hash→dedup chain is ONE native expression eval per
+    // row (graft.functions.HashedNGrams) instead of four interpreted
+    // higher-order-function passes.
+    val d = spread(df).select(col(idCol), bucketExpr.as("bucket"),
+        graft.functions.HashedNGrams.hashedNGrams(
+          split(lower(col(textCol)), " "), shingleN).as("s"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Canonical order = ascending document frequency (ties: hash) —
     // the PPJoin ordering. Prefixes then hold each set's RAREST
@@ -240,12 +246,14 @@ object Dedup {
             >= alpha)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
+    // d.s is sorted-distinct (HashedNGrams) -> merge-based Jaccard
     val sets = d.select(col(idCol), col("s"))
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("s").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("s").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 3).as("jaccard"))
+        round(graft.functions.SortedLongSetJaccard.sortedJaccard(
+          col("sh_a"), col("sh_b")), 3).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }

@@ -61,6 +61,21 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(2)).contains(5.0))
   }
 
+  test("hashedNGrams equals sorted-distinct xxhash64 of the string shingles") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog the quick brown",
+      "a b", "one", "").toDF("text")
+      .withColumn("toks", split(lower(col("text")), " "))
+    val rows = df.select(
+      graft.functions.HashedNGrams.hashedNGrams(col("toks"), 2).as("native"),
+      array_sort(transform(
+        graft.dedup.Dedup.wordShingles(col("text"), 2),
+        t => xxhash64(t))).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), r.toString)
+    }
+  }
+
   test("type check rejects non-double arrays") {
     val err = intercept[Exception] {
       Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
