@@ -260,3 +260,41 @@ class DataQualitySpec extends AnyFunSuite {
     assert(row.getLong(2) === 1)   // nulls_b
   }
 }
+
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.util.SkewJoin.saltedJoin
+
+  private def facts = Seq(
+    ("hot", 1), ("hot", 2), ("hot", 3), ("cold", 4), ("warm", 5),
+    ("hot", 6), ("missing", 7)).toDF("k", "v")
+  private def dim = Seq(("hot", "H"), ("cold", "C"), ("warm", "W"))
+    .toDF("k", "label")
+
+  test("salted inner join equals the unsalted join") {
+    val expected = facts.join(dim, Seq("k")).collect().map(_.toString).sorted
+    val got = saltedJoin(facts, dim, Seq("k"), salts = 4)
+      .collect().map(_.toString).sorted
+    assert(got === expected)
+  }
+
+  test("salted left join preserves unmatched large-side rows exactly once") {
+    val got = saltedJoin(facts, dim, Seq("k"), salts = 3, joinType = "left")
+    assert(got.count() === 7)
+    assert(got.filter(col("k") === "missing").count() === 1)
+    assert(got.filter(col("k") === "missing" && col("label").isNull).count() === 1)
+  }
+
+  test("join condition carries the salt key (skew actually spread)") {
+    val plan = saltedJoin(facts, dim, Seq("k"), salts = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("_graft_salt"), plan)
+  }
+
+  test("right/full outer joins are rejected") {
+    intercept[IllegalArgumentException] {
+      saltedJoin(facts, dim, Seq("k"), 2, joinType = "full_outer")
+    }
+  }
+}
