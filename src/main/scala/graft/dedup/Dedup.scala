@@ -93,18 +93,21 @@ object Dedup {
     * cost of signing a corpus). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
-    val numSeeds = (numHashes + 3) / 4
+    // All k minhashes in one native-expression pass per row
+    // (graft.functions.MinHashSignatures — same md5-hex-slice values
+    // the SQL oracle reproduces, ~k interpreted HOF passes saved). The
+    // signature array materializes as a column so the k element_at
+    // projections read it rather than re-sign (CollapseProject keeps
+    // the boundary: the expression is non-cheap and referenced k
+    // times).
     val withSh = shingleSets(spread(df), idCol, textCol, shingleN)
       .withColumnRenamed("s", "shingles")
-    val withMd5 = (0 until numSeeds).foldLeft(withSh) { (d, seed) =>
-      d.withColumn(s"_md5_$seed",
-        transform(col("shingles"), s => md5(concat(lit(s"$seed:"), s))))
-    }
+      .withColumn("_sig", graft.functions.MinHashSignatures.minhashSig(
+        col("shingles"), numHashes))
     val mhCols = (0 until numHashes).map { k =>
-      array_min(transform(col(s"_md5_${k / 4}"), h => hexSlice(h, k % 4)))
-        .as(s"mh_$k")
+      element_at(col("_sig"), k + 1).as(s"mh_$k")
     }
-    withMd5.select(col(idCol) +: col("shingles") +: mhCols: _*)
+    withSh.select(col(idCol) +: col("shingles") +: mhCols: _*)
   }
 
   /** LSH candidate pairs: signatures → (band, bandKey) rows → self-join
@@ -147,8 +150,11 @@ object Dedup {
     // Sets are sorted once per document so the per-pair Jaccard is a
     // codegen'd two-pointer merge (graft.functions.SortedLongSetJaccard)
     // instead of a boxed hash-set build per candidate pair.
+    // hashedNGrams(n=1) = sorted distinct XXH64 of each shingle — the
+    // exact shape SortedLongSetJaccard consumes, in one eval
     val sets = sigs.select(col(idCol),
-      array_sort(transform(col("shingles"), t => xxhash64(t))).as("shingles"))
+      graft.functions.HashedNGrams.hashedNGrams(col("shingles"), 1)
+        .as("shingles"))
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")

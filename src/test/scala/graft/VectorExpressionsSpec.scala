@@ -76,6 +76,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhashSig equals the builtin md5-hex-slice chain value-for-value") {
+    import graft.dedup.Dedup
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs away fast",
+      "a b c", "").toDF("text")
+      .withColumn("sh", Dedup.wordShingles(col("text"), 3))
+    val numHashes = 8
+    val builtinCols = (0 until numHashes).map { k =>
+      array_min(transform(
+        transform(col("sh"), s => md5(concat(lit(s"${k / 4}:"), s))),
+        h => Dedup.hexSlice(h, k % 4))).as(s"b_$k")
+    }
+    val rows = df.select(
+      graft.functions.MinHashSignatures.minhashSig(col("sh"), numHashes)
+        .as("native") +: builtinCols: _*).collect()
+    rows.foreach { r =>
+      val native = r.getSeq[Any](0)
+      (0 until numHashes).foreach { k =>
+        val b = if (r.isNullAt(k + 1)) null else r.getLong(k + 1)
+        assert(native(k) === b, s"hash $k mismatch in ${r}")
+      }
+    }
+  }
+
   test("type check rejects non-double arrays") {
     val err = intercept[Exception] {
       Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
