@@ -264,6 +264,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing-fingerprint near-dup pairs (rolling-hash family —
+    * see graft.functions.WinnowingFingerprints). Fingerprinting is a
+    * pure per-row scan; candidates share at least one fingerprint
+    * (equi-join on the hash, shuffle partitioned by fingerprint —
+    * the winnowing guarantee means any shared run of ≥ w+k−1 bytes
+    * collides here); verification is the merge-based Jaccard over the
+    * sorted fingerprint sets. */
+  def winnowingNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, threshold: Double = 0.4,
+      maxDf: Int = 20): DataFrame = {
+    val d = spread(df).select(col(idCol),
+      graft.functions.WinnowingFingerprints.winnow(lower(col(textCol)), k, w)
+        .as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = d.select(col(idCol), explode(col("fp")).as("h"))
+    // Stop-fingerprint cap: a fingerprint present in > maxDf documents
+    // generates O(df²) candidate pairs while carrying no near-dup
+    // signal (boilerplate substrings). Dropping it from the INDEX
+    // bounds the join fanout per fingerprint; the verification set
+    // keeps every fingerprint, so scores are unaffected — only pairs
+    // whose overlap is exclusively boilerplate are lost (the standard
+    // fingerprint-index trade; cf. stopwords in text retrieval).
+    val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("h")
+    val exRare = ex.join(rare, "h")
+    val cand = exRare.alias("a")
+      .join(exRare.alias("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val sets = d.select(col(idCol), col("fp"))
+    cand
+      .join(sets.select(col(idCol).as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.SortedLongSetJaccard.sortedJaccard(
+          col("fp_a"), col("fp_b")), 3).as("fp_jaccard"))
+      .filter(col("fp_jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Blocked exact n-gram-Jaccard near-dup baseline: pairwise compare
     * ONLY within a blocking bucket (here: length band). The honest
     * quadratic baseline — kept as ground truth for LSH/prefix-filter

@@ -133,6 +133,17 @@ object TrainingData {
       k = 3, nlist = 8, nprobe = 3)
   }
 
+  /** Winnowing (rolling-hash) fingerprint near-dup pairs — the
+    * substring/containment-oriented dedup family (SIGMOD'03 winnowing),
+    * complementing MinHash (set resemblance) and SimHash
+    * (distributional). No SQL oracle: the rolling-hash + windowed-min
+    * selection has no tractable single-statement form; the driver
+    * records the rows-only check and TrainingDataSpec verifies overlap
+    * with the exact n-gram-Jaccard ground truth. */
+  def winnowNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingNearDupPairs(docs(spark, dir), "doc_id", "text",
+      k = 12, w = 6, threshold = 0.4, maxDf = 20)
+
   // ------------------------------------------------------------- multimodal
 
   /** Byte-level stats of the text payload treated as an opaque binary
@@ -164,7 +175,8 @@ object TrainingData {
     "q27_ann_lsh_bucketed" -> annLshBucketed,
     "q28_byte_stats" -> byteStats,
     "q29_embed_neardup" -> embedNearDup,
-    "q30_ann_ivf" -> annIvf
+    "q30_ann_ivf" -> annIvf,
+    "q31_winnow_neardup" -> winnowNearDup
   )
 
   /** DuckDB hash helper fragment: integer of first 8 md5 hex digits of

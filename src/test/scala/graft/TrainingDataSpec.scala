@@ -18,10 +18,24 @@ class TrainingDataSpec extends AnyFunSuite {
   test("every training-data oracle has a registered query") {
     val missing = TrainingData.oracles.keySet -- TrainingData.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    // q30 is the one deliberate omission: IVF training is iterative and
-    // has no single-statement SQL oracle (rows-only check + recall spec)
+    // deliberate omissions: IVF training is iterative, and winnowing's
+    // rolling-hash windowed-min has no single-statement SQL form
+    // (rows-only checks + dedicated specs instead)
     assert(TrainingData.queries.keySet -- TrainingData.oracles.keySet
-      === Set("q30_ann_ivf"))
+      === Set("q30_ann_ivf", "q31_winnow_neardup"))
+  }
+
+  test("winnowing: identical texts score 1.0; finds the fabricated near-dups") {
+    val pairs = TrainingData.winnowNearDup(spark, sf).collect()
+    assert(pairs.nonEmpty, "no winnowing near-dup pairs found")
+    assert(pairs.forall(_.getDouble(2) >= 0.4))
+    // the corpus's fabricated near-identical pairs (found by the exact
+    // n-gram scan at jaccard >= 0.8) should largely reappear here
+    val exact = TrainingData.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val winnow = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((exact intersect winnow).size >= exact.size / 2,
+      s"winnowing missed most exact near-dups: $exact vs $winnow")
   }
 
   test("ivf ann: k rows per query max, deterministic, decent recall vs brute") {
