@@ -13,12 +13,24 @@ object Bench {
     // Warm up the JVM/codegen/scheduler so the first measured query
     // isn't charged for session initialization.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Seq("lineitem", "orders", "events", "documents", "embeddings",
+      "customer", "nation").foreach { t =>
+      try {
+        graft.queries.Tables.load(spark, sfDir, t).limit(100).count()
+      } catch { case _: Throwable => () }
+    }
+    // Stable order (sorted by name), and each query measured from a
+    // clean cache: several operators persist reused intermediates
+    // (signature/bucket tables), and letting 30+ queries' caches pile
+    // up makes later measurements pay the earlier queries' memory
+    // pressure instead of their own cost.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
