@@ -72,4 +72,68 @@ object Streaming {
     * once its watermark passes (exactly-once semantics to files);
     * Update is for dashboards/memory sinks. */
   val defaultAggMode: OutputMode = OutputMode.Update()
+
+  // ------------------------------------------------------------ sessions
+
+  final case class SessionEvent(key: String, ts: java.sql.Timestamp)
+  final case class SessionSummary(key: String,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long)
+  /** Internal per-key state (public: the state Encoder's generated code
+    * needs the constructor). */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the
+    * custom-state operator with a 1:N row↔output relationship that
+    * mapGroupsWithState cannot express. A session closes (and emits)
+    * when a same-key event arrives more than `gapMs` after the last
+    * one, or when the event-time watermark passes last + gap with no
+    * arrivals (EventTimeTimeout — so idle keys' state is evicted, not
+    * retained forever; that bound is what keeps state size O(active
+    * keys) on an unbounded stream).
+    *
+    * Within a micro-batch, events are processed in event-time order per
+    * key, so results do not depend on arrival order inside a batch. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+      watermarkDelay: String): Dataset[SessionSummary] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def summary(key: String, s: SessionState): SessionSummary =
+      SessionSummary(key, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.n)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = summary(key, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val ordered = rows.toSeq.sortBy(_.ts.getTime)
+            val out = Seq.newBuilder[SessionSummary]
+            var cur = state.getOption
+            ordered.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
+                case Some(s) =>
+                  out += summary(key, s)
+                  Some(SessionState(t, t, 1))
+                case None =>
+                  Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

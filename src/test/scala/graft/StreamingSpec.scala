@@ -82,4 +82,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest("b") === KeyedRunning("b", 1L, 10.0))
     } finally q.stop()
   }
+  test("sessionize: gap closes a session; new session opens; within-batch order-free") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{SessionEvent, sessionize}
+    val input = MemoryStream[SessionEvent]
+    val out = sessionize(input.toDS(), gapMs = 60000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events 30s apart (one session), deliberately out of order
+      input.addData(
+        SessionEvent("u1", ts("2024-01-01 10:00:30")),
+        SessionEvent("u1", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() === 0, "session still open")
+      // batch 2: 10 minutes later -> gap exceeded, first session emits
+      input.addData(SessionEvent("u1", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3)))
+      assert(rows.toSeq === Seq(
+        ("u1", "2024-01-01 10:00:00.0", "2024-01-01 10:00:30.0", 2L)))
+    } finally q.stop()
+  }
+
 }
