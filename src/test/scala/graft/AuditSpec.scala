@@ -54,4 +54,22 @@ class AuditSpec extends AnyFunSuite {
     assert(rates.head.getAs[Double]("pass_rate") === 0.5)
     assert(rates.head.getAs[Double]("avg_violations") === 3.5)
   }
+  test("pipeline metrics: timing bracket, counters, parquet round-trip") {
+    val m = new graft.audit.PipelineMetrics("runX")
+    val out = m.timed("gold_job") { m.increment("rows_written", 42); "done" }
+    assert(out === "done")
+    assert(m.get("gold_job_seconds").exists(_ >= 0.0))
+    assert(m.get("rows_written").contains(42.0))
+    intercept[RuntimeException] {
+      m.timed("broken") { throw new RuntimeException("boom") }
+    }
+    assert(m.get("broken_seconds").isDefined, "failed stage still timed")
+
+    val dir = java.nio.file.Files.createTempDirectory("pm").toString + "/metrics"
+    m.save(spark, dir)
+    val rows = graft.audit.PipelineMetrics.load(spark, dir).collect()
+    assert(rows.length === 3)
+    assert(rows.forall(_.getAs[String]("run_id") === "runX"))
+  }
+
 }
