@@ -108,4 +108,21 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"top-k must not global-sort:\n$plan")
   }
+  test("q02 aggregates partially before the shuffle (map-side combine)") {
+    val plan = Relational.flagStatusDemand(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"),
+      s"expected partial (map-side) aggregation before the exchange:\n$plan")
+  }
+
+  test("q03 scan prunes columns: ReadSchema carries only what the query needs") {
+    val plan = Relational.filterConjunctive(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(plan)
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      s"scan reads columns the query never uses:\n$readSchema")
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
 }
