@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.audit.{Audit, PipelineMetrics, RunRecord}
+import graft.config.PipelineConfig
+import graft.etl.{BronzeJob, GoldJob, SilverJob}
+import graft.orchestration.{Dag, Task}
+
+/** Pipeline CLI — the analog of the reference's `main.py` entry points
+  * (`main.py:53-152`: `--job bronze|silver|gold|all [--use-dag]`).
+  *
+  * Usage:
+  *   runMain graft.Pipeline --base /tmp/lake [--job all] [--use-dag]
+  *
+  * Runs the medallion jobs against `<base>/data/raw` CSVs, records one
+  * audit row and a metrics set per run, and (with --use-dag) drives the
+  * three jobs through the toposort orchestrator with one retry each,
+  * exactly as reference `orchestration/tasks.py:25-58` wires it.
+  */
+object Pipeline {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap ++ (if (args.contains("--use-dag")) Map("use-dag" -> "true") else Map.empty)
+    val base = opts.getOrElse("base",
+      sys.error("--base <dir> is required (lakehouse root)"))
+    val job = opts.getOrElse("job", "all")
+    val useDag = opts.contains("use-dag")
+
+    val spark = graft.core.Sessions.local("graft-pipeline",
+      cores = Runtime.getRuntime.availableProcessors())
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg0 = PipelineConfig().under(base)
+    // --no-fail-on-dq: keep going past ERROR-severity DQ findings
+    // (reference config.data_quality.fail_on_dq_errors toggle)
+    val cfg = if (args.contains("--no-fail-on-dq"))
+      cfg0.copy(dataQuality = cfg0.dataQuality.copy(failOnDqErrors = false))
+    else cfg0
+    val runId = Audit.generateRunId()
+    val metrics = new PipelineMetrics(runId)
+    val t0 = System.currentTimeMillis()
+    var status = "completed"
+    try {
+      if (useDag) runDag(spark, cfg, metrics)
+      else runSequential(spark, cfg, job, metrics)
+    } catch {
+      case e: Exception =>
+        status = "failed"
+        System.err.println(s"[pipeline] FAILED: ${e.getMessage}")
+    } finally {
+      val t1 = System.currentTimeMillis()
+      Audit.recordRun(spark, cfg.paths.pipelineRuns, RunRecord(
+        runId, job, status,
+        metrics.get("bronze_rows").map(_.toLong).getOrElse(0L),
+        metrics.get("gold_rows").map(_.toLong).getOrElse(0L),
+        new java.sql.Timestamp(t0), new java.sql.Timestamp(t1),
+        (t1 - t0) / 1000.0, ""))
+      metrics.save(spark, cfg.paths.pipelineMetrics)
+      println(s"[pipeline] run=$runId job=$job status=$status " +
+        s"duration=${(t1 - t0) / 1000.0}s metrics=${metrics.all}")
+      spark.stop()
+      if (status == "failed") sys.exit(1)
+    }
+  }
+
+  private def runSequential(spark: SparkSession, cfg: PipelineConfig,
+      job: String, m: PipelineMetrics): Unit = {
+    val doAll = job == "all"
+    if (doAll || job == "bronze") m.timed("bronze") {
+      val r = BronzeJob.run(spark, cfg)
+      m.set("bronze_rows", r.rowsWritten.toDouble)
+    }
+    if (doAll || job == "silver") m.timed("silver") {
+      val r = SilverJob.run(spark, cfg)
+      m.set("silver_rows", r.rowsAfterDedup.toDouble)
+    }
+    if (doAll || job == "gold") m.timed("gold") {
+      val r = GoldJob.run(spark, cfg)
+      m.set("gold_rows", (r.dailyKpisRows + r.zoneDemandRows).toDouble)
+    }
+  }
+
+  /** Entry point 2 of the reference: bronze→silver→gold as DAG tasks
+    * with dependencies and one retry each. */
+  private def runDag(spark: SparkSession, cfg: PipelineConfig,
+      m: PipelineMetrics): Unit = {
+    val dag = new Dag("nyc-taxi-pipeline", "bronze -> silver -> gold")
+    dag.addTask(new Task("bronze",
+      () => m.timed("bronze") {
+        val r = BronzeJob.run(spark, cfg); m.set("bronze_rows", r.rowsWritten.toDouble); r
+      }, retries = 1))
+    dag.addTask(new Task("silver",
+      () => m.timed("silver") {
+        val r = SilverJob.run(spark, cfg); m.set("silver_rows", r.rowsAfterDedup.toDouble); r
+      }, dependencies = Seq("bronze"), retries = 1))
+    dag.addTask(new Task("gold",
+      () => m.timed("gold") {
+        val r = GoldJob.run(spark, cfg)
+        m.set("gold_rows", (r.dailyKpisRows + r.zoneDemandRows).toDouble); r
+      }, dependencies = Seq("silver"), retries = 1))
+    val summary = dag.execute()
+    if (summary.status != "success")
+      sys.error(s"DAG failed: ${summary.taskResults.view.mapValues(_.status).toMap}")
+  }
+}
