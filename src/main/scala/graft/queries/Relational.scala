@@ -236,6 +236,34 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy("hour_bucket", "event_type")
 
+  /** Fact × mid-size-dim join: revenue by part brand. `part` is two
+    * orders of magnitude smaller than lineitem — broadcast it and the
+    * fact table never shuffles (same rule as q14 at any scale). */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .join(broadcast(load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("p_brand")
+
+  /** Dimension chain supplier→nation→region (broadcast×2) + aggregate:
+    * supplier census per region. */
+  def regionSuppliers(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "supplier")
+      .join(broadcast(load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(load(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        round(avg(col("s_acctbal")), 2).as("avg_acctbal"))
+      .orderBy("r_name")
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -255,7 +283,9 @@ object Relational {
     "q14_star_join_agg" -> starJoinAgg,
     "q15_window_latest" -> windowLatestPerUser,
     "q16_hourly_agg" -> hourlyEventAgg,
-    "q17_monitoring_agg" -> monitoringAgg
+    "q17_monitoring_agg" -> monitoringAgg,
+    "q32_brand_revenue" -> brandRevenue,
+    "q33_region_suppliers" -> regionSuppliers
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,6 +374,18 @@ object Relational {
     "q17_monitoring_agg" ->
       """SELECT event_type, round(avg(value), 2) AS avg_value,
          count(*) AS n_events
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q32_brand_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+    "q33_region_suppliers" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+         round(avg(s_acctbal), 2) AS avg_acctbal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1"""
   )
 }
