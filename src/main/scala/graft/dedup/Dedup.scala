@@ -252,15 +252,19 @@ object Dedup {
             >= alpha)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-    // d.s is sorted-distinct (HashedNGrams) -> merge-based Jaccard
+    // d.s is sorted-distinct (HashedNGrams) -> merge-based Jaccard.
+    // Threshold the RAW similarity and round only for output — the
+    // order a SQL oracle applies them; filtering the rounded value
+    // would admit raw scores in [t - 0.0005, t).
     val sets = d.select(col(idCol), col("s"))
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("s").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("s").as("sh_b")), "doc_b")
+      .withColumn("_j", graft.functions.SortedLongSetJaccard.sortedJaccard(
+        col("sh_a"), col("sh_b")))
+      .filter(col("_j") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(graft.functions.SortedLongSetJaccard.sortedJaccard(
-          col("sh_a"), col("sh_b")), 3).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        round(col("_j"), 3).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -299,10 +303,11 @@ object Dedup {
     cand
       .join(sets.select(col(idCol).as("doc_a"), col("fp").as("fp_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .withColumn("_j", graft.functions.SortedLongSetJaccard.sortedJaccard(
+        col("fp_a"), col("fp_b")))
+      .filter(col("_j") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(graft.functions.SortedLongSetJaccard.sortedJaccard(
-          col("fp_a"), col("fp_b")), 3).as("fp_jaccard"))
-      .filter(col("fp_jaccard") >= threshold)
+        round(col("_j"), 3).as("fp_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -319,9 +324,10 @@ object Dedup {
       .join(d.alias("b"),
         col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("_j", jaccard(col("a.s"), col("b.s")))
+      .filter(col("_j") >= threshold)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        round(jaccard(col("a.s"), col("b.s")), 3).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        round(col("_j"), 3).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 }
