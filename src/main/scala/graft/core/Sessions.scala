@@ -29,6 +29,11 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // default-on in Spark 4, pinned explicitly: runtime splitting of
+      // oversized sort-merge partitions is the first line of defense
+      // against key skew (see SCALE.md; graft.util.SkewJoin is the
+      // explicit fallback)
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

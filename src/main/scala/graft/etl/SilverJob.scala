@@ -87,7 +87,13 @@ object SilverJob {
     val rowsIn = bronze.count()
 
     val typed = castColumns(bronze)
+    // Persist the filtered frame: it feeds the row-count action, the
+    // dedup shuffle, and (through it) every DQ check and the write.
+    // Without it the cast+filter lineage recomputes once per consumer —
+    // the reference's observable behavior costs ~4 extra scans/layer
+    // (SURVEY.md §3 eager-action inventory, §7.3.2).
     val filtered = applyDataQualityFilters(typed, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowsAfterFilter = filtered.count()
     val deduped = deduplicate(filtered, cfg.dedup.dedupColumns)
 
@@ -115,6 +121,7 @@ object SilverJob {
     TableIO.write(withPartition, cfg.paths.silver, mode, partCol)
 
     val rowsAfterDedup = TableIO.read(spark, cfg.paths.silver).count()
+    filtered.unpersist()
     Result(rowsIn, rowsAfterFilter, rowsAfterDedup, errors, dq)
   }
 }
