@@ -108,4 +108,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: idle session closes via event-time timeout when watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{SessionEvent, sessionize}
+    val input = MemoryStream[SessionEvent]
+    val out = sessionize(input.toDS(), gapMs = 60000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions_timeout")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(SessionEvent("idle", ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // another key's much-later events advance the watermark past
+      // idle's last + gap; the NEXT batch fires the timeout
+      input.addData(SessionEvent("busy", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData(SessionEvent("busy", ts("2024-01-01 11:00:01")))
+      q.processAllAvailable()
+      val keys = spark.table("sessions_timeout").collect().map(_.getString(0))
+      assert(keys.contains("idle"),
+        s"idle session not closed by timeout; emitted keys: ${keys.mkString(",")}")
+    } finally q.stop()
+  }
+
 }
