@@ -35,8 +35,11 @@ object TextAnalysis {
   val xxStopwords: Seq[String] =
     Seq("le", "la", "der", "die", "el", "los", "und", "et", "des", "du")
 
+  /** Occurrence count of set members — a native expression
+    * (graft.functions.StopwordHitCount) instead of the interpreted
+    * `size(filter(toks, isInCollection))` HOF; identical results. */
   private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
+    graft.functions.StopwordHitCount.stopwordHits(toks, words)
 
   /** Language decision from materialized stopword-hit counts. */
   def langIdFromCounts(en: Column, xx: Column): Column =
