@@ -122,7 +122,14 @@ object Dedup {
           col(s"mh_${b * rowsPerBand + r}").cast("string")): _*)
       struct(lit(b).as("band"), key.as("band_key"))
     }
+    // Shingle-less documents (shorter than the shingle width) have
+    // all-null signatures, so every band key degenerates to "" — at
+    // corpus scale that makes ALL short docs mutual candidates in
+    // EVERY band, a quadratic blowup. They can never pass Jaccard
+    // verification (empty ∩ anything = 0), so drop them before
+    // banding.
     val bands = sigs
+      .filter(col("mh_0").isNotNull)
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))

@@ -184,4 +184,17 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getInt(1) > 0 && r.getInt(2) > 0))
   }
+  test("minhash lsh: shingle-less docs never become band candidates") {
+    import spark.implicits._
+    // all docs shorter than shingleN=3 tokens -> empty shingle sets;
+    // without the band filter every pair would collide on key ""
+    val shorts = Seq((1L, "a b"), (2L, "c"), (3L, "d e")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(shorts, "doc_id", "text", 8, shingleN = 3)
+    val cand = Dedup.lshCandidates(sigs, "doc_id", 8, 2)
+    assert(cand.count() === 0,
+      "empty-shingle docs must not band-collide (quadratic at scale)")
+    val pairs = Dedup.minhashNearDupPairs(shorts, "doc_id", "text")
+    assert(pairs.count() === 0)
+  }
+
 }
