@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the payload of the LATEST right row
+  * with the same key and `right.ts <= left.ts` (inclusive). The
+  * reference engine family (and DuckDB, which oracles this) expose it
+  * natively; Spark lacks it, and the naive formulation —
+  * non-equi join + per-left-row max — explodes to O(|L|·|R|) per key.
+  *
+  * Spark-first implementation (preference (a) of the custom-operator
+  * ladder: COMPOSE existing operators): tag both sides, union them,
+  * and carry each right payload forward with
+  * `last(payload, ignoreNulls) over (partition by key order by ts,
+  * side rows unbounded preceding..current)`. Right rows sort before
+  * left rows on timestamp ties, which is exactly the `>=` inclusive
+  * semantic. ONE shuffle on the key, linear scan per key, no join —
+  * the plan shape survives any corpus size (window state is one
+  * payload row, not a buffer).
+  *
+  * Unmatched left rows keep null payloads (left-join semantics).
+  */
+object AsofJoin {
+
+  /** @param payload right-side columns to carry; each appears in the
+    *                output as `<name><suffix>`. Key/ts column names
+    *                must match across the two sides. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payload: Seq[String],
+      suffix: String = "_asof"): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right.select(
+      Seq(col(keyCol), col(tsCol)) ++ payload.map(col): _*)
+      .withColumn("_side", lit(0))
+    val combined = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPayload = payload.foldLeft(combined) { (df, p) =>
+      df.withColumn(s"$p$suffix",
+        last(when(col("_side") === 0, col(p)), ignoreNulls = true).over(w))
+    }
+    val rightOnly = payload.filterNot(left.columns.contains)
+    withPayload
+      .filter(col("_side") === 1)
+      .drop("_side")
+      .drop(rightOnly: _*)
+  }
+
+  /** Variant carrying the right row's timestamp too (`ts<suffix>`). */
+  def asofJoinWithTs(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payload: Seq[String],
+      suffix: String = "_asof"): DataFrame = {
+    val rr = right.withColumn("_rts", col(tsCol))
+    asofJoin(left, rr, keyCol, tsCol, payload :+ "_rts", suffix)
+      .withColumnRenamed(s"_rts$suffix", s"$tsCol$suffix")
+  }
+}

@@ -264,6 +264,24 @@ object Relational {
         round(avg(col("s_acctbal")), 2).as("avg_acctbal"))
       .orderBy("r_name")
 
+  /** As-of join (graft.operators.AsofJoin): each click event picks up
+    * the latest at-or-before view by the same user — the attribution
+    * query shape. One shuffle on user_id; DuckDB oracles it with its
+    * native ASOF LEFT JOIN. */
+  def asofClickView(spark: SparkSession, dir: String): DataFrame = {
+    val events = load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsofJoin
+      .asofJoinWithTs(clicks, views, "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        col("value_asof").as("view_value"),
+        col("ts_asof").as("view_ts"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -285,7 +303,8 @@ object Relational {
     "q16_hourly_agg" -> hourlyEventAgg,
     "q17_monitoring_agg" -> monitoringAgg,
     "q32_brand_revenue" -> brandRevenue,
-    "q33_region_suppliers" -> regionSuppliers
+    "q33_region_suppliers" -> regionSuppliers,
+    "q34_asof_click_view" -> asofClickView
   )
 
   val oracles: Map[String, String] = Map(
@@ -386,6 +405,16 @@ object Relational {
          FROM supplier
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q34_asof_click_view" ->
+      """SELECT l.event_id, l.user_id,
+         r.value AS view_value, CAST(r.ts AS TIMESTAMP) AS view_ts
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id"""
   )
 }

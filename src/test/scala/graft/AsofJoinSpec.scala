@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def left = Seq(
+    (1L, "u1", ts("2024-01-01 10:00:00")),
+    (2L, "u1", ts("2024-01-01 10:05:00")),
+    (3L, "u2", ts("2024-01-01 10:00:00")),
+    (4L, "u3", ts("2024-01-01 10:00:00"))   // no right rows at all
+  ).toDF("id", "user", "ts")
+
+  private def right = Seq(
+    ("u1", ts("2024-01-01 09:59:00"), 10.0),
+    ("u1", ts("2024-01-01 10:02:00"), 20.0),
+    ("u1", ts("2024-01-01 10:30:00"), 99.0), // after both clicks
+    ("u2", ts("2024-01-01 10:00:00"), 7.0)   // exact tie: inclusive
+  ).toDF("user", "ts", "value")
+
+  test("picks the latest at-or-before right row; ties inclusive; unmatched null") {
+    val out = AsofJoin.asofJoin(left, right, "user", "ts", Seq("value"))
+      .select("id", "value_asof").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out(1L) === 10.0, "10:00 click sees 09:59 view")
+    assert(out(2L) === 20.0, "10:05 click sees 10:02 view, not 10:30")
+    assert(out(3L) === 7.0, "equal timestamps match inclusively")
+    assert(out(4L) === null, "left row with no right rows keeps null")
+  }
+
+  test("plans as ONE shuffle on the key (window), no join operator") {
+    val plan = AsofJoin.asofJoin(left, right, "user", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly ONE exchange (union shuffles once on the key):\n$plan")
+  }
+}
