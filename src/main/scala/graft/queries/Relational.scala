@@ -282,6 +282,24 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Range join (graft.operators.RangeJoin): clicks landing inside the
+    * 4-hour window after an error by the same user — bucketized to a
+    * pure equi-join, never a nested loop. */
+  def rangeClickNearError(spark: SparkSession, dir: String): DataFrame = {
+    val events = load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("start_ts"))
+      .withColumn("end_ts", col("start_ts") + expr("INTERVAL 4 HOURS"))
+    graft.operators.RangeJoin.pointInInterval(
+        clicks, errors, "user_id", "ts", "start_ts", "end_ts",
+        bucketWidthSec = 14400)
+      .select("click_id", "error_id")
+      .orderBy("click_id", "error_id")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,7 +322,8 @@ object Relational {
     "q17_monitoring_agg" -> monitoringAgg,
     "q32_brand_revenue" -> brandRevenue,
     "q33_region_suppliers" -> regionSuppliers,
-    "q34_asof_click_view" -> asofClickView
+    "q34_asof_click_view" -> asofClickView,
+    "q35_range_click_near_error" -> rangeClickNearError
   )
 
   val oracles: Map[String, String] = Map(
@@ -415,6 +434,15 @@ object Relational {
               (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
                FROM events WHERE event_type = 'view') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
-         ORDER BY l.event_id"""
+         ORDER BY l.event_id""",
+    "q35_range_click_near_error" ->
+      """SELECT c.event_id AS click_id, e.event_id AS error_id
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click') c
+         JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id
+          AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 4 HOUR
+         ORDER BY 1, 2"""
   )
 }
