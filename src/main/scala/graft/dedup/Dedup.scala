@@ -318,6 +318,56 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components of a near-dup pair graph by iterative
+    * min-label propagation — the grouping step every dedup pipeline
+    * ends with (pairs → clusters → one canonical survivor per
+    * cluster). Each round is one equi-join + one min-aggregate (two
+    * shuffles on node id); convergence takes O(component diameter)
+    * rounds, and near-dup components are shallow (dups of dups of the
+    * same source), so 2–4 rounds in practice. At massive scale swap
+    * the loop body for the large-star/small-star rounds of
+    * Kiveris et al. "Connected Components in MapReduce" (public
+    * algorithm) — same per-round plan shape, fewer rounds on
+    * pathological graphs. Output: (node, component) where component =
+    * the minimum node id reachable, for every node incident to an
+    * edge. Deterministic. */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 20): DataFrame = {
+    val fwd = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val sym = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels only ever DECREASE, so sum(label) is a sufficient (and
+    // join-free) convergence check: stable sum <=> no label changed
+    var labelSum = Long.MaxValue
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = sym
+        .join(labels.withColumnRenamed("node", "b")
+          .withColumnRenamed("label", "nlabel"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = next.agg(sum("label")).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** Blocked exact n-gram-Jaccard near-dup baseline: pairwise compare
     * ONLY within a blocking bucket (here: length band). The honest
     * quadratic baseline — kept as ground truth for LSH/prefix-filter

@@ -144,6 +144,17 @@ object TrainingData {
     Dedup.winnowingNearDupPairs(docs(spark, dir), "doc_id", "text",
       k = 12, w = 6, threshold = 0.4, maxDf = 20)
 
+  /** Connected components over the embedding near-dup pair graph
+    * (q29's edges): the cluster ids a dedup pipeline keeps one
+    * canonical document per. Iterative min-label propagation; the
+    * DuckDB oracle replays it with a recursive CTE. */
+  def neardupComponents(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        embedNearDup(spark, dir).select("vec_a", "vec_b"),
+        "vec_a", "vec_b")
+      .select(col("node").as("vec_id"), col("component"))
+      .orderBy("vec_id")
+
   // ------------------------------------------------------------- multimodal
 
   /** Byte-level stats of the text payload treated as an opaque binary
@@ -176,7 +187,8 @@ object TrainingData {
     "q28_byte_stats" -> byteStats,
     "q29_embed_neardup" -> embedNearDup,
     "q30_ann_ivf" -> annIvf,
-    "q31_winnow_neardup" -> winnowNearDup
+    "q31_winnow_neardup" -> winnowNearDup,
+    "q36_neardup_components" -> neardupComponents
   )
 
   /** DuckDB hash helper fragment: integer of first 8 md5 hex digits of
@@ -363,6 +375,29 @@ object TrainingData {
          WHERE list_dot_product(x.v, y.v)
              / (sqrt(list_dot_product(x.v, x.v))
                 * sqrt(list_dot_product(y.v, y.v))) >= 0.4
-         ORDER BY vec_a, vec_b"""
+         ORDER BY vec_a, vec_b""",
+    "q36_neardup_components" ->
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM e),
+         edges AS (
+           SELECT x.vec_id AS a, y.vec_id AS b2
+           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+           WHERE list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))) >= 0.4),
+         sym AS (SELECT a, b2 FROM edges UNION ALL SELECT b2 AS a, a AS b2 FROM edges),
+         reach(node, root) AS (
+           SELECT a, a FROM sym
+           UNION
+           SELECT s.b2, r.root FROM reach r JOIN sym s ON s.a = r.node)
+         SELECT node AS vec_id, min(root) AS component
+         FROM reach GROUP BY node ORDER BY node"""
   )
 }

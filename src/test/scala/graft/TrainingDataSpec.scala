@@ -197,4 +197,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pairs.count() === 0)
   }
 
+  test("connected components: chains, isolated pairs, determinism") {
+    import spark.implicits._
+    // component 1: a 6-node chain (needs several propagation rounds);
+    // component 2: a pair; component 3: a triangle
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(cc(_) === 1L), s"chain: $cc")
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) === 20L))
+    assert(cc.size === 11)
+  }
+
 }
