@@ -36,6 +36,9 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // catalog tables (bucketed layouts) land under tmp, not the cwd
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-$appName")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

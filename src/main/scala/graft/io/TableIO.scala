@@ -41,6 +41,20 @@ object TableIO {
       .parquet(path)
   }
 
+  /** Bucketed catalog table (hash-bucketed + sorted by `bucketCol`):
+    * the co-located-join layout. Two tables bucketed the same way join
+    * WITHOUT exchanging either side — at 100 TB that removes the whole
+    * fact-to-fact shuffle, the single most expensive stage of a
+    * repeated big join. Requires `saveAsTable` (bucket metadata lives
+    * in the catalog, not the parquet files). */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     fs(spark, p).exists(p)
