@@ -203,4 +203,31 @@ object Similarity {
       q.join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("neighbor_id")), k)
   }
+
+  /** Multi-probe sign-LSH ANN top-k: each query probes its own bucket
+    * plus every bucket at Hamming distance 1 (one flipped hyperplane —
+    * the buckets a borderline vector most likely fell into). Probing
+    * (bits+1)/2^bits of the corpus lifts recall toward exact while the
+    * join stays a plain bucket equi-join: only the (tiny, broadcast)
+    * query side fans out ×(bits+1); the corpus is still touched once
+    * per probed bucket. Recall ≥ single-probe by construction. */
+  def signLshMultiProbeTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
+    val probes = array((0 until (bits + 1)).map(i =>
+      if (i == 0) col("_b0") else
+        expr(s"_b0 ^ ${1 << (i - 1)}")): _*)
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("_b0", signBucket(col("qv"), bits))
+      .withColumn("bucket", explode(probes))
+      .drop("_b0")
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv")))))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    rankTopK(
+      q.join(c, Seq("bucket"))
+        .filter(col("q_id") =!= col("neighbor_id")), k)
+  }
 }

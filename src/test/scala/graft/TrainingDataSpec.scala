@@ -213,4 +213,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cc.size === 11)
   }
 
+  test("multi-probe lsh: recall >= single-probe, never beats brute force") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 5)
+    val queries = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 3))
+    val single = pairs(Similarity.signLshTopK(corpus, queries,
+      "vec_id", "embedding", k = 3, bits = 6))
+    val multi = pairs(Similarity.signLshMultiProbeTopK(corpus, queries,
+      "vec_id", "embedding", k = 3, bits = 6))
+    def recall(ann: Set[(Long, Long)]) =
+      (ann intersect brute).size.toDouble / brute.size
+    assert(recall(multi) >= recall(single),
+      s"multi-probe recall ${recall(multi)} < single ${recall(single)}")
+    // multi-probe still returns <= k per query
+    val perQuery = Similarity.signLshMultiProbeTopK(corpus, queries,
+      "vec_id", "embedding", k = 3, bits = 6)
+      .collect().groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQuery.forall(_ <= 3))
+  }
+
 }
