@@ -37,7 +37,13 @@ object BronzeJob {
 
   def run(spark: SparkSession, cfg: PipelineConfig,
       mode: SaveMode = SaveMode.Overwrite): Result = {
+    // The raw CSV feeds the ingest count, every DQ check action, and
+    // the write — without a persist each action re-reads (and, with
+    // inferSchema, re-parses) the full input. One cached scan instead
+    // of three-plus.
     val raw = TableIO.readCsv(spark, cfg.paths.raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val rowsIngested = raw.count()
 
     var df = addMetadata(raw)
@@ -63,5 +69,6 @@ object BronzeJob {
 
     val written = TableIO.read(spark, cfg.paths.bronze).count()
     Result(rowsIngested, written, errors, dq)
+    } finally raw.unpersist() // also on the fail-on-DQ throw path
   }
 }

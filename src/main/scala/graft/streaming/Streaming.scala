@@ -40,6 +40,17 @@ object Streaming {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming exact-content dedup — the streaming face of the batch
+    * content-hash dedup (q22): re-arrivals of the same text within the
+    * watermark horizon are dropped, keyed by a 64-bit content hash so
+    * the dedup state stores 8 bytes per document, not the text. */
+  def dedupStreamByContent(docs: DataFrame, tsCol: String, textCol: String,
+      watermarkDelay: String): DataFrame =
+    docs.withColumn("_content_key", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_content_key")
+      .drop("_content_key")
+
   /** Keyed running state: (key, runningCount, runningSum) maintained via
     * mapGroupsWithState — the custom-state primitive the reference's
     * audit/metrics tables would stream into. In production add an

@@ -131,4 +131,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStreamByContent: identical texts collapse across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.Streaming.dedupStreamByContent(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "1 hour")
+    val q = out.writeStream.format("memory").queryName("content_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "same text"),
+        (ts("2024-01-01 10:01:00"), 2L, "same text"),
+        (ts("2024-01-01 10:02:00"), 3L, "other text"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:03:00"), 4L, "same text"))
+      q.processAllAvailable()
+      val texts = spark.table("content_dedup").collect().map(_.getString(2))
+      assert(texts.sorted.toSeq === Seq("other text", "same text"),
+        s"got: ${texts.mkString("|")}")
+    } finally q.stop()
+  }
+
 }
