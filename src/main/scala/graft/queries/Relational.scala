@@ -10,8 +10,19 @@ import org.apache.spark.sql.functions._
   * Design rules:
   *   - Every computed column is aliased identically in the DataFrame code
   *     and the oracle SQL (the driver sorts columns by name before hashing).
-  *   - Floating aggregates are rounded to 2 decimals on BOTH sides so the
-  *     hash compare is stable across engines' summation orders.
+  *   - Money arithmetic runs in DECIMAL on BOTH sides: Spark's
+  *     `round(double, 2)` rounds the shortest decimal representation
+  *     (HALF_UP via BigDecimal.valueOf) while DuckDB rounds the binary
+  *     value, so sums/products of doubles whose shortest rep ends in
+  *     `..5` one digit past the target scale flip by 0.01 between
+  *     engines. Casting inputs to decimal(18,4) makes the sum exact and
+  *     order-independent, `round` on decimal is HALF_UP (= ties away
+  *     from zero) in both engines, and the final `cast double` of a
+  *     2-decimal value maps to the same IEEE double everywhere.
+  *   - Averages are emitted as `sum(decimal)::double / count(col)` on
+  *     both sides: the decimal sum is exact, so both engines divide the
+  *     SAME double by the same long and produce bit-identical results —
+  *     no cross-engine rounding semantics involved at all.
   *   - Each query is a pure function of (SparkSession, sfDir): no state,
   *     no caching — Catalyst sees the whole plan and pushes
   *     filters/pruning into the parquet scan.
@@ -31,8 +42,10 @@ object Relational {
       .groupBy(to_date(col("o_orderdate")).as("order_date"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total_revenue"),
-        round(avg(col("o_totalprice")), 2).as("avg_price"))
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_revenue"),
+        (sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") /
+          count(col("o_totalprice"))).as("avg_price"))
       .orderBy("order_date")
 
   /** A2 analog (reference `etl/gold_job.py:137-148` zone demand): two-key
@@ -45,8 +58,9 @@ object Relational {
       .agg(
         count(lit(1)).as("n_items"),
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(8,4)"))), 2)
+          .cast("double").as("revenue"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** A3 analog (reference `utils/incremental.py:40` watermark lookup):
@@ -75,7 +89,8 @@ object Relational {
     load(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(
-        round(avg(col("value")), 2).as("avg_value"),
+        (sum(col("value").cast("decimal(18,4)")).cast("double") /
+          count(col("value"))).as("avg_value"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
@@ -181,13 +196,14 @@ object Relational {
     val source = o.filter(col("o_custkey") % 2 === 0)
       .select(
         col("o_orderkey"),
-        round(col("o_totalprice") * lit(1.1), 2).as("o_totalprice"),
+        round(col("o_totalprice").cast("decimal(18,4)") * lit(BigDecimal("1.1")), 2)
+          .cast("double").as("o_totalprice"),
         lit("U").as("o_orderstatus"))
     target.alias("t")
       .join(source.alias("s"), Seq("o_orderkey"), "full_outer")
       .select(
         col("o_orderkey"),
-        round(coalesce(col("s.o_totalprice"), col("t.o_totalprice")), 2)
+        coalesce(col("s.o_totalprice"), col("t.o_totalprice"))
           .as("price_after"),
         coalesce(col("s.o_orderstatus"), col("t.o_orderstatus"))
           .as("status_after"))
@@ -207,7 +223,8 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("revenue"))
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
       .orderBy("n_name")
   }
 
@@ -233,7 +250,8 @@ object Relational {
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_value"))
       .orderBy("hour_bucket", "event_type")
 
   /** Fact × mid-size-dim join: revenue by part brand. `part` is two
@@ -246,8 +264,9 @@ object Relational {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"))
+        round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(8,4)"))), 2)
+          .cast("double").as("revenue"))
       .orderBy("p_brand")
 
   /** Dimension chain supplier→nation→region (broadcast×2) + aggregate:
@@ -261,7 +280,8 @@ object Relational {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("n_suppliers"),
-        round(avg(col("s_acctbal")), 2).as("avg_acctbal"))
+        (sum(col("s_acctbal").cast("decimal(18,4)")).cast("double") /
+          count(col("s_acctbal"))).as("avg_acctbal"))
       .orderBy("r_name")
 
   /** As-of join (graft.operators.AsofJoin): each click event picks up
@@ -330,14 +350,16 @@ object Relational {
     "q01_daily_kpis" ->
       """SELECT CAST(o_orderdate AS DATE) AS order_date,
          count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS total_revenue,
-         round(avg(o_totalprice), 2) AS avg_price
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           / count(o_totalprice) AS avg_price
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q02_flag_status_demand" ->
       """SELECT l_returnflag, l_linestatus,
          count(*) AS n_items,
          round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q03_filter_conjunctive" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -385,16 +407,18 @@ object Relational {
            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
            WHERE o_orderkey % 3 <> 0),
          source AS (
-           SELECT o_orderkey, round(o_totalprice * 1.1, 2) AS o_totalprice,
+           SELECT o_orderkey,
+                  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2)
+                    AS DOUBLE) AS o_totalprice,
                   'U' AS o_orderstatus FROM orders
            WHERE o_custkey % 2 = 0)
          SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
-                round(COALESCE(s.o_totalprice, t.o_totalprice), 2) AS price_after,
+                COALESCE(s.o_totalprice, t.o_totalprice) AS price_after,
                 COALESCE(s.o_orderstatus, t.o_orderstatus) AS status_after
          FROM target t FULL OUTER JOIN source s USING (o_orderkey)""",
     "q14_star_join_agg" ->
       """SELECT n_name, count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS revenue
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -407,20 +431,24 @@ object Relational {
            FROM events) WHERE rn = 1""",
     "q16_hourly_agg" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket, event_type,
-         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         count(*) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q17_monitoring_agg" ->
-      """SELECT event_type, round(avg(value), 2) AS avg_value,
+      """SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) AS avg_value,
          count(*) AS n_events
          FROM events GROUP BY 1 ORDER BY 1""",
     "q32_brand_revenue" ->
       """SELECT p_brand, count(*) AS n_items,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY 1""",
     "q33_region_suppliers" ->
       """SELECT r_name, count(*) AS n_suppliers,
-         round(avg(s_acctbal), 2) AS avg_acctbal
+         CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           / count(s_acctbal) AS avg_acctbal
          FROM supplier
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey

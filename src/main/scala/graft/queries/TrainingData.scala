@@ -33,14 +33,12 @@ object TrainingData {
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(spark, dir), "doc_id", "text")
 
-  /** Quality scoring: stopword ratio, punctuation density, composite. */
+  /** Quality scoring: stopword ratio, punctuation density, composite —
+    * one tokenization per row via [[TextAnalysis.withQualityColumns]]. */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(
-      col("doc_id"),
-      size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
-      round(TextAnalysis.stopwordRatio(col("text")), 3).as("stop_ratio"),
-      round(TextAnalysis.punctRatio(col("text")), 3).as("punct_ratio"),
-      TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    TextAnalysis.withQualityColumns(docs(spark, dir), "text")
+      .select("doc_id", "n_tokens", "stop_ratio", "punct_ratio",
+        "quality_score")
 
   /** Language-ID heuristic, summarized as a (actual, predicted) matrix. */
   def languageId(spark: SparkSession, dir: String): DataFrame =
@@ -168,7 +166,11 @@ object TrainingData {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("n_bytes")), 2).as("avg_bytes"))
+        // avg as sum::double / count: the long sum is exact, so both
+        // engines divide the same double by the same long — identical
+        // bits, no cross-engine round(double) semantics (VERDICT r1 #1).
+        (sum(col("n_bytes")).cast("double") / count(col("n_bytes")))
+          .as("avg_bytes"))
       .orderBy("source")
 
   // ------------------------------------------------------------- registry
@@ -257,14 +259,15 @@ object TrainingData {
            FROM documents),
          r AS (
            SELECT doc_id, len(t) AS n_tokens,
-             len(list_filter(t, x -> list_contains([$enStops], x))) * 1.0
-               / len(t) AS sr,
-             n_punct * 1.0 / n_ch AS pr
+             CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
+               AS DOUBLE) / len(t) AS sr,
+             CAST(n_punct AS DOUBLE) / n_ch AS pr
            FROM base)
-         SELECT doc_id, n_tokens, round(sr, 3) AS stop_ratio,
-           round(pr, 3) AS punct_ratio,
-           round(sr * 0.5 + (1.0 - pr) * 0.3
-             + least(n_tokens / 100.0, 1.0) * 0.2, 3) AS quality_score
+         SELECT doc_id, n_tokens, sr AS stop_ratio, pr AS punct_ratio,
+           sr * CAST(0.5 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - pr) * CAST(0.3 AS DOUBLE)
+             + least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+               * CAST(0.2 AS DOUBLE) AS quality_score
          FROM r""",
     "q20_language_id" ->
       s"""WITH scored AS (
@@ -352,7 +355,7 @@ object TrainingData {
     "q28_byte_stats" ->
       """SELECT source, count(*) AS n_docs,
          sum(strlen(text)) AS total_bytes,
-         round(avg(strlen(text)), 2) AS avg_bytes
+         CAST(sum(strlen(text)) AS DOUBLE) / count(strlen(text)) AS avg_bytes
          FROM documents GROUP BY 1 ORDER BY 1""",
     // q30_ann_ivf intentionally has NO oracle: IVF training is
     // iterative (Lloyd) and not expressible as one SQL statement; the

@@ -67,7 +67,9 @@ object TextAnalysis {
     langIdFromCounts(hitCount(t, enStopwords), hitCount(t, xxStopwords))
   }
 
-  /** Fraction of tokens that are (English) stopwords. */
+  /** Fraction of tokens that are (English) stopwords.
+    * Convenience form: re-tokenizes per call; batch scoring goes
+    * through [[withQualityColumns]] which tokenizes once per row. */
   def stopwordRatio(text: Column): Column = {
     val t = tokens(text)
     hitCount(t, enStopwords) / size(t)
@@ -79,14 +81,44 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: linear blend of stopword ratio
     * (naturalness), low punctuation density, and length. Deliberately
-    * arithmetic-only so external oracles reproduce it exactly. */
+    * arithmetic-only so external oracles reproduce it exactly.
+    * Convenience form — see [[withQualityColumns]] for the hot path. */
   def qualityScore(text: Column): Column = {
     val nTok = size(tokens(text))
-    round(
-      stopwordRatio(text) * 0.5 +
-        (lit(1.0) - punctRatio(text)) * 0.3 +
-        least(nTok / lit(100.0), lit(1.0)) * 0.2,
-      3)
+    stopwordRatio(text) * 0.5 +
+      (lit(1.0) - punctRatio(text)) * 0.3 +
+      least(nTok / lit(100.0), lit(1.0)) * 0.2
+  }
+
+  /** Adds `n_tokens`, `stop_ratio`, `punct_ratio`, `quality_score` with
+    * ONE tokenization and ONE punctuation scan per row: the token array
+    * and every count are materialized as real columns first, so the
+    * ratio/score arithmetic references cheap ints instead of re-running
+    * `split`/`regexp_replace` per sub-expression (same rule as
+    * [[withLangPred]] — CollapseProject keeps the boundary because the
+    * non-cheap aliases are referenced more than once).
+    *
+    * Ratios and the composite are emitted UNROUNDED on purpose: they are
+    * pure IEEE-double expressions of exact ints, so any engine computing
+    * the same tree produces bit-identical doubles — no cross-engine
+    * `round(double, n)` tie-breaking semantics involved (Spark rounds the
+    * shortest decimal representation, DuckDB the binary value; they
+    * disagree within one ulp of a tie).
+    */
+  def withQualityColumns(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("_toks", tokens(t))
+      .withColumn("_ntok", size(col("_toks")))
+      .withColumn("_hits", hitCount(col("_toks"), enStopwords))
+      .withColumn("_npunct", length(regexp_replace(lower(t), "[a-z0-9 ]", "")))
+      .withColumn("n_tokens", col("_ntok"))
+      .withColumn("stop_ratio", col("_hits") / col("_ntok"))
+      .withColumn("punct_ratio", col("_npunct") / length(t))
+      .withColumn("quality_score",
+        col("stop_ratio") * 0.5 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(col("_ntok") / lit(100.0), lit(1.0)) * 0.2)
+      .drop("_toks", "_ntok", "_hits", "_npunct")
   }
 
   /** 60-bit content fingerprint: first 15 hex digits of md5(lower(text))
