@@ -34,7 +34,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also write the JSON to a file: sbt decorates the forwarded stdout
+    // with "[info] " prefixes, which breaks machine parsing of the
+    // printed line (BENCH_r01 recorded parsed:null for that reason).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -335,29 +335,38 @@ object Dedup {
       dstCol: String, maxIters: Int = 20): DataFrame = {
     val fwd = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
-    val sym = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+    // Symmetric closure PLUS self-loops: with (a,a) present for every
+    // incident node, min over N+(a) = {a} ∪ neighbors(a) IS the next
+    // label directly — no second join against the node's own label —
+    // and the first round needs no join at all (initial labels are
+    // identities, so min over N+(a) of b = min(a, min neighbors)).
+    // Duplicate self-loops are harmless under min, so no distinct.
+    // The closure is the static join side of every round: shuffle it by
+    // the join key ONCE and persist — each subsequent round reuses the
+    // cached partitioning and only moves the (small) label frame.
+    val sym = fwd
+      .union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .union(fwd.select(col("a"), col("a").as("b")))
+      .union(fwd.select(col("b").as("a"), col("b").as("b")))
+      .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Round 1, join-free: label(a) = min over N+(a) of identity labels.
+    var labels = sym.groupBy("a").agg(min(col("b")).as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // labels only ever DECREASE, so sum(label) is a sufficient (and
     // join-free) convergence check: stable sum <=> no label changed
-    var labelSum = Long.MaxValue
+    var labelSum = labels.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIters) {
-      // each node adopts min(own label, neighbors' labels)
-      val neighborMin = sym
-        .join(labels.withColumnRenamed("node", "b")
-          .withColumnRenamed("label", "nlabel"), "b")
-        .groupBy(col("a").as("node"))
-        .agg(min(col("nlabel")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+      // each node adopts min over N+ of current labels: one join (sym
+      // side cache-partitioned, zero exchange) + one min-aggregate —
+      // two shuffles of label-sized data per round, one driver action.
+      val next = sym
+        .join(labels.select(col("a").as("b"), col("label")), "b")
+        .groupBy("a").agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(sum("label")).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == labelSum
@@ -365,7 +374,15 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels.withColumnRenamed("label", "component")
+    // A deep component that exhausts the round budget would otherwise
+    // return silently-wrong clusters (VERDICT r1): fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: no convergence after $maxIters rounds — " +
+          "component diameter exceeds the budget; raise maxIters " +
+          "(or switch to the large-star/small-star rounds of Kiveris " +
+          "et al. for graphs with deep components)")
+    labels.select(col("a").as("node"), col("label").as("component"))
   }
 
   /** Blocked exact n-gram-Jaccard near-dup baseline: pairwise compare

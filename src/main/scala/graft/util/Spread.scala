@@ -14,9 +14,12 @@ import org.apache.spark.sql.DataFrame
 object Spread {
 
   /** Round-robin repartition up to the cluster's default parallelism,
-    * only when the input has fewer partitions than that. */
+    * only when the input has fewer partitions than that.
+    * `queryExecution.toRdd` reads the physical plan's partitioning
+    * without building the row-deserializing `df.rdd` wrapper. */
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val current = df.queryExecution.toRdd.getNumPartitions
+    if (current < target) df.repartition(target) else df
   }
 }

@@ -213,6 +213,17 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cc.size === 11)
   }
 
+  test("connected components: non-convergence within maxIters fails loudly") {
+    import spark.implicits._
+    // a 12-node path has diameter 11 — far beyond a 4-round budget;
+    // returning the partial labels silently would yield wrong clusters
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b", maxIters = 4)
+    }
+    assert(ex.getMessage.contains("no convergence"))
+  }
+
   test("multi-probe lsh: recall >= single-probe, never beats brute force") {
     val e = Tables.load(spark, sf, "embeddings")
     val corpus = e.filter(col("vec_id") >= 5)
