@@ -110,9 +110,26 @@ object Dedup {
     withSh.select(col(idCol) +: col("shingles") +: mhCols: _*)
   }
 
-  /** LSH candidate pairs: signatures → (band, bandKey) rows → self-join
-    * on band equality. `rowsPerBand` minhashes concatenate into one band
-    * key. Returns distinct (doc_a, doc_b) with doc_a < doc_b. */
+  /** All unordered id pairs (doc_a < doc_b) of each bucket, expanded
+    * INSIDE the bucket row: the index shuffles once (the groupBy that
+    * built `idsCol`), then posexplode picks the left id and a slice of
+    * the tail yields its partners — no self-join, no broadcast build,
+    * no second shuffle of the index. A bucket of m ids is one m-long
+    * array row where the join alternative pushes m² rows through a
+    * shuffle, so this is strictly cheaper until arrays stop fitting in
+    * a row — bound bucket sizes upstream (df caps, band width, prefix
+    * rarity), which every caller here does. */
+  private def expandSortedIdPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("doc_b"))
+
+  /** LSH candidate pairs: signatures → (band, bandKey) rows → group by
+    * band identity → in-row pair expansion. `rowsPerBand` minhashes
+    * concatenate into one band key. Returns distinct (doc_a, doc_b)
+    * with doc_a < doc_b. */
   def lshCandidates(sigs: DataFrame, idCol: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
@@ -133,12 +150,10 @@ object Dedup {
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
-    bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    expandSortedIdPairs(
+      bands.groupBy("band", "band_key")
+        .agg(sort_array(collect_set(col(idCol))).as("ids"))
+        .filter(size(col("ids")) >= 2))
       .distinct()
   }
 
@@ -234,7 +249,12 @@ object Dedup {
       .withColumn("sz", size(col("sorted_s")))
       .withColumn("prefix", slice(col("sorted_s"), lit(1),
         (floor(col("sz") * (1 - threshold)) + 1).cast("int")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+      // single logical consumer, but persisting here cuts the candidate
+      // stage's lineage below the double-aggregate (freq + rebuild):
+      // measured faster under the driver bench than recomputing stats
+      // through the full chain, and at scale this materialization IS the
+      // "sorted signature table" a production pipeline writes out.
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // posexplode: `pos` is the token's 0-based rank in the canonical
     // order (the prefix IS the first elements of that order), which the
     // positional filter below needs.
@@ -246,6 +266,12 @@ object Dedup {
     //     a shared token at ranks (pa, pb) caps it at
     //     min(|A|−pa, |B|−pb); the FIRST shared token of a true pair
     //     always passes, so no false negatives.
+    // This stays a two-sided equi-join (unlike the grouped in-row pair
+    // expansion used by the winnowing/LSH candidate stages): prefix
+    // tokens are rare by construction, so the index is millions of
+    // size-2-or-3 groups where per-group collect_list state measures
+    // SLOWER than the join, and the length+positional predicates prune
+    // inside the join before any pair row materializes.
     val alpha = (lit(threshold) / (1 + threshold)) *
       (col("a.sz") + col("b.sz"))
     val cand = pref.alias("a")
@@ -293,18 +319,17 @@ object Dedup {
     // Stop-fingerprint cap: a fingerprint present in > maxDf documents
     // generates O(df²) candidate pairs while carrying no near-dup
     // signal (boilerplate substrings). Dropping it from the INDEX
-    // bounds the join fanout per fingerprint; the verification set
+    // bounds the pair fanout per fingerprint; the verification set
     // keeps every fingerprint, so scores are unaffected — only pairs
     // whose overlap is exclusively boilerplate are lost (the standard
     // fingerprint-index trade; cf. stopwords in text retrieval).
-    val rare = ex.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("h")
-    val exRare = ex.join(rare, "h")
-    val cand = exRare.alias("a")
-      .join(exRare.alias("b"),
-        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    // One groupBy builds the posting list AND applies the cap; pairs
+    // expand inside the row (expandSortedIdPairs) — the old
+    // df-aggregate + index join + self-join collapses to one shuffle.
+    val cand = expandSortedIdPairs(
+      ex.groupBy("h")
+        .agg(sort_array(collect_set(col(idCol))).as("ids"))
+        .filter(size(col("ids")).between(2, maxDf)))
       .distinct()
     val sets = d.select(col(idCol), col("fp"))
     cand
