@@ -19,10 +19,32 @@ import graft.orchestration.{Dag, Task}
   */
 object Pipeline {
 
+  /** Options that take no value. */
+  private val flagNames = Set("use-dag", "no-fail-on-dq")
+
+  /** Token-consuming parser: a flag eats one token, a --key eats two —
+    * so a valueless flag before a key/value pair cannot shift the
+    * pairing (the old sliding(2,2) parsed `--use-dag --job gold` as
+    * use-dag -> "--job" and silently dropped the job). */
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Map[String, String] =
+      rest match {
+        case Nil => acc
+        case k :: tail if k.startsWith("--") =>
+          val name = k.drop(2)
+          if (flagNames(name)) loop(tail, acc + (name -> "true"))
+          else tail match {
+            case v :: t2 if !v.startsWith("--") => loop(t2, acc + (name -> v))
+            case _ => sys.error(s"missing value for --$name")
+          }
+        case other :: _ => sys.error(s"unexpected argument: $other")
+      }
+    loop(args.toList, Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap ++ (if (args.contains("--use-dag")) Map("use-dag" -> "true") else Map.empty)
+    val opts = parseArgs(args)
     val base = opts.getOrElse("base",
       sys.error("--base <dir> is required (lakehouse root)"))
     val job = opts.getOrElse("job", "all")
@@ -34,7 +56,7 @@ object Pipeline {
     val cfg0 = PipelineConfig().under(base)
     // --no-fail-on-dq: keep going past ERROR-severity DQ findings
     // (reference config.data_quality.fail_on_dq_errors toggle)
-    val cfg = if (args.contains("--no-fail-on-dq"))
+    val cfg = if (opts.contains("no-fail-on-dq"))
       cfg0.copy(dataQuality = cfg0.dataQuality.copy(failOnDqErrors = false))
     else cfg0
     val runId = Audit.generateRunId()

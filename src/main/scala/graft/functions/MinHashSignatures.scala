@@ -61,10 +61,17 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
     }
     val mins = Array.fill[Long](numHashes)(Long.MaxValue)
     val md = digests.get()
+    var seen = false
     var i = 0
     while (i < m) {
-      // shingle sets are built null-free; getBytes copies the UTF-8
-      // payload once per (shingle, seed-group) digest
+      if (shingles.isNullAt(i)) {
+        // null elements are skipped, mirroring the builtin chain this
+        // expression replaces (md5(null) -> null, array_min null-skips);
+        // the SQL surface graft_minhash sees arbitrary user arrays
+        i += 1
+      } else {
+      seen = true
+      // getBytes copies the UTF-8 payload once per (shingle, seed-group)
       val sBytes = shingles.getUTF8String(i).getBytes
       var seed = 0
       while (seed < numSeeds) {
@@ -86,7 +93,9 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
         seed += 1
       }
       i += 1
+      }
     }
+    if (!seen) return new GenericArrayData(Array.fill[Any](numHashes)(null))
     new GenericArrayData(mins)
   }
 

@@ -64,25 +64,38 @@ object Incremental {
   */
 object Upsert {
 
-  /** Pure upsert of `source` into `target`, returned as a DataFrame. */
+  /** Pure upsert of `source` into `target`, returned as a DataFrame.
+    *
+    * Row presence on each side is derived from non-nullable marker
+    * columns added before the full-outer join — NOT from value
+    * nullability. A `coalesce(s.c, t.c)` projection would silently keep
+    * the target's old value when a matched source row intentionally
+    * nulls an update column (Delta's whenMatchedUpdate writes the
+    * NULL), and symmetrically resurrect a matched target's legitimate
+    * NULL in non-update columns from the source. */
   def upsert(target: DataFrame, source: DataFrame, mergeKeys: Seq[String],
       updateColumns: Option[Seq[String]] = None,
       broadcastSource: Boolean = false): DataFrame = {
     require(mergeKeys.nonEmpty, "mergeKeys must be non-empty")
     val updateCols = updateColumns.getOrElse(
       source.columns.toSeq.filterNot(mergeKeys.contains))
-    val src = if (broadcastSource) broadcast(source) else source
+    val src0 = source.withColumn("_s_present", lit(true))
+    val tgt0 = target.withColumn("_t_present", lit(true))
+    val src = if (broadcastSource) broadcast(src0) else src0
 
-    // full_outer USING join: the key columns are coalesced automatically;
-    // matched rows -> source values for updateCols, else target values.
-    val joined = target.alias("t").join(src.alias("s"), mergeKeys, "full_outer")
+    // full_outer USING join: the key columns are coalesced automatically.
+    val joined = tgt0.alias("t").join(src.alias("s"), mergeKeys, "full_outer")
+    val srcPresent = col("s._s_present").isNotNull
+    val tgtPresent = col("t._t_present").isNotNull
     val projection: Seq[Column] = mergeKeys.map(col) ++
       target.columns.toSeq.filterNot(mergeKeys.contains).map { c =>
         if (updateCols.contains(c) && source.columns.contains(c))
-          coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+          // matched or insert -> source value (explicit NULLs included)
+          when(srcPresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
         else if (source.columns.contains(c))
-          // insert-all: unmatched source rows still carry this column
-          coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
+          // non-update column: matched keeps the target's value (even
+          // NULL); only unmatched source rows (inserts) take the source's
+          when(tgtPresent, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
         else col(s"t.$c").as(c)
       }
     joined.select(projection: _*)

@@ -26,15 +26,28 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private val fs = TableIO.fs(spark, rootPath)
   private def versionDir(v: Long) = new Path(root, f"_versions/v$v%08d")
   private val latestPath = new Path(root, "_latest")
-  private val historyPath = new Path(root, "_history.jsonl")
+  private val historyDir = new Path(root, "_history")
+  private val legacyHistoryPath = new Path(root, "_history.jsonl")
 
   def currentVersion: Option[Long] =
-    if (!fs.exists(latestPath)) None
-    else {
+    if (fs.exists(latestPath)) {
       val in = fs.open(latestPath)
       try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
       finally in.close()
-    }
+    } else
+      // Recovery: a lost `_latest` (crash mid-swap on a filesystem
+      // without overwrite-rename) must not reset the table to version 0
+      // — the next write would overwrite v00000000, or Append would
+      // union with nothing and silently drop the previous snapshot.
+      // The newest version dir is the best-known current.
+      listVersionDirs.lastOption
+
+  private def listVersionDirs: Seq[Long] = {
+    val versionsRoot = new Path(root, "_versions")
+    if (!fs.exists(versionsRoot)) Seq.empty
+    else fs.listStatus(versionsRoot).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq.sorted
+  }
 
   def exists: Boolean = currentVersion.isDefined
 
@@ -74,13 +87,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   /** M4: table history, newest first. */
   def history(limit: Int = 20): Seq[HistoryEntry] = {
-    if (!fs.exists(historyPath)) return Seq.empty
-    val in = fs.open(historyPath)
-    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
     val re =
       """\{"version": (\d+), "timestamp": "([^"]+)", "operation": "([^"]+)", "numRows": (-?\d+)\}""".r
-    text.linesIterator.toSeq.reverse.take(limit).collect {
+    def readWhole(p: Path): String = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // legacy single-file layout first (oldest), then per-commit files in
+    // filename (= commit) order
+    val legacy = if (fs.exists(legacyHistoryPath))
+      readWhole(legacyHistoryPath).linesIterator.toSeq else Seq.empty
+    val perCommit = if (fs.exists(historyDir))
+      fs.listStatus(historyDir).map(_.getPath).sortBy(_.getName).toSeq
+        .map(readWhole)
+    else Seq.empty
+    (legacy ++ perCommit).reverse.take(limit).collect {
       case re(v, ts, op, rows) => HistoryEntry(v.toLong, ts, op, rows.toLong)
     }
   }
@@ -104,21 +126,26 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(latestPath)) fs.delete(latestPath, false)
-    fs.rename(tmp, latestPath)
+    // Atomic swap: rename with OVERWRITE — no delete-then-rename window
+    // in which a crash leaves no `_latest` (currentVersion additionally
+    // recovers from the version dirs if a legacy table lost its pointer).
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, latestPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** One immutable file per commit: appending to a single JSONL would
+    * read+rewrite the whole history every commit (O(n²) over the table's
+    * lifetime — local filesystems have no append). The nanoTime prefix
+    * keeps commit order and stays unique when RESTORE reuses a version
+    * number. */
   private def appendHistory(v: Long, op: String, rows: Long): Unit = {
     val ts = java.time.Instant.now().toString
     val line =
-      s"""{"version": $v, "timestamp": "$ts", "operation": "$op", "numRows": $rows}\n"""
-    val existing = if (fs.exists(historyPath)) {
-      val in = fs.open(historyPath)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
-    } else ""
-    val out = fs.create(historyPath, true)
-    try out.write((existing + line).getBytes(StandardCharsets.UTF_8))
+      s"""{"version": $v, "timestamp": "$ts", "operation": "$op", "numRows": $rows}"""
+    val f = new Path(historyDir, f"${System.nanoTime()}%020d_v$v%08d.json")
+    val out = fs.create(f, false)
+    try out.write(line.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 }

@@ -38,14 +38,21 @@ object AsofJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withPayload = payload.foldLeft(combined) { (df, p) =>
-      df.withColumn(s"$p$suffix",
-        last(when(col("_side") === 0, col(p)), ignoreNulls = true).over(w))
-    }
+    // Carry the WHOLE right payload as ONE struct: the struct is
+    // non-null exactly when a right row exists, so a NULL payload VALUE
+    // inside the latest matching row survives — last(payloadCol,
+    // ignoreNulls) on the bare column would skip that row and wrongly
+    // return an older non-null value (native ASOF and the DuckDB oracle
+    // return the NULL). Also one window function instead of |payload|.
+    val withPayload = combined.withColumn("_pay",
+      last(when(col("_side") === 0, struct(payload.map(col): _*)),
+        ignoreNulls = true).over(w))
     val rightOnly = payload.filterNot(left.columns.contains)
-    withPayload
+    payload.foldLeft(withPayload) { (df, p) =>
+        df.withColumn(s"$p$suffix", col(s"_pay.$p"))
+      }
       .filter(col("_side") === 1)
-      .drop("_side")
+      .drop("_side", "_pay")
       .drop(rightOnly: _*)
   }
 

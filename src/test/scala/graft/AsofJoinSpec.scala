@@ -36,6 +36,22 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(4L) === null, "left row with no right rows keeps null")
   }
 
+  test("a NULL payload in the latest matching right row is preserved") {
+    // u1 at 10:04 has value NULL — the 10:05 click must return that
+    // NULL (native ASOF semantics), not reach back to 10:02's 20.0
+    val rightWithNull = Seq(
+      ("u1", ts("2024-01-01 10:02:00"), Some(20.0)),
+      ("u1", ts("2024-01-01 10:04:00"), None: Option[Double])
+    ).toDF("user", "ts", "value")
+    val out = AsofJoin.asofJoin(left, rightWithNull, "user", "ts", Seq("value"))
+      .select("id", "value_asof").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out(1L) === null, "10:00 click precedes all right rows")
+    assert(out(2L) === null,
+      "latest matching row's explicit NULL payload must be returned")
+  }
+
   test("plans as ONE shuffle on the key (window), no join operator") {
     val plan = AsofJoin.asofJoin(left, right, "user", "ts", Seq("value"))
       .queryExecution.executedPlan.toString

@@ -28,6 +28,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(5) >= 1)
   }
 
+  test("graft_minhash null-skips array elements like the builtin chain") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT
+           graft_minhash(array('x', NULL, 'y'), 4) AS mixed,
+           graft_minhash(array(CAST(NULL AS STRING)), 4) AS allnull,
+           graft_minhash(array('x', 'y'), 4) AS clean
+      """).head()
+    // null elements are skipped: same signature as the null-free array
+    assert(row.getSeq[Any](0) === row.getSeq[Any](2))
+    // all-null input degenerates like an empty set (all-null signature)
+    assert(row.getSeq[Any](1).forall(_ == null))
+  }
+
   test("VectorFoldRewrite turns the HOF fold into the native expression") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ VectorFoldRewrite

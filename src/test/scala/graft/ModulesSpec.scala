@@ -81,6 +81,23 @@ class UpsertSpec extends AnyFunSuite {
     assert(merged.getDouble(2) === 99.0) // amount updated
   }
 
+  test("upsert: explicit source NULL updates the target (Delta whenMatchedUpdate)") {
+    val target = Seq((1L, Some("a"), Some(10.0)), (2L, None, Some(20.0)))
+      .toDF("id", "status", "amount")
+    val source = Seq((1L, None: Option[String], Some(99.0)))
+      .toDF("id", "status", "amount")
+    val merged = Upsert.upsert(target, source, Seq("id"),
+      updateColumns = Some(Seq("status")))
+      .orderBy("id").collect()
+    // matched row: the source's explicit NULL must overwrite "a"
+    assert(merged(0).isNullAt(1), "explicit source NULL must be written")
+    // non-update column of the matched row keeps the target value
+    assert(merged(0).getDouble(2) === 10.0)
+    // a matched target's legitimate NULL in a non-update column must
+    // NOT be resurrected from the source on unmatched rows' account
+    assert(merged(1).isNullAt(1) && merged(1).getDouble(2) === 20.0)
+  }
+
   test("mergeIntoTable: creates then merges; watermark reflects new data") {
     val base = Fixtures.tempDir("graft-merge")
     val path = s"$base/t"
@@ -134,6 +151,22 @@ class VersionedTableSpec extends AnyFunSuite {
     val deleted = vt.vacuum(retainVersions = 1) // M3
     assert(deleted.nonEmpty)
     assert(vt.read().count() === 1) // current version survives vacuum
+  }
+
+  test("a lost _latest pointer recovers to the newest version, not v0") {
+    val root = Fixtures.tempDir("graft-vt-recover") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1, "a")).toDF("id", "s"))
+    vt.write(Seq((2, "b")).toDF("id", "s"), SaveMode.Append)
+    // simulate a crash that loses the pointer file
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_latest"), false)
+    assert(vt.currentVersion === Some(1L), "must recover the newest version")
+    assert(vt.read().count() === 2, "snapshot must survive pointer loss")
+    // and the next write continues the version sequence
+    val v2 = vt.write(Seq((3, "c")).toDF("id", "s"), SaveMode.Append)
+    assert(v2 === 2L && vt.read().count() === 3)
   }
 }
 

@@ -22,6 +22,16 @@ class PipelineSpec extends AnyFunSuite {
     c
   }
 
+  test("CLI arg parser: valueless flags cannot shift key/value pairing") {
+    val opts = Pipeline.parseArgs(
+      Array("--base", "/x", "--use-dag", "--job", "gold", "--no-fail-on-dq"))
+    assert(opts === Map("base" -> "/x", "use-dag" -> "true",
+      "job" -> "gold", "no-fail-on-dq" -> "true"))
+    intercept[RuntimeException] {
+      Pipeline.parseArgs(Array("--base")) // key without value
+    }
+  }
+
   test("bronze: ingests all rows, adds metadata + partition column") {
     val res = BronzeJob.run(spark, cfg)
     assert(res.rowsIngested === 6)
