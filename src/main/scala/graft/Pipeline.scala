@@ -7,10 +7,18 @@ import graft.etl.{BronzeJob, GoldJob, SilverJob}
 import graft.orchestration.{Dag, Task}
 
 /** Pipeline CLI — the analog of the reference's `main.py` entry points
-  * (`main.py:53-152`: `--job bronze|silver|gold|all [--use-dag]`).
+  * (`main.py:53-152`: `--job bronze|silver|gold|all [--use-dag]
+  * [--env dev|prod]`).
   *
   * Usage:
   *   runMain graft.Pipeline --base /tmp/lake [--job all] [--use-dag]
+  *     [--config <dir>] [--env <name>]
+  *
+  * `--config <dir>` loads `<dir>/config.properties` overlaid by
+  * `<dir>/<env>.properties` (env from `--env` or `$GRAFT_ENV` /
+  * `$ENVIRONMENT`) on top of the `--base`-rooted defaults — the
+  * file-driven retuning surface of reference `main.py:17-48` +
+  * `config/{config,dev,prod}.yaml`.
   *
   * Runs the medallion jobs against `<base>/data/raw` CSVs, records one
   * audit row and a metrics set per run, and (with --use-dag) drives the
@@ -53,7 +61,13 @@ object Pipeline {
     val spark = graft.core.Sessions.local("graft-pipeline",
       cores = Runtime.getRuntime.availableProcessors())
     spark.sparkContext.setLogLevel("WARN")
-    val cfg0 = PipelineConfig().under(base)
+    // defaults rooted at --base, then the config-file + env overlay
+    val cfg0 = opts.get("config") match {
+      case Some(dir) =>
+        PipelineConfig.load(dir, opts.get("env"),
+          base = PipelineConfig().under(base))
+      case None => PipelineConfig().under(base)
+    }
     // --no-fail-on-dq: keep going past ERROR-severity DQ findings
     // (reference config.data_quality.fail_on_dq_errors toggle)
     val cfg = if (opts.contains("no-fail-on-dq"))

@@ -20,20 +20,69 @@ import graft.io.TableIO
   */
 object Maintenance {
 
-  /** M1: bin-packing compaction — rewrite the table into files of roughly
-    * `targetFileMB`. Returns (filesBefore, filesAfter). */
-  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): (Long, Long) = {
+  /** M1: bin-packing compaction — rewrite into files of roughly
+    * `targetFileMB`. Returns (filesBefore, filesAfter).
+    *
+    * With `where`, only Hive-style partition directories whose partition
+    * value satisfies the predicate are rewritten (reference
+    * `utils/delta_ops.py:32-38` `.where` support) — each matching
+    * partition is compacted independently and untouched partitions keep
+    * their files byte-for-byte. At 100 TB a whole-table rewrite is not
+    * an option: the incremental pipeline only dirties recent partitions,
+    * so `where` is the production form and the full rewrite the
+    * small-table special case. */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128,
+      where: Option[String] = None): (Long, Long) = {
     val before = TableIO.detail(spark, path)
+    where match {
+      case None => rewriteDir(spark, path, targetFileMB)
+      case Some(pred) =>
+        val dirs = partitionDirs(spark, path, pred)
+        dirs.foreach(d => rewriteDir(spark, d, targetFileMB))
+    }
+    (before.numFiles, TableIO.detail(spark, path).numFiles)
+  }
+
+  /** First-level `col=value` partition dirs matching `predicate`. The
+    * predicate is evaluated by Spark on the dir-name values (cast as in
+    * SQL comparison coercion), so any single-partition-column predicate
+    * the reader could prune with works here too. */
+  private def partitionDirs(spark: SparkSession, path: String,
+      predicate: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = TableIO.fs(spark, root)
+    val parts = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { s =>
+        val Array(c, v) = s.getPath.getName.split("=", 2)
+        (s.getPath.toString, c,
+          java.net.URLDecoder.decode(v, "UTF-8"))
+      }
+    require(parts.nonEmpty,
+      s"$path has no hive-style partition dirs; omit `where` to compact whole tables")
+    val colNames = parts.map(_._2).distinct
+    require(colNames.size == 1,
+      s"partition-scoped compaction supports one partition level, found: $colNames")
+    import spark.implicits._
+    val matched = parts.map { case (d, _, v) => (d, v) }
+      .toDF("__dir", colNames.head)
+      .filter(predicate)
+      .select("__dir").collect().map(_.getString(0)).toSeq
+    matched
+  }
+
+  private def rewriteDir(spark: SparkSession, dir: String,
+      targetFileMB: Int): Unit = {
+    val detail = TableIO.detail(spark, dir)
     val n = math.max(1L,
-      before.sizeInBytes / (targetFileMB.toLong * 1024 * 1024)).toInt
-    val df = TableIO.read(spark, path).repartition(n)
-    val tmp = path + "__compact_tmp"
+      detail.sizeInBytes / (targetFileMB.toLong * 1024 * 1024)).toInt
+    val df = TableIO.read(spark, dir).repartition(n)
+    val tmp = dir + "__compact_tmp"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = TableIO.fs(spark, p)
     fs.delete(p, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
-    (before.numFiles, TableIO.detail(spark, path).numFiles)
   }
 
   /** M2: cluster-sort rewrite (Z-ORDER substitute,

@@ -184,6 +184,60 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === 1000)
   }
 
+  test("partition-scoped compact rewrites only matching partitions") {
+    val path = Fixtures.tempDir("graft-compact-part") + "/t"
+    Seq.tabulate(400)(i => (if (i % 2 == 0) "2023-01-01" else "2023-01-02", i))
+      .toDF("dt", "v").repartition(8)
+      .write.mode("overwrite").partitionBy("dt").parquet(path)
+    def listing(part: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$path/dt=$part")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = listing("2023-01-02")
+    val targetBefore = listing("2023-01-01")
+    val (before, after) =
+      Maintenance.compact(spark, path, where = Some("dt = '2023-01-01'"))
+    assert(after < before, s"expected fewer files, got $before -> $after")
+    // the untouched partition keeps its files byte-for-byte
+    assert(listing("2023-01-02") === untouchedBefore)
+    // the matching partition was rewritten (different file set)
+    assert(listing("2023-01-01").keySet !== targetBefore.keySet)
+    assert(listing("2023-01-01").size === 1)
+    // data intact, partition column included
+    val d = spark.read.parquet(path)
+    assert(d.count() === 400)
+    assert(d.filter(col("dt") === "2023-01-01").count() === 200)
+  }
+
+  test("Maintain CLI round-trip: compact/detail on parquet, vacuum/history/restore on versioned") {
+    // parquet-table commands
+    val path = Fixtures.tempDir("graft-maintain") + "/t"
+    (1 to 500).toDF("n").repartition(8).write.mode("overwrite").parquet(path)
+    val out = Maintain.run(spark, "compact", Map("path" -> path))
+    assert(out.contains("files 8 ->"), out)
+    assert(Maintain.run(spark, "detail", Map("path" -> path))
+      .contains("numFiles="))
+    Maintain.run(spark, "sortby", Map("path" -> path, "cols" -> "n"))
+    assert(spark.read.parquet(path).count() === 500)
+    // versioned-table commands
+    val vroot = Fixtures.tempDir("graft-maintain-vt") + "/tbl"
+    val vt = new graft.io.VersionedTable(spark, vroot)
+    vt.write(Seq((1, "a")).toDF("id", "s"))
+    vt.write(Seq((2, "b")).toDF("id", "s"), org.apache.spark.sql.SaveMode.Append)
+    val hist = Maintain.run(spark, "history", Map("path" -> vroot))
+    assert(hist.linesIterator.size === 2, hist)
+    assert(Maintain.run(spark, "restore",
+      Map("path" -> vroot, "version" -> "0")).contains("now at v0"))
+    assert(vt.read().count() === 1)
+    val vac = Maintain.run(spark, "vacuum",
+      Map("path" -> vroot, "retain" -> "1"))
+    assert(vac.startsWith("vacuum"), vac)
+    intercept[RuntimeException] {
+      Maintain.run(spark, "frobnicate", Map("path" -> path))
+    }
+  }
+
   test("sortBy rewrites clustered by column (row-group skipping layout)") {
     val path = Fixtures.tempDir("graft-sort") + "/t"
     (1 to 1000).map(i => (i % 50, i)).toDF("k", "v")

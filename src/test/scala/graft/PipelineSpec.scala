@@ -22,6 +22,37 @@ class PipelineSpec extends AnyFunSuite {
     c
   }
 
+  test("file-driven config: non-default threshold changes silver output, no recompile") {
+    val base = Fixtures.tempDir("graft-cfgfile")
+    val confDir = new java.io.File(base, "conf"); confDir.mkdirs()
+    // base file raises the trip-distance floor past the 2.5-mile rows;
+    // env overlay flips fail_on_dq_errors off (dev-style config)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(confDir.toString, "config.properties"),
+      "data_quality.min_trip_distance=2.6\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(confDir.toString, "dev.properties"),
+      "data_quality.fail_on_dq_errors=false\n")
+    val c = PipelineConfig.load(confDir.toString, env = Some("dev"),
+      base = PipelineConfig().under(base))
+    assert(c.dataQuality.minTripDistance === 2.6) // from config.properties
+    assert(!c.dataQuality.failOnDqErrors)         // from dev.properties
+    assert(c.environment === "dev")
+    Fixtures.writeRawCsv(spark, c.paths.raw)
+    BronzeJob.run(spark, c)
+    val res = SilverJob.run(spark, c)
+    // default config keeps 3 deduped rows; the 2.6-mile floor drops the
+    // duplicated 2.5-mile pair and the 1.2-mile row too -> 2 remain
+    assert(res.rowsAfterDedup === 2,
+      s"threshold from file must tighten the silver filter: $res")
+  }
+
+  test("config: unknown keys fail fast") {
+    intercept[RuntimeException] {
+      PipelineConfig.fromProperties(Map("data_quality.min_trip_dstance" -> "1"))
+    }
+  }
+
   test("CLI arg parser: valueless flags cannot shift key/value pairing") {
     val opts = Pipeline.parseArgs(
       Array("--base", "/x", "--use-dag", "--job", "gold", "--no-fail-on-dq"))
