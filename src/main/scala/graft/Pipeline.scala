@@ -77,13 +77,18 @@ object Pipeline {
     val metrics = new PipelineMetrics(runId)
     val t0 = System.currentTimeMillis()
     var status = "completed"
+    // structured run log (reference setup_logging + log_with_metrics);
+    // GRAFT_LOG_JSON=false falls back to the plain console format
+    val log = graft.util.JsonLog.setup("graft_pipeline",
+      logLevel = sys.env.getOrElse("GRAFT_LOG_LEVEL", "INFO"),
+      useJson = sys.env.get("GRAFT_LOG_JSON").forall(_.toBoolean))
     try {
       if (useDag) runDag(spark, cfg, metrics)
       else runSequential(spark, cfg, job, metrics)
     } catch {
       case e: Exception =>
         status = "failed"
-        System.err.println(s"[pipeline] FAILED: ${e.getMessage}")
+        log.error("pipeline failed", e, "run_id" -> runId, "job" -> job)
     } finally {
       val t1 = System.currentTimeMillis()
       Audit.recordRun(spark, cfg.paths.pipelineRuns, RunRecord(
@@ -93,8 +98,9 @@ object Pipeline {
         new java.sql.Timestamp(t0), new java.sql.Timestamp(t1),
         (t1 - t0) / 1000.0, ""))
       metrics.save(spark, cfg.paths.pipelineMetrics)
-      println(s"[pipeline] run=$runId job=$job status=$status " +
-        s"duration=${(t1 - t0) / 1000.0}s metrics=${metrics.all}")
+      log.logWithMetrics("info", "pipeline run complete",
+        Map("run_id" -> runId, "job" -> job, "status" -> status,
+          "duration_sec" -> (t1 - t0) / 1000.0) ++ metrics.all)
       spark.stop()
       if (status == "failed") sys.exit(1)
     }
