@@ -12,11 +12,13 @@ import graft.util.Cols
   * as in `utils/data_quality.py:21`.
   *
   * Scale changes vs the reference:
-  *   - null checks for N columns are ONE aggregate pass
-  *     (`count(when(isNull))` per column) instead of N filter+count jobs
-  *     (`utils/data_quality.py:283-289` loops a job per column);
-  *   - range checks return counts computed in a single aggregate, with
-  *     the violating rows available lazily rather than collected.
+  *   - `runAllChecks` fuses EVERY built-in check (null, range, row
+  *     count) into ONE aggregate pass over the table — the reference
+  *     loops a filter+count job per check
+  *     (`utils/data_quality.py:240-267` + `:283-289`), which is N full
+  *     scans of a 100 TB table. Custom checks added via [[addCheck]]
+  *     still run their own function; if the fused job fails, every
+  *     check falls back to its independent legacy path.
   */
 final case class CheckResult(
     checkName: String,
@@ -49,10 +51,15 @@ final case class DataQualityCheck(
 
 final class DataQualityFramework(spark: SparkSession) {
   import spark.implicits._
+  import DataQualityFramework.{Custom, Fusable, Spec}
 
-  private var checks: Vector[DataQualityCheck] = Vector.empty
-  def addCheck(check: DataQualityCheck): Unit = checks :+= check
-  def allChecks: Seq[DataQualityCheck] = checks
+  private var specs: Vector[Spec] = Vector.empty
+  def addCheck(check: DataQualityCheck): Unit = specs :+= Custom(check)
+  private def addFusable(check: DataQualityCheck,
+      build: DataFrame => Either[String,
+        (Seq[org.apache.spark.sql.Column], (Long, Seq[Long]) => Long)]): Unit =
+    specs :+= Fusable(check, build)
+  def allChecks: Seq[DataQualityCheck] = specs.map(_.check)
 
   /** Row-count bounds check (reference `utils/data_quality.py:108-141`). */
   def addRowCountCheck(minRows: Option[Long], maxRows: Option[Long]): Unit = {
@@ -66,32 +73,34 @@ final class DataQualityFramework(spark: SparkSession) {
     }
     val expected = (minRows.map(m => s">= $m") ++ maxRows.map(m => s"<= $m"))
       .mkString(" and ") match { case "" => "Any"; case s => s }
-    addCheck(DataQualityCheck("row_count_check",
-      "Validate row count is within expected range", fn, expected, "WARNING"))
+    addFusable(DataQualityCheck("row_count_check",
+      "Validate row count is within expected range", fn, expected, "WARNING"),
+      _ => Right((Seq.empty, (total, _) =>
+        minRows.count(total < _).toLong + maxRows.count(total > _).toLong)))
   }
 
   /** Null-percentage checks (reference `utils/data_quality.py:143-183`).
-    * All requested columns are measured in ONE aggregate job when the
-    * framework runs them (each check still reports independently, but the
-    * violation predicate is a single-column count). */
+    * All requested columns ride the fused single-pass aggregate of
+    * [[runAllChecks]] (each check still reports independently). */
   def addNullCheck(columns: Seq[String], maxNullPct: Double = 0.0): Unit =
     columns.foreach { c =>
+      def nullPred(df: DataFrame, actual: String) = {
+        val isNumeric = df.schema(actual).dataType match {
+          case _: org.apache.spark.sql.types.DoubleType |
+               _: org.apache.spark.sql.types.FloatType => true
+          case _ => false
+        }
+        if (isNumeric) col(actual).isNull || isnan(col(actual))
+        else col(actual).isNull
+      }
       val fn = (df: DataFrame) =>
         Cols.resolve(df, c) match {
           case None =>
             Seq(s"Column $c not found").toDF("violation")
           case Some(actual) =>
-            val isNumeric = df.schema(actual).dataType match {
-              case _: org.apache.spark.sql.types.DoubleType |
-                   _: org.apache.spark.sql.types.FloatType => true
-              case _ => false
-            }
-            val nullPred =
-              if (isNumeric) col(actual).isNull || isnan(col(actual))
-              else col(actual).isNull
             val row = df.agg(
               count(lit(1)).as("total"),
-              count(when(nullPred, 1)).as("nulls")).head
+              count(when(nullPred(df, actual), 1)).as("nulls")).head
             val (total, nulls) = (row.getLong(0), row.getLong(1))
             val pct = if (total == 0) 0.0 else nulls.toDouble / total
             if (pct > maxNullPct)
@@ -99,10 +108,19 @@ final class DataQualityFramework(spark: SparkSession) {
                 .toDF("violation")
             else spark.emptyDataFrame.select(lit("").as("violation")).limit(0)
         }
-      addCheck(DataQualityCheck(s"null_check_$c",
+      addFusable(DataQualityCheck(s"null_check_$c",
         s"Check null percentage for column $c", fn,
         f"null_pct <= $maxNullPct%.2f",
-        if (maxNullPct == 0.0) "ERROR" else "WARNING"))
+        if (maxNullPct == 0.0) "ERROR" else "WARNING"),
+        df => Cols.resolve(df, c) match {
+          case None => Left(s"Column $c not found")
+          case Some(actual) =>
+            Right((Seq(count(when(nullPred(df, actual), 1))),
+              (total, vals) => {
+                val pct = if (total == 0) 0.0 else vals.head.toDouble / total
+                if (pct > maxNullPct) 1L else 0L
+              }))
+        })
     }
 
   /** Range check (reference `utils/data_quality.py:185-238`): violations =
@@ -131,13 +149,76 @@ final class DataQualityFramework(spark: SparkSession) {
       }
     val expected = (minVal.map(m => s">= $m") ++ maxVal.map(m => s"<= $m"))
       .mkString(" and ")
-    addCheck(DataQualityCheck(s"range_check_$column",
-      s"Check $column is within valid range", fn, expected, "ERROR"))
+    addFusable(DataQualityCheck(s"range_check_$column",
+      s"Check $column is within valid range", fn, expected, "ERROR"),
+      df => Cols.resolve(df, column) match {
+        case None => Left(s"Column $column not found")
+        case Some(actual) =>
+          val preds = minVal.map(col(actual) < _).toSeq ++
+            maxVal.map(col(actual) > _)
+          if (preds.isEmpty) Right((Seq.empty, (_, _) => 0L))
+          else Right((Seq(count(when(preds.reduce(_ || _), 1))),
+            (_, vals) => vals.head))
+      })
   }
 
-  /** Run all checks (reference `utils/data_quality.py:240-267`). */
-  def runAllChecks(df: DataFrame, layerName: String = "unknown"): Seq[CheckResult] =
-    checks.map(_.run(df).copy(layer = layerName))
+  /** Run all checks (reference `utils/data_quality.py:240-267`) — the
+    * built-in checks as ONE aggregate job over `df` (the reference runs
+    * one filter+count job per check: N full scans at 100 TB), custom
+    * checks via their own functions. Results are positionally identical
+    * to running each check independently. */
+  def runAllChecks(df: DataFrame, layerName: String = "unknown"): Seq[CheckResult] = {
+    val built = specs.map {
+      case f: Fusable => (f.check, Some(f.build(df)))
+      case c: Custom => (c.check, None)
+    }
+    val plans = built.collect {
+      case (check, Some(Right((aggs, interp)))) => (check, aggs, interp)
+    }
+    // one aggregate row: __total plus each fused check's agg columns
+    val fusedRow: Option[(Long, Map[String, Seq[Long]])] =
+      if (plans.isEmpty) None
+      else try {
+        val aggCols = plans.zipWithIndex.flatMap { case ((_, aggs, _), i) =>
+          aggs.zipWithIndex.map { case (a, j) => a.cast("long").as(s"__c${i}_$j") }
+        }
+        val all = count(lit(1)).cast("long").as("__total") +: aggCols
+        val row = df.agg(all.head, all.tail: _*).head
+        val total = row.getLong(0)
+        var offset = 1
+        val values = plans.zipWithIndex.map { case ((check, aggs, _), i) =>
+          val vs = aggs.indices.map(j => row.getLong(offset + j))
+          offset += aggs.size
+          s"${check.name}#$i" -> vs.toSeq
+        }.toMap
+        Some((total, values))
+      } catch {
+        // analysis/type failure of the fused plan: fall back to the
+        // per-check legacy path below (each run() catches its own errors)
+        case _: Exception => None
+      }
+    var planIdx = -1
+    built.map { case (check, builtResult) =>
+      val result = builtResult match {
+        case None => check.run(df) // custom check: own function
+        case Some(Left(msg)) =>
+          // unresolved column: same one-violation result the legacy
+          // message row produces
+          CheckResult(check.name, check.description, 1L,
+            check.expectedResult, check.severity, passed = false)
+        case Some(Right((_, interp))) =>
+          planIdx += 1
+          fusedRow match {
+            case Some((total, values)) =>
+              val v = interp(total, values(s"${check.name}#$planIdx"))
+              CheckResult(check.name, check.description, v,
+                check.expectedResult, check.severity, passed = v == 0)
+            case None => check.run(df) // fused job failed: legacy path
+          }
+      }
+      result.copy(layer = layerName)
+    }
+  }
 
   /** Summary stats in ONE pass (reference loops a filter+count per column,
     * `utils/data_quality.py:283-289`). */
@@ -149,6 +230,17 @@ final class DataQualityFramework(spark: SparkSession) {
 }
 
 object DataQualityFramework {
+  private sealed trait Spec { def check: DataQualityCheck }
+  private final case class Custom(check: DataQualityCheck) extends Spec
+  /** A check whose violation count can ride a shared aggregate pass:
+    * `build` resolves against the concrete DataFrame and yields the
+    * aggregate columns to fold in plus an interpreter from
+    * (totalRows, aggregate values) to the violation count. */
+  private final case class Fusable(check: DataQualityCheck,
+      build: DataFrame => Either[String,
+        (Seq[org.apache.spark.sql.Column], (Long, Seq[Long]) => Long)])
+    extends Spec
+
   /** Default framework from config (reference `utils/data_quality.py:299-341`). */
   def default(spark: SparkSession,
       cfg: graft.config.DataQualityConfig): DataQualityFramework = {

@@ -337,6 +337,41 @@ class DataQualitySpec extends AnyFunSuite {
     assert(fw.runAllChecks(Seq(1, 2).toDF("a"), "t").head.passed)
   }
 
+  test("runAllChecks fuses every built-in check into ONE Spark job") {
+    val fw = new graft.dq.DataQualityFramework(spark)
+    fw.addRangeCheck("d", minVal = Some(0.0), maxVal = Some(10.0))
+    fw.addRangeCheck("v", minVal = Some(1.0))
+    fw.addNullCheck(Seq("d", "s"))
+    fw.addRowCountCheck(Some(1L), None)
+    val df = Seq((1.0, 5.0, Some("x")), (-2.0, 0.0, None), (12.0, 3.0, Some("y")))
+      .toDF("d", "v", "s")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val results = try {
+      val r = fw.runAllChecks(df, "t")
+      // the listener bus is async: wait for events to drain
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(300)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one aggregate QUERY; AQE materializes its shuffle stage as a
+    // separate job, so "one pass" shows up as <= 2 jobs — the legacy
+    // per-check path costs ~2 jobs x 5 checks
+    assert(jobs.get() <= 2,
+      s"expected the 5 built-in checks to share one aggregate, saw ${jobs.get()} jobs")
+    assert(results.map(_.violationCount) === Seq(2, 1, 0, 1, 0))
+    // results identical to the independent legacy runs
+    val legacy = fw.allChecks.map(_.run(df).copy(layer = "t"))
+    assert(results === legacy)
+  }
+
   test("summary stats: one-pass null counts per column") {
     val df = Seq((Some(1), Some("x")), (None, Some("y")), (Some(3), None))
       .toDF("a", "b")
