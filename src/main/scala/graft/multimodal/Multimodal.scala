@@ -85,14 +85,71 @@ object Multimodal {
       nFrames, hist)
   }
 
+  /** REAL decoder for binary PPM (P6) images — pure JVM, no codec
+    * libraries: parses the header (width / height / maxval, `#`
+    * comments) and computes mean R/G/B + mean-luma features over the
+    * 8-bit pixel payload. One codec being real end-to-end pins the
+    * exact contract (dimensions from the payload, features in [0,1],
+    * fallback on malformed input) a library-backed JPEG/audio decoder
+    * must meet when swapped into [[decode]]. Returns None for
+    * non-PPM / malformed / 16-bit payloads → [[decodeStub]] fallback. */
+  private[multimodal] def decodePpm(r: MediaRecord): Option[MediaFeatures] = {
+    val b = r.content
+    if (b.length < 2 || b(0) != 'P'.toByte || b(1) != '6'.toByte) return None
+    try {
+      var pos = 2
+      def skipWs(): Unit = {
+        var in = true
+        while (in && pos < b.length) {
+          val c = b(pos).toChar
+          if (c == '#') { while (pos < b.length && b(pos) != '\n'.toByte) pos += 1 }
+          else if (c.isWhitespace) pos += 1
+          else in = false
+        }
+      }
+      def int(): Int = {
+        skipWs()
+        var v = 0; var any = false
+        while (pos < b.length && b(pos) >= '0'.toByte && b(pos) <= '9'.toByte) {
+          v = v * 10 + (b(pos) - '0'); pos += 1; any = true
+        }
+        require(any, "missing integer in PPM header"); v
+      }
+      val w = int(); val h = int(); val maxv = int()
+      pos += 1 // exactly one whitespace byte before the raster
+      require(w > 0 && h > 0 && maxv > 0 && maxv < 256, "unsupported PPM")
+      require(b.length - pos >= w.toLong * h * 3, "truncated PPM raster")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = pos
+      val end = pos + w * h * 3
+      while (i < end) {
+        sr += b(i) & 0xff; sg += b(i + 1) & 0xff; sb += b(i + 2) & 0xff
+        i += 3
+      }
+      var checksum = 0L
+      i = 0
+      while (i < b.length) { checksum = checksum * 31 + (b(i) & 0xff); i += 1 }
+      val denom = (w.toFloat * h) * maxv
+      val (mr, mg, mb) = (sr / denom, sg / denom, sb / denom)
+      val luma = 0.299f * mr + 0.587f * mg + 0.114f * mb
+      Some(MediaFeatures(r.media_id, r.media_type, b.length, checksum,
+        w, h, 1, Array(mr, mg, mb, luma, 0f, 0f, 0f, 0f)))
+    } catch { case _: Exception => None }
+  }
+
+  private def decodeOne(r: MediaRecord): MediaFeatures =
+    decodePpm(r).getOrElse(decodeStub(r))
+
   /** Decode + feature-extract: per-partition batch loop so a real codec
-    * pays init cost once per partition. */
+    * pays init cost once per partition. PPM (P6) payloads decode for
+    * real ([[decodePpm]]); everything else goes through the stub. */
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      // real impl: open codec/session HERE, close after the iterator
-      it.map(decodeStub)
+      // real impl: open additional codecs/sessions HERE, close after
+      // the iterator is exhausted
+      it.map(decodeOne)
     }
   }
 

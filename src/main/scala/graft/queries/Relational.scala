@@ -302,6 +302,26 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Salted skew join (graft.util.SkewJoin): fact × dim through the
+    * explicit skew-spreading path — the large side draws a salt, the
+    * small side replicates once per salt value, and every hot key
+    * spreads over `salts` reducers. Result-identical to the plain join
+    * (each matched pair meets exactly once), which is exactly what the
+    * DuckDB oracle checks. */
+  def skewJoinBrand(spark: SparkSession, dir: String): DataFrame = {
+    val items = load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_extendedprice"))
+    val parts = load(spark, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.util.SkewJoin.saltedJoin(items, parts, Seq("l_partkey"), salts = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("gross"))
+      .orderBy("p_brand")
+  }
+
   /** Range join (graft.operators.RangeJoin): clicks landing inside the
     * 4-hour window after an error by the same user — bucketized to a
     * pure equi-join, never a nested loop. */
@@ -343,7 +363,8 @@ object Relational {
     "q32_brand_revenue" -> brandRevenue,
     "q33_region_suppliers" -> regionSuppliers,
     "q34_asof_click_view" -> asofClickView,
-    "q35_range_click_near_error" -> rangeClickNearError
+    "q35_range_click_near_error" -> rangeClickNearError,
+    "q37_skew_join_brand" -> skewJoinBrand
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,6 +492,11 @@ object Relational {
                FROM events WHERE event_type = 'error') e
            ON c.user_id = e.user_id
           AND c.ts BETWEEN e.ts AND e.ts + INTERVAL 4 HOUR
-         ORDER BY 1, 2"""
+         ORDER BY 1, 2""",
+    "q37_skew_join_brand" ->
+      """SELECT p_brand, count(*) AS n_items,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS gross
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1"""
   )
 }

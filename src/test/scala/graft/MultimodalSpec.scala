@@ -40,6 +40,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(feat.sum - 1.0f) < 1e-3)
   }
 
+  test("PPM (P6) payloads decode for REAL: header dims + exact channel means") {
+    import spark.implicits._
+    // 2x2 P6, maxval 255, with a header comment: pixels
+    // (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Int](
+      255, 0, 0, 0, 255, 0,
+      0, 0, 255, 255, 255, 255).map(_.toByte)
+    val ppm = header ++ pixels
+    val ds = Multimodal.fromBinary(
+      Seq((7L, ppm)).toDF("media_id", "payload"), "media_id", "payload", "image")
+    val f = Multimodal.decode(ds).collect()(0)
+    assert(f.width === 2 && f.height === 2)
+    // means over 4 pixels: R=(255+0+0+255)/4/255, etc.
+    assert(math.abs(f.feature(0) - 0.5f) < 1e-6)
+    assert(math.abs(f.feature(1) - 0.5f) < 1e-6)
+    assert(math.abs(f.feature(2) - 0.5f) < 1e-6)
+    // malformed PPM (truncated raster) falls back to the stub, not a crash
+    val bad = Multimodal.fromBinary(
+      Seq((8L, header ++ pixels.take(5))).toDF("media_id", "payload"),
+      "media_id", "payload", "image")
+    val fb = Multimodal.decode(bad).collect()(0)
+    assert(fb.n_bytes === header.length + 5)
+  }
+
   test("video media type derives frame counts from payload size") {
     val out = Multimodal.featurize(spark, mediaDf(), "media_id", "payload", "video")
     val frames = out.collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
