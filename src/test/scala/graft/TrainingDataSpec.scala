@@ -213,6 +213,34 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cc.size === 11)
   }
 
+  test("big-star CC: matches min-label on fixture and seeded random graphs") {
+    import spark.implicits._
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixture = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L), (30L, 30L)
+    ).toDF("a", "b")
+    assert(toMap(Dedup.connectedComponentsBigStar(fixture, "a", "b"))
+      === toMap(Dedup.connectedComponents(fixture, "a", "b")))
+    val rnd = new scala.util.Random(7)
+    val random = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    assert(toMap(Dedup.connectedComponentsBigStar(random, "a", "b"))
+      === toMap(Dedup.connectedComponents(random, "a", "b", maxIters = 100)))
+  }
+
+  test("big-star CC: deep path converges in log rounds where min-label's budget fails") {
+    import spark.implicits._
+    // diameter 299: min-label needs ~300 rounds (throws at 20);
+    // alternating star rounds finish in O(log^2 n)
+    val path = (1L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponentsBigStar(path, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 300)
+    assert(cc.values.forall(_ == 1L), "every path node joins component 1")
+  }
+
   test("connected components: non-convergence within maxIters fails loudly") {
     import spark.implicits._
     // a 12-node path has diameter 11 — far beyond a 4-round budget;
