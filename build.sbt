@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runs default to LoggedOutput, which decorates every child
+// stdout line with "[info] " — that breaks the driver's line-wise JSON
+// parse of Bench's output (BENCH_r01/r02 both recorded parsed:null).
+// StdoutOutput hands the child sbt's raw stdout/stderr instead.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

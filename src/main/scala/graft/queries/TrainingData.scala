@@ -166,6 +166,9 @@ object TrainingData {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_bytes")).as("total_bytes"),
+        // The oracle must CAST its sum to BIGINT: DuckDB sum(INTEGER)
+        // is HUGEINT, which pandas widens to float64 — an int64 Spark
+        // column then hash-mismatches on representation alone (r2 q28).
         // avg as sum::double / count: the long sum is exact, so both
         // engines divide the same double by the same long — identical
         // bits, no cross-engine round(double) semantics (VERDICT r1 #1).
@@ -354,7 +357,7 @@ object TrainingData {
          FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
     "q28_byte_stats" ->
       """SELECT source, count(*) AS n_docs,
-         sum(strlen(text)) AS total_bytes,
+         CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
          CAST(sum(strlen(text)) AS DOUBLE) / count(strlen(text)) AS avg_bytes
          FROM documents GROUP BY 1 ORDER BY 1""",
     // q30_ann_ivf intentionally has NO oracle: IVF training is
