@@ -131,7 +131,8 @@ object Dedup {
     * concatenate into one band key. Returns distinct (doc_a, doc_b)
     * with doc_a < doc_b. */
   def lshCandidates(sigs: DataFrame, idCol: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
+      numHashes: Int, rowsPerBand: Int,
+      maxBucket: Int = 10000): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
       val key = concat_ws("_",
@@ -150,10 +151,18 @@ object Dedup {
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"),
         col("bk.band_key").as("band_key"))
+    // Upper cap: expandSortedIdPairs' contract requires bounded bucket
+    // sizes (the whole bucket becomes ONE array row). A bucket past
+    // maxBucket is a degenerate band key — a boilerplate-heavy or
+    // exact-dup-heavy corpus collapses onto a few keys — and its m²/2
+    // pairs would drown the verify stage anyway (10^6 ids → 5·10^11
+    // pairs). Such clusters belong to the exact content-hash pass
+    // (dedupByContent), which finds them in one groupBy; dropping them
+    // here mirrors winnowingNearDupPairs' maxDf stop-fingerprint cap.
     expandSortedIdPairs(
       bands.groupBy("band", "band_key")
         .agg(sort_array(collect_set(col(idCol))).as("ids"))
-        .filter(size(col("ids")) >= 2))
+        .filter(size(col("ids")).between(2, maxBucket)))
       .distinct()
   }
 
@@ -161,12 +170,12 @@ object Dedup {
     * exact-Jaccard verify ≥ threshold. Output (doc_a, doc_b, jaccard). */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 10000): DataFrame = {
     // Signing (k md5s per shingle) feeds both the band join and the
     // verification sets — persist so the corpus is signed exactly once.
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidates(sigs, idCol, numHashes, rowsPerBand)
+    val cand = lshCandidates(sigs, idCol, numHashes, rowsPerBand, maxBucket)
     // Verify in hashed-shingle space: same Jaccard absent 64-bit
     // collisions, far cheaper intersects/shuffles than string sets.
     // Sets are sorted once per document so the per-pair Jaccard is a

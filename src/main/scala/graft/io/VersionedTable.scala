@@ -39,14 +39,20 @@ final class VersionedTable(spark: SparkSession, root: String) {
       // without overwrite-rename) must not reset the table to version 0
       // — the next write would overwrite v00000000, or Append would
       // union with nothing and silently drop the previous snapshot.
-      // The newest version dir is the best-known current.
+      // The newest COMMITTED version dir is the best-known current.
+      // "Committed" = has the parquet _SUCCESS marker: a crash between
+      // creating the version dir and finishing its write leaves a
+      // half-written dir, and trusting it would make Append union with
+      // (and history reflect) a partial snapshot.
       listVersionDirs.lastOption
 
   private def listVersionDirs: Seq[Long] = {
     val versionsRoot = new Path(root, "_versions")
     if (!fs.exists(versionsRoot)) Seq.empty
-    else fs.listStatus(versionsRoot).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong).toSeq.sorted
+    else fs.listStatus(versionsRoot).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.drop(1).toLong).toSeq.sorted
   }
 
   def exists: Boolean = currentVersion.isDefined

@@ -52,7 +52,9 @@ object Maintenance {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = TableIO.fs(spark, root)
     val parts = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
       .map { s =>
         val Array(c, v) = s.getPath.getName.split("=", 2)
         (s.getPath.toString, c,
@@ -71,18 +73,28 @@ object Maintenance {
     matched
   }
 
+  /** Temp path for an atomic-as-possible dir swap. MUST start with an
+    * underscore: Spark/Hadoop file indexes skip `_`/`.`-prefixed paths,
+    * so a reader listing the table root mid-rewrite (or after a crash
+    * that strands the temp) never sees it as data — a bare
+    * `dir__compact_tmp` sibling would be discovered as a phantom
+    * partition value and double-count every row. */
+  private def tmpSibling(p: org.apache.hadoop.fs.Path, tag: String) =
+    new org.apache.hadoop.fs.Path(p.getParent, s"_${p.getName}__$tag")
+
   private def rewriteDir(spark: SparkSession, dir: String,
       targetFileMB: Int): Unit = {
     val detail = TableIO.detail(spark, dir)
     val n = math.max(1L,
       detail.sizeInBytes / (targetFileMB.toLong * 1024 * 1024)).toInt
     val df = TableIO.read(spark, dir).repartition(n)
-    val tmp = dir + "__compact_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = TableIO.fs(spark, p)
+    val tmp = tmpSibling(p, "compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.rename(tmp, p)
   }
 
   /** M2: cluster-sort rewrite (Z-ORDER substitute,
@@ -97,11 +109,12 @@ object Maintenance {
       case None => df.repartitionByRange(cols: _*)
     }
     val sorted = ranged.sortWithinPartitions(cols: _*)
-    val tmp = path + "__sort_tmp"
-    sorted.write.mode(SaveMode.Overwrite).parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = TableIO.fs(spark, p)
+    val tmp = tmpSibling(p, "sort_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    fs.rename(tmp, p)
   }
 }

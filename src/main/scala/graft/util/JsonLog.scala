@@ -64,8 +64,11 @@ object JsonLog {
     case n: Short => n.toString
     case n: Int => n.toString
     case n: Long => n.toString
-    case n: Float => n.toString
-    case n: Double => n.toString
+    // NaN/Infinity are not valid JSON tokens — emit null so one
+    // non-finite metric (e.g. a rate over zero rows) can't make the
+    // whole line unparseable to a log aggregator.
+    case n: Float => if (n.isNaN || n.isInfinite) "null" else n.toString
+    case n: Double => if (n.isNaN || n.isInfinite) "null" else n.toString
     case other => "\"" + escape(other.toString) + "\""
   }
 }
