@@ -24,23 +24,38 @@ object Bench {
     // (signature/bucket tables), and letting 30+ queries' caches pile
     // up makes later measurements pay the earlier queries' memory
     // pressure instead of their own cost.
+    //
+    // Each query runs `reps` times and reports the MIN: a single-shot
+    // sample is one machine-co-tenancy blip away from reading 2x slow
+    // (round 3 recorded 66.5 s for a commit that measures 27 s quiet),
+    // and the downstream 2x-of-baseline gate consumes this number. The
+    // min across reps is the steady-state cost — noise only ever adds.
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
-    }.toMap
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
     println(line)
     // Also write the JSON to a file: sbt decorates the forwarded stdout
     // with "[info] " prefixes, which breaks machine parsing of the
     // printed line (BENCH_r01 recorded parsed:null for that reason).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // Default filename carries the scale factor: bench totals are only
+    // comparable within one sf (a bench.json silently re-recorded at a
+    // different sf reads as a bogus 100x speedup/regression).
+    val sfName = new java.io.File(sfDir).getName
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench.$sfName.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), (line + "\n").getBytes("UTF-8"))
     spark.stop()

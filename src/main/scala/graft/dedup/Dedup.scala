@@ -199,8 +199,20 @@ object Dedup {
   /** Per-document SimHash over whitespace tokens, `bits` wide (≤ 32).
     * bit_j(doc) = sign of Σ_tokens (±1 by bit j of hash(token)). Pure
     * per-row arithmetic — one scan, no shuffle; near-dups then cluster
-    * by exact simhash equality or small Hamming distance. */
-  def simhash(text: Column, bits: Int, seed: Int = 99): Column = {
+    * by exact simhash equality or small Hamming distance.
+    *
+    * Computed by the native [[graft.functions.SimHash]] expression: one
+    * md5 per token feeding all `bits` counters, versus the interpreted
+    * HOF chain ([[simhashHof]]) that re-hashes every token once per bit
+    * — 16x redundant hashing for the 16-bit signature q24 ships. */
+  def simhash(text: Column, bits: Int, seed: Int = 99): Column =
+    graft.functions.SimHash.simhash(split(lower(text), " "), bits, seed)
+
+  /** Reference HOF form of [[simhash]] (builtin expressions only) —
+    * kept as the executable spec the native expression is parity-tested
+    * against (DedupSpec), and as documentation of the hash contract the
+    * DuckDB oracle mirrors. */
+  private[graft] def simhashHof(text: Column, bits: Int, seed: Int = 99): Column = {
     val toks = split(lower(text), " ")
     (0 until bits).map { j =>
       val bitSum = aggregate(

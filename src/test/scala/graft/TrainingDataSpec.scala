@@ -86,6 +86,41 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pref === quad, s"missing=${quad -- pref} extra=${pref -- quad}")
   }
 
+  test("simhash: native expression ≡ HOF reference form, incl. edge cases") {
+    // corpus parity: every document's 16-bit signature must agree
+    val docs = Tables.load(spark, sf, "documents")
+    val both = docs.select(
+      Dedup.simhash(col("text"), bits = 16).as("native"),
+      Dedup.simhashHof(col("text"), bits = 16).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    // edge cases the HOF chain pins: empty string (one empty token),
+    // single token, and null text (null in, null out)
+    import spark.implicits._
+    val edge = Seq(Some(""), Some("x"), Some("a b a"), None).toDF("text")
+    val rows = edge.select(
+      Dedup.simhash(col("text"), 16).as("native"),
+      Dedup.simhashHof(col("text"), 16).as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getInt(0) === r.getInt(1), r.toString)
+    }
+    // null token elements: when/otherwise sends null hashes to -1 on
+    // every bit — the native expression must do the same
+    val nullTok = Seq(1).toDF("i").select(
+      graft.functions.SimHash.simhash(
+        array(lit("tok"), lit(null).cast("string")), 16, 99).as("native"),
+      { val toks = array(lit("tok"), lit(null).cast("string"))
+        (0 until 16).map { j =>
+          val bitSum = aggregate(
+            transform(toks, t =>
+              when(shiftright(Dedup.hash64(t, 99), j) % 2 === 1, 1)
+                .otherwise(-1)),
+            lit(0), (acc, x) => acc + x)
+          when(bitSum >= 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _).as("hof") }).head
+    assert(nullTok.getInt(0) === nullTok.getInt(1))
+  }
+
   test("simhash: verified near-dup pairs have small hamming distance") {
     val sims = TrainingData.simhashDocs(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
