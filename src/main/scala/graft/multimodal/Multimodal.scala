@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * frame-sample stages.
   *
   * The Spark-side machinery — schema, typed Datasets, per-partition
-  * batch processing, partition sizing — is real and tested. The codec
-  * itself is a clearly-marked STUB (this environment has no image/audio
-  * libraries): `decodePartition` derives deterministic fake features
-  * from the raw bytes. Swapping in a real decoder changes ONE function
-  * and nothing about the distributed plan.
+  * batch processing, partition sizing — is real and tested. Image
+  * decode is REAL for PPM (pure-JVM parser) and PNG/JPEG/BMP/GIF (JDK
+  * `javax.imageio`, headless-safe, zero added dependencies). Audio and
+  * video decode remain clearly-marked STUBs (the JRE ships no audio /
+  * video codecs): `decodeStub` derives deterministic fake features from
+  * the raw bytes. Swapping in a real codec changes ONE function and
+  * nothing about the distributed plan.
   *
   * Scale notes:
   *   - Decode runs in `mapPartitions`, so a real codec amortizes its
@@ -25,6 +27,12 @@ import org.apache.spark.sql.functions._
   *     graft.similarity operators.
   */
 object Multimodal {
+
+  // ImageIO's default ImageInputStream cache writes a temp FILE per
+  // decode — per-row disk IO on the executors. Payloads are already
+  // in-memory byte arrays; keep the cache on-heap. (Object init runs
+  // once per executor JVM, before the first decodeOne call.)
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRecord(
@@ -137,12 +145,56 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL decoder for PNG / JPEG / BMP / GIF via JDK `javax.imageio` —
+    * headless-safe, zero dependencies beyond the JRE. Meets the exact
+    * contract [[decodePpm]] pinned: dimensions from the payload, mean
+    * R/G/B + mean-luma features in [0,1], None on anything ImageIO
+    * can't parse (→ stub fallback). Format sniffing is ImageIO's own
+    * (magic bytes), so a mislabeled payload still decodes or falls
+    * through cleanly. */
+  private[multimodal] def decodeImageIo(r: MediaRecord): Option[MediaFeatures] = {
+    val b = r.content
+    if (b.length < 4) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None // no registered reader for the format
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      // one bulk getRGB: a per-pixel getRGB(x, y) round-trips the
+      // ColorModel per call; the row-batched form converts each raster
+      // row in one pass
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      var checksum = 0L
+      var i = 0
+      while (i < b.length) { checksum = checksum * 31 + (b(i) & 0xff); i += 1 }
+      val denom = w.toFloat * h * 255
+      val (mr, mg, mb) = (sr / denom, sg / denom, sb / denom)
+      val luma = 0.299f * mr + 0.587f * mg + 0.114f * mb
+      Some(MediaFeatures(r.media_id, r.media_type, b.length, checksum,
+        w, h, 1, Array(mr, mg, mb, luma, 0f, 0f, 0f, 0f)))
+    } catch { case _: Exception => None }
+  }
+
   private def decodeOne(r: MediaRecord): MediaFeatures =
-    decodePpm(r).getOrElse(decodeStub(r))
+    decodePpm(r).orElse(decodeImageIo(r)).getOrElse(decodeStub(r))
 
   /** Decode + feature-extract: per-partition batch loop so a real codec
-    * pays init cost once per partition. PPM (P6) payloads decode for
-    * real ([[decodePpm]]); everything else goes through the stub. */
+    * pays init cost once per partition. PPM (P6, pure-JVM parser) and
+    * PNG/JPEG/BMP/GIF (JDK ImageIO) payloads decode for real; audio /
+    * video go through the stub (no codec libraries in the JRE). */
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._

@@ -65,6 +65,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fb.n_bytes === header.length + 5)
   }
 
+  test("PNG and JPEG payloads decode for REAL via JDK ImageIO") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // 4x2: left half pure red, right half pure blue
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer in JRE")
+      bos.toByteArray
+    }
+    val ds = Multimodal.fromBinary(
+      Seq((1L, encode("png")), (2L, encode("jpg")))
+        .toDF("media_id", "payload"), "media_id", "payload", "image")
+    val out = Multimodal.decode(ds).collect().map(f => f.media_id -> f).toMap
+    out.values.foreach { f =>
+      assert(f.width === 4 && f.height === 2, s"dims ${f.width}x${f.height}")
+    }
+    // PNG is lossless: exact channel means (half red + half blue)
+    val png = out(1L).feature
+    assert(math.abs(png(0) - 0.5f) < 1e-6)
+    assert(math.abs(png(1) - 0.0f) < 1e-6)
+    assert(math.abs(png(2) - 0.5f) < 1e-6)
+    // JPEG is lossy: means within compression tolerance
+    val jpg = out(2L).feature
+    assert(math.abs(jpg(0) - 0.5f) < 0.1f, jpg.mkString(","))
+    assert(math.abs(jpg(2) - 0.5f) < 0.1f, jpg.mkString(","))
+    // features stay in [0,1] — the contract decodePpm pinned
+    out.values.foreach(f => f.feature.foreach(v => assert(v >= 0f && v <= 1f)))
+  }
+
   test("video media type derives frame counts from payload size") {
     val out = Multimodal.featurize(spark, mediaDf(), "media_id", "payload", "video")
     val frames = out.collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
