@@ -7,27 +7,55 @@ import java.nio.charset.StandardCharsets
 /** Versioned Parquet table: the time-travel substitute for Delta's log
   * (SURVEY.md §2.10 M3-M5, §2.1 S4; reference `utils/delta_ops.py`).
   *
-  * Layout:
+  * Layout — manifest-based, like Delta's add-file log:
   * {{{
-  *   <root>/_versions/v00000000/  ... parquet files
-  *   <root>/_versions/v00000001/
-  *   <root>/_latest               // text: current version number
-  *   <root>/_history.jsonl        // one line per commit
+  *   <root>/_data/c00000001/part-*.parquet  // files ADDED by commit 1
+  *   <root>/_manifests/v00000001.txt        // file list of version 1
+  *   <root>/_latest                         // text: current version
+  *   <root>/_history/<ts>_v*.json           // one file per commit
   * }}}
   *
-  * Each write is a new immutable version directory plus an atomic pointer
-  * swap (`_latest` rename), giving snapshot-isolated readers — the same
-  * contract Delta's JSON log provides, minus concurrent writers (the
-  * reference is a single-writer pipeline; `orchestration/dag.py` runs
-  * jobs sequentially).
+  * A version is a MANIFEST (one `relativePath \t rows \t bytes` line
+  * per parquet file), not a directory copy. An Append commit writes
+  * ONLY the new files and a manifest that re-references the previous
+  * version's entries — O(delta) IO per commit, where the previous
+  * directory-per-version layout re-copied the entire table (100 TB/day
+  * of write amplification for a daily incremental append at target
+  * scale). Row counts come from the new files' parquet footers (a
+  * driver-side metadata read), so commits never re-scan data.
+  *
+  * Commit protocol = crash-safe ordering:
+  *   1. data files land under `_data/c<next>/` (invisible: nothing
+  *      references them, and `_`-prefixed paths are skipped by readers);
+  *   2. the manifest is written to a temp name and renamed in — the
+  *      manifest's EXISTENCE is the commit marker (no reliance on
+  *      parquet `_SUCCESS`, which cloud-committer configs with
+  *      `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` omit);
+  *   3. `_latest` swaps via overwrite-rename.
+  * A crash before (2) leaves an orphan data dir that [[vacuum]] GCs; a
+  * crash before (3) recovers via the newest manifest.
+  *
+  * RESTORE allocates a NEW version whose manifest copies the target's
+  * (Delta semantics). Version numbers are never reused, so shared data
+  * files are never clobbered by a post-restore write.
+  *
+  * Single-writer, like the reference (`orchestration/dag.py` runs jobs
+  * sequentially); readers are snapshot-isolated at any version.
   */
 final class VersionedTable(spark: SparkSession, root: String) {
   private val rootPath = new Path(root)
   private val fs = TableIO.fs(spark, rootPath)
-  private def versionDir(v: Long) = new Path(root, f"_versions/v$v%08d")
+  private val dataRoot = new Path(root, "_data")
+  private val manifestsRoot = new Path(root, "_manifests")
+  private def commitDir(v: Long) = new Path(dataRoot, f"c$v%08d")
+  private def manifestPath(v: Long) = new Path(manifestsRoot, f"v$v%08d.txt")
   private val latestPath = new Path(root, "_latest")
   private val historyDir = new Path(root, "_history")
   private val legacyHistoryPath = new Path(root, "_history.jsonl")
+
+  /** One manifest line: a parquet file (path relative to the table
+    * root), its footer row count, and its size in bytes. */
+  final case class ManifestEntry(relPath: String, rows: Long, bytes: Long)
 
   def currentVersion: Option[Long] =
     if (fs.exists(latestPath)) {
@@ -37,38 +65,42 @@ final class VersionedTable(spark: SparkSession, root: String) {
     } else
       // Recovery: a lost `_latest` (crash mid-swap on a filesystem
       // without overwrite-rename) must not reset the table to version 0
-      // — the next write would overwrite v00000000, or Append would
-      // union with nothing and silently drop the previous snapshot.
-      // The newest COMMITTED version dir is the best-known current.
-      // "Committed" = has the parquet _SUCCESS marker: a crash between
-      // creating the version dir and finishing its write leaves a
-      // half-written dir, and trusting it would make Append union with
-      // (and history reflect) a partial snapshot.
-      listVersionDirs.lastOption
+      // — the next write would collide with v0, or Append would union
+      // with nothing and silently drop the previous snapshot. The
+      // newest COMMITTED version — i.e. one whose manifest rename
+      // completed — is the best-known current.
+      committedVersions.lastOption
 
-  private def listVersionDirs: Seq[Long] = {
-    val versionsRoot = new Path(root, "_versions")
-    if (!fs.exists(versionsRoot)) Seq.empty
-    else fs.listStatus(versionsRoot).map(_.getPath)
-      .filter(p => p.getName.startsWith("v") &&
-        fs.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.drop(1).toLong).toSeq.sorted
-  }
+  /** Versions whose commit completed, oldest first. The manifest file
+    * IS the commit marker — every consumer (recovery, vacuum, reads)
+    * shares this one definition of "exists". */
+  def committedVersions: Seq[Long] =
+    if (!fs.exists(manifestsRoot)) Seq.empty
+    else fs.listStatus(manifestsRoot).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("v") && n.endsWith(".txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toLong).sorted
 
   def exists: Boolean = currentVersion.isDefined
 
-  /** Commit a new version. `mode=Append` unions with the current snapshot
-    * (still a fresh immutable version — append never mutates old files). */
+  /** Commit a new version. Append re-references the current manifest's
+    * files and writes only the delta; Overwrite starts a fresh file
+    * set. Returns the new version number. */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
       operation: String = "WRITE"): Long = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
-    val toWrite = mode match {
-      case SaveMode.Append if exists => read().unionByName(df)
-      case _ => df
+    val prior: Seq[ManifestEntry] = mode match {
+      case SaveMode.Append if exists =>
+        val cur = readManifest(currentVersion.get)
+        requireAppendCompatible(df, cur)
+        cur
+      case _ => Seq.empty
     }
-    toWrite.write.mode(SaveMode.Overwrite).parquet(versionDir(next).toString)
-    val rows = spark.read.parquet(versionDir(next).toString).count()
-    appendHistory(next, operation, rows)
+    val dir = commitDir(next)
+    if (fs.exists(dir)) fs.delete(dir, true) // stale crashed attempt
+    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val added = listCommitFiles(dir)
+    writeManifest(next, prior ++ added)
+    appendHistory(next, operation, (prior ++ added).map(_.rows).sum)
     pointTo(next)
     next
   }
@@ -79,16 +111,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   /** S4: time-travel read at an explicit version. */
   def readVersion(v: Long): DataFrame = {
-    require(fs.exists(versionDir(v)), s"version $v does not exist at $root")
-    spark.read.parquet(versionDir(v).toString)
+    require(fs.exists(manifestPath(v)), s"version $v does not exist at $root")
+    val files = readManifest(v).map(e => new Path(rootPath, e.relPath).toString)
+    require(files.nonEmpty, s"version $v of $root has an empty manifest")
+    spark.read.parquet(files: _*)
   }
 
-  /** M5: restore — re-point current to an old version (kept as a new
-    * history entry, like Delta RESTORE). */
+  /** M5: restore — a NEW version whose manifest is a copy of the
+    * target's (Delta RESTORE semantics). No data is copied or moved;
+    * version numbers are never reused. */
   def restore(v: Long): Unit = {
-    require(fs.exists(versionDir(v)), s"version $v does not exist at $root")
-    appendHistory(currentVersion.map(_ + 1).getOrElse(0L), s"RESTORE to v$v", -1)
-    pointTo(v)
+    require(fs.exists(manifestPath(v)), s"version $v does not exist at $root")
+    val entries = readManifest(v)
+    val next = currentVersion.map(_ + 1).getOrElse(0L)
+    writeManifest(next, entries)
+    appendHistory(next, s"RESTORE to v$v", entries.map(_.rows).sum)
+    pointTo(next)
   }
 
   /** M4: table history, newest first. */
@@ -113,18 +151,106 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
   }
 
-  /** M3: vacuum — delete version dirs that are neither current nor newer
-    * than the retention horizon. Returns deleted versions. */
+  /** M3: vacuum — drop manifests outside the retention horizon, then GC
+    * every data file no retained manifest references. Orphan commit
+    * dirs from crashed writes (data, no manifest) are swept too when
+    * their commit number is ≤ current — such a number can never commit
+    * later (the next write is cur+1), so the files are garbage by
+    * construction; an in-flight writer's dir (number > cur) is left
+    * alone. Returns the dropped version numbers. */
   def vacuum(retainVersions: Int = 2): Seq[Long] = {
     val cur = currentVersion.getOrElse(return Seq.empty)
-    val versionsRoot = new Path(root, "_versions")
-    if (!fs.exists(versionsRoot)) return Seq.empty
-    val all = fs.listStatus(versionsRoot).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
-    val keep = all.filter(v => v == cur || v > cur - retainVersions)
-    val drop = all.diff(keep)
-    drop.foreach(v => fs.delete(versionDir(v), true))
-    drop.toSeq
+    val committed = committedVersions
+    val keep = committed.filter(v => v == cur || v > cur - retainVersions)
+    val drop = committed.diff(keep)
+    drop.foreach(v => fs.delete(manifestPath(v), false))
+    val referenced: Set[String] = keep.flatMap(readManifest(_).map(_.relPath)).toSet
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).map(_.getPath).foreach { dir =>
+        val n = dir.getName
+        if (n.startsWith("c") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toLong <= cur) {
+          val files = fs.listStatus(dir).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+          val (kept, garbage) = files.partition(f =>
+            referenced.contains(relativize(f)))
+          if (kept.isEmpty) fs.delete(dir, true)
+          else garbage.foreach(fs.delete(_, false))
+        }
+      }
+    }
+    drop
+  }
+
+  // ------------------------------------------------------------ internals
+
+  /** Table-root-relative path. Both sides are qualified through the
+    * FileSystem first: listStatus returns scheme-qualified paths
+    * (`file:/...`) while a caller-supplied root may be bare, and
+    * URI.relativize on mismatched schemes silently returns the input
+    * absolute — which would leak absolute paths into manifests. */
+  private def relativize(p: Path): String = {
+    val rel = fs.makeQualified(rootPath).toUri
+      .relativize(fs.makeQualified(p).toUri).getPath
+    require(!rel.startsWith("/"), s"$p is not under table root $root")
+    rel
+  }
+
+  /** New parquet files of a commit dir, with row counts read from the
+    * parquet FOOTERS — a driver-side metadata read, not a data scan
+    * (the old layout paid a full `count()` job per commit). */
+  private def listCommitFiles(dir: Path): Seq[ManifestEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(s, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val rows = try reader.getRecordCount finally reader.close()
+        ManifestEntry(relativize(s.getPath), rows, s.getLen)
+      }
+  }
+
+  /** Append compatibility = same column-name→type map as the current
+    * snapshot (order-insensitive: parquet reads columns by name). The
+    * old union-based append enforced this implicitly via unionByName;
+    * with manifests a silent mismatch would corrupt reads instead, so
+    * check the schemas (a footer read, no data scan) and fail fast. */
+  private def requireAppendCompatible(df: DataFrame,
+      cur: Seq[ManifestEntry]): Unit = {
+    if (cur.isEmpty) return
+    val curSchema = spark.read
+      .parquet(new Path(rootPath, cur.head.relPath).toString).schema
+    val curTypes = curSchema.fields.map(f => f.name -> f.dataType).toMap
+    val newTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(curTypes == newTypes,
+      s"append schema mismatch at $root: table has $curTypes, got $newTypes")
+  }
+
+  private def readManifest(v: Long): Seq[ManifestEntry] = {
+    val in = fs.open(manifestPath(v))
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(p, r, b) = line.split('\t')
+      ManifestEntry(p, r.toLong, b.toLong)
+    }.toSeq
+  }
+
+  /** Temp-write + rename: the rename is the commit point. */
+  private def writeManifest(v: Long, entries: Seq[ManifestEntry]): Unit = {
+    if (!fs.exists(manifestsRoot)) fs.mkdirs(manifestsRoot)
+    val body = entries
+      .map(e => s"${e.relPath}\t${e.rows}\t${e.bytes}").mkString("\n")
+    val tmp = new Path(manifestsRoot, f".v$v%08d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = manifestPath(v)
+    if (fs.exists(dest)) fs.delete(dest, false) // crashed same-version retry
+    fs.rename(tmp, dest)
   }
 
   private def pointTo(v: Long): Unit = {
@@ -134,7 +260,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     finally out.close()
     // Atomic swap: rename with OVERWRITE — no delete-then-rename window
     // in which a crash leaves no `_latest` (currentVersion additionally
-    // recovers from the version dirs if a legacy table lost its pointer).
+    // recovers from the manifests if a table lost its pointer).
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       rootPath.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, latestPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
@@ -143,8 +269,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** One immutable file per commit: appending to a single JSONL would
     * read+rewrite the whole history every commit (O(n²) over the table's
     * lifetime — local filesystems have no append). The nanoTime prefix
-    * keeps commit order and stays unique when RESTORE reuses a version
-    * number. */
+    * keeps commit order. */
   private def appendHistory(v: Long, op: String, rows: Long): Unit = {
     val ts = java.time.Instant.now().toString
     val line =

@@ -168,6 +168,69 @@ class VersionedTableSpec extends AnyFunSuite {
     val v2 = vt.write(Seq((3, "c")).toDF("id", "s"), SaveMode.Append)
     assert(v2 === 2L && vt.read().count() === 3)
   }
+
+  test("append is O(delta): prior version's files untouched, only new files written") {
+    val root = Fixtures.tempDir("graft-vt-manifest") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    def files(sub: String): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root, sub))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.getName -> (s.getLen, s.getModificationTime))
+        .toMap
+    vt.write((1 to 100).toDF("id"))
+    val v0Files = files("_data/c00000000")
+    assert(v0Files.nonEmpty)
+    vt.write((101 to 110).toDF("id"), SaveMode.Append)
+    // the append wrote ONLY its delta: v0's files are byte-identical
+    // (same names, sizes, modification times) and v1's manifest
+    // re-references them alongside the new commit's files
+    assert(files("_data/c00000000") === v0Files,
+      "append must not rewrite the prior version's files")
+    assert(files("_data/c00000001").nonEmpty)
+    assert(vt.read().count() === 110)
+    assert(vt.readVersion(0).count() === 100)
+    // history row counts came from footers, not a re-scan
+    assert(vt.history().map(_.numRows) === Seq(110L, 100L))
+    // appends with an incompatible schema fail fast instead of
+    // corrupting future reads
+    intercept[IllegalArgumentException] {
+      vt.write(Seq(("x", 1)).toDF("s", "id"), SaveMode.Append)
+    }
+  }
+
+  test("vacuum GCs unreferenced files and orphan commit dirs from crashed writes") {
+    val root = Fixtures.tempDir("graft-vt-gc") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    vt.write(Seq((1, "a")).toDF("id", "s")) // v0
+    vt.write(Seq((2, "b")).toDF("id", "s"), SaveMode.Append) // v1
+    vt.write(Seq((9, "z")).toDF("id", "s")) // v2 overwrite
+    // fabricate a crashed write: data dir with no manifest, at a commit
+    // number <= current (can never commit later)
+    val orphan = new org.apache.hadoop.fs.Path(root, "_data/c00000001x")
+    val realOrphan = new org.apache.hadoop.fs.Path(root, "_data/c00000000")
+    fs.mkdirs(orphan) // non-numeric suffix: must be left alone
+    val dropped = vt.vacuum(retainVersions = 1) // keep v2 only
+    assert(dropped === Seq(0L, 1L))
+    // v0+v1's files (commit dirs c0, c1) are unreferenced by v2 → gone
+    assert(!fs.exists(realOrphan), "unreferenced commit dir must be GC'd")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_data/c00000001")))
+    assert(fs.exists(orphan), "non-commit dirs must not be touched")
+    assert(vt.read().collect().map(_.getInt(0)).toSeq === Seq(9))
+    // restore shares files with the restored version: vacuum after a
+    // restore must keep the shared files alive
+    val root2 = Fixtures.tempDir("graft-vt-gc2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    vt2.write(Seq((1, "a")).toDF("id", "s")) // v0
+    vt2.write(Seq((2, "b")).toDF("id", "s")) // v1 overwrite
+    vt2.restore(0) // v2 = v0's manifest, shares c0's files
+    vt2.vacuum(retainVersions = 1) // drops v0, v1; v2 still needs c0
+    assert(vt2.read().collect().map(_.getInt(0)).toSeq === Seq(1),
+      "restore-shared files must survive vacuum of the original version")
+  }
 }
 
 class MaintenanceSpec extends AnyFunSuite {
