@@ -101,24 +101,97 @@ object Upsert {
     joined.select(projection: _*)
   }
 
-  /** Merge into a stored table and rewrite it
-    * (reference `utils/incremental.py:116-136`). */
+  /** Merge into a stored table (reference `utils/incremental.py:116-136`,
+    * which leans on Delta MERGE's rewrite-only-touched-files behavior).
+    *
+    * When the target is Hive-partitioned and partition pruning is SAFE —
+    * the partition column is one of the merge keys, or the caller
+    * asserts `assumeStablePartitions` (a row's partition value never
+    * changes, the standard incremental-pipeline invariant for
+    * date-partitioned facts) — only the partitions containing source
+    * partition values are read, merged, and swapped; every other
+    * partition's files stay byte-identical. A daily merge into a
+    * 100 TB table then rewrites one day, not the table. Without that
+    * safety (partition column not in the keys and no caller assertion,
+    * or null source partition values), a matched target row could live
+    * in an unread partition, so the whole table is rewritten — the old
+    * behavior, now with a `_`-prefixed crash-safe temp dir.
+    *
+    * Returns the number of rows WRITTEN by this merge (the full table
+    * on a rewrite, the touched partitions on a scoped merge), read from
+    * the written parquet footers — no post-merge re-scan. */
   def mergeIntoTable(spark: SparkSession, source: DataFrame, targetPath: String,
       mergeKeys: Seq[String], updateColumns: Option[Seq[String]] = None,
-      partitionBy: Option[String] = None): Long = {
+      partitionBy: Option[String] = None,
+      assumeStablePartitions: Boolean = false): Long = {
     if (!TableIO.exists(spark, targetPath)) {
       TableIO.write(source, targetPath, SaveMode.Overwrite, partitionBy)
-    } else {
-      val target = TableIO.read(spark, targetPath)
-      val merged = upsert(target, source, mergeKeys, updateColumns)
-      // Rewrite via temp dir: the plan reads the files being replaced.
-      val tmp = targetPath + "__merge_tmp"
-      TableIO.write(merged, tmp, SaveMode.Overwrite, partitionBy)
-      val p = new org.apache.hadoop.fs.Path(targetPath)
-      val fs = TableIO.fs(spark, p)
-      fs.delete(p, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+      return TableIO.footerRowCount(spark, targetPath)
     }
-    TableIO.read(spark, targetPath).count()
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = TableIO.fs(spark, root)
+    val scopedCol = partitionBy
+      .filter(p => mergeKeys.contains(p) || assumeStablePartitions)
+      .filter(p => fs.listStatus(root)
+        .exists(s => s.isDirectory && s.getPath.getName.startsWith(s"$p=")))
+    scopedCol match {
+      case Some(pcol) =>
+        // Partition values the source touches — small driver list (one
+        // entry per touched partition, not per row).
+        val vals = source.select(col(pcol)).distinct().collect().map(_.get(0))
+        if (vals.contains(null))
+          // null partition values land in the default-partition dir
+          // whose matching semantics differ per engine — take the
+          // always-correct path instead of special-casing
+          fullMergeRewrite(spark, source, targetPath, mergeKeys,
+            updateColumns, partitionBy)
+        else {
+          // Prune the target read to touched partitions: the isin
+          // predicate on the partition column prunes directories at
+          // scan planning, so untouched partitions are never read.
+          val target = TableIO.read(spark, targetPath)
+            .filter(col(pcol).isInCollection(vals))
+          val merged = upsert(target, source, mergeKeys, updateColumns)
+          val tmp = TableIO.tmpSibling(root, "merge_tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
+          TableIO.write(merged, tmp.toString, SaveMode.Overwrite, partitionBy)
+          // Swap in each rewritten partition dir; includes partitions
+          // newly created by inserts. Untouched partitions' files are
+          // never listed, read, or moved.
+          var rows = 0L
+          fs.listStatus(tmp)
+            .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+            .foreach { d =>
+              rows += TableIO.footerRowCount(spark, d.getPath.toString)
+              val dest = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+              if (fs.exists(dest)) fs.delete(dest, true)
+              fs.rename(d.getPath, dest)
+            }
+          fs.delete(tmp, true)
+          rows
+        }
+      case None =>
+        fullMergeRewrite(spark, source, targetPath, mergeKeys,
+          updateColumns, partitionBy)
+    }
+  }
+
+  /** Whole-table merge rewrite via a crash-safe `_`-prefixed temp dir:
+    * the merged plan reads the files being replaced, so it must fully
+    * materialize before the swap. */
+  private def fullMergeRewrite(spark: SparkSession, source: DataFrame,
+      targetPath: String, mergeKeys: Seq[String],
+      updateColumns: Option[Seq[String]],
+      partitionBy: Option[String]): Long = {
+    val target = TableIO.read(spark, targetPath)
+    val merged = upsert(target, source, mergeKeys, updateColumns)
+    val p = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = TableIO.fs(spark, p)
+    val tmp = TableIO.tmpSibling(p, "merge_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
+    TableIO.write(merged, tmp.toString, SaveMode.Overwrite, partitionBy)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    TableIO.footerRowCount(spark, targetPath)
   }
 }

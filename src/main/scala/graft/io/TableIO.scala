@@ -60,6 +60,38 @@ object TableIO {
     fs(spark, p).exists(p)
   }
 
+  /** Temp path for an atomic-as-possible dir swap. MUST start with an
+    * underscore: Spark/Hadoop file indexes skip `_`/`.`-prefixed paths,
+    * so a reader listing the parent mid-rewrite (or after a crash that
+    * strands the temp) never sees it as data — a bare `dir__tmp`
+    * sibling would be discovered as a phantom partition value and
+    * double-count every row. Callers delete a pre-existing temp first
+    * (stale crash leftover). */
+  private[graft] def tmpSibling(p: Path, tag: String): Path =
+    new Path(p.getParent, s"_${p.getName}__$tag")
+
+  /** Total rows under `path` from parquet FOOTERS — a driver-side
+    * metadata read over the file listing, no Spark job, no data scan.
+    * The row-count companion to [[detail]]. */
+  private[graft] def footerRowCount(spark: SparkSession, path: String): Long = {
+    val root = new Path(path)
+    val filesystem = fs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (!filesystem.exists(root)) return 0L
+    val it = filesystem.listFiles(root, true)
+    var rows = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try rows += reader.getRecordCount finally reader.close()
+      }
+    }
+    rows
+  }
+
   def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

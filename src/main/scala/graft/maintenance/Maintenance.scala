@@ -73,14 +73,10 @@ object Maintenance {
     matched
   }
 
-  /** Temp path for an atomic-as-possible dir swap. MUST start with an
-    * underscore: Spark/Hadoop file indexes skip `_`/`.`-prefixed paths,
-    * so a reader listing the table root mid-rewrite (or after a crash
-    * that strands the temp) never sees it as data — a bare
-    * `dir__compact_tmp` sibling would be discovered as a phantom
-    * partition value and double-count every row. */
+  // `_`-prefixed temp sibling for dir swaps — shared with the merge
+  // rewrite path; see TableIO.tmpSibling for why the prefix matters.
   private def tmpSibling(p: org.apache.hadoop.fs.Path, tag: String) =
-    new org.apache.hadoop.fs.Path(p.getParent, s"_${p.getName}__$tag")
+    TableIO.tmpSibling(p, tag)
 
   private def rewriteDir(spark: SparkSession, dir: String,
       targetFileMB: Int): Unit = {

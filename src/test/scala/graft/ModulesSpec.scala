@@ -113,6 +113,53 @@ class UpsertSpec extends AnyFunSuite {
     assert(wm1.toString > wm0.toString)
   }
 
+  test("partition-scoped merge rewrites only touched partitions") {
+    val base = Fixtures.tempDir("graft-merge-scoped")
+    val path = s"$base/t"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    def files(sub: String): Map[String, (Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(path, sub)
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.getName -> (s.getLen, s.getModificationTime))
+        .toMap
+    }
+    val t0 = Seq((1L, "d1", 1.0), (2L, "d1", 2.0), (3L, "d2", 3.0))
+      .toDF("id", "dt", "v")
+    Upsert.mergeIntoTable(spark, t0, path, Seq("id", "dt"),
+      partitionBy = Some("dt"))
+    val before = files("dt=d1")
+    assert(before.nonEmpty)
+    // source touches only d2 (update id=3) and inserts a new partition
+    val src = Seq((3L, "d2", 30.0), (4L, "d3", 4.0)).toDF("id", "dt", "v")
+    val written = Upsert.mergeIntoTable(spark, src, path, Seq("id", "dt"),
+      partitionBy = Some("dt"))
+    assert(written === 2, "scoped merge writes only the touched partitions")
+    assert(files("dt=d1") === before,
+      "untouched partition files must be byte-identical (names/sizes/mtimes)")
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(rows === Map(
+      1L -> (1.0, "d1"), 2L -> (2.0, "d1"),
+      3L -> (30.0, "d2"), 4L -> (4.0, "d3")))
+    // partition col NOT in merge keys and no stable-partition assertion:
+    // a matched row could live anywhere → whole-table rewrite (the d1
+    // files change), correctness over scope
+    val src2 = Seq((1L, "d1", 10.0)).toDF("id", "dt", "v")
+    val w2 = Upsert.mergeIntoTable(spark, src2, path, Seq("id"),
+      partitionBy = Some("dt"))
+    assert(w2 === 4, "unsafe pruning must fall back to full rewrite")
+    // with the caller asserting stable partitions, pruning kicks in
+    val beforeD3 = files("dt=d3")
+    val src3 = Seq((2L, "d1", 20.0)).toDF("id", "dt", "v")
+    val w3 = Upsert.mergeIntoTable(spark, src3, path, Seq("id"),
+      partitionBy = Some("dt"), assumeStablePartitions = true)
+    assert(w3 === 2, "stable-partition merge scopes to the touched partition")
+    assert(files("dt=d3") === beforeD3)
+    assert(spark.read.parquet(path).filter("id = 2").head.getDouble(1) === 20.0)
+  }
+
   test("filterIncremental honors watermark and initial load date") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
