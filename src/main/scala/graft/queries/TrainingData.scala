@@ -233,10 +233,17 @@ object TrainingData {
          SELECT doc_id, k // 2 AS band,
            string_agg(h::VARCHAR, '_' ORDER BY k) AS key
          FROM mh GROUP BY doc_id, k // 2),
+       bsize AS (
+         SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
        cand AS (
+         -- mirrors lshCandidates' maxBucket=10000 degenerate-bucket cap
+         -- (and its >=2 bucket floor): a corpus with a pathological band
+         -- key must diverge from the Spark result in NEITHER engine
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b
-           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         JOIN bsize s ON a.band = s.band AND a.key = s.key
+         WHERE s.n BETWEEN 2 AND 10000),
        verified AS (
          SELECT c.doc_a, c.doc_b,
            round(len(list_intersect(sa.s, sb.s)) * 1.0

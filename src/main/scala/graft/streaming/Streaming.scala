@@ -53,10 +53,10 @@ object Streaming {
 
   /** Keyed running state: (key, runningCount, runningSum) maintained via
     * mapGroupsWithState — the custom-state primitive the reference's
-    * audit/metrics tables would stream into. In production add an
-    * event-time or processing-time timeout to evict idle keys (kept
-    * NoTimeout here: timeout firing depends on wall-clock no-data
-    * batches, which makes deterministic tests impossible). */
+    * audit/metrics tables would stream into. NoTimeout = exact lifetime
+    * totals, right for small known key sets; for unbounded key spaces
+    * use [[runningTotalsEvicting]], which bounds state via event-time
+    * idle eviction. */
   final case class KeyedEvent(key: String, value: Double)
   final case class KeyedRunning(key: String, n: Long, total: Double)
 
@@ -76,6 +76,52 @@ object Streaming {
           val next = KeyedRunning(key, n, total)
           state.update(next)
           next
+      }
+  }
+
+  /** [[runningTotals]] with BOUNDED state — the production entry point
+    * for unbounded key spaces. Events carry an event-time column; a key
+    * idle past `idleTimeoutMs` (by watermark time) has its state
+    * evicted, so state size is O(recently-active keys), not O(all keys
+    * ever seen). A later event for an evicted key starts fresh totals —
+    * the deliberate trade for boundedness (the NoTimeout variant keeps
+    * exact lifetime totals and is right for small, known key sets like
+    * the audit/metrics tables). Event-time timeout keeps tests
+    * deterministic: eviction fires when the WATERMARK passes, not
+    * wall-clock. */
+  final case class TimedKeyedEvent(key: String, value: Double,
+      ts: java.sql.Timestamp)
+
+  def runningTotalsEvicting(events: Dataset[TimedKeyedEvent],
+      watermarkDelay: String, idleTimeoutMs: Long): Dataset[KeyedRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[KeyedRunning, KeyedRunning](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[TimedKeyedEvent],
+         state: GroupState[KeyedRunning]) =>
+          if (state.hasTimedOut) {
+            // totals were emitted on every update; eviction only drops
+            // the state
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(KeyedRunning(key, 0L, 0.0))
+            val next = KeyedRunning(key,
+              prev.n + evs.size, prev.total + evs.iterator.map(_.value).sum)
+            state.update(next)
+            // timeout must land at or after the current watermark —
+            // late-but-in-horizon events could otherwise set one in the
+            // past, which GroupState rejects
+            val lastTs = evs.iterator.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(math.max(
+              lastTs + idleTimeoutMs, state.getCurrentWatermarkMs + 1))
+            Iterator.single(next)
+          }
       }
   }
 

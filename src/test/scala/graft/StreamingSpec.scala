@@ -82,6 +82,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(latest("b") === KeyedRunning("b", 1L, 10.0))
     } finally q.stop()
   }
+
+  test("runningTotalsEvicting: idle key's state is evicted; totals restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{TimedKeyedEvent, KeyedRunning}
+    val input = MemoryStream[TimedKeyedEvent]
+    val out = graft.streaming.Streaming.runningTotalsEvicting(
+      input.toDS(), watermarkDelay = "0 seconds", idleTimeoutMs = 60000L)
+    val q = out.writeStream.format("memory").queryName("running_evict")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(TimedKeyedEvent("idle", 5.0, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // another key far past idle's timeout advances the watermark;
+      // the next batch fires idle's event-time timeout and evicts
+      input.addData(TimedKeyedEvent("busy", 1.0, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      input.addData(TimedKeyedEvent("busy", 1.0, ts("2024-01-01 11:00:01")))
+      q.processAllAvailable()
+      // idle returns AFTER eviction: totals restart from zero —
+      // proof the state was dropped, not retained NoTimeout-style
+      input.addData(TimedKeyedEvent("idle", 7.0, ts("2024-01-01 11:00:02")))
+      q.processAllAvailable()
+      val rows = spark.table("running_evict").collect()
+        .map(r => KeyedRunning(r.getString(0), r.getLong(1), r.getDouble(2)))
+      val idleRows = rows.filter(_.key == "idle").sortBy(_.total)
+      assert(idleRows.toSeq === Seq(
+        KeyedRunning("idle", 1L, 5.0), KeyedRunning("idle", 1L, 7.0)),
+        s"expected fresh totals after eviction; got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
   test("sessionize: gap closes a session; new session opens; within-batch order-free") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
