@@ -69,9 +69,20 @@ object Maintain {
           sys.error("--version V is required")).toLong
         new VersionedTable(spark, path).restore(v)
         s"restore $path: now at v$v"
+      case "optimize" =>
+        val v = new VersionedTable(spark, path).compact(
+          opts.get("target-mb").map(_.toInt).getOrElse(128))
+        s"optimize $path: compacted snapshot committed as v$v"
+      case "zorder" =>
+        val cols = opts.getOrElse("cols",
+          sys.error("--cols a,b is required")).split(",").map(_.trim).toSeq
+        Maintenance.zOrderBy(spark, path, cols,
+          bitsPerDim = opts.get("bits").map(_.toInt).getOrElse(8),
+          numPartitions = opts.get("partitions").map(_.toInt))
+        s"zorder $path: z-clustered by ${cols.mkString(", ")}"
       case other =>
         sys.error(s"unknown command '$other' " +
-          "(compact|sortby|detail|vacuum|history|restore)")
+          "(compact|sortby|detail|vacuum|history|restore|optimize|zorder)")
     }
   }
 

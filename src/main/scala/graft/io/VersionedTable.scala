@@ -117,6 +117,68 @@ final class VersionedTable(spark: SparkSession, root: String) {
     spark.read.parquet(files: _*)
   }
 
+  /** S4: newest version committed at or before `ts` (ISO-8601 instant)
+    * — Delta `timestampAsOf`. Commit times come from the history files;
+    * RESTORE commits count (they are real versions here). */
+  def versionAsOf(ts: String): Long = {
+    val cutoff = java.time.Instant.parse(ts)
+    val committed = committedVersions.toSet
+    history(Int.MaxValue).reverse // oldest-first = commit order
+      .filter(e => committed.contains(e.version) &&
+        !java.time.Instant.parse(e.timestamp).isAfter(cutoff))
+      .lastOption.map(_.version)
+      .getOrElse(sys.error(s"no version of $root committed at or before $ts"))
+  }
+
+  /** S4: time-travel read by timestamp. */
+  def readAsOf(ts: String): DataFrame = readVersion(versionAsOf(ts))
+
+  /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
+    * semantics). Rewrites the current snapshot into ~`targetFileMB`
+    * files as a fresh commit; prior versions keep referencing the old
+    * files untouched until [[vacuum]] reclaims them. Returns the new
+    * version. */
+  def compact(targetFileMB: Int = 128): Long = {
+    val entries = readManifest(currentVersion.getOrElse(
+      sys.error(s"table $root does not exist")))
+    val n = math.max(1L, entries.map(_.bytes).sum /
+      (targetFileMB.toLong * 1024 * 1024)).toInt
+    write(read().repartition(n), SaveMode.Overwrite, "OPTIMIZE")
+  }
+
+  /** Change feed between two versions (Delta CDF substitute): rows
+    * added and removed going `fromV` → `toV`, tagged `_change_type`
+    * ("insert" / "delete").
+    *
+    * Append-only ranges take the FILE-LEVEL fast path: the inserted
+    * rows are exactly the files present in `toV`'s manifest but not
+    * `fromV`'s, so a day of appends on a 100 TB table reads one day of
+    * files — never the table. If the range also removed files
+    * (overwrite / restore / compaction), file identity no longer maps
+    * to row identity (a compaction rewrites every file while changing
+    * nothing), so it falls back to a row-level symmetric diff
+    * (`exceptAll` both ways — two shuffles, multiset semantics). */
+  def changes(fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val fromFiles = readManifest(fromV).map(_.relPath).toSet
+    val toManifest = readManifest(toV)
+    val added = toManifest.filterNot(e => fromFiles.contains(e.relPath))
+    val removed = fromFiles -- toManifest.map(_.relPath).toSet
+    if (removed.isEmpty) {
+      if (added.isEmpty)
+        readVersion(toV).limit(0).withColumn("_change_type", lit("insert"))
+      else
+        spark.read.parquet(
+          added.map(e => new Path(rootPath, e.relPath).toString): _*)
+          .withColumn("_change_type", lit("insert"))
+    } else {
+      val a = readVersion(fromV)
+      val b = readVersion(toV)
+      b.exceptAll(a).withColumn("_change_type", lit("insert"))
+        .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+    }
+  }
+
   /** M5: restore — a NEW version whose manifest is a copy of the
     * target's (Delta RESTORE semantics). No data is copied or moved;
     * version numbers are never reused. */

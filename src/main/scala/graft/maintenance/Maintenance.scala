@@ -93,8 +93,51 @@ object Maintenance {
     fs.rename(tmp, p)
   }
 
-  /** M2: cluster-sort rewrite (Z-ORDER substitute,
-    * reference `utils/delta_ops.py:41-43`). */
+  /** M2, true multi-dimensional form: Z-ORDER rewrite
+    * (reference `utils/delta_ops.py:41-43` defers to Delta ZORDER BY).
+    *
+    * Each cluster column is bucketed by its own approximate equi-depth
+    * quantiles (one pass over the table computes ALL columns'
+    * boundaries; equi-depth means skew can't collapse buckets), bucket
+    * ids are bit-interleaved into a Z-value by the native
+    * [[graft.functions.ZValue]] expression, and the table is
+    * range-repartitioned + sorted by that Z-value before rewrite. Every
+    * cluster column then has narrow min/max ranges per row group —
+    * multi-predicate data skipping, where [[sortBy]] (the
+    * single-column-prefix form) only skips on the leading column.
+    * Numeric columns only (quantile bucketing); use [[sortBy]] for
+    * lexicographic clustering. */
+  def zOrderBy(spark: SparkSession, path: String, zCols: Seq[String],
+      bitsPerDim: Int = 8, numPartitions: Option[Int] = None): Unit = {
+    require(zCols.nonEmpty, "zOrderBy requires at least one column")
+    require(bitsPerDim * zCols.size <= 63,
+      s"${zCols.size} dims at $bitsPerDim bits exceed a long")
+    val df = TableIO.read(spark, path)
+    val buckets = 1 << bitsPerDim
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // one scan computes every dimension's quantile edges
+    val casted = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+    val bounds = casted.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    val z = graft.functions.ZValue.zvalue(
+      zCols.map(c => col(c).cast("double")), bounds.toSeq.map(_.toSeq))
+    val withZ = df.withColumn("__z", z)
+    val ranged = numPartitions match {
+      case Some(n) => withZ.repartitionByRange(n, col("__z"))
+      case None => withZ.repartitionByRange(col("__z"))
+    }
+    val sorted = ranged.sortWithinPartitions(col("__z")).drop("__z")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = TableIO.fs(spark, p)
+    val tmp = tmpSibling(p, "zorder_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** M2: cluster-sort rewrite (single-column-prefix Z-ORDER substitute,
+    * reference `utils/delta_ops.py:41-43`); [[zOrderBy]] is the true
+    * multi-dimensional form. */
   def sortBy(spark: SparkSession, path: String, sortCols: Seq[String],
       numPartitions: Option[Int] = None): Unit = {
     require(sortCols.nonEmpty, "sortBy requires at least one column")

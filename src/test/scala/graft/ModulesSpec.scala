@@ -247,6 +247,45 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp time-travel, OPTIMIZE-as-version, and change feed") {
+    val root = Fixtures.tempDir("graft-vt-cdf") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((1 to 50).toDF("id").repartition(8)) // v0: 8 small files
+    Thread.sleep(5)
+    val betweenCommits = java.time.Instant.now().toString
+    Thread.sleep(5)
+    vt.write((51 to 60).toDF("id"), SaveMode.Append) // v1
+    // --- timestampAsOf: lands on v0, not v1
+    assert(vt.versionAsOf(betweenCommits) === 0L)
+    assert(vt.readAsOf(betweenCommits).count() === 50)
+    assert(vt.versionAsOf(java.time.Instant.now().toString) === 1L)
+    intercept[RuntimeException] { vt.versionAsOf("2000-01-01T00:00:00Z") }
+    // --- change feed, append-only range: file-level fast path returns
+    // exactly the appended rows as inserts
+    val cdf = vt.changes(0L, 1L).collect()
+    assert(cdf.forall(_.getString(1) === "insert"))
+    assert(cdf.map(_.getInt(0)).sorted.toSeq === (51 to 60).toSeq)
+    // --- OPTIMIZE: new version, fewer files, same rows; v0/v1 intact
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val v2 = vt.compact(targetFileMB = 128)
+    assert(v2 === 2L)
+    assert(vt.read().count() === 60)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "_data/c00000002"))
+      .count(_.getPath.getName.endsWith(".parquet")) < 9)
+    assert(vt.readVersion(0).count() === 50, "old versions survive OPTIMIZE")
+    assert(vt.history().head.operation === "OPTIMIZE")
+    // compaction rewrote every file but changed no rows: the row-level
+    // fallback reports an empty diff
+    assert(vt.changes(1L, 2L).count() === 0)
+    // overwrite range: inserts + deletes via the row-level path
+    vt.write(Seq(1, 999).toDF("id")) // v3 overwrite
+    val diff = vt.changes(2L, 3L).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(diff.contains((999, "insert")))
+    assert(diff.count(_._2 == "delete") === 59, s"got $diff")
+  }
+
   test("vacuum GCs unreferenced files and orphan commit dirs from crashed writes") {
     val root = Fixtures.tempDir("graft-vt-gc") + "/tbl"
     val vt = new VersionedTable(spark, root)
@@ -340,12 +379,60 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Maintain.run(spark, "restore",
       Map("path" -> vroot, "version" -> "0")).contains("now at v0"))
     assert(vt.read().count() === 1)
+    assert(Maintain.run(spark, "optimize", Map("path" -> vroot))
+      .contains("committed as v"))
     val vac = Maintain.run(spark, "vacuum",
       Map("path" -> vroot, "retain" -> "1"))
     assert(vac.startsWith("vacuum"), vac)
     intercept[RuntimeException] {
       Maintain.run(spark, "frobnicate", Map("path" -> path))
     }
+  }
+
+  test("ZValue: exact bit interleave, upper-inclusive edges, null sorts first") {
+    // 2 dims x 2 bits: edges (1,2,3) per dim → buckets 0..3
+    val edges = Seq(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0))
+    def z(x: java.lang.Double, y: java.lang.Double): Long =
+      Seq((x, y)).toDF("x", "y").select(graft.functions.ZValue.zvalue(
+        Seq(col("x").cast("double"), col("y").cast("double")), edges).as("z"))
+        .head.getLong(0)
+    // x=3.5 → bucket 3 (bits at positions 0,2); y=0.5 → bucket 0
+    assert(z(3.5, 0.5) === 5L) // 0b0101
+    assert(z(0.5, 3.5) === 10L) // 0b1010
+    // edge values are upper-inclusive: 1.0 stays in bucket 0
+    assert(z(1.0, 1.0) === 0L)
+    assert(z(1.5, 1.5) === 3L) // bucket 1 each → 0b0011
+    // null buckets to 0 (sorts first), never throws
+    assert(z(null, 3.5) === 10L)
+  }
+
+  test("zOrderBy: narrow per-file ranges on BOTH dimensions") {
+    val path = Fixtures.tempDir("graft-zorder") + "/t"
+    // 64x64 grid: x and y independent, both uniform on 0..63
+    spark.range(4096).select(
+      (col("id") % 64).cast("int").as("x"),
+      (col("id") / 64).cast("int").as("y"))
+      .repartition(4).write.parquet(path)
+    Maintenance.zOrderBy(spark, path, Seq("x", "y"),
+      bitsPerDim = 6, numPartitions = Some(16))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(min("x"), max("x"), min("y"), max("y")).head
+      ((r.getInt(1) - r.getInt(0)) / 63.0,
+        (r.getInt(3) - r.getInt(2)) / 63.0)
+    }
+    val avgX = ranges.map(_._1).sum / ranges.length
+    val avgY = ranges.map(_._2).sum / ranges.length
+    // the whole point vs sortBy: BOTH dims narrow per file (a plain
+    // sort by x leaves y's per-file range ~1.0)
+    assert(avgX < 0.6, s"avg x range $avgX")
+    assert(avgY < 0.6, s"avg y range $avgY")
+    assert(spark.read.parquet(path).count() === 4096)
   }
 
   test("sortBy rewrites clustered by column (row-group skipping layout)") {
