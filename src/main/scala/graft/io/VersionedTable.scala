@@ -2,6 +2,7 @@ package graft.io
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.charset.StandardCharsets
 
 /** Versioned Parquet table: the time-travel substitute for Delta's log
@@ -57,6 +58,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * root), its footer row count, and its size in bytes. */
   final case class ManifestEntry(relPath: String, rows: Long, bytes: Long)
 
+  /** A version: its snapshot schema plus its file list. The schema is
+    * stored IN the manifest (`#schema=` header), so reads plan against
+    * the recorded snapshot schema instead of inferring from file
+    * footers — O(1) instead of O(files) at planning time — and
+    * schema-evolved snapshots read older files with the missing
+    * columns filled null (parquet name-based resolution). */
+  final case class Manifest(schema: Option[StructType],
+      entries: Seq[ManifestEntry])
+
   def currentVersion: Option[Long] =
     if (fs.exists(latestPath)) {
       val in = fs.open(latestPath)
@@ -84,22 +94,27 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   /** Commit a new version. Append re-references the current manifest's
     * files and writes only the delta; Overwrite starts a fresh file
-    * set. Returns the new version number. */
+    * set. With `allowSchemaEvolution`, an Append may ADD columns
+    * (Delta mergeSchema): the snapshot schema grows, and reads fill
+    * the column null for pre-evolution files. Shared columns must
+    * always type-match — a silent type change corrupts reads. Returns
+    * the new version number. */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
-      operation: String = "WRITE"): Long = {
+      operation: String = "WRITE",
+      allowSchemaEvolution: Boolean = false): Long = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
-    val prior: Seq[ManifestEntry] = mode match {
+    val (prior, schema): (Seq[ManifestEntry], StructType) = mode match {
       case SaveMode.Append if exists =>
         val cur = readManifest(currentVersion.get)
-        requireAppendCompatible(df, cur)
-        cur
-      case _ => Seq.empty
+        (cur.entries,
+          reconcileAppendSchema(df, snapshotSchema(cur), allowSchemaEvolution))
+      case _ => (Seq.empty, df.schema)
     }
     val dir = commitDir(next)
     if (fs.exists(dir)) fs.delete(dir, true) // stale crashed attempt
     df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
     val added = listCommitFiles(dir)
-    writeManifest(next, prior ++ added)
+    writeManifest(next, Manifest(Some(schema), prior ++ added))
     appendHistory(next, operation, (prior ++ added).map(_.rows).sum)
     pointTo(next)
     next
@@ -109,12 +124,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def read(): DataFrame = readVersion(
     currentVersion.getOrElse(sys.error(s"table $root does not exist")))
 
-  /** S4: time-travel read at an explicit version. */
+  /** S4: time-travel read at an explicit version. Plans against the
+    * manifest's recorded snapshot schema — no per-file inference. */
   def readVersion(v: Long): DataFrame = {
     require(fs.exists(manifestPath(v)), s"version $v does not exist at $root")
-    val files = readManifest(v).map(e => new Path(rootPath, e.relPath).toString)
+    val m = readManifest(v)
+    val files = m.entries.map(e => new Path(rootPath, e.relPath).toString)
     require(files.nonEmpty, s"version $v of $root has an empty manifest")
-    spark.read.parquet(files: _*)
+    m.schema match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** S4: newest version committed at or before `ts` (ISO-8601 instant)
@@ -140,7 +160,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * version. */
   def compact(targetFileMB: Int = 128): Long = {
     val entries = readManifest(currentVersion.getOrElse(
-      sys.error(s"table $root does not exist")))
+      sys.error(s"table $root does not exist"))).entries
     val n = math.max(1L, entries.map(_.bytes).sum /
       (targetFileMB.toLong * 1024 * 1024)).toInt
     write(read().repartition(n), SaveMode.Overwrite, "OPTIMIZE")
@@ -160,17 +180,20 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * (`exceptAll` both ways — two shuffles, multiset semantics). */
   def changes(fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val fromFiles = readManifest(fromV).map(_.relPath).toSet
+    val fromFiles = readManifest(fromV).entries.map(_.relPath).toSet
     val toManifest = readManifest(toV)
-    val added = toManifest.filterNot(e => fromFiles.contains(e.relPath))
-    val removed = fromFiles -- toManifest.map(_.relPath).toSet
+    val added = toManifest.entries.filterNot(e => fromFiles.contains(e.relPath))
+    val removed = fromFiles -- toManifest.entries.map(_.relPath).toSet
     if (removed.isEmpty) {
       if (added.isEmpty)
         readVersion(toV).limit(0).withColumn("_change_type", lit("insert"))
-      else
-        spark.read.parquet(
-          added.map(e => new Path(rootPath, e.relPath).toString): _*)
+      else {
+        val paths = added.map(e => new Path(rootPath, e.relPath).toString)
+        toManifest.schema
+          .map(s => spark.read.schema(s).parquet(paths: _*))
+          .getOrElse(spark.read.parquet(paths: _*))
           .withColumn("_change_type", lit("insert"))
+      }
     } else {
       val a = readVersion(fromV)
       val b = readVersion(toV)
@@ -184,10 +207,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * version numbers are never reused. */
   def restore(v: Long): Unit = {
     require(fs.exists(manifestPath(v)), s"version $v does not exist at $root")
-    val entries = readManifest(v)
+    val m = readManifest(v)
     val next = currentVersion.map(_ + 1).getOrElse(0L)
-    writeManifest(next, entries)
-    appendHistory(next, s"RESTORE to v$v", entries.map(_.rows).sum)
+    writeManifest(next, m)
+    appendHistory(next, s"RESTORE to v$v", m.entries.map(_.rows).sum)
     pointTo(next)
   }
 
@@ -226,7 +249,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val keep = committed.filter(v => v == cur || v > cur - retainVersions)
     val drop = committed.diff(keep)
     drop.foreach(v => fs.delete(manifestPath(v), false))
-    val referenced: Set[String] = keep.flatMap(readManifest(_).map(_.relPath)).toSet
+    val referenced: Set[String] =
+      keep.flatMap(readManifest(_).entries.map(_.relPath)).toSet
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).map(_.getPath).foreach { dir =>
         val n = dir.getName
@@ -275,36 +299,58 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }
   }
 
-  /** Append compatibility = same column-name→type map as the current
-    * snapshot (order-insensitive: parquet reads columns by name). The
-    * old union-based append enforced this implicitly via unionByName;
-    * with manifests a silent mismatch would corrupt reads instead, so
-    * check the schemas (a footer read, no data scan) and fail fast. */
-  private def requireAppendCompatible(df: DataFrame,
-      cur: Seq[ManifestEntry]): Unit = {
-    if (cur.isEmpty) return
-    val curSchema = spark.read
-      .parquet(new Path(rootPath, cur.head.relPath).toString).schema
-    val curTypes = curSchema.fields.map(f => f.name -> f.dataType).toMap
-    val newTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    require(curTypes == newTypes,
-      s"append schema mismatch at $root: table has $curTypes, got $newTypes")
+  /** The snapshot schema of a manifest; falls back to a first-file
+    * footer read for manifests written before schemas were recorded. */
+  private def snapshotSchema(m: Manifest): StructType = m.schema.getOrElse {
+    spark.read.parquet(
+      new Path(rootPath, m.entries.head.relPath).toString).schema
   }
 
-  private def readManifest(v: Long): Seq[ManifestEntry] = {
+  /** Append compatibility (order-insensitive: parquet reads columns by
+    * name). Shared columns must type-match exactly; missing columns are
+    * fine (the new files read null-filled under the snapshot schema);
+    * NEW columns require `allowSchemaEvolution` and widen the snapshot
+    * schema, nullable (pre-evolution files read them as null). The old
+    * union-based append enforced compatibility implicitly; with
+    * manifests a silent mismatch would corrupt reads, so fail fast. */
+  private def reconcileAppendSchema(df: DataFrame, cur: StructType,
+      allowEvolution: Boolean): StructType = {
+    val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+    df.schema.fields.foreach { f =>
+      curTypes.get(f.name) match {
+        case Some(t) => require(t == f.dataType,
+          s"append type mismatch at $root column ${f.name}: " +
+            s"table has ${t.catalogString}, append has ${f.dataType.catalogString}")
+        case None => require(allowEvolution,
+          s"append adds column ${f.name} at $root; " +
+            "pass allowSchemaEvolution=true to evolve the snapshot schema")
+      }
+    }
+    val added = df.schema.fields
+      .filterNot(f => curTypes.contains(f.name)).map(_.copy(nullable = true))
+    StructType(cur.fields ++ added)
+  }
+
+  private def readManifest(v: Long): Manifest = {
     val in = fs.open(manifestPath(v))
     val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val schema = lines.find(_.startsWith("#schema="))
+      .map(l => DataType.fromJson(l.stripPrefix("#schema="))
+        .asInstanceOf[StructType])
+    val entries = lines.filterNot(_.startsWith("#")).map { line =>
       val Array(p, r, b) = line.split('\t')
       ManifestEntry(p, r.toLong, b.toLong)
-    }.toSeq
+    }
+    Manifest(schema, entries)
   }
 
   /** Temp-write + rename: the rename is the commit point. */
-  private def writeManifest(v: Long, entries: Seq[ManifestEntry]): Unit = {
+  private def writeManifest(v: Long, m: Manifest): Unit = {
     if (!fs.exists(manifestsRoot)) fs.mkdirs(manifestsRoot)
-    val body = entries
+    val header = m.schema.map(s => s"#schema=${s.json}\n").getOrElse("")
+    val body = header + m.entries
       .map(e => s"${e.relPath}\t${e.rows}\t${e.bytes}").mkString("\n")
     val tmp = new Path(manifestsRoot, f".v$v%08d.tmp")
     val out = fs.create(tmp, true)

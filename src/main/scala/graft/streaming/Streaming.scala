@@ -130,6 +130,30 @@ object Streaming {
     * Update is for dashboards/memory sinks. */
   val defaultAggMode: OutputMode = OutputMode.Update()
 
+  /** foreachBatch sink committing each micro-batch as one
+    * [[graft.io.VersionedTable]] Append version, EXACTLY-ONCE: the
+    * batch id is recorded in the commit's history operation, and a
+    * replayed batch (foreachBatch's contract is at-least-once — a
+    * failure after the write but before the checkpoint re-runs the
+    * batch) is detected and skipped, so rows are never appended twice.
+    * Batch ids are monotonic per query, so "already committed" =
+    * newest stream-batch id in history >= this one.
+    *
+    * Usage: `df.writeStream.foreachBatch(versionedAppendBatch(root)).
+    * option("checkpointLocation", ...).start()`. */
+  def versionedAppendBatch(root: String)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val vt = new graft.io.VersionedTable(batch.sparkSession, root)
+    val lastCommitted = vt.history(Int.MaxValue).iterator
+      .map(_.operation).collectFirst {
+        case op if op.startsWith("STREAM_BATCH_") =>
+          op.stripPrefix("STREAM_BATCH_").toLong
+      }
+    if (lastCommitted.forall(_ < batchId) && !batch.isEmpty)
+      vt.write(batch, org.apache.spark.sql.SaveMode.Append,
+        s"STREAM_BATCH_$batchId")
+  }
+
   // ------------------------------------------------------------ sessions
 
   final case class SessionEvent(key: String, ts: java.sql.Timestamp)

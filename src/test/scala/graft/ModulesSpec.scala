@@ -247,6 +247,34 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("append schema evolution: new columns widen the snapshot, old files read null") {
+    val root = Fixtures.tempDir("graft-vt-evolve") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1, "a")).toDF("id", "s")) // v0
+    // adding a column without the flag fails fast
+    intercept[IllegalArgumentException] {
+      vt.write(Seq((2, "b", 9.5)).toDF("id", "s", "score"), SaveMode.Append)
+    }
+    // with the flag: snapshot schema widens, pre-evolution rows null-fill
+    vt.write(Seq((2, "b", 9.5)).toDF("id", "s", "score"), SaveMode.Append,
+      allowSchemaEvolution = true) // v1
+    val rows = vt.read().orderBy("id").collect()
+    assert(vt.read().columns.toSeq === Seq("id", "s", "score"))
+    assert(rows(0).isNullAt(2), "pre-evolution row must read null score")
+    assert(rows(1).getDouble(2) === 9.5)
+    // time travel to v0 keeps the ORIGINAL schema
+    assert(vt.readVersion(0).columns.toSeq === Seq("id", "s"))
+    // appends may omit columns (null-filled under the snapshot schema)
+    vt.write(Seq((3, "c")).toDF("id", "s"), SaveMode.Append) // v2
+    val r3 = vt.read().filter("id = 3").head
+    assert(r3.isNullAt(2))
+    // shared-column type changes always fail — silent corruption path
+    intercept[IllegalArgumentException] {
+      vt.write(Seq(("x", "d")).toDF("id", "s"), SaveMode.Append,
+        allowSchemaEvolution = true)
+    }
+  }
+
   test("timestamp time-travel, OPTIMIZE-as-version, and change feed") {
     val root = Fixtures.tempDir("graft-vt-cdf") + "/tbl"
     val vt = new VersionedTable(spark, root)

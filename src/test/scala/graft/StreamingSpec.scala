@@ -162,6 +162,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("versionedAppendBatch: streams commit as versions; replayed batch skipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Fixtures.tempDir("graft-stream-vt") + "/tbl"
+    val sink = graft.streaming.Streaming.versionedAppendBatch(root)
+    val input = MemoryStream[Int]
+    val q = input.toDS().toDF("n").writeStream.foreachBatch(sink).start()
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+      input.addData(4, 5)
+      q.processAllAvailable()
+      val vt = new graft.io.VersionedTable(spark, root)
+      assert(vt.read().collect().map(_.getInt(0)).sorted.toSeq === (1 to 5))
+      assert(vt.currentVersion === Some(1L), "one version per micro-batch")
+      // at-least-once replay: re-invoking with an already-committed
+      // batch id must NOT append again
+      sink(Seq(4, 5).toDF("n"), 1L)
+      assert(vt.read().count() === 5, "replayed batch must be skipped")
+      assert(vt.currentVersion === Some(1L))
+      // but the next batch id commits normally
+      sink(Seq(6).toDF("n"), 2L)
+      assert(vt.read().count() === 6)
+    } finally q.stop()
+  }
+
   test("dedupStreamByContent: identical texts collapse across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
