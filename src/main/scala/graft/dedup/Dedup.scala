@@ -223,6 +223,53 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** SimHash near-dup pairs via bit-banding (Manku, Jain & Sarma,
+    * "Detecting Near-Duplicates for Web Crawling", WWW'07 — public
+    * algorithm). Split the `bits`-wide signature into `numBands`
+    * contiguous bands; by pigeonhole, any pair within `maxHamming`
+    * (< numBands) bit flips shares at least one band UNCHANGED, so
+    * candidates come from a (band, bandValue) equi-join — bucketed,
+    * never all-pairs, EXACT recall at the Hamming threshold — and only
+    * candidates pay the bit_count(xor) verification. Same bucket-join
+    * shape as MinHash-LSH, but in pure integer space: signatures are
+    * one native-expression scan, candidate keys are (int, int), and
+    * verification is two codegen'd ALU ops per pair. Production corpora
+    * use wider signatures (64-bit) and more bands; the plan is
+    * identical. Output (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, numBands: Int = 4, maxHamming: Int = 3,
+      seed: Int = 99, maxBucket: Int = 10000): DataFrame = {
+    require(numBands > maxHamming,
+      s"need numBands > maxHamming for exact recall (pigeonhole); " +
+        s"got $numBands bands, hamming $maxHamming")
+    require(bits % numBands == 0, s"$bits bits not divisible into $numBands bands")
+    val w = bits / numBands
+    val sigs = df
+      .select(col(idCol), simhash(col(textCol), bits, seed).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), w * b).bitwiseAND(lit((1 << w) - 1)).as("bv"))
+    }
+    val bands = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bv").as("bv"))
+    // same degenerate-bucket cap as lshCandidates: a band value shared
+    // by a huge cluster belongs to exact dedup, not pair expansion
+    val cand = expandSortedIdPairs(
+      bands.groupBy("band", "bv")
+        .agg(sort_array(collect_set(col(idCol))).as("ids"))
+        .filter(size(col("ids")).between(2, maxBucket)))
+      .distinct()
+    cand
+      .join(sigs.select(col(idCol).as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col(idCol).as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Exact n-gram-Jaccard near-dup join with PPJoin-style prefix
     * filtering (Xiao et al., "Efficient Similarity Joins for Near
     * Duplicate Detection", WWW'08 — public algorithm): two sets with

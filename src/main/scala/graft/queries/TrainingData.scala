@@ -83,6 +83,11 @@ object TrainingData {
       col("doc_id"),
       Dedup.simhash(col("text"), bits = 16).as("simhash16"))
 
+  /** SimHash-banded near-dup pairs (Manku et al. WWW'07): Hamming ≤ 3
+    * on the 16-bit signatures, candidates from a 4-band bucket join. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(docs(spark, dir), "doc_id", "text")
+
   /** Exact 2-gram-Jaccard near-dup pairs (length-band blocking) via
     * PPJoin-style prefix filtering — same output as the quadratic
     * within-bucket scan, but candidates come from a token equi-join. */
@@ -193,7 +198,8 @@ object TrainingData {
     "q29_embed_neardup" -> embedNearDup,
     "q30_ann_ivf" -> annIvf,
     "q31_winnow_neardup" -> winnowNearDup,
-    "q36_neardup_components" -> neardupComponents
+    "q36_neardup_components" -> neardupComponents,
+    "q38_simhash_neardup" -> simhashNearDup
   )
 
   /** DuckDB hash helper fragment: integer of first 8 md5 hex digits of
@@ -204,17 +210,43 @@ object TrainingData {
   private val enStops = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
   private val xxStops = TextAnalysis.xxStopwords.map(w => s"'$w'").mkString(", ")
 
-  /** 16-term simhash SQL, generated to mirror Dedup.simhash(bits=16). */
-  private val simhashSql: String = {
-    val terms = (0 until 16).map { j =>
-      val bitSum = "list_sum(list_transform(t, tok -> CASE WHEN " +
-        s"((${duckHash("'99'", "tok")} >> $j) & 1) = 1 THEN 1 ELSE -1 END))"
-      s"(CASE WHEN $bitSum >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
+  /** 16-term simhash expression, generated to mirror
+    * Dedup.simhash(bits=16); shared by the q24 and q38 oracles. */
+  private val simhashTerms: String = (0 until 16).map { j =>
+    val bitSum = "list_sum(list_transform(t, tok -> CASE WHEN " +
+      s"((${duckHash("'99'", "tok")} >> $j) & 1) = 1 THEN 1 ELSE -1 END))"
+    s"(CASE WHEN $bitSum >= 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+
+  private val simhashSql: String =
     s"""WITH toks AS (
          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-       SELECT doc_id, $terms AS simhash16 FROM toks"""
-  }
+       SELECT doc_id, $simhashTerms AS simhash16 FROM toks"""
+
+  /** q38 oracle: banded simhash near-dup pairs — mirrors
+    * Dedup.simhashNearDupPairs (4 bands x 4 bits, hamming <= 3,
+    * maxBucket cap included). */
+  private val simhashPairsSql: String =
+    s"""WITH toks AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       sims AS (
+         SELECT doc_id, $simhashTerms AS sig FROM toks),
+       bands AS (
+         SELECT doc_id, sig, b, (sig >> (4 * b)) & 15 AS bv
+         FROM sims, range(4) rb(b)),
+       bsize AS (
+         SELECT b, bv, count(*) AS n FROM bands GROUP BY b, bv),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           a.sig AS sa, b2.sig AS sb
+         FROM bands a JOIN bands b2
+           ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+         JOIN bsize s ON a.b = s.b AND a.bv = s.bv
+         WHERE s.n BETWEEN 2 AND 10000)
+       SELECT doc_a, doc_b,
+         CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       ORDER BY doc_a, doc_b"""
 
   private val minhashSql: String =
     s"""WITH toks AS (
@@ -307,6 +339,7 @@ object TrainingData {
          FROM corpus GROUP BY 1 ORDER BY 1""",
     "q23_minhash_lsh_pairs" -> minhashSql,
     "q24_simhash" -> simhashSql,
+    "q38_simhash_neardup" -> simhashPairsSql,
     "q25_ngram_jaccard_pairs" ->
       """WITH d AS (
            SELECT doc_id, n_chars // 50 AS bucket,

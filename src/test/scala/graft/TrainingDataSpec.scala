@@ -121,6 +121,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(nullTok.getInt(0) === nullTok.getInt(1))
   }
 
+  test("simhash banded pairs ≡ brute-force hamming scan (pigeonhole exactness)") {
+    val pairs = TrainingData.simhashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.nonEmpty, "fabricated near-dups should pair at hamming <= 3")
+    assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
+    // numBands > maxHamming guarantees EXACT recall: the banded join
+    // must produce precisely the pairs a quadratic scan finds
+    val sigs = TrainingData.simhashDocs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = Integer.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(pairs.toSet === brute,
+      s"missing=${brute -- pairs.toSet} extra=${pairs.toSet -- brute}")
+  }
+
   test("simhash: verified near-dup pairs have small hamming distance") {
     val sims = TrainingData.simhashDocs(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
