@@ -84,7 +84,7 @@ object TrainingData {
       Dedup.simhash(col("text"), bits = 16).as("simhash16"))
 
   /** SimHash-banded near-dup pairs (Manku et al. WWW'07): Hamming ≤ 3
-    * on the 16-bit signatures, candidates from a 4-band bucket join. */
+    * on 28-bit signatures, candidates from a 4-band bucket join. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(docs(spark, dir), "doc_id", "text")
 
@@ -210,9 +210,10 @@ object TrainingData {
   private val enStops = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
   private val xxStops = TextAnalysis.xxStopwords.map(w => s"'$w'").mkString(", ")
 
-  /** 16-term simhash expression, generated to mirror
-    * Dedup.simhash(bits=16); shared by the q24 and q38 oracles. */
-  private val simhashTerms: String = (0 until 16).map { j =>
+  /** Simhash expression over `bits` bits, generated to mirror
+    * Dedup.simhash; shared by the q24 (16-bit) and q38 (28-bit)
+    * oracles. */
+  private def simhashTerms(bits: Int): String = (0 until bits).map { j =>
     val bitSum = "list_sum(list_transform(t, tok -> CASE WHEN " +
       s"((${duckHash("'99'", "tok")} >> $j) & 1) = 1 THEN 1 ELSE -1 END))"
     s"(CASE WHEN $bitSum >= 0 THEN ${1 << j} ELSE 0 END)"
@@ -221,18 +222,18 @@ object TrainingData {
   private val simhashSql: String =
     s"""WITH toks AS (
          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
-       SELECT doc_id, $simhashTerms AS simhash16 FROM toks"""
+       SELECT doc_id, ${simhashTerms(16)} AS simhash16 FROM toks"""
 
   /** q38 oracle: banded simhash near-dup pairs — mirrors
-    * Dedup.simhashNearDupPairs (4 bands x 4 bits, hamming <= 3,
+    * Dedup.simhashNearDupPairs (4 bands x 7 bits, hamming <= 3,
     * maxBucket cap included). */
   private val simhashPairsSql: String =
     s"""WITH toks AS (
          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
        sims AS (
-         SELECT doc_id, $simhashTerms AS sig FROM toks),
+         SELECT doc_id, ${simhashTerms(28)} AS sig FROM toks),
        bands AS (
-         SELECT doc_id, sig, b, (sig >> (4 * b)) & 15 AS bv
+         SELECT doc_id, sig, b, (sig >> (7 * b)) & 127 AS bv
          FROM sims, range(4) rb(b)),
        bsize AS (
          SELECT b, bv, count(*) AS n FROM bands GROUP BY b, bv),

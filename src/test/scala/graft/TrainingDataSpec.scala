@@ -127,9 +127,11 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pairs.nonEmpty, "fabricated near-dups should pair at hamming <= 3")
     assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
     // numBands > maxHamming guarantees EXACT recall: the banded join
-    // must produce precisely the pairs a quadratic scan finds
-    val sigs = TrainingData.simhashDocs(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getInt(1))
+    // must produce precisely the pairs a quadratic scan finds (same
+    // 28-bit signatures the operator defaults to)
+    val sigs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text"), bits = 28).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
     val brute = (for {
       (a, sa) <- sigs; (b, sb) <- sigs if a < b
       h = Integer.bitCount(sa ^ sb) if h <= 3
