@@ -205,9 +205,64 @@ object Multimodal {
     }
   }
 
+  /** REAL frame extraction for animated GIFs — the one multi-frame
+    * format the JRE decodes (`javax.imageio` GIF reader): every
+    * `stride`-th frame is decoded and reduced to mean-RGB+luma
+    * features, rows (media_id, frame_idx, width, height, feature).
+    * Frames are the raw per-frame rasters; GIF inter-frame compositing
+    * (disposal methods) is NOT applied — features describe what each
+    * frame encodes, which is the right input for frame-level dedup /
+    * similarity. Non-animated images yield one row; undecodable
+    * payloads yield none (filter upstream or fall back to
+    * [[sampleFrames]]). A real video codec slots in at the same
+    * per-partition position with the same row shape. */
+  def sampleFramesDecoded(ds: Dataset[MediaRecord], stride: Int): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    require(stride >= 1, "stride must be >= 1")
+    ds.flatMap { r =>
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Seq.empty }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true) // allowSearch: in-memory, cheap
+            (0 until n by stride).map { i =>
+              val img = reader.read(i)
+              val w = img.getWidth
+              val h = img.getHeight
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                img.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val p = row(x)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val denom = w.toFloat * h * 255
+              val (mr, mg, mb) = (sr / denom, sg / denom, sb / denom)
+              val luma = 0.299f * mr + 0.587f * mg + 0.114f * mb
+              (r.media_id, i, w, h, Array(mr, mg, mb, luma))
+            }
+          } finally { reader.dispose(); iis.close() }
+        }
+      } catch { case _: Exception => Seq.empty }
+    }.toDF("media_id", "frame_idx", "width", "height", "feature")
+  }
+
   /** Frame sampling: keep every `stride`-th kilobyte-"frame" of the
     * payload (STUB for real frame extraction — the slicing arithmetic
-    * and row shape are what a real sampler produces). */
+    * and row shape are what a real sampler produces; for animated GIFs
+    * [[sampleFramesDecoded]] extracts REAL frames). */
   def sampleFrames(ds: Dataset[MediaRecord], stride: Int): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._

@@ -98,6 +98,43 @@ class MultimodalSpec extends AnyFunSuite {
     out.values.foreach(f => f.feature.foreach(v => assert(v >= 0f && v <= 1f)))
   }
 
+  test("sampleFramesDecoded: REAL animated-GIF frames, stride-sampled") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // 5-frame animated GIF: solid red, green, blue, white, black
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val ds = Multimodal.fromBinary(
+      Seq((9L, bos.toByteArray)).toDF("media_id", "payload"),
+      "media_id", "payload", "video")
+    val frames = Multimodal.sampleFramesDecoded(ds, stride = 2).collect()
+      .map(r => r.getInt(1) -> r).toMap
+    assert(frames.keySet === Set(0, 2, 4), s"got ${frames.keySet}")
+    frames.values.foreach(r => assert(r.getInt(2) === 3 && r.getInt(3) === 2))
+    // frame 0 red, frame 2 blue, frame 4 black (GIF palette is lossy-ish
+    // but solid primaries survive exactly)
+    def feat(i: Int) = frames(i).getSeq[Float](4)
+    assert(feat(0)(0) > 0.9f && feat(0)(2) < 0.1f, feat(0).mkString(","))
+    assert(feat(2)(2) > 0.9f && feat(2)(0) < 0.1f, feat(2).mkString(","))
+    assert(feat(4).take(3).forall(_ < 0.1f), feat(4).mkString(","))
+    // undecodable payloads yield no rows, not a crash
+    val junk = Multimodal.fromBinary(
+      Seq((10L, Array[Byte](1, 2, 3))).toDF("media_id", "payload"),
+      "media_id", "payload", "video")
+    assert(Multimodal.sampleFramesDecoded(junk, 1).count() === 0)
+  }
+
   test("video media type derives frame counts from payload size") {
     val out = Multimodal.featurize(spark, mediaDf(), "media_id", "payload", "video")
     val frames = out.collect().map(r => r.getLong(0) -> r.getInt(6)).toMap
