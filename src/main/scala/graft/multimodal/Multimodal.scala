@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * frame-sample stages.
   *
   * The Spark-side machinery — schema, typed Datasets, per-partition
-  * batch processing, partition sizing — is real and tested. Image
-  * decode is REAL for PPM (pure-JVM parser) and PNG/JPEG/BMP/GIF (JDK
-  * `javax.imageio`, headless-safe, zero added dependencies). Audio and
-  * video decode remain clearly-marked STUBs (the JRE ships no audio /
-  * video codecs): `decodeStub` derives deterministic fake features from
-  * the raw bytes. Swapping in a real codec changes ONE function and
-  * nothing about the distributed plan.
+  * batch processing, partition sizing — is real and tested. Decode is
+  * REAL for PPM (pure-JVM parser), PNG/JPEG/BMP/GIF (JDK
+  * `javax.imageio`), animated-GIF frames, and WAV audio (JDK
+  * `javax.sound.sampled`) — all headless-safe, zero added
+  * dependencies. Only compressed audio (MP3/AAC) and true video remain
+  * clearly-marked STUBs (the JRE ships no codecs for them):
+  * `decodeStub` derives deterministic fake features from the raw
+  * bytes. Swapping in a real codec changes ONE function and nothing
+  * about the distributed plan.
   *
   * Scale notes:
   *   - Decode runs in `mapPartitions`, so a real codec amortizes its
@@ -188,13 +190,79 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** REAL decoder for WAV audio via JDK `javax.sound.sampled` —
+    * headless, zero dependencies. Parses the format (sample rate,
+    * channels, frame count) and computes amplitude features over the
+    * decoded PCM samples, normalized to [0,1]:
+    * feature = (rms, meanAbs, peak, zeroCrossingRate, 0...).
+    * `width` carries the sample rate, `height` the channel count,
+    * `n_frames` the PCM frame count — the typed metadata a real audio
+    * pipeline partitions and filters on. None for non-WAV/unsupported
+    * encodings (→ stub fallback). */
+  private[multimodal] def decodeWav(r: MediaRecord): Option[MediaFeatures] = {
+    val b = r.content
+    // RIFF....WAVE magic — don't pay a parser attempt on other payloads
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) return None // PCM 8/16-bit only
+        val channels = fmt.getChannels
+        val frames = in.getFrameLength
+        val bytes = in.readAllBytes()
+        val n = bytes.length / (bits / 8)
+        if (n == 0) return None
+        var (sumSq, sumAbs) = (0.0, 0.0)
+        var peak = 0.0
+        var crossings = 0L
+        var prevNeg = false
+        val big = fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          val s: Double =
+            if (bits == 16) {
+              val o = i * 2
+              val v = if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff))
+                else ((bytes(o + 1) << 8) | (bytes(o) & 0xff))
+              v.toShort / 32768.0
+            } else (if (fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              bytes(i).toDouble else ((bytes(i) & 0xff) - 128).toDouble) / 128.0
+          val a = math.abs(s)
+          sumSq += s * s; sumAbs += a
+          if (a > peak) peak = a
+          val neg = s < 0
+          if (i > 0 && neg != prevNeg) crossings += 1
+          prevNeg = neg
+          i += 1
+        }
+        var checksum = 0L
+        i = 0
+        while (i < b.length) { checksum = checksum * 31 + (b(i) & 0xff); i += 1 }
+        val rms = math.sqrt(sumSq / n).toFloat
+        val feat = Array(rms, (sumAbs / n).toFloat, peak.toFloat,
+          (crossings.toDouble / n).toFloat, 0f, 0f, 0f, 0f)
+        Some(MediaFeatures(r.media_id, r.media_type, b.length, checksum,
+          fmt.getSampleRate.toInt, channels,
+          if (frames >= 0) frames.toInt else n / channels, feat))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   private def decodeOne(r: MediaRecord): MediaFeatures =
-    decodePpm(r).orElse(decodeImageIo(r)).getOrElse(decodeStub(r))
+    decodePpm(r).orElse(decodeWav(r)).orElse(decodeImageIo(r))
+      .getOrElse(decodeStub(r))
 
   /** Decode + feature-extract: per-partition batch loop so a real codec
-    * pays init cost once per partition. PPM (P6, pure-JVM parser) and
-    * PNG/JPEG/BMP/GIF (JDK ImageIO) payloads decode for real; audio /
-    * video go through the stub (no codec libraries in the JRE). */
+    * pays init cost once per partition. PPM (pure-JVM parser),
+    * PNG/JPEG/BMP/GIF (JDK ImageIO), and WAV (JDK javax.sound) decode
+    * for real; compressed audio / true video go through the stub (no
+    * codec libraries in the JRE). */
   def decode(ds: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._

@@ -98,6 +98,44 @@ class MultimodalSpec extends AnyFunSuite {
     out.values.foreach(f => f.feature.foreach(v => assert(v >= 0f && v <= 1f)))
   }
 
+  test("WAV payloads decode for REAL via javax.sound: format + amplitude features") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 0.1s of a 440 Hz sine at half amplitude, 8 kHz mono 16-bit PCM
+    val rate = 8000
+    val nSamples = 800
+    val amp = 0.5
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * amp * 32767).toInt
+      pcm(i * 2) = (s & 0xff).toByte // little-endian
+      pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples),
+      AudioFileFormat.Type.WAVE, bos)
+    val ds = Multimodal.fromBinary(
+      Seq((11L, bos.toByteArray)).toDF("media_id", "payload"),
+      "media_id", "payload", "audio")
+    val f = Multimodal.decode(ds).collect()(0)
+    assert(f.width === rate, "width carries the sample rate")
+    assert(f.height === 1, "height carries the channel count")
+    assert(f.n_frames === nSamples)
+    // sine RMS = amp/sqrt(2) ~ 0.354; zero-crossing rate ~ 2*440/8000 = 0.11
+    assert(math.abs(f.feature(0) - amp / math.sqrt(2)) < 0.01,
+      s"rms ${f.feature(0)}")
+    assert(math.abs(f.feature(2) - amp) < 0.01, s"peak ${f.feature(2)}")
+    assert(math.abs(f.feature(3) - 0.11f) < 0.01, s"zcr ${f.feature(3)}")
+    // malformed RIFF falls back to the stub, not a crash
+    val junk = "RIFFxxxxWAVEgarbage".getBytes("US-ASCII")
+    val fb = Multimodal.decode(Multimodal.fromBinary(
+      Seq((12L, junk)).toDF("media_id", "payload"),
+      "media_id", "payload", "audio")).collect()(0)
+    assert(fb.n_bytes === junk.length)
+  }
+
   test("sampleFramesDecoded: REAL animated-GIF frames, stride-sampled") {
     import spark.implicits._
     import java.awt.image.BufferedImage
