@@ -67,19 +67,24 @@ final class VersionedTable(spark: SparkSession, root: String) {
   final case class Manifest(schema: Option[StructType],
       entries: Seq[ManifestEntry])
 
-  def currentVersion: Option[Long] =
-    if (fs.exists(latestPath)) {
-      val in = fs.open(latestPath)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    } else
-      // Recovery: a lost `_latest` (crash mid-swap on a filesystem
-      // without overwrite-rename) must not reset the table to version 0
-      // — the next write would collide with v0, or Append would union
-      // with nothing and silently drop the previous snapshot. The
-      // newest COMMITTED version — i.e. one whose manifest rename
-      // completed — is the best-known current.
-      committedVersions.lastOption
+  /** Current = max(pointer, newest manifest). The pointer is a CACHE
+    * of the newest committed version, not the source of truth — the
+    * manifest rename is the commit. Taking the max recovers from both
+    * crash windows: a LOST pointer (crash mid-swap) falls back to the
+    * manifests instead of resetting to v0 and silently dropping the
+    * snapshot; a STALE pointer (crash after the manifest rename,
+    * before the swap) yields the stranded-but-committed version, so
+    * the next write continues past it rather than colliding. */
+  def currentVersion: Option[Long] = {
+    val pointer =
+      if (!fs.exists(latestPath)) None
+      else {
+        val in = fs.open(latestPath)
+        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      }
+    (pointer ++ committedVersions.lastOption).maxOption
+  }
 
   /** Versions whose commit completed, oldest first. The manifest file
     * IS the commit marker — every consumer (recovery, vacuum, reads)
@@ -357,7 +362,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dest = manifestPath(v)
-    if (fs.exists(dest)) fs.delete(dest, false) // crashed same-version retry
+    // Optimistic concurrency: version numbers are allocated from
+    // currentVersion (which already accounts for stranded-but-committed
+    // manifests), so an existing destination can only mean another
+    // writer committed this version after we read ours — fail loudly
+    // instead of silently clobbering their commit. (The reference is a
+    // single-writer pipeline; this guard turns a violated assumption
+    // into an error, not data loss.)
+    if (fs.exists(dest)) {
+      fs.delete(tmp, false)
+      sys.error(s"concurrent write conflict at $root: version $v was " +
+        "committed by another writer; re-read and retry")
+    }
     fs.rename(tmp, dest)
   }
 

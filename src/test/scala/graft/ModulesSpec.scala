@@ -216,6 +216,38 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(v2 === 2L && vt.read().count() === 3)
   }
 
+  test("stale pointer resumes past the stranded commit; foreign commits absorbed") {
+    val root = Fixtures.tempDir("graft-vt-stale") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    vt.write(Seq((1, "a")).toDF("id", "s")) // v0
+    vt.write(Seq((2, "b")).toDF("id", "s"), SaveMode.Append) // v1
+    // simulate a crash AFTER v1's manifest rename but BEFORE the
+    // pointer swap: regress _latest to 0
+    val latest = new org.apache.hadoop.fs.Path(root, "_latest")
+    fs.delete(latest, false)
+    val out = fs.create(latest, true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    // the stranded v1 IS committed (its manifest exists): current
+    // resumes at 1, and the next write continues at v2 instead of
+    // colliding with / clobbering v1
+    assert(vt.currentVersion === Some(1L))
+    val v2 = vt.write(Seq((3, "c")).toDF("id", "s"), SaveMode.Append)
+    assert(v2 === 2L && vt.read().count() === 3)
+    // and a manifest committed by a foreign writer is simply absorbed:
+    // commits are the source of truth, so the next allocation moves
+    // past it (the in-write rename guard covers the residual race
+    // window between version allocation and commit)
+    val in2 = fs.open(new org.apache.hadoop.fs.Path(root, "_manifests/v00000002.txt"))
+    val bytes2 = try in2.readAllBytes() finally in2.close()
+    val o2 = fs.create(new org.apache.hadoop.fs.Path(root, "_manifests/v00000005.txt"), true)
+    try o2.write(bytes2) finally o2.close()
+    assert(vt.currentVersion === Some(5L))
+    val v6 = vt.write(Seq((4, "d")).toDF("id", "s"), SaveMode.Append)
+    assert(v6 === 6L && vt.read().count() === 4)
+  }
+
   test("append is O(delta): prior version's files untouched, only new files written") {
     val root = Fixtures.tempDir("graft-vt-manifest") + "/tbl"
     val vt = new VersionedTable(spark, root)
