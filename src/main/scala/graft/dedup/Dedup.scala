@@ -462,7 +462,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // labels only ever DECREASE, so sum(label) is a sufficient (and
     // join-free) convergence check: stable sum <=> no label changed
-    var labelSum = labels.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    var labelSum = labels.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     var converged = false
     var iter = 1
     while (!converged && iter < maxIters) {
@@ -473,7 +473,7 @@ object Dedup {
         .join(labels.select(col("a").as("b"), col("label")), "b")
         .groupBy("a").agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = next.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == labelSum
@@ -543,7 +543,7 @@ object Dedup {
         coalesce(sum(col("a").cast("decimal(38,0)")), lit(0)).as("sa"),
         coalesce(sum(col("b").cast("decimal(38,0)")), lit(0)).as("sb"),
         coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
-          lit(0)).as("h")).head
+          lit(0)).as("h")).head()
 
     var cur = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))

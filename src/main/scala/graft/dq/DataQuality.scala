@@ -100,7 +100,7 @@ final class DataQualityFramework(spark: SparkSession) {
           case Some(actual) =>
             val row = df.agg(
               count(lit(1)).as("total"),
-              count(when(nullPred(df, actual), 1)).as("nulls")).head
+              count(when(nullPred(df, actual), 1)).as("nulls")).head()
             val (total, nulls) = (row.getLong(0), row.getLong(1))
             val pct = if (total == 0) 0.0 else nulls.toDouble / total
             if (pct > maxNullPct)
@@ -183,7 +183,7 @@ final class DataQualityFramework(spark: SparkSession) {
           aggs.zipWithIndex.map { case (a, j) => a.cast("long").as(s"__c${i}_$j") }
         }
         val all = count(lit(1)).cast("long").as("__total") +: aggCols
-        val row = df.agg(all.head, all.tail: _*).head
+        val row = df.agg(all.head, all.tail: _*).head()
         val total = row.getLong(0)
         var offset = 1
         val values = plans.zipWithIndex.map { case ((check, aggs, _), i) =>

@@ -23,7 +23,7 @@ object Incremental {
     if (!TableIO.exists(spark, tablePath)) return None
     val df = TableIO.read(spark, tablePath)
     Cols.resolve(df, watermarkColumn).flatMap { c =>
-      val row = df.agg(max(col(c))).head
+      val row = df.agg(max(col(c))).head()
       if (row.isNullAt(0)) None else Some(row.get(0))
     }
   }

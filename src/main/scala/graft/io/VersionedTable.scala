@@ -54,19 +54,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private val historyDir = new Path(root, "_history")
   private val legacyHistoryPath = new Path(root, "_history.jsonl")
 
-  /** One manifest line: a parquet file (path relative to the table
-    * root), its footer row count, and its size in bytes. */
-  final case class ManifestEntry(relPath: String, rows: Long, bytes: Long)
-
-  /** A version: its snapshot schema plus its file list. The schema is
-    * stored IN the manifest (`#schema=` header), so reads plan against
-    * the recorded snapshot schema instead of inferring from file
-    * footers — O(1) instead of O(files) at planning time — and
-    * schema-evolved snapshots read older files with the missing
-    * columns filled null (parquet name-based resolution). */
-  final case class Manifest(schema: Option[StructType],
-      entries: Seq[ManifestEntry])
-
   /** Current = max(pointer, newest manifest). The pointer is a CACHE
     * of the newest committed version, not the source of truth — the
     * manifest rename is the commit. Taking the max recovers from both
@@ -119,7 +106,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (fs.exists(dir)) fs.delete(dir, true) // stale crashed attempt
     df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
     val added = listCommitFiles(dir)
-    writeManifest(next, Manifest(Some(schema), prior ++ added))
+    writeManifest(next, VersionManifest(Some(schema), prior ++ added))
     appendHistory(next, operation, (prior ++ added).map(_.rows).sum)
     pointTo(next)
     next
@@ -306,7 +293,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   /** The snapshot schema of a manifest; falls back to a first-file
     * footer read for manifests written before schemas were recorded. */
-  private def snapshotSchema(m: Manifest): StructType = m.schema.getOrElse {
+  private def snapshotSchema(m: VersionManifest): StructType = m.schema.getOrElse {
     spark.read.parquet(
       new Path(rootPath, m.entries.head.relPath).toString).schema
   }
@@ -336,7 +323,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     StructType(cur.fields ++ added)
   }
 
-  private def readManifest(v: Long): Manifest = {
+  private def readManifest(v: Long): VersionManifest = {
     val in = fs.open(manifestPath(v))
     val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
@@ -348,11 +335,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val Array(p, r, b) = line.split('\t')
       ManifestEntry(p, r.toLong, b.toLong)
     }
-    Manifest(schema, entries)
+    VersionManifest(schema, entries)
   }
 
   /** Temp-write + rename: the rename is the commit point. */
-  private def writeManifest(v: Long, m: Manifest): Unit = {
+  private def writeManifest(v: Long, m: VersionManifest): Unit = {
     if (!fs.exists(manifestsRoot)) fs.mkdirs(manifestsRoot)
     val header = m.schema.map(s => s"#schema=${s.json}\n").getOrElse("")
     val body = header + m.entries
@@ -407,3 +394,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
 final case class HistoryEntry(
     version: Long, timestamp: String, operation: String, numRows: Long)
+
+/** One manifest line: a parquet file (path relative to the table
+  * root), its footer row count, and its size in bytes. */
+final case class ManifestEntry(relPath: String, rows: Long, bytes: Long)
+
+/** A version: its snapshot schema plus its file list. The schema is
+  * stored IN the manifest (`#schema=` header), so reads plan against
+  * the recorded snapshot schema instead of inferring from file footers
+  * — O(1) instead of O(files) at planning time — and schema-evolved
+  * snapshots read older files with the missing columns filled null
+  * (parquet name-based resolution). */
+final case class VersionManifest(schema: Option[StructType],
+    entries: Seq[ManifestEntry])

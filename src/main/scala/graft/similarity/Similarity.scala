@@ -118,7 +118,7 @@ object Similarity {
     * ship as a broadcast-sized literal array, so assignment is a pure
     * map over the corpus. */
   private def withCluster(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
-    val centLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val centLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
     vecs
       .withColumn("_dists", transform(centLit, c =>
         graft.functions.vector.arrayL2Sq(c, col("v"))))
@@ -169,7 +169,7 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v")),
       centroids)
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-    val centLit = array(centroids.map(cc => array(cc.map(lit): _*)): _*)
+    val centLit = array(centroids.toIndexedSeq.map(cc => array(cc.toIndexedSeq.map(lit): _*)): _*)
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
         .withColumn("_dists", transform(centLit, cc =>

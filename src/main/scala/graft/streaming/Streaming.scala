@@ -119,7 +119,7 @@ object Streaming {
             // past, which GroupState rejects
             val lastTs = evs.iterator.map(_.ts.getTime).max
             state.setTimeoutTimestamp(math.max(
-              lastTs + idleTimeoutMs, state.getCurrentWatermarkMs + 1))
+              lastTs + idleTimeoutMs, state.getCurrentWatermarkMs() + 1))
             Iterator.single(next)
           }
       }
