@@ -28,7 +28,7 @@ import graft.orchestration.{Dag, Task}
 object Pipeline {
 
   /** Options that take no value. */
-  private val flagNames = Set("use-dag", "no-fail-on-dq")
+  private val flagNames = Set("use-dag", "no-fail-on-dq", "versioned")
 
   /** Token-consuming parser: a flag eats one token, a --key eats two —
     * so a valueless flag before a key/value pair cannot shift the
@@ -70,9 +70,15 @@ object Pipeline {
     }
     // --no-fail-on-dq: keep going past ERROR-severity DQ findings
     // (reference config.data_quality.fail_on_dq_errors toggle)
-    val cfg = if (opts.contains("no-fail-on-dq"))
+    val cfg1 = if (opts.contains("no-fail-on-dq"))
       cfg0.copy(dataQuality = cfg0.dataQuality.copy(failOnDqErrors = false))
     else cfg0
+    // --versioned: store each layer as a manifest-log versioned table
+    // (every run commits a version; Maintain history/restore/optimize
+    // and VersionedTable time travel apply to the layer paths)
+    val cfg = if (opts.contains("versioned"))
+      cfg1.copy(versionedTables = true)
+    else cfg1
     val runId = Audit.generateRunId()
     val metrics = new PipelineMetrics(runId)
     val t0 = System.currentTimeMillis()

@@ -73,7 +73,11 @@ final case class PipelineConfig(
     partitioning: PartitioningConfig = PartitioningConfig(),
     optimization: OptimizationConfig = OptimizationConfig(),
     incremental: IncrementalConfig = IncrementalConfig(),
-    environment: String = "local"
+    environment: String = "local",
+    /** Store bronze/silver/gold as manifest-log versioned tables (every
+      * run commits a version with history/time travel) instead of plain
+      * parquet dirs — the Delta-parity storage mode. */
+    versionedTables: Boolean = false
 ) {
   /** Re-root all table paths under a base directory (tests, envs). */
   def under(base: String): PipelineConfig = copy(paths = Paths(
@@ -185,6 +189,8 @@ object PipelineConfig {
         case "optimization.gold_zone_demand_sort_columns" =>
           c.copy(optimization =
             c.optimization.copy(goldZoneDemandSortColumns = seq(v)))
+        case "storage.versioned_tables" =>
+          c.copy(versionedTables = v.toBoolean)
         case "incremental.enabled" =>
           c.copy(incremental = c.incremental.copy(enabled = v.toBoolean))
         case "incremental.watermark_column" =>

@@ -65,9 +65,10 @@ object BronzeJob {
 
     val partCol = Option.when(cfg.partitioning.enabled)(
       cfg.partitioning.bronzePartitionColumn)
-    TableIO.write(df, cfg.paths.bronze, mode, partCol)
+    TableIO.writeTable(spark, df, cfg.paths.bronze, mode, partCol,
+      cfg.versionedTables)
 
-    val written = TableIO.read(spark, cfg.paths.bronze).count()
+    val written = TableIO.readTable(spark, cfg.paths.bronze).count()
     Result(rowsIngested, written, errors, dq)
     } finally raw.unpersist() // also on the fail-on-DQ throw path
   }

@@ -62,7 +62,7 @@ object GoldJob {
       mode: SaveMode = SaveMode.Overwrite): Result = {
     // One silver scan feeds both aggregates; cache to avoid recomputing
     // the scan per output (the reference recomputes — SURVEY.md §3).
-    val silver = TableIO.read(spark, cfg.paths.silver).cache()
+    val silver = TableIO.readTable(spark, cfg.paths.silver).cache()
     try {
       val daily = createDailyKpis(silver)
       val zone = createZoneDemand(silver)
@@ -71,12 +71,14 @@ object GoldJob {
         cfg.partitioning.goldDailyKpisPartitionColumn)
       val zonePart = Option.when(cfg.partitioning.enabled)(
         cfg.partitioning.goldZoneDemandPartitionColumn)
-      TableIO.write(daily, cfg.paths.goldDailyKpis, mode, dailyPart)
-      TableIO.write(zone, cfg.paths.goldZoneDemand, mode, zonePart)
+      TableIO.writeTable(spark, daily, cfg.paths.goldDailyKpis, mode,
+        dailyPart, cfg.versionedTables)
+      TableIO.writeTable(spark, zone, cfg.paths.goldZoneDemand, mode,
+        zonePart, cfg.versionedTables)
 
       Result(
-        TableIO.read(spark, cfg.paths.goldDailyKpis).count(),
-        TableIO.read(spark, cfg.paths.goldZoneDemand).count())
+        TableIO.readTable(spark, cfg.paths.goldDailyKpis).count(),
+        TableIO.readTable(spark, cfg.paths.goldZoneDemand).count())
     } finally silver.unpersist()
   }
 }

@@ -83,7 +83,7 @@ object SilverJob {
 
   def run(spark: SparkSession, cfg: PipelineConfig,
       mode: SaveMode = SaveMode.Overwrite): Result = {
-    val bronze = TableIO.read(spark, cfg.paths.bronze)
+    val bronze = TableIO.readTable(spark, cfg.paths.bronze)
     val rowsIn = bronze.count()
 
     val typed = castColumns(bronze)
@@ -118,9 +118,10 @@ object SilverJob {
 
     val partCol = Option.when(cfg.partitioning.enabled)(
       cfg.partitioning.silverPartitionColumn)
-    TableIO.write(withPartition, cfg.paths.silver, mode, partCol)
+    TableIO.writeTable(spark, withPartition, cfg.paths.silver, mode,
+      partCol, cfg.versionedTables)
 
-    val rowsAfterDedup = TableIO.read(spark, cfg.paths.silver).count()
+    val rowsAfterDedup = TableIO.readTable(spark, cfg.paths.silver).count()
     filtered.unpersist()
     Result(rowsIn, rowsAfterFilter, rowsAfterDedup, errors, dq)
   }

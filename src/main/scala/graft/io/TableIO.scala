@@ -60,6 +60,32 @@ object TableIO {
     fs(spark, p).exists(p)
   }
 
+  /** Curated-layer write honoring the storage mode: a plain parquet
+    * directory, or a manifest-log [[VersionedTable]] — the Delta-parity
+    * path the reference gets from delta-spark: every pipeline run then
+    * commits a version with history / time travel / restore / vacuum.
+    * Versioned tables do not hive-partition inside versions; data
+    * skipping comes from row-group min/max stats
+    * ([[graft.maintenance.Maintenance.sortBy]]/`zOrderBy`) instead of
+    * directory pruning, and path-level tools that expect raw parquet
+    * dirs (partition-scoped compact/merge) don't apply — fail loudly
+    * rather than misread. */
+  def writeTable(spark: SparkSession, df: DataFrame, path: String,
+      mode: SaveMode, partitionBy: Option[String],
+      versioned: Boolean): Unit =
+    if (versioned)
+      new VersionedTable(spark, path).write(df, mode,
+        operation = if (mode == SaveMode.Append) "APPEND" else "WRITE")
+    else write(df, path, mode, partitionBy)
+
+  /** Read a curated layer regardless of storage mode: auto-detects a
+    * versioned table (committed manifest present) and reads its current
+    * snapshot; plain parquet otherwise. */
+  def readTable(spark: SparkSession, path: String): DataFrame = {
+    val vt = new VersionedTable(spark, path)
+    if (vt.exists) vt.read() else read(spark, path)
+  }
+
   /** Temp path for an atomic-as-possible dir swap. MUST start with an
     * underscore: Spark/Hadoop file indexes skip `_`/`.`-prefixed paths,
     * so a reader listing the parent mid-rewrite (or after a crash that

@@ -47,6 +47,32 @@ class PipelineSpec extends AnyFunSuite {
       s"threshold from file must tighten the silver filter: $res")
   }
 
+  test("versioned storage mode: each run commits a version per layer") {
+    val base = Fixtures.tempDir("graft-pipeline-vt")
+    val c = PipelineConfig().under(base).copy(
+      dataQuality = PipelineConfig().dataQuality.copy(failOnDqErrors = false),
+      versionedTables = true)
+    Fixtures.writeRawCsv(spark, c.paths.raw)
+    BronzeJob.run(spark, c)
+    val silver1 = SilverJob.run(spark, c)
+    GoldJob.run(spark, c)
+    // every layer is now a versioned table at v0 with history
+    val vtSilver = new graft.io.VersionedTable(spark, c.paths.silver)
+    assert(vtSilver.currentVersion === Some(0L))
+    assert(vtSilver.history().nonEmpty)
+    // a second run commits v1; time travel reaches the first snapshot
+    SilverJob.run(spark, c)
+    assert(vtSilver.currentVersion === Some(1L))
+    assert(vtSilver.readVersion(0).count() === silver1.rowsAfterDedup)
+    // reads are transparent: gold consumed the versioned silver above
+    val gold = new graft.io.VersionedTable(spark, c.paths.goldDailyKpis)
+    assert(gold.exists && gold.read().count() > 0)
+    // the storage.versioned_tables config key drives the same switch
+    val viaProps = PipelineConfig.fromProperties(
+      Map("storage.versioned_tables" -> "true"))
+    assert(viaProps.versionedTables)
+  }
+
   test("config: unknown keys fail fast") {
     intercept[RuntimeException] {
       PipelineConfig.fromProperties(Map("data_quality.min_trip_dstance" -> "1"))
