@@ -167,6 +167,19 @@ class TrainingDataSpec extends AnyFunSuite {
       s"signature stage adds shuffles beyond the input repartition:\n$plan")
   }
 
+  test("simhash signing stage is shuffle-free and evaluates ONE native expression") {
+    spark.catalog.clearCache()
+    val docs = Tables.load(spark, sf, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+    val signed = docs.select(col("doc_id"),
+      Dedup.simhash(col("text"), bits = 28).as("sig"))
+    val plan = signed.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length <= 2,
+      s"signing adds shuffles beyond the input repartition:\n$plan")
+    // exactly one graft_simhash eval per row — not 28 HOF passes
+    assert(plan.split("graft_simhash").length == 2, s"plan:\n$plan")
+  }
+
   test("knn brute force: k rows per query, cosine in [-1,1], broadcast plan") {
     val df = TrainingData.knnCosineBrute(spark, sf)
     val rows = df.collect()
