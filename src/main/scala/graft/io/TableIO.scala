@@ -122,8 +122,18 @@ object TableIO {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** M6: table detail — file count + total bytes
-    * (reference `utils/delta_ops.py:207-241`). */
+    * (reference `utils/delta_ops.py:207-241`). On a versioned table the
+    * detail describes the CURRENT SNAPSHOT (manifest stats, no file
+    * listing at all) — a raw recursive count would sum every retained
+    * version's files and misreport the table several-fold. */
   def detail(spark: SparkSession, path: String): TableDetail = {
+    val vt = new VersionedTable(spark, path)
+    vt.currentVersion match {
+      case Some(v) =>
+        val entries = vt.manifestEntries(v)
+        return TableDetail(path, entries.size.toLong, entries.map(_.bytes).sum)
+      case None => ()
+    }
     val root = new Path(path)
     val filesystem = fs(spark, root)
     if (!filesystem.exists(root)) return TableDetail(path, 0, 0L)

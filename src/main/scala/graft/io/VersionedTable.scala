@@ -145,6 +145,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** S4: time-travel read by timestamp. */
   def readAsOf(ts: String): DataFrame = readVersion(versionAsOf(ts))
 
+  /** A version's manifest entries (file list with rows/bytes) — the
+    * metadata surface for table detail / tooling. */
+  def manifestEntries(v: Long): Seq[ManifestEntry] = readManifest(v).entries
+
   /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
     * semantics). Rewrites the current snapshot into ~`targetFileMB`
     * files as a fresh commit; prior versions keep referencing the old

@@ -346,6 +346,19 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(diff.count(_._2 == "delete") === 59, s"got $diff")
   }
 
+  test("detail on a versioned root reports the current snapshot, not all versions") {
+    val root = Fixtures.tempDir("graft-vt-detail") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((1 to 100).toDF("id")) // v0
+    val d0 = graft.io.TableIO.detail(spark, root)
+    vt.write((1 to 100).toDF("id")) // v1 overwrite: same data, new files
+    val d1 = graft.io.TableIO.detail(spark, root)
+    // raw recursive listing would now see both versions' files
+    assert(d1.numFiles === d0.numFiles,
+      "detail must describe the snapshot, not every retained version")
+    assert(d1.sizeInBytes === vt.manifestEntries(1L).map(_.bytes).sum)
+  }
+
   test("vacuum GCs unreferenced files and orphan commit dirs from crashed writes") {
     val root = Fixtures.tempDir("graft-vt-gc") + "/tbl"
     val vt = new VersionedTable(spark, root)
