@@ -51,6 +51,22 @@ object Streaming {
       .dropDuplicatesWithinWatermark("_content_key")
       .drop("_content_key")
 
+  /** Streaming NEAR-dup dedup: drop documents whose full SimHash
+    * signature was already seen within the watermark horizon. Catches
+    * re-phrasings/boilerplate variants that hash to the same signature
+    * — strictly more than content-hash dedup, strictly less than the
+    * batch banded join (which also pairs signatures at small Hamming
+    * distance; per-element state lookups can't do candidate joins, so
+    * streaming trades that recall for O(1) state per doc: a 4-byte
+    * signature within the watermark horizon). Run the batch q38 join
+    * over the accumulated corpus for the full near-dup sweep. */
+  def dedupStreamNearDup(docs: DataFrame, tsCol: String, textCol: String,
+      watermarkDelay: String, bits: Int = 28): DataFrame =
+    docs.withColumn("_sig", graft.dedup.Dedup.simhash(col(textCol), bits))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_sig")
+      .drop("_sig")
+
   /** Keyed running state: (key, runningCount, runningSum) maintained via
     * mapGroupsWithState — the custom-state primitive the reference's
     * audit/metrics tables would stream into. NoTimeout = exact lifetime

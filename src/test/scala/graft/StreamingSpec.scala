@@ -162,6 +162,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupStreamNearDup: same-signature near-dups collapse; distinct texts survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val nearDup = base + "extra"
+    val distinct = "completely different content about entirely other topics " * 20
+    // precondition: the near-dup pair must actually share a signature
+    // (one extra token in 180 can't flip any 28-bit majority), the
+    // distinct text must not
+    val sigs = Seq(base, nearDup, distinct).toDF("text")
+      .select(graft.dedup.Dedup.simhash(
+        org.apache.spark.sql.functions.col("text"), 28))
+      .collect().map(_.getInt(0))
+    assert(sigs(0) === sigs(1) && sigs(0) != sigs(2),
+      s"fixture assumption broken: ${sigs.mkString(",")}")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = graft.streaming.Streaming.dedupStreamNearDup(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "1 hour")
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, base))
+      q.processAllAvailable()
+      input.addData(
+        (ts("2024-01-01 10:01:00"), 2L, nearDup), // near-dup: dropped
+        (ts("2024-01-01 10:02:00"), 3L, distinct)) // novel: kept
+      q.processAllAvailable()
+      val ids = spark.table("neardup_stream").collect().map(_.getLong(1)).sorted
+      assert(ids.toSeq === Seq(1L, 3L), s"got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("versionedAppendBatch: streams commit as versions; replayed batch skipped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
