@@ -232,6 +232,31 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Newest history entry whose operation starts with `prefix`,
+    * scanning history files newest-first and stopping at the first
+    * match — O(1) content reads for the common "was the newest commit
+    * mine" case (the streaming sink's per-batch idempotence check runs
+    * this every micro-batch; [[history]] reads EVERY commit file,
+    * which over a long-running stream turns each batch O(commits)). */
+  def lastOperationWith(prefix: String): Option[HistoryEntry] = {
+    if (!fs.exists(historyDir)) return None
+    val re =
+      """\{"version": (\d+), "timestamp": "([^"]+)", "operation": "([^"]+)", "numRows": (-?\d+)\}""".r
+    fs.listStatus(historyDir).map(_.getPath).sortBy(_.getName)(Ordering[String].reverse)
+      .iterator
+      .flatMap { p =>
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+        re.findFirstMatchIn(text).collect {
+          case m if m.group(3).startsWith(prefix) =>
+            HistoryEntry(m.group(1).toLong, m.group(2), m.group(3),
+              m.group(4).toLong)
+        }
+      }
+      .nextOption()
+  }
+
   /** M3: vacuum — drop manifests outside the retention horizon, then GC
     * every data file no retained manifest references. Orphan commit
     * dirs from crashed writes (data, no manifest) are swept too when

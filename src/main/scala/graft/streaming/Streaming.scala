@@ -160,11 +160,11 @@ object Streaming {
   def versionedAppendBatch(root: String)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val vt = new graft.io.VersionedTable(batch.sparkSession, root)
-    val lastCommitted = vt.history(Int.MaxValue).iterator
-      .map(_.operation).collectFirst {
-        case op if op.startsWith("STREAM_BATCH_") =>
-          op.stripPrefix("STREAM_BATCH_").toLong
-      }
+    // newest-first short-circuit: on a streaming table the newest
+    // commit IS the last stream batch, so this reads one history file
+    // per micro-batch instead of all of them
+    val lastCommitted = vt.lastOperationWith("STREAM_BATCH_")
+      .map(_.operation.stripPrefix("STREAM_BATCH_").toLong)
     if (lastCommitted.forall(_ < batchId) && !batch.isEmpty)
       vt.write(batch, org.apache.spark.sql.SaveMode.Append,
         s"STREAM_BATCH_$batchId")
