@@ -196,7 +196,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Per-document SimHash over whitespace tokens, `bits` wide (≤ 32).
+  /** Per-document SimHash over whitespace tokens, `bits` wide (≤ 63;
+    * int column up to 32 bits, long above — the production-scale
+    * shape, bits 32+ drawn from the second md5 slice).
     * bit_j(doc) = sign of Σ_tokens (±1 by bit j of hash(token)). Pure
     * per-row arithmetic — one scan, no shuffle; near-dups then cluster
     * by exact simhash equality or small Hamming distance.
@@ -263,7 +265,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bandStructs = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("sig"), w * b).bitwiseAND(lit((1 << w) - 1)).as("bv"))
+        shiftright(col("sig"), w * b).bitwiseAND(lit((1L << w) - 1)).as("bv"))
     }
     val bands = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))

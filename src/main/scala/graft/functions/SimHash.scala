@@ -39,7 +39,7 @@ import org.apache.spark.sql.types._
 case class SimHash(child: Expression, bits: Int, seed: Int)
     extends UnaryExpression with CodegenFallback with Serializable {
 
-  require(bits >= 1 && bits <= 32, s"bits must be in [1, 32], got $bits")
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
 
   override def prettyName: String = "graft_simhash"
 
@@ -49,7 +49,13 @@ case class SimHash(child: Expression, bits: Int, seed: Int)
       s"$prettyName requires array<string> input, got ${t.catalogString}")
   }
 
-  override def dataType: DataType = IntegerType
+  /** ≤ 32 bits keeps the original int type (q24/q38 oracle parity);
+    * wider signatures — the production-scale shape — are longs. Bits
+    * 0–31 come from md5 hex digits 1–8 (unchanged); bits 32–62 from
+    * hex digits 9–16 (the second slice of the same digest, like
+    * MinHashSignatures' seed groups), so widening never changes the
+    * low bits. */
+  override def dataType: DataType = if (bits <= 32) IntegerType else LongType
 
   // never null: a null token array yields 0 (see scaladoc), so the HOF
   // chain's non-null output type carries over
@@ -57,7 +63,7 @@ case class SimHash(child: Expression, bits: Int, seed: Int)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) 0 else nullSafeEval(v)
+    if (v == null) { if (bits <= 32) 0 else 0L } else nullSafeEval(v)
   }
 
   // MessageDigest is stateful and not thread-safe; tasks share the
@@ -84,25 +90,29 @@ case class SimHash(child: Expression, bits: Int, seed: Int)
         md.update(seedPrefix)
         md.update(toks.getUTF8String(i).getBytes)
         val dig = md.digest()
-        // first 8 hex digits of the md5 = first 4 digest bytes,
-        // big-endian unsigned — same slice MinHashSignatures reads
-        val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        // hex digits 1-8 = first 4 digest bytes (big-endian unsigned —
+        // same slice MinHashSignatures reads); digits 9-16 = the next
+        // 4, feeding bits 32+
+        val v1 = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
           ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        val v2 = ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+          ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
         var j = 0
         while (j < bits) {
-          if (((v >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+          val bit = if (j < 32) (v1 >>> j) & 1L else (v2 >>> (j - 32)) & 1L
+          if (bit == 1L) counters(j) += 1 else counters(j) -= 1
           j += 1
         }
       }
       i += 1
     }
-    var out = 0
+    var out = 0L
     var j = 0
     while (j < bits) {
-      if (counters(j) >= 0) out |= 1 << j
+      if (counters(j) >= 0) out |= 1L << j
       j += 1
     }
-    out
+    if (bits <= 32) out.toInt else out
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash =

@@ -167,6 +167,30 @@ class TrainingDataSpec extends AnyFunSuite {
       s"signature stage adds shuffles beyond the input repartition:\n$plan")
   }
 
+  test("56-bit long simhash: banded pairs ≡ brute force; low bits stable under widening") {
+    val docs = Tables.load(spark, sf, "documents")
+    // widening never changes the low bits: 16-bit sig == low 16 of 56-bit
+    val sigRows = docs.select(
+      Dedup.simhash(col("text"), bits = 16).as("s16"),
+      Dedup.simhash(col("text"), bits = 56).as("s56")).collect()
+    sigRows.foreach { r =>
+      assert(r.getInt(0) === (r.getLong(1) & 0xffff).toInt, r.toString)
+    }
+    // exact recall with 7 bands x 8 bits at hamming <= 3, long keys
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      bits = 56, numBands = 7, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash(col("text"), bits = 56).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(pairs.toSet === brute,
+      s"missing=${brute -- pairs.toSet} extra=${pairs.toSet -- brute}")
+  }
+
   test("simhash signing stage is shuffle-free and evaluates ONE native expression") {
     spark.catalog.clearCache()
     val docs = Tables.load(spark, sf, "documents")
