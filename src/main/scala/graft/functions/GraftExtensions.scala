@@ -139,6 +139,20 @@ object GraftFunctions {
     "graft_winnow" -> { args: Seq[Expression] =>
       require(args.length == 3, "graft_winnow(text, k, w)")
       WinnowingFingerprints(args(0), intArg(args(1), "k"), intArg(args(2), "w"))
+    },
+    "graft_simhash" -> { args: Seq[Expression] =>
+      require(args.length == 3, "graft_simhash(tokens, bits, seed)")
+      SimHash(args(0), intArg(args(1), "bits"), intArg(args(2), "seed"))
+    },
+    "graft_stopword_hits" -> { args: Seq[Expression] =>
+      require(args.length == 2, "graft_stopword_hits(tokens, stopwords_csv)")
+      args(1) match {
+        case Literal(s, _) =>
+          StopwordHitCount(args(0),
+            s.toString.split(",").map(_.trim).filter(_.nonEmpty))
+        case other => throw new IllegalArgumentException(
+          s"stopwords_csv must be a string literal, got $other")
+      }
     })
 
   /** Register all graft_* functions on an EXISTING session (temp

@@ -18,7 +18,9 @@ class ExtensionsSpec extends AnyFunSuite {
            graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
            size(graft_hashed_ngrams(array('a', 'b', 'c'), 2)) AS ng,
            size(graft_minhash(array('x', 'y'), 8)) AS mh,
-           size(graft_winnow('hello world hello world', 4, 2)) AS wn
+           size(graft_winnow('hello world hello world', 4, 2)) AS wn,
+           graft_simhash(CAST(array() AS ARRAY<STRING>), 4, 99) AS sh,
+           graft_stopword_hits(array('the', 'fox'), 'the,a,of') AS sw
       """).head()
     assert(row.getDouble(0) === 11.0)
     assert(row.getDouble(1) === 25.0)
@@ -26,6 +28,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(3) === 2)
     assert(row.getInt(4) === 8)
     assert(row.getInt(5) >= 1)
+    assert(row.getInt(6) === 15) // empty tokens -> all 4 bits set
+    assert(row.getInt(7) === 1)
   }
 
   test("graft_minhash null-skips array elements like the builtin chain") {
