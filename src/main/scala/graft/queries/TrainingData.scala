@@ -84,9 +84,14 @@ object TrainingData {
       Dedup.simhash(col("text"), bits = 16).as("simhash16"))
 
   /** SimHash-banded near-dup pairs (Manku et al. WWW'07): Hamming ≤ 3
-    * on 28-bit signatures, candidates from a 4-band bucket join. */
+    * on 56-bit long signatures, candidates from a 7-band bucket join.
+    * 56 bits makes the threshold selective on templated text (28 bits
+    * passes 3% of ALL pairs — boilerplate saturates the short
+    * signature); the answer is then actual near-dups, not corpus
+    * statistics. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDupPairs(docs(spark, dir), "doc_id", "text")
+    Dedup.simhashNearDupPairs(docs(spark, dir), "doc_id", "text",
+      bits = 56, numBands = 4)
 
   /** Exact 2-gram-Jaccard near-dup pairs (length-band blocking) via
     * PPJoin-style prefix filtering — same output as the quadratic
@@ -202,10 +207,14 @@ object TrainingData {
     "q38_simhash_neardup" -> simhashNearDup
   )
 
-  /** DuckDB hash helper fragment: integer of first 8 md5 hex digits of
-    * "<seed>:<s>" — mirror of Dedup.hash64. */
+  /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
+    * "<seed>:<s>" starting at `hexStart` — mirror of Dedup.hash64
+    * (slice 1) and the second slice feeding simhash bits 32+. */
+  private def duckHashAt(seedExpr: String, sExpr: String, hexStart: Int): String =
+    s"CAST(('0x' || substr(md5($seedExpr || ':' || $sExpr), $hexStart, 8)) AS BIGINT)"
+
   private def duckHash(seedExpr: String, sExpr: String): String =
-    s"CAST(('0x' || substr(md5($seedExpr || ':' || $sExpr), 1, 8)) AS BIGINT)"
+    duckHashAt(seedExpr, sExpr, 1)
 
   private val enStops = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
   private val xxStops = TextAnalysis.xxStopwords.map(w => s"'$w'").mkString(", ")
@@ -225,15 +234,29 @@ object TrainingData {
        SELECT doc_id, ${simhashTerms(16)} AS simhash16 FROM toks"""
 
   /** q38 oracle: banded simhash near-dup pairs — mirrors
-    * Dedup.simhashNearDupPairs (4 bands x 7 bits, hamming <= 3,
-    * maxBucket cap included). */
-  private val simhashPairsSql: String =
+    * Dedup.simhashNearDupPairs at 56 bits (4 bands x 14 bits, hamming
+    * <= 3, maxBucket cap included). Bits 0-31 read md5 hex digits 1-8,
+    * bits 32+ digits 9-16 — the two digest slices the native
+    * expression uses. The `th` CTE computes both slices ONCE per token
+    * (a per-bit md5 would cost 112 digests per token). */
+  private val simhashPairsSql: String = {
+    val terms = (0 until 56).map { j =>
+      val (slice, shift) = if (j < 32) ("h[1]", j) else ("h[2]", j - 32)
+      val bitSum = "list_sum(list_transform(hs, h -> CASE WHEN " +
+        s"(($slice >> $shift) & 1) = 1 THEN 1 ELSE -1 END))"
+      s"(CASE WHEN $bitSum >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
     s"""WITH toks AS (
          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       th AS (
+         SELECT doc_id, list_transform(t, tok ->
+           [${duckHashAt("'99'", "tok", 1)},
+            ${duckHashAt("'99'", "tok", 9)}]) AS hs
+         FROM toks),
        sims AS (
-         SELECT doc_id, ${simhashTerms(28)} AS sig FROM toks),
+         SELECT doc_id, $terms AS sig FROM th),
        bands AS (
-         SELECT doc_id, sig, b, (sig >> (7 * b)) & 127 AS bv
+         SELECT doc_id, sig, b, (sig >> (14 * b)) & 16383 AS bv
          FROM sims, range(4) rb(b)),
        bsize AS (
          SELECT b, bv, count(*) AS n FROM bands GROUP BY b, bv),
@@ -248,6 +271,7 @@ object TrainingData {
          CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        ORDER BY doc_a, doc_b"""
+  }
 
   private val minhashSql: String =
     s"""WITH toks AS (

@@ -122,7 +122,10 @@ class TrainingDataSpec extends AnyFunSuite {
   }
 
   test("simhash banded pairs ≡ brute-force hamming scan (pigeonhole exactness)") {
-    val pairs = TrainingData.simhashNearDup(spark, sf).collect()
+    // the 28-bit int-signature default path (the q38 entry itself runs
+    // 56-bit long signatures — covered by the spec below)
+    val pairs = Dedup.simhashNearDupPairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.nonEmpty, "fabricated near-dups should pair at hamming <= 3")
     assert(pairs.forall(p => p._3 <= 3 && p._1 < p._2))
