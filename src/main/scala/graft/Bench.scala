@@ -32,10 +32,16 @@ object Bench {
     // min across reps is the steady-state cost — noise only ever adds.
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
+    // a crashing query must be VISIBLE, not recorded as a fast timing:
+    // the downstream gate reads these numbers, and a query that dies in
+    // 0.2s would otherwise look like a speedup and ratchet the baseline
+    var failures = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case _: Throwable => if (!failures.contains(name)) failures ::= name
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         dt
@@ -44,9 +50,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fq = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failures":$fq}"""
     println(line)
     // Also write the JSON to a file: sbt decorates the forwarded stdout
     // with "[info] " prefixes, which breaks machine parsing of the

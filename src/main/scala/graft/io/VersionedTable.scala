@@ -54,24 +54,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private val historyDir = new Path(root, "_history")
   private val legacyHistoryPath = new Path(root, "_history.jsonl")
 
-  /** Current = max(pointer, newest manifest). The pointer is a CACHE
-    * of the newest committed version, not the source of truth — the
-    * manifest rename is the commit. Taking the max recovers from both
-    * crash windows: a LOST pointer (crash mid-swap) falls back to the
-    * manifests instead of resetting to v0 and silently dropping the
-    * snapshot; a STALE pointer (crash after the manifest rename,
-    * before the swap) yields the stranded-but-committed version, so
-    * the next write continues past it rather than colliding. */
-  def currentVersion: Option[Long] = {
-    val pointer =
-      if (!fs.exists(latestPath)) None
-      else {
-        val in = fs.open(latestPath)
-        try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
-        finally in.close()
-      }
-    (pointer ++ committedVersions.lastOption).maxOption
-  }
+  /** Current = newest committed manifest, full stop. The manifest
+    * rename is the commit; the `_latest` pointer is written purely for
+    * human inspection and is never consulted (a pointer can only
+    * disagree with the manifests in a crash window — lost or stale —
+    * and in both cases the manifests are right; a pointer with NO
+    * manifests is a foreign/corrupt dir and must read as
+    * not-a-versioned-table rather than crash every read). */
+  def currentVersion: Option[Long] = committedVersions.lastOption
 
   /** Versions whose commit completed, oldest first. The manifest file
     * IS the commit marker — every consumer (recovery, vacuum, reads)
@@ -103,7 +93,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
       case _ => (Seq.empty, df.schema)
     }
     val dir = commitDir(next)
-    if (fs.exists(dir)) fs.delete(dir, true) // stale crashed attempt
+    // A data dir at `next` with NO manifest is a crashed attempt's
+    // leftovers — safe to clear. With a manifest it is another writer's
+    // COMMIT: deleting it would destroy committed files the moment
+    // before writeManifest's conflict guard fired, so conflict-check
+    // FIRST (same error the guard raises, minus the damage).
+    if (fs.exists(manifestPath(next)))
+      sys.error(s"concurrent write conflict at $root: version $next was " +
+        "committed by another writer; re-read and retry")
+    if (fs.exists(dir)) fs.delete(dir, true)
     df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
     val added = listCommitFiles(dir)
     writeManifest(next, VersionManifest(Some(schema), prior ++ added))
@@ -191,8 +189,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
           .withColumn("_change_type", lit("insert"))
       }
     } else {
-      val a = readVersion(fromV)
-      val b = readVersion(toV)
+      // exceptAll demands identical schemas; a range crossing a
+      // schema-evolution boundary has different column sets, so align
+      // BOTH snapshots to `toV`'s schema (missing columns null-filled —
+      // the same value reads of the pre-evolution files produce)
+      val target = snapshotSchema(toManifest)
+      def align(df: DataFrame): DataFrame = df.select(target.fields.toSeq.map { f =>
+        import org.apache.spark.sql.functions.col
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+      val a = align(readVersion(fromV))
+      val b = align(readVersion(toV))
       b.exceptAll(a).withColumn("_change_type", lit("insert"))
         .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
     }
@@ -210,26 +218,31 @@ final class VersionedTable(spark: SparkSession, root: String) {
     pointTo(next)
   }
 
+  private val historyLineRe =
+    """\{"version": (\d+), "timestamp": "([^"]+)", "operation": "([^"]+)", "numRows": (-?\d+)\}""".r
+
+  private def parseHistoryLine(line: String): Option[HistoryEntry] =
+    historyLineRe.findFirstMatchIn(line).map(m =>
+      HistoryEntry(m.group(1).toLong, m.group(2), m.group(3),
+        m.group(4).toLong))
+
+  private def readWholeFile(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** M4: table history, newest first. */
   def history(limit: Int = 20): Seq[HistoryEntry] = {
-    val re =
-      """\{"version": (\d+), "timestamp": "([^"]+)", "operation": "([^"]+)", "numRows": (-?\d+)\}""".r
-    def readWhole(p: Path): String = {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
-    }
     // legacy single-file layout first (oldest), then per-commit files in
-    // filename (= commit) order
+    // filename (= version = commit) order
     val legacy = if (fs.exists(legacyHistoryPath))
-      readWhole(legacyHistoryPath).linesIterator.toSeq else Seq.empty
+      readWholeFile(legacyHistoryPath).linesIterator.toSeq else Seq.empty
     val perCommit = if (fs.exists(historyDir))
       fs.listStatus(historyDir).map(_.getPath).sortBy(_.getName).toSeq
-        .map(readWhole)
+        .map(readWholeFile)
     else Seq.empty
-    (legacy ++ perCommit).reverse.take(limit).collect {
-      case re(v, ts, op, rows) => HistoryEntry(v.toLong, ts, op, rows.toLong)
-    }
+    (legacy ++ perCommit).reverse.take(limit).flatMap(parseHistoryLine)
   }
 
   /** Newest history entry whose operation starts with `prefix`,
@@ -240,20 +253,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * which over a long-running stream turns each batch O(commits)). */
   def lastOperationWith(prefix: String): Option[HistoryEntry] = {
     if (!fs.exists(historyDir)) return None
-    val re =
-      """\{"version": (\d+), "timestamp": "([^"]+)", "operation": "([^"]+)", "numRows": (-?\d+)\}""".r
     fs.listStatus(historyDir).map(_.getPath).sortBy(_.getName)(Ordering[String].reverse)
       .iterator
-      .flatMap { p =>
-        val in = fs.open(p)
-        val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        finally in.close()
-        re.findFirstMatchIn(text).collect {
-          case m if m.group(3).startsWith(prefix) =>
-            HistoryEntry(m.group(1).toLong, m.group(2), m.group(3),
-              m.group(4).toLong)
-        }
-      }
+      .flatMap(p => parseHistoryLine(readWholeFile(p))
+        .filter(_.operation.startsWith(prefix)))
       .nextOption()
   }
 
@@ -408,13 +411,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   /** One immutable file per commit: appending to a single JSONL would
     * read+rewrite the whole history every commit (O(n²) over the table's
-    * lifetime — local filesystems have no append). The nanoTime prefix
-    * keeps commit order. */
+    * lifetime — local filesystems have no append). The VERSION prefix
+    * keeps commit order under name sorting: versions are never reused
+    * (RESTORE allocates a fresh one), whereas a wall/monotonic-clock
+    * prefix would reorder across reboots or hosts — and history order
+    * feeds the streaming sink's idempotence check, where a misorder
+    * means replayed batches append twice. nanoTime suffix is
+    * uniqueness paranoia only. */
   private def appendHistory(v: Long, op: String, rows: Long): Unit = {
     val ts = java.time.Instant.now().toString
     val line =
       s"""{"version": $v, "timestamp": "$ts", "operation": "$op", "numRows": $rows}"""
-    val f = new Path(historyDir, f"${System.nanoTime()}%020d_v$v%08d.json")
+    val f = new Path(historyDir, f"v$v%08d_${System.nanoTime()}%020d.json")
     val out = fs.create(f, false)
     try out.write(line.getBytes(StandardCharsets.UTF_8))
     finally out.close()

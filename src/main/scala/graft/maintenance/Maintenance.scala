@@ -118,6 +118,13 @@ object Maintenance {
     // one scan computes every dimension's quantile edges
     val casted = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
     val bounds = casted.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    // approxQuantile returns ZERO edges for an all-null column (or an
+    // empty table); say so, instead of a confusing ZValue bucket-count
+    // require deep in the rewrite
+    bounds.toSeq.zip(zCols).foreach { case (bs, c) =>
+      require(bs.nonEmpty,
+        s"zOrderBy column '$c' has no non-null values to bucket at $path")
+    }
     val z = graft.functions.ZValue.zvalue(
       zCols.map(c => col(c).cast("double")), bounds.toSeq.map(_.toSeq))
     val withZ = df.withColumn("__z", z)

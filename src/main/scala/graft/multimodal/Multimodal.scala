@@ -77,9 +77,8 @@ object Multimodal {
   private def decodeStub(r: MediaRecord): MediaFeatures = {
     val bytes = r.content
     val n = bytes.length
-    var checksum = 0L
+    val checksum = byteChecksum(bytes)
     var i = 0
-    while (i < n) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
     val width = if (n >= 2) ((bytes(0) & 0xff) << 4) | (bytes(1) & 0x0f) else 0
     val height = if (n >= 4) ((bytes(2) & 0xff) << 4) | (bytes(3) & 0x0f) else 0
     val nFrames = r.media_type match {
@@ -136,15 +135,48 @@ object Multimodal {
         sr += b(i) & 0xff; sg += b(i + 1) & 0xff; sb += b(i + 2) & 0xff
         i += 3
       }
-      var checksum = 0L
-      i = 0
-      while (i < b.length) { checksum = checksum * 31 + (b(i) & 0xff); i += 1 }
+      val checksum = byteChecksum(b)
       val denom = (w.toFloat * h) * maxv
       val (mr, mg, mb) = (sr / denom, sg / denom, sb / denom)
       val luma = 0.299f * mr + 0.587f * mg + 0.114f * mb
       Some(MediaFeatures(r.media_id, r.media_type, b.length, checksum,
         w, h, 1, Array(mr, mg, mb, luma, 0f, 0f, 0f, 0f)))
     } catch { case _: Exception => None }
+  }
+
+  /** Shared byte checksum of a payload (same polynomial across stub and
+    * every real decoder, so media identity is codec-independent). */
+  private def byteChecksum(b: Array[Byte]): Long = {
+    var checksum = 0L
+    var i = 0
+    while (i < b.length) { checksum = checksum * 31 + (b(i) & 0xff); i += 1 }
+    checksum
+  }
+
+  /** Mean R/G/B + Rec.601 luma of a decoded image, each in [0,1] —
+    * shared by still-image decode and per-frame GIF features (one
+    * fix to the color math must reach both). Row-batched getRGB: a
+    * per-pixel call round-trips the ColorModel per pixel. */
+  private def meanRgbLuma(img: java.awt.image.BufferedImage)
+      : (Float, Float, Float, Float) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val p = row(x)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val denom = w.toFloat * h * 255
+    val (mr, mg, mb) = (sr / denom, sg / denom, sb / denom)
+    (mr, mg, mb, 0.299f * mr + 0.587f * mg + 0.114f * mb)
   }
 
   /** REAL decoder for PNG / JPEG / BMP / GIF via JDK `javax.imageio` —
@@ -160,33 +192,11 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
       if (img == null) return None // no registered reader for the format
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w <= 0 || h <= 0) return None
-      // one bulk getRGB: a per-pixel getRGB(x, y) round-trips the
-      // ColorModel per call; the row-batched form converts each raster
-      // row in one pass
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      val row = new Array[Int](w)
-      var y = 0
-      while (y < h) {
-        img.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) {
-          val p = row(x)
-          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-          x += 1
-        }
-        y += 1
-      }
-      var checksum = 0L
-      var i = 0
-      while (i < b.length) { checksum = checksum * 31 + (b(i) & 0xff); i += 1 }
-      val denom = w.toFloat * h * 255
-      val (mr, mg, mb) = (sr / denom, sg / denom, sb / denom)
-      val luma = 0.299f * mr + 0.587f * mg + 0.114f * mb
-      Some(MediaFeatures(r.media_id, r.media_type, b.length, checksum,
-        w, h, 1, Array(mr, mg, mb, luma, 0f, 0f, 0f, 0f)))
+      if (img.getWidth <= 0 || img.getHeight <= 0) return None
+      val (mr, mg, mb, luma) = meanRgbLuma(img)
+      Some(MediaFeatures(r.media_id, r.media_type, b.length, byteChecksum(b),
+        img.getWidth, img.getHeight, 1,
+        Array(mr, mg, mb, luma, 0f, 0f, 0f, 0f)))
     } catch { case _: Exception => None }
   }
 
@@ -241,9 +251,7 @@ object Multimodal {
           prevNeg = neg
           i += 1
         }
-        var checksum = 0L
-        i = 0
-        while (i < b.length) { checksum = checksum * 31 + (b(i) & 0xff); i += 1 }
+        val checksum = byteChecksum(b)
         val rms = math.sqrt(sumSq / n).toFloat
         val feat = Array(rms, (sumAbs / n).toFloat, peak.toFloat,
           (crossings.toDouble / n).toFloat, 0f, 0f, 0f, 0f)
@@ -301,25 +309,9 @@ object Multimodal {
             val n = reader.getNumImages(true) // allowSearch: in-memory, cheap
             (0 until n by stride).map { i =>
               val img = reader.read(i)
-              val w = img.getWidth
-              val h = img.getHeight
-              var (sr, sg, sb) = (0L, 0L, 0L)
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                img.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) {
-                  val p = row(x)
-                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              val denom = w.toFloat * h * 255
-              val (mr, mg, mb) = (sr / denom, sg / denom, sb / denom)
-              val luma = 0.299f * mr + 0.587f * mg + 0.114f * mb
-              (r.media_id, i, w, h, Array(mr, mg, mb, luma))
+              val (mr, mg, mb, luma) = meanRgbLuma(img)
+              (r.media_id, i, img.getWidth, img.getHeight,
+                Array(mr, mg, mb, luma))
             }
           } finally { reader.dispose(); iis.close() }
         }

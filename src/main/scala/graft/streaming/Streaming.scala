@@ -147,27 +147,35 @@ object Streaming {
   val defaultAggMode: OutputMode = OutputMode.Update()
 
   /** foreachBatch sink committing each micro-batch as one
-    * [[graft.io.VersionedTable]] Append version, EXACTLY-ONCE: the
-    * batch id is recorded in the commit's history operation, and a
-    * replayed batch (foreachBatch's contract is at-least-once — a
-    * failure after the write but before the checkpoint re-runs the
-    * batch) is detected and skipped, so rows are never appended twice.
-    * Batch ids are monotonic per query, so "already committed" =
-    * newest stream-batch id in history >= this one.
+    * [[graft.io.VersionedTable]] Append version, EXACTLY-ONCE per
+    * `appId`: (appId, batchId) is recorded in the commit's history
+    * operation, and a replayed batch (foreachBatch's contract is
+    * at-least-once — a failure after the write but before the
+    * checkpoint re-runs the batch) is detected and skipped, so rows
+    * are never appended twice. Batch ids are monotonic per CHECKPOINT,
+    * not per table — `appId` must change together with the checkpoint
+    * location (Delta's `txnAppId` contract): keying on the bare batch
+    * id would silently drop every batch of a fresh-checkpoint restart
+    * until its ids exceeded the old maximum.
     *
-    * Usage: `df.writeStream.foreachBatch(versionedAppendBatch(root)).
-    * option("checkpointLocation", ...).start()`. */
-  def versionedAppendBatch(root: String)
+    * Usage: `df.writeStream.foreachBatch(versionedAppendBatch(root,
+    * "my_ingest_v1")).option("checkpointLocation", ...).start()`. */
+  def versionedAppendBatch(root: String, appId: String)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    // restricted alphabet: an appId containing "_BATCH_" would make one
+    // app's marker a prefix of another's and corrupt the id parse
+    require(appId.matches("[A-Za-z0-9.-]+"),
+      s"appId must be [A-Za-z0-9.-]+, got '$appId'")
     val vt = new graft.io.VersionedTable(batch.sparkSession, root)
+    val marker = s"STREAM_${appId}_BATCH_"
     // newest-first short-circuit: on a streaming table the newest
     // commit IS the last stream batch, so this reads one history file
     // per micro-batch instead of all of them
-    val lastCommitted = vt.lastOperationWith("STREAM_BATCH_")
-      .map(_.operation.stripPrefix("STREAM_BATCH_").toLong)
+    val lastCommitted = vt.lastOperationWith(marker)
+      .map(_.operation.stripPrefix(marker).toLong)
     if (lastCommitted.forall(_ < batchId) && !batch.isEmpty)
       vt.write(batch, org.apache.spark.sql.SaveMode.Append,
-        s"STREAM_BATCH_$batchId")
+        s"$marker$batchId")
   }
 
   // ------------------------------------------------------------ sessions

@@ -305,6 +305,14 @@ class VersionedTableSpec extends AnyFunSuite {
       vt.write(Seq(("x", "d")).toDF("id", "s"), SaveMode.Append,
         allowSchemaEvolution = true)
     }
+    // change feed across the evolution boundary + a file-removing
+    // commit: the row-level diff aligns both snapshots to the target
+    // schema instead of throwing on the column-count mismatch
+    val v3 = vt.compact() // rewrites every file (removed non-empty)
+    val cdf = vt.changes(0L, v3).collect()
+    assert(cdf.forall(_.getString(3) === "insert"), cdf.mkString(","))
+    assert(cdf.map(_.getInt(0)).sorted.toSeq === Seq(2, 3),
+      "rows added since v0, with pre-evolution nulls aligned")
   }
 
   test("timestamp time-travel, OPTIMIZE-as-version, and change feed") {

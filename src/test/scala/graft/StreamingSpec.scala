@@ -198,7 +198,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val root = Fixtures.tempDir("graft-stream-vt") + "/tbl"
-    val sink = graft.streaming.Streaming.versionedAppendBatch(root)
+    val sink = graft.streaming.Streaming.versionedAppendBatch(root, "t1")
     val input = MemoryStream[Int]
     val q = input.toDS().toDF("n").writeStream.foreachBatch(sink).start()
     try {
@@ -217,6 +217,12 @@ class StreamingSpec extends AnyFunSuite {
       // but the next batch id commits normally
       sink(Seq(6).toDF("n"), 2L)
       assert(vt.read().count() === 6)
+      // a DIFFERENT appId restarts batch ids at 0 (fresh checkpoint)
+      // without being mistaken for a replay of the old stream
+      val sink2 = graft.streaming.Streaming.versionedAppendBatch(root, "t2")
+      sink2(Seq(7).toDF("n"), 0L)
+      assert(vt.read().count() === 7,
+        "fresh-appId batch 0 must commit, not be dropped as a replay")
     } finally q.stop()
   }
 

@@ -33,6 +33,16 @@ def main() -> int:
     with open(args.current) as f:
         cur = json.load(f)
     queries = cur.get("queries", {})
+    failures = cur.get("failures", [])
+    if failures:
+        # a crashed query's timing is meaningless — never compare or
+        # ratchet it, and fail the gate outright
+        for name in failures:
+            print(f"FAILED {name}: query crashed during bench")
+            queries.pop(name, None)
+        print(f"bench_gate: {len(failures)} crashed quer"
+              f"{'y' if len(failures) == 1 else 'ies'}")
+        return 1
     sf = os.path.basename(str(cur.get("sf", "unknown")))
     baseline_path = args.baseline or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), f"bench_best.{sf}.json")
