@@ -143,9 +143,38 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** S4: time-travel read by timestamp. */
   def readAsOf(ts: String): DataFrame = readVersion(versionAsOf(ts))
 
-  /** A version's manifest entries (file list with rows/bytes) — the
-    * metadata surface for table detail / tooling. */
+  /** A version's manifest entries (file list with rows/bytes/stats) —
+    * the metadata surface for table detail / tooling. */
   def manifestEntries(v: Long): Seq[ManifestEntry] = readManifest(v).entries
+
+  /** Manifest-level data skipping (Delta stats-based file pruning):
+    * read only the files whose recorded [min, max] for `column`
+    * intersects [lo, hi], then apply the predicate for row-level
+    * exactness. Parquet's own row-group skipping still happens inside
+    * the surviving files, but it requires OPENING every file's footer
+    * at scan planning — on a 100 TB table with 10^5 files that is 10^5
+    * storage round-trips per query; the manifest answers the same
+    * question from ONE small file already in hand. Files with no
+    * recorded stats for the column (non-numeric, all-null, or
+    * pre-stats manifests) are conservatively read. */
+  def readBetween(column: String, lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = currentVersion.getOrElse(sys.error(s"table $root does not exist"))
+    val m = readManifest(v)
+    val keep = m.entries.filter(e => e.stats.get(column) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // unknown range: must read
+    })
+    val pred = col(column) >= lo && col(column) <= hi
+    if (keep.isEmpty) {
+      // every file excluded: an empty frame with the snapshot schema
+      return readVersion(v).limit(0).filter(pred)
+    }
+    val files = keep.map(e => new Path(rootPath, e.relPath).toString)
+    m.schema.map(s => spark.read.schema(s).parquet(files: _*))
+      .getOrElse(spark.read.parquet(files: _*))
+      .filter(pred)
+  }
 
   /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
     * semantics). Rewrites the current snapshot into ~`targetFileMB`
@@ -306,10 +335,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
     rel
   }
 
-  /** New parquet files of a commit dir, with row counts read from the
-    * parquet FOOTERS — a driver-side metadata read, not a data scan
-    * (the old layout paid a full `count()` job per commit). */
+  /** New parquet files of a commit dir, with row counts AND per-column
+    * numeric min/max read from the parquet FOOTERS — one driver-side
+    * metadata read per file, no data scan (the old layout paid a full
+    * `count()` job per commit). Stats cover top-level int/long/float/
+    * double columns with plain identifier names; everything else skips
+    * stats (never skips the file). */
   private def listCommitFiles(dir: Path): Seq[ManifestEntry] = {
+    import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
     fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -318,8 +351,47 @@ final class VersionedTable(spark: SparkSession, root: String) {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(s, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val rows = try reader.getRecordCount finally reader.close()
-        ManifestEntry(relativize(s.getPath), rows, s.getLen)
+        val (rows, stats) = try {
+          val mins = scala.collection.mutable.Map[String, Double]()
+          val maxs = scala.collection.mutable.Map[String, Double]()
+          var statless = Set.empty[String]
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala.foreach { c =>
+              val path = c.getPath.toDotString
+              val st = c.getStatistics
+              if (path.matches("[A-Za-z0-9_]+")) {
+                val range: Option[(Double, Double)] =
+                  if (st == null || !st.hasNonNullValue) None
+                  else (st.genericGetMin, st.genericGetMax) match {
+                    case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                      Some((mn.toDouble, mx.toDouble))
+                    case (mn: java.lang.Long, mx: java.lang.Long) =>
+                      Some((mn.toDouble, mx.toDouble))
+                    case (mn: java.lang.Float, mx: java.lang.Float) =>
+                      Some((mn.toDouble, mx.toDouble))
+                    case (mn: java.lang.Double, mx: java.lang.Double) =>
+                      Some((mn, mx))
+                    case _ => None
+                  }
+                range match {
+                  case Some((mn, mx)) =>
+                    mins(path) = mins.get(path).fold(mn)(math.min(_, mn))
+                    maxs(path) = maxs.get(path).fold(mx)(math.max(_, mx))
+                  case None =>
+                    // a single stats-less or all-null row group makes
+                    // the whole file's range unknown — recording a
+                    // partial range would skip rows
+                    statless += path
+                }
+              }
+            }
+          }
+          val st = (mins.keySet -- statless).map { k =>
+            k -> (mins(k), maxs(k))
+          }.toMap
+          (reader.getRecordCount, st)
+        } finally reader.close()
+        ManifestEntry(relativize(s.getPath), rows, s.getLen, stats)
       }
   }
 
@@ -364,8 +436,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .map(l => DataType.fromJson(l.stripPrefix("#schema="))
         .asInstanceOf[StructType])
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
-      val Array(p, r, b) = line.split('\t')
-      ManifestEntry(p, r.toLong, b.toLong)
+      line.split('\t') match {
+        case Array(p, r, b) => ManifestEntry(p, r.toLong, b.toLong)
+        case Array(p, r, b, st) =>
+          val stats = st.split(',').filter(_.nonEmpty).map { kv =>
+            val Array(k, mn, mx) = kv.split(':')
+            k -> (mn.toDouble, mx.toDouble)
+          }.toMap
+          ManifestEntry(p, r.toLong, b.toLong, stats)
+        case other => sys.error(
+          s"malformed manifest line at $root: '${other.mkString("\\t")}'")
+      }
     }
     VersionManifest(schema, entries)
   }
@@ -374,8 +455,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private def writeManifest(v: Long, m: VersionManifest): Unit = {
     if (!fs.exists(manifestsRoot)) fs.mkdirs(manifestsRoot)
     val header = m.schema.map(s => s"#schema=${s.json}\n").getOrElse("")
-    val body = header + m.entries
-      .map(e => s"${e.relPath}\t${e.rows}\t${e.bytes}").mkString("\n")
+    val body = header + m.entries.map { e =>
+      val st = e.stats.toSeq.sortBy(_._1)
+        .map { case (k, (mn, mx)) => s"$k:$mn:$mx" }.mkString(",")
+      s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st"
+    }.mkString("\n")
     val tmp = new Path(manifestsRoot, f".v$v%08d.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
@@ -433,8 +517,12 @@ final case class HistoryEntry(
     version: Long, timestamp: String, operation: String, numRows: Long)
 
 /** One manifest line: a parquet file (path relative to the table
-  * root), its footer row count, and its size in bytes. */
-final case class ManifestEntry(relPath: String, rows: Long, bytes: Long)
+  * root), its footer row count, its size in bytes, and per-column
+  * [min, max] ranges for top-level numeric columns (collected from the
+  * same footer read that yields the row count — free at commit time,
+  * and the basis for manifest-level file skipping at read time). */
+final case class ManifestEntry(relPath: String, rows: Long, bytes: Long,
+    stats: Map[String, (Double, Double)] = Map.empty)
 
 /** A version: its snapshot schema plus its file list. The schema is
   * stored IN the manifest (`#schema=` header), so reads plan against

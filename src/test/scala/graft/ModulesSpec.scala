@@ -354,6 +354,27 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(diff.count(_._2 == "delete") === 59, s"got $diff")
   }
 
+  test("manifest stats prune files at read time (Delta-style data skipping)") {
+    val root = Fixtures.tempDir("graft-vt-skip") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    // three commits with disjoint id ranges -> three disjoint file sets
+    vt.write(spark.range(0, 100).toDF("id").coalesce(1))
+    vt.write(spark.range(100, 200).toDF("id").coalesce(1), SaveMode.Append)
+    vt.write(spark.range(200, 300).toDF("id").coalesce(1), SaveMode.Append)
+    assert(vt.manifestEntries(2L).forall(_.stats.contains("id")),
+      "numeric column stats must be recorded in the manifest")
+    val pruned = vt.readBetween("id", 120, 180)
+    // only the middle commit's file survives the manifest prune
+    assert(pruned.inputFiles.length === 1,
+      s"expected 1 planned file, got ${pruned.inputFiles.mkString(",")}")
+    assert(pruned.inputFiles.head.contains("c00000001"))
+    // row-level exactness: identical to the unpruned filtered read
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq === (120L to 180L))
+    // fully-disjoint predicate: zero files, empty result, schema kept
+    val none = vt.readBetween("id", 1000, 2000)
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id"))
+  }
+
   test("detail on a versioned root reports the current snapshot, not all versions") {
     val root = Fixtures.tempDir("graft-vt-detail") + "/tbl"
     val vt = new VersionedTable(spark, root)
