@@ -157,15 +157,27 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * question from ONE small file already in hand. Files with no
     * recorded stats for the column (non-numeric, all-null, or
     * pre-stats manifests) are conservatively read. */
-  def readBetween(column: String, lo: Double, hi: Double): DataFrame = {
+  def readBetween(column: String, lo: Double, hi: Double): DataFrame =
+    readWhere(Map(column -> (lo, hi)))
+
+  /** Multi-predicate form of [[readBetween]]: a file survives only if
+    * its recorded range intersects EVERY given [lo, hi] — conjunctive
+    * predicates compound the skipping (a file in the right id range
+    * but wrong timestamp range is pruned). */
+  def readWhere(ranges: Map[String, (Double, Double)]): DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(ranges.nonEmpty, "readWhere needs at least one column range")
     val v = currentVersion.getOrElse(sys.error(s"table $root does not exist"))
     val m = readManifest(v)
-    val keep = m.entries.filter(e => e.stats.get(column) match {
-      case Some((mn, mx)) => mx >= lo && mn <= hi
-      case None => true // unknown range: must read
+    val keep = m.entries.filter(e => ranges.forall { case (column, (lo, hi)) =>
+      e.stats.get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // unknown range: must read
+      }
     })
-    val pred = col(column) >= lo && col(column) <= hi
+    val pred = ranges.map { case (column, (lo, hi)) =>
+      col(column) >= lo && col(column) <= hi
+    }.reduce(_ && _)
     if (keep.isEmpty) {
       // every file excluded: an empty frame with the snapshot schema
       return readVersion(v).limit(0).filter(pred)

@@ -373,6 +373,18 @@ class VersionedTableSpec extends AnyFunSuite {
     // fully-disjoint predicate: zero files, empty result, schema kept
     val none = vt.readBetween("id", 1000, 2000)
     assert(none.count() === 0 && none.columns.toSeq === Seq("id"))
+    // conjunctive multi-column pruning: two-column table, predicates
+    // that individually match different files but jointly match one
+    val root2 = Fixtures.tempDir("graft-vt-skip2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    vt2.write(spark.range(0, 100).select(col("id"), (col("id") * 10).as("ts"))
+      .coalesce(1))
+    vt2.write(spark.range(100, 200).select(col("id"), (col("id") * 10).as("ts"))
+      .coalesce(1), SaveMode.Append)
+    val both = vt2.readWhere(Map("id" -> (50.0, 150.0), "ts" -> (0.0, 990.0)))
+    // id range spans both files, ts range only the first -> one file
+    assert(both.inputFiles.length === 1, both.inputFiles.mkString(","))
+    assert(both.collect().map(_.getLong(0)).sorted.toSeq === (50L to 99L))
   }
 
   test("detail on a versioned root reports the current snapshot, not all versions") {
