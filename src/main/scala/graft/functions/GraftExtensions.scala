@@ -147,11 +147,11 @@ object GraftFunctions {
     "graft_stopword_hits" -> { args: Seq[Expression] =>
       require(args.length == 2, "graft_stopword_hits(tokens, stopwords_csv)")
       args(1) match {
-        case Literal(s, _) =>
+        case Literal(s, _) if s != null =>
           StopwordHitCount(args(0),
             s.toString.split(",").map(_.trim).filter(_.nonEmpty))
         case other => throw new IllegalArgumentException(
-          s"stopwords_csv must be a string literal, got $other")
+          s"stopwords_csv must be a non-null string literal, got $other")
       }
     })
 

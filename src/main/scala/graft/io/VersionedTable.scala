@@ -386,13 +386,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
                     case _ => None
                   }
                 range match {
-                  case Some((mn, mx)) =>
+                  case Some((mn, mx)) if !mn.isNaN && !mx.isNaN =>
                     mins(path) = mins.get(path).fold(mn)(math.min(_, mn))
                     maxs(path) = maxs.get(path).fold(mx)(math.max(_, mx))
-                  case None =>
-                    // a single stats-less or all-null row group makes
-                    // the whole file's range unknown — recording a
-                    // partial range would skip rows
+                  case _ =>
+                    // a stats-less, all-null, or NaN-poisoned row group
+                    // makes the whole file's range unknown — recording
+                    // a partial range would skip rows, and NaN ranges
+                    // fail every >= comparison at prune time, silently
+                    // excluding files whose non-NaN rows match
                     statless += path
                 }
               }

@@ -78,7 +78,6 @@ object Multimodal {
     val bytes = r.content
     val n = bytes.length
     val checksum = byteChecksum(bytes)
-    var i = 0
     val width = if (n >= 2) ((bytes(0) & 0xff) << 4) | (bytes(1) & 0x0f) else 0
     val height = if (n >= 4) ((bytes(2) & 0xff) << 4) | (bytes(3) & 0x0f) else 0
     val nFrames = r.media_type match {
@@ -87,7 +86,7 @@ object Multimodal {
       case _ => 1
     }
     val hist = new Array[Float](8)
-    i = 0
+    var i = 0
     while (i < n) { hist((bytes(i) & 0xff) >> 5) += 1f; i += 1 }
     if (n > 0) { var j = 0; while (j < 8) { hist(j) /= n; j += 1 } }
     MediaFeatures(r.media_id, r.media_type, n, checksum, width, height,

@@ -262,9 +262,10 @@ object TrainingData {
   private val enStops = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
   private val xxStops = TextAnalysis.xxStopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Simhash expression over `bits` bits, generated to mirror
-    * Dedup.simhash; shared by the q24 (16-bit) and q38 (28-bit)
-    * oracles. */
+  /** Simhash expression over `bits` (≤ 32) bits, generated to mirror
+    * Dedup.simhash; consumed by the q24 (16-bit) oracle only — q38's
+    * 56-bit oracle builds its own two-slice terms in
+    * [[simhashPairsSql]]. */
   private def simhashTerms(bits: Int): String = (0 until bits).map { j =>
     val bitSum = "list_sum(list_transform(t, tok -> CASE WHEN " +
       s"((${duckHash("'99'", "tok")} >> $j) & 1) = 1 THEN 1 ELSE -1 END))"

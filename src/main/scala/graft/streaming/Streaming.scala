@@ -158,16 +158,23 @@ object Streaming {
     * id would silently drop every batch of a fresh-checkpoint restart
     * until its ids exceeded the old maximum.
     *
+    * The `STREAM_<appId>_BATCH_<n>` history-operation format is the
+    * sink's durable idempotence record — treat it as a stable on-disk
+    * format (changing it orphans in-flight streams' replay markers).
+    *
     * Usage: `df.writeStream.foreachBatch(versionedAppendBatch(root,
     * "my_ingest_v1")).option("checkpointLocation", ...).start()`. */
   def versionedAppendBatch(root: String, appId: String)
-      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+      : (DataFrame, Long) => Unit = {
     // restricted alphabet: an appId containing "_BATCH_" would make one
-    // app's marker a prefix of another's and corrupt the id parse
+    // app's marker a prefix of another's and corrupt the id parse.
+    // Validated HERE, not in the closure: an invalid appId should fail
+    // at pipeline construction, not kill the query at its first batch.
     require(appId.matches("[A-Za-z0-9.-]+"),
       s"appId must be [A-Za-z0-9.-]+, got '$appId'")
-    val vt = new graft.io.VersionedTable(batch.sparkSession, root)
     val marker = s"STREAM_${appId}_BATCH_"
+    (batch, batchId) =>
+    val vt = new graft.io.VersionedTable(batch.sparkSession, root)
     // newest-first short-circuit: on a streaming table the newest
     // commit IS the last stream batch, so this reads one history file
     // per micro-batch instead of all of them

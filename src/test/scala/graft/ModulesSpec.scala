@@ -385,6 +385,16 @@ class VersionedTableSpec extends AnyFunSuite {
     // id range spans both files, ts range only the first -> one file
     assert(both.inputFiles.length === 1, both.inputFiles.mkString(","))
     assert(both.collect().map(_.getLong(0)).sorted.toSeq === (50L to 99L))
+    // NaN-poisoned column: parquet records NaN as the max, which would
+    // fail every prune comparison and silently skip the file — such a
+    // column's stats must be voided (conservatively read) instead
+    val root3 = Fixtures.tempDir("graft-vt-skip3") + "/tbl"
+    val vt3 = new VersionedTable(spark, root3)
+    vt3.write(Seq(1.0, Double.NaN, 5.0).toDF("x").coalesce(1))
+    assert(vt3.manifestEntries(0L).head.stats.get("x").isEmpty,
+      "NaN-containing column must carry no range stats")
+    assert(vt3.readBetween("x", 0, 10).count() === 2,
+      "file must still be read; only the NaN row fails the predicate")
   }
 
   test("detail on a versioned root reports the current snapshot, not all versions") {
