@@ -80,9 +80,16 @@ object Maintain {
           bitsPerDim = opts.get("bits").map(_.toInt).getOrElse(8),
           numPartitions = opts.get("partitions").map(_.toInt))
         s"zorder $path: z-clustered by ${cols.mkString(", ")}"
+      case "hilbert" =>
+        val cols = opts.getOrElse("cols",
+          sys.error("--cols a,b is required")).split(",").map(_.trim).toSeq
+        Maintenance.hilbertOrderBy(spark, path, cols,
+          bitsPerDim = opts.get("bits").map(_.toInt).getOrElse(8),
+          numPartitions = opts.get("partitions").map(_.toInt))
+        s"hilbert $path: hilbert-clustered by ${cols.mkString(", ")}"
       case other =>
         sys.error(s"unknown command '$other' " +
-          "(compact|sortby|detail|vacuum|history|restore|optimize|zorder)")
+          "(compact|sortby|detail|vacuum|history|restore|optimize|zorder|hilbert)")
     }
   }
 

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Hilbert curve index of `children.size` dimensions — the
+  * higher-locality alternative to [[ZValue]]: the Hilbert curve visits
+  * every bucket cell exactly once moving only between ADJACENT cells
+  * (unit Manhattan steps, spec-verified exhaustively), so consecutive
+  * index ranges map to compact spatial blobs with no Z-curve
+  * "jump" seams. Sorting a table by this index gives each parquet file
+  * tighter per-dimension min/max ranges than Z-order on average — the
+  * clustering Databricks' liquid clustering and Delta's Hilbert option
+  * use at scale.
+  *
+  * Bucketing contract is identical to [[ZValue]] (equi-depth quantile
+  * edges, upper-inclusive, null → bucket 0, DoubleType inputs). The
+  * bucket ids are mapped to the Hilbert index with Skilling's
+  * transpose transform ("Programming the Hilbert curve", AIP Conf.
+  * Proc. 707, 2004 — public domain algorithm): Gray-code "inverse
+  * undo" over the transposed coordinate bits, then MSB-first bit
+  * interleaving.
+  */
+case class HilbertValue(children: Seq[Expression], boundaries: Seq[Seq[Double]])
+    extends Expression with CodegenFallback with Serializable {
+
+  private val dims = children.size
+  require(dims >= 1, "HilbertValue needs at least one dimension")
+  require(boundaries.size == dims,
+    s"boundaries for ${boundaries.size} dims, got $dims children")
+  private val bitsPerDim = {
+    val buckets = boundaries.head.size + 1
+    require(boundaries.forall(_.size == buckets - 1),
+      "all dimensions must have the same bucket count")
+    require((buckets & (buckets - 1)) == 0 && buckets >= 2,
+      s"bucket count must be a power of two >= 2, got $buckets")
+    java.lang.Integer.numberOfTrailingZeros(buckets)
+  }
+  require(bitsPerDim * dims <= 63,
+    s"hilbert index would need ${bitsPerDim * dims} bits; max 63")
+
+  override def prettyName: String = "graft_hilbert"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    children.find(_.dataType != DoubleType) match {
+      case Some(c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires double inputs, got ${c.dataType.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+
+  @transient private lazy val edges: Array[Array[Double]] =
+    boundaries.map(_.toArray).toArray
+
+  override def eval(input: InternalRow): Any = {
+    val x = new Array[Int](dims)
+    var d = 0
+    while (d < dims) {
+      val v = children(d).eval(input)
+      x(d) =
+        if (v == null) 0
+        else {
+          val i = java.util.Arrays.binarySearch(edges(d), v.asInstanceOf[Double])
+          if (i >= 0) i else -(i + 1)
+        }
+      d += 1
+    }
+    axesToTranspose(x)
+    // MSB-first interleave of the transposed coordinates: bit k of
+    // x(i) lands at position k*dims + (dims-1-i)
+    var h = 0L
+    var k = 0
+    while (k < bitsPerDim) {
+      var i = 0
+      while (i < dims) {
+        h |= ((x(i) >>> k) & 1L) << (k * dims + (dims - 1 - i))
+        i += 1
+      }
+      k += 1
+    }
+    h
+  }
+
+  /** Skilling's AxestoTranspose: in-place Gray-code transform turning
+    * bucket coordinates into the transposed Hilbert index. */
+  private def axesToTranspose(x: Array[Int]): Unit = {
+    val m = 1 << (bitsPerDim - 1)
+    // inverse undo
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < dims) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < dims) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0
+    q = m
+    while (q > 1) { if ((x(dims - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < dims) { x(i) ^= t; i += 1 }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HilbertValue =
+    copy(children = newChildren)
+}
+
+object HilbertValue {
+  /** Hilbert-curve long index of `cols` (cast to double by the caller)
+    * against per-dimension quantile edges. */
+  def hilbert(cols: Seq[Column], boundaries: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(HilbertValue(cols.map(ColumnBridge.expression),
+      boundaries))
+}

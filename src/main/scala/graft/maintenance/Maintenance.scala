@@ -108,34 +108,53 @@ object Maintenance {
     * Numeric columns only (quantile bucketing); use [[sortBy]] for
     * lexicographic clustering. */
   def zOrderBy(spark: SparkSession, path: String, zCols: Seq[String],
-      bitsPerDim: Int = 8, numPartitions: Option[Int] = None): Unit = {
-    require(zCols.nonEmpty, "zOrderBy requires at least one column")
-    require(bitsPerDim * zCols.size <= 63,
-      s"${zCols.size} dims at $bitsPerDim bits exceed a long")
+      bitsPerDim: Int = 8, numPartitions: Option[Int] = None): Unit =
+    curveOrderBy(spark, path, zCols, bitsPerDim, numPartitions,
+      graft.functions.ZValue.zvalue, "zorder_tmp")
+
+  /** Hilbert-curve variant of [[zOrderBy]] — the Hilbert curve moves
+    * only between adjacent bucket cells (no Z-curve jump seams), so
+    * consecutive index ranges are compact spatial blobs and per-file
+    * ranges come out tighter on average; the preferred clustering for
+    * repeated multi-column range scans at scale. Same quantile
+    * bucketing, shuffle, and rewrite machinery. */
+  def hilbertOrderBy(spark: SparkSession, path: String, cols: Seq[String],
+      bitsPerDim: Int = 8, numPartitions: Option[Int] = None): Unit =
+    curveOrderBy(spark, path, cols, bitsPerDim, numPartitions,
+      graft.functions.HilbertValue.hilbert, "hilbert_tmp")
+
+  private def curveOrderBy(spark: SparkSession, path: String,
+      cCols: Seq[String], bitsPerDim: Int, numPartitions: Option[Int],
+      curve: (Seq[org.apache.spark.sql.Column], Seq[Seq[Double]]) =>
+        org.apache.spark.sql.Column,
+      tag: String): Unit = {
+    require(cCols.nonEmpty, "cluster rewrite requires at least one column")
+    require(bitsPerDim * cCols.size <= 63,
+      s"${cCols.size} dims at $bitsPerDim bits exceed a long")
     val df = TableIO.read(spark, path)
     val buckets = 1 << bitsPerDim
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // one scan computes every dimension's quantile edges
-    val casted = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
-    val bounds = casted.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    val casted = df.select(cCols.map(c => col(c).cast("double").as(c)): _*)
+    val bounds = casted.stat.approxQuantile(cCols.toArray, probs, 0.001)
     // approxQuantile returns ZERO edges for an all-null column (or an
-    // empty table); say so, instead of a confusing ZValue bucket-count
+    // empty table); say so, instead of a confusing bucket-count
     // require deep in the rewrite
-    bounds.toSeq.zip(zCols).foreach { case (bs, c) =>
+    bounds.toSeq.zip(cCols).foreach { case (bs, c) =>
       require(bs.nonEmpty,
-        s"zOrderBy column '$c' has no non-null values to bucket at $path")
+        s"cluster column '$c' has no non-null values to bucket at $path")
     }
-    val z = graft.functions.ZValue.zvalue(
-      zCols.map(c => col(c).cast("double")), bounds.toSeq.map(_.toSeq))
-    val withZ = df.withColumn("__z", z)
+    val idx = curve(cCols.map(c => col(c).cast("double")),
+      bounds.toSeq.map(_.toSeq))
+    val withIdx = df.withColumn("__curve", idx)
     val ranged = numPartitions match {
-      case Some(n) => withZ.repartitionByRange(n, col("__z"))
-      case None => withZ.repartitionByRange(col("__z"))
+      case Some(n) => withIdx.repartitionByRange(n, col("__curve"))
+      case None => withIdx.repartitionByRange(col("__curve"))
     }
-    val sorted = ranged.sortWithinPartitions(col("__z")).drop("__z")
+    val sorted = ranged.sortWithinPartitions(col("__curve")).drop("__curve")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = TableIO.fs(spark, p)
-    val tmp = tmpSibling(p, "zorder_tmp")
+    val tmp = tmpSibling(p, tag)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(p, true)

@@ -530,6 +530,52 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(z(null, 3.5) === 10L)
   }
 
+  test("HilbertValue: exhaustive adjacency — consecutive indices are unit steps") {
+    // 3 bits x 2 dims = the full 8x8 grid; the DEFINING Hilbert
+    // property is that the curve visits all 64 cells moving only
+    // between Manhattan-adjacent cells. This pins the Skilling
+    // transform without trusting any particular orientation choice.
+    val edges = (1 until 8).map(_.toDouble)
+    val cells = for (x <- 0 until 8; y <- 0 until 8) yield (x + 0.5, y + 0.5)
+    val rows = cells.toDF("x", "y")
+      .select(col("x"), col("y"), graft.functions.HilbertValue.hilbert(
+        Seq(col("x"), col("y")), Seq(edges, edges)).as("h"))
+      .collect().map(r => (r.getLong(2), (r.getDouble(0), r.getDouble(1))))
+    assert(rows.map(_._1).sorted.toSeq === (0L until 64L),
+      "index must be a bijection onto 0..63")
+    val ordered = rows.sortBy(_._1).map(_._2).toSeq
+    ordered.zip(ordered.tail).foreach { case ((x1, y1), (x2, y2)) =>
+      val dist = math.abs(x1 - x2) + math.abs(y1 - y2)
+      assert(dist === 1.0,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2) in the curve")
+    }
+  }
+
+  test("hilbertOrderBy: narrow per-file ranges on BOTH dimensions") {
+    val path = Fixtures.tempDir("graft-hilbert") + "/t"
+    spark.range(4096).select(
+      (col("id") % 64).cast("int").as("x"),
+      (col("id") / 64).cast("int").as("y"))
+      .repartition(4).write.parquet(path)
+    Maintenance.hilbertOrderBy(spark, path, Seq("x", "y"),
+      bitsPerDim = 6, numPartitions = Some(16))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.toString)
+        .agg(min("x"), max("x"), min("y"), max("y")).head
+      ((r.getInt(1) - r.getInt(0)) / 63.0,
+        (r.getInt(3) - r.getInt(2)) / 63.0)
+    }
+    val avgX = ranges.map(_._1).sum / ranges.length
+    val avgY = ranges.map(_._2).sum / ranges.length
+    assert(avgX < 0.6, s"avg x range $avgX")
+    assert(avgY < 0.6, s"avg y range $avgY")
+    assert(spark.read.parquet(path).count() === 4096)
+  }
+
   test("zOrderBy: narrow per-file ranges on BOTH dimensions") {
     val path = Fixtures.tempDir("graft-zorder") + "/t"
     // 64x64 grid: x and y independent, both uniform on 0..63
