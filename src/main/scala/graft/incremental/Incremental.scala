@@ -124,12 +124,17 @@ object Upsert {
       mergeKeys: Seq[String], updateColumns: Option[Seq[String]] = None,
       partitionBy: Option[String] = None,
       assumeStablePartitions: Boolean = false): Long = {
+    val root = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = TableIO.fs(spark, root)
+    // BEFORE anything reads (or concludes absence of) the target:
+    // restore data a crashed previous merge left stranded in its temp
+    // dir. Deleting the temp unseen would permanently lose the
+    // partitions whose only live copy it holds.
+    recoverCrashedMerge(fs, root)
     if (!TableIO.exists(spark, targetPath)) {
       TableIO.write(source, targetPath, SaveMode.Overwrite, partitionBy)
       return TableIO.footerRowCount(spark, targetPath)
     }
-    val root = new org.apache.hadoop.fs.Path(targetPath)
-    val fs = TableIO.fs(spark, root)
     val scopedCol = partitionBy
       .filter(p => mergeKeys.contains(p) || assumeStablePartitions)
       .filter(p => fs.listStatus(root)
@@ -153,7 +158,6 @@ object Upsert {
             .filter(col(pcol).isInCollection(vals))
           val merged = upsert(target, source, mergeKeys, updateColumns)
           val tmp = TableIO.tmpSibling(root, "merge_tmp")
-          if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
           TableIO.write(merged, tmp.toString, SaveMode.Overwrite, partitionBy)
           // Swap in each rewritten partition dir; includes partitions
           // newly created by inserts. Untouched partitions' files are
@@ -188,10 +192,49 @@ object Upsert {
     val p = new org.apache.hadoop.fs.Path(targetPath)
     val fs = TableIO.fs(spark, p)
     val tmp = TableIO.tmpSibling(p, "merge_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
+    if (fs.exists(tmp)) fs.delete(tmp, true) // already reconciled on entry
     TableIO.write(merged, tmp.toString, SaveMode.Overwrite, partitionBy)
     fs.delete(p, true)
     fs.rename(tmp, p)
     TableIO.footerRowCount(spark, targetPath)
+  }
+
+  /** Recovery from a previous merge that crashed inside its swap window.
+    *
+    * The swap protocol deletes a destination (partition dir, or the
+    * whole table on a full rewrite) and then renames the temp copy in;
+    * a crash between the two leaves the ONLY live copy of that data in
+    * the `_merge_tmp` sibling. The old behavior — delete any
+    * pre-existing temp as "stale" — silently destroyed it.
+    *
+    * - Target dir missing entirely + temp present: the full-rewrite
+    *   swap crashed post-delete; the temp IS the merged table — finish
+    *   the rename.
+    * - Partition dirs present in the temp but missing from the target:
+    *   those partitions' delete ran but not their rename — restore them
+    *   (the temp holds their fully-written merged data: swaps only
+    *   start after the temp write completes).
+    * - Partition dirs present in BOTH: the old merge never got to that
+    *   partition's delete (or never finished writing the temp) — keep
+    *   the target's copy; the old merge rolls back there and the
+    *   current merge redoes it. Upsert is idempotent on re-applied
+    *   source rows, so a half-swapped previous merge converges either
+    *   way.
+    */
+  private def recoverCrashedMerge(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = TableIO.tmpSibling(root, "merge_tmp")
+    if (!fs.exists(tmp)) return
+    if (!fs.exists(root)) {
+      fs.rename(tmp, root)
+      return
+    }
+    fs.listStatus(tmp)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .foreach { d =>
+        val dest = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+        if (!fs.exists(dest)) fs.rename(d.getPath, dest)
+      }
+    fs.delete(tmp, true)
   }
 }

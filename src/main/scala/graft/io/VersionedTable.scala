@@ -10,7 +10,7 @@ import java.nio.charset.StandardCharsets
   *
   * Layout — manifest-based, like Delta's add-file log:
   * {{{
-  *   <root>/_data/c00000001/part-*.parquet  // files ADDED by commit 1
+  *   <root>/_data/c00000001_<uid>/part-*.parquet  // files ADDED by commit 1
   *   <root>/_manifests/v00000001.txt        // file list of version 1
   *   <root>/_latest                         // text: current version
   *   <root>/_history/<ts>_v*.json           // one file per commit
@@ -26,7 +26,8 @@ import java.nio.charset.StandardCharsets
   * driver-side metadata read), so commits never re-scan data.
   *
   * Commit protocol = crash-safe ordering:
-  *   1. data files land under `_data/c<next>/` (invisible: nothing
+  *   1. data files land under a writer-unique `_data/c<next>_<uid>/`
+  *      (racing writers never share an attempt dir; invisible: nothing
   *      references them, and `_`-prefixed paths are skipped by readers);
   *   2. the manifest is written to a temp name and renamed in — the
   *      manifest's EXISTENCE is the commit marker (no reliance on
@@ -48,7 +49,25 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private val fs = TableIO.fs(spark, rootPath)
   private val dataRoot = new Path(root, "_data")
   private val manifestsRoot = new Path(root, "_manifests")
-  private def commitDir(v: Long) = new Path(dataRoot, f"c$v%08d")
+  /** A fresh, WRITER-UNIQUE data dir for one commit ATTEMPT. Two racing
+    * writers that both allocate version `v` then never share a
+    * directory — without the suffix the second writer's cleanup would
+    * delete the first's in-flight files, and the first's manifest could
+    * commit referencing half-written data; with it the manifest-rename
+    * guard cleanly rejects the loser and its orphan dir is [[vacuum]]
+    * fodder. The version prefix keeps dirs humanly attributable and
+    * lets vacuum's orphan sweep order them against `currentVersion`. */
+  private def newCommitDir(v: Long) = new Path(dataRoot,
+    f"c$v%08d_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** The commit number of a `_data` child dir, for both the suffixed
+    * layout and the legacy `c<number>` form; None for foreign dirs
+    * (which vacuum must never touch). */
+  private val commitDirRe = """^c(\d+)(?:_[0-9a-f]+)?$""".r
+  private def commitDirVersion(name: String): Option[Long] = name match {
+    case commitDirRe(digits) => Some(digits.toLong)
+    case _ => None
+  }
   private def manifestPath(v: Long) = new Path(manifestsRoot, f"v$v%08d.txt")
   private val latestPath = new Path(root, "_latest")
   private val historyDir = new Path(root, "_history")
@@ -92,16 +111,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
           reconcileAppendSchema(df, snapshotSchema(cur), allowSchemaEvolution))
       case _ => (Seq.empty, df.schema)
     }
-    val dir = commitDir(next)
-    // A data dir at `next` with NO manifest is a crashed attempt's
-    // leftovers — safe to clear. With a manifest it is another writer's
-    // COMMIT: deleting it would destroy committed files the moment
-    // before writeManifest's conflict guard fired, so conflict-check
-    // FIRST (same error the guard raises, minus the damage).
+    // Attempt dirs are writer-unique, so there is never a pre-existing
+    // dir to clear (a racing writer's files live under ITS OWN dir and
+    // are never deleted here). Pre-check the manifest anyway: it is the
+    // same error writeManifest's guard raises, caught before paying for
+    // the data write.
+    val dir = newCommitDir(next)
     if (fs.exists(manifestPath(next)))
       sys.error(s"concurrent write conflict at $root: version $next was " +
         "committed by another writer; re-read and retry")
-    if (fs.exists(dir)) fs.delete(dir, true)
     df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
     val added = listCommitFiles(dir)
     writeManifest(next, VersionManifest(Some(schema), prior ++ added))
@@ -318,9 +336,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       keep.flatMap(readManifest(_).entries.map(_.relPath)).toSet
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).map(_.getPath).foreach { dir =>
-        val n = dir.getName
-        if (n.startsWith("c") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toLong <= cur) {
+        if (commitDirVersion(dir.getName).exists(_ <= cur)) {
           val files = fs.listStatus(dir).map(_.getPath)
             .filter(_.getName.endsWith(".parquet"))
           val (kept, garbage) = files.partition(f =>

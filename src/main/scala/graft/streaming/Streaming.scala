@@ -208,6 +208,7 @@ object Streaming {
     * key, so results do not depend on arrival order inside a batch. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
       watermarkDelay: String): Dataset[SessionSummary] = {
+    require(gapMs > 0, s"session gap must be positive, got $gapMs")
     val spark = events.sparkSession
     import spark.implicits._
     def summary(key: String, s: SessionState): SessionSummary =
@@ -242,7 +243,11 @@ object Streaming {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // clamp as in runningTotalsEvicting: a late-but-in-horizon
+              // event can put last + gap at/behind the current watermark,
+              // which GroupState rejects and the query dies
+              state.setTimeoutTimestamp(math.max(
+                s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }

@@ -160,6 +160,53 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).filter("id = 2").head.getDouble(1) === 20.0)
   }
 
+  test("crashed merge swap window: stranded tmp data restored, not deleted") {
+    import graft.io.TableIO
+    val base = Fixtures.tempDir("graft-merge-crash")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+
+    // --- partition-scoped crash: a previous merge wrote its tmp, deleted
+    // the target's dt=d2 dir, and died before the rename — d2's only live
+    // copy is in the tmp. The next merge must restore it, not delete it.
+    val path = s"$base/t"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val t0 = Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("id", "dt", "v")
+    Upsert.mergeIntoTable(spark, t0, path, Seq("id", "dt"),
+      partitionBy = Some("dt"))
+    val tmp = TableIO.tmpSibling(root, "merge_tmp")
+    // the crashed merge's tmp: d2 merged to 20.0, and a d1 copy at a
+    // bogus value (its swap never started — the target's copy must win)
+    TableIO.write(Seq((1L, "d1", 999.0), (2L, "d2", 20.0)).toDF("id", "dt", "v"),
+      tmp.toString, SaveMode.Overwrite, Some("dt"))
+    fs.delete(new org.apache.hadoop.fs.Path(root, "dt=d2"), true)
+    // a fresh merge on an unrelated partition triggers recovery first
+    Upsert.mergeIntoTable(spark, Seq((3L, "d3", 3.0)).toDF("id", "dt", "v"),
+      path, Seq("id", "dt"), partitionBy = Some("dt"))
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(rows === Map(
+      1L -> (1.0, "d1"),  // tmp's half-merged d1 rolled back
+      2L -> (20.0, "d2"), // restored from tmp: would've been lost before
+      3L -> (3.0, "d3")))
+    assert(!fs.exists(tmp), "recovery must consume the tmp")
+
+    // --- full-rewrite crash: target dir deleted, tmp holds the whole
+    // merged table. Without recovery the next merge would treat the
+    // table as missing and overwrite it with just the source.
+    val path2 = s"$base/t2"
+    val root2 = new org.apache.hadoop.fs.Path(path2)
+    Upsert.mergeIntoTable(spark, t0, path2, Seq("id"))
+    val tmp2 = TableIO.tmpSibling(root2, "merge_tmp")
+    TableIO.write(spark.read.parquet(path2), tmp2.toString,
+      SaveMode.Overwrite, None)
+    fs.delete(root2, true)
+    Upsert.mergeIntoTable(spark, Seq((9L, "d9", 9.0)).toDF("id", "dt", "v"),
+      path2, Seq("id"))
+    assert(spark.read.parquet(path2).count() === 3,
+      "pre-crash rows must survive via the recovered tmp")
+  }
+
   test("filterIncremental honors watermark and initial load date") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
@@ -253,21 +300,26 @@ class VersionedTableSpec extends AnyFunSuite {
     val vt = new VersionedTable(spark, root)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    // commit-attempt dirs carry a writer-unique suffix: resolve by
+    // version prefix rather than pinning a literal name
+    def commitSub(v: Int): String = "_data/" + fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_data")).map(_.getPath.getName)
+      .filter(_.startsWith(f"c$v%08d_")).head
     def files(sub: String): Map[String, (Long, Long)] =
       fs.listStatus(new org.apache.hadoop.fs.Path(root, sub))
         .filter(_.getPath.getName.endsWith(".parquet"))
         .map(s => s.getPath.getName -> (s.getLen, s.getModificationTime))
         .toMap
     vt.write((1 to 100).toDF("id"))
-    val v0Files = files("_data/c00000000")
+    val v0Files = files(commitSub(0))
     assert(v0Files.nonEmpty)
     vt.write((101 to 110).toDF("id"), SaveMode.Append)
     // the append wrote ONLY its delta: v0's files are byte-identical
     // (same names, sizes, modification times) and v1's manifest
     // re-references them alongside the new commit's files
-    assert(files("_data/c00000000") === v0Files,
+    assert(files(commitSub(0)) === v0Files,
       "append must not rewrite the prior version's files")
-    assert(files("_data/c00000001").nonEmpty)
+    assert(files(commitSub(1)).nonEmpty)
     assert(vt.read().count() === 110)
     assert(vt.readVersion(0).count() === 100)
     // history row counts came from footers, not a re-scan
@@ -339,8 +391,9 @@ class VersionedTableSpec extends AnyFunSuite {
     val v2 = vt.compact(targetFileMB = 128)
     assert(v2 === 2L)
     assert(vt.read().count() === 60)
-    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root, "_data/c00000002"))
-      .count(_.getPath.getName.endsWith(".parquet")) < 9)
+    val c2 = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_data"))
+      .map(_.getPath).filter(_.getName.startsWith("c00000002_")).head
+    assert(fs.listStatus(c2).count(_.getPath.getName.endsWith(".parquet")) < 9)
     assert(vt.readVersion(0).count() === 50, "old versions survive OPTIMIZE")
     assert(vt.history().head.operation === "OPTIMIZE")
     // compaction rewrote every file but changed no rows: the row-level
@@ -420,14 +473,17 @@ class VersionedTableSpec extends AnyFunSuite {
     vt.write(Seq((9, "z")).toDF("id", "s")) // v2 overwrite
     // fabricate a crashed write: data dir with no manifest, at a commit
     // number <= current (can never commit later)
+    def commitDirsOf(v: Int) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(root, "_data")).map(_.getPath)
+      .filter(_.getName.startsWith(f"c$v%08d_")).toSeq
     val orphan = new org.apache.hadoop.fs.Path(root, "_data/c00000001x")
-    val realOrphan = new org.apache.hadoop.fs.Path(root, "_data/c00000000")
-    fs.mkdirs(orphan) // non-numeric suffix: must be left alone
+    val realOrphans = commitDirsOf(0) ++ commitDirsOf(1)
+    fs.mkdirs(orphan) // not a commit-dir name: must be left alone
     val dropped = vt.vacuum(retainVersions = 1) // keep v2 only
     assert(dropped === Seq(0L, 1L))
     // v0+v1's files (commit dirs c0, c1) are unreferenced by v2 → gone
-    assert(!fs.exists(realOrphan), "unreferenced commit dir must be GC'd")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_data/c00000001")))
+    assert(realOrphans.nonEmpty && realOrphans.forall(!fs.exists(_)),
+      "unreferenced commit dirs must be GC'd")
     assert(fs.exists(orphan), "non-commit dirs must not be touched")
     assert(vt.read().collect().map(_.getInt(0)).toSeq === Seq(9))
     // restore shares files with the restored version: vacuum after a

@@ -162,6 +162,15 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize rejects a non-positive gap") {
+    import spark.implicits._
+    import graft.streaming.Streaming.{SessionEvent, sessionize}
+    intercept[IllegalArgumentException] {
+      sessionize(spark.emptyDataset[SessionEvent], gapMs = 0L,
+        watermarkDelay = "0 seconds")
+    }
+  }
+
   test("dedupStreamNearDup: same-signature near-dups collapse; distinct texts survive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
