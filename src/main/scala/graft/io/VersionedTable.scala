@@ -93,22 +93,46 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   def exists: Boolean = currentVersion.isDefined
 
+  /** The table's partition columns (Delta partitionColumns): recorded
+    * in the current manifest; empty for unpartitioned tables. */
+  def partitionColumns: Seq[String] =
+    currentVersion.map(v => readManifest(v).partitionBy).getOrElse(Seq.empty)
+
   /** Commit a new version. Append re-references the current manifest's
     * files and writes only the delta; Overwrite starts a fresh file
     * set. With `allowSchemaEvolution`, an Append may ADD columns
     * (Delta mergeSchema): the snapshot schema grows, and reads fill
     * the column null for pre-evolution files. Shared columns must
-    * always type-match — a silent type change corrupts reads. Returns
-    * the new version number. */
+    * always type-match — a silent type change corrupts reads.
+    *
+    * `partitionBy` hive-partitions the commit's files INSIDE the
+    * version dir (Delta's partitionValues: each manifest entry's
+    * partition values are its path's `col=value` segments). The
+    * partitioning is table metadata: once set it is inherited by every
+    * later commit that passes none (an Append may never change it; an
+    * Overwrite with an explicit different `partitionBy` re-partitions
+    * the table). Partition values power manifest-level pruning in
+    * [[readWhere]] and the partition-scoped merge. Returns the new
+    * version number. */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
       operation: String = "WRITE",
-      allowSchemaEvolution: Boolean = false): Long = {
+      allowSchemaEvolution: Boolean = false,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
+    val cur: Option[VersionManifest] = currentVersion.map(readManifest)
+    val parts: Seq[String] =
+      if (partitionBy.nonEmpty) partitionBy
+      else cur.map(_.partitionBy).getOrElse(Seq.empty)
+    require(parts.forall(df.columns.contains),
+      s"partition columns ${parts.mkString(",")} must exist in the frame " +
+        s"written to $root (has: ${df.columns.mkString(",")})")
     val (prior, schema): (Seq[ManifestEntry], StructType) = mode match {
       case SaveMode.Append if exists =>
-        val cur = readManifest(currentVersion.get)
-        (cur.entries,
-          reconcileAppendSchema(df, snapshotSchema(cur), allowSchemaEvolution))
+        require(partitionBy.isEmpty || partitionBy == cur.get.partitionBy,
+          s"append cannot change partitioning of $root from " +
+            s"[${cur.get.partitionBy.mkString(",")}] to [${partitionBy.mkString(",")}]")
+        (cur.get.entries,
+          reconcileAppendSchema(df, snapshotSchema(cur.get), allowSchemaEvolution))
       case _ => (Seq.empty, df.schema)
     }
     // Attempt dirs are writer-unique, so there is never a pre-existing
@@ -120,10 +144,42 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (fs.exists(manifestPath(next)))
       sys.error(s"concurrent write conflict at $root: version $next was " +
         "committed by another writer; re-read and retry")
-    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(dir.toString)
     val added = listCommitFiles(dir)
-    writeManifest(next, VersionManifest(Some(schema), prior ++ added))
+    writeManifest(next, VersionManifest(Some(schema), prior ++ added, parts))
     appendHistory(next, operation, (prior ++ added).map(_.rows).sum)
+    pointTo(next)
+    next
+  }
+
+  /** Replace-where commit (the write primitive under MERGE/partition-
+    * scoped rewrites): keep the current snapshot's entries selected by
+    * `keep`, drop the rest, and add `df`'s files — one atomic manifest
+    * swap, so readers never see a state between "old partition" and
+    * "rewritten partition". Kept files are re-referenced, not copied. */
+  def replaceWhere(df: DataFrame, keep: ManifestEntry => Boolean,
+      operation: String): Long = {
+    val next = currentVersion.map(_ + 1).getOrElse(0L)
+    val cur = readManifest(currentVersion.getOrElse(
+      sys.error(s"table $root does not exist")))
+    val parts = cur.partitionBy
+    require(parts.forall(df.columns.contains),
+      s"partition columns ${parts.mkString(",")} must exist in the frame " +
+        s"written to $root")
+    val schema = reconcileAppendSchema(df, snapshotSchema(cur),
+      allowEvolution = false)
+    val dir = newCommitDir(next)
+    if (fs.exists(manifestPath(next)))
+      sys.error(s"concurrent write conflict at $root: version $next was " +
+        "committed by another writer; re-read and retry")
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(dir.toString)
+    val entries = cur.entries.filter(keep) ++ listCommitFiles(dir)
+    writeManifest(next, VersionManifest(Some(schema), entries, parts))
+    appendHistory(next, operation, entries.map(_.rows).sum)
     pointTo(next)
     next
   }
@@ -139,9 +195,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val m = readManifest(v)
     val files = m.entries.map(e => new Path(rootPath, e.relPath).toString)
     require(files.nonEmpty, s"version $v of $root has an empty manifest")
+    readFiles(m, files)
+  }
+
+  /** Plan a read over an explicit manifest file list. `basePath` makes
+    * Spark parse the `col=value` segments of partitioned commits back
+    * into partition COLUMNS (the files themselves don't store them);
+    * the value is cast to the column's type from the snapshot schema.
+    * Harmless when unpartitioned: the walk up from each file stops at
+    * the first non-`col=value` segment (the commit dir). */
+  private def readFiles(m: VersionManifest, files: Seq[String]): DataFrame = {
+    val reader = spark.read
+      .option("basePath", fs.makeQualified(rootPath).toString)
     m.schema match {
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
+      case Some(s) => reader.schema(s).parquet(files: _*)
+      case None => reader.parquet(files: _*)
     }
   }
 
@@ -181,14 +249,23 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** Multi-predicate form of [[readBetween]]: a file survives only if
     * its recorded range intersects EVERY given [lo, hi] — conjunctive
     * predicates compound the skipping (a file in the right id range
-    * but wrong timestamp range is pruned). */
+    * but wrong timestamp range is pruned). Partition columns prune on
+    * the file's partition VALUE (exact, not a range): Delta-style
+    * partition pruning from the manifest alone. */
   def readWhere(ranges: Map[String, (Double, Double)]): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(ranges.nonEmpty, "readWhere needs at least one column range")
     val v = currentVersion.getOrElse(sys.error(s"table $root does not exist"))
     val m = readManifest(v)
+    val partCols = m.partitionBy.toSet
     val keep = m.entries.filter(e => ranges.forall { case (column, (lo, hi)) =>
-      e.stats.get(column) match {
+      if (partCols.contains(column))
+        e.partitionValues.get(column)
+          .flatMap(s => scala.util.Try(s.toDouble).toOption) match {
+          case Some(value) => value >= lo && value <= hi
+          case None => true // null/non-numeric partition value: must read
+        }
+      else e.stats.get(column) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true // unknown range: must read
       }
@@ -201,9 +278,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       return readVersion(v).limit(0).filter(pred)
     }
     val files = keep.map(e => new Path(rootPath, e.relPath).toString)
-    m.schema.map(s => spark.read.schema(s).parquet(files: _*))
-      .getOrElse(spark.read.parquet(files: _*))
-      .filter(pred)
+    readFiles(m, files).filter(pred)
   }
 
   /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
@@ -242,10 +317,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         readVersion(toV).limit(0).withColumn("_change_type", lit("insert"))
       else {
         val paths = added.map(e => new Path(rootPath, e.relPath).toString)
-        toManifest.schema
-          .map(s => spark.read.schema(s).parquet(paths: _*))
-          .getOrElse(spark.read.parquet(paths: _*))
-          .withColumn("_change_type", lit("insert"))
+        readFiles(toManifest, paths).withColumn("_change_type", lit("insert"))
       }
     } else {
       // exceptAll demands identical schemas; a range crossing a
@@ -337,8 +409,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).map(_.getPath).foreach { dir =>
         if (commitDirVersion(dir.getName).exists(_ <= cur)) {
-          val files = fs.listStatus(dir).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
+          // recursive: partitioned commits nest files under col=value dirs
+          val it = fs.listFiles(dir, true)
+          val files = Iterator.continually(it).takeWhile(_.hasNext)
+            .map(_.next().getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq
           val (kept, garbage) = files.partition(f =>
             referenced.contains(relativize(f)))
           if (kept.isEmpty) fs.delete(dir, true)
@@ -372,9 +447,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private def listCommitFiles(dir: Path): Seq[ManifestEntry] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sparkContext.hadoopConfiguration
-    fs.listStatus(dir).toSeq
+    // recursive: partitioned commits nest files under col=value dirs
+    val it = fs.listFiles(dir, true)
+    val found = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
+    found
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
+      .sortBy(_.getPath.toString)
       .map { s =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(s, conf)
@@ -465,6 +544,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val schema = lines.find(_.startsWith("#schema="))
       .map(l => DataType.fromJson(l.stripPrefix("#schema="))
         .asInstanceOf[StructType])
+    val partitionBy = lines.find(_.startsWith("#partitionBy="))
+      .map(_.stripPrefix("#partitionBy=").split(',').toSeq
+        .filter(_.nonEmpty)).getOrElse(Seq.empty)
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       line.split('\t') match {
         case Array(p, r, b) => ManifestEntry(p, r.toLong, b.toLong)
@@ -478,13 +560,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
           s"malformed manifest line at $root: '${other.mkString("\\t")}'")
       }
     }
-    VersionManifest(schema, entries)
+    VersionManifest(schema, entries, partitionBy)
   }
 
   /** Temp-write + rename: the rename is the commit point. */
   private def writeManifest(v: Long, m: VersionManifest): Unit = {
     if (!fs.exists(manifestsRoot)) fs.mkdirs(manifestsRoot)
-    val header = m.schema.map(s => s"#schema=${s.json}\n").getOrElse("")
+    val header = m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
+      (if (m.partitionBy.nonEmpty)
+        s"#partitionBy=${m.partitionBy.mkString(",")}\n" else "")
     val body = header + m.entries.map { e =>
       val st = e.stats.toSeq.sortBy(_._1)
         .map { case (k, (mn, mx)) => s"$k:$mn:$mx" }.mkString(",")
