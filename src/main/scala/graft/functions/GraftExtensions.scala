@@ -149,7 +149,7 @@ object GraftFunctions {
       args(1) match {
         case Literal(s, _) if s != null =>
           StopwordHitCount(args(0),
-            s.toString.split(",").map(_.trim).filter(_.nonEmpty))
+            s.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         case other => throw new IllegalArgumentException(
           s"stopwords_csv must be a non-null string literal, got $other")
       }

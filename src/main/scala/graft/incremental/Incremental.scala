@@ -159,6 +159,7 @@ object Upsert {
           val merged = upsert(target, source, mergeKeys, updateColumns)
           val tmp = TableIO.tmpSibling(root, "merge_tmp")
           TableIO.write(merged, tmp.toString, SaveMode.Overwrite, partitionBy)
+          markTmpComplete(fs, tmp)
           // Swap in each rewritten partition dir; includes partitions
           // newly created by inserts. Untouched partitions' files are
           // never listed, read, or moved.
@@ -194,10 +195,27 @@ object Upsert {
     val tmp = TableIO.tmpSibling(p, "merge_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true) // already reconciled on entry
     TableIO.write(merged, tmp.toString, SaveMode.Overwrite, partitionBy)
+    markTmpComplete(fs, tmp)
     fs.delete(p, true)
     fs.rename(tmp, p)
+    // the marker rode along into the final location; `_`-prefixed so
+    // readers skip it regardless, but don't leave litter
+    fs.delete(new org.apache.hadoop.fs.Path(p, completeMarker), false)
     TableIO.footerRowCount(spark, targetPath)
   }
+
+  /** Name of the zero-byte file that proves a merge temp dir was FULLY
+    * written (created only after `TableIO.write` returns). Without it,
+    * recovery cannot tell "crashed during the swap — the tmp is the
+    * only live copy" from "crashed during the tmp WRITE — the tmp holds
+    * arbitrary partial output" (committer v2 moves task files straight
+    * to their final paths, so a half-written tmp looks complete on
+    * disk). `_`-prefixed: file indexes never read it as data. */
+  private[graft] val completeMarker = "_GRAFT_MERGE_COMPLETE"
+
+  private def markTmpComplete(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(tmp, completeMarker), true).close()
 
   /** Recovery from a previous merge that crashed inside its swap window.
     *
@@ -220,21 +238,37 @@ object Upsert {
     *   current merge redoes it. Upsert is idempotent on re-applied
     *   source rows, so a half-swapped previous merge converges either
     *   way.
+    *
+    * All restore paths are gated on the [[completeMarker]]: a temp
+    * WITHOUT it crashed during its own write (arbitrary partial task
+    * output — restoring it would commit garbage rows), and since the
+    * marker is written before any swap step, the target still holds
+    * every live byte — the unmarked temp is safely discarded. The one
+    * theoretically-unreachable state (target gone AND temp unmarked)
+    * fails loudly instead of guessing.
     */
   private def recoverCrashedMerge(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     val tmp = TableIO.tmpSibling(root, "merge_tmp")
     if (!fs.exists(tmp)) return
+    val complete =
+      fs.exists(new org.apache.hadoop.fs.Path(tmp, completeMarker))
     if (!fs.exists(root)) {
+      if (!complete) sys.error(s"unrecoverable crashed merge at $root: " +
+        s"the target is gone and $tmp lacks $completeMarker (incomplete " +
+        "write) — a swap can only have started after the marker was " +
+        "written, so this state needs operator inspection, not a guess")
       fs.rename(tmp, root)
+      fs.delete(new org.apache.hadoop.fs.Path(root, completeMarker), false)
       return
     }
-    fs.listStatus(tmp)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .foreach { d =>
-        val dest = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
-        if (!fs.exists(dest)) fs.rename(d.getPath, dest)
-      }
+    if (complete)
+      fs.listStatus(tmp)
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .foreach { d =>
+          val dest = new org.apache.hadoop.fs.Path(root, d.getPath.getName)
+          if (!fs.exists(dest)) fs.rename(d.getPath, dest)
+        }
     fs.delete(tmp, true)
   }
 }

@@ -64,18 +64,19 @@ object TableIO {
     * directory, or a manifest-log [[VersionedTable]] — the Delta-parity
     * path the reference gets from delta-spark: every pipeline run then
     * commits a version with history / time travel / restore / vacuum.
-    * Versioned tables do not hive-partition inside versions; data
-    * skipping comes from row-group min/max stats
-    * ([[graft.maintenance.Maintenance.sortBy]]/`zOrderBy`) instead of
-    * directory pruning, and path-level tools that expect raw parquet
-    * dirs (partition-scoped compact/merge) don't apply — fail loudly
-    * rather than misread. */
+    * `partitionBy` applies in BOTH modes: a versioned table hive-
+    * partitions each commit's files inside its version dir and records
+    * the column in the manifest (it is then inherited by later writes
+    * that pass none, and powers manifest-level partition pruning);
+    * a plain table partitions the directory layout. Either way the
+    * column is ignored, as in [[write]], when the frame lacks it. */
   def writeTable(spark: SparkSession, df: DataFrame, path: String,
       mode: SaveMode, partitionBy: Option[String],
       versioned: Boolean): Unit =
     if (versioned)
       new VersionedTable(spark, path).write(df, mode,
-        operation = if (mode == SaveMode.Append) "APPEND" else "WRITE")
+        operation = if (mode == SaveMode.Append) "APPEND" else "WRITE",
+        partitionBy = partitionBy.filter(df.columns.contains).map(Seq(_)))
     else write(df, path, mode, partitionBy)
 
   /** Read a curated layer regardless of storage mode: auto-detects a

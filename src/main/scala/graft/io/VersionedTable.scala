@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{graftbridge, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.charset.StandardCharsets
 
@@ -108,29 +108,31 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * `partitionBy` hive-partitions the commit's files INSIDE the
     * version dir (Delta's partitionValues: each manifest entry's
     * partition values are its path's `col=value` segments). The
-    * partitioning is table metadata: once set it is inherited by every
-    * later commit that passes none (an Append may never change it; an
-    * Overwrite with an explicit different `partitionBy` re-partitions
-    * the table). Partition values power manifest-level pruning in
-    * [[readWhere]] and the partition-scoped merge. Returns the new
-    * version number. */
+    * partitioning is TABLE METADATA with Delta inheritance semantics:
+    * `None` (the default) inherits the table's current partitioning —
+    * so a plain Overwrite of a partitioned table stays partitioned —
+    * `Some(cols)` sets it (Overwrite only; an Append may never change
+    * it), and `Some(Seq.empty)` on an Overwrite explicitly CLEARS it,
+    * rewriting the table unpartitioned. Partition values power
+    * manifest-level pruning in [[readWhere]]/[[readWherePartition]].
+    * Returns the new version number. */
   def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
       operation: String = "WRITE",
       allowSchemaEvolution: Boolean = false,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Option[Seq[String]] = None): Long = {
     val next = currentVersion.map(_ + 1).getOrElse(0L)
     val cur: Option[VersionManifest] = currentVersion.map(readManifest)
-    val parts: Seq[String] =
-      if (partitionBy.nonEmpty) partitionBy
-      else cur.map(_.partitionBy).getOrElse(Seq.empty)
+    val parts: Seq[String] = partitionBy.getOrElse(
+      cur.map(_.partitionBy).getOrElse(Seq.empty))
     require(parts.forall(df.columns.contains),
       s"partition columns ${parts.mkString(",")} must exist in the frame " +
         s"written to $root (has: ${df.columns.mkString(",")})")
     val (prior, schema): (Seq[ManifestEntry], StructType) = mode match {
       case SaveMode.Append if exists =>
-        require(partitionBy.isEmpty || partitionBy == cur.get.partitionBy,
+        require(partitionBy.forall(_ == cur.get.partitionBy),
           s"append cannot change partitioning of $root from " +
-            s"[${cur.get.partitionBy.mkString(",")}] to [${partitionBy.mkString(",")}]")
+            s"[${cur.get.partitionBy.mkString(",")}] to " +
+            s"[${partitionBy.getOrElse(Seq.empty).mkString(",")}]")
         (cur.get.entries,
           reconcileAppendSchema(df, snapshotSchema(cur.get), allowSchemaEvolution))
       case _ => (Seq.empty, df.schema)
@@ -193,24 +195,27 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def readVersion(v: Long): DataFrame = {
     require(fs.exists(manifestPath(v)), s"version $v does not exist at $root")
     val m = readManifest(v)
-    val files = m.entries.map(e => new Path(rootPath, e.relPath).toString)
-    require(files.nonEmpty, s"version $v of $root has an empty manifest")
-    readFiles(m, files)
+    require(m.entries.nonEmpty, s"version $v of $root has an empty manifest")
+    readFiles(m, m.entries)
   }
 
-  /** Plan a read over an explicit manifest file list. `basePath` makes
-    * Spark parse the `col=value` segments of partitioned commits back
-    * into partition COLUMNS (the files themselves don't store them);
-    * the value is cast to the column's type from the snapshot schema.
-    * Harmless when unpartitioned: the walk up from each file stops at
-    * the first non-`col=value` segment (the commit dir). */
-  private def readFiles(m: VersionManifest, files: Seq[String]): DataFrame = {
-    val reader = spark.read
-      .option("basePath", fs.makeQualified(rootPath).toString)
-    m.schema match {
-      case Some(s) => reader.schema(s).parquet(files: _*)
-      case None => reader.parquet(files: _*)
-    }
+  /** Plan a read over explicit manifest entries via a manifest-backed
+    * [[org.apache.spark.sql.graftbridge.ManifestFileIndex]] (Delta's
+    * TahoeFileIndex pattern). Partition COLUMNS come from the
+    * manifest's recorded `partitionBy` + each entry's path-derived
+    * partition values — never from directory inference, which cannot
+    * represent one partition spread across several commit dirs — and
+    * scan planning does ZERO filesystem listing: paths and exact sizes
+    * are already in the manifest. Catalyst partition pruning on the
+    * returned frame works as on any partitioned table. */
+  private def readFiles(m: VersionManifest,
+      entries: Seq[ManifestEntry]): DataFrame = {
+    val qualifiedRoot = fs.makeQualified(rootPath)
+    val files = entries.map(e => graftbridge.ManifestFile(
+      new Path(qualifiedRoot, e.relPath).toString, e.bytes,
+      e.partitionValues))
+    graftbridge.ManifestScan.parquetTable(spark, qualifiedRoot,
+      snapshotSchema(m), m.partitionBy, files)
   }
 
   /** S4: newest version committed at or before `ts` (ISO-8601 instant)
@@ -255,10 +260,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def readWhere(ranges: Map[String, (Double, Double)]): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(ranges.nonEmpty, "readWhere needs at least one column range")
-    val v = currentVersion.getOrElse(sys.error(s"table $root does not exist"))
-    val m = readManifest(v)
-    val partCols = m.partitionBy.toSet
-    val keep = m.entries.filter(e => ranges.forall { case (column, (lo, hi)) =>
+    val pred = ranges.map { case (column, (lo, hi)) =>
+      col(column) >= lo && col(column) <= hi
+    }.reduce(_ && _)
+    prunedRead(pred, (e, partCols) => ranges.forall { case (column, (lo, hi)) =>
       if (partCols.contains(column))
         e.partitionValues.get(column)
           .flatMap(s => scala.util.Try(s.toDouble).toOption) match {
@@ -270,15 +275,53 @@ final class VersionedTable(spark: SparkSession, root: String) {
         case None => true // unknown range: must read
       }
     })
-    val pred = ranges.map { case (column, (lo, hi)) =>
-      col(column) >= lo && col(column) <= hi
+  }
+
+  /** Exact-value partition pruning — the string-partition counterpart
+    * of [[readWhere]]'s numeric ranges (a `dt=2023-01-01` partition can
+    * never match a Double range, and equality is what partition reads
+    * actually want). A file survives only if its partition value for
+    * every given column EQUALS the given string (compared on the raw
+    * hive path value, which is how the writer spelled it). Non-partition
+    * columns prune through numeric stats when the value parses as a
+    * number, else just row-filter. The row-level predicate stays on top
+    * for exactness (Spark casts the literal to the column's type). */
+  def readWherePartition(equal: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(equal.nonEmpty, "readWherePartition needs at least one column=value")
+    val pred = equal.map { case (column, value) =>
+      col(column) === lit(value)
     }.reduce(_ && _)
+    prunedRead(pred, (e, partCols) => equal.forall { case (column, value) =>
+      if (partCols.contains(column))
+        e.partitionValues.get(column) match {
+          case Some(pv) => pv == value
+          case None => true // null partition value: must read
+        }
+      else e.stats.get(column) match {
+        case Some((mn, mx)) =>
+          scala.util.Try(value.toDouble).toOption
+            .forall(d => mx >= d && mn <= d)
+        case None => true
+      }
+    })
+  }
+
+  /** Shared skeleton of the manifest-pruned reads: keep the files
+    * `survives` admits, plan the scan over just those, and re-apply the
+    * row-level predicate. Zero surviving files still returns a frame
+    * with the snapshot schema. */
+  private def prunedRead(pred: org.apache.spark.sql.Column,
+      survives: (ManifestEntry, Set[String]) => Boolean): DataFrame = {
+    val v = currentVersion.getOrElse(sys.error(s"table $root does not exist"))
+    val m = readManifest(v)
+    val partCols = m.partitionBy.toSet
+    val keep = m.entries.filter(survives(_, partCols))
     if (keep.isEmpty) {
       // every file excluded: an empty frame with the snapshot schema
       return readVersion(v).limit(0).filter(pred)
     }
-    val files = keep.map(e => new Path(rootPath, e.relPath).toString)
-    readFiles(m, files).filter(pred)
+    readFiles(m, keep).filter(pred)
   }
 
   /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
@@ -315,10 +358,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (removed.isEmpty) {
       if (added.isEmpty)
         readVersion(toV).limit(0).withColumn("_change_type", lit("insert"))
-      else {
-        val paths = added.map(e => new Path(rootPath, e.relPath).toString)
-        readFiles(toManifest, paths).withColumn("_change_type", lit("insert"))
-      }
+      else
+        readFiles(toManifest, added).withColumn("_change_type", lit("insert"))
     } else {
       // exceptAll demands identical schemas; a range crossing a
       // schema-evolution boundary has different column sets, so align
@@ -465,7 +506,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
           reader.getFooter.getBlocks.asScala.foreach { block =>
             block.getColumns.asScala.foreach { c =>
               val path = c.getPath.toDotString
-              val st = c.getStatistics
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                c.getStatistics
               if (path.matches("[A-Za-z0-9_]+")) {
                 val range: Option[(Double, Double)] =
                   if (st == null || !st.hasNonNullValue) None
@@ -495,7 +537,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
               }
             }
           }
-          val st = (mins.keySet -- statless).map { k =>
+          val st = (mins.keySet.toSet -- statless).map { k =>
             k -> (mins(k), maxs(k))
           }.toMap
           (reader.getRecordCount, st)
@@ -636,13 +678,56 @@ final case class HistoryEntry(
   * same footer read that yields the row count — free at commit time,
   * and the basis for manifest-level file skipping at read time). */
 final case class ManifestEntry(relPath: String, rows: Long, bytes: Long,
-    stats: Map[String, (Double, Double)] = Map.empty)
+    stats: Map[String, (Double, Double)] = Map.empty) {
 
-/** A version: its snapshot schema plus its file list. The schema is
-  * stored IN the manifest (`#schema=` header), so reads plan against
-  * the recorded snapshot schema instead of inferring from file footers
-  * — O(1) instead of O(files) at planning time — and schema-evolved
+  /** The file's partition values (Delta's per-file partitionValues),
+    * DERIVED from the hive-style `col=value` segments of its path
+    * rather than stored — the path already encodes them exactly, so
+    * the manifest format is unchanged and pre-partitioning manifests
+    * gain pruning retroactively. Hive `%XX` escaping is decoded;
+    * a `__HIVE_DEFAULT_PARTITION__` (null) value is OMITTED from the
+    * map, so pruning's `.get` miss conservatively reads the file. */
+  lazy val partitionValues: Map[String, String] =
+    relPath.split('/').dropRight(1).iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None
+      else {
+        val raw = seg.substring(i + 1)
+        if (raw == "__HIVE_DEFAULT_PARTITION__") None
+        else Some(ManifestEntry.unescapePathName(seg.substring(0, i)) ->
+          ManifestEntry.unescapePathName(raw))
+      }
+    }.toMap
+}
+
+object ManifestEntry {
+  /** Inverse of Hive/Spark partition-path escaping (`%2F` → `/` …);
+    * malformed escapes pass through verbatim, matching Hive. */
+  private[graft] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val code = if (c == '%' && i + 2 < s.length)
+        try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        catch { case _: NumberFormatException => -1 }
+      else -1
+      if (code >= 0) { sb.append(code.toChar); i += 3 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+/** A version: its snapshot schema, its file list, and the table's
+  * partition columns as of that version (Delta partitionColumns; the
+  * `#partitionBy=` manifest header). The schema is stored IN the
+  * manifest (`#schema=` header), so reads plan against the recorded
+  * snapshot schema instead of inferring from file footers — O(1)
+  * instead of O(files) at planning time — and schema-evolved
   * snapshots read older files with the missing columns filled null
   * (parquet name-based resolution). */
 final case class VersionManifest(schema: Option[StructType],
-    entries: Seq[ManifestEntry])
+    entries: Seq[ManifestEntry],
+    partitionBy: Seq[String] = Seq.empty)

@@ -176,9 +176,12 @@ class UpsertSpec extends AnyFunSuite {
       partitionBy = Some("dt"))
     val tmp = TableIO.tmpSibling(root, "merge_tmp")
     // the crashed merge's tmp: d2 merged to 20.0, and a d1 copy at a
-    // bogus value (its swap never started — the target's copy must win)
+    // bogus value (its swap never started — the target's copy must win).
+    // The completion marker is present: the crash hit the SWAP window,
+    // after the tmp write finished.
     TableIO.write(Seq((1L, "d1", 999.0), (2L, "d2", 20.0)).toDF("id", "dt", "v"),
       tmp.toString, SaveMode.Overwrite, Some("dt"))
+    fs.create(new org.apache.hadoop.fs.Path(tmp, Upsert.completeMarker), true).close()
     fs.delete(new org.apache.hadoop.fs.Path(root, "dt=d2"), true)
     // a fresh merge on an unrelated partition triggers recovery first
     Upsert.mergeIntoTable(spark, Seq((3L, "d3", 3.0)).toDF("id", "dt", "v"),
@@ -200,11 +203,40 @@ class UpsertSpec extends AnyFunSuite {
     val tmp2 = TableIO.tmpSibling(root2, "merge_tmp")
     TableIO.write(spark.read.parquet(path2), tmp2.toString,
       SaveMode.Overwrite, None)
+    fs.create(new org.apache.hadoop.fs.Path(tmp2, Upsert.completeMarker), true).close()
     fs.delete(root2, true)
     Upsert.mergeIntoTable(spark, Seq((9L, "d9", 9.0)).toDF("id", "dt", "v"),
       path2, Seq("id"))
     assert(spark.read.parquet(path2).count() === 3,
       "pre-crash rows must survive via the recovered tmp")
+  }
+
+  test("crashed merge WRITE window: unmarked tmp is discarded, target wins") {
+    import graft.io.TableIO
+    val base = Fixtures.tempDir("graft-merge-crash-write")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    val path = s"$base/t"
+    val root = new org.apache.hadoop.fs.Path(path)
+    val t0 = Seq((1L, "d1", 1.0), (2L, "d2", 2.0)).toDF("id", "dt", "v")
+    Upsert.mergeIntoTable(spark, t0, path, Seq("id", "dt"),
+      partitionBy = Some("dt"))
+    // a merge that died DURING its tmp write: no completion marker, and
+    // the partial output even contains a partition (d4) absent from the
+    // target — the pre-marker-era recovery would rename that garbage in
+    val tmp = TableIO.tmpSibling(root, "merge_tmp")
+    TableIO.write(Seq((2L, "d2", 666.0), (4L, "d4", 4.0)).toDF("id", "dt", "v"),
+      tmp.toString, SaveMode.Overwrite, Some("dt"))
+    // (no marker created — the write "crashed" before it returned)
+    Upsert.mergeIntoTable(spark, Seq((3L, "d3", 3.0)).toDF("id", "dt", "v"),
+      path, Seq("id", "dt"), partitionBy = Some("dt"))
+    val rows = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(rows === Map(
+      1L -> (1.0, "d1"), 2L -> (2.0, "d2"), // target copies untouched
+      3L -> (3.0, "d3")),                   // no phantom d4 rows
+      "an incomplete tmp must be discarded, never restored")
+    assert(!fs.exists(tmp), "recovery must still consume the dead tmp")
   }
 
   test("filterIncremental honors watermark and initial load date") {
@@ -496,6 +528,83 @@ class VersionedTableSpec extends AnyFunSuite {
     vt2.vacuum(retainVersions = 1) // drops v0, v1; v2 still needs c0
     assert(vt2.read().collect().map(_.getInt(0)).toSeq === Seq(1),
       "restore-shared files must survive vacuum of the original version")
+  }
+
+  test("partitioned table: metadata inheritance + manifest partition pruning") {
+    val root = Fixtures.tempDir("graft-vt-part") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "2023-01-01", 1.0), (2L, "2023-01-02", 2.0))
+      .toDF("id", "dt", "v"), partitionBy = Some(Seq("dt")))
+    assert(vt.partitionColumns === Seq("dt"))
+    // append passes NO partitionBy -> inherits, files land in dt= dirs
+    vt.write(Seq((3L, "2023-01-03", 3.0)).toDF("id", "dt", "v"),
+      SaveMode.Append)
+    assert(vt.manifestEntries(1L).forall(_.relPath.contains("dt=")),
+      "appended files must be hive-partitioned under the inherited column")
+    // partition values parse back as a real column on read
+    assert(vt.read().filter(col("dt") === "2023-01-02").count() === 1)
+    // string-equality partition pruning: ONE file planned, not three
+    val one = vt.readWherePartition(Map("dt" -> "2023-01-02"))
+    assert(one.inputFiles.length === 1, one.inputFiles.mkString(","))
+    assert(one.collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // no match: zero files, schema preserved
+    val none = vt.readWherePartition(Map("dt" -> "2024-12-31"))
+    assert(none.count() === 0 && none.columns.toSeq === Seq("id", "dt", "v"))
+    // Catalyst-level pruning through the manifest FileIndex: a plain
+    // filter on the partition column must scan ONE file, no manifest API
+    val planPruned = vt.read().filter(col("dt") === "2023-01-03")
+    val scan = planPruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(planPruned.collect().map(_.getLong(0)).toSeq === Seq(3L))
+    assert(scan.metrics("numFiles").value === 1,
+      "pushed partition filter must prune at FileIndex.listFiles")
+    // append may not CHANGE the partitioning
+    intercept[IllegalArgumentException] {
+      vt.write(Seq((4L, "2023-01-04", 4.0, "x")).toDF("id", "dt", "v", "k"),
+        SaveMode.Append, partitionBy = Some(Seq("k")))
+    }
+    // Overwrite with Some(Seq.empty) explicitly CLEARS the partitioning
+    vt.write(Seq((9L, "2023-02-01", 9.0)).toDF("id", "dt", "v"),
+      partitionBy = Some(Seq.empty))
+    assert(vt.partitionColumns.isEmpty, "Some(Seq.empty) must clear")
+    assert(vt.manifestEntries(vt.currentVersion.get)
+      .forall(!_.relPath.contains("=")))
+
+    // numeric partition column: readWhere's RANGE pruning applies to it
+    val root2 = Fixtures.tempDir("graft-vt-part2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    vt2.write(Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "p"),
+      partitionBy = Some(Seq("p")))
+    val mid = vt2.readWhere(Map("p" -> (15.0, 25.0)))
+    assert(mid.inputFiles.length === 1, mid.inputFiles.mkString(","))
+    assert(mid.collect().map(_.getLong(0)).toSeq === Seq(2L))
+
+    // versioned writeTable finally honors partitionBy (was silently dropped)
+    val root3 = Fixtures.tempDir("graft-vt-part3") + "/tbl"
+    graft.io.TableIO.writeTable(spark,
+      Seq((1L, "a")).toDF("id", "grp"), root3, SaveMode.Overwrite,
+      partitionBy = Some("grp"), versioned = true)
+    assert(new VersionedTable(spark, root3).partitionColumns === Seq("grp"))
+  }
+
+  test("ManifestEntry.partitionValues: hive escaping and default partition") {
+    val e = graft.io.ManifestEntry(
+      "_data/c00000000_ab12cd34/dt=2023-01-01/part-0.parquet", 1L, 1L)
+    assert(e.partitionValues === Map("dt" -> "2023-01-01"))
+    // multi-level + %-escaped value (hive escapes ':' as %3A)
+    val e2 = graft.io.ManifestEntry(
+      "_data/c00000001_ab12cd34/a=x%3Ay/b=2/part-0.parquet", 1L, 1L)
+    assert(e2.partitionValues === Map("a" -> "x:y", "b" -> "2"))
+    // null partition value: omitted -> pruning conservatively reads
+    val e3 = graft.io.ManifestEntry(
+      "_data/c00000002_ab12cd34/dt=__HIVE_DEFAULT_PARTITION__/part-0.parquet",
+      1L, 1L)
+    assert(e3.partitionValues === Map.empty)
+    // unpartitioned path has none; malformed escape passes through
+    assert(graft.io.ManifestEntry("_data/c00000003_ab12cd34/part-0.parquet",
+      1L, 1L).partitionValues === Map.empty)
+    assert(graft.io.ManifestEntry.unescapePathName("a%zzb") === "a%zzb")
   }
 }
 
