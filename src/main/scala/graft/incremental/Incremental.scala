@@ -181,6 +181,84 @@ object Upsert {
     }
   }
 
+  /** MERGE into a [[graft.io.VersionedTable]] — the Delta-parity form:
+    * the swap is ONE atomic manifest commit, so readers are snapshot-
+    * isolated for the entire merge (no dir-rename window, no crash
+    * recovery protocol — a crash before the manifest rename simply
+    * leaves an orphan data dir for vacuum) and the table keeps its
+    * history / time travel across merges.
+    *
+    * Partition scoping mirrors [[mergeIntoTable]]: when the table is
+    * partitioned and pruning is safe (partition column in the merge
+    * keys, or `assumeStablePartitions`), only the partitions holding
+    * source partition values are read (pruned at the manifest level —
+    * untouched partitions' files aren't even planned) and the commit
+    * re-references every untouched file byte-identically via
+    * [[graft.io.VersionedTable.replaceWhere]]. A daily merge into a
+    * 100 TB table writes one day of files and one manifest.
+    *
+    * Matching between source values and manifest partition values uses
+    * Spark's string rendering (`cast(col as string)`), the same form
+    * the hive path encodes — exact for string/numeric/date partition
+    * columns, the kinds partition columns should be.
+    *
+    * Returns rows WRITTEN by this merge (from the new files' manifest
+    * row counts — no re-scan). */
+  def mergeIntoVersionedTable(spark: SparkSession, source: DataFrame,
+      targetRoot: String, mergeKeys: Seq[String],
+      updateColumns: Option[Seq[String]] = None,
+      partitionBy: Option[Seq[String]] = None,
+      assumeStablePartitions: Boolean = false): Long = {
+    val vt = new graft.io.VersionedTable(spark, targetRoot)
+    def newRows(v: Long): Long = vt.manifestEntries(v)
+      .filter(_.relPath.startsWith(f"_data/c$v%08d")).map(_.rows).sum
+    if (!vt.exists)
+      return newRows(vt.write(source, SaveMode.Overwrite, "MERGE",
+        partitionBy = partitionBy))
+    val parts = vt.partitionColumns
+    val scopedCol = parts.headOption
+      .filter(p => mergeKeys.contains(p) || assumeStablePartitions)
+    scopedCol match {
+      case Some(pcol) =>
+        // one row per touched partition value, rendered exactly as the
+        // hive path spells it — tiny driver-side list
+        val vals = source.select(col(pcol).cast("string")).distinct()
+          .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+        if (vals.contains(null))
+          return newRows(fullVersionedRewrite(vt, source, mergeKeys,
+            updateColumns))
+        val valSet = vals.toSet
+        // manifest-level pruning: untouched partitions are never planned
+        val target = vt.read().filter(col(pcol).isInCollection(valSet))
+        val merged = upsert(target, source, mergeKeys, updateColumns)
+        // keep a file iff its partition value is NOT being replaced;
+        // files with no recorded value (null partition / legacy layout)
+        // are conservatively kept — they were never read, so the merged
+        // frame holds nothing that replaces them... unless the layout
+        // predates partition recording entirely, which replaceWhere's
+        // schema check would catch as a duplicate-row hazard, so refuse:
+        require(vt.manifestEntries(vt.currentVersion.get)
+          .forall(_.partitionValues.contains(pcol)),
+          s"$targetRoot has files without a $pcol partition value; " +
+            "scoped merge would duplicate their rows — use " +
+            "assumeStablePartitions=false for a full rewrite")
+        newRows(vt.replaceWhere(merged,
+          e => !e.partitionValues.get(pcol).exists(valSet.contains),
+          operation = s"MERGE $pcol IN (${vals.sorted.mkString(",")})"))
+      case None =>
+        newRows(fullVersionedRewrite(vt, source, mergeKeys, updateColumns))
+    }
+  }
+
+  private def fullVersionedRewrite(vt: graft.io.VersionedTable,
+      source: DataFrame, mergeKeys: Seq[String],
+      updateColumns: Option[Seq[String]]): Long = {
+    // reads the snapshot being replaced — safe: the overwrite commit
+    // writes NEW files, old versions' files are immutable until vacuum
+    val merged = upsert(vt.read(), source, mergeKeys, updateColumns)
+    vt.write(merged, SaveMode.Overwrite, "MERGE")
+  }
+
   /** Whole-table merge rewrite via a crash-safe `_`-prefixed temp dir:
     * the merged plan reads the files being replaced, so it must fully
     * materialize before the swap. */

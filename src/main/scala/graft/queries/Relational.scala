@@ -209,6 +209,38 @@ object Relational {
           .as("status_after"))
   }
 
+  /** S7/J1 through the VERSIONED store (reference `utils/delta_ops.py`
+    * MERGE + `utils/incremental.py:116-136`): the q13 merge executed
+    * against a real manifest-log table — create a bucket-partitioned
+    * v0, then a partition-SCOPED merge commits v1 via one atomic
+    * replaceWhere manifest swap (untouched buckets' files re-referenced
+    * byte-identically, never read or rewritten), then read the result
+    * back through the manifest FileIndex. The only oracled query that
+    * exercises the full write→commit→snapshot-read storage path. */
+  def versionedMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-vmerge")
+      .resolve("tbl").toString
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        (col("o_orderkey") % 5).as("bucket"))
+    val source = o
+      .filter(col("o_custkey") % 2 === 0 && col("o_orderkey") % 5 < 2)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice").cast("decimal(18,4)") * lit(BigDecimal("1.1")), 2)
+          .cast("double").as("o_totalprice"),
+        lit("U").as("o_orderstatus"),
+        (col("o_orderkey") % 5).as("bucket"))
+    graft.incremental.Upsert.mergeIntoVersionedTable(spark, target, root,
+      Seq("o_orderkey"), partitionBy = Some(Seq("bucket"))) // creates v0
+    graft.incremental.Upsert.mergeIntoVersionedTable(spark, source, root,
+      Seq("o_orderkey"), assumeStablePartitions = true) // scoped merge, v1
+    new graft.io.VersionedTable(spark, root).read()
+      .select(col("o_orderkey"), col("o_totalprice").as("price_after"),
+        col("o_orderstatus").as("status_after"))
+  }
+
   // ---------------------------------------------------------------- joins beyond parity
 
   /** Star-schema join: fact × two dims with explicit broadcast of the
@@ -364,7 +396,8 @@ object Relational {
     "q33_region_suppliers" -> regionSuppliers,
     "q34_asof_click_view" -> asofClickView,
     "q35_range_click_near_error" -> rangeClickNearError,
-    "q37_skew_join_brand" -> skewJoinBrand
+    "q37_skew_join_brand" -> skewJoinBrand,
+    "q41_versioned_merge" -> versionedMerge
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +530,20 @@ object Relational {
       """SELECT p_brand, count(*) AS n_items,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS gross
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q41_versioned_merge" ->
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+           WHERE o_orderkey % 3 <> 0),
+         source AS (
+           SELECT o_orderkey,
+                  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2)
+                    AS DOUBLE) AS o_totalprice,
+                  'U' AS o_orderstatus FROM orders
+           WHERE o_custkey % 2 = 0 AND o_orderkey % 5 < 2)
+         SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                COALESCE(s.o_totalprice, t.o_totalprice) AS price_after,
+                COALESCE(s.o_orderstatus, t.o_orderstatus) AS status_after
+         FROM target t FULL OUTER JOIN source s USING (o_orderkey)"""
   )
 }

@@ -239,6 +239,43 @@ class UpsertSpec extends AnyFunSuite {
     assert(!fs.exists(tmp), "recovery must still consume the dead tmp")
   }
 
+  test("versioned merge: one atomic commit, untouched partitions re-referenced") {
+    val root = Fixtures.tempDir("graft-vmerge-spec") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val t0 = Seq((1L, "d1", 1.0), (2L, "d2", 2.0), (3L, "d3", 3.0))
+      .toDF("id", "dt", "v")
+    Upsert.mergeIntoVersionedTable(spark, t0, root, Seq("id", "dt"),
+      partitionBy = Some(Seq("dt")))
+    assert(vt.currentVersion === Some(0L))
+    val d1Before = vt.manifestEntries(0L)
+      .filter(_.partitionValues.get("dt").contains("d1"))
+    assert(d1Before.nonEmpty)
+    // partition col in the merge keys → scoped: d2 updated, d4 inserted
+    val src = Seq((2L, "d2", 20.0), (4L, "d4", 4.0)).toDF("id", "dt", "v")
+    val written = Upsert.mergeIntoVersionedTable(spark, src, root,
+      Seq("id", "dt"))
+    assert(written === 2, "scoped merge writes only the touched partitions")
+    assert(vt.currentVersion === Some(1L), "merge is ONE commit")
+    assert(vt.manifestEntries(1L)
+      .filter(_.partitionValues.get("dt").contains("d1")) === d1Before,
+      "untouched partition files must be re-referenced, not rewritten")
+    assert(vt.history(1).head.operation.startsWith("MERGE"))
+    val rows = vt.read().collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(rows === Map(
+      1L -> ("d1", 1.0), 2L -> ("d2", 20.0),
+      3L -> ("d3", 3.0), 4L -> ("d4", 4.0)))
+    // partition col NOT in keys, no stable assertion → full rewrite
+    val w2 = Upsert.mergeIntoVersionedTable(spark,
+      Seq((1L, "d1", 10.0)).toDF("id", "dt", "v"), root, Seq("id"))
+    assert(w2 === 4, "unsafe pruning must fall back to full rewrite")
+    assert(vt.read().count() === 4)
+    // time travel still sees the pre-merge snapshot
+    assert(vt.readVersion(0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap ===
+      Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
   test("filterIncremental honors watermark and initial load date") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2023-01-01 00:00:00")),
