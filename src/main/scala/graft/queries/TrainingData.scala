@@ -91,33 +91,79 @@ object TrainingData {
     * most `n` docs per source, chosen by content-hash order of doc_id
     * (stable across runs, partitionings, and input order — never
     * "first n encountered", which is nondeterministic under shuffle).
-    * One shuffle on the source key + a window rank; at extreme
-    * per-source skew, pre-cap within partitions before the exact pass.
-    */
+    *
+    * Two passes, neither a per-source bottleneck: a naive
+    * `Window.partitionBy("source")` sorts EVERY row of a source in one
+    * task — at 100 TB with a handful of dominant sources that is a few
+    * reducers sorting terabytes. Instead pass 1 pre-caps within
+    * (source, shard) — shard is a deterministic hash bucket, so the
+    * shuffle fans each source across [[mixShards]] reducers — keeping
+    * the top `n` per shard. The global per-source top-n is a subset of
+    * the union of per-shard top-ns for ANY sharding (each global winner
+    * is among the n smallest of its own shard), so pass 1 only discards
+    * rows that can never win. Pass 2 runs the exact per-source rank
+    * over the ≤ n × shards survivors — bounded rows per source
+    * regardless of source size. Result identical to the single-window
+    * form (same oracle). */
   def capPerSource(spark: SparkSession, dir: String, n: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs(spark, dir)
+    val ord = md5(col("doc_id").cast("string"))
+    val wPre = Window.partitionBy("source", "__shard")
+      .orderBy(ord, col("doc_id"))
+    val survivors = docs(spark, dir)
+      .withColumn("__shard", pmod(xxhash64(col("doc_id")), lit(mixShards)))
+      .withColumn("__pre_rank", row_number().over(wPre))
+      .filter(col("__pre_rank") <= n)
+    val w = Window.partitionBy("source").orderBy(ord, col("doc_id"))
+    survivors
       .withColumn("rank_in_source", row_number().over(w))
       .filter(col("rank_in_source") <= n)
       .select("doc_id", "source", "rank_in_source")
       .orderBy("source", "rank_in_source")
   }
 
+  /** Shard fan-out of the data-mixing pre-passes: enough to spread a
+    * dominant source across a cluster's reducers, small enough that the
+    * pass-2 inputs (n × shards rows per source) stay trivially small. */
+  private val mixShards = 64
+
   /** Greedy per-source token budget: in the same deterministic hash
     * order, keep documents while the running whitespace-token total
     * stays within `budget` — the "N tokens per source" mix recipe.
-    * Running sum via a window; the doc that crosses the budget is
-    * excluded (its cumulative count exceeds it). */
+    * The doc that crosses the budget is excluded (its cumulative count
+    * exceeds it).
+    *
+    * Distributed two-pass cumulative sum — a naive per-source running
+    * window is one reducer sorting a whole source. The ordering key is
+    * an md5 hex string, so its first two hex chars form an
+    * ORDER-PRESERVING bucket (every row of bucket b sorts before every
+    * row of bucket b+1): within-bucket running sums shuffle on
+    * (source, bucket) — 256-way fan-out per source — and the global
+    * cumulative sum is reassembled by adding each bucket's offset (the
+    * sum of all earlier buckets' totals). The only per-source-ordered
+    * window runs over the per-bucket AGGREGATE (≤ 256 rows per source),
+    * joined back broadcast. Values identical to the single-window form
+    * (same oracle). */
   def tokenBudgetPerSource(spark: SparkSession, dir: String,
       budget: Int = 2000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    docs(spark, dir)
+    val d = docs(spark, dir)
       .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("__ord", md5(col("doc_id").cast("string")))
+      .withColumn("__bucket",
+        conv(substring(col("__ord"), 1, 2), 16, 10).cast("int"))
+    val wIn = Window.partitionBy("source", "__bucket")
+      .orderBy(col("__ord"), col("doc_id"))
+    val withinCum = d.withColumn("__cum_in", sum(col("n_tokens")).over(wIn))
+    val wOff = Window.partitionBy("source").orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("source", "__bucket")
+      .agg(sum(col("n_tokens")).as("__bucket_tokens"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bucket_tokens")).over(wOff), lit(0L)))
+      .select("source", "__bucket", "__offset")
+    withinCum.join(broadcast(offsets), Seq("source", "__bucket"))
+      .withColumn("cum_tokens", col("__offset") + col("__cum_in"))
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("source", "cum_tokens")

@@ -171,6 +171,48 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(budget.forall(_.getLong(3) <= 500))
   }
 
+  test("data mixing plans: no per-source window sorts base data in one task") {
+    // the scale guard behind q39/q40: a window partitioned by `source`
+    // ALONE concentrates each source on one reducer, so such a window
+    // may only ever consume pre-reduced input — another window's capped
+    // survivors, or a per-bucket aggregate — never the raw corpus
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    def assertBounded(df: org.apache.spark.sql.DataFrame): Unit = {
+      val lp = df.queryExecution.optimizedPlan
+      val windows = lp.collect { case w: LWindow => w }
+      assert(windows.size >= 2, s"expected a two-pass plan:\n$lp")
+      windows.foreach { w =>
+        val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        if (parts == Set("source")) {
+          val bounded = w.child.collectFirst {
+            case _: LWindow => (); case _: Aggregate => ()
+          }
+          assert(bounded.isDefined,
+            s"per-source window runs over unreduced input:\n$lp")
+        }
+      }
+    }
+    assertBounded(TrainingData.capPerSource(spark, sf, n = 5))
+    assertBounded(TrainingData.tokenBudgetPerSource(spark, sf, budget = 500))
+    // the distributed cumulative sum must agree with the naive single
+    // window on every row, not just on the filtered survivors
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+    val naive = docs.repartition(17)
+      .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(
+        Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("cum_tokens") <= 500)
+      .select("doc_id", "n_tokens", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = TrainingData.tokenBudgetPerSource(spark, sf, budget = 500)
+      .select("doc_id", "n_tokens", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist === naive,
+      s"missing=${naive -- dist} extra=${dist -- naive}")
+  }
+
   test("simhash: verified near-dup pairs have small hamming distance") {
     val sims = TrainingData.simhashDocs(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
