@@ -404,32 +404,113 @@ final class VersionedTable(spark: SparkSession, root: String) {
     finally in.close()
   }
 
-  /** M4: table history, newest first. */
+  private val checkpointRe = """^cp_v(\d+)\.jsonl$""".r
+  private val commitHistRe = """^v(\d+)_\d+\.json$""".r
+
+  /** Newest history checkpoint (version it covers through, path). */
+  private def newestCheckpoint: Option[(Long, Path)] =
+    if (!fs.exists(historyDir)) None
+    else fs.listStatus(historyDir).map(_.getPath).toSeq
+      .flatMap(p => p.getName match {
+        case checkpointRe(d) => Some((d.toLong, p))
+        case _ => None
+      }).sortBy(_._1).lastOption
+
+  /** Per-commit history files for versions AFTER `afterVersion`,
+    * version-ascending. Files at or below a checkpoint's version are
+    * never read — their content lives in the checkpoint (and a crash
+    * that left both on disk is harmless for the same reason). */
+  private def commitHistFiles(afterVersion: Long): Seq[(Long, Path)] =
+    if (!fs.exists(historyDir)) Seq.empty
+    else fs.listStatus(historyDir).map(_.getPath).toSeq
+      .flatMap(p => p.getName match {
+        case commitHistRe(d) => Some((d.toLong, p))
+        case _ => None
+      }).filter(_._1 > afterVersion).sortBy(_._1)
+
+  /** History lines older than any per-commit file: the newest
+    * checkpoint if one exists (the legacy single-file log was absorbed
+    * into the first checkpoint, so it is only consulted before any
+    * checkpoint exists). Oldest-first. */
+  private def olderHistoryLines(cp: Option[(Long, Path)]): Seq[String] =
+    cp match {
+      case Some((_, p)) => readWholeFile(p).linesIterator.toSeq
+      case None =>
+        if (fs.exists(legacyHistoryPath))
+          readWholeFile(legacyHistoryPath).linesIterator.toSeq
+        else Seq.empty
+    }
+
+  /** M4: table history, newest first — O(limit) per-commit file reads
+    * plus at most ONE checkpoint read, regardless of table age. Without
+    * checkpoints a long-lived table (a streaming sink commits a version
+    * per micro-batch) would pay O(all commits) reads on every call. */
   def history(limit: Int = 20): Seq[HistoryEntry] = {
-    // legacy single-file layout first (oldest), then per-commit files in
-    // filename (= version = commit) order
-    val legacy = if (fs.exists(legacyHistoryPath))
-      readWholeFile(legacyHistoryPath).linesIterator.toSeq else Seq.empty
-    val perCommit = if (fs.exists(historyDir))
-      fs.listStatus(historyDir).map(_.getPath).sortBy(_.getName).toSeq
-        .map(readWholeFile)
-    else Seq.empty
-    (legacy ++ perCommit).reverse.take(limit).flatMap(parseHistoryLine)
+    val cp = newestCheckpoint
+    val cpMax = cp.map(_._1).getOrElse(-1L)
+    val recent = commitHistFiles(cpMax).reverse.iterator.take(limit)
+      .map(f => readWholeFile(f._2)).flatMap(parseHistoryLine).toSeq
+    if (recent.size >= limit) recent.take(limit)
+    else (recent ++ olderHistoryLines(cp).reverse.flatMap(parseHistoryLine))
+      .take(limit)
   }
 
   /** Newest history entry whose operation starts with `prefix`,
-    * scanning history files newest-first and stopping at the first
+    * scanning per-commit files newest-first and stopping at the first
     * match — O(1) content reads for the common "was the newest commit
     * mine" case (the streaming sink's per-batch idempotence check runs
-    * this every micro-batch; [[history]] reads EVERY commit file,
-    * which over a long-running stream turns each batch O(commits)). */
+    * this every micro-batch). Falls back to one checkpoint read when no
+    * recent commit matches. */
   def lastOperationWith(prefix: String): Option[HistoryEntry] = {
-    if (!fs.exists(historyDir)) return None
-    fs.listStatus(historyDir).map(_.getPath).sortBy(_.getName)(Ordering[String].reverse)
-      .iterator
-      .flatMap(p => parseHistoryLine(readWholeFile(p))
-        .filter(_.operation.startsWith(prefix)))
-      .nextOption()
+    val cp = newestCheckpoint
+    val cpMax = cp.map(_._1).getOrElse(-1L)
+    commitHistFiles(cpMax).reverse.iterator
+      .flatMap(f => parseHistoryLine(readWholeFile(f._2)))
+      .find(_.operation.startsWith(prefix))
+      .orElse(olderHistoryLines(cp).reverse.iterator
+        .flatMap(parseHistoryLine)
+        .find(_.operation.startsWith(prefix)))
+  }
+
+  /** Roll every history file into one checkpoint
+    * (`_history/cp_v<upto>.jsonl`): reads become O(recent commits) + 1
+    * instead of O(all commits). Runs automatically every
+    * [[VersionedTable.historyCheckpointInterval]] commits; callable
+    * any time. Crash-safe: the checkpoint is temp-written and renamed
+    * with OVERWRITE before any absorbed file is deleted, and readers
+    * skip per-commit files at or below the newest checkpoint's version,
+    * so a crash mid-delete only leaves redundant bytes, never
+    * duplicate or missing entries. */
+  def checkpointHistory(): Unit = rollCheckpoint(_ => true)
+
+  private def rollCheckpoint(keep: HistoryEntry => Boolean): Unit = {
+    val cp = newestCheckpoint
+    val cpMax = cp.map(_._1).getOrElse(-1L)
+    val commits = commitHistFiles(cpMax)
+    val legacyPresent = fs.exists(legacyHistoryPath)
+    if (commits.isEmpty && cp.isEmpty && !legacyPresent) return
+    val absorbed = olderHistoryLines(cp).flatMap(parseHistoryLine) ++
+      commits.map(f => readWholeFile(f._2)).flatMap(parseHistoryLine)
+    val entries = absorbed.filter(keep)
+    // the checkpoint covers everything it ABSORBED, filtered or not —
+    // its version must dominate every deleted file's version
+    val upTo = (cpMax +: commits.map(_._1)).max
+    if (upTo < 0) return // nothing but an empty legacy file
+    if (!fs.exists(historyDir)) fs.mkdirs(historyDir)
+    val tmp = new Path(historyDir, f".cp_v$upTo%08d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.map(renderHistoryLine).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(historyDir, f"cp_v$upTo%08d.jsonl")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // now drop what the checkpoint absorbed (incl. stale checkpoints a
+    // previous crashed roll left behind)
+    commits.foreach(f => fs.delete(f._2, false))
+    cp.filter(_._2 != dest).foreach(c => fs.delete(c._2, false))
+    if (legacyPresent) fs.delete(legacyHistoryPath, false)
   }
 
   /** M3: vacuum — drop manifests outside the retention horizon, then GC
@@ -438,13 +519,20 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * their commit number is ≤ current — such a number can never commit
     * later (the next write is cur+1), so the files are garbage by
     * construction; an in-flight writer's dir (number > cur) is left
-    * alone. Returns the dropped version numbers. */
+    * alone. History entries of the dropped versions are GC'd too, by
+    * rolling the retained entries into a checkpoint — history reads
+    * stay bounded by the retention window, not the table's lifetime.
+    * Returns the dropped version numbers. */
   def vacuum(retainVersions: Int = 2): Seq[Long] = {
     val cur = currentVersion.getOrElse(return Seq.empty)
     val committed = committedVersions
     val keep = committed.filter(v => v == cur || v > cur - retainVersions)
     val drop = committed.diff(keep)
     drop.foreach(v => fs.delete(manifestPath(v), false))
+    if (drop.nonEmpty) {
+      val keepSet = keep.toSet
+      rollCheckpoint(e => keepSet.contains(e.version))
+    }
     val referenced: Set[String] =
       keep.flatMap(readManifest(_).entries.map(_.relPath)).toSet
     if (fs.exists(dataRoot)) {
@@ -660,13 +748,26 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * uniqueness paranoia only. */
   private def appendHistory(v: Long, op: String, rows: Long): Unit = {
     val ts = java.time.Instant.now().toString
-    val line =
-      s"""{"version": $v, "timestamp": "$ts", "operation": "$op", "numRows": $rows}"""
+    val line = renderHistoryLine(HistoryEntry(v, ts, op, rows))
     val f = new Path(historyDir, f"v$v%08d_${System.nanoTime()}%020d.json")
     val out = fs.create(f, false)
     try out.write(line.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // amortized-O(1) maintenance: every N commits, fold the per-commit
+    // files into the checkpoint so reads stay bounded on long-lived
+    // tables (streaming sinks commit a version per micro-batch)
+    if (v > 0 && v % VersionedTable.historyCheckpointInterval == 0)
+      checkpointHistory()
   }
+
+  private def renderHistoryLine(e: HistoryEntry): String =
+    s"""{"version": ${e.version}, "timestamp": "${e.timestamp}", """ +
+      s""""operation": "${e.operation}", "numRows": ${e.numRows}}"""
+}
+
+object VersionedTable {
+  /** Commits between automatic history-checkpoint rolls. */
+  val historyCheckpointInterval: Int = 128
 }
 
 final case class HistoryEntry(

@@ -316,6 +316,67 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(vt.read().count() === 1) // current version survives vacuum
   }
 
+  test("history checkpoint: one-file reads at any age; vacuum GCs dropped history") {
+    val root = Fixtures.tempDir("graft-vt-hist") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val histDir = new org.apache.hadoop.fs.Path(root, "_history")
+    def histFiles() = fs.listStatus(histDir).map(_.getPath.getName).sorted
+
+    vt.write(Seq((1, "a")).toDF("id", "s")) // v0
+    vt.write(Seq((2, "b")).toDF("id", "s"), SaveMode.Append) // v1
+    // fabricate a long-lived table: 300 more commits' history files
+    // (format is the on-disk contract appendHistory writes)
+    (2 to 301).foreach { v =>
+      val line = s"""{"version": $v, "timestamp": "2026-01-01T00:0${v % 10}:00Z", """ +
+        s""""operation": "APPEND", "numRows": $v}"""
+      val f = new org.apache.hadoop.fs.Path(histDir, f"v$v%08d_${v}%020d.json")
+      val out = fs.create(f, false)
+      try out.write(line.getBytes("UTF-8")) finally out.close()
+    }
+    val before = vt.history(20)
+    assert(before.length === 20 && before.head.version === 301L)
+    assert(histFiles().length === 302)
+
+    vt.checkpointHistory()
+    assert(histFiles() === Array("cp_v00000301.jsonl"),
+      "all 302 per-commit files must fold into one checkpoint")
+    assert(vt.history(20) === before, "checkpoint must not change answers")
+    assert(vt.history(Int.MaxValue).length === 302)
+    // newest-first match still found, now from the checkpoint
+    assert(vt.lastOperationWith("APPEND").map(_.version) === Some(301L))
+
+    // a REAL table's lifecycle: commits after a checkpoint write
+    // per-commit files again, and vacuum GCs dropped versions' history
+    val root2 = Fixtures.tempDir("graft-vt-hist2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    val histDir2 = new org.apache.hadoop.fs.Path(root2, "_history")
+    def histFiles2() = fs.listStatus(histDir2).map(_.getPath.getName).sorted
+    (0 to 3).foreach(i =>
+      vt2.write(Seq((i, s"v$i")).toDF("id", "s"))) // v0..v3
+    vt2.checkpointHistory()
+    assert(histFiles2() === Array("cp_v00000003.jsonl"))
+    vt2.restore(1) // v4, a per-commit file after the checkpoint
+    assert(histFiles2().length === 2)
+    assert(vt2.history(1).head.operation.startsWith("RESTORE"))
+    assert(vt2.lastOperationWith("WRITE").map(_.version) === Some(3L),
+      "older-than-checkpoint ops must still be findable")
+
+    // vacuum rolls retained entries into the checkpoint and drops the
+    // rest: dropped versions leave history, retained ones keep their
+    // entries, and the dir is back to one checkpoint file
+    val dropped = vt2.vacuum(retainVersions = 2)
+    assert(dropped === Seq(0L, 1L, 2L))
+    val after = vt2.history(Int.MaxValue)
+    assert(after.map(_.version).sorted === Seq(3L, 4L),
+      s"only retained versions may keep history: $after")
+    assert(after.exists(_.operation.startsWith("RESTORE")))
+    assert(histFiles2().length === 1, s"expected one checkpoint: ${histFiles2().toSeq}")
+    // timestampAsOf keeps working on the compacted history
+    assert(vt2.versionAsOf(java.time.Instant.now().toString) === 4L)
+  }
+
   test("a lost _latest pointer recovers to the newest version, not v0") {
     val root = Fixtures.tempDir("graft-vt-recover") + "/tbl"
     val vt = new VersionedTable(spark, root)
