@@ -146,9 +146,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (fs.exists(manifestPath(next)))
       sys.error(s"concurrent write conflict at $root: version $next was " +
         "committed by another writer; re-read and retry")
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .parquet(dir.toString)
+    writeCommitData(df, parts, dir)
     val added = listCommitFiles(dir)
     writeManifest(next, VersionManifest(Some(schema), prior ++ added, parts))
     appendHistory(next, operation, (prior ++ added).map(_.rows).sum)
@@ -176,9 +174,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (fs.exists(manifestPath(next)))
       sys.error(s"concurrent write conflict at $root: version $next was " +
         "committed by another writer; re-read and retry")
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .parquet(dir.toString)
+    writeCommitData(df, parts, dir)
     val entries = cur.entries.filter(keep) ++ listCommitFiles(dir)
     writeManifest(next, VersionManifest(Some(schema), entries, parts))
     appendHistory(next, operation, entries.map(_.rows).sum)
@@ -306,6 +302,80 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }
     })
   }
+
+  /** Timestamp-typed [[readBetween]] — the watermark read: an
+    * incremental pipeline's "rows since my last high-water-mark"
+    * predicate on a timestamp column prunes files straight from the
+    * manifest with NO manual unit conversion. Bounds are ISO-8601
+    * instants; stats compare in epoch-MICROS (the unit parquet
+    * physically stores and the footer scrape recorded); the row-level
+    * predicate compares real timestamps, so files the stats can't
+    * decide about are still filtered exactly. Timestamp-valued
+    * PARTITION columns only prune when the path value parses as an
+    * ISO instant (rendered forms vary by writer timezone —
+    * unparseable values are read, never dropped). */
+  def readWhereTimestamp(column: String, loIso: String, hiIso: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (lo, hi) = (java.time.Instant.parse(loIso), java.time.Instant.parse(hiIso))
+    def micros(i: java.time.Instant): Double =
+      i.getEpochSecond * 1e6 + i.getNano / 1000.0
+    typedRangeRead(column,
+      col(column) >= lit(java.sql.Timestamp.from(lo)) &&
+        col(column) <= lit(java.sql.Timestamp.from(hi)),
+      micros(lo), micros(hi),
+      s => scala.util.Try(micros(java.time.Instant.parse(s))).toOption)
+  }
+
+  /** Date-typed [[readBetween]]: bounds are `yyyy-MM-dd`, stats compare
+    * in epoch-DAYS (parquet's physical date unit), and `dt=yyyy-MM-dd`
+    * partition values prune from their path spelling directly. */
+  def readWhereDate(column: String, lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (loD, hiD) = (java.time.LocalDate.parse(lo), java.time.LocalDate.parse(hi))
+    typedRangeRead(column,
+      col(column) >= lit(java.sql.Date.valueOf(loD)) &&
+        col(column) <= lit(java.sql.Date.valueOf(hiD)),
+      loD.toEpochDay.toDouble, hiD.toEpochDay.toDouble,
+      s => scala.util.Try(
+        java.time.LocalDate.parse(s).toEpochDay.toDouble).toOption)
+  }
+
+  /** String-range read pruning on the manifests' string stats (short
+    * pure-ASCII min/max from the parquet footers — the encoding where
+    * parquet's byte order, Spark's UTF8String order, and Java's String
+    * order all agree). Covers the common string-watermark shapes:
+    * `yyyy-MM-dd` date strings, zero-padded ids, status codes. Files
+    * without recorded string stats (long or non-ASCII values) are
+    * read and row-filtered. */
+  def readWhereString(column: String, lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(lo <= hi, s"empty string range: '$lo' > '$hi'")
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
+    prunedRead(pred, (e, partCols) =>
+      if (partCols.contains(column))
+        e.partitionValues.get(column).forall(v => v >= lo && v <= hi)
+      else e.strStats.get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      })
+  }
+
+  /** Skeleton of the typed range reads: numeric stats compare in the
+    * column's physical unit, partition values parse via `partParse`
+    * (None → read, never drop). */
+  private def typedRangeRead(column: String, pred: org.apache.spark.sql.Column,
+      statLo: Double, statHi: Double,
+      partParse: String => Option[Double]): DataFrame =
+    prunedRead(pred, (e, partCols) =>
+      if (partCols.contains(column))
+        e.partitionValues.get(column).flatMap(partParse) match {
+          case Some(v) => v >= statLo && v <= statHi
+          case None => true
+        }
+      else e.stats.get(column) match {
+        case Some((mn, mx)) => mx >= statLo && mn <= statHi
+        case None => true
+      })
 
   /** Shared skeleton of the manifest-pruned reads: keep the files
     * `survives` admits, plan the scan over just those, and re-apply the
@@ -555,6 +625,25 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   // ------------------------------------------------------------ internals
 
+  /** The one place commit data hits parquet. Spark still DEFAULTS
+    * timestamp output to INT96 (Hive compat), whose footers carry NO
+    * statistics — every timestamp column would be unprunable and
+    * [[readWhereTimestamp]] dead on arrival. When the session sits on
+    * that default, commits write TIMESTAMP_MICROS instead (the form
+    * whose Long stats the manifest scrape records); a session that
+    * explicitly chose MILLIS/MICROS is left alone. */
+  private def writeCommitData(df: DataFrame, parts: Seq[String],
+      dir: Path): Unit = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key, "INT96")
+    if (prev == "INT96") spark.conf.set(key, "TIMESTAMP_MICROS")
+    try {
+      val writer = df.write.mode(SaveMode.Overwrite)
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .parquet(dir.toString)
+    } finally if (prev == "INT96") spark.conf.set(key, prev)
+  }
+
   /** Table-root-relative path. Both sides are qualified through the
     * FileSystem first: listStatus returns scheme-qualified paths
     * (`file:/...`) while a caller-supplied root may be bare, and
@@ -587,16 +676,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(s, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val (rows, stats) = try {
+        val (rows, stats, strStats) = try {
           val mins = scala.collection.mutable.Map[String, Double]()
           val maxs = scala.collection.mutable.Map[String, Double]()
+          val sMins = scala.collection.mutable.Map[String, String]()
+          val sMaxs = scala.collection.mutable.Map[String, String]()
           var statless = Set.empty[String]
+          var sStatless = Set.empty[String]
           reader.getFooter.getBlocks.asScala.foreach { block =>
             block.getColumns.asScala.foreach { c =>
               val path = c.getPath.toDotString
               val st: org.apache.parquet.column.statistics.Statistics[_] =
                 c.getStatistics
               if (path.matches("[A-Za-z0-9_]+")) {
+                val isString = c.getPrimitiveType.getLogicalTypeAnnotation ==
+                  org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
                 val range: Option[(Double, Double)] =
                   if (st == null || !st.hasNonNullValue) None
                   else (st.genericGetMin, st.genericGetMax) match {
@@ -610,7 +704,35 @@ final class VersionedTable(spark: SparkSession, root: String) {
                       Some((mn, mx))
                     case _ => None
                   }
-                range match {
+                if (isString) {
+                  // UTF8 BINARY min/max, kept only when short and pure
+                  // ASCII: parquet orders binaries byte-wise unsigned
+                  // and Spark strings byte-wise over UTF-8, which agree
+                  // with Java String ordering exactly on ASCII — a
+                  // multi-byte value could prune on an ordering the
+                  // engine doesn't use. Long values bloat manifests for
+                  // columns (free text) nobody range-prunes on.
+                  val srange: Option[(String, String)] =
+                    if (st == null || !st.hasNonNullValue) None
+                    else (st.genericGetMin, st.genericGetMax) match {
+                      case (mn: org.apache.parquet.io.api.Binary,
+                            mx: org.apache.parquet.io.api.Binary) =>
+                        val (a, b) = (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                        if (a.length <= 64 && b.length <= 64 &&
+                            a.forall(_ < 0x80) && b.forall(_ < 0x80))
+                          Some((a, b))
+                        else None
+                      case _ => None
+                    }
+                  srange match {
+                    case Some((mn, mx)) =>
+                      sMins(path) = sMins.get(path)
+                        .fold(mn)(p => if (p <= mn) p else mn)
+                      sMaxs(path) = sMaxs.get(path)
+                        .fold(mx)(p => if (p >= mx) p else mx)
+                    case None => sStatless += path
+                  }
+                } else range match {
                   case Some((mn, mx)) if !mn.isNaN && !mx.isNaN =>
                     mins(path) = mins.get(path).fold(mn)(math.min(_, mn))
                     maxs(path) = maxs.get(path).fold(mx)(math.max(_, mx))
@@ -628,9 +750,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
           val st = (mins.keySet.toSet -- statless).map { k =>
             k -> (mins(k), maxs(k))
           }.toMap
-          (reader.getRecordCount, st)
+          val sst = (sMins.keySet.toSet -- sStatless).map { k =>
+            k -> (sMins(k), sMaxs(k))
+          }.toMap
+          (reader.getRecordCount, st, sst)
         } finally reader.close()
-        ManifestEntry(relativize(s.getPath), rows, s.getLen, stats)
+        ManifestEntry(relativize(s.getPath), rows, s.getLen, stats, strStats)
       }
   }
 
@@ -677,15 +802,30 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val partitionBy = lines.find(_.startsWith("#partitionBy="))
       .map(_.stripPrefix("#partitionBy=").split(',').toSeq
         .filter(_.nonEmpty)).getOrElse(Seq.empty)
+    def parseStats(st: String): Map[String, (Double, Double)] =
+      st.split(',').filter(_.nonEmpty).map { kv =>
+        val Array(k, mn, mx) = kv.split(':')
+        k -> (mn.toDouble, mx.toDouble)
+      }.toMap
+    def parseStrStats(ss: String): Map[String, (String, String)] =
+      ss.split(',').filter(_.nonEmpty).map { kv =>
+        // limit -1: an empty-string bound base64-encodes to "" and a
+        // plain split would silently drop the trailing field
+        val Array(k, mn, mx) = kv.split(":", -1)
+        def dec(s: String) = new String(
+          java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+        k -> (dec(mn), dec(mx))
+      }.toMap
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
+      // trailing empty fields vanish under split, so 3/4/5-arity covers
+      // stat-less lines and every older manifest generation (r4: no
+      // string stats; r3: no stats at all)
       line.split('\t') match {
         case Array(p, r, b) => ManifestEntry(p, r.toLong, b.toLong)
         case Array(p, r, b, st) =>
-          val stats = st.split(',').filter(_.nonEmpty).map { kv =>
-            val Array(k, mn, mx) = kv.split(':')
-            k -> (mn.toDouble, mx.toDouble)
-          }.toMap
-          ManifestEntry(p, r.toLong, b.toLong, stats)
+          ManifestEntry(p, r.toLong, b.toLong, parseStats(st))
+        case Array(p, r, b, st, ss) =>
+          ManifestEntry(p, r.toLong, b.toLong, parseStats(st), parseStrStats(ss))
         case other => sys.error(
           s"malformed manifest line at $root: '${other.mkString("\\t")}'")
       }
@@ -702,7 +842,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val body = header + m.entries.map { e =>
       val st = e.stats.toSeq.sortBy(_._1)
         .map { case (k, (mn, mx)) => s"$k:$mn:$mx" }.mkString(",")
-      s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st"
+      // string bounds base64-wrapped: values may contain the format's
+      // own separators (tab/colon/comma) or newlines
+      val ss = e.strStats.toSeq.sortBy(_._1).map { case (k, (mn, mx)) =>
+        def enc(s: String) = java.util.Base64.getEncoder
+          .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+        s"$k:${enc(mn)}:${enc(mx)}"
+      }.mkString(",")
+      s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st\t$ss"
     }.mkString("\n")
     val tmp = new Path(manifestsRoot, f".v$v%08d.tmp")
     val out = fs.create(tmp, true)
@@ -774,12 +921,18 @@ final case class HistoryEntry(
     version: Long, timestamp: String, operation: String, numRows: Long)
 
 /** One manifest line: a parquet file (path relative to the table
-  * root), its footer row count, its size in bytes, and per-column
-  * [min, max] ranges for top-level numeric columns (collected from the
-  * same footer read that yields the row count — free at commit time,
-  * and the basis for manifest-level file skipping at read time). */
+  * root), its footer row count, its size in bytes, per-column
+  * [min, max] ranges for top-level numeric columns, and [min, max]
+  * string ranges for short-ASCII string columns (all collected from
+  * the same footer read that yields the row count — free at commit
+  * time, and the basis for manifest-level file skipping at read
+  * time). Date and timestamp columns land in the NUMERIC `stats` as
+  * epoch-days / epoch-micros, the unit parquet physically stores —
+  * [[VersionedTable.readWhereDate]]/[[VersionedTable.readWhereTimestamp]]
+  * do the unit conversion so callers never touch ordinals. */
 final case class ManifestEntry(relPath: String, rows: Long, bytes: Long,
-    stats: Map[String, (Double, Double)] = Map.empty) {
+    stats: Map[String, (Double, Double)] = Map.empty,
+    strStats: Map[String, (String, String)] = Map.empty) {
 
   /** The file's partition values (Delta's per-file partitionValues),
     * DERIVED from the hive-style `col=value` segments of its path

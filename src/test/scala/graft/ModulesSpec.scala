@@ -316,6 +316,46 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(vt.read().count() === 1) // current version survives vacuum
   }
 
+  test("typed pruning: timestamp/date/string ranges prune files via manifests") {
+    val root = Fixtures.tempDir("graft-vt-typed") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    def day(d: Int) = Seq((d,
+      java.sql.Timestamp.from(java.time.Instant.parse(f"2023-01-0${d}T12:00:00Z")),
+      java.sql.Date.valueOf(f"2023-01-0$d"),
+      f"2023-01-0$d")).toDF("id", "ts", "dt", "s")
+    vt.write(day(1).coalesce(1))
+    vt.write(day(2).coalesce(1), SaveMode.Append)
+    vt.write(day(3).coalesce(1), SaveMode.Append)
+    assert(vt.read().inputFiles.length === 3)
+
+    // the watermark shape: a timestamp range in ISO form — no manual
+    // micros conversion anywhere in the call
+    val byTs = vt.readWhereTimestamp("ts",
+      "2023-01-02T00:00:00Z", "2023-01-02T23:59:59Z")
+    assert(byTs.inputFiles.length === 1,
+      s"timestamp range must prune to one file, planned: ${byTs.inputFiles.toSeq}")
+    assert(byTs.select("id").collect().map(_.getInt(0)).toSeq === Seq(2))
+
+    val byDt = vt.readWhereDate("dt", "2023-01-02", "2023-01-03")
+    assert(byDt.inputFiles.length === 2)
+    assert(byDt.select("id").collect().map(_.getInt(0)).sorted.toSeq === Seq(2, 3))
+
+    val byS = vt.readWhereString("s", "2023-01-03", "2023-01-09")
+    assert(byS.inputFiles.length === 1)
+    assert(byS.select("id").collect().map(_.getInt(0)).toSeq === Seq(3))
+
+    // date-PARTITIONED table: the typed read prunes whole partitions
+    // from their path spelling alone (no stats involved)
+    val root2 = Fixtures.tempDir("graft-vt-typed2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    vt2.write(day(1).union(day(2)).union(day(3)),
+      partitionBy = Some(Seq("dt")))
+    val all2 = vt2.read().inputFiles.length
+    val pruned = vt2.readWhereDate("dt", "2023-01-01", "2023-01-01")
+    assert(pruned.inputFiles.length < all2)
+    assert(pruned.select("id").collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
   test("history checkpoint: one-file reads at any age; vacuum GCs dropped history") {
     val root = Fixtures.tempDir("graft-vt-hist") + "/tbl"
     val vt = new VersionedTable(spark, root)
