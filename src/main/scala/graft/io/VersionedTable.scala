@@ -303,6 +303,27 @@ final class VersionedTable(spark: SparkSession, root: String) {
     })
   }
 
+  /** Exact multi-value partition read: plans ONLY the files whose
+    * partition value for `column` is in `values`. Membership on the
+    * path-derived partition value is exact (a file's partition value IS
+    * every row's value for that column), so no row-level predicate is
+    * re-applied — and no N-literal `isin` ever reaches the plan, which
+    * is what makes this the backfill-scale form (10⁴ touched
+    * partitions stay a driver-side set lookup, not a 10⁴-term
+    * predicate). Files without a recorded value for `column` are
+    * EXCLUDED — the caller is selecting partitions, and a value-less
+    * file belongs to none — unlike the conservative range reads; use
+    * [[readWherePartition]] when unsure of the layout. */
+  def readWherePartitionIn(column: String, values: Set[String]): DataFrame = {
+    val v = currentVersion.getOrElse(sys.error(s"table $root does not exist"))
+    val m = readManifest(v)
+    require(m.partitionBy.contains(column),
+      s"$column is not a partition column of $root " +
+        s"(partitioned by: ${m.partitionBy.mkString(",")})")
+    val keep = m.entries.filter(_.partitionValues.get(column).exists(values))
+    if (keep.isEmpty) readVersion(v).limit(0) else readFiles(m, keep)
+  }
+
   /** Timestamp-typed [[readBetween]] — the watermark read: an
     * incremental pipeline's "rows since my last high-water-mark"
     * predicate on a timestamp column prunes files straight from the

@@ -23,24 +23,62 @@ object Maintenance {
   /** M1: bin-packing compaction — rewrite into files of roughly
     * `targetFileMB`. Returns (filesBefore, filesAfter).
     *
-    * With `where`, only Hive-style partition directories whose partition
-    * value satisfies the predicate are rewritten (reference
-    * `utils/delta_ops.py:32-38` `.where` support) — each matching
-    * partition is compacted independently and untouched partitions keep
-    * their files byte-for-byte. At 100 TB a whole-table rewrite is not
-    * an option: the incremental pipeline only dirties recent partitions,
-    * so `where` is the production form and the full rewrite the
-    * small-table special case. */
+    * With `where`, only partitions whose partition value satisfies the
+    * predicate are rewritten (reference `utils/delta_ops.py:32-38`
+    * `.where` support) — untouched partitions keep their files
+    * byte-for-byte. At 100 TB a whole-table rewrite is not an option:
+    * the incremental pipeline only dirties recent partitions, so
+    * `where` is the production form and the full rewrite the
+    * small-table special case.
+    *
+    * A [[graft.io.VersionedTable]] root compacts as a NEW VERSION —
+    * one atomic manifest swap, prior versions still readable, no
+    * delete-then-rename window at all (`where` goes through
+    * `replaceWhere`: untouched partitions' files are re-referenced in
+    * the new manifest, never listed or moved). The raw-parquet path
+    * keeps the temp-dir swap; its crash window strands data in a
+    * `_`-tmp sibling (recoverable by hand) — versioned storage is the
+    * at-scale deployment shape. */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 128,
       where: Option[String] = None): (Long, Long) = {
     val before = TableIO.detail(spark, path)
-    where match {
-      case None => rewriteDir(spark, path, targetFileMB)
-      case Some(pred) =>
-        val dirs = partitionDirs(spark, path, pred)
-        dirs.foreach(d => rewriteDir(spark, d, targetFileMB))
+    val vt = new graft.io.VersionedTable(spark, path)
+    (vt.exists, where) match {
+      case (true, None) => vt.compact(targetFileMB)
+      case (true, Some(pred)) =>
+        compactVersionedWhere(spark, vt, path, targetFileMB, pred)
+      case (false, None) => rewriteDir(spark, path, targetFileMB)
+      case (false, Some(pred)) =>
+        partitionDirs(spark, path, pred)
+          .foreach(d => rewriteDir(spark, d, targetFileMB))
     }
     (before.numFiles, TableIO.detail(spark, path).numFiles)
+  }
+
+  /** Partition-scoped OPTIMIZE on a versioned table: one replaceWhere
+    * commit rewrites the matching partitions' files; every other
+    * entry is carried into the new manifest untouched. */
+  private def compactVersionedWhere(spark: SparkSession,
+      vt: graft.io.VersionedTable, path: String, targetFileMB: Int,
+      pred: String): Unit = {
+    val pcols = vt.partitionColumns
+    require(pcols.size == 1,
+      s"partition-scoped compaction supports one partition level, found: $pcols")
+    val pcol = pcols.head
+    val entries = vt.manifestEntries(vt.currentVersion.get)
+    val vals = entries.flatMap(_.partitionValues.get(pcol)).distinct
+    require(vals.nonEmpty,
+      s"$path has no recorded partition values; omit `where` to compact whole tables")
+    import spark.implicits._
+    val matched = vals.toDF(pcol).filter(pred).as[String].collect().toSet
+    if (matched.isEmpty) return
+    val bytes = entries
+      .filter(_.partitionValues.get(pcol).exists(matched)).map(_.bytes).sum
+    val n = math.max(1L, bytes / (targetFileMB.toLong * 1024 * 1024)).toInt
+    val sub = vt.readWherePartitionIn(pcol, matched).repartition(n)
+    vt.replaceWhere(sub,
+      keep = e => !e.partitionValues.get(pcol).exists(matched),
+      operation = s"OPTIMIZE where $pred")
   }
 
   /** First-level `col=value` partition dirs matching `predicate`. The
@@ -123,6 +161,28 @@ object Maintenance {
     curveOrderBy(spark, path, cols, bitsPerDim, numPartitions,
       graft.functions.HilbertValue.hilbert, "hilbert_tmp")
 
+  /** Terminal step of every clustering rewrite: a versioned root
+    * commits the sorted snapshot as a NEW VERSION (atomic manifest
+    * swap; the sorted plan reads the old version's immutable files
+    * while the new commit dir fills — no window where the table is
+    * half-rewritten); a raw parquet dir keeps the temp-swap. */
+  private def rewriteSorted(spark: SparkSession, path: String,
+      sorted: org.apache.spark.sql.DataFrame, tag: String,
+      operation: String): Unit = {
+    val vt = new graft.io.VersionedTable(spark, path)
+    if (vt.exists) {
+      vt.write(sorted, SaveMode.Overwrite, operation)
+      return
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = TableIO.fs(spark, p)
+    val tmp = tmpSibling(p, tag)
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
+    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
   private def curveOrderBy(spark: SparkSession, path: String,
       cCols: Seq[String], bitsPerDim: Int, numPartitions: Option[Int],
       curve: (Seq[org.apache.spark.sql.Column], Seq[Seq[Double]]) =>
@@ -131,7 +191,7 @@ object Maintenance {
     require(cCols.nonEmpty, "cluster rewrite requires at least one column")
     require(bitsPerDim * cCols.size <= 63,
       s"${cCols.size} dims at $bitsPerDim bits exceed a long")
-    val df = TableIO.read(spark, path)
+    val df = TableIO.readTable(spark, path)
     val buckets = 1 << bitsPerDim
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // one scan computes every dimension's quantile edges
@@ -152,13 +212,8 @@ object Maintenance {
       case None => withIdx.repartitionByRange(col("__curve"))
     }
     val sorted = ranged.sortWithinPartitions(col("__curve")).drop("__curve")
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = TableIO.fs(spark, p)
-    val tmp = tmpSibling(p, tag)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    rewriteSorted(spark, path, sorted, tag,
+      s"OPTIMIZE ZORDER (${cCols.mkString(",")})")
   }
 
   /** M2: cluster-sort rewrite (single-column-prefix Z-ORDER substitute,
@@ -167,19 +222,14 @@ object Maintenance {
   def sortBy(spark: SparkSession, path: String, sortCols: Seq[String],
       numPartitions: Option[Int] = None): Unit = {
     require(sortCols.nonEmpty, "sortBy requires at least one column")
-    val df = TableIO.read(spark, path)
+    val df = TableIO.readTable(spark, path)
     val cols = sortCols.map(col)
     val ranged = numPartitions match {
       case Some(n) => df.repartitionByRange(n, cols: _*)
       case None => df.repartitionByRange(cols: _*)
     }
     val sorted = ranged.sortWithinPartitions(cols: _*)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = TableIO.fs(spark, p)
-    val tmp = tmpSibling(p, "sort_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    rewriteSorted(spark, path, sorted, "sort_tmp",
+      s"OPTIMIZE SORT (${sortCols.mkString(",")})")
   }
 }

@@ -786,6 +786,48 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(d.filter(col("dt") === "2023-01-01").count() === 200)
   }
 
+  test("versioned maintenance: compact/zorder commit versions, no swap window") {
+    import org.apache.spark.sql.SaveMode
+    val root = Fixtures.tempDir("graft-maint-vt") + "/tbl"
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(Seq.tabulate(400)(i =>
+        (if (i % 2 == 0) "2023-01-01" else "2023-01-02", i, i * 2))
+      .toDF("dt", "x", "y").repartition(8),
+      partitionBy = Some(Seq("dt"))) // v0: 8 files per partition
+    val v0Files = vt.manifestEntries(0L).map(_.relPath)
+
+    // whole-table compact through the CLI entry -> a new version
+    val (before, after) = Maintenance.compact(spark, root, targetFileMB = 128)
+    assert(vt.currentVersion === Some(1L) && after < before)
+    assert(vt.history(1).head.operation === "OPTIMIZE")
+    // old version fully readable after the rewrite (no delete window)
+    assert(vt.readVersion(0L).count() === 400)
+
+    // partition-scoped compact: one replaceWhere commit; the untouched
+    // partition's files are re-referenced BYTE-IDENTICALLY (same
+    // manifest entries), not rewritten
+    vt.restore(0L) // v2 = v0's file set, 8 files/partition again
+    Maintenance.compact(spark, root, where = Some("dt = '2023-01-01'"))
+    assert(vt.currentVersion === Some(3L))
+    val v3 = vt.manifestEntries(3L)
+    val untouched = v3.filter(_.partitionValues.get("dt").contains("2023-01-02"))
+    assert(untouched.map(_.relPath).toSet
+      === v0Files.filter(_.contains("dt=2023-01-02")).toSet,
+      "untouched partition must keep v0's exact files")
+    val rewritten = v3.filter(_.partitionValues.get("dt").contains("2023-01-01"))
+    assert(rewritten.nonEmpty && rewritten.size < 8)
+    assert(rewritten.forall(e => !v0Files.contains(e.relPath)))
+    assert(vt.read().count() === 400)
+    assert(vt.readWherePartitionIn("dt", Set("2023-01-01")).count() === 200)
+
+    // clustering rewrite commits a version too (and survives time travel)
+    Maintenance.zOrderBy(spark, root, Seq("x", "y"), bitsPerDim = 4)
+    assert(vt.currentVersion === Some(4L))
+    assert(vt.history(1).head.operation.startsWith("OPTIMIZE ZORDER"))
+    assert(vt.read().count() === 400)
+    assert(vt.readVersion(3L).count() === 400, "pre-zorder version intact")
+  }
+
   test("Maintain CLI round-trip: compact/detail on parquet, vacuum/history/restore on versioned") {
     // parquet-table commands
     val path = Fixtures.tempDir("graft-maintain") + "/t"
