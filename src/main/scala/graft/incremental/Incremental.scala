@@ -142,8 +142,11 @@ object Upsert {
     scopedCol match {
       case Some(pcol) =>
         // Partition values the source touches — small driver list (one
-        // entry per touched partition, not per row).
-        val vals = source.select(col(pcol)).distinct().collect().map(_.get(0))
+        // entry per touched partition, not per row), rendered as the
+        // hive path spells them (cast-to-string matches the writer's
+        // rendering for string/numeric/date partition columns).
+        val vals = source.select(col(pcol).cast("string")).distinct()
+          .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
         if (vals.contains(null))
           // null partition values land in the default-partition dir
           // whose matching semantics differ per engine — take the
@@ -151,11 +154,24 @@ object Upsert {
           fullMergeRewrite(spark, source, targetPath, mergeKeys,
             updateColumns, partitionBy)
         else {
-          // Prune the target read to touched partitions: the isin
-          // predicate on the partition column prunes directories at
-          // scan planning, so untouched partitions are never read.
-          val target = TableIO.read(spark, targetPath)
-            .filter(col(pcol).isInCollection(vals))
+          // Prune the target read DRIVER-SIDE: list the partition dirs
+          // once and keep those whose value is in the touched set — a
+          // set lookup, not an N-literal isin predicate (a backfill
+          // touching 10^4 partitions would otherwise plan a 10^4-term
+          // In). basePath keeps the partition column in the schema.
+          val valSet = vals.toSet
+          val touchedDirs = fs.listStatus(root).toSeq
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith(s"$pcol="))
+            .filter(s => valSet.contains(graft.io.ManifestEntry
+              .unescapePathName(s.getPath.getName.substring(pcol.length + 1))))
+            .map(_.getPath.toString)
+          val target =
+            if (touchedDirs.isEmpty)
+              // every touched partition is new: nothing to merge with
+              TableIO.read(spark, targetPath).limit(0)
+            else spark.read.option("basePath", targetPath)
+              .parquet(touchedDirs: _*)
           val merged = upsert(target, source, mergeKeys, updateColumns)
           val tmp = TableIO.tmpSibling(root, "merge_tmp")
           TableIO.write(merged, tmp.toString, SaveMode.Overwrite, partitionBy)
@@ -228,20 +244,20 @@ object Upsert {
           return newRows(fullVersionedRewrite(vt, source, mergeKeys,
             updateColumns))
         val valSet = vals.toSet
-        // manifest-level pruning: untouched partitions are never planned
-        val target = vt.read().filter(col(pcol).isInCollection(valSet))
-        val merged = upsert(target, source, mergeKeys, updateColumns)
-        // keep a file iff its partition value is NOT being replaced;
-        // files with no recorded value (null partition / legacy layout)
-        // are conservatively kept — they were never read, so the merged
-        // frame holds nothing that replaces them... unless the layout
-        // predates partition recording entirely, which replaceWhere's
-        // schema check would catch as a duplicate-row hazard, so refuse:
+        // refuse layouts where a file has no recorded partition value
+        // (pre-partitioning manifests): the pruned read below excludes
+        // such files, so their rows could be silently duplicated
         require(vt.manifestEntries(vt.currentVersion.get)
           .forall(_.partitionValues.contains(pcol)),
           s"$targetRoot has files without a $pcol partition value; " +
             "scoped merge would duplicate their rows — use " +
             "assumeStablePartitions=false for a full rewrite")
+        // manifest-level pruning by partition-value MEMBERSHIP: exact
+        // (a file's partition value is every row's value), and no
+        // N-literal isin ever reaches the plan — a backfill touching
+        // 10^4 partitions stays a driver-side set lookup
+        val target = vt.readWherePartitionIn(pcol, valSet)
+        val merged = upsert(target, source, mergeKeys, updateColumns)
         newRows(vt.replaceWhere(merged,
           e => !e.partitionValues.get(pcol).exists(valSet.contains),
           operation = s"MERGE $pcol IN (${vals.sorted.mkString(",")})"))

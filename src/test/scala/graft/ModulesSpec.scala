@@ -160,6 +160,43 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).filter("id = 2").head.getDouble(1) === 20.0)
   }
 
+  test("scoped merge over many partitions: set-lookup pruning, inserts + updates exact") {
+    // the backfill shape: dozens of touched partitions must prune via
+    // the driver-side dir listing (no N-literal isin predicate) and
+    // still merge every touched partition — updates, existing-but-
+    // untouched, and insert-created partitions alike
+    val base = Fixtures.tempDir("graft-merge-many")
+    val path = s"$base/t"
+    val n = 60
+    val t0 = (0 until n).map(i => (i.toLong, f"d$i%03d", i.toDouble))
+      .toDF("id", "dt", "v")
+    Upsert.mergeIntoTable(spark, t0, path, Seq("id", "dt"),
+      partitionBy = Some("dt"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(base), spark.sparkContext.hadoopConfiguration)
+    def fileSig(sub: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(path, sub))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+    val untouchedBefore = fileSig("dt=d001")
+    // every third partition updated + three new partitions inserted
+    val src = ((0 until n by 3).map(i => (i.toLong, f"d$i%03d", i * 10.0)) ++
+      Seq((100L, "x01", 1.0), (101L, "x02", 2.0), (102L, "x03", 3.0)))
+      .toDF("id", "dt", "v")
+    val written = Upsert.mergeIntoTable(spark, src, path, Seq("id", "dt"),
+      partitionBy = Some("dt"))
+    assert(written === 23, "20 touched partitions + 3 inserted, 1 row each")
+    val out = spark.read.parquet(path)
+    assert(out.count() === n + 3)
+    val byId = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (0 until n).foreach { i =>
+      assert(byId(i.toLong) === (if (i % 3 == 0) i * 10.0 else i.toDouble))
+    }
+    assert(byId(100L) === 1.0 && byId(102L) === 3.0)
+    assert(fileSig("dt=d001") === untouchedBefore,
+      "untouched partitions must keep their exact files")
+  }
+
   test("crashed merge swap window: stranded tmp data restored, not deleted") {
     import graft.io.TableIO
     val base = Fixtures.tempDir("graft-merge-crash")
