@@ -657,6 +657,60 @@ class VersionedTableSpec extends AnyFunSuite {
       "file must still be read; only the NaN row fails the predicate")
   }
 
+  test("changes-feed consumer: silver processes exactly the appended files") {
+    import org.apache.spark.sql.functions.{col, lit, upper}
+    val base = Fixtures.tempDir("graft-cdc")
+    val bronze = new VersionedTable(spark, s"$base/bronze")
+    val silver = new VersionedTable(spark, s"$base/silver")
+    def mk(ids: Range) = ids.map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    def transform(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("name", upper(col("name")))
+
+    // initial load: silver = transform(bronze@v0), cursor recorded in
+    // silver's own commit history (the Delta pattern: consumer state
+    // rides the sink's transaction, no side-channel files)
+    bronze.write(mk(0 until 10)) // bronze v0
+    silver.write(transform(bronze.read()), SaveMode.Overwrite, "CDC 0")
+
+    // two days of appends
+    bronze.write(mk(10 until 15), SaveMode.Append) // v1
+    bronze.write(mk(15 until 20), SaveMode.Append) // v2
+
+    // consumer: resume from the recorded cursor
+    val cursor = silver.lastOperationWith("CDC ")
+      .map(_.operation.stripPrefix("CDC ").toLong).get
+    assert(cursor === 0L)
+    val feed = bronze.changes(cursor, bronze.currentVersion.get)
+
+    // the feed's scan plans EXACTLY the files v1+v2 added — never the
+    // v0 base (a day of appends on a 100 TB table reads a day of files)
+    val appended = bronze.manifestEntries(2L).map(_.relPath).toSet --
+      bronze.manifestEntries(0L).map(_.relPath).toSet
+    def tail(f: String) = f.substring(f.indexOf("_data/"))
+    assert(feed.inputFiles.map(tail).toSet === appended)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("insert"))
+
+    // silver advances by appending the transformed inserts, cursor in
+    // the same commit
+    silver.write(transform(feed.drop("_change_type")), SaveMode.Append,
+      s"CDC ${bronze.currentVersion.get}")
+    assert(silver.lastOperationWith("CDC ")
+      .map(_.operation.stripPrefix("CDC ").toLong) === Some(2L))
+
+    // incremental silver ≡ full rebuild
+    val incremental = silver.read().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rebuilt = transform(bronze.read()).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(incremental === rebuilt)
+    assert(incremental.size === 20 && incremental(19L) === "NAME19")
+
+    // an empty delta (no new bronze version) feeds zero rows and files
+    val idle = bronze.changes(2L, 2L)
+    assert(idle.inputFiles.isEmpty && idle.count() === 0)
+  }
+
   test("detail on a versioned root reports the current snapshot, not all versions") {
     val root = Fixtures.tempDir("graft-vt-detail") + "/tbl"
     val vt = new VersionedTable(spark, root)
