@@ -919,6 +919,39 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(vt.readVersion(3L).count() === 400, "pre-zorder version intact")
   }
 
+  test("locality evidence: hilbert reads no more files than z-order on 2-D ranges") {
+    // the SCALE.md measurement: average files whose [min,max] box
+    // intersects a 1%-selectivity square query, same data, same file
+    // count, the two curves head-to-head (deterministic input)
+    val base = Fixtures.tempDir("graft-locality")
+    val df = (0 until 200000).toDF("i").select(
+      pmod(xxhash64(col("i")), lit(10000L)).as("x"),
+      pmod(xxhash64(col("i") + 1000000L), lit(10000L)).as("y"))
+    def avgFilesRead(path: String): Double = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val queries = for { qx <- 0 until 10; qy <- 0 until 10 }
+        yield (qx * 1000L, qx * 1000L + 999L, qy * 1000L, qy * 1000L + 999L)
+      queries.map { case (lox, hix, loy, hiy) =>
+        stats.count(f => f._2 >= lox && f._1 <= hix && f._4 >= loy && f._3 <= hiy)
+      }.sum.toDouble / queries.size
+    }
+    val (zp, hp) = (s"$base/z", s"$base/h")
+    df.write.parquet(zp)
+    df.write.parquet(hp)
+    Maintenance.zOrderBy(spark, zp, Seq("x", "y"), bitsPerDim = 8,
+      numPartitions = Some(64))
+    Maintenance.hilbertOrderBy(spark, hp, Seq("x", "y"), bitsPerDim = 8,
+      numPartitions = Some(64))
+    val (zf, hf) = (avgFilesRead(zp), avgFilesRead(hp))
+    info(f"avg files intersecting a 1%% 2-D range (of 64): z=$zf%.2f hilbert=$hf%.2f")
+    assert(hf <= zf * 1.05,
+      f"hilbert locality regressed vs z-order: $hf%.2f vs $zf%.2f files")
+  }
+
   test("Maintain CLI round-trip: compact/detail on parquet, vacuum/history/restore on versioned") {
     // parquet-table commands
     val path = Fixtures.tempDir("graft-maintain") + "/t"
