@@ -41,8 +41,18 @@ import java.nio.charset.StandardCharsets
   * (Delta semantics). Version numbers are never reused, so shared data
   * files are never clobbered by a post-restore write.
   *
-  * Single-writer, like the reference (`orchestration/dag.py` runs jobs
-  * sequentially); readers are snapshot-isolated at any version.
+  * Concurrency (Delta-style optimistic): the manifest rename is the
+  * commit arbiter. An APPEND that loses the race auto-rebases — its
+  * already-written files are re-referenced against the winner's
+  * snapshot and the commit retries (pure addition commutes with any
+  * committed write, so this is always safe; schema/partitioning are
+  * re-validated against each new snapshot). A [[replaceWhere]] rebases
+  * only when no concurrently-committed file lands in a partition it
+  * replaces — otherwise the caller's merged frame never saw those rows
+  * and retrying would silently drop them, so it fails loudly. A plain
+  * OVERWRITE never rebases (serializable semantics: last state it read
+  * must still be current). Readers are snapshot-isolated at any
+  * version throughout.
   */
 final class VersionedTable(spark: SparkSession, root: String) {
   private val rootPath = new Path(root)
@@ -82,14 +92,23 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * not-a-versioned-table rather than crash every read). */
   def currentVersion: Option[Long] = committedVersions.lastOption
 
-  /** Versions whose commit completed, oldest first. The manifest file
-    * IS the commit marker — every consumer (recovery, vacuum, reads)
-    * shares this one definition of "exists". */
+  /** Versions whose commit completed, oldest first. A NON-EMPTY
+    * manifest file IS the commit marker — every consumer (recovery,
+    * vacuum, reads) shares this one definition of "exists". Zero-byte
+    * manifests are another writer's claim (or a crashed one) and are
+    * not commits. */
   def committedVersions: Seq[Long] =
     if (!fs.exists(manifestsRoot)) Seq.empty
-    else fs.listStatus(manifestsRoot).map(_.getPath.getName).toSeq
+    else fs.listStatus(manifestsRoot).toSeq
+      .filter(_.getLen > 0)
+      .map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.endsWith(".txt"))
       .map(_.stripPrefix("v").stripSuffix(".txt").toLong).sorted
+
+  /** Has `v` fully committed (non-empty manifest)? */
+  private def manifestCommitted(v: Long): Boolean =
+    try fs.getFileStatus(manifestPath(v)).getLen > 0
+    catch { case _: java.io.FileNotFoundException => false }
 
   def exists: Boolean = currentVersion.isDefined
 
@@ -120,38 +139,58 @@ final class VersionedTable(spark: SparkSession, root: String) {
       operation: String = "WRITE",
       allowSchemaEvolution: Boolean = false,
       partitionBy: Option[Seq[String]] = None): Long = {
-    val next = currentVersion.map(_ + 1).getOrElse(0L)
-    val cur: Option[VersionManifest] = currentVersion.map(readManifest)
+    val next0 = currentVersion.map(_ + 1).getOrElse(0L)
+    val cur0: Option[VersionManifest] = currentVersion.map(readManifest)
     val parts: Seq[String] = partitionBy.getOrElse(
-      cur.map(_.partitionBy).getOrElse(Seq.empty))
+      cur0.map(_.partitionBy).getOrElse(Seq.empty))
     require(parts.forall(df.columns.contains),
       s"partition columns ${parts.mkString(",")} must exist in the frame " +
         s"written to $root (has: ${df.columns.mkString(",")})")
-    val (prior, schema): (Seq[ManifestEntry], StructType) = mode match {
-      case SaveMode.Append if exists =>
-        require(partitionBy.forall(_ == cur.get.partitionBy),
-          s"append cannot change partitioning of $root from " +
-            s"[${cur.get.partitionBy.mkString(",")}] to " +
-            s"[${partitionBy.getOrElse(Seq.empty).mkString(",")}]")
-        (cur.get.entries,
-          reconcileAppendSchema(df, snapshotSchema(cur.get), allowSchemaEvolution))
-      case _ => (Seq.empty, df.schema)
-    }
+    // fail the cheap checks BEFORE paying for the data write
+    cur0.filter(_ => mode == SaveMode.Append)
+      .foreach(c => reconcileAppendSchema(df, snapshotSchema(c),
+        allowSchemaEvolution))
     // Attempt dirs are writer-unique, so there is never a pre-existing
     // dir to clear (a racing writer's files live under ITS OWN dir and
-    // are never deleted here). Pre-check the manifest anyway: it is the
-    // same error writeManifest's guard raises, caught before paying for
-    // the data write.
-    val dir = newCommitDir(next)
-    if (fs.exists(manifestPath(next)))
-      sys.error(s"concurrent write conflict at $root: version $next was " +
-        "committed by another writer; re-read and retry")
+    // are never deleted here). Non-append writes pre-check the manifest
+    // too: same error the commit arbiter raises, caught before the
+    // data write (an append doesn't bother — it would rebase anyway).
+    val dir = newCommitDir(next0)
+    if (mode != SaveMode.Append && manifestCommitted(next0))
+      throw VersionConflictException(
+        s"concurrent write conflict at $root: version $next0 was " +
+          "committed by another writer; re-read and retry")
     writeCommitData(df, parts, dir)
     val added = listCommitFiles(dir)
-    writeManifest(next, VersionManifest(Some(schema), prior ++ added, parts))
-    appendHistory(next, operation, (prior ++ added).map(_.rows).sum)
-    pointTo(next)
-    next
+    commitWithRebase(rebase = mode == SaveMode.Append) { () =>
+      // ONE currentVersion read per attempt: reading it separately for
+      // the snapshot and for the number opens a window where a racer's
+      // commit lands between the two, and this attempt would claim
+      // version k+1 while re-referencing k-1's entries — dropping the
+      // racer's files from the chain
+      val curV = currentVersion
+      val cur = curV.map(readManifest)
+      val next = curV.map(_ + 1).getOrElse(0L)
+      val (prior, schema): (Seq[ManifestEntry], StructType) = mode match {
+        case SaveMode.Append if cur.isDefined =>
+          require(partitionBy.forall(_ == cur.get.partitionBy),
+            s"append cannot change partitioning of $root from " +
+              s"[${cur.get.partitionBy.mkString(",")}] to " +
+              s"[${partitionBy.getOrElse(Seq.empty).mkString(",")}]")
+          require(cur.get.partitionBy == parts,
+            s"concurrent write changed partitioning of $root to " +
+              s"[${cur.get.partitionBy.mkString(",")}] while an append " +
+              s"was in flight with [${parts.mkString(",")}]")
+          (cur.get.entries,
+            reconcileAppendSchema(df, snapshotSchema(cur.get),
+              allowSchemaEvolution))
+        case _ => (Seq.empty, df.schema)
+      }
+      writeManifest(next, VersionManifest(Some(schema), prior ++ added, parts))
+      appendHistory(next, operation, (prior ++ added).map(_.rows).sum)
+      pointTo(next)
+      next
+    }
   }
 
   /** Replace-where commit (the write primitive under MERGE/partition-
@@ -161,25 +200,61 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * "rewritten partition". Kept files are re-referenced, not copied. */
   def replaceWhere(df: DataFrame, keep: ManifestEntry => Boolean,
       operation: String): Long = {
-    val next = currentVersion.map(_ + 1).getOrElse(0L)
-    val cur = readManifest(currentVersion.getOrElse(
+    val base = readManifest(currentVersion.getOrElse(
       sys.error(s"table $root does not exist")))
-    val parts = cur.partitionBy
+    val parts = base.partitionBy
     require(parts.forall(df.columns.contains),
       s"partition columns ${parts.mkString(",")} must exist in the frame " +
         s"written to $root")
-    val schema = reconcileAppendSchema(df, snapshotSchema(cur),
-      allowEvolution = false)
-    val dir = newCommitDir(next)
-    if (fs.exists(manifestPath(next)))
-      sys.error(s"concurrent write conflict at $root: version $next was " +
-        "committed by another writer; re-read and retry")
+    reconcileAppendSchema(df, snapshotSchema(base), allowEvolution = false)
+    val dir = newCommitDir(currentVersion.get + 1)
     writeCommitData(df, parts, dir)
-    val entries = cur.entries.filter(keep) ++ listCommitFiles(dir)
-    writeManifest(next, VersionManifest(Some(schema), entries, parts))
-    appendHistory(next, operation, entries.map(_.rows).sum)
-    pointTo(next)
-    next
+    val added = listCommitFiles(dir)
+    val baseFiles = base.entries.map(_.relPath).toSet
+    commitWithRebase(rebase = true) { () =>
+      // ONE currentVersion read per attempt (see write())
+      val curV = currentVersion.get
+      val cur = readManifest(curV)
+      require(cur.partitionBy == parts,
+        s"concurrent write changed partitioning of $root while a " +
+          "replaceWhere was in flight")
+      // lost-update detection: a file committed since `base` that our
+      // keep predicate would REPLACE holds rows the caller's rewritten
+      // frame never read — rebasing would silently drop them
+      val clobbered = cur.entries
+        .filterNot(e => baseFiles.contains(e.relPath)).filterNot(keep)
+      if (clobbered.nonEmpty) sys.error(
+        s"concurrent write conflict at $root: another writer committed " +
+          s"${clobbered.size} file(s) into partitions this replaceWhere " +
+          "rewrites (e.g. " + clobbered.head.relPath + "); re-run the " +
+          "rewrite against the new snapshot")
+      val schema = reconcileAppendSchema(df, snapshotSchema(cur),
+        allowEvolution = false)
+      val next = curV + 1
+      val entries = cur.entries.filter(keep) ++ added
+      writeManifest(next, VersionManifest(Some(schema), entries, parts))
+      appendHistory(next, operation, entries.map(_.rows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
+  /** Run one commit attempt; on losing the manifest race, either
+    * re-run it against the new current snapshot (`rebase` — bounded
+    * attempts, jittered backoff) or propagate the conflict. */
+  private def commitWithRebase(rebase: Boolean)(attempt: () => Long): Long = {
+    val maxAttempts = 20
+    var n = 0
+    while (true) {
+      try return attempt()
+      catch {
+        case e: VersionConflictException =>
+          n += 1
+          if (!rebase || n >= maxAttempts) throw e
+          Thread.sleep(5L + scala.util.Random.nextInt(45))
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Read the current snapshot. */
@@ -189,7 +264,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** S4: time-travel read at an explicit version. Plans against the
     * manifest's recorded snapshot schema — no per-file inference. */
   def readVersion(v: Long): DataFrame = {
-    require(fs.exists(manifestPath(v)), s"version $v does not exist at $root")
+    require(manifestCommitted(v), s"version $v does not exist at $root")
     val m = readManifest(v)
     require(m.entries.nonEmpty, s"version $v of $root has an empty manifest")
     readFiles(m, m.entries)
@@ -473,7 +548,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * target's (Delta RESTORE semantics). No data is copied or moved;
     * version numbers are never reused. */
   def restore(v: Long): Unit = {
-    require(fs.exists(manifestPath(v)), s"version $v does not exist at $root")
+    require(manifestCommitted(v), s"version $v does not exist at $root")
     val m = readManifest(v)
     val next = currentVersion.map(_ + 1).getOrElse(0L)
     writeManifest(next, m)
@@ -588,7 +663,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val upTo = (cpMax +: commits.map(_._1)).max
     if (upTo < 0) return // nothing but an empty legacy file
     if (!fs.exists(historyDir)) fs.mkdirs(historyDir)
-    val tmp = new Path(historyDir, f".cp_v$upTo%08d.tmp")
+    // writer-unique tmp: concurrent auto-rolls (racing appenders both
+    // crossing the checkpoint interval) must not steal each other's
+    // temp file; the OVERWRITE rename is last-wins over equivalent
+    // content, so either roll is a correct checkpoint
+    val tmp = new Path(historyDir,
+      f".cp_v$upTo%08d_${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try out.write(entries.map(renderHistoryLine).mkString("\n")
       .getBytes(StandardCharsets.UTF_8))
@@ -613,8 +693,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * alone. History entries of the dropped versions are GC'd too, by
     * rolling the retained entries into a checkpoint — history reads
     * stay bounded by the retention window, not the table's lifetime.
-    * Returns the dropped version numbers. */
-  def vacuum(retainVersions: Int = 2): Seq[Long] = {
+    *
+    * `orphanGraceMs` protects CONCURRENT writers: an in-flight append
+    * has a data dir but no manifest yet, and once racing winners push
+    * `currentVersion` past its number it looks exactly like crash
+    * garbage — so unreferenced dirs are swept only when older than the
+    * grace (Delta's retention-window rationale). Pass 0 only when no
+    * writer can be active. Returns the dropped version numbers. */
+  def vacuum(retainVersions: Int = 2,
+      orphanGraceMs: Long = 3600000L): Seq[Long] = {
     val cur = currentVersion.getOrElse(return Seq.empty)
     val committed = committedVersions
     val keep = committed.filter(v => v == cur || v > cur - retainVersions)
@@ -627,8 +714,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val referenced: Set[String] =
       keep.flatMap(readManifest(_).entries.map(_.relPath)).toSet
     if (fs.exists(dataRoot)) {
-      fs.listStatus(dataRoot).map(_.getPath).foreach { dir =>
-        if (commitDirVersion(dir.getName).exists(_ <= cur)) {
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      fs.listStatus(dataRoot).foreach { dirStatus =>
+        val dir = dirStatus.getPath
+        if (commitDirVersion(dir.getName).exists(_ <= cur) &&
+            dirStatus.getModificationTime <= cutoff) {
           // recursive: partitioned commits nest files under col=value dirs
           val it = fs.listFiles(dir, true)
           val files = Iterator.continually(it).takeWhile(_.hasNext)
@@ -812,10 +902,35 @@ final class VersionedTable(spark: SparkSession, root: String) {
     StructType(cur.fields ++ added)
   }
 
+  /** Parse a manifest, waiting out a concurrent writer's content fill:
+    * the commit protocol makes the file visible the moment its first
+    * bytes land, so an empty read, an `#entries=` count that doesn't
+    * match, or a mid-line truncation all mean "filler in flight" —
+    * retry briefly, then fail (a crashed fill or true corruption). */
   private def readManifest(v: Long): VersionManifest = {
+    var attempt = 0
+    while (true) {
+      scala.util.Try(readManifestOnce(v)) match {
+        case scala.util.Success(Some(m)) => return m
+        case result =>
+          attempt += 1
+          if (attempt >= 40) result match {
+            case scala.util.Failure(e) => throw e
+            case _ => sys.error(s"manifest for version $v of $root is " +
+              "empty or truncated (crashed commit fill, or corruption)")
+          }
+          Thread.sleep(25)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** One parse attempt: None = visibly incomplete (retry-worthy). */
+  private def readManifestOnce(v: Long): Option[VersionManifest] = {
     val in = fs.open(manifestPath(v))
     val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
+    if (text.isEmpty) return None
     val lines = text.linesIterator.filter(_.nonEmpty).toSeq
     val schema = lines.find(_.startsWith("#schema="))
       .map(l => DataType.fromJson(l.stripPrefix("#schema="))
@@ -851,13 +966,39 @@ final class VersionedTable(spark: SparkSession, root: String) {
           s"malformed manifest line at $root: '${other.mkString("\\t")}'")
       }
     }
-    VersionManifest(schema, entries, partitionBy)
+    // completeness: post-r6 manifests declare their entry count; a
+    // mismatch is a partially-visible fill (legacy manifests have no
+    // header and were rename-published, hence always complete)
+    val declared = lines.find(_.startsWith("#entries="))
+      .map(_.stripPrefix("#entries=").toInt)
+    if (declared.exists(_ != entries.size)) None
+    else Some(VersionManifest(schema, entries, partitionBy))
   }
 
-  /** Temp-write + rename: the rename is the commit point. */
+  /** Commit a manifest: atomic CLAIM of the destination name, then
+    * fill it with content.
+    *
+    * Why not tmp+rename: POSIX rename OVERWRITES an existing
+    * destination (Hadoop's RawLocalFileSystem inherits that), so of
+    * two racing writers the LATER rename would silently destroy the
+    * earlier commit — rename cannot arbitrate. The only portable
+    * atomic arbiter is exclusive CREATE: NIO `createFile` (O_EXCL) on
+    * the local scheme, `create(dest, overwrite=false)` elsewhere
+    * (atomic at the HDFS namenode / object-store PUT-if-absent).
+    * Exactly one claimant wins; losers get [[VersionConflictException]]
+    * (appends auto-rebase in [[commitWithRebase]]).
+    *
+    * The claim is a zero-byte file, invisible to [[committedVersions]]
+    * (which requires length > 0), so the commit POINT is the content
+    * fill becoming non-empty; readers that catch the fill mid-flight
+    * see an `#entries=` count that doesn't match and retry
+    * ([[readManifest]]). A writer that dies after claiming leaves an
+    * empty manifest that never commits — a later claimant older than
+    * [[VersionedTable.claimGraceMs]] reclaims it. */
   private def writeManifest(v: Long, m: VersionManifest): Unit = {
     if (!fs.exists(manifestsRoot)) fs.mkdirs(manifestsRoot)
-    val header = m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
+    val header = s"#entries=${m.entries.size}\n" +
+      m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
       (if (m.partitionBy.nonEmpty)
         s"#partitionBy=${m.partitionBy.mkString(",")}\n" else "")
     val body = header + m.entries.map { e =>
@@ -872,37 +1013,78 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }.mkString(",")
       s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st\t$ss"
     }.mkString("\n")
-    val tmp = new Path(manifestsRoot, f".v$v%08d.tmp")
-    val out = fs.create(tmp, true)
+    val dest = manifestPath(v)
+    claimManifest(dest, v)
+    val out = fs.create(dest, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val dest = manifestPath(v)
-    // Optimistic concurrency: version numbers are allocated from
-    // currentVersion (which already accounts for stranded-but-committed
-    // manifests), so an existing destination can only mean another
-    // writer committed this version after we read ours — fail loudly
-    // instead of silently clobbering their commit. (The reference is a
-    // single-writer pipeline; this guard turns a violated assumption
-    // into an error, not data loss.)
-    if (fs.exists(dest)) {
-      fs.delete(tmp, false)
-      sys.error(s"concurrent write conflict at $root: version $v was " +
-        "committed by another writer; re-read and retry")
+  }
+
+  /** Atomically claim `dest` for this writer or throw
+    * [[VersionConflictException]]. An existing EMPTY manifest older
+    * than the grace is a crashed claim — reclaimed; a young one is an
+    * in-flight commit — conflict (the rebase loop re-reads after the
+    * filler finishes). */
+  private def claimManifest(dest: Path, v: Long): Unit = {
+    def conflict(reason: String) = throw VersionConflictException(
+      s"concurrent write conflict at $root: version $v $reason; " +
+        "re-read and retry")
+    val existing =
+      try Some(fs.getFileStatus(dest))
+      catch { case _: java.io.FileNotFoundException => None }
+    existing.foreach { st =>
+      if (st.getLen == 0 && st.getModificationTime <
+          System.currentTimeMillis() - VersionedTable.claimGraceMs)
+        fs.delete(dest, false) // crashed claim: writer died pre-fill
+      else if (st.getLen == 0) conflict("is being committed by another writer")
+      else conflict("was committed by another writer")
     }
-    fs.rename(tmp, dest)
+    val claimed =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(dest.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try { fs.create(dest, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(_.contains("exist")) => false
+        }
+      }
+    if (!claimed) conflict("was claimed by another writer")
   }
 
   private def pointTo(v: Long): Unit = {
-    val tmp = new Path(root, s"_latest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // Atomic swap: rename with OVERWRITE — no delete-then-rename window
-    // in which a crash leaves no `_latest` (currentVersion additionally
-    // recovers from the manifests if a table lost its pointer).
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      rootPath.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, latestPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // writer-unique tmp: racing committers must not steal each other's
+    // temp file; the OVERWRITE rename is last-wins on a purely
+    // advisory pointer (currentVersion never consults it)
+    val tmp = new Path(root,
+      s"_latest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // Atomic swap: rename with OVERWRITE — no delete-then-rename
+      // window in which a crash leaves no `_latest` (currentVersion
+      // additionally recovers from the manifests if a table lost its
+      // pointer).
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, latestPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      // BEST EFFORT: concurrent committers can trip over the pointer's
+      // checksum sidecar (ChecksumFs renames the .crc non-atomically).
+      // The pointer exists for humans; no read path consults it, so a
+      // lost update must never fail a commit that already happened.
+      case scala.util.control.NonFatal(_) =>
+        try fs.delete(tmp, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** One immutable file per commit: appending to a single JSONL would
@@ -936,10 +1118,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
 object VersionedTable {
   /** Commits between automatic history-checkpoint rolls. */
   val historyCheckpointInterval: Int = 128
+
+  /** Age beyond which a zero-byte manifest counts as a CRASHED claim
+    * (reclaimable) rather than an in-flight commit. Far above any real
+    * claim→fill gap (microseconds); low enough that a crashed writer
+    * doesn't wedge its version number for long. */
+  val claimGraceMs: Long = 600000L
 }
 
 final case class HistoryEntry(
     version: Long, timestamp: String, operation: String, numRows: Long)
+
+/** Lost the manifest-rename commit race. Appends (and partition-safe
+  * replaceWheres) auto-rebase and retry; overwrites propagate it. */
+final case class VersionConflictException(message: String)
+    extends RuntimeException(message)
 
 /** One manifest line: a parquet file (path relative to the table
   * root), its footer row count, its size in bytes, per-column

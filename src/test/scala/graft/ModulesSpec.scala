@@ -353,6 +353,92 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(vt.read().count() === 1) // current version survives vacuum
   }
 
+  test("optimistic concurrency: racing appends all commit, none lost") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = Fixtures.tempDir("graft-vt-conc") + "/tbl"
+    new VersionedTable(spark, root).write(Seq((0, "base")).toDF("id", "s"))
+    val writers = (1 to 6).map(i => Future {
+      new VersionedTable(spark, root)
+        .write(Seq((i, s"w$i")).toDF("id", "s"), SaveMode.Append)
+    })
+    val versions = Await.result(Future.sequence(writers), 180.seconds)
+    // every append rebased onto the winner and committed a distinct version
+    assert(versions.sorted === (1L to 6L))
+    val vt = new VersionedTable(spark, root)
+    assert(vt.currentVersion === Some(6L))
+    assert(vt.read().select("id").collect().map(_.getInt(0)).sorted.toSeq
+      === (0 to 6))
+    // every intermediate snapshot is a consistent prefix of the appends
+    (1L to 6L).foreach(v => assert(vt.readVersion(v).count() === v + 1))
+  }
+
+  test("optimistic concurrency: overwrite never rebases; replaceWhere detects lost updates") {
+    val root = Fixtures.tempDir("graft-vt-conc2") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq(("d1", 1), ("d2", 2)).toDF("dt", "v"),
+      partitionBy = Some(Seq("dt"))) // v0
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+    // a racing writer's in-flight CLAIM (zero-byte manifest) on the
+    // next version: an overwrite must fail with the typed conflict —
+    // never rebase past a commit it didn't read
+    val mdir = new org.apache.hadoop.fs.Path(root, "_manifests")
+    val claim = new org.apache.hadoop.fs.Path(mdir, "v00000001.txt")
+    fs.create(claim, true).close()
+    assert(vt.currentVersion === Some(0L), "a claim is not a commit")
+    val e = intercept[graft.io.VersionConflictException] {
+      vt.write(Seq(("d9", 9)).toDF("dt", "v"))
+    }
+    assert(e.getMessage.contains("conflict"))
+    // ...but a claim whose writer CRASHED (old mtime, never filled) is
+    // reclaimed by the next writer instead of wedging the version
+    fs.setTimes(claim, System.currentTimeMillis()
+      - graft.io.VersionedTable.claimGraceMs - 60000L, -1)
+    assert(vt.write(Seq(("d1", 1), ("d2", 2)).toDF("dt", "v"),
+      partitionBy = Some(Seq("dt"))) === 1L)
+
+    // replaceWhere racing an append into a KEPT partition: rebases and
+    // keeps both (the keep-closure side effect injects the race
+    // deterministically between the base read and the commit)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val v = vt.replaceWhere(
+      Seq(("d1", 10)).toDF("dt", "v"),
+      keep = { e =>
+        if (fired.compareAndSet(false, true))
+          new VersionedTable(spark, root).write(
+            Seq(("d2", 22)).toDF("dt", "v"), SaveMode.Append)
+        !e.partitionValues.get("dt").contains("d1")
+      },
+      operation = "REPLACE d1")
+    assert(v === 3L, "replaceWhere must rebase past the racing append")
+    val rows = vt.read().select("v", "dt").collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    assert(rows.sorted.toSeq === Seq(2 -> "d2", 10 -> "d1", 22 -> "d2"),
+      s"both the racing append and the rewrite must survive: ${rows.toSeq}")
+
+    // racing an append into a REPLACED partition: the rewrite never saw
+    // those rows — must fail loudly instead of dropping them
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val lost = intercept[RuntimeException] {
+      vt.replaceWhere(
+        Seq(("d1", 100)).toDF("dt", "v"),
+        keep = { e =>
+          if (fired2.compareAndSet(false, true))
+            new VersionedTable(spark, root).write(
+              Seq(("d1", 111)).toDF("dt", "v"), SaveMode.Append)
+          !e.partitionValues.get("dt").contains("d1")
+        },
+        operation = "REPLACE d1 again")
+    }
+    assert(lost.getMessage.contains("re-run the rewrite"),
+      s"expected lost-update refusal, got: ${lost.getMessage}")
+    // the racing append's row is intact
+    assert(vt.read().filter("v = 111").count() === 1)
+  }
+
   test("typed pruning: timestamp/date/string ranges prune files via manifests") {
     val root = Fixtures.tempDir("graft-vt-typed") + "/tbl"
     val vt = new VersionedTable(spark, root)
@@ -740,7 +826,7 @@ class VersionedTableSpec extends AnyFunSuite {
     val orphan = new org.apache.hadoop.fs.Path(root, "_data/c00000001x")
     val realOrphans = commitDirsOf(0) ++ commitDirsOf(1)
     fs.mkdirs(orphan) // not a commit-dir name: must be left alone
-    val dropped = vt.vacuum(retainVersions = 1) // keep v2 only
+    val dropped = vt.vacuum(retainVersions = 1, orphanGraceMs = 0L) // keep v2 only
     assert(dropped === Seq(0L, 1L))
     // v0+v1's files (commit dirs c0, c1) are unreferenced by v2 → gone
     assert(realOrphans.nonEmpty && realOrphans.forall(!fs.exists(_)),
@@ -754,7 +840,7 @@ class VersionedTableSpec extends AnyFunSuite {
     vt2.write(Seq((1, "a")).toDF("id", "s")) // v0
     vt2.write(Seq((2, "b")).toDF("id", "s")) // v1 overwrite
     vt2.restore(0) // v2 = v0's manifest, shares c0's files
-    vt2.vacuum(retainVersions = 1) // drops v0, v1; v2 still needs c0
+    vt2.vacuum(retainVersions = 1, orphanGraceMs = 0L) // drops v0, v1; v2 still needs c0
     assert(vt2.read().collect().map(_.getInt(0)).toSeq === Seq(1),
       "restore-shared files must survive vacuum of the original version")
   }
