@@ -15,6 +15,8 @@ import graft.maintenance.Maintenance
   *   runMain graft.Maintain vacuum  --path <versioned-root> [--retain 2]
   *   runMain graft.Maintain history --path <versioned-root> [--limit 20]
   *   runMain graft.Maintain restore --path <versioned-root> --version V
+  *   runMain graft.Maintain delete  --path <versioned-root> --column c \
+  *                                  (--values a,b | --between lo,hi)
   * }}}
   *
   * compact/sortby/detail act on plain parquet tables; vacuum/history/
@@ -87,9 +89,26 @@ object Maintain {
           bitsPerDim = opts.get("bits").map(_.toInt).getOrElse(8),
           numPartitions = opts.get("partitions").map(_.toInt))
         s"hilbert $path: hilbert-clustered by ${cols.mkString(", ")}"
+      case "delete" =>
+        val column = opts.getOrElse("column",
+          sys.error("--column <col> is required"))
+        val vt = new VersionedTable(spark, path)
+        (opts.get("values"), opts.get("between")) match {
+          case (Some(vs), None) =>
+            val v = vt.deletePartitionIn(column,
+              vs.split(",").map(_.trim).toSet)
+            s"delete $path: dropped $column in ($vs), now at v$v"
+          case (None, Some(range)) =>
+            val Array(lo, hi) = range.split(",").map(_.trim.toDouble)
+            val v = vt.deleteBetween(column, lo, hi)
+            s"delete $path: removed $column in [$lo, $hi], now at v$v"
+          case _ => sys.error(
+            "delete needs exactly one of --values a,b (partition drop) " +
+              "or --between lo,hi (row delete)")
+        }
       case other =>
         sys.error(s"unknown command '$other' " +
-          "(compact|sortby|detail|vacuum|history|restore|optimize|zorder|hilbert)")
+          "(compact|sortby|detail|vacuum|history|restore|optimize|zorder|hilbert|delete)")
     }
   }
 

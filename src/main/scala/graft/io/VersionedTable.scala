@@ -490,6 +490,74 @@ final class VersionedTable(spark: SparkSession, root: String) {
     readFiles(m, keep).filter(pred)
   }
 
+  /** DELETE whole partitions as a METADATA-ONLY commit (Delta's
+    * partition-delete fast path — the GDPR-by-tenant / retention
+    * shape): the new manifest simply omits every file whose partition
+    * value for `column` is in `values`; no data is read, written, or
+    * moved, and prior versions still see the rows until [[vacuum]].
+    * Rebases over concurrent appends — and deletes a racing appender's
+    * file too when it lands in a deleted partition, which IS the
+    * serial semantics (append then "delete ALL rows of partition").
+    * Refuses layouts with value-less files (their rows can't be proven
+    * outside the deleted partitions). Returns the new version. */
+  def deletePartitionIn(column: String, values: Set[String]): Long = {
+    require(values.nonEmpty, "deletePartitionIn needs at least one value")
+    commitWithRebase(rebase = true) { () =>
+      val curV = currentVersion.getOrElse(
+        sys.error(s"table $root does not exist"))
+      val cur = readManifest(curV)
+      require(cur.partitionBy.contains(column),
+        s"$column is not a partition column of $root " +
+          s"(partitioned by: ${cur.partitionBy.mkString(",")})")
+      require(cur.entries.forall(_.partitionValues.contains(column)),
+        s"$root has files without a $column partition value; " +
+          "partition delete cannot prove their rows are unaffected")
+      val entries = cur.entries
+        .filterNot(_.partitionValues.get(column).exists(values))
+      val next = curV + 1
+      writeManifest(next, VersionManifest(cur.schema, entries, cur.partitionBy))
+      appendHistory(next,
+        s"DELETE $column IN (${values.toSeq.sorted.mkString(",")})",
+        entries.map(_.rows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
+  /** Row-level DELETE of `column` ∈ [lo, hi] as a new version, doing
+    * the minimum IO the manifest permits: files whose recorded stats
+    * or partition value PROVE no row matches are re-referenced
+    * untouched (never read); only possibly-matching files are read and
+    * rewritten with the survivors. Files with no usable stats are
+    * conservatively rewritten. Concurrent appends of provably-outside
+    * rows rebase cleanly; an append that MIGHT hold matching rows
+    * aborts the delete loudly (its rows were never scanned). */
+  def deleteBetween(column: String, lo: Double, hi: Double): Long = {
+    import org.apache.spark.sql.functions.col
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val partCols = m.partitionBy.toSet
+    // may the file contain a row with column in [lo, hi]?
+    def mayMatch(e: ManifestEntry): Boolean =
+      if (partCols.contains(column))
+        e.partitionValues.get(column)
+          .flatMap(s => scala.util.Try(s.toDouble).toOption) match {
+          case Some(v) => v >= lo && v <= hi
+          case None => true // unknown partition value: must assume yes
+        }
+      else e.stats.get(column) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats: must assume yes
+      }
+    val candidates = m.entries.filter(mayMatch)
+    if (candidates.isEmpty) return curV // provably nothing to delete
+    val survivors = readFiles(m, candidates)
+      .filter(!(col(column) >= lo && col(column) <= hi))
+    replaceWhere(survivors, e => !mayMatch(e),
+      s"DELETE $column IN [$lo,$hi]")
+  }
+
   /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
     * semantics). Rewrites the current snapshot into ~`targetFileMB`
     * files as a fresh commit; prior versions keep referencing the old

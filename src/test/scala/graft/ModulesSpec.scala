@@ -439,6 +439,48 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(vt.read().filter("v = 111").count() === 1)
   }
 
+  test("DELETE: partition drops are metadata-only; row deletes rewrite candidates only") {
+    val root = Fixtures.tempDir("graft-vt-del") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq(("d1", 1), ("d1", 2), ("d2", 3), ("d3", 4)).toDF("dt", "v"),
+      partitionBy = Some(Seq("dt"))) // v0
+    val v0files = vt.manifestEntries(0L).map(_.relPath).toSet
+    assert(vt.deletePartitionIn("dt", Set("d2")) === 1L)
+    // metadata-only: the new manifest is a strict subset — zero files
+    // written, read, or moved
+    val v1files = vt.manifestEntries(1L).map(_.relPath).toSet
+    assert(v1files.subsetOf(v0files) && v1files.size < v0files.size)
+    assert(vt.read().select("v").collect().map(_.getInt(0)).sorted.toSeq
+      === Seq(1, 2, 4))
+    assert(vt.readVersion(0L).count() === 4, "prior version keeps the rows")
+    assert(vt.history(1).head.operation.startsWith("DELETE dt IN"))
+
+    // row-level delete on disjoint-range files: only the candidate
+    // file is rewritten, the rest re-referenced byte-identically
+    val root2 = Fixtures.tempDir("graft-vt-del2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    def slab(r: Range) = r.map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .coalesce(1)
+    vt2.write(slab(0 until 10))
+    vt2.write(slab(10 until 20), SaveMode.Append)
+    vt2.write(slab(20 until 30), SaveMode.Append)
+    val before = vt2.manifestEntries(2L)
+    assert(vt2.deleteBetween("id", 12, 14) === 3L)
+    val after = vt2.manifestEntries(3L).map(_.relPath).toSet
+    val untouched = before.filter(e =>
+      e.stats("id")._2 < 12 || e.stats("id")._1 > 14).map(_.relPath).toSet
+    val candidate = before.map(_.relPath).toSet -- untouched
+    assert(untouched.size === 2 && untouched.subsetOf(after),
+      "provably-unaffected files must be re-referenced, not rewritten")
+    assert((after & candidate).isEmpty, "the candidate file must be replaced")
+    assert(vt2.read().count() === 27)
+    assert(vt2.read().filter("id between 12 and 14").count() === 0)
+    assert(vt2.readVersion(2L).count() === 30)
+    // provably nothing to delete: no new version committed
+    assert(vt2.deleteBetween("id", 1000, 2000) === 3L)
+    assert(vt2.currentVersion === Some(3L))
+  }
+
   test("typed pruning: timestamp/date/string ranges prune files via manifests") {
     val root = Fixtures.tempDir("graft-vt-typed") + "/tbl"
     val vt = new VersionedTable(spark, root)
