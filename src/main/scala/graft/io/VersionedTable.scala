@@ -537,19 +537,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val curV = currentVersion.getOrElse(
       sys.error(s"table $root does not exist"))
     val m = readManifest(curV)
-    val partCols = m.partitionBy.toSet
-    // may the file contain a row with column in [lo, hi]?
-    def mayMatch(e: ManifestEntry): Boolean =
-      if (partCols.contains(column))
-        e.partitionValues.get(column)
-          .flatMap(s => scala.util.Try(s.toDouble).toOption) match {
-          case Some(v) => v >= lo && v <= hi
-          case None => true // unknown partition value: must assume yes
-        }
-      else e.stats.get(column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true // no stats: must assume yes
-      }
+    val mayMatch = rangeMayMatch(m.partitionBy.toSet, column, lo, hi) _
     val candidates = m.entries.filter(mayMatch)
     if (candidates.isEmpty) return curV // provably nothing to delete
     val survivors = readFiles(m, candidates)
@@ -557,6 +545,58 @@ final class VersionedTable(spark: SparkSession, root: String) {
     replaceWhere(survivors, e => !mayMatch(e),
       s"DELETE $column IN [$lo,$hi]")
   }
+
+  /** Row-level UPDATE (Delta `UPDATE ... WHERE column BETWEEN`):
+    * rows with `column` ∈ [lo, hi] take each `set` expression, all
+    * others pass through — and only possibly-matching files are read
+    * and rewritten, everything else re-referenced untouched. `set`
+    * values are arbitrary Column expressions over the row (cast back
+    * to the column's declared type; the snapshot schema never
+    * changes). Partition columns can't be updated in place (rows
+    * would have to MOVE partitions — that's a MERGE). Concurrency as
+    * [[deleteBetween]]. */
+  def updateBetween(column: String, lo: Double, hi: Double,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(set.nonEmpty, "updateBetween needs at least one column to set")
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val schema = snapshotSchema(m)
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"update sets unknown column '$k' at $root"))
+    require(!set.keys.exists(m.partitionBy.contains),
+      s"cannot update partition columns of $root in place " +
+        "(rows would change partitions) — use a MERGE")
+    val mayMatch = rangeMayMatch(m.partitionBy.toSet, column, lo, hi) _
+    val candidates = m.entries.filter(mayMatch)
+    if (candidates.isEmpty) return curV // provably nothing to update
+    val matches = col(column) >= lo && col(column) <= hi
+    val rewritten = readFiles(m, candidates).select(schema.fields.toSeq.map { f =>
+      set.get(f.name) match {
+        case Some(expr) =>
+          when(matches, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    replaceWhere(rewritten, e => !mayMatch(e),
+      s"UPDATE $column IN [$lo,$hi]")
+  }
+
+  /** May `e` contain a row with `column` in [lo, hi]? Partition values
+    * and stats prove absence; anything unknown must assume presence. */
+  private def rangeMayMatch(partCols: Set[String], column: String,
+      lo: Double, hi: Double)(e: ManifestEntry): Boolean =
+    if (partCols.contains(column))
+      e.partitionValues.get(column)
+        .flatMap(s => scala.util.Try(s.toDouble).toOption) match {
+        case Some(v) => v >= lo && v <= hi
+        case None => true // unknown partition value: must assume yes
+      }
+    else e.stats.get(column) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // no stats: must assume yes
+    }
 
   /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
     * semantics). Rewrites the current snapshot into ~`targetFileMB`

@@ -183,6 +183,24 @@ object Maintenance {
     fs.rename(tmp, p)
   }
 
+  /** A cluster column as a double for quantile bucketing. A bare
+    * `cast("double")` NULLs every date/timestamp value (Spark forbids
+    * that cast), silently degrading the most common clustering key —
+    * the date column — to an all-null error; route temporal types
+    * through their natural ordinals instead (ordinals only feed
+    * bucketing, so the unit is irrelevant as long as it's monotonic). */
+  private def asCurveDouble(df: org.apache.spark.sql.DataFrame,
+      c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    df.schema(c).dataType match {
+      case DateType => org.apache.spark.sql.functions.unix_date(col(c))
+        .cast("double")
+      case TimestampType => org.apache.spark.sql.functions
+        .unix_micros(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+  }
+
   private def curveOrderBy(spark: SparkSession, path: String,
       cCols: Seq[String], bitsPerDim: Int, numPartitions: Option[Int],
       curve: (Seq[org.apache.spark.sql.Column], Seq[Seq[Double]]) =>
@@ -195,7 +213,7 @@ object Maintenance {
     val buckets = 1 << bitsPerDim
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // one scan computes every dimension's quantile edges
-    val casted = df.select(cCols.map(c => col(c).cast("double").as(c)): _*)
+    val casted = df.select(cCols.map(c => asCurveDouble(df, c).as(c)): _*)
     val bounds = casted.stat.approxQuantile(cCols.toArray, probs, 0.001)
     // approxQuantile returns ZERO edges for an all-null column (or an
     // empty table); say so, instead of a confusing bucket-count
@@ -204,7 +222,7 @@ object Maintenance {
       require(bs.nonEmpty,
         s"cluster column '$c' has no non-null values to bucket at $path")
     }
-    val idx = curve(cCols.map(c => col(c).cast("double")),
+    val idx = curve(cCols.map(c => asCurveDouble(df, c)),
       bounds.toSeq.map(_.toSeq))
     val withIdx = df.withColumn("__curve", idx)
     val ranged = numPartitions match {

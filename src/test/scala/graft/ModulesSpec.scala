@@ -481,6 +481,41 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(vt2.currentVersion === Some(3L))
   }
 
+  test("UPDATE: rewrites candidate files only, others re-referenced") {
+    import org.apache.spark.sql.functions.lit
+    val root = Fixtures.tempDir("graft-vt-upd") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    def slab(r: Range) = r.map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .coalesce(1)
+    vt.write(slab(0 until 10))
+    vt.write(slab(10 until 20), SaveMode.Append)
+    vt.write(slab(20 until 30), SaveMode.Append)
+    val before = vt.manifestEntries(2L)
+    assert(vt.updateBetween("id", 12, 14,
+      Map("name" -> lit("redacted"))) === 3L)
+    val after = vt.manifestEntries(3L).map(_.relPath).toSet
+    val untouched = before.filter(e =>
+      e.stats("id")._2 < 12 || e.stats("id")._1 > 14).map(_.relPath).toSet
+    assert(untouched.size === 2 && untouched.subsetOf(after))
+    val byId = vt.read().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId.size === 30)
+    (0L until 30L).foreach { i =>
+      assert(byId(i) === (if (i >= 12 && i <= 14) "redacted" else s"n$i"))
+    }
+    assert(vt.readVersion(2L).filter("name = 'redacted'").count() === 0)
+    // provably-nothing and partition-column guard
+    assert(vt.updateBetween("id", 1000, 2000,
+      Map("name" -> lit("x"))) === 3L)
+    intercept[IllegalArgumentException] {
+      val proot = Fixtures.tempDir("graft-vt-upd2") + "/tbl"
+      val pvt = new VersionedTable(spark, proot)
+      pvt.write(Seq(("d1", 1L)).toDF("dt", "id"),
+        partitionBy = Some(Seq("dt")))
+      pvt.updateBetween("id", 0, 9, Map("dt" -> lit("d2")))
+    }
+  }
+
   test("typed pruning: timestamp/date/string ranges prune files via manifests") {
     val root = Fixtures.tempDir("graft-vt-typed") + "/tbl"
     val vt = new VersionedTable(spark, root)
@@ -1045,6 +1080,28 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(vt.history(1).head.operation.startsWith("OPTIMIZE ZORDER"))
     assert(vt.read().count() === 400)
     assert(vt.readVersion(3L).count() === 400, "pre-zorder version intact")
+  }
+
+  test("zOrderBy clusters DATE columns (temporal ordinals, not a null cast)") {
+    val path = Fixtures.tempDir("graft-zdate") + "/t"
+    val df = (0 until 20000).toDF("i").select(
+      date_add(lit(java.sql.Date.valueOf("2023-01-01")),
+        pmod(xxhash64(col("i")), lit(256L)).cast("int")).as("d"),
+      pmod(xxhash64(col("i") + 7L), lit(10000L)).as("v"))
+    df.write.parquet(path)
+    Maintenance.zOrderBy(spark, path, Seq("d", "v"), bitsPerDim = 4,
+      numPartitions = Some(8))
+    val out = spark.read.parquet(path)
+    assert(out.count() === 20000)
+    // clustering actually happened: per-file date spans are a fraction
+    // of the global 256-day span (a null-cast bucket would leave files
+    // spanning everything)
+    val spans = out.groupBy(input_file_name())
+      .agg((datediff(max("d"), min("d")) + 1).as("span"))
+      .collect().map(_.getInt(1))
+    assert(spans.length >= 4)
+    assert(spans.sum.toDouble / spans.length < 200,
+      s"per-file date spans not narrowed: ${spans.toSeq}")
   }
 
   test("locality evidence: hilbert reads no more files than z-order on 2-D ranges") {
