@@ -279,14 +279,42 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * scan planning does ZERO filesystem listing: paths and exact sizes
     * are already in the manifest. Catalyst partition pruning on the
     * returned frame works as on any partitioned table. */
-  private def readFiles(m: VersionManifest,
-      entries: Seq[ManifestEntry]): DataFrame = {
+  private def readFiles(m: VersionManifest, entries: Seq[ManifestEntry],
+      isStreaming: Boolean = false): DataFrame = {
     val qualifiedRoot = fs.makeQualified(rootPath)
     val files = entries.map(e => graftbridge.ManifestFile(
       new Path(qualifiedRoot, e.relPath).toString, e.bytes,
       e.partitionValues))
     graftbridge.ManifestScan.parquetTable(spark, qualifiedRoot,
-      snapshotSchema(m), m.partitionBy, files)
+      snapshotSchema(m), m.partitionBy, files, isStreaming)
+  }
+
+  /** One micro-batch of the streaming source
+    * ([[org.apache.spark.sql.graftbridge.VersionedStreamSource]] /
+    * `Streaming.versionedSource`): the full snapshot at `toV` when
+    * `fromV` is None (initial load), else exactly the files the range
+    * (fromV, toV] ADDED — a version of appends streams one version of
+    * files, never the table. A range that also REMOVED files
+    * (overwrite / compaction / DELETE) breaks file-to-row identity and
+    * fails loudly unless `ignoreChanges` (then: added files only,
+    * at-least-once for rewritten rows). Frames are streaming-tagged
+    * for the MicroBatchExecution plan splice. */
+  def streamBatch(fromV: Option[Long], toV: Long,
+      ignoreChanges: Boolean): DataFrame = {
+    val toM = readManifest(toV)
+    val entries = fromV match {
+      case None => toM.entries
+      case Some(f) =>
+        val fromFiles = readManifest(f).entries.map(_.relPath).toSet
+        val removed = fromFiles -- toM.entries.map(_.relPath).toSet
+        if (removed.nonEmpty && !ignoreChanges) sys.error(
+          s"versions $f..$toV of $root removed ${removed.size} file(s) " +
+            "(overwrite/compaction/delete) — a streaming source needs " +
+            "append-only commits; set ignoreChanges=true to stream only " +
+            "added files (at-least-once for rewritten rows)")
+        toM.entries.filterNot(e => fromFiles.contains(e.relPath))
+    }
+    readFiles(toM, entries, isStreaming = true)
   }
 
   /** S4: newest version committed at or before `ts` (ISO-8601 instant)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -206,6 +206,24 @@ object Streaming {
     *
     * Within a micro-batch, events are processed in event-time order per
     * key, so results do not depend on arrival order inside a batch. */
+  /** Stream a versioned table's commits (the Delta streaming source,
+    * reference `readStream.format("delta")`): the first micro-batch is
+    * the current snapshot, each later one exactly the files a version
+    * range appended — planned from manifests, zero directory listing.
+    * Offsets are version numbers and checkpoint-resume across
+    * restarts. `ignoreChanges` tolerates non-append commits by
+    * streaming only their added files (at-least-once for rewritten
+    * rows); without it such commits fail the query loudly. Vacuum
+    * retention must cover the stream's maximum lag. */
+  def versionedSource(spark: SparkSession, root: String,
+      ignoreChanges: Boolean = false): DataFrame =
+    spark.readStream
+      .format(classOf[
+        org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
+      .option("path", root)
+      .option("ignoreChanges", ignoreChanges.toString)
+      .load()
+
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
       watermarkDelay: String): Dataset[SessionSummary] = {
     require(gapMs > 0, s"session gap must be positive, got $gapMs")

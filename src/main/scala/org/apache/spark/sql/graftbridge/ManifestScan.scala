@@ -98,10 +98,14 @@ object ManifestScan {
 
   /** A DataFrame over `files`, with `partitionColumns` supplied from
     * the manifest (typed per `snapshotSchema`) rather than inferred
-    * from directories. Column order follows `snapshotSchema`. */
+    * from directories. Column order follows `snapshotSchema`.
+    * `isStreaming` tags the relation for splicing into a
+    * MicroBatchExecution plan (the streaming source's batches —
+    * MicroBatchExecution asserts the flag on every V1 getBatch
+    * result, exactly as FileStreamSource sets it). */
   def parquetTable(spark: SparkSession, root: Path,
       snapshotSchema: StructType, partitionColumns: Seq[String],
-      files: Seq[ManifestFile]): DataFrame = {
+      files: Seq[ManifestFile], isStreaming: Boolean = false): DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val partitionSchema = StructType(
       partitionColumns.map(c => snapshotSchema(snapshotSchema.fieldIndex(c))))
@@ -112,7 +116,7 @@ object ManifestScan {
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
       bucketSpec = None, new ParquetFileFormat, options = Map.empty)(cs)
     val df = org.apache.spark.sql.classic.Dataset.ofRows(
-      cs, LogicalRelation(relation))
+      cs, LogicalRelation(relation, isStreaming))
     // HadoopFsRelation appends partition columns after the data columns;
     // restore the snapshot's declared order.
     df.select(snapshotSchema.fields.map(f => df(f.name)).toSeq: _*)

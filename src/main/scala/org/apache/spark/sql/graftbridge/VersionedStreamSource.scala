@@ -1,0 +1,79 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming source over a [[graft.io.VersionedTable]] —
+  * the Delta streaming-source equivalent (reference: `readStream
+  * .format("delta")`): OFFSETS ARE VERSIONS, so each committed version
+  * becomes (at most) one micro-batch, planned straight from the
+  * manifests with zero directory listing. The initial batch is the
+  * full snapshot at the then-current version; every later batch is
+  * exactly the files its version range ADDED. Offsets checkpoint as
+  * plain version numbers, so a restarted query resumes from the next
+  * uncommitted version — exactly-once per version together with an
+  * idempotent sink.
+  *
+  * Non-append commits (overwrite / compaction / DELETE) remove files;
+  * file identity no longer maps to row identity, so the source fails
+  * loudly unless `ignoreChanges=true` (stream only the added files —
+  * Delta's option of the same name, same at-least-once caveat).
+  *
+  * Retention interplay: [[graft.io.VersionedTable.vacuum]] must retain
+  * at least as many versions as the stream can lag, or getBatch will
+  * find its `from` manifest gone.
+  *
+  * Lives in the bridge package because the V1 `Source` trait and
+  * `LongOffset` are `private[sql]`-adjacent internals — the same
+  * doorway [[ManifestScan]] uses; the V1 API is the right fit here
+  * because getBatch can return a manifest-planned DataFrame directly
+  * (a DSv2 MicroBatchStream would re-implement parquet reading).
+  */
+final class VersionedStreamSource(spark: SparkSession, path: String,
+    ignoreChanges: Boolean) extends Source {
+
+  private val vt = new graft.io.VersionedTable(spark, path)
+
+  override val schema: StructType = vt.read().schema
+
+  private def version(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json.trim.toLong
+  }
+
+  override def getOffset: Option[Offset] = vt.currentVersion.map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    vt.streamBatch(start.map(version), version(end), ignoreChanges)
+
+  override def stop(): Unit = ()
+}
+
+/** `spark.readStream.format(<this class's companion name>)` provider.
+  * Options: `path` (versioned table root, required), `ignoreChanges`
+  * (tolerate non-append commits by streaming only added files). */
+final class VersionedStreamSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  private def tablePath(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "option 'path' (a versioned table root) is required"))
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      new graft.io.VersionedTable(ctx.sparkSession, tablePath(parameters))
+        .read().schema))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new VersionedStreamSource(ctx.sparkSession, tablePath(parameters),
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+}

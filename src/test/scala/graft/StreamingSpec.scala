@@ -12,6 +12,67 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("versionedSource: each commit a micro-batch; checkpoint resumes; non-append fails") {
+    import org.apache.spark.sql.SaveMode
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-vsrc")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v0
+
+    // parquet sink: the memory sink refuses checkpoint RECOVERY, and
+    // resume-from-offset is exactly what this spec proves
+    val out = s"$base/out"
+    def sink(df: org.apache.spark.sql.DataFrame) = df.writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append)
+    def ids() = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+
+    // initial batch = the snapshot; later batches = appended files only
+    val q = sink(Streaming.versionedSource(spark, root)).start()
+    try {
+      q.processAllAvailable()
+      assert(ids() === Seq(1L, 2L))
+      vt.write(Seq((3L, "c")).toDF("id", "s"), SaveMode.Append) // v1
+      vt.write(Seq((4L, "d")).toDF("id", "s"), SaveMode.Append) // v2
+      q.processAllAvailable()
+      assert(ids() === Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+
+    // restart from the checkpoint: ONLY versions committed after the
+    // stop arrive (offsets are versions; a snapshot re-read would
+    // duplicate ids 1-4 here)
+    vt.write(Seq((5L, "e")).toDF("id", "s"), SaveMode.Append) // v3
+    val q2 = sink(Streaming.versionedSource(spark, root)).start()
+    try {
+      q2.processAllAvailable()
+      assert(ids() === Seq(1L, 2L, 3L, 4L, 5L), "exactly-once across restart")
+    } finally q2.stop()
+
+    // a non-append commit breaks file-to-row identity: the stream must
+    // fail loudly without ignoreChanges...
+    vt.compact() // v4 rewrites everything
+    val q3 = sink(Streaming.versionedSource(spark, root)).start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable(); q3.awaitTermination(30000)
+    }
+    assert(failed.getMessage.contains("append-only") ||
+      Option(failed.getCause).exists(_.getMessage.contains("append-only")))
+
+    // ...and proceed under ignoreChanges: the compaction's rewritten
+    // files replay as "added" (the documented at-least-once caveat)
+    val q4 = sink(Streaming.versionedSource(spark, root,
+      ignoreChanges = true)).start()
+    try {
+      q4.processAllAvailable()
+      assert(ids() === Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L))
+    } finally q4.stop()
+  }
+
   test("windowedAgg: hourly counts per key from a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
