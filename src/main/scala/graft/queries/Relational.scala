@@ -301,6 +301,28 @@ object Relational {
           .cast("double").as("revenue"))
       .orderBy("p_brand")
 
+  /** DELETE + UPDATE services on a versioned table, end-to-end: build
+    * a bucket-partitioned versioned copy of orders, drop one partition
+    * metadata-only, row-delete a key range (stats-pruned rewrite),
+    * row-update another range's status, and read the final snapshot.
+    * The DuckDB oracle replays the same mutations as WHERE/CASE over
+    * the raw table — so the oracle checks the whole mutation chain,
+    * not just the final read path. */
+  def versionedDeleteUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vdelupd")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val base = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        (col("o_orderkey") % 4).as("bucket"))
+    vt.write(base, partitionBy = Some(Seq("bucket"))) // v0
+    vt.deletePartitionIn("bucket", Set("3")) // v1: metadata-only drop
+    vt.deleteBetween("o_orderkey", 100, 199) // v2: stats-pruned row delete
+    vt.updateBetween("o_orderkey", 200, 299,
+      Map("o_orderstatus" -> lit("X"))) // v3: stats-pruned row update
+    vt.read().select("o_orderkey", "o_totalprice", "o_orderstatus")
+  }
+
   /** Dimension chain supplier→nation→region (broadcast×2) + aggregate:
     * supplier census per region. */
   def regionSuppliers(spark: SparkSession, dir: String): DataFrame =
@@ -397,7 +419,8 @@ object Relational {
     "q34_asof_click_view" -> asofClickView,
     "q35_range_click_near_error" -> rangeClickNearError,
     "q37_skew_join_brand" -> skewJoinBrand,
-    "q41_versioned_merge" -> versionedMerge
+    "q41_versioned_merge" -> versionedMerge,
+    "q42_versioned_delete_update" -> versionedDeleteUpdate
   )
 
   val oracles: Map[String, String] = Map(
@@ -544,6 +567,13 @@ object Relational {
          SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
                 COALESCE(s.o_totalprice, t.o_totalprice) AS price_after,
                 COALESCE(s.o_orderstatus, t.o_orderstatus) AS status_after
-         FROM target t FULL OUTER JOIN source s USING (o_orderkey)"""
+         FROM target t FULL OUTER JOIN source s USING (o_orderkey)""",
+    "q42_versioned_delete_update" ->
+      """SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey BETWEEN 200 AND 299 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+         FROM orders
+         WHERE o_orderkey % 4 <> 3
+           AND NOT (o_orderkey BETWEEN 100 AND 199)"""
   )
 }
