@@ -743,11 +743,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
         else Seq.empty
     }
 
+  /** Re-run `body` once if a file vanishes mid-read: a concurrent
+    * checkpoint roll deletes absorbed per-commit files after the new
+    * checkpoint is in place, so a second pass sees a consistent
+    * (rolled) state. */
+  private def retryOnVanished[A](body: => A): A =
+    try body catch { case _: java.io.FileNotFoundException => body }
+
   /** M4: table history, newest first — O(limit) per-commit file reads
     * plus at most ONE checkpoint read, regardless of table age. Without
     * checkpoints a long-lived table (a streaming sink commits a version
     * per micro-batch) would pay O(all commits) reads on every call. */
-  def history(limit: Int = 20): Seq[HistoryEntry] = {
+  def history(limit: Int = 20): Seq[HistoryEntry] = retryOnVanished {
     val cp = newestCheckpoint
     val cpMax = cp.map(_._1).getOrElse(-1L)
     val recent = commitHistFiles(cpMax).reverse.iterator.take(limit)
@@ -763,7 +770,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * mine" case (the streaming sink's per-batch idempotence check runs
     * this every micro-batch). Falls back to one checkpoint read when no
     * recent commit matches. */
-  def lastOperationWith(prefix: String): Option[HistoryEntry] = {
+  def lastOperationWith(prefix: String): Option[HistoryEntry] = retryOnVanished {
     val cp = newestCheckpoint
     val cpMax = cp.map(_._1).getOrElse(-1L)
     commitHistFiles(cpMax).reverse.iterator
@@ -1241,9 +1248,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
     finally out.close()
     // amortized-O(1) maintenance: every N commits, fold the per-commit
     // files into the checkpoint so reads stay bounded on long-lived
-    // tables (streaming sinks commit a version per micro-batch)
+    // tables (streaming sinks commit a version per micro-batch).
+    // BEST EFFORT: the commit already happened — background
+    // maintenance racing another writer's roll must never turn a
+    // successful write into an error (the next interval retries).
     if (v > 0 && v % VersionedTable.historyCheckpointInterval == 0)
-      checkpointHistory()
+      try checkpointHistory()
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def renderHistoryLine(e: HistoryEntry): String =
