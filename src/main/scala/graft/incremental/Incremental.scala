@@ -231,6 +231,11 @@ object Upsert {
     if (!vt.exists)
       return newRows(vt.write(source, SaveMode.Overwrite, "MERGE",
         partitionBy = partitionBy))
+    // ONE snapshot for the whole merge: partition metadata, the guard,
+    // the pruned read, and the lost-update basis all come from the same
+    // version — a commit racing in between is then caught by
+    // replaceWhere instead of slipping between two separate reads
+    val basisV = vt.currentVersion.get
     val parts = vt.partitionColumns
     val scopedCol = parts.headOption
       .filter(p => mergeKeys.contains(p) || assumeStablePartitions)
@@ -247,7 +252,7 @@ object Upsert {
         // refuse layouts where a file has no recorded partition value
         // (pre-partitioning manifests): the pruned read below excludes
         // such files, so their rows could be silently duplicated
-        require(vt.manifestEntries(vt.currentVersion.get)
+        require(vt.manifestEntries(basisV)
           .forall(_.partitionValues.contains(pcol)),
           s"$targetRoot has files without a $pcol partition value; " +
             "scoped merge would duplicate their rows — use " +
@@ -256,11 +261,13 @@ object Upsert {
         // (a file's partition value is every row's value), and no
         // N-literal isin ever reaches the plan — a backfill touching
         // 10^4 partitions stays a driver-side set lookup
-        val target = vt.readWherePartitionIn(pcol, valSet)
+        val target = vt.readWherePartitionIn(pcol, valSet,
+          atVersion = Some(basisV))
         val merged = upsert(target, source, mergeKeys, updateColumns)
         newRows(vt.replaceWhere(merged,
           e => !e.partitionValues.get(pcol).exists(valSet.contains),
-          operation = s"MERGE $pcol IN (${vals.sorted.mkString(",")})"))
+          operation = s"MERGE $pcol IN (${vals.sorted.mkString(",")})",
+          basisVersion = Some(basisV)))
       case None =>
         newRows(fullVersionedRewrite(vt, source, mergeKeys, updateColumns))
     }

@@ -197,9 +197,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * scoped rewrites): keep the current snapshot's entries selected by
     * `keep`, drop the rest, and add `df`'s files — one atomic manifest
     * swap, so readers never see a state between "old partition" and
-    * "rewritten partition". Kept files are re-referenced, not copied. */
+    * "rewritten partition". Kept files are re-referenced, not copied.
+    *
+    * `basisVersion` is the version the CALLER's `df` actually read
+    * (delete/update/merge compute their rewritten frame from a
+    * snapshot) — the lost-update check runs relative to it, so a
+    * commit sneaking in between the caller's read and this call is
+    * caught exactly like one racing the commit loop. Defaults to the
+    * version current at entry. */
   def replaceWhere(df: DataFrame, keep: ManifestEntry => Boolean,
-      operation: String): Long = {
+      operation: String, basisVersion: Option[Long] = None): Long = {
     val base = readManifest(currentVersion.getOrElse(
       sys.error(s"table $root does not exist")))
     val parts = base.partitionBy
@@ -210,7 +217,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val dir = newCommitDir(currentVersion.get + 1)
     writeCommitData(df, parts, dir)
     val added = listCommitFiles(dir)
-    val baseFiles = base.entries.map(_.relPath).toSet
+    val basisFiles = basisVersion.map(v => readManifest(v).entries)
+      .getOrElse(base.entries).map(_.relPath).toSet
     commitWithRebase(rebase = true) { () =>
       // ONE currentVersion read per attempt (see write())
       val curV = currentVersion.get
@@ -218,11 +226,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
       require(cur.partitionBy == parts,
         s"concurrent write changed partitioning of $root while a " +
           "replaceWhere was in flight")
-      // lost-update detection: a file committed since `base` that our
-      // keep predicate would REPLACE holds rows the caller's rewritten
-      // frame never read — rebasing would silently drop them
+      // lost-update detection: a file committed since the caller's
+      // basis that our keep predicate would REPLACE holds rows the
+      // caller's rewritten frame never read — rebasing would silently
+      // drop them
       val clobbered = cur.entries
-        .filterNot(e => baseFiles.contains(e.relPath)).filterNot(keep)
+        .filterNot(e => basisFiles.contains(e.relPath)).filterNot(keep)
       if (clobbered.nonEmpty) sys.error(
         s"concurrent write conflict at $root: another writer committed " +
           s"${clobbered.size} file(s) into partitions this replaceWhere " +
@@ -417,8 +426,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * EXCLUDED — the caller is selecting partitions, and a value-less
     * file belongs to none — unlike the conservative range reads; use
     * [[readWherePartition]] when unsure of the layout. */
-  def readWherePartitionIn(column: String, values: Set[String]): DataFrame = {
-    val v = currentVersion.getOrElse(sys.error(s"table $root does not exist"))
+  def readWherePartitionIn(column: String, values: Set[String],
+      atVersion: Option[Long] = None): DataFrame = {
+    val v = atVersion.orElse(currentVersion)
+      .getOrElse(sys.error(s"table $root does not exist"))
     val m = readManifest(v)
     require(m.partitionBy.contains(column),
       s"$column is not a partition column of $root " +
@@ -571,7 +582,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val survivors = readFiles(m, candidates)
       .filter(!(col(column) >= lo && col(column) <= hi))
     replaceWhere(survivors, e => !mayMatch(e),
-      s"DELETE $column IN [$lo,$hi]")
+      s"DELETE $column IN [$lo,$hi]", basisVersion = Some(curV))
   }
 
   /** Row-level UPDATE (Delta `UPDATE ... WHERE column BETWEEN`):
@@ -608,7 +619,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }
     }: _*)
     replaceWhere(rewritten, e => !mayMatch(e),
-      s"UPDATE $column IN [$lo,$hi]")
+      s"UPDATE $column IN [$lo,$hi]", basisVersion = Some(curV))
   }
 
   /** May `e` contain a row with `column` in [lo, hi]? Partition values

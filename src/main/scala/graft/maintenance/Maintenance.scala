@@ -65,7 +65,8 @@ object Maintenance {
     require(pcols.size == 1,
       s"partition-scoped compaction supports one partition level, found: $pcols")
     val pcol = pcols.head
-    val entries = vt.manifestEntries(vt.currentVersion.get)
+    val basisV = vt.currentVersion.get
+    val entries = vt.manifestEntries(basisV)
     val vals = entries.flatMap(_.partitionValues.get(pcol)).distinct
     require(vals.nonEmpty,
       s"$path has no recorded partition values; omit `where` to compact whole tables")
@@ -75,10 +76,11 @@ object Maintenance {
     val bytes = entries
       .filter(_.partitionValues.get(pcol).exists(matched)).map(_.bytes).sum
     val n = math.max(1L, bytes / (targetFileMB.toLong * 1024 * 1024)).toInt
-    val sub = vt.readWherePartitionIn(pcol, matched).repartition(n)
+    val sub = vt.readWherePartitionIn(pcol, matched, atVersion = Some(basisV))
+      .repartition(n)
     vt.replaceWhere(sub,
       keep = e => !e.partitionValues.get(pcol).exists(matched),
-      operation = s"OPTIMIZE where $pred")
+      operation = s"OPTIMIZE where $pred", basisVersion = Some(basisV))
   }
 
   /** First-level `col=value` partition dirs matching `predicate`. The
