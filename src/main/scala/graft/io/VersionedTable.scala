@@ -1092,34 +1092,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val partitionBy = lines.find(_.startsWith("#partitionBy="))
       .map(_.stripPrefix("#partitionBy=").split(',').toSeq
         .filter(_.nonEmpty)).getOrElse(Seq.empty)
-    def parseStats(st: String): Map[String, (Double, Double)] =
-      st.split(',').filter(_.nonEmpty).map { kv =>
-        val Array(k, mn, mx) = kv.split(':')
-        k -> (mn.toDouble, mx.toDouble)
-      }.toMap
-    def parseStrStats(ss: String): Map[String, (String, String)] =
-      ss.split(',').filter(_.nonEmpty).map { kv =>
-        // limit -1: an empty-string bound base64-encodes to "" and a
-        // plain split would silently drop the trailing field
-        val Array(k, mn, mx) = kv.split(":", -1)
-        def dec(s: String) = new String(
-          java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
-        k -> (dec(mn), dec(mx))
-      }.toMap
-    val entries = lines.filterNot(_.startsWith("#")).map { line =>
-      // trailing empty fields vanish under split, so 3/4/5-arity covers
-      // stat-less lines and every older manifest generation (r4: no
-      // string stats; r3: no stats at all)
-      line.split('\t') match {
-        case Array(p, r, b) => ManifestEntry(p, r.toLong, b.toLong)
-        case Array(p, r, b, st) =>
-          ManifestEntry(p, r.toLong, b.toLong, parseStats(st))
-        case Array(p, r, b, st, ss) =>
-          ManifestEntry(p, r.toLong, b.toLong, parseStats(st), parseStrStats(ss))
-        case other => sys.error(
-          s"malformed manifest line at $root: '${other.mkString("\\t")}'")
-      }
-    }
+    val entries = lines.filterNot(_.startsWith("#"))
+      .map(ManifestEntry.decodeLine(_, root))
     // completeness: post-r6 manifests declare their entry count; a
     // mismatch is a partially-visible fill (legacy manifests have no
     // header and were rename-published, hence always complete)
@@ -1155,18 +1129,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
       (if (m.partitionBy.nonEmpty)
         s"#partitionBy=${m.partitionBy.mkString(",")}\n" else "")
-    val body = header + m.entries.map { e =>
-      val st = e.stats.toSeq.sortBy(_._1)
-        .map { case (k, (mn, mx)) => s"$k:$mn:$mx" }.mkString(",")
-      // string bounds base64-wrapped: values may contain the format's
-      // own separators (tab/colon/comma) or newlines
-      val ss = e.strStats.toSeq.sortBy(_._1).map { case (k, (mn, mx)) =>
-        def enc(s: String) = java.util.Base64.getEncoder
-          .encodeToString(s.getBytes(StandardCharsets.UTF_8))
-        s"$k:${enc(mn)}:${enc(mx)}"
-      }.mkString(",")
-      s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st\t$ss"
-    }.mkString("\n")
+    val body = header + m.entries.map(ManifestEntry.encodeLine).mkString("\n")
     val dest = manifestPath(v)
     claimManifest(dest, v)
     val out = fs.create(dest, true)
@@ -1327,6 +1290,55 @@ final case class ManifestEntry(relPath: String, rows: Long, bytes: Long,
 }
 
 object ManifestEntry {
+
+  /** The manifest LINE codec — the on-disk contract (round-trip
+    * property-tested in ManifestCodecPropertySpec). Tab-separated:
+    * `relPath \t rows \t bytes \t stats \t strStats`, where stats is
+    * `k:min:max` comma-joined (doubles via toString/toDouble — an
+    * exact round-trip in Java) and strStats base64-wraps both bounds
+    * (values may contain the format's own separators or newlines;
+    * split limit -1 keeps the empty-string bound's trailing field).
+    * Constraints the writers uphold: relPath has no tab/newline (it
+    * is a real file path Spark wrote), stat keys match
+    * `[A-Za-z0-9_]+` (enforced at footer-scrape time — a `:`/`,` in
+    * a key would corrupt the field). Decode accepts 3/4/5 fields:
+    * trailing empty fields vanish under split, and older manifest
+    * generations wrote fewer (r4: no string stats; r3: no stats). */
+  private[graft] def encodeLine(e: ManifestEntry): String = {
+    val st = e.stats.toSeq.sortBy(_._1)
+      .map { case (k, (mn, mx)) => s"$k:$mn:$mx" }.mkString(",")
+    val ss = e.strStats.toSeq.sortBy(_._1).map { case (k, (mn, mx)) =>
+      def enc(s: String) = java.util.Base64.getEncoder
+        .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+      s"$k:${enc(mn)}:${enc(mx)}"
+    }.mkString(",")
+    s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st\t$ss"
+  }
+
+  private[graft] def decodeLine(line: String, table: String = "?"): ManifestEntry = {
+    def parseStats(st: String): Map[String, (Double, Double)] =
+      st.split(',').filter(_.nonEmpty).map { kv =>
+        val Array(k, mn, mx) = kv.split(':')
+        k -> (mn.toDouble, mx.toDouble)
+      }.toMap
+    def parseStrStats(ss: String): Map[String, (String, String)] =
+      ss.split(',').filter(_.nonEmpty).map { kv =>
+        val Array(k, mn, mx) = kv.split(":", -1)
+        def dec(s: String) = new String(
+          java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+        k -> (dec(mn), dec(mx))
+      }.toMap
+    line.split('\t') match {
+      case Array(p, r, b) => ManifestEntry(p, r.toLong, b.toLong)
+      case Array(p, r, b, st) =>
+        ManifestEntry(p, r.toLong, b.toLong, parseStats(st))
+      case Array(p, r, b, st, ss) =>
+        ManifestEntry(p, r.toLong, b.toLong, parseStats(st), parseStrStats(ss))
+      case other => sys.error(
+        s"malformed manifest line at $table: '${other.mkString("\\t")}'")
+    }
+  }
+
   /** Inverse of Hive/Spark partition-path escaping (`%2F` → `/` …);
     * malformed escapes pass through verbatim, matching Hive. */
   private[graft] def unescapePathName(s: String): String = {
