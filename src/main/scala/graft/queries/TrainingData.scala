@@ -169,6 +169,72 @@ object TrainingData {
       .orderBy("source", "cum_tokens")
   }
 
+  /** Uniform-in-[0,1) draw from the md5 of `salt:key` — the
+    * deterministic coin every sampling/splitting op here flips: stable
+    * across runs, partitionings, and cluster sizes (a `rand()` sample
+    * is none of those), and reproducible in the DuckDB oracle from the
+    * same digest. First 8 hex digits over 2^32. */
+  private def hashUniform(salt: String, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+
+  /** Temperature-style corpus mixing: keep each document with a
+    * per-source probability (here derived from the source id; in
+    * production, the mixing-recipe weights), decided by the
+    * deterministic hash coin — so the SAME documents are kept on every
+    * run and every cluster, and the mix is reproducible from the
+    * recipe alone. Pure narrow filter: no shuffle, no state, scales as
+    * a map stage. */
+  def mixSample(spark: SparkSession, dir: String): DataFrame = {
+    val weight = (substring(col("source"), 4, 10).cast("int") % 4 + 1)
+      .cast("double") / lit(5.0)
+    docs(spark, dir)
+      .filter(hashUniform("mix", col("doc_id")) < weight)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic train/val/test split (80/10/10) by hash threshold —
+    * the split every training pipeline needs: membership is a pure
+    * function of doc_id (stable under re-runs, appends, and
+    * repartitioning — never "random at read time", which leaks val
+    * into train across runs). Narrow map stage. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val u = hashUniform("split", col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * whitespace-8-gram with a benchmark set (here the deterministic
+    * doc_id % 10 pseudo-benchmark; in production, the eval suites) —
+    * the overlap check every serious training-data pipeline runs
+    * before training. Shape: explode both sides to (8-gram, doc),
+    * equi-join on the gram with the BENCHMARK side broadcast (eval
+    * suites are tiny next to a 100 TB corpus), then per-doc counts.
+    * The corpus side stays a streamed map — no corpus-side shuffle at
+    * all with the broadcast in place. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8), " +
+          "i -> concat_ws(' ', slice(t, i + 1, 8)))")).as("g8"))
+    val bench = shingled.filter(col("doc_id") % 10 === 0)
+      .select(col("g8"), col("doc_id").as("bench_id"))
+    shingled.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench), "g8")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("g8")).as("n_shared_8grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash-banded near-dup pairs (Manku et al. WWW'07): Hamming ≤ 3
     * on 56-bit long signatures, candidates from a 4x14-bit band bucket
     * join (fewest bands recall allows = widest = most selective).
@@ -293,7 +359,10 @@ object TrainingData {
     "q36_neardup_components" -> neardupComponents,
     "q38_simhash_neardup" -> simhashNearDup,
     "q39_cap_per_source" -> ((s, d) => capPerSource(s, d)),
-    "q40_token_budget" -> ((s, d) => tokenBudgetPerSource(s, d))
+    "q40_token_budget" -> ((s, d) => tokenBudgetPerSource(s, d)),
+    "q43_mix_sample" -> mixSample,
+    "q44_dataset_split" -> datasetSplit,
+    "q45_decontaminate" -> decontaminate
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -475,6 +544,38 @@ object TrainingData {
            FROM documents)
          WHERE cum_tokens <= 2000
          ORDER BY source, cum_tokens""",
+    "q43_mix_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0
+           < (CAST(substr(source, 4) AS INTEGER) % 4 + 1) / 5.0
+         ORDER BY doc_id""",
+    "q44_dataset_split" ->
+      """SELECT doc_id, source,
+         CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+         FROM (
+           SELECT doc_id, source,
+             CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) / 4294967296.0 AS u
+           FROM documents)
+         ORDER BY doc_id""",
+    "q45_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+             i -> array_to_string(t[i+1:i+8], ' '))) AS g8
+           FROM toks WHERE len(t) >= 8),
+         bench AS (
+           SELECT g8, doc_id AS bench_id FROM sh WHERE doc_id % 10 = 0),
+         corpus AS (
+           SELECT doc_id, g8 FROM sh WHERE doc_id % 10 <> 0)
+         SELECT c.doc_id,
+           count(DISTINCT c.g8) AS n_shared_8grams,
+           count(DISTINCT b.bench_id) AS n_bench_docs
+         FROM corpus c JOIN bench b USING (g8)
+         GROUP BY 1 ORDER BY 1""",
     "q25_ngram_jaccard_pairs" ->
       """WITH d AS (
            SELECT doc_id, n_chars // 50 AS bucket,

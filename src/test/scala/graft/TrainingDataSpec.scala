@@ -213,6 +213,37 @@ class TrainingDataSpec extends AnyFunSuite {
       s"missing=${naive -- dist} extra=${dist -- naive}")
   }
 
+  test("mix sample / split / decontaminate: deterministic, sane, broadcast bench") {
+    // weighted sampling: deterministic (same docs every run) and
+    // actually thinning (weights are 0.2..0.8 of each source)
+    val sampled = TrainingData.mixSample(spark, sf).collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(sampled.nonEmpty && sampled.length < total)
+    assert(TrainingData.mixSample(spark, sf).collect().map(_.getLong(0)).toSeq
+      === sampled.map(_.getLong(0)).toSeq, "sampling must be deterministic")
+
+    // split: every doc in exactly one bucket, fractions near 80/10/10
+    val split = TrainingData.datasetSplit(spark, sf).collect()
+    assert(split.length === total)
+    val frac = split.groupBy(_.getString(2)).view
+      .mapValues(_.length.toDouble / total).toMap
+    assert(frac.keySet === Set("train", "val", "test"))
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toString)
+    assert(frac("val") > 0.03 && frac("val") < 0.2, frac.toString)
+
+    // decontamination: benchmark docs are never flagged, flagged docs
+    // exist (the corpus carries fabricated near-dups), and the
+    // benchmark side of the join is BROADCAST — the corpus side must
+    // never shuffle on the gram at 100 TB
+    val dec = TrainingData.decontaminate(spark, sf)
+    val flagged = dec.collect().map(_.getLong(0))
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(_ % 10 != 0))
+    val plan = dec.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench side must broadcast:\n$plan")
+  }
+
   test("simhash: verified near-dup pairs have small hamming distance") {
     val sims = TrainingData.simhashDocs(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
