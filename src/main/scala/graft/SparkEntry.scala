@@ -16,10 +16,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data-pipeline extensions (dedup / similarity / text). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.TrainingData.queries
+    graft.queries.Relational.queries ++ graft.queries.TrainingData.queries ++
+      graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles ++ graft.queries.TrainingData.oracles
+    graft.queries.Relational.oracles ++ graft.queries.TrainingData.oracles ++
+      graft.queries.Analytics.oracles
 }

@@ -153,6 +153,10 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"stopwords_csv must be a non-null string literal, got $other")
       }
+    },
+    "graft_ngram_repetition" -> { args: Seq[Expression] =>
+      require(args.length == 2, "graft_ngram_repetition(tokens, n)")
+      NGramRepetition(args(0), intArg(args(1), "n"))
     })
 
   /** Register all graft_* functions on an EXISTING session (temp

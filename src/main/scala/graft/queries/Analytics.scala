@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 analytics extensions: semi-structured (JSON) columns, batch
+  * sessionization, funnel analysis, OLAP rollup/pivot, exact
+  * percentiles, a deterministic KMV distinct sketch, and the
+  * Gopher-style n-gram repetition filter.
+  *
+  * Same contract as [[Relational]]: every query is a pure function of
+  * (SparkSession, sfDir), every computed column is aliased identically
+  * to its DuckDB oracle, and money/ratio arithmetic keeps both engines
+  * on bit-identical doubles (exact-integer or exact-decimal operands
+  * divided/compared in double).
+  */
+object Analytics {
+  import Tables.load
+
+  // ------------------------------------------------------- semi-structured
+
+  /** JSON property extraction + aggregate. `get_json_object` is a
+    * codegen'd per-row kernel (Jackson parse per value); extraction
+    * happens inside the scan-project stage, so the shuffle only carries
+    * (event_type, partial agg) rows — the JSON strings never move.
+    * On a 100 TB corpus of raw JSON events this is the canonical
+    * "parse once, aggregate small" shape. */
+  def propsJsonAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------- sessionize
+
+  /** Batch sessionization: split each user's event stream into sessions
+    * separated by >`gapMin` minutes of inactivity (the batch twin of
+    * `graft.streaming.Streaming.sessionize`).
+    *
+    * Classic two-window formulation: lag() marks session starts,
+    * running sum() numbers them, then one group-agg per session. All
+    * three steps cluster on `user_id`, so Catalyst plans exactly ONE
+    * shuffle: the windows share the (user_id) sort, and the final
+    * groupBy(user_id, session_seq) is satisfied by the same hash
+    * partitioning (user_id alone already co-locates every
+    * (user_id, session_seq) group). Per-user data is bounded by a
+    * user's own event count — no global sort, no single-reducer stage.
+    * Determinism: (ts, event_id) is a unique sort key. */
+  def sessionize(spark: SparkSession, dir: String, gapMin: Int = 30): DataFrame =
+    sessionizeEvents(load(spark, dir, "events"), gapMin)
+
+  /** DataFrame form of [[sessionize]] for arbitrary event frames with
+    * (user_id, event_id, ts) columns. */
+  def sessionizeEvents(events: DataFrame, gapMin: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMin * 60L * 1000000L
+    events
+      .withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_prev_us", lag(col("_us"), 1).over(byUser))
+      .withColumn("_new_sess",
+        when(col("_prev_us").isNull || col("_us") - col("_prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("_new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (max(col("_us")) - min(col("_us"))).as("duration_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  // -------------------------------------------------------------- funnel
+
+  /** Ordered-funnel conversion: how many users completed
+    * signup → view → click → purchase, where each stage's FIRST
+    * occurrence must be at or after the previous stage's first
+    * occurrence. One conditional-min aggregate per user (single
+    * shuffle on user_id, partial aggregation map-side), then a global
+    * single-row count — the all-reduce carries one row per partition. */
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelEvents(load(spark, dir, "events"))
+
+  /** DataFrame form of [[funnel]] over (user_id, event_type, ts). */
+  def funnelEvents(events: DataFrame): DataFrame = {
+    def firstTs(evType: String) =
+      min(when(col("event_type") === evType, unix_micros(col("ts"))))
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(
+        firstTs("signup").as("t_signup"),
+        firstTs("view").as("t_view"),
+        firstTs("click").as("t_click"),
+        firstTs("purchase").as("t_purchase"))
+    val s1 = col("t_signup").isNotNull
+    val s2 = s1 && col("t_view") >= col("t_signup")
+    val s3 = s2 && col("t_click") >= col("t_view")
+    val s4 = s3 && col("t_purchase") >= col("t_click")
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(when(s1, 1)).as("n_signup"),
+      count(when(s2, 1)).as("n_view"),
+      count(when(s3, 1)).as("n_click"),
+      count(when(s4, 1)).as("n_purchase"))
+  }
+
+  // ---------------------------------------------------------------- OLAP
+
+  /** ROLLUP with grouping_id: per-(flag,status) subtotals, per-flag
+    * subtotals, grand total in ONE pass. Catalyst expands the rollup
+    * into a single Expand + aggregate — still one shuffle; the
+    * alternative (three separate groupBys unioned) scans the fact
+    * table three times. */
+  def rollupKpis(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("lvl"),
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy("lvl", "l_returnflag", "l_linestatus")
+
+  /** Pivot (long → wide): line status becomes columns. Values are
+    * enumerated explicitly (Seq("F","O")) so the plan is a single
+    * group-aggregate — without them Spark runs an extra distinct job
+    * just to discover the column set. */
+  def pivotDemand(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+        .cast("double"))
+      .orderBy("l_returnflag")
+
+  /** Exact percentiles per group (Spark `percentile` = ANSI
+    * percentile_cont: linear interpolation at rank p*(n-1)). Exact
+    * percentile requires the group's values together — one shuffle on
+    * event_type; Spark's implementation aggregates a per-partition
+    * counts-map first, so the shuffle carries (value → count) maps,
+    * not raw rows. For quantiles over high-cardinality groups at
+    * 100 TB, swap in percentile_approx (mergeable KLL-style sketch,
+    * same call shape, rank-error bound). */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"))
+      .orderBy("event_type")
+
+  // ----------------------------------------------------------- KMV sketch
+
+  /** Deterministic KMV (k-minimum-values) distinct-count sketch,
+    * estimate = (k-1) / h_k where h_k is the k-th smallest hash
+    * fraction of the distinct values [Bar-Yossef et al. 2002].
+    *
+    * Engine-portable hashing: md5 hex → first 13 hex digits → 52-bit
+    * integer / 16^13 — exact in double, reproducible in any engine
+    * (the DuckDB oracle computes the identical fraction).
+    *
+    * Scale shape: the k-th smallest per group is found WITHOUT a
+    * single-reducer per-group sort — each (group, shard) keeps its k
+    * smallest in parallel (the global k-th smallest is necessarily
+    * among every shard's local k smallest), then the survivor set
+    * (groups × shards × k rows) is tiny for the exact global pick.
+    * Same pre-prune-then-exact-window trick as
+    * [[TrainingData.capPerSource]]. Unlike HLL, KMV sketches are
+    * mergeable by keeping the k smallest of a union — the per-shard
+    * stage IS that merge. */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 32,
+      shards: Int = 32): DataFrame = {
+    val events = load(spark, dir, "events")
+    val kth = kmvSketch(events, "event_type", "user_id", k, shards)
+    val exact = events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    kth.join(exact, Seq("event_type")).orderBy("event_type")
+  }
+
+  /** (groupCol, kmv_estimate) per group — the reusable sketch stage;
+    * see [[kmvDistinct]] for the portable-hash and scale rationale. */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int, shards: Int): DataFrame = {
+    val frac =
+      (conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 13),
+        16, 10).cast("double") / pow(lit(16.0), lit(13.0))).as("frac")
+    val hashed = df.select(col(groupCol), frac).distinct()
+    val wShard = Window
+      .partitionBy(col(groupCol), pmod(hash(col("frac")), lit(shards)))
+      .orderBy(col("frac"))
+    val wGlobal = Window.partitionBy(col(groupCol)).orderBy(col("frac"))
+    // Groups with fewer than k distinct values hold their ENTIRE value
+    // set after the pre-prune (every shard kept everything), so the
+    // standard small-group KMV case applies: the estimate is the exact
+    // survivor count, not (k-1)/h_k.
+    hashed
+      .withColumn("_rs", row_number().over(wShard))
+      .filter(col("_rs") <= k) // ≤ groups×shards×k rows survive
+      .withColumn("_rn", row_number().over(wGlobal))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("_rn") === least(lit(k), col("_cnt")))
+      .select(col(groupCol),
+        when(col("_cnt") < k, col("_cnt").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("frac"))
+          .as("kmv_estimate"))
+  }
+
+  // ------------------------------------------------- repetition (Gopher)
+
+  /** Gopher-style repetition quality stats per document: fraction of
+    * bigrams taken by the most common bigram, and fraction occupied by
+    * any repeated bigram, plus the filter verdict. One native-kernel
+    * scan ([[graft.functions.NGramRepetition]]), zero shuffles — see
+    * the expression's scaladoc for why composition would shuffle the
+    * exploded corpus twice. Docs with <2 tokens have no bigrams and
+    * are excluded (matching the oracle's len(ws) >= 2 guard). */
+  def repetitionStats(spark: SparkSession, dir: String,
+      topThreshold: Double = 0.18): DataFrame = {
+    val r = graft.functions.NGramRepetition.ngramRepetition(
+      graft.text.TextAnalysis.tokens(col("text")), 2)
+    load(spark, dir, "documents")
+      .withColumn("_r", r)
+      .filter(col("_r").isNotNull)
+      .select(
+        col("doc_id"),
+        col("_r.top_frac").as("top_bigram_frac"),
+        col("_r.dup_frac").as("dup_bigram_frac"),
+        (col("_r.top_frac") > topThreshold).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_props_json" -> propsJsonAgg,
+    "q47_sessionize" -> ((s, d) => sessionize(s, d)),
+    "q48_funnel" -> funnel,
+    "q49_rollup_kpis" -> rollupKpis,
+    "q50_pivot_demand" -> pivotDemand,
+    "q51_percentiles" -> valuePercentiles,
+    "q52_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
+    "q53_repetition" -> ((s, d) => repetitionStats(s, d))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q46_props_json" ->
+      """SELECT event_type, count(*) AS n_events,
+         sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+         min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
+         max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q47_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+         lagd AS (SELECT user_id, event_id, ts,
+                  lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                  FROM e),
+         flag AS (SELECT *, CASE WHEN prev_us IS NULL
+                    OR epoch_us(ts) - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess FROM lagd),
+         sess AS (SELECT *, sum(new_sess) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+                  FROM flag)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end,
+                epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+         FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q48_funnel" ->
+      """WITH m AS (SELECT user_id,
+           min(CASE WHEN event_type = 'signup'
+               THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_signup,
+           min(CASE WHEN event_type = 'view'
+               THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+           min(CASE WHEN event_type = 'click'
+               THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_click,
+           min(CASE WHEN event_type = 'purchase'
+               THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+           FROM events GROUP BY 1)
+         SELECT count(*) AS n_users,
+           count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+           count(CASE WHEN t_view >= t_signup THEN 1 END) AS n_view,
+           count(CASE WHEN t_view >= t_signup AND t_click >= t_view
+                 THEN 1 END) AS n_click,
+           count(CASE WHEN t_view >= t_signup AND t_click >= t_view
+                 AND t_purchase >= t_click THEN 1 END) AS n_purchase
+         FROM m""",
+    "q49_rollup_kpis" ->
+      """SELECT l_returnflag, l_linestatus,
+         GROUPING(l_returnflag, l_linestatus) AS lvl,
+         count(*) AS n_items,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY 3, 1, 2""",
+    "q50_pivot_demand" ->
+      """SELECT l_returnflag,
+         CAST(round(sum(CASE WHEN l_linestatus = 'F'
+           THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "F",
+         CAST(round(sum(CASE WHEN l_linestatus = 'O'
+           THEN CAST(l_quantity AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS "O"
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q51_percentiles" ->
+      """SELECT event_type,
+         quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.9) AS p90,
+         quantile_cont(value, 0.99) AS p99
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q52_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+             AS BIGINT) / 4503599627370496.0 AS frac
+           FROM events),
+         r AS (SELECT event_type, frac,
+                 row_number() OVER (PARTITION BY event_type ORDER BY frac) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS cnt FROM h),
+         x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY 1)
+         SELECT r.event_type,
+           CASE WHEN cnt < 32 THEN CAST(cnt AS DOUBLE)
+                ELSE 31.0 / frac END AS kmv_estimate, x.n_exact
+         FROM r JOIN x USING (event_type)
+         WHERE rn = CASE WHEN cnt < 32 THEN cnt ELSE 32 END ORDER BY 1""",
+    "q53_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                      FROM documents),
+         big AS (SELECT doc_id, len(ws) - 1 AS nbig,
+                 unnest(list_transform(range(1, len(ws)),
+                   i -> ws[i] || ' ' || ws[i + 1])) AS bg
+                 FROM tok WHERE len(ws) >= 2),
+         cnt AS (SELECT doc_id, nbig, bg, count(*) AS c
+                 FROM big GROUP BY 1, 2, 3)
+         SELECT doc_id,
+                max(c) / CAST(nbig AS DOUBLE) AS top_bigram_frac,
+                sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                  / CAST(nbig AS DOUBLE) AS dup_bigram_frac,
+                (max(c) / CAST(nbig AS DOUBLE)) > 0.18 AS repetitive
+         FROM cnt GROUP BY doc_id, nbig ORDER BY doc_id"""
+  )
+}

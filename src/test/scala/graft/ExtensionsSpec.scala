@@ -20,7 +20,8 @@ class ExtensionsSpec extends AnyFunSuite {
            size(graft_minhash(array('x', 'y'), 8)) AS mh,
            size(graft_winnow('hello world hello world', 4, 2)) AS wn,
            graft_simhash(CAST(array() AS ARRAY<STRING>), 4, 99) AS sh,
-           graft_stopword_hits(array('the', 'fox'), 'the,a,of') AS sw
+           graft_stopword_hits(array('the', 'fox'), 'the,a,of') AS sw,
+           graft_ngram_repetition(array('a', 'b', 'a', 'b', 'a'), 2) AS rep
       """).head()
     assert(row.getDouble(0) === 11.0)
     assert(row.getDouble(1) === 25.0)
@@ -30,6 +31,8 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(5) >= 1)
     assert(row.getInt(6) === 15) // empty tokens -> all 4 bits set
     assert(row.getInt(7) === 1)
+    assert(row.getStruct(8).getDouble(0) === 0.5) // top bigram "a b" 2/4
+    assert(row.getStruct(8).getDouble(1) === 1.0) // every bigram repeated
   }
 
   test("graft_minhash null-skips array elements like the builtin chain") {
