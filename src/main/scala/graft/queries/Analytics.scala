@@ -214,6 +214,83 @@ object Analytics {
           .as("kmv_estimate"))
   }
 
+  // -------------------------------------------------------- heavy hitters
+
+  /** Exact top-k most frequent users per event type. */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 5,
+      shards: Int = 32): DataFrame =
+    topKPerGroup(load(spark, dir, "events"), "event_type", "user_id", k, shards)
+
+  /** Exact per-group top-k by frequency (desc, item asc tiebreak).
+    *
+    * Scale shape: the count aggregate shuffles on the composite
+    * (group, item) key — fully parallel. The top-k pick then avoids
+    * the per-group single-reducer sort a bare
+    * `Window.partitionBy(group)` would plan: each (group, hash-shard)
+    * ranks its own items first (an item's count is already its GLOBAL
+    * count, so every global top-k item is necessarily in its shard's
+    * local top-k), and the exact rank runs over ≤ groups×shards×k
+    * survivors. Same pre-prune-then-exact-window shape as
+    * [[kmvSketch]] / [[TrainingData.capPerSource]]. */
+  def topKPerGroup(df: DataFrame, groupCol: String, itemCol: String,
+      k: Int, shards: Int): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(itemCol))
+      .agg(count(lit(1)).as("n"))
+    val ord = Seq(col("n").desc, col(itemCol).asc)
+    val wShard = Window
+      .partitionBy(col(groupCol), pmod(hash(col(itemCol)), lit(shards)))
+      .orderBy(ord: _*)
+    val wGlobal = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+    counts
+      .withColumn("_rs", row_number().over(wShard))
+      .filter(col("_rs") <= k)
+      .withColumn("top_rank", row_number().over(wGlobal))
+      .filter(col("top_rank") <= k)
+      .select(col(groupCol), col(itemCol), col("n"), col("top_rank"))
+      .orderBy(col(groupCol), col("top_rank"))
+  }
+
+  // ------------------------------------------------------ epoch upsample
+
+  /** Demo recipe for [[upsampleByWeight]]: one source upsampled 2.5
+    * epochs, one downsampled to 0.4, one dropped, rest kept at 1.0. */
+  def epochUpsample(spark: SparkSession, dir: String): DataFrame =
+    upsampleByWeight(load(spark, dir, "documents"),
+      Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0), 1.0)
+
+  /** Deterministic fractional-epoch upsampling — the data-recipe
+    * "source weights" op (e.g. weight 2.5 = every doc twice, plus a
+    * deterministic half of them a third time). floor(w) full copies
+    * per doc, plus one more iff the doc's hash coin < frac(w): the
+    * SAME docs get the extra epoch on every run, cluster, and
+    * partitioning (a rand() draw is none of those), and the oracle
+    * reproduces the coin from the same md5. Pure narrow op — explode
+    * of a ≤⌈w⌉-element sequence, zero shuffles. */
+  def upsampleByWeight(docs: DataFrame, weights: Map[String, Double],
+      defaultWeight: Double): DataFrame = {
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "source weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (s, wt)) => when(col("source") === s, lit(wt)).otherwise(acc)
+    }
+    val u = hashUniform("epoch", col("doc_id"))
+    docs
+      .withColumn("_w", w)
+      .withColumn("_n", floor(col("_w")).cast("long") +
+        when(u < (col("_w") - floor(col("_w"))), 1L).otherwise(0L))
+      .filter(col("_n") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("_n"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Uniform-in-[0,1) draw from md5 of `salt:key` — same deterministic
+    * coin as TrainingData's sampling ops (first 8 hex digits / 2^32),
+    * reproducible in the DuckDB oracle. */
+  private def hashUniform(salt: String, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+
   // ------------------------------------------------- repetition (Gopher)
 
   /** Gopher-style repetition quality stats per document: fraction of
@@ -248,7 +325,9 @@ object Analytics {
     "q50_pivot_demand" -> pivotDemand,
     "q51_percentiles" -> valuePercentiles,
     "q52_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
-    "q53_repetition" -> ((s, d) => repetitionStats(s, d))
+    "q53_repetition" -> ((s, d) => repetitionStats(s, d)),
+    "q54_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
+    "q55_epoch_upsample" -> epochUpsample
   )
 
   val oracles: Map[String, String] = Map(
@@ -344,6 +423,27 @@ object Analytics {
                 sum(CASE WHEN c > 1 THEN c ELSE 0 END)
                   / CAST(nbig AS DOUBLE) AS dup_bigram_frac,
                 (max(c) / CAST(nbig AS DOUBLE)) > 0.18 AS repetitive
-         FROM cnt GROUP BY doc_id, nbig ORDER BY doc_id"""
+         FROM cnt GROUP BY doc_id, nbig ORDER BY doc_id""",
+    "q54_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT event_type, user_id, n, row_number() OVER
+                 (PARTITION BY event_type ORDER BY n DESC, user_id)
+                 AS top_rank FROM c)
+         SELECT event_type, user_id, n, top_rank FROM r
+         WHERE top_rank <= 5 ORDER BY 1, 4""",
+    "q55_epoch_upsample" ->
+      """WITH d AS (SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                       WHEN 'src2' THEN 0.0 ELSE 1.0 END AS w,
+           CAST(('0x' || substr(md5('epoch:' || CAST(doc_id AS VARCHAR)),
+             1, 8)) AS BIGINT) / 4294967296.0 AS u
+           FROM documents),
+         n AS (SELECT doc_id, source,
+           CAST(floor(w) AS BIGINT)
+             + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+           FROM d)
+         SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS epoch
+         FROM n WHERE n_copies > 0 ORDER BY doc_id, epoch"""
   )
 }

@@ -251,6 +251,68 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------------- heavy hitters
+
+  test("topK per group: sharded pre-prune = direct global rank; exact counts") {
+    val events = graft.queries.Tables.load(spark, sf, "events")
+    val k = 5
+    val got = Analytics.topKPerGroup(events, "event_type", "user_id", k, 32)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // independent recount: full collect + Scala sort
+    val all = events.select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+    val expected = all.toSeq
+      .map { case ((et, uid), n) => (et, uid, n) }
+      .groupBy(_._1).toSeq.flatMap { case (et, items) =>
+        items.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex
+          .map { case ((_, uid, n), i) => (et, uid, n, i + 1) }
+      }.sortBy(t => (t._1, t._4))
+    assert(got.toSeq === expected)
+  }
+
+  // ------------------------------------------------------ epoch upsample
+
+  test("upsample: copy counts follow floor(w) + deterministic coin; w=0 drops") {
+    import spark.implicits._
+    val docs = graft.queries.Tables.load(spark, sf, "documents")
+    val weights = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0)
+    val out = Analytics.upsampleByWeight(docs, weights, 1.0)
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("copies"),
+        max("epoch").as("max_epoch"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, src, copies, maxEpoch) =>
+      assert(copies === maxEpoch, "epochs must be 1..n_copies")
+      src match {
+        case "src0" => assert(copies === 2L || copies === 3L)
+        case "src1" => assert(copies === 1L) // 0.4: doc present => exactly 1
+        case "src2" => fail("weight-0 source must be dropped")
+        case _ => assert(copies === 1L)
+      }
+    }
+    // fractional part actually splits: some src0 docs got 2, some 3
+    val src0 = out.filter(_._2 == "src0").map(_._3).toSet
+    assert(src0 === Set(2L, 3L))
+    // determinism: identical output on re-run
+    val again = Analytics.upsampleByWeight(docs, weights, 1.0)
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("copies"),
+        max("epoch").as("max_epoch"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("upsample is narrow: the only Exchange is the output sort's range partition") {
+    val docs = graft.queries.Tables.load(spark, sf, "documents")
+    val plan = Analytics.upsampleByWeight(docs, Map("src0" -> 2.0), 1.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 === 1,
+      s"expected exactly one Exchange (orderBy):\n$plan")
+    assert(plan.contains("Exchange rangepartitioning"),
+      s"the single Exchange should be the sort's range partition:\n$plan")
+  }
+
   // ------------------------------------------------------------- q46/q53
 
   test("q46 json extraction: k parsed for every row, bounds sane") {
