@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** End-to-end training-corpus preparation: the standard LLM data
+  * pipeline (language ID → quality/repetition filter → PII redaction →
+  * exact dedup → near-dedup → benchmark decontamination → source
+  * mixing → train/val/test split) composed from the library's
+  * operators over a documents frame (doc_id, text, source, ...).
+  *
+  * Each stage is independently callable (and independently spec'd via
+  * its underlying operator); [[run]] chains them and reports per-stage
+  * survivor counts. Scale notes per stage live in SCALE.md; the
+  * pipeline adds no operator of its own — it is proof the pieces
+  * compose. Shuffle census for the full chain: exact dedup (1, on an
+  * 8-byte fingerprint), near-dedup (minhash band join + component
+  * rounds over the PAIRS frame, corpus itself shuffles once), and
+  * decontamination joins against a BROADCAST benchmark (no corpus
+  * shuffle). Everything else — annotation, filtering, redaction,
+  * upsampling, splitting — is narrow.
+  */
+object CorpusPipeline {
+
+  /** Pipeline configuration. Thresholds are deliberately plain doubles
+    * over spec'd columns so a recipe is serializable config, not code.
+    *
+    * @param lang              keep only docs whose predicted language
+    *                          matches (None = keep all)
+    * @param minQuality        minimum composite quality score [0,1]
+    * @param maxTopBigramFrac  Gopher-style repetition ceiling: drop
+    *                          docs whose most common bigram exceeds
+    *                          this fraction of all bigrams
+    * @param redactPii         rewrite text with PII tags (emails, ids,
+    *                          ips, phone-like runs)
+    * @param nearDupThreshold  minhash-verified Jaccard at/above which
+    *                          docs form a duplicate cluster (cluster
+    *                          keeps its min doc_id)
+    * @param sourceWeights     fractional epochs per source (see
+    *                          [[graft.queries.Analytics.upsampleByWeight]])
+    * @param valFrac testFrac  deterministic split fractions
+    */
+  final case class Recipe(
+      lang: Option[String] = Some("en"),
+      minQuality: Double = 0.2,
+      maxTopBigramFrac: Double = 0.6,
+      redactPii: Boolean = true,
+      nearDupThreshold: Double = 0.8,
+      sourceWeights: Map[String, Double] = Map.empty,
+      defaultWeight: Double = 1.0,
+      valFrac: Double = 0.1,
+      testFrac: Double = 0.1) {
+    require(valFrac >= 0 && testFrac >= 0 && valFrac + testFrac < 1,
+      "split fractions must be non-negative and sum below 1")
+  }
+
+  final case class StageCount(stage: String, docs: Long)
+
+  /** Adds lang_pred, n_tokens/stop_ratio/punct_ratio/quality_score,
+    * and top_bigram_frac — one tokenization-bearing scan per kernel,
+    * all narrow. */
+  def annotate(docs: DataFrame): DataFrame = {
+    val withLang = TextAnalysis.withLangPred(docs, "text")
+    val withQuality = TextAnalysis.withQualityColumns(withLang, "text")
+    val rep = graft.functions.NGramRepetition
+      .ngramRepetition(TextAnalysis.tokens(col("text")), 2)
+    withQuality
+      .withColumn("_rep", rep)
+      // <2-token docs have no bigrams: repetition can't condemn them
+      .withColumn("top_bigram_frac",
+        coalesce(col("_rep.top_frac"), lit(0.0)))
+      .drop("_rep")
+  }
+
+  /** Language + quality + repetition gate over annotated columns. */
+  def qualityFilter(annotated: DataFrame, r: Recipe): DataFrame = {
+    val langOk =
+      r.lang.map(l => col("lang_pred") === l).getOrElse(lit(true))
+    annotated.filter(langOk &&
+      col("quality_score") >= r.minQuality &&
+      col("top_bigram_frac") <= r.maxTopBigramFrac)
+  }
+
+  /** Exact dedup on the 60-bit content fingerprint, keeping each
+    * cluster's min doc_id. Shuffles 8-byte keys, never text bodies. */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("_fp")).orderBy(col("doc_id"))
+    docs
+      .withColumn("_fp", TextAnalysis.fingerprint64(col("text")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_fp", "_rn")
+  }
+
+  /** Near-dedup: minhash-LSH verified pairs → connected components →
+    * keep each cluster's min doc_id (the representative). Docs that
+    * never appear in a pair are kept untouched — only the pairs frame
+    * (≪ corpus) flows through the component rounds. */
+  def dedupNear(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = graft.dedup.Dedup
+      .minhashNearDupPairs(docs, "doc_id", "text", threshold = threshold)
+    val drops = graft.dedup.Dedup
+      .connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("node") =!= col("component")) // non-representatives
+      .select(col("node").as("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Drops corpus docs sharing any whitespace n-gram with the
+    * benchmark (eval-suite leakage). Benchmark side is broadcast —
+    * the corpus never shuffles for this stage. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', slice(t, i + 1, $n)))")).as("g"))
+    val contaminated = grams(corpus)
+      .join(broadcast(grams(benchmark).select(col("g")).distinct()), "g")
+      .select("doc_id").distinct()
+    corpus.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Source-weight upsampling + deterministic split: appends `epoch`
+    * and `split` columns. Both are pure functions of (source, doc_id)
+    * — the final corpus is reproducible from the recipe alone. */
+  def mixAndSplit(docs: DataFrame, r: Recipe): DataFrame = {
+    val up = graft.queries.Analytics
+      .upsampleByWeight(docs, r.sourceWeights, r.defaultWeight)
+    val u = (conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0))
+    val trainFrac = 1.0 - r.valFrac - r.testFrac
+    up.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + r.valFrac, "val")
+        .otherwise("test"))
+  }
+
+  /** Full chain with a per-stage survivor census. The census runs one
+    * count job per stage (the cost is explicit and bounded — each
+    * count reuses the previous stage's plan); pass `report = false`
+    * to get the composed lazy frame with zero extra jobs. */
+  def run(docs: DataFrame, benchmark: DataFrame, r: Recipe = Recipe(),
+      report: Boolean = true): (DataFrame, Seq[StageCount]) = {
+    val counts = Seq.newBuilder[StageCount]
+    def step(name: String, df: DataFrame): DataFrame = {
+      if (report) counts += StageCount(name, df.count())
+      df
+    }
+    val annotated = annotate(docs)
+    val filtered = step("quality_filter", qualityFilter(annotated, r))
+    val redacted =
+      if (r.redactPii)
+        TextAnalysis.withPiiRedacted(filtered, "text")
+          .drop("text").withColumnRenamed("text_redacted", "text")
+          .drop("n_emails", "n_ids", "n_ips", "n_phones")
+      else filtered
+    val exact = step("dedup_exact", dedupExact(redacted))
+    val near = step("dedup_near", dedupNear(exact, r.nearDupThreshold))
+    val clean = step("decontaminate", decontaminate(near, benchmark))
+    val mixed = step("mix_split", mixAndSplit(clean, r))
+    (mixed, counts.result())
+  }
+}

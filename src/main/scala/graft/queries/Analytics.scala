@@ -257,6 +257,8 @@ object Analytics {
   def epochUpsample(spark: SparkSession, dir: String): DataFrame =
     upsampleByWeight(load(spark, dir, "documents"),
       Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0), 1.0)
+      .select("doc_id", "source", "epoch")
+      .orderBy("doc_id", "epoch")
 
   /** Deterministic fractional-epoch upsampling — the data-recipe
     * "source weights" op (e.g. weight 2.5 = every doc twice, plus a
@@ -265,7 +267,8 @@ object Analytics {
     * SAME docs get the extra epoch on every run, cluster, and
     * partitioning (a rand() draw is none of those), and the oracle
     * reproduces the coin from the same md5. Pure narrow op — explode
-    * of a ≤⌈w⌉-element sequence, zero shuffles. */
+    * of a ≤⌈w⌉-element sequence, zero shuffles. Keeps every input
+    * column and appends `epoch` (1-based copy index). */
   def upsampleByWeight(docs: DataFrame, weights: Map[String, Double],
       defaultWeight: Double): DataFrame = {
     require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
@@ -274,14 +277,14 @@ object Analytics {
       case (acc, (s, wt)) => when(col("source") === s, lit(wt)).otherwise(acc)
     }
     val u = hashUniform("epoch", col("doc_id"))
+    val inputCols = docs.columns.toSeq.map(col)
     docs
       .withColumn("_w", w)
       .withColumn("_n", floor(col("_w")).cast("long") +
         when(u < (col("_w") - floor(col("_w"))), 1L).otherwise(0L))
       .filter(col("_n") > 0)
-      .select(col("doc_id"), col("source"),
-        explode(sequence(lit(1L), col("_n"))).as("epoch"))
-      .orderBy("doc_id", "epoch")
+      .select(inputCols :+
+        explode(sequence(lit(1L), col("_n"))).as("epoch"): _*)
   }
 
   /** Uniform-in-[0,1) draw from md5 of `salt:key` — same deterministic

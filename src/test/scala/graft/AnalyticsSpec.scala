@@ -303,14 +303,12 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
-  test("upsample is narrow: the only Exchange is the output sort's range partition") {
+  test("upsample is narrow: zero Exchanges in the physical plan") {
     val docs = graft.queries.Tables.load(spark, sf, "documents")
     val plan = Analytics.upsampleByWeight(docs, Map("src0" -> 2.0), 1.0)
       .queryExecution.executedPlan.toString
-    assert(plan.split("Exchange").length - 1 === 1,
-      s"expected exactly one Exchange (orderBy):\n$plan")
-    assert(plan.contains("Exchange rangepartitioning"),
-      s"the single Exchange should be the sort's range partition:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"upsample must not shuffle:\n$plan")
   }
 
   // ------------------------------------------------------------- q46/q53

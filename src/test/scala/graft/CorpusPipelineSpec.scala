@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.CorpusPipeline
+import graft.text.TextAnalysis
+
+class CorpusPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType)))
+
+  private def docsDf(rows: Seq[(Long, String, String)]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (i, t, s) => Row(i, t, s) }.asJava, docSchema)
+  }
+
+  // ------------------------------------------------------------------ PII
+
+  test("pii redaction: each pattern replaced with its tag") {
+    import spark.implicits._
+    val out = Seq(
+      "contact bob.smith+x@example.co.uk today",
+      "ssn 123-45-6789 on file",
+      "host 192.168.1.254 responded",
+      "call +1 (415) 555-0199 now",
+      "clean text stays clean")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect()
+    assert(out(0) === "contact <EMAIL> today")
+    assert(out(1) === "ssn <ID> on file")
+    assert(out(2) === "host <IP> responded")
+    assert(out(3) === "call <PHONE> now")
+    assert(out(4) === "clean text stays clean")
+  }
+
+  test("pii redaction ordering: ids and ips are not eaten by the phone pattern") {
+    import spark.implicits._
+    val out = Seq("a 123-45-6789 b 10.0.0.1 c 415-555-0199")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].collect().head
+    assert(out === "a <ID> b <IP> c <PHONE>")
+  }
+
+  test("pii counts agree with redaction pass order") {
+    val df = docsDf(Seq(
+      (1L, "x@y.com and 1.2.3.4 and 555-123-4567 and a@b.org", "s")))
+    val row = TextAnalysis.withPiiRedacted(df, "text").collect().head
+    assert(row.getAs[Int]("n_emails") === 2)
+    assert(row.getAs[Int]("n_ids") === 0)
+    assert(row.getAs[Int]("n_ips") === 1)
+    assert(row.getAs[Int]("n_phones") === 1)
+    assert(row.getAs[String]("text_redacted") ===
+      "<EMAIL> and <IP> and <PHONE> and <EMAIL>")
+  }
+
+  // --------------------------------------------------------------- stages
+
+  test("annotate adds the gate columns, repetition null-safe on short docs") {
+    val df = CorpusPipeline.annotate(docsDf(Seq(
+      (1L, "the cat sat on the mat with the dog and the bird", "a"),
+      (2L, "x", "a")))) // 1 token: no bigrams
+    val cols = df.columns.toSet
+    assert(Set("lang_pred", "quality_score", "top_bigram_frac",
+      "n_tokens").subsetOf(cols))
+    val short = df.filter(col("doc_id") === 2).collect().head
+    assert(short.getAs[Double]("top_bigram_frac") === 0.0)
+  }
+
+  test("dedupExact keeps min doc_id per identical text") {
+    val out = CorpusPipeline.dedupExact(docsDf(Seq(
+      (5L, "same exact words", "a"),
+      (2L, "same exact words", "b"),
+      (9L, "different words entirely", "a"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L, 9L))
+  }
+
+  test("dedupNear collapses a near-identical cluster to its min id") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val out = CorpusPipeline.dedupNear(docsDf(Seq(
+      (3L, base, "a"),
+      (7L, base + " x", "a"), // near-dup of 3
+      (1L, "completely unrelated content about spark shuffles and joins everywhere", "b"))),
+      threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 3L))
+  }
+
+  test("decontaminate drops docs sharing an 8-gram with the benchmark") {
+    val leak = "one two three four five six seven eight"
+    val corpus = docsDf(Seq(
+      (1L, s"prefix words $leak suffix words", "a"),
+      (2L, "totally clean doc with its own eight tokens here now", "a")))
+    val bench = docsDf(Seq((100L, s"benchmark question: $leak", "bench")))
+    val out = CorpusPipeline.decontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L))
+  }
+
+  test("mixAndSplit: epochs of one doc never straddle splits") {
+    val docs = graft.queries.Tables.load(spark, sf, "documents")
+    val r = CorpusPipeline.Recipe(sourceWeights = Map("src0" -> 3.0))
+    val out = CorpusPipeline.mixAndSplit(docs, r)
+      .groupBy("doc_id").agg(countDistinct("split").as("nsplits"),
+        count(lit(1)).as("copies"))
+      .collect()
+    assert(out.forall(_.getLong(1) === 1L), "a doc leaked across splits")
+    assert(out.exists(_.getLong(2) === 3L), "src0 should have 3 epochs")
+  }
+
+  // ------------------------------------------------------------ full run
+
+  test("run: census monotone, output deduped, gates hold end-to-end") {
+    val docs = graft.queries.Tables.load(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") % 10 === 0) // q45's pseudo-benchmark
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val r = CorpusPipeline.Recipe(
+      lang = None, minQuality = 0.1, maxTopBigramFrac = 0.9,
+      nearDupThreshold = 0.8, sourceWeights = Map("src1" -> 2.0))
+    val (out, census) = CorpusPipeline.run(corpus, bench, r)
+    val byStage = census.map(c => c.stage -> c.docs).toMap
+    assert(census.map(_.stage) === Seq("quality_filter", "dedup_exact",
+      "dedup_near", "decontaminate", "mix_split"))
+    // each filtering stage can only shrink the corpus
+    assert(byStage("dedup_exact") <= byStage("quality_filter"))
+    assert(byStage("dedup_near") <= byStage("dedup_exact"))
+    assert(byStage("decontaminate") <= byStage("dedup_near"))
+    val rows = out.select("doc_id", "split", "epoch").collect()
+    assert(rows.length === byStage("mix_split") && rows.nonEmpty)
+    // (doc_id, epoch) unique; all splits valid
+    val keys = rows.map(x => (x.getLong(0), x.getLong(2)))
+    assert(keys.distinct.length === keys.length)
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+}
