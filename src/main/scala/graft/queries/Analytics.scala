@@ -214,6 +214,32 @@ object Analytics {
           .as("kmv_estimate"))
   }
 
+  // ----------------------------------------------------- cohort retention
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; each later week counts how many of them were active —
+    * the classic retention-matrix query.
+    *
+    * Single-window formulation: `min(ts) over (partition by user_id)`
+    * attaches each user's cohort week WITHOUT the groupBy+self-join
+    * shape (which would shuffle events twice). One shuffle on user_id
+    * for the window, then the countDistinct re-shuffles only
+    * (cohort_week, week_index, user_id) triples — already one row per
+    * triple after partial dedup. week_index arithmetic is exact: both
+    * timestamps are week-truncated, so the day difference is an exact
+    * multiple of 7 in both engines. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    load(spark, dir, "events")
+      .withColumn("cohort_week", date_trunc("week", min(col("ts")).over(w)))
+      .withColumn("week_index",
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+          .cast("int"))
+      .groupBy(col("cohort_week"), col("week_index"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_index")
+  }
+
   // -------------------------------------------------------- heavy hitters
 
   /** Exact top-k most frequent users per event type. */
@@ -330,7 +356,8 @@ object Analytics {
     "q52_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "q53_repetition" -> ((s, d) => repetitionStats(s, d)),
     "q54_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
-    "q55_epoch_upsample" -> epochUpsample
+    "q55_epoch_upsample" -> epochUpsample,
+    "q56_retention_cohorts" -> retentionCohorts
   )
 
   val oracles: Map[String, String] = Map(
@@ -447,6 +474,19 @@ object Analytics {
              + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS n_copies
            FROM d)
          SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS epoch
-         FROM n WHERE n_copies > 0 ORDER BY doc_id, epoch"""
+         FROM n WHERE n_copies > 0 ORDER BY doc_id, epoch""",
+    "q56_retention_cohorts" ->
+      """WITH f AS (SELECT user_id,
+           CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP)))
+             AS TIMESTAMP) AS cohort_week
+           FROM events GROUP BY 1),
+         a AS (SELECT e.user_id, f.cohort_week,
+           CAST(date_diff('day', f.cohort_week,
+             date_trunc('week', CAST(e.ts AS TIMESTAMP))) // 7 AS INT)
+             AS week_index
+           FROM events e JOIN f USING (user_id))
+         SELECT cohort_week, week_index,
+                count(DISTINCT user_id) AS n_active
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -311,6 +311,55 @@ class AnalyticsSpec extends AnyFunSuite {
       s"upsample must not shuffle:\n$plan")
   }
 
+  // ---------------------------------------------------- cohort retention
+
+  test("q56 retention: week0 row per cohort; active counts never exceed cohort size") {
+    val rows = Analytics.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "activity cannot precede the cohort week")
+    val cohortSize = rows.filter(_._2 == 0).map(t => t._1 -> t._3).toMap
+    // every cohort has a week-0 row (the first event itself is week 0)
+    assert(rows.map(_._1).toSet === cohortSize.keySet)
+    rows.foreach { case (cw, _, n) =>
+      assert(n <= cohortSize(cw), s"cohort $cw: retained > cohort size")
+    }
+    // total cohort sizes = total distinct users
+    val users = graft.queries.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(cohortSize.values.sum === users)
+  }
+
+  test("sharded top-k / kmv plans: per-group windows only see pre-pruned input") {
+    // same scale guard as q39/q40: a window partitioned by the group
+    // column ALONE is one reducer per group, so it may only consume
+    // another window's capped survivors — never the raw counts frame
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window => LWindow}
+    def assertPrePruned(df: org.apache.spark.sql.DataFrame, group: String): Unit = {
+      val lp = df.queryExecution.optimizedPlan
+      val windows = lp.collect { case w: LWindow => w }
+      assert(windows.size >= 2, s"expected shard + global windows:\n$lp")
+      var checked = 0
+      windows.foreach { w =>
+        val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        if (parts == Set(group)) {
+          checked += 1
+          val pruned = w.child.collectFirst { case f: Filter => f }
+          assert(pruned.isDefined,
+            s"global window runs over unpruned input:\n$lp")
+        }
+      }
+      assert(checked >= 1, s"no per-$group window found:\n$lp")
+    }
+    val events = graft.queries.Tables.load(spark, sf, "events")
+    assertPrePruned(
+      Analytics.topKPerGroup(events, "event_type", "user_id", 5, 8),
+      "event_type")
+    assertPrePruned(
+      Analytics.kmvSketch(events, "event_type", "user_id", 8, 8),
+      "event_type")
+  }
+
   // ------------------------------------------------------------- q46/q53
 
   test("q46 json extraction: k parsed for every row, bounds sane") {
