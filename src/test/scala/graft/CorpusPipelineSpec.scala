@@ -119,6 +119,15 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out.exists(_.getLong(2) === 3L), "src0 should have 3 epochs")
   }
 
+  test("CorpusPrep --weights parsing") {
+    assert(graft.CorpusPrep.parseWeights("src0=2.5,src1=0.4") ===
+      Map("src0" -> 2.5, "src1" -> 0.4))
+    assert(graft.CorpusPrep.parseWeights("") === Map.empty)
+    intercept[RuntimeException] {
+      graft.CorpusPrep.parseWeights("src0:2.5")
+    }
+  }
+
   // ------------------------------------------------------------ full run
 
   test("run: census monotone, output deduped, gates hold end-to-end") {

@@ -223,6 +223,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: streaming sessions == batch sessionizeEvents on random traffic") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{SessionEvent, sessionize}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // seeded random traffic: 5 users, gaps straddling the 1-min session gap
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-01-01 10:00:00").getTime
+    val events = (1 to 200).map { i =>
+      val key = (1 + rnd.nextInt(5)).toString
+      val t = base + rnd.nextInt(3600) * 1000L // 1h span, second granularity
+      (key, i.toLong, new Timestamp(t))
+    }
+    // streaming pass: all events in one batch, then a far-future flush
+    // key advances the watermark so every real session times out
+    val input = MemoryStream[SessionEvent]
+    val out = sessionize(input.toDS(), gapMs = 60000L,
+      watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sessions_parity")
+      .outputMode(OutputMode.Append()).start()
+    val got = try {
+      input.addData(events.map { case (k, _, t) => SessionEvent(k, t) })
+      q.processAllAvailable()
+      input.addData(SessionEvent("flush", ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+      input.addData(SessionEvent("flush", ts("2024-01-02 00:00:01")))
+      q.processAllAvailable()
+      spark.table("sessions_parity").collect()
+        .filter(_.getString(0) != "flush")
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+    } finally q.stop()
+    // batch pass over the same events (user_id long <- key)
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    val batchDf = spark.createDataFrame(
+      events.map { case (k, i, t) => Row(k.toLong, i, t) }.asJava, schema)
+    val expected = graft.queries.Analytics.sessionizeEvents(batchDf, gapMin = 1)
+      .collect()
+      // columns: user_id, session_seq, n_events, session_start, session_end
+      .map(r => (r.getLong(0).toString, r.getTimestamp(3), r.getTimestamp(4),
+        r.getLong(2)))
+      .toSet
+    assert(got === expected,
+      s"streaming/batch divergence: only-streaming=${got -- expected}, " +
+        s"only-batch=${expected -- got}")
+  }
+
   test("sessionize rejects a non-positive gap") {
     import spark.implicits._
     import graft.streaming.Streaming.{SessionEvent, sessionize}
