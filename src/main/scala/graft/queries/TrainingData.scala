@@ -294,6 +294,27 @@ object TrainingData {
       k = 3, nlist = 8, nprobe = 3)
   }
 
+  /** PQ ANN top-3 (m=8 subspaces, ksub=16 codes, ADC + exact re-rank)
+    * for the same query set as q26/q27/q30 — the memory-bound ANN
+    * scale path (codes are 64× smaller than the raw vectors).
+    * rerank=120: the synthetic uniform embeddings are a
+    * distance-concentration worst case for quantization (all pairwise
+    * distances nearly equal), so the ADC ordering needs a deeper
+    * exact re-rank than clustered real embeddings would (measured
+    * here: recall@3 goes 4/15 → 14/15 from rerank 12 → 120; at scale
+    * rerank is a per-query CONSTANT independent of corpus size).
+    * Iterative k-means training → no SQL oracle; the driver records
+    * the weaker rows-only check, and TrainingDataSpec checks recall
+    * against the brute-force ground truth. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.pqTopK(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding",
+      k = 3, m = 8, ksub = 16, rerank = 120)
+  }
+
   /** Winnowing (rolling-hash) fingerprint near-dup pairs — the
     * substring/containment-oriented dedup family (SIGMOD'03 winnowing),
     * complementing MinHash (set resemblance) and SimHash
@@ -362,7 +383,8 @@ object TrainingData {
     "q40_token_budget" -> ((s, d) => tokenBudgetPerSource(s, d)),
     "q43_mix_sample" -> mixSample,
     "q44_dataset_split" -> datasetSplit,
-    "q45_decontaminate" -> decontaminate
+    "q45_decontaminate" -> decontaminate,
+    "q57_ann_pq" -> annPq
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of

@@ -186,6 +186,134 @@ object Similarity {
         .filter(col("q_id") =!= col("neighbor_id")), k)
   }
 
+  // --------------------------------------------------------------- PQ
+
+  /** Train product-quantization codebooks [Jégou et al., TPAMI 2011]:
+    * the vector space splits into `m` subspaces of d/m dims; each gets
+    * its own `ksub`-centroid k-means codebook. A vector then encodes
+    * as m small codes (one byte each at ksub ≤ 256) — 64-dim doubles
+    * compress 512 B → m B, the difference between an ANN index that
+    * fits in executor memory and one that doesn't.
+    *
+    * Same determinism contract as [[ivfTrain]]: init from the `ksub`
+    * lowest-id vectors, fixed Lloyd rounds, centroid means rounded to
+    * 6 decimals so float summation order can't flip assignments.
+    * Each round is ONE distributed pass over the corpus for ALL
+    * subspaces: assign (map) → per-(subspace, code, dim) partial sums
+    * — the shuffle carries m×ksub×(d/m) = ksub×d stat rows, never
+    * vectors. Returns codebooks(j)(c) = centroid c of subspace j. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val e = corpus.select(col(idCol).cast("long").as("id"),
+      toDouble(col(vecCol)).as("v"))
+    val d = e.select(size(col("v"))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val dsub = d / m
+    def sub(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    var codebooks: Array[Array[Array[Double]]] = {
+      val seeds = e.orderBy("id").limit(ksub)
+        .collect().map(_.getSeq[Double](1).toArray)
+      Array.tabulate(m)(j =>
+        seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+    }
+    for (_ <- 0 until iters) {
+      val assigned = withPqCodes(e, codebooks, dsub)
+      val stats = assigned
+        .select(explode(array((0 until m).map(j => struct(
+          lit(j).as("j"),
+          element_at(col("codes"), j + 1).as("code"),
+          sub(col("v"), j).as("sv"))): _*)).as("s"))
+        .select(col("s.j"), col("s.code"), posexplode(col("s.sv")).as(Seq("pos", "x")))
+        .groupBy("j", "code", "pos")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          math.rint(r.getDouble(3) / r.getLong(4) * 1e6) / 1e6
+      }
+      codebooks = next
+    }
+    codebooks
+  }
+
+  /** Appends `codes` (array<int>, length m): per-subspace nearest
+    * codebook entry by squared L2 — the PQ encoding map. Pure narrow
+    * projection against broadcast-literal codebooks. */
+  private def withPqCodes(vecs: DataFrame,
+      codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    val coded = codebooks.zipWithIndex.foldLeft(vecs) { case (df, (cb, j)) =>
+      val cbLit = array(cb.toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*)
+      df.withColumn(s"_d$j", transform(cbLit, c =>
+          graft.functions.vector.arrayL2Sq(c, slice(col("v"), j * dsub + 1, dsub))))
+        .withColumn(s"_c$j",
+          (expr(s"array_position(_d$j, array_min(_d$j))") - 1).cast("int"))
+        .drop(s"_d$j")
+    }
+    coded
+      .withColumn("codes",
+        array((0 until codebooks.length).map(j => col(s"_c$j")): _*))
+      .drop((0 until codebooks.length).map(j => s"_c$j"): _*)
+  }
+
+  /** PQ ANN top-k with asymmetric distance computation + exact
+    * re-rank: the corpus is scanned as m-byte CODES (never raw
+    * vectors); each broadcast query carries its m×ksub table of
+    * subspace distances, so a candidate's approximate squared L2 is m
+    * table lookups (`zip_with` codes×tables) instead of a d-dim dot.
+    * The ADC top `rerank` per query then joins back to the raw
+    * vectors for an exact cosine top-k — the standard two-stage PQ
+    * search. Vectors are L2-NORMALIZED for training/encoding/ADC
+    * (squared L2 on the unit sphere is 2−2·cosine, so the ADC order
+    * matches the cosine objective the re-rank optimizes — on raw
+    * vectors the two orders diverge with norm spread); the re-rank
+    * computes exact cosine on the RAW vectors. At 100 TB the codes
+    * table is ~d/(8·dsub)× smaller than the corpus; the exact re-rank
+    * touches only queries×rerank rows. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int, ksub: Int, iters: Int = 2,
+      rerank: Int = 0): DataFrame = {
+    val r = if (rerank > 0) rerank else 4 * k
+    def normalized(df: DataFrame, id: String) = df
+      .select(col(idCol).cast("long").as(id), toDouble(col(vecCol)).as("v"))
+      .withColumn("_n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("v", transform(col("v"), x => x / col("_n")))
+      .drop("_n")
+    val corpusN = normalized(corpus, "id")
+    val codebooks = pqTrain(corpusN, "id", "v", m, ksub, iters)
+    val d = codebooks.length * codebooks(0)(0).length
+    val dsub = d / m
+    val codes = withPqCodes(
+      normalized(corpus, "neighbor_id"), codebooks, dsub)
+      .select(col("neighbor_id"), col("codes"))
+    val cbLit = array(codebooks.toIndexedSeq.map(cb =>
+      array(cb.toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val q = broadcast(queries
+      .select(col(idCol).cast("long").as("q_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("_qn", transform(col("qv"), x => x / col("nq")))
+      .withColumn("_tabs", transform(cbLit, (cb, j) => transform(cb, c =>
+        graft.functions.vector.arrayL2Sq(
+          c, slice(col("_qn"), j * lit(dsub) + 1, lit(dsub))))))
+      .drop("_qn"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("_adc").asc, col("neighbor_id").asc)
+    val candidates = q.crossJoin(codes)
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("_adc", aggregate(
+        zip_with(col("_tabs"), col("codes"), (t, c) => element_at(t, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("_rn", row_number().over(wAdc))
+      .filter(col("_rn") <= r)
+      .select(col("q_id"), col("qv"), col("nq"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    rankTopK(candidates.join(vecs, Seq("neighbor_id")), k)
+  }
+
   /** Sign-LSH ANN top-k: queries probe only their own bucket. Returns
     * the same shape as [[bruteForceTopK]]; recall < 1 by construction
     * (single-probe). Multi-probe = union over neighboring buckets. */

@@ -22,7 +22,7 @@ class TrainingDataSpec extends AnyFunSuite {
     // rolling-hash windowed-min has no single-statement SQL form
     // (rows-only checks + dedicated specs instead)
     assert(TrainingData.queries.keySet -- TrainingData.oracles.keySet
-      === Set("q30_ann_ivf", "q31_winnow_neardup"))
+      === Set("q30_ann_ivf", "q31_winnow_neardup", "q57_ann_pq"))
   }
 
   test("winnowing: identical texts score 1.0; finds the fabricated near-dups") {
@@ -50,6 +50,34 @@ class TrainingDataSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val hits = ivf1.map(r => (r.getLong(0), r.getLong(1))).count(brute)
     assert(hits > 0, s"IVF found none of the true top-3: $brute")
+  }
+
+  test("pq ann: k rows per query max, deterministic, decent recall vs brute") {
+    val pq1 = TrainingData.annPq(spark, sf).collect()
+    val pq2 = TrainingData.annPq(spark, sf).collect()
+    assert(pq1.map(_.toString).sorted.toSeq === pq2.map(_.toString).sorted.toSeq,
+      "PQ result not deterministic across runs")
+    val perQuery = pq1.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.nonEmpty && perQuery.values.forall(_ <= 3))
+    // ADC + exact re-rank recall@3 vs brute force. The synthetic
+    // uniform embeddings concentrate pairwise distances (quantization
+    // worst case); rerank=120 measured 14/15 — assert a safe floor
+    // far above chance (random 120-of-495 candidates ≈ 3.6/15)
+    val brute = TrainingData.knnCosineBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq1.map(r => (r.getLong(0), r.getLong(1))).count(brute)
+    assert(hits >= (brute.size * 2) / 3,
+      s"PQ recall too low: $hits of ${brute.size}")
+  }
+
+  test("pq codes: one code per subspace, all within the codebook range") {
+    import graft.similarity.Similarity
+    val e = Tables.load(spark, sf, "embeddings")
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cbs.length === 8 && cbs.forall(_.length === 16))
+    assert(cbs.forall(_.forall(_.length === 8))) // 64 dims / 8 subspaces
+    // every centroid coordinate is finite (no empty-cluster NaNs)
+    assert(cbs.forall(_.forall(_.forall(x => !x.isNaN && !x.isInfinite))))
   }
 
   test("minhash-lsh pairs are all above threshold and ordered") {
