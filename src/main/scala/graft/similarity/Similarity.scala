@@ -314,6 +314,81 @@ object Similarity {
     rankTopK(candidates.join(vecs, Seq("neighbor_id")), k)
   }
 
+  /** IVF+PQ composite ANN (the FAISS IVFPQ shape): the coarse
+    * quantizer routes each vector to an inverted list, and PQ
+    * codebooks train on the RESIDUAL (v − centroid) — residuals have
+    * far less variance than raw vectors, so the same code budget
+    * quantizes finer. Search probes each query's `nprobe` nearest
+    * lists, runs ADC with per-(query, probed-list) residual tables,
+    * and exact-cosine re-ranks the top `rerank` on raw vectors.
+    *
+    * Scale shape: the corpus persists as (cluster, m-byte codes) —
+    * bucketed by cluster on disk, the probe join is co-located and
+    * touches ~nprobe/nlist of the CODES (not vectors); the query side
+    * is broadcast with nprobe×m×ksub table entries per query. Same
+    * L2-normalization contract as [[pqTopK]]. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
+      iters: Int = 2, rerank: Int = 0): DataFrame = {
+    val r = if (rerank > 0) rerank else 4 * k
+    def normalized(df: DataFrame, id: String) = df
+      .select(col(idCol).cast("long").as(id), toDouble(col(vecCol)).as("v"))
+      .withColumn("_n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("v", transform(col("v"), x => x / col("_n")))
+      .drop("_n")
+    val corpusN = normalized(corpus, "id")
+    val centroids = ivfTrain(corpusN, "id", "v", nlist, iters)
+    val centLit = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+    def residual(v: Column, cluster: Column): Column =
+      zip_with(v, element_at(centLit, cluster + 1), (x, c) => x - c)
+    // corpus: assign list, encode the residual. Persisted: the frame
+    // feeds every PQ training round AND the final encoding — without
+    // it each pass re-runs normalize+assign+residual over the corpus.
+    val assigned = withCluster(corpusN, centroids)
+      .withColumn("v", residual(col("v"), col("cluster")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks = pqTrain(assigned, "id", "v", m, ksub, iters)
+    val d = codebooks.length * codebooks(0)(0).length
+    val dsub = d / m
+    val codes = withPqCodes(assigned, codebooks, dsub)
+      .select(col("id").as("neighbor_id"), col("cluster"), col("codes"))
+    // queries: nprobe nearest lists, residual ADC tables per list
+    val cbLit = array(codebooks.toIndexedSeq.map(cb =>
+      array(cb.toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val q = broadcast(queries
+      .select(col(idCol).cast("long").as("q_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("_qn", transform(col("qv"), x => x / col("nq")))
+      .withColumn("_dists", transform(centLit, c =>
+        graft.functions.vector.arrayL2Sq(c, col("_qn"))))
+      .withColumn("_ranked", transform(
+        array_sort(transform(col("_dists"), (dd, i) => struct(dd.as("d"), i.as("i")))),
+        s => s.getField("i")))
+      .withColumn("_probe", explode(slice(col("_ranked"), 1, nprobe)))
+      .withColumn("cluster", col("_probe").cast("int"))
+      .withColumn("_rq", residual(col("_qn"), col("cluster")))
+      .withColumn("_tabs", transform(cbLit, (cb, j) => transform(cb, c =>
+        graft.functions.vector.arrayL2Sq(
+          c, slice(col("_rq"), j * lit(dsub) + 1, lit(dsub))))))
+      .select(col("q_id"), col("qv"), col("nq"), col("cluster"), col("_tabs")))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("_adc").asc, col("neighbor_id").asc)
+    val candidates = q.join(codes, Seq("cluster"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .withColumn("_adc", aggregate(
+        zip_with(col("_tabs"), col("codes"), (t, c) => element_at(t, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("_rn", row_number().over(wAdc))
+      .filter(col("_rn") <= r)
+      .select(col("q_id"), col("qv"), col("nq"), col("neighbor_id"))
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    rankTopK(candidates.join(vecs, Seq("neighbor_id")), k)
+  }
+
   /** Sign-LSH ANN top-k: queries probe only their own bucket. Returns
     * the same shape as [[bruteForceTopK]]; recall < 1 by construction
     * (single-probe). Multi-probe = union over neighboring buckets. */

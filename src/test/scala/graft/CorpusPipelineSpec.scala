@@ -77,6 +77,20 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(short.getAs[Double]("top_bigram_frac") === 0.0)
   }
 
+  test("fused annotate == composed withLangPred + withQualityColumns") {
+    val docs = graft.queries.Tables.load(spark, sf, "documents")
+    val fused = CorpusPipeline.annotate(docs)
+      .select("doc_id", "lang_pred", "n_tokens", "stop_ratio",
+        "punct_ratio", "quality_score")
+    val composed = TextAnalysis.withQualityColumns(
+      TextAnalysis.withLangPred(docs, "text"), "text")
+      .select("doc_id", "lang_pred", "n_tokens", "stop_ratio",
+        "punct_ratio", "quality_score")
+    assert(fused.exceptAll(composed).isEmpty &&
+      composed.exceptAll(fused).isEmpty,
+      "fused annotate diverges from the composed kernels")
+  }
+
   test("dedupExact keeps min doc_id per identical text") {
     val out = CorpusPipeline.dedupExact(docsDf(Seq(
       (5L, "same exact words", "a"),

@@ -22,7 +22,8 @@ class TrainingDataSpec extends AnyFunSuite {
     // rolling-hash windowed-min has no single-statement SQL form
     // (rows-only checks + dedicated specs instead)
     assert(TrainingData.queries.keySet -- TrainingData.oracles.keySet
-      === Set("q30_ann_ivf", "q31_winnow_neardup", "q57_ann_pq"))
+      === Set("q30_ann_ivf", "q31_winnow_neardup", "q57_ann_pq",
+        "q58_ann_ivfpq"))
   }
 
   test("winnowing: identical texts score 1.0; finds the fabricated near-dups") {
@@ -68,6 +69,21 @@ class TrainingDataSpec extends AnyFunSuite {
     val hits = pq1.map(r => (r.getLong(0), r.getLong(1))).count(brute)
     assert(hits >= (brute.size * 2) / 3,
       s"PQ recall too low: $hits of ${brute.size}")
+  }
+
+  test("ivfpq ann: deterministic, bounded per query, recall floor holds") {
+    val a = TrainingData.annIvfPq(spark, sf).collect()
+    val b = TrainingData.annIvfPq(spark, sf).collect()
+    assert(a.map(_.toString).sorted.toSeq === b.map(_.toString).sorted.toSeq,
+      "IVFPQ result not deterministic across runs")
+    val perQuery = a.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQuery.nonEmpty && perQuery.values.forall(_ <= 3))
+    // residual ADC over 5-of-8 probed lists: measured 12/15; floor 1/2
+    val brute = TrainingData.knnCosineBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = a.map(r => (r.getLong(0), r.getLong(1))).count(brute)
+    assert(hits >= brute.size / 2,
+      s"IVFPQ recall too low: $hits of ${brute.size}")
   }
 
   test("pq codes: one code per subspace, all within the codebook range") {
