@@ -315,6 +315,42 @@ object TrainingData {
       k = 3, m = 8, ksub = 16, rerank = 120)
   }
 
+  /** Top-k TF-IDF terms per document — the corpus-indexing / salient-
+    * term primitive (smoothed idf: ln((N+1)/(df+1)) + 1, tf normalized
+    * by document length).
+    *
+    * Scale shape: the exploded (doc, term) frame is the unavoidable
+    * big intermediate — it immediately collapses through a partial-agg
+    * groupBy (one shuffle on (doc_id, term)). Document frequencies
+    * aggregate from the ALREADY-unique (doc, term) pairs (never the
+    * raw token stream), the corpus size joins in as a broadcast 1-row
+    * frame (no driver action), and the per-doc top-k window is safe:
+    * a document's distinct terms bound its partition. Ties break on
+    * ascending term so ranks are deterministic in any engine. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = d
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
+    val len = tf.groupBy("doc_id").agg(sum("n_td").as("len_d"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(len, "doc_id")
+      .join(dft, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("n_td") / col("len_d").cast("double")) *
+          (log((col("n_docs") + lit(1)) / (col("df_t") + lit(1)).cast("double"))
+            + lit(1.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** IVF+PQ composite ANN (residual-encoded, FAISS IVFPQ shape) for
     * the same query set: probes 5 of 8 lists, ADC over residual codes,
     * exact re-rank (same rerank=120 rationale as q57 — the synthetic
@@ -400,7 +436,8 @@ object TrainingData {
     "q44_dataset_split" -> datasetSplit,
     "q45_decontaminate" -> decontaminate,
     "q57_ann_pq" -> annPq,
-    "q58_ann_ivfpq" -> annIvfPq
+    "q58_ann_ivfpq" -> annIvfPq,
+    "q59_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -614,6 +651,25 @@ object TrainingData {
            count(DISTINCT b.bench_id) AS n_bench_docs
          FROM corpus c JOIN bench b USING (g8)
          GROUP BY 1 ORDER BY 1""",
+    "q59_tfidf_topterms" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS n_td
+                FROM toks GROUP BY 1, 2),
+         len AS (SELECT doc_id, sum(n_td) AS len_d FROM tf GROUP BY 1),
+         dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT tf.doc_id, tf.term,
+           (tf.n_td / CAST(len.len_d AS DOUBLE)) *
+             (ln((n.n_docs + 1) / CAST(dft.df_t + 1 AS DOUBLE)) + 1.0)
+             AS tfidf
+           FROM tf JOIN len USING (doc_id) JOIN dft USING (term)
+           CROSS JOIN n),
+         r AS (SELECT doc_id, term, tfidf, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+               FROM s)
+         SELECT doc_id, term, tfidf, rnk FROM r
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q25_ngram_jaccard_pairs" ->
       """WITH d AS (
            SELECT doc_id, n_chars // 50 AS bucket,

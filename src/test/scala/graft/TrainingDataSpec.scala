@@ -86,6 +86,38 @@ class TrainingDataSpec extends AnyFunSuite {
       s"IVFPQ recall too low: $hits of ${brute.size}")
   }
 
+  test("tfidf top terms: k per doc, ranks 1..k, matches a Scala recount") {
+    val rows = TrainingData.tfidfTopTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length))
+      assert(rs.forall(_._3 > 0))
+    }
+    // independent recount on a handful of docs
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    val nDocs = docs.length
+    val tfAll = docs.map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)
+        .groupBy(identity).view.mapValues(_.length).toMap
+    }.toMap
+    val dfT = tfAll.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    docs.take(10).foreach { r =>
+      val id = r.getLong(0)
+      val tf = tfAll(id)
+      val lenD = tf.values.sum.toDouble
+      val scored = tf.map { case (t, n) =>
+        t -> (n / lenD) * (math.log((nDocs + 1) / (dfT(t) + 1).toDouble) + 1.0)
+      }.toSeq.sortBy { case (t, s) => (-s, t) }
+      val expected = scored.take(3).map(_._1)
+      val got = byDoc(id).sortBy(_._4).map(_._2).toSeq
+      assert(got === expected, s"doc $id top terms")
+    }
+  }
+
   test("pq codes: one code per subspace, all within the codebook range") {
     import graft.similarity.Similarity
     val e = Tables.load(spark, sf, "embeddings")
