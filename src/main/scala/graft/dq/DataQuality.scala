@@ -162,6 +162,87 @@ final class DataQualityFramework(spark: SparkSession) {
       })
   }
 
+  /** Key-uniqueness check: violations = surplus rows beyond one per
+    * distinct key tuple (total − countDistinct). Rides the fused
+    * single-pass aggregate (Spark plans the distinct via Expand in the
+    * same job); the legacy path reports the duplicated key values. */
+  def addUniquenessCheck(columns: Seq[String]): Unit = {
+    require(columns.nonEmpty, "uniqueness check needs at least one column")
+    val label = columns.mkString(",")
+    def resolveAll(df: DataFrame): Either[String, Seq[String]] = {
+      val rs = columns.map(c => c -> Cols.resolve(df, c))
+      rs.collectFirst { case (c, None) => c } match {
+        case Some(missing) => Left(s"Column $missing not found")
+        case None => Right(rs.map(_._2.get))
+      }
+    }
+    val fn = (df: DataFrame) =>
+      resolveAll(df) match {
+        case Left(msg) => Seq(msg).toDF("violation")
+        case Right(actual) =>
+          df.groupBy(actual.map(col): _*)
+            .agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > 1)
+            .select(concat_ws("|",
+              (actual.map(col) :+ col("__n")): _*).as("violation"))
+      }
+    addFusable(DataQualityCheck(s"uniqueness_check_$label",
+      s"Check ($label) is unique", fn, "duplicates == 0", "ERROR"),
+      df => resolveAll(df).map { actual =>
+        (Seq(countDistinct(actual.head, actual.tail: _*)),
+          (total: Long, vals: Seq[Long]) => total - vals.head)
+      })
+  }
+
+  /** Accepted-values check: violations = non-null values outside the
+    * allowed set. Rides the fused pass. */
+  def addAcceptedValuesCheck(column: String, allowed: Seq[String]): Unit = {
+    require(allowed.nonEmpty, "accepted-values check needs a non-empty set")
+    def pred(actual: String) =
+      col(actual).isNotNull && !col(actual).cast("string").isin(allowed: _*)
+    val fn = (df: DataFrame) =>
+      Cols.resolve(df, column) match {
+        case None => Seq(s"Column $column not found").toDF("violation")
+        case Some(actual) =>
+          df.filter(pred(actual))
+            .select(concat(lit(s"$column="), col(actual).cast("string"))
+              .as("violation"))
+      }
+    addFusable(DataQualityCheck(s"accepted_values_check_$column",
+      s"Check $column within {${allowed.mkString(",")}}", fn,
+      "violations == 0", "ERROR"),
+      df => Cols.resolve(df, column) match {
+        case None => Left(s"Column $column not found")
+        case Some(actual) =>
+          Right((Seq(count(when(pred(actual), 1))),
+            (_: Long, vals: Seq[Long]) => vals.head))
+      })
+  }
+
+  /** Referential-integrity check: violations = rows whose `column`
+    * value has no match in `dimension.dimKey` (FK orphans). Needs a
+    * join, so it cannot ride the fused aggregate — it runs as its own
+    * job with the DIMENSION side broadcast (dimension keys are small
+    * next to a 100 TB fact; for fact-sized "dimensions" register a
+    * custom check with a shuffle join instead). Null FKs are not
+    * violations (use a null check for those). */
+  def addReferentialIntegrityCheck(column: String, dimension: DataFrame,
+      dimKey: String): Unit = {
+    val keys = broadcast(
+      dimension.select(col(dimKey).as("__dim_key")).distinct())
+    val fn = (df: DataFrame) =>
+      Cols.resolve(df, column) match {
+        case None => Seq(s"Column $column not found").toDF("violation")
+        case Some(actual) =>
+          df.filter(col(actual).isNotNull)
+            .join(keys, col(actual) === col("__dim_key"), "left_anti")
+            .select(concat(lit(s"$column="), col(actual).cast("string"))
+              .as("violation"))
+      }
+    addCheck(DataQualityCheck(s"referential_integrity_check_$column",
+      s"Check $column references $dimKey", fn, "orphans == 0", "ERROR"))
+  }
+
   /** Run all checks (reference `utils/data_quality.py:240-267`) — the
     * built-in checks as ONE aggregate job over `df` (the reference runs
     * one filter+count job per check: N full scans at 100 TB), custom

@@ -1393,6 +1393,42 @@ class DataQualitySpec extends AnyFunSuite {
     assert(results === legacy)
   }
 
+  test("uniqueness check: fused count matches the duplicated-key listing") {
+    val fw = new graft.dq.DataQualityFramework(spark)
+    fw.addUniquenessCheck(Seq("k", "s"))
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a"), (1, "a"))
+      .toDF("k", "s") // (1,a) x3 -> 2 surplus rows
+    val res = fw.runAllChecks(df, "t")
+    assert(!res.head.passed && res.head.violationCount === 2)
+    val clean = Seq((1, "a"), (1, "b"), (2, "a")).toDF("k", "s")
+    assert(fw.runAllChecks(clean, "t").head.passed)
+    // legacy path agrees (it lists duplicate groups, one row per group)
+    assert(fw.allChecks.head.run(df).violationCount === 1)
+  }
+
+  test("accepted values check: non-null values outside the set count") {
+    val fw = new graft.dq.DataQualityFramework(spark)
+    fw.addAcceptedValuesCheck("status", Seq("F", "O"))
+    val df = Seq(Some("F"), Some("X"), None, Some("O"), Some("?"))
+      .toDF("status")
+    val res = fw.runAllChecks(df, "t")
+    assert(!res.head.passed && res.head.violationCount === 2)
+    // fused result identical to the standalone run
+    assert(fw.allChecks.head.run(df).violationCount === 2)
+  }
+
+  test("referential integrity: FK orphans flagged, nulls exempt") {
+    val fw = new graft.dq.DataQualityFramework(spark)
+    val dim = Seq(10L, 20L).toDF("dim_id")
+    fw.addReferentialIntegrityCheck("fk", dim, "dim_id")
+    val facts = Seq(Some(10L), Some(99L), None, Some(20L), Some(77L))
+      .toDF("fk")
+    val res = fw.runAllChecks(facts, "t")
+    assert(!res.head.passed && res.head.violationCount === 2)
+    val clean = Seq(Some(10L), Some(20L), None).toDF("fk")
+    assert(fw.runAllChecks(clean, "t").head.passed)
+  }
+
   test("summary stats: one-pass null counts per column") {
     val df = Seq((Some(1), Some("x")), (None, Some("y")), (Some(3), None))
       .toDF("a", "b")
