@@ -351,6 +351,42 @@ object TrainingData {
       .orderBy("doc_id", "rnk")
   }
 
+  /** Top-k BM25 terms per document (Okapi BM25, k1=1.2, b=0.75) — the
+    * search-relevance twin of [[tfidfTopTerms]], sharing its plan
+    * shape; the only additions are the corpus-average document length
+    * (second broadcast one-row frame) and the saturation/length
+    * normalization. idf = ln((N − df + 0.5)/(df + 0.5) + 1) — the
+    * Lucene-style always-positive form. */
+  def bm25TopTerms(spark: SparkSession, dir: String, k: Int = 3,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val d = docs(spark, dir)
+    val tf = d
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
+    val len = tf.groupBy("doc_id").agg(sum("n_td").as("len_d"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val avg = len.agg(
+      (sum("len_d").cast("double") / count(lit(1))).as("avg_len"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bm25").desc, col("term").asc)
+    val idf = log((col("n_docs") - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)) + lit(1.0))
+    val sat = (col("n_td") * (lit(k1) + 1)) /
+      (col("n_td") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("len_d") / col("avg_len")))
+    tf.join(len, "doc_id")
+      .join(dft, "term")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(avg))
+      .withColumn("bm25", idf * sat)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("bm25"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** IVF+PQ composite ANN (residual-encoded, FAISS IVFPQ shape) for
     * the same query set: probes 5 of 8 lists, ADC over residual codes,
     * exact re-rank (same rerank=120 rationale as q57 — the synthetic
@@ -437,7 +473,8 @@ object TrainingData {
     "q45_decontaminate" -> decontaminate,
     "q57_ann_pq" -> annPq,
     "q58_ann_ivfpq" -> annIvfPq,
-    "q59_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d))
+    "q59_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
+    "q60_bm25_topterms" -> ((s, d) => bm25TopTerms(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -669,6 +706,27 @@ object TrainingData {
                  (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
                FROM s)
          SELECT doc_id, term, tfidf, rnk FROM r
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q60_bm25_topterms" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS n_td
+                FROM toks GROUP BY 1, 2),
+         len AS (SELECT doc_id, sum(n_td) AS len_d FROM tf GROUP BY 1),
+         dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         a AS (SELECT CAST(sum(len_d) AS DOUBLE) / count(*) AS avg_len
+               FROM len),
+         s AS (SELECT tf.doc_id, tf.term,
+           ln((n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5) + 1.0) *
+             ((tf.n_td * (1.2 + 1)) / (tf.n_td + 1.2 *
+               (1.0 - 0.75 + 0.75 * len.len_d / a.avg_len))) AS bm25
+           FROM tf JOIN len USING (doc_id) JOIN dft USING (term)
+           CROSS JOIN n CROSS JOIN a),
+         r AS (SELECT doc_id, term, bm25, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY bm25 DESC, term) AS rnk
+               FROM s)
+         SELECT doc_id, term, bm25, rnk FROM r
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q25_ngram_jaccard_pairs" ->
       """WITH d AS (

@@ -118,6 +118,40 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 top terms: k per doc, positive scores, matches a Scala recount") {
+    val rows = TrainingData.bm25TopTerms(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length))
+      assert(rs.forall(_._3 > 0)) // Lucene-form idf is always positive
+    }
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    val nDocs = docs.length
+    val tfAll = docs.map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)
+        .groupBy(identity).view.mapValues(_.length).toMap
+    }.toMap
+    val dfT = tfAll.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val avgLen = tfAll.values.map(_.values.sum).sum.toDouble / nDocs
+    val (k1, b) = (1.2, 0.75)
+    val byDoc = rows.groupBy(_._1)
+    docs.take(10).foreach { r =>
+      val id = r.getLong(0)
+      val tf = tfAll(id)
+      val lenD = tf.values.sum
+      val scored = tf.map { case (t, n) =>
+        val idf = math.log((nDocs - dfT(t) + 0.5) / (dfT(t) + 0.5) + 1.0)
+        val sat = (n * (k1 + 1)) / (n + k1 * (1.0 - b + b * lenD / avgLen))
+        t -> idf * sat
+      }.toSeq.sortBy { case (t, s) => (-s, t) }
+      assert(byDoc(id).sortBy(_._4).map(_._2).toSeq ===
+        scored.take(3).map(_._1), s"doc $id top bm25 terms")
+    }
+  }
+
   test("pq codes: one code per subspace, all within the codebook range") {
     import graft.similarity.Similarity
     val e = Tables.load(spark, sf, "embeddings")
