@@ -394,6 +394,70 @@ object Relational {
       .orderBy("click_id", "error_id")
   }
 
+  // ------------------------------------------------------ window functions
+
+  /** The analytic window-function family over each user's event
+    * stream: lag/lead, rank, percent_rank, cume_dist, ntile — ONE
+    * shuffle on user_id, every function shares the same sort.
+    * (ts, event_id) is a unique ordering so rank == row_number and
+    * every engine agrees; percent_rank/cume_dist are exact integer
+    * ratios in double — bit-identical across engines. */
+  def windowFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    load(spark, dir, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        rank().over(w).as("rnk"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("user_id", "rnk")
+  }
+
+  // ------------------------------------------------------------- set ops
+
+  /** INTERSECT / EXCEPT (distinct set semantics, same as SQL): users
+    * who both clicked and purchased vs users who clicked but never
+    * purchased. Each set op is one shuffle of the (already projected)
+    * key column. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "events")
+    val clicks = e.filter(col("event_type") === "click").select("user_id")
+    val purchases = e.filter(col("event_type") === "purchase").select("user_id")
+    clicks.intersect(purchases).withColumn("tag", lit("both"))
+      .union(clicks.except(purchases).withColumn("tag", lit("click_only")))
+      .orderBy("tag", "user_id")
+  }
+
+  // -------------------------------------------------------- semi/anti join
+
+  /** Left-semi / left-anti joins (EXISTS / NOT EXISTS): customers with
+    * and without orders, counted per nation. The semi/anti forms ship
+    * only the join key and never duplicate the left side — the right
+    * plan shape when the subquery side is large. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = load(spark, dir, "customer")
+    val orders = load(spark, dir, "orders").select("o_custkey")
+    val nation = load(spark, dir, "nation")
+    val cond = col("c_custkey") === col("o_custkey")
+    val withO = customer.join(orders, cond, "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = customer.join(orders, cond, "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_without_orders"))
+    nation
+      .join(withO, col("n_nationkey") === withO("c_nationkey"), "left")
+      .drop("c_nationkey")
+      .join(withoutO, col("n_nationkey") === withoutO("c_nationkey"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("n_name")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -420,7 +484,10 @@ object Relational {
     "q35_range_click_near_error" -> rangeClickNearError,
     "q37_skew_join_brand" -> skewJoinBrand,
     "q41_versioned_merge" -> versionedMerge,
-    "q42_versioned_delete_update" -> versionedDeleteUpdate
+    "q42_versioned_delete_update" -> versionedDeleteUpdate,
+    "q61_window_funcs" -> windowFunctions,
+    "q62_set_ops" -> setOps,
+    "q63_semi_anti" -> semiAntiJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -574,6 +641,39 @@ object Relational {
               ELSE o_orderstatus END AS o_orderstatus
          FROM orders
          WHERE o_orderkey % 4 <> 3
-           AND NOT (o_orderkey BETWEEN 100 AND 199)"""
+           AND NOT (o_orderkey BETWEEN 100 AND 199)""",
+    "q61_window_funcs" ->
+      """SELECT user_id, event_id,
+         lag(value, 1) OVER w AS prev_value,
+         lead(value, 1) OVER w AS next_value,
+         rank() OVER w AS rnk,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume,
+         ntile(4) OVER w AS quartile
+         FROM (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, rnk""",
+    "q62_set_ops" ->
+      """SELECT user_id, 'both' AS tag FROM
+           (SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+         UNION ALL
+         SELECT user_id, 'click_only' AS tag FROM
+           (SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM events WHERE event_type = 'purchase')
+         ORDER BY tag, user_id""",
+    "q63_semi_anti" ->
+      """SELECT n_name,
+         count(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey) THEN 1 END)
+           AS n_with_orders,
+         count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey) THEN 1 END)
+           AS n_without_orders
+         FROM customer c JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1"""
   )
 }

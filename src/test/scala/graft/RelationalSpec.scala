@@ -125,4 +125,39 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readSchema.contains("l_quantity"), readSchema)
   }
 
+  test("q61 window family: ranks contiguous, ratios in [0,1], quartiles 1..4") {
+    val rows = Relational.windowFunctions(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(4)).sorted.toSeq === (1 to rs.length),
+        "rank not contiguous (ordering must be unique)")
+    }
+    assert(rows.forall { r =>
+      val (p, c) = (r.getDouble(5), r.getDouble(6))
+      p >= 0 && p <= 1 && c > 0 && c <= 1 && r.getInt(7) >= 1 && r.getInt(7) <= 4
+    })
+  }
+
+  test("q62 set ops: both/click_only partition the distinct click users") {
+    val rows = Relational.setOps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val both = rows.filter(_._2 == "both").map(_._1).toSet
+    val only = rows.filter(_._2 == "click_only").map(_._1).toSet
+    assert((both & only).isEmpty, "a user cannot be in both partitions")
+    val e = graft.queries.Tables.load(spark, sf, "events")
+    val clicks = e.filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert((both ++ only) === clicks)
+  }
+
+  test("q63 semi/anti: per-nation counts sum to the customer total") {
+    val rows = Relational.semiAntiJoin(spark, sf).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total === graft.queries.Tables.load(spark, sf, "customer").count())
+    // semi/anti plan shape: no row-duplicating inner join of orders
+    val plan = Relational.semiAntiJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"), plan)
+  }
+
 }
