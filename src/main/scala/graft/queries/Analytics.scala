@@ -128,6 +128,20 @@ object Analytics {
           .cast("double").as("sum_qty"))
       .orderBy("lvl", "l_returnflag", "l_linestatus")
 
+  /** CUBE: all four grouping combinations of (flag, status) — detail,
+    * each one-dimension subtotal, grand total — in the same single
+    * Expand + aggregate pass as [[rollupKpis]] (×4 Expand rows here,
+    * still collapsed by partial aggregation before the one shuffle). */
+  def cubeKpis(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().as("lvl"),
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy("lvl", "l_returnflag", "l_linestatus")
+
   /** Pivot (long → wide): line status becomes columns. Values are
     * enumerated explicitly (Seq("F","O")) so the plan is a single
     * group-aggregate — without them Spark runs an extra distinct job
@@ -357,7 +371,8 @@ object Analytics {
     "q53_repetition" -> ((s, d) => repetitionStats(s, d)),
     "q54_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q55_epoch_upsample" -> epochUpsample,
-    "q56_retention_cohorts" -> retentionCohorts
+    "q56_retention_cohorts" -> retentionCohorts,
+    "q64_cube_kpis" -> cubeKpis
   )
 
   val oracles: Map[String, String] = Map(
@@ -487,6 +502,14 @@ object Analytics {
            FROM events e JOIN f USING (user_id))
          SELECT cohort_week, week_index,
                 count(DISTINCT user_id) AS n_active
-         FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q64_cube_kpis" ->
+      """SELECT l_returnflag, l_linestatus,
+         GROUPING(l_returnflag, l_linestatus) AS lvl,
+         count(*) AS n_items,
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY 3, 1, 2"""
   )
 }

@@ -177,6 +177,24 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q64 cube: all four grouping levels, both subtotal axes reconstruct") {
+    val rows = Analytics.cubeKpis(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).toSet === Set(0L, 1L, 2L, 3L))
+    val detail = rows.filter(_.getLong(2) == 0L)
+    // status-axis subtotals (lvl=2: flag rolled away)
+    val byStatus = detail.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(3)).sum)
+    rows.filter(_.getLong(2) == 2L).foreach { r =>
+      assert(byStatus(r.getString(1)) === r.getLong(3))
+    }
+    // flag-axis subtotals (lvl=1: status rolled away)
+    val byFlag = detail.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(3)).sum)
+    rows.filter(_.getLong(2) == 1L).foreach { r =>
+      assert(byFlag(r.getString(0)) === r.getLong(3))
+    }
+  }
+
   test("q50 pivot: wide columns reconcile with the long group-agg") {
     val wide = Analytics.pivotDemand(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
