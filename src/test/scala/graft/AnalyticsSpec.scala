@@ -221,6 +221,26 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx (the documented 100TB swap-in) honors its rank-error bound") {
+    val events = graft.queries.Tables.load(spark, sf, "events")
+    val acc = 100 // rank error <= n/acc
+    val rows = events.groupBy("event_type")
+      .agg(
+        expr(s"percentile_approx(value, 0.5, $acc)").as("p50_approx"),
+        count(lit(1)).as("n"),
+        sort_array(collect_list(col("value"))).as("_sorted"))
+      .collect()
+    rows.foreach { r =>
+      val approx = r.getDouble(1)
+      val n = r.getLong(2).toInt
+      val sorted = r.getSeq[Double](3)
+      val rank = sorted.count(_ <= approx)
+      val err = math.abs(rank - 0.5 * n)
+      assert(err <= n.toDouble / acc + 1,
+        s"${r.getString(0)}: approx p50 rank off by $err (n=$n)")
+    }
+  }
+
   // ------------------------------------------------------------------ KMV
 
   test("kmv: sharded pre-prune picks the SAME k-th smallest as a global sort") {
