@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // several operators persist reused intermediates (signature /
+        // bucket / tf tables); with 60+ queries in one session the
+        // leftovers would compound memory pressure (same reason Bench
+        // clears between measurements)
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
