@@ -24,11 +24,14 @@ import graft.pipeline.CorpusPipeline.Recipe
   *
   * Output is written partitioned by `split` (train/val/test dirs —
   * the layout a trainer consumes), and the census is printed as one
-  * JSON line per stage.
+  * JSON line per stage. With `--versioned` the output commits to a
+  * manifest-log versioned table instead: every prep run becomes a
+  * version with history / time travel / restore — re-running with a
+  * new recipe never loses the previous corpus.
   */
 object CorpusPrep {
 
-  private val flagNames = Set("no-pii", "no-report")
+  private val flagNames = Set("no-pii", "no-report", "versioned")
 
   private[graft] def parseWeights(s: String): Map[String, Double] =
     s.split(',').filter(_.nonEmpty).map { kv =>
@@ -86,11 +89,19 @@ object CorpusPrep {
 
     val (out, census) = CorpusPipeline.run(docs, bench, recipe,
       report = !opts.contains("no-report"))
-    out.write.mode("overwrite").partitionBy("split").parquet(outDir)
+    val written = if (opts.contains("versioned")) {
+      val vt = new graft.io.VersionedTable(spark, outDir)
+      val v = vt.write(out,
+        partitionBy = Some(Seq("split")))
+      println(s"""{"stage":"committed","version":$v}""")
+      vt.read().count()
+    } else {
+      out.write.mode("overwrite").partitionBy("split").parquet(outDir)
+      spark.read.parquet(outDir).count()
+    }
     census.foreach { c =>
       println(s"""{"stage":"${c.stage}","docs":${c.docs}}""")
     }
-    val written = spark.read.parquet(outDir).count()
     println(s"""{"stage":"written","docs":$written,"out":"$outDir"}""")
   }
 }

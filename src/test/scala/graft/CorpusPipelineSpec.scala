@@ -133,6 +133,24 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(out.exists(_.getLong(2) === 3L), "src0 should have 3 epochs")
   }
 
+  test("CorpusPrep --versioned: each prep run commits a time-travelable version") {
+    val out = Fixtures.tempDir("graft-corpusprep") + "/corpus"
+    def run(weight: String): Unit = graft.CorpusPrep.main(Array(
+      "--docs", s"$sf/documents.parquet", "--out", out,
+      "--lang", "any", "--min-quality", "0.1", "--versioned",
+      "--no-report", "--weights", s"src1=$weight"))
+    run("2.0") // v0
+    run("3.0") // v1: heavier src1 upsample -> more rows
+    val vt = new graft.io.VersionedTable(spark, out)
+    val v0 = vt.readVersion(0).count()
+    val v1 = vt.readVersion(1).count()
+    assert(v0 > 0 && v1 > v0, s"expected v1 ($v1) > v0 ($v0)")
+    // the latest read sees v1; splits are the partition column
+    assert(vt.read().count() === v1)
+    assert(vt.read().select("split").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("CorpusPrep --weights parsing") {
     assert(graft.CorpusPrep.parseWeights("src0=2.5,src1=0.4") ===
       Map("src0" -> 2.5, "src1" -> 0.4))
