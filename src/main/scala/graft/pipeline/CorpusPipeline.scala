@@ -160,6 +160,32 @@ object CorpusPipeline {
         .otherwise("test"))
   }
 
+  /** Streaming front end of the pipeline for incremental corpus
+    * ingest: annotate → quality/repetition gate → PII redaction →
+    * exact-content dedup within the watermark horizon. The annotation
+    * and gating stages are the SAME code as the batch path — they are
+    * pure narrow expressions, so they run unchanged on a streaming
+    * frame; the dedup keys 8-byte content hashes in watermark-bounded
+    * state ([[graft.streaming.Streaming.dedupStreamByContent]]).
+    *
+    * Near-dedup, decontamination, and mixing stay batch jobs over the
+    * accumulated corpus — they need corpus-wide joins that streaming
+    * state cannot express — so the standard deployment is: stream
+    * this into a versioned bronze corpus table, then run [[run]]'s
+    * later stages (or the full batch pipeline) over snapshots. */
+  def streamingPrep(stream: DataFrame, tsCol: String, r: Recipe,
+      watermarkDelay: String): DataFrame = {
+    val gated = qualityFilter(annotate(stream), r)
+    val redacted =
+      if (r.redactPii)
+        TextAnalysis.withPiiRedacted(gated, "text")
+          .drop("text").withColumnRenamed("text_redacted", "text")
+          .drop("n_emails", "n_ids", "n_ips", "n_phones")
+      else gated
+    graft.streaming.Streaming
+      .dedupStreamByContent(redacted, tsCol, "text", watermarkDelay)
+  }
+
   /** Full chain with a per-stage survivor census. The census runs one
     * count job per stage (the cost is explicit and bounded — each
     * count reuses the previous stage's plan); pass `report = false`

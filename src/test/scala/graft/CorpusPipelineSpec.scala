@@ -160,6 +160,39 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streamingPrep: gates, redacts, and dedups incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val good = "the cat and the dog run to the house with the bird " * 3
+    val input = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val stream = input.toDF()
+      .toDF("doc_id", "text", "source", "ts")
+    val out = CorpusPipeline.streamingPrep(stream, "ts",
+      CorpusPipeline.Recipe(lang = Some("en"), minQuality = 0.2,
+        maxTopBigramFrac = 0.9), watermarkDelay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, good + " mail me at a@b.com", "s1", ts0),
+        (2L, good + " mail me at a@b.com", "s1", ts0), // exact re-arrival
+        (3L, "zz zz zz", "s1", ts0))                   // fails the lang gate
+      q.processAllAvailable()
+      input.addData(
+        (4L, good + " mail me at a@b.com", "s1", ts0)) // later re-arrival
+      q.processAllAvailable()
+      val rows = spark.table("corpus_stream")
+        .select("doc_id", "text").collect()
+      // the duplicate content survives once, the low-quality doc never
+      assert(rows.map(_.getLong(0)).toSeq === Seq(1L))
+      assert(rows.head.getString(1).contains("<EMAIL>"),
+        "PII must be redacted before the content hash")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------------ full run
 
   test("run: census monotone, output deduped, gates hold end-to-end") {
