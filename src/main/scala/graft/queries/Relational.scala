@@ -458,6 +458,45 @@ object Relational {
       .orderBy("n_name")
   }
 
+  // ---------------------------------------------------- scalar families
+
+  /** Temporal scalar-function family: the date-dimension derivation
+    * every warehouse needs (year/month/day/quarter, ISO day-of-week
+    * and week, day arithmetic, month end) — pure narrow projection,
+    * verified cross-engine. ISO dow is `weekday + 1` on the Spark
+    * side because Spark's `dayofweek` counts Sunday=1 while the
+    * oracle's isodow counts Monday=1. */
+  def dateDims(spark: SparkSession, dir: String): DataFrame = {
+    val d = to_date(col("o_orderdate"))
+    load(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(d).as("yr"), month(d).as("mo"),
+        dayofmonth(d).as("dom"), quarter(d).as("qtr"),
+        (weekday(d) + 1).as("iso_dow"),
+        weekofyear(d).as("iso_week"),
+        date_add(d, 30).as("d_plus_30"),
+        last_day(d).as("month_end"))
+      .orderBy("o_orderkey")
+  }
+
+  /** String scalar-function family: case, length, slicing, padding,
+    * search, reverse, splitting, multi-arg concat — one codegen'd
+    * narrow projection, verified cross-engine. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_head"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        instr(col("p_name"), "a").as("pos_a"),
+        reverse(col("p_brand")).as("brand_rev"),
+        split(col("p_name"), " ").getItem(0).as("first_word"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -487,7 +526,9 @@ object Relational {
     "q42_versioned_delete_update" -> versionedDeleteUpdate,
     "q61_window_funcs" -> windowFunctions,
     "q62_set_ops" -> setOps,
-    "q63_semi_anti" -> semiAntiJoin
+    "q63_semi_anti" -> semiAntiJoin,
+    "q65_date_dims" -> dateDims,
+    "q66_string_funcs" -> stringFuncs
   )
 
   val oracles: Map[String, String] = Map(
@@ -674,6 +715,25 @@ object Relational {
                 WHERE o.o_custkey = c.c_custkey) THEN 1 END)
            AS n_without_orders
          FROM customer c JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q65_date_dims" ->
+      """SELECT o_orderkey,
+         year(d) AS yr, month(d) AS mo, day(d) AS dom, quarter(d) AS qtr,
+         isodow(d) AS iso_dow, weekofyear(d) AS iso_week,
+         d + 30 AS d_plus_30, last_day(d) AS month_end
+         FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders)
+         ORDER BY o_orderkey""",
+    "q66_string_funcs" ->
+      """SELECT p_partkey,
+         upper(p_name) AS name_upper,
+         length(p_name) AS name_len,
+         substring(p_name, 1, 5) AS name_head,
+         lpad(p_brand, 12, '*') AS brand_padded,
+         strpos(p_name, 'a') AS pos_a,
+         reverse(p_brand) AS brand_rev,
+         string_split(p_name, ' ')[1] AS first_word,
+         concat_ws('-', p_brand, p_type) AS brand_type
+         FROM part ORDER BY p_partkey"""
   )
 }

@@ -150,6 +150,44 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((both ++ only) === clicks)
   }
 
+  test("q65 date dims: fields internally consistent, narrow plan") {
+    val rows = Relational.dateDims(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (yr, mo, dom, qtr) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(qtr === (mo - 1) / 3 + 1)
+      assert(dom >= 1 && dom <= 31 && yr >= 1990)
+      assert(r.getInt(5) >= 1 && r.getInt(5) <= 7)   // iso_dow
+      assert(r.getInt(6) >= 1 && r.getInt(6) <= 53)  // iso_week
+      // month_end is the last day of d's month; d+30 lands after it
+      // only when d is late enough in the month (sanity, not exactness)
+      val monthEnd = r.getDate(8).toLocalDate
+      assert(monthEnd.getDayOfMonth >= 28)
+      assert(monthEnd.getMonthValue === mo && monthEnd.getYear === yr)
+    }
+    val plan = Relational.dateDims(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, // only the orderBy
+      s"date dims must be a narrow projection:\n$plan")
+  }
+
+  test("q66 string funcs: derived fields agree with JVM string ops") {
+    val rows = Relational.stringFuncs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val parts = graft.queries.Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_name", "p_brand").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    rows.take(100).foreach { r =>
+      val (name, brand) = parts(r.getLong(0))
+      assert(r.getString(1) === name.toUpperCase)
+      assert(r.getInt(2) === name.length)
+      assert(r.getString(3) === name.take(5))
+      assert(r.getString(6) === brand.reverse)
+      assert(r.getString(7) === name.split(" ")(0))
+      assert(r.getInt(5) === name.indexOf("a") + 1)
+    }
+  }
+
   test("q63 semi/anti: per-nation counts sum to the customer total") {
     val rows = Relational.semiAntiJoin(spark, sf).collect()
     val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
