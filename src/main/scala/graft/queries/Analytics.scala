@@ -378,7 +378,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q46_props_json" ->
       """SELECT event_type, count(*) AS n_events,
-         sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+         CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
          min(json_extract_string(props, '$.k')::BIGINT) AS min_k,
          max(json_extract_string(props, '$.k')::BIGINT) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
@@ -395,7 +395,8 @@ object Analytics {
          sess AS (SELECT *, sum(new_sess) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
                   FROM flag)
-         SELECT user_id, session_seq, count(*) AS n_events,
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end,
                 epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
          FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -330,11 +330,15 @@ object TrainingData {
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val d = docs(spark, dir)
     // tf feeds three consumers (scores, lengths, document frequencies):
-    // persist so the corpus is exploded and counted ONCE, not thrice
+    // materialize it eagerly (localCheckpoint) so the corpus is
+    // exploded and counted ONCE, not thrice. Checkpoint blocks are
+    // auto-dropped by the ContextCleaner once the frame is
+    // unreachable — a persist here would outlive the call and
+    // accumulate cached frames in long-lived sessions.
     val tf = d
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val len = tf.groupBy("doc_id").agg(sum("n_td").as("len_d"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val n = d.agg(count(lit(1)).as("n_docs"))
@@ -363,11 +367,12 @@ object TrainingData {
   def bm25TopTerms(spark: SparkSession, dir: String, k: Int = 3,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val d = docs(spark, dir)
-    // persisted for the same three-consumer reason as tfidfTopTerms
+    // eagerly materialized for the same three-consumer reason (and
+    // with the same self-cleaning lifecycle) as tfidfTopTerms
     val tf = d
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val len = tf.groupBy("doc_id").agg(sum("n_td").as("len_d"))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val n = d.agg(count(lit(1)).as("n_docs"))

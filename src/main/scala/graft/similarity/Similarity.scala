@@ -64,19 +64,45 @@ object Similarity {
     rankTopK(q.crossJoin(c), k)
   }
 
+  /** Fan-out used by [[keepTopPerQuery]]'s pre-prune pass. */
+  private[graft] val RankShards = 64
+
+  /** Exact per-query top-`limit` under `ord` (which must end in a
+    * per-query-unique tiebreak column so ranks are deterministic),
+    * WITHOUT a single-reducer-per-query sort: a bare
+    * `Window.partitionBy(q_id)` ranks every candidate of a query in
+    * ONE task — for a flat-PQ ADC scan that is the whole corpus's
+    * codes per query, the q39-class scale-killer. Instead each
+    * (q_id, hash-shard-of-neighbor) ranks its own candidates first (a
+    * candidate's score is its global score, so every global top-limit
+    * row is necessarily in its shard's local top-limit), and the exact
+    * rank runs over ≤ RankShards×limit survivors per query. Same
+    * pre-prune-then-exact-window shape as `Analytics.topKPerGroup`;
+    * bit-identical to the single-window form. */
+  private def keepTopPerQuery(df: DataFrame, limit: Int,
+      ord: Seq[Column]): DataFrame = {
+    val wShard = Window
+      .partitionBy(col("q_id"), pmod(hash(col("neighbor_id")), lit(RankShards)))
+      .orderBy(ord: _*)
+    val wExact = Window.partitionBy(col("q_id")).orderBy(ord: _*)
+    df.withColumn("_rs", row_number().over(wShard))
+      .filter(col("_rs") <= limit)
+      .withColumn("_rn", row_number().over(wExact))
+      .filter(col("_rn") <= limit)
+      .drop("_rs", "_rn")
+  }
+
   /** Shared tail of the top-k operators: score each (query, candidate)
     * row with one dot product over precomputed norms (`qv`/`nq`,
-    * `v`/`nv` columns), keep k per query by window rank, emit rounded.
-    * The cosine is materialized as ONE column shared by ranking and
-    * output instead of being re-derived in each expression. */
+    * `v`/`nv` columns), keep k per query by sharded exact rank
+    * ([[keepTopPerQuery]]), emit rounded. The cosine is materialized
+    * as ONE column shared by ranking and output instead of being
+    * re-derived in each expression. */
   private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("_cos").desc, col("neighbor_id").asc)
-    joined
+    val scored = joined
       .withColumn("_cos", dot(col("qv"), col("v")) / (col("nq") * col("nv")))
       .select(col("q_id"), col("neighbor_id"), col("_cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    keepTopPerQuery(scored, k, Seq(col("_cos").desc, col("neighbor_id").asc))
       .select(col("q_id"), col("neighbor_id"), round(col("_cos"), 4).as("cosine"))
       .orderBy("q_id", "neighbor_id")
   }
@@ -88,15 +114,19 @@ object Similarity {
     * rotations to raise it. */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       bits: Int, threshold: Double): DataFrame = {
-    // Precompute each vector's norm ONCE (and persist: the bucketed
-    // projection feeds both sides of the self-join). cosine(a,b) =
-    // dot(a,b)/(‖a‖·‖b‖) then costs one dot per candidate pair instead
-    // of three — the norms are the exact same sqrt(dot(v,v)) values, so
-    // results are bit-identical to the inline form.
+    // Precompute each vector's norm ONCE and materialize eagerly
+    // (localCheckpoint, NOT persist: the bucketed projection feeds both
+    // sides of the self-join, and checkpoint blocks are auto-dropped by
+    // the ContextCleaner once the frame is unreachable — a persist here
+    // would outlive the call and accumulate in long-lived sessions).
+    // cosine(a,b) = dot(a,b)/(‖a‖·‖b‖) then costs one dot per candidate
+    // pair instead of three — the norms are the exact same
+    // sqrt(dot(v,v)) values, so results are bit-identical to the
+    // inline form.
     val c = corpus.select(col(idCol), toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", signBucket(col("v"), bits))
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val rawCos = dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv"))
     c.alias("a")
       .join(c.alias("b"),
@@ -298,15 +328,16 @@ object Similarity {
         graft.functions.vector.arrayL2Sq(
           c, slice(col("_qn"), j * lit(dsub) + 1, lit(dsub))))))
       .drop("_qn"))
-    val wAdc = Window.partitionBy(col("q_id"))
-      .orderBy(col("_adc").asc, col("neighbor_id").asc)
-    val candidates = q.crossJoin(codes)
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("_adc", aggregate(
-        zip_with(col("_tabs"), col("codes"), (t, c) => element_at(t, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("_rn", row_number().over(wAdc))
-      .filter(col("_rn") <= r)
+    // ADC top-r via the sharded exact rank: flat PQ scans the whole
+    // codes table per query, so a bare per-query window here would be
+    // a single-reducer sort of the corpus — see [[keepTopPerQuery]].
+    val candidates = keepTopPerQuery(
+      q.crossJoin(codes)
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("_adc", aggregate(
+          zip_with(col("_tabs"), col("codes"), (t, c) => element_at(t, c + 1)),
+          lit(0.0), (acc, x) => acc + x)),
+      r, Seq(col("_adc").asc, col("neighbor_id").asc))
       .select(col("q_id"), col("qv"), col("nq"), col("neighbor_id"))
     val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       toDouble(col(vecCol)).as("v"))
@@ -342,17 +373,23 @@ object Similarity {
       array(c.toIndexedSeq.map(lit): _*)): _*)
     def residual(v: Column, cluster: Column): Column =
       zip_with(v, element_at(centLit, cluster + 1), (x, c) => x - c)
-    // corpus: assign list, encode the residual. Persisted: the frame
-    // feeds every PQ training round AND the final encoding — without
-    // it each pass re-runs normalize+assign+residual over the corpus.
+    // corpus: assign list, encode the residual. Cached for the PQ
+    // training rounds (each Lloyd pass re-reads it) — without it each
+    // pass re-runs normalize+assign+residual over the corpus.
     val assigned = withCluster(corpusN, centroids)
       .withColumn("v", residual(col("v"), col("cluster")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codebooks = pqTrain(assigned, "id", "v", m, ksub, iters)
     val d = codebooks.length * codebooks(0)(0).length
     val dsub = d / m
+    // Materialize the codes INDEX eagerly (the standard IVFPQ build:
+    // codes are m small ints per vector — 64× smaller than the raw
+    // corpus — and checkpoint blocks self-clean via the ContextCleaner),
+    // then drop the residual cache so no cached frame outlives the call.
     val codes = withPqCodes(assigned, codebooks, dsub)
       .select(col("id").as("neighbor_id"), col("cluster"), col("codes"))
+      .localCheckpoint()
+    assigned.unpersist(blocking = false)
     // queries: nprobe nearest lists, residual ADC tables per list
     val cbLit = array(codebooks.toIndexedSeq.map(cb =>
       array(cb.toIndexedSeq.map(c =>
@@ -373,15 +410,15 @@ object Similarity {
         graft.functions.vector.arrayL2Sq(
           c, slice(col("_rq"), j * lit(dsub) + 1, lit(dsub))))))
       .select(col("q_id"), col("qv"), col("nq"), col("cluster"), col("_tabs")))
-    val wAdc = Window.partitionBy(col("q_id"))
-      .orderBy(col("_adc").asc, col("neighbor_id").asc)
-    val candidates = q.join(codes, Seq("cluster"))
-      .filter(col("q_id") =!= col("neighbor_id"))
-      .withColumn("_adc", aggregate(
-        zip_with(col("_tabs"), col("codes"), (t, c) => element_at(t, c + 1)),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("_rn", row_number().over(wAdc))
-      .filter(col("_rn") <= r)
+    // same sharded ADC top-r rationale as [[pqTopK]] — the probed
+    // lists are nprobe/nlist of the corpus, still unbounded at scale
+    val candidates = keepTopPerQuery(
+      q.join(codes, Seq("cluster"))
+        .filter(col("q_id") =!= col("neighbor_id"))
+        .withColumn("_adc", aggregate(
+          zip_with(col("_tabs"), col("codes"), (t, c) => element_at(t, c + 1)),
+          lit(0.0), (acc, x) => acc + x)),
+      r, Seq(col("_adc").asc, col("neighbor_id").asc))
       .select(col("q_id"), col("qv"), col("nq"), col("neighbor_id"))
     val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       toDouble(col(vecCol)).as("v"))

@@ -557,6 +557,50 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("no convergence"))
   }
 
+  test("ann top-k plans: no single-reducer per-query window over unreduced candidates") {
+    // the scale guard behind q26/q27/q57/q58: a window partitioned by
+    // q_id ALONE ranks every candidate of a query in one task — for a
+    // flat-PQ ADC scan that is the whole corpus's codes per query. Any
+    // such window may only ever consume pre-reduced input: another
+    // (q_id, shard) window's capped survivors.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val e = Tables.load(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 5)
+    val queries = e.filter(col("vec_id") < 5)
+    def assertSharded(df: org.apache.spark.sql.DataFrame): Unit = {
+      val lp = df.queryExecution.optimizedPlan
+      val windows = lp.collect { case w: LWindow => w }
+      assert(windows.size >= 2, s"expected pre-prune + exact windows:\n$lp")
+      windows.foreach { w =>
+        val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        if (parts == Set("q_id")) {
+          val preReduced = w.child.collectFirst { case _: LWindow => () }
+          assert(preReduced.isDefined,
+            s"per-query window runs over unreduced candidates:\n$lp")
+        }
+      }
+    }
+    assertSharded(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 3))
+    assertSharded(Similarity.signLshTopK(corpus, queries,
+      "vec_id", "embedding", k = 3, bits = 6))
+    assertSharded(TrainingData.annPq(spark, sf))
+    assertSharded(TrainingData.annIvfPq(spark, sf))
+  }
+
+  test("similarity/tf-idf queries leave no cached frames behind") {
+    // the library contract: intermediates are materialized via
+    // self-cleaning localCheckpoint blocks, never a persist that
+    // outlives the call (a long-lived session would accumulate them)
+    spark.catalog.clearCache()
+    TrainingData.embedNearDup(spark, sf).collect()
+    TrainingData.annIvfPq(spark, sf).collect()
+    TrainingData.tfidfTopTerms(spark, sf).collect()
+    TrainingData.bm25TopTerms(spark, sf).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a query left a cached frame behind")
+  }
+
   test("multi-probe lsh: recall >= single-probe, never beats brute force") {
     val e = Tables.load(spark, sf, "embeddings")
     val corpus = e.filter(col("vec_id") >= 5)
