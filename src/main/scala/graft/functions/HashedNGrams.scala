@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -28,12 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * pipelines consume. Operators whose ORACLE must reproduce the hash
   * values themselves (MinHash signatures) keep the md5-based path.
   *
-  * CodegenFallback is deliberate: the single eval call is a tight
-  * primitive loop already, and the surrounding projection stays cheap;
-  * fusing it into generated Java would save one virtual call per row.
+  * Codegen via [[UnaryKernelCodegen]]: the token chain feeding this
+  * kernel stays inside whole-stage codegen and the gram walk is one
+  * virtual call per row (a CodegenFallback would interpret the whole
+  * subtree, token chain included).
   */
 case class HashedNGrams(child: Expression, n: Int, seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with UnaryKernelCodegen with Serializable {
 
   require(n >= 1, s"n must be >= 1, got $n")
 

@@ -25,6 +25,10 @@ import org.apache.spark.sql.types._
   * Proc. 707, 2004 — public domain algorithm): Gray-code "inverse
   * undo" over the transposed coordinate bits, then MSB-first bit
   * interleaving.
+  *
+  * Runs interpreted (CodegenFallback) by design, for the same reason
+  * as [[ZValue]]: plain-column children, one eval per row of a
+  * write-dominated maintenance rewrite.
   */
 case class HilbertValue(children: Seq[Expression], boundaries: Seq[Seq[Double]])
     extends Expression with CodegenFallback with Serializable {

@@ -3,7 +3,6 @@ package graft.functions
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -29,7 +28,7 @@ import org.apache.spark.sql.types._
   * is null in the builtin form).
   */
 case class MinHashSignatures(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with UnaryKernelCodegen with Serializable {
 
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
 

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -36,7 +35,7 @@ import org.apache.spark.sql.types._
   * the same exact integers in double, bit-identical.
   */
 case class NGramRepetition(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with UnaryKernelCodegen with Serializable {
 
   require(n >= 1, s"n-gram size must be >= 1, got $n")
 

@@ -3,7 +3,8 @@ package graft.functions
 import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -37,7 +38,7 @@ import org.apache.spark.sql.types._
   *     (CASE WHEN NULL >= 0 … ELSE 0) agrees.
   */
 case class SimHash(child: Expression, bits: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with Serializable {
 
   require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
 
@@ -62,8 +63,25 @@ case class SimHash(child: Expression, bits: Int, seed: Int)
   override def nullable: Boolean = false
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) { if (bits <= 32) 0 else 0L } else nullSafeEval(v)
+    val out = hashLong(child.eval(input).asInstanceOf[ArrayData])
+    if (bits <= 32) out.toInt else out
+  }
+
+  /** Codegen keeps the child token chain inside the whole-stage loop
+    * (a CodegenFallback here would re-evaluate the ENTIRE subtree —
+    * lower/split/transform included — interpreted, per row) and makes
+    * ONE virtual call into [[hashLong]] for the md5 fold, whose cost
+    * is the digests themselves, not dispatch. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this)
+    val childGen = child.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    val castPrefix = if (bits <= 32) "(int) " else ""
+    ev.copy(
+      code = childGen.code + code"""
+final $javaType ${ev.value} = $castPrefix$ref.hashLong(
+  ${childGen.isNull} ? null : ${childGen.value});""",
+      isNull = FalseLiteral)
   }
 
   // MessageDigest is stateful and not thread-safe; tasks share the
@@ -74,8 +92,10 @@ case class SimHash(child: Expression, bits: Int, seed: Int)
   @transient private lazy val seedPrefix: Array[Byte] =
     s"$seed:".getBytes("UTF-8")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  /** The whole-array md5 fold as a `bits`-wide long, callable from
+    * generated code; null array → 0 (HOF parity, see scaladoc). */
+  def hashLong(toks: ArrayData): Long = {
+    if (toks == null) return 0L
     val m = toks.numElements()
     val counters = new Array[Int](bits)
     val md = digests.get()
@@ -112,7 +132,7 @@ case class SimHash(child: Expression, bits: Int, seed: Int)
       if (counters(j) >= 0) out |= 1L << j
       j += 1
     }
-    if (bits <= 32) out.toInt else out
+    out
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash =

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -20,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`In` evaluates to null for them, and `filter` drops nulls).
   */
 case class StopwordHitCount(child: Expression, words: Seq[String])
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with UnaryKernelCodegen with Serializable {
 
   override def prettyName: String = "graft_stopword_hits"
 

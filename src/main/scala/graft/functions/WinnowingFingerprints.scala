@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -29,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[SortedLongSetJaccard]] consumes.
   */
 case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with UnaryKernelCodegen with Serializable {
 
   require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
 

@@ -23,6 +23,11 @@ import org.apache.spark.sql.types._
   * (sorts first, like NULLS FIRST). `boundaries(d)` has `2^bitsPerDim
   * - 1` ascending edges; value v gets bucket = #edges < v (binary
   * search), i.e. edges are upper-inclusive cut points.
+  *
+  * Runs interpreted (CodegenFallback) by design: its children are
+  * plain table columns (no expression chain to drag out of codegen),
+  * and it evaluates once per row of a maintenance REWRITE whose cost
+  * is the parquet write, not the sort key.
   */
 case class ZValue(children: Seq[Expression], boundaries: Seq[Seq[Double]])
     extends Expression with CodegenFallback with Serializable {

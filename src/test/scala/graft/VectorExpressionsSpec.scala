@@ -61,6 +61,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(2)).contains(5.0))
   }
 
+  test("simhash runs inside whole-stage codegen (not CodegenFallback)") {
+    // non-literal source so constant folding can't collapse the plan;
+    // value parity with the HOF chain is pinned in TrainingDataSpec —
+    // this asserts the fold no longer drags the token chain out of the
+    // starred stage (CodegenFallback would interpret the whole subtree)
+    val df = spark.range(3)
+      .select(split(concat(lit("a b c"), col("id").cast("string")), " ").as("toks"))
+      .select(graft.functions.SimHash.simhash(col("toks"), 16, seed = 0).as("s"))
+      .filter(col("s") >= 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter (graft_simhash"), plan)
+    assert(df.count() === 3)
+  }
+
   test("hashedNGrams equals sorted-distinct xxhash64 of the string shingles") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog the quick brown",
@@ -98,6 +112,45 @@ class VectorExpressionsSpec extends AnyFunSuite {
         assert(native(k) === b, s"hash $k mismatch in ${r}")
       }
     }
+  }
+
+  test("kernel codegen compiles and matches interpreted eval (no silent fallback)") {
+    // WholeStageCodegen silently falls back to interpreted execution
+    // when generated Java fails to compile — results stay right, the
+    // perf claim quietly dies. Generating a projection directly throws
+    // on a compile error, so this pins every UnaryKernelCodegen kernel
+    // (and SimHash's bespoke doGenCode) to actually-compiling codegen.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = BoundReference(0, ArrayType(StringType), nullable = true)
+    val text = BoundReference(1, StringType, nullable = true)
+    val exprs = Seq(
+      graft.functions.SimHash(toks, 16, 0),
+      graft.functions.SimHash(toks, 56, 0),
+      graft.functions.HashedNGrams(toks, 2),
+      graft.functions.MinHashSignatures(toks, 8),
+      graft.functions.NGramRepetition(toks, 2),
+      graft.functions.StopwordHitCount(toks, Seq("the", "a")),
+      graft.functions.WinnowingFingerprints(text, 3, 4))
+    val proj = GenerateMutableProjection.generate(exprs) // throws on bad codegen
+    val arr: ArrayData = new GenericArrayData(Array[Any](
+      UTF8String.fromString("the"), UTF8String.fromString("quick"),
+      UTF8String.fromString("the"), UTF8String.fromString("fox")))
+    val row = InternalRow(arr, UTF8String.fromString("the quick brown fox"))
+    val out = proj(row).copy()
+    exprs.zipWithIndex.foreach { case (e, i) =>
+      assert(out.get(i, e.dataType) === e.eval(row),
+        s"codegen/interpreted mismatch for ${e.prettyName}")
+    }
+    // null input row: null-in-null-out for kernels, 0 for SimHash
+    val nullRow = InternalRow(null, null)
+    val nullOut = proj(nullRow).copy()
+    assert(nullOut.getInt(0) === 0 && nullOut.getLong(1) === 0L)
+    (2 until exprs.length).foreach(i => assert(nullOut.isNullAt(i)))
   }
 
   test("type check rejects non-double arrays") {
