@@ -24,4 +24,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++ graft.queries.TrainingData.oracles ++
       graft.queries.Analytics.oracles
+
+  /** Data-dependent generated oracles (the trained-ANN search phase:
+    * the model is trained in Spark per scale factor, then frozen into
+    * the SQL as literals — see graft.queries.AnnOracles). Verify merges
+    * these over [[oracleSql]] when dumping oracle_sql.json. */
+  def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] =
+    graft.queries.AnnOracles.dynamic(spark, dir)
 }

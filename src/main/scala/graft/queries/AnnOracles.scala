@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+/** Generated DuckDB oracles for the iteratively-trained ANN queries
+  * (q30 IVF, q57 PQ, q58 IVF+PQ).
+  *
+  * K-means training is not expressible as one SQL statement, but the
+  * SEARCH phase is: train once in Spark (deterministic — seeded init,
+  * fixed Lloyd rounds, 6-decimal-rounded means), then freeze the
+  * trained centroids/codebooks as array literals inside a generated
+  * SQL statement that independently replicates assignment → probe →
+  * ADC → exact re-rank. The same technique as q38's generated simhash
+  * terms (`TrainingData.simhashPairsSql`): the oracle re-derives every
+  * search-phase step from the frozen model, so a regression in
+  * assignment, probe selection, ADC table lookup, or rank ordering
+  * hash-mismatches instead of hiding under a coarse recall threshold.
+  * Training itself stays covered by TrainingDataSpec's recall and
+  * codebook-shape specs.
+  *
+  * `graft.Verify` calls [[dynamic]] per scale-factor dir and merges the
+  * result into the static `SparkEntry.oracleSql` map before dumping
+  * `oracle_sql.json` — oracle SQL is data-dependent here because the
+  * trained model is.
+  *
+  * Parameters mirror `TrainingData.annIvf` / `annPq` / `annIvfPq`
+  * (drift is pinned by AnnOracleSpec comparing oracle vs Spark rows).
+  */
+object AnnOracles {
+
+  /** vec_id < QuerySplit = query set; the rest is the corpus (the
+    * q26/q27/q30/q57/q58 convention). */
+  private val QuerySplit = 5
+
+  def dynamic(spark: SparkSession, dir: String): Map[String, String] = Map(
+    "q30_ann_ivf" -> ivfSql(spark, dir),
+    "q57_ann_pq" -> pqSql(spark, dir),
+    "q58_ann_ivfpq" -> ivfPqSql(spark, dir))
+
+  // ------------------------------------------------------------ helpers
+
+  private def fd(x: Double): String = java.lang.Double.toString(x)
+
+  private def vecLit(a: Array[Double]): String =
+    a.map(fd).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** `(VALUES (0, [..]), (1, [..]), …) AS t(cl, c)` centroid relation. */
+  private def centRelation(cent: Array[Array[Double]]): String =
+    cent.zipWithIndex
+      .map { case (c, i) => s"($i, ${vecLit(c)})" }
+      .mkString("(VALUES ", ", ", ") AS t(cl, c)")
+
+  /** `(VALUES (j, code, [..]), …) AS t(j, code, c)` codebook relation. */
+  private def cbRelation(cb: Array[Array[Array[Double]]]): String = {
+    val rows = for {
+      j <- cb.indices
+      code <- cb(j).indices
+    } yield s"($j, $code, ${vecLit(cb(j)(code))})"
+    rows.mkString("(VALUES ", ", ", ") AS t(j, code, c)")
+  }
+
+  /** Squared L2 between `v` elements [off+1, off+d] and codeword `c`
+    * — ascending-index fold, mirroring graft_l2sq. */
+  private def l2(v: String, c: String, d: Int, off: String = "0"): String =
+    s"list_sum(list_transform(range(1, ${d + 1}), " +
+      s"i -> ($v[$off + i] - $c[i]) * ($v[$off + i] - $c[i])))"
+
+  private def cos(qv: String, v: String): String =
+    s"list_dot_product($qv, $v) / (sqrt(list_dot_product($qv, $qv)) " +
+      s"* sqrt(list_dot_product($v, $v)))"
+
+  /** Shared exact-cosine re-rank tail over raw vectors: rank `cand`
+    * (q_id, neighbor_id) per query by cosine desc / neighbor asc,
+    * keep k, emit rounded. */
+  private def rerankTail(k: Int): String =
+    s"""scored AS (
+         SELECT cand.q_id, cand.neighbor_id,
+           ${cos("q.v", "c.v")} AS cos,
+           row_number() OVER (PARTITION BY cand.q_id
+             ORDER BY ${cos("q.v", "c.v")} DESC, cand.neighbor_id ASC) AS rn
+         FROM cand
+         JOIN queries q ON q.id = cand.q_id
+         JOIN corpus c ON c.id = cand.neighbor_id)
+       SELECT q_id, neighbor_id, round(cos, 4) AS cosine
+       FROM scored WHERE rn <= $k ORDER BY q_id, neighbor_id"""
+
+  private def baseTables: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       corpus AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= $QuerySplit),
+       queries AS (SELECT vec_id AS id, v FROM e WHERE vec_id < $QuerySplit)"""
+
+  /** Normalized view `<name>n(id, vn)` of `<name>` — mirrors the
+    * L2-normalization Similarity.pqTopK/ivfPqTopK apply before
+    * training/encoding/ADC (re-rank stays on the raw vectors). */
+  private def normalized(name: String): String =
+    s"""${name}n AS (SELECT id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+       FROM $name)"""
+
+  /** Nearest-centroid assignment of `rel(id, <vcol>)` as
+    * `<out>(id, cluster)` — first-min tie-break (lowest cl), matching
+    * array_position(array_min). */
+  private def assign(out: String, rel: String, vcol: String, dim: Int,
+      limit: Int = 1): String =
+    s"""${out}_d AS (
+         SELECT $rel.id, cent.cl, ${l2(s"$rel.$vcol", "cent.c", dim)} AS d
+         FROM $rel CROSS JOIN cent),
+       $out AS (
+         SELECT id, cl AS cluster FROM (
+           SELECT id, cl, row_number() OVER (PARTITION BY id
+             ORDER BY d ASC, cl ASC) AS rn FROM ${out}_d)
+         WHERE rn <= $limit)"""
+
+  /** PQ encoding of `rel(id[, cluster], <vcol>)` into
+    * `codes(id[, cluster], codes)` (list of m codes, subspace order),
+    * plus per-query ADC tables are built with the same kernel. */
+  private def encode(rel: String, vcol: String, dsub: Int,
+      carryCluster: Boolean): String = {
+    val clSel = if (carryCluster) s"$rel.cluster, " else ""
+    val clGroup = if (carryCluster) ", cluster" else ""
+    s"""enc_d AS (
+         SELECT $rel.id, ${clSel}cb.j, cb.code,
+           ${l2(s"$rel.$vcol", "cb.c", dsub, s"cb.j * $dsub")} AS d
+         FROM $rel CROSS JOIN cb),
+       enc AS (
+         SELECT id${clGroup}, j, code FROM (
+           SELECT id${clGroup}, j, code, row_number() OVER
+             (PARTITION BY id, j ORDER BY d ASC, code ASC) AS rn
+           FROM enc_d)
+         WHERE rn = 1),
+       codes AS (
+         SELECT id${clGroup}, list(code ORDER BY j) AS codes
+         FROM enc GROUP BY id${clGroup})"""
+  }
+
+  // ---------------------------------------------------------------- q30
+
+  /** IVF search-phase oracle: frozen trained centroids; assignment,
+    * nprobe-list probe, and exact cosine rank replicated in SQL.
+    * Mirrors `TrainingData.annIvf` (nlist=8, nprobe=3, k=3). */
+  def ivfSql(spark: SparkSession, dir: String): String = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.ivfTrain(
+      e.filter(col("vec_id") >= QuerySplit), "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val dim = centroids(0).length
+    s"""WITH cent AS (SELECT * FROM ${centRelation(centroids)}),
+       $baseTables,
+       ${assign("ca", "corpus", "v", dim)},
+       ${assign("probe", "queries", "v", dim, limit = 3)},
+       cand AS (
+         SELECT p.id AS q_id, ca.id AS neighbor_id
+         FROM probe p JOIN ca ON ca.cluster = p.cluster
+         WHERE p.id <> ca.id),
+       ${rerankTail(k = 3)}"""
+  }
+
+  // ---------------------------------------------------------------- q57
+
+  /** Flat-PQ search-phase oracle: frozen trained codebooks; L2
+    * normalization, per-subspace encoding, ADC table build + lookup
+    * fold, top-r cut, and exact re-rank replicated in SQL. Mirrors
+    * `TrainingData.annPq` (m=8, ksub=16, rerank=120, k=3). */
+  def pqSql(spark: SparkSession, dir: String): String = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpusN = normalizedFrame(e.filter(col("vec_id") >= QuerySplit))
+    val codebooks = Similarity.pqTrain(corpusN, "id", "v", m = 8, ksub = 16)
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    s"""WITH cb AS (SELECT * FROM ${cbRelation(codebooks)}),
+       $baseTables,
+       ${normalized("corpus")},
+       ${normalized("queries")},
+       ${encode("corpusn", "vn", dsub, carryCluster = false)},
+       tab_d AS (
+         SELECT q.id AS q_id, cb.j, cb.code,
+           ${l2("q.vn", "cb.c", dsub, s"cb.j * $dsub")} AS d
+         FROM queriesn q CROSS JOIN cb),
+       tab_j AS (SELECT q_id, j, list(d ORDER BY code) AS tj
+                 FROM tab_d GROUP BY q_id, j),
+       tabs AS (SELECT q_id, list(tj ORDER BY j) AS tabs
+                FROM tab_j GROUP BY q_id),
+       adc AS (
+         SELECT t.q_id, c.id AS neighbor_id,
+           list_sum(list_transform(range(1, ${m + 1}),
+             j -> t.tabs[j][c.codes[j] + 1])) AS adc
+         FROM tabs t CROSS JOIN codes c
+         WHERE t.q_id <> c.id),
+       cand AS (
+         SELECT q_id, neighbor_id FROM (
+           SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY adc ASC, neighbor_id ASC) AS rn FROM adc)
+         WHERE rn <= 120),
+       ${rerankTail(k = 3)}"""
+  }
+
+  // ---------------------------------------------------------------- q58
+
+  /** IVF+PQ search-phase oracle: frozen coarse centroids AND residual
+    * codebooks; normalization, list assignment, residual encoding,
+    * probe, per-(query, list) residual ADC tables, top-r cut, exact
+    * re-rank — all replicated in SQL. Mirrors `TrainingData.annIvfPq`
+    * (nlist=8, nprobe=5, m=8, ksub=16, rerank=120, k=3). */
+  def ivfPqSql(spark: SparkSession, dir: String): String = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val corpusN = normalizedFrame(e.filter(col("vec_id") >= QuerySplit))
+    val centroids = Similarity.ivfTrain(corpusN, "id", "v", nlist = 8, iters = 2)
+    val dim = centroids(0).length
+    val codebooks = {
+      // identical residual frame to Similarity.ivfPqTopK's `assigned`
+      val centLit = array(centroids.toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*)
+      val assigned = corpusN
+        .withColumn("_dists", transform(centLit, c =>
+          graft.functions.vector.arrayL2Sq(c, col("v"))))
+        .withColumn("cluster",
+          expr("array_position(_dists, array_min(_dists)) - 1").cast("int"))
+        .drop("_dists")
+        .withColumn("v", zip_with(col("v"),
+          element_at(centLit, col("cluster") + 1), (x, c) => x - c))
+      Similarity.pqTrain(assigned, "id", "v", m = 8, ksub = 16)
+    }
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    s"""WITH cent AS (SELECT * FROM ${centRelation(centroids)}),
+       cb AS (SELECT * FROM ${cbRelation(codebooks)}),
+       $baseTables,
+       ${normalized("corpus")},
+       ${normalized("queries")},
+       ${assign("ca", "corpusn", "vn", dim)},
+       res AS (
+         SELECT cn.id, ca.cluster,
+           list_transform(range(1, ${dim + 1}),
+             i -> cn.vn[i] - cent.c[i]) AS rv
+         FROM corpusn cn JOIN ca USING (id)
+         JOIN cent ON cent.cl = ca.cluster),
+       ${encode("res", "rv", dsub, carryCluster = true)},
+       ${assign("probe", "queriesn", "vn", dim, limit = 5)},
+       rq AS (
+         SELECT p.id AS q_id, p.cluster,
+           list_transform(range(1, ${dim + 1}),
+             i -> qn.vn[i] - cent.c[i]) AS rv
+         FROM probe p JOIN queriesn qn ON qn.id = p.id
+         JOIN cent ON cent.cl = p.cluster),
+       tab_d AS (
+         SELECT rq.q_id, rq.cluster, cb.j, cb.code,
+           ${l2("rq.rv", "cb.c", dsub, s"cb.j * $dsub")} AS d
+         FROM rq CROSS JOIN cb),
+       tab_j AS (SELECT q_id, cluster, j, list(d ORDER BY code) AS tj
+                 FROM tab_d GROUP BY q_id, cluster, j),
+       tabs AS (SELECT q_id, cluster, list(tj ORDER BY j) AS tabs
+                FROM tab_j GROUP BY q_id, cluster),
+       adc AS (
+         SELECT t.q_id, c.id AS neighbor_id,
+           list_sum(list_transform(range(1, ${m + 1}),
+             j -> t.tabs[j][c.codes[j] + 1])) AS adc
+         FROM tabs t JOIN codes c ON c.cluster = t.cluster
+         WHERE t.q_id <> c.id),
+       cand AS (
+         SELECT q_id, neighbor_id FROM (
+           SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+             ORDER BY adc ASC, neighbor_id ASC) AS rn FROM adc)
+         WHERE rn <= 120),
+       ${rerankTail(k = 3)}"""
+  }
+
+  /** (id: long, v: array<double> L2-normalized) — the exact frame shape
+    * Similarity.pqTopK/ivfPqTopK train on. */
+  private def normalizedFrame(df: DataFrame): DataFrame = df
+    .select(col("vec_id").cast("long").as("id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    .withColumn("_n", sqrt(graft.functions.vector.arrayDot(col("v"), col("v"))))
+    .withColumn("v", transform(col("v"), x => x / col("_n")))
+    .drop("_n")
+}

@@ -282,9 +282,11 @@ object TrainingData {
       bits = 4, threshold = 0.4)
 
   /** IVF ANN top-3 (nlist=8, nprobe=3, 2 Lloyd rounds) for the same
-    * query set as q26/q27. Iterative training → no SQL oracle; the
-    * driver records the weaker rows-only check, and TrainingDataSpec
-    * checks recall against the brute-force ground truth. */
+    * query set as q26/q27. TrainingDataSpec checks recall against the
+    * brute-force ground truth; the SEARCH phase (assignment + probe +
+    * rank) is additionally hash-checked against a generated DuckDB
+    * oracle with the trained centroids frozen as literals
+    * ([[AnnOracles.ivfSql]] — params must mirror this call). */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.ivfTopK(
@@ -303,9 +305,10 @@ object TrainingData {
     * exact re-rank than clustered real embeddings would (measured
     * here: recall@3 goes 4/15 → 14/15 from rerank 12 → 120; at scale
     * rerank is a per-query CONSTANT independent of corpus size).
-    * Iterative k-means training → no SQL oracle; the driver records
-    * the weaker rows-only check, and TrainingDataSpec checks recall
-    * against the brute-force ground truth. */
+    * Training recall is spec-checked; the search phase (normalize →
+    * encode → ADC → top-r → re-rank) hash-checks against the
+    * generated frozen-codebook oracle [[AnnOracles.pqSql]] (params
+    * must mirror this call). */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.pqTopK(
@@ -402,7 +405,9 @@ object TrainingData {
     * exact re-rank (same rerank=120 rationale as q57 — the synthetic
     * uniform embeddings are quantization's worst case). Measured
     * recall@3 here: 12/15 while scanning codes from only
-    * nprobe/nlist of the corpus. Oracle-less like q30/q57. */
+    * nprobe/nlist of the corpus. Search phase hash-checks against the
+    * generated frozen-model oracle [[AnnOracles.ivfPqSql]] (params
+    * must mirror this call). */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.ivfPqTopK(
@@ -798,10 +803,10 @@ object TrainingData {
          CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
          CAST(sum(strlen(text)) AS DOUBLE) / count(strlen(text)) AS avg_bytes
          FROM documents GROUP BY 1 ORDER BY 1""",
-    // q30_ann_ivf intentionally has NO oracle: IVF training is
-    // iterative (Lloyd) and not expressible as one SQL statement; the
-    // driver records a rows-only check and TrainingDataSpec verifies
-    // recall against the exact brute-force ground truth.
+    // q30/q57/q58 oracles are GENERATED per scale factor (training is
+    // iterative, so the trained model is frozen into the SQL as
+    // literals — see AnnOracles); Verify merges them into
+    // oracle_sql.json over this static map.
     "q29_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          b AS (
