@@ -84,24 +84,31 @@ object CorpusPrep {
 
     val docs = spark.read.parquet(docsPath)
     val bench = opts.get("bench").map(spark.read.parquet(_))
-      // no benchmark: decontaminate against nothing (empty frame)
-      .getOrElse(docs.filter(col("doc_id").isNull))
+      // no benchmark: decontaminate against a GUARANTEED-empty frame
+      // (a doc_id-is-null filter would promote any null-id rows to
+      // benchmark docs and then decontaminate real docs against them)
+      .getOrElse(docs.limit(0))
 
-    val (out, census) = CorpusPipeline.run(docs, bench, recipe,
+    val (out, censusThunk) = CorpusPipeline.run(docs, bench, recipe,
       report = !opts.contains("no-report"))
-    val written = if (opts.contains("versioned")) {
+    val version = if (opts.contains("versioned")) {
       val vt = new graft.io.VersionedTable(spark, outDir)
-      val v = vt.write(out,
-        partitionBy = Some(Seq("split")))
-      println(s"""{"stage":"committed","version":$v}""")
-      vt.read().count()
+      Some(vt.write(out, partitionBy = Some(Seq("split"))))
     } else {
       out.write.mode("overwrite").partitionBy("split").parquet(outDir)
-      spark.read.parquet(outDir).count()
+      None
     }
+    // census rides the write action above via observe() — no extra
+    // jobs, and no re-read of the written output: rows written ==
+    // the mix_split survivor count
+    val census = censusThunk()
     census.foreach { c =>
       println(s"""{"stage":"${c.stage}","docs":${c.docs}}""")
     }
-    println(s"""{"stage":"written","docs":$written,"out":"$outDir"}""")
+    version.foreach(v => println(s"""{"stage":"committed","version":$v}"""))
+    val writtenDocs = census.collectFirst {
+      case c if c.stage == "mix_split" => s""","docs":${c.docs}"""
+    }.getOrElse("")
+    println(s"""{"stage":"written"$writtenDocs,"out":"$outDir"}""")
   }
 }

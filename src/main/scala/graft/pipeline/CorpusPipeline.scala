@@ -186,17 +186,28 @@ object CorpusPipeline {
       .dedupStreamByContent(redacted, tsCol, "text", watermarkDelay)
   }
 
-  /** Full chain with a per-stage survivor census. The census runs one
-    * count job per stage (the cost is explicit and bounded — each
-    * count reuses the previous stage's plan); pass `report = false`
-    * to get the composed lazy frame with zero extra jobs. */
+  /** Full chain with a per-stage survivor census that is FREE: each
+    * stage boundary carries an `observe(count)` node, so the counts
+    * ride the caller's first action over the returned frame — the
+    * chain (including the expensive near-dedup) executes exactly ONCE,
+    * for the action itself. (The previous design ran one count job per
+    * stage, and each count recomputed the whole prefix chain — the
+    * dominant stage executed 3–4×.)
+    *
+    * The returned thunk BLOCKS until that first action completes; run
+    * an action (write/collect/count) on the frame before calling it.
+    * With `report = false` the frame carries no observe nodes and the
+    * thunk returns empty. */
   def run(docs: DataFrame, benchmark: DataFrame, r: Recipe = Recipe(),
-      report: Boolean = true): (DataFrame, Seq[StageCount]) = {
-    val counts = Seq.newBuilder[StageCount]
-    def step(name: String, df: DataFrame): DataFrame = {
-      if (report) counts += StageCount(name, df.count())
-      df
-    }
+      report: Boolean = true): (DataFrame, () => Seq[StageCount]) = {
+    val obs = Seq.newBuilder[(String, org.apache.spark.sql.Observation)]
+    def step(name: String, df: DataFrame): DataFrame =
+      if (!report) df
+      else {
+        val o = org.apache.spark.sql.Observation()
+        obs += name -> o
+        df.observe(o, count(lit(1)).as("n"))
+      }
     val annotated = annotate(docs)
     val filtered = step("quality_filter", qualityFilter(annotated, r))
     val redacted =
@@ -209,6 +220,9 @@ object CorpusPipeline {
     val near = step("dedup_near", dedupNear(exact, r.nearDupThreshold))
     val clean = step("decontaminate", decontaminate(near, benchmark))
     val mixed = step("mix_split", mixAndSplit(clean, r))
-    (mixed, counts.result())
+    val collected = obs.result()
+    (mixed, () => collected.map { case (name, o) =>
+      StageCount(name, o.get("n").asInstanceOf[Long])
+    })
   }
 }

@@ -707,15 +707,25 @@ object Relational {
             SELECT user_id FROM events WHERE event_type = 'purchase')
          ORDER BY tag, user_id""",
     "q63_semi_anti" ->
-      """SELECT n_name,
-         count(CASE WHEN EXISTS (SELECT 1 FROM orders o
-                WHERE o.o_custkey = c.c_custkey) THEN 1 END)
-           AS n_with_orders,
-         count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
-                WHERE o.o_custkey = c.c_custkey) THEN 1 END)
-           AS n_without_orders
-         FROM customer c JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY 1 ORDER BY 1""",
+      // nation LEFT JOIN the per-nation aggregate (not customer JOIN
+      // nation): the Spark side starts from nation, so a nation with
+      // zero customers must appear with (0, 0) here too — an inner
+      // join from customer would drop it (latent on TPC-H data where
+      // every nation has customers, real on anything else)
+      """WITH agg AS (
+           SELECT c_nationkey,
+             count(CASE WHEN EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey) THEN 1 END)
+               AS n_with_orders,
+             count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey) THEN 1 END)
+               AS n_without_orders
+           FROM customer c GROUP BY 1)
+         SELECT n_name,
+           CAST(coalesce(n_with_orders, 0) AS BIGINT) AS n_with_orders,
+           CAST(coalesce(n_without_orders, 0) AS BIGINT) AS n_without_orders
+         FROM nation LEFT JOIN agg ON n_nationkey = c_nationkey
+         ORDER BY n_name""",
     "q65_date_dims" ->
       """SELECT o_orderkey,
          year(d) AS yr, month(d) AS mo, day(d) AS dom, quarter(d) AS qtr,

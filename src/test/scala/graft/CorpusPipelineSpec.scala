@@ -202,7 +202,11 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val r = CorpusPipeline.Recipe(
       lang = None, minQuality = 0.1, maxTopBigramFrac = 0.9,
       nearDupThreshold = 0.8, sourceWeights = Map("src1" -> 2.0))
-    val (out, census) = CorpusPipeline.run(corpus, bench, r)
+    val (out, censusThunk) = CorpusPipeline.run(corpus, bench, r)
+    val rows = out.select("doc_id", "split", "epoch").collect()
+    // the census rides the collect action above (observe nodes — no
+    // extra count jobs); the thunk blocks until that action completes
+    val census = censusThunk()
     val byStage = census.map(c => c.stage -> c.docs).toMap
     assert(census.map(_.stage) === Seq("quality_filter", "dedup_exact",
       "dedup_near", "decontaminate", "mix_split"))
@@ -210,7 +214,6 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(byStage("dedup_exact") <= byStage("quality_filter"))
     assert(byStage("dedup_near") <= byStage("dedup_exact"))
     assert(byStage("decontaminate") <= byStage("dedup_near"))
-    val rows = out.select("doc_id", "split", "epoch").collect()
     assert(rows.length === byStage("mix_split") && rows.nonEmpty)
     // (doc_id, epoch) unique; all splits valid
     val keys = rows.map(x => (x.getLong(0), x.getLong(2)))
