@@ -366,23 +366,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * the file's partition VALUE (exact, not a range): Delta-style
     * partition pruning from the manifest alone. */
   def readWhere(ranges: Map[String, (Double, Double)]): DataFrame = {
-    import org.apache.spark.sql.functions.col
     require(ranges.nonEmpty, "readWhere needs at least one column range")
-    val pred = ranges.map { case (column, (lo, hi)) =>
-      col(column) >= lo && col(column) <= hi
-    }.reduce(_ && _)
-    prunedRead(pred, (e, partCols) => ranges.forall { case (column, (lo, hi)) =>
-      if (partCols.contains(column))
-        e.partitionValues.get(column)
-          .flatMap(s => scala.util.Try(s.toDouble).toOption) match {
-          case Some(value) => value >= lo && value <= hi
-          case None => true // null/non-numeric partition value: must read
-        }
-      else e.stats.get(column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true // unknown range: must read
-      }
-    })
+    readMatching(ranges.toSeq.map { case (c, (lo, hi)) =>
+      VersionedTable.NumRange(c, lo, hi) }: _*)
   }
 
   /** Exact-value partition pruning — the string-partition counterpart
@@ -395,24 +381,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * number, else just row-filter. The row-level predicate stays on top
     * for exactness (Spark casts the literal to the column's type). */
   def readWherePartition(equal: Map[String, String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     require(equal.nonEmpty, "readWherePartition needs at least one column=value")
-    val pred = equal.map { case (column, value) =>
-      col(column) === lit(value)
-    }.reduce(_ && _)
-    prunedRead(pred, (e, partCols) => equal.forall { case (column, value) =>
-      if (partCols.contains(column))
-        e.partitionValues.get(column) match {
-          case Some(pv) => pv == value
-          case None => true // null partition value: must read
-        }
-      else e.stats.get(column) match {
-        case Some((mn, mx)) =>
-          scala.util.Try(value.toDouble).toOption
-            .forall(d => mx >= d && mn <= d)
-        case None => true
-      }
-    })
+    readMatching(equal.toSeq.map { case (c, v) =>
+      VersionedTable.PartitionEq(c, v) }: _*)
   }
 
   /** Exact multi-value partition read: plans ONLY the files whose
@@ -449,31 +420,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * PARTITION columns only prune when the path value parses as an
     * ISO instant (rendered forms vary by writer timezone —
     * unparseable values are read, never dropped). */
-  def readWhereTimestamp(column: String, loIso: String, hiIso: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val (lo, hi) = (java.time.Instant.parse(loIso), java.time.Instant.parse(hiIso))
-    def micros(i: java.time.Instant): Double =
-      i.getEpochSecond * 1e6 + i.getNano / 1000.0
-    typedRangeRead(column,
-      col(column) >= lit(java.sql.Timestamp.from(lo)) &&
-        col(column) <= lit(java.sql.Timestamp.from(hi)),
-      micros(lo), micros(hi),
-      s => scala.util.Try(micros(java.time.Instant.parse(s))).toOption)
-  }
+  def readWhereTimestamp(column: String, loIso: String, hiIso: String): DataFrame =
+    readMatching(VersionedTable.TsRange(column, loIso, hiIso))
 
   /** Date-typed [[readBetween]]: bounds are `yyyy-MM-dd`, stats compare
     * in epoch-DAYS (parquet's physical date unit), and `dt=yyyy-MM-dd`
     * partition values prune from their path spelling directly. */
-  def readWhereDate(column: String, lo: String, hi: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val (loD, hiD) = (java.time.LocalDate.parse(lo), java.time.LocalDate.parse(hi))
-    typedRangeRead(column,
-      col(column) >= lit(java.sql.Date.valueOf(loD)) &&
-        col(column) <= lit(java.sql.Date.valueOf(hiD)),
-      loD.toEpochDay.toDouble, hiD.toEpochDay.toDouble,
-      s => scala.util.Try(
-        java.time.LocalDate.parse(s).toEpochDay.toDouble).toOption)
-  }
+  def readWhereDate(column: String, lo: String, hi: String): DataFrame =
+    readMatching(VersionedTable.DateRange(column, lo, hi))
 
   /** String-range read pruning on the manifests' string stats (short
     * pure-ASCII min/max from the parquet footers — the encoding where
@@ -483,34 +437,95 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * without recorded string stats (long or non-ASCII values) are
     * read and row-filtered. */
   def readWhereString(column: String, lo: String, hi: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
     require(lo <= hi, s"empty string range: '$lo' > '$hi'")
-    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
-    prunedRead(pred, (e, partCols) =>
-      if (partCols.contains(column))
-        e.partitionValues.get(column).forall(v => v >= lo && v <= hi)
-      else e.strStats.get(column) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
-      })
+    readMatching(VersionedTable.StrRange(column, lo, hi))
   }
 
-  /** Skeleton of the typed range reads: numeric stats compare in the
-    * column's physical unit, partition values parse via `partParse`
-    * (None → read, never drop). */
-  private def typedRangeRead(column: String, pred: org.apache.spark.sql.Column,
-      statLo: Double, statHi: Double,
-      partParse: String => Option[Double]): DataFrame =
-    prunedRead(pred, (e, partCols) =>
-      if (partCols.contains(column))
-        e.partitionValues.get(column).flatMap(partParse) match {
-          case Some(v) => v >= statLo && v <= statHi
+  /** Unified predicate read — the Delta-style "arbitrary conjunctive
+    * predicate" pushdown the single-column readWhere* family delegates
+    * to: partition equalities and typed stats ranges combine in ONE
+    * call, ONE manifest pass, and one scan over the intersection of
+    * the surviving files (a file in the right partition but the wrong
+    * timestamp range is pruned, and vice versa). Row-level predicates
+    * are re-applied on top for exactness; files a conjunct has no
+    * information about are conservatively read (None → read, never
+    * drop). */
+  def readMatching(preds: VersionedTable.TablePredicate*): DataFrame = {
+    require(preds.nonEmpty, "readMatching needs at least one predicate")
+    val compiled = preds.map(compilePredicate)
+    prunedRead(compiled.map(_._1).reduce(_ && _),
+      (e, partCols) => compiled.forall(_._2(e, partCols)))
+  }
+
+  /** (row-level predicate, file-survives test) for one conjunct. The
+    * survives test prunes on partition VALUES for partition columns
+    * and recorded stats otherwise; typed ranges compare in the
+    * column's physical stats unit (epoch-micros / epoch-days). */
+  private def compilePredicate(p: VersionedTable.TablePredicate)
+      : (org.apache.spark.sql.Column,
+         (ManifestEntry, Set[String]) => Boolean) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def ranged(column: String, pred: org.apache.spark.sql.Column,
+        statLo: Double, statHi: Double,
+        partParse: String => Option[Double]) =
+      (pred, (e: ManifestEntry, partCols: Set[String]) =>
+        if (partCols.contains(column))
+          e.partitionValues.get(column).flatMap(partParse) match {
+            case Some(v) => v >= statLo && v <= statHi
+            case None => true
+          }
+        else e.stats.get(column) match {
+          case Some((mn, mx)) => mx >= statLo && mn <= statHi
           case None => true
-        }
-      else e.stats.get(column) match {
-        case Some((mn, mx)) => mx >= statLo && mn <= statHi
-        case None => true
-      })
+        })
+    p match {
+      case VersionedTable.PartitionEq(column, value) =>
+        (col(column) === lit(value),
+          (e: ManifestEntry, partCols: Set[String]) =>
+            if (partCols.contains(column))
+              e.partitionValues.get(column) match {
+                case Some(pv) => pv == value
+                case None => true // null partition value: must read
+              }
+            else e.stats.get(column) match {
+              case Some((mn, mx)) =>
+                scala.util.Try(value.toDouble).toOption
+                  .forall(d => mx >= d && mn <= d)
+              case None => true
+            })
+      case VersionedTable.NumRange(column, lo, hi) =>
+        ranged(column, col(column) >= lo && col(column) <= hi, lo, hi,
+          s => scala.util.Try(s.toDouble).toOption)
+      case VersionedTable.TsRange(column, loIso, hiIso) =>
+        val (lo, hi) =
+          (java.time.Instant.parse(loIso), java.time.Instant.parse(hiIso))
+        def micros(i: java.time.Instant): Double =
+          i.getEpochSecond * 1e6 + i.getNano / 1000.0
+        ranged(column,
+          col(column) >= lit(java.sql.Timestamp.from(lo)) &&
+            col(column) <= lit(java.sql.Timestamp.from(hi)),
+          micros(lo), micros(hi),
+          s => scala.util.Try(micros(java.time.Instant.parse(s))).toOption)
+      case VersionedTable.DateRange(column, lo, hi) =>
+        val (loD, hiD) =
+          (java.time.LocalDate.parse(lo), java.time.LocalDate.parse(hi))
+        ranged(column,
+          col(column) >= lit(java.sql.Date.valueOf(loD)) &&
+            col(column) <= lit(java.sql.Date.valueOf(hiD)),
+          loD.toEpochDay.toDouble, hiD.toEpochDay.toDouble,
+          s => scala.util.Try(
+            java.time.LocalDate.parse(s).toEpochDay.toDouble).toOption)
+      case VersionedTable.StrRange(column, lo, hi) =>
+        (col(column) >= lit(lo) && col(column) <= lit(hi),
+          (e: ManifestEntry, partCols: Set[String]) =>
+            if (partCols.contains(column))
+              e.partitionValues.get(column).forall(v => v >= lo && v <= hi)
+            else e.strStats.get(column) match {
+              case Some((mn, mx)) => mx >= lo && mn <= hi
+              case None => true
+            })
+    }
+  }
 
   /** Shared skeleton of the manifest-pruned reads: keep the files
     * `survives` admits, plan the scan over just those, and re-apply the
@@ -1239,6 +1254,31 @@ final class VersionedTable(spark: SparkSession, root: String) {
 object VersionedTable {
   /** Commits between automatic history-checkpoint rolls. */
   val historyCheckpointInterval: Int = 128
+
+  /** One conjunct of a unified [[VersionedTable.readMatching]] read —
+    * the typed predicate shapes the single-column readWhere* family
+    * exposes, combinable in ONE call (and one manifest pass):
+    * `readMatching(PartitionEq("dt", "2024-01-01"),
+    * TsRange("ts", lo, hi))` prunes on the partition value AND the
+    * timestamp stats before any file is opened. */
+  sealed trait TablePredicate
+  /** Partition-value equality (exact on the raw hive path spelling);
+    * on a non-partition column falls back to numeric stats when the
+    * value parses as a number. */
+  final case class PartitionEq(column: String, value: String)
+      extends TablePredicate
+  /** Numeric [lo, hi] range over recorded min/max stats. */
+  final case class NumRange(column: String, lo: Double, hi: Double)
+      extends TablePredicate
+  /** Timestamp range over ISO-8601 instants (stats in epoch-micros). */
+  final case class TsRange(column: String, loIso: String, hiIso: String)
+      extends TablePredicate
+  /** Date range over `yyyy-MM-dd` bounds (stats in epoch-days). */
+  final case class DateRange(column: String, lo: String, hi: String)
+      extends TablePredicate
+  /** String range over the short-ASCII string stats. */
+  final case class StrRange(column: String, lo: String, hi: String)
+      extends TablePredicate
 
   /** Age beyond which a zero-byte manifest counts as a CRASHED claim
     * (reclaimable) rather than an in-flight commit. Far above any real

@@ -980,6 +980,39 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(new VersionedTable(spark, root3).partitionColumns === Seq("grp"))
   }
 
+  test("readMatching: partition equality AND typed stats range prune in ONE call") {
+    // the unified-predicate read (Delta-style conjunctive pushdown):
+    // a file in the right partition but the wrong timestamp range is
+    // pruned, and vice versa — the intersection plans exactly 1 file
+    val root = Fixtures.tempDir("graft-vt-unified") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    def frame(id: Long, dt: String, ts: String) =
+      Seq((id, dt, ts)).toDF("id", "dt", "ts0")
+        .withColumn("ts", col("ts0").cast("timestamp")).drop("ts0")
+    vt.write(frame(1L, "2023-01-01", "2023-01-01 01:00:00"),
+      partitionBy = Some(Seq("dt")))
+    vt.write(frame(2L, "2023-01-01", "2023-01-01 23:00:00"), SaveMode.Append)
+    vt.write(frame(3L, "2023-01-02", "2023-01-01 01:30:00"), SaveMode.Append)
+    vt.write(frame(4L, "2023-01-02", "2023-01-01 23:30:00"), SaveMode.Append)
+    assert(vt.read().inputFiles.length === 4)
+    import graft.io.VersionedTable.{PartitionEq, TsRange}
+    // each conjunct alone admits 2 files ...
+    assert(vt.readMatching(PartitionEq("dt", "2023-01-01"))
+      .inputFiles.length === 2)
+    assert(vt.readMatching(
+      TsRange("ts", "2023-01-01T00:00:00Z", "2023-01-01T12:00:00Z"))
+      .inputFiles.length === 2)
+    // ... their conjunction plans exactly one
+    val both = vt.readMatching(PartitionEq("dt", "2023-01-01"),
+      TsRange("ts", "2023-01-01T00:00:00Z", "2023-01-01T12:00:00Z"))
+    assert(both.inputFiles.length === 1, both.inputFiles.mkString(","))
+    assert(both.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // no-match conjunction: zero files, schema intact
+    val none = vt.readMatching(PartitionEq("dt", "2024-12-31"),
+      TsRange("ts", "2023-01-01T00:00:00Z", "2023-01-01T12:00:00Z"))
+    assert(none.count() === 0 && none.columns.length === 3)
+  }
+
   test("ManifestEntry.partitionValues: hive escaping and default partition") {
     val e = graft.io.ManifestEntry(
       "_data/c00000000_ab12cd34/dt=2023-01-01/part-0.parquet", 1L, 1L)
