@@ -15,7 +15,7 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
+    val raw = if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read nanos as long, then truncate to microseconds
       // with exact integer division (`DIV 1000`) — the same truncation
@@ -28,5 +28,22 @@ object Tables {
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
+    lowercased(raw)
+  }
+
+  /** Case-insensitive column resolution at the LOAD boundary: the
+    * query catalogs reference lowercase names throughout, so a
+    * mixed-case source (`Doc_Id`, `TEXT`) is normalized here once —
+    * the same pervasive lowercase-match semantic the ETL jobs apply
+    * via util.Cols (reference: etl/silver_job.py:56-57), applied
+    * where the catalogs ingest. Harness tables are already lowercase,
+    * so this is a no-op there (and a rename is metadata-only — no
+    * plan cost either way). Duplicate names that collide after
+    * lowercasing fail loudly rather than silently shadowing. */
+  private[graft] def lowercased(df: DataFrame): DataFrame = {
+    val lower = df.columns.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(lower.distinct.length == lower.length,
+      s"columns collide after lowercasing: ${df.columns.mkString(",")}")
+    if (df.columns.sameElements(lower)) df else df.toDF(lower.toIndexedSeq: _*)
   }
 }
