@@ -41,8 +41,11 @@ object Maintenance {
     * at-scale deployment shape. */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 128,
       where: Option[String] = None): (Long, Long) = {
-    val before = TableIO.detail(spark, path)
     val vt = new graft.io.VersionedTable(spark, path)
+    // raw tables: roll forward/back any crashed previous swap BEFORE
+    // reading table detail (a crash window leaves the dir missing)
+    if (!vt.exists) recoverRewriteLeftovers(spark, path)
+    val before = TableIO.detail(spark, path)
     (vt.exists, where) match {
       case (true, None) => vt.compact(targetFileMB)
       case (true, Some(pred)) =>
@@ -118,19 +121,88 @@ object Maintenance {
   private def tmpSibling(p: org.apache.hadoop.fs.Path, tag: String) =
     TableIO.tmpSibling(p, tag)
 
+  /** Name of the zero-byte file that proves a rewrite temp dir was
+    * FULLY written (created only after the parquet write returns) —
+    * the same protocol as `Incremental.completeMarker`: without it,
+    * recovery cannot tell "crashed during the swap — the tmp may be
+    * the only live copy" from "crashed during the tmp write — the tmp
+    * holds arbitrary partial output". `_`-prefixed: never read as
+    * data. */
+  private[graft] val completeMarker = "_GRAFT_REWRITE_COMPLETE"
+
+  /** Crash-safe final step of every raw-dir rewrite: marker (commit
+    * point) → delete target → rename tmp in → drop the marker that
+    * rode along. A crash at any point is recovered by
+    * [[recoverCrashedRewrite]]. */
+  private def swapDir(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path): Unit = {
+    fs.create(new org.apache.hadoop.fs.Path(tmp, completeMarker), true).close()
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    fs.delete(new org.apache.hadoop.fs.Path(p, completeMarker), false)
+  }
+
+  /** Recovery from a raw-dir rewrite that crashed inside its swap
+    * window (previous behavior stranded the data in the `_`-tmp
+    * sibling "recoverable by hand"):
+    *  - target missing + marked tmp: the swap's delete ran but not its
+    *    rename — the tmp IS the table; finish the rename.
+    *  - target missing + UNMARKED tmp: theoretically unreachable (the
+    *    marker precedes the delete) — fail loudly, don't guess.
+    *  - target present: a rewrite holds the same rows in a different
+    *    layout, so rolling the tmp back is always safe (marked or
+    *    not); a rerun just compacts again. */
+  private[graft] def recoverCrashedRewrite(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, tag: String): Unit = {
+    val tmp = tmpSibling(p, tag)
+    if (!fs.exists(tmp)) return
+    if (!fs.exists(p)) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(tmp, completeMarker)))
+        sys.error(s"unrecoverable crashed rewrite at $p: the target is " +
+          s"gone and $tmp lacks $completeMarker (incomplete write) — a " +
+          "swap only starts after the marker is written, so this state " +
+          "needs operator inspection, not a guess")
+      fs.rename(tmp, p)
+      fs.delete(new org.apache.hadoop.fs.Path(p, completeMarker), false)
+    } else {
+      fs.delete(tmp, true)
+    }
+  }
+
+  /** Sweep a raw table root for crashed-rewrite leftovers: the
+    * whole-table tmp (sibling of the root) and any partition-scoped
+    * tmps (siblings of partition dirs, i.e. inside the root — a
+    * crashed partition swap leaves that partition dir MISSING, so
+    * only the tmp's own name still points at it). */
+  private def recoverRewriteLeftovers(spark: SparkSession,
+      path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = TableIO.fs(spark, root)
+    recoverCrashedRewrite(fs, root, "compact_tmp")
+    val suffix = "__compact_tmp"
+    if (fs.exists(root)) fs.listStatus(root).map(_.getPath)
+      .filter(q => q.getName.startsWith("_") && q.getName.endsWith(suffix))
+      .foreach { q =>
+        val orig = new org.apache.hadoop.fs.Path(root,
+          q.getName.stripPrefix("_").stripSuffix(suffix))
+        recoverCrashedRewrite(fs, orig, "compact_tmp")
+      }
+  }
+
   private def rewriteDir(spark: SparkSession, dir: String,
       targetFileMB: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = TableIO.fs(spark, p)
+    recoverCrashedRewrite(fs, p, "compact_tmp")
     val detail = TableIO.detail(spark, dir)
     val n = math.max(1L,
       detail.sizeInBytes / (targetFileMB.toLong * 1024 * 1024)).toInt
     val df = TableIO.read(spark, dir).repartition(n)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = TableIO.fs(spark, p)
     val tmp = tmpSibling(p, "compact_tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    swapDir(fs, p, tmp)
   }
 
   /** M2, true multi-dimensional form: Z-ORDER rewrite
@@ -181,8 +253,7 @@ object Maintenance {
     val tmp = tmpSibling(p, tag)
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale crash leftover
     sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    swapDir(fs, p, tmp)
   }
 
   /** A cluster column as a double for quantile bucketing. A bare
@@ -211,6 +282,11 @@ object Maintenance {
     require(cCols.nonEmpty, "cluster rewrite requires at least one column")
     require(bitsPerDim * cCols.size <= 63,
       s"${cCols.size} dims at $bitsPerDim bits exceed a long")
+    // raw tables: recover a crashed previous swap BEFORE reading
+    if (!new graft.io.VersionedTable(spark, path).exists) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      recoverCrashedRewrite(TableIO.fs(spark, p), p, tag)
+    }
     val df = TableIO.readTable(spark, path)
     val buckets = 1 << bitsPerDim
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray

@@ -1047,6 +1047,44 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() === 1000)
   }
 
+  test("raw compact swap is crash-recoverable (marker-gated, like merge)") {
+    import org.apache.hadoop.fs.Path
+    val base = Fixtures.tempDir("graft-compact-crash")
+    val path = base + "/t"
+    def freshTable(): Unit = (1 to 100).toDF("n").repartition(4)
+      .write.mode("overwrite").parquet(path)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(base, "_t__compact_tmp")
+    val marker = new Path(tmp, "_GRAFT_REWRITE_COMPLETE")
+
+    // crash DURING the tmp write (no marker), target intact:
+    // the partial tmp must be discarded, compaction proceeds normally
+    freshTable()
+    fs.mkdirs(tmp) // arbitrary partial garbage
+    val (_, after1) = Maintenance.compact(spark, path)
+    assert(after1 === 1 && !fs.exists(tmp))
+    assert(spark.read.parquet(path).count() === 100)
+
+    // crash BETWEEN delete and rename (marker present, target gone):
+    // the tmp IS the table — recovery finishes the rename
+    freshTable()
+    val saved = new Path(base, "_t__saved")
+    assert(fs.rename(p, saved)) // simulate: tmp fully written ...
+    assert(fs.rename(saved, tmp))
+    fs.create(marker, true).close() // ... marker committed ...
+    assert(!fs.exists(p)) // ... then crash after the target delete
+    val (_, after2) = Maintenance.compact(spark, path)
+    assert(after2 === 1 && spark.read.parquet(path).count() === 100)
+    assert(!fs.exists(tmp) && !fs.exists(new Path(p, "_GRAFT_REWRITE_COMPLETE")))
+
+    // unreachable state (target gone, tmp unmarked) fails loudly
+    assert(fs.rename(p, tmp))
+    fs.delete(marker, false)
+    val ex = intercept[RuntimeException] { Maintenance.compact(spark, path) }
+    assert(ex.getMessage.contains("unrecoverable"), ex.getMessage)
+  }
+
   test("partition-scoped compact rewrites only matching partitions") {
     val path = Fixtures.tempDir("graft-compact-part") + "/t"
     Seq.tabulate(400)(i => (if (i % 2 == 0) "2023-01-01" else "2023-01-02", i))
