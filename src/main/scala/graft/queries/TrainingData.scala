@@ -462,6 +462,94 @@ object TrainingData {
           .as("avg_bytes"))
       .orderBy("source")
 
+  // ------------------------------------------------------- sequence packing
+
+  /** Sequence packing for pretraining (the concat-and-chop op): docs
+    * are concatenated in a deterministic hash order within 256
+    * independent pack STREAMS and chopped into fixed `seqLen`-token
+    * training sequences; each doc reports its stream, the sequence
+    * index its first token lands in, and the token offset inside that
+    * sequence. Streams make packing embarrassingly parallel (a
+    * sequence never crosses streams) and the hash order makes the
+    * layout a pure function of doc_ids — stable across runs, clusters,
+    * and partitionings.
+    *
+    * Scale shape: same distributed two-pass cumulative sum as
+    * [[tokenBudgetPerSource]] (its q40 oracle hash-pins the
+    * technique) — within-(stream, shard) running sums fan out 256×256
+    * ways; the only per-stream-ordered window runs over the per-shard
+    * AGGREGATE (≤256 rows per stream), joined back broadcast. No
+    * reducer ever sorts a stream's full document list. */
+  def seqPack(spark: SparkSession, dir: String, seqLen: Long = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
+      .withColumn("__ord",
+        md5(concat(lit("pack:"), col("doc_id").cast("string"))))
+      .withColumn("stream",
+        conv(substring(col("__ord"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__shard",
+        conv(substring(col("__ord"), 3, 2), 16, 10).cast("int"))
+    val wIn = Window.partitionBy("stream", "__shard")
+      .orderBy(col("__ord"), col("doc_id"))
+    val withinCum = d.withColumn("__cum_in", sum(col("n_tokens")).over(wIn))
+    val wOff = Window.partitionBy("stream").orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("stream", "__shard")
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__offset", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select("stream", "__shard", "__offset")
+    withinCum.join(broadcast(offsets), Seq("stream", "__shard"))
+      .withColumn("__start", col("__offset") + col("__cum_in") - col("n_tokens"))
+      .select(col("doc_id"), col("stream"), col("n_tokens"),
+        expr(s"__start div $seqLen").as("seq_index"),
+        (col("__start") % seqLen).as("seq_offset"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------- unigram LM quality
+
+  /** Unigram-LM vocabulary-coverage quality scoring: the corpus trains
+    * its own top-`vocabSize` unigram vocabulary (by frequency, term
+    * tiebreak), and each doc reports its token count, out-of-vocab
+    * count and fraction, and the log-probability of its RAREST
+    * in-vocab token — the cheap LM-based junk detector (gibberish and
+    * boilerplate-free spam score high OOV / low min-logp).
+    *
+    * Scale shape: term counts collapse through one partial-agg shuffle;
+    * the top-V pick reuses [[Analytics.topKPerGroup]]'s sharded
+    * pre-prune (a bare ORDER BY over the full vocabulary would be one
+    * reducer sorting billions of junk terms at 100 TB); the trained
+    * vocab (V rows) broadcasts back over the token stream; per-doc
+    * stats are count/min aggregates — ORDER-INDEPENDENT on purpose, so
+    * the oracle hash-matches without any cross-engine float-summation
+    * contract (an avg-logp would sum doubles in engine-dependent
+    * order). */
+  def unigramOov(spark: SparkSession, dir: String,
+      vocabSize: Int = 256): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    // topKPerGroup counts the raw token stream itself (partial-agg
+    // shuffle on the term), so n IS the corpus frequency
+    val vocab = Analytics
+      .topKPerGroup(toks.withColumn("__g", lit(0)), "__g", "term",
+        vocabSize, shards = 32)
+      .crossJoin(broadcast(total))
+      .select(col("term"),
+        log(col("n").cast("double") / col("total")).as("logp"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("logp").isNull, 1)).as("n_oov"),
+        min(col("logp")).as("min_logp"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac", "min_logp")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -489,7 +577,9 @@ object TrainingData {
     "q57_ann_pq" -> annPq,
     "q58_ann_ivfpq" -> annIvfPq,
     "q59_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
-    "q60_bm25_topterms" -> ((s, d) => bm25TopTerms(s, d))
+    "q60_bm25_topterms" -> ((s, d) => bm25TopTerms(s, d)),
+    "q67_seq_pack" -> ((s, d) => seqPack(s, d)),
+    "q68_unigram_oov" -> ((s, d) => unigramOov(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -743,6 +833,40 @@ object TrainingData {
                FROM s)
          SELECT doc_id, term, bm25, rnk FROM r
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q67_seq_pack" ->
+      // single-window cumsum per stream — the distributed two-pass
+      // cumulative sum must be value-identical (q40 pins the same
+      // technique per source); sums CAST to BIGINT per the HUGEINT rule
+      """WITH d AS (SELECT doc_id,
+           CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+           FROM documents),
+         b AS (SELECT doc_id, n_tokens, ord,
+           CAST(('0x' || substr(ord, 1, 2)) AS INTEGER) AS stream FROM d),
+         c AS (SELECT doc_id, stream, n_tokens,
+           CAST(sum(n_tokens) OVER (PARTITION BY stream
+             ORDER BY ord, doc_id) - n_tokens AS BIGINT) AS strt
+           FROM b)
+         SELECT doc_id, stream, n_tokens,
+           CAST(strt // 512 AS BIGINT) AS seq_index,
+           CAST(strt % 512 AS BIGINT) AS seq_offset
+         FROM c ORDER BY doc_id""",
+    "q68_unigram_oov" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         tot AS (SELECT count(*) AS total FROM toks),
+         cnt AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+         r AS (SELECT term, c, row_number() OVER
+                 (ORDER BY c DESC, term) AS rn FROM cnt),
+         vocab AS (SELECT term, ln(CAST(c AS DOUBLE) / total) AS logp
+                   FROM r CROSS JOIN tot WHERE rn <= 256)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           count(CASE WHEN v.logp IS NULL THEN 1 END) AS n_oov,
+           CAST(count(CASE WHEN v.logp IS NULL THEN 1 END) AS DOUBLE)
+             / count(*) AS oov_frac,
+           min(v.logp) AS min_logp
+         FROM toks t LEFT JOIN vocab v USING (term)
+         GROUP BY 1 ORDER BY 1""",
     "q25_ngram_jaccard_pairs" ->
       """WITH d AS (
            SELECT doc_id, n_chars // 50 AS bucket,

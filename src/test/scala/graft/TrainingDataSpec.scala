@@ -601,6 +601,64 @@ class TrainingDataSpec extends AnyFunSuite {
       "a query left a cached frame behind")
   }
 
+  test("seq packing: contiguous chop per stream, stable under repartitioning") {
+    val rows = TrainingData.seqPack(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.length === total, "every doc packs exactly once")
+    rows.foreach { case (_, _, n, seqIdx, off) =>
+      assert(seqIdx >= 0 && off >= 0 && off < 512, s"bad chop: $seqIdx/$off")
+      assert(n > 0)
+    }
+    // per stream: starts are the exact cumsum (contiguous, no gaps)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val starts = rs.map { case (_, _, n, si, off) => (si * 512 + off, n) }
+        .sortBy(_._1)
+      starts.zip(starts.drop(1)).foreach { case ((s0, n0), (s1, _)) =>
+        assert(s1 === s0 + n0, "packing must be gapless within a stream")
+      }
+      assert(starts.head._1 === 0L, "each stream starts at token 0")
+    }
+    // distributed two-pass cumsum == naive single window per stream
+    import org.apache.spark.sql.expressions.Window
+    val naive = Tables.load(spark, sf, "documents").repartition(17)
+      .withColumn("n_tokens", size(split(lower(col("text")), " ")).cast("long"))
+      .withColumn("__ord", md5(concat(lit("pack:"), col("doc_id").cast("string"))))
+      .withColumn("stream", conv(substring(col("__ord"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__start", sum(col("n_tokens")).over(
+        Window.partitionBy("stream").orderBy(col("__ord"), col("doc_id")))
+        - col("n_tokens"))
+      .select(col("doc_id"), expr("__start div 512").as("si"),
+        (col("__start") % 512).as("so"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { case (id, _, _, si, so) =>
+      assert(naive(id) === (si, so), s"doc $id diverges from single-window")
+    }
+  }
+
+  test("unigram oov: vocab coverage consistent with a Scala recount") {
+    val rows = TrainingData.unigramOov(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, oov, frac) =>
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(frac - oov.toDouble / n) < 1e-12)
+    }
+    // recount: top-256 corpus terms, then per-doc OOV over 10 docs
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1))
+    val freq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length)
+    val vocab = freq.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(256).map(_._1).toSet
+    val byId = rows.map(r => r._1 -> r).toMap
+    docs.take(10).foreach { case (id, toks) =>
+      val oov = toks.count(!vocab(_))
+      assert(byId(id)._2 === toks.length && byId(id)._3 === oov,
+        s"doc $id: expected ${toks.length}/$oov got ${byId(id)}")
+    }
+  }
+
   test("multi-probe lsh: recall >= single-probe, never beats brute force") {
     val e = Tables.load(spark, sf, "embeddings")
     val corpus = e.filter(col("vec_id") >= 5)
