@@ -634,6 +634,18 @@ class TrainingDataSpec extends AnyFunSuite {
     rows.foreach { case (id, _, _, si, so) =>
       assert(naive(id) === (si, so), s"doc $id diverges from single-window")
     }
+    // scale guard (q40's): any per-stream-only window must consume a
+    // pre-reduced child (the per-shard aggregate), never the raw corpus
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val lp = TrainingData.seqPack(spark, sf).queryExecution.optimizedPlan
+    lp.collect { case w: LWindow => w }.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (parts == Set("stream")) {
+        assert(w.child.collectFirst {
+          case _: Aggregate => (); case _: LWindow => ()
+        }.isDefined, s"per-stream window over unreduced input:\n$lp")
+      }
+    }
   }
 
   test("unigram oov: vocab coverage consistent with a Scala recount") {
@@ -657,6 +669,12 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(byId(id)._2 === toks.length && byId(id)._3 === oov,
         s"doc $id: expected ${toks.length}/$oov got ${byId(id)}")
     }
+    // the V-row vocab must join back as a BROADCAST (the token stream
+    // never shuffles on the term for scoring)
+    val plan = TrainingData.unigramOov(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab side must broadcast:\n$plan")
   }
 
   test("multi-probe lsh: recall >= single-probe, never beats brute force") {
