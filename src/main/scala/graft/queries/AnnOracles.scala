@@ -35,10 +35,17 @@ object AnnOracles {
     * q26/q27/q30/q57/q58 convention). */
   private val QuerySplit = 5
 
-  def dynamic(spark: SparkSession, dir: String): Map[String, String] = Map(
-    "q30_ann_ivf" -> ivfSql(spark, dir),
-    "q57_ann_pq" -> pqSql(spark, dir),
-    "q58_ann_ivfpq" -> ivfPqSql(spark, dir))
+  def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
+    val ivf = ivfSql(spark, dir)
+    Map(
+      "q30_ann_ivf" -> ivf,
+      // q69 serves the SAME search from the persisted IvfIndex
+      // (identical params + deterministic training → same answer),
+      // so one oracle hash-checks both paths independently
+      "q69_ann_ivf_indexed" -> ivf,
+      "q57_ann_pq" -> pqSql(spark, dir),
+      "q58_ann_ivfpq" -> ivfPqSql(spark, dir))
+  }
 
   // ------------------------------------------------------------ helpers
 

@@ -417,6 +417,25 @@ object TrainingData {
       k = 3, nlist = 8, nprobe = 5, m = 8, ksub = 16, rerank = 120)
   }
 
+  /** q30's IVF search served from a PERSISTED index
+    * ([[graft.similarity.IvfIndex]]): build commits the assigned
+    * corpus hive-partitioned by cluster (+ the centroid model) as
+    * versioned tables, query probes via manifest partition pruning.
+    * Same params as q30 → identical results, so the same generated
+    * frozen-centroid oracle hash-checks the whole index path
+    * (train → persist → reload → probe → prune → rank). */
+  def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val root = System.getProperty("java.io.tmpdir") +
+      s"/graft_ivf_index_${new java.io.File(dir).getName}"
+    graft.similarity.IvfIndex.build(spark,
+      e.filter(col("vec_id") >= 5), "vec_id", "embedding", root,
+      nlist = 8, iters = 2)
+    graft.similarity.IvfIndex.query(spark, root,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nprobe = 3)
+  }
+
   /** Winnowing (rolling-hash) fingerprint near-dup pairs — the
     * substring/containment-oriented dedup family (SIGMOD'03 winnowing),
     * complementing MinHash (set resemblance) and SimHash
@@ -579,7 +598,8 @@ object TrainingData {
     "q59_tfidf_topterms" -> ((s, d) => tfidfTopTerms(s, d)),
     "q60_bm25_topterms" -> ((s, d) => bm25TopTerms(s, d)),
     "q67_seq_pack" -> ((s, d) => seqPack(s, d)),
-    "q68_unigram_oov" -> ((s, d) => unigramOov(s, d))
+    "q68_unigram_oov" -> ((s, d) => unigramOov(s, d)),
+    "q69_ann_ivf_indexed" -> annIvfIndexed
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of

@@ -1,0 +1,104 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+
+/** PERSISTENT IVF ANN index — the build-once / query-many lifecycle
+  * [[Similarity.ivfTopK]] (train+search in one call) scales up to.
+  *
+  * Build trains the coarse quantizer, assigns every corpus vector to
+  * its inverted list, and commits TWO versioned tables under one
+  * root: `<root>/vectors` — (id, cluster, v) hive-partitioned BY
+  * CLUSTER — and `<root>/centroids` — the nlist×dim model as
+  * (cluster, pos, x) rows. Both are manifest-log versioned, so index
+  * rebuilds are new VERSIONS: history, time travel, and concurrent
+  * readers of the previous index all keep working mid-rebuild.
+  *
+  * Query is where the layout pays: each query's `nprobe` nearest
+  * lists are computed from the (tiny, collected) centroid table, and
+  * the corpus scan goes through
+  * [[VersionedTable.readWherePartitionIn]] — the probed clusters'
+  * FILES are planned, everything else is pruned from the manifest
+  * alone. At 100 TB with nlist=4096 and nprobe=64, a query batch
+  * reads ~1.6% of the corpus bytes without opening a single
+  * non-probed file; the per-query rank is [[Similarity.rankTopK]]'s
+  * sharded exact top-k. Results are identical to `ivfTopK` with the
+  * same parameters (same deterministic training, same probe rule,
+  * same rank) — q69 hash-checks this path against the generated
+  * frozen-centroid oracle.
+  */
+object IvfIndex {
+
+  /** Train + assign + commit the index tables. Returns the vectors
+    * table's new version. */
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, root: String, nlist: Int = 8,
+      iters: Int = 2): Long = {
+    val centroids = Similarity.ivfTrain(corpus, idCol, vecCol, nlist, iters)
+    import spark.implicits._
+    val centRows = centroids.zipWithIndex.flatMap { case (c, cl) =>
+      c.zipWithIndex.map { case (x, pos) => (cl, pos, x) }
+    }.toIndexedSeq
+    new VersionedTable(spark, s"$root/centroids")
+      .write(centRows.toDF("cluster", "pos", "x"))
+    val assigned = Similarity.withCluster(
+      corpus.select(col(idCol).cast("long").as("id"),
+        Similarity.toDouble(col(vecCol)).as("v")),
+      centroids)
+    new VersionedTable(spark, s"$root/vectors")
+      .write(assigned.select("id", "cluster", "v"),
+        partitionBy = Some(Seq("cluster")))
+  }
+
+  /** The trained model back as nlist×dim (driver-side — it is
+    * broadcast-sized by construction). */
+  def loadCentroids(spark: SparkSession, root: String): Array[Array[Double]] = {
+    val rows = new VersionedTable(spark, s"$root/centroids").read()
+      .select("cluster", "pos", "x").collect()
+    val nlist = rows.map(_.getInt(0)).max + 1
+    val dim = rows.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Double](nlist, dim)
+    rows.foreach(r => out(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    out
+  }
+
+  /** ANN top-k against the persisted index: probe lists from the
+    * stored centroids, corpus scan partition-pruned to the probed
+    * clusters, exact cosine rank inside them. Same probe rule and
+    * rank as [[Similarity.ivfTopK]] (first-min tie-breaks), so
+    * results match it exactly for equal parameters. */
+  def query(spark: SparkSession, root: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val centroids = loadCentroids(spark, root)
+    val centLit = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
+    val q = broadcast(
+      queries.select(col(idCol).cast("long").as("q_id"),
+        Similarity.toDouble(col(vecCol)).as("qv"))
+        .withColumn("_dists", transform(centLit, cc =>
+          graft.functions.vector.arrayL2Sq(cc, col("qv"))))
+        .withColumn("_ranked", transform(
+          array_sort(transform(col("_dists"),
+            (d, i) => struct(d.as("d"), i.as("i")))),
+          s => s.getField("i")))
+        .withColumn("_probe", explode(slice(col("_ranked"), 1, nprobe)))
+        .withColumn("cluster", col("_probe").cast("int"))
+        .select(col("q_id"), col("qv"), col("cluster"))
+        .withColumn("nq", sqrt(Similarity.dot(col("qv"), col("qv")))))
+    // the probed-cluster set is a driver-side value (queries×nprobe
+    // rows, bounded) — it selects PARTITIONS, so the corpus scan plans
+    // only those clusters' files from the manifest
+    val probed = q.select("cluster").distinct()
+      .collect().map(_.getInt(0).toString).toSet
+    val c = new VersionedTable(spark, s"$root/vectors")
+      .readWherePartitionIn("cluster", probed)
+      .select(col("id").as("neighbor_id"),
+        col("cluster").cast("int").as("cluster"), col("v"))
+      .withColumn("nv", sqrt(Similarity.dot(col("v"), col("v"))))
+    Similarity.rankTopK(
+      q.join(c, Seq("cluster"))
+        .filter(col("q_id") =!= col("neighbor_id")), k)
+  }
+}

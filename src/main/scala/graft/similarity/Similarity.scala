@@ -98,7 +98,7 @@ object Similarity {
     * ([[keepTopPerQuery]]), emit rounded. The cosine is materialized
     * as ONE column shared by ranking and output instead of being
     * re-derived in each expression. */
-  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
+  private[similarity] def rankTopK(joined: DataFrame, k: Int): DataFrame = {
     val scored = joined
       .withColumn("_cos", dot(col("qv"), col("v")) / (col("nq") * col("nv")))
       .select(col("q_id"), col("neighbor_id"), col("_cos"))
@@ -147,7 +147,8 @@ object Similarity {
   /** Assign each vector its nearest centroid (squared L2) — centroids
     * ship as a broadcast-sized literal array, so assignment is a pure
     * map over the corpus. */
-  private def withCluster(vecs: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+  private[similarity] def withCluster(vecs: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
     val centLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
     vecs
       .withColumn("_dists", transform(centLit, c =>

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.{IvfIndex, Similarity}
+
+/** Persistent IVF index: build-once / query-many must serve the exact
+  * answer of the train+search-in-one-call path, and the probe must be
+  * a manifest partition-pruned scan (only probed clusters' files). */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def embs = graft.queries.Tables.load(spark, sf, "embeddings")
+
+  test("indexed query ≡ ivfTopK; probe scan plans only probed clusters' files") {
+    val corpus = embs.filter(col("vec_id") >= 5)
+    val queries = embs.filter(col("vec_id") < 5)
+    val root = Fixtures.tempDir("graft-ivf-index") + "/idx"
+    val v0 = IvfIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 8, iters = 2)
+    assert(v0 === 0L)
+
+    val indexed = IvfIndex.query(spark, root, queries, "vec_id", "embedding",
+      k = 3, nprobe = 3)
+    val direct = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(indexed) === rows(direct),
+      "persisted-index search must equal the one-call path exactly")
+
+    // pruning evidence (single query → ≤ nprobe clusters): the
+    // planned files' partition dirs ⊆ its probed clusters, and most
+    // clusters are never planned
+    val centroids = IvfIndex.loadCentroids(spark, root)
+    assert(centroids.length === 8 && centroids.forall(_.length === 64))
+    val one = IvfIndex.query(spark, root,
+      queries.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, nprobe = 3)
+    one.collect()
+    val planned = one.inputFiles.filter(_.contains("cluster="))
+    assert(planned.nonEmpty)
+    val plannedClusters = planned
+      .map(f => f.split("cluster=")(1).split("/")(0)).toSet
+    val allClusters = new graft.io.VersionedTable(spark, s"$root/vectors")
+      .manifestEntries(0L)
+      .flatMap(_.partitionValues.get("cluster")).toSet
+    assert(plannedClusters.subsetOf(allClusters))
+    assert(plannedClusters.size <= 3 && allClusters.size === 8,
+      s"one query must plan ≤ nprobe clusters: $plannedClusters of $allClusters")
+
+    // rebuild commits a NEW VERSION; the old index stays readable
+    IvfIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 8, iters = 2)
+    val vt = new graft.io.VersionedTable(spark, s"$root/vectors")
+    assert(vt.currentVersion === Some(1L))
+    assert(vt.readVersion(0L).count() === corpus.count())
+  }
+}

@@ -18,12 +18,12 @@ class TrainingDataSpec extends AnyFunSuite {
   test("every training-data oracle has a registered query") {
     val missing = TrainingData.oracles.keySet -- TrainingData.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    // deliberate omissions: IVF training is iterative, and winnowing's
-    // rolling-hash windowed-min has no single-statement SQL form
-    // (rows-only checks + dedicated specs instead)
+    // deliberate static-map omissions: the trained-ANN queries get
+    // GENERATED oracles merged by Verify (AnnOracles.dynamic);
+    // winnowing's rolling-hash windowed-min has no SQL form at all
     assert(TrainingData.queries.keySet -- TrainingData.oracles.keySet
       === Set("q30_ann_ivf", "q31_winnow_neardup", "q57_ann_pq",
-        "q58_ann_ivfpq"))
+        "q58_ann_ivfpq", "q69_ann_ivf_indexed"))
   }
 
   test("winnowing: identical texts score 1.0; finds the fabricated near-dups") {
