@@ -37,14 +37,16 @@ object AnnOracles {
 
   def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
     val ivf = ivfSql(spark, dir)
+    val ivfpq = ivfPqSql(spark, dir)
     Map(
       "q30_ann_ivf" -> ivf,
-      // q69 serves the SAME search from the persisted IvfIndex
-      // (identical params + deterministic training → same answer),
-      // so one oracle hash-checks both paths independently
+      // q69/q70 serve the SAME searches from the persisted indexes
+      // (identical params + deterministic training → same answers),
+      // so each oracle hash-checks both its paths independently
       "q69_ann_ivf_indexed" -> ivf,
       "q57_ann_pq" -> pqSql(spark, dir),
-      "q58_ann_ivfpq" -> ivfPqSql(spark, dir))
+      "q58_ann_ivfpq" -> ivfpq,
+      "q70_ann_ivfpq_indexed" -> ivfpq)
   }
 
   // ------------------------------------------------------------ helpers
@@ -214,22 +216,11 @@ object AnnOracles {
   def ivfPqSql(spark: SparkSession, dir: String): String = {
     val e = Tables.load(spark, dir, "embeddings")
     val corpusN = normalizedFrame(e.filter(col("vec_id") >= QuerySplit))
-    val centroids = Similarity.ivfTrain(corpusN, "id", "v", nlist = 8, iters = 2)
+    // the exact training path ivfPqTopK/IvfPqIndex run (shared code —
+    // no drift between the Spark model and the frozen oracle model)
+    val (centroids, codebooks, _) =
+      Similarity.ivfPqModel(corpusN, nlist = 8, m = 8, ksub = 16, iters = 2)
     val dim = centroids(0).length
-    val codebooks = {
-      // identical residual frame to Similarity.ivfPqTopK's `assigned`
-      val centLit = array(centroids.toIndexedSeq.map(c =>
-        array(c.toIndexedSeq.map(lit): _*)): _*)
-      val assigned = corpusN
-        .withColumn("_dists", transform(centLit, c =>
-          graft.functions.vector.arrayL2Sq(c, col("v"))))
-        .withColumn("cluster",
-          expr("array_position(_dists, array_min(_dists)) - 1").cast("int"))
-        .drop("_dists")
-        .withColumn("v", zip_with(col("v"),
-          element_at(centLit, col("cluster") + 1), (x, c) => x - c))
-      Similarity.pqTrain(assigned, "id", "v", m = 8, ksub = 16)
-    }
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     s"""WITH cent AS (SELECT * FROM ${centRelation(centroids)}),
@@ -274,12 +265,8 @@ object AnnOracles {
        ${rerankTail(k = 3)}"""
   }
 
-  /** (id: long, v: array<double> L2-normalized) — the exact frame shape
-    * Similarity.pqTopK/ivfPqTopK train on. */
-  private def normalizedFrame(df: DataFrame): DataFrame = df
-    .select(col("vec_id").cast("long").as("id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
-    .withColumn("_n", sqrt(graft.functions.vector.arrayDot(col("v"), col("v"))))
-    .withColumn("v", transform(col("v"), x => x / col("_n")))
-    .drop("_n")
+  /** (id: long, v: array<double> L2-normalized) — the exact frame
+    * shape the PQ family trains on (shared code, no drift). */
+  private def normalizedFrame(df: DataFrame): DataFrame =
+    Similarity.normalizedFrame(df, "vec_id", "embedding")
 }

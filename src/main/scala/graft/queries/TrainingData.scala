@@ -436,6 +436,25 @@ object TrainingData {
       k = 3, nprobe = 3)
   }
 
+  /** q58's IVF+PQ search served from a PERSISTED index
+    * ([[graft.similarity.IvfPqIndex]]): the commit stores per vector
+    * only (cluster, m codes) partitioned by cluster — 64× smaller
+    * than the corpus — plus raw vectors for the bounded re-rank and
+    * the model tables. Same params as q58 → identical results → the
+    * same generated frozen-model oracle hash-checks the persisted
+    * path. */
+  def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val root = System.getProperty("java.io.tmpdir") +
+      s"/graft_ivfpq_index_${new java.io.File(dir).getName}"
+    graft.similarity.IvfPqIndex.build(spark,
+      e.filter(col("vec_id") >= 5), "vec_id", "embedding", root,
+      nlist = 8, m = 8, ksub = 16, iters = 2)
+    graft.similarity.IvfPqIndex.query(spark, root,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nprobe = 5, rerank = 120)
+  }
+
   /** Winnowing (rolling-hash) fingerprint near-dup pairs — the
     * substring/containment-oriented dedup family (SIGMOD'03 winnowing),
     * complementing MinHash (set resemblance) and SimHash
@@ -599,7 +618,8 @@ object TrainingData {
     "q60_bm25_topterms" -> ((s, d) => bm25TopTerms(s, d)),
     "q67_seq_pack" -> ((s, d) => seqPack(s, d)),
     "q68_unigram_oov" -> ((s, d) => unigramOov(s, d)),
-    "q69_ann_ivf_indexed" -> annIvfIndexed
+    "q69_ann_ivf_indexed" -> annIvfIndexed,
+    "q70_ann_ivfpq_indexed" -> annIvfPqIndexed
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of

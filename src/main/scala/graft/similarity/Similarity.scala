@@ -363,39 +363,74 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int, nprobe: Int, m: Int, ksub: Int,
       iters: Int = 2, rerank: Int = 0): DataFrame = {
     val r = if (rerank > 0) rerank else 4 * k
-    def normalized(df: DataFrame, id: String) = df
-      .select(col(idCol).cast("long").as(id), toDouble(col(vecCol)).as("v"))
-      .withColumn("_n", sqrt(dot(col("v"), col("v"))))
-      .withColumn("v", transform(col("v"), x => x / col("_n")))
-      .drop("_n")
-    val corpusN = normalized(corpus, "id")
-    val centroids = ivfTrain(corpusN, "id", "v", nlist, iters)
+    val corpusN = normalizedFrame(corpus, idCol, vecCol)
+    val (centroids, codebooks, codes) =
+      ivfPqModel(corpusN, nlist, m, ksub, iters)
+    val q = ivfPqQuerySide(queries, idCol, vecCol, centroids, codebooks, nprobe)
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    adcRerank(q, codes.withColumnRenamed("id", "neighbor_id"), vecs, r, k)
+  }
+
+  /** (id: long, v: unit-norm array<double>) — the training/encoding
+    * input shape shared by the PQ family, the persisted indexes, and
+    * the generated-oracle builder. */
+  def normalizedFrame(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = df
+    .select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+    .withColumn("_n", sqrt(dot(col("v"), col("v"))))
+    .withColumn("v", transform(col("v"), x => x / col("_n")))
+    .drop("_n")
+
+  private[similarity] def residualOf(centroids: Array[Array[Double]])(
+      v: Column, cluster: Column): Column = {
     val centLit = array(centroids.toIndexedSeq.map(c =>
       array(c.toIndexedSeq.map(lit): _*)): _*)
-    def residual(v: Column, cluster: Column): Column =
-      zip_with(v, element_at(centLit, cluster + 1), (x, c) => x - c)
+    zip_with(v, element_at(centLit, cluster + 1), (x, c) => x - c)
+  }
+
+  /** Train the IVF+PQ model on a normalized corpus (see
+    * [[normalizedFrame]]): coarse centroids, residual PQ codebooks,
+    * and the eagerly-materialized codes table (id, cluster, codes) —
+    * the standard IVFPQ build (codes are m small ints per vector, 64×
+    * smaller than the corpus; checkpoint blocks self-clean). The
+    * residual cache used by the Lloyd rounds is dropped before
+    * returning, so no cached frame outlives the call. Public: shared
+    * by [[ivfPqTopK]], the persisted [[IvfPqIndex]], and the
+    * generated-oracle builder (one training path — no model drift). */
+  def ivfPqModel(corpusN: DataFrame, nlist: Int,
+      m: Int, ksub: Int, iters: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], DataFrame) = {
+    val centroids = ivfTrain(corpusN, "id", "v", nlist, iters)
     // corpus: assign list, encode the residual. Cached for the PQ
     // training rounds (each Lloyd pass re-reads it) — without it each
     // pass re-runs normalize+assign+residual over the corpus.
     val assigned = withCluster(corpusN, centroids)
-      .withColumn("v", residual(col("v"), col("cluster")))
+      .withColumn("v", residualOf(centroids)(col("v"), col("cluster")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codebooks = pqTrain(assigned, "id", "v", m, ksub, iters)
-    val d = codebooks.length * codebooks(0)(0).length
-    val dsub = d / m
-    // Materialize the codes INDEX eagerly (the standard IVFPQ build:
-    // codes are m small ints per vector — 64× smaller than the raw
-    // corpus — and checkpoint blocks self-clean via the ContextCleaner),
-    // then drop the residual cache so no cached frame outlives the call.
+    val dsub = codebooks(0)(0).length
     val codes = withPqCodes(assigned, codebooks, dsub)
-      .select(col("id").as("neighbor_id"), col("cluster"), col("codes"))
+      .select(col("id"), col("cluster"), col("codes"))
       .localCheckpoint()
     assigned.unpersist(blocking = false)
-    // queries: nprobe nearest lists, residual ADC tables per list
+    (centroids, codebooks, codes)
+  }
+
+  /** Broadcast IVF+PQ query side: nprobe nearest lists per query and
+    * the per-(query, list) residual ADC tables —
+    * (q_id, qv, nq, cluster, _tabs). */
+  private[similarity] def ivfPqQuerySide(queries: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], nprobe: Int): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val centLit = array(centroids.toIndexedSeq.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)): _*)
     val cbLit = array(codebooks.toIndexedSeq.map(cb =>
       array(cb.toIndexedSeq.map(c =>
         array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
-    val q = broadcast(queries
+    broadcast(queries
       .select(col(idCol).cast("long").as("q_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
       .withColumn("_qn", transform(col("qv"), x => x / col("nq")))
@@ -406,13 +441,19 @@ object Similarity {
         s => s.getField("i")))
       .withColumn("_probe", explode(slice(col("_ranked"), 1, nprobe)))
       .withColumn("cluster", col("_probe").cast("int"))
-      .withColumn("_rq", residual(col("_qn"), col("cluster")))
+      .withColumn("_rq", residualOf(centroids)(col("_qn"), col("cluster")))
       .withColumn("_tabs", transform(cbLit, (cb, j) => transform(cb, c =>
         graft.functions.vector.arrayL2Sq(
           c, slice(col("_rq"), j * lit(dsub) + 1, lit(dsub))))))
       .select(col("q_id"), col("qv"), col("nq"), col("cluster"), col("_tabs")))
-    // same sharded ADC top-r rationale as [[pqTopK]] — the probed
-    // lists are nprobe/nlist of the corpus, still unbounded at scale
+  }
+
+  /** Shared IVF+PQ search tail: probe join on cluster, sharded ADC
+    * top-r (see [[keepTopPerQuery]] — the probed lists are
+    * nprobe/nlist of the corpus, still unbounded at scale), exact
+    * cosine re-rank of the survivors on raw vectors. */
+  private[similarity] def adcRerank(q: DataFrame, codes: DataFrame,
+      vecs: DataFrame, r: Int, k: Int): DataFrame = {
     val candidates = keepTopPerQuery(
       q.join(codes, Seq("cluster"))
         .filter(col("q_id") =!= col("neighbor_id"))
@@ -421,9 +462,6 @@ object Similarity {
           lit(0.0), (acc, x) => acc + x)),
       r, Seq(col("_adc").asc, col("neighbor_id").asc))
       .select(col("q_id"), col("qv"), col("nq"), col("neighbor_id"))
-    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
-      toDouble(col(vecCol)).as("v"))
-      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
     rankTopK(candidates.join(vecs, Seq("neighbor_id")), k)
   }
 

@@ -58,4 +58,38 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(vt.currentVersion === Some(1L))
     assert(vt.readVersion(0L).count() === corpus.count())
   }
+
+  test("persisted IVF+PQ index ≡ ivfPqTopK; codes scan partition-pruned") {
+    import graft.similarity.IvfPqIndex
+    val corpus = embs.filter(col("vec_id") >= 5)
+    val queries = embs.filter(col("vec_id") < 5)
+    val root = Fixtures.tempDir("graft-ivfpq-index") + "/idx"
+    IvfPqIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 8, m = 8, ksub = 16, iters = 2)
+
+    val indexed = IvfPqIndex.query(spark, root, queries,
+      "vec_id", "embedding", k = 3, nprobe = 5, rerank = 120)
+    val direct = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 5, m = 8, ksub = 16, rerank = 120)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(indexed) === rows(direct),
+      "persisted IVF+PQ search must equal the one-call path exactly")
+
+    // model round-trips exactly through the tables
+    val (cents, cbs) = IvfPqIndex.loadModel(spark, root)
+    assert(cents.length === 8 && cbs.length === 8 &&
+      cbs.forall(_.length === 16) && cbs.forall(_.forall(_.length === 8)))
+
+    // what persists per vector is (cluster, m codes) — the 64× story:
+    // single-query probe plans ≤ nprobe of the 8 cluster dirs
+    val one = IvfPqIndex.query(spark, root,
+      queries.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, nprobe = 3, rerank = 120)
+    one.collect()
+    val plannedClusters = one.inputFiles.filter(_.contains("cluster="))
+      .map(f => f.split("cluster=")(1).split("/")(0)).toSet
+    assert(plannedClusters.nonEmpty && plannedClusters.size <= 3,
+      s"one query must plan <= nprobe code partitions: $plannedClusters")
+  }
 }

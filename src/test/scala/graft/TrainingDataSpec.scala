@@ -23,7 +23,7 @@ class TrainingDataSpec extends AnyFunSuite {
     // winnowing's rolling-hash windowed-min has no SQL form at all
     assert(TrainingData.queries.keySet -- TrainingData.oracles.keySet
       === Set("q30_ann_ivf", "q31_winnow_neardup", "q57_ann_pq",
-        "q58_ann_ivfpq", "q69_ann_ivf_indexed"))
+        "q58_ann_ivfpq", "q69_ann_ivf_indexed", "q70_ann_ivfpq_indexed"))
   }
 
   test("winnowing: identical texts score 1.0; finds the fabricated near-dups") {
