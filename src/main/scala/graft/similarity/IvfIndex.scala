@@ -52,6 +52,23 @@ object IvfIndex {
         partitionBy = Some(Seq("cluster")))
   }
 
+  /** Incremental ingest: assign NEW vectors with the STORED centroids
+    * (the model does not retrain — the standard IVF append; retrain =
+    * [[build]], which commits a fresh version) and append-commit them
+    * into the partitioned vectors table. Queries immediately see
+    * old + new; time travel still serves the pre-append index. */
+  def append(spark: SparkSession, vectors: DataFrame, idCol: String,
+      vecCol: String, root: String): Long = {
+    val centroids = loadCentroids(spark, root)
+    val assigned = Similarity.withCluster(
+      vectors.select(col(idCol).cast("long").as("id"),
+        Similarity.toDouble(col(vecCol)).as("v")),
+      centroids)
+    new VersionedTable(spark, s"$root/vectors")
+      .write(assigned.select("id", "cluster", "v"),
+        org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** The trained model back as nlist×dim (driver-side — it is
     * broadcast-sized by construction). */
   def loadCentroids(spark: SparkSession, root: String): Array[Array[Double]] = {

@@ -51,6 +51,29 @@ object IvfPqIndex {
       .write(codes, partitionBy = Some(Seq("cluster")))
   }
 
+  /** Incremental ingest: normalize, assign, and residual-encode NEW
+    * vectors with the STORED model (no retraining — the standard
+    * IVFPQ append; retrain = [[build]]) and append-commit codes +
+    * raw vectors. Queries immediately see old + new; time travel
+    * still serves the pre-append index. */
+  def append(spark: SparkSession, vectors: DataFrame, idCol: String,
+      vecCol: String, root: String): Long = {
+    val (centroids, codebooks) = loadModel(spark, root)
+    val dsub = codebooks(0)(0).length
+    val assigned = Similarity.withCluster(
+      Similarity.normalizedFrame(vectors, idCol, vecCol), centroids)
+      .withColumn("v",
+        Similarity.residualOf(centroids)(col("v"), col("cluster")))
+    val codes = Similarity.withPqCodes(assigned, codebooks, dsub)
+      .select("id", "cluster", "codes")
+    new VersionedTable(spark, s"$root/vectors").write(
+      vectors.select(col(idCol).cast("long").as("id"),
+        Similarity.toDouble(col(vecCol)).as("v")),
+      org.apache.spark.sql.SaveMode.Append)
+    new VersionedTable(spark, s"$root/codes")
+      .write(codes, org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** The stored model back as driver-side arrays (both tables are
     * broadcast-sized by construction). */
   def loadModel(spark: SparkSession, root: String)

@@ -271,7 +271,7 @@ object Similarity {
   /** Appends `codes` (array<int>, length m): per-subspace nearest
     * codebook entry by squared L2 — the PQ encoding map. Pure narrow
     * projection against broadcast-literal codebooks. */
-  private def withPqCodes(vecs: DataFrame,
+  private[similarity] def withPqCodes(vecs: DataFrame,
       codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
     val coded = codebooks.zipWithIndex.foldLeft(vecs) { case (df, (cb, j)) =>
       val cbLit = array(cb.toIndexedSeq.map(c =>

@@ -59,6 +59,54 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(vt.readVersion(0L).count() === corpus.count())
   }
 
+  test("append: stored-model assignment; queries see old + new; time travel doesn't") {
+    val corpus = embs.filter(col("vec_id") >= 5 && col("vec_id") < 50)
+    val queries = embs.filter(col("vec_id") < 5)
+    val root = Fixtures.tempDir("graft-ivf-append") + "/idx"
+    IvfIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 8, iters = 2)
+    val before = IvfIndex.query(spark, root, queries, "vec_id", "embedding",
+      k = 3, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // append a clone of each query vector under a fresh id: with every
+    // list probed, the clone (cosine exactly 1.0) must become a top hit
+    val clones = queries.select(
+      (col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val v1 = IvfIndex.append(spark, clones, "vec_id", "embedding", root)
+    assert(v1 === 1L)
+    val after = IvfIndex.query(spark, root, queries, "vec_id", "embedding",
+      k = 3, nprobe = 8)
+    val byQuery = after.collect().groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.exists(r => r.getLong(1) === q + 1000 &&
+        math.abs(r.getDouble(2) - 1.0) < 1e-9),
+        s"query $q must find its appended clone: ${rs.mkString(",")}")
+    }
+    // the pre-append version still serves the old answer
+    val vt = new graft.io.VersionedTable(spark, s"$root/vectors")
+    assert(vt.readVersion(0L).count() === corpus.count())
+    assert(before.forall { case (_, n) => n < 1000 })
+  }
+
+  test("IVF+PQ append: encoded with the stored model; clones found") {
+    import graft.similarity.IvfPqIndex
+    val corpus = embs.filter(col("vec_id") >= 5 && col("vec_id") < 50)
+    val queries = embs.filter(col("vec_id") < 5)
+    val root = Fixtures.tempDir("graft-ivfpq-append") + "/idx"
+    IvfPqIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 4, m = 8, ksub = 16, iters = 2)
+    val clones = queries.select(
+      (col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    IvfPqIndex.append(spark, clones, "vec_id", "embedding", root)
+    val after = IvfPqIndex.query(spark, root, queries, "vec_id", "embedding",
+      k = 3, nprobe = 4, rerank = 120)
+    after.collect().groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.exists(r => r.getLong(1) === q + 1000 &&
+        math.abs(r.getDouble(2) - 1.0) < 1e-9),
+        s"query $q must find its appended clone: ${rs.mkString(",")}")
+    }
+  }
+
   test("persisted IVF+PQ index ≡ ivfPqTopK; codes scan partition-pruned") {
     import graft.similarity.IvfPqIndex
     val corpus = embs.filter(col("vec_id") >= 5)
