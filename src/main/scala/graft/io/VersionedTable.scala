@@ -187,7 +187,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         case _ => (Seq.empty, df.schema)
       }
       writeManifest(next, VersionManifest(Some(schema), prior ++ added, parts))
-      appendHistory(next, operation, (prior ++ added).map(_.rows).sum)
+      appendHistory(next, operation, (prior ++ added).map(_.liveRows).sum)
       pointTo(next)
       next
     }
@@ -217,8 +217,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val dir = newCommitDir(currentVersion.get + 1)
     writeCommitData(df, parts, dir)
     val added = listCommitFiles(dir)
-    val basisFiles = basisVersion.map(v => readManifest(v).entries)
-      .getOrElse(base.entries).map(_.relPath).toSet
+    val basisEntries = basisVersion.map(v => readManifest(v).entries)
+      .getOrElse(base.entries)
+    val basisFiles = basisEntries.map(_.relPath).toSet
+    val basisDv = basisEntries.map(e => e.relPath -> (e.dvDir, e.dvRows)).toMap
     commitWithRebase(rebase = true) { () =>
       // ONE currentVersion read per attempt (see write())
       val curV = currentVersion.get
@@ -237,12 +239,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
           s"${clobbered.size} file(s) into partitions this replaceWhere " +
           "rewrites (e.g. " + clobbered.head.relPath + "); re-run the " +
           "rewrite against the new snapshot")
+      // same rule for rows REMOVED since basis: a DV masked onto a file
+      // this rewrite replaces deleted rows the caller's frame still
+      // holds — rebasing would resurrect them
+      val remasked = cur.entries.filterNot(keep).filter(e =>
+        basisDv.get(e.relPath).exists(_ != ((e.dvDir, e.dvRows))))
+      if (remasked.nonEmpty) sys.error(
+        s"concurrent write conflict at $root: deletion vectors changed " +
+          s"on ${remasked.size} file(s) this replaceWhere rewrites (e.g. " +
+          remasked.head.relPath + "); re-run the rewrite against the new " +
+          "snapshot")
       val schema = reconcileAppendSchema(df, snapshotSchema(cur),
         allowEvolution = false)
       val next = curV + 1
       val entries = cur.entries.filter(keep) ++ added
       writeManifest(next, VersionManifest(Some(schema), entries, parts))
-      appendHistory(next, operation, entries.map(_.rows).sum)
+      appendHistory(next, operation, entries.map(_.liveRows).sum)
       pointTo(next)
       next
     }
@@ -289,14 +301,62 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * are already in the manifest. Catalyst partition pruning on the
     * returned frame works as on any partitioned table. */
   private def readFiles(m: VersionManifest, entries: Seq[ManifestEntry],
-      isStreaming: Boolean = false): DataFrame = {
+      isStreaming: Boolean = false, withRowMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring}
+    val (masked, plain) = entries.partition(_.dvDir.isDefined)
+    if (masked.isEmpty) return rawScan(m, entries, isStreaming, withRowMeta)
+    // DV-bearing files: read WITH per-row provenance, anti-join away the
+    // masked (file, row_index) pairs, and only then drop the provenance
+    // columns. Files without a DV never pay the join.
+    val dv = readDvRows(masked.flatMap(_.dvDir).distinct)
+    val mdf = rawScan(m, masked, isStreaming, withRowMeta = true)
+    // 1-based substring: skip the root prefix AND its trailing '/'
+    val fileRel = substring(col(graftbridge.ManifestScan.FilePathCol),
+      rootPrefixLen + 2, Int.MaxValue)
+    val alive = mdf.join(dv,
+      fileRel === dv("file_rel") &&
+        col(graftbridge.ManifestScan.RowIndexCol) === dv("pos"),
+      "left_anti")
+    val trimmed =
+      if (withRowMeta) alive
+      else alive.drop(graftbridge.ManifestScan.FilePathCol,
+        graftbridge.ManifestScan.RowIndexCol)
+    if (plain.isEmpty) trimmed
+    else rawScan(m, plain, isStreaming, withRowMeta).unionByName(trimmed)
+  }
+
+  /** Plan the scan with no DV application (the manifest entries' raw
+    * parquet rows). */
+  private def rawScan(m: VersionManifest, entries: Seq[ManifestEntry],
+      isStreaming: Boolean, withRowMeta: Boolean): DataFrame = {
     val qualifiedRoot = fs.makeQualified(rootPath)
     val files = entries.map(e => graftbridge.ManifestFile(
       new Path(qualifiedRoot, e.relPath).toString, e.bytes,
       e.partitionValues))
     graftbridge.ManifestScan.parquetTable(spark, qualifiedRoot,
-      snapshotSchema(m), m.partitionBy, files, isStreaming)
+      snapshotSchema(m), m.partitionBy, files, isStreaming, withRowMeta)
   }
+
+  /** Length of the qualified-root prefix every scanned file path
+    * carries; +1 more for the separating '/' is applied at use sites.
+    * `_metadata.file_path` renders paths in `Path.toString` form
+    * (probe-verified), which is exactly how [[rawScan]] constructs
+    * them — so a fixed-length strip recovers the manifest-relative
+    * path without any URI-encoding pitfalls. */
+  private def rootPrefixLen: Int = fs.makeQualified(rootPath).toString.length
+
+  /** DV sidecar schema: the table-relative file path (as rendered by
+    * the scan — see [[rootPrefixLen]]) and the masked row's ordinal
+    * within that parquet file. */
+  private val dvSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_rel",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readDvRows(dirs: Seq[String]): DataFrame =
+    spark.read.schema(dvSchema)
+      .parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
 
   /** One micro-batch of the streaming source
     * ([[org.apache.spark.sql.graftbridge.VersionedStreamSource]] /
@@ -314,10 +374,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val entries = fromV match {
       case None => toM.entries
       case Some(f) =>
-        val fromFiles = readManifest(f).entries.map(_.relPath).toSet
+        val fromByPath = readManifest(f).entries.map(e => e.relPath -> e).toMap
+        val fromFiles = fromByPath.keySet
         val removed = fromFiles -- toM.entries.map(_.relPath).toSet
-        if (removed.nonEmpty && !ignoreChanges) sys.error(
+        // a DV delete removes rows while keeping the file — same
+        // append-only violation as a removed file
+        val dvChanged = toM.entries.exists(e =>
+          fromByPath.get(e.relPath).exists(o =>
+            o.dvDir != e.dvDir || o.dvRows != e.dvRows))
+        if ((removed.nonEmpty || dvChanged) && !ignoreChanges) sys.error(
           s"versions $f..$toV of $root removed ${removed.size} file(s) " +
+            (if (dvChanged) "and masked rows via deletion vectors " else "") +
             "(overwrite/compaction/delete) — a streaming source needs " +
             "append-only commits; set ignoreChanges=true to stream only " +
             "added files (at-least-once for rewritten rows)")
@@ -572,7 +639,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       writeManifest(next, VersionManifest(cur.schema, entries, cur.partitionBy))
       appendHistory(next,
         s"DELETE $column IN (${values.toSeq.sorted.mkString(",")})",
-        entries.map(_.rows).sum)
+        entries.map(_.liveRows).sum)
       pointTo(next)
       next
     }
@@ -637,6 +704,98 @@ final class VersionedTable(spark: SparkSession, root: String) {
       s"UPDATE $column IN [$lo,$hi]", basisVersion = Some(curV))
   }
 
+  /** Row-level DELETE of `column` ∈ [lo, hi] via DELETION VECTORS
+    * (Delta's DV mode): instead of rewriting every possibly-matching
+    * file, write a sidecar of (file, row_index) pairs for the matched
+    * rows and point the affected manifest entries at it; reads
+    * anti-join the masks away. Write amplification is O(deleted rows)
+    * — 8 bytes a row — instead of O(size of every touched file), which
+    * at 100 TB is the difference between a KB-scale commit and
+    * rewriting terabytes to delete a few rows. Stats/partition pruning
+    * still applies (a DV only shrinks a file's true range, so recorded
+    * stats stay conservative); files the manifest PROVES unaffected
+    * are neither read nor touched. A file whose every row is masked is
+    * dropped from the manifest outright. Repeated DV deletes UNION
+    * into a fresh sidecar (the new commit's masks replace the old
+    * pointers); [[compact]] purges DVs by rewriting survivors.
+    * Concurrency: rebases over commits that leave every candidate
+    * file untouched; fails loudly if a candidate was rewritten or
+    * re-masked mid-flight (same lost-update rule as [[replaceWhere]]).
+    * Prior versions still read the unmasked rows (snapshot isolation);
+    * [[vacuum]] keeps every sidecar a retained version references. */
+  def deleteVectorized(column: String, lo: Double, hi: Double): Long = {
+    import org.apache.spark.sql.functions.{col, substring}
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val mayMatch = rangeMayMatch(m.partitionBy.toSet, column, lo, hi) _
+    val candidates = m.entries.filter(mayMatch)
+    if (candidates.isEmpty) return curV // provably nothing to delete
+    val qualifiedRoot = fs.makeQualified(rootPath)
+    // newly-matching LIVE rows of candidate files, as (file_rel, pos);
+    // readFiles applies existing masks, so already-dead rows are never
+    // re-scanned into the new sidecar by the scan itself…
+    val matches = readFiles(m, candidates, withRowMeta = true)
+      .filter(col(column) >= lo && col(column) <= hi)
+      .select(
+        substring(col(graftbridge.ManifestScan.FilePathCol),
+          rootPrefixLen + 2, Int.MaxValue).as("file_rel"),
+        col(graftbridge.ManifestScan.RowIndexCol).as("pos"))
+    // …and the existing masks are carried over verbatim, so the new
+    // sidecar fully REPLACES the candidates' old DV pointers.
+    val existingDirs = candidates.flatMap(_.dvDir).distinct
+    val dvAll =
+      if (existingDirs.isEmpty) matches
+      else matches.unionByName(readDvRows(existingDirs)).distinct()
+    val dir = newCommitDir(curV + 1)
+    dvAll.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val dvRel = relativize(dir)
+    // per-file cumulative mask counts — bounded by |candidate files|
+    val counts: Map[String, Long] = spark.read.schema(dvSchema)
+      .parquet(dir.toString).groupBy("file_rel").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a manifest entry's path as the scan renders it (Path.toString
+    // normalization) — the key `counts` is expressed in
+    def renderedRel(e: ManifestEntry): String =
+      new Path(qualifiedRoot, e.relPath).toString.substring(rootPrefixLen + 1)
+    val candByPath = candidates.map(e => e.relPath -> e).toMap
+    commitWithRebase(rebase = true) { () =>
+      val nowV = currentVersion.get
+      val now = readManifest(nowV)
+      val nowByPath = now.entries.map(e => e.relPath -> e).toMap
+      candidates.foreach { c =>
+        val n = nowByPath.getOrElse(c.relPath, sys.error(
+          s"concurrent write conflict at $root: ${c.relPath} was " +
+            "rewritten while a DV delete was in flight; re-run against " +
+            "the new snapshot"))
+        if (n.dvDir != c.dvDir) sys.error(
+          s"concurrent write conflict at $root: ${c.relPath} was " +
+            "re-masked while a DV delete was in flight; re-run against " +
+            "the new snapshot")
+      }
+      val entries = now.entries.flatMap { e =>
+        if (!candByPath.contains(e.relPath)) Some(e)
+        else counts.getOrElse(renderedRel(e), 0L) match {
+          case 0L => Some(e) // predicate matched nothing in this file
+          case masked if masked >= e.rows => None // fully dead: drop it
+          case masked => Some(e.copy(dvDir = Some(dvRel), dvRows = masked))
+        }
+      } match {
+        // every row of the table deleted: keep ONE fully-masked entry so
+        // the manifest stays non-empty (reads yield 0 rows, right schema)
+        case Seq() => Seq(candidates.head.copy(
+          dvDir = Some(dvRel), dvRows = candidates.head.rows))
+        case es => es
+      }
+      val next = nowV + 1
+      writeManifest(next, VersionManifest(now.schema, entries, now.partitionBy))
+      appendHistory(next, s"DELETE DV $column IN [$lo,$hi]",
+        entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
   /** May `e` contain a row with `column` in [lo, hi]? Partition values
     * and stats prove absence; anything unknown must assume presence. */
   private def rangeMayMatch(partCols: Set[String], column: String,
@@ -679,11 +838,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * (`exceptAll` both ways — two shuffles, multiset semantics). */
   def changes(fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val fromFiles = readManifest(fromV).entries.map(_.relPath).toSet
+    val fromM = readManifest(fromV)
+    val fromByPath = fromM.entries.map(e => e.relPath -> e).toMap
+    val fromFiles = fromByPath.keySet
     val toManifest = readManifest(toV)
     val added = toManifest.entries.filterNot(e => fromFiles.contains(e.relPath))
     val removed = fromFiles -- toManifest.entries.map(_.relPath).toSet
-    if (removed.isEmpty) {
+    // a DV added/extended on a surviving file deletes rows without
+    // touching the file set — file identity no longer maps to row
+    // identity, exactly like a removal
+    val dvChanged = toManifest.entries.exists(e =>
+      fromByPath.get(e.relPath).exists(o =>
+        o.dvDir != e.dvDir || o.dvRows != e.dvRows))
+    if (removed.isEmpty && !dvChanged) {
       if (added.isEmpty)
         readVersion(toV).limit(0).withColumn("_change_type", lit("insert"))
       else
@@ -714,7 +881,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val m = readManifest(v)
     val next = currentVersion.map(_ + 1).getOrElse(0L)
     writeManifest(next, m)
-    appendHistory(next, s"RESTORE to v$v", m.entries.map(_.rows).sum)
+    appendHistory(next, s"RESTORE to v$v", m.entries.map(_.liveRows).sum)
     pointTo(next)
   }
 
@@ -880,14 +1047,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val keepSet = keep.toSet
       rollCheckpoint(e => keepSet.contains(e.version))
     }
+    val keptManifests = keep.map(readManifest)
     val referenced: Set[String] =
-      keep.flatMap(readManifest(_).entries.map(_.relPath)).toSet
+      keptManifests.flatMap(_.entries.map(_.relPath)).toSet
+    // a DV sidecar dir is referenced as a UNIT (entries point at the
+    // dir, not its part files) — skip the whole dir if any retained
+    // version still masks through it
+    val referencedDvDirs: Set[String] =
+      keptManifests.flatMap(_.entries.flatMap(_.dvDir)).toSet
     if (fs.exists(dataRoot)) {
       val cutoff = System.currentTimeMillis() - orphanGraceMs
       fs.listStatus(dataRoot).foreach { dirStatus =>
         val dir = dirStatus.getPath
         if (commitDirVersion(dir.getName).exists(_ <= cur) &&
-            dirStatus.getModificationTime <= cutoff) {
+            dirStatus.getModificationTime <= cutoff &&
+            !referencedDvDirs.contains(relativize(dir))) {
           // recursive: partitioned commits nest files under col=value dirs
           val it = fs.listFiles(dir, true)
           val files = Iterator.continually(it).takeWhile(_.hasNext)
@@ -1307,7 +1481,12 @@ final case class VersionConflictException(message: String)
   * do the unit conversion so callers never touch ordinals. */
 final case class ManifestEntry(relPath: String, rows: Long, bytes: Long,
     stats: Map[String, (Double, Double)] = Map.empty,
-    strStats: Map[String, (String, String)] = Map.empty) {
+    strStats: Map[String, (String, String)] = Map.empty,
+    dvDir: Option[String] = None, dvRows: Long = 0L) {
+
+  /** Rows a read of this file yields: physical rows minus the rows its
+    * deletion vector masks. */
+  def liveRows: Long = rows - dvRows
 
   /** The file's partition values (Delta's per-file partitionValues),
     * DERIVED from the hive-style `col=value` segments of its path
@@ -1341,9 +1520,13 @@ object ManifestEntry {
     * Constraints the writers uphold: relPath has no tab/newline (it
     * is a real file path Spark wrote), stat keys match
     * `[A-Za-z0-9_]+` (enforced at footer-scrape time — a `:`/`,` in
-    * a key would corrupt the field). Decode accepts 3/4/5 fields:
-    * trailing empty fields vanish under split, and older manifest
-    * generations wrote fewer (r4: no string stats; r3: no stats). */
+    * a key would corrupt the field). Fields 6 and 7 are the deletion
+    * vector: masked-row count and the sidecar dir (a commit dir this
+    * table allocated itself — plain `c<v>_<uid>` names, never
+    * user-controlled, so raw encoding is safe). Decode accepts 3–7
+    * fields: trailing empty fields vanish under split, and older
+    * manifest generations wrote fewer (r6: no DV; r4: no string
+    * stats; r3: no stats). */
   private[graft] def encodeLine(e: ManifestEntry): String = {
     val st = e.stats.toSeq.sortBy(_._1)
       .map { case (k, (mn, mx)) => s"$k:$mn:$mx" }.mkString(",")
@@ -1352,7 +1535,8 @@ object ManifestEntry {
         .encodeToString(s.getBytes(StandardCharsets.UTF_8))
       s"$k:${enc(mn)}:${enc(mx)}"
     }.mkString(",")
-    s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st\t$ss"
+    s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st\t$ss" +
+      s"\t${e.dvRows}\t${e.dvDir.getOrElse("")}"
   }
 
   private[graft] def decodeLine(line: String, table: String = "?"): ManifestEntry = {
@@ -1374,6 +1558,12 @@ object ManifestEntry {
         ManifestEntry(p, r.toLong, b.toLong, parseStats(st))
       case Array(p, r, b, st, ss) =>
         ManifestEntry(p, r.toLong, b.toLong, parseStats(st), parseStrStats(ss))
+      case Array(p, r, b, st, ss, dvr) =>
+        ManifestEntry(p, r.toLong, b.toLong, parseStats(st),
+          parseStrStats(ss), None, dvr.toLong)
+      case Array(p, r, b, st, ss, dvr, dvd) =>
+        ManifestEntry(p, r.toLong, b.toLong, parseStats(st),
+          parseStrStats(ss), Some(dvd).filter(_.nonEmpty), dvr.toLong)
       case other => sys.error(
         s"malformed manifest line at $table: '${other.mkString("\\t")}'")
     }

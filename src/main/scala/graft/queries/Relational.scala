@@ -323,6 +323,27 @@ object Relational {
     vt.read().select("o_orderkey", "o_totalprice", "o_orderstatus")
   }
 
+  /** DELETE via DELETION VECTORS, end-to-end: build a versioned copy of
+    * orders, mask two OVERLAPPING key ranges as DV commits (zero data
+    * files rewritten — the sidecars are the only new bytes), and read
+    * the final snapshot through the masks. The oracle replays the union
+    * of the ranges as a WHERE over the raw table, so it checks the
+    * whole DV chain: row-index capture, sidecar union, and the
+    * anti-join read path. At 100 TB this is THE row-level delete shape:
+    * O(deleted rows) written instead of rewriting every touched file. */
+  def versionedDvDelete(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-vdv")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val base = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        (col("o_orderkey") % 4).as("bucket"))
+    vt.write(base, partitionBy = Some(Seq("bucket"))) // v0
+    vt.deleteVectorized("o_orderkey", 100, 199) // v1: DV mask
+    vt.deleteVectorized("o_orderkey", 150, 299) // v2: overlapping union
+    vt.read().select("o_orderkey", "o_totalprice", "o_orderstatus")
+  }
+
   /** Dimension chain supplier→nation→region (broadcast×2) + aggregate:
     * supplier census per region. */
   def regionSuppliers(spark: SparkSession, dir: String): DataFrame =
@@ -524,6 +545,7 @@ object Relational {
     "q37_skew_join_brand" -> skewJoinBrand,
     "q41_versioned_merge" -> versionedMerge,
     "q42_versioned_delete_update" -> versionedDeleteUpdate,
+    "q71_versioned_dv_delete" -> versionedDvDelete,
     "q61_window_funcs" -> windowFunctions,
     "q62_set_ops" -> setOps,
     "q63_semi_anti" -> semiAntiJoin,
@@ -683,6 +705,10 @@ object Relational {
          FROM orders
          WHERE o_orderkey % 4 <> 3
            AND NOT (o_orderkey BETWEEN 100 AND 199)""",
+    "q71_versioned_dv_delete" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+         FROM orders
+         WHERE NOT (o_orderkey BETWEEN 100 AND 299)""",
     "q61_window_funcs" ->
       """SELECT user_id, event_id,
          lag(value, 1) OVER w AS prev_value,

@@ -96,16 +96,28 @@ final class ManifestFileIndex(
   * `private[sql]` — the same doorway [[ColumnBridge]] uses. */
 object ManifestScan {
 
+  /** Per-row provenance columns appended when `rowMeta` is requested:
+    * the absolute file path (rendered exactly as
+    * `_metadata.file_path` renders it — `Path.toString` form) and the
+    * row's ordinal within its parquet file. Together they are a
+    * stable row identity for deletion vectors: parquet files are
+    * immutable, so (file, row_index) never changes for a given row. */
+  val FilePathCol = "_graft_file_path"
+  val RowIndexCol = "_graft_row_index"
+
   /** A DataFrame over `files`, with `partitionColumns` supplied from
     * the manifest (typed per `snapshotSchema`) rather than inferred
     * from directories. Column order follows `snapshotSchema`.
     * `isStreaming` tags the relation for splicing into a
     * MicroBatchExecution plan (the streaming source's batches —
     * MicroBatchExecution asserts the flag on every V1 getBatch
-    * result, exactly as FileStreamSource sets it). */
+    * result, exactly as FileStreamSource sets it). `rowMeta` appends
+    * [[FilePathCol]]/[[RowIndexCol] from the parquet reader's
+    * `_metadata` struct. */
   def parquetTable(spark: SparkSession, root: Path,
       snapshotSchema: StructType, partitionColumns: Seq[String],
-      files: Seq[ManifestFile], isStreaming: Boolean = false): DataFrame = {
+      files: Seq[ManifestFile], isStreaming: Boolean = false,
+      rowMeta: Boolean = false): DataFrame = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val partitionSchema = StructType(
       partitionColumns.map(c => snapshotSchema(snapshotSchema.fieldIndex(c))))
@@ -119,6 +131,14 @@ object ManifestScan {
       cs, LogicalRelation(relation, isStreaming))
     // HadoopFsRelation appends partition columns after the data columns;
     // restore the snapshot's declared order.
-    df.select(snapshotSchema.fields.map(f => df(f.name)).toSeq: _*)
+    val ordered = snapshotSchema.fields.map(f => df(f.name)).toSeq
+    val cols =
+      if (!rowMeta) ordered
+      else {
+        val meta = df.metadataColumn("_metadata")
+        ordered ++ Seq(meta.getField("file_path").as(FilePathCol),
+          meta.getField("row_index").as(RowIndexCol))
+      }
+    df.select(cols: _*)
   }
 }
