@@ -344,6 +344,39 @@ object Relational {
     vt.read().select("o_orderkey", "o_totalprice", "o_orderstatus")
   }
 
+  /** Incremental aggregate maintenance over the change feed (IVM):
+    * initialize a grouped count/sum aggregate from a versioned orders
+    * snapshot, then maintain it through an APPEND (file-level change
+    * feed — only the new files are read) and a DELETION-VECTOR delete
+    * (row-level feed) by folding per-group deltas — the base table is
+    * never rescanned after initialization. Sums run in DECIMAL, so the
+    * maintained aggregate is bit-identical to a full recompute, which
+    * is exactly what the oracle does over the final row set. */
+  def incrementalAggMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("graft-ivm")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,4)").as("price"))
+    val keys = Seq("o_orderstatus")
+    val sums = Seq("price")
+    vt.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // v0
+    val v0 = vt.currentVersion.get
+    val agg0 = IncrementalAgg.compute(vt.read(), keys, sums)
+    vt.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // v1: file-level feed
+    val v1 = vt.currentVersion.get
+    val agg1 = IncrementalAgg.update(agg0, vt.changes(v0, v1), keys, sums)
+    vt.deleteVectorized("o_orderkey", 100, 299) // v2: row-level feed
+    val v2 = vt.currentVersion.get
+    val agg2 = IncrementalAgg.update(agg1, vt.changes(v1, v2), keys, sums)
+    agg2.select(col("o_orderstatus"), col(IncrementalAgg.CountCol).as("n_rows"),
+      round(col(IncrementalAgg.sumCol("price")), 2).cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Dimension chain supplier→nation→region (broadcast×2) + aggregate:
     * supplier census per region. */
   def regionSuppliers(spark: SparkSession, dir: String): DataFrame =
@@ -546,6 +579,7 @@ object Relational {
     "q41_versioned_merge" -> versionedMerge,
     "q42_versioned_delete_update" -> versionedDeleteUpdate,
     "q71_versioned_dv_delete" -> versionedDvDelete,
+    "q73_incremental_agg" -> incrementalAggMaintain,
     "q61_window_funcs" -> windowFunctions,
     "q62_set_ops" -> setOps,
     "q63_semi_anti" -> semiAntiJoin,
@@ -709,6 +743,14 @@ object Relational {
       """SELECT o_orderkey, o_totalprice, o_orderstatus
          FROM orders
          WHERE NOT (o_orderkey BETWEEN 100 AND 299)""",
+    "q73_incremental_agg" ->
+      """SELECT o_orderstatus,
+         count(*) AS n_rows,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS revenue
+         FROM orders
+         WHERE NOT (o_orderkey BETWEEN 100 AND 299)
+         GROUP BY 1 ORDER BY 1""",
     "q61_window_funcs" ->
       """SELECT user_id, event_id,
          lag(value, 1) OVER w AS prev_value,

@@ -235,6 +235,37 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Bloom-accelerated decontamination: the q45 check re-shaped for a
+    * benchmark set too big to broadcast as strings. The benchmark
+    * 8-grams aggregate into ONE Bloom filter (~1.2 bits/gram/ln(1/fpp)
+    * — 10^8 grams ≈ 120 MB vs GBs of broadcast strings), which probes
+    * the corpus as a NARROW codegen'd prefilter; only surviving grams
+    * (true overlaps + ~1% false positives) enter the exact
+    * verification join, so the result is exactly the clean corpus —
+    * the Bloom only prunes. Output: corpus documents sharing NO
+    * whitespace-8-gram with the benchmark, i.e. the rows a training
+    * run may keep. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8), " +
+          "i -> concat_ws(' ', slice(t, i + 1, 8)))")).as("g8"))
+    val bench = shingled.filter(col("doc_id") % 10 === 0)
+      .select("g8").distinct()
+    val bloom = graft.functions.BloomSketch.build(
+      bench, col("g8"), expectedItems = 1000000L, fpp = 0.01)
+    val contaminated = shingled.filter(col("doc_id") % 10 =!= 0)
+      .filter(graft.functions.BloomSketch.mightContain(bloom, col("g8")))
+      .join(broadcast(bench), "g8") // exact verify kills false positives
+      .select("doc_id").distinct()
+    docs(spark, dir).filter(col("doc_id") % 10 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash-banded near-dup pairs (Manku et al. WWW'07): Hamming ≤ 3
     * on 56-bit long signatures, candidates from a 4x14-bit band bucket
     * join (fewest bands recall allows = widest = most selective).
@@ -619,7 +650,8 @@ object TrainingData {
     "q67_seq_pack" -> ((s, d) => seqPack(s, d)),
     "q68_unigram_oov" -> ((s, d) => unigramOov(s, d)),
     "q69_ann_ivf_indexed" -> annIvfIndexed,
-    "q70_ann_ivfpq_indexed" -> annIvfPqIndexed
+    "q70_ann_ivfpq_indexed" -> annIvfPqIndexed,
+    "q72_decontam_bloom" -> decontaminateBloom
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -833,6 +865,22 @@ object TrainingData {
            count(DISTINCT b.bench_id) AS n_bench_docs
          FROM corpus c JOIN bench b USING (g8)
          GROUP BY 1 ORDER BY 1""",
+    "q72_decontam_bloom" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+             i -> array_to_string(t[i+1:i+8], ' '))) AS g8
+           FROM toks WHERE len(t) >= 8),
+         bench AS (
+           SELECT DISTINCT g8 FROM sh WHERE doc_id % 10 = 0),
+         contaminated AS (
+           SELECT DISTINCT doc_id FROM sh
+           WHERE doc_id % 10 <> 0 AND g8 IN (SELECT g8 FROM bench))
+         SELECT doc_id, source FROM documents
+         WHERE doc_id % 10 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ORDER BY doc_id""",
     "q59_tfidf_topterms" ->
       """WITH toks AS (SELECT doc_id,
            unnest(string_split(lower(text), ' ')) AS term FROM documents),
