@@ -26,16 +26,31 @@ object BloomSketch {
     * bytes — ~`1.2 * expectedItems * log2(1/fpp) / 8` bytes, e.g.
     * ~120 MB for 10^8 items at 1% fpp; plan-literal scale, like the
     * ANN codebooks). One distributed pass, partial-merged per
-    * partition. */
+    * partition.
+    *
+    * `BloomFilterAggregate` silently clamps its sizing to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / ~8 MB) — the fpp would
+    * silently degrade past that. We raise both confs to the requested
+    * size for the duration of the (eager) aggregation and restore
+    * them after, so the scaladoc sizing actually materializes. */
   def build(df: DataFrame, c: Column, expectedItems: Long,
       fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0, "expectedItems must be positive")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItems, fpp)
     val agg = new BloomFilterAggregate(
       new XxHash64(Seq(ColumnBridge.expression(c))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    df.agg(ColumnBridge.column(agg).as("bf"))
+    val conf = df.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    conf.set(itemsKey, math.max(prevItems.toLong, expectedItems))
+    conf.set(bitsKey, math.max(prevBits.toLong, numBits))
+    try df.agg(ColumnBridge.column(agg).as("bf"))
       .head().getAs[Array[Byte]](0)
+    finally { conf.set(itemsKey, prevItems); conf.set(bitsKey, prevBits) }
   }
 
   /** Probe: may `c` be in the set `bloom` was built from? No false

@@ -46,7 +46,14 @@ object IncrementalAgg {
   /** One maintenance step: fold `changes` (a `_change_type`-tagged
     * insert/delete frame) into `prior`. The only shuffles are the
     * per-group delta aggregation (O(changed rows)) and the merge join
-    * (O(groups)); the base table is never read. */
+    * (O(groups)); the base table is never read.
+    *
+    * The merge is NULL-SAFE on the group keys: `groupBy` treats NULL
+    * as a real group, so the join must too (`<=>`), else a null-keyed
+    * group splits into a prior-only and a delta-only row and both
+    * survive with wrong counts. Key columns in the output coalesce
+    * across the two sides, which is exact even for NULL keys because
+    * a null-safe match guarantees both sides hold the same value. */
   def update(prior: DataFrame, changes: DataFrame, keys: Seq[String],
       sums: Seq[String]): DataFrame = {
     val sign = when(col("_change_type") === "insert", lit(1))
@@ -54,13 +61,17 @@ object IncrementalAgg {
       .otherwise(lit(0)) // unknown tags contribute nothing, loudly zero
     val dn = "_delta_n"
     def dsum(c: String) = s"_delta_$c"
+    def dkey(k: String) = s"_delta_key_$k"
     val delta = changes.groupBy(keys.map(col): _*).agg(
-      sum(sign).as(dn),
-      sums.map(c => sum(col(c) * sign).as(dsum(c))): _*)
-    val merged = prior.join(delta, keys, "full_outer")
+        sum(sign).as(dn),
+        sums.map(c => sum(col(c) * sign).as(dsum(c))): _*)
+      .select(keys.map(k => col(k).as(dkey(k))) ++
+        Seq(col(dn)) ++ sums.map(c => col(dsum(c))): _*)
+    val cond = keys.map(k => prior(k) <=> col(dkey(k))).reduce(_ && _)
+    val merged = prior.join(delta, cond, "full_outer")
     val newN = coalesce(col(CountCol), lit(0L)) + coalesce(col(dn), lit(0L))
     merged.select(
-      keys.map(col) ++
+      keys.map(k => coalesce(prior(k), col(dkey(k))).as(k)) ++
         Seq(newN.as(CountCol)) ++
         sums.map { c =>
           val zero = lit(0).cast(prior.schema(sumCol(c)).dataType)
@@ -84,8 +95,15 @@ object IncrementalAgg {
   def updateByRecompute(prior: DataFrame, base: DataFrame,
       changes: DataFrame, keys: Seq[String],
       recompute: DataFrame => DataFrame): DataFrame = {
+    // Null-safe (<=>) semi/anti conditions for the same reason update()
+    // uses them: NULL is a real group key to groupBy.
     val touched = affectedGroups(changes, keys)
-    val fresh = recompute(base.join(broadcast(touched), keys, "left_semi"))
-    prior.join(broadcast(touched), keys, "left_anti").unionByName(fresh)
+      .select(keys.map(k => col(k).as(s"_touched_$k")): _*)
+    def cond(left: DataFrame) =
+      keys.map(k => left(k) <=> col(s"_touched_$k")).reduce(_ && _)
+    val fresh =
+      recompute(base.join(broadcast(touched), cond(base), "left_semi"))
+    prior.join(broadcast(touched), cond(prior), "left_anti")
+      .unionByName(fresh)
   }
 }

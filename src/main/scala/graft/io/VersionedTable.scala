@@ -721,6 +721,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * Concurrency: rebases over commits that leave every candidate
     * file untouched; fails loudly if a candidate was rewritten or
     * re-masked mid-flight (same lost-update rule as [[replaceWhere]]).
+    * Isolation level is WRITE-SERIALIZABLE, matching Delta's default:
+    * a concurrent APPEND whose new rows fall inside [lo, hi] commits
+    * cleanly and those rows SURVIVE the delete — the delete's mask set
+    * was computed against its basis snapshot and new files are not
+    * re-scanned on rebase. This is the documented Delta behavior for
+    * blind appends vs. DELETE (appends never conflict under
+    * WriteSerializable); callers needing serial DELETE-then-append
+    * semantics must order the operations themselves.
     * Prior versions still read the unmasked rows (snapshot isolation);
     * [[vacuum]] keeps every sidecar a retained version references. */
   def deleteVectorized(column: String, lo: Double, hi: Double): Long = {

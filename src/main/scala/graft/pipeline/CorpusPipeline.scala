@@ -194,12 +194,19 @@ object CorpusPipeline {
     * stage, and each count recomputed the whole prefix chain — the
     * dominant stage executed 3–4×.)
     *
-    * The returned thunk BLOCKS until that first action completes; run
-    * an action (write/collect/count) on the frame before calling it.
-    * With `report = false` the frame carries no observe nodes and the
-    * thunk returns empty. */
+    * CONTRACT on the first action: it must FULLY CONSUME the plan
+    * (write / count / collect). A partial action (limit / show / head)
+    * completes the query early, so the observed counts reflect only
+    * the rows that flowed before the early stop — silently partial.
+    * And if NO action ever runs, there is nothing for the metrics to
+    * ride on: the thunk waits up to `censusTimeout` and then fails
+    * loudly (rather than blocking forever) with this requirement in
+    * the message. With `report = false` the frame carries no observe
+    * nodes and the thunk returns empty. */
   def run(docs: DataFrame, benchmark: DataFrame, r: Recipe = Recipe(),
-      report: Boolean = true): (DataFrame, () => Seq[StageCount]) = {
+      report: Boolean = true,
+      censusTimeout: java.time.Duration = java.time.Duration.ofMinutes(10))
+      : (DataFrame, () => Seq[StageCount]) = {
     val obs = Seq.newBuilder[(String, org.apache.spark.sql.Observation)]
     def step(name: String, df: DataFrame): DataFrame =
       if (!report) df
@@ -222,7 +229,26 @@ object CorpusPipeline {
     val mixed = step("mix_split", mixAndSplit(clean, r))
     val collected = obs.result()
     (mixed, () => collected.map { case (name, o) =>
-      StageCount(name, o.get("n").asInstanceOf[Long])
+      StageCount(name, awaitMetric(o, name, censusTimeout))
     })
+  }
+
+  /** Wait for an Observation's metrics with a deadline —
+    * `Observation.get` alone blocks forever when the caller never ran
+    * an action over the observed frame. */
+  private def awaitMetric(o: org.apache.spark.sql.Observation,
+      stage: String, timeout: java.time.Duration): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try Await.result(Future(o.get("n").asInstanceOf[Long]),
+      scala.concurrent.duration.Duration.fromNanos(timeout.toNanos))
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          s"census for stage '$stage' not observed within $timeout: run " +
+            "a FULLY-CONSUMING action (write/count/collect — not " +
+            "limit/show) on the returned frame before calling the census " +
+            "thunk")
+    }
   }
 }

@@ -254,11 +254,20 @@ object TrainingData {
           "i -> concat_ws(' ', slice(t, i + 1, 8)))")).as("g8"))
     val bench = shingled.filter(col("doc_id") % 10 === 0)
       .select("g8").distinct()
+    // Size the filter from the actual benchmark cardinality (a cheap
+    // count over the distinct grams) — a hard-coded size silently
+    // degrades fpp as the benchmark grows.
+    val benchGrams = bench.localCheckpoint(eager = true)
+    val expected = math.max(benchGrams.count(), 1L)
     val bloom = graft.functions.BloomSketch.build(
-      bench, col("g8"), expectedItems = 1000000L, fpp = 0.01)
+      benchGrams, col("g8"), expectedItems = expected, fpp = 0.01)
+    // Exact verify kills false positives. Deliberately NOT broadcast:
+    // the whole premise is a benchmark too big to broadcast as strings;
+    // the left side is already Bloom-pruned to survivors, so a shuffled
+    // semi-join costs O(survivors + bench) — both far below the corpus.
     val contaminated = shingled.filter(col("doc_id") % 10 =!= 0)
       .filter(graft.functions.BloomSketch.mightContain(bloom, col("g8")))
-      .join(broadcast(bench), "g8") // exact verify kills false positives
+      .join(benchGrams.hint("shuffle_hash"), Seq("g8"), "left_semi")
       .select("doc_id").distinct()
     docs(spark, dir).filter(col("doc_id") % 10 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -457,8 +466,10 @@ object TrainingData {
     * (train → persist → reload → probe → prune → rank). */
   def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    val root = System.getProperty("java.io.tmpdir") +
-      s"/graft_ivf_index_${new java.io.File(dir).getName}"
+    // per-run temp root: a fixed path keyed on the scale dir races
+    // with concurrent harness runs and accumulates stale versions
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index_").toString
     graft.similarity.IvfIndex.build(spark,
       e.filter(col("vec_id") >= 5), "vec_id", "embedding", root,
       nlist = 8, iters = 2)
@@ -476,8 +487,8 @@ object TrainingData {
     * path. */
   def annIvfPqIndexed(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
-    val root = System.getProperty("java.io.tmpdir") +
-      s"/graft_ivfpq_index_${new java.io.File(dir).getName}"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_index_").toString
     graft.similarity.IvfPqIndex.build(spark,
       e.filter(col("vec_id") >= 5), "vec_id", "embedding", root,
       nlist = 8, m = 8, ksub = 16, iters = 2)

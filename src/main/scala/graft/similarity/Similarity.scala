@@ -19,9 +19,11 @@ import org.apache.spark.sql.expressions.Window
   *     vectors. At 100 TB the corpus is hash-partitioned (or bucketed
   *     on disk) by bucket id, making the probe a co-located join.
   *
-  * Dot products use `zip_with` + `aggregate` — sequential fold over the
-  * array, codegen'd, deterministic order (so external oracles match
-  * bit-for-bit after a fixed rounding).
+  * Dot products use the native codegen'd kernel
+  * [[graft.functions.vector.arrayDot]] (a primitive loop inside
+  * whole-stage codegen) — sequential fold in ascending index order,
+  * deterministic (so external oracles match bit-for-bit after a fixed
+  * rounding).
   */
 object Similarity {
 

@@ -74,6 +74,47 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(canon(agg) === canon(IncrementalAgg.compute(vt.read(), keys, sums)))
   }
 
+  test("NULL group keys merge null-safely (no split prior/delta rows)") {
+    val root = Fixtures.tempDir("graft-ivm-nullkey") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    // groupBy treats NULL as a real group; the prior⊕delta merge must
+    // match it null-safely or the null group doubles
+    def nframe(rows: Seq[(Long, Option[String], java.math.BigDecimal)]) =
+      rows.toDF("id", "k", "x_raw")
+        .select(col("id"), col("k"),
+          col("x_raw").cast("decimal(18,4)").as("x"))
+    vt.write(nframe(Seq((1L, None, dec(10.0)), (2L, Some("a"), dec(5.0)),
+      (3L, None, dec(2.0))))) // v0
+    val v0 = vt.currentVersion.get
+    var agg = IncrementalAgg.compute(vt.read(), keys, sums)
+    vt.write(nframe(Seq((4L, None, dec(1.5)), (5L, Some("a"), dec(0.5)))),
+      SaveMode.Append)
+    val v1 = vt.currentVersion.get
+    agg = IncrementalAgg.update(agg, vt.changes(v0, v1), keys, sums)
+    def ncanon(df: DataFrame) =
+      df.select(coalesce(col("k"), lit("<null>")),
+        col(IncrementalAgg.CountCol),
+        col(IncrementalAgg.sumCol("x")).cast("decimal(28,4)").cast("string"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    val rows = agg.collect()
+    assert(rows.length === 2, "null key must stay ONE group row")
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) === 3L)
+    assert(nullRow.getDecimal(2) === new java.math.BigDecimal("13.5000"))
+    assert(ncanon(agg) ===
+      ncanon(IncrementalAgg.compute(vt.read(), keys, sums)))
+    // the non-additive path prunes/splices with the same null-safety
+    def mm(df: DataFrame) = df.groupBy("k")
+      .agg(count(lit(1)).as(IncrementalAgg.CountCol),
+        sum(col("x")).as(IncrementalAgg.sumCol("x")))
+    vt.deleteVectorized("id", 3, 4) // touches the NULL group
+    val v2 = vt.currentVersion.get
+    val byRecompute = IncrementalAgg.updateByRecompute(
+      mm(vt.readVersion(v1)), vt.read(), vt.changes(v1, v2), keys, mm)
+    assert(ncanon(byRecompute) === ncanon(mm(vt.read())))
+  }
+
   test("non-additive aggregates maintain via scoped group recompute") {
     val root = Fixtures.tempDir("graft-ivm-minmax") + "/tbl"
     val vt = new VersionedTable(spark, root)
