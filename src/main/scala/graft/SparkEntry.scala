@@ -25,10 +25,13 @@ object SparkEntry {
     graft.queries.Relational.oracles ++ graft.queries.TrainingData.oracles ++
       graft.queries.Analytics.oracles
 
-  /** Data-dependent generated oracles (the trained-ANN search phase:
-    * the model is trained in Spark per scale factor, then frozen into
-    * the SQL as literals — see graft.queries.AnnOracles). Verify merges
-    * these over [[oracleSql]] when dumping oracle_sql.json. */
+  /** Data-dependent generated oracles (the trained-ANN search phase
+    * and the winnowing fingerprint sets: the model / fingerprint
+    * kernel runs in Spark per scale factor, then freezes into the SQL
+    * as literals — see graft.queries.{AnnOracles, DedupOracles}).
+    * Verify merges these over [[oracleSql]] when dumping
+    * oracle_sql.json. */
   def dynamicOracleSql(spark: SparkSession, dir: String): Map[String, String] =
-    graft.queries.AnnOracles.dynamic(spark, dir)
+    graft.queries.AnnOracles.dynamic(spark, dir) ++
+      graft.queries.DedupOracles.dynamic(spark, dir)
 }

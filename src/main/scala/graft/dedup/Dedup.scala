@@ -396,7 +396,8 @@ object Dedup {
     * sorted fingerprint sets. */
   def winnowingNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, threshold: Double = 0.4,
-      maxDf: Int = 20): DataFrame = {
+      maxDf: Int = 20,
+      capMetrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val d = spread(df).select(col(idCol),
       graft.functions.WinnowingFingerprints.winnow(lower(col(textCol)), k, w)
         .as("fp"))
@@ -412,10 +413,24 @@ object Dedup {
     // One groupBy builds the posting list AND applies the cap; pairs
     // expand inside the row (expandSortedIdPairs) — the old
     // df-aggregate + index join + self-join collapses to one shuffle.
+    //
+    // No-silent-caps: the observe node rides the caller's action for
+    // free and reports how many posting lists the cap dropped
+    // (`dropped_posting_lists` / `total_posting_lists`) — pass an
+    // Observation to read them programmatically, or listen for the
+    // "winnow_cap" metrics via a QueryExecutionListener.
+    val posting = ex.groupBy("h")
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+    val dropped =
+      sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L))
+        .as("dropped_posting_lists")
+    val total = count(lit(1)).as("total_posting_lists")
+    val observed = capMetrics match {
+      case Some(obs) => posting.observe(obs, dropped, total)
+      case None => posting.observe("winnow_cap", dropped, total)
+    }
     val cand = expandSortedIdPairs(
-      ex.groupBy("h")
-        .agg(sort_array(collect_set(col(idCol))).as("ids"))
-        .filter(size(col("ids")).between(2, maxDf)))
+      observed.filter(size(col("ids")).between(2, maxDf)))
       .distinct()
     val sets = d.select(col(idCol), col("fp"))
     cand

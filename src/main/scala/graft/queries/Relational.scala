@@ -377,6 +377,49 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** NON-ADDITIVE incremental aggregate maintenance (IVM's other
+    * half): min/max are not decrementable — deleting the current min
+    * needs the group's other rows — so the maintenance step is a
+    * SCOPED RECOMPUTE: only groups the change feed touches are
+    * re-aggregated from the snapshot (a semi-join-pruned scan), all
+    * untouched groups pass through from the prior aggregate verbatim.
+    * Same append + DV-delete chain as q73; the oracle recomputes
+    * min/max over the final row set, so it checks that the
+    * touched-group splice equals a full recompute. At 100 TB the
+    * pruned rescan reads only the changed groups' rows (stats /
+    * partition pruning scopes the scan), never the table. */
+  def incrementalMinMaxMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("graft-ivm-mm")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,4)").as("price"))
+    val keys = Seq("o_orderstatus")
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("n_rows"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+    vt.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // v0
+    val v0 = vt.currentVersion.get
+    val agg0 = aggOf(vt.read())
+    vt.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // v1: file-level feed
+    val v1 = vt.currentVersion.get
+    val agg1 = IncrementalAgg.updateByRecompute(
+      agg0, vt.read(), vt.changes(v0, v1), keys, aggOf)
+    vt.deleteVectorized("o_orderkey", 100, 299) // v2: row-level feed
+    val v2 = vt.currentVersion.get
+    val agg2 = IncrementalAgg.updateByRecompute(
+      agg1, vt.read(), vt.changes(v1, v2), keys, aggOf)
+    agg2.select(col("o_orderstatus"), col("n_rows"),
+      col("min_price").cast("double").as("min_price"),
+      col("max_price").cast("double").as("max_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Dimension chain supplier→nation→region (broadcast×2) + aggregate:
     * supplier census per region. */
   def regionSuppliers(spark: SparkSession, dir: String): DataFrame =
@@ -580,6 +623,7 @@ object Relational {
     "q42_versioned_delete_update" -> versionedDeleteUpdate,
     "q71_versioned_dv_delete" -> versionedDvDelete,
     "q73_incremental_agg" -> incrementalAggMaintain,
+    "q74_incremental_minmax" -> incrementalMinMaxMaintain,
     "q61_window_funcs" -> windowFunctions,
     "q62_set_ops" -> setOps,
     "q63_semi_anti" -> semiAntiJoin,
@@ -748,6 +792,14 @@ object Relational {
          count(*) AS n_rows,
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS revenue
+         FROM orders
+         WHERE NOT (o_orderkey BETWEEN 100 AND 299)
+         GROUP BY 1 ORDER BY 1""",
+    "q74_incremental_minmax" ->
+      """SELECT o_orderstatus,
+         count(*) AS n_rows,
+         CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS min_price,
+         CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
          FROM orders
          WHERE NOT (o_orderkey BETWEEN 100 AND 299)
          GROUP BY 1 ORDER BY 1""",

@@ -18,12 +18,27 @@ class TrainingDataSpec extends AnyFunSuite {
   test("every training-data oracle has a registered query") {
     val missing = TrainingData.oracles.keySet -- TrainingData.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    // deliberate static-map omissions: the trained-ANN queries get
-    // GENERATED oracles merged by Verify (AnnOracles.dynamic);
-    // winnowing's rolling-hash windowed-min has no SQL form at all
+    // deliberate static-map omissions: these queries get GENERATED
+    // oracles merged by Verify (AnnOracles.dynamic freezes the trained
+    // ANN models; DedupOracles.dynamic freezes the winnowing
+    // fingerprint sets) — every registered query is hash-checked
     assert(TrainingData.queries.keySet -- TrainingData.oracles.keySet
       === Set("q30_ann_ivf", "q31_winnow_neardup", "q57_ann_pq",
         "q58_ann_ivfpq", "q69_ann_ivf_indexed", "q70_ann_ivfpq_indexed"))
+  }
+
+  test("winnowing df-cap is observable (no silent caps)") {
+    val obs = new org.apache.spark.sql.Observation("winnow_cap_test")
+    val docs = Tables.load(spark, sf, "documents")
+    Dedup.winnowingNearDupPairs(docs, "doc_id", "text",
+      k = 12, w = 6, threshold = 0.4, maxDf = 20,
+      capMetrics = Some(obs)).collect()
+    val m = obs.get
+    val total = m("total_posting_lists").asInstanceOf[Long]
+    val dropped = m("dropped_posting_lists").asInstanceOf[Long]
+    assert(total > 0L)
+    assert(dropped >= 0L && dropped < total,
+      s"cap metrics must be sane: dropped=$dropped total=$total")
   }
 
   test("winnowing: identical texts score 1.0; finds the fabricated near-dups") {
