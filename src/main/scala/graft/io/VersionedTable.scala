@@ -732,11 +732,41 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * Prior versions still read the unmasked rows (snapshot isolation);
     * [[vacuum]] keeps every sidecar a retained version references. */
   def deleteVectorized(column: String, lo: Double, hi: Double): Long = {
+    import org.apache.spark.sql.functions.col
+    deleteVectorizedCore(
+      pred = col(column) >= lo && col(column) <= hi,
+      mayMatch0 = parts => rangeMayMatch(parts, column, lo, hi),
+      opDesc = s"DELETE DV $column IN [$lo,$hi]")
+  }
+
+  /** Row-level DELETE of `column` ∈ `values` via deletion vectors —
+    * [[deleteVectorized]] for an explicit id SET (the shape a dedup
+    * pipeline's survivor list produces). Manifest pruning uses the
+    * set's [min, max] envelope (stats/partition ranges can prove a
+    * file holds none of the ids); the row mask itself is the exact
+    * membership test. Same WriteSerializable semantics as the range
+    * flavor. */
+  def deleteVectorizedIn(column: String, values: Set[Long]): Long = {
+    import org.apache.spark.sql.functions.col
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    if (values.isEmpty) return curV
+    val lo = values.min.toDouble
+    val hi = values.max.toDouble
+    deleteVectorizedCore(
+      pred = col(column).isin(values.toSeq: _*),
+      mayMatch0 = parts => rangeMayMatch(parts, column, lo, hi),
+      opDesc = s"DELETE DV $column IN SET(${values.size})")
+  }
+
+  private def deleteVectorizedCore(pred: org.apache.spark.sql.Column,
+      mayMatch0: Set[String] => ManifestEntry => Boolean,
+      opDesc: String): Long = {
     import org.apache.spark.sql.functions.{col, substring}
     val curV = currentVersion.getOrElse(
       sys.error(s"table $root does not exist"))
     val m = readManifest(curV)
-    val mayMatch = rangeMayMatch(m.partitionBy.toSet, column, lo, hi) _
+    val mayMatch = mayMatch0(m.partitionBy.toSet)
     val candidates = m.entries.filter(mayMatch)
     if (candidates.isEmpty) return curV // provably nothing to delete
     val qualifiedRoot = fs.makeQualified(rootPath)
@@ -744,7 +774,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // readFiles applies existing masks, so already-dead rows are never
     // re-scanned into the new sidecar by the scan itself…
     val matches = readFiles(m, candidates, withRowMeta = true)
-      .filter(col(column) >= lo && col(column) <= hi)
+      .filter(pred)
       .select(
         substring(col(graftbridge.ManifestScan.FilePathCol),
           rootPrefixLen + 2, Int.MaxValue).as("file_rel"),
@@ -797,8 +827,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }
       val next = nowV + 1
       writeManifest(next, VersionManifest(now.schema, entries, now.partitionBy))
-      appendHistory(next, s"DELETE DV $column IN [$lo,$hi]",
-        entries.map(_.liveRows).sum)
+      appendHistory(next, opDesc, entries.map(_.liveRows).sum)
       pointTo(next)
       next
     }

@@ -69,6 +69,30 @@ object IvfIndex {
         org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Row-level DELETE of indexed ids via deletion vectors on the
+    * vectors table — O(deleted rows) sidecar bytes, zero file
+    * rewrites, no retraining (rebuild to re-train). The read path
+    * anti-joins the masks away, so a deleted id is unreturnable from
+    * the commit on; prior versions still serve the pre-delete index
+    * via time travel. This closes the dedup-pipeline loop: the
+    * survivor list's complement deletes straight out of the index. */
+  def delete(spark: SparkSession, root: String, ids: Set[Long]): Unit = {
+    new VersionedTable(spark, s"$root/vectors").deleteVectorizedIn("id", ids)
+    ()
+  }
+
+  /** OPTIMIZE the vectors table: repeated [[append]]s accumulate one+
+    * small file per touched cluster partition per batch; compaction
+    * rewrites the snapshot into ~`targetFileMB` files as a NEW version
+    * (partitioning is table metadata — the rewrite stays
+    * cluster-partitioned, so probe pruning is unaffected) and purges
+    * accumulated deletion-vector masks by rewriting survivors. */
+  def compact(spark: SparkSession, root: String,
+      targetFileMB: Int = 128): Unit = {
+    new VersionedTable(spark, s"$root/vectors").compact(targetFileMB)
+    ()
+  }
+
   /** The trained model back as nlist×dim (driver-side — it is
     * broadcast-sized by construction). */
   def loadCentroids(spark: SparkSession, root: String): Array[Array[Double]] = {

@@ -17,8 +17,10 @@ import graft.io.VersionedTable
   * CODES files (manifest partition pruning — at nlist=4096/nprobe=64
   * that is ~1.6% of an already-64×-compressed table), ADC-ranks with
   * the sharded top-r, and exact-cosine re-ranks the survivors against
-  * the raw-vector table (a join whose left side is queries×rerank
-  * rows). Training, probe rule, encoding, ADC fold, and rank are the
+  * the raw-vector table — itself cluster-partitioned by the same
+  * assignment, so the re-rank scan plans only the probed clusters'
+  * vector files (a join whose left side is queries×rerank rows never
+  * pays a full-table scan). Training, probe rule, encoding, ADC fold, and rank are the
   * SAME code as [[Similarity.ivfPqTopK]] ([[Similarity.ivfPqModel]] /
   * [[Similarity.ivfPqQuerySide]] / [[Similarity.adcRerank]]), so
   * results are identical for equal parameters — q70 hash-checks this
@@ -26,7 +28,16 @@ import graft.io.VersionedTable
 object IvfPqIndex {
 
   /** Train + encode + commit the index tables. Returns the codes
-    * table's new version. */
+    * table's new version.
+    *
+    * The raw-vector table is hive-partitioned BY CLUSTER exactly like
+    * the codes — using the codes' OWN assignment, so a candidate id
+    * surfacing from a probed cluster's codes is guaranteed to sit in
+    * that same cluster's vector partition. That makes the re-rank
+    * read partition-pruned too: [[query]] plans only the probed
+    * clusters' vector files, never the full table (at 100 TB the
+    * full-scan alternative would dwarf the pruned codes probe the
+    * index exists to provide). */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, root: String, nlist: Int, m: Int, ksub: Int,
       iters: Int = 2): Long = {
@@ -46,7 +57,9 @@ object IvfPqIndex {
       } yield (j, code, pos, x)).toIndexedSeq.toDF("j", "code", "pos", "x"))
     new VersionedTable(spark, s"$root/vectors").write(
       corpus.select(col(idCol).cast("long").as("id"),
-        Similarity.toDouble(col(vecCol)).as("v")))
+        Similarity.toDouble(col(vecCol)).as("v"))
+        .join(codes.select(col("id"), col("cluster")), "id"),
+      partitionBy = Some(Seq("cluster")))
     new VersionedTable(spark, s"$root/codes")
       .write(codes, partitionBy = Some(Seq("cluster")))
   }
@@ -62,16 +75,46 @@ object IvfPqIndex {
     val dsub = codebooks(0)(0).length
     val assigned = Similarity.withCluster(
       Similarity.normalizedFrame(vectors, idCol, vecCol), centroids)
-      .withColumn("v",
-        Similarity.residualOf(centroids)(col("v"), col("cluster")))
-    val codes = Similarity.withPqCodes(assigned, codebooks, dsub)
+    val resid = assigned.withColumn("v",
+      Similarity.residualOf(centroids)(col("v"), col("cluster")))
+    val codes = Similarity.withPqCodes(resid, codebooks, dsub)
       .select("id", "cluster", "codes")
+    // raw vectors inherit the SAME stored-model assignment as their
+    // codes, so the append lands in matching cluster partitions and
+    // query-time re-rank pruning keeps holding over appended data
     new VersionedTable(spark, s"$root/vectors").write(
       vectors.select(col(idCol).cast("long").as("id"),
-        Similarity.toDouble(col(vecCol)).as("v")),
+        Similarity.toDouble(col(vecCol)).as("v"))
+        .join(assigned.select(col("id"), col("cluster")), "id"),
       org.apache.spark.sql.SaveMode.Append)
     new VersionedTable(spark, s"$root/codes")
       .write(codes, org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Row-level DELETE of indexed ids from BOTH index tables via
+    * deletion vectors — O(deleted rows) sidecars, zero file rewrites,
+    * no retraining (the model keeps quantizing the survivors; that is
+    * the standard IVF semantics — rebuild to re-train). Vectors are
+    * masked FIRST: the exact re-rank inner-joins the raw-vector
+    * table, so a deleted id stops being returnable the moment that
+    * commit lands, even if the codes mask hasn't landed yet (the
+    * stale code row only wastes a candidate slot). Old versions of
+    * both tables still serve the pre-delete index via time travel. */
+  def delete(spark: SparkSession, root: String, ids: Set[Long]): Unit = {
+    new VersionedTable(spark, s"$root/vectors").deleteVectorizedIn("id", ids)
+    new VersionedTable(spark, s"$root/codes").deleteVectorizedIn("id", ids)
+  }
+
+  /** OPTIMIZE both data tables of the index: repeated [[append]]s
+    * accumulate small files per cluster partition; compaction rewrites
+    * each snapshot into ~`targetFileMB` files as a NEW version
+    * (partitioning is table metadata, so the rewrite stays
+    * cluster-partitioned and query pruning is unaffected), and purges
+    * accumulated deletion-vector masks by rewriting survivors. */
+  def compact(spark: SparkSession, root: String,
+      targetFileMB: Int = 128): Unit = {
+    new VersionedTable(spark, s"$root/vectors").compact(targetFileMB)
+    new VersionedTable(spark, s"$root/codes").compact(targetFileMB)
   }
 
   /** The stored model back as driver-side arrays (both tables are
@@ -106,7 +149,12 @@ object IvfPqIndex {
       .readWherePartitionIn("cluster", probed)
       .select(col("id").as("neighbor_id"),
         col("cluster").cast("int").as("cluster"), col("codes"))
-    val vecs = new VersionedTable(spark, s"$root/vectors").read()
+    // every ADC candidate comes from a probed cluster's codes, and
+    // vectors are partitioned by the SAME assignment — so the re-rank
+    // scan plans only the probed clusters' vector files (manifest
+    // pruning), never the full raw-vector table
+    val vecs = new VersionedTable(spark, s"$root/vectors")
+      .readWherePartitionIn("cluster", probed)
       .select(col("id").as("neighbor_id"), col("v"))
       .withColumn("nv", sqrt(Similarity.dot(col("v"), col("v"))))
     Similarity.adcRerank(q, codes, vecs, r, k)

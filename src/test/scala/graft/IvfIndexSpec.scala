@@ -139,5 +139,99 @@ class IvfIndexSpec extends AnyFunSuite {
       .map(f => f.split("cluster=")(1).split("/")(0)).toSet
     assert(plannedClusters.nonEmpty && plannedClusters.size <= 3,
       s"one query must plan <= nprobe code partitions: $plannedClusters")
+
+    // the exact re-rank reads the raw-vector table partition-pruned
+    // too: planned vector files are a STRICT subset of the table's
+    val plannedVec = one.inputFiles.filter(_.contains("/vectors/"))
+    val allVec = new graft.io.VersionedTable(spark, s"$root/vectors")
+      .read().inputFiles
+    assert(plannedVec.nonEmpty && plannedVec.toSet.subsetOf(allVec.toSet))
+    assert(plannedVec.length < allVec.length,
+      s"re-rank must not scan the full vector table: " +
+        s"${plannedVec.length} of ${allVec.length}")
+  }
+
+  test("index delete: masked ids unreturnable; time travel pre-delete") {
+    import graft.similarity.IvfPqIndex
+    val corpus = embs.filter(col("vec_id") >= 5)
+    val queries = embs.filter(col("vec_id") < 5)
+
+    // IVF flavor
+    val root = Fixtures.tempDir("graft-ivf-del") + "/idx"
+    IvfIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 8, iters = 2)
+    val before = IvfIndex.query(spark, root, queries, "vec_id", "embedding",
+      k = 3, nprobe = 8).collect().map(_.getLong(1)).toSet
+    assert(before.nonEmpty)
+    IvfIndex.delete(spark, root, before)
+    val after = IvfIndex.query(spark, root, queries, "vec_id", "embedding",
+      k = 3, nprobe = 8).collect().map(_.getLong(1)).toSet
+    assert((after intersect before).isEmpty,
+      s"deleted ids must never be returned: $after ∩ $before")
+    assert(after.nonEmpty, "survivors must fill the freed slots")
+    val vt = new graft.io.VersionedTable(spark, s"$root/vectors")
+    // the DV commit rewrote nothing: version advanced, files reused
+    assert(vt.currentVersion === Some(1L))
+    assert(vt.readVersion(0L).filter(
+      col("id").isin(before.toSeq: _*)).count() === before.size,
+      "time travel must still serve the pre-delete index")
+
+    // IVF+PQ flavor: masks land on vectors AND codes in step
+    val rootPq = Fixtures.tempDir("graft-ivfpq-del") + "/idx"
+    IvfPqIndex.build(spark, corpus, "vec_id", "embedding", rootPq,
+      nlist = 8, m = 8, ksub = 16, iters = 2)
+    val beforePq = IvfPqIndex.query(spark, rootPq, queries,
+      "vec_id", "embedding", k = 3, nprobe = 8, rerank = 120)
+      .collect().map(_.getLong(1)).toSet
+    assert(beforePq.nonEmpty)
+    IvfPqIndex.delete(spark, rootPq, beforePq)
+    val afterPq = IvfPqIndex.query(spark, rootPq, queries,
+      "vec_id", "embedding", k = 3, nprobe = 8, rerank = 120)
+      .collect().map(_.getLong(1)).toSet
+    assert((afterPq intersect beforePq).isEmpty &&
+      afterPq.nonEmpty)
+    val codesVt = new graft.io.VersionedTable(spark, s"$rootPq/codes")
+    assert(codesVt.read().filter(
+      col("id").isin(beforePq.toSeq: _*)).count() === 0,
+      "codes masks must land with the vector masks")
+  }
+
+  test("index compact: small append files fold; answers and pruning unchanged") {
+    import graft.similarity.IvfPqIndex
+    val corpus = embs.filter(col("vec_id") >= 5 && col("vec_id") < 60)
+    val queries = embs.filter(col("vec_id") < 5)
+    val root = Fixtures.tempDir("graft-ivfpq-compact") + "/idx"
+    IvfPqIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 4, m = 8, ksub = 16, iters = 2)
+    // append churn: two small batches → extra files per touched cluster
+    IvfPqIndex.append(spark,
+      embs.filter(col("vec_id") >= 60 && col("vec_id") < 80),
+      "vec_id", "embedding", root)
+    IvfPqIndex.append(spark,
+      embs.filter(col("vec_id") >= 80 && col("vec_id") < 100),
+      "vec_id", "embedding", root)
+    val vecsVt = new graft.io.VersionedTable(spark, s"$root/vectors")
+    val codesVt = new graft.io.VersionedTable(spark, s"$root/codes")
+    val filesBefore = vecsVt.manifestEntries(vecsVt.currentVersion.get).size +
+      codesVt.manifestEntries(codesVt.currentVersion.get).size
+    def answers = IvfPqIndex.query(spark, root, queries,
+      "vec_id", "embedding", k = 3, nprobe = 4, rerank = 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val pre = answers
+    IvfPqIndex.compact(spark, root)
+    val filesAfter = vecsVt.manifestEntries(vecsVt.currentVersion.get).size +
+      codesVt.manifestEntries(codesVt.currentVersion.get).size
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count: $filesBefore -> $filesAfter")
+    assert(answers === pre, "a compacted index must answer identically")
+    // partitioning survives compaction → probe pruning still holds
+    val one = IvfPqIndex.query(spark, root,
+      queries.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, nprobe = 2, rerank = 120)
+    one.collect()
+    val planned = one.inputFiles.filter(_.contains("cluster="))
+      .map(f => f.split("cluster=")(1).split("/")(0)).toSet
+    assert(planned.nonEmpty && planned.size <= 2,
+      s"post-compact probe must stay pruned: $planned")
   }
 }
