@@ -734,7 +734,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def deleteVectorized(column: String, lo: Double, hi: Double): Long = {
     import org.apache.spark.sql.functions.col
     deleteVectorizedCore(
-      pred = col(column) >= lo && col(column) <= hi,
+      mask = _.filter(col(column) >= lo && col(column) <= hi),
       mayMatch0 = parts => rangeMayMatch(parts, column, lo, hi),
       opDesc = s"DELETE DV $column IN [$lo,$hi]")
   }
@@ -745,7 +745,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * set's [min, max] envelope (stats/partition ranges can prove a
     * file holds none of the ids); the row mask itself is the exact
     * membership test. Same WriteSerializable semantics as the range
-    * flavor. */
+    * flavor. Driver-sized sets only — for a DISTRIBUTED key frame
+    * (millions of dedup victims) use [[deleteVectorizedKeys]]. */
   def deleteVectorizedIn(column: String, values: Set[Long]): Long = {
     import org.apache.spark.sql.functions.col
     val curV = currentVersion.getOrElse(
@@ -754,12 +755,39 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val lo = values.min.toDouble
     val hi = values.max.toDouble
     deleteVectorizedCore(
-      pred = col(column).isin(values.toSeq: _*),
+      mask = _.filter(col(column).isin(values.toSeq: _*)),
       mayMatch0 = parts => rangeMayMatch(parts, column, lo, hi),
       opDesc = s"DELETE DV $column IN SET(${values.size})")
   }
 
-  private def deleteVectorizedCore(pred: org.apache.spark.sql.Column,
+  /** Row-level DELETE of every row whose `column` appears in `keys` —
+    * the DISTRIBUTED flavor of [[deleteVectorizedIn]]: the key frame
+    * (e.g. a dedup pass's victim list) never collects to the driver;
+    * the mask is a semi-join of the candidate scan against it, so the
+    * only driver-sized values are the two-element [min, max] envelope
+    * used for manifest pruning. `keys` must have exactly one column
+    * (any name, castable to the target column's type). Same
+    * WriteSerializable semantics as the range flavor. */
+  def deleteVectorizedKeys(column: String, keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    require(keys.columns.length == 1,
+      s"deleteVectorizedKeys expects a single-column key frame, got " +
+        s"[${keys.columns.mkString(",")}]")
+    val k = keys.select(col(keys.columns.head).as(column)).distinct()
+      .localCheckpoint() // the envelope agg AND the mask both read it
+    val env = k.agg(min(col(column)).cast("double"),
+      max(col(column)).cast("double")).head()
+    if (env.isNullAt(0)) return curV // empty key frame: nothing to do
+    val (lo, hi) = (env.getDouble(0), env.getDouble(1))
+    deleteVectorizedCore(
+      mask = _.join(k, Seq(column), "left_semi"),
+      mayMatch0 = parts => rangeMayMatch(parts, column, lo, hi),
+      opDesc = s"DELETE DV $column IN KEYS[$lo,$hi]")
+  }
+
+  private def deleteVectorizedCore(mask: DataFrame => DataFrame,
       mayMatch0: Set[String] => ManifestEntry => Boolean,
       opDesc: String): Long = {
     import org.apache.spark.sql.functions.{col, substring}
@@ -773,8 +801,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // newly-matching LIVE rows of candidate files, as (file_rel, pos);
     // readFiles applies existing masks, so already-dead rows are never
     // re-scanned into the new sidecar by the scan itself…
-    val matches = readFiles(m, candidates, withRowMeta = true)
-      .filter(pred)
+    val matches = mask(readFiles(m, candidates, withRowMeta = true))
       .select(
         substring(col(graftbridge.ManifestScan.FilePathCol),
           rootPrefixLen + 2, Int.MaxValue).as("file_rel"),

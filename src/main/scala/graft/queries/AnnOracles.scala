@@ -44,6 +44,10 @@ object AnnOracles {
       // (identical params + deterministic training → same answers),
       // so each oracle hash-checks both its paths independently
       "q69_ann_ivf_indexed" -> ivf,
+      // filtered search: same frozen centroids (training sees the
+      // full corpus), but only label=0 vectors are scorable
+      "q75_ann_ivf_filtered" ->
+        ivfSql(spark, dir, corpusWhere = "label = 0"),
       "q57_ann_pq" -> pqSql(spark, dir),
       "q58_ann_ivfpq" -> ivfpq,
       "q70_ann_ivfpq_indexed" -> ivfpq)
@@ -96,9 +100,13 @@ object AnnOracles {
        SELECT q_id, neighbor_id, round(cos, 4) AS cosine
        FROM scored WHERE rn <= $k ORDER BY q_id, neighbor_id"""
 
-  private def baseTables: String =
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       corpus AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= $QuerySplit),
+  /** `corpusWhere` restricts the SCORABLE corpus (filtered search's
+    * pre-filter — may reference `label`); training/queries are never
+    * restricted, mirroring `IvfIndex.query(filter = …)`. */
+  private def baseTables(corpusWhere: String = "TRUE"): String =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       corpus AS (SELECT vec_id AS id, v FROM e
+                  WHERE vec_id >= $QuerySplit AND ($corpusWhere)),
        queries AS (SELECT vec_id AS id, v FROM e WHERE vec_id < $QuerySplit)"""
 
   /** Normalized view `<name>n(id, vn)` of `<name>` — mirrors the
@@ -149,15 +157,20 @@ object AnnOracles {
 
   /** IVF search-phase oracle: frozen trained centroids; assignment,
     * nprobe-list probe, and exact cosine rank replicated in SQL.
-    * Mirrors `TrainingData.annIvf` (nlist=8, nprobe=3, k=3). */
-  def ivfSql(spark: SparkSession, dir: String): String = {
+    * Mirrors `TrainingData.annIvf` (nlist=8, nprobe=3, k=3).
+    * `corpusWhere` ≠ TRUE mirrors the FILTERED variant
+    * (`TrainingData.annIvfFilteredIndexed`): training stays on the
+    * full corpus — the frozen centroids are identical — but only
+    * matching vectors assign/score. */
+  def ivfSql(spark: SparkSession, dir: String,
+      corpusWhere: String = "TRUE"): String = {
     val e = Tables.load(spark, dir, "embeddings")
     val centroids = Similarity.ivfTrain(
       e.filter(col("vec_id") >= QuerySplit), "vec_id", "embedding",
       nlist = 8, iters = 2)
     val dim = centroids(0).length
     s"""WITH cent AS (SELECT * FROM ${centRelation(centroids)}),
-       $baseTables,
+       ${baseTables(corpusWhere)},
        ${assign("ca", "corpus", "v", dim)},
        ${assign("probe", "queries", "v", dim, limit = 3)},
        cand AS (
@@ -180,7 +193,7 @@ object AnnOracles {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
     s"""WITH cb AS (SELECT * FROM ${cbRelation(codebooks)}),
-       $baseTables,
+       ${baseTables()},
        ${normalized("corpus")},
        ${normalized("queries")},
        ${encode("corpusn", "vn", dsub, carryCluster = false)},
@@ -225,7 +238,7 @@ object AnnOracles {
     val dsub = codebooks(0)(0).length
     s"""WITH cent AS (SELECT * FROM ${centRelation(centroids)}),
        cb AS (SELECT * FROM ${cbRelation(codebooks)}),
-       $baseTables,
+       ${baseTables()},
        ${normalized("corpus")},
        ${normalized("queries")},
        ${assign("ca", "corpusn", "vn", dim)},

@@ -497,6 +497,29 @@ object TrainingData {
       k = 3, nprobe = 5, rerank = 120)
   }
 
+  /** FILTERED vector search on the persisted IVF index — the
+    * metadata-constrained ANN every retrieval stack needs ("nearest
+    * neighbors WHERE license is permissive / language = en / source
+    * != benchmark"). The index stores the filter column as PAYLOAD
+    * (built with `payload = Seq("label")`), so the predicate applies
+    * INSIDE the partition-pruned probe scan — non-matching vectors
+    * are never scored, and no query-time join against the source
+    * table happens. Training sees the full corpus (the centroids are
+    * identical to q30/q69's — same deterministic path), which the
+    * generated oracle exploits: same frozen centroids, corpus
+    * restricted to `label = 0`. */
+  def annIvfFilteredIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_filtered_").toString
+    graft.similarity.IvfIndex.build(spark,
+      e.filter(col("vec_id") >= 5), "vec_id", "embedding", root,
+      nlist = 8, iters = 2, payload = Seq("label"))
+    graft.similarity.IvfIndex.query(spark, root,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nprobe = 3, filter = Some(col("label") === 0))
+  }
+
   /** Winnowing (rolling-hash) fingerprint near-dup pairs — the
     * substring/containment-oriented dedup family (SIGMOD'03 winnowing),
     * complementing MinHash (set resemblance) and SimHash
@@ -518,6 +541,33 @@ object TrainingData {
         "vec_a", "vec_b")
       .select(col("node").as("vec_id"), col("component"))
       .orderBy("vec_id")
+
+  /** END-TO-END semantic dedup purge — the chain a real pipeline runs
+    * as ONE flow, composed from pieces that are each oracled alone:
+    * embedding near-dup pairs (q29's sign-LSH + cosine verify) →
+    * connected components (q36's min-label propagation) → per-cluster
+    * canonical survivor (the minimum id) → row-level DELETE of the
+    * victims from a VERSIONED corpus copy via deletion vectors → read
+    * the surviving snapshot. The victim list flows as a DataFrame
+    * into [[graft.io.VersionedTable.deleteVectorizedKeys]] — it never
+    * collects to the driver, so the purge is O(victims) sidecar bytes
+    * at any corpus size, and the pre-purge corpus stays readable via
+    * time travel (the audit trail a compliance team asks for). The
+    * oracle replays pairs → components (recursive CTE) → NOT IN over
+    * the raw table, checking the whole chain end-to-end. */
+  def semanticPurge(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sempurge")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(docs(spark, dir).select(col("doc_id"), col("source")))
+    val victims = Dedup.connectedComponents(
+        embedNearDup(spark, dir).select("vec_a", "vec_b"),
+        "vec_a", "vec_b")
+      .filter(col("node") =!= col("component")) // min id survives
+      .select(col("node"))
+    vt.deleteVectorizedKeys("doc_id", victims)
+    vt.read().select("doc_id", "source").orderBy("doc_id")
+  }
 
   // ------------------------------------------------------------- multimodal
 
@@ -662,7 +712,9 @@ object TrainingData {
     "q68_unigram_oov" -> ((s, d) => unigramOov(s, d)),
     "q69_ann_ivf_indexed" -> annIvfIndexed,
     "q70_ann_ivfpq_indexed" -> annIvfPqIndexed,
-    "q72_decontam_bloom" -> decontaminateBloom
+    "q72_decontam_bloom" -> decontaminateBloom,
+    "q75_ann_ivf_filtered" -> annIvfFilteredIndexed,
+    "q76_semantic_purge" -> semanticPurge
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1070,6 +1122,37 @@ object TrainingData {
            UNION
            SELECT s.b2, r.root FROM reach r JOIN sym s ON s.a = r.node)
          SELECT node AS vec_id, min(root) AS component
-         FROM reach GROUP BY node ORDER BY node"""
+         FROM reach GROUP BY node ORDER BY node""",
+    "q76_semantic_purge" ->
+      // q29's pairs + q36's components, then the purge: every
+      // component member EXCEPT its minimum id is deleted; survivors
+      // read back (doc_id ↔ vec_id by construction of the test data)
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM e),
+         edges AS (
+           SELECT x.vec_id AS a, y.vec_id AS b2
+           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+           WHERE list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))) >= 0.4),
+         sym AS (SELECT a, b2 FROM edges UNION ALL SELECT b2 AS a, a AS b2 FROM edges),
+         reach(node, root) AS (
+           SELECT a, a FROM sym
+           UNION
+           SELECT s.b2, r.root FROM reach r JOIN sym s ON s.a = r.node),
+         victims AS (
+           SELECT node FROM (
+             SELECT node, min(root) AS component FROM reach GROUP BY node)
+           WHERE node <> component)
+         SELECT d.doc_id, d.source FROM documents d
+         WHERE d.doc_id NOT IN (SELECT node FROM victims)
+         ORDER BY d.doc_id"""
   )
 }

@@ -32,10 +32,16 @@ import graft.io.VersionedTable
 object IvfIndex {
 
   /** Train + assign + commit the index tables. Returns the vectors
-    * table's new version. */
+    * table's new version.
+    *
+    * `payload` columns ride along in the vectors table — the metadata
+    * a FILTERED vector search predicates on (label/source/language/
+    * license in a real corpus). Storing them IN the index keeps the
+    * filter a narrow column read inside the already-pruned probe scan
+    * instead of a join against the source table at query time. */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, root: String, nlist: Int = 8,
-      iters: Int = 2): Long = {
+      iters: Int = 2, payload: Seq[String] = Nil): Long = {
     val centroids = Similarity.ivfTrain(corpus, idCol, vecCol, nlist, iters)
     import spark.implicits._
     val centRows = centroids.zipWithIndex.flatMap { case (c, cl) =>
@@ -44,11 +50,13 @@ object IvfIndex {
     new VersionedTable(spark, s"$root/centroids")
       .write(centRows.toDF("cluster", "pos", "x"))
     val assigned = Similarity.withCluster(
-      corpus.select(col(idCol).cast("long").as("id"),
-        Similarity.toDouble(col(vecCol)).as("v")),
+      corpus.select(col(idCol).cast("long").as("id") +:
+        Similarity.toDouble(col(vecCol)).as("v") +:
+        payload.map(col): _*),
       centroids)
     new VersionedTable(spark, s"$root/vectors")
-      .write(assigned.select("id", "cluster", "v"),
+      .write(assigned.select(
+          (Seq("id", "cluster", "v") ++ payload).map(col): _*),
         partitionBy = Some(Seq("cluster")))
   }
 
@@ -109,9 +117,20 @@ object IvfIndex {
     * stored centroids, corpus scan partition-pruned to the probed
     * clusters, exact cosine rank inside them. Same probe rule and
     * rank as [[Similarity.ivfTopK]] (first-min tie-breaks), so
-    * results match it exactly for equal parameters. */
+    * results match it exactly for equal parameters.
+    *
+    * `filter` is a FILTERED-search predicate over the index's stored
+    * [[build]] `payload` columns (pre-filtering, in ANN terms): it
+    * applies INSIDE the partition-pruned scan — candidates that fail
+    * it are never scored, and the rank fills top-k from the probed
+    * clusters' matching vectors only. Fewer than k rows can come back
+    * for a query whose probed lists hold few matches: raise nprobe
+    * under selective filters (the standard filtered-ANN trade).
+    * Stats-bearing payload columns additionally prune at the manifest
+    * level when the predicate is range-shaped. */
   def query(spark: SparkSession, root: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val centroids = loadCentroids(spark, root)
     val centLit = array(centroids.toIndexedSeq.map(c =>
       array(c.toIndexedSeq.map(lit): _*)): _*)
@@ -133,8 +152,9 @@ object IvfIndex {
     // only those clusters' files from the manifest
     val probed = q.select("cluster").distinct()
       .collect().map(_.getInt(0).toString).toSet
-    val c = new VersionedTable(spark, s"$root/vectors")
+    val scan = new VersionedTable(spark, s"$root/vectors")
       .readWherePartitionIn("cluster", probed)
+    val c = filter.fold(scan)(scan.filter)
       .select(col("id").as("neighbor_id"),
         col("cluster").cast("int").as("cluster"), col("v"))
       .withColumn("nv", sqrt(Similarity.dot(col("v"), col("v"))))

@@ -56,6 +56,33 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(v2 === v1)
   }
 
+  test("set and keys DV deletes: exact membership, envelope pruning") {
+    val (vt, _) = freshTable("graft-dv-keys")
+    // set flavor: scattered ids — only rows IN the set are masked,
+    // not the whole [min,max] envelope
+    val v1 = vt.deleteVectorizedIn("id", Set(5L, 300L, 301L, 999L))
+    assert(vt.read().count() === 996L)
+    assert(vt.read().filter(col("id").isin(5L, 300L, 301L, 999L))
+      .count() === 0L)
+    assert(vt.read().filter(col("id") === 6L).count() === 1L)
+    // keys flavor: a DISTRIBUTED victim frame (never collected) —
+    // the dedup-pipeline purge shape
+    val victims = spark.range(100, 200).toDF("victim_id")
+    val v2 = vt.deleteVectorizedKeys("id", victims)
+    assert(v2 === v1 + 1)
+    assert(vt.read().count() === 896L)
+    assert(vt.read().filter(col("id").between(100, 199)).count() === 0L)
+    // no data file was rewritten by either commit
+    val e0 = vt.manifestEntries(0L).map(_.relPath).toSet
+    assert(vt.manifestEntries(v2).map(_.relPath).toSet === e0)
+    // time travel: both pre-delete snapshots intact
+    assert(vt.readVersion(0L).count() === 1000L)
+    assert(vt.readVersion(v1).count() === 996L)
+    // empty key frame is a no-op, not a new version
+    assert(vt.deleteVectorizedKeys("id",
+      victims.filter(col("victim_id") < 0)) === v2)
+  }
+
   test("overlapping DV deletes union; counts stay exact") {
     val (vt, _) = freshTable("graft-dv-union")
     vt.deleteVectorized("id", 100, 199)

@@ -151,6 +151,35 @@ class IvfIndexSpec extends AnyFunSuite {
         s"${plannedVec.length} of ${allVec.length}")
   }
 
+  test("filtered search: payload-predicated candidates only; pruning intact") {
+    val corpus = embs.filter(col("vec_id") >= 5)
+    val queries = embs.filter(col("vec_id") < 5)
+    val root = Fixtures.tempDir("graft-ivf-filtered") + "/idx"
+    IvfIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 8, iters = 2, payload = Seq("label"))
+    // payload round-trips through the versioned index table
+    val vt = new graft.io.VersionedTable(spark, s"$root/vectors")
+    assert(vt.read().columns.toSet === Set("id", "cluster", "v", "label"))
+    val res = IvfIndex.query(spark, root, queries, "vec_id", "embedding",
+      k = 3, nprobe = 8, filter = Some(col("label") === 0))
+    val neighbors = res.collect().map(_.getLong(1)).toSet
+    assert(neighbors.nonEmpty)
+    val label0 = corpus.filter(col("label") === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(neighbors.subsetOf(label0),
+      s"filtered search returned non-matching ids: ${neighbors -- label0}")
+    // with every list probed, filtered search ≡ brute force over the
+    // label-0 corpus (the filter only restricts candidates, the rank
+    // is exact inside them)
+    val brute = Similarity.bruteForceTopK(
+      corpus.filter(col("label") === 0), queries,
+      "vec_id", "embedding", k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(res) === rows(brute),
+      "nprobe=nlist filtered search must equal filtered brute force")
+  }
+
   test("index delete: masked ids unreturnable; time travel pre-delete") {
     import graft.similarity.IvfPqIndex
     val corpus = embs.filter(col("vec_id") >= 5)

@@ -24,7 +24,8 @@ class TrainingDataSpec extends AnyFunSuite {
     // fingerprint sets) — every registered query is hash-checked
     assert(TrainingData.queries.keySet -- TrainingData.oracles.keySet
       === Set("q30_ann_ivf", "q31_winnow_neardup", "q57_ann_pq",
-        "q58_ann_ivfpq", "q69_ann_ivf_indexed", "q70_ann_ivfpq_indexed"))
+        "q58_ann_ivfpq", "q69_ann_ivf_indexed", "q70_ann_ivfpq_indexed",
+        "q75_ann_ivf_filtered"))
   }
 
   test("winnowing df-cap is observable (no silent caps)") {
