@@ -680,6 +680,91 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM coverage scoring — q68's unigram vocabulary check
+    * upgraded to CONDITIONAL statistics, the perplexity-proxy quality
+    * gate (CCNet-style: a doc whose word transitions never occur in
+    * the corpus is junk even when its words do). The corpus trains
+    * its own model: bigram counts c(w1,w2) via one partial-agg
+    * shuffle of the bigram stream, prefix totals c(w1,·) via one
+    * aggregate OVER THE COUNT TABLE (never the stream again), and a
+    * top-V vocabulary picked by the sharded top-k (no single-reducer
+    * sort of the full bigram vocabulary — billions of distinct junk
+    * bigrams at 100 TB). Conditional logp = ln(c12 / c(w1,·)) per
+    * vocab bigram; the ≤V-row scored vocab broadcasts back over the
+    * stream. Per-doc outputs are count/min aggregates —
+    * order-independent on purpose (q68's rationale: no cross-engine
+    * float-summation contract). */
+  def bigramLm(spark: SparkSession, dir: String,
+      vocabSize: Int = 512): DataFrame = {
+    val bgs = docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat_ws(' ', slice(t, i + 1, 2)))")).as("bg"))
+    val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val pref = cnt
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
+    // sharded top-V over the raw stream (n = corpus frequency), then
+    // conditional logp from the count tables; vocab side broadcasts
+    // into the (much larger) prefix table, result is ≤ V rows
+    val vocab = Analytics
+      .topKPerGroup(bgs.withColumn("__g", lit(0)), "__g", "bg",
+        vocabSize, shards = 32)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val vocabLp = pref.join(broadcast(vocab), "w1")
+      .select(col("bg"),
+        log(col("n").cast("double") / col("c1")).as("logp"))
+    bgs.join(broadcast(vocabLp), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("logp").isNull, 1)).as("n_oov"),
+        min(col("logp")).as("min_logp"))
+      .withColumn("oov_frac",
+        col("n_oov").cast("double") / col("n_bigrams"))
+      .select("doc_id", "n_bigrams", "n_oov", "oov_frac", "min_logp")
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source nearest neighbor — the "is this document a copy of
+    * another SOURCE's document" probe (cross-crawl/cross-dump
+    * contamination, license-laundering detection). Sign-LSH buckets
+    * (q29's machinery) keep it a bucket-equi-join — each vector meets
+    * only its bucket's ~corpus/2^bits rows — with the cross-source
+    * constraint pushed INTO the join condition, so same-source pairs
+    * never materialize. Per doc: the top-1 different-source neighbor
+    * by exact cosine (sharded rank, no single-reducer window). Probe
+    * is single-bucket, so recall < 1 exactly as q27/q29 document;
+    * scale path is the same bucketed/partitioned layout. */
+  def crossSourceNeighbor(spark: SparkSession, dir: String): DataFrame = {
+    val c = embs(spark, dir)
+      .select(col("vec_id").as("id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+      .join(docs(spark, dir).select(col("doc_id").as("id"), col("source")),
+        "id")
+      .withColumn("bucket", Similarity.signBucket(col("v"), 4))
+      .withColumn("nv", sqrt(Similarity.dot(col("v"), col("v"))))
+      .localCheckpoint() // both sides of the self-join read it
+    val scored = c.alias("a")
+      .join(c.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id") &&
+          col("a.source") =!= col("b.source"))
+      .select(col("a.id").as("q_id"), col("a.source").as("source"),
+        col("b.id").as("neighbor_id"),
+        col("b.source").as("neighbor_source"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nv") * col("b.nv"))).as("_cos"))
+    Similarity.keepTopPerQuery(scored, 1,
+        Seq(col("_cos").desc, col("neighbor_id").asc))
+      .select(col("q_id").as("doc_id"), col("source"),
+        col("neighbor_id"), col("neighbor_source"),
+        round(col("_cos"), 4).as("cosine"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -714,7 +799,9 @@ object TrainingData {
     "q70_ann_ivfpq_indexed" -> annIvfPqIndexed,
     "q72_decontam_bloom" -> decontaminateBloom,
     "q75_ann_ivf_filtered" -> annIvfFilteredIndexed,
-    "q76_semantic_purge" -> semanticPurge
+    "q76_semantic_purge" -> semanticPurge,
+    "q77_bigram_lm" -> ((s, d) => bigramLm(s, d)),
+    "q78_cross_source_neighbor" -> crossSourceNeighbor
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1153,6 +1240,60 @@ object TrainingData {
            WHERE node <> component)
          SELECT d.doc_id, d.source FROM documents d
          WHERE d.doc_id NOT IN (SELECT node FROM victims)
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    "q77_bigram_lm" ->
+      // mirror of bigramLm: bigram stream, count tables, top-512 vocab
+      // (count desc / bigram asc tie-break = topKPerGroup's), cond.
+      // logp = ln(c12 / c(w1,·)) — both engines divide the same exact
+      // integers, and ln(double) matches bitwise (q68 precedent)
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+           FROM documents),
+         bgs AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+             i -> t[i+1] || ' ' || t[i+2])) AS bg
+           FROM toks WHERE len(t) >= 2),
+         cnt AS (SELECT bg, count(*) AS c12 FROM bgs GROUP BY 1),
+         pref AS (SELECT string_split(bg, ' ')[1] AS w1,
+                    CAST(sum(c12) AS BIGINT) AS c1
+                  FROM cnt GROUP BY 1),
+         r AS (SELECT bg, c12, row_number() OVER
+                 (ORDER BY c12 DESC, bg) AS rn FROM cnt),
+         vocab AS (SELECT r.bg,
+                     ln(CAST(r.c12 AS DOUBLE) / p.c1) AS logp
+                   FROM r JOIN pref p
+                     ON string_split(r.bg, ' ')[1] = p.w1
+                   WHERE r.rn <= 512)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+           count(CASE WHEN v.logp IS NULL THEN 1 END) AS n_oov,
+           CAST(count(CASE WHEN v.logp IS NULL THEN 1 END) AS DOUBLE)
+             / count(*) AS oov_frac,
+           min(v.logp) AS min_logp
+         FROM bgs b LEFT JOIN vocab v USING (bg)
+         GROUP BY 1 ORDER BY 1""",
+    "q78_cross_source_neighbor" ->
+      // q29's sign-LSH bucket join + the cross-source predicate, then
+      // top-1 per doc by exact cosine (desc, neighbor asc tie-break)
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         d AS (SELECT e.vec_id AS id, e.v, doc.source,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM e JOIN documents doc ON doc.doc_id = e.vec_id),
+         scored AS (
+           SELECT a.id AS doc_id, a.source,
+             b.id AS neighbor_id, b.source AS neighbor_source,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos,
+             row_number() OVER (PARTITION BY a.id
+               ORDER BY list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) DESC,
+                 b.id ASC) AS rn
+           FROM d a JOIN d b ON a.bucket = b.bucket
+             AND a.id <> b.id AND a.source <> b.source)
+         SELECT doc_id, source, neighbor_id, neighbor_source,
+           round(cos, 4) AS cosine
+         FROM scored WHERE rn = 1 ORDER BY doc_id"""
   )
 }

@@ -81,7 +81,7 @@ object Similarity {
     * rank runs over ≤ RankShards×limit survivors per query. Same
     * pre-prune-then-exact-window shape as `Analytics.topKPerGroup`;
     * bit-identical to the single-window form. */
-  private def keepTopPerQuery(df: DataFrame, limit: Int,
+  private[graft] def keepTopPerQuery(df: DataFrame, limit: Int,
       ord: Seq[Column]): DataFrame = {
     val wShard = Window
       .partitionBy(col("q_id"), pmod(hash(col("neighbor_id")), lit(RankShards)))
