@@ -68,13 +68,37 @@ object IvfIndex {
   def append(spark: SparkSession, vectors: DataFrame, idCol: String,
       vecCol: String, root: String): Long = {
     val centroids = loadCentroids(spark, root)
+    val vt = new VersionedTable(spark, s"$root/vectors")
+    // a payload-built index stores extra metadata columns — appends
+    // must carry them too (the incoming frame supplies them by name)
+    val payload = vt.read().columns.toSeq
+      .filterNot(Set("id", "cluster", "v"))
+    require(payload.forall(vectors.columns.contains),
+      s"index at $root stores payload columns [${payload.mkString(",")}] " +
+        s"— the appended frame must supply them (has: " +
+        s"${vectors.columns.mkString(",")})")
     val assigned = Similarity.withCluster(
-      vectors.select(col(idCol).cast("long").as("id"),
-        Similarity.toDouble(col(vecCol)).as("v")),
+      vectors.select(col(idCol).cast("long").as("id") +:
+        Similarity.toDouble(col(vecCol)).as("v") +:
+        payload.map(col): _*),
       centroids)
-    new VersionedTable(spark, s"$root/vectors")
-      .write(assigned.select("id", "cluster", "v"),
-        org.apache.spark.sql.SaveMode.Append)
+    vt.write(assigned.select(
+        (Seq("id", "cluster", "v") ++ payload).map(col): _*),
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** UPSERT (MERGE by id): replace any existing rows carrying the
+    * incoming ids — a DV delete, O(matched rows) — then [[append]]
+    * with the stored model. Two commits; a reader between them sees
+    * the ids absent (the delete) rather than doubled, and time travel
+    * serves every intermediate state. The re-embed-and-reindex shape:
+    * documents change, their vectors re-encode, the index never
+    * rebuilds. */
+  def upsert(spark: SparkSession, vectors: DataFrame, idCol: String,
+      vecCol: String, root: String): Long = {
+    new VersionedTable(spark, s"$root/vectors").deleteVectorizedKeys(
+      "id", vectors.select(col(idCol).cast("long")))
+    append(spark, vectors, idCol, vecCol, root)
   }
 
   /** Row-level DELETE of indexed ids via deletion vectors on the

@@ -91,6 +91,21 @@ object IvfPqIndex {
       .write(codes, org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** UPSERT (MERGE by id): DV-delete any existing rows carrying the
+    * incoming ids from BOTH tables, then [[append]] (stored-model
+    * assignment + residual encode). O(matched) masks + O(new) data;
+    * the index never rebuilds and every intermediate state stays
+    * time-travelable. */
+  def upsert(spark: SparkSession, vectors: DataFrame, idCol: String,
+      vecCol: String, root: String): Long = {
+    val ids = vectors.select(col(idCol).cast("long"))
+    new VersionedTable(spark, s"$root/vectors")
+      .deleteVectorizedKeys("id", ids)
+    new VersionedTable(spark, s"$root/codes")
+      .deleteVectorizedKeys("id", ids)
+    append(spark, vectors, idCol, vecCol, root)
+  }
+
   /** Row-level DELETE of indexed ids from BOTH index tables via
     * deletion vectors — O(deleted rows) sidecars, zero file rewrites,
     * no retraining (the model keeps quantizing the survivors; that is

@@ -178,6 +178,24 @@ class IvfIndexSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(rows(res) === rows(brute),
       "nprobe=nlist filtered search must equal filtered brute force")
+
+    // appends onto a payload index carry the payload (and a frame
+    // missing it fails loudly, not with a schema drift)
+    IvfIndex.append(spark,
+      embs.filter(col("vec_id") === 5)
+        .select((col("vec_id") + 2000).as("vec_id"),
+          col("embedding"), col("label")),
+      "vec_id", "embedding", root)
+    assert(vt.read().filter(col("id") === 2005L).select("label")
+      .head().getInt(0) === embs.filter(col("vec_id") === 5)
+        .select("label").head().getInt(0))
+    val thrown = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark,
+        embs.filter(col("vec_id") === 6)
+          .select((col("vec_id") + 2000).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", root)
+    }
+    assert(thrown.getMessage.contains("payload"))
   }
 
   test("index delete: masked ids unreturnable; time travel pre-delete") {
@@ -223,6 +241,48 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(codesVt.read().filter(
       col("id").isin(beforePq.toSeq: _*)).count() === 0,
       "codes masks must land with the vector masks")
+  }
+
+  test("index upsert: replaced vectors re-rank; no duplicates; history intact") {
+    import graft.similarity.IvfPqIndex
+    val corpus = embs.filter(col("vec_id") >= 5 && col("vec_id") < 60)
+    val queries = embs.filter(col("vec_id") < 5)
+
+    // IVF flavor: move vector 10 onto query 0's embedding — after the
+    // upsert it must be query 0's exact-match top hit, exactly once
+    val root = Fixtures.tempDir("graft-ivf-upsert") + "/idx"
+    IvfIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 4, iters = 2)
+    val moved = queries.filter(col("vec_id") === 0)
+      .select(lit(10L).as("vec_id"), col("embedding"))
+    IvfIndex.upsert(spark, moved, "vec_id", "embedding", root)
+    val res = IvfIndex.query(spark, root,
+      queries.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, nprobe = 4).collect()
+    assert(res.count(_.getLong(1) === 10L) === 1,
+      s"upserted id must appear exactly once: ${res.mkString(",")}")
+    assert(res.exists(r => r.getLong(1) === 10L &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-9),
+      "upserted vector must re-rank under its NEW embedding")
+    val vt = new graft.io.VersionedTable(spark, s"$root/vectors")
+    assert(vt.read().filter(col("id") === 10L).count() === 1)
+    assert(vt.readVersion(0L).filter(col("id") === 10L).count() === 1,
+      "pre-upsert version keeps the original vector")
+
+    // IVF+PQ flavor: same contract through codes + vectors
+    val rootPq = Fixtures.tempDir("graft-ivfpq-upsert") + "/idx"
+    IvfPqIndex.build(spark, corpus, "vec_id", "embedding", rootPq,
+      nlist = 4, m = 8, ksub = 16, iters = 2)
+    IvfPqIndex.upsert(spark, moved, "vec_id", "embedding", rootPq)
+    val resPq = IvfPqIndex.query(spark, rootPq,
+      queries.filter(col("vec_id") === 0), "vec_id", "embedding",
+      k = 3, nprobe = 4, rerank = 120).collect()
+    assert(resPq.count(_.getLong(1) === 10L) === 1)
+    assert(resPq.exists(r => r.getLong(1) === 10L &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-9))
+    val codesVt = new graft.io.VersionedTable(spark, s"$rootPq/codes")
+    assert(codesVt.read().filter(col("id") === 10L).count() === 1,
+      "codes must hold exactly one row for an upserted id")
   }
 
   test("index compact: small append files fold; answers and pruning unchanged") {
