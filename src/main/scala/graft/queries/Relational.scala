@@ -420,6 +420,34 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** CHANGE DATA FEED, directly oracled: the same write → append →
+    * DV-delete chain as q73, but the OUTPUT IS THE FEED ITSELF — both
+    * of its planning modes. The append range takes the file-level
+    * fast path (only the new files are read — a day of appends on a
+    * 100 TB table reads a day of files) and must emit exactly the
+    * appended rows as inserts; the DV range file identity no longer
+    * maps to row identity, so it falls back to the row-level
+    * symmetric diff and must emit exactly the masked rows as deletes.
+    * The oracle recomputes both sets relationally — any feed bug
+    * (leaked rows, missed masks, wrong tags) hash-mismatches. */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdf")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    vt.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // v0
+    val v0 = vt.currentVersion.get
+    vt.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // v1: file-level feed
+    val v1 = vt.currentVersion.get
+    vt.deleteVectorized("o_orderkey", 100, 299) // v2: row-level feed
+    val v2 = vt.currentVersion.get
+    vt.changes(v0, v1).withColumn("feed", lit("files"))
+      .unionByName(vt.changes(v1, v2).withColumn("feed", lit("rows")))
+      .orderBy("feed", "o_orderkey")
+  }
+
   /** Dimension chain supplier→nation→region (broadcast×2) + aggregate:
     * supplier census per region. */
   def regionSuppliers(spark: SparkSession, dir: String): DataFrame =
@@ -624,6 +652,7 @@ object Relational {
     "q71_versioned_dv_delete" -> versionedDvDelete,
     "q73_incremental_agg" -> incrementalAggMaintain,
     "q74_incremental_minmax" -> incrementalMinMaxMaintain,
+    "q79_change_feed" -> changeFeed,
     "q61_window_funcs" -> windowFunctions,
     "q62_set_ops" -> setOps,
     "q63_semi_anti" -> semiAntiJoin,
@@ -803,6 +832,17 @@ object Relational {
          FROM orders
          WHERE NOT (o_orderkey BETWEEN 100 AND 299)
          GROUP BY 1 ORDER BY 1""",
+    "q79_change_feed" ->
+      // append feed: exactly the appended rows as inserts; DV feed:
+      // exactly the masked rows (original AND appended) as deletes
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+           'insert' AS _change_type, 'files' AS feed
+         FROM orders WHERE o_orderkey % 3 = 0
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus,
+           'delete' AS _change_type, 'rows' AS feed
+         FROM orders WHERE o_orderkey BETWEEN 100 AND 299
+         ORDER BY feed, o_orderkey""",
     "q61_window_funcs" ->
       """SELECT user_id, event_id,
          lag(value, 1) OVER w AS prev_value,
