@@ -765,6 +765,46 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Lexical KNN — exact term-count cosine top-k, the SPARSE
+    * complement to q26's dense embedding KNN (the other half of
+    * hybrid retrieval). Counts are integers, so the pair dot product
+    * is an EXACT integer sum (order-independent — no cross-engine
+    * float-summation contract; the only doubles are one sqrt per doc
+    * and one division per pair, computed identically by both
+    * engines). Shape: per-doc term counts (one partial-agg shuffle),
+    * query side broadcast — the corpus never shuffles for the join
+    * and hot terms cannot skew it (each corpus row meets ≤ |queries|
+    * partners). At real scale the corpus side would additionally
+    * df-cap stopword terms (the q25/PPJoin prefix trade) — here the
+    * exact join IS the oracle contract. */
+  def lexicalKnn(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds query side, corpus side, and norms
+    val norms = counts.groupBy("doc_id")
+      .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+    val q = broadcast(
+      counts.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"), col("term"), col("c").as("cq")))
+    val qn = broadcast(norms.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("nrm").as("nq")))
+    val scored = counts.filter(col("doc_id") >= 5)
+      .select(col("doc_id").as("neighbor_id"), col("term"), col("c").as("cc"))
+      .join(q, "term")
+      .groupBy("q_id", "neighbor_id")
+      .agg(sum(col("cq") * col("cc")).as("dot"))
+      .join(qn, "q_id")
+      .join(norms.select(col("doc_id").as("neighbor_id"),
+        col("nrm").as("nc")), "neighbor_id")
+      .withColumn("_cos", col("dot").cast("double") / (col("nq") * col("nc")))
+    Similarity.keepTopPerQuery(scored, k,
+        Seq(col("_cos").desc, col("neighbor_id").asc))
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("_cos"), 4).as("cosine"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -801,7 +841,8 @@ object TrainingData {
     "q75_ann_ivf_filtered" -> annIvfFilteredIndexed,
     "q76_semantic_purge" -> semanticPurge,
     "q77_bigram_lm" -> ((s, d) => bigramLm(s, d)),
-    "q78_cross_source_neighbor" -> crossSourceNeighbor
+    "q78_cross_source_neighbor" -> crossSourceNeighbor,
+    "q80_lexical_knn" -> ((s, d) => lexicalKnn(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1294,6 +1335,31 @@ object TrainingData {
              AND a.id <> b.id AND a.source <> b.source)
          SELECT doc_id, source, neighbor_id, neighbor_source,
            round(cos, 4) AS cosine
-         FROM scored WHERE rn = 1 ORDER BY doc_id"""
+         FROM scored WHERE rn = 1 ORDER BY doc_id""",
+    "q80_lexical_knn" ->
+      // integer dot product (exact, order-free); one sqrt per doc and
+      // one division per pair — both engines compute identical doubles
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         cnt AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         nrm AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+                 FROM cnt GROUP BY 1),
+         dots AS (
+           SELECT q.doc_id AS q_id, c.doc_id AS neighbor_id,
+             CAST(sum(q.c * c.c) AS BIGINT) AS dot
+           FROM cnt q JOIN cnt c USING (term)
+           WHERE q.doc_id < 5 AND c.doc_id >= 5
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT q_id, neighbor_id,
+             CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) DESC,
+                 neighbor_id ASC) AS rn
+           FROM dots
+           JOIN nrm nq ON nq.doc_id = q_id
+           JOIN nrm nc ON nc.doc_id = neighbor_id)
+         SELECT q_id, neighbor_id, round(cos, 4) AS cosine
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id"""
   )
 }
