@@ -777,7 +777,16 @@ object TrainingData {
     * partners). At real scale the corpus side would additionally
     * df-cap stopword terms (the q25/PPJoin prefix trade) — here the
     * exact join IS the oracle contract. */
-  def lexicalKnn(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  def lexicalKnn(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    Similarity.keepTopPerQuery(lexicalScores(spark, dir), k,
+        Seq(col("_cos").desc, col("neighbor_id").asc))
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("_cos"), 4).as("cosine"))
+      .orderBy("q_id", "neighbor_id")
+
+  /** (q_id, neighbor_id, _cos) term-count cosine scores — q80's body,
+    * shared with the hybrid fusion (q81). */
+  private def lexicalScores(spark: SparkSession, dir: String): DataFrame = {
     val counts = docs(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
@@ -789,7 +798,7 @@ object TrainingData {
         .select(col("doc_id").as("q_id"), col("term"), col("c").as("cq")))
     val qn = broadcast(norms.filter(col("doc_id") < 5)
       .select(col("doc_id").as("q_id"), col("nrm").as("nq")))
-    val scored = counts.filter(col("doc_id") >= 5)
+    counts.filter(col("doc_id") >= 5)
       .select(col("doc_id").as("neighbor_id"), col("term"), col("c").as("cc"))
       .join(q, "term")
       .groupBy("q_id", "neighbor_id")
@@ -798,10 +807,48 @@ object TrainingData {
       .join(norms.select(col("doc_id").as("neighbor_id"),
         col("nrm").as("nc")), "neighbor_id")
       .withColumn("_cos", col("dot").cast("double") / (col("nq") * col("nc")))
-    Similarity.keepTopPerQuery(scored, k,
-        Seq(col("_cos").desc, col("neighbor_id").asc))
+  }
+
+  /** HYBRID retrieval via reciprocal-rank fusion (Cormack et al.
+    * SIGIR'09 — the standard zero-tuning fusion): the lexical
+    * (term-count cosine, q80) and dense (embedding cosine, q26)
+    * rankings fuse per candidate as Σ 1/(60 + rank), summed over the
+    * systems that ranked it in their top-`n`. Ranks are small exact
+    * integers and each reciprocal is one IEEE division, so the fused
+    * score is bit-identical across engines — fusion needs NO tuned
+    * weights and no score normalization, which is exactly why RRF is
+    * the production default. Both rankings use the sharded top-n
+    * pre-prune; the fusion join touches ≤ 2n rows per query. */
+  def hybridRrf(spark: SparkSession, dir: String, n: Int = 50,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(scored: DataFrame, rankCol: String): DataFrame = {
+      val ord = Seq(col("_cos").desc, col("neighbor_id").asc)
+      Similarity.keepTopPerQuery(scored, n, ord)
+        .withColumn(rankCol, row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(ord: _*)))
+        .select(col("q_id"), col("neighbor_id"), col(rankCol))
+    }
+    val e = embs(spark, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("nq", sqrt(Similarity.dot(col("qv"), col("qv")))))
+    val dense = q.crossJoin(
+        e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v"))
+          .withColumn("nv", sqrt(Similarity.dot(col("v"), col("v")))))
+      .withColumn("_cos",
+        Similarity.dot(col("qv"), col("v")) / (col("nq") * col("nv")))
+    val fused = ranked(lexicalScores(spark, dir), "rl")
+      .join(ranked(dense, "rd"), Seq("q_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)))
+    Similarity.keepTopPerQuery(fused, k,
+        Seq(col("rrf").desc, col("neighbor_id").asc))
       .select(col("q_id"), col("neighbor_id"),
-        round(col("_cos"), 4).as("cosine"))
+        round(col("rrf"), 6).as("rrf"))
       .orderBy("q_id", "neighbor_id")
   }
 
@@ -842,7 +889,8 @@ object TrainingData {
     "q76_semantic_purge" -> semanticPurge,
     "q77_bigram_lm" -> ((s, d) => bigramLm(s, d)),
     "q78_cross_source_neighbor" -> crossSourceNeighbor,
-    "q80_lexical_knn" -> ((s, d) => lexicalKnn(s, d))
+    "q80_lexical_knn" -> ((s, d) => lexicalKnn(s, d)),
+    "q81_hybrid_rrf" -> ((s, d) => hybridRrf(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1360,6 +1408,55 @@ object TrainingData {
            JOIN nrm nq ON nq.doc_id = q_id
            JOIN nrm nc ON nc.doc_id = neighbor_id)
          SELECT q_id, neighbor_id, round(cos, 4) AS cosine
-         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id"""
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q81_hybrid_rrf" ->
+      // lexical top-50 (q80's exact integer cosine) + dense top-50
+      // (q26's embedding cosine) fused as sum of 1/(60+rank); ranks
+      // are identical small integers on both engines, reciprocals one
+      // IEEE division each, IEEE addition commutative → identical bits
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         cnt AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         nrm AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+                 FROM cnt GROUP BY 1),
+         dots AS (
+           SELECT q.doc_id AS q_id, c.doc_id AS neighbor_id,
+             CAST(sum(q.c * c.c) AS BIGINT) AS dot
+           FROM cnt q JOIN cnt c USING (term)
+           WHERE q.doc_id < 5 AND c.doc_id >= 5
+           GROUP BY 1, 2),
+         lex AS (
+           SELECT q_id, neighbor_id, rl FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) DESC,
+                   neighbor_id ASC) AS rl
+             FROM dots
+             JOIN nrm nq ON nq.doc_id = q_id
+             JOIN nrm nc ON nc.doc_id = neighbor_id)
+           WHERE rl <= 50),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dense AS (
+           SELECT q_id, neighbor_id, rd FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))) DESC,
+                   c.vec_id ASC) AS rd
+             FROM e q CROSS JOIN e c
+             WHERE q.vec_id < 5 AND c.vec_id >= 5)
+           WHERE rd <= 50),
+         fused AS (
+           SELECT q_id, neighbor_id,
+             coalesce(CAST(1 AS DOUBLE) / (60 + l.rl), 0)
+               + coalesce(CAST(1 AS DOUBLE) / (60 + d.rd), 0) AS rrf
+           FROM lex l FULL OUTER JOIN dense d USING (q_id, neighbor_id)),
+         top AS (
+           SELECT q_id, neighbor_id, rrf, row_number() OVER
+             (PARTITION BY q_id ORDER BY rrf DESC, neighbor_id ASC) AS rn
+           FROM fused)
+         SELECT q_id, neighbor_id, round(rrf, 6) AS rrf
+         FROM top WHERE rn <= 5 ORDER BY q_id, neighbor_id"""
   )
 }
