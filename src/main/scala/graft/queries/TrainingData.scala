@@ -852,6 +852,43 @@ object TrainingData {
       .orderBy("q_id", "neighbor_id")
   }
 
+  /** HARD-NEGATIVE mining for contrastive embedding training (the
+    * DPR/SimCSE recipe): candidates the DENSE ranker puts in its
+    * top-n that the LEXICAL ranker does NOT put in its top-m —
+    * semantically close but lexically dissimilar, exactly the
+    * negatives that teach an embedding model something (random
+    * negatives are too easy; lexical matches are often positives).
+    * Pure set algebra over the two rankings q81 already computes:
+    * dense top-n anti-joined against lexical top-m per query. Ranks
+    * are exact integers, so the oracle is a plain relational replay
+    * — no score arithmetic at all. */
+  def hardNegatives(spark: SparkSession, dir: String, nDense: Int = 20,
+      mLex: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(scored: DataFrame, rankCol: String, n: Int): DataFrame = {
+      val ord = Seq(col("_cos").desc, col("neighbor_id").asc)
+      Similarity.keepTopPerQuery(scored, n, ord)
+        .withColumn(rankCol, row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(ord: _*)))
+        .select(col("q_id"), col("neighbor_id"), col(rankCol))
+    }
+    val e = embs(spark, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val q = broadcast(e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .withColumn("nq", sqrt(Similarity.dot(col("qv"), col("qv")))))
+    val dense = q.crossJoin(
+        e.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("neighbor_id"), col("v"))
+          .withColumn("nv", sqrt(Similarity.dot(col("v"), col("v")))))
+      .withColumn("_cos",
+        Similarity.dot(col("qv"), col("v")) / (col("nq") * col("nv")))
+    ranked(dense, "dense_rank", nDense)
+      .join(ranked(lexicalScores(spark, dir), "rl", mLex),
+        Seq("q_id", "neighbor_id"), "left_anti")
+      .orderBy("q_id", "dense_rank")
+  }
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -890,7 +927,8 @@ object TrainingData {
     "q77_bigram_lm" -> ((s, d) => bigramLm(s, d)),
     "q78_cross_source_neighbor" -> crossSourceNeighbor,
     "q80_lexical_knn" -> ((s, d) => lexicalKnn(s, d)),
-    "q81_hybrid_rrf" -> ((s, d) => hybridRrf(s, d))
+    "q81_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+    "q82_hard_negatives" -> ((s, d) => hardNegatives(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1457,6 +1495,46 @@ object TrainingData {
              (PARTITION BY q_id ORDER BY rrf DESC, neighbor_id ASC) AS rn
            FROM fused)
          SELECT q_id, neighbor_id, round(rrf, 6) AS rrf
-         FROM top WHERE rn <= 5 ORDER BY q_id, neighbor_id"""
+         FROM top WHERE rn <= 5 ORDER BY q_id, neighbor_id""",
+    "q82_hard_negatives" ->
+      // dense top-20 ANTI lexical top-10 per query — rank-only set
+      // algebra, no score arithmetic crosses the engine boundary
+      """WITH toks AS (SELECT doc_id,
+           unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         cnt AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         nrm AS (SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm
+                 FROM cnt GROUP BY 1),
+         dots AS (
+           SELECT q.doc_id AS q_id, c.doc_id AS neighbor_id,
+             CAST(sum(q.c * c.c) AS BIGINT) AS dot
+           FROM cnt q JOIN cnt c USING (term)
+           WHERE q.doc_id < 5 AND c.doc_id >= 5
+           GROUP BY 1, 2),
+         lex AS (
+           SELECT q_id, neighbor_id FROM (
+             SELECT q_id, neighbor_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm) DESC,
+                   neighbor_id ASC) AS rl
+             FROM dots
+             JOIN nrm nq ON nq.doc_id = q_id
+             JOIN nrm nc ON nc.doc_id = neighbor_id)
+           WHERE rl <= 10),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dense AS (
+           SELECT q_id, neighbor_id, dense_rank FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v))) DESC,
+                   c.vec_id ASC) AS dense_rank
+             FROM e q CROSS JOIN e c
+             WHERE q.vec_id < 5 AND c.vec_id >= 5)
+           WHERE dense_rank <= 20)
+         SELECT d.q_id, d.neighbor_id, d.dense_rank
+         FROM dense d ANTI JOIN lex l
+           ON l.q_id = d.q_id AND l.neighbor_id = d.neighbor_id
+         ORDER BY d.q_id, d.dense_rank"""
   )
 }
