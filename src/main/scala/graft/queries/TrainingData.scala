@@ -821,27 +821,9 @@ object TrainingData {
     * pre-prune; the fusion join touches ≤ 2n rows per query. */
   def hybridRrf(spark: SparkSession, dir: String, n: Int = 50,
       k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def ranked(scored: DataFrame, rankCol: String): DataFrame = {
-      val ord = Seq(col("_cos").desc, col("neighbor_id").asc)
-      Similarity.keepTopPerQuery(scored, n, ord)
-        .withColumn(rankCol, row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(ord: _*)))
-        .select(col("q_id"), col("neighbor_id"), col(rankCol))
-    }
-    val e = embs(spark, dir)
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-    val q = broadcast(e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .withColumn("nq", sqrt(Similarity.dot(col("qv"), col("qv")))))
-    val dense = q.crossJoin(
-        e.filter(col("vec_id") >= 5)
-          .select(col("vec_id").as("neighbor_id"), col("v"))
-          .withColumn("nv", sqrt(Similarity.dot(col("v"), col("v")))))
-      .withColumn("_cos",
-        Similarity.dot(col("qv"), col("v")) / (col("nq") * col("nv")))
-    val fused = ranked(lexicalScores(spark, dir), "rl")
-      .join(ranked(dense, "rd"), Seq("q_id", "neighbor_id"), "full_outer")
+    val fused = rankedTopN(lexicalScores(spark, dir), "rl", n)
+      .join(rankedTopN(denseScores(spark, dir), "rd", n),
+        Seq("q_id", "neighbor_id"), "full_outer")
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(60) + col("rl")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)))
@@ -863,30 +845,39 @@ object TrainingData {
     * are exact integers, so the oracle is a plain relational replay
     * — no score arithmetic at all. */
   def hardNegatives(spark: SparkSession, dir: String, nDense: Int = 20,
-      mLex: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def ranked(scored: DataFrame, rankCol: String, n: Int): DataFrame = {
-      val ord = Seq(col("_cos").desc, col("neighbor_id").asc)
-      Similarity.keepTopPerQuery(scored, n, ord)
-        .withColumn(rankCol, row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(ord: _*)))
-        .select(col("q_id"), col("neighbor_id"), col(rankCol))
-    }
+      mLex: Int = 10): DataFrame =
+    rankedTopN(denseScores(spark, dir), "dense_rank", nDense)
+      .join(rankedTopN(lexicalScores(spark, dir), "rl", mLex),
+        Seq("q_id", "neighbor_id"), "left_anti")
+      .orderBy("q_id", "dense_rank")
+
+  /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
+    * broadcast-query shape) — shared by the fusion family. */
+  private def denseScores(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
     val q = broadcast(e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .withColumn("nq", sqrt(Similarity.dot(col("qv"), col("qv")))))
-    val dense = q.crossJoin(
+    q.crossJoin(
         e.filter(col("vec_id") >= 5)
           .select(col("vec_id").as("neighbor_id"), col("v"))
           .withColumn("nv", sqrt(Similarity.dot(col("v"), col("v")))))
       .withColumn("_cos",
         Similarity.dot(col("qv"), col("v")) / (col("nq") * col("nv")))
-    ranked(dense, "dense_rank", nDense)
-      .join(ranked(lexicalScores(spark, dir), "rl", mLex),
-        Seq("q_id", "neighbor_id"), "left_anti")
-      .orderBy("q_id", "dense_rank")
+  }
+
+  /** Top-`n` of a `(q_id, neighbor_id, _cos)` frame with its exact
+    * per-query rank as `rankCol` — sharded pre-prune, then the exact
+    * window runs over ≤ n survivors per query. */
+  private def rankedTopN(scored: DataFrame, rankCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("_cos").desc, col("neighbor_id").asc)
+    Similarity.keepTopPerQuery(scored, n, ord)
+      .withColumn(rankCol, row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(ord: _*)))
+      .select(col("q_id"), col("neighbor_id"), col(rankCol))
   }
 
   // ------------------------------------------------------------- registry
