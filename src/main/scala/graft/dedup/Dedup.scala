@@ -387,6 +387,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** ASYMMETRIC containment pairs — excerpt/subset duplicate
+    * detection: C(A→B) = |A∩B| / |A| ≥ t flags document A as
+    * (near-)contained in B, the case resemblance misses entirely (a
+    * paragraph quoted inside a 100× longer doc has Jaccard ≈ 0.01
+    * but containment ≈ 1). Directional output: one row per ordered
+    * (a, b) pair over 2-gram hashed shingle sets.
+    *
+    * Candidates come from an ASYMMETRIC prefix filter: if A and B
+    * share ≥ ⌈t·|A|⌉ shingles, they share one of A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles under ANY fixed total order — here
+    * the hash order the sorted sets already carry, so A's prefix is
+    * literally `slice(s, 1, …)` (zero extra passes; the df-order
+    * refinement q25 uses would shrink candidates further at the cost
+    * of a frequency join — the guarantee needs only a fixed order).
+    * Only the A side truncates; B indexes every shingle, because
+    * containment puts no lower bound on |B|. Verification divides
+    * the native merge-overlap count by |A| — exact, no floats until
+    * the final division. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val d = spread(df).select(col(idCol),
+        graft.functions.HashedNGrams.hashedNGrams(
+          split(lower(col(textCol)), " "), shingleN).as("s"))
+      .filter(size(col("s")) >= 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .cast("int")
+    val prefA = d.withColumn("sz", size(col("s")))
+      .select(col(idCol).as("doc_a"),
+        explode(slice(col("s"), lit(1), prefLen)).as("h"))
+    val exB = d.select(col(idCol).as("doc_b"), explode(col("s")).as("h"))
+    val cand = prefA.join(exB, "h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(d.select(col(idCol).as("doc_a"), col("s").as("s_a")), "doc_a")
+      .join(d.select(col(idCol).as("doc_b"), col("s").as("s_b")), "doc_b")
+      .withColumn("_c",
+        graft.functions.SortedLongSetOverlap.sortedOverlap(
+          col("s_a"), col("s_b")).cast("double") / size(col("s_a")))
+      .filter(col("_c") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("_c"), 3).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Winnowing-fingerprint near-dup pairs (rolling-hash family —
     * see graft.functions.WinnowingFingerprints). Fingerprinting is a
     * pure per-row scan; candidates share at least one fingerprint

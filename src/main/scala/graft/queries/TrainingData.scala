@@ -765,6 +765,16 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric containment pairs (excerpt/subset duplicates): doc A
+    * flagged when ≥ 80% of its 2-gram shingles appear in doc B — the
+    * quoted-paragraph / embedded-document case Jaccard misses (a
+    * paragraph inside a 100× longer doc has resemblance ≈ 0.01 but
+    * containment ≈ 1). Asymmetric prefix-filtered candidates, native
+    * merge-overlap verification (see Dedup.containmentPairs). */
+  def containmentDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(spark, dir), "doc_id", "text",
+      shingleN = 2, threshold = 0.8)
+
   /** Lexical KNN — exact term-count cosine top-k, the SPARSE
     * complement to q26's dense embedding KNN (the other half of
     * hybrid retrieval). Counts are integers, so the pair dot product
@@ -919,7 +929,8 @@ object TrainingData {
     "q78_cross_source_neighbor" -> crossSourceNeighbor,
     "q80_lexical_knn" -> ((s, d) => lexicalKnn(s, d)),
     "q81_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
-    "q82_hard_negatives" -> ((s, d) => hardNegatives(s, d))
+    "q82_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
+    "q83_containment" -> containmentDup
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1526,6 +1537,23 @@ object TrainingData {
          SELECT d.q_id, d.neighbor_id, d.dense_rank
          FROM dense d ANTI JOIN lex l
            ON l.q_id = d.q_id AND l.neighbor_id = d.neighbor_id
-         ORDER BY d.q_id, d.dense_rank"""
+         ORDER BY d.q_id, d.dense_rank""",
+    "q83_containment" ->
+      // complete all-ordered-pairs scan: the Spark side's asymmetric
+      // prefix filter is candidate-complete by construction, so the
+      // naive replay must produce the identical pair set
+      """WITH d AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(len(string_split(lower(text), ' '))-1),
+               i -> string_split(lower(text), ' ')[i+1] || ' '
+                 || string_split(lower(text), ' ')[i+2])) AS s
+           FROM documents
+           WHERE len(string_split(lower(text), ' ')) >= 2)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 3)
+             AS containment
+         FROM d a JOIN d b ON a.doc_id <> b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.8
+         ORDER BY doc_a, doc_b"""
   )
 }

@@ -153,6 +153,30 @@ class VectorExpressionsSpec extends AnyFunSuite {
     (2 until exprs.length).foreach(i => assert(nullOut.isNullAt(i)))
   }
 
+  test("sortedOverlap equals the builtin array_intersect size; codegen'd") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(-5L, 0L, 7L), Seq(-5L, 0L, 7L))
+    ).toDF("a", "b")
+    val got = df.select(
+      graft.functions.SortedLongSetOverlap.sortedOverlap(col("a"), col("b")),
+      size(array_intersect(col("a"), col("b")))).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1),
+      s"overlap mismatch: $r"))
+    // non-literal source so constant folding can't collapse the plan
+    val live = spark.range(3)
+      .select(array(col("id"), col("id") + 2).as("a"),
+        array(col("id") + 1, col("id") + 2).as("b"))
+      .select(graft.functions.SortedLongSetOverlap
+        .sortedOverlap(col("a"), col("b")).as("o"))
+      .filter(col("o") >= 0)
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan)
+    assert(live.collect().map(_.getInt(0)).toSeq === Seq(1, 1, 1))
+  }
+
   test("type check rejects non-double arrays") {
     val err = intercept[Exception] {
       Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
