@@ -775,6 +775,26 @@ object TrainingData {
     Dedup.containmentPairs(docs(spark, dir), "doc_id", "text",
       shingleN = 2, threshold = 0.8)
 
+  /** The corpus pipeline's QUALITY GATE, hash-checked: runs the real
+    * `CorpusPipeline.annotate` pass (one tokenize, every kernel reads
+    * the same token column) and emits each document's gate inputs plus
+    * the keep/drop verdict under the default Recipe (lang=en,
+    * minQuality=0.2, maxTopBigramFrac=0.6). Until now the gating was
+    * spec-only; this puts the pipeline's own filter logic — language
+    * ID, composite quality arithmetic, Gopher repetition ceiling, and
+    * their conjunction — under the DuckDB oracle, so a drift in ANY
+    * gate ingredient hash-mismatches. Verdicts use RAW values; the
+    * printed scores are rounded only for output. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusPipeline.annotate(docs(spark, dir))
+      .select(col("doc_id"), col("lang_pred"),
+        round(col("quality_score"), 4).as("quality_score"),
+        round(col("top_bigram_frac"), 4).as("top_bigram_frac"),
+        (col("lang_pred") === "en" &&
+          col("quality_score") >= 0.2 &&
+          col("top_bigram_frac") <= 0.6).as("keep"))
+      .orderBy("doc_id")
+
   /** Lexical KNN — exact term-count cosine top-k, the SPARSE
     * complement to q26's dense embedding KNN (the other half of
     * hybrid retrieval). Counts are integers, so the pair dot product
@@ -930,7 +950,8 @@ object TrainingData {
     "q80_lexical_knn" -> ((s, d) => lexicalKnn(s, d)),
     "q81_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q82_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
-    "q83_containment" -> containmentDup
+    "q83_containment" -> containmentDup,
+    "q84_quality_gate" -> qualityGate
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1554,6 +1575,47 @@ object TrainingData {
              AS containment
          FROM d a JOIN d b ON a.doc_id <> b.doc_id
          WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.8
-         ORDER BY doc_a, doc_b"""
+         ORDER BY doc_a, doc_b""",
+    "q84_quality_gate" ->
+      // q19's quality arithmetic + q20's lang rule + q53's repetition,
+      // conjoined into the pipeline's keep verdict (raw-value gates,
+      // rounded output — each ingredient's SQL is its own green oracle)
+      s"""WITH base AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t,
+             length(text) AS n_ch,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct
+           FROM documents),
+         ann AS (
+           SELECT doc_id, len(t) AS ntok,
+             len(list_filter(t, x -> list_contains([$enStops], x))) AS en_hits,
+             len(list_filter(t, x -> list_contains([$xxStops], x))) AS xx_hits,
+             CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
+               AS DOUBLE) / len(t) AS sr,
+             CAST(n_punct AS DOUBLE) / n_ch AS pr
+           FROM base),
+         big AS (SELECT doc_id, len(t) - 1 AS nbig,
+             unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS bg
+           FROM base WHERE len(t) >= 2),
+         cnt AS (SELECT doc_id, nbig, bg, count(*) AS c
+                 FROM big GROUP BY 1, 2, 3),
+         rep AS (SELECT doc_id, max(c) / CAST(nbig AS DOUBLE) AS tf
+                 FROM cnt GROUP BY doc_id, nbig),
+         scored AS (
+           SELECT a.doc_id,
+             CASE WHEN en_hits > xx_hits AND en_hits >= 2 THEN 'en'
+                  WHEN xx_hits > en_hits AND xx_hits >= 2 THEN 'xx'
+                  ELSE 'und' END AS lang_pred,
+             sr * CAST(0.5 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - pr) * CAST(0.3 AS DOUBLE)
+               + least(ntok / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.2 AS DOUBLE) AS qs,
+             coalesce(r.tf, CAST(0.0 AS DOUBLE)) AS tf
+           FROM ann a LEFT JOIN rep r ON r.doc_id = a.doc_id)
+         SELECT doc_id, lang_pred,
+           round(qs, 4) AS quality_score,
+           round(tf, 4) AS top_bigram_frac,
+           (lang_pred = 'en' AND qs >= 0.2 AND tf <= 0.6) AS keep
+         FROM scored ORDER BY doc_id"""
   )
 }
