@@ -569,6 +569,31 @@ object TrainingData {
     vt.read().select("doc_id", "source").orderBy("doc_id")
   }
 
+  /** Dedup-savings REPORT — the observability face of the dedup
+    * chain: per near-dup cluster, its member count, canonical
+    * survivor (min id), total payload bytes, and the bytes a purge
+    * would reclaim (total minus the canonical's). The number a data
+    * team actually reports for a dedup run. Integer byte sums are
+    * exact and order-free; canonical byte size via min_by keyed on
+    * the unique member id (deterministic). Same component machinery
+    * as q36/q76. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val comps = Dedup.connectedComponents(
+      embedNearDup(spark, dir).select("vec_a", "vec_b"), "vec_a", "vec_b")
+    comps.join(
+        docs(spark, dir).select(col("doc_id").as("node"),
+          octet_length(col("text")).cast("long").as("bytes")),
+        "node")
+      .groupBy("component")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min(col("node")).as("canonical_id"),
+        sum(col("bytes")).as("bytes_total"),
+        (sum(col("bytes")) - min_by(col("bytes"), col("node")))
+          .as("bytes_saved"))
+      .orderBy("component")
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Byte-level stats of the text payload treated as an opaque binary
@@ -951,7 +976,8 @@ object TrainingData {
     "q81_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
     "q82_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "q83_containment" -> containmentDup,
-    "q84_quality_gate" -> qualityGate
+    "q84_quality_gate" -> qualityGate,
+    "q85_dedup_report" -> dedupReport
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1616,6 +1642,38 @@ object TrainingData {
            round(qs, 4) AS quality_score,
            round(tf, 4) AS top_bigram_frac,
            (lang_pred = 'en' AND qs >= 0.2 AND tf <= 0.6) AS keep
-         FROM scored ORDER BY doc_id"""
+         FROM scored ORDER BY doc_id""",
+    "q85_dedup_report" ->
+      // q36's recursive components + integer byte accounting; min_by
+      // keyed on the unique member id = Spark's min_by (deterministic)
+      """WITH RECURSIVE
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM e),
+         edges AS (
+           SELECT x.vec_id AS a, y.vec_id AS b2
+           FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+           WHERE list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))) >= 0.4),
+         sym AS (SELECT a, b2 FROM edges UNION ALL SELECT b2 AS a, a AS b2 FROM edges),
+         reach(node, root) AS (
+           SELECT a, a FROM sym
+           UNION
+           SELECT s.b2, r.root FROM reach r JOIN sym s ON s.a = r.node),
+         comp AS (SELECT node, min(root) AS component
+                  FROM reach GROUP BY node)
+         SELECT c.component, count(*) AS n_members,
+           min(c.node) AS canonical_id,
+           CAST(sum(strlen(d.text)) AS BIGINT) AS bytes_total,
+           CAST(sum(strlen(d.text))
+             - min_by(strlen(d.text), c.node) AS BIGINT) AS bytes_saved
+         FROM comp c JOIN documents d ON d.doc_id = c.node
+         GROUP BY 1 ORDER BY 1"""
   )
 }
