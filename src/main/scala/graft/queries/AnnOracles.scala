@@ -50,7 +50,8 @@ object AnnOracles {
         ivfSql(spark, dir, corpusWhere = "label = 0"),
       "q57_ann_pq" -> pqSql(spark, dir),
       "q58_ann_ivfpq" -> ivfpq,
-      "q70_ann_ivfpq_indexed" -> ivfpq)
+      "q70_ann_ivfpq_indexed" -> ivfpq,
+      "q86_cluster_profile" -> kmeansProfileSql(spark, dir))
   }
 
   // ------------------------------------------------------------ helpers
@@ -178,6 +179,43 @@ object AnnOracles {
          FROM probe p JOIN ca ON ca.cluster = p.cluster
          WHERE p.id <> ca.id),
        ${rerankTail(k = 3)}"""
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  /** K-means cluster-profile oracle: frozen trained centroids (FULL
+    * table — clustering is a curation op, no query split); DuckDB
+    * independently replays assignment (first-min tie-break), the
+    * per-(cluster, label) counts, dominant-label window, and mean
+    * L2-to-centroid. Mirrors `TrainingData.clusterProfile` (nlist=8,
+    * iters=2). */
+  def kmeansProfileSql(spark: SparkSession, dir: String): String = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = Similarity.ivfTrain(e, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val dim = cent(0).length
+    s"""WITH cent AS (SELECT * FROM ${centRelation(cent)}),
+       e AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS v
+             FROM embeddings),
+       ad AS (SELECT e.id, e.label, cent.cl,
+                ${l2("e.v", "cent.c", dim)} AS d
+              FROM e CROSS JOIN cent),
+       a AS (SELECT id, label, cl AS cluster, sqrt(d) AS dist FROM (
+               SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY d ASC, cl ASC) AS rn FROM ad)
+             WHERE rn = 1),
+       per AS (SELECT cluster, label, count(*) AS c FROM a GROUP BY 1, 2),
+       dom AS (SELECT cluster, label AS dominant_label, c FROM (
+                 SELECT *, row_number() OVER (PARTITION BY cluster
+                   ORDER BY c DESC, label ASC) AS rn FROM per)
+               WHERE rn = 1),
+       agg AS (SELECT cluster, count(*) AS n_vectors, avg(dist) AS md
+               FROM a GROUP BY 1)
+       SELECT agg.cluster, agg.n_vectors, dom.dominant_label,
+         round(dom.c * 1.0 / agg.n_vectors, 4) AS label_share,
+         round(agg.md, 6) AS avg_dist
+       FROM agg JOIN dom ON dom.cluster = agg.cluster
+       ORDER BY agg.cluster"""
   }
 
   // ---------------------------------------------------------------- q57

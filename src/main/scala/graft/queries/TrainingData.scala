@@ -906,6 +906,44 @@ object TrainingData {
         Seq("q_id", "neighbor_id"), "left_anti")
       .orderBy("q_id", "dense_rank")
 
+  /** K-MEANS cluster profile for corpus curation (the DCLM /
+    * cluster-based-curation recipe: partition the embedding space,
+    * then inspect each cluster's size, purity, and spread before
+    * deciding what to keep, downsample, or route to review). Training
+    * reuses the deterministic IVF Lloyd kernel; assignment is a
+    * broadcast-literal map (no shuffle); the profile is one partial
+    * aggregate over `(cluster, label)` plus a bounded window over
+    * ≤ nlist×nlabels rows. Scale: the per-cluster stats shuffle
+    * carries nlist×nlabels rows regardless of corpus size.
+    *
+    * Output per cluster: member count, the dominant `label` with its
+    * share (ties → lowest label), and mean L2 distance to the
+    * centroid. The oracle freezes the trained centroids as literals
+    * and replays assignment + aggregation in DuckDB
+    * (AnnOracles.kmeansProfileSql). */
+  def clusterProfile(spark: SparkSession, dir: String,
+      nlist: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(spark, dir)
+    val cents = Similarity.ivfTrain(e, "vec_id", "embedding", nlist, iters = 2)
+    val assigned = Similarity.assignClusters(e, "vec_id", "embedding", cents)
+      .join(e.select(col("vec_id").cast("long").as("id"), col("label")), "id")
+    val perLabel = assigned.groupBy("cluster", "label")
+      .agg(count(lit(1)).as("c"))
+    val dominant = perLabel
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("c").desc, col("label").asc)))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("label").as("dominant_label"), col("c"))
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vectors"), avg(col("dist")).as("ad"))
+      .join(dominant, "cluster")
+      .select(col("cluster"), col("n_vectors"), col("dominant_label"),
+        round(col("c").cast("double") / col("n_vectors"), 4).as("label_share"),
+        round(col("ad"), 6).as("avg_dist"))
+      .orderBy("cluster")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -977,7 +1015,8 @@ object TrainingData {
     "q82_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
     "q83_containment" -> containmentDup,
     "q84_quality_gate" -> qualityGate,
-    "q85_dedup_report" -> dedupReport
+    "q85_dedup_report" -> dedupReport,
+    "q86_cluster_profile" -> ((s, d) => clusterProfile(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of

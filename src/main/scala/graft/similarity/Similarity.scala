@@ -160,6 +160,26 @@ object Similarity {
       .drop("_dists")
   }
 
+  /** Public nearest-centroid assignment of `(idCol, vecCol)` rows
+    * against trained `centroids`: `(id, v, cluster, dist)` where
+    * `dist` is the L2 distance to the assigned centroid. Pure
+    * broadcast-literal map — no shuffle; the clustering analogue of
+    * [[ivfTopK]]'s corpus side, exposed for curation-style profiling
+    * (cluster sizes / purity / spread) where the distance itself is
+    * part of the answer. */
+  def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val centLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    corpus
+      .select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("_dists", transform(centLit, c =>
+        graft.functions.vector.arrayL2Sq(c, col("v"))))
+      .withColumn("cluster",
+        expr("array_position(_dists, array_min(_dists)) - 1").cast("int"))
+      .withColumn("dist", sqrt(expr("array_min(_dists)")))
+      .drop("_dists")
+  }
+
   /** Train an IVF coarse quantizer: deterministic init (the `nlist`
     * lowest-id vectors), then `iters` Lloyd rounds. Each round is one
     * distributed pass: assign (map) → per-(cluster, dim) partial sums
