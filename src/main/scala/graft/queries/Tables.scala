@@ -16,15 +16,26 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long, then truncate to microseconds
-      // with exact integer division (`DIV 1000`) — the same truncation
-      // DuckDB applies on CAST(timestamp_ns AS TIMESTAMP), so oracle
-      // comparisons line up. Session-conf toggle is safe to set here:
-      // it only affects how NANOS columns are typed.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across harness generations, so resolve by
+      // the type that actually arrives rather than assuming either:
+      //  - NANOS: Spark's vectorized reader rejects it; read nanos as
+      //    long, truncate to micros with exact integer division
+      //    (`DIV 1000`) — the same truncation DuckDB applies on
+      //    CAST(timestamp_ns AS TIMESTAMP), so oracles line up.
+      //  - MICROS (no tz): arrives as TIMESTAMP_NTZ; cast to the
+      //    session-zone TIMESTAMP every downstream query and oracle
+      //    already speaks (sessions run in UTC, so the instant is
+      //    unchanged).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
