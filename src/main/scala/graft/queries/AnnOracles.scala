@@ -35,10 +35,21 @@ object AnnOracles {
     * q26/q27/q30/q57/q58 convention). */
   private val QuerySplit = 5
 
+  /** The query keys [[dynamic]] generates oracles for, statically
+    * (no model training needed to read it). `dynamic` asserts its
+    * output against this set, and TrainingDataSpec derives its
+    * static-oracle-omission assertion from it — so registering a new
+    * generated oracle without updating this set fails loudly at the
+    * first generation (spec or Verify), never silently. */
+  val keys: Set[String] = Set(
+    "q30_ann_ivf", "q69_ann_ivf_indexed", "q75_ann_ivf_filtered",
+    "q57_ann_pq", "q58_ann_ivfpq", "q70_ann_ivfpq_indexed",
+    "q86_cluster_profile")
+
   def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
     val ivf = ivfSql(spark, dir)
     val ivfpq = ivfPqSql(spark, dir)
-    Map(
+    val out = Map(
       "q30_ann_ivf" -> ivf,
       // q69/q70 serve the SAME searches from the persisted indexes
       // (identical params + deterministic training → same answers),
@@ -52,6 +63,10 @@ object AnnOracles {
       "q58_ann_ivfpq" -> ivfpq,
       "q70_ann_ivfpq_indexed" -> ivfpq,
       "q86_cluster_profile" -> kmeansProfileSql(spark, dir))
+    assert(out.keySet == keys,
+      s"AnnOracles.dynamic drifted from AnnOracles.keys: ${
+        (out.keySet diff keys) ++ (keys diff out.keySet)}")
+    out
   }
 
   // ------------------------------------------------------------ helpers
@@ -209,11 +224,15 @@ object AnnOracles {
                  SELECT *, row_number() OVER (PARTITION BY cluster
                    ORDER BY c DESC, label ASC) AS rn FROM per)
                WHERE rn = 1),
-       agg AS (SELECT cluster, count(*) AS n_vectors, avg(dist) AS md
+       -- order-insensitive mean: per-row 1e-6 round → exact BIGINT sum
+       -- → one float division, mirroring clusterProfile (a float avg
+       -- would sum in engine-specific order and could flip the hash)
+       agg AS (SELECT cluster, count(*) AS n_vectors,
+                 sum(CAST(round(dist * 1000000) AS BIGINT)) AS sd
                FROM a GROUP BY 1)
        SELECT agg.cluster, agg.n_vectors, dom.dominant_label,
          round(dom.c * 1.0 / agg.n_vectors, 4) AS label_share,
-         round(agg.md, 6) AS avg_dist
+         round(CAST(sd AS DOUBLE) / 1000000 / agg.n_vectors, 6) AS avg_dist
        FROM agg JOIN dom ON dom.cluster = agg.cluster
        ORDER BY agg.cluster"""
   }

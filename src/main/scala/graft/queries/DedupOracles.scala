@@ -36,9 +36,18 @@ import org.apache.spark.sql.functions._
   */
 object DedupOracles {
 
-  def dynamic(spark: SparkSession, dir: String): Map[String, String] =
-    Map("q31_winnow_neardup" ->
+  /** The query keys [[dynamic]] generates oracles for, statically —
+    * same contract as [[AnnOracles.keys]]. */
+  val keys: Set[String] = Set("q31_winnow_neardup")
+
+  def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
+    val out = Map("q31_winnow_neardup" ->
       winnowSql(spark, dir, k = 12, w = 6, threshold = 0.4, maxDf = 20))
+    assert(out.keySet == keys,
+      s"DedupOracles.dynamic drifted from DedupOracles.keys: ${
+        (out.keySet diff keys) ++ (keys diff out.keySet)}")
+    out
+  }
 
   def winnowSql(spark: SparkSession, dir: String, k: Int, w: Int,
       threshold: Double, maxDf: Int): String = {

@@ -935,12 +935,19 @@ object TrainingData {
         .orderBy(col("c").desc, col("label").asc)))
       .filter(col("rn") === 1)
       .select(col("cluster"), col("label").as("dominant_label"), col("c"))
+    // avg_dist must be partitioning-order-insensitive under the hash
+    // check: round each dist to 1e-6 and sum as LONG (exact integer
+    // arithmetic in any order), then one deterministic float division
+    // — a distributed float avg() could flip the last rounded digit
+    // between engines/partitionings
     assigned.groupBy("cluster")
-      .agg(count(lit(1)).as("n_vectors"), avg(col("dist")).as("ad"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(round(col("dist") * lit(1e6)).cast("long")).as("sd"))
       .join(dominant, "cluster")
       .select(col("cluster"), col("n_vectors"), col("dominant_label"),
         round(col("c").cast("double") / col("n_vectors"), 4).as("label_share"),
-        round(col("ad"), 6).as("avg_dist"))
+        round(col("sd").cast("double") / lit(1e6) / col("n_vectors"), 6)
+          .as("avg_dist"))
       .orderBy("cluster")
   }
 

@@ -150,6 +150,16 @@ object Similarity {
     * ship as a broadcast-sized literal array, so assignment is a pure
     * map over the corpus. */
   private[similarity] def withCluster(vecs: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame =
+    withNearest(vecs, centroids).drop("_dists")
+
+  /** The single nearest-centroid assignment kernel: adds `_dists`
+    * (per-centroid squared L2 against the broadcast centroid literal)
+    * and `cluster` (index of the minimum; lowest index on ties) to a
+    * frame with a `v` vector column. Shared by [[withCluster]] and
+    * [[assignClusters]] so the tie-break and distance semantics cannot
+    * drift between the IVF and curation paths; callers drop `_dists`. */
+  private def withNearest(vecs: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
     val centLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
     vecs
@@ -157,7 +167,6 @@ object Similarity {
         graft.functions.vector.arrayL2Sq(c, col("v"))))
       .withColumn("cluster",
         expr("array_position(_dists, array_min(_dists)) - 1").cast("int"))
-      .drop("_dists")
   }
 
   /** Public nearest-centroid assignment of `(idCol, vecCol)` rows
@@ -168,17 +177,13 @@ object Similarity {
     * (cluster sizes / purity / spread) where the distance itself is
     * part of the answer. */
   def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame = {
-    val centLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
-    corpus
-      .select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("_dists", transform(centLit, c =>
-        graft.functions.vector.arrayL2Sq(c, col("v"))))
-      .withColumn("cluster",
-        expr("array_position(_dists, array_min(_dists)) - 1").cast("int"))
+      centroids: Array[Array[Double]]): DataFrame =
+    withNearest(
+        corpus.select(col(idCol).cast("long").as("id"),
+          toDouble(col(vecCol)).as("v")),
+        centroids)
       .withColumn("dist", sqrt(expr("array_min(_dists)")))
       .drop("_dists")
-  }
 
   /** Train an IVF coarse quantizer: deterministic init (the `nlist`
     * lowest-id vectors), then `iters` Lloyd rounds. Each round is one

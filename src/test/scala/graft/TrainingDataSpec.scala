@@ -18,14 +18,29 @@ class TrainingDataSpec extends AnyFunSuite {
   test("every training-data oracle has a registered query") {
     val missing = TrainingData.oracles.keySet -- TrainingData.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
-    // deliberate static-map omissions: these queries get GENERATED
+    // the only static-map omissions allowed are queries with GENERATED
     // oracles merged by Verify (AnnOracles.dynamic freezes the trained
     // ANN models; DedupOracles.dynamic freezes the winnowing
-    // fingerprint sets) — every registered query is hash-checked
+    // fingerprint sets) — derived from the generators' own declared
+    // key sets, so adding a generated oracle can't go stale here
+    val dynamicKeys =
+      graft.queries.AnnOracles.keys ++ graft.queries.DedupOracles.keys
     assert(TrainingData.queries.keySet -- TrainingData.oracles.keySet
-      === Set("q30_ann_ivf", "q31_winnow_neardup", "q57_ann_pq",
-        "q58_ann_ivfpq", "q69_ann_ivf_indexed", "q70_ann_ivfpq_indexed",
-        "q75_ann_ivf_filtered"))
+      === dynamicKeys.filter(TrainingData.queries.keySet),
+      "every registered query must be hash-checked: static oracle XOR " +
+        "a declared dynamic-oracle key")
+    // and every generated-oracle key must be a registered query
+    val orphans = dynamicKeys -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"dynamic oracles without queries: $orphans")
+  }
+
+  test("dynamic oracle generation covers exactly the declared keys") {
+    // runs the real generators (tiny models at sf0.001) — pins the
+    // declared key sets to what dynamic() actually produces
+    val gen = SparkEntry.dynamicOracleSql(spark, sf)
+    assert(gen.keySet ===
+      graft.queries.AnnOracles.keys ++ graft.queries.DedupOracles.keys)
+    assert(gen.values.forall(_.trim.nonEmpty))
   }
 
   test("winnowing df-cap is observable (no silent caps)") {
