@@ -396,15 +396,24 @@ object Dedup {
     *
     * Candidates come from an ASYMMETRIC prefix filter: if A and B
     * share ≥ ⌈t·|A|⌉ shingles, they share one of A's first
-    * |A| − ⌈t·|A|⌉ + 1 shingles under ANY fixed total order — here
-    * the hash order the sorted sets already carry, so A's prefix is
-    * literally `slice(s, 1, …)` (zero extra passes; the df-order
-    * refinement q25 uses would shrink candidates further at the cost
-    * of a frequency join — the guarantee needs only a fixed order).
-    * Only the A side truncates; B indexes every shingle, because
-    * containment puts no lower bound on |B|. Verification divides
-    * the native merge-overlap count by |A| — exact, no floats until
-    * the final division. */
+    * |A| − ⌈t·|A|⌉ + 1 shingles under ANY fixed total order. The
+    * order used is ascending document frequency (ties: hash) — the
+    * same PPJoin canonicalization q25 builds — so A's prefix holds
+    * its RAREST shingles. This is what keeps the candidate equi-join
+    * skew-safe at corpus scale: its cost is Σ_h df_prefA(h)·df_B(h),
+    * and B must index EVERY shingle (containment puts no lower bound
+    * on |B|, so df_B of a stopword-gram approaches the corpus size) —
+    * under raw hash order a Zipfian hot shingle lands in many A
+    * prefixes and the join fans out quadratically on that key;
+    * df-ascending order drives df_prefA of exactly those hot shingles
+    * to ~0. On the synthetic sf0.1 corpus the gain is bounded by its
+    * near-uniform df distribution (931 distinct shingles, median df
+    * 285/5000 — no Zipfian tail to exploit): join rows 15.4M → 14.2M,
+    * worst single-key cost 110k → 70k; the Zipfian analysis and the
+    * candidate-volume formula live in SCALE.md §containment.
+    * Verification divides the native merge-overlap
+    * count (over the hash-sorted sets, unaffected by prefix order)
+    * by |A| — exact, no floats until the final division. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, threshold: Double = 0.8): DataFrame = {
     val d = spread(df).select(col(idCol),
@@ -412,12 +421,23 @@ object Dedup {
           split(lower(col(textCol)), " "), shingleN).as("s"))
       .filter(size(col("s")) >= 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // df-ascending canonical order (q25's frequency-dictionary
+    // pattern): one agg over the exploded shingles + a rebuild; the
+    // exploded frame doubles as the B-side index, so B costs nothing
+    // extra. Only the PREFIX uses this order — the verification sets
+    // stay hash-sorted for the merge kernel.
+    val exploded = d.select(col(idCol), explode(col("s")).as("h"))
+    val freqs = exploded.groupBy("h").agg(count(lit(1)).as("h_df"))
     val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .cast("int")
-    val prefA = d.withColumn("sz", size(col("s")))
+    val prefA = exploded.join(freqs, "h")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("h_df"), col("h")))).as("st"))
+      .withColumn("sorted_s", transform(col("st"), x => x.getField("h")))
+      .withColumn("sz", size(col("sorted_s")))
       .select(col(idCol).as("doc_a"),
-        explode(slice(col("s"), lit(1), prefLen)).as("h"))
-    val exB = d.select(col(idCol).as("doc_b"), explode(col("s")).as("h"))
+        explode(slice(col("sorted_s"), lit(1), prefLen)).as("h"))
+    val exB = exploded.select(col(idCol).as("doc_b"), col("h"))
     val cand = prefA.join(exB, "h")
       .filter(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
