@@ -951,6 +951,51 @@ object TrainingData {
       .orderBy("cluster")
   }
 
+  /** PII REDACTION, hash-checked (q87) — the last CorpusPipeline
+    * stage to leave spec-only status. The synthetic corpus contains
+    * zero PII-shaped strings (all four pattern families count 0 over
+    * raw text), which would make a raw-text oracle vacuous — so the
+    * query first APPENDS deterministic doc_id-derived PII spans (an
+    * email every 3rd doc, an SSN-style id every 4th, an IPv4 every
+    * 5th, a phone every 7th; docs divisible by several get multiple,
+    * exercising the pass-order interactions the patterns document:
+    * id-before-phone, ip-before-phone), built from the same integer
+    * arithmetic + lpad on both engines, then runs the REAL
+    * `TextAnalysis.withPiiRedacted` pass over the augmented text.
+    * Emits the four per-type counts and the redacted text. What the
+    * hash check pins: regex-dialect agreement between Spark's Java
+    * regex and DuckDB's RE2 on every pattern (word boundaries,
+    * non-capturing groups, greedy class runs), replace-ALL semantics,
+    * and the four-stage chain order. Pure narrow per-row op — zero
+    * shuffles at any corpus size. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val idS = col("doc_id").cast("string")
+    def part(cond: Column, pieces: Column*): Column =
+      when(cond, concat(pieces: _*)).otherwise(lit(""))
+    val aug = docs(spark, dir).select(col("doc_id"), concat(
+        col("text"),
+        part(col("doc_id") % 3 === 0,
+          lit(" mail u"), idS, lit("@ex"),
+          (col("doc_id") % 10).cast("string"), lit(".org")),
+        part(col("doc_id") % 4 === 0,
+          lit(" ssn "), (col("doc_id") % 900 + 100).cast("string"),
+          lit("-"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+        part(col("doc_id") % 5 === 0,
+          lit(" host 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"), lit(".1")),
+        part(col("doc_id") % 7 === 0,
+          lit(" call +1 (555) 01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit("-"),
+          lpad(((col("doc_id") * 3) % 10000).cast("string"), 4, "0"))
+      ).as("aug_text"))
+    TextAnalysis.withPiiRedacted(aug, "aug_text")
+      .select(col("doc_id"), col("n_emails"), col("n_ids"), col("n_ips"),
+        col("n_phones"), col("text_redacted"))
+      .orderBy("doc_id")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1023,7 +1068,8 @@ object TrainingData {
     "q83_containment" -> containmentDup,
     "q84_quality_gate" -> qualityGate,
     "q85_dedup_report" -> dedupReport,
-    "q86_cluster_profile" -> ((s, d) => clusterProfile(s, d))
+    "q86_cluster_profile" -> ((s, d) => clusterProfile(s, d)),
+    "q87_pii_redact" -> piiRedact
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1720,6 +1766,50 @@ object TrainingData {
            CAST(sum(strlen(d.text))
              - min_by(strlen(d.text), c.node) AS BIGINT) AS bytes_saved
          FROM comp c JOIN documents d ON d.doc_id = c.node
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q87_pii_redact" ->
+      // identical synthetic PII injection (integer arithmetic + lpad),
+      // then the SAME four-pass chain with the SAME pattern constants
+      // (interpolated from TextAnalysis — a pattern edit reaches both
+      // engines; what the hash pins is Java-vs-RE2 dialect agreement
+      // and the chain order). Counts are taken on the pre-pass text of
+      // each stage, mirroring withPiiRedacted.
+      s"""WITH aug AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 3 = 0 THEN ' mail u'
+                  || CAST(doc_id AS VARCHAR) || '@ex'
+                  || CAST(doc_id % 10 AS VARCHAR) || '.org' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0 THEN ' ssn '
+                  || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' host 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST((doc_id * 7) % 256 AS VARCHAR) || '.1' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call +1 (555) 01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                  || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END AS t
+           FROM documents),
+         s1 AS (SELECT doc_id, t,
+             regexp_replace(t, '${TextAnalysis.emailPattern}',
+               '<EMAIL>', 'g') AS t1 FROM aug),
+         s2 AS (SELECT *, regexp_replace(t1, '${TextAnalysis.idPattern}',
+               '<ID>', 'g') AS t2 FROM s1),
+         s3 AS (SELECT *, regexp_replace(t2, '${TextAnalysis.ipv4Pattern}',
+               '<IP>', 'g') AS t3 FROM s2)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '${TextAnalysis.emailPattern}'))
+             AS n_emails,
+           len(regexp_extract_all(t1, '${TextAnalysis.idPattern}'))
+             AS n_ids,
+           len(regexp_extract_all(t2, '${TextAnalysis.ipv4Pattern}'))
+             AS n_ips,
+           len(regexp_extract_all(t3, '${TextAnalysis.phonePattern}'))
+             AS n_phones,
+           regexp_replace(t3, '${TextAnalysis.phonePattern}',
+             '<PHONE>', 'g') AS text_redacted
+         FROM s3 ORDER BY doc_id"""
   )
 }
