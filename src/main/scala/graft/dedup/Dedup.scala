@@ -406,12 +406,15 @@ object Dedup {
     * under raw hash order a Zipfian hot shingle lands in many A
     * prefixes and the join fans out quadratically on that key;
     * df-ascending order drives df_prefA of exactly those hot shingles
-    * to ~0. On the synthetic sf0.1 corpus the gain is bounded by its
-    * near-uniform df distribution (931 distinct shingles, median df
-    * 285/5000 — no Zipfian tail to exploit): join rows 15.4M → 14.2M,
-    * worst single-key cost 110k → 70k; the Zipfian analysis and the
-    * candidate-volume formula live in SCALE.md §containment.
-    * Verification divides the native merge-overlap
+    * to ~0, and the positional filter below bounds the B side the
+    * same way. Measured at sf0.1 vs the raw-hash formulation: join
+    * rows 15.4M → 8.5M, distinct candidates 10.6M → 6.1M, worst
+    * single-key cost 110k → 70k, query 2.7 s → 1.4 s — bounded on
+    * this corpus by its near-uniform df distribution (931 distinct
+    * shingles, median df 285/5000: no Zipfian tail to exploit); the
+    * Zipfian analysis and the candidate-volume formula live in
+    * SCALE.md §containment. Verification divides the native
+    * merge-overlap
     * count (over the hash-sorted sets, unaffected by prefix order)
     * by |A| — exact, no floats until the final division. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
@@ -422,24 +425,41 @@ object Dedup {
       .filter(size(col("s")) >= 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // df-ascending canonical order (q25's frequency-dictionary
-    // pattern): one agg over the exploded shingles + a rebuild; the
-    // exploded frame doubles as the B-side index, so B costs nothing
-    // extra. Only the PREFIX uses this order — the verification sets
-    // stay hash-sorted for the merge kernel.
+    // pattern): one agg over the exploded shingles + a per-doc
+    // rebuild, persisted because it feeds BOTH join sides. Only the
+    // candidate stage uses this order — the verification sets stay
+    // hash-sorted for the merge kernel.
     val exploded = d.select(col(idCol), explode(col("s")).as("h"))
     val freqs = exploded.groupBy("h").agg(count(lit(1)).as("h_df"))
-    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .cast("int")
-    val prefA = exploded.join(freqs, "h")
+    val sorted = exploded.join(freqs, "h")
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("h_df"), col("h")))).as("st"))
       .withColumn("sorted_s", transform(col("st"), x => x.getField("h")))
       .withColumn("sz", size(col("sorted_s")))
-      .select(col(idCol).as("doc_a"),
-        explode(slice(col("sorted_s"), lit(1), prefLen)).as("h"))
-    val exB = exploded.select(col(idCol).as("doc_b"), col("h"))
-    val cand = prefA.join(exB, "h")
-      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col(idCol), col("sorted_s"), col("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prefLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .cast("int")
+    val prefA = sorted.select(col(idCol).as("doc_a"), col("sz").as("sz_a"),
+      posexplode(slice(col("sorted_s"), lit(1), prefLen)).as(Seq("pa", "h")))
+    val exB = sorted.select(col(idCol).as("doc_b"), col("sz").as("sz_b"),
+      posexplode(col("sorted_s")).as(Seq("pb", "h")))
+    // positional filter, containment form: a true pair's overlap is
+    // ≥ ⌈t·|A|⌉, and both arrays carry the SAME total order, so the
+    // intersection appears in the same relative order in both — the
+    // FIRST shared token has ≥ overlap elements from its position to
+    // each array's end, i.e. min(|A|−pa, |B|−pb) ≥ ⌈t·|A|⌉ for some
+    // generating token of every true pair (Xiao WWW'08 §3.2 adapted
+    // to the asymmetric bound). This is what actually bounds the
+    // B side: a hot shingle sits at the TAIL of B's df-ascending
+    // order, so |B|−pb is small exactly where df_B explodes, and the
+    // join emits nothing for it — at t=0.8 B contributes only its
+    // rarest ~(1−t)·|B| positions per pair instead of every shingle.
+    val cand = prefA.join(exB,
+        prefA("h") === exB("h") &&
+          col("doc_a") =!= col("doc_b") &&
+          least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
+            ceil(lit(threshold) * col("sz_a")))
       .select("doc_a", "doc_b").distinct()
     cand
       .join(d.select(col(idCol).as("doc_a"), col("s").as("s_a")), "doc_a")
