@@ -996,6 +996,28 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** BM25 RETRIEVAL from a PERSISTED inverted index
+    * ([[graft.text.LexicalIndex]]) — the sparse sibling of the
+    * persisted ANN indexes (q69/q70): build commits bucket-partitioned
+    * postings (doc length denormalized onto the posting row) + an
+    * additive stats row as versioned tables; the query plans ONLY the
+    * query terms' bucket partitions, folds df from the pruned posting
+    * lists, and ranks with q60's exact Okapi arithmetic. The
+    * cross-term score sum is order-insensitive (per-term 1e-6 round →
+    * exact LONG sum), which is what lets the DuckDB oracle replay a
+    * distributed float scoring pipeline hash-exactly. Same query/corpus
+    * split as q80 (queries = doc_id < 5 against the rest). */
+  def bm25Indexed(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // per-run temp root — same isolation rationale as annIvfIndexed
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lex_index_").toString
+    graft.text.LexicalIndex.build(spark,
+      d.filter(col("doc_id") >= 5), "doc_id", "text", root)
+    graft.text.LexicalIndex.query(spark, root,
+      d.filter(col("doc_id") < 5), "doc_id", "text", k = 3)
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1069,7 +1091,8 @@ object TrainingData {
     "q84_quality_gate" -> qualityGate,
     "q85_dedup_report" -> dedupReport,
     "q86_cluster_profile" -> ((s, d) => clusterProfile(s, d)),
-    "q87_pii_redact" -> piiRedact
+    "q87_pii_redact" -> piiRedact,
+    "q88_bm25_index" -> bm25Indexed
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1810,6 +1833,39 @@ object TrainingData {
              AS n_phones,
            regexp_replace(t3, '${TextAnalysis.phonePattern}',
              '<PHONE>', 'g') AS text_redacted
-         FROM s3 ORDER BY doc_id"""
+         FROM s3 ORDER BY doc_id""",
+    "q88_bm25_index" ->
+      // q60's exact Okapi arithmetic re-aimed at retrieval: distinct
+      // query terms, df = posting-list length, per-term contribution
+      // rounded to 1e-6 and summed as BIGINT (order-insensitive — the
+      // only way a cross-term float sum can live under the hash check)
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5),
+         toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                  FROM corpus),
+         tf AS (SELECT doc_id, term, count(*) AS n_td FROM toks GROUP BY 1, 2),
+         len AS (SELECT doc_id, sum(n_td) AS len_d FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM corpus),
+         a AS (SELECT CAST(sum(len_d) AS DOUBLE) / count(*) AS avg_len FROM len),
+         qt AS (SELECT DISTINCT q_id, term FROM (
+                  SELECT doc_id AS q_id,
+                    unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents WHERE doc_id < 5)),
+         dft AS (SELECT term, count(*) AS df_t FROM tf
+                 WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         s AS (SELECT qt.q_id, tf.doc_id,
+           CAST(round((ln((n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5) + 1.0)
+             * ((tf.n_td * (1.2 + 1)) / (tf.n_td + 1.2 *
+               (1.0 - 0.75 + 0.75 * len.len_d / a.avg_len)))) * 1000000)
+             AS BIGINT) AS c6
+           FROM tf JOIN len USING (doc_id) JOIN dft USING (term)
+           JOIN qt ON qt.term = tf.term
+           CROSS JOIN n CROSS JOIN a),
+         g AS (SELECT q_id, doc_id, CAST(sum(c6) AS BIGINT) AS si
+               FROM s GROUP BY 1, 2),
+         r AS (SELECT q_id, doc_id, si, row_number() OVER
+                 (PARTITION BY q_id ORDER BY si DESC, doc_id) AS rnk FROM g)
+         SELECT q_id, doc_id AS neighbor_id,
+           round(CAST(si AS DOUBLE) / 1000000, 4) AS bm25
+         FROM r WHERE rnk <= 3 ORDER BY q_id, neighbor_id"""
   )
 }

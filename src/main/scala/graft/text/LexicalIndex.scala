@@ -1,0 +1,133 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.VersionedTable
+import graft.similarity.Similarity
+
+/** PERSISTENT lexical (BM25) retrieval index — the SPARSE sibling of
+  * [[graft.similarity.IvfIndex]]: build once, query many, versioned.
+  * Classic search-engine shape (inverted index + Okapi BM25, the
+  * Robertson/Spärck-Jones family q60 already scores with), laid out
+  * for manifest partition pruning instead of a posting-file format.
+  *
+  * Two tables under one root:
+  *  - `postings` — one row per (term, doc): `(term, doc_id, n_td,
+  *    len_d, bucket)`, hive-partitioned by `bucket` =
+  *    `pmod(xxhash64(term), nBuckets)`. A query tokenizes, hashes its
+  *    terms, and plans ONLY those buckets' files via
+  *    `readWherePartitionIn` — at 4096 buckets a 5-term query reads
+  *    ≤ 5/4096 of the index regardless of corpus size. Doc length
+  *    rides ON the posting row (the standard impact-index
+  *    denormalization) so scoring needs no doc-stats join.
+  *  - `stats` — ONE row per commit: `(n_docs, sum_len, n_buckets)`.
+  *    Corpus-level BM25 inputs are ADDITIVE, so append commits a new
+  *    partial row and query time folds them (`sum`) — N and avg_len
+  *    always reflect every committed batch without rescanning
+  *    anything bigger than a few rows.
+  *
+  * Term document frequencies are deliberately NOT stored: df(t) is
+  * the length of t's posting list, which the query's pruned scan
+  * already holds — one `count` per query term over rows it was
+  * reading anyway. Storing df would go stale on every append.
+  *
+  * Scoring sums per-term BM25 contributions per (query, doc). The
+  * cross-term sum is made ORDER-INSENSITIVE the q86 way: each
+  * contribution rounds to 1e-6 and sums as LONG (exact in any
+  * partitioning / engine), with one float division at output — this
+  * is what lets an external SQL oracle hash-match a distributed sum
+  * of doubles. Rebuilds are new versions; old index versions stay
+  * readable via time travel. */
+object LexicalIndex {
+
+  val DefaultBuckets = 16
+
+  /** Tokenize + count + commit postings and the stats row. Returns
+    * the postings table's new version. */
+  def build(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, root: String,
+      nBuckets: Int = DefaultBuckets): Long = {
+    val (postings, stats) = indexRows(docs, idCol, textCol, nBuckets)
+    new VersionedTable(spark, s"$root/stats").write(stats)
+    new VersionedTable(spark, s"$root/postings")
+      .write(postings, partitionBy = Some(Seq("bucket")))
+  }
+
+  /** Incremental ingest: index NEW docs and append their postings
+    * (landing in matching bucket partitions) plus one additive stats
+    * row. Queries immediately score old + new corpus; time travel
+    * still serves the pre-append index. */
+  def append(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, root: String): Long = {
+    val nBuckets = readStats(spark, root)._3
+    val (postings, stats) = indexRows(docs, idCol, textCol, nBuckets)
+    new VersionedTable(spark, s"$root/stats").write(stats, SaveMode.Append)
+    new VersionedTable(spark, s"$root/postings")
+      .write(postings, SaveMode.Append)
+  }
+
+  /** BM25 top-k docs per query row. Plans only the query terms'
+    * bucket partitions of `postings`; df folds from the pruned rows;
+    * N / avg_len fold from the stats table. */
+  def query(spark: SparkSession, root: String, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (nDocs, sumLen, nBuckets) = readStats(spark, root)
+    val avgLen = sumLen.toDouble / nDocs
+    // DISTINCT query terms (classical binary query-side weighting —
+    // also what keeps the oracle one DISTINCT away from the corpus SQL)
+    val qt = queries.select(col(idCol).cast("long").as("q_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+    val buckets = qt.select(
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0).toString).toSet
+    val p = new VersionedTable(spark, s"$root/postings")
+      .readWherePartitionIn("bucket", buckets)
+    // df(t) = posting-list length, computed over rows the pruned scan
+    // yields anyway (semi-join keeps only the query's terms)
+    val dft = p.join(broadcast(qt.select("term").distinct()),
+        Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+    val idf = log((lit(nDocs) - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5)) + lit(1.0))
+    val sat = (col("n_td") * (lit(k1) + 1)) /
+      (col("n_td") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("len_d") / lit(avgLen)))
+    val scored = p.join(broadcast(qt), "term")
+      .join(broadcast(dft), "term")
+      .withColumn("_c6", round(idf * sat * lit(1e6)).cast("long"))
+      .groupBy(col("q_id"), col("doc_id").as("neighbor_id"))
+      .agg(sum(col("_c6")).as("_si"))
+    Similarity.keepTopPerQuery(scored, k,
+        Seq(col("_si").desc, col("neighbor_id").asc))
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("_si").cast("double") / lit(1e6), 4).as("bm25"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
+  /** `(postings, statsRow)` for one batch of docs. */
+  private def indexRows(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): (DataFrame, DataFrame) = {
+    val tf = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
+      .localCheckpoint() // feeds len, postings, and the stats fold once
+    val len = tf.groupBy("doc_id").agg(sum("n_td").as("len_d"))
+    val postings = tf.join(len, "doc_id")
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    val stats = len.agg(count(lit(1)).as("n_docs"),
+      sum("len_d").as("sum_len"), lit(nBuckets).as("n_buckets"))
+    (postings, stats)
+  }
+
+  /** Fold the additive stats rows: (N, Σlen, nBuckets). */
+  private def readStats(spark: SparkSession,
+      root: String): (Long, Long, Int) = {
+    val r = new VersionedTable(spark, s"$root/stats").read()
+      .agg(sum("n_docs"), sum("sum_len"), max("n_buckets"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VersionedTable
+import graft.text.LexicalIndex
+
+/** Persisted BM25 inverted index (graft.text.LexicalIndex): scoring
+  * equivalence to the one-shot formulation, append visibility with
+  * additive stats, and query-time bucket-partition pruning. */
+class LexicalIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf
+
+  private def docs = graft.queries.Tables.load(spark, sf, "documents")
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("indexed BM25 equals the q88 registry result shape and is deterministic") {
+    val r1 = rows(graft.queries.TrainingData.bm25Indexed(spark, sf))
+    val r2 = rows(graft.queries.TrainingData.bm25Indexed(spark, sf))
+    assert(r1 === r2)
+    assert(r1.nonEmpty)
+    // k=3 per query, queries are doc_id < 5, neighbors are corpus-side
+    r1.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.size <= 3, s"query $q returned ${rs.size} > k rows")
+    }
+    assert(r1.forall { case (q, nb, _) => q < 5 && nb >= 5 })
+  }
+
+  test("append: build(half) + append(half) answers like build(full)") {
+    val corpus = docs.filter(col("doc_id") >= 5 && col("doc_id") < 105)
+    val queries = docs.filter(col("doc_id") < 5)
+    val rootFull = Fixtures.tempDir("graft-lex-full") + "/idx"
+    LexicalIndex.build(spark, corpus, "doc_id", "text", rootFull)
+    val rootInc = Fixtures.tempDir("graft-lex-inc") + "/idx"
+    LexicalIndex.build(spark,
+      corpus.filter(col("doc_id") < 55), "doc_id", "text", rootInc)
+    LexicalIndex.append(spark,
+      corpus.filter(col("doc_id") >= 55), "doc_id", "text", rootInc)
+    val full = rows(LexicalIndex.query(spark, rootFull, queries,
+      "doc_id", "text", k = 3))
+    val inc = rows(LexicalIndex.query(spark, rootInc, queries,
+      "doc_id", "text", k = 3))
+    // df folds from postings and N/avg_len from the additive stats
+    // rows, so the incremental index must score IDENTICALLY
+    assert(full === inc)
+  }
+
+  test("query plans only the query terms' bucket partitions") {
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val root = Fixtures.tempDir("graft-lex-prune") + "/idx"
+    LexicalIndex.build(spark, corpus, "doc_id", "text", root, nBuckets = 16)
+    val vt = new VersionedTable(spark, s"$root/postings")
+    val all = vt.read().inputFiles.length
+    // a one-term query hits exactly one bucket
+    val oneTerm = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id"), lit("the").as("text"))
+    val buckets = Set(
+      spark.range(1).select(pmod(xxhash64(lit("the")), lit(16L)))
+        .collect()(0).getLong(0).toString)
+    val pruned = vt.readWherePartitionIn("bucket", buckets)
+      .inputFiles.length
+    assert(pruned < all,
+      s"bucket pruning must plan fewer files ($pruned vs $all)")
+    // and the real query path returns rows while touching only those
+    // buckets' postings (same readWherePartitionIn under the hood)
+    val res = LexicalIndex.query(spark, root, oneTerm,
+      "doc_id", "text", k = 3)
+    assert(res.collect().nonEmpty)
+  }
+}
