@@ -55,4 +55,19 @@ class ReadmeCatalogSpec extends AnyFunSuite {
     val phantom = nums(readme) -- keyNums(SparkEntry.queries.keySet)
     assert(phantom.isEmpty, s"README mentions unregistered queries: $phantom")
   }
+
+  test("quiet-bench ratchet covers every registered query") {
+    // the r7 AND r8 verdicts both flagged the same process gap: new
+    // queries landing without a recorded best, leaving the regression
+    // gate blind to them. Make the gap loud: every registry key must
+    // have a ratchet entry (re-record with
+    // `python3 tools/bench_gate.py bench.sf0.1.json --update` after
+    // adding a query).
+    val best = Files.readString(Paths.get("tools/bench_best.sf0.1.json"))
+    val recorded = """"(q\d+_[a-z0-9_]+)"""".r
+      .findAllMatchIn(best).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet -- recorded
+    assert(missing.isEmpty,
+      s"queries without a recorded quiet-bench best: $missing")
+  }
 }
