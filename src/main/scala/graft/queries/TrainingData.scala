@@ -1018,6 +1018,27 @@ object TrainingData {
       d.filter(col("doc_id") < 5), "doc_id", "text", k = 3)
   }
 
+  /** q88's retrieval AFTER a row-level index DELETE — hash-checks the
+    * sparse index's whole tombstone path: DV masks on the pruned
+    * postings scan (deleted docs' postings stop existing), df
+    * re-folding over the survivors, and the NEGATIVE stats row
+    * netting N/avg_len. Victims are deterministic (corpus doc_id ≡ 7
+    * mod 10); the oracle simply scores the restricted corpus — if any
+    * piece of the delete machinery leaked a ghost posting or a stale
+    * count into scoring, the hash mismatches. */
+  def bm25IndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lex_del_").toString
+    graft.text.LexicalIndex.build(spark,
+      d.filter(col("doc_id") >= 5), "doc_id", "text", root)
+    graft.text.LexicalIndex.delete(spark, root,
+      d.filter(col("doc_id") >= 5 && col("doc_id") % 10 === 7)
+        .select("doc_id"))
+    graft.text.LexicalIndex.query(spark, root,
+      d.filter(col("doc_id") < 5), "doc_id", "text", k = 3)
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1092,7 +1113,8 @@ object TrainingData {
     "q85_dedup_report" -> dedupReport,
     "q86_cluster_profile" -> ((s, d) => clusterProfile(s, d)),
     "q87_pii_redact" -> piiRedact,
-    "q88_bm25_index" -> bm25Indexed
+    "q88_bm25_index" -> bm25Indexed,
+    "q89_bm25_index_delete" -> bm25IndexDelete
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1840,6 +1862,39 @@ object TrainingData {
       // rounded to 1e-6 and summed as BIGINT (order-insensitive — the
       // only way a cross-term float sum can live under the hash check)
       """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5),
+         toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                  FROM corpus),
+         tf AS (SELECT doc_id, term, count(*) AS n_td FROM toks GROUP BY 1, 2),
+         len AS (SELECT doc_id, sum(n_td) AS len_d FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM corpus),
+         a AS (SELECT CAST(sum(len_d) AS DOUBLE) / count(*) AS avg_len FROM len),
+         qt AS (SELECT DISTINCT q_id, term FROM (
+                  SELECT doc_id AS q_id,
+                    unnest(string_split(lower(text), ' ')) AS term
+                  FROM documents WHERE doc_id < 5)),
+         dft AS (SELECT term, count(*) AS df_t FROM tf
+                 WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         s AS (SELECT qt.q_id, tf.doc_id,
+           CAST(round((ln((n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5) + 1.0)
+             * ((tf.n_td * (1.2 + 1)) / (tf.n_td + 1.2 *
+               (1.0 - 0.75 + 0.75 * len.len_d / a.avg_len)))) * 1000000)
+             AS BIGINT) AS c6
+           FROM tf JOIN len USING (doc_id) JOIN dft USING (term)
+           JOIN qt ON qt.term = tf.term
+           CROSS JOIN n CROSS JOIN a),
+         g AS (SELECT q_id, doc_id, CAST(sum(c6) AS BIGINT) AS si
+               FROM s GROUP BY 1, 2),
+         r AS (SELECT q_id, doc_id, si, row_number() OVER
+                 (PARTITION BY q_id ORDER BY si DESC, doc_id) AS rnk FROM g)
+         SELECT q_id, doc_id AS neighbor_id,
+           round(CAST(si AS DOUBLE) / 1000000, 4) AS bm25
+         FROM r WHERE rnk <= 3 ORDER BY q_id, neighbor_id""",
+    "q89_bm25_index_delete" ->
+      // q88's oracle over the survivor corpus: the delete machinery
+      // (DV-masked postings, negative stats rows) must make the index
+      // score EXACTLY as if the victims were never indexed
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id >= 5 AND doc_id % 10 <> 7),
          toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
                   FROM corpus),
          tf AS (SELECT doc_id, term, count(*) AS n_td FROM toks GROUP BY 1, 2),

@@ -67,6 +67,44 @@ object LexicalIndex {
       .write(postings, SaveMode.Append)
   }
 
+  /** Row-level DELETE of indexed docs — the q69/q70 lifecycle parity
+    * for the sparse index: DV-mask the victims' posting rows
+    * (O(deleted postings) sidecar bytes, zero file rewrites) and
+    * append a NEGATIVE stats row so N and avg_len stop counting them.
+    * Everything at query time self-corrects: df folds from the
+    * DV-masked pruned scan (a deleted doc's postings stop existing
+    * the moment the mask commit lands), and the additive stats fold
+    * nets out the deleted docs. Masks land BEFORE the stats row (the
+    * IvfPqIndex.delete ordering argument: a crash in between leaves N
+    * slightly stale — scores shift, no ghost results). Time travel
+    * still serves the pre-delete index. */
+  def delete(spark: SparkSession, root: String, docIds: DataFrame): Unit = {
+    val ids = docIds.select(docIds.columns.head)
+      .toDF("doc_id").select(col("doc_id").cast("long").as("doc_id"))
+    val p = new VersionedTable(spark, s"$root/postings")
+    // stats correction from the still-visible postings: one (len_d)
+    // row per indexed victim (docs with no postings never counted)
+    val gone = p.read().join(ids, Seq("doc_id"), "left_semi")
+      .select("doc_id", "len_d").distinct()
+      .agg(count(lit(1)), sum("len_d")).collect()(0)
+    val (k, l) = (gone.getLong(0), if (gone.isNullAt(1)) 0L else gone.getLong(1))
+    p.deleteVectorizedKeys("doc_id", ids)
+    if (k > 0) {
+      val nBuckets = readStats(spark, root)._3
+      import spark.implicits._
+      new VersionedTable(spark, s"$root/stats").write(
+        Seq((-k, -l, nBuckets)).toDF("n_docs", "sum_len", "n_buckets"),
+        SaveMode.Append)
+    }
+  }
+
+  /** OPTIMIZE the postings table: fold append churn's small files and
+    * purge accumulated DV masks by rewriting survivors (bucket
+    * partitioning is table metadata — pruning is unaffected). */
+  def compact(spark: SparkSession, root: String,
+      targetFileMB: Int = 128): Unit =
+    new VersionedTable(spark, s"$root/postings").compact(targetFileMB)
+
   /** BM25 top-k docs per query row. Plans only the query terms'
     * bucket partitions of `postings`; df folds from the pruned rows;
     * N / avg_len fold from the stats table. */

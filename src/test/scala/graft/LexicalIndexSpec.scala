@@ -48,6 +48,39 @@ class LexicalIndexSpec extends AnyFunSuite {
     assert(full === inc)
   }
 
+  test("delete: index scores as if victims were never indexed; compact purges masks") {
+    val corpus = docs.filter(col("doc_id") >= 5 && col("doc_id") < 205)
+    val queries = docs.filter(col("doc_id") < 5)
+    val victims = corpus.filter(col("doc_id") % 10 === 7).select("doc_id")
+    // ground truth: an index built WITHOUT the victims
+    val rootRef = Fixtures.tempDir("graft-lex-ref") + "/idx"
+    LexicalIndex.build(spark,
+      corpus.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", rootRef)
+    val ref = rows(LexicalIndex.query(spark, rootRef, queries,
+      "doc_id", "text", k = 3))
+    // the real path: build full, then DV-delete the victims
+    val root = Fixtures.tempDir("graft-lex-del") + "/idx"
+    LexicalIndex.build(spark, corpus, "doc_id", "text", root)
+    LexicalIndex.delete(spark, root, victims)
+    val got = rows(LexicalIndex.query(spark, root, queries,
+      "doc_id", "text", k = 3))
+    // EXACT equality: postings masked, df re-folded, stats netted
+    assert(got === ref)
+    assert(got.forall { case (_, nb, _) => nb % 10 != 7 })
+    // compact purges the DV masks and preserves answers + pruning
+    val vt = new VersionedTable(spark, s"$root/postings")
+    assert(vt.manifestEntries(vt.currentVersion.get).exists(_.dvDir.isDefined))
+    LexicalIndex.compact(spark, root)
+    assert(!vt.manifestEntries(vt.currentVersion.get).exists(_.dvDir.isDefined))
+    assert(rows(LexicalIndex.query(spark, root, queries,
+      "doc_id", "text", k = 3)) === ref)
+    // deleting ids that aren't indexed is a no-op (no stats row)
+    LexicalIndex.delete(spark, root,
+      spark.range(900000, 900005).toDF("doc_id"))
+    assert(rows(LexicalIndex.query(spark, root, queries,
+      "doc_id", "text", k = 3)) === ref)
+  }
+
   test("query plans only the query terms' bucket partitions") {
     val corpus = docs.filter(col("doc_id") >= 5)
     val root = Fixtures.tempDir("graft-lex-prune") + "/idx"
