@@ -1039,6 +1039,42 @@ object TrainingData {
       d.filter(col("doc_id") < 5), "doc_id", "text", k = 3)
   }
 
+  /** INTRA-corpus repeated-n-gram coverage per document — the
+    * doc-level duplication signal of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" (ACL'22): how much
+    * of each document's content recurs elsewhere in the corpus.
+    * Cross-doc only (distinct grams per doc, then corpus document
+    * frequency) — q53 already covers WITHIN-doc repetition. The
+    * q45 decontam check aimed at an external benchmark; this is the
+    * same 8-gram machinery aimed at the corpus itself, which is what
+    * surfaces boilerplate (headers, licenses, templates) that exact
+    * and near dedup both miss when the surrounding text differs.
+    * Shape: explode → distinct (doc, gram) partial-agg → one gram-df
+    * aggregate → join back → per-doc counts; every shuffle carries
+    * hashed-width rows and the final division is ONE exact-integer
+    * ratio (order-insensitive under the hash check). */
+  def repeatedNgrams(spark: SparkSession, dir: String, n: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', slice(t, i + 1, $n)))")).as("g"))
+      .distinct()
+      // feeds the df aggregate AND the per-doc fold — gram once, not twice
+      .localCheckpoint()
+    val dfs = g.groupBy("g").agg(count(lit(1)).as("gdf"))
+    g.join(dfs, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= minDf, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4)
+          .as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1114,7 +1150,8 @@ object TrainingData {
     "q86_cluster_profile" -> ((s, d) => clusterProfile(s, d)),
     "q87_pii_redact" -> piiRedact,
     "q88_bm25_index" -> bm25Indexed,
-    "q89_bm25_index_delete" -> bm25IndexDelete
+    "q89_bm25_index_delete" -> bm25IndexDelete,
+    "q90_repeated_ngrams" -> ((s, d) => repeatedNgrams(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1921,6 +1958,25 @@ object TrainingData {
                  (PARTITION BY q_id ORDER BY si DESC, doc_id) AS rnk FROM g)
          SELECT q_id, doc_id AS neighbor_id,
            round(CAST(si AS DOUBLE) / 1000000, 4) AS bm25
-         FROM r WHERE rnk <= 3 ORDER BY q_id, neighbor_id"""
+         FROM r WHERE rnk <= 3 ORDER BY q_id, neighbor_id""",
+    "q90_repeated_ngrams" ->
+      // q45's gram SQL aimed at the corpus itself: distinct grams per
+      // doc, corpus df, per-doc shared count + one exact-integer ratio
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, g FROM (
+             SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+               i -> array_to_string(t[i+1:i+8], ' '))) AS g
+             FROM toks WHERE len(t) >= 8)),
+         dfs AS (SELECT g, count(*) AS gdf FROM g GROUP BY 1)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN dfs.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(CAST(sum(CASE WHEN dfs.gdf >= 2 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS shared_frac
+         FROM g JOIN dfs USING (g)
+         GROUP BY 1 ORDER BY 1"""
   )
 }

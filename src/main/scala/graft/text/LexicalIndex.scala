@@ -98,6 +98,17 @@ object LexicalIndex {
     }
   }
 
+  /** UPSERT (MERGE by doc id): [[delete]] any existing postings for
+    * the incoming ids — which also nets their old length out of the
+    * stats — then [[append]] the fresh tokenization. O(matched
+    * postings) masks + O(new postings) data; mirrors
+    * [[graft.similarity.IvfPqIndex.upsert]]. */
+  def upsert(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, root: String): Long = {
+    delete(spark, root, docs.select(col(idCol)))
+    append(spark, docs, idCol, textCol, root)
+  }
+
   /** OPTIMIZE the postings table: fold append churn's small files and
     * purge accumulated DV masks by rewriting survivors (bucket
     * partitioning is table metadata — pruning is unaffected). */

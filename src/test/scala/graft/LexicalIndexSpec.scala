@@ -81,6 +81,31 @@ class LexicalIndexSpec extends AnyFunSuite {
       "doc_id", "text", k = 3)) === ref)
   }
 
+  test("upsert: changed docs re-score as if indexed with the new text") {
+    val corpus = docs.filter(col("doc_id") >= 5 && col("doc_id") < 105)
+    val queries = docs.filter(col("doc_id") < 5)
+    // "edit" docs 50-59 to carry query-0's text under their own ids
+    val q0text = docs.filter(col("doc_id") === 0)
+      .select("text").collect()(0).getString(0)
+    val edited = corpus.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+      .select(col("doc_id"), lit(q0text).as("text"))
+    val rootRef = Fixtures.tempDir("graft-lex-up-ref") + "/idx"
+    LexicalIndex.build(spark,
+      corpus.filter(col("doc_id") < 50 || col("doc_id") >= 60)
+        .select(col("doc_id"), col("text"))
+        .unionByName(edited), "doc_id", "text", rootRef)
+    val root = Fixtures.tempDir("graft-lex-up") + "/idx"
+    LexicalIndex.build(spark, corpus, "doc_id", "text", root)
+    LexicalIndex.upsert(spark, edited, "doc_id", "text", root)
+    val ref = rows(LexicalIndex.query(spark, rootRef, queries,
+      "doc_id", "text", k = 5))
+    val got = rows(LexicalIndex.query(spark, root, queries,
+      "doc_id", "text", k = 5))
+    assert(got === ref)
+    // the edited docs must now rank for query 0 (identical text)
+    assert(got.filter(_._1 == 0L).exists(r => r._2 >= 50 && r._2 < 60))
+  }
+
   test("query plans only the query terms' bucket partitions") {
     val corpus = docs.filter(col("doc_id") >= 5)
     val root = Fixtures.tempDir("graft-lex-prune") + "/idx"
