@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -969,7 +969,6 @@ object TrainingData {
     * and the four-stage chain order. Pure narrow per-row op — zero
     * shuffles at any corpus size. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Column
     val idS = col("doc_id").cast("string")
     def part(cond: Column, pieces: Column*): Column =
       when(cond, concat(pieces: _*)).otherwise(lit(""))
@@ -1075,6 +1074,70 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** MMR-DIVERSIFIED retrieval (Carbonell & Goldstein, SIGIR'98):
+    * greedy maximal-marginal-relevance re-rank of the dense top-n —
+    * pick the most relevant candidate, then repeatedly the one
+    * maximizing λ·rel − (1−λ)·max-sim-to-already-picked. The standard
+    * fix for near-duplicate result lists (retrieval-augmented data
+    * curation pulls k DISTINCT exemplars, not k copies); exactly the
+    * redundancy q29's near-dup detection measures, spent at query
+    * time. Scale: everything after the q26-shaped scoring pass is
+    * per-query bounded — candidate sets are n rows, pairwise sims
+    * n(n−1) rows, and each greedy round is a window over ≤ n rows
+    * per query; the corpus is touched once. The greedy loop is k−1
+    * Spark rounds here and an UNROLLED chain of CTEs in the oracle
+    * (k is a small constant — that is what makes greedy selection
+    * SQL-expressible at all). λ = 0.7; μ = 0.3 passed explicitly,
+    * NOT computed as 1−λ (whose floating value 0.30000000000000004
+    * would diverge from the SQL literal 0.3). */
+  def mmrDiversify(spark: SparkSession, dir: String, n: Int = 10,
+      k: Int = 3, lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = Similarity.keepTopPerQuery(denseScores(spark, dir), n,
+        Seq(col("_cos").desc, col("neighbor_id").asc))
+      .select(col("q_id"), col("neighbor_id"), col("_cos"),
+        col("v"), col("nv"))
+      .localCheckpoint() // ≤ n rows/query; feeds sims and every round
+    val a = cands.select(col("q_id"), col("neighbor_id").as("i"),
+      col("v").as("vi"), col("nv").as("ni"))
+    val b = cands.select(col("q_id"), col("neighbor_id").as("j"),
+      col("v").as("vj"), col("nv").as("nj"))
+    val sims = a.join(b, "q_id")
+      .filter(col("i") =!= col("j"))
+      .select(col("q_id"), col("i"), col("j"),
+        (Similarity.dot(col("vi"), col("vj")) / (col("ni") * col("nj")))
+          .as("sim"))
+      .localCheckpoint() // ≤ n(n−1) rows/query
+    val wq = Window.partitionBy(col("q_id"))
+    def pick(df: DataFrame, score: Column, rank: Int): DataFrame =
+      df.withColumn("_rn", row_number().over(
+          wq.orderBy(score.desc, col("neighbor_id").asc)))
+        .filter(col("_rn") === 1)
+        .select(col("q_id"), col("neighbor_id"), col("_cos"),
+          lit(rank).as("mmr_rank"))
+    var all = pick(cands, col("_cos"), 1)
+    var remaining = cands.join(all.select("q_id", "neighbor_id"),
+      Seq("q_id", "neighbor_id"), "left_anti")
+    for (r <- 2 to k) {
+      val selJ = all.select(col("q_id"), col("neighbor_id").as("j"))
+      val roundScores = remaining
+        .select(col("q_id"), col("neighbor_id"), col("_cos"))
+        .join(sims.withColumnRenamed("i", "neighbor_id"),
+          Seq("q_id", "neighbor_id"))
+        .join(selJ, Seq("q_id", "j"))
+        .groupBy(col("q_id"), col("neighbor_id"), col("_cos"))
+        .agg(max(col("sim")).as("maxsim"))
+      val picked = pick(roundScores,
+        lit(lambda) * col("_cos") - lit(mu) * col("maxsim"), r)
+      all = all.unionByName(picked)
+      remaining = remaining.join(picked.select("q_id", "neighbor_id"),
+        Seq("q_id", "neighbor_id"), "left_anti")
+    }
+    all.select(col("q_id"), col("mmr_rank"), col("neighbor_id"),
+        round(col("_cos"), 4).as("cosine"))
+      .orderBy("q_id", "mmr_rank")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1151,7 +1214,8 @@ object TrainingData {
     "q87_pii_redact" -> piiRedact,
     "q88_bm25_index" -> bm25Indexed,
     "q89_bm25_index_delete" -> bm25IndexDelete,
-    "q90_repeated_ngrams" -> ((s, d) => repeatedNgrams(s, d))
+    "q90_repeated_ngrams" -> ((s, d) => repeatedNgrams(s, d)),
+    "q91_mmr_diversify" -> ((s, d) => mmrDiversify(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -1977,6 +2041,71 @@ object TrainingData {
            round(CAST(sum(CASE WHEN dfs.gdf >= 2 THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*), 4) AS shared_frac
          FROM g JOIN dfs USING (g)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q91_mmr_diversify" ->
+      // greedy MMR unrolled for k=3: round 1 = pure relevance argmax;
+      // round 2's max-sim is the sim to the single pick (no GROUP BY
+      // — max of one equals it bit-exactly); round 3 groups over both
+      // picks. Same cosine tree as q26; 0.7/0.3 are the LITERALS the
+      // Spark side uses (never 1-λ arithmetic)
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id >= 5),
+         scored AS (
+           SELECT q_id, neighbor_id, c.v,
+             list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(v, v))) AS cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(v, v))) DESC,
+               neighbor_id ASC) AS rn
+           FROM q CROSS JOIN c),
+         cand AS (SELECT q_id, neighbor_id, v, cos FROM scored WHERE rn <= 10),
+         sims AS (
+           SELECT a.q_id, a.neighbor_id AS i, b.neighbor_id AS j,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS sim
+           FROM cand a JOIN cand b
+             ON a.q_id = b.q_id AND a.neighbor_id <> b.neighbor_id),
+         s1 AS (SELECT q_id, neighbor_id, cos FROM (
+             SELECT q_id, neighbor_id, cos, row_number() OVER
+               (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+             FROM cand) WHERE rn = 1),
+         m2 AS (SELECT q_id, neighbor_id, cos FROM (
+             SELECT c.q_id, c.neighbor_id, c.cos, row_number() OVER
+               (PARTITION BY c.q_id
+                ORDER BY 0.7 * c.cos - 0.3 * s.sim DESC, c.neighbor_id) AS rn
+             FROM cand c
+             JOIN s1 ON s1.q_id = c.q_id AND c.neighbor_id <> s1.neighbor_id
+             JOIN sims s ON s.q_id = c.q_id AND s.i = c.neighbor_id
+               AND s.j = s1.neighbor_id)
+           WHERE rn = 1),
+         sel2 AS (SELECT q_id, neighbor_id FROM s1
+                  UNION ALL SELECT q_id, neighbor_id FROM m2),
+         m3g AS (
+           SELECT c.q_id, c.neighbor_id, c.cos, max(s.sim) AS ms
+           FROM cand c
+           JOIN sims s ON s.q_id = c.q_id AND s.i = c.neighbor_id
+           JOIN sel2 ON sel2.q_id = c.q_id AND sel2.neighbor_id = s.j
+           WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+             WHERE x.q_id = c.q_id AND x.neighbor_id = c.neighbor_id)
+           GROUP BY 1, 2, 3),
+         m3 AS (SELECT q_id, neighbor_id, cos FROM (
+             SELECT q_id, neighbor_id, cos, row_number() OVER
+               (PARTITION BY q_id
+                ORDER BY 0.7 * cos - 0.3 * ms DESC, neighbor_id) AS rn
+             FROM m3g) WHERE rn = 1)
+         SELECT q_id, 1 AS mmr_rank, neighbor_id, round(cos, 4) AS cosine
+         FROM s1
+         UNION ALL
+         SELECT q_id, 2 AS mmr_rank, neighbor_id, round(cos, 4) AS cosine
+         FROM m2
+         UNION ALL
+         SELECT q_id, 3 AS mmr_rank, neighbor_id, round(cos, 4) AS cosine
+         FROM m3
+         ORDER BY q_id, mmr_rank"""
   )
 }

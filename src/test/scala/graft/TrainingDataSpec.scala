@@ -43,6 +43,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(gen.values.forall(_.trim.nonEmpty))
   }
 
+  test("mmr diversify: k distinct picks, rank 1 is the relevance top-1") {
+    val rows = TrainingData.mmrDiversify(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 3),
+        s"query $q must have ranks 1..3")
+      assert(rs.map(_.getLong(2)).distinct.length === 3,
+        s"query $q picked a duplicate")
+    }
+    // rank 1 = pure relevance argmax = brute-force cosine top-1
+    val brute = TrainingData.knnCosineBrute(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.maxBy(_.getDouble(2)).getLong(1) }
+    byQ.foreach { case (q, rs) =>
+      val first = rs.find(_.getInt(1) == 1).get.getLong(2)
+      assert(first === brute(q), s"query $q rank-1 must be the cosine top-1")
+    }
+  }
+
   test("winnowing df-cap is observable (no silent caps)") {
     val obs = new org.apache.spark.sql.Observation("winnow_cap_test")
     val docs = Tables.load(spark, sf, "documents")
