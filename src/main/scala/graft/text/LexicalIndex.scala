@@ -109,6 +109,43 @@ object LexicalIndex {
     append(spark, docs, idCol, textCol, root)
   }
 
+  /** Streaming ingest: a foreachBatch sink indexing each micro-batch
+    * of `(idCol, textCol)` docs into an EXISTING index (build the
+    * empty/seed index first), EXACTLY-ONCE per `appId` via the
+    * `Streaming.versionedAppendBatch` marker contract. The index
+    * writes TWO tables per batch, so each table carries its OWN
+    * `STREAM_<appId>_BATCH_<n>` marker and a replayed batch
+    * (foreachBatch is at-least-once) completes whichever commit is
+    * missing and skips the one that landed — postings are never
+    * doubled and the additive stats never double-count. Same appId ↔
+    * checkpoint coupling as the versioned sink (batch ids are
+    * monotonic per checkpoint).
+    *
+    * Usage: `docsStream.writeStream.foreachBatch(
+    * LexicalIndex.streamingIngestBatch("doc_id", "text", root,
+    * "lex-ingest-v1")).option("checkpointLocation", …).start()`. */
+  def streamingIngestBatch(idCol: String, textCol: String, root: String,
+      appId: String): (DataFrame, Long) => Unit = {
+    require(appId.matches("[A-Za-z0-9.-]+"),
+      s"appId must be [A-Za-z0-9.-]+, got '$appId'")
+    val marker = s"STREAM_${appId}_BATCH_"
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val nBuckets = readStats(spark, root)._3
+        val (postings, stats) = indexRows(batch, idCol, textCol, nBuckets)
+        def appendOnce(table: String, df: DataFrame): Unit = {
+          val vt = new VersionedTable(spark, s"$root/$table")
+          val last = vt.lastOperationWith(marker)
+            .map(_.operation.stripPrefix(marker).toLong)
+          if (last.forall(_ < batchId))
+            vt.write(df, SaveMode.Append, s"$marker$batchId")
+        }
+        appendOnce("stats", stats)
+        appendOnce("postings", postings)
+      }
+  }
+
   /** OPTIMIZE the postings table: fold append churn's small files and
     * purge accumulated DV masks by rewriting survivors (bucket
     * partitioning is table metadata — pruning is unaffected). */

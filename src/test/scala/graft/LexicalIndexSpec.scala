@@ -106,6 +106,48 @@ class LexicalIndexSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 0L).exists(r => r._2 >= 50 && r._2 < 60))
   }
 
+  test("streaming ingest: micro-batches index exactly-once; replay is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = docs.filter(col("doc_id") >= 5 && col("doc_id") < 65)
+      .select(col("doc_id"), col("text"))
+    val queries = docs.filter(col("doc_id") < 5)
+    val seed = corpus.filter(col("doc_id") < 25)
+    val streamed = corpus.filter(col("doc_id") >= 25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val root = Fixtures.tempDir("graft-lex-stream") + "/idx"
+    LexicalIndex.build(spark, seed, "doc_id", "text", root)
+    val input = MemoryStream[(Long, String)]
+    val sink = LexicalIndex.streamingIngestBatch(
+      "doc_id", "text", root, "lex-test-v1")
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", Fixtures.tempDir("graft-lex-ckpt"))
+      .start()
+    try {
+      input.addData(streamed.take(20): _*)
+      q.processAllAvailable()
+      input.addData(streamed.drop(20): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rootRef = Fixtures.tempDir("graft-lex-stream-ref") + "/idx"
+    LexicalIndex.build(spark, corpus, "doc_id", "text", rootRef)
+    val got = rows(LexicalIndex.query(spark, root, queries,
+      "doc_id", "text", k = 3))
+    assert(got === rows(LexicalIndex.query(spark, rootRef, queries,
+      "doc_id", "text", k = 3)))
+    // at-least-once replay: re-running an already-committed batch id
+    // must change NOTHING (each table's marker skips it)
+    val pVt = new VersionedTable(spark, s"$root/postings")
+    val sVt = new VersionedTable(spark, s"$root/stats")
+    val (pv, sv) = (pVt.currentVersion.get, sVt.currentVersion.get)
+    sink(corpus.filter(col("doc_id") >= 25 && col("doc_id") < 45), 0L)
+    assert(pVt.currentVersion.get === pv && sVt.currentVersion.get === sv)
+    assert(rows(LexicalIndex.query(spark, root, queries,
+      "doc_id", "text", k = 3)) === got)
+  }
+
   test("query plans only the query terms' bucket partitions") {
     val corpus = docs.filter(col("doc_id") >= 5)
     val root = Fixtures.tempDir("graft-lex-prune") + "/idx"
