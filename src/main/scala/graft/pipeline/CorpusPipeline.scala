@@ -39,6 +39,12 @@ object CorpusPipeline {
     * @param nearDupThreshold  minhash-verified Jaccard at/above which
     *                          docs form a duplicate cluster (cluster
     *                          keeps its min doc_id)
+    * @param maxSharedNgramFrac opt-in cross-doc BOILERPLATE gate
+    *                          (q90's signal, Lee et al. ACL'22): drop
+    *                          docs whose fraction of distinct 8-grams
+    *                          recurring in other docs exceeds this —
+    *                          the template/header duplication exact
+    *                          dedup misses and near-dedup underweights
     * @param sourceWeights     fractional epochs per source (see
     *                          [[graft.queries.Analytics.upsampleByWeight]])
     * @param valFrac testFrac  deterministic split fractions
@@ -49,6 +55,7 @@ object CorpusPipeline {
       maxTopBigramFrac: Double = 0.6,
       redactPii: Boolean = true,
       nearDupThreshold: Double = 0.8,
+      maxSharedNgramFrac: Option[Double] = None,
       sourceWeights: Map[String, Double] = Map.empty,
       defaultWeight: Double = 1.0,
       valFrac: Double = 0.1,
@@ -124,6 +131,30 @@ object CorpusPipeline {
       .connectedComponents(pairs, "doc_a", "doc_b")
       .filter(col("node") =!= col("component")) // non-representatives
       .select(col("node").as("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+  }
+
+  /** Cross-doc BOILERPLATE gate (q90's repeated-n-gram signal): drops
+    * docs whose fraction of distinct n-grams recurring in OTHER docs
+    * exceeds `maxFrac`. Docs too short to have an n-gram cannot be
+    * condemned (kept). Same shuffle census as q90: distinct
+    * (doc, gram) partial-agg + one gram-df aggregate + join back. */
+  def boilerplateFilter(docs: DataFrame, maxFrac: Double,
+      n: Int = 8): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', slice(t, i + 1, $n)))")).as("g"))
+      .distinct()
+    val dfs = g.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val drops = g.join(dfs, "g")
+      .groupBy("doc_id")
+      .agg((sum(when(col("gdf") >= 2, 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("_sf"))
+      .filter(col("_sf") > maxFrac)
+      .select("doc_id")
     docs.join(drops, Seq("doc_id"), "left_anti")
   }
 
@@ -225,7 +256,11 @@ object CorpusPipeline {
       else filtered
     val exact = step("dedup_exact", dedupExact(redacted))
     val near = step("dedup_near", dedupNear(exact, r.nearDupThreshold))
-    val clean = step("decontaminate", decontaminate(near, benchmark))
+    val boiler = r.maxSharedNgramFrac match {
+      case Some(m) => step("boilerplate", boilerplateFilter(near, m))
+      case None => near
+    }
+    val clean = step("decontaminate", decontaminate(boiler, benchmark))
     val mixed = step("mix_split", mixAndSplit(clean, r))
     val collected = obs.result()
     (mixed, () => collected.map { case (name, o) =>

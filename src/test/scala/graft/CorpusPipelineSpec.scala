@@ -160,6 +160,42 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate filter: shared-template docs drop, unique docs survive") {
+    import spark.implicits._
+    // 12 shared tokens => each template doc's first 5 8-grams are
+    // corpus-wide boilerplate; its last 2 are unique (5/7 > 0.5)
+    val boiler = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = (1L to 30L).map { i =>
+      if (i <= 20) (i, s"$boiler unique$i end$i")
+      else (i, (1 to 20).map(j => s"u${i}x$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val kept = CorpusPipeline.boilerplateFilter(docs, maxFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === (21L to 30L).toSet)
+    // a doc too short for any 8-gram cannot be condemned
+    val short = Seq((100L, "one two three")).toDF("doc_id", "text")
+    assert(CorpusPipeline.boilerplateFilter(docs.unionByName(short), 0.5)
+      .filter(col("doc_id") === 100L).count() === 1L)
+  }
+
+  test("run: boilerplate stage is opt-in and shows in the census") {
+    val docs = graft.queries.Tables.load(spark, sf, "documents")
+      .limit(120).localCheckpoint()
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val r = CorpusPipeline.Recipe(lang = None, minQuality = 0.0,
+      maxTopBigramFrac = 1.0, maxSharedNgramFrac = Some(0.99))
+    val (out, census) = CorpusPipeline.run(docs, bench, r)
+    out.write.format("noop").mode("overwrite").save()
+    val stages = census().map(_.stage)
+    assert(stages.contains("boilerplate"))
+    // default recipe: no boilerplate stage in the census
+    val (out2, census2) = CorpusPipeline.run(docs, bench,
+      CorpusPipeline.Recipe(lang = None, minQuality = 0.0,
+        maxTopBigramFrac = 1.0))
+    out2.write.format("noop").mode("overwrite").save()
+    assert(!census2().map(_.stage).contains("boilerplate"))
+  }
+
   test("streamingPrep: gates, redacts, and dedups incrementally") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
