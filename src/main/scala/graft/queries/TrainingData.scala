@@ -1138,6 +1138,38 @@ object TrainingData {
       .orderBy("q_id", "mmr_rank")
   }
 
+  /** Per-source DATA CARD (q92) — the "datasheet" summary a data team
+    * publishes per corpus source (Gebru et al., Datasheets for
+    * Datasets): doc and token volume, mean composite quality,
+    * predicted-English share, and exact-duplicate count, one row per
+    * source. Pure composition of already-oracled signals (q19
+    * quality, q20 lang-ID, q21 fingerprint) through ONE annotate pass
+    * (tokenize once) + one fingerprint-df join + one grouped fold.
+    * The only cross-row float is mean quality, handled the q86 way
+    * (per-row 1e-6 round → exact LONG sum → one division); every
+    * other metric is an exact integer. Scale: the report shuffle
+    * carries one row per source; the fp-df join shuffles 8-byte keys,
+    * never text. */
+  def sourceDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val ann = graft.pipeline.CorpusPipeline.annotate(docs(spark, dir))
+      .withColumn("_fp", TextAnalysis.fingerprint64(col("text")))
+    val fpc = ann.groupBy("_fp").agg(count(lit(1)).as("_c"))
+    ann.join(fpc, "_fp")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(round(col("quality_score") * lit(1e6)).cast("long")).as("_sq"),
+        sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("_en"),
+        sum(when(col("_c") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("_sq").cast("double") / lit(1e6) / col("n_docs"), 6)
+          .as("mean_quality"),
+        round(col("_en").cast("double") / col("n_docs"), 4).as("en_frac"),
+        col("dup_docs"))
+      .orderBy("source")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1215,7 +1247,8 @@ object TrainingData {
     "q88_bm25_index" -> bm25Indexed,
     "q89_bm25_index_delete" -> bm25IndexDelete,
     "q90_repeated_ngrams" -> ((s, d) => repeatedNgrams(s, d)),
-    "q91_mmr_diversify" -> ((s, d) => mmrDiversify(s, d))
+    "q91_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
+    "q92_source_datacard" -> sourceDataCard
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -2106,6 +2139,48 @@ object TrainingData {
          UNION ALL
          SELECT q_id, 3 AS mmr_rank, neighbor_id, round(cos, 4) AS cosine
          FROM m3
-         ORDER BY q_id, mmr_rank"""
+         ORDER BY q_id, mmr_rank""",
+    "q92_source_datacard" ->
+      // q84's annotate arithmetic + q21's fingerprint fragment folded
+      // per source; mean quality via per-row 1e-6 round -> BIGINT sum
+      s"""WITH base AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS t,
+             length(text) AS n_ch,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               AS n_punct,
+             CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT) AS fp
+           FROM documents),
+         ann AS (
+           SELECT doc_id, source, fp, len(t) AS ntok,
+             len(list_filter(t, x -> list_contains([$enStops], x)))
+               AS en_hits,
+             len(list_filter(t, x -> list_contains([$xxStops], x)))
+               AS xx_hits,
+             CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
+               AS DOUBLE) / len(t) AS sr,
+             CAST(n_punct AS DOUBLE) / n_ch AS pr
+           FROM base),
+         q AS (
+           SELECT doc_id, source, fp, ntok,
+             CASE WHEN en_hits > xx_hits AND en_hits >= 2 THEN 'en'
+                  WHEN xx_hits > en_hits AND xx_hits >= 2 THEN 'xx'
+                  ELSE 'und' END AS lang_pred,
+             sr * CAST(0.5 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - pr) * CAST(0.3 AS DOUBLE)
+               + least(ntok / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.2 AS DOUBLE) AS qs
+           FROM ann),
+         fpc AS (SELECT fp, count(*) AS c FROM q GROUP BY 1)
+         SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           round(CAST(sum(CAST(round(qs * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / count(*), 6) AS mean_quality,
+           round(CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS en_frac,
+           CAST(sum(CASE WHEN fpc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs
+         FROM q JOIN fpc USING (fp)
+         GROUP BY 1 ORDER BY 1"""
   )
 }
