@@ -808,13 +808,17 @@ object TrainingData {
     * spec-only; this puts the pipeline's own filter logic — language
     * ID, composite quality arithmetic, Gopher repetition ceiling, and
     * their conjunction — under the DuckDB oracle, so a drift in ANY
-    * gate ingredient hash-mismatches. Verdicts use RAW values; the
-    * printed scores are rounded only for output. */
+    * gate ingredient hash-mismatches. Scores are emitted RAW (the q19
+    * doctrine): both are pure IEEE-double trees over exact ints, so
+    * identical engines produce bit-identical doubles — whereas
+    * `round(double, 4)` is engine-specific at decimal half-way
+    * boundaries (Spark rounds the shortest decimal representation,
+    * DuckDB the binary value; a boundary doc at sf0.1 flipped the
+    * final digit and broke the hash). Verdicts use RAW values too. */
   def qualityGate(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.CorpusPipeline.annotate(docs(spark, dir))
       .select(col("doc_id"), col("lang_pred"),
-        round(col("quality_score"), 4).as("quality_score"),
-        round(col("top_bigram_frac"), 4).as("top_bigram_frac"),
+        col("quality_score"), col("top_bigram_frac"),
         (col("lang_pred") === "en" &&
           col("quality_score") >= 0.2 &&
           col("top_bigram_frac") <= 0.6).as("keep"))
@@ -1910,8 +1914,8 @@ object TrainingData {
              coalesce(r.tf, CAST(0.0 AS DOUBLE)) AS tf
            FROM ann a LEFT JOIN rep r ON r.doc_id = a.doc_id)
          SELECT doc_id, lang_pred,
-           round(qs, 4) AS quality_score,
-           round(tf, 4) AS top_bigram_frac,
+           qs AS quality_score,
+           tf AS top_bigram_frac,
            (lang_pred = 'en' AND qs >= 0.2 AND tf <= 0.6) AS keep
          FROM scored ORDER BY doc_id""",
     "q85_dedup_report" ->
