@@ -190,8 +190,8 @@ object Dedup {
       .join(sets.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(graft.functions.SortedLongSetJaccard.sortedJaccard(
-          col("sh_a"), col("sh_b")), 3).as("jaccard"))
+        graft.functions.SortedLongSetJaccard.sortedJaccard(
+          col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }
@@ -383,7 +383,7 @@ object Dedup {
         col("sh_a"), col("sh_b")))
       .filter(col("_j") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(col("_j"), 3).as("jaccard"))
+        col("_j").as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -469,7 +469,7 @@ object Dedup {
           col("s_a"), col("s_b")).cast("double") / size(col("s_a")))
       .filter(col("_c") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(col("_c"), 3).as("containment"))
+        col("_c").as("containment"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -526,7 +526,7 @@ object Dedup {
         col("fp_a"), col("fp_b")))
       .filter(col("_j") >= threshold)
       .select(col("doc_a"), col("doc_b"),
-        round(col("_j"), 3).as("fp_jaccard"))
+        col("_j").as("fp_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -705,7 +705,7 @@ object Dedup {
       .withColumn("_j", jaccard(col("a.s"), col("b.s")))
       .filter(col("_j") >= threshold)
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        round(col("_j"), 3).as("jaccard"))
+        col("_j").as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -231,8 +231,8 @@ object AnnOracles {
                  sum(CAST(round(dist * 1000000) AS BIGINT)) AS sd
                FROM a GROUP BY 1)
        SELECT agg.cluster, agg.n_vectors, dom.dominant_label,
-         round(dom.c * 1.0 / agg.n_vectors, 4) AS label_share,
-         round(CAST(sd AS DOUBLE) / 1000000 / agg.n_vectors, 6) AS avg_dist
+         dom.c * 1.0 / agg.n_vectors AS label_share,
+         CAST(sd AS DOUBLE) / 1000000 / agg.n_vectors AS avg_dist
        FROM agg JOIN dom ON dom.cluster = agg.cluster
        ORDER BY agg.cluster"""
   }

@@ -82,7 +82,7 @@ object DedupOracles {
          FROM cand
          JOIN fp a ON a.doc_id = cand.doc_a
          JOIN fp b ON b.doc_id = cand.doc_b)
-       SELECT doc_a, doc_b, round(j, 3) AS fp_jaccard
+       SELECT doc_a, doc_b, j AS fp_jaccard
        FROM scored WHERE j >= $threshold
        ORDER BY doc_a, doc_b"""
   }

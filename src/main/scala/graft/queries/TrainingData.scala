@@ -949,8 +949,8 @@ object TrainingData {
         sum(round(col("dist") * lit(1e6)).cast("long")).as("sd"))
       .join(dominant, "cluster")
       .select(col("cluster"), col("n_vectors"), col("dominant_label"),
-        round(col("c").cast("double") / col("n_vectors"), 4).as("label_share"),
-        round(col("sd").cast("double") / lit(1e6) / col("n_vectors"), 6)
+        (col("c").cast("double") / col("n_vectors")).as("label_share"),
+        (col("sd").cast("double") / lit(1e6) / col("n_vectors"))
           .as("avg_dist"))
       .orderBy("cluster")
   }
@@ -1073,7 +1073,7 @@ object TrainingData {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("gdf") >= minDf, 1L).otherwise(0L)).as("n_shared"))
       .select(col("doc_id"), col("n_grams"), col("n_shared"),
-        round(col("n_shared").cast("double") / col("n_grams"), 4)
+        (col("n_shared").cast("double") / col("n_grams"))
           .as("shared_frac"))
       .orderBy("doc_id")
   }
@@ -1167,9 +1167,9 @@ object TrainingData {
         sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("_en"),
         sum(when(col("_c") >= 2, 1L).otherwise(0L)).as("dup_docs"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("_sq").cast("double") / lit(1e6) / col("n_docs"), 6)
+        (col("_sq").cast("double") / lit(1e6) / col("n_docs"))
           .as("mean_quality"),
-        round(col("_en").cast("double") / col("n_docs"), 4).as("en_frac"),
+        (col("_en").cast("double") / col("n_docs")).as("en_frac"),
         col("dup_docs"))
       .orderBy("source")
   }
@@ -1352,8 +1352,8 @@ object TrainingData {
          WHERE s.n BETWEEN 2 AND 10000),
        verified AS (
          SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(sa.s, sb.s)) * 1.0
-             / len(list_distinct(list_concat(sa.s, sb.s))), 3) AS jaccard
+           len(list_intersect(sa.s, sb.s)) * 1.0
+             / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
          FROM cand c
          JOIN sh sa ON c.doc_a = sa.doc_id
          JOIN sh sb ON c.doc_b = sb.doc_id)
@@ -1565,8 +1565,8 @@ object TrainingData {
            FROM documents
            WHERE len(string_split(lower(text), ' ')) >= 2)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.s, b.s)) * 1.0
-             / len(list_distinct(list_concat(a.s, b.s))), 3) AS jaccard
+           len(list_intersect(a.s, b.s)) * 1.0
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
          FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          WHERE len(list_intersect(a.s, b.s)) * 1.0
            / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
@@ -1872,7 +1872,7 @@ object TrainingData {
            FROM documents
            WHERE len(string_split(lower(text), ' ')) >= 2)
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 3)
+           len(list_intersect(a.s, b.s)) * 1.0 / len(a.s)
              AS containment
          FROM d a JOIN d b ON a.doc_id <> b.doc_id
          WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.8
@@ -2025,7 +2025,7 @@ object TrainingData {
          r AS (SELECT q_id, doc_id, si, row_number() OVER
                  (PARTITION BY q_id ORDER BY si DESC, doc_id) AS rnk FROM g)
          SELECT q_id, doc_id AS neighbor_id,
-           round(CAST(si AS DOUBLE) / 1000000, 4) AS bm25
+           CAST(si AS DOUBLE) / 1000000 AS bm25
          FROM r WHERE rnk <= 3 ORDER BY q_id, neighbor_id""",
     "q89_bm25_index_delete" ->
       // q88's oracle over the survivor corpus: the delete machinery
@@ -2058,7 +2058,7 @@ object TrainingData {
          r AS (SELECT q_id, doc_id, si, row_number() OVER
                  (PARTITION BY q_id ORDER BY si DESC, doc_id) AS rnk FROM g)
          SELECT q_id, doc_id AS neighbor_id,
-           round(CAST(si AS DOUBLE) / 1000000, 4) AS bm25
+           CAST(si AS DOUBLE) / 1000000 AS bm25
          FROM r WHERE rnk <= 3 ORDER BY q_id, neighbor_id""",
     "q90_repeated_ngrams" ->
       // q45's gram SQL aimed at the corpus itself: distinct grams per
@@ -2075,8 +2075,8 @@ object TrainingData {
            CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN dfs.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_shared,
-           round(CAST(sum(CASE WHEN dfs.gdf >= 2 THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*), 4) AS shared_frac
+           CAST(sum(CASE WHEN dfs.gdf >= 2 THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS shared_frac
          FROM g JOIN dfs USING (g)
          GROUP BY 1 ORDER BY 1""",
     "q91_mmr_diversify" ->
@@ -2178,10 +2178,10 @@ object TrainingData {
          SELECT q.source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(ntok) AS BIGINT) AS n_tokens,
-           round(CAST(sum(CAST(round(qs * 1000000) AS BIGINT)) AS DOUBLE)
-             / 1000000 / count(*), 6) AS mean_quality,
-           round(CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*), 4) AS en_frac,
+           CAST(sum(CAST(round(qs * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / count(*) AS mean_quality,
+           CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS en_frac,
            CAST(sum(CASE WHEN fpc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS dup_docs
          FROM q JOIN fpc USING (fp)

@@ -189,7 +189,7 @@ object LexicalIndex {
     Similarity.keepTopPerQuery(scored, k,
         Seq(col("_si").desc, col("neighbor_id").asc))
       .select(col("q_id"), col("neighbor_id"),
-        round(col("_si").cast("double") / lit(1e6), 4).as("bm25"))
+        (col("_si").cast("double") / lit(1e6)).as("bm25"))
       .orderBy("q_id", "neighbor_id")
   }
 
