@@ -44,7 +44,7 @@ object AnnOracles {
   val keys: Set[String] = Set(
     "q30_ann_ivf", "q69_ann_ivf_indexed", "q75_ann_ivf_filtered",
     "q57_ann_pq", "q58_ann_ivfpq", "q70_ann_ivfpq_indexed",
-    "q86_cluster_profile")
+    "q86_cluster_profile", "q93_semdedup")
 
   def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
     val ivf = ivfSql(spark, dir)
@@ -62,7 +62,8 @@ object AnnOracles {
       "q57_ann_pq" -> pqSql(spark, dir),
       "q58_ann_ivfpq" -> ivfpq,
       "q70_ann_ivfpq_indexed" -> ivfpq,
-      "q86_cluster_profile" -> kmeansProfileSql(spark, dir))
+      "q86_cluster_profile" -> kmeansProfileSql(spark, dir),
+      "q93_semdedup" -> semDedupSql(spark, dir))
     assert(out.keySet == keys,
       s"AnnOracles.dynamic drifted from AnnOracles.keys: ${
         (out.keySet diff keys) ++ (keys diff out.keySet)}")
@@ -235,6 +236,39 @@ object AnnOracles {
          CAST(sd AS DOUBLE) / 1000000 / agg.n_vectors AS avg_dist
        FROM agg JOIN dom ON dom.cluster = agg.cluster
        ORDER BY agg.cluster"""
+  }
+
+  // ---------------------------------------------------------------- q93
+
+  /** SemDeDup oracle: frozen trained centroids (full table, like q86);
+    * DuckDB independently replays assignment, the within-cluster
+    * pairwise cosine-τ test, and the keep-farthest-from-centroid rule
+    * (ties → lower id). Mirrors `TrainingData.semDedup` (nlist=8,
+    * iters=2, τ=0.4). */
+  def semDedupSql(spark: SparkSession, dir: String): String = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = Similarity.ivfTrain(e, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val dim = cent(0).length
+    s"""WITH cent AS (SELECT * FROM ${centRelation(cent)}),
+       e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+       ad AS (SELECT e.id, e.v, cent.cl, ${l2("e.v", "cent.c", dim)} AS d
+              FROM e CROSS JOIN cent),
+       a AS (SELECT id, v, cl AS cluster, sqrt(d) AS dist FROM (
+               SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY d ASC, cl ASC) AS rn FROM ad)
+             WHERE rn = 1),
+       drops AS (
+         SELECT DISTINCT x.id FROM a x JOIN a y
+           ON x.cluster = y.cluster
+           AND (y.dist > x.dist
+                OR (y.dist = x.dist AND y.id < x.id))
+           AND ${cos("x.v", "y.v")} >= 0.4)
+       SELECT a.id AS vec_id, a.cluster,
+         (drops.id IS NULL) AS kept
+       FROM a LEFT JOIN drops ON drops.id = a.id
+       ORDER BY vec_id"""
   }
 
   // ---------------------------------------------------------------- q57

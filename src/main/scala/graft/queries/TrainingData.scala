@@ -1174,6 +1174,57 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** SEMANTIC DEDUP (q93) — SemDeDup (Abbas et al., arXiv:2303.09540):
+    * k-means-cluster the embedding space, then look for duplicate
+    * pairs ONLY inside a cluster — the trick that turns O(n²) pairwise
+    * semantic dedup into Σ_c O(n_c²), the published recipe for
+    * LAION/web-scale corpora. A pair with cosine ≥ τ is a semantic
+    * duplicate; the member KEPT is the one FARTHEST from its cluster
+    * centroid (the paper's low-centroid-similarity rule — it preserves
+    * the diverse rim of the cluster and drops the prototypical core),
+    * ties to the lower id. Dropping is an EXISTS, not connected
+    * components: x is dropped iff some keep-worthier y (farther, or
+    * equal-far with lower id) in its cluster matches it — a left-semi
+    * join, no iteration (q36 is the CC formulation of near-dup when
+    * transitive grouping itself is the answer).
+    *
+    * Emits (vec_id, cluster, kept). The oracle freezes the trained
+    * centroids and replays assignment + the pairwise rule in DuckDB
+    * ([[AnnOracles.semDedupSql]] — params must mirror this call).
+    *
+    * Scale: assignment is a broadcast-literal map (no shuffle); the
+    * pair join shuffles by cluster id. At 100 TB you pick nlist ≈
+    * √n (the paper uses 50k–100k clusters) so n_c stays ~10³–10⁴ and
+    * no cluster's pair block exceeds one task; AQE skew-join splits
+    * any cluster the quantizer overloads. Determinism: per-vector
+    * dist/cos are single-expression doubles (bit-identical on both
+    * engines), so the τ and farther-than comparisons cannot flip. */
+  def semDedup(spark: SparkSession, dir: String, nlist: Int = 8,
+      tau: Double = 0.4): DataFrame = {
+    val e = embs(spark, dir)
+    val cents = Similarity.ivfTrain(e, "vec_id", "embedding", nlist,
+      iters = 2)
+    val a = Similarity.assignClusters(e, "vec_id", "embedding", cents)
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+      .localCheckpoint() // both sides of the pair join + the output
+    val x = a.select(col("id").as("xid"), col("v").as("xv"),
+      col("cluster"), col("dist").as("xd"), col("nrm").as("xn"))
+    val y = a.select(col("id").as("yid"), col("v").as("yv"),
+      col("cluster"), col("dist").as("yd"), col("nrm").as("yn"))
+    val dropped = x.join(y,
+      x("cluster") === y("cluster") &&
+        (col("yd") > col("xd") ||
+          (col("yd") === col("xd") && col("yid") < col("xid"))) &&
+        Similarity.dot(col("xv"), col("yv")) / (col("xn") * col("yn"))
+          >= tau,
+      "left_semi")
+      .select(col("xid").as("id"), lit(false).as("kept"))
+    a.join(dropped, Seq("id"), "left_outer")
+      .select(col("id").as("vec_id"), col("cluster"),
+        coalesce(col("kept"), lit(true)).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1252,7 +1303,8 @@ object TrainingData {
     "q89_bm25_index_delete" -> bm25IndexDelete,
     "q90_repeated_ngrams" -> ((s, d) => repeatedNgrams(s, d)),
     "q91_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
-    "q92_source_datacard" -> sourceDataCard
+    "q92_source_datacard" -> sourceDataCard,
+    "q93_semdedup" -> ((s, d) => semDedup(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of

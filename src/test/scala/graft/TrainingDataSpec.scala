@@ -639,6 +639,46 @@ class TrainingDataSpec extends AnyFunSuite {
     assertSharded(TrainingData.annIvfPq(spark, sf))
   }
 
+  test("semdedup: matches a naive in-memory replay; farthest member always kept") {
+    // q93's contract, recomputed the dumb way: collect the assignment
+    // (id, cluster, dist, vec) and replay the within-cluster pairwise
+    // rule in Scala — the distributed left-semi formulation must
+    // produce the identical drop set
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.ivfTrain(e, "vec_id", "embedding", 8, iters = 2)
+    val a = Similarity.assignClusters(e, "vec_id", "embedding", cents)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getInt(2), r.getDouble(3)))
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var (dxy, dxx, dyy, i) = (0.0, 0.0, 0.0, 0)
+      while (i < x.length) {
+        dxy += x(i) * y(i); dxx += x(i) * x(i); dyy += y(i) * y(i); i += 1
+      }
+      dxy / (math.sqrt(dxx) * math.sqrt(dyy))
+    }
+    val byCluster = a.groupBy(_._3)
+    val expectDropped = (for {
+      (_, members) <- byCluster.toSeq
+      (xid, xv, _, xd) <- members
+      if members.exists { case (yid, yv, _, yd) =>
+        (yd > xd || (yd == xd && yid < xid)) && cos(xv, yv) >= 0.4 }
+    } yield xid).toSet
+    val rows = TrainingData.semDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(rows.length === a.length, "every vector classified exactly once")
+    assert(rows.filterNot(_._3).map(_._1).toSet === expectDropped)
+    assert(expectDropped.nonEmpty, "tau=0.4 must bite on the synthetic corpus")
+    // the farthest-from-centroid member of each cluster can never be
+    // dropped — nothing is keep-worthier than it
+    val keptSet = rows.filter(_._3).map(_._1).toSet
+    byCluster.foreach { case (cl, members) =>
+      val champion = members.minBy { case (id, _, _, d) => (-d, id) }._1
+      assert(keptSet.contains(champion),
+        s"cluster $cl dropped its farthest member $champion")
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
