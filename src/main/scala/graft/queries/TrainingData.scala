@@ -1225,6 +1225,63 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
+  /** PER-SOURCE QUALITY QUARTILE GATE (q94) — "keep each source's top
+    * quality quartile": the rank-based form of quality filtering
+    * (CCNet's per-shard perplexity quartiles, Wenzek et al. 2020).
+    * Rank-based gating needs NO tuned threshold and is immune to
+    * cross-source score-scale drift; being rank- (not score-)
+    * comparing, it is also hash-check-safe — the only doubles that
+    * cross the engine boundary are the per-row quality scores q19
+    * already pins.
+    *
+    * Scale shape: a naive `ntile(4) OVER (PARTITION BY source ORDER BY
+    * score)` sorts a whole source in ONE reducer. Instead the exact
+    * per-source rank is assembled the q40 way — an order-preserving
+    * histogram bucket of the sort key (floor(score·64), descending)
+    * fans each source across reducers; within-bucket row_numbers
+    * shuffle on (source, bucket), and the global rank adds the
+    * broadcast per-bucket offsets (the only per-source-ordered window
+    * runs over the ≤64-row bucket AGGREGATE). The quartile is then
+    * replayed arithmetically from (rank, n) with ntile's exact fill
+    * rule — first n%4 buckets hold ⌈n/4⌉ — so the DuckDB oracle can be
+    * the plain `ntile(4)` window: the hash check proves the
+    * distributed formulation IS ntile. */
+  def qualityQuartileGate(spark: SparkSession, dir: String,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.withQualityColumns(docs(spark, dir), "text")
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .withColumn("__bucket",
+        least(floor(col("quality_score") * buckets), lit(buckets - 1))
+          .cast("int"))
+    val wIn = Window.partitionBy("source", "__bucket")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val local = scored.withColumn("__rk_in",
+      row_number().over(wIn).cast("long"))
+    val wOff = Window.partitionBy("source").orderBy(col("__bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = scored.groupBy("source", "__bucket")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__offset", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select("source", "__bucket", "__offset")
+    val totals = scored.groupBy("source").agg(count(lit(1)).as("__n"))
+    local.join(broadcast(offsets), Seq("source", "__bucket"))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("__rank", col("__offset") + col("__rk_in"))
+      .withColumn("__q", expr("__n div 4"))
+      .withColumn("__r", col("__n") % 4)
+      // CASE keeps the ELSE division un-evaluated when __q = 0 (n < 4:
+      // the first branch then covers every rank)
+      .withColumn("quartile", expr(
+        """CAST(CASE WHEN __rank <= (__q + 1) * __r
+               THEN (__rank - 1) div (__q + 1) + 1
+               ELSE __r + (__rank - (__q + 1) * __r - 1) div __q + 1
+             END AS INT)"""))
+      .select(col("doc_id"), col("source"), col("quartile"),
+        (col("quartile") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1304,7 +1361,8 @@ object TrainingData {
     "q90_repeated_ngrams" -> ((s, d) => repeatedNgrams(s, d)),
     "q91_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
     "q92_source_datacard" -> sourceDataCard,
-    "q93_semdedup" -> ((s, d) => semDedup(s, d))
+    "q93_semdedup" -> ((s, d) => semDedup(s, d)),
+    "q94_quality_quartile" -> ((s, d) => qualityQuartileGate(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -2237,6 +2295,32 @@ object TrainingData {
            CAST(sum(CASE WHEN fpc.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS dup_docs
          FROM q JOIN fpc USING (fp)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q94_quality_quartile" ->
+      // the oracle is the NAIVE ntile window — the Spark side replays
+      // it from a distributed two-pass exact rank; the hash check
+      // proves the bucket-offset formulation IS ntile
+      s"""WITH base AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS t,
+             length(text) AS n_ch,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               AS n_punct
+           FROM documents),
+         r AS (
+           SELECT doc_id, source,
+             CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
+                 AS DOUBLE) / len(t) * CAST(0.5 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE)
+                  - CAST(n_punct AS DOUBLE) / n_ch) * CAST(0.3 AS DOUBLE)
+               + least(len(t) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.2 AS DOUBLE) AS qs
+           FROM base),
+         g AS (
+           SELECT doc_id, source,
+             CAST(ntile(4) OVER (PARTITION BY source
+               ORDER BY qs DESC, doc_id ASC) AS INT) AS quartile
+           FROM r)
+         SELECT doc_id, source, quartile, quartile = 1 AS keep
+         FROM g ORDER BY doc_id"""
   )
 }

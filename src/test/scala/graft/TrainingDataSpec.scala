@@ -679,6 +679,35 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("quality quartile gate: equals the naive ntile window; source windows pre-aggregated") {
+    import org.apache.spark.sql.expressions.Window
+    val naive = graft.text.TextAnalysis
+      .withQualityColumns(Tables.load(spark, sf, "documents"), "text")
+      .withColumn("quartile", ntile(4).over(Window.partitionBy("source")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)))
+      .select("doc_id", "quartile").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val df = TrainingData.qualityQuartileGate(spark, sf)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(2), r.getBoolean(3)))
+    assert(rows.length === naive.size)
+    rows.foreach { case (id, quart, keep) =>
+      assert(quart === naive(id), s"doc $id quartile drifted from ntile")
+      assert(keep === (quart === 1))
+    }
+    // scale guard: every per-source-partitioned window must consume an
+    // aggregate (the <=64-row bucket rollup), never the raw corpus —
+    // the whole point of the two-pass rank
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    df.queryExecution.optimizedPlan.foreach {
+      case w: LWindow
+          if w.partitionSpec.flatMap(_.references.map(_.name)) == Seq("source") =>
+        assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+          s"per-source window over unaggregated input:\n$w")
+      case _ =>
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
