@@ -1282,6 +1282,43 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** TEMPERATURE MIXTURE WEIGHTS (q95) — the sampling-recipe
+    * computation behind multilingual/multi-source pretraining mixes
+    * (Devlin et al. 2019 exponentiated-share sampling; α = 0.5 here,
+    * i.e. √-temperature): per source, p_i = √n_i / Σ_j √n_j flattens
+    * the raw token-share distribution toward low-resource sources;
+    * `boost` (= p_i / share_i) is the per-source up/down-sampling
+    * factor a mixer (q43/q55) consumes. α = 0.5 is deliberate: √ is a
+    * correctly-rounded IEEE op on an exact integer, so every per-source
+    * weight is bit-identical cross-engine — a libm `pow(x, 0.3)` is
+    * not. The one cross-row float (Σ_j √n_j) is made order-DEFINED,
+    * not order-insensitive: both engines fold the per-source weights
+    * as a LEFT fold in source order (Spark `aggregate(array_sort(...))`,
+    * DuckDB `list_reduce(list(... ORDER BY source))`), producing the
+    * identical double. Scale: one partial-agg shuffle of nSources
+    * rows; the fold runs over the nSources-row aggregate. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+    val tot = per.agg(
+      sum(col("n_tokens")).as("tt"),
+      aggregate(
+        array_sort(collect_list(struct(col("source"), col("w")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("wsum"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tt")).as("share"),
+        (col("w") / col("wsum")).as("temp_weight"),
+        (col("w") / col("wsum") /
+          (col("n_tokens").cast("double") / col("tt"))).as("boost"))
+      .orderBy("source")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1362,7 +1399,8 @@ object TrainingData {
     "q91_mmr_diversify" -> ((s, d) => mmrDiversify(s, d)),
     "q92_source_datacard" -> sourceDataCard,
     "q93_semdedup" -> ((s, d) => semDedup(s, d)),
-    "q94_quality_quartile" -> ((s, d) => qualityQuartileGate(s, d))
+    "q94_quality_quartile" -> ((s, d) => qualityQuartileGate(s, d)),
+    "q95_temperature_mix" -> temperatureMix
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -2321,6 +2359,25 @@ object TrainingData {
                ORDER BY qs DESC, doc_id ASC) AS INT) AS quartile
            FROM r)
          SELECT doc_id, source, quartile, quartile = 1 AS keep
-         FROM g ORDER BY doc_id"""
+         FROM g ORDER BY doc_id""",
+    "q95_temperature_mix" ->
+      // the Σ√n fold is order-DEFINED on both sides: LEFT fold in
+      // source order (list_reduce here, aggregate(array_sort) in
+      // Spark); 0.0-init vs no-init folds agree because 0.0 + x = x
+      s"""WITH per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM per),
+         tot AS (
+           SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+             list_reduce(list(w ORDER BY source), (x, y) -> x + y) AS wsum
+           FROM w)
+         SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / tt AS share,
+           w / wsum AS temp_weight,
+           w / wsum / (CAST(n_tokens AS DOUBLE) / tt) AS boost
+         FROM w CROSS JOIN tot ORDER BY source"""
   )
 }

@@ -708,6 +708,24 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix: weights normalize and flatten the share distribution") {
+    val rows = TrainingData.temperatureMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9, "shares sum to 1")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "weights sum to 1")
+    // α = 0.5 flattens: the boost is a strictly DECREASING function of
+    // share (low-resource sources get upsampled, high-resource cut)
+    val byShare = rows.sortBy(_._2)
+    byShare.sliding(2).foreach { case Array((_, s1, _, b1), (_, s2, _, b2)) =>
+      if (s1 < s2) assert(b1 > b2, s"boost must fall as share rises")
+    }
+    // and the weight distribution is strictly between uniform and raw:
+    // max weight below max share, min weight above min share
+    assert(rows.map(_._3).max <= byShare.last._2 + 1e-12)
+    assert(rows.map(_._3).min >= byShare.head._2 - 1e-12)
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
