@@ -1319,6 +1319,20 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** SQ8 scalar-quantized ANN top-3 (q96) for the q26 query set —
+    * see [[Similarity.sqTopK]]. Unlike the trained-model ANN family
+    * (q30/q57/q58), the "model" (per-dim [min,max]) is a plain
+    * aggregate, so the oracle is STATIC SQL that re-derives bounds,
+    * codes, integer-dot shortlist, and exact re-rank from the raw
+    * table — no frozen literals. */
+  def annSq(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.sqTopK(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding", k = 3)
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1400,7 +1414,8 @@ object TrainingData {
     "q92_source_datacard" -> sourceDataCard,
     "q93_semdedup" -> ((s, d) => semDedup(s, d)),
     "q94_quality_quartile" -> ((s, d) => qualityQuartileGate(s, d)),
-    "q95_temperature_mix" -> temperatureMix
+    "q95_temperature_mix" -> temperatureMix,
+    "q96_ann_sq8" -> annSq
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -2378,6 +2393,58 @@ object TrainingData {
            CAST(n_tokens AS DOUBLE) / tt AS share,
            w / wsum AS temp_weight,
            w / wsum / (CAST(n_tokens AS DOUBLE) / tt) AS boost
-         FROM w CROSS JOIN tot ORDER BY source"""
+         FROM w CROSS JOIN tot ORDER BY source""",
+    "q96_ann_sq8" ->
+      // mirrors Similarity.sqTopK: per-dim [min,max] over the
+      // L2-NORMALIZED corpus, clamp(floor((x-mn)*(255/(mx-mn))))
+      // codes, asymmetric weighted-dot top-10 shortlist (query weights
+      // qn[i]*((mx-mn)/255)), exact-cosine top-3 re-rank. floor (never
+      // round) so no cross-engine tie semantics
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         corpus AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= 5),
+         queries AS (SELECT vec_id AS id, v FROM e WHERE vec_id < 5),
+         corpusn AS (SELECT id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           FROM corpus),
+         queriesn AS (SELECT id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           FROM queries),
+         pb AS (SELECT CAST(unnest(range(1, len(vn) + 1)) AS INT) AS pos, vn
+                FROM corpusn),
+         b AS (SELECT pos, min(vn[pos]) AS mn, max(vn[pos]) AS mx
+               FROM pb GROUP BY 1),
+         ba AS (SELECT list(mn ORDER BY pos) AS mns,
+                  list(mx ORDER BY pos) AS mxs FROM b),
+         qw AS (SELECT id, list_transform(range(1, len(vn) + 1), i ->
+                  CASE WHEN mxs[i] = mns[i] THEN 0.0
+                    ELSE vn[i] * ((mxs[i] - mns[i]) / 255.0)
+                  END) AS w
+                FROM queriesn CROSS JOIN ba),
+         cc AS (SELECT id, list_transform(range(1, len(vn) + 1), i ->
+                  CASE WHEN mxs[i] = mns[i] THEN 0.0
+                    ELSE least(greatest(floor((vn[i] - mns[i])
+                      * (255.0 / (mxs[i] - mns[i]))), 0.0), 255.0)
+                  END) AS c
+                FROM corpusn CROSS JOIN ba),
+         sl AS (SELECT q_id, neighbor_id FROM (
+                  SELECT q.id AS q_id, c2.id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.id
+                      ORDER BY list_dot_product(q.w, c2.c) DESC, c2.id ASC)
+                      AS rn
+                  FROM qw q CROSS JOIN cc c2) WHERE rn <= 10),
+         scored AS (SELECT sl.q_id, sl.neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos,
+             row_number() OVER (PARTITION BY sl.q_id
+               ORDER BY list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 sl.neighbor_id ASC) AS rn
+           FROM sl
+           JOIN queries q ON q.id = sl.q_id
+           JOIN corpus c ON c.id = sl.neighbor_id)
+         SELECT q_id, neighbor_id, round(cos, 4) AS cosine
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id"""
   )
 }

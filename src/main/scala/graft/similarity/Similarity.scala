@@ -536,4 +536,74 @@ object Similarity {
       q.join(c, Seq("bucket"))
         .filter(col("q_id") =!= col("neighbor_id")), k)
   }
+
+  /** SCALAR-QUANTIZATION (SQ8) ANN top-k — the third classic
+    * compressed-scan family next to PQ (q57) and IVF (q30): per
+    * dimension, learn [min, max] over the corpus (one partial-agg
+    * pass collapsing to d rows, over L2-NORMALIZED vectors — like
+    * PQ, so the shortlist dot ranks by cosine), quantize every
+    * corpus vector to a 256-level integer code
+    * `clamp(floor((x−mn)·(255/(mx−mn))), 0, 255)`, scan CODES with
+    * an asymmetric weighted dot (full-precision query × integer
+    * codes) to shortlist `m` candidates per query, then
+    * exact-cosine re-rank the shortlist on raw vectors. At scale
+    * the code scan reads 1 byte per dimension instead of 8 (an 8×
+    * narrower corpus scan that SIMD-vectorizes as integer MACs),
+    * the bounds ship as a broadcast literal like trained
+    * centroids, and the re-rank touches only m×|queries| raw
+    * vectors.
+    *
+    * Every arithmetic step is hash-check-deterministic: min/max
+    * are order-free exact aggregates, the quantizer is floor over
+    * bit-identical doubles (no `round` ties), and the shortlist
+    * scores are single-expression doubles identical on both
+    * engines. A constant dimension (mx = mn) codes to 0 with
+    * weight 0. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("vn", transform(col("v"), _ / col("nv")))
+      .localCheckpoint() // bounds pass + code scan + re-rank
+    val bounds = c.select(posexplode(col("vn")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("pos").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    def codes(v: Column): Column = array(bounds.indices.map { j =>
+      val (mn, mx) = bounds(j)
+      val x = element_at(v, j + 1)
+      if (mx == mn) lit(0L)
+      else least(greatest(
+        floor((x - lit(mn)) * (lit(255.0) / (lit(mx) - lit(mn)))),
+        lit(0L)), lit(255L))
+    }: _*)
+    // asymmetric scoring (the SQ analogue of PQ's ADC): the query stays
+    // full precision as per-dim weights w_j = qn_j·(rng_j/255), so
+    // dot(w, codes) = dot(qn, decoded(c)) − Σ qn_j·mn_j, a per-query
+    // constant away from the decoded cosine — rank-equivalent. A
+    // symmetric code×code dot would bake the [min,max] shift into both
+    // sides and destroy the ranking.
+    def weights(qn: Column): Column = array(bounds.indices.map { j =>
+      val (mn, mx) = bounds(j)
+      if (mx == mn) lit(0.0)
+      else element_at(qn, j + 1) * (lit(mx - mn) / lit(255.0))
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).cast("long").as("q_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("qw", weights(transform(col("qv"), _ / col("nq")))))
+    val shortlist = keepTopPerQuery(
+      q.select(col("q_id"), col("qw"))
+        .crossJoin(c.select(col("neighbor_id"),
+          toDouble(codes(col("vn"))).as("cv")))
+        .select(col("q_id"), col("neighbor_id"),
+          dot(col("qw"), col("cv")).as("_s")),
+      m, Seq(col("_s").desc, col("neighbor_id").asc))
+    rankTopK(
+      shortlist.select("q_id", "neighbor_id")
+        .join(q.select(col("q_id"), col("qv"), col("nq")), Seq("q_id"))
+        .join(c.select(col("neighbor_id"), col("v"), col("nv")),
+          Seq("neighbor_id")), k)
+  }
 }

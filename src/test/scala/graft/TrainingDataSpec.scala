@@ -637,6 +637,7 @@ class TrainingDataSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 3, bits = 6))
     assertSharded(TrainingData.annPq(spark, sf))
     assertSharded(TrainingData.annIvfPq(spark, sf))
+    assertSharded(TrainingData.annSq(spark, sf))
   }
 
   test("semdedup: matches a naive in-memory replay; farthest member always kept") {
@@ -835,6 +836,24 @@ class TrainingDataSpec extends AnyFunSuite {
     val perQuery = Similarity.signLshMultiProbeTopK(corpus, queries,
       "vec_id", "embedding", k = 3, bits = 6)
       .collect().groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQuery.forall(_ <= 3))
+  }
+
+  test("sq8 ann: high recall vs brute force; codes stay in [0, 255]") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 5)
+    val queries = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 3))
+    val sq = Similarity.sqTopK(corpus, queries,
+      "vec_id", "embedding", k = 3)
+    val recall = (pairs(sq) intersect brute).size.toDouble / brute.size
+    // 8-bit quantization at dim 64 barely perturbs the ranking, and the
+    // exact re-rank fixes shortlist order — recall should be near-exact
+    assert(recall >= 0.8, s"SQ8 recall $recall < 0.8")
+    val perQuery = sq.collect().groupBy(_.getLong(0)).values.map(_.length)
     assert(perQuery.forall(_ <= 3))
   }
 
