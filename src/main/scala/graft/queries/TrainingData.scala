@@ -1333,6 +1333,72 @@ object TrainingData {
       idCol = "vec_id", vecCol = "embedding", k = 3)
   }
 
+  /** DETERMINISTIC EPOCH SHUFFLE (q97) — the global training-order
+    * permutation: every epoch E assigns each document the position of
+    * md5("ep<E>:doc_id") in sorted order. The permutation is a pure
+    * function of (epoch, doc_id): stable under re-runs, appends of
+    * OTHER docs (relative order of existing pairs never changes),
+    * partitioning, and cluster size — "shuffle the dataset" without a
+    * seed file or a rand() that re-rolls per read. Different epochs →
+    * independent permutations (the salt changes every hash).
+    *
+    * Scale: a bare `row_number() OVER (ORDER BY hash)` is ONE reducer
+    * sorting the corpus. Like q40/q94, the first two hex chars of the
+    * SAME md5 form an order-preserving 256-way bucket: within-bucket
+    * row_numbers shuffle across 256 reducers, and the global position
+    * adds broadcast per-bucket offsets (the only globally-ordered
+    * window runs over the 256-row bucket aggregate). At a real 100 TB
+    * run you'd widen to 4 hex chars (65536 buckets); the reassembly is
+    * identical. */
+  def epochShuffle(spark: SparkSession, dir: String,
+      epoch: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+      .withColumn("__ord", md5(concat(lit(s"ep$epoch:"),
+        col("doc_id").cast("string"))))
+      .withColumn("__bucket",
+        conv(substring(col("__ord"), 1, 2), 16, 10).cast("int"))
+    val wIn = Window.partitionBy("__bucket")
+      .orderBy(col("__ord"), col("doc_id"))
+    val wOff = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("__bucket").agg(count(lit(1)).as("__bn"))
+      .withColumn("__offset", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select("__bucket", "__offset")
+    d.withColumn("__rk", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq("__bucket"))
+      .select(col("doc_id"), col("source"),
+        (col("__offset") + col("__rk")).as("shuffle_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** LENGTH-BUCKET PACKING EFFICIENCY (q98) — the batching-shape
+    * report behind bucketed batching (vs q67's concat-and-chop): docs
+    * grouped by the power-of-two sequence length they'd pad to; per
+    * bucket, doc count, real tokens, pad waste (bucket·n − tokens) and
+    * the pad fraction. The bucket is an exact INTEGER CASE chain over
+    * powers of two — no float log2, whose exactness at powers of two
+    * is libm-dependent and would flake the hash at boundaries. Pure
+    * narrow map + one tiny grouped fold (≤ 21 buckets). */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = col("n_tokens")
+    val bucket = (0 to 20).foldRight(lit(1L << 21): Column) { (j, rest) =>
+      when(n <= (1L << j), lit(1L << j)).otherwise(rest)
+    }
+    docs(spark, dir)
+      .select(size(split(lower(col("text")), " ")).cast("long")
+        .as("n_tokens"))
+      .withColumn("seq_len", bucket)
+      .groupBy("seq_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(n).as("total_tokens"),
+        sum(col("seq_len") - n).as("pad_tokens"))
+      .withColumn("pad_frac",
+        col("pad_tokens").cast("double") /
+          (col("seq_len") * col("n_docs")))
+      .orderBy("seq_len")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1415,7 +1481,9 @@ object TrainingData {
     "q93_semdedup" -> ((s, d) => semDedup(s, d)),
     "q94_quality_quartile" -> ((s, d) => qualityQuartileGate(s, d)),
     "q95_temperature_mix" -> temperatureMix,
-    "q96_ann_sq8" -> annSq
+    "q96_ann_sq8" -> annSq,
+    "q97_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
+    "q98_length_buckets" -> lengthBuckets
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -2445,6 +2513,33 @@ object TrainingData {
            JOIN queries q ON q.id = sl.q_id
            JOIN corpus c ON c.id = sl.neighbor_id)
          SELECT q_id, neighbor_id, round(cos, 4) AS cosine
-         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id"""
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q97_epoch_shuffle" ->
+      // the oracle is the naive single-window form; the Spark side
+      // replays it from the 256-bucket two-pass rank (q40's shape) —
+      // the hash check proves the distributed reassembly IS the
+      // global hash order
+      """SELECT doc_id, source,
+         CAST(row_number() OVER (
+           ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS shuffle_pos
+         FROM documents ORDER BY doc_id""",
+    "q98_length_buckets" -> {
+      val cases = (0 to 20)
+        .map(j => s"WHEN n <= ${1L << j} THEN ${1L << j}")
+        .mkString(" ")
+      s"""WITH t AS (
+           SELECT len(string_split(lower(text), ' ')) AS n
+           FROM documents),
+         b AS (SELECT n,
+             CAST(CASE $cases ELSE ${1L << 21} END AS BIGINT) AS seq_len
+           FROM t)
+         SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(seq_len - n) AS BIGINT) AS pad_tokens,
+           CAST(sum(seq_len - n) AS DOUBLE) / (seq_len * count(*))
+             AS pad_frac
+         FROM b GROUP BY 1 ORDER BY 1"""
+    }
   )
 }

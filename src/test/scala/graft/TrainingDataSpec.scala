@@ -727,6 +727,48 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.map(_._3).min >= byShare.head._2 - 1e-12)
   }
 
+  test("epoch shuffle: a permutation, epoch-independent, partition-stable") {
+    val e0 = TrainingData.epochShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val n = Tables.load(spark, sf, "documents").count()
+    assert(e0.size === n)
+    assert(e0.values.toSeq.sorted === (1L to n), "positions are 1..N exactly")
+    // a different epoch = an independent permutation (salt changes
+    // every hash) — identical orderings would mean the salt is ignored
+    val e1 = TrainingData.epochShuffle(spark, sf, epoch = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(e1.values.toSeq.sorted === (1L to n))
+    assert(e0.count { case (id, p) => e1(id) == p } < n / 2,
+      "epoch 1 must not replay epoch 0's order")
+    // stability: the position is a pure function of (epoch, doc_id) —
+    // recomputing over a repartitioned input changes nothing
+    val again = TrainingData.epochShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === e0)
+  }
+
+  test("length buckets: match a Scala recount of pow-2 bucketing") {
+    val rows = TrainingData.lengthBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    def p2ceil(n: Long): Long = {
+      var b = 1L; while (b < n) b <<= 1; b
+    }
+    val expected = Tables.load(spark, sf, "documents")
+      .select(size(split(lower(col("text")), " ")).cast("long"))
+      .collect().map(_.getLong(0))
+      .groupBy(p2ceil)
+      .map { case (b, ns) =>
+        b -> (ns.length.toLong, ns.sum, b * ns.length - ns.sum) }
+    assert(rows.length === expected.size)
+    rows.foreach { case (seqLen, nDocs, tok, pad, frac) =>
+      assert((seqLen & (seqLen - 1)) === 0L, s"$seqLen not a power of two")
+      val (en, etok, epad) = expected(seqLen)
+      assert((nDocs, tok, pad) === ((en, etok, epad)))
+      assert(frac === pad.toDouble / (seqLen * nDocs))
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
