@@ -1399,6 +1399,71 @@ object TrainingData {
       .orderBy("seq_len")
   }
 
+  /** BPE MERGE-PAIR STATISTICS (q99) — the counting pass of
+    * byte-pair-encoding tokenizer training (Sennrich et al., ACL'16):
+    * over whitespace words, count every adjacent character pair and
+    * emit the top-20 merge candidates (the first BPE iteration picks
+    * the argmax; subsequent iterations re-run the same pass over
+    * merged symbols). Ties break on the pair string so the ranking is
+    * a total order. Scale: the pair explode is a narrow map (≤ |word|
+    * rows per word), counting is one partial-agg shuffle of pair
+    * keys, and the global top-20 is Spark's distributed
+    * TakeOrderedAndProject (per-partition local top-20, driver
+    * merge) — no single-reducer sort of the pair table. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+
+  /** CROSS-SOURCE N-GRAM OVERLAP MATRIX (q100) — the lexical
+    * data-governance complement to q78's embedding probe: for every
+    * source pair, how many distinct 8-gram shingles they share and
+    * the shingle-set Jaccard. High overlap between a "licensed" and a
+    * "scraped" source is the license-laundering / mirror-site signal;
+    * overlap with a benchmark source is contamination (q45's flag,
+    * aggregated to source grain). Shingles live in q23's hashed-long
+    * space (the join shuffles 8-byte keys, never gram text). Scale:
+    * distinct (gram, source) is one partial-agg pass; the self-join
+    * meets ≤ nSources rows per gram key (output ≤ nSources² rows
+    * total); at web scale df-cap universal boilerplate grams first —
+    * the q25 prefix trade, with the drop logged per SCALE.md's
+    * no-silent-caps rule. */
+  def crossSourceOverlap(spark: SparkSession, dir: String,
+      n: Int = 8): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("source"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', slice(t, i + 1, $n)))")).as("gs"))
+      .select(col("source"), Dedup.hash64(col("gs"), 777).as("g"))
+      .distinct()
+      .localCheckpoint() // feeds per-source counts + both join sides
+    val counts = g.groupBy("source").agg(count(lit(1)).as("n"))
+    g.alias("a")
+      .join(g.alias("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n").as("grams_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n").as("grams_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"),
+        (col("shared_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared_grams")))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1483,7 +1548,9 @@ object TrainingData {
     "q95_temperature_mix" -> temperatureMix,
     "q96_ann_sq8" -> annSq,
     "q97_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
-    "q98_length_buckets" -> lengthBuckets
+    "q98_length_buckets" -> lengthBuckets,
+    "q99_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "q100_source_overlap" -> ((s, d) => crossSourceOverlap(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -2540,6 +2607,40 @@ object TrainingData {
            CAST(sum(seq_len - n) AS DOUBLE) / (seq_len * count(*))
              AS pad_frac
          FROM b GROUP BY 1 ORDER BY 1"""
-    }
+    },
+    "q99_bpe_pairs" ->
+      // range(1, length(w)) is [1, len) in DuckDB = Spark's
+      // sequence(1, length(w)-1) inclusive; substr is 1-based in both
+      """WITH w AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(1, length(w)),
+             i -> substr(w, i, 2))) AS pair
+           FROM w WHERE length(w) >= 2)
+         SELECT pair, CAST(count(*) AS BIGINT) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""",
+    "q100_source_overlap" ->
+      // q90's gram fragment lifted to source grain in q23's hashed
+      // space; exact integer set sizes, one division per pair
+      s"""WITH toks AS (
+           SELECT source, string_split(lower(text), ' ') AS t
+           FROM documents),
+         g AS (SELECT DISTINCT source, ${duckHash("'777'", "gs")} AS g
+           FROM (
+             SELECT source, unnest(list_transform(range(len(t) - 7),
+               i -> array_to_string(t[i+1:i+8], ' '))) AS gs
+             FROM toks WHERE len(t) >= 8)),
+         counts AS (SELECT source, count(*) AS n FROM g GROUP BY 1)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_grams,
+           CAST(ca.n AS BIGINT) AS grams_a,
+           CAST(cb.n AS BIGINT) AS grams_b,
+           CAST(count(*) AS DOUBLE) / (ca.n + cb.n - count(*)) AS jaccard
+         FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+         JOIN counts ca ON ca.source = a.source
+         JOIN counts cb ON cb.source = b.source
+         GROUP BY a.source, b.source, ca.n, cb.n
+         ORDER BY source_a, source_b"""
   )
 }

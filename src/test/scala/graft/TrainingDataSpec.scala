@@ -769,6 +769,36 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe pairs: top-20 matches a Scala recount of adjacent-pair counts") {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    Tables.load(spark, sf, "documents").select(lower(col("text")))
+      .collect().foreach { r =>
+        r.getString(0).split(" ").filter(_.length >= 2).foreach { w =>
+          (0 until w.length - 1).foreach { i =>
+            val p = w.substring(i, i + 2)
+            counts(p) = counts.getOrElse(p, 0L) + 1
+          }
+        }
+      }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = TrainingData.bpePairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+  }
+
+  test("cross-source overlap: set algebra consistent, jaccard bounded") {
+    val rows = TrainingData.crossSourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, na, nb, j) =>
+      assert(a < b, "pairs emitted once, ordered")
+      assert(shared >= 1 && shared <= math.min(na, nb))
+      assert(j === shared.toDouble / (na + nb - shared))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
