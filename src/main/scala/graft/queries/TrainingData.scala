@@ -1464,6 +1464,109 @@ object TrainingData {
       .orderBy("source_a", "source_b")
   }
 
+  /** DSIR IMPORTANCE WEIGHTS (q101) — data selection via importance
+    * resampling (Xie et al., NeurIPS'23), the published recipe for
+    * "make the pretraining mix look like a target domain": score each
+    * document by log w(x) = Σ_tokens [ln p̂_target(tok) − ln p̂_raw(tok)]
+    * under add-one-smoothed unigram LMs over a shared top-V vocabulary
+    * (DSIR's hashed features, in q68's vocab machinery); resampling
+    * then keeps documents ∝ exp(log w). Target domain here = source
+    * `src0`; raw = the whole corpus.
+    *
+    * Determinism contract: each token's log-ratio is a
+    * single-expression double (ln of exact-integer ratios, identical
+    * trees both engines); the ONE cross-row float — the per-document
+    * Σ — is order-DEFINED, not order-insensitive: both engines fold
+    * the document's token scores in POSITION order (q95's trick:
+    * `aggregate(array_sort(collect_list(struct(pos, lr))))` here,
+    * `list_reduce(list(lr ORDER BY pos))` in DuckDB).
+    *
+    * Scale: the vocab is a sharded top-V (no single-reducer sort of
+    * the term table); LM counts are partial-agg shuffles; the scored
+    * ≤V-row vocab broadcasts back over the stream; the per-doc
+    * regroup shuffles one (pos, double) pair per token — the same
+    * volume q77 already moves. */
+  def dsirWeights(spark: SparkSession, dir: String,
+      targetSource: String = "src0", vocabSize: Int = 256): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .localCheckpoint() // vocab + LM counts + totals + per-doc fold
+    val vocab = Analytics
+      .topKPerGroup(toks.withColumn("__g", lit(0)), "__g", "tok",
+        vocabSize, shards = 32)
+      .select(col("tok"), col("n").as("cr"))
+    val tgtCnt = toks.filter(col("source") === lit(targetSource))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val totals = toks.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("source") === lit(targetSource), 1L).otherwise(0L))
+        .as("nt"))
+    val vrow = vocab.agg(count(lit(1)).as("v"))
+    val scored = vocab.join(tgtCnt, Seq("tok"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(totals).crossJoin(vrow)
+      .select(col("tok"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + col("v"))) -
+          log((col("cr") + 1).cast("double") / (col("nr") + col("v"))))
+          .as("lr"))
+    val dflt = totals.crossJoin(vrow)
+      .select((log(lit(1.0) / (col("nt") + col("v"))) -
+        log(lit(1.0) / (col("nr") + col("v")))).as("lr0"))
+    toks.join(broadcast(scored), Seq("tok"), "left")
+      .crossJoin(broadcast(dflt))
+      .select(col("doc_id"), col("source"), col("pos"),
+        coalesce(col("lr"), col("lr0")).as("lr"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("lr")))),
+          lit(0.0), (a, x) => a + x.getField("lr")).as("log_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** GREEDY K-CENTER CORESET (q102) — diversity-first exemplar
+    * selection over the embedding space (Sener & Savarese, ICLR'18:
+    * the k-Center-Greedy coreset for data-efficient training; 2-approx
+    * of the optimal cover radius): seed with the lowest id, then k−1
+    * rounds of "pick the point FARTHEST from everything selected"
+    * (max-min L2, ties → lowest id). The corpus-level complement of
+    * q91's per-query MMR; the emitted `dist` of the last pick IS the
+    * corpus cover radius.
+    *
+    * Scale: each round is ONE narrow pass — the running min-distance
+    * column folds `least(d, ‖v−pick‖²)` against the newly collected
+    * pick (a centroid-sized driver round-trip, the ivfTrain
+    * convention), and the argmax is a distributed
+    * TakeOrderedAndProject, never a global sort. k rounds = k scans;
+    * at 100 TB you persist the running d column between rounds
+    * (here: one localCheckpoint'd frame per round). */
+  def kcenterCoreset(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val e = embs(spark, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val seed = e.orderBy("id").limit(1).collect()(0)
+    def vlit(a: Seq[Double]): Column = array(a.map(lit): _*)
+    var picks = List((1, seed.getLong(0), 0.0))
+    var mind = e.withColumn("d",
+      graft.functions.vector.arrayL2Sq(vlit(seed.getSeq[Double](1)),
+        col("v")))
+    for (r <- 2 to k) {
+      val p = mind.orderBy(col("d").desc, col("id").asc).limit(1)
+        .collect()(0)
+      picks ::= ((r, p.getLong(0), math.sqrt(p.getDouble(2))))
+      mind = mind.withColumn("d",
+        least(col("d"), graft.functions.vector.arrayL2Sq(
+          vlit(p.getSeq[Double](1)), col("v"))))
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    picks.reverse.toDF("rank", "vec_id", "dist")
+      .orderBy("rank")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1550,7 +1653,9 @@ object TrainingData {
     "q97_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
     "q98_length_buckets" -> lengthBuckets,
     "q99_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
-    "q100_source_overlap" -> ((s, d) => crossSourceOverlap(s, d))
+    "q100_source_overlap" -> ((s, d) => crossSourceOverlap(s, d)),
+    "q101_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
+    "q102_kcenter_coreset" -> ((s, d) => kcenterCoreset(s, d))
   )
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
@@ -2641,6 +2746,76 @@ object TrainingData {
          JOIN counts ca ON ca.source = a.source
          JOIN counts cb ON cb.source = b.source
          GROUP BY a.source, b.source, ca.n, cb.n
-         ORDER BY source_a, source_b"""
+         ORDER BY source_a, source_b""",
+    "q101_dsir_weights" ->
+      // q68's vocab fragment + add-one-smoothed target/raw unigram
+      // LMs; the per-doc Σ is a position-ordered left fold (q95's
+      // order-DEFINED float-sum contract). Same-level unnests zip, so
+      // pos and tok stay aligned
+      """WITH toksl AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS t
+           FROM documents),
+         toks AS (
+           SELECT doc_id, source,
+             CAST(unnest(range(1, len(t) + 1)) AS INT) AS pos,
+             unnest(t) AS tok
+           FROM toksl),
+         cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         r AS (SELECT tok, c, row_number() OVER
+                 (ORDER BY c DESC, tok) AS rn FROM cnt),
+         vocab AS (SELECT tok, c AS cr FROM r WHERE rn <= 256),
+         vr AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+               AS BIGINT) AS nt
+           FROM toks),
+         tc AS (SELECT tok, count(*) AS ct FROM toks
+                WHERE source = 'src0' GROUP BY 1),
+         scored AS (SELECT vocab.tok,
+             ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE) / (nt + v))
+               - ln(CAST(cr + 1 AS DOUBLE) / (nr + v)) AS lr
+           FROM vocab LEFT JOIN tc USING (tok)
+           CROSS JOIN tot CROSS JOIN vr),
+         dflt AS (SELECT
+             ln(CAST(1.0 AS DOUBLE) / (nt + v))
+               - ln(CAST(1.0 AS DOUBLE) / (nr + v)) AS lr0
+           FROM tot CROSS JOIN vr),
+         per AS (SELECT doc_id, source, pos,
+             coalesce(scored.lr, dflt.lr0) AS lr
+           FROM toks LEFT JOIN scored USING (tok) CROSS JOIN dflt)
+         SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+           list_reduce(list(lr ORDER BY pos), (x, y) -> x + y)
+             AS log_weight
+         FROM per GROUP BY 1, 2 ORDER BY doc_id""",
+    "q102_kcenter_coreset" -> {
+      // unrolled greedy rounds (q91's CTE-chain technique): each p_r
+      // is the argmax of the PRE-update running min-distance, so its
+      // d is the value the Spark side emits at pick time
+      def l2(a: String, b: String): String =
+        s"list_sum(list_transform(range(1, len($a) + 1), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      val k = 5
+      val chain = (2 to k).map { r =>
+        val prev = if (r == 2) "d1" else s"d${r - 1}"
+        s"""p$r AS (SELECT id, v, d FROM $prev
+             ORDER BY d DESC, id ASC LIMIT 1),
+           d$r AS (SELECT $prev.id, $prev.v,
+               least($prev.d, ${l2(s"$prev.v", "p.v")}) AS d
+             FROM $prev CROSS JOIN p$r p)"""
+      }.mkString(",\n")
+      val out = (2 to k)
+        .map(r => s"SELECT $r AS rank, id AS vec_id, sqrt(d) AS dist FROM p$r")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT CAST(vec_id AS BIGINT) AS id,
+             embedding::DOUBLE[] AS v FROM embeddings),
+         s1 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+         d1 AS (SELECT e.id, e.v, ${l2("e.v", "s.v")} AS d
+                FROM e CROSS JOIN s1 s),
+         $chain
+         SELECT * FROM (
+           SELECT 1 AS rank, id AS vec_id, 0.0 AS dist FROM s1
+           UNION ALL $out)
+         ORDER BY rank"""
+    }
   )
 }

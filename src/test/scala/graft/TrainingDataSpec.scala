@@ -799,6 +799,49 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir weights: target-domain docs score higher on average") {
+    val rows = TrainingData.dsirWeights(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, w) =>
+      n > 0 && !w.isNaN && !w.isInfinite })
+    // the whole point of importance weighting: documents FROM the
+    // target domain look more target-like than the rest (per-token
+    // normalization so length doesn't confound)
+    val (tgt, rest) = rows.partition(_._1 == "src0")
+    def meanPerTok(xs: Array[(String, Long, Double)]) =
+      xs.map(x => x._3 / x._2).sum / xs.length
+    assert(meanPerTok(tgt) > meanPerTok(rest),
+      s"src0 mean ${meanPerTok(tgt)} not above rest ${meanPerTok(rest)}")
+  }
+
+  test("k-center coreset: matches a Scala replay of greedy max-min") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").cast("long"),
+        Similarity.toDouble(col("embedding")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var (s, i) = (0.0, 0)
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var mind = vecs.map { case (id, v) => (id, v, l2sq(vecs.head._2, v)) }
+    var expect = List((1, vecs.head._1, 0.0))
+    for (r <- 2 to 5) {
+      val p = mind.minBy { case (id, _, d) => (-d, id) }
+      expect ::= ((r, p._1, math.sqrt(p._3)))
+      mind = mind.map { case (id, v, d) => (id, v, math.min(d, l2sq(p._2, v))) }
+    }
+    val got = TrainingData.kcenterCoreset(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got === expect.reverse)
+    // cover radius shrinks (weakly) as picks accumulate
+    val dists = got.drop(1).map(_._3)
+    assert(dists === dists.sorted.reverse)
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
