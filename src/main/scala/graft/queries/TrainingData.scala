@@ -1567,6 +1567,97 @@ object TrainingData {
       .orderBy("rank")
   }
 
+  /** WATER-FILLING TOKEN ALLOCATION (q103) — the mixture PLANNER that
+    * turns q95's temperature weights into an executable budget: given
+    * a global token budget B (here ¾ of the corpus), allocate
+    * a_i = min(cap_i, λ·w_i) per source with λ chosen so Σ a_i = B —
+    * the classic water-filling solution (allocate ∝ weight, but no
+    * source can contribute more tokens than it has; freed budget
+    * re-spreads over the rest). Closed form: sort sources by
+    * r_i = cap_i/w_i ascending; a source is capped iff the λ implied
+    * by capping everything before it already overflows its own cap
+    * (λ_{j−1} ≥ r_j — monotone, so the capped set is a prefix).
+    *
+    * Float contract: caps and B are exact longs; weights go through
+    * the per-row-round→LONG convention (√n rounded to 1e-6), so every
+    * prefix/suffix sum is exact integer arithmetic; λ and the
+    * allocations are then single divisions/products of exact values —
+    * no float accumulates across rows. Scale: everything after the
+    * per-source aggregate operates on nSources rows. */
+  def waterFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs(spark, dir)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("ntok"))
+      .groupBy("source").agg(sum("ntok").as("cap"))
+      .withColumn("wl", round(sqrt(col("cap").cast("double")) * 1e6)
+        .cast("long"))
+      .withColumn("r", col("cap").cast("double") /
+        (col("wl").cast("double") / 1e6))
+    val tot = per.agg(sum("cap").as("tc"), sum("wl").as("twl"))
+    val wOrd = Window.orderBy(col("r").asc, col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // prefix sums run over the nSources-row AGGREGATE — the global
+    // window is bounded, never the corpus
+    val flagged = per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tc * 19 div 20"))
+      .withColumn("cprev", coalesce(sum("cap").over(wOrd), lit(0L)))
+      .withColumn("wlprev", coalesce(sum("wl").over(wOrd), lit(0L)))
+      .withColumn("capped",
+        (col("budget") - col("cprev")).cast("double") /
+          ((col("twl") - col("wlprev")).cast("double") / 1e6) >= col("r"))
+    val lam = flagged.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("ccap"),
+      sum(when(col("capped"), col("wl")).otherwise(0L)).as("cwl"))
+    flagged.crossJoin(broadcast(lam))
+      .select(col("source"), col("cap").as("n_tokens"),
+        (col("wl").cast("double") / 1e6).as("weight"),
+        when(col("capped"), col("cap").cast("double"))
+          .otherwise(
+            (col("budget") - col("ccap")).cast("double") /
+              ((col("twl") - col("cwl")).cast("double") / 1e6) *
+              (col("wl").cast("double") / 1e6))
+          .as("allocation"),
+        col("capped"))
+      .orderBy("source")
+  }
+
+  /** MIXTURE PLAN APPLIED (q104) — q103's allocations executed as
+    * q40's distributed cumulative sum: per source, keep documents in
+    * deterministic md5 order while the running token total stays
+    * within the source's water-filled allocation. The end-to-end
+    * "plan → select" pair a mixer actually ships: same docs kept on
+    * every run, every cluster, every partitioning. Scale: q40's
+    * 256-way order-preserving bucket cumsum (no per-source reducer
+    * sort); the ≤nSources-row allocation table broadcasts. */
+  def mixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alloc = waterFill(spark, dir)
+      .select(col("source"), col("allocation"))
+    val d = docs(spark, dir)
+      .withColumn("n_tokens",
+        size(split(lower(col("text")), " ")).cast("long"))
+      .withColumn("__ord", md5(col("doc_id").cast("string")))
+      .withColumn("__bucket",
+        conv(substring(col("__ord"), 1, 2), 16, 10).cast("int"))
+    val wIn = Window.partitionBy("source", "__bucket")
+      .orderBy(col("__ord"), col("doc_id"))
+    val withinCum = d.withColumn("__cum_in", sum(col("n_tokens")).over(wIn))
+    val wOff = Window.partitionBy("source").orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy("source", "__bucket")
+      .agg(sum(col("n_tokens")).as("__bucket_tokens"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bucket_tokens")).over(wOff), lit(0L)))
+      .select("source", "__bucket", "__offset")
+    withinCum.join(broadcast(offsets), Seq("source", "__bucket"))
+      .withColumn("cum_tokens", col("__offset") + col("__cum_in"))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("cum_tokens").cast("double") <= col("allocation"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("source", "cum_tokens")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1655,8 +1746,53 @@ object TrainingData {
     "q99_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "q100_source_overlap" -> ((s, d) => crossSourceOverlap(s, d)),
     "q101_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
-    "q102_kcenter_coreset" -> ((s, d) => kcenterCoreset(s, d))
+    "q102_kcenter_coreset" -> ((s, d) => kcenterCoreset(s, d)),
+    "q103_water_fill" -> waterFill,
+    "q104_mixture_apply" -> mixtureApply
   )
+
+  /** q103's water-filling chain as CTE bodies ending in a relation
+    * `wf(source, cap, weight, allocation, capped)` — shared by the
+    * q103 oracle and q104's applied-selection oracle. Mirrors
+    * [[waterFill]] step for step (per-row-round→LONG weights, exact
+    * integer prefix/suffix sums, single-division λ). */
+  private val waterFillCtes: String =
+    """per AS (
+         SELECT source,
+           CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS cap
+         FROM documents GROUP BY 1),
+       wfw AS (SELECT source, cap,
+           CAST(round(sqrt(CAST(cap AS DOUBLE)) * 1000000) AS BIGINT) AS wl
+         FROM per),
+       wfr AS (SELECT *,
+           CAST(cap AS DOUBLE) / (CAST(wl AS DOUBLE) / 1000000) AS r
+         FROM wfw),
+       wft AS (SELECT CAST(sum(cap) AS BIGINT) AS tc,
+           CAST(sum(wl) AS BIGINT) AS twl FROM wfr),
+       wff AS (SELECT wfr.*, tc, twl, tc * 19 // 20 AS budget,
+           CAST(coalesce(sum(cap) OVER (ORDER BY r ASC, source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cprev,
+           CAST(coalesce(sum(wl) OVER (ORDER BY r ASC, source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS wlprev
+         FROM wfr CROSS JOIN wft),
+       wfg AS (SELECT *,
+           CAST(budget - cprev AS DOUBLE)
+             / (CAST(twl - wlprev AS DOUBLE) / 1000000) >= r AS capped
+         FROM wff),
+       wfl AS (SELECT
+           CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0)
+             AS BIGINT) AS ccap,
+           CAST(coalesce(sum(CASE WHEN capped THEN wl END), 0)
+             AS BIGINT) AS cwl FROM wfg),
+       wf AS (SELECT source, cap, CAST(wl AS DOUBLE) / 1000000 AS weight,
+           CASE WHEN capped THEN CAST(cap AS DOUBLE)
+             ELSE CAST(budget - ccap AS DOUBLE)
+               / (CAST(twl - cwl AS DOUBLE) / 1000000)
+               * (CAST(wl AS DOUBLE) / 1000000) END AS allocation,
+           capped
+         FROM wfg CROSS JOIN wfl)"""
 
   /** DuckDB hash helper fragment: integer of 8 md5 hex digits of
     * "<seed>:<s>" starting at `hexStart` — mirror of Dedup.hash64
@@ -2816,6 +2952,29 @@ object TrainingData {
            SELECT 1 AS rank, id AS vec_id, 0.0 AS dist FROM s1
            UNION ALL $out)
          ORDER BY rank"""
-    }
+    },
+    "q103_water_fill" ->
+      s"""WITH $waterFillCtes
+         SELECT source, cap AS n_tokens, weight, allocation, capped
+         FROM wf ORDER BY source""",
+    "q104_mixture_apply" ->
+      // q40's naive running-sum window gated by the water-filled
+      // allocation (the Spark side replays the cumsum via the
+      // 256-bucket two-pass; the hash check covers both the cumsum
+      // reassembly and the double-vs-long gate comparison)
+      s"""WITH $waterFillCtes,
+         sel AS (
+           SELECT doc_id, source,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT)
+               AS n_tokens,
+             CAST(sum(len(string_split(lower(text), ' ')))
+               OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM documents)
+         SELECT doc_id, sel.source, n_tokens, cum_tokens
+         FROM sel JOIN wf ON wf.source = sel.source
+         WHERE CAST(cum_tokens AS DOUBLE) <= allocation
+         ORDER BY sel.source, cum_tokens"""
   )
 }

@@ -842,6 +842,74 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(dists === dists.sorted.reverse)
   }
 
+  test("water-fill: budget exhausted, caps respected, capped set is a ratio prefix") {
+    val rows = TrainingData.waterFill(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val totalCap = rows.map(_._2).sum
+    val budget = totalCap * 19 / 20
+    assert(math.abs(rows.map(_._4).sum - budget) < 1e-6 * budget,
+      s"allocations must exhaust the budget: ${rows.map(_._4).sum} vs $budget")
+    rows.foreach { case (s, cap, _, alloc, capped) =>
+      assert(alloc <= cap + 1e-9, s"$s allocated beyond its cap")
+      if (capped) assert(alloc === cap.toDouble)
+    }
+    val (capped, uncapped) = rows.partition(_._5)
+    assert(capped.nonEmpty && uncapped.nonEmpty,
+      "budget chosen so the water level separates the sources")
+    // the capped set is exactly a prefix in cap/weight ratio order
+    val maxCappedR = capped.map(r => r._2 / r._3).max
+    val minUncappedR = uncapped.map(r => r._2 / r._3).min
+    assert(maxCappedR <= minUncappedR, "capping must be monotone in r")
+    // all uncapped sources share ONE water level λ = alloc/weight
+    val lambdas = uncapped.map(r => r._4 / r._3)
+    assert(lambdas.max - lambdas.min < 1e-6 * lambdas.max,
+      "uncapped allocations must share the water level")
+  }
+
+  test("mixture apply: per-source greedy fill is exact and maximal") {
+    val alloc = TrainingData.waterFill(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val kept = TrainingData.mixtureApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    kept.groupBy(_._2).foreach { case (s, ds) =>
+      val a = alloc(s)
+      assert(ds.forall(_._4 <= a), s"$s kept a doc beyond its allocation")
+      // cum of the last kept + any one more token run would overflow is
+      // implied by the gate; check cums are consistent prefix sums
+      val sorted = ds.sortBy(_._4)
+      assert(sorted.head._4 === sorted.head._3)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, c1), (_, _, n2, c2)) => assert(c2 === c1 + n2)
+        case _ =>
+      }
+    }
+    // maximality: the total kept per source + the smallest excluded
+    // doc's tokens must exceed the allocation (greedy stops exactly)
+    val all = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keptIds = kept.map(_._1).toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    all.groupBy(_._2).foreach { case (s, ds) =>
+      val keptTok = kept.filter(_._2 == s).map(_._3).sum
+      // greedy semantics: in md5 hash order, the FIRST excluded doc is
+      // exactly the one whose tokens would overflow the allocation
+      val ordered = ds.sortBy(d => (md5hex(d._1.toString), d._1))
+      ordered.find(d => !keptIds.contains(d._1)).foreach { firstExcluded =>
+        assert(keptTok + firstExcluded._3 > alloc(s) - 1e-9,
+          s"$s stopped early: $keptTok kept of ${alloc(s)}")
+        // and everything before it in hash order was kept (prefix)
+        assert(ordered.takeWhile(_._1 != firstExcluded._1)
+          .forall(d => keptIds.contains(d._1)), s"$s kept a non-prefix")
+      }
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
