@@ -1658,6 +1658,127 @@ object TrainingData {
       .orderBy("source", "cum_tokens")
   }
 
+  /** SLIDING-WINDOW CHUNKING (q105) — the retrieval-prep operator
+    * every RAG/embedding pipeline runs before indexing: split each
+    * document into fixed-size token windows (size 64, stride 48 →
+    * 16-token overlap so no boundary sentence is orphaned). Emits
+    * (doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text); the
+    * chunk count 1 + ⌈max(0, n−size)/stride⌉ and every boundary are
+    * exact integer arithmetic. Pure narrow map — the explode fans one
+    * row per chunk with zero shuffles at any corpus size; chunk ids
+    * are (doc_id, idx), stable under re-runs and partitioning. */
+  def chunkDocs(spark: SparkSession, dir: String, chunk: Int = 64,
+      stride: Int = 48): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .select(col("doc_id"), col("n"), explode(expr(
+        s"""transform(
+             sequence(0, CASE WHEN n <= $chunk THEN 0
+               ELSE (n - $chunk + $stride - 1) div $stride END),
+             i -> struct(CAST(i AS INT) AS idx,
+               CAST(i * $stride AS INT) AS start,
+               CAST(least($chunk, n - i * $stride) AS INT) AS len,
+               concat_ws(' ', slice(t, i * $stride + 1,
+                 least($chunk, n - i * $stride))) AS txt))"""))
+        .as("c"))
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+        col("c.start").as("start_tok"),
+        col("c.len").as("n_chunk_tokens"),
+        col("c.txt").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** SOURCE-DISTRIBUTION DIVERGENCE MATRIX (q106) — Jensen–Shannon
+    * divergence between every source pair's smoothed unigram
+    * distributions over the shared top-V vocabulary: the
+    * DISTRIBUTIONAL complement to q100's surface overlap (two mirror
+    * sites share grams; two same-genre sources share a distribution).
+    * JS (symmetric, bounded by ln 2) is the standard corpus-similarity
+    * report for mixture design.
+    *
+    * Float contract: each p is (c+1)/(n_s+V) of exact ints; the
+    * per-pair Σ over the vocab is an order-DEFINED fold in vocab-token
+    * order (q95/q101's class) via `aggregate(zip_with(pa, pb, …))` /
+    * `list_reduce(list_transform(…))`. Scale: everything after the
+    * per-(source, term) count operates on nSources·V rows; the output
+    * is nSources² rows. */
+  def sourceDivergence(spark: SparkSession, dir: String,
+      vocabSize: Int = 256): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+      .localCheckpoint() // vocab + per-source counts
+    val vocab = Analytics
+      .topKPerGroup(toks.withColumn("__g", lit(0)), "__g", "tok",
+        vocabSize, shards = 32)
+      .select(col("tok"))
+    val sCnt = toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val grid = toks.select("source").distinct()
+      .crossJoin(broadcast(vocab))
+      .join(sCnt, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+    val ns = grid.groupBy("source").agg(sum("c").as("nsrc"))
+    val vr = vocab.agg(count(lit(1)).as("v"))
+    // per-source probability vector in vocab-token order
+    val pvec = grid.join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(vr))
+      .select(col("source"), col("tok"),
+        ((col("c") + 1).cast("double") / (col("nsrc") + col("v")))
+          .as("p"))
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("tok"), col("p"))))
+        .as("ps"))
+      .select(col("source"), transform(col("ps"), _.getField("p")).as("pv"))
+      .localCheckpoint()
+    val a = pvec.select(col("source").as("source_a"), col("pv").as("pa"))
+    val b = pvec.select(col("source").as("source_b"), col("pv").as("pb"))
+    a.crossJoin(b).filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        aggregate(
+          zip_with(col("pa"), col("pb"), (x, y) =>
+            x * log(x / ((x + y) / lit(2.0))) * lit(0.5) +
+              y * log(y / ((x + y) / lit(2.0))) * lit(0.5)),
+          lit(0.0), (acc, t) => acc + t).as("js_divergence"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** INCREMENTAL VOCABULARY DRIFT (q107) — the data-drift monitor a
+    * corpus team runs between table versions: top-k terms by absolute
+    * count change, computed ONLY from the versioned table's change
+    * feed (q79's machinery), never by rescanning the old snapshot.
+    * Setup inside the query (the q41/q79 convention): v0 = 4/5 of the
+    * corpus, v1 = append the rest (file-level feed — only NEW files
+    * read), v2 = DV-delete doc_id ∈ [100, 199] (row-level feed).
+    * Inserted rows add their term counts, deleted rows subtract; the
+    * oracle recomputes both corpus STATES from scratch — the hash
+    * check proves fold-the-feed ≡ full recompute, the IVM claim
+    * applied to text statistics. Scale: the feed legs read O(delta)
+    * files/rows; term deltas are one partial-agg shuffle of the
+    * changed rows' terms only. */
+  def vocabDrift(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-drift")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    vt.write(d.filter(col("doc_id") % 5 =!= 0)) // v0
+    val v0 = vt.currentVersion.get
+    vt.write(d.filter(col("doc_id") % 5 === 0),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    val v1 = vt.currentVersion.get
+    vt.deleteVectorized("doc_id", 100, 199) // v2
+    val v2 = vt.currentVersion.get
+    val feed = vt.changes(v0, v1).unionByName(vt.changes(v1, v2))
+    feed
+      .select(explode(split(lower(col("text")), " ")).as("term"),
+        when(col("_change_type") === "insert", 1L).otherwise(-1L)
+          .as("sgn"))
+      .groupBy("term").agg(sum("sgn").as("delta"))
+      .filter(col("delta") =!= 0)
+      .orderBy(abs(col("delta")).desc, col("term").asc)
+      .limit(k)
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1748,7 +1869,10 @@ object TrainingData {
     "q101_dsir_weights" -> ((s, d) => dsirWeights(s, d)),
     "q102_kcenter_coreset" -> ((s, d) => kcenterCoreset(s, d)),
     "q103_water_fill" -> waterFill,
-    "q104_mixture_apply" -> mixtureApply
+    "q104_mixture_apply" -> mixtureApply,
+    "q105_chunk_docs" -> ((s, d) => chunkDocs(s, d)),
+    "q106_source_divergence" -> ((s, d) => sourceDivergence(s, d)),
+    "q107_vocab_drift" -> ((s, d) => vocabDrift(s, d))
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -2975,6 +3099,80 @@ object TrainingData {
          SELECT doc_id, sel.source, n_tokens, cum_tokens
          FROM sel JOIN wf ON wf.source = sel.source
          WHERE CAST(cum_tokens AS DOUBLE) <= allocation
-         ORDER BY sel.source, cum_tokens"""
+         ORDER BY sel.source, cum_tokens""",
+    "q105_chunk_docs" ->
+      // chunk count 1 + ceil(max(0, n-64)/48) via integer arithmetic;
+      // DuckDB list slice t[a:b] is 1-based INCLUSIVE both ends =
+      // Spark slice(t, a, len) with b = a + len - 1
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t,
+             len(string_split(lower(text), ' ')) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, t, n,
+             CAST(unnest(range(0,
+               CASE WHEN n <= 64 THEN 0
+                 ELSE (n - 64 + 47) // 48 END + 1)) AS INT) AS chunk_idx
+           FROM t)
+         SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * 48 AS INT) AS start_tok,
+           CAST(least(64, n - chunk_idx * 48) AS INT) AS n_chunk_tokens,
+           array_to_string(t[chunk_idx * 48 + 1 :
+             chunk_idx * 48 + least(64, n - chunk_idx * 48)], ' ')
+             AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q106_source_divergence" ->
+      // q68's vocab + per-source add-one distributions; the per-pair
+      // JS sum is an order-DEFINED fold in vocab-token order (q95's
+      // contract); element expressions mirror the Spark zip_with tree
+      """WITH toks AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         r AS (SELECT tok, row_number() OVER (ORDER BY c DESC, tok)
+                 AS rn FROM cnt),
+         vocab AS (SELECT tok FROM r WHERE rn <= 256),
+         vr AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+         sc AS (SELECT source, tok, count(*) AS c
+                FROM toks JOIN vocab USING (tok) GROUP BY 1, 2),
+         grid AS (SELECT s.source, vb.tok, coalesce(sc.c, 0) AS c
+           FROM (SELECT DISTINCT source FROM toks) s
+           CROSS JOIN vocab vb
+           LEFT JOIN sc ON sc.source = s.source AND sc.tok = vb.tok),
+         ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS nsrc
+                FROM grid GROUP BY 1),
+         p AS (SELECT grid.source, grid.tok,
+             CAST(grid.c + 1 AS DOUBLE) / (ns.nsrc + vr.v) AS p
+           FROM grid JOIN ns USING (source) CROSS JOIN vr),
+         vecs AS (SELECT source, list(p ORDER BY tok) AS pv
+                  FROM p GROUP BY 1)
+         SELECT a.source AS source_a, b.source AS source_b,
+           list_reduce(
+             list_transform(range(1, len(a.pv) + 1), i ->
+               a.pv[i] * ln(a.pv[i] / ((a.pv[i] + b.pv[i]) / 2.0)) * 0.5
+               + b.pv[i] * ln(b.pv[i] / ((a.pv[i] + b.pv[i]) / 2.0))
+                 * 0.5),
+             (x, y) -> x + y) AS js_divergence
+         FROM vecs a JOIN vecs b ON a.source < b.source
+         ORDER BY source_a, source_b""",
+    "q107_vocab_drift" ->
+      // the oracle recomputes both table STATES from scratch; the
+      // Spark side folds ONLY the change feed — hash equality proves
+      // feed-fold ≡ full recompute (IVM applied to text stats).
+      // v0 = doc_id % 5 <> 0; v2 = everything minus the DV-deleted
+      // [100, 199] (deleteVectorized bounds are inclusive)
+      """WITH c0 AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS term
+           FROM documents WHERE doc_id % 5 <> 0),
+         c2 AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS term
+           FROM documents WHERE doc_id NOT BETWEEN 100 AND 199),
+         a AS (SELECT term, count(*) AS n0 FROM c0 GROUP BY 1),
+         b AS (SELECT term, count(*) AS n2 FROM c2 GROUP BY 1),
+         j AS (SELECT coalesce(a.term, b.term) AS term,
+             coalesce(b.n2, 0) - coalesce(a.n0, 0) AS delta
+           FROM a FULL JOIN b ON a.term = b.term)
+         SELECT term, CAST(delta AS BIGINT) AS delta FROM j
+         WHERE delta <> 0 ORDER BY abs(delta) DESC, term ASC LIMIT 10"""
   )
 }

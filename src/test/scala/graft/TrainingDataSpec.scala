@@ -910,6 +910,62 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: full coverage, stride overlap, text reconstructs") {
+    val chunks = TrainingData.chunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+      .groupBy(_._1)
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    assert(chunks.keySet === texts.keySet)
+    chunks.foreach { case (id, cs) =>
+      val toks = texts(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices, "chunk_idx dense")
+      sorted.foreach { case (_, idx, start, len, txt) =>
+        assert(start === idx * 48)
+        assert(len === math.min(64, toks.length - start))
+        assert(txt === toks.slice(start, start + len).mkString(" "))
+      }
+      // coverage: last chunk reaches the end; every start < n
+      assert(sorted.last._3 + sorted.last._4 === toks.length)
+      assert(sorted.forall(_._3 < toks.length))
+    }
+  }
+
+  test("source divergence: bounded by ln 2, positive, matches a Scala replay on one pair") {
+    val rows = TrainingData.sourceDivergence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val nSrc = Tables.load(spark, sf, "documents")
+      .select("source").distinct().count().toInt
+    assert(rows.length === nSrc * (nSrc - 1) / 2)
+    rows.foreach { case (a, b, js) =>
+      assert(a < b)
+      assert(js > 0.0 && js <= math.log(2) + 1e-12,
+        s"JS($a,$b)=$js out of (0, ln 2]")
+    }
+  }
+
+  test("vocab drift: feed fold equals full recompute of both states") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    def counts(p: ((Long, Array[String])) => Boolean) =
+      docs.filter(p).flatMap(_._2).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+    val c0 = counts { case (id, _) => id % 5 != 0 }
+    val c2 = counts { case (id, _) => id < 100 || id > 199 }
+    val expect = (c0.keySet ++ c2.keySet).toSeq
+      .map(t => t -> (c2.getOrElse(t, 0L) - c0.getOrElse(t, 0L)))
+      .filter(_._2 != 0)
+      .sortBy { case (t, d) => (-math.abs(d), t) }
+      .take(10)
+    val got = TrainingData.vocabDrift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expect)
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
