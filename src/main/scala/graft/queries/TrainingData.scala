@@ -1779,6 +1779,51 @@ object TrainingData {
       .limit(k)
   }
 
+  /** PERSISTENT MINHASH INDEX probe (q108) — build → append → query
+    * through [[graft.dedup.MinhashIndex]]: the index is built on
+    * doc_id % 10 ∉ {0,1,2} (v0), grows by an O(new) APPEND of
+    * % 10 = 0 (v1 — the incremental-ingest path, under the oracle
+    * because appended docs ARE probe hits), then the % 10 ∈ {1,2}
+    * batch asks "which of you near-dups anything indexed?". The
+    * oracle replays sign → band-key probe → Jaccard verify from raw
+    * text — the whole persistent path (write, manifest read, probe
+    * join, semi-join-scoped sets read) must reproduce the stateless
+    * computation exactly. */
+  def minhashIndexQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-mhidx")
+      .resolve("idx").toString
+    val idx = new graft.dedup.MinhashIndex(spark, root)
+    val d = docs(spark, dir)
+    val res = col("doc_id") % 10
+    idx.build(d.filter(res =!= 0 && res =!= 1 && res =!= 2),
+      "doc_id", "text")
+    idx.append(d.filter(res === 0), "doc_id", "text")
+    idx.query(d.filter(res === 1 || res === 2), "doc_id", "text")
+  }
+
+  /** CANONICAL-BY-QUALITY dedup policy (q109) — the survivor-selection
+    * rule a production dedup actually ships: within each near-dup
+    * cluster (q23's text pairs → q36's connected components), keep the
+    * HIGHEST-quality member (q19's composite; ties → lowest id), not
+    * the arbitrary minimum id (q76/q85's placeholder policy). Emits
+    * every clustered doc with its component, quality, and the
+    * canonical flag. Scale: clusters are bounded by the dedup caps
+    * upstream, so the per-component window ranks a handful of rows;
+    * CC is q36's O(diameter) label propagation. */
+  def canonicalByQuality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshPairs(spark, dir).select("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val q = TextAnalysis.withQualityColumns(docs(spark, dir), "text")
+      .select(col("doc_id"), col("quality_score"))
+    comp.join(q, comp("node") === q("doc_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("component")
+        .orderBy(col("quality_score").desc, col("doc_id").asc)))
+      .select(col("component"), col("doc_id"), col("quality_score"),
+        (col("rn") === 1).as("canonical"))
+      .orderBy("component", "doc_id")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1872,7 +1917,9 @@ object TrainingData {
     "q104_mixture_apply" -> mixtureApply,
     "q105_chunk_docs" -> ((s, d) => chunkDocs(s, d)),
     "q106_source_divergence" -> ((s, d) => sourceDivergence(s, d)),
-    "q107_vocab_drift" -> ((s, d) => vocabDrift(s, d))
+    "q107_vocab_drift" -> ((s, d) => vocabDrift(s, d)),
+    "q108_minhash_index" -> minhashIndexQuery,
+    "q109_canonical_quality" -> canonicalByQuality
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -1985,8 +2032,12 @@ object TrainingData {
        ORDER BY doc_a, doc_b"""
   }
 
-  private val minhashSql: String =
-    s"""WITH toks AS (
+  /** q23's signing chain (tokens → shingle sets → 8 md5-slice
+    * minhashes → "_"-joined 2-row band keys) as reusable CTE bodies —
+    * shared by the q23, q108 (persistent index probe), and q109
+    * (canonical policy) oracles. */
+  private val minhashBandCtes: String =
+    s"""toks AS (
          SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
        sh AS (
          SELECT doc_id, list_distinct(list_transform(range(len(t)-2),
@@ -2001,7 +2052,10 @@ object TrainingData {
        bands AS (
          SELECT doc_id, k // 2 AS band,
            string_agg(h::VARCHAR, '_' ORDER BY k) AS key
-         FROM mh GROUP BY doc_id, k // 2),
+         FROM mh GROUP BY doc_id, k // 2)"""
+
+  private val minhashSql: String =
+    s"""WITH $minhashBandCtes,
        bsize AS (
          SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
        cand AS (
@@ -3173,6 +3227,78 @@ object TrainingData {
              coalesce(b.n2, 0) - coalesce(a.n0, 0) AS delta
            FROM a FULL JOIN b ON a.term = b.term)
          SELECT term, CAST(delta AS BIGINT) AS delta FROM j
-         WHERE delta <> 0 ORDER BY abs(delta) DESC, term ASC LIMIT 10"""
+         WHERE delta <> 0 ORDER BY abs(delta) DESC, term ASC LIMIT 10""",
+    "q108_minhash_index" ->
+      // q23's signing chain; candidates = query bands (doc_id%10 in
+      // {1,2}) probing INDEXED bands (the rest) — no bucket-size
+      // floor/cap (the probe join has no self-join degeneracy); string
+      // shingle-set Jaccard = the hashed-space kernel's value (q23
+      // precedent)
+      s"""WITH $minhashBandCtes,
+         candqx AS (
+           SELECT DISTINCT q.doc_id AS doc_q, x.doc_id AS doc_x
+           FROM bands q JOIN bands x
+             ON q.band = x.band AND q.key = x.key
+           WHERE q.doc_id % 10 IN (1, 2)
+             AND x.doc_id % 10 NOT IN (1, 2)),
+         ver AS (
+           SELECT c.doc_q, c.doc_x,
+             len(list_intersect(sa.s, sb.s)) * 1.0
+               / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+           FROM candqx c
+           JOIN sh sa ON c.doc_q = sa.doc_id
+           JOIN sh sb ON c.doc_x = sb.doc_id)
+         SELECT doc_q, doc_x, jaccard FROM ver
+         WHERE jaccard >= 0.8 ORDER BY doc_q, doc_x""",
+    "q109_canonical_quality" ->
+      // q23's verified pairs -> q36's recursive min-label components
+      // -> per-component argmax by q19's quality tree (ties -> lowest
+      // id); the bsize floor/cap mirrors lshCandidates exactly as in
+      // the q23 oracle
+      s"""WITH RECURSIVE $minhashBandCtes,
+         bsize AS (
+           SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           JOIN bsize s ON a.band = s.band AND a.key = s.key
+           WHERE s.n BETWEEN 2 AND 10000),
+         pairs AS (
+           SELECT c.doc_a, c.doc_b
+           FROM cand c
+           JOIN sh sa ON c.doc_a = sa.doc_id
+           JOIN sh sb ON c.doc_b = sb.doc_id
+           WHERE len(list_intersect(sa.s, sb.s)) * 1.0
+               / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8),
+         sym AS (SELECT doc_a AS a, doc_b AS b2 FROM pairs
+                 UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(node, root) AS (
+           SELECT a, a FROM sym
+           UNION
+           SELECT s.b2, r.root FROM reach r JOIN sym s ON s.a = r.node),
+         comp AS (SELECT node, min(root) AS component
+                  FROM reach GROUP BY node),
+         qual AS (
+           SELECT doc_id,
+             CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
+                 AS DOUBLE) / len(t) * CAST(0.5 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE)
+                  - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]',
+                      '', 'g')) AS DOUBLE) / length(text))
+                 * CAST(0.3 AS DOUBLE)
+               + least(len(t) / CAST(100.0 AS DOUBLE),
+                   CAST(1.0 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+               AS quality_score
+           FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t
+                 FROM documents)),
+         j AS (SELECT comp.component, comp.node AS doc_id,
+                 qual.quality_score
+               FROM comp JOIN qual ON qual.doc_id = comp.node),
+         rr AS (SELECT *, row_number() OVER (PARTITION BY component
+                  ORDER BY quality_score DESC, doc_id ASC) AS rn FROM j)
+         SELECT CAST(component AS BIGINT) AS component, doc_id,
+           quality_score, rn = 1 AS canonical
+         FROM rr ORDER BY component, doc_id"""
   )
 }

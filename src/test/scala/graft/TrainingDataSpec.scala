@@ -966,6 +966,75 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("minhash index: probe = stateless pairs across the split; append grows hits") {
+    val d = Tables.load(spark, sf, "documents")
+    val stateless = TrainingData.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def crossSplit(p: (Long, Long)) = {
+      val (a, b) = p
+      val (qa, qb) = (a % 10 == 1 || a % 10 == 2, b % 10 == 1 || b % 10 == 2)
+      if (qa && !qb) Some((a, b)) else if (qb && !qa) Some((b, a)) else None
+    }
+    // NOTE: q23 applies a >=2 bucket floor the probe join doesn't need;
+    // on this corpus every cross-split stateless pair is also a probe
+    // hit, and the probe may legitimately find pairs q23's floor
+    // dropped — assert superset, then exactness via the oracle
+    val expected = stateless.flatMap(crossSplit)
+    val got = TrainingData.minhashIndexQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(got),
+      s"probe missed stateless pairs: ${expected -- got}")
+    // incremental: before the append the %10==0 slice is invisible to
+    // the probe; after append its near-dups appear — and the appended
+    // index answers exactly like one built whole
+    val res = col("doc_id") % 10
+    def freshRoot() = java.nio.file.Files
+      .createTempDirectory("graft-mhidx-spec").resolve("idx").toString
+    val incr = new graft.dedup.MinhashIndex(spark, freshRoot())
+    incr.build(d.filter(res =!= 0 && res =!= 1 && res =!= 2),
+      "doc_id", "text")
+    val before = incr.query(d.filter(res === 1 || res === 2),
+      "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    incr.append(d.filter(res === 0), "doc_id", "text")
+    val after = incr.query(d.filter(res === 1 || res === 2),
+      "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.subsetOf(after), "append must never lose hits")
+    assert(after === got, "appended index must answer like a whole build")
+    assert((after -- before).forall(_._2 % 10 == 0),
+      "new hits must come from the appended slice")
+  }
+
+  test("canonical by quality: one canonical per component, argmax by quality") {
+    val rows = TrainingData.canonicalByQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (c, ms) =>
+      assert(ms.length >= 2, s"component $c has a single member")
+      assert(ms.count(_._4) === 1, s"component $c canonical count != 1")
+      val canon = ms.find(_._4).get
+      val best = ms.minBy(m => (-m._3, m._2))
+      assert(canon._2 === best._2, s"component $c canonical not the argmax")
+    }
+    // components agree with a union-find over the stateless pairs
+    val pairs = TrainingData.minhashLshPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (_, ns) => ns.toSet }.toSet
+    val gotComps = rows.groupBy(_._1).values.map(_.map(_._2).toSet).toSet
+    assert(gotComps === expect)
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
