@@ -1824,6 +1824,94 @@ object TrainingData {
       .orderBy("component", "doc_id")
   }
 
+  /** LEXICAL DIVERSITY & ENTROPY (q110) — the information-theoretic
+    * quality signals next to q19's ratio heuristics: type-token ratio
+    * (template/boilerplate text repeats its vocabulary), mean word
+    * length, and CHARACTER ENTROPY −Σ p ln p (a compressibility
+    * proxy: spam and generated filler sit at distribution extremes —
+    * the signal behind "remove low-/high-entropy docs" filters).
+    * Counts are exact ints; entropy's cross-row Σ is order-DEFINED:
+    * the native [[graft.functions.CharEntropy]] kernel folds each
+    * row's histogram in ascending codepoint order — the same order
+    * the oracle's `list_reduce(list(term ORDER BY ch))` visits — so
+    * the doubles are bit-identical. Scale: the kernel makes the whole
+    * query ONE narrow pass, zero shuffles (the explode formulation
+    * this replaces shuffled one row per CHARACTER — ~10⁴× the doc
+    * count). */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"),
+        split(lower(col("text")), " ").as("t"))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_types", size(array_distinct(col("t"))))
+      .withColumn("sum_len", aggregate(col("t"), lit(0L),
+        (acc, x) => acc + length(x)))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("sum_len").cast("double") / col("n_tokens"))
+          .as("mean_word_len"),
+        graft.functions.CharEntropy.charEntropy(lower(col("text")))
+          .as("char_entropy"))
+      .orderBy("doc_id")
+
+  /** CONTAMINATION RATE BY SOURCE (q111) — q45's doc-level benchmark
+    * flags aggregated to the governance grain: per source, how many
+    * corpus documents share ≥ 1 whitespace-8-gram with the benchmark
+    * set, and the rate. The report a data lead actually reads
+    * ("source X is 4% contaminated — quarantine it"); doc-level q45
+    * stays the actionable drill-down. Same broadcast-benchmark join
+    * (the corpus never shuffles); one extra nSources-row fold. */
+  def contaminationBySource(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 8), " +
+          "i -> concat_ws(' ', slice(t, i + 1, 8)))")).as("g8"))
+    val bench = shingled.filter(col("doc_id") % 10 === 0)
+      .select(col("g8")).distinct()
+    val flagged = shingled.filter(col("doc_id") % 10 =!= 0)
+      .join(broadcast(bench), Seq("g8"))
+      .select("doc_id").distinct()
+      .withColumn("flagged", lit(1L))
+    docs(spark, dir).filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("flagged"), lit(0L))).as("n_flagged"))
+      .withColumn("flag_rate",
+        col("n_flagged").cast("double") / col("n_docs"))
+      .orderBy("source")
+  }
+
+  /** EMBEDDING-TABLE QA CARD (q112) — the per-dimension data card an
+    * embedding pipeline publishes (and the drift monitor diffs):
+    * count, mean, std, min, max per dimension. A collapsed dimension
+    * (std ≈ 0), a shifted mean, or an exploding max is how a broken
+    * encoder export shows up. Float contract: per-value
+    * round→LONG sums (the q86 class) make mean/std order-insensitive;
+    * min/max are exact. Scale: one posexplode collapsing through
+    * partial agg to d rows — the corpus never shuffles raw vectors. */
+  def embeddingQa(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .select(posexplode(Similarity.toDouble(col("embedding")))
+        .as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x") * 1e6).cast("long")).as("sx"),
+        sum(round(col("x") * col("x") * 1e6).cast("long")).as("sxx"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .select(col("dim"), col("n"),
+        (col("sx").cast("double") / 1e6 / col("n")).as("mean_x"),
+        sqrt(greatest(lit(0.0),
+          col("sxx").cast("double") / 1e6 / col("n") -
+            (col("sx").cast("double") / 1e6 / col("n")) *
+            (col("sx").cast("double") / 1e6 / col("n")))).as("std_x"),
+        col("min_x"), col("max_x"))
+      .orderBy("dim")
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -1919,7 +2007,10 @@ object TrainingData {
     "q106_source_divergence" -> ((s, d) => sourceDivergence(s, d)),
     "q107_vocab_drift" -> ((s, d) => vocabDrift(s, d)),
     "q108_minhash_index" -> minhashIndexQuery,
-    "q109_canonical_quality" -> canonicalByQuality
+    "q109_canonical_quality" -> canonicalByQuality,
+    "q110_lexical_diversity" -> lexicalDiversity,
+    "q111_contamination_rate" -> contaminationBySource,
+    "q112_embedding_qa" -> embeddingQa
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -3299,6 +3390,83 @@ object TrainingData {
                   ORDER BY quality_score DESC, doc_id ASC) AS rn FROM j)
          SELECT CAST(component AS BIGINT) AS component, doc_id,
            quality_score, rn = 1 AS canonical
-         FROM rr ORDER BY component, doc_id"""
+         FROM rr ORDER BY component, doc_id""",
+    "q110_lexical_diversity" ->
+      // entropy terms are single-expression doubles; the per-doc Σ is
+      // an order-DEFINED fold in character order (q95's class)
+      """WITH base AS (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS t
+           FROM documents),
+         b2 AS (SELECT doc_id, text,
+             CAST(len(t) AS INT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS INT) AS n_types,
+             CAST(list_sum(list_transform(t, x -> length(x)))
+               AS BIGINT) AS sum_len,
+             length(text) AS nch
+           FROM base),
+         ch AS (SELECT doc_id, nch,
+             unnest(list_transform(range(1, length(text) + 1),
+               i -> substr(lower(text), i, 1))) AS ch
+           FROM b2),
+         cc AS (SELECT doc_id, nch, ch, count(*) AS c
+                FROM ch GROUP BY 1, 2, 3),
+         terms AS (SELECT doc_id, ch,
+             (CAST(c AS DOUBLE) / nch) * ln(CAST(c AS DOUBLE) / nch)
+               * -1.0 AS term
+           FROM cc),
+         ent AS (SELECT doc_id,
+             list_reduce(list(term ORDER BY ch), (x, y) -> x + y)
+               AS char_entropy
+           FROM terms GROUP BY 1)
+         SELECT b2.doc_id, n_tokens, n_types,
+           CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+           CAST(sum_len AS DOUBLE) / n_tokens AS mean_word_len,
+           char_entropy
+         FROM b2 JOIN ent USING (doc_id) ORDER BY doc_id""",
+    "q111_contamination_rate" ->
+      // q45's broadcast-benchmark join rolled up to source grain
+      """WITH toks AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+             i -> array_to_string(t[i+1:i+8], ' '))) AS g8
+           FROM toks WHERE len(t) >= 8),
+         bench AS (SELECT DISTINCT g8 FROM sh WHERE doc_id % 10 = 0),
+         flagged AS (
+           SELECT DISTINCT s.doc_id FROM sh s JOIN bench USING (g8)
+           WHERE s.doc_id % 10 <> 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS flag_rate
+         FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+         WHERE d.doc_id % 10 <> 0
+         GROUP BY 1 ORDER BY 1""",
+    "q112_embedding_qa" ->
+      // per-value round->LONG sums (q86's class): mean/std
+      // order-insensitive; min/max exact; dim is 0-based like
+      // posexplode
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         px AS (SELECT CAST(unnest(range(1, len(v) + 1)) AS INT) - 1
+                  AS dim, unnest(v) AS x
+                FROM e),
+         agg AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT)
+               AS sx,
+             CAST(sum(CAST(round(x * x * 1000000) AS BIGINT)) AS BIGINT)
+               AS sxx,
+             min(x) AS min_x, max(x) AS max_x
+           FROM px GROUP BY 1)
+         SELECT dim, n,
+           CAST(sx AS DOUBLE) / 1000000 / n AS mean_x,
+           sqrt(greatest(0.0,
+             CAST(sxx AS DOUBLE) / 1000000 / n
+               - (CAST(sx AS DOUBLE) / 1000000 / n)
+                 * (CAST(sx AS DOUBLE) / 1000000 / n))) AS std_x,
+           min_x, max_x
+         FROM agg ORDER BY dim"""
   )
 }

@@ -1035,6 +1035,74 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(gotComps === expect)
   }
 
+  test("lexical diversity: matches a Scala recount incl. char entropy") {
+    val rows = TrainingData.lexicalDiversity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === texts.size)
+    rows.foreach { case (id, nTok, nTyp, ttr, mwl, ent) =>
+      val toks = texts(id).toLowerCase.split(" ", -1)
+      assert(nTok === toks.length)
+      assert(nTyp === toks.distinct.length)
+      assert(ttr === nTyp.toDouble / nTok)
+      assert(mwl === toks.map(_.length).sum.toDouble / nTok)
+      val lc = texts(id).toLowerCase
+      val expected = lc.groupBy(identity).values.map { g =>
+        val p = g.length.toDouble / lc.length
+        -p * math.log(p)
+      }.sum
+      assert(math.abs(ent - expected) < 1e-9, s"doc $id entropy drift")
+      assert(ent >= 0.0)
+    }
+  }
+
+  test("contamination rate: per-source flags agree with q45's doc flags") {
+    val q45docs = TrainingData.decontaminate(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val srcOf = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = srcOf.toSeq.collect {
+      case (id, s) if id % 10 != 0 => (s, q45docs.contains(id))
+    }.groupBy(_._1).view
+      .mapValues(xs => (xs.size.toLong, xs.count(_._2).toLong)).toMap
+    val got = TrainingData.contaminationBySource(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (s, (n, f, rate)) =>
+      assert((n, f) === expect(s), s"source $s counts drifted")
+      assert(rate === f.toDouble / n)
+    }
+  }
+
+  test("embedding qa: per-dim stats match a Scala recount") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(Similarity.toDouble(col("embedding"))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val d = vecs.head.length
+    val rows = TrainingData.embeddingQa(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length === d)
+    rows.foreach { case (dim, n, mean, std, mn, mx) =>
+      val xs = vecs.map(_(dim))
+      assert(n === xs.length)
+      assert(mn === xs.min && mx === xs.max)
+      val sx = xs.map(x => math.rint(x * 1e6).toLong).sum
+      val sxx = xs.map(x => math.rint(x * x * 1e6).toLong).sum
+      val emean = sx.toDouble / 1e6 / n
+      assert(mean === emean, s"dim $dim mean drift")
+      val estd = math.sqrt(math.max(0.0,
+        sxx.toDouble / 1e6 / n - emean * emean))
+      assert(math.abs(std - estd) < 1e-12, s"dim $dim std drift")
+      assert(std > 0.0, s"dim $dim collapsed")
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
