@@ -44,7 +44,7 @@ object AnnOracles {
   val keys: Set[String] = Set(
     "q30_ann_ivf", "q69_ann_ivf_indexed", "q75_ann_ivf_filtered",
     "q57_ann_pq", "q58_ann_ivfpq", "q70_ann_ivfpq_indexed",
-    "q86_cluster_profile", "q93_semdedup")
+    "q86_cluster_profile", "q93_semdedup", "q113_ann_eval")
 
   def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
     val ivf = ivfSql(spark, dir)
@@ -63,7 +63,8 @@ object AnnOracles {
       "q58_ann_ivfpq" -> ivfpq,
       "q70_ann_ivfpq_indexed" -> ivfpq,
       "q86_cluster_profile" -> kmeansProfileSql(spark, dir),
-      "q93_semdedup" -> semDedupSql(spark, dir))
+      "q93_semdedup" -> semDedupSql(spark, dir),
+      "q113_ann_eval" -> annEvalSql(spark, dir))
     assert(out.keySet == keys,
       s"AnnOracles.dynamic drifted from AnnOracles.keys: ${
         (out.keySet diff keys) ++ (keys diff out.keySet)}")
@@ -269,6 +270,38 @@ object AnnOracles {
          (drops.id IS NULL) AS kept
        FROM a LEFT JOIN drops ON drops.id = a.id
        ORDER BY vec_id"""
+  }
+
+  // ---------------------------------------------------------------- q113
+
+  /** ANN-eval oracle: the frozen-centroid IVF result (ivfSql, ranked
+    * by its rounded cosine — exactly what the Spark side ranks) joined
+    * against an exact-cosine brute-force ground truth, folded into
+    * per-query recall@3 and MRR. Mirrors `TrainingData.annEval`. */
+  def annEvalSql(spark: SparkSession, dir: String): String = {
+    val ivf = ivfSql(spark, dir)
+    s"""WITH ivf AS ($ivf),
+       ${baseTables()},
+       bscored AS (
+         SELECT q.id AS q_id, c.id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.id
+             ORDER BY ${cos("q.v", "c.v")} DESC, c.id ASC) AS rn
+         FROM queries q CROSS JOIN corpus c),
+       gt AS (SELECT q_id, neighbor_id FROM bscored WHERE rn <= 3),
+       sysr AS (
+         SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rk
+         FROM ivf),
+       hits AS (
+         SELECT s.q_id, count(*) AS nhit, min(rk) AS minrk
+         FROM sysr s JOIN gt
+           ON gt.q_id = s.q_id AND gt.neighbor_id = s.neighbor_id
+         GROUP BY 1)
+       SELECT q.q_id,
+         CAST(coalesce(nhit, 0) AS DOUBLE) / 3.0 AS recall_at_3,
+         coalesce(1.0 / minrk, 0.0) AS mrr
+       FROM (SELECT DISTINCT q_id FROM gt) q LEFT JOIN hits USING (q_id)
+       ORDER BY q_id"""
   }
 
   // ---------------------------------------------------------------- q57

@@ -1912,6 +1912,36 @@ object TrainingData {
         col("min_x"), col("max_x"))
       .orderBy("dim")
 
+  /** ANN EVALUATION HARNESS (q113) — the retrieval-quality report an
+    * index owner actually publishes: per query, recall@3 and MRR of
+    * the IVF index (q30) against the exact brute-force ground truth
+    * (q26). Rank metrics are exact rationals (hit counts / 3,
+    * 1/rank), so the float contract is trivial. The oracle is
+    * GENERATED ([[AnnOracles.annEvalSql]]): the frozen-centroid IVF
+    * SQL and an exact-cosine ground-truth ranking composed into the
+    * same metric join — a drift in EITHER pipeline or in the metric
+    * arithmetic hash-mismatches. Scale: both inputs are ≤ k rows per
+    * query; the metric join is per-query bounded. */
+  def annEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gt = knnCosineBrute(spark, dir)
+    val sys = annIvf(spark, dir)
+    val sysR = sys.withColumn("rk", row_number().over(
+      Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+    val perQ = sysR
+      .join(gt.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("nhit"), min("rk").as("minrk"))
+    gt.select("q_id").distinct()
+      .join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("nhit"), lit(0L)).cast("double") / lit(3.0))
+          .as("recall_at_3"),
+        coalesce(lit(1.0) / col("minrk"), lit(0.0)).as("mrr"))
+      .orderBy("q_id")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -2010,7 +2040,8 @@ object TrainingData {
     "q109_canonical_quality" -> canonicalByQuality,
     "q110_lexical_diversity" -> lexicalDiversity,
     "q111_contamination_rate" -> contaminationBySource,
-    "q112_embedding_qa" -> embeddingQa
+    "q112_embedding_qa" -> embeddingQa,
+    "q113_ann_eval" -> annEval
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation

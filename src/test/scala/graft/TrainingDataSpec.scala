@@ -1103,6 +1103,28 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("ann eval: metrics consistent with a Scala recount of gt/system overlap") {
+    val gt = TrainingData.knnCosineBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sys = TrainingData.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(
+        _.sortBy(x => (-x._3, x._2)).map(_._2).toList).toMap
+    val rows = TrainingData.annEval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList
+    assert(rows.map(_._1).toSet === gt.keySet)
+    rows.foreach { case (q, rec, mrr) =>
+      val ranked = sys.getOrElse(q, Nil)
+      val hits = ranked.count(gt(q))
+      assert(rec === hits / 3.0, s"query $q recall drift")
+      val firstHit = ranked.zipWithIndex.find(x => gt(q)(x._1)).map(_._2 + 1)
+      assert(mrr === firstHit.map(1.0 / _).getOrElse(0.0),
+        s"query $q mrr drift")
+      assert(rec >= 0.0 && rec <= 1.0 && mrr >= 0.0 && mrr <= 1.0)
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
