@@ -78,6 +78,37 @@ class MinhashIndex(spark: SparkSession, root: String,
     sets.write(sh, SaveMode.Append)
   }
 
+  /** Streaming ingest: a foreachBatch sink signing each micro-batch
+    * into the index, EXACTLY-ONCE per `appId` via the per-table
+    * `STREAM_<appId>_BATCH_<n>` marker contract (the
+    * `LexicalIndex.streamingIngestBatch` convention): the index
+    * writes TWO tables per batch, so each carries its OWN marker and
+    * a replayed batch (foreachBatch is at-least-once) completes
+    * whichever commit is missing and skips the one that landed —
+    * postings and sets can never double.
+    *
+    * Usage: `docsStream.writeStream.foreachBatch(
+    * idx.streamingIngestBatch("doc_id", "text", "mh-ingest-v1"))
+    * .option("checkpointLocation", …).start()`. */
+  def streamingIngestBatch(idCol: String, textCol: String,
+      appId: String): (DataFrame, Long) => Unit = {
+    require(appId.matches("[A-Za-z0-9.-]+"),
+      s"appId must be [A-Za-z0-9.-]+, got '$appId'")
+    val marker = s"STREAM_${appId}_BATCH_"
+    (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val (bands, sh) = sign(batch, idCol, textCol)
+        def appendOnce(vt: graft.io.VersionedTable, df: DataFrame): Unit = {
+          val last = vt.lastOperationWith(marker)
+            .map(_.operation.stripPrefix(marker).toLong)
+          if (last.forall(_ < batchId))
+            vt.write(df, SaveMode.Append, s"$marker$batchId")
+        }
+        appendOnce(postings, bands)
+        appendOnce(sets, sh)
+      }
+  }
+
   /** Probe: near-dup pairs (doc_q from `docs`, doc_x indexed) with
     * hashed-shingle Jaccard ≥ threshold. The index is read twice:
     * postings by the probe equi-join, sets ONLY for candidate ids. */
