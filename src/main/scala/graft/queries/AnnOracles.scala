@@ -44,7 +44,8 @@ object AnnOracles {
   val keys: Set[String] = Set(
     "q30_ann_ivf", "q69_ann_ivf_indexed", "q75_ann_ivf_filtered",
     "q57_ann_pq", "q58_ann_ivfpq", "q70_ann_ivfpq_indexed",
-    "q86_cluster_profile", "q93_semdedup", "q113_ann_eval")
+    "q86_cluster_profile", "q93_semdedup", "q113_ann_eval",
+    "q114_balanced_sample")
 
   def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
     val ivf = ivfSql(spark, dir)
@@ -64,7 +65,8 @@ object AnnOracles {
       "q70_ann_ivfpq_indexed" -> ivfpq,
       "q86_cluster_profile" -> kmeansProfileSql(spark, dir),
       "q93_semdedup" -> semDedupSql(spark, dir),
-      "q113_ann_eval" -> annEvalSql(spark, dir))
+      "q113_ann_eval" -> annEvalSql(spark, dir),
+      "q114_balanced_sample" -> balancedSampleSql(spark, dir))
     assert(out.keySet == keys,
       s"AnnOracles.dynamic drifted from AnnOracles.keys: ${
         (out.keySet diff keys) ++ (keys diff out.keySet)}")
@@ -302,6 +304,36 @@ object AnnOracles {
          coalesce(1.0 / minrk, 0.0) AS mrr
        FROM (SELECT DISTINCT q_id FROM gt) q LEFT JOIN hits USING (q_id)
        ORDER BY q_id"""
+  }
+
+  // ---------------------------------------------------------------- q114
+
+  /** Cluster-balanced-sample oracle: frozen trained centroids (full
+    * table, like q86), naive per-cluster md5-order window capped at
+    * 40 — the Spark side replays it via the q39-shaped two-pass
+    * rank. Mirrors `TrainingData.clusterBalancedSample` (nlist=8,
+    * iters=2, cap=40). */
+  def balancedSampleSql(spark: SparkSession, dir: String): String = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val cent = Similarity.ivfTrain(e, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val dim = cent(0).length
+    s"""WITH cent AS (SELECT * FROM ${centRelation(cent)}),
+       e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+             FROM embeddings),
+       ad AS (SELECT e.id, cent.cl, ${l2("e.v", "cent.c", dim)} AS d
+              FROM e CROSS JOIN cent),
+       a AS (SELECT id, cl AS cluster FROM (
+               SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY d ASC, cl ASC) AS rn FROM ad)
+             WHERE rn = 1),
+       r AS (SELECT id, cluster,
+               CAST(row_number() OVER (PARTITION BY cluster
+                 ORDER BY md5(CAST(id AS VARCHAR)), id) AS INT)
+                 AS rank_in_cluster
+             FROM a)
+       SELECT id AS vec_id, cluster, rank_in_cluster
+       FROM r WHERE rank_in_cluster <= 40 ORDER BY vec_id"""
   }
 
   // ---------------------------------------------------------------- q57

@@ -1942,6 +1942,37 @@ object TrainingData {
       .orderBy("q_id")
   }
 
+  /** CLUSTER-BALANCED SUBSAMPLING (q114) — the diversity-preserving
+    * downsample (DataComp/SemDeDup-family recipe): cap each k-means
+    * cluster at `cap` members so dominant modes shrink and rare modes
+    * survive — the embedding-space analogue of q39's per-source cap,
+    * with the same deterministic md5-order membership (stable under
+    * re-runs/partitioning). Selection shape is q39's two-pass: a
+    * (cluster, shard) pre-cap bounds every reducer, then the exact
+    * rank runs over ≤ cap×shards survivors per cluster — no
+    * single-reducer cluster sort. Oracle: frozen centroids + the
+    * naive per-cluster window ([[AnnOracles.balancedSampleSql]]). */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+      nlist: Int = 8, cap: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(spark, dir)
+    val cents = Similarity.ivfTrain(e, "vec_id", "embedding", nlist,
+      iters = 2)
+    val ord = md5(col("id").cast("string"))
+    val wPre = Window.partitionBy(col("cluster"), col("__shard"))
+      .orderBy(ord, col("id"))
+    val wExact = Window.partitionBy(col("cluster")).orderBy(ord, col("id"))
+    Similarity.assignClusters(e, "vec_id", "embedding", cents)
+      .withColumn("__shard", pmod(xxhash64(col("id")), lit(mixShards)))
+      .withColumn("__pre", row_number().over(wPre))
+      .filter(col("__pre") <= cap)
+      .withColumn("rank_in_cluster", row_number().over(wExact))
+      .filter(col("rank_in_cluster") <= cap)
+      .select(col("id").as("vec_id"), col("cluster"),
+        col("rank_in_cluster"))
+      .orderBy("vec_id")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -2041,7 +2072,8 @@ object TrainingData {
     "q110_lexical_diversity" -> lexicalDiversity,
     "q111_contamination_rate" -> contaminationBySource,
     "q112_embedding_qa" -> embeddingQa,
-    "q113_ann_eval" -> annEval
+    "q113_ann_eval" -> annEval,
+    "q114_balanced_sample" -> ((s, d) => clusterBalancedSample(s, d))
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation

@@ -1125,6 +1125,39 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("balanced sample: md5-prefix per cluster, cap bites, pre-capped windows") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.ivfTrain(e, "vec_id", "embedding", 8, iters = 2)
+    val assigned = Similarity.assignClusters(e, "vec_id", "embedding", cents)
+      .select("id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect = assigned.groupBy(_._2).toSeq.flatMap { case (cl, ms) =>
+      ms.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(40)
+        .zipWithIndex.map { case (id, i) => (id, cl, i + 1) }.toSeq
+    }.toSet
+    val df = TrainingData.clusterBalancedSample(spark, sf)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(got === expect)
+    assert(assigned.groupBy(_._2).values.exists(_.size > 40),
+      "some cluster must exceed the cap for the test to bite")
+    // scale guard: the exact per-cluster window only ever consumes the
+    // pre-capped shard survivors (q39's plan shape)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    val exact = windows.filter(
+      _.partitionSpec.flatMap(_.references.map(_.name)) == Seq("cluster"))
+    assert(exact.nonEmpty)
+    exact.foreach { w =>
+      assert(w.child.collectFirst { case i: LWindow => i }.isDefined,
+        "per-cluster window over unreduced input")
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
