@@ -1973,6 +1973,61 @@ object TrainingData {
       .orderBy("vec_id")
   }
 
+  /** QUALITY-CURRICULUM SCHEDULE (q115) — the anneal plan curriculum
+    * learning runs over data quality (easy/clean first, everything
+    * later): epoch e admits each source's quality quartiles 1..e
+    * (q94's rank gate), so epoch 1 trains on the cleanest 25% and
+    * epoch 4 on the full corpus. Emits the per-epoch plan summary
+    * (n_docs, n_tokens, cumulative token share) — the table a
+    * training run's dataloader config is generated from. All counts
+    * exact ints; shares are single divisions. Scale: one quartile
+    * pass (q94's two-pass rank) + a 4-row fold. */
+  def curriculumSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val quarts = qualityQuartileGate(spark, dir)
+      .select(col("doc_id"), col("quartile"))
+    val toks = docs(spark, dir)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("ntok"))
+    val perQuart = quarts.join(toks, Seq("doc_id"))
+      .groupBy("quartile")
+      .agg(count(lit(1)).as("qd"), sum("ntok").as("qt"))
+    val tot = perQuart.agg(sum("qd").as("td"), sum("qt").as("tt"))
+    val epochs = spark.range(1, 5).select(col("id").cast("int").as("epoch"))
+    epochs.join(perQuart, col("quartile") <= col("epoch"))
+      .groupBy("epoch")
+      .agg(sum("qd").as("n_docs"), sum("qt").as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("epoch"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tt")).as("token_share"))
+      .orderBy("epoch")
+  }
+
+  /** FILTER CASCADE WITH REJECT REASONS (q116) — the quality gate as
+    * a production pipeline actually ships it: ordered rules, each doc
+    * tagged with the FIRST rule it fails (`reason`) or kept — the
+    * reject-reason histogram is the knob-tuning report, and per-doc
+    * reasons make every drop auditable. Rules (in precedence order):
+    * too_short (< 10 tokens), non_english (q20's lang-ID ≠ en),
+    * low_quality (q19 composite < 0.2), repetitive (q53's
+    * top-bigram fraction > 0.6), low_entropy (q110's char entropy
+    * < 2.7 — calibrated to the synthetic corpus's 2.55–2.93 range;
+    * real corpora tune these knobs from the reject histogram). One annotate pass (tokenize once) + the CharEntropy
+    * kernel — pure narrow, zero shuffles. */
+  def filterCascade(spark: SparkSession, dir: String): DataFrame = {
+    val ann = graft.pipeline.CorpusPipeline.annotate(docs(spark, dir))
+      .withColumn("_ent",
+        graft.functions.CharEntropy.charEntropy(lower(col("text"))))
+    ann.select(col("doc_id"),
+        when(col("n_tokens") < 10, lit("too_short"))
+          .when(col("lang_pred") =!= "en", lit("non_english"))
+          .when(col("quality_score") < 0.2, lit("low_quality"))
+          .when(col("top_bigram_frac") > 0.6, lit("repetitive"))
+          .when(col("_ent") < 2.7, lit("low_entropy"))
+          .otherwise(lit("kept")).as("reason"))
+      .withColumn("keep", col("reason") === "kept")
+      .orderBy("doc_id")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -2073,7 +2128,9 @@ object TrainingData {
     "q111_contamination_rate" -> contaminationBySource,
     "q112_embedding_qa" -> embeddingQa,
     "q113_ann_eval" -> annEval,
-    "q114_balanced_sample" -> ((s, d) => clusterBalancedSample(s, d))
+    "q114_balanced_sample" -> ((s, d) => clusterBalancedSample(s, d)),
+    "q115_curriculum" -> curriculumSchedule,
+    "q116_filter_cascade" -> filterCascade
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -3382,6 +3439,105 @@ object TrainingData {
            FROM a FULL JOIN b ON a.term = b.term)
          SELECT term, CAST(delta AS BIGINT) AS delta FROM j
          WHERE delta <> 0 ORDER BY abs(delta) DESC, term ASC LIMIT 10""",
+    "q115_curriculum" ->
+      // q94's ntile chain + per-quartile token fold + the 4-epoch
+      // prefix admission rule (epoch e admits quartiles 1..e)
+      s"""WITH base AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS t,
+             length(text) AS n_ch,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               AS n_punct
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, len(t) AS ntok,
+             CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
+                 AS DOUBLE) / len(t) * CAST(0.5 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE)
+                  - CAST(n_punct AS DOUBLE) / n_ch) * CAST(0.3 AS DOUBLE)
+               + least(len(t) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.2 AS DOUBLE) AS qs
+           FROM base),
+         g AS (
+           SELECT doc_id, ntok,
+             CAST(ntile(4) OVER (PARTITION BY source
+               ORDER BY qs DESC, doc_id ASC) AS INT) AS quartile
+           FROM r),
+         perq AS (SELECT quartile, count(*) AS qd,
+             sum(ntok) AS qt FROM g GROUP BY 1),
+         tot AS (SELECT CAST(sum(qt) AS BIGINT) AS tt FROM perq),
+         ep AS (SELECT CAST(unnest(range(1, 5)) AS INT) AS epoch)
+         SELECT epoch, CAST(sum(qd) AS BIGINT) AS n_docs,
+           CAST(sum(qt) AS BIGINT) AS n_tokens,
+           CAST(sum(qt) AS DOUBLE) / tt AS token_share
+         FROM ep JOIN perq ON perq.quartile <= ep.epoch
+         CROSS JOIN tot
+         GROUP BY epoch, tt ORDER BY epoch""",
+    "q116_filter_cascade" ->
+      // q84's annotate SQL + q110's entropy, folded into the ordered
+      // first-failing-rule CASE
+      s"""WITH base AS (
+           SELECT doc_id, text, string_split(lower(text), ' ') AS t,
+             length(text) AS n_ch,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+               AS n_punct
+           FROM documents),
+         ann AS (
+           SELECT doc_id, len(t) AS ntok,
+             len(list_filter(t, x -> list_contains([$enStops], x)))
+               AS en_hits,
+             len(list_filter(t, x -> list_contains([$xxStops], x)))
+               AS xx_hits,
+             CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
+               AS DOUBLE) / len(t) AS sr,
+             CAST(n_punct AS DOUBLE) / n_ch AS pr
+           FROM base),
+         big AS (SELECT doc_id, len(t) - 1 AS nbig,
+             unnest(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS bg
+           FROM base WHERE len(t) >= 2),
+         cnt AS (SELECT doc_id, nbig, bg, count(*) AS c
+                 FROM big GROUP BY 1, 2, 3),
+         rep AS (SELECT doc_id, max(c) / CAST(nbig AS DOUBLE) AS tf
+                 FROM cnt GROUP BY doc_id, nbig),
+         ch AS (SELECT doc_id, length(text) AS nch,
+             unnest(list_transform(range(1, length(text) + 1),
+               i -> substr(lower(text), i, 1))) AS ch
+           FROM base),
+         cc2 AS (SELECT doc_id, nch, ch, count(*) AS c
+                 FROM ch GROUP BY 1, 2, 3),
+         ent AS (SELECT doc_id,
+             list_reduce(list(
+               (CAST(c AS DOUBLE) / nch) * ln(CAST(c AS DOUBLE) / nch)
+                 * -1.0 ORDER BY ch), (x, y) -> x + y) AS e
+           FROM cc2 GROUP BY 1),
+         scored AS (
+           SELECT a.doc_id, ntok,
+             CASE WHEN en_hits > xx_hits AND en_hits >= 2 THEN 'en'
+                  WHEN xx_hits > en_hits AND xx_hits >= 2 THEN 'xx'
+                  ELSE 'und' END AS lang_pred,
+             sr * CAST(0.5 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - pr) * CAST(0.3 AS DOUBLE)
+               + least(ntok / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.2 AS DOUBLE) AS qs,
+             coalesce(r.tf, CAST(0.0 AS DOUBLE)) AS tf,
+             ent.e AS e
+           FROM ann a
+           LEFT JOIN rep r ON r.doc_id = a.doc_id
+           JOIN ent ON ent.doc_id = a.doc_id)
+         SELECT doc_id,
+           CASE WHEN ntok < 10 THEN 'too_short'
+                WHEN lang_pred <> 'en' THEN 'non_english'
+                WHEN qs < 0.2 THEN 'low_quality'
+                WHEN tf > 0.6 THEN 'repetitive'
+                WHEN e < 2.7 THEN 'low_entropy'
+                ELSE 'kept' END AS reason,
+           CASE WHEN ntok < 10 THEN 'too_short'
+                WHEN lang_pred <> 'en' THEN 'non_english'
+                WHEN qs < 0.2 THEN 'low_quality'
+                WHEN tf > 0.6 THEN 'repetitive'
+                WHEN e < 2.7 THEN 'low_entropy'
+                ELSE 'kept' END = 'kept' AS keep
+         FROM scored ORDER BY doc_id""",
     "q108_minhash_index" ->
       // q23's signing chain; candidates = query bands (doc_id%10 in
       // {1,2}) probing INDEXED bands (the rest) — no bucket-size

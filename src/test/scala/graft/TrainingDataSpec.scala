@@ -1158,6 +1158,46 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum: monotone admission, epoch 4 = full corpus") {
+    val rows = TrainingData.curriculumSchedule(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    rows.sliding(2).foreach { case Array((_, d1, t1, s1), (_, d2, t2, s2)) =>
+      assert(d2 > d1 && t2 > t1 && s2 > s1, "admission must grow per epoch")
+    }
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.last._2 === total, "epoch 4 admits every doc")
+    assert(rows.last._4 === 1.0, "epoch 4 token share is exactly 1")
+  }
+
+  test("filter cascade: reasons replay from the component signals") {
+    val q84 = TrainingData.qualityGate(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val ent = TrainingData.lexicalDiversity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(5)))).toMap
+    val rows = TrainingData.filterCascade(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.length === q84.size)
+    rows.foreach { case (id, reason, keep) =>
+      val (lang, qs, tf) = q84(id)
+      val (ntok, e) = ent(id)
+      val expect =
+        if (ntok < 10) "too_short"
+        else if (lang != "en") "non_english"
+        else if (qs < 0.2) "low_quality"
+        else if (tf > 0.6) "repetitive"
+        else if (e < 2.7) "low_entropy"
+        else "kept"
+      assert(reason === expect, s"doc $id reason drift")
+      assert(keep === (reason == "kept"))
+    }
+    // the cascade must actually discriminate on this corpus
+    val dist = rows.groupBy(_._2).view.mapValues(_.size)
+    assert(dist.contains("kept") && dist.size >= 2,
+      s"cascade degenerate: $dist")
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
