@@ -2028,6 +2028,19 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** JL random-projection ANN top-3 (q117) for the q26 query set —
+    * see [[Similarity.rpTopK]]. Like q96's SQ8 the oracle is STATIC:
+    * the ±1 projection matrix re-derives from md5("rp:i_j") parity in
+    * SQL, so sign generation, projection folds, proxy ranking, and
+    * the exact re-rank are all replayed from the raw table. */
+  def annRp(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.rpTopK(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding", k = 3)
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -2130,7 +2143,8 @@ object TrainingData {
     "q113_ann_eval" -> annEval,
     "q114_balanced_sample" -> ((s, d) => clusterBalancedSample(s, d)),
     "q115_curriculum" -> curriculumSchedule,
-    "q116_filter_cascade" -> filterCascade
+    "q116_filter_cascade" -> filterCascade,
+    "q117_ann_rp" -> annRp
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -3197,6 +3211,67 @@ object TrainingData {
                       ORDER BY list_dot_product(q.w, c2.c) DESC, c2.id ASC)
                       AS rn
                   FROM qw q CROSS JOIN cc c2) WHERE rn <= 10),
+         scored AS (SELECT sl.q_id, sl.neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos,
+             row_number() OVER (PARTITION BY sl.q_id
+               ORDER BY list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 sl.neighbor_id ASC) AS rn
+           FROM sl
+           JOIN queries q ON q.id = sl.q_id
+           JOIN corpus c ON c.id = sl.neighbor_id)
+         SELECT q_id, neighbor_id, round(cos, 4) AS cosine
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q117_ann_rp" ->
+      // mirrors Similarity.rpTopK: ±1 signs from md5("rp:i_j")
+      // parity (computed HERE, data-independent — 1024 md5s once, not
+      // per row), projection as an i-ascending left fold per output
+      // dim, proxy dot top-10, exact-cosine top-3 re-rank
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         corpus AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= 5),
+         queries AS (SELECT vec_id AS id, v FROM e WHERE vec_id < 5),
+         corpusn AS (SELECT id, v,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           FROM corpus),
+         queriesn AS (SELECT id, v,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+           FROM queries),
+         dims AS (SELECT len(v) AS d FROM corpus LIMIT 1),
+         sij AS (
+           -- scalar range + unnest: the lateral d isn't allowed as a
+           -- range TABLE-function arg
+           SELECT j, CAST(unnest(range(1, d + 1)) AS INT) AS i
+           FROM range(0, 32) rj(j), dims),
+         signs AS (
+           SELECT j, i,
+             CASE WHEN CAST(('0x' || substr(md5('rp:'
+                 || CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                 1, 8)) AS BIGINT) % 2 = 0
+               THEN 1.0 ELSE -1.0 END AS s
+           FROM sij),
+         sarr AS (SELECT j, list(s ORDER BY i) AS sj
+                  FROM signs GROUP BY j),
+         cp AS (SELECT id, list(p ORDER BY j) AS pv FROM (
+             SELECT c.id, a.j,
+               list_reduce(list_transform(range(1, len(c.vn) + 1),
+                 i -> c.vn[i] * a.sj[i]), (x, y) -> x + y) AS p
+             FROM corpusn c CROSS JOIN sarr a)
+           GROUP BY id),
+         qp AS (SELECT id, list(p ORDER BY j) AS pv FROM (
+             SELECT q.id, a.j,
+               list_reduce(list_transform(range(1, len(q.vn) + 1),
+                 i -> q.vn[i] * a.sj[i]), (x, y) -> x + y) AS p
+             FROM queriesn q CROSS JOIN sarr a)
+           GROUP BY id),
+         sl AS (SELECT q_id, neighbor_id FROM (
+                  SELECT q.id AS q_id, c2.id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.id
+                      ORDER BY list_dot_product(q.pv, c2.pv) DESC,
+                        c2.id ASC) AS rn
+                  FROM qp q CROSS JOIN cp c2) WHERE rn <= 50),
          scored AS (SELECT sl.q_id, sl.neighbor_id,
              list_dot_product(q.v, c.v)
                / (sqrt(list_dot_product(q.v, q.v))

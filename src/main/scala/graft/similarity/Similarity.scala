@@ -559,6 +559,68 @@ object Similarity {
     * scores are single-expression doubles identical on both
     * engines. A constant dimension (mx = mn) codes to 0 with
     * weight 0. */
+  /** RANDOM-PROJECTION (Johnson–Lindenstrauss) ANN top-k — the third
+    * compressed-scan family next to SQ8 (codes) and PQ (codebooks):
+    * project L2-normalized vectors through a ±1 matrix (Achlioptas
+    * 2003's database-friendly projections) from d to `outDim` dims,
+    * shortlist by the projected dot product (JL approximately
+    * preserves inner products of unit vectors), exact-cosine re-rank
+    * the survivors. The sign matrix is DATA-INDEPENDENT and derived
+    * from md5("rp:i_j") parity — the Scala driver and the SQL oracle
+    * each compute it from that pure function, so the oracle is fully
+    * static (nothing frozen, unlike the trained-model families).
+    *
+    * Scale: the projection is a narrow per-row expression (d×outDim
+    * multiply-adds inside codegen); the proxy scan reads outDim
+    * doubles per row instead of d (2× narrower at 64→32; the synthetic
+    * corpus's concentrated pairwise distances need the wider budget —
+    * real embeddings with actual cluster structure tolerate 4–8×); re-rank
+    * touches m×|queries| raw vectors. Determinism: each projected
+    * coordinate and proxy score is a fixed left-fold expression tree,
+    * bit-identical cross-engine. */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 50, outDim: Int = 32): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .withColumn("vn", transform(col("v"), _ / col("nv")))
+      .localCheckpoint() // projection scan + re-rank
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(md.substring(0, 8), 16) % 2 == 0) 1.0
+      else -1.0
+    }
+    // HOF over a literal sign MATRIX, not a d×outDim unrolled chain:
+    // the unrolled form generates ~2k-node Java that stalls codegen
+    // compilation (measured 7.4 s → 1.3 s at sf0.1). Fold values are
+    // identical: (0.0 + t₁) + t₂ … ≡ (t₁ + t₂) + … exactly in IEEE.
+    val sLit = array((0 until outDim).map(j =>
+      array((1 to dim).map(i => lit(sign(i, j))): _*)): _*)
+    def project(vn: Column): Column =
+      transform(sLit, sj =>
+        aggregate(zip_with(vn, sj, (x, s) => x * s),
+          lit(0.0), (a, t) => a + t))
+    val q = broadcast(queries.select(col(idCol).cast("long").as("q_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("qp", project(transform(col("qv"), _ / col("nq")))))
+    val shortlist = keepTopPerQuery(
+      q.select(col("q_id"), col("qp"))
+        .crossJoin(c.select(col("neighbor_id"),
+          project(col("vn")).as("cp")))
+        .select(col("q_id"), col("neighbor_id"),
+          dot(col("qp"), col("cp")).as("_s")),
+      m, Seq(col("_s").desc, col("neighbor_id").asc))
+    rankTopK(
+      shortlist.select("q_id", "neighbor_id")
+        .join(q.select(col("q_id"), col("qv"), col("nq")), Seq("q_id"))
+        .join(c.select(col("neighbor_id"), col("v"), col("nv")),
+          Seq("neighbor_id")), k)
+  }
+
   def sqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 10): DataFrame = {
     val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),

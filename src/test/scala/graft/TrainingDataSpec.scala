@@ -1310,6 +1310,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(perQuery.forall(_ <= 3))
   }
 
+  test("rp ann: JL projection keeps decent recall; bounded per query") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") >= 5)
+    val queries = e.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 3))
+    val rp = Similarity.rpTopK(corpus, queries, "vec_id", "embedding", k = 3)
+    val recall = (pairs(rp) intersect brute).size.toDouble / brute.size
+    // 64→16 dims keeps ~1/4 of the JL distortion budget; with the
+    // exact re-rank over the top-10 shortlist recall stays well above
+    // chance (random 10-of-495 ≈ 0.02)
+    assert(recall >= 0.4, s"RP recall $recall < 0.4")
+    val perQuery = rp.collect().groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQuery.forall(_ <= 3))
+  }
+
   test("sq8 ann: high recall vs brute force; codes stay in [0, 255]") {
     val e = Tables.load(spark, sf, "embeddings")
     val corpus = e.filter(col("vec_id") >= 5)
