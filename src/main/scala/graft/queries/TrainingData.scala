@@ -2041,6 +2041,48 @@ object TrainingData {
       idCol = "vec_id", vecCol = "embedding", k = 3)
   }
 
+  /** REPEATED-SPAN EXTRACTION (q118) — where q90 scores HOW MUCH of a
+    * doc is shared n-gram text, this emits WHERE: the maximal
+    * contiguous token regions whose every 8-gram also appears in
+    * another document — the span-level signal behind substring-dedup
+    * (Lee et al., ACL'22: cut the duplicated span, keep the rest) and
+    * boilerplate localization (headers/footers surface as spans at
+    * the same offsets corpus-wide). Positions with a shared gram
+    * collapse into maximal runs via the gaps-and-islands trick:
+    * island id = pos − row_number(pos) is constant exactly on
+    * consecutive positions — pure integer arithmetic. Emits (doc_id,
+    * span_start, span_end, n_grams) in token coordinates (end
+    * inclusive, covering the last gram's tail).
+    *
+    * Scale: gram df is q90's partial-agg shuffle; the only window is
+    * per-doc over that doc's SHARED positions — bounded by document
+    * length, which corpus ingestion caps upstream. */
+  def repeatedSpans(spark: SparkSession, dir: String, n: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', slice(t, i + 1, $n)))"))
+        .as(Seq("pos", "g")))
+      .localCheckpoint() // df aggregate + position join
+    val dfs = g.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+    val shared = g.join(dfs.filter(col("gdf") >= minDf), Seq("g"))
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    shared
+      .withColumn("__island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "__island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -2144,7 +2186,8 @@ object TrainingData {
     "q114_balanced_sample" -> ((s, d) => clusterBalancedSample(s, d)),
     "q115_curriculum" -> curriculumSchedule,
     "q116_filter_cascade" -> filterCascade,
-    "q117_ann_rp" -> annRp
+    "q117_ann_rp" -> annRp,
+    "q118_repeated_spans" -> ((s, d) => repeatedSpans(s, d))
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -3225,6 +3268,34 @@ object TrainingData {
            JOIN corpus c ON c.id = sl.neighbor_id)
          SELECT q_id, neighbor_id, round(cos, 4) AS cosine
          FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q118_repeated_spans" ->
+      // q90's gram-df fragment + the gaps-and-islands fold (island id
+      // = pos - row_number is constant exactly on consecutive
+      // positions); all integer arithmetic
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CAST(unnest(range(0, len(t) - 7)) AS INT) AS pos,
+             unnest(list_transform(range(len(t) - 7),
+               i -> array_to_string(t[i+1:i+8], ' '))) AS g
+           FROM toks WHERE len(t) >= 8),
+         dfs AS (SELECT g, count(*) AS gdf FROM (
+                   SELECT DISTINCT doc_id, g FROM g) GROUP BY 1),
+         shared AS (
+           SELECT g.doc_id, g.pos FROM g
+           JOIN dfs ON dfs.g = g.g AND dfs.gdf >= 2),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+           FROM shared)
+         SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + 7 AS INT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""",
     "q117_ann_rp" ->
       // mirrors Similarity.rpTopK: ±1 signs from md5("rp:i_j")
       // parity (computed HERE, data-independent — 1024 md5s once, not

@@ -1198,6 +1198,48 @@ class TrainingDataSpec extends AnyFunSuite {
       s"cascade degenerate: $dist")
   }
 
+  test("repeated spans: maximal, consistent with q90's shared-gram counts") {
+    val spans = TrainingData.repeatedSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    // span arithmetic: n_grams = gram positions in the run, end covers
+    // the last gram's tail
+    spans.foreach { case (_, s, e, ng) =>
+      assert(e === s + ng.toInt - 1 + 7, "end = start + n_grams - 1 + (n-1)")
+      assert(ng >= 1)
+    }
+    // maximality: spans of a doc never touch or overlap (a gap of >= 1
+    // gram position separates islands)
+    spans.groupBy(_._1).foreach { case (id, ss) =>
+      ss.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, _, ng1), _) if ss.length == 1 => ()
+        case Array((_, s1, _, ng1), (_, s2, _, _)) =>
+          assert(s2 > s1 + ng1, s"doc $id islands must be separated")
+        case _ => ()
+      }
+    }
+    // total shared gram positions = q90's per-doc shared counts...
+    // q90 counts DISTINCT shared grams; spans count positions — so
+    // compare against a direct Scala recount of shared positions
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val docGrams = texts.map { case (id, t) =>
+      id -> (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" "))
+    }
+    val df = docGrams.flatMap { case (id, gs) => gs.distinct.map((_, id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expectShared = docGrams.map { case (id, gs) =>
+      id -> gs.zipWithIndex.filter { case (g, _) => df(g) >= 2 }.map(_._2)
+    }.filter(_._2.nonEmpty).toMap
+    val gotPositions = spans.groupBy(_._1).view.mapValues(
+      _.flatMap { case (_, s, _, ng) => s until s + ng.toInt }.sorted.toSeq)
+    assert(gotPositions.keySet === expectShared.keySet)
+    gotPositions.foreach { case (id, ps) =>
+      assert(ps === expectShared(id).sorted.toSeq, s"doc $id positions drift")
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
