@@ -2083,6 +2083,39 @@ object TrainingData {
       .orderBy("doc_id", "span_start")
   }
 
+  /** SPAN CUT APPLIED (q119) — q118's substring dedup executed (the
+    * Lee et al. ACL'22 treatment): remove every token covered by a
+    * cross-document repeated span, keep the rest, and re-assemble the
+    * cleaned text in original token order. Emits (doc_id, n_tokens,
+    * n_kept, text_clean); uncut docs pass through whole, and a doc
+    * whose EVERY token is covered drops out entirely — the
+    * fully-duplicated case, which exact dedup (q22) already removes.
+    * Formulated relationally (positions anti-join covered positions,
+    * then an ordered re-agg) so both engines run the identical plan —
+    * no nested-lambda HOFs. Scale: the covered-position explode is
+    * O(span tokens); the re-agg shuffles (pos, token) pairs once —
+    * the same volume any tokenize pass moves; the rebuild is a
+    * per-doc sorted fold bounded by doc length. */
+  def spanCut(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " "))
+        .as(Seq("pos", "tok")))
+    val covered = repeatedSpans(spark, dir, n)
+      .select(col("doc_id"), explode(sequence(col("span_start"),
+        col("span_end"))).as("pos"))
+      .distinct()
+    toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          _.getField("tok"))).as("text_clean"))
+      .join(docs(spark, dir).select(col("doc_id"),
+        size(split(lower(col("text")), " ")).as("n_tokens")), Seq("doc_id"))
+      .select("doc_id", "n_tokens", "n_kept", "text_clean")
+      .orderBy("doc_id")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -2187,7 +2220,8 @@ object TrainingData {
     "q115_curriculum" -> curriculumSchedule,
     "q116_filter_cascade" -> filterCascade,
     "q117_ann_rp" -> annRp,
-    "q118_repeated_spans" -> ((s, d) => repeatedSpans(s, d))
+    "q118_repeated_spans" -> ((s, d) => repeatedSpans(s, d)),
+    "q119_span_cut" -> ((s, d) => spanCut(s, d))
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -3268,6 +3302,51 @@ object TrainingData {
            JOIN corpus c ON c.id = sl.neighbor_id)
          SELECT q_id, neighbor_id, round(cos, 4) AS cosine
          FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q119_span_cut" ->
+      // q118's span chain + covered-position explode + anti-join +
+      // ordered re-agg (string_agg ORDER BY pos = the sorted-struct
+      // rebuild)
+      """WITH toksl AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             CAST(unnest(range(0, len(t) - 7)) AS INT) AS pos,
+             unnest(list_transform(range(len(t) - 7),
+               i -> array_to_string(t[i+1:i+8], ' '))) AS g
+           FROM toksl WHERE len(t) >= 8),
+         dfs AS (SELECT g, count(*) AS gdf FROM (
+                   SELECT DISTINCT doc_id, g FROM g) GROUP BY 1),
+         shared AS (
+           SELECT g.doc_id, g.pos FROM g
+           JOIN dfs ON dfs.g = g.g AND dfs.gdf >= 2),
+         isl AS (
+           SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+           FROM shared),
+         spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                   FROM isl GROUP BY doc_id, island),
+         cov AS (SELECT DISTINCT doc_id,
+             CAST(unnest(range(s, e + 1)) AS INT) AS pos
+           FROM spans),
+         toks AS (
+           SELECT doc_id, CAST(unnest(range(0, len(t))) AS INT) AS pos,
+             unnest(t) AS tok
+           FROM toksl),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.tok
+           FROM toks t LEFT JOIN cov
+             ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+           WHERE cov.pos IS NULL),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS text_clean
+           FROM kept GROUP BY 1)
+         SELECT agg.doc_id, CAST(len(t) AS INT) AS n_tokens,
+           n_kept, text_clean
+         FROM agg JOIN toksl ON toksl.doc_id = agg.doc_id
+         ORDER BY agg.doc_id""",
     "q118_repeated_spans" ->
       // q90's gram-df fragment + the gaps-and-islands fold (island id
       // = pos - row_number is constant exactly on consecutive

@@ -1240,6 +1240,34 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("span cut: cleaned text = tokens minus covered positions, exactly") {
+    val spans = TrainingData.repeatedSpans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(s => s._2 to s._3).toSeq).toMap
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val rows = TrainingData.spanCut(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+      .map(x => x._1 -> x).toMap
+    texts.foreach { case (id, toks) =>
+      val covered = spans.getOrElse(id, Seq.empty[Range]).flatten.toSet
+      val keptToks = toks.indices.filterNot(covered).map(toks)
+      if (keptToks.isEmpty)
+        assert(!rows.contains(id), s"fully-covered doc $id must drop")
+      else {
+        val (_, nTok, nKept, clean) = rows(id)
+        assert(nTok === toks.length)
+        assert(nKept === keptToks.length.toLong)
+        assert(clean === keptToks.mkString(" "), s"doc $id text drift")
+      }
+    }
+    // the corpus's fabricated duplicates make both paths non-vacuous
+    assert(rows.size < texts.size, "some doc must drop entirely")
+    assert(rows.values.exists(r => r._3 < r._2), "some doc must be cut")
+    assert(rows.values.exists(r => r._3.toInt == r._2), "some doc passes whole")
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
