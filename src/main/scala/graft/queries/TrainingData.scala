@@ -2116,6 +2116,53 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** LENGTH-DISTRIBUTION KS DRIFT (q120) — per source, the exact
+    * two-sample Kolmogorov–Smirnov statistic between the source's
+    * token-length distribution and the whole corpus's: the
+    * shape-drift monitor that catches a truncating scraper or a
+    * boilerplate injection even when mean length looks fine (q28/q92
+    * report moments; KS reports the whole CDF). D = max over the
+    * corpus length grid of |F_src − F_corpus|, computed on the full
+    * grid (every source's ECDF evaluated at every distinct corpus
+    * length — step functions need the union grid, not just the
+    * source's own points). Everything is exact integer cumulative
+    * counts until the final per-grid-point ratios; max/abs over
+    * identical-tree doubles is engine-stable. Scale: the grid is the
+    * distinct-length set (bounded by max doc length); all windows run
+    * over nSources×|grid| aggregate rows, never the corpus. */
+  def lengthKsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs(spark, dir)
+      .select(col("source"),
+        size(split(lower(col("text")), " ")).as("len"))
+      .localCheckpoint()
+    val grid = lens.select("len").distinct()
+    val srcCnt = lens.groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val srcTot = lens.groupBy("source").agg(count(lit(1)).as("n"))
+    val corpusCnt = lens.groupBy("len").agg(count(lit(1)).as("cc"))
+    val corpusTot = lens.agg(count(lit(1)).as("nn"))
+    val full = lens.select("source").distinct()
+      .crossJoin(grid)
+      .join(srcCnt, Seq("source", "len"), "left")
+      .na.fill(0L, Seq("c"))
+    val wSrc = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wCorp = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fa = full.withColumn("cum", sum("c").over(wSrc))
+    val fc = grid.join(corpusCnt, Seq("len"), "left")
+      .na.fill(0L, Seq("cc"))
+      .withColumn("ccum", sum("cc").over(wCorp))
+    fa.join(broadcast(fc.select("len", "ccum")), Seq("len"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(corpusTot))
+      .select(col("source"),
+        abs(col("cum").cast("double") / col("n") -
+          col("ccum").cast("double") / col("nn")).as("d"))
+      .groupBy("source").agg(max("d").as("ks_d"))
+      .orderBy("source")
+  }
+
   /** (q_id, neighbor_id, _cos) exact embedding-cosine scores (q26's
     * broadcast-query shape) — shared by the fusion family. */
   private def denseScores(spark: SparkSession, dir: String): DataFrame = {
@@ -2221,7 +2268,8 @@ object TrainingData {
     "q116_filter_cascade" -> filterCascade,
     "q117_ann_rp" -> annRp,
     "q118_repeated_spans" -> ((s, d) => repeatedSpans(s, d)),
-    "q119_span_cut" -> ((s, d) => spanCut(s, d))
+    "q119_span_cut" -> ((s, d) => spanCut(s, d)),
+    "q120_length_ks" -> lengthKsDrift
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -3302,6 +3350,38 @@ object TrainingData {
            JOIN corpus c ON c.id = sl.neighbor_id)
          SELECT q_id, neighbor_id, round(cos, 4) AS cosine
          FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q120_length_ks" ->
+      // exact integer cumulative counts on the union length grid; one
+      // ratio pair per (source, grid point); max |ΔF| per source
+      """WITH lens AS (
+           SELECT source, len(string_split(lower(text), ' ')) AS l
+           FROM documents),
+         grid AS (SELECT DISTINCT l FROM lens),
+         sc AS (SELECT source, l, count(*) AS c FROM lens GROUP BY 1, 2),
+         st AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                FROM lens GROUP BY 1),
+         cc AS (SELECT l, count(*) AS cc FROM lens GROUP BY 1),
+         ct AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM lens),
+         fullg AS (SELECT s.source, g.l, coalesce(sc.c, 0) AS c
+           FROM (SELECT DISTINCT source FROM lens) s
+           CROSS JOIN grid g
+           LEFT JOIN sc ON sc.source = s.source AND sc.l = g.l),
+         fa AS (SELECT source, l,
+             sum(c) OVER (PARTITION BY source ORDER BY l
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM fullg),
+         fc AS (SELECT g.l,
+             sum(coalesce(cc.cc, 0)) OVER (ORDER BY g.l
+               ROWS UNBOUNDED PRECEDING) AS ccum
+           FROM grid g LEFT JOIN cc ON cc.l = g.l)
+         SELECT fa.source,
+           max(abs(CAST(cum AS DOUBLE) / n - CAST(ccum AS DOUBLE) / nn))
+             AS ks_d
+         FROM fa
+         JOIN fc ON fc.l = fa.l
+         JOIN st ON st.source = fa.source
+         CROSS JOIN ct
+         GROUP BY 1 ORDER BY 1""",
     "q119_span_cut" ->
       // q118's span chain + covered-position explode + anti-join +
       // ordered re-agg (string_agg ORDER BY pos = the sorted-struct

@@ -1268,6 +1268,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.values.exists(r => r._3.toInt == r._2), "some doc passes whole")
   }
 
+  test("length ks drift: matches a Scala ECDF recount, bounded in [0,1)") {
+    val lens = Tables.load(spark, sf, "documents")
+      .select(col("source"), size(split(lower(col("text")), " ")))
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val grid = lens.map(_._2).distinct.sorted
+    val nn = lens.length.toDouble
+    def ecdf(xs: Seq[Int])(x: Int) = xs.count(_ <= x).toDouble / xs.length
+    val all = lens.map(_._2).toSeq
+    val expect = lens.groupBy(_._1).map { case (s, ls) =>
+      val xs = ls.map(_._2).toSeq
+      s -> grid.map(x => math.abs(ecdf(xs)(x) - ecdf(all)(x))).max
+    }
+    val got = TrainingData.lengthKsDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (s, d) =>
+      assert(math.abs(d - expect(s)) < 1e-12, s"source $s KS drift")
+      assert(d > 0.0 && d < 1.0)
+    }
+  }
+
   test("similarity/tf-idf queries leave no cached frames behind") {
     // the library contract: intermediates are materialized via
     // self-cleaning localCheckpoint blocks, never a persist that
