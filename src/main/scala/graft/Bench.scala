@@ -36,7 +36,11 @@ object Bench {
     // the downstream gate reads these numbers, and a query that dies in
     // 0.2s would otherwise look like a speedup and ratchet the baseline
     var failures = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: regex over query names — local focused re-measure
+    // only (the driver always runs the full registry)
+    val nameFilter = args.headOption.getOrElse(".*")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.matches(nameFilter)).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

@@ -97,6 +97,7 @@ object VectorFoldRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorFoldRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -358,6 +358,47 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------- anomaly detection
+
+  /** ROLLING Z-SCORE anomaly detection over the hourly event stream —
+    * the monitoring query an ops team runs over pipeline telemetry:
+    * per (event_type, hour) count, scored against the TRAILING 24
+    * observed hours (rows-window, excluding the current row), flag
+    * |z| > 3. Two shuffles total: the hourly pre-aggregate (partial
+    * agg — raw events collapse map-side) and ONE window shuffle on
+    * event_type; the window state is 24 integer rows.
+    *
+    * Float discipline: the window carries only EXACT LONGs (count,
+    * sum, sum of squares), and z folds them in one closed form —
+    * `z = (w·n − s) / sqrt(w·ss − s²)` (algebraically (n−mean)/std
+    * with population std) — so the only float ops are a single
+    * multiply, subtract, sqrt and divide over exact integers:
+    * bit-identical cross-engine, no order-sensitive float summation.
+    * Rows with fewer than 24 prior hours (warm-up) or a flat baseline
+    * (zero variance) are excluded: a z-score against no/degenerate
+    * history is noise, not signal. */
+  def rollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = load(spark, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_bucket"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("_w", count(lit(1)).over(w))
+      .withColumn("_s", sum(col("n_events")).over(w))
+      .withColumn("_ss", sum(col("n_events") * col("n_events")).over(w))
+      .filter(col("_w") === 24 &&
+        (col("_w") * col("_ss") - col("_s") * col("_s")) > 0)
+      .withColumn("z",
+        (col("_w") * col("n_events") - col("_s")).cast("double") /
+          sqrt((col("_w") * col("_ss") - col("_s") * col("_s")).cast("double")))
+      .select(col("event_type"), col("hour_bucket"), col("n_events"),
+        col("_s").as("base_sum"), col("z"),
+        (abs(col("z")) > 3.0).as("anomaly"))
+      .orderBy("event_type", "hour_bucket")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -372,10 +413,34 @@ object Analytics {
     "q54_heavy_hitters" -> ((s, d) => heavyHitters(s, d)),
     "q55_epoch_upsample" -> epochUpsample,
     "q56_retention_cohorts" -> retentionCohorts,
-    "q64_cube_kpis" -> cubeKpis
+    "q64_cube_kpis" -> cubeKpis,
+    "q124_rolling_anomaly" -> rollingAnomaly
   )
 
   val oracles: Map[String, String] = Map(
+    "q124_rolling_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                    AS hour_bucket,
+                  count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         win AS (
+           SELECT event_type, hour_bucket, n_events,
+             count(*) OVER w AS w,
+             sum(n_events) OVER w AS s,
+             sum(n_events * n_events) OVER w AS ss
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY hour_bucket
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hour_bucket, n_events,
+           CAST(s AS BIGINT) AS base_sum,
+           CAST(w * n_events - s AS DOUBLE)
+             / sqrt(CAST(w * ss - s * s AS DOUBLE)) AS z,
+           abs(CAST(w * n_events - s AS DOUBLE)
+             / sqrt(CAST(w * ss - s * s AS DOUBLE))) > 3.0 AS anomaly
+         FROM win
+         WHERE w = 24 AND w * ss - s * s > 0
+         ORDER BY event_type, hour_bucket""",
     "q46_props_json" ->
       """SELECT event_type, count(*) AS n_events,
          CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,

@@ -448,6 +448,82 @@ object Relational {
       .orderBy("feed", "o_orderkey")
   }
 
+  /** INCREMENTAL JOIN-VIEW maintenance (IVM's third family, after the
+    * additive q73 and non-additive q74 aggregates): the materialized
+    * view `V = orders ⋈ customer` is maintained through changes ON
+    * BOTH SIDES — an orders append + DV-delete and a customer
+    * DV-delete — via the signed delta rule
+    * `ΔV = ΔA ⋈ B_old ⊕ A_new ⋈ ΔB` (graft.incremental
+    * .IncrementalJoin). `B_old` is served by TIME TRAVEL from the
+    * manifest log; both feed sides broadcast, so neither base table
+    * ever shuffles; the keyed apply re-resolves only rows whose
+    * o_orderkey the delta touches — O(delta), never O(view). The
+    * oracle recomputes the join over the final states, so it checks
+    * delta completeness, the cross-term cancellation (an appended
+    * order of a deleted customer must NOT survive), and the keyed
+    * splice, all at once. */
+  def incrementalJoinMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.IncrementalJoin
+    val rootA = java.nio.file.Files.createTempDirectory("graft-ivj-a")
+      .resolve("tbl").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-ivj-b")
+      .resolve("tbl").toString
+    val vtA = new graft.io.VersionedTable(spark, rootA)
+    val vtB = new graft.io.VersionedTable(spark, rootB)
+    val orders = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    vtA.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // A v0
+    val a0 = vtA.currentVersion.get
+    vtB.write(load(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"),
+        col("c_nationkey"))) // B v0
+    val b0 = vtB.currentVersion.get
+    val view0 = vtA.read().join(vtB.read(), Seq("o_custkey"))
+    // -- changes on both sides --
+    vtA.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // A v1: file-level feed
+    vtA.deleteVectorized("o_orderkey", 100, 299) // A v2: row-level feed
+    val a2 = vtA.currentVersion.get
+    val custVictims = vtB.read().select(col("o_custkey"))
+      .filter(col("o_custkey") % 7 === 0)
+    vtB.deleteVectorizedKeys("o_custkey", custVictims) // B v1
+    val b1 = vtB.currentVersion.get
+    val delta = IncrementalJoin.deltaJoin(
+      changesA = vtA.changes(a0, a2),
+      bOld = vtB.readVersion(b0),
+      aNew = vtA.read(),
+      changesB = vtB.changes(b0, b1),
+      keys = Seq("o_custkey"))
+    IncrementalJoin.applyKeyed(view0, delta, rowKeys = Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "c_name",
+        "c_nationkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** SCHEMA EVOLUTION under the oracle (Delta mergeSchema semantics,
+    * previously spec-only): v0 commits a 2-column orders slice, v1
+    * appends rows carrying a NEW column with
+    * `allowSchemaEvolution=true` — the snapshot schema grows and the
+    * read plans pre-evolution files with the added column null-filled.
+    * The output is the evolved snapshot, so the oracle pins all three
+    * behaviors at once: the widened schema, null backfill for v0
+    * rows, and real values for v1 rows. At 100 TB this is the zero-
+    * rewrite column add: no historical file is touched, the evolution
+    * is one manifest header. */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-evo")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders")
+    vt.write(orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))) // v0: 2 columns
+    vt.write(orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+      org.apache.spark.sql.SaveMode.Append,
+      allowSchemaEvolution = true) // v1: +o_orderstatus
+    vt.read().orderBy("o_orderkey")
+  }
+
   /** Dimension chain supplier→nation→region (broadcast×2) + aggregate:
     * supplier census per region. */
   def regionSuppliers(spark: SparkSession, dir: String): DataFrame =
@@ -653,6 +729,8 @@ object Relational {
     "q73_incremental_agg" -> incrementalAggMaintain,
     "q74_incremental_minmax" -> incrementalMinMaxMaintain,
     "q79_change_feed" -> changeFeed,
+    "q121_incremental_join" -> incrementalJoinMaintain,
+    "q126_schema_evolution" -> schemaEvolutionRead,
     "q61_window_funcs" -> windowFunctions,
     "q62_set_ops" -> setOps,
     "q63_semi_anti" -> semiAntiJoin,
@@ -832,6 +910,22 @@ object Relational {
          FROM orders
          WHERE NOT (o_orderkey BETWEEN 100 AND 299)
          GROUP BY 1 ORDER BY 1""",
+    "q121_incremental_join" ->
+      // the final states of both tables, joined from scratch: orders
+      // minus the DV range, customer minus the %7 victims
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey
+         FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+               WHERE NOT (o_orderkey BETWEEN 100 AND 299))
+         JOIN (SELECT c_custkey AS o_custkey, c_name, c_nationkey
+               FROM customer WHERE c_custkey % 7 <> 0)
+         USING (o_custkey)
+         ORDER BY o_orderkey""",
+    "q126_schema_evolution" ->
+      // pre-evolution rows read the added column as NULL; appended
+      // rows carry real values
+      """SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus
+         FROM orders ORDER BY o_orderkey""",
     "q79_change_feed" ->
       // append feed: exactly the appended rows as inserts; DV feed:
       // exactly the masked rows (original AND appended) as deletes

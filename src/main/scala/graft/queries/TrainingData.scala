@@ -305,10 +305,43 @@ object TrainingData {
       idCol = "vec_id", vecCol = "embedding", k = 3)
   }
 
+  /** q26's exact KNN through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.TopKPerKey]]: logical node + strategy + partial/
+    * final heap execs): the scored candidate stream is cut to k per
+    * query BEFORE the exchange, so the shuffle carries k·partitions
+    * rows per query instead of every candidate. Same static oracle as
+    * q26 — the operator must reproduce the window formulation's
+    * result set exactly. */
+  def knnCosineTopKOperator(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.bruteForceTopKViaOperator(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding", k = 3)
+  }
+
   /** Sign-LSH(6-bit) bucketed ANN top-3 for the same query set. */
   def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     Similarity.signLshTopK(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding", k = 3, bits = 6)
+  }
+
+  /** MULTI-PROBE sign-LSH(6-bit) ANN top-3 for the same query set as
+    * q26/q27 (Lv et al. VLDB'07's idea on the sign-LSH family): each
+    * query probes its own bucket PLUS every bucket at Hamming
+    * distance 1 — the buckets a borderline vector most likely fell
+    * into. Probing (bits+1)/2^bits of the corpus lifts recall toward
+    * exact (TrainingDataSpec pins recall ≥ q27's single-probe) while
+    * the join stays a plain bucket equi-join: only the broadcast
+    * query side fans out ×(bits+1); a corpus vector sits in exactly
+    * one bucket, so each (query, corpus) pair meets at most once and
+    * no dedup pass is needed. */
+  def annLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.signLshMultiProbeTopK(
       corpus = e.filter(col("vec_id") >= 5),
       queries = e.filter(col("vec_id") < 5),
       idCol = "vec_id", vecCol = "embedding", k = 3, bits = 6)
@@ -999,6 +1032,33 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** UNICODE NFC NORMALIZATION under the oracle (q87's technique for
+    * exercising a path the synthetic corpus can't): the corpus is
+    * ASCII — already NFC — so DECOMPOSED sequences are injected
+    * identically on both engines (every 'e' becomes e + U+0301
+    * COMBINING ACUTE), then the real kernel
+    * ([[graft.functions.NfcNormalize]], the JDK's UAX #15
+    * implementation) must compose them back byte-for-byte equal to
+    * DuckDB's `nfc_normalize`. Output carries the full normalized
+    * text plus codepoint counts before/after — composition provably
+    * happened (every injected pair shrank to one precomposed é).
+    * Canonicalization like this belongs BEFORE any equality-based
+    * operator (exact dedup / shingles / vocab): mixed-form text
+    * hashes apart and silently splits duplicate groups. Pure narrow,
+    * zero shuffles. */
+  def nfcNormalizeDocs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfcNormalize
+    val injected = replace(col("text"), lit("e"), lit("e\u0301"))
+    docs(spark, dir)
+      .select(col("doc_id"), injected.as("_inj"))
+      .withColumn("text_nfc", nfcNormalize(col("_inj")))
+      .select(col("doc_id"),
+        length(col("_inj")).as("n_injected"),
+        length(col("text_nfc")).as("n_nfc"),
+        col("text_nfc"))
+      .orderBy("doc_id")
+  }
+
   /** BM25 RETRIEVAL from a PERSISTED inverted index
     * ([[graft.text.LexicalIndex]]) — the sparse sibling of the
     * persisted ANN indexes (q69/q70): build commits bucket-partitioned
@@ -1370,6 +1430,30 @@ object TrainingData {
       .select(col("doc_id"), col("source"),
         (col("__offset") + col("__rk")).as("shuffle_pos"))
       .orderBy("doc_id")
+  }
+
+  /** IN-BATCH NEGATIVES export (q127) — the contrastive-training pair
+    * table (SimCLR/DPR recipe: within a training batch, every other
+    * member is a negative for the anchor): q97's deterministic epoch
+    * shuffle assigns the batch (batch = shuffle_pos DIV 8), then each
+    * batch's members pair ALL-TO-ALL minus self. Because the
+    * permutation is a pure function of doc_id, the pairing is
+    * identical on every run/cluster/partitioning — the property that
+    * makes a training run reproducible. Scale: the self-join key is
+    * batch_id with EXACTLY 8 rows per key (perfectly uniform by
+    * construction — no skew possible); output is 7 rows per doc; one
+    * shuffle on batch_id beyond q97's two-pass rank. */
+  def inBatchNegatives(spark: SparkSession, dir: String,
+      batchSize: Int = 8): DataFrame = {
+    val b = epochShuffle(spark, dir)
+      .select(col("doc_id"),
+        floor((col("shuffle_pos") - 1) / lit(batchSize)).cast("long")
+          .as("batch_id"))
+    val a = b.select(col("batch_id"), col("doc_id").as("anchor_id"))
+    val n = b.select(col("batch_id"), col("doc_id").as("negative_id"))
+    a.join(n, Seq("batch_id"))
+      .filter(col("anchor_id") =!= col("negative_id"))
+      .orderBy("batch_id", "anchor_id", "negative_id")
   }
 
   /** LENGTH-BUCKET PACKING EFFICIENCY (q98) — the batching-shape
@@ -1912,6 +1996,63 @@ object TrainingData {
         col("min_x"), col("max_x"))
       .orderBy("dim")
 
+  /** LABEL-SEPARATION QA over the embedding table (q125) — the
+    * class-structure report an encoder owner reads before trusting
+    * labels for curation (q86/q114 cluster on these vectors; if
+    * classes don't separate, cluster-balanced ops are noise): per
+    * label, member count, mean squared distance to the OWN-label
+    * centroid (intra-class tightness), the nearest OTHER centroid and
+    * its squared distance (inter-class margin), and the Fisher-style
+    * ratio inter/intra — the number that actually says "separable".
+    *
+    * Float contract (q112's class): every cross-row float sum rounds
+    * per term to a 1e-6-scaled exact LONG first (centroid sums,
+    * residual sums, centroid-pair sums), so all aggregates are
+    * order-insensitive integers; centroids and ratios derive from
+    * those integers by a fixed expression tree — bit-identical
+    * cross-engine. Scale: the per-(row,dim) explode collapses via
+    * partial agg to nlabels×d centroid rows; the residual pass joins
+    * a BROADCAST centroid frame (narrow) and collapses to nlabels
+    * rows; the pair matrix is nlabels²×d tiny rows. The corpus
+    * shuffles only as partially-aggregated stat rows. */
+  def labelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = embs(spark, dir)
+      .select(col("label"), col("vec_id"),
+        posexplode(Similarity.toDouble(col("embedding"))).as(Seq("dim", "x")))
+    val cent = ex.groupBy("label", "dim")
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        (col("sx").cast("double") / 1e6 / col("n")).as("cent"))
+    val members = embs(spark, dir).groupBy("label")
+      .agg(count(lit(1)).as("n_members"))
+    val intra = ex.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("_t", round((col("x") - col("cent"))
+        * (col("x") - col("cent")) * 1e6).cast("long"))
+      .groupBy("label").agg(sum(col("_t")).as("intra_scaled"))
+    val c1 = cent.select(col("label").as("label"), col("dim"),
+      col("cent").as("c1"))
+    val c2 = cent.select(col("label").as("l2"), col("dim"),
+      col("cent").as("c2"))
+    val nearest = c1.join(c2, Seq("dim")).filter(col("label") =!= col("l2"))
+      .withColumn("_t", round((col("c1") - col("c2"))
+        * (col("c1") - col("c2")) * 1e6).cast("long"))
+      .groupBy("label", "l2").agg(sum(col("_t")).as("inter_scaled"))
+      .withColumn("_rn", row_number().over(Window.partitionBy("label")
+        .orderBy(col("inter_scaled").asc, col("l2").asc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    members.join(intra, Seq("label")).join(nearest, Seq("label"))
+      .select(col("label"), col("n_members"),
+        (col("intra_scaled").cast("double") / 1e6 / col("n_members"))
+          .as("intra_msd"),
+        col("l2").as("nearest_label"),
+        (col("inter_scaled").cast("double") / 1e6).as("inter_sqdist"),
+        ((col("inter_scaled") * col("n_members")).cast("double") /
+          col("intra_scaled").cast("double")).as("sep_ratio"))
+      .orderBy("label")
+  }
+
   /** ANN EVALUATION HARNESS (q113) — the retrieval-quality report an
     * index owner actually publishes: per query, recall@3 and MRR of
     * the IVF index (q30) against the exact brute-force ground truth
@@ -2205,6 +2346,11 @@ object TrainingData {
     "q25_ngram_jaccard_pairs" -> ngramJaccardPairs,
     "q26_knn_cosine_brute" -> knnCosineBrute,
     "q27_ann_lsh_bucketed" -> annLshBucketed,
+    "q122_ann_lsh_multiprobe" -> annLshMultiProbe,
+    "q123_nfc_normalize" -> nfcNormalizeDocs,
+    "q125_label_separation" -> labelSeparation,
+    "q127_inbatch_negatives" -> ((s, d) => inBatchNegatives(s, d)),
+    "q128_topk_operator" -> knnCosineTopKOperator,
     "q28_byte_stats" -> byteStats,
     "q29_embed_neardup" -> embedNearDup,
     "q30_ann_ivf" -> annIvf,
@@ -2653,6 +2799,23 @@ object TrainingData {
            FROM q CROSS JOIN c)
          SELECT q_id, neighbor_id, round(cos, 4) AS cosine
          FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q128_topk_operator" ->
+      // byte-identical contract to q26: the custom operator must
+      // reproduce the window formulation's result set exactly
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE vec_id >= 5),
+         scored AS (
+           SELECT q_id, neighbor_id,
+             list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+               neighbor_id ASC) AS rn
+           FROM q CROSS JOIN c)
+         SELECT q_id, neighbor_id, round(cos, 4) AS cosine
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
     "q27_ann_lsh_bucketed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          b AS (
@@ -2665,6 +2828,108 @@ object TrainingData {
              + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
            FROM e),
          q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, v, bucket FROM b WHERE vec_id >= 5),
+         scored AS (
+           SELECT q_id, neighbor_id,
+             list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) DESC,
+               neighbor_id ASC) AS rn
+           FROM q JOIN c USING (bucket)
+           WHERE q_id <> neighbor_id)
+         SELECT q_id, neighbor_id, round(cos, 4) AS cosine
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q127_inbatch_negatives" ->
+      // q97's naive-window permutation, batched by 8, all-to-all
+      // minus self within each batch
+      """WITH p AS (
+           SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS pos
+           FROM documents),
+         b AS (
+           SELECT doc_id,
+             CAST(floor((pos - 1) / 8) AS BIGINT) AS batch_id
+           FROM p)
+         SELECT a.batch_id, a.doc_id AS anchor_id, n.doc_id AS negative_id
+         FROM b a JOIN b n ON a.batch_id = n.batch_id
+           AND a.doc_id <> n.doc_id
+         ORDER BY 1, 2, 3""",
+    "q125_label_separation" ->
+      // q112's float class: per-term 1e-6 round -> exact LONG sums;
+      // centroids/ratios derive from those integers identically
+      """WITH ex AS (
+           SELECT label, vec_id,
+             generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+         cent AS (
+           SELECT label, dim,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / count(*) AS cent
+           FROM ex GROUP BY 1, 2),
+         members AS (
+           SELECT label, count(*) AS n_members FROM embeddings GROUP BY 1),
+         intra AS (
+           SELECT e.label,
+             sum(CAST(round((e.x - c.cent) * (e.x - c.cent) * 1000000)
+                 AS BIGINT)) AS intra_scaled
+           FROM ex e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+           GROUP BY 1),
+         pairs AS (
+           SELECT c1.label AS label, c2.label AS l2,
+             sum(CAST(round((c1.cent - c2.cent) * (c1.cent - c2.cent)
+                 * 1000000) AS BIGINT)) AS inter_scaled
+           FROM cent c1 JOIN cent c2 ON c1.dim = c2.dim
+             AND c1.label <> c2.label
+           GROUP BY 1, 2),
+         nearest AS (
+           SELECT label, l2, inter_scaled,
+             row_number() OVER (PARTITION BY label
+               ORDER BY inter_scaled, l2) AS rn
+           FROM pairs)
+         SELECT m.label, m.n_members,
+           CAST(i.intra_scaled AS DOUBLE) / 1000000.0 / m.n_members
+             AS intra_msd,
+           n.l2 AS nearest_label,
+           CAST(n.inter_scaled AS DOUBLE) / 1000000.0 AS inter_sqdist,
+           CAST(n.inter_scaled * m.n_members AS DOUBLE)
+             / CAST(i.intra_scaled AS DOUBLE) AS sep_ratio
+         FROM members m JOIN intra i ON m.label = i.label
+         JOIN nearest n ON m.label = n.label AND n.rn = 1
+         ORDER BY m.label""",
+    "q123_nfc_normalize" ->
+      // chr(769) = U+0301 COMBINING ACUTE: inject decomposed pairs,
+      // then NFC must compose them back (length shrinks per pair)
+      """WITH inj AS (
+           SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS t
+           FROM documents)
+         SELECT doc_id,
+           length(t) AS n_injected,
+           length(nfc_normalize(t)) AS n_nfc,
+           nfc_normalize(t) AS text_nfc
+         FROM inj ORDER BY doc_id""",
+    "q122_ann_lsh_multiprobe" ->
+      // q27's bucket scheme, but each query additionally probes the
+      // bits buckets at Hamming distance 1 (b0 XOR one bit); a corpus
+      // vector sits in one bucket, so pairs meet at most once
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         b AS (
+           SELECT vec_id, v,
+             (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END)
+             + (CASE WHEN v[5] > 0 THEN 16 ELSE 0 END)
+             + (CASE WHEN v[6] > 0 THEN 32 ELSE 0 END) AS bucket
+           FROM e),
+         q AS (SELECT q_id, qv, xor(b0, m) AS bucket
+               FROM (SELECT vec_id AS q_id, v AS qv, bucket AS b0
+                     FROM b WHERE vec_id < 5)
+               CROSS JOIN UNNEST([0, 1, 2, 4, 8, 16, 32]) AS t(m)),
          c AS (SELECT vec_id AS neighbor_id, v, bucket FROM b WHERE vec_id >= 5),
          scored AS (
            SELECT q_id, neighbor_id,

@@ -66,6 +66,33 @@ object Similarity {
     rankTopK(q.crossJoin(c), k)
   }
 
+  /** [[bruteForceTopK]] with the ranking tail swapped for the custom
+    * physical operator ([[graft.plans.TopKPerKey]]): partial bounded
+    * heaps keep ≤ k rows per query per input partition BEFORE the
+    * exchange, so only k·partitions candidate rows per query cross
+    * the wire instead of the whole scored stream (the window/sharded-
+    * window forms both shuffle every candidate once). Result-set
+    * identical to [[bruteForceTopK]] — the order is total (cosine
+    * desc, neighbor_id asc) — which q128's oracle and the parity spec
+    * both pin. */
+  def bruteForceTopKViaOperator(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv")))))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    val scored = q.crossJoin(c)
+      .withColumn("_cos", dot(col("qv"), col("v")) / (col("nq") * col("nv")))
+      .select(col("q_id"), col("neighbor_id"), col("_cos"))
+    graft.plans.TopKPerKey.perKey(scored, Seq(col("q_id")),
+        Seq(col("_cos").desc, col("neighbor_id").asc), k)
+      .select(col("q_id"), col("neighbor_id"),
+        round(col("_cos"), 4).as("cosine"))
+      .orderBy("q_id", "neighbor_id")
+  }
+
   /** Fan-out used by [[keepTopPerQuery]]'s pre-prune pass. */
   private[graft] val RankShards = 64
 

@@ -22,4 +22,31 @@ object ColumnBridge {
       name: String, builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
+
+  /** EAGER Column → catalyst Expression conversion. [[expression]]
+    * returns a lazy `ColumnNodeExpression` wrapper, which is fine as
+    * a child of another Column-wrapped expression (the Dataset
+    * analyzer unwraps it) but NOT for embedding directly into a
+    * custom LogicalPlan node: the wrapper drags non-serializable
+    * `sql.internal` nodes into task closures. This converts to the
+    * real catalyst tree (e.g. a catalyst `SortOrder` for
+    * `col(...).desc`) up front. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** DataFrame from a custom LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]`) — how a library-defined logical operator
+    * (graft.plans.*) enters the DataFrame API. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A DataFrame's analyzed logical plan (the `queryExecution` handle
+    * is on the classic Dataset). */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.analyzed
 }

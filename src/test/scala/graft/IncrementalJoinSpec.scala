@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.incremental.IncrementalJoin
+import graft.io.VersionedTable
+
+/** Join-view IVM: the maintained view must equal a from-scratch join
+  * of the final states after ANY chain of changes on BOTH sides —
+  * including the cross term (a fact inserted in the same round its
+  * dimension row is deleted must not survive: `ΔA⋈B_old` produces it,
+  * `A_new⋈ΔB` must cancel it exactly), keyed updates arriving as
+  * delete+insert, and the keyless multiset apply with duplicate
+  * rows. */
+class IncrementalJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("maintained join view equals recompute; cross term cancels") {
+    val rootA = Fixtures.tempDir("graft-ivj-a") + "/tbl"
+    val rootB = Fixtures.tempDir("graft-ivj-b") + "/tbl"
+    val vtA = new VersionedTable(spark, rootA)
+    val vtB = new VersionedTable(spark, rootB)
+
+    // A: facts (id, k, x); B: dimension (k, name). Integer dimension
+    // key: deleteVectorizedKeys prunes files through a NUMERIC
+    // min/max envelope of the key frame.
+    vtA.write((0L until 200L).map(i => (i, i % 10, i * 2))
+      .toDF("id", "k", "x"))
+    val a0 = vtA.currentVersion.get
+    vtB.write((0L until 10L).map(i => (i, s"name$i")).toDF("k", "name"))
+    val b0 = vtB.currentVersion.get
+    val view0 = vtA.read().join(vtB.read(), Seq("k"))
+
+    // A: append 100 facts — including many keyed to k=3, whose
+    // dimension row dies in the SAME maintenance round (cross term)
+    vtA.write((200L until 300L).map(i => (i, i % 10, i * 2))
+      .toDF("id", "k", "x"), SaveMode.Append)
+    vtA.deleteVectorized("id", 50, 99) // A: DV delete
+    val a2 = vtA.currentVersion.get
+    // B: delete dimension rows k=3, k=7
+    vtB.deleteVectorizedKeys("k", Seq(3L, 7L).toDF("k"))
+    val b1 = vtB.currentVersion.get
+
+    val delta = IncrementalJoin.deltaJoin(
+      changesA = vtA.changes(a0, a2), bOld = vtB.readVersion(b0),
+      aNew = vtA.read(), changesB = vtB.changes(b0, b1),
+      keys = Seq("k"))
+    val maintained = IncrementalJoin.applyKeyed(view0, delta, Seq("id"))
+    val recomputed = vtA.read().join(vtB.read(), Seq("k"))
+    assert(canon(maintained) === canon(recomputed))
+    // the deleted dimension keys really vanished (cross term exercised)
+    assert(maintained.filter(col("k").isin(3L, 7L)).count() === 0)
+    assert(maintained.count() > 0)
+  }
+
+  test("applyMultiset resolves net multiplicity without a row key") {
+    val prior = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "x")
+    val delta = Seq(
+      ("a", 1, -1), // remove ONE of the two duplicate (a,1) rows
+      ("b", 2, -1), ("b", 2, -1), // net -2 on a count-1 row: clamps out
+      ("c", 3, 1), ("c", 3, 1) // insert with multiplicity 2
+    ).toDF("k", "x", IncrementalJoin.SignCol)
+    val out = IncrementalJoin.applyMultiset(prior, delta)
+    assert(canon(out) === Seq("a|1", "c|3", "c|3"))
+  }
+
+  test("applyKeyed passes untouched rows through and re-resolves updates") {
+    val prior = Seq((1L, "old"), (2L, "keep")).toDF("id", "v")
+    val delta = Seq(
+      (1L, "old", -1), (1L, "new", 1) // keyed update = delete + insert
+    ).toDF("id", "v", IncrementalJoin.SignCol)
+    val out = IncrementalJoin.applyKeyed(prior, delta, Seq("id"))
+    assert(canon(out) === Seq("1|new", "2|keep"))
+  }
+}

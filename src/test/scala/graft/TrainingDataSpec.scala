@@ -104,6 +104,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(hits > 0, s"IVF found none of the true top-3: $brute")
   }
 
+  test("multi-probe lsh: recall dominates single-probe; bounded per query") {
+    val brute = TrainingData.knnCosineBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = TrainingData.annLshBucketed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = TrainingData.annLshMultiProbe(spark, sf).collect()
+    assert(multi.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    val multiSet = multi.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing the Hamming-1 neighborhood can only widen each query's
+    // candidate set, so recall@3 vs brute force must not decrease
+    assert((multiSet intersect brute).size >= (single intersect brute).size,
+      s"multi-probe recall below single-probe: $multiSet vs $single")
+  }
+
   test("pq ann: k rows per query max, deterministic, decent recall vs brute") {
     val pq1 = TrainingData.annPq(spark, sf).collect()
     val pq2 = TrainingData.annPq(spark, sf).collect()
