@@ -101,6 +101,64 @@ object Upsert {
     joined.select(projection: _*)
   }
 
+  /** Full Delta-MERGE clause surface over the same marker-based
+    * full-outer join as [[upsert]]:
+    *
+    * {{{
+    *   WHEN MATCHED AND deleteWhen        THEN DELETE
+    *   WHEN MATCHED [AND updateWhen]      THEN UPDATE SET *  (update cols)
+    *   WHEN MATCHED (neither condition)   THEN keep target row
+    *   WHEN NOT MATCHED [AND insertWhen]  THEN INSERT *
+    *   target-only rows                   pass through
+    * }}}
+    *
+    * Clause conditions reference the joined row through the `s.` /
+    * `t.` aliases (e.g. `col("s.op") === "delete"`). Clause order
+    * follows Delta: delete is tested before update. One shuffle (or
+    * zero with `broadcastSource` — merge batches are usually
+    * dimension-sized); the conditions evaluate inside the join's
+    * projection, so at 100 TB this costs exactly what [[upsert]]
+    * costs. */
+  def upsertWithClauses(target: DataFrame, source: DataFrame,
+      mergeKeys: Seq[String],
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None,
+      updateColumns: Option[Seq[String]] = None,
+      broadcastSource: Boolean = false): DataFrame = {
+    require(mergeKeys.nonEmpty, "mergeKeys must be non-empty")
+    val updateCols = updateColumns.getOrElse(
+      source.columns.toSeq.filterNot(mergeKeys.contains))
+    val src0 = source.withColumn("_s_present", lit(true))
+    val tgt0 = target.withColumn("_t_present", lit(true))
+    val src = if (broadcastSource) broadcast(src0) else src0
+    val joined = tgt0.alias("t").join(src.alias("s"), mergeKeys, "full_outer")
+    val srcPresent = col("s._s_present").isNotNull
+    val tgtPresent = col("t._t_present").isNotNull
+    val matched = srcPresent && tgtPresent
+    // Delta clause semantics: a condition evaluating NULL means "this
+    // clause's condition is not satisfied" — the row falls through to
+    // the next clause, it is not frozen. `<=> true` folds NULL→false.
+    val del = deleteWhen.map(c => (matched && c) <=> lit(true))
+      .getOrElse(lit(false))
+    val upd = matched && !del &&
+      updateWhen.map(_ <=> lit(true)).getOrElse(lit(true))
+    val ins = !tgtPresent && srcPresent &&
+      insertWhen.map(_ <=> lit(true)).getOrElse(lit(true))
+    val projection: Seq[Column] = mergeKeys.map(col) ++
+      target.columns.toSeq.filterNot(mergeKeys.contains).map { c =>
+        if (updateCols.contains(c) && source.columns.contains(c))
+          when(upd || ins, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+        else if (source.columns.contains(c))
+          when(tgtPresent, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
+        else col(s"t.$c").as(c)
+      }
+    joined
+      .filter(tgtPresent || ins) // source-only rows need the insert clause
+      .filter(!del) // matched delete-clause rows drop
+      .select(projection: _*)
+  }
+
   /** Merge into a stored table (reference `utils/incremental.py:116-136`,
     * which leans on Delta MERGE's rewrite-only-touched-files behavior).
     *

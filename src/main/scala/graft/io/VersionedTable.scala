@@ -787,6 +787,78 @@ final class VersionedTable(spark: SparkSession, root: String) {
       opDesc = s"DELETE DV $column IN KEYS[$lo,$hi]")
   }
 
+  /** SHALLOW CLONE (Delta `CLONE` semantics): commit a new table at
+    * `destRoot` whose v0 manifest REFERENCES this table's current
+    * data files by qualified absolute path — ZERO data files copied,
+    * the clone is one manifest write regardless of table size. At
+    * 100 TB this is the instant dev/test sandbox: the clone reads the
+    * pinned snapshot, and writes to it (appends, DV deletes,
+    * compaction) land under the clone's own root without touching the
+    * source; conversely later source commits never move the clone
+    * (its file list is copied, not linked).
+    *
+    * Hadoop `Path(parent, child)` resolution is what makes absolute
+    * entries free: a qualified-absolute `relPath` overrides the
+    * clone's root at scan planning, stats/partition pruning included
+    * (partition values derive from the path's `col=value` segments,
+    * which the absolute path retains).
+    *
+    * DV sidecars are the one thing COPIED (O(masked rows), never data
+    * rows): their `file_rel` keys are rendered against the owning
+    * root, so the source's sidecar strings would never match the
+    * clone's scan rendering — the clone gets its own sidecar with
+    * re-rendered keys.
+    *
+    * Caveat (same as Delta shallow clones): `vacuum` on the SOURCE
+    * does not know about clones — vacuuming source versions whose
+    * files a clone still references breaks the clone. Clone for
+    * short-lived sandboxes, or retain source history for the clone's
+    * lifetime. */
+  def shallowCloneTo(destRoot: String): VersionedTable = {
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val dest = new VersionedTable(spark, destRoot)
+    require(dest.currentVersion.isEmpty,
+      s"clone destination $destRoot already exists")
+    val srcQualified = fs.makeQualified(rootPath)
+    def srcRendered(rel: String): String =
+      new Path(srcQualified, rel).toString.substring(rootPrefixLen + 1)
+    def absPath(rel: String): String = new Path(srcQualified, rel).toString
+    // the clone scan's rendering of an absolute entry path: the
+    // qualified path minus the CLONE root prefix — consistent with
+    // both the read anti-join and clone-local DV deletes because all
+    // three drop the same destRootPrefixLen+1 characters
+    def destRendered(abs: String): String =
+      new Path(dest.fs.makeQualified(dest.rootPath), abs).toString
+        .substring(dest.rootPrefixLen + 1)
+    val masked = m.entries.filter(_.dvDir.isDefined)
+    val newDvRel: Option[String] =
+      if (masked.isEmpty) None
+      else {
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        val mapping = masked.map { e =>
+          (srcRendered(e.relPath), destRendered(absPath(e.relPath)))
+        }.toDF("file_rel", "_new_rel")
+        val dir = dest.newCommitDir(0L)
+        readDvRows(masked.flatMap(_.dvDir).distinct)
+          .join(mapping, Seq("file_rel"))
+          .select(col("_new_rel").as("file_rel"), col("pos"))
+          .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+        Some(dest.relativize(dir))
+      }
+    val entries = m.entries.map { e =>
+      e.copy(relPath = absPath(e.relPath),
+        dvDir = e.dvDir.map(_ => newDvRel.get))
+    }
+    dest.writeManifest(0L, VersionManifest(m.schema, entries, m.partitionBy))
+    dest.appendHistory(0L, s"CLONE $root@v$curV",
+      entries.map(_.liveRows).sum)
+    dest.pointTo(0L)
+    dest
+  }
+
   private def deleteVectorizedCore(mask: DataFrame => DataFrame,
       mayMatch0: Set[String] => ManifestEntry => Boolean,
       opDesc: String): Long = {

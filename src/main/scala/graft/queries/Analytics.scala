@@ -399,6 +399,66 @@ object Analytics {
       .orderBy("event_type", "hour_bucket")
   }
 
+  /** RANGE-frame window (q139): per event, how many same-type events
+    * fired in the PRECEDING 24 hours — the event-time sliding count
+    * behind rate limiting and burst detection, and the window
+    * capability q124's ROWS frame doesn't cover (a RANGE frame bounds
+    * by VALUE distance, so gaps and bursts are handled correctly).
+    * The frame is anchored on exact integer microseconds
+    * (`unix_micros`), excludes the current row's peers (… AND 1
+    * PRECEDING), and emits an exact integer count — deterministic on
+    * both engines regardless of tie order. One shuffle on event_type;
+    * state is the 24-hour sliding frame. */
+  def rollingRangeCount(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("__us"))
+      .rangeBetween(-86400000000L, -1L)
+    load(spark, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("__us"))
+      .withColumn("n_prior_24h", count(lit(1)).over(w))
+      .select(col("event_id"), col("event_type"), col("n_prior_24h"))
+      .orderBy("event_id")
+  }
+
+  // ----------------------------------------------------- streaming parity
+
+  /** STRUCTURED STREAMING under the DuckDB oracle (q132): the hourly
+    * windowed aggregate executed as a REAL streaming job — file
+    * source → watermark → `Streaming.windowedAgg` → memory sink,
+    * `Trigger.AvailableNow`, complete mode — and hash-checked against
+    * the plain batch SQL. This pins the whole streaming stack
+    * (micro-batch planning, event-time windows, state store
+    * aggregation) to batch semantics cross-engine: any divergence —
+    * a window misaligned, a row dropped by state handling, a partial
+    * flush — hash-mismatches. Sums run in DECIMAL pre-aggregation so
+    * the stateful sum is bit-identical to batch regardless of
+    * micro-batch order (the same reason q73's IVM sums are DECIMAL).
+    * At 100 TB the same code runs continuously: AvailableNow is the
+    * backfill trigger, the watermark bounds state. */
+  def streamingHourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = load(spark, dir, "events")
+      .select(col("ts"), col("event_type"),
+        col("value").cast("decimal(18,4)").as("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+      .toString
+    ev.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val agg = graft.streaming.Streaming.windowedAgg(
+      stream, "ts", "event_type", "value", "1 hour", "10 minutes")
+    val mem = "q132_stream_agg"
+    spark.catalog.dropTempView(mem)
+    val q = agg.writeStream.format("memory").queryName(mem)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(mem)
+      .select(col("window_start").as("hour_bucket"), col("event_type"),
+        col("n_events"),
+        round(col("sum_value"), 2).cast("double").as("sum_value"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -414,10 +474,27 @@ object Analytics {
     "q55_epoch_upsample" -> epochUpsample,
     "q56_retention_cohorts" -> retentionCohorts,
     "q64_cube_kpis" -> cubeKpis,
-    "q124_rolling_anomaly" -> rollingAnomaly
+    "q124_rolling_anomaly" -> rollingAnomaly,
+    "q132_streaming_agg" -> streamingHourlyAgg,
+    "q139_range_window" -> rollingRangeCount
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_range_window" ->
+      """SELECT event_id, event_type,
+           count(*) OVER (PARTITION BY event_type
+             ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+             AS n_prior_24h
+         FROM events ORDER BY event_id""",
+    "q132_streaming_agg" ->
+      // the BATCH formulation (q16's shape): streaming execution must
+      // be semantically indistinguishable from it
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+         event_type, count(*) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q124_rolling_anomaly" ->
       """WITH hourly AS (
            SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))

@@ -209,6 +209,69 @@ object Relational {
           .as("status_after"))
   }
 
+  /** METADATA-ONLY COUNT (q134, Delta's `SELECT count(*)` answered
+    * from the log): per version of a write → append → DV-delete →
+    * compact chain, the row count folded from the MANIFEST's
+    * per-entry `liveRows` (physical rows minus DV-masked rows) — zero
+    * data files opened. On a 100 TB table this turns the most common
+    * query in every dashboard from a full scan into an O(files)
+    * metadata read. The oracle recomputes each version's count
+    * relationally, so a drifting manifest row count (an entry's
+    * `rows` stat wrong, a DV's `dvRows` not netted, compaction
+    * miscounting) hash-mismatches. */
+  def metadataCount(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-metacount")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    vt.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // v0
+    vt.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    vt.deleteVectorized("o_orderkey", 100, 299) // v2
+    vt.compact() // v3: masks purged, count must be preserved
+    val counts = (0L to vt.currentVersion.get).map { v =>
+      (v, vt.manifestEntries(v).map(_.liveRows).sum)
+    }
+    import spark.implicits._
+    counts.toDF("version", "n_rows").orderBy("version")
+  }
+
+  /** MERGE with the full Delta clause surface (q133): the same
+    * target/source as q13, but source rows additionally carry an `op`
+    * command column and the merge runs
+    * `WHEN MATCHED AND op='delete' THEN DELETE / WHEN MATCHED THEN
+    * UPDATE / WHEN NOT MATCHED AND op<>'delete' THEN INSERT`
+    * ([[graft.incremental.Incremental.upsertWithClauses]]) — the CDC
+    * apply shape, where an upstream feed mixes upserts and delete
+    * commands in one batch. The oracle replays all four clause
+    * outcomes (matched-delete drops, matched-update takes source
+    * values, unmatched delete-commands do NOT insert, target-only
+    * rows pass through), so any clause-ordering or null-handling bug
+    * hash-mismatches. Same single-shuffle cost as q13. */
+  def mergeWithClauses(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.Upsert
+    val o = load(spark, dir, "orders")
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val source = o.filter(col("o_custkey") % 2 === 0)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice").cast("decimal(18,4)") * lit(BigDecimal("1.1")), 2)
+          .cast("double").as("o_totalprice"),
+        lit("U").as("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 4, lit("delete"))
+          .otherwise(lit("upsert")).as("op"))
+    Upsert.upsertWithClauses(target, source, Seq("o_orderkey"),
+        deleteWhen = Some(col("s.op") === "delete"),
+        insertWhen = Some(col("s.op") =!= "delete"),
+        updateColumns = Some(Seq("o_totalprice", "o_orderstatus")))
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("price_after"),
+        col("o_orderstatus").as("status_after"))
+      .orderBy("o_orderkey")
+  }
+
   /** S7/J1 through the VERSIONED store (reference `utils/delta_ops.py`
     * MERGE + `utils/incremental.py:116-136`): the q13 merge executed
     * against a real manifest-log table — create a bucket-partitioned
@@ -500,6 +563,63 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** SHALLOW CLONE under the oracle (q131): clone a DV-masked
+    * versioned table (zero data files copied — the clone manifest
+    * references the source's files absolutely; only the DV sidecar is
+    * rewritten, O(masked rows)), then DV-delete MORE rows from the
+    * clone only. The output unions both sides, so the hash pins
+    * three behaviors at once: the clone inherited the source's mask,
+    * the clone-local delete applied on top (sidecar re-rendering
+    * works on externally-referenced files), and the source is
+    * UNTOUCHED by the clone's write. The zero-copy property itself is
+    * spec-asserted (VersionedTableSpec: no parquet data files under
+    * the clone root). */
+  def shallowCloneRead(spark: SparkSession, dir: String): DataFrame = {
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-clone-src")
+      .resolve("tbl").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-clone-dst")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, srcRoot)
+    vt.write(load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    vt.deleteVectorized("o_orderkey", 100, 199) // source mask
+    val clone = vt.shallowCloneTo(dstRoot)
+    clone.deleteVectorized("o_orderkey", 200, 299) // clone-only mask
+    clone.read().withColumn("side", lit("clone"))
+      .unionByName(vt.read().withColumn("side", lit("source")))
+      .orderBy("side", "o_orderkey")
+  }
+
+  /** PER-VERSION SNAPSHOT WALK (q129): time travel itself under the
+    * oracle — the same write → append → DV-delete chain as q73, but
+    * the output reads EVERY version of the table and aggregates each
+    * snapshot (version, rows, revenue). Any time-travel bug — a
+    * version serving the wrong file set, an append mutating history,
+    * a DV mask leaking backward onto v0/v1 — shifts a row of the
+    * output and hash-mismatches. This is the audit query a data team
+    * runs to answer "what did the table say last Tuesday": at 100 TB
+    * each readVersion plans from its own manifest (O(files) metadata,
+    * zero data copied), and the aggregate collapses map-side. */
+  def versionWalk(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-walk")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,4)").as("price"))
+    vt.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // v0
+    vt.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    vt.deleteVectorized("o_orderkey", 100, 299) // v2
+    val perVersion = (0L to vt.currentVersion.get).map { v =>
+      vt.readVersion(v)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("price")), 2).cast("double").as("revenue"))
+        .select(lit(v).as("version"), col("n_rows"), col("revenue"))
+    }
+    perVersion.reduce(_ unionByName _).orderBy("version")
+  }
+
   /** SCHEMA EVOLUTION under the oracle (Delta mergeSchema semantics,
     * previously spec-only): v0 commits a 2-column orders slice, v1
     * appends rows carrying a NEW column with
@@ -659,6 +779,124 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Case-class row for [[typedStatusAgg]] (object-level so
+    * `spark.implicits` can derive its Encoder). */
+  final case class OrderRow(o_orderkey: Long, o_orderstatus: String,
+      o_totalprice: Double)
+
+  /** TYPED Dataset pipeline (q142): the same status aggregate as the
+    * DataFrame queries, but through the `Dataset[T]` / `Encoder` /
+    * `KeyValueGroupedDataset` surface — case-class rows, a typed
+    * lambda filter, `groupByKey` on a field, `TypedColumn`
+    * aggregates. The oracle pins that the typed API produces the
+    * same bits as the SQL formulation. Honest cost note: the lambda
+    * filter pays one object deserialization per row (the documented
+    * price of opaque closures — q142 exists to exercise that surface,
+    * hot paths in this library use Column predicates); the
+    * `groupByKey`+`TypedColumn` agg still plans partial aggregation
+    * and one shuffle of group rows, like its untyped twin. Sums run
+    * in DECIMAL inside the typed agg, exactly as q73. */
+  def typedStatusAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .as[OrderRow]
+    ds.filter(o => o.o_totalprice > 1000.0)
+      .groupByKey(_.o_orderstatus)
+      .agg(
+        count(lit(1)).as("n_orders").as[Long],
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue").as[Double])
+      .toDF("o_orderstatus", "n_orders", "revenue")
+      .orderBy("o_orderstatus")
+  }
+
+  /** UNPIVOT / melt (q135): the wide→long reshape every metrics
+    * pipeline needs (per-column measures become (metric, value)
+    * rows) — Spark's `unpivot` operator, which plans as a generator
+    * expand: pure narrow, one output row per (row, measure), zero
+    * shuffles. The oracle replays it as a 3-way UNION ALL, the
+    * dialect-portable formulation. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 20 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** GROUPING SETS with grouping_id (q136): the OLAP shape between
+    * q49's rollup and q64's cube — exactly the requested grouping
+    * combinations, one pass, partial aggregation per set. grouping_id
+    * disambiguates a real NULL key from a superaggregate row — the
+    * classic correctness trap this oracle pins cross-engine. */
+  def groupingSetsKpis(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"),
+        grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+          .cast("int").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  /** SCD2 POINT-IN-TIME join (q140): orders joined to the dimension
+    * VERSION that was valid on the order date (`valid_from ≤ date <
+    * valid_to`) — the slowly-changing-dimension pattern behind every
+    * as-it-was-then warehouse report. The dimension (two synthetic
+    * validity epochs per customer, split at 1996-01-01) broadcasts;
+    * the non-equi validity predicate evaluates inside the broadcast
+    * hash join on the equi key, so the fact table streams through map
+    * tasks exactly once — at 100 TB the SCD2 lookup costs what a
+    * plain dim join costs. Per (custkey, date) exactly one version
+    * matches (half-open intervals partition time), so the join is
+    * multiplicity-preserving — which the oracle's row count pins. */
+  def scd2PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val cut = lit("1996-01-01").cast("date")
+    val dim = cust.select(col("c_custkey"),
+        concat(col("c_name"), lit("#v1")).as("dim_name"),
+        lit("1900-01-01").cast("date").as("valid_from"),
+        cut.as("valid_to"))
+      .unionByName(cust.select(col("c_custkey"),
+        concat(col("c_name"), lit("#v2")).as("dim_name"),
+        cut.as("valid_from"),
+        lit("9999-12-31").cast("date").as("valid_to")))
+    val orders = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("o_date"))
+    orders.join(broadcast(dim),
+        col("o_custkey") === col("c_custkey") &&
+          col("o_date") >= col("valid_from") &&
+          col("o_date") < col("valid_to"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_date"),
+        col("dim_name"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Regexp scalar family (q143): extract / count / match — the
+    * q65/q66 treatment for regular expressions, cross-engine oracled
+    * (Java regex here vs RE2 in the oracle: the patterns stay in the
+    * dialect-portable subset, the same discipline as q87's PII
+    * chain). Pure narrow codegen'd projection. */
+  def regexpFuncs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_type"), "(\\w+)$", 1).as("type_last"),
+        regexp_count(col("p_name"), lit("[aeiou]+")).as("n_vowel_runs"),
+        col("p_brand").rlike("\\d").as("brand_has_digit"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+      .orderBy("p_partkey")
+
   // ---------------------------------------------------- scalar families
 
   /** Temporal scalar-function family: the date-dimension derivation
@@ -731,6 +969,15 @@ object Relational {
     "q79_change_feed" -> changeFeed,
     "q121_incremental_join" -> incrementalJoinMaintain,
     "q126_schema_evolution" -> schemaEvolutionRead,
+    "q129_version_walk" -> versionWalk,
+    "q131_shallow_clone" -> shallowCloneRead,
+    "q133_merge_clauses" -> mergeWithClauses,
+    "q134_metadata_count" -> metadataCount,
+    "q135_unpivot" -> unpivotMeasures,
+    "q140_scd2_join" -> scd2PointInTime,
+    "q142_typed_dataset" -> typedStatusAgg,
+    "q143_regexp_funcs" -> regexpFuncs,
+    "q136_grouping_sets" -> groupingSetsKpis,
     "q61_window_funcs" -> windowFunctions,
     "q62_set_ops" -> setOps,
     "q63_semi_anti" -> semiAntiJoin,
@@ -920,6 +1167,123 @@ object Relational {
                FROM customer WHERE c_custkey % 7 <> 0)
          USING (o_custkey)
          ORDER BY o_orderkey""",
+    "q143_regexp_funcs" ->
+      """SELECT p_partkey,
+         regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         regexp_extract(p_type, '(\w+)$', 1) AS type_last,
+         CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER)
+           AS n_vowel_runs,
+         regexp_matches(p_brand, '\d') AS brand_has_digit,
+         regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+         FROM part ORDER BY p_partkey""",
+    "q142_typed_dataset" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS revenue
+         FROM orders WHERE o_totalprice > 1000.0
+         GROUP BY 1 ORDER BY 1""",
+    "q140_scd2_join" ->
+      """WITH dim AS (
+           SELECT c_custkey, c_name || '#v1' AS dim_name,
+                  DATE '1900-01-01' AS valid_from,
+                  DATE '1996-01-01' AS valid_to
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, c_name || '#v2',
+                  DATE '1996-01-01', DATE '9999-12-31'
+           FROM customer)
+         SELECT o_orderkey, o_custkey,
+                CAST(o_orderdate AS DATE) AS o_date, dim_name
+         FROM orders
+         JOIN dim ON o_custkey = c_custkey
+           AND CAST(o_orderdate AS DATE) >= valid_from
+           AND CAST(o_orderdate AS DATE) < valid_to
+         ORDER BY o_orderkey""",
+    "q135_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value
+         FROM lineitem WHERE l_orderkey % 20 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+         FROM lineitem WHERE l_orderkey % 20 = 0
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey % 20 = 0
+         ORDER BY l_orderkey, l_linenumber, metric""",
+    "q136_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+             AS INTEGER) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), ())
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
+    "q134_metadata_count" ->
+      // v0 = %3<>0 slice, v1 = all, v2/v3 = all minus the DV range
+      // (compaction must preserve the count while purging masks)
+      """WITH c0 AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 3 <> 0),
+         c1 AS (SELECT count(*) AS n FROM orders),
+         c2 AS (SELECT count(*) AS n FROM orders
+                WHERE NOT (o_orderkey BETWEEN 100 AND 299))
+         SELECT CAST(0 AS BIGINT) AS version, n AS n_rows FROM c0
+         UNION ALL SELECT 1, n FROM c1
+         UNION ALL SELECT 2, n FROM c2
+         UNION ALL SELECT 3, n FROM c2
+         ORDER BY version""",
+    "q133_merge_clauses" ->
+      // four clause outcomes: matched+delete drops, matched+upsert
+      // takes source values, unmatched delete-commands never insert,
+      // target-only passes through (s.op IS NULL)
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+           WHERE o_orderkey % 3 <> 0),
+         source AS (
+           SELECT o_orderkey,
+                  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2)
+                    AS DOUBLE) AS o_totalprice,
+                  'U' AS o_orderstatus,
+                  CASE WHEN o_orderkey % 10 = 4 THEN 'delete'
+                       ELSE 'upsert' END AS op
+           FROM orders WHERE o_custkey % 2 = 0)
+         SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                CASE WHEN s.op = 'upsert' THEN s.o_totalprice
+                     ELSE t.o_totalprice END AS price_after,
+                CASE WHEN s.op = 'upsert' THEN s.o_orderstatus
+                     ELSE t.o_orderstatus END AS status_after
+         FROM target t FULL OUTER JOIN source s USING (o_orderkey)
+         WHERE s.op IS NULL OR s.op <> 'delete'
+         ORDER BY o_orderkey""",
+    "q131_shallow_clone" ->
+      // clone = source mask + clone-local mask; source = its own mask
+      // only (the clone's write must not leak back)
+      """SELECT o_orderkey, o_totalprice, o_orderstatus, 'clone' AS side
+         FROM orders WHERE NOT (o_orderkey BETWEEN 100 AND 299)
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, o_orderstatus, 'source' AS side
+         FROM orders WHERE NOT (o_orderkey BETWEEN 100 AND 199)
+         ORDER BY side, o_orderkey""",
+    "q129_version_walk" ->
+      // v0 = the %3<>0 slice, v1 = all orders, v2 = v1 minus the DV
+      // range; each version aggregated from scratch
+      """WITH v0 AS (SELECT o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+         v1 AS (SELECT o_totalprice FROM orders),
+         v2 AS (SELECT o_totalprice FROM orders
+                WHERE NOT (o_orderkey BETWEEN 100 AND 299))
+         SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue FROM v0
+         UNION ALL
+         SELECT 1, count(*),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           FROM v1
+         UNION ALL
+         SELECT 2, count(*),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           FROM v2
+         ORDER BY version""",
     "q126_schema_evolution" ->
       // pre-evolution rows read the added column as NULL; appended
       // rows carry real values

@@ -1432,6 +1432,150 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** QUANTILE NORMALIZATION of quality scores across sources (q141) —
+    * the batch-effect correction curation needs before any
+    * cross-source score threshold: each source's score distribution
+    * maps onto the GLOBAL distribution (doc with per-source rank r of
+    * n_s gets the global value at index ceil(r·N/n_s)), so "top X%"
+    * means the same thing in every source even when one source's
+    * scorer runs hot. Ranks come from q94's two-pass score-bucket
+    * machinery — per-bucket windows plus broadcast bucket offsets, no
+    * single-reducer global or per-source sort — and the index lookup
+    * is an integer equi-join against the globally-ranked frame. All
+    * arithmetic is exact integers; the normalized value is a COPIED
+    * raw double, never computed. The oracle replays the naive global
+    * + per-source windows. */
+  def quantileNormalize(spark: SparkSession, dir: String,
+      buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.withQualityColumns(docs(spark, dir), "text")
+      .select(col("doc_id"), col("source"), col("quality_score").as("score"))
+      .withColumn("__b",
+        least(floor(col("score") * buckets), lit(buckets - 1)).cast("int"))
+      .localCheckpoint() // feeds the global rank, source rank, and totals
+    val n = scored.count()
+    // global ascending rank: per-bucket window + broadcast offsets
+    val wInG = Window.partitionBy("__b")
+      .orderBy(col("score").asc, col("doc_id").asc)
+    val wOffG = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offG = scored.groupBy("__b").agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(wOffG), lit(0L)))
+      .select("__b", "__off")
+    val ranked = scored
+      .withColumn("__rkIn", row_number().over(wInG).cast("long"))
+      .join(broadcast(offG), Seq("__b"))
+    val globalVals = ranked
+      .select(col("score").as("norm_score"),
+        (col("__off") + col("__rkIn")).as("__grk"))
+    // per-source ascending rank, same shape
+    val wInS = Window.partitionBy("source", "__b")
+      .orderBy(col("score").asc, col("doc_id").asc)
+    val wOffS = Window.partitionBy("source").orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offS = scored.groupBy("source", "__b").agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(wOffS), lit(0L)))
+      .select("source", "__b", "__off")
+    val totals = scored.groupBy("source").agg(count(lit(1)).as("__ns"))
+    scored
+      .withColumn("__rkIn", row_number().over(wInS).cast("long"))
+      .join(broadcast(offS), Seq("source", "__b"))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("__idx",
+        expr(s"(( __rkIn + __off) * ${n}L + __ns - 1) DIV __ns"))
+      .join(globalVals, col("__idx") === col("__grk"))
+      .select(col("doc_id"), col("source"), col("score"), col("norm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** ARRAY-FUNCTION FAMILY (q137) — the collection-scalar surface
+    * (slice, element access, min/max, position, sort, containment,
+    * size) exercised over the embedding arrays and cross-engine
+    * oracled against DuckDB's list functions, the q65/q66 treatment
+    * for collections. Pure narrow projection, zero shuffles. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val v = Similarity.toDouble(col("embedding"))
+    embs(spark, dir)
+      .select(
+        col("vec_id"),
+        size(v).as("dim"),
+        element_at(v, 1).as("first_val"),
+        element_at(v, -1).as("last_val"),
+        array_max(slice(v, 1, 8)).as("head_max"),
+        array_min(slice(v, 1, 8)).as("head_min"),
+        array_position(v, array_max(v)).cast("long").as("argmax_pos"),
+        element_at(array_sort(slice(v, 1, 8)), 1).as("head_sorted_first"),
+        array_contains(v, element_at(v, 3)).as("contains_third"))
+      .orderBy("vec_id")
+  }
+
+  /** SQL-CALLABLE NATIVE FUNCTIONS (q138): the same cosine scoring as
+    * q26, but written as a SQL STRING against the session's
+    * registered `graft_dot` function
+    * ([[graft.functions.GraftFunctions.register]] — the post-hoc
+    * registration path; `spark.sql.extensions` injects the identical
+    * builders). This pins the SQL surface of the native-kernel
+    * family: a user typing SQL gets the same codegen'd expression —
+    * and the same bits — as the DataFrame API. */
+  def sqlNativeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    embs(spark, dir).createOrReplaceTempView("q138_embeddings")
+    spark.sql(
+      """SELECT e.vec_id,
+           graft_dot(TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+                     TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)))
+             AS self_dot,
+           SQRT(graft_dot(TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)),
+                          TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE))))
+             AS norm
+         FROM q138_embeddings e
+         ORDER BY e.vec_id""")
+  }
+
+  /** PER-SOURCE ZIPF SLOPE (q130) — the corpus-statistics fingerprint
+    * (natural text follows Zipf's law with slope ≈ −1; templated or
+    * machine-generated sources bend it): per source, least-squares
+    * fit of ln(count) against ln(rank) over the top-200 terms,
+    * emitting slope and intercept. A drifting slope between crawl
+    * snapshots is the cheap canary for a source turning into
+    * boilerplate. Scale: the corpus collapses to (source, term)
+    * count rows via partial agg; the rank window runs over per-source
+    * VOCABULARY rows (never documents), and the fit consumes 200 rows
+    * per source. Float discipline: x = ln rank, y = ln count are
+    * per-row deterministic; every cross-row sum rounds per term to a
+    * 1e-6-scaled exact LONG (q112's class), and slope/intercept
+    * derive from those integers by one fixed expression tree. */
+  def zipfSlope(spark: SparkSession, dir: String, topR: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text")))
+        .as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("c").desc, col("term").asc)
+    val ranked = counts
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= topR)
+      .withColumn("x", log(col("r").cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+    val agg = ranked.groupBy("source").agg(
+      count(lit(1)).as("n_terms"),
+      sum(round(col("x") * 1e6).cast("long")).as("sx"),
+      sum(round(col("y") * 1e6).cast("long")).as("sy"),
+      sum(round(col("x") * col("y") * 1e6).cast("long")).as("sxy"),
+      sum(round(col("x") * col("x") * 1e6).cast("long")).as("sxx"))
+    val n = col("n_terms").cast("double")
+    val sx = col("sx").cast("double") / 1e6
+    val sy = col("sy").cast("double") / 1e6
+    val sxy = col("sxy").cast("double") / 1e6
+    val sxx = col("sxx").cast("double") / 1e6
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    agg.select(col("source"), col("n_terms"),
+      slope.as("zipf_slope"),
+      ((sy - slope * sx) / n).as("zipf_intercept"))
+      .orderBy("source")
+  }
+
   /** IN-BATCH NEGATIVES export (q127) — the contrastive-training pair
     * table (SimCLR/DPR recipe: within a training batch, every other
     * member is a negative for the anchor): q97's deterministic epoch
@@ -2351,6 +2495,10 @@ object TrainingData {
     "q125_label_separation" -> labelSeparation,
     "q127_inbatch_negatives" -> ((s, d) => inBatchNegatives(s, d)),
     "q128_topk_operator" -> knnCosineTopKOperator,
+    "q130_zipf_slope" -> ((s, d) => zipfSlope(s, d)),
+    "q137_array_funcs" -> arrayFuncs,
+    "q141_quantile_normalize" -> ((s, d) => quantileNormalize(s, d)),
+    "q138_sql_native_funcs" -> sqlNativeFuncs,
     "q28_byte_stats" -> byteStats,
     "q29_embed_neardup" -> embedNearDup,
     "q30_ann_ivf" -> annIvf,
@@ -2799,6 +2947,101 @@ object TrainingData {
            FROM q CROSS JOIN c)
          SELECT q_id, neighbor_id, round(cos, 4) AS cosine
          FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q141_quantile_normalize" ->
+      // q19's score expression; naive global + per-source windows;
+      // idx = ceil(r*N/ns) in exact integer arithmetic
+      s"""WITH base AS (
+           SELECT doc_id, source, string_split(lower(text), ' ') AS t,
+             length(text) AS n_ch,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_punct
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, len(t) AS n_tokens,
+             CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
+               AS DOUBLE) / len(t) AS sr,
+             CAST(n_punct AS DOUBLE) / n_ch AS pr
+           FROM base),
+         scored AS (
+           SELECT doc_id, source,
+             sr * CAST(0.5 AS DOUBLE)
+               + (CAST(1.0 AS DOUBLE) - pr) * CAST(0.3 AS DOUBLE)
+               + least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                 * CAST(0.2 AS DOUBLE) AS score
+           FROM r),
+         g AS (
+           SELECT score AS norm_score,
+             row_number() OVER (ORDER BY score, doc_id) AS grk
+           FROM scored),
+         s AS (
+           SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+               ORDER BY score, doc_id) AS rs,
+             count(*) OVER (PARTITION BY source) AS ns,
+             count(*) OVER () AS n
+           FROM scored)
+         SELECT s.doc_id, s.source, s.score, g.norm_score
+         FROM s JOIN g ON (s.rs * s.n + s.ns - 1) // s.ns = g.grk
+         ORDER BY s.doc_id""",
+    "q137_array_funcs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT vec_id,
+           len(v) AS dim,
+           v[1] AS first_val,
+           v[-1] AS last_val,
+           list_max(v[1:8]) AS head_max,
+           list_min(v[1:8]) AS head_min,
+           CAST(list_position(v, list_max(v)) AS BIGINT) AS argmax_pos,
+           list_sort(v[1:8])[1] AS head_sorted_first,
+           list_contains(v, v[3]) AS contains_third
+         FROM e ORDER BY vec_id""",
+    "q138_sql_native_funcs" ->
+      """SELECT vec_id,
+           list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])
+             AS self_dot,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             AS norm
+         FROM embeddings ORDER BY vec_id""",
+    "q130_zipf_slope" ->
+      // x=ln rank, y=ln count; per-term 1e-6 round -> exact LONG
+      // sums; slope/intercept from the same closed forms
+      """WITH toks AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         counts AS (
+           SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         ranked AS (
+           SELECT source, c,
+             row_number() OVER (PARTITION BY source
+               ORDER BY c DESC, term ASC) AS r
+           FROM counts),
+         xy AS (
+           SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+                  ln(CAST(c AS DOUBLE)) AS y
+           FROM ranked WHERE r <= 200),
+         agg AS (
+           SELECT source, count(*) AS n_terms,
+             sum(CAST(round(x * 1000000) AS BIGINT)) AS sx,
+             sum(CAST(round(y * 1000000) AS BIGINT)) AS sy,
+             sum(CAST(round(x * y * 1000000) AS BIGINT)) AS sxy,
+             sum(CAST(round(x * x * 1000000) AS BIGINT)) AS sxx
+           FROM xy GROUP BY 1)
+         SELECT source, n_terms,
+           (CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000.0)
+              - (CAST(sx AS DOUBLE) / 1000000.0)
+                * (CAST(sy AS DOUBLE) / 1000000.0))
+           / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000.0)
+              - (CAST(sx AS DOUBLE) / 1000000.0)
+                * (CAST(sx AS DOUBLE) / 1000000.0)) AS zipf_slope,
+           ((CAST(sy AS DOUBLE) / 1000000.0)
+              - ((CAST(n_terms AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000.0)
+                  - (CAST(sx AS DOUBLE) / 1000000.0)
+                    * (CAST(sy AS DOUBLE) / 1000000.0))
+                 / (CAST(n_terms AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1000000.0)
+                    - (CAST(sx AS DOUBLE) / 1000000.0)
+                      * (CAST(sx AS DOUBLE) / 1000000.0)))
+                * (CAST(sx AS DOUBLE) / 1000000.0))
+             / CAST(n_terms AS DOUBLE) AS zipf_intercept
+         FROM agg ORDER BY source""",
     "q128_topk_operator" ->
       // byte-identical contract to q26: the custom operator must
       // reproduce the window formulation's result set exactly

@@ -109,6 +109,17 @@ object Similarity {
     * pre-prune-then-exact-window shape as `Analytics.topKPerGroup`;
     * bit-identical to the single-window form. */
   private[graft] def keepTopPerQuery(df: DataFrame, limit: Int,
+      ord: Seq[Column]): DataFrame =
+    graft.plans.TopKPerKey.perKey(df, Seq(col("q_id")), ord, limit)
+
+  /** The pre-operator formulation of [[keepTopPerQuery]] (sharded
+    * two-window rank), kept as the parity reference: TrainingDataSpec
+    * pins operator ≡ window on the live query shapes. Both require
+    * `ord` to be a total order. The window form still shuffles every
+    * candidate row once; the operator cuts each query to `limit` rows
+    * per input partition before the exchange (see
+    * graft.plans.TopKPerKey). */
+  private[graft] def keepTopPerQueryWindow(df: DataFrame, limit: Int,
       ord: Seq[Column]): DataFrame = {
     val wShard = Window
       .partitionBy(col("q_id"), pmod(hash(col("neighbor_id")), lit(RankShards)))

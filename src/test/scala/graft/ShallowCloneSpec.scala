@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VersionedTable
+
+/** Shallow clone: zero data files copied, reads identical to the
+  * source snapshot, clone-local writes (append / DV delete) never
+  * touch the source, later source commits never move the clone. */
+class ShallowCloneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  import scala.jdk.CollectionConverters._
+
+  private def parquetDataFiles(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) return Seq.empty
+    val s = Files.walk(p)
+    try s.iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet")).map(_.toString).toList
+    finally s.close()
+  }
+
+  private def rows(vt: VersionedTable): Seq[String] =
+    vt.read().collect().map(_.mkString("|")).sorted.toSeq
+
+  test("clone of a DV-masked table: zero-copy, identical reads, isolation") {
+    val src = Fixtures.tempDir("clone-src") + "/tbl"
+    val dst = Fixtures.tempDir("clone-dst") + "/tbl"
+    val vt = new VersionedTable(spark, src)
+    vt.write((0L until 500L).map(i => (i, s"v$i")).toDF("id", "v"))
+    vt.deleteVectorized("id", 100, 199) // source carries a DV mask
+    val srcBefore = rows(vt)
+
+    val clone = vt.shallowCloneTo(dst)
+    assert(rows(clone) === srcBefore, "clone must read the source snapshot")
+    // ZERO-COPY: the only parquet under the clone root is the
+    // re-rendered DV sidecar — never a data file (data rows live in
+    // the source's files, referenced absolutely)
+    val cloneFiles = parquetDataFiles(dst)
+    assert(cloneFiles.nonEmpty, "expected the re-rendered DV sidecar")
+    val sidecarRows = spark.read.parquet(
+      cloneFiles.map(_.replaceAll("/[^/]*\\.parquet$", "")).distinct: _*)
+    assert(sidecarRows.columns.toSet === Set("file_rel", "pos"),
+      "only DV sidecars may exist under a fresh clone root")
+    assert(sidecarRows.count() === 100)
+
+    // clone-local DV delete applies on externally-referenced files...
+    clone.deleteVectorized("id", 200, 299)
+    assert(rows(clone) ===
+      (0L until 500L).filterNot(i => i >= 100 && i <= 299)
+        .map(i => s"$i|v$i").sorted)
+    // ...and the source is untouched
+    assert(rows(vt) === srcBefore)
+
+    // clone-local append lands under the clone root only
+    clone.write(Seq((9000L, "new")).toDF("id", "v"), SaveMode.Append)
+    assert(rows(clone).contains("9000|new"))
+    assert(rows(vt) === srcBefore)
+
+    // later SOURCE commits never move the clone (file list copied)
+    vt.deleteVectorized("id", 0, 49)
+    assert(rows(clone).contains("0|v0"),
+      "clone must still serve rows the source deleted after cloning")
+    assert(!rows(vt).contains("0|v0"))
+  }
+
+  test("clone of an unmasked table is manifest-only; time travel works") {
+    val src = Fixtures.tempDir("clone-src2") + "/tbl"
+    val dst = Fixtures.tempDir("clone-dst2") + "/tbl"
+    val vt = new VersionedTable(spark, src)
+    vt.write((0L until 100L).map(i => (i, i * 2)).toDF("id", "x"))
+    val clone = vt.shallowCloneTo(dst)
+    assert(parquetDataFiles(dst).isEmpty,
+      s"unmasked clone must copy NOTHING: ${parquetDataFiles(dst)}")
+    assert(rows(clone) === rows(vt))
+    // clone is a real versioned table: its own history starts at v0
+    assert(clone.currentVersion === Some(0L))
+    clone.write(Seq((500L, 1L)).toDF("id", "x"), SaveMode.Append)
+    assert(clone.readVersion(0L).count() === 100)
+    assert(clone.read().count() === 101)
+  }
+
+  test("cloning into an existing table is refused") {
+    val src = Fixtures.tempDir("clone-src3") + "/tbl"
+    val vt = new VersionedTable(spark, src)
+    vt.write(Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      vt.shallowCloneTo(src)
+    }
+  }
+}

@@ -625,33 +625,32 @@ class TrainingDataSpec extends AnyFunSuite {
   test("ann top-k plans: no single-reducer per-query window over unreduced candidates") {
     // the scale guard behind q26/q27/q57/q58: a window partitioned by
     // q_id ALONE ranks every candidate of a query in one task — for a
-    // flat-PQ ADC scan that is the whole corpus's codes per query. Any
-    // such window may only ever consume pre-reduced input: another
-    // (q_id, shard) window's capped survivors.
+    // flat-PQ ADC scan that is the whole corpus's codes per query.
+    // Since the keepTopPerQuery → TopKPerKey swap, the ranking tail
+    // plans the custom operator (partial heaps BEFORE the exchange,
+    // ≤ k rows per query per partition shuffled) and there must be NO
+    // q_id-partitioned Window over unreduced candidates at all.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val e = Tables.load(spark, sf, "embeddings")
     val corpus = e.filter(col("vec_id") >= 5)
     val queries = e.filter(col("vec_id") < 5)
-    def assertSharded(df: org.apache.spark.sql.DataFrame): Unit = {
+    def assertHeapRanked(df: org.apache.spark.sql.DataFrame): Unit = {
       val lp = df.queryExecution.optimizedPlan
-      val windows = lp.collect { case w: LWindow => w }
-      assert(windows.size >= 2, s"expected pre-prune + exact windows:\n$lp")
-      windows.foreach { w =>
+      val topk = lp.collect { case t: graft.plans.TopKPerKeyNode => t }
+      assert(topk.nonEmpty, s"expected the TopKPerKey operator:\n$lp")
+      lp.collect { case w: LWindow => w }.foreach { w =>
         val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
-        if (parts == Set("q_id")) {
-          val preReduced = w.child.collectFirst { case _: LWindow => () }
-          assert(preReduced.isDefined,
-            s"per-query window runs over unreduced candidates:\n$lp")
-        }
+        assert(parts != Set("q_id"),
+          s"per-query window survives the operator swap:\n$lp")
       }
     }
-    assertSharded(Similarity.bruteForceTopK(corpus, queries,
+    assertHeapRanked(Similarity.bruteForceTopK(corpus, queries,
       "vec_id", "embedding", k = 3))
-    assertSharded(Similarity.signLshTopK(corpus, queries,
+    assertHeapRanked(Similarity.signLshTopK(corpus, queries,
       "vec_id", "embedding", k = 3, bits = 6))
-    assertSharded(TrainingData.annPq(spark, sf))
-    assertSharded(TrainingData.annIvfPq(spark, sf))
-    assertSharded(TrainingData.annSq(spark, sf))
+    assertHeapRanked(TrainingData.annPq(spark, sf))
+    assertHeapRanked(TrainingData.annIvfPq(spark, sf))
+    assertHeapRanked(TrainingData.annSq(spark, sf))
   }
 
   test("semdedup: matches a naive in-memory replay; farthest member always kept") {
