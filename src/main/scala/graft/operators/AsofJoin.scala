@@ -29,14 +29,35 @@ object AsofJoin {
     *                must match across the two sides. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, payload: Seq[String],
-      suffix: String = "_asof"): DataFrame = {
+      suffix: String = "_asof"): DataFrame =
+    asofJoinCore(left, right, keyCol, tsCol, payload, suffix,
+      backward = true)
+
+  /** FORWARD as-of: for each left row, the payload of the EARLIEST
+    * right row with the same key and `right.ts >= left.ts`
+    * (inclusive) — lead attribution ("the next view after this
+    * click"), the mirror of the backward default. Same single-shuffle
+    * carry-forward plan, scanning each key's stream in DESCENDING
+    * time order so "last seen right row" is the nearest FUTURE one. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payload: Seq[String],
+      suffix: String = "_next"): DataFrame =
+    asofJoinCore(left, right, keyCol, tsCol, payload, suffix,
+      backward = false)
+
+  private def asofJoinCore(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payload: Seq[String],
+      suffix: String, backward: Boolean): DataFrame = {
     val l = left.withColumn("_side", lit(1))
     val r = right.select(
       Seq(col(keyCol), col(tsCol)) ++ payload.map(col): _*)
       .withColumn("_side", lit(0))
     val combined = l.unionByName(r, allowMissingColumns = true)
+    // Right rows sort before left rows on timestamp ties in BOTH
+    // directions, which is exactly the inclusive semantic (<= / >=).
+    val tsOrd = if (backward) col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(tsOrd, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Carry the WHOLE right payload as ONE struct: the struct is
     // non-null exactly when a right row exists, so a NULL payload VALUE
@@ -62,6 +83,15 @@ object AsofJoin {
       suffix: String = "_asof"): DataFrame = {
     val rr = right.withColumn("_rts", col(tsCol))
     asofJoin(left, rr, keyCol, tsCol, payload :+ "_rts", suffix)
+      .withColumnRenamed(s"_rts$suffix", s"$tsCol$suffix")
+  }
+
+  /** [[asofJoinForward]] carrying the right row's timestamp too. */
+  def asofJoinForwardWithTs(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, payload: Seq[String],
+      suffix: String = "_next"): DataFrame = {
+    val rr = right.withColumn("_rts", col(tsCol))
+    asofJoinForward(left, rr, keyCol, tsCol, payload :+ "_rts", suffix)
       .withColumnRenamed(s"_rts$suffix", s"$tsCol$suffix")
   }
 }

@@ -39,4 +39,37 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("_bucket")
   }
+
+  /** INTERVAL-OVERLAP join on a shared key: pairs (a, b) with
+    * `a.start < b.end AND b.start < a.end` (half-open overlap) — the
+    * sessions×incidents / meetings×outages shape, strictly harder
+    * than [[pointInInterval]] because BOTH sides are ranges and a
+    * pair can share many buckets.
+    *
+    * Same bucketization, plus the CANONICAL-BUCKET trick instead of a
+    * dedup shuffle: both interval sets explode into their covered
+    * buckets, the equi-join runs on (key, bucket), and a qualifying
+    * pair is EMITTED ONLY in the bucket containing the overlap's
+    * start (`greatest(a.start, b.start)`'s bucket) — each pair
+    * qualifies in exactly one bucket, so the output needs no
+    * `distinct()`. Start/end column names must differ between the two
+    * frames. At 100 TB: one shuffle on (key, bucket); bucket width
+    * trades explode fan-out against post-filter selectivity exactly
+    * as in [[pointInInterval]]. */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0, "bucketWidthSec must be positive")
+    val widthUs = bucketWidthSec * 1000000L
+    def buckets(s: String, e: String) = sequence(
+      floor(unix_micros(col(s)) / widthUs),
+      floor(unix_micros(col(e)) / widthUs))
+    val ae = a.withColumn("_bucket", explode(buckets(aStart, aEnd)))
+    val be = b.withColumn("_bucket", explode(buckets(bStart, bEnd)))
+    ae.join(be, Seq(keyCol, "_bucket"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("_bucket") ===
+        floor(unix_micros(greatest(col(aStart), col(bStart))) / widthUs))
+      .drop("_bucket")
+  }
 }

@@ -620,6 +620,64 @@ object Relational {
     perVersion.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** END-TO-END incremental MATERIALIZED VIEW (q147): a grouped
+    * aggregate OVER a join — `SELECT nation, count, sum FROM orders ⋈
+    * customer GROUP BY c_nationkey` — maintained through changes on
+    * both base tables by CHAINING the two IVM operators: the join
+    * delta (`IncrementalJoin.deltaJoin`, signed rows) feeds straight
+    * into the aggregate maintenance (`IncrementalAgg.update`) as its
+    * change stream — the joined view itself is NEVER materialized or
+    * re-resolved, because an additive aggregate only needs the signed
+    * delta. This is the classic warehouse materialized-view shape:
+    * at 100 TB the maintenance cost is O(changed rows) joined against
+    * broadcast feeds plus a merge against the AGGREGATE (nations×1
+    * rows) — neither base table rescans, no view materialization at
+    * all. The oracle recomputes the rollup from the final states. */
+  def incrementalViewRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.{IncrementalAgg, IncrementalJoin}
+    val rootA = java.nio.file.Files.createTempDirectory("graft-ivr-a")
+      .resolve("tbl").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-ivr-b")
+      .resolve("tbl").toString
+    val vtA = new graft.io.VersionedTable(spark, rootA)
+    val vtB = new graft.io.VersionedTable(spark, rootB)
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,4)").as("price"))
+    vtA.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // A v0
+    val a0 = vtA.currentVersion.get
+    vtB.write(load(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))) // B v0
+    val b0 = vtB.currentVersion.get
+    val keys = Seq("c_nationkey")
+    val agg0 = IncrementalAgg.compute(
+      vtA.read().join(vtB.read(), Seq("o_custkey")), keys, Seq("price"))
+    // changes on both sides
+    vtA.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append)
+    vtA.deleteVectorized("o_orderkey", 100, 299)
+    val a2 = vtA.currentVersion.get
+    vtB.deleteVectorizedKeys("o_custkey",
+      vtB.read().select(col("o_custkey"))
+        .filter(col("o_custkey") % 7 === 0))
+    val b1 = vtB.currentVersion.get
+    // join delta (signed) → aggregate delta, no view materialization
+    val delta = IncrementalJoin.deltaJoin(
+      changesA = vtA.changes(a0, a2), bOld = vtB.readVersion(b0),
+      aNew = vtA.read(), changesB = vtB.changes(b0, b1),
+      keys = Seq("o_custkey"))
+    val asChanges = delta.withColumn("_change_type",
+      when(col(IncrementalJoin.SignCol) === 1, lit("insert"))
+        .otherwise(lit("delete")))
+      .drop(IncrementalJoin.SignCol)
+    val agg1 = IncrementalAgg.update(agg0, asChanges, keys, Seq("price"))
+    agg1.select(col("c_nationkey"),
+      col(IncrementalAgg.CountCol).as("n_orders"),
+      round(col(IncrementalAgg.sumCol("price")), 2).cast("double")
+        .as("revenue"))
+      .orderBy("c_nationkey")
+  }
+
   /** SCHEMA EVOLUTION under the oracle (Delta mergeSchema semantics,
     * previously spec-only): v0 commits a 2-column orders slice, v1
     * appends rows carrying a NEW column with
@@ -675,6 +733,67 @@ object Relational {
         col("value_asof").as("view_value"),
         col("ts_asof").as("view_ts"))
       .orderBy("event_id")
+  }
+
+  /** General per-group top-k through the custom operator (q144):
+    * each customer's 3 highest-value orders — the relational face of
+    * [[graft.plans.TopKPerKey]] (q128 exercises it as an ANN
+    * shortlist). Key cardinality here is |customers| (100× q128's
+    * query count), so the partial heaps carry many small heaps per
+    * partition — the hash-aggregate-like memory profile the operator
+    * documents. Shuffle: ≤ 3·partitions rows per customer instead of
+    * every order. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.perKey(
+        load(spark, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+      .orderBy("o_custkey", "o_orderkey")
+
+  /** FORWARD as-of join (q145): each click picks up the EARLIEST
+    * at-or-after view by the same user — lead attribution ("what did
+    * they do next"), the mirror of q34's backward attribution.
+    * Same single-shuffle union + carry plan, scanned in descending
+    * time order; DuckDB oracles it with its native ASOF and a `<=`
+    * comparison. */
+  def asofClickNextView(spark: SparkSession, dir: String): DataFrame = {
+    val events = load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    graft.operators.AsofJoin
+      .asofJoinForwardWithTs(clicks, views, "user_id", "ts", Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        col("value_next").as("view_value"),
+        col("ts_next").as("view_ts"))
+      .orderBy("event_id")
+  }
+
+  /** INTERVAL-OVERLAP join (q146): click-activity windows (2 h after
+    * each click) overlapping error windows (1 h after each error) for
+    * the same user — both sides are ranges, the shape strictly harder
+    * than q35's point-in-interval. Bucketized with the
+    * canonical-bucket trick (each qualifying pair emits in exactly
+    * one bucket — the overlap start's), so the plan is ONE equi-join
+    * shuffle and NO dedup stage; the oracle replays the naive
+    * overlap join. */
+  def intervalOverlapClickError(spark: SparkSession, dir: String): DataFrame = {
+    val events = load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("a_start"))
+      .withColumn("a_end", col("a_start") + expr("INTERVAL 2 HOURS"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("b_start"))
+      .withColumn("b_end", col("b_start") + expr("INTERVAL 1 HOUR"))
+    graft.operators.RangeJoin.intervalOverlap(
+        clicks, errors, "user_id", "a_start", "a_end", "b_start", "b_end",
+        bucketWidthSec = 7200)
+      .select("click_id", "error_id")
+      .orderBy("click_id", "error_id")
   }
 
   /** Salted skew join (graft.util.SkewJoin): fact × dim through the
@@ -977,6 +1096,10 @@ object Relational {
     "q140_scd2_join" -> scd2PointInTime,
     "q142_typed_dataset" -> typedStatusAgg,
     "q143_regexp_funcs" -> regexpFuncs,
+    "q144_topk_per_customer" -> topOrdersPerCustomer,
+    "q145_asof_forward" -> asofClickNextView,
+    "q146_interval_overlap" -> intervalOverlapClickError,
+    "q147_incremental_view" -> incrementalViewRollup,
     "q136_grouping_sets" -> groupingSetsKpis,
     "q61_window_funcs" -> windowFunctions,
     "q62_set_ops" -> setOps,
@@ -1167,6 +1290,46 @@ object Relational {
                FROM customer WHERE c_custkey % 7 <> 0)
          USING (o_custkey)
          ORDER BY o_orderkey""",
+    "q147_incremental_view" ->
+      // the rollup recomputed from the FINAL states of both tables:
+      // orders minus the DV range, customers minus the %7 victims
+      """SELECT c_nationkey, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS revenue
+         FROM (SELECT o_custkey, o_totalprice FROM orders
+               WHERE NOT (o_orderkey BETWEEN 100 AND 299))
+         JOIN (SELECT c_custkey, c_nationkey FROM customer
+               WHERE c_custkey % 7 <> 0)
+           ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q144_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, o_orderkey""",
+    "q145_asof_forward" ->
+      """SELECT l.event_id, l.user_id,
+         r.value AS view_value, CAST(r.ts AS TIMESTAMP) AS view_ts
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN
+              (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
+         ORDER BY l.event_id""",
+    "q146_interval_overlap" ->
+      """SELECT c.event_id AS click_id, e.event_id AS error_id
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS a_start,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS a_end
+               FROM events WHERE event_type = 'click') c
+         JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS b_start,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS b_end
+               FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id
+          AND c.a_start < e.b_end AND e.b_start < c.a_end
+         ORDER BY 1, 2""",
     "q143_regexp_funcs" ->
       """SELECT p_partkey,
          regexp_extract(p_name, '^(\w+)', 1) AS first_word,

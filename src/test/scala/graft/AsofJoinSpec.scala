@@ -36,6 +36,40 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(4L) === null, "left row with no right rows keeps null")
   }
 
+  test("forward as-of picks the earliest at-or-after; ties inclusive") {
+    val out = AsofJoin.asofJoinForward(left, right, "user", "ts", Seq("value"))
+      .select("id", "value_next").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+    assert(out(1L) === 20.0, "10:00 click sees the NEXT view at 10:02")
+    assert(out(2L) === 99.0, "10:05 click sees 10:30, not 10:02")
+    assert(out(3L) === 7.0, "equal timestamps match inclusively")
+    assert(out(4L) === null, "left row with no right rows keeps null")
+  }
+
+  test("forward as-of equals the naive per-row minimum on random data") {
+    val rnd = new scala.util.Random(11)
+    val l = (0 until 300).map(i =>
+      (i.toLong, s"u${rnd.nextInt(5)}",
+        ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+      .toDF("id", "user", "ts")
+    val r = (0 until 200).map(i =>
+      (s"u${rnd.nextInt(5)}",
+        ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"),
+        i.toDouble)).toDF("user", "ts", "value")
+    val got = AsofJoin.asofJoinForwardWithTs(l, r, "user", "ts", Seq("value"))
+      .select("id", "ts_next").collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) null else x.getTimestamp(1))).toMap
+    val rights = r.collect().map(x => (x.getString(0), x.getTimestamp(1)))
+    l.collect().foreach { row =>
+      val (id, u, t) = (row.getLong(0), row.getString(1), row.getTimestamp(2))
+      val expect = rights.filter(p => p._1 == u && !p._2.before(t))
+        .map(_._2).sortBy(_.getTime).headOption.orNull
+      assert(got(id) === expect, s"row $id")
+    }
+  }
+
   test("a NULL payload in the latest matching right row is preserved") {
     // u1 at 10:04 has value NULL — the 10:05 click must return that
     // NULL (native ASOF semantics), not reach back to 10:02's 20.0

@@ -46,6 +46,33 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!naive.exists(_._1 == 5L))  // k3 has no intervals
   }
 
+  test("intervalOverlap equals the naive overlap join; each pair once") {
+    val rnd = new scala.util.Random(23)
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val start = rnd.nextInt(20 * 3600)
+      val len = 1 + rnd.nextInt(3 * 3600) // up to 3h, bucket 2h: spans many
+      (i.toLong, s"k${rnd.nextInt(4)}",
+        new java.sql.Timestamp(1704100000000L + start * 1000L),
+        new java.sql.Timestamp(1704100000000L + (start + len) * 1000L))
+    }.toDF("id", "key", s"${tag}_start", s"${tag}_end")
+    val a = mk(150, "a").withColumnRenamed("id", "aid")
+    val b = mk(100, "b").withColumnRenamed("id", "bid")
+    val naive = a.join(b, Seq("key"))
+      .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = RangeJoin.intervalOverlap(a, b, "key",
+        "a_start", "a_end", "b_start", "b_end", bucketWidthSec = 7200)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // set equality AND multiplicity: the canonical-bucket trick must
+    // emit every qualifying pair EXACTLY once with no dedup stage
+    assert(got.sorted.toSeq === naive.sorted.toSeq,
+      s"missing=${naive.toSet -- got.toSet} extra=${got.toSet -- naive.toSet}" +
+        s" dupes=${got.groupBy(identity).filter(_._2.length > 1).keys}")
+    assert(naive.nonEmpty)
+  }
+
   test("plans as an equi-join (hash/sort-merge), never a nested loop") {
     val plan = RangeJoin.pointInInterval(points, intervals,
         "key", "ts", "start_ts", "end_ts", bucketWidthSec = 300)
