@@ -620,6 +620,71 @@ object Relational {
     perVersion.reduce(_ unionByName _).orderBy("version")
   }
 
+  /** STATS-BASED DATA SKIPPING under the oracle (q148, previously
+    * spec-only — M12): orders committed as many RANGE-CLUSTERED files
+    * (repartitionByRange on the key writes each file a disjoint key
+    * span, each with recorded [min,max] stats), then `readBetween`
+    * plans ONLY the files whose stats intersect the predicate and
+    * applies it row-level. The oracle is the plain WHERE — so a stats
+    * bug that prunes a file it shouldn't (missing rows) or mis-skips
+    * the row filter (extra rows) hash-mismatches. At 100 TB this is
+    * Delta data skipping: the scan cost follows the predicate's
+    * selectivity, not the table size — provided the layout clusters
+    * the column, which is exactly what the range write does. */
+  def dataSkippingRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-skip")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(16, col("o_orderkey")))
+    vt.readBetween("o_orderkey", 2000, 4000)
+      .orderBy("o_orderkey")
+  }
+
+  /** HIVE-PARTITION PRUNING under the oracle (q149, previously
+    * spec-only): orders committed hive-partitioned by a derived
+    * bucket column, then `readWherePartitionIn` plans only the
+    * requested partitions' files straight from the MANIFEST's path
+    * metadata (zero filesystem listing, zero data touched for pruned
+    * partitions). The oracle recomputes the same predicate
+    * relationally. At 100 TB partition pruning is the first line of
+    * scan economics — a day-partitioned table answers a day query at
+    * day cost. */
+  def partitionPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-prune")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderkey") % 8).cast("string").as("bucket")),
+      partitionBy = Some(Seq("bucket")))
+    vt.readWherePartitionIn("bucket", Set("2", "5"))
+      .select("o_orderkey", "o_totalprice", "bucket")
+      .orderBy("o_orderkey")
+  }
+
+  /** RESTORE under the oracle (q150, previously spec-only — M5): the
+    * chain write v0 → DV-delete v1 → compact v2 → RESTORE v0 (as v3)
+    * must read back EXACTLY the original rows — the time-travel undo
+    * every production lakehouse leans on after a bad delete. Restore
+    * is a manifest re-reference (zero data copied); the oracle is the
+    * unfiltered table, so a restore that resurrects the wrong file
+    * set, keeps a stale DV mask, or loses rows to the intervening
+    * compaction hash-mismatches. */
+  def restoreRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-restore")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    val v0 = vt.currentVersion.get
+    vt.deleteVectorized("o_orderkey", 100, 299) // v1
+    vt.compact() // v2: purges the mask, rewrites files
+    vt.restore(v0) // v3: back to the full row set
+    vt.read().orderBy("o_orderkey")
+  }
+
   /** END-TO-END incremental MATERIALIZED VIEW (q147): a grouped
     * aggregate OVER a join — `SELECT nation, count, sum FROM orders ⋈
     * customer GROUP BY c_nationkey` — maintained through changes on
@@ -1100,6 +1165,9 @@ object Relational {
     "q145_asof_forward" -> asofClickNextView,
     "q146_interval_overlap" -> intervalOverlapClickError,
     "q147_incremental_view" -> incrementalViewRollup,
+    "q148_data_skipping" -> dataSkippingRead,
+    "q149_partition_pruning" -> partitionPrunedRead,
+    "q150_restore" -> restoreRead,
     "q136_grouping_sets" -> groupingSetsKpis,
     "q61_window_funcs" -> windowFunctions,
     "q62_set_ops" -> setOps,
@@ -1289,6 +1357,18 @@ object Relational {
          JOIN (SELECT c_custkey AS o_custkey, c_name, c_nationkey
                FROM customer WHERE c_custkey % 7 <> 0)
          USING (o_custkey)
+         ORDER BY o_orderkey""",
+    "q148_data_skipping" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+         WHERE o_orderkey BETWEEN 2000 AND 4000
+         ORDER BY o_orderkey""",
+    "q149_partition_pruning" ->
+      """SELECT o_orderkey, o_totalprice,
+         CAST(o_orderkey % 8 AS VARCHAR) AS bucket
+         FROM orders WHERE o_orderkey % 8 IN (2, 5)
+         ORDER BY o_orderkey""",
+    "q150_restore" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
          ORDER BY o_orderkey""",
     "q147_incremental_view" ->
       // the rollup recomputed from the FINAL states of both tables:
