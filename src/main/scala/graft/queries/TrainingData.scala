@@ -1432,6 +1432,205 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** One BPE merge round over the per-word symbol state
+    * `(word, freq, pos, sym)`: count corpus-weighted adjacent pairs,
+    * pick the best `(count desc, pair asc)`, apply it LEFTMOST
+    * NON-OVERLAPPING (the real BPE rule — in "aaa" with merge (a,a)
+    * only the first pair merges), reindex positions. Overlap only
+    * happens for a==b merges, where candidates form runs of
+    * consecutive positions; the gaps-and-islands rank keeps the 1st,
+    * 3rd, … of each run — exactly greedy-leftmost. All windows
+    * partition by WORD (bounded by word length); the only global
+    * shuffle is the vocabulary-sized pair count. */
+  private[graft] def bpeRound(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("word").orderBy("pos")
+    val withNext = state.withColumn("_next", lead(col("sym"), 1).over(wOrd))
+    val best = withNext.filter(col("_next").isNotNull)
+      .groupBy(col("sym").as("a"), col("_next").as("b"))
+      .agg(sum(col("freq")).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("a").asc, col("b").asc)
+      .limit(1).drop("_cnt")
+    val starts = withNext.crossJoin(broadcast(best))
+      .filter(col("sym") === col("a") && col("_next") === col("b"))
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_island", col("pos") - col("_rn"))
+      .withColumn("_k", row_number().over(
+        Window.partitionBy("word", "_island").orderBy("pos")))
+      .filter(col("_k") % 2 === 1)
+      .select(col("word"), col("pos"))
+    val flagged = state
+      .join(starts.withColumn("_isStart", lit(true)), Seq("word", "pos"),
+        "left")
+      .join(starts.select(col("word"), (col("pos") + 1).as("pos"))
+        .withColumn("_isCons", lit(true)), Seq("word", "pos"), "left")
+    flagged.crossJoin(broadcast(best))
+      .filter(col("_isCons").isNull)
+      .select(col("word"), col("freq"),
+        (row_number().over(wOrd) - 1).as("pos"),
+        when(col("_isStart").isNotNull, concat(col("a"), col("b")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
+  /** BPE MERGE APPLICATION (q152) — the other half of subword
+    * learning (q99 counts merge candidates; this EXECUTES the
+    * trainer loop): two corpus-weighted merge rounds applied to the
+    * character-level vocabulary state with the real greedy
+    * leftmost-non-overlapping rule, then the resulting segmentation
+    * of the 20 most frequent words. Everything is relational —
+    * per-word windows (bounded by word length) plus one
+    * vocabulary-sized pair-count shuffle per round — so at corpus
+    * scale each round costs one pass over the VOCABULARY, never the
+    * corpus (words deduplicate into (word, freq) first; the corpus
+    * is touched once, to count). The oracle replays both rounds as
+    * chained CTEs: a wrong tie-break, an overlap mishandled, or a
+    * reindex bug shifts a segmentation and hash-mismatches. */
+  def bpeApply(spark: SparkSession, dir: String,
+      topWords: Int = 20): DataFrame = {
+    val vocab = docs(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val state0 = vocab.select(col("word"), col("freq"),
+      posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+    val state2 = bpeRound(bpeRound(state0))
+    val top = vocab
+      .orderBy(col("freq").desc, col("word").asc).limit(topWords)
+      .select("word")
+    state2.join(broadcast(top), Seq("word"))
+      .groupBy("word")
+      .agg(max(col("freq")).as("freq"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          _.getField("sym"))).as("seg"))
+      .orderBy("word")
+  }
+
+  /** TOP PRINCIPAL COMPONENT by POWER ITERATION (q151) — the
+    * distributed linear-algebra primitive behind embedding-drift
+    * monitoring and whitening decisions: three unrolled Rayleigh
+    * iterations `v ← C·v / ‖C·v‖` over the centered embedding table,
+    * entirely relational (no driver-side vectors — the d-row v frame
+    * BROADCASTS into each pass; each iteration is one narrow join +
+    * one partial-agg shuffle carrying d rows, so the corpus streams
+    * through map tasks once per iteration at any scale).
+    *
+    * Float contract: every cross-row/cross-dim sum is a per-term
+    * 1e-6-round → exact LONG (the per-row projection s = (x−μ)·v,
+    * the per-dim accumulation w = Σ s·(x−μ), the norm²), and each
+    * next iterate derives from those integers by one fixed expression
+    * tree — so the STATIC SQL oracle replays all three iterations as
+    * chained CTEs with nothing frozen. Init v₀ = 1/8 per dim (unit
+    * for d=64, exactly representable). Sign is pinned by the init. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val ex = embs(spark, dir)
+      .select(col("vec_id"),
+        posexplode(Similarity.toDouble(col("embedding"))).as(Seq("dim", "x")))
+      .localCheckpoint() // feeds the mean and all three iterations
+    val mu = ex.groupBy("dim")
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("dim"), (col("sx").cast("double") / 1e6 / col("n"))
+        .as("mu"))
+    val cx = ex.join(broadcast(mu), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("cx"))
+      .localCheckpoint()
+    def iterate(v: DataFrame): DataFrame = {
+      val s = cx.join(broadcast(v), Seq("dim"))
+        .groupBy("vec_id")
+        .agg(sum(round(col("cx") * col("vv") * 1e6).cast("long")).as("ss"))
+        .select(col("vec_id"), (col("ss").cast("double") / 1e6).as("s"))
+      val w = cx.join(s, Seq("vec_id"))
+        .groupBy("dim")
+        .agg(sum(round(col("s") * col("cx") * 1e6).cast("long")).as("ws"))
+        .select(col("dim"), (col("ws").cast("double") / 1e6).as("w"))
+      val norm = w.agg(sum(round(col("w") * col("w") * 1e6).cast("long"))
+          .as("n2"))
+        .select(sqrt(col("n2").cast("double") / 1e6).as("norm"))
+      w.crossJoin(broadcast(norm))
+        .select(col("dim"), (col("w") / col("norm")).as("vv"))
+    }
+    val v0 = mu.select(col("dim"), lit(0.125).as("vv"))
+    val v3 = iterate(iterate(iterate(v0)))
+    v3.select(col("dim"), col("vv").as("loading")).orderBy("dim")
+  }
+
+  /** EMBEDDING ANISOTROPY report (q153) — the one-row health metric
+    * that says whether the embedding space has collapsed onto a
+    * dominant direction (the anisotropy problem of contextual
+    * encoders): λ₁/trace(C), with λ₁ the Rayleigh quotient of q151's
+    * power-iterated component and trace(C) the total variance. A
+    * ratio near 1/d means isotropic; near 1 means collapsed — the
+    * number that decides whether whitening is worth running. Same
+    * float discipline and plan shape as q151 (one more projection
+    * pass + a d-row trace fold); the static oracle extends q151's
+    * CTE chain. */
+  def embeddingAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val ex = embs(spark, dir)
+      .select(col("vec_id"),
+        posexplode(Similarity.toDouble(col("embedding"))).as(Seq("dim", "x")))
+      .localCheckpoint()
+    val mu = ex.groupBy("dim")
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("dim"), (col("sx").cast("double") / 1e6 / col("n"))
+        .as("mu"))
+    val cx = ex.join(broadcast(mu), Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("cx"))
+      .localCheckpoint()
+    def iterate(v: DataFrame): DataFrame = {
+      val s = cx.join(broadcast(v), Seq("dim"))
+        .groupBy("vec_id")
+        .agg(sum(round(col("cx") * col("vv") * 1e6).cast("long")).as("ss"))
+        .select(col("vec_id"), (col("ss").cast("double") / 1e6).as("s"))
+      val w = cx.join(s, Seq("vec_id"))
+        .groupBy("dim")
+        .agg(sum(round(col("s") * col("cx") * 1e6).cast("long")).as("ws"))
+        .select(col("dim"), (col("ws").cast("double") / 1e6).as("w"))
+      val norm = w.agg(sum(round(col("w") * col("w") * 1e6).cast("long"))
+          .as("n2"))
+        .select(sqrt(col("n2").cast("double") / 1e6).as("norm"))
+      w.crossJoin(broadcast(norm))
+        .select(col("dim"), (col("w") / col("norm")).as("vv"))
+    }
+    val v0 = mu.select(col("dim"), lit(0.125).as("vv"))
+    val v3 = iterate(iterate(iterate(v0)))
+    val nRows = embs(spark, dir).agg(count(lit(1)).as("n"))
+    val proj = cx.join(broadcast(v3), Seq("dim"))
+      .groupBy("vec_id")
+      .agg(sum(round(col("cx") * col("vv") * 1e6).cast("long")).as("ss"))
+      .select((col("ss").cast("double") / 1e6).as("s"))
+    val lambda1 = proj
+      .agg(sum(round(col("s") * col("s") * 1e6).cast("long")).as("l2"))
+      .select((col("l2").cast("double") / 1e6).as("lsum"))
+    val trace = cx
+      .agg(sum(round(col("cx") * col("cx") * 1e6).cast("long")).as("t2"))
+      .select((col("t2").cast("double") / 1e6).as("tsum"))
+    nRows.crossJoin(lambda1).crossJoin(trace)
+      .select(col("n"),
+        (col("tsum") / col("n")).as("total_var"),
+        (col("lsum") / col("n")).as("lambda1"),
+        (col("lsum") / col("tsum")).as("anisotropy"))
+  }
+
+  /** PER-LABEL SPLIT CENSUS (q154) — the stratification audit before
+    * training on labeled data: q44's deterministic hash split applied
+    * to the embedding table, rolled up per (label, split). A skewed
+    * census here means a class is under-represented in val/test — the
+    * check that catches it BEFORE a misleading eval. Pure narrow map
+    * + one tiny grouped fold; membership is a pure function of
+    * vec_id, so the census is identical on every run and cluster. */
+  def labelSplitCensus(spark: SparkSession, dir: String): DataFrame = {
+    val u = hashUniform("split", col("vec_id"))
+    embs(spark, dir)
+      .select(col("label"),
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+          .as("split"))
+      .groupBy("label", "split").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("label", "split")
+  }
+
   /** QUANTILE NORMALIZATION of quality scores across sources (q141) —
     * the batch-effect correction curation needs before any
     * cross-source score threshold: each source's score distribution
@@ -2498,6 +2697,10 @@ object TrainingData {
     "q130_zipf_slope" -> ((s, d) => zipfSlope(s, d)),
     "q137_array_funcs" -> arrayFuncs,
     "q141_quantile_normalize" -> ((s, d) => quantileNormalize(s, d)),
+    "q151_pca_power" -> pcaPower,
+    "q152_bpe_apply" -> ((s, d) => bpeApply(s, d)),
+    "q153_anisotropy" -> embeddingAnisotropy,
+    "q154_label_split_census" -> labelSplitCensus,
     "q138_sql_native_funcs" -> sqlNativeFuncs,
     "q28_byte_stats" -> byteStats,
     "q29_embed_neardup" -> embedNearDup,
@@ -2947,6 +3150,225 @@ object TrainingData {
            FROM q CROSS JOIN c)
          SELECT q_id, neighbor_id, round(cos, 4) AS cosine
          FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q154_label_split_census" ->
+      """SELECT label, split, count(*) AS n_vecs FROM (
+           SELECT label,
+             CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM (
+             SELECT label,
+               CAST(('0x' || substr(md5('split:' || CAST(vec_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) / 4294967296.0 AS u
+             FROM embeddings))
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q153_anisotropy" ->
+      // q151's chain + a projection pass, a lambda fold, and a trace
+      // fold — all per-term-rounded exact LONGs
+      """WITH ex AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+         mu AS (
+           SELECT dim,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / count(*) AS mu
+           FROM ex GROUP BY 1),
+         cx AS (
+           SELECT e.vec_id, e.dim, e.x - m.mu AS cx
+           FROM ex e JOIN mu m ON e.dim = m.dim),
+         v0 AS (SELECT dim, CAST(0.125 AS DOUBLE) AS vv FROM mu),
+         s1 AS (
+           SELECT c.vec_id,
+             CAST(sum(CAST(round(c.cx * v.vv * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM cx c JOIN v0 v ON c.dim = v.dim GROUP BY 1),
+         w1 AS (
+           SELECT c.dim,
+             CAST(sum(CAST(round(s.s * c.cx * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS w
+           FROM cx c JOIN s1 s ON c.vec_id = s.vec_id GROUP BY 1),
+         n1 AS (
+           SELECT sqrt(CAST(sum(CAST(round(w * w * 1000000) AS BIGINT))
+             AS DOUBLE) / 1000000.0) AS norm FROM w1),
+         v1 AS (SELECT dim, w / (SELECT norm FROM n1) AS vv FROM w1),
+         s2 AS (
+           SELECT c.vec_id,
+             CAST(sum(CAST(round(c.cx * v.vv * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM cx c JOIN v1 v ON c.dim = v.dim GROUP BY 1),
+         w2 AS (
+           SELECT c.dim,
+             CAST(sum(CAST(round(s.s * c.cx * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS w
+           FROM cx c JOIN s2 s ON c.vec_id = s.vec_id GROUP BY 1),
+         n2 AS (
+           SELECT sqrt(CAST(sum(CAST(round(w * w * 1000000) AS BIGINT))
+             AS DOUBLE) / 1000000.0) AS norm FROM w2),
+         v2 AS (SELECT dim, w / (SELECT norm FROM n2) AS vv FROM w2),
+         s3 AS (
+           SELECT c.vec_id,
+             CAST(sum(CAST(round(c.cx * v.vv * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM cx c JOIN v2 v ON c.dim = v.dim GROUP BY 1),
+         w3 AS (
+           SELECT c.dim,
+             CAST(sum(CAST(round(s.s * c.cx * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS w
+           FROM cx c JOIN s3 s ON c.vec_id = s.vec_id GROUP BY 1),
+         n3 AS (
+           SELECT sqrt(CAST(sum(CAST(round(w * w * 1000000) AS BIGINT))
+             AS DOUBLE) / 1000000.0) AS norm FROM w3),
+         v3 AS (SELECT dim, w / (SELECT norm FROM n3) AS vv FROM w3),
+         proj AS (
+           SELECT c.vec_id,
+             CAST(sum(CAST(round(c.cx * v.vv * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM cx c JOIN v3 v ON c.dim = v.dim GROUP BY 1),
+         lam AS (
+           SELECT CAST(sum(CAST(round(s * s * 1000000) AS BIGINT))
+             AS DOUBLE) / 1000000.0 AS lsum FROM proj),
+         tr AS (
+           SELECT CAST(sum(CAST(round(cx * cx * 1000000) AS BIGINT))
+             AS DOUBLE) / 1000000.0 AS tsum FROM cx),
+         nn AS (SELECT count(*) AS n FROM embeddings)
+         SELECT nn.n,
+           tr.tsum / nn.n AS total_var,
+           lam.lsum / nn.n AS lambda1,
+           lam.lsum / tr.tsum AS anisotropy
+         FROM nn, lam, tr""",
+    "q152_bpe_apply" ->
+      // two unrolled merge rounds; leftmost-non-overlap via
+      // gaps-and-islands over candidate positions (odd ranks kept)
+      """WITH vocab AS (
+           SELECT word, count(*) AS freq FROM (
+             SELECT unnest(string_split(lower(text), ' ')) AS word
+             FROM documents)
+           WHERE length(word) > 0 GROUP BY 1),
+         state0 AS (
+           SELECT word, freq,
+             generate_subscripts(string_split(word, ''), 1) - 1 AS pos,
+             unnest(string_split(word, '')) AS sym
+           FROM vocab),
+         adj1 AS (
+           SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM state0),
+         best1 AS (
+           SELECT sym AS a, nxt AS b FROM adj1 WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1),
+         cand1 AS (
+           SELECT s.word, s.pos,
+             row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS rn
+           FROM adj1 s, best1 b WHERE s.sym = b.a AND s.nxt = b.b),
+         keep1 AS (
+           SELECT word, pos FROM (
+             SELECT word, pos, row_number() OVER (
+               PARTITION BY word, pos - rn ORDER BY pos) AS k
+             FROM cand1) WHERE k % 2 = 1),
+         state1 AS (
+           SELECT s.word, s.freq,
+             row_number() OVER (PARTITION BY s.word ORDER BY s.pos) - 1
+               AS pos,
+             CASE WHEN st.pos IS NOT NULL THEN b.a || b.b
+                  ELSE s.sym END AS sym
+           FROM state0 s
+           CROSS JOIN best1 b
+           LEFT JOIN keep1 st ON s.word = st.word AND s.pos = st.pos
+           LEFT JOIN keep1 cn ON s.word = cn.word AND s.pos = cn.pos + 1
+           WHERE cn.pos IS NULL),
+         adj2 AS (
+           SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM state1),
+         best2 AS (
+           SELECT sym AS a, nxt AS b FROM adj2 WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 ORDER BY sum(freq) DESC, a, b LIMIT 1),
+         cand2 AS (
+           SELECT s.word, s.pos,
+             row_number() OVER (PARTITION BY s.word ORDER BY s.pos) AS rn
+           FROM adj2 s, best2 b WHERE s.sym = b.a AND s.nxt = b.b),
+         keep2 AS (
+           SELECT word, pos FROM (
+             SELECT word, pos, row_number() OVER (
+               PARTITION BY word, pos - rn ORDER BY pos) AS k
+             FROM cand2) WHERE k % 2 = 1),
+         state2 AS (
+           SELECT s.word, s.freq,
+             row_number() OVER (PARTITION BY s.word ORDER BY s.pos) - 1
+               AS pos,
+             CASE WHEN st.pos IS NOT NULL THEN b.a || b.b
+                  ELSE s.sym END AS sym
+           FROM state1 s
+           CROSS JOIN best2 b
+           LEFT JOIN keep2 st ON s.word = st.word AND s.pos = st.pos
+           LEFT JOIN keep2 cn ON s.word = cn.word AND s.pos = cn.pos + 1
+           WHERE cn.pos IS NULL),
+         top AS (
+           SELECT word FROM vocab ORDER BY freq DESC, word LIMIT 20)
+         SELECT s.word, max(s.freq) AS freq,
+           string_agg(s.sym, ' ' ORDER BY s.pos) AS seg
+         FROM state2 s JOIN top t ON s.word = t.word
+         GROUP BY s.word ORDER BY s.word""",
+    "q151_pca_power" ->
+      // three unrolled power iterations as chained CTEs; every
+      // cross-row/dim sum per-term-rounds to an exact LONG first, so
+      // nothing is frozen and the replay is bit-identical
+      """WITH ex AS (
+           SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS x
+           FROM embeddings),
+         mu AS (
+           SELECT dim,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+               / 1000000.0 / count(*) AS mu
+           FROM ex GROUP BY 1),
+         cx AS (
+           SELECT e.vec_id, e.dim, e.x - m.mu AS cx
+           FROM ex e JOIN mu m ON e.dim = m.dim),
+         v0 AS (SELECT dim, CAST(0.125 AS DOUBLE) AS vv FROM mu),
+         s1 AS (
+           SELECT c.vec_id,
+             CAST(sum(CAST(round(c.cx * v.vv * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM cx c JOIN v0 v ON c.dim = v.dim GROUP BY 1),
+         w1 AS (
+           SELECT c.dim,
+             CAST(sum(CAST(round(s.s * c.cx * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS w
+           FROM cx c JOIN s1 s ON c.vec_id = s.vec_id GROUP BY 1),
+         n1 AS (
+           SELECT sqrt(CAST(sum(CAST(round(w * w * 1000000) AS BIGINT))
+             AS DOUBLE) / 1000000.0) AS norm FROM w1),
+         v1 AS (SELECT dim, w / (SELECT norm FROM n1) AS vv FROM w1),
+         s2 AS (
+           SELECT c.vec_id,
+             CAST(sum(CAST(round(c.cx * v.vv * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM cx c JOIN v1 v ON c.dim = v.dim GROUP BY 1),
+         w2 AS (
+           SELECT c.dim,
+             CAST(sum(CAST(round(s.s * c.cx * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS w
+           FROM cx c JOIN s2 s ON c.vec_id = s.vec_id GROUP BY 1),
+         n2 AS (
+           SELECT sqrt(CAST(sum(CAST(round(w * w * 1000000) AS BIGINT))
+             AS DOUBLE) / 1000000.0) AS norm FROM w2),
+         v2 AS (SELECT dim, w / (SELECT norm FROM n2) AS vv FROM w2),
+         s3 AS (
+           SELECT c.vec_id,
+             CAST(sum(CAST(round(c.cx * v.vv * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS s
+           FROM cx c JOIN v2 v ON c.dim = v.dim GROUP BY 1),
+         w3 AS (
+           SELECT c.dim,
+             CAST(sum(CAST(round(s.s * c.cx * 1000000) AS BIGINT))
+               AS DOUBLE) / 1000000.0 AS w
+           FROM cx c JOIN s3 s ON c.vec_id = s.vec_id GROUP BY 1),
+         n3 AS (
+           SELECT sqrt(CAST(sum(CAST(round(w * w * 1000000) AS BIGINT))
+             AS DOUBLE) / 1000000.0) AS norm FROM w3)
+         SELECT dim, w / (SELECT norm FROM n3) AS loading
+         FROM w3 ORDER BY dim""",
     "q141_quantile_normalize" ->
       // q19's score expression; naive global + per-source windows;
       // idx = ceil(r*N/ns) in exact integer arithmetic

@@ -104,6 +104,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(hits > 0, s"IVF found none of the true top-3: $brute")
   }
 
+  test("bpe round: greedy leftmost non-overlap, corpus-weighted pick") {
+    import spark.implicits._
+    // vocabulary {aaaa ×3, aaab ×1}: the dominant pair is (a,a) with
+    // weighted count 3·3 + 1·2 = 11; leftmost-non-overlap on "aaaa"
+    // must yield [aa, aa] (NOT three merges), on "aaab" [aa, a, b]
+    val state = Seq(
+      ("aaaa", 3L), ("aaab", 1L)
+    ).toDF("word", "freq")
+      .select(col("word"), col("freq"),
+        posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+    val out = TrainingData.bpeRound(state)
+      .groupBy("word")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        _.getField("sym"))).as("seg"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("aaaa") === "aa aa")
+    assert(out("aaab") === "aa a b")
+    // second round: pairs now (aa,aa)×3, (aa,a)×1, (a,b)×1 → merge
+    // (aa,aa) → "aaaa" collapses to one symbol
+    val out2 = TrainingData.bpeRound(TrainingData.bpeRound(state))
+      .groupBy("word")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        _.getField("sym"))).as("seg"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out2("aaaa") === "aaaa")
+    assert(out2("aaab") === "aa a b")
+  }
+
   test("multi-probe lsh: recall dominates single-probe; bounded per query") {
     val brute = TrainingData.knnCosineBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
