@@ -861,6 +861,38 @@ object Relational {
       .orderBy("click_id", "error_id")
   }
 
+  /** OVERLAP-DURATION aggregate (q155): per user, how many
+    * click-activity windows overlapped error windows and for how
+    * long in total — the SLA/exposure accounting query built on
+    * q146's interval-overlap join. Pairwise accounting (a minute
+    * covered by two overlapping pairs counts twice — the standard
+    * exposure metric). The per-pair duration
+    * `least(ends) − greatest(starts)` is exact integer microseconds,
+    * so the per-user sum is an order-insensitive LONG. Same one
+    * equi-join shuffle as q146 plus a partial-agg fold to
+    * users×1 rows. */
+  def overlapDuration(spark: SparkSession, dir: String): DataFrame = {
+    val events = load(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("a_start"))
+      .withColumn("a_end", col("a_start") + expr("INTERVAL 2 HOURS"))
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("b_start"))
+      .withColumn("b_end", col("b_start") + expr("INTERVAL 1 HOUR"))
+    graft.operators.RangeJoin.intervalOverlap(
+        clicks, errors, "user_id", "a_start", "a_end", "b_start", "b_end",
+        bucketWidthSec = 7200)
+      .withColumn("_ov_us",
+        unix_micros(least(col("a_end"), col("b_end"))) -
+          unix_micros(greatest(col("a_start"), col("b_start"))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("_ov_us")).as("total_overlap_us"))
+      .orderBy("user_id")
+  }
+
   /** Salted skew join (graft.util.SkewJoin): fact × dim through the
     * explicit skew-spreading path — the large side draws a salt, the
     * small side replicates once per salt value, and every hot key
@@ -1165,6 +1197,7 @@ object Relational {
     "q145_asof_forward" -> asofClickNextView,
     "q146_interval_overlap" -> intervalOverlapClickError,
     "q147_incremental_view" -> incrementalViewRollup,
+    "q155_overlap_duration" -> overlapDuration,
     "q148_data_skipping" -> dataSkippingRead,
     "q149_partition_pruning" -> partitionPrunedRead,
     "q150_restore" -> restoreRead,
@@ -1399,6 +1432,20 @@ object Relational {
                FROM events WHERE event_type = 'view') r
            ON l.user_id = r.user_id AND l.ts <= r.ts
          ORDER BY l.event_id""",
+    "q155_overlap_duration" ->
+      """SELECT user_id, count(*) AS n_overlaps,
+           sum(epoch_us(least(a_end, b_end))
+             - epoch_us(greatest(a_start, b_start))) AS total_overlap_us
+         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS a_start,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS a_end
+               FROM events WHERE event_type = 'click') c
+         JOIN (SELECT event_id AS eid, user_id AS uid,
+                      CAST(ts AS TIMESTAMP) AS b_start,
+                      CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS b_end
+               FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.uid
+          AND c.a_start < e.b_end AND e.b_start < c.a_end
+         GROUP BY user_id ORDER BY user_id""",
     "q146_interval_overlap" ->
       """SELECT c.event_id AS click_id, e.event_id AS error_id
          FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS a_start,

@@ -59,6 +59,45 @@ class IncrementalJoinSpec extends AnyFunSuite {
     assert(maintained.count() > 0)
   }
 
+  test("randomized multi-round chains: maintained == recompute each round") {
+    val rnd = new scala.util.Random(97)
+    (1 to 2).foreach { trial =>
+      val rootA = Fixtures.tempDir(s"graft-ivj-rand-a$trial") + "/tbl"
+      val rootB = Fixtures.tempDir(s"graft-ivj-rand-b$trial") + "/tbl"
+      val vtA = new VersionedTable(spark, rootA)
+      val vtB = new VersionedTable(spark, rootB)
+      var nextId = 200L
+      vtA.write((0L until 200L).map(i => (i, i % 12, i))
+        .toDF("id", "k", "x"))
+      vtB.write((0L until 12L).map(i => (i, s"d$i")).toDF("k", "name"))
+      var view = vtA.read().join(vtB.read(), Seq("k"))
+      (1 to 3).foreach { round =>
+        val a0 = vtA.currentVersion.get
+        val b0 = vtB.currentVersion.get
+        val bOld = vtB.readVersion(b0)
+        // random mutations: always at least one per side per round
+        val nNew = 30 + rnd.nextInt(40)
+        vtA.write((nextId until nextId + nNew).map(i => (i, i % 12, i))
+          .toDF("id", "k", "x"), SaveMode.Append)
+        nextId += nNew
+        val lo = rnd.nextInt(150).toLong
+        vtA.deleteVectorized("id", lo, lo + 20 + rnd.nextInt(30))
+        val victim = rnd.nextInt(12).toLong
+        vtB.deleteVectorizedKeys("k", Seq(victim).toDF("k"))
+        val delta = IncrementalJoin.deltaJoin(
+          changesA = vtA.changes(a0, vtA.currentVersion.get),
+          bOld = bOld, aNew = vtA.read(),
+          changesB = vtB.changes(b0, vtB.currentVersion.get),
+          keys = Seq("k"))
+        view = IncrementalJoin.applyKeyed(view, delta, Seq("id"))
+          .localCheckpoint() // pin the round's state; keeps lineage flat
+        val recomputed = vtA.read().join(vtB.read(), Seq("k"))
+        assert(canon(view) === canon(recomputed),
+          s"trial $trial round $round diverged")
+      }
+    }
+  }
+
   test("applyMultiset resolves net multiplicity without a row key") {
     val prior = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "x")
     val delta = Seq(
