@@ -1434,8 +1434,8 @@ object Relational {
          ORDER BY l.event_id""",
     "q155_overlap_duration" ->
       """SELECT user_id, count(*) AS n_overlaps,
-           sum(epoch_us(least(a_end, b_end))
-             - epoch_us(greatest(a_start, b_start))) AS total_overlap_us
+           CAST(sum(epoch_us(least(a_end, b_end))
+             - epoch_us(greatest(a_start, b_start))) AS BIGINT) AS total_overlap_us
          FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS a_start,
                       CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS a_end
                FROM events WHERE event_type = 'click') c

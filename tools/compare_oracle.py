@@ -9,13 +9,14 @@ Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os, math, hashlib
 import duckdb
+import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 def canon(v):
-    if v is None:
+    if v is None or v is getattr(pd, "NaT", ()) or v is getattr(pd, "NA", ()):
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
@@ -48,13 +49,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark result parquet")
             n_fail += 1
             continue
-        tbl = pq.read_table(files[0])
-        s_cols = list(tbl.column_names)
-        s_rows = [tuple(r[c] for c in s_cols) for r in tbl.to_pylist()]
+        # Both sides go through pandas, mirroring the driver's bridge
+        # symmetrically: date32 -> datetime64 ("... 00:00:00"), null
+        # doubles -> NaN on BOTH sides, while DuckDB-only HUGEINT ->
+        # float64 widening (uncast integer sums) still mismatches
+        # Spark's int64 — the q28/q46/q155 class stays caught locally.
+        sdf = pq.read_table(files[0]).to_pandas(date_as_object=False)
+        s_cols = list(sdf.columns)
+        s_rows = [tuple(r) for r in sdf.itertuples(index=False, name=None)]
         try:
-            cur = con.execute(sql)
-            d_cols = [d[0] for d in cur.description]
-            d_rows = cur.fetchall()
+            # Fetch through the pandas bridge, exactly like the driver's
+            # gate: DuckDB HUGEINT (e.g. sum(BIGINT)) widens to float64
+            # here, so an oracle missing CAST(... AS BIGINT) fails
+            # LOCALLY, not only in the driver run (q28/q46/q155 class).
+            df = con.execute(sql).df()
+            d_cols = list(df.columns)
+            d_rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
