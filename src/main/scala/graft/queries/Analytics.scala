@@ -182,14 +182,14 @@ object Analytics {
     * (the DuckDB oracle computes the identical fraction).
     *
     * Scale shape: the k-th smallest per group is found WITHOUT a
-    * single-reducer per-group sort — each (group, shard) keeps its k
-    * smallest in parallel (the global k-th smallest is necessarily
-    * among every shard's local k smallest), then the survivor set
-    * (groups × shards × k rows) is tiny for the exact global pick.
-    * Same pre-prune-then-exact-window trick as
-    * [[TrainingData.capPerSource]]. Unlike HLL, KMV sketches are
-    * mergeable by keeping the k smallest of a union — the per-shard
-    * stage IS that merge. */
+    * single-reducer per-group sort — the [[graft.plans.TopKPerKey]]
+    * operator's partial heaps keep each partition's k smallest per
+    * group map-side (the global k-th smallest is necessarily among
+    * every partition's local k smallest), then the survivor set
+    * (≤ k·partitions rows per group) is tiny for the exact global
+    * pick. Same shape as [[TrainingData.capPerSource]]. Unlike HLL,
+    * KMV sketches are mergeable by keeping the k smallest of a
+    * union — the partial stage IS that merge. */
   def kmvDistinct(spark: SparkSession, dir: String, k: Int = 32,
       shards: Int = 32): DataFrame = {
     val events = load(spark, dir, "events")
@@ -208,17 +208,15 @@ object Analytics {
       (conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 13),
         16, 10).cast("double") / pow(lit(16.0), lit(13.0))).as("frac")
     val hashed = df.select(col(groupCol), frac).distinct()
-    val wShard = Window
-      .partitionBy(col(groupCol), pmod(hash(col("frac")), lit(shards)))
-      .orderBy(col("frac"))
     val wGlobal = Window.partitionBy(col(groupCol)).orderBy(col("frac"))
     // Groups with fewer than k distinct values hold their ENTIRE value
-    // set after the pre-prune (every shard kept everything), so the
+    // set after the pre-prune (the operator kept everything), so the
     // standard small-group KMV case applies: the estimate is the exact
-    // survivor count, not (k-1)/h_k.
-    hashed
-      .withColumn("_rs", row_number().over(wShard))
-      .filter(col("_rs") <= k) // ≤ groups×shards×k rows survive
+    // survivor count, not (k-1)/h_k. frac is unique within a group
+    // (post-distinct), so ordering by it alone is total — the
+    // operator's contract. ≤ k·partitions rows per group shuffle.
+    graft.plans.TopKPerKey
+      .perKey(hashed, Seq(col(groupCol)), Seq(col("frac").asc), k)
       .withColumn("_rn", row_number().over(wGlobal))
       .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col(groupCol))))
       .filter(col("_rn") === least(lit(k), col("_cnt")))
@@ -264,28 +262,25 @@ object Analytics {
   /** Exact per-group top-k by frequency (desc, item asc tiebreak).
     *
     * Scale shape: the count aggregate shuffles on the composite
-    * (group, item) key — fully parallel. The top-k pick then avoids
-    * the per-group single-reducer sort a bare
-    * `Window.partitionBy(group)` would plan: each (group, hash-shard)
-    * ranks its own items first (an item's count is already its GLOBAL
-    * count, so every global top-k item is necessarily in its shard's
-    * local top-k), and the exact rank runs over ≤ groups×shards×k
-    * survivors. Same pre-prune-then-exact-window shape as
-    * [[kmvSketch]] / [[TrainingData.capPerSource]]. */
+    * (group, item) key — fully parallel. The top-k pick then runs
+    * through the custom [[graft.plans.TopKPerKey]] physical operator
+    * (an item's count is already its GLOBAL count, so the operator's
+    * partial heaps prune map-side and the exchange carries
+    * ≤ k·partitions rows per group instead of the whole distinct
+    * (group, item) pair table — at web scale that pair table is
+    * itself unbounded). The exact rank (part of the output contract)
+    * then windows over ≤ k survivors per group — bounded input, so
+    * the single-reducer-per-group sort is a rounding error. `shards`
+    * is kept for API stability; the operator's partial stage plays
+    * that role natively. */
   def topKPerGroup(df: DataFrame, groupCol: String, itemCol: String,
       k: Int, shards: Int): DataFrame = {
     val counts = df.groupBy(col(groupCol), col(itemCol))
       .agg(count(lit(1)).as("n"))
     val ord = Seq(col("n").desc, col(itemCol).asc)
-    val wShard = Window
-      .partitionBy(col(groupCol), pmod(hash(col(itemCol)), lit(shards)))
-      .orderBy(ord: _*)
     val wGlobal = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
-    counts
-      .withColumn("_rs", row_number().over(wShard))
-      .filter(col("_rs") <= k)
+    graft.plans.TopKPerKey.perKey(counts, Seq(col(groupCol)), ord, k)
       .withColumn("top_rank", row_number().over(wGlobal))
-      .filter(col("top_rank") <= k)
       .select(col(groupCol), col(itemCol), col("n"), col("top_rank"))
       .orderBy(col(groupCol), col("top_rank"))
   }

@@ -92,28 +92,21 @@ object TrainingData {
     * (stable across runs, partitionings, and input order — never
     * "first n encountered", which is nondeterministic under shuffle).
     *
-    * Two passes, neither a per-source bottleneck: a naive
+    * Not a per-source bottleneck: a naive
     * `Window.partitionBy("source")` sorts EVERY row of a source in one
     * task — at 100 TB with a handful of dominant sources that is a few
-    * reducers sorting terabytes. Instead pass 1 pre-caps within
-    * (source, shard) — shard is a deterministic hash bucket, so the
-    * shuffle fans each source across [[mixShards]] reducers — keeping
-    * the top `n` per shard. The global per-source top-n is a subset of
-    * the union of per-shard top-ns for ANY sharding (each global winner
-    * is among the n smallest of its own shard), so pass 1 only discards
-    * rows that can never win. Pass 2 runs the exact per-source rank
-    * over the ≤ n × shards survivors — bounded rows per source
-    * regardless of source size. Result identical to the single-window
-    * form (same oracle). */
+    * reducers sorting terabytes. The pre-prune runs through the
+    * [[graft.plans.TopKPerKey]] physical operator instead: partial
+    * heaps keep each source's n best map-side, so the exchange carries
+    * ≤ n·partitions rows per source regardless of source size. The
+    * exact rank (part of the output contract) then windows over ≤ n
+    * survivors per source. Result identical to the single-window form
+    * (same oracle). */
   def capPerSource(spark: SparkSession, dir: String, n: Int = 15): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = md5(col("doc_id").cast("string"))
-    val wPre = Window.partitionBy("source", "__shard")
-      .orderBy(ord, col("doc_id"))
-    val survivors = docs(spark, dir)
-      .withColumn("__shard", pmod(xxhash64(col("doc_id")), lit(mixShards)))
-      .withColumn("__pre_rank", row_number().over(wPre))
-      .filter(col("__pre_rank") <= n)
+    val survivors = graft.plans.TopKPerKey.perKey(docs(spark, dir),
+      Seq(col("source")), Seq(ord.asc, col("doc_id").asc), n)
     val w = Window.partitionBy("source").orderBy(ord, col("doc_id"))
     survivors
       .withColumn("rank_in_source", row_number().over(w))

@@ -376,13 +376,18 @@ class AnalyticsSpec extends AnyFunSuite {
     def assertPrePruned(df: org.apache.spark.sql.DataFrame, group: String): Unit = {
       val lp = df.queryExecution.optimizedPlan
       val windows = lp.collect { case w: LWindow => w }
-      assert(windows.size >= 2, s"expected shard + global windows:\n$lp")
       var checked = 0
       windows.foreach { w =>
         val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
         if (parts == Set(group)) {
           checked += 1
-          val pruned = w.child.collectFirst { case f: Filter => f }
+          // bounded input = the TopKPerKey operator's ≤ k survivors
+          // per group (current shape) or another window's capped,
+          // Filter-ed survivors (pre-operator shape)
+          val pruned = w.child.collectFirst {
+            case t: graft.plans.TopKPerKeyNode => t: Any
+            case f: Filter => f: Any
+          }
           assert(pruned.isDefined,
             s"global window runs over unpruned input:\n$lp")
         }

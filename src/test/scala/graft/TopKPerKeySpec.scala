@@ -66,6 +66,26 @@ class TopKPerKeySpec extends AnyFunSuite {
       s"stage order wrong (expect Final above Exchange above Partial):\n$plan")
   }
 
+  test("high key cardinality under a starvation-level partial budget " +
+    "degrades to pass-through, stays exact, and never buffers unbounded") {
+    // keys ≈ rows (every id its own key-ish) with the partial stage
+    // budgeted to ~8 retained rows per partition: almost every row
+    // overflows the heap map and streams through to the spillable
+    // final sort — the OOM-risk shape the budget exists for. Parity
+    // with the window form must hold exactly.
+    val conf = spark.conf
+    conf.set(TopKPerKey.MaxPartialRowsKey, "8")
+    try {
+      val df = randomDf(6000, keys = 2000, seed = 99)
+      val byOperator = TopKPerKey.perKey(df, Seq(col("k")),
+        Seq(col("score").desc, col("id").asc), k = 2)
+      val w = Window.partitionBy("k").orderBy(col("score").desc, col("id").asc)
+      val byWindow = df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 2).drop("_rn")
+      assert(canon(byOperator) === canon(byWindow))
+    } finally conf.unset(TopKPerKey.MaxPartialRowsKey)
+  }
+
   test("partial stage prunes the shuffle: ≤ k·partitions rows per key") {
     val df = randomDf(8000, keys = 3, seed = 7) // 7 input partitions
     val out = TopKPerKey.perKey(df, Seq(col("k")),

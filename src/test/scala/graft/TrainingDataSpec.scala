@@ -385,11 +385,15 @@ class TrainingDataSpec extends AnyFunSuite {
     def assertBounded(df: org.apache.spark.sql.DataFrame): Unit = {
       val lp = df.queryExecution.optimizedPlan
       val windows = lp.collect { case w: LWindow => w }
-      assert(windows.size >= 2, s"expected a two-pass plan:\n$lp")
+      assert(windows.nonEmpty, s"expected a windowed plan:\n$lp")
       windows.foreach { w =>
         val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
         if (parts == Set("source")) {
+          // pre-reduced input = the TopKPerKey operator's survivors
+          // (current cap shape), another window's survivors, or a
+          // per-bucket aggregate (token-budget cumsum shape)
           val bounded = w.child.collectFirst {
+            case _: graft.plans.TopKPerKeyNode => ()
             case _: LWindow => (); case _: Aggregate => ()
           }
           assert(bounded.isDefined,
