@@ -34,10 +34,19 @@ object IncrementalJoin {
   /** Sign column the delta rows carry. */
   val SignCol = "_sign"
 
+  // Only VersionedTable.changes feeds are supported: the tag domain is
+  // exactly {insert, delete} (an UPDATE arrives as delete+insert). A
+  // Delta-CDF-style update_preimage/update_postimage row would
+  // otherwise be silently dropped and corrupt the maintained view, so
+  // an unrecognized tag RAISES at evaluation time instead.
   private def signOf: Column =
     when(col("_change_type") === "insert", lit(1))
       .when(col("_change_type") === "delete", lit(-1))
-      .otherwise(lit(0)) // unknown tags contribute nothing, loudly zero
+      .otherwise(raise_error(concat(
+        lit("IncrementalJoin: unsupported _change_type '"),
+        col("_change_type"),
+        lit("' — only VersionedTable.changes feeds (insert/delete) " +
+          "are supported"))))
 
   /** The signed join delta `ΔA ⋈ B_old ⊕ A_new ⋈ ΔB`. `changesA` /
     * `changesB` are `_change_type`-tagged frames as produced by

@@ -310,9 +310,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // columns. Files without a DV never pay the join.
     val dv = readDvRows(masked.flatMap(_.dvDir).distinct)
     val mdf = rawScan(m, masked, isStreaming, withRowMeta = true)
-    // 1-based substring: skip the root prefix AND its trailing '/'
-    val fileRel = substring(col(graftbridge.ManifestScan.FilePathCol),
-      rootPrefixLen + 2, Int.MaxValue)
+    val fileRel = fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
     val alive = mdf.join(dv,
       fileRel === dv("file_rel") &&
         col(graftbridge.ManifestScan.RowIndexCol) === dv("pos"),
@@ -344,6 +342,27 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * them — so a fixed-length strip recovers the manifest-relative
     * path without any URI-encoding pitfalls. */
   private def rootPrefixLen: Int = fs.makeQualified(rootPath).toString.length
+
+  /** A file path as a DV-sidecar key: table-relative when the file
+    * lives under this table's root, the FULL qualified path otherwise
+    * (external files referenced by a shallow clone — fixed-length
+    * prefix-stripping an unrelated absolute path would truncate
+    * arbitrarily, collide, or throw when the clone root string is
+    * longer than the source path). Column and driver-side renderings
+    * must stay byte-identical; both live here. */
+  private def fileRelCol(pathCol: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, substring, when}
+    val prefix = fs.makeQualified(rootPath).toString + "/"
+    when(pathCol.startsWith(lit(prefix)),
+      substring(pathCol, prefix.length + 1, Int.MaxValue))
+      .otherwise(pathCol)
+  }
+
+  private[io] def renderKey(qualifiedRoot: String, abs: String): String = {
+    val prefix = qualifiedRoot + "/"
+    if (abs.startsWith(prefix)) abs.substring(prefix.length) else abs
+  }
 
   /** DV sidecar schema: the table-relative file path (as rendered by
     * the scan — see [[rootPrefixLen]]) and the masked row's ordinal
@@ -822,16 +841,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(dest.currentVersion.isEmpty,
       s"clone destination $destRoot already exists")
     val srcQualified = fs.makeQualified(rootPath)
-    def srcRendered(rel: String): String =
-      new Path(srcQualified, rel).toString.substring(rootPrefixLen + 1)
     def absPath(rel: String): String = new Path(srcQualified, rel).toString
-    // the clone scan's rendering of an absolute entry path: the
-    // qualified path minus the CLONE root prefix — consistent with
-    // both the read anti-join and clone-local DV deletes because all
-    // three drop the same destRootPrefixLen+1 characters
-    def destRendered(abs: String): String =
-      new Path(dest.fs.makeQualified(dest.rootPath), abs).toString
-        .substring(dest.rootPrefixLen + 1)
+    // both renderings go through renderKey, matching the scan's
+    // fileRelCol exactly: a source-internal file is source-relative in
+    // the SOURCE sidecar, and — being external to the clone — its
+    // FULL qualified path in the CLONE's sidecar (cloning a clone
+    // keeps already-external entries stable the same way)
+    def srcRendered(rel: String): String =
+      renderKey(srcQualified.toString, absPath(rel))
+    val destQualified = dest.fs.makeQualified(dest.rootPath).toString
+    def destRendered(abs: String): String = renderKey(destQualified, abs)
     val masked = m.entries.filter(_.dvDir.isDefined)
     val newDvRel: Option[String] =
       if (masked.isEmpty) None
@@ -875,8 +894,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // re-scanned into the new sidecar by the scan itself…
     val matches = mask(readFiles(m, candidates, withRowMeta = true))
       .select(
-        substring(col(graftbridge.ManifestScan.FilePathCol),
-          rootPrefixLen + 2, Int.MaxValue).as("file_rel"),
+        fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
+          .as("file_rel"),
         col(graftbridge.ManifestScan.RowIndexCol).as("pos"))
     // …and the existing masks are carried over verbatim, so the new
     // sidecar fully REPLACES the candidates' old DV pointers.
@@ -894,7 +913,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // a manifest entry's path as the scan renders it (Path.toString
     // normalization) — the key `counts` is expressed in
     def renderedRel(e: ManifestEntry): String =
-      new Path(qualifiedRoot, e.relPath).toString.substring(rootPrefixLen + 1)
+      renderKey(qualifiedRoot.toString,
+        new Path(qualifiedRoot, e.relPath).toString)
     val candByPath = candidates.map(e => e.relPath -> e).toMap
     commitWithRebase(rebase = true) { () =>
       val nowV = currentVersion.get

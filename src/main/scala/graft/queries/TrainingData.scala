@@ -1457,7 +1457,13 @@ object TrainingData {
         "left")
       .join(starts.select(col("word"), (col("pos") + 1).as("pos"))
         .withColumn("_isCons", lit(true)), Seq("word", "pos"), "left")
-    flagged.crossJoin(broadcast(best))
+    // LEFT join on a constant key, not a crossJoin: a degenerate state
+    // with no adjacent pair anywhere (all single-symbol words) makes
+    // `best` EMPTY, and a crossJoin would annihilate every row — the
+    // no-candidate round must be a no-op instead (a/b come back null,
+    // starts is empty, so every row passes through unmerged).
+    flagged.withColumn("_one", lit(1))
+      .join(broadcast(best.withColumn("_one", lit(1))), Seq("_one"), "left")
       .filter(col("_isCons").isNull)
       .select(col("word"), col("freq"),
         (row_number().over(wOrd) - 1).as("pos"),

@@ -98,6 +98,25 @@ class IncrementalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("unrecognized _change_type raises instead of silently dropping") {
+    import spark.implicits._
+    // a Delta-CDF-style feed (update_preimage/update_postimage) is NOT
+    // the VersionedTable.changes contract; zero-signing it would
+    // corrupt the maintained view invisibly, so it must throw
+    val cdfStyle = Seq((1L, 3L, "update_postimage"))
+      .toDF("k", "x", "_change_type")
+    val b = Seq((1L, "n1")).toDF("k", "name")
+    val aNew = Seq.empty[(Long, Long)].toDF("k", "x")
+    val noChangesB = b.withColumn("_change_type", lit("insert")).limit(0)
+    val ex = intercept[Exception] {
+      IncrementalJoin.deltaJoin(cdfStyle, b, aNew,
+        noChangesB, Seq("k")).collect()
+    }
+    assert(ex.getMessage.contains("update_postimage") ||
+      Option(ex.getCause).exists(_.getMessage.contains("update_postimage")),
+      s"expected the bad tag in the error, got: ${ex.getMessage}")
+  }
+
   test("applyMultiset resolves net multiplicity without a row key") {
     val prior = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "x")
     val delta = Seq(

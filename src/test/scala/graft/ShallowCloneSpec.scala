@@ -70,6 +70,35 @@ class ShallowCloneSpec extends AnyFunSuite {
     assert(!rows(vt).contains("0|v0"))
   }
 
+  test("clone destination deeper than the source paths: DV keys are " +
+    "full absolute paths, reads exact") {
+    // regression: destRendered used fixed-length prefix stripping of
+    // the source file's absolute path; a clone root STRING longer than
+    // a source path threw StringIndexOutOfBounds (and shorter ones
+    // could collide truncated keys). External files now key by full
+    // qualified path on both the sidecar and scan sides.
+    val src = Fixtures.tempDir("cl-s") + "/t"
+    val dst = Fixtures.tempDir("cl-d") +
+      "/an/extremely/deeply/nested/clone/destination/directory/" +
+      "far/longer/than/any/source/file/path/could/ever/be/tbl"
+    val vt = new VersionedTable(spark, src)
+    vt.write((0L until 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    vt.deleteVectorized("id", 10, 19)
+    val clone = vt.shallowCloneTo(dst)
+    assert(rows(clone) === rows(vt))
+    // sidecar keys for external files are the full qualified path
+    val sidecar = spark.read.parquet(
+      parquetDataFiles(dst).map(_.replaceAll("/[^/]*\\.parquet$", ""))
+        .distinct: _*)
+    assert(sidecar.select("file_rel").distinct().collect()
+      .forall(_.getString(0).contains("/cl-s")),
+      "external DV keys must carry the source's absolute path")
+    // clone-local deletes on external files still compose
+    clone.deleteVectorized("id", 20, 29)
+    assert(clone.read().count() === 80)
+    assert(vt.read().count() === 90, "source untouched")
+  }
+
   test("clone of an unmasked table is manifest-only; time travel works") {
     val src = Fixtures.tempDir("clone-src2") + "/tbl"
     val dst = Fixtures.tempDir("clone-dst2") + "/tbl"

@@ -134,6 +134,22 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out2("aaab") === "aa a b")
   }
 
+  test("bpe round with no adjacent pair anywhere is a no-op") {
+    import spark.implicits._
+    // regression: an all-single-symbol state has an EMPTY best-pair
+    // frame; the merge application must pass every word through
+    // unchanged, not annihilate the state (crossJoin with empty)
+    val state = Seq(("a", 3L), ("b", 1L), ("c", 2L)).toDF("word", "freq")
+      .select(col("word"), col("freq"),
+        posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+    val out = TrainingData.bpeRound(state)
+      .select("word", "freq", "pos", "sym")
+      .collect().map(_.mkString("|")).sorted
+    val in = state.select("word", "freq", "pos", "sym")
+      .collect().map(_.mkString("|")).sorted
+    assert(out === in, "no-candidate round must be identity")
+  }
+
   test("multi-probe lsh: recall dominates single-probe; bounded per query") {
     val brute = TrainingData.knnCosineBrute(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
