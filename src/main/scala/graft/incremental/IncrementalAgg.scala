@@ -56,9 +56,15 @@ object IncrementalAgg {
     * a null-safe match guarantees both sides hold the same value. */
   def update(prior: DataFrame, changes: DataFrame, keys: Seq[String],
       sums: Seq[String]): DataFrame = {
+    // Same tag-domain contract as IncrementalJoin.signOf: only
+    // VersionedTable.changes feeds (insert/delete) are supported, and
+    // an unrecognized tag raises rather than silently zeroing — a
+    // CDF-style update_preimage/postimage row would corrupt the view.
     val sign = when(col("_change_type") === "insert", lit(1))
       .when(col("_change_type") === "delete", lit(-1))
-      .otherwise(lit(0)) // unknown tags contribute nothing, loudly zero
+      .otherwise(raise_error(concat(
+        lit("IncrementalAgg: unsupported _change_type '"),
+        col("_change_type"), lit("'"))))
     val dn = "_delta_n"
     def dsum(c: String) = s"_delta_$c"
     def dkey(k: String) = s"_delta_key_$k"

@@ -743,6 +743,68 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** NON-ADDITIVE aggregate over a maintained JOIN view (q156) — the
+    * IVM cell q147 leaves open: min/max per nation over `orders ⋈
+    * customer`, maintained through changes on BOTH base tables.
+    * Min/max sit past the classic IVM boundary (deleting the current
+    * min needs the group's other rows), so the two operators compose
+    * the OTHER way around from q147: here the join view IS
+    * materialized and maintained O(delta) (`IncrementalJoin
+    * .applyKeyed` — the q121 machinery), and the aggregate is then
+    * re-derived ONLY for the groups the signed join delta touches
+    * (`IncrementalAgg.updateByRecompute`): a semi-join-scoped
+    * re-aggregation over the MAINTAINED view spliced over the prior
+    * rollup. At 100 TB each round costs O(changed rows) for the view
+    * plus a re-aggregation of the touched groups' view rows — never a
+    * base-table rescan, never a full-view re-aggregation. min/max of
+    * doubles pick existing values (no float arithmetic), so the
+    * maintained result is bit-identical to the oracle's from-scratch
+    * rollup of the final states. */
+  def incrementalMinMaxRollup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.{IncrementalAgg, IncrementalJoin}
+    val rootA = java.nio.file.Files.createTempDirectory("graft-ivm-a")
+      .resolve("tbl").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-ivm-b")
+      .resolve("tbl").toString
+    val vtA = new graft.io.VersionedTable(spark, rootA)
+    val vtB = new graft.io.VersionedTable(spark, rootB)
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").as("price"))
+    vtA.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // A v0
+    val a0 = vtA.currentVersion.get
+    vtB.write(load(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))) // B v0
+    val b0 = vtB.currentVersion.get
+    val keys = Seq("c_nationkey")
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(col("c_nationkey")).agg(
+        count(lit(1)).as("n_orders"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"))
+    val view0 = vtA.readVersion(a0)
+      .join(vtB.readVersion(b0), Seq("o_custkey"))
+    val agg0 = rollup(view0)
+    // changes on both sides (the q147 mutation script)
+    vtA.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append)
+    vtA.deleteVectorized("o_orderkey", 100, 299)
+    val a2 = vtA.currentVersion.get
+    vtB.deleteVectorizedKeys("o_custkey",
+      vtB.read().select(col("o_custkey"))
+        .filter(col("o_custkey") % 7 === 0))
+    val b1 = vtB.currentVersion.get
+    val delta = IncrementalJoin.deltaJoin(
+      changesA = vtA.changes(a0, a2), bOld = vtB.readVersion(b0),
+      aNew = vtA.read(), changesB = vtB.changes(b0, b1),
+      keys = Seq("o_custkey"))
+    // view maintained O(delta); min/max re-derived for touched groups
+    val view1 = IncrementalJoin.applyKeyed(view0, delta, Seq("o_orderkey"))
+    val agg1 = IncrementalAgg.updateByRecompute(
+      agg0, view1, delta, keys, rollup)
+    agg1.orderBy("c_nationkey")
+  }
+
   /** SCHEMA EVOLUTION under the oracle (Delta mergeSchema semantics,
     * previously spec-only): v0 commits a 2-column orders slice, v1
     * appends rows carrying a NEW column with
@@ -1197,6 +1259,7 @@ object Relational {
     "q145_asof_forward" -> asofClickNextView,
     "q146_interval_overlap" -> intervalOverlapClickError,
     "q147_incremental_view" -> incrementalViewRollup,
+    "q156_incremental_minmax" -> incrementalMinMaxRollup,
     "q155_overlap_duration" -> overlapDuration,
     "q148_data_skipping" -> dataSkippingRead,
     "q149_partition_pruning" -> partitionPrunedRead,
@@ -1409,6 +1472,17 @@ object Relational {
       """SELECT c_nationkey, count(*) AS n_orders,
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
            AS revenue
+         FROM (SELECT o_custkey, o_totalprice FROM orders
+               WHERE NOT (o_orderkey BETWEEN 100 AND 299))
+         JOIN (SELECT c_custkey, c_nationkey FROM customer
+               WHERE c_custkey % 7 <> 0)
+           ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q156_incremental_minmax" ->
+      // min/max rollup recomputed from the FINAL states of both
+      // tables (min/max pick existing doubles — no float arithmetic)
+      """SELECT c_nationkey, count(*) AS n_orders,
+         min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          FROM (SELECT o_custkey, o_totalprice FROM orders
                WHERE NOT (o_orderkey BETWEEN 100 AND 299))
          JOIN (SELECT c_custkey, c_nationkey FROM customer

@@ -98,6 +98,56 @@ class IncrementalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("min/max over a join view: multi-round maintenance == recompute") {
+    // the q156 composition — join view maintained O(delta)
+    // (applyKeyed), non-additive agg re-derived per round for touched
+    // groups only (updateByRecompute) — must track a from-scratch
+    // rollup through randomized appends + deletes on BOTH inputs,
+    // including rounds that empty whole groups
+    import graft.incremental.IncrementalAgg
+    val rnd = new scala.util.Random(131)
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("k")).agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+    (1 to 2).foreach { trial =>
+      val rootA = Fixtures.tempDir(s"graft-ivmm-a$trial") + "/tbl"
+      val rootB = Fixtures.tempDir(s"graft-ivmm-b$trial") + "/tbl"
+      val vtA = new VersionedTable(spark, rootA)
+      val vtB = new VersionedTable(spark, rootB)
+      var nextId = 200L
+      vtA.write((0L until 200L).map(i => (i, i % 12, i))
+        .toDF("id", "k", "x"))
+      vtB.write((0L until 12L).map(i => (i, s"d$i")).toDF("k", "name"))
+      var view = vtA.read().join(vtB.read(), Seq("k"))
+      var agg = rollup(view)
+      (1 to 3).foreach { round =>
+        val a0 = vtA.currentVersion.get
+        val b0 = vtB.currentVersion.get
+        val bOld = vtB.readVersion(b0)
+        val nNew = 30 + rnd.nextInt(40)
+        vtA.write((nextId until nextId + nNew).map(i => (i, i % 12, i))
+          .toDF("id", "k", "x"), SaveMode.Append)
+        nextId += nNew
+        val lo = rnd.nextInt(150).toLong
+        vtA.deleteVectorized("id", lo, lo + 20 + rnd.nextInt(30))
+        val victim = rnd.nextInt(12).toLong // empties group `victim`
+        vtB.deleteVectorizedKeys("k", Seq(victim).toDF("k"))
+        val delta = IncrementalJoin.deltaJoin(
+          changesA = vtA.changes(a0, vtA.currentVersion.get),
+          bOld = bOld, aNew = vtA.read(),
+          changesB = vtB.changes(b0, vtB.currentVersion.get),
+          keys = Seq("k"))
+        view = IncrementalJoin.applyKeyed(view, delta, Seq("id"))
+          .localCheckpoint()
+        agg = IncrementalAgg.updateByRecompute(
+          agg, view, delta, Seq("k"), rollup).localCheckpoint()
+        val expected = rollup(vtA.read().join(vtB.read(), Seq("k")))
+        assert(canon(agg) === canon(expected),
+          s"trial $trial round $round diverged")
+      }
+    }
+  }
+
   test("unrecognized _change_type raises instead of silently dropping") {
     import spark.implicits._
     // a Delta-CDF-style feed (update_preimage/update_postimage) is NOT
