@@ -454,6 +454,75 @@ object Analytics {
       .orderBy("hour_bucket", "event_type")
   }
 
+  /** STREAMING SESSIONIZATION under the DuckDB oracle (q158): the
+    * `flatMapGroupsWithState` gap-session operator
+    * (`Streaming.sessionize`, previously spec-only) run as a real
+    * stream over the events table and hash-compared against the batch
+    * gaps-and-islands formulation. Determinism contract: the source is
+    * ONE parquet file → one data micro-batch, so within-batch
+    * event-time ordering closes exactly the gap-separated sessions;
+    * the trailing no-data micro-batch then advances the watermark to
+    * max(ts) and EVICTS every session whose `last + gap` the watermark
+    * passed. Net: a session is emitted iff `session_end + gap <
+    * max(ts)` over the whole table — a pure SQL predicate, which is
+    * what makes a STATEFUL STREAMING operator hash-oracle-able at all.
+    * Timestamps are pre-truncated to milliseconds on both sides
+    * (`SessionEvent.ts.getTime` is millisecond-grained; sub-ms ties
+    * sort arbitrarily but are always within-gap, so session membership
+    * is order-free). At 100 TB this runs as a real unbounded stream:
+    * state is O(active keys) with event-time-timeout eviction doing
+    * the garbage collection — exactly what the parity check pins. */
+  def streamingSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val gapMs = 30L * 60L * 1000L
+    val ev = load(spark, dir, "events")
+      .select(col("user_id").cast("string").as("key"),
+        date_trunc("millisecond", col("ts")).as("ts"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-sess").toString
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+      .as[graft.streaming.Streaming.SessionEvent]
+    val sessions =
+      graft.streaming.Streaming.sessionize(stream, gapMs, "0 seconds")
+    val mem = "q158_stream_sess"
+    spark.catalog.dropTempView(mem)
+    val q = sessions.writeStream.format("memory").queryName(mem)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(mem)
+      .select(col("key").cast("long").as("user_id"),
+        col("session_start"), col("session_end"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** PAGERANK over the part co-occurrence graph (q157;
+    * `graph.PageRank`): parts appearing in the same order link both
+    * ways (the co-purchase graph), then 3 exact integer-arithmetic
+    * PageRank rounds rank "central" parts — the quality-propagation
+    * shape a training pipeline runs over a domain link graph. The
+    * co-occurrence self-join is bounded by order size (≤ 7 lineitems
+    * in TPC-H shapes, so ≤ 42 pairs per order); symmetric edges mean
+    * no dangling nodes, satisfying [[graft.graph.PageRank.run]]'s
+    * contract. Integer micro-unit ranks hash bit-identically against
+    * the DuckDB oracle's unrolled iterations — the float formulation
+    * would be shuffle-order-dependent and unhashable. Output: top 20
+    * by rank desc, part asc. */
+  def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    graft.graph.PageRank.run(edges, iterations = 3)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(20)
+      .select(col("node").as("part"), col("rank"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -471,10 +540,73 @@ object Analytics {
     "q64_cube_kpis" -> cubeKpis,
     "q124_rolling_anomaly" -> rollingAnomaly,
     "q132_streaming_agg" -> streamingHourlyAgg,
-    "q139_range_window" -> rollingRangeCount
+    "q139_range_window" -> rollingRangeCount,
+    "q157_pagerank" -> pagerankParts,
+    "q158_streaming_sessionize" -> streamingSessionize
   )
 
   val oracles: Map[String, String] = Map(
+    "q158_streaming_sessionize" ->
+      // batch gaps-and-islands at MILLISECOND grain; the stream emits
+      // a session iff the final watermark (= global max ts) passed
+      // session_end + gap — gap-closed sessions satisfy it a
+      // fortiori (their closer event is later than end + gap)
+      """WITH e AS (SELECT user_id, event_id,
+                    date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS ts
+                    FROM events),
+         lagd AS (SELECT user_id, event_id, ts,
+                  lag(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+                  FROM e),
+         flag AS (SELECT *, CASE WHEN prev_ms IS NULL
+                    OR epoch_ms(ts) - prev_ms > 1800000
+                    THEN 1 ELSE 0 END AS new_sess FROM lagd),
+         sess AS (SELECT *, sum(new_sess) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+                  FROM flag),
+         agg AS (SELECT user_id, sid, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_events
+                 FROM sess GROUP BY 1, 2)
+         SELECT user_id, session_start, session_end, n_events
+         FROM agg
+         WHERE epoch_ms(session_end) + 1800000 <
+               (SELECT max(epoch_ms(ts)) FROM e)
+         ORDER BY user_id, session_start""",
+    "q157_pagerank" ->
+      // 3 unrolled exact-integer PageRank rounds: rank//outdeg
+      // per-edge contributions (both engines truncate positives
+      // identically), BIGINT sums, damping as (85*c)//100
+      """WITH edges AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         c1 AS (SELECT e.dst AS node,
+                  CAST(sum(r.rank // d.outdeg) AS BIGINT) AS c
+                FROM edges e JOIN r0 r ON e.src = r.node
+                JOIN deg d ON e.src = d.src GROUP BY 1),
+         r1 AS (SELECT n.node,
+                  150000 + (85 * coalesce(c.c, 0)) // 100 AS rank
+                FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+         c2 AS (SELECT e.dst AS node,
+                  CAST(sum(r.rank // d.outdeg) AS BIGINT) AS c
+                FROM edges e JOIN r1 r ON e.src = r.node
+                JOIN deg d ON e.src = d.src GROUP BY 1),
+         r2 AS (SELECT n.node,
+                  150000 + (85 * coalesce(c.c, 0)) // 100 AS rank
+                FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+         c3 AS (SELECT e.dst AS node,
+                  CAST(sum(r.rank // d.outdeg) AS BIGINT) AS c
+                FROM edges e JOIN r2 r ON e.src = r.node
+                JOIN deg d ON e.src = d.src GROUP BY 1),
+         r3 AS (SELECT n.node,
+                  150000 + (85 * coalesce(c.c, 0)) // 100 AS rank
+                FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+         SELECT node AS part, CAST(rank AS BIGINT) AS rank FROM r3
+         ORDER BY rank DESC, part ASC LIMIT 20""",
     "q139_range_window" ->
       """SELECT event_id, event_type,
            count(*) OVER (PARTITION BY event_type

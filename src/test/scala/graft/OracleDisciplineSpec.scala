@@ -47,6 +47,7 @@ class OracleDisciplineSpec extends AnyFunSuite {
     // sum(new_sess) OVER builds the session id consumed by a later GROUP BY
     // whose outputs are all CAST/count/double (q46/q47 fix pattern).
     "q47_sessionize" -> 1,
+    "q158_streaming_sessionize" -> 1, // same sid-only windowed sum
     // len_d CTE feeds TF-IDF / BM25 double scoring only.
     "q59_tfidf_topterms" -> 1,
     "q60_bm25_topterms" -> 1,
