@@ -265,6 +265,35 @@ object Multimodal {
     decodePpm(r).orElse(decodeWav(r)).orElse(decodeImageIo(r))
       .getOrElse(decodeStub(r))
 
+  /** Deterministic 16-bit mono PCM square-wave WAV — the classic test
+    * signal generator. Sample i = +amp while `(i / halfPeriod)` is
+    * even, else -amp; `n` samples at `rate` Hz. Chosen because the
+    * decoder-facing amplitude features have CLOSED FORMS (rms =
+    * meanAbs = peak = amp/32768 — exact dyadic doubles when amp is a
+    * multiple of 2048 — and crossings = (n-1)/halfPeriod), which is
+    * what lets the REAL javax.sound decode path sit under an
+    * arithmetic oracle end-to-end (q161): a header, endianness, or
+    * off-by-one bug anywhere in synth → parse → PCM walk breaks
+    * equality. */
+  def squareWav(amp: Int, halfPeriod: Int, n: Int, rate: Int): Array[Byte] = {
+    require(amp > 0 && amp <= 32767, s"amp out of 16-bit range: $amp")
+    require(halfPeriod > 0 && n > 0 && rate > 0)
+    val data = new Array[Byte](44 + 2 * n)
+    val bb = java.nio.ByteBuffer.wrap(data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      bb.putShort((if ((i / halfPeriod) % 2 == 0) amp else -amp).toShort)
+      i += 1
+    }
+    data
+  }
+
   /** Decode + feature-extract: per-partition batch loop so a real codec
     * pays init cost once per partition. PPM (pure-JVM parser),
     * PNG/JPEG/BMP/GIF (JDK ImageIO), and WAV (JDK javax.sound) decode

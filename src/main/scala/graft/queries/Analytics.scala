@@ -454,6 +454,37 @@ object Analytics {
       .orderBy("hour_bucket", "event_type")
   }
 
+  /** PER-GROUP TREND SLOPE (q160): the least-squares slope of daily
+    * event counts per event type — "is this source growing or
+    * decaying", the volume-drift companion to q120's KS
+    * distribution-drift. Everything before the final division is
+    * EXACT integer arithmetic (day index x and daily count y are
+    * LONGs; Σx, Σy, Σxy, Σxx are BIGINT sums), and the slope is one
+    * closed-form division of exact BIGINTs — bit-identical across
+    * engines, per the float-discipline rules (no rounding of
+    * ratio-valued outputs). Scale shape: raw events collapse map-side
+    * to (type, day) partial counts; the per-type regression then runs
+    * over ≤ days rows per type — sums collapse map-side again, so the
+    * final shuffle carries a handful of stat rows per type. */
+  def dailyTrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "events")
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"))
+      .groupBy("event_type", "x")
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"))
+      .orderBy("event_type")
+  }
+
   /** STREAMING SESSIONIZATION under the DuckDB oracle (q158): the
     * `flatMapGroupsWithState` gap-session operator
     * (`Streaming.sessionize`, previously spec-only) run as a real
@@ -542,10 +573,28 @@ object Analytics {
     "q132_streaming_agg" -> streamingHourlyAgg,
     "q139_range_window" -> rollingRangeCount,
     "q157_pagerank" -> pagerankParts,
-    "q158_streaming_sessionize" -> streamingSessionize
+    "q158_streaming_sessionize" -> streamingSessionize,
+    "q160_trend_slope" -> dailyTrendSlope
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_trend_slope" ->
+      // exact BIGINT regression sums; slope = one IEEE division of
+      // exact ints (no rounding — float-discipline rule #2)
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01',
+               CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+             count(*) AS y
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, count(*) AS n_days,
+           CAST(count(*) * CAST(sum(x * y) AS BIGINT)
+                - CAST(sum(x) AS BIGINT) * CAST(sum(y) AS BIGINT)
+                AS DOUBLE)
+           / CAST(count(*) * CAST(sum(x * x) AS BIGINT)
+                - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT)
+                AS DOUBLE) AS slope
+         FROM daily GROUP BY 1 ORDER BY 1""",
     "q158_streaming_sessionize" ->
       // batch gaps-and-islands at MILLISECOND grain; the stream emits
       // a session iff the final watermark (= global max ts) passed

@@ -643,6 +643,83 @@ object TrainingData {
           .as("avg_bytes"))
       .orderBy("source")
 
+  /** REAL AUDIO DECODE under the arithmetic oracle (q161): per-doc
+    * deterministic square-wave WAVs (`Multimodal.squareWav`) stream
+    * through the REAL `javax.sound` decode path
+    * (`Multimodal.decode` → `decodeWav`), and the emitted metadata +
+    * amplitude features are compared against DuckDB computing their
+    * CLOSED FORMS from the same (amp, halfPeriod, n) parameters —
+    * arithmetic independence without needing a codec in the oracle
+    * engine. Every output is integral (amplitudes recovered as
+    * `round(f·32768)`, crossings as `round(zcr·n)` — float32 error
+    * ≪ 0.5 at these magnitudes), so no cross-precision formatting can
+    * diverge. A header-layout, endianness, sample-decode, or
+    * frame-count bug anywhere in synth → parse → PCM walk breaks the
+    * hash. Scale shape: one narrow map per media row (per-partition
+    * codec init in mapPartitions — the multimodal contract), no
+    * shuffle until the final order-by. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = docs(spark, dir).select(col("doc_id"))
+      .filter(col("doc_id") < 200).as[Long]
+    val media = ids.map { id =>
+      val amp = (4096 + (id % 8) * 2048).toInt
+      val hp = (4 + id % 5).toInt
+      val n = (800 + (id % 7) * 160).toInt
+      graft.multimodal.Multimodal.MediaRecord(
+        id, "audio", graft.multimodal.Multimodal.squareWav(amp, hp, n, 8000),
+        0, 0)
+    }
+    graft.multimodal.Multimodal.decode(media)
+      .select(col("media_id"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("sample_rate"),
+        col("height").cast("long").as("channels"),
+        col("n_frames").cast("long").as("n_samples"),
+        round(element_at(col("feature"), 1) * 32768).cast("long")
+          .as("rms_amp"),
+        round(element_at(col("feature"), 2) * 32768).cast("long")
+          .as("mean_amp"),
+        round(element_at(col("feature"), 3) * 32768).cast("long")
+          .as("peak_amp"),
+        round(element_at(col("feature"), 4) * col("n_frames")).cast("long")
+          .as("n_crossings"))
+      .orderBy("media_id")
+  }
+
+  /** HTML BOILERPLATE STRIP (q162): every web-crawl pipeline's first
+    * cleaning pass, run end-to-end under the oracle. Each document is
+    * wrapped in deterministic page chrome (head/nav/footer markup with
+    * character entities — the fixture every crawled page carries),
+    * then `TextAnalysis.stripHtml` recovers the content: tags → space,
+    * entity decode, whitespace collapse. Outputs are the per-doc
+    * cleaning ledger a crawl report publishes: cleaned length, removed
+    * boilerplate chars, retention ratio (exact-int division — rule #2,
+    * no rounding). Both engines run the SAME regex semantics by
+    * construction (see stripHtml's portability notes). Scale shape:
+    * narrow per-row string kernels, zero shuffles before the output
+    * sort. */
+  def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title></head><body><nav><a href=\"/\">home</a> &amp; " +
+        "<a href=\"/about\">about</a></nav><p>"),
+      col("text"),
+      lit("</p><footer>&copy; "), col("source"),
+      lit("</footer></body></html>"))
+    docs(spark, dir)
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"), col("html"),
+        graft.text.TextAnalysis.stripHtml(col("html")).as("cleaned"))
+      .select(col("doc_id"),
+        length(col("cleaned")).cast("long").as("clean_chars"),
+        (length(col("html")) - length(col("cleaned"))).cast("long")
+          .as("removed_chars"),
+        (length(col("cleaned")).cast("double") / length(col("html")))
+          .as("retention"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- sequence packing
 
   /** Sequence packing for pretraining (the concat-and-chop op): docs
@@ -2702,6 +2779,8 @@ object TrainingData {
     "q154_label_split_census" -> labelSplitCensus,
     "q138_sql_native_funcs" -> sqlNativeFuncs,
     "q28_byte_stats" -> byteStats,
+    "q161_audio_features" -> audioFeatures,
+    "q162_html_strip" -> htmlStrip,
     "q29_embed_neardup" -> embedNearDup,
     "q30_ann_ivf" -> annIvf,
     "q31_winnow_neardup" -> winnowNearDup,
@@ -3422,6 +3501,47 @@ object TrainingData {
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
              AS norm
          FROM embeddings ORDER BY vec_id""",
+    "q162_html_strip" ->
+      // identical chrome wrap + identical strip semantics (explicit
+      // whitespace class, 'g' flag = Spark's replace-all default)
+      """WITH h AS (SELECT doc_id,
+             '<html><head><title>' || source ||
+             '</title></head><body><nav><a href="/">home</a> &amp; ' ||
+             '<a href="/about">about</a></nav><p>' || text ||
+             '</p><footer>&copy; ' || source ||
+             '</footer></body></html>' AS html
+           FROM documents),
+         c AS (SELECT doc_id, html,
+             trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                 regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                 '&quot;', '"'), '&nbsp;', ' '),
+               '[ \t\n\r]+', ' ', 'g')) AS cleaned
+           FROM h)
+         SELECT doc_id, length(cleaned) AS clean_chars,
+           length(html) - length(cleaned) AS removed_chars,
+           CAST(length(cleaned) AS DOUBLE) / length(html) AS retention
+         FROM c ORDER BY doc_id""",
+    "q161_audio_features" ->
+      // closed forms of the square-wave features the REAL javax.sound
+      // decode path must reproduce: rms=mean=peak=amp (recovered from
+      // the [0,1]-normalized floats as round(f*32768)), crossings =
+      // (n-1)//halfPeriod, n_bytes = 44-byte header + 2n PCM bytes
+      """WITH p AS (SELECT doc_id AS media_id,
+             4096 + (doc_id % 8) * 2048 AS amp,
+             4 + doc_id % 5 AS hp,
+             800 + (doc_id % 7) * 160 AS n
+           FROM documents WHERE doc_id < 200)
+         SELECT media_id, CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(amp AS BIGINT) AS rms_amp,
+           CAST(amp AS BIGINT) AS mean_amp,
+           CAST(amp AS BIGINT) AS peak_amp,
+           CAST((n - 1) // hp AS BIGINT) AS n_crossings
+         FROM p ORDER BY media_id""",
     "q130_zipf_slope" ->
       // x=ln rank, y=ln count; per-term 1e-6 round -> exact LONG
       // sums; slope/intercept from the same closed forms

@@ -163,6 +163,25 @@ object TextAnalysis {
         regexp_replace(afterIp, phonePattern, "<PHONE>"))
   }
 
+  /** HTML → text: the first cleaning pass of every web-crawl training
+    * pipeline. Tags (`<...>`) become spaces, the five ubiquitous
+    * character entities decode, runs of whitespace collapse to one
+    * space, ends trim. Engine-portable by construction: the tag
+    * pattern `<[^>]*>` and the EXPLICIT whitespace class
+    * `[ \t\n\r]+` mean the same thing under Java regex and RE2
+    * (`\s` does not — Java's includes \x0B, RE2's doesn't), and
+    * entity decoding is plain non-regex replace. Script/style
+    * CONTENT is not dropped (that needs an HTML parser, not a
+    * regex); this is the cheap first pass that runs on every crawled
+    * byte, with parser-grade extraction downstream on survivors. */
+  def stripHtml(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]*>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
+  }
+
   /** 60-bit content fingerprint: first 15 hex digits of md5(lower(text))
     * as a long. Used for exact-duplicate detection at scale — group or
     * join on the fingerprint instead of the full text (shuffle keys are
