@@ -13,6 +13,13 @@ Usage:
 
   --update  refresh the recorded best with any query that ran FASTER
             (the baseline only ever ratchets down).
+  --reset QUERY  replace QUERY's recorded best with the CURRENT
+            measurement (may go UP). Only for adjudicated
+            machine-drift: a best recorded in a faster machine epoch
+            flags the same code forever, so prove it first by
+            benching the query at the commit that recorded the best —
+            identical timing there means the machine changed, not the
+            code. Repeatable for multiple queries.
 
 Exit codes: 0 ok, 1 regression, 2 usage/missing files.
 """
@@ -28,6 +35,8 @@ def main() -> int:
     ap.add_argument("--baseline", default=None)
     ap.add_argument("--ratio", type=float, default=2.0)
     ap.add_argument("--update", action="store_true")
+    ap.add_argument("--reset", action="append", default=[],
+                    metavar="QUERY")
     args = ap.parse_args()
 
     with open(args.current) as f:
@@ -59,6 +68,19 @@ def main() -> int:
         print(f"bench_gate: baseline sf {best.get('sf')} != current sf {sf}; "
               "refusing cross-sf comparison", file=sys.stderr)
         return 2
+
+    for name in args.reset:
+        if name not in queries:
+            print(f"bench_gate: --reset {name}: not in current run",
+                  file=sys.stderr)
+            return 2
+        old = best["queries"].get(name)
+        best["queries"][name] = queries[name]
+        with open(baseline_path, "w") as f:
+            json.dump(best, f, indent=2)
+        print(f"bench_gate: RESET {name} best "
+              f"{old if old is None else f'{old:.2f}s'} -> "
+              f"{queries[name]:.2f}s (adjudicated machine drift)")
 
     regressions = []
     improved = {}
