@@ -147,9 +147,20 @@ final class VersionedTable(spark: SparkSession, root: String) {
       s"partition columns ${parts.mkString(",")} must exist in the frame " +
         s"written to $root (has: ${df.columns.mkString(",")})")
     // fail the cheap checks BEFORE paying for the data write
-    cur0.filter(_ => mode == SaveMode.Append)
-      .foreach(c => reconcileAppendSchema(df, snapshotSchema(c),
-        allowSchemaEvolution))
+    val mapping0: Seq[(String, String)] =
+      if (mode == SaveMode.Append) cur0.map(_.mapping).getOrElse(Seq.empty)
+      else Seq.empty
+    cur0.filter(_ => mode == SaveMode.Append).foreach { c =>
+      if (c.mapping.isEmpty)
+        reconcileAppendSchema(df, snapshotSchema(c), allowSchemaEvolution)
+      else {
+        require(!allowSchemaEvolution,
+          s"schema evolution under an active column mapping is not " +
+            s"supported at $root — rename/drop back first")
+        // appends address LOGICAL columns; files are written physical
+        reconcileAppendSchema(df, logicalSchema(c), allowEvolution = false)
+      }
+    }
     // Attempt dirs are writer-unique, so there is never a pre-existing
     // dir to clear (a racing writer's files live under ITS OWN dir and
     // are never deleted here). Non-append writes pre-check the manifest
@@ -160,7 +171,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       throw VersionConflictException(
         s"concurrent write conflict at $root: version $next0 was " +
           "committed by another writer; re-read and retry")
-    writeCommitData(df, parts, dir)
+    writeCommitData(delogicalize(mapping0, df), parts, dir)
     val added = listCommitFiles(dir)
     commitWithRebase(rebase = mode == SaveMode.Append) { () =>
       // ONE currentVersion read per attempt: reading it separately for
@@ -181,12 +192,24 @@ final class VersionedTable(spark: SparkSession, root: String) {
             s"concurrent write changed partitioning of $root to " +
               s"[${cur.get.partitionBy.mkString(",")}] while an append " +
               s"was in flight with [${parts.mkString(",")}]")
-          (cur.get.entries,
-            reconcileAppendSchema(df, snapshotSchema(cur.get),
-              allowSchemaEvolution))
+          // the data files were written under mapping0's physical
+          // names — a rebase cannot fix that, so fail permanently
+          require(cur.get.mapping == mapping0,
+            s"concurrent column rename/drop at $root while an append " +
+              "was in flight; re-run the append against the new schema")
+          if (cur.get.mapping.isEmpty)
+            (cur.get.entries,
+              reconcileAppendSchema(df, snapshotSchema(cur.get),
+                allowSchemaEvolution))
+          else {
+            reconcileAppendSchema(df, logicalSchema(cur.get),
+              allowEvolution = false)
+            (cur.get.entries, snapshotSchema(cur.get)) // physical, frozen
+          }
         case _ => (Seq.empty, df.schema)
       }
-      writeManifest(next, VersionManifest(Some(schema), prior ++ added, parts))
+      writeManifest(next,
+        VersionManifest(Some(schema), prior ++ added, parts, mapping0))
       appendHistory(next, operation, (prior ++ added).map(_.liveRows).sum)
       pointTo(next)
       next
@@ -213,9 +236,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(parts.forall(df.columns.contains),
       s"partition columns ${parts.mkString(",")} must exist in the frame " +
         s"written to $root")
-    reconcileAppendSchema(df, snapshotSchema(base), allowEvolution = false)
+    reconcileAppendSchema(df, logicalSchema(base), allowEvolution = false)
     val dir = newCommitDir(currentVersion.get + 1)
-    writeCommitData(df, parts, dir)
+    writeCommitData(delogicalize(base.mapping, df), parts, dir)
     val added = listCommitFiles(dir)
     val basisEntries = basisVersion.map(v => readManifest(v).entries)
       .getOrElse(base.entries)
@@ -249,11 +272,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
           s"on ${remasked.size} file(s) this replaceWhere rewrites (e.g. " +
           remasked.head.relPath + "); re-run the rewrite against the new " +
           "snapshot")
-      val schema = reconcileAppendSchema(df, snapshotSchema(cur),
-        allowEvolution = false)
+      require(cur.mapping == base.mapping,
+        s"concurrent column rename/drop at $root while a replaceWhere " +
+          "was in flight; re-run against the new schema")
+      reconcileAppendSchema(df, logicalSchema(cur), allowEvolution = false)
+      val schema = snapshotSchema(cur) // physical names, frozen
       val next = curV + 1
       val entries = cur.entries.filter(keep) ++ added
-      writeManifest(next, VersionManifest(Some(schema), entries, parts))
+      writeManifest(next,
+        VersionManifest(Some(schema), entries, parts, cur.mapping))
       appendHistory(next, operation, entries.map(_.liveRows).sum)
       pointTo(next)
       next
@@ -301,7 +328,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * are already in the manifest. Catalyst partition pruning on the
     * returned frame works as on any partitioned table. */
   private def readFiles(m: VersionManifest, entries: Seq[ManifestEntry],
-      isStreaming: Boolean = false, withRowMeta: Boolean = false): DataFrame = {
+      isStreaming: Boolean = false, withRowMeta: Boolean = false): DataFrame =
+    logicalize(m, readFilesPhysical(m, entries, isStreaming, withRowMeta))
+
+  private def readFilesPhysical(m: VersionManifest,
+      entries: Seq[ManifestEntry],
+      isStreaming: Boolean, withRowMeta: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, substring}
     val (masked, plain) = entries.partition(_.dvDir.isDefined)
     if (masked.isEmpty) return rawScan(m, entries, isStreaming, withRowMeta)
@@ -655,7 +687,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val entries = cur.entries
         .filterNot(_.partitionValues.get(column).exists(values))
       val next = curV + 1
-      writeManifest(next, VersionManifest(cur.schema, entries, cur.partitionBy))
+      writeManifest(next,
+        VersionManifest(cur.schema, entries, cur.partitionBy, cur.mapping))
       appendHistory(next,
         s"DELETE $column IN (${values.toSeq.sorted.mkString(",")})",
         entries.map(_.liveRows).sum)
@@ -871,7 +904,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       e.copy(relPath = absPath(e.relPath),
         dvDir = e.dvDir.map(_ => newDvRel.get))
     }
-    dest.writeManifest(0L, VersionManifest(m.schema, entries, m.partitionBy))
+    dest.writeManifest(0L,
+      VersionManifest(m.schema, entries, m.partitionBy, m.mapping))
     dest.appendHistory(0L, s"CLONE $root@v$curV",
       entries.map(_.liveRows).sum)
     dest.pointTo(0L)
@@ -945,7 +979,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
         case es => es
       }
       val next = nowV + 1
-      writeManifest(next, VersionManifest(now.schema, entries, now.partitionBy))
+      writeManifest(next,
+        VersionManifest(now.schema, entries, now.partitionBy, now.mapping))
       appendHistory(next, opDesc, entries.map(_.liveRows).sum)
       pointTo(next)
       next
@@ -1013,10 +1048,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
         readFiles(toManifest, added).withColumn("_change_type", lit("insert"))
     } else {
       // exceptAll demands identical schemas; a range crossing a
-      // schema-evolution boundary has different column sets, so align
-      // BOTH snapshots to `toV`'s schema (missing columns null-filled —
-      // the same value reads of the pre-evolution files produce)
-      val target = snapshotSchema(toManifest)
+      // schema-evolution (or rename/drop) boundary has different
+      // column sets, so align BOTH snapshots to `toV`'s LOGICAL
+      // schema (missing columns null-filled — the same value reads of
+      // the pre-evolution files produce; readVersion output is
+      // logical, so the target must be too)
+      val target = logicalSchema(toManifest)
       def align(df: DataFrame): DataFrame = df.select(target.fields.toSeq.map { f =>
         import org.apache.spark.sql.functions.col
         (if (df.columns.contains(f.name)) col(f.name)
@@ -1026,6 +1063,85 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val b = align(readVersion(toV))
       b.exceptAll(a).withColumn("_change_type", lit("insert"))
         .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+    }
+  }
+
+  // ------------------------------------------------------ column mapping
+
+  private val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Current (logical, physical) column mapping, seeding the identity
+    * mapping from the physical schema on first use. Mapping ops
+    * require identifier-shaped column names (the manifest header
+    * encodes pairs with `>` and `,`). */
+  private def mappingOrIdentity(m: VersionManifest): Seq[(String, String)] =
+    if (m.mapping.nonEmpty) m.mapping
+    else {
+      val names = snapshotSchema(m).fields.map(_.name).toSeq
+      names.foreach(n => require(identRe.matches(n),
+        s"column mapping requires identifier column names; '$n' at $root"))
+      names.map(n => (n, n))
+    }
+
+  /** ALTER TABLE … RENAME COLUMN without rewriting a byte of data
+    * (Delta column-mapping semantics): a manifest-only commit records
+    * the new LOGICAL name against the unchanged PHYSICAL parquet
+    * column. Partition columns are refused (their name is baked into
+    * every file path and partition-value map). Reads at prior
+    * versions still see the old name — the mapping is versioned state
+    * like everything else. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(identRe.matches(newName),
+      s"new column name '$newName' must be a plain identifier")
+    commitWithRebase(rebase = false) { () =>
+      val curV = currentVersion.getOrElse(
+        sys.error(s"table $root does not exist"))
+      val cur = readManifest(curV)
+      require(!cur.partitionBy.contains(oldName),
+        s"cannot rename partition column $oldName of $root")
+      val mapping = mappingOrIdentity(cur)
+      require(mapping.exists(_._1 == oldName),
+        s"no column $oldName at $root " +
+          s"(has: ${mapping.map(_._1).mkString(",")})")
+      require(!mapping.exists(_._1 == newName),
+        s"column $newName already exists at $root")
+      val next = curV + 1
+      val updated = mapping.map { case (l, p) =>
+        if (l == oldName) (newName, p) else (l, p) }
+      writeManifest(next, cur.copy(mapping = updated))
+      appendHistory(next, s"RENAME COLUMN $oldName TO $newName",
+        cur.entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
+  /** ALTER TABLE … DROP COLUMN without rewriting a byte of data: the
+    * physical column stays in every existing file (and in the frozen
+    * physical schema); the mapping simply stops projecting it.
+    * Appends after the drop write files WITHOUT the column — reads
+    * null-fill those under the physical schema, and the mapping drops
+    * the column either way. Partition columns are refused; the last
+    * column cannot be dropped. */
+  def dropColumn(name: String): Long = {
+    commitWithRebase(rebase = false) { () =>
+      val curV = currentVersion.getOrElse(
+        sys.error(s"table $root does not exist"))
+      val cur = readManifest(curV)
+      require(!cur.partitionBy.contains(name),
+        s"cannot drop partition column $name of $root")
+      val mapping = mappingOrIdentity(cur)
+      require(mapping.exists(_._1 == name),
+        s"no column $name at $root " +
+          s"(has: ${mapping.map(_._1).mkString(",")})")
+      require(mapping.size > 1, s"cannot drop the last column of $root")
+      val next = curV + 1
+      writeManifest(next,
+        cur.copy(mapping = mapping.filterNot(_._1 == name)))
+      appendHistory(next, s"DROP COLUMN $name",
+        cur.entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
     }
   }
 
@@ -1376,6 +1492,42 @@ final class VersionedTable(spark: SparkSession, root: String) {
       new Path(rootPath, m.entries.head.relPath).toString).schema
   }
 
+  /** The USER-FACING schema: the physical snapshot schema with the
+    * column mapping applied (renames + drops). Identity when no
+    * mapping is active. */
+  private def logicalSchema(m: VersionManifest): StructType = {
+    if (m.mapping.isEmpty) return snapshotSchema(m)
+    val phys = snapshotSchema(m).fields.map(f => f.name -> f).toMap
+    StructType(m.mapping.map { case (l, p) =>
+      phys.getOrElse(p, sys.error(
+        s"mapping of $root names physical column $p not in schema"))
+        .copy(name = l)
+    })
+  }
+
+  /** Physical frame → logical frame: rename mapped columns, drop
+    * physical columns the mapping omits. Implemented as per-column
+    * rename/drop (NOT a projection) so provenance/meta columns
+    * (`_metadata`-derived, `_change_type`, …) pass through. */
+  private def logicalize(m: VersionManifest, df: DataFrame): DataFrame = {
+    if (m.mapping.isEmpty) return df
+    val kept = m.mapping.map(_._2).toSet
+    val dropped = snapshotSchema(m).fields.map(_.name).filterNot(kept)
+    val slim = if (dropped.isEmpty) df else df.drop(dropped.toIndexedSeq: _*)
+    m.mapping.foldLeft(slim) { case (d, (l, p)) =>
+      if (l == p) d else d.withColumnRenamed(p, l)
+    }
+  }
+
+  /** Logical frame → physical frame for writing: reverse renames.
+    * Dropped physical columns are simply absent from the written files
+    * (reads null-fill them under the snapshot schema). */
+  private def delogicalize(mapping: Seq[(String, String)],
+      df: DataFrame): DataFrame =
+    mapping.foldLeft(df) { case (d, (l, p)) =>
+      if (l == p) d else d.withColumnRenamed(l, p)
+    }
+
   /** Append compatibility (order-insensitive: parquet reads columns by
     * name). Shared columns must type-match exactly; missing columns are
     * fine (the new files read null-filled under the snapshot schema);
@@ -1437,6 +1589,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val partitionBy = lines.find(_.startsWith("#partitionBy="))
       .map(_.stripPrefix("#partitionBy=").split(',').toSeq
         .filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val mapping = lines.find(_.startsWith("#mapping="))
+      .map(_.stripPrefix("#mapping=").split(',').toSeq
+        .filter(_.nonEmpty).map { pair =>
+          val i = pair.indexOf('>')
+          require(i > 0, s"malformed #mapping pair '$pair' in $root v$v")
+          (pair.substring(0, i), pair.substring(i + 1))
+        }).getOrElse(Seq.empty)
     val entries = lines.filterNot(_.startsWith("#"))
       .map(ManifestEntry.decodeLine(_, root))
     // completeness: post-r6 manifests declare their entry count; a
@@ -1445,7 +1604,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val declared = lines.find(_.startsWith("#entries="))
       .map(_.stripPrefix("#entries=").toInt)
     if (declared.exists(_ != entries.size)) None
-    else Some(VersionManifest(schema, entries, partitionBy))
+    else Some(VersionManifest(schema, entries, partitionBy, mapping))
   }
 
   /** Commit a manifest: atomic CLAIM of the destination name, then
@@ -1473,7 +1632,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val header = s"#entries=${m.entries.size}\n" +
       m.schema.map(s => s"#schema=${s.json}\n").getOrElse("") +
       (if (m.partitionBy.nonEmpty)
-        s"#partitionBy=${m.partitionBy.mkString(",")}\n" else "")
+        s"#partitionBy=${m.partitionBy.mkString(",")}\n" else "") +
+      (if (m.mapping.nonEmpty)
+        s"#mapping=${m.mapping.map { case (l, p) => s"$l>$p" }
+          .mkString(",")}\n" else "")
     val body = header + m.entries.map(ManifestEntry.encodeLine).mkString("\n")
     val dest = manifestPath(v)
     claimManifest(dest, v)
@@ -1752,6 +1914,15 @@ object ManifestEntry {
   * instead of O(files) at planning time — and schema-evolved
   * snapshots read older files with the missing columns filled null
   * (parquet name-based resolution). */
+/** `mapping` is the COLUMN MAPPING (Delta column-mapping semantics):
+  * ordered (logicalName, physicalName) pairs. Empty = identity (the
+  * stored schema IS the user-facing schema). When non-empty, parquet
+  * files and the stored `schema` keep their original PHYSICAL names
+  * forever (rename/drop never rewrite a byte of data); reads project
+  * physical → logical, writes project back. A physical column absent
+  * from the mapping is DROPPED: invisible to reads, null-filled files
+  * remain untouched. */
 final case class VersionManifest(schema: Option[StructType],
     entries: Seq[ManifestEntry],
-    partitionBy: Seq[String] = Seq.empty)
+    partitionBy: Seq[String] = Seq.empty,
+    mapping: Seq[(String, String)] = Seq.empty)

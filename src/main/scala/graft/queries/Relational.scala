@@ -805,6 +805,36 @@ object Relational {
     agg1.orderBy("c_nationkey")
   }
 
+  /** COLUMN MAPPING under the oracle (q163 — Delta rename/drop
+    * without rewrite): v0 commits a 3-column orders slice; RENAME
+    * o_totalprice→price and DROP o_orderstatus are manifest-only
+    * commits (zero data files touched — the physical parquet names
+    * are frozen forever); an append then addresses the LOGICAL
+    * schema (its files simply never contain the dropped column); a
+    * DV delete filters by the logical name; the read projects
+    * physical→logical across files written before AND after the
+    * mapping. The oracle recomputes the same final state
+    * relationally, so a mapping bug anywhere — stale projection,
+    * append misrouted to logical names on disk, dropped column
+    * resurfacing, DV keyed wrong — hash-mismatches. At 100 TB this
+    * is the zero-rewrite ALTER TABLE: organizational renames on a
+    * petabyte table are one manifest line, not a rewrite. */
+  def columnMappingRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-colmap")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders")
+    vt.write(orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    vt.renameColumn("o_totalprice", "price")
+    vt.dropColumn("o_orderstatus")
+    vt.write(orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice").as("price")),
+      org.apache.spark.sql.SaveMode.Append)
+    vt.deleteVectorized("o_orderkey", 100, 299)
+    vt.read().orderBy("o_orderkey")
+  }
+
   /** SCHEMA EVOLUTION under the oracle (Delta mergeSchema semantics,
     * previously spec-only): v0 commits a 2-column orders slice, v1
     * appends rows carrying a NEW column with
@@ -1260,6 +1290,7 @@ object Relational {
     "q146_interval_overlap" -> intervalOverlapClickError,
     "q147_incremental_view" -> incrementalViewRollup,
     "q156_incremental_minmax" -> incrementalMinMaxRollup,
+    "q163_column_mapping" -> columnMappingRead,
     "q155_overlap_duration" -> overlapDuration,
     "q148_data_skipping" -> dataSkippingRead,
     "q149_partition_pruning" -> partitionPrunedRead,
@@ -1478,6 +1509,12 @@ object Relational {
                WHERE c_custkey % 7 <> 0)
            ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
+    "q163_column_mapping" ->
+      // the mapped table's final state: all orders minus the DV
+      // range, price = renamed o_totalprice, status dropped
+      """SELECT o_orderkey, o_totalprice AS price FROM orders
+         WHERE NOT (o_orderkey BETWEEN 100 AND 299)
+         ORDER BY o_orderkey""",
     "q156_incremental_minmax" ->
       // min/max rollup recomputed from the FINAL states of both
       // tables (min/max pick existing doubles — no float arithmetic)

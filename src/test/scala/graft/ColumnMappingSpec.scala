@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VersionedTable
+
+/** Column mapping (Delta rename/drop-without-rewrite semantics):
+  * manifest-only commits, zero data files touched, reads logical,
+  * appends logical→physical, time travel sees the old names, DV
+  * deletes and compaction compose. */
+class ColumnMappingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  import scala.jdk.CollectionConverters._
+
+  private def dataFiles(root: String): Set[String] = {
+    val p = Paths.get(root)
+    val s = Files.walk(p)
+    try s.iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    finally s.close()
+  }
+
+  test("rename + drop are manifest-only; reads, appends, deletes, " +
+    "time travel and compaction all see the right schema") {
+    val root = Fixtures.tempDir("colmap") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((0L until 100L).map(i => (i, i * 2, s"s$i"))
+      .toDF("id", "val", "tag")) // v0
+    val v0 = vt.currentVersion.get
+    val filesBefore = dataFiles(root)
+
+    vt.renameColumn("val", "score") // v1
+    vt.dropColumn("tag") // v2
+    assert(dataFiles(root) === filesBefore, "rename/drop must move zero data")
+    assert(vt.read().columns.toSeq === Seq("id", "score"))
+    assert(vt.read().filter(col("score") === 10L).count() === 1)
+    // time travel: v0 still reads the ORIGINAL names
+    assert(vt.readVersion(v0).columns.toSeq === Seq("id", "val", "tag"))
+
+    // appends address the LOGICAL schema; files store physical names
+    vt.write((100L until 150L).map(i => (i, i * 2)).toDF("id", "score"),
+      SaveMode.Append) // v3
+    assert(vt.read().count() === 150)
+    assert(vt.read().filter(col("id") === 120L)
+      .select("score").head().getLong(0) === 240L)
+    // old files' dropped column is really gone from reads
+    assert(!vt.read().columns.contains("tag"))
+
+    // DV delete via the logical name
+    vt.deleteVectorized("id", 10, 19)
+    assert(vt.read().count() === 140)
+    // row values survive the mapping: spot-check a pre-rename row
+    assert(vt.read().filter(col("id") === 50L)
+      .select("score").head().getLong(0) === 100L)
+
+    // changes() across the rename boundary aligns to the CURRENT
+    // logical schema
+    val ch = vt.changes(v0, vt.currentVersion.get)
+    assert(ch.columns.toSet === Set("id", "score", "_change_type"))
+
+    // compaction (full rewrite) folds the mapping away: fresh physical
+    // schema under the logical names, results unchanged
+    val before = vt.read().collect().map(_.mkString("|")).sorted
+    vt.compact()
+    assert(vt.read().columns.toSeq === Seq("id", "score"))
+    assert(vt.read().collect().map(_.mkString("|")).sorted === before)
+
+    // evolution under an active mapping is refused (post-compact the
+    // mapping is gone, so test on a fresh mapped table)
+    val root2 = Fixtures.tempDir("colmap2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    vt2.write(Seq((1L, 2L)).toDF("a", "b"))
+    vt2.renameColumn("b", "c")
+    val ex = intercept[IllegalArgumentException] {
+      vt2.write(Seq((3L, 4L, 5L)).toDF("a", "c", "d"), SaveMode.Append,
+        allowSchemaEvolution = true)
+    }
+    assert(ex.getMessage.contains("column mapping"))
+  }
+
+  test("guards: partition columns, unknown/duplicate names, last column") {
+    val root = Fixtures.tempDir("colmap-g") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a", 2L)).toDF("id", "part", "x"),
+      partitionBy = Some(Seq("part")))
+    intercept[IllegalArgumentException](vt.renameColumn("part", "p2"))
+    intercept[IllegalArgumentException](vt.dropColumn("part"))
+    intercept[IllegalArgumentException](vt.renameColumn("nope", "p2"))
+    intercept[IllegalArgumentException](vt.renameColumn("x", "id"))
+    intercept[IllegalArgumentException](vt.renameColumn("x", "bad name"))
+    vt.dropColumn("x")
+    vt.dropColumn("id")
+    // `part` is the only survivor — last column cannot go
+    intercept[IllegalArgumentException](vt.dropColumn("part"))
+    assert(vt.read().columns.toSeq === Seq("part"))
+  }
+
+  test("clone and restore carry the mapping") {
+    val root = Fixtures.tempDir("colmap-c") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((0L until 50L).map(i => (i, i * 3)).toDF("id", "v"))
+    val v0 = vt.currentVersion.get
+    vt.renameColumn("v", "value")
+    val clone = vt.shallowCloneTo(Fixtures.tempDir("colmap-cc") + "/tbl")
+    assert(clone.read().columns.toSeq === Seq("id", "value"))
+    vt.restore(v0)
+    assert(vt.read().columns.toSeq === Seq("id", "v"),
+      "restore to a pre-mapping version must revive the old names")
+  }
+}
