@@ -1145,6 +1145,29 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Time travel by TIMESTAMP (Delta `timestampAsOf`): reads the
+    * newest version whose commit time is at or before `ts`
+    * (ISO-8601 instant). Resolution walks the history (bounded reads
+    * via the checkpoint fold); commit timestamps are wall-clock, so
+    * this is an OPERATOR convenience ("what did the table say at
+    * 2 am"), not a determinism surface — hash-verified queries pin
+    * versions by NUMBER. Throws if `ts` predates the first commit. */
+  def readTimestampAsOf(ts: String): DataFrame =
+    readVersion(versionAtTimestamp(ts))
+
+  /** The version [[readTimestampAsOf]] resolves. */
+  def versionAtTimestamp(ts: String): Long = {
+    val target = java.time.Instant.parse(ts)
+    val all = history(limit = Int.MaxValue)
+    val at = all // history is newest-first
+      .filter(h => !java.time.Instant.parse(h.timestamp).isAfter(target))
+      .map(_.version)
+    at.headOption.getOrElse(sys.error(
+      s"no version of $root existed at or before $ts " +
+        s"(earliest commit: ${all.lastOption.map(_.timestamp)
+          .getOrElse("none")})"))
+  }
+
   /** M5: restore — a NEW version whose manifest is a copy of the
     * target's (Delta RESTORE semantics). No data is copied or moved;
     * version numbers are never reused. */
@@ -1395,9 +1418,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val it = fs.listFiles(dir, true)
     val found = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next()).toSeq
-    found
+    // Footer reads are independent driver-side IO (~5-20 ms each); a
+    // 32-partition commit pays 32 of them, so read them in parallel —
+    // this is a fixed slice of EVERY commit's latency.
+    import scala.collection.parallel.CollectionConverters._
+    val parFiles = found
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.toString)
+      .par
+    parFiles.tasksupport =
+      new scala.collection.parallel.ExecutionContextTaskSupport(
+        scala.concurrent.ExecutionContext.global)
+    parFiles
       .map { s =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(s, conf)
@@ -1482,7 +1514,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
           (reader.getRecordCount, st, sst)
         } finally reader.close()
         ManifestEntry(relativize(s.getPath), rows, s.getLen, stats, strStats)
-      }
+      }.seq.toSeq
   }
 
   /** The snapshot schema of a manifest; falls back to a first-file

@@ -554,6 +554,78 @@ object Analytics {
       .select(col("node").as("part"), col("rank"))
   }
 
+  /** CORPUS DIFF via multiset set-operations (q164): two crawl
+    * snapshots compared by content fingerprint — `exceptAll` both
+    * ways for added/removed, `intersectAll` for carried-over — then
+    * rolled into the per-source churn report a crawl pipeline
+    * publishes between refreshes. The "new" snapshot drops every 7th
+    * doc, the "old" every 10th, and every 13th doc's text changed
+    * (fingerprint rewritten), so all three legs are non-trivial.
+    * Scale shape: set ops hash-shuffle on the full row (id, source,
+    * fp) — fingerprints keep the shuffle rows narrow no matter how
+    * big the documents are; counts collapse map-side. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents").select(col("doc_id"),
+      col("source"), md5(col("text").cast("binary")).as("fp"))
+    val old = d.filter(col("doc_id") % 10 =!= 0)
+    val neu = d.filter(col("doc_id") % 7 =!= 0)
+      .withColumn("fp", when(col("doc_id") % 13 === 0,
+        md5(concat(col("fp"), lit("~v2")).cast("binary")))
+        .otherwise(col("fp")))
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.groupBy("source").agg(count(lit(1)).as(name))
+    d.select("source").distinct()
+      .join(cnt(neu.exceptAll(old), "n_added"), Seq("source"), "left")
+      .join(cnt(old.exceptAll(neu), "n_removed"), Seq("source"), "left")
+      .join(cnt(neu.intersectAll(old), "n_common"), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .orderBy("source")
+  }
+
+  /** KMV SKETCH SET ALGEBRA (q165): distinct-count estimates for two
+    * user sets AND their union/intersection from mergeable sketches —
+    * the cross-partition cardinality algebra (how many users do
+    * clicks and views share?) that exact countDistinct can't answer
+    * compositionally. KMV's defining property: the k smallest hashes
+    * of A ∪ B are computable from the two k-smallest sketches alone,
+    * so the union estimate needs no re-scan; the intersection falls
+    * out by inclusion-exclusion. Portable md5-fraction hashing means
+    * the DuckDB oracle reproduces every estimate bit-for-bit (same
+    * IEEE division tree). Sets smaller than k degrade to exact
+    * counts (the sketch holds the whole set). Exact counterparts are
+    * emitted alongside. Scale: each sketch is `orderBy().limit(k)` —
+    * TakeOrdered partial top-k per partition, k rows to the driver
+    * regardless of set size. */
+  def kmvSetOps(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val frac =
+      (conv(substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 13), 16, 10).cast("double") / pow(lit(16.0), lit(13.0)))
+        .as("frac")
+    def fracs(t: String): DataFrame =
+      ev.filter(col("event_type") === t).select(frac).distinct()
+    def est(d: DataFrame, name: String): DataFrame =
+      d.orderBy("frac").limit(k)
+        .agg(count(lit(1)).as("_c"), max(col("frac")).as("_kth"))
+        .select(when(col("_c") < k, col("_c").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("_kth")).as(name))
+    def exact(t: String): DataFrame =
+      ev.filter(col("event_type") === t)
+    val a = fracs("click")
+    val b = fracs("view")
+    est(a, "est_click").crossJoin(est(b, "est_view"))
+      .crossJoin(est(a.unionByName(b).distinct(), "est_union"))
+      .crossJoin(exact("click").unionByName(exact("view"))
+        .agg(countDistinct(col("user_id")).as("exact_union")))
+      .select(col("est_click"), col("est_view"), col("est_union"),
+        (col("est_click") + col("est_view") - col("est_union"))
+          .as("est_intersect"),
+        col("exact_union"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -574,10 +646,55 @@ object Analytics {
     "q139_range_window" -> rollingRangeCount,
     "q157_pagerank" -> pagerankParts,
     "q158_streaming_sessionize" -> streamingSessionize,
-    "q160_trend_slope" -> dailyTrendSlope
+    "q160_trend_slope" -> dailyTrendSlope,
+    "q164_corpus_diff" -> corpusDiff,
+    "q165_kmv_setops" -> ((s, d) => kmvSetOps(s, d))
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_corpus_diff" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS fp
+                    FROM documents),
+         old AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+         neu AS (SELECT doc_id, source,
+                   CASE WHEN doc_id % 13 = 0 THEN md5(fp || '~v2')
+                        ELSE fp END AS fp
+                 FROM d WHERE doc_id % 7 <> 0),
+         added AS (SELECT * FROM neu EXCEPT ALL SELECT * FROM old),
+         removed AS (SELECT * FROM old EXCEPT ALL SELECT * FROM neu),
+         com AS (SELECT * FROM neu INTERSECT ALL SELECT * FROM old),
+         s AS (SELECT DISTINCT source FROM d),
+         ca AS (SELECT source, count(*) AS n_added FROM added GROUP BY 1),
+         cr AS (SELECT source, count(*) AS n_removed FROM removed GROUP BY 1),
+         cc AS (SELECT source, count(*) AS n_common FROM com GROUP BY 1)
+         SELECT s.source, coalesce(n_added, 0) AS n_added,
+           coalesce(n_removed, 0) AS n_removed,
+           coalesce(n_common, 0) AS n_common
+         FROM s LEFT JOIN ca USING (source) LEFT JOIN cr USING (source)
+         LEFT JOIN cc USING (source)
+         ORDER BY source""",
+    "q165_kmv_setops" ->
+      """WITH f AS (SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+             AS BIGINT) / 4503599627370496.0 AS frac
+           FROM events WHERE event_type IN ('click', 'view')),
+         a AS (SELECT frac FROM f WHERE event_type = 'click'),
+         b AS (SELECT frac FROM f WHERE event_type = 'view'),
+         u AS (SELECT frac FROM a UNION SELECT frac FROM b),
+         ea AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 / max(frac) END AS est_click
+                FROM (SELECT frac FROM a ORDER BY frac LIMIT 64)),
+         eb AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 / max(frac) END AS est_view
+                FROM (SELECT frac FROM b ORDER BY frac LIMIT 64)),
+         eu AS (SELECT CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 / max(frac) END AS est_union
+                FROM (SELECT frac FROM u ORDER BY frac LIMIT 64)),
+         ex AS (SELECT count(DISTINCT user_id) AS exact_union FROM events
+                WHERE event_type IN ('click', 'view'))
+         SELECT est_click, est_view, est_union,
+           est_click + est_view - est_union AS est_intersect, exact_union
+         FROM ea, eb, eu, ex""",
     "q160_trend_slope" ->
       // exact BIGINT regression sums; slope = one IEEE division of
       // exact ints (no rounding — float-discipline rule #2)

@@ -101,6 +101,23 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(vt.read().columns.toSeq === Seq("part"))
   }
 
+  test("readTimestampAsOf resolves the version live at a commit time") {
+    val root = Fixtures.tempDir("tsasof") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a")).toDF("id", "v")) // v0
+    vt.write(Seq((2L, "b")).toDF("id", "v"), SaveMode.Append) // v1
+    vt.write(Seq((3L, "c")).toDF("id", "v"), SaveMode.Append) // v2
+    val hist = vt.history() // newest-first
+    assert(hist.map(_.version) === Seq(2L, 1L, 0L))
+    // exactly at v1's commit instant → v1; just before v0 → error
+    assert(vt.versionAtTimestamp(hist(1).timestamp) === 1L)
+    assert(vt.readTimestampAsOf(hist(1).timestamp).count() === 2)
+    assert(vt.versionAtTimestamp(hist.head.timestamp) === 2L)
+    val before = java.time.Instant.parse(hist.last.timestamp)
+      .minusSeconds(1).toString
+    intercept[RuntimeException](vt.versionAtTimestamp(before))
+  }
+
   test("clone and restore carry the mapping") {
     val root = Fixtures.tempDir("colmap-c") + "/tbl"
     val vt = new VersionedTable(spark, root)
