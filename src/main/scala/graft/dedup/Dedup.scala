@@ -543,6 +543,35 @@ object Dedup {
     * pathological graphs. Output: (node, component) where component =
     * the minimum node id reachable, for every node incident to an
     * edge. Deterministic. */
+  /** CHARACTER-LEVEL fuzzy duplicate pairs via edit distance — the
+    * dedup modality the token-based family (MinHash/SimHash/PPJoin)
+    * misses: near-identical strings that differ by a few TYPOS share
+    * few word shingles but have tiny Levenshtein distance. Blocking
+    * keeps it bounded: candidates must share (lang, first
+    * `prefixLen` chars of the key), so the quadratic distance kernel
+    * only runs within prefix buckets — at corpus scale the bucket
+    * histogram is the skew guard (a hot prefix is a data-quality
+    * finding, not an OOM). The distance runs on a `keyLen`-char key
+    * (title-grain), not whole documents — O(keyLen²) per pair,
+    * codegen'd Spark `levenshtein`, same definition in DuckDB. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, maxDist: Int, prefixLen: Int = 8,
+      keyLen: Int = 40): DataFrame = {
+    val keyed = df.select(col(idCol), col(langCol).as("_lang"),
+      substring(col(textCol), 1, keyLen).as("_key"),
+      substring(col(textCol), 1, prefixLen).as("_block"))
+    val a = keyed.select(col(idCol).as("id_a"), col("_lang"),
+      col("_block"), col("_key").as("key_a"))
+    val b = keyed.select(col(idCol).as("id_b"),
+      col("_lang").as("_lang_b"), col("_block").as("_block_b"),
+      col("_key").as("key_b"))
+    a.join(b, col("_lang") === col("_lang_b") &&
+        col("_block") === col("_block_b") && col("id_a") < col("id_b"))
+      .withColumn("edit_dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   def connectedComponents(edges: DataFrame, srcCol: String,
       dstCol: String, maxIters: Int = 20): DataFrame = {
     val fwd = edges.select(col(srcCol).cast("long").as("a"),

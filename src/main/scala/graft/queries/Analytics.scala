@@ -626,6 +626,34 @@ object Analytics {
         col("exact_union"))
   }
 
+  /** TYPED `Aggregator` UDAF under the oracle (q167): per-event-type
+    * value stats through a custom partial-merge aggregator
+    * (`TypedAggregators.microStats`) over a `KeyValueGroupedDataset`
+    * — the typed two-phase aggregation extension surface. Values are
+    * pre-scaled to LONG micro-units, so reduce/merge are pure
+    * integer arithmetic: order-independent, hence hash-comparable to
+    * DuckDB recomputing the same integer summary (a double-summing
+    * UDAF could never be). Plan shape: map-side reduce into O(groups)
+    * buffers, ONE exchange of buffer rows, reducer merge — identical
+    * cost to a built-in aggregate. */
+  def typedMicroStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = graft.functions.TypedAggregators.microStats
+    load(spark, dir, "events")
+      .select(col("event_type"),
+        round(col("value") * 1000000).cast("long").as("micros"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("stats"))
+      .select(col("key").as("event_type"),
+        col("stats.n").as("n_events"),
+        col("stats.sum").as("sum_micros"),
+        col("stats.min").as("min_micros"),
+        col("stats.max").as("max_micros"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -648,10 +676,22 @@ object Analytics {
     "q158_streaming_sessionize" -> streamingSessionize,
     "q160_trend_slope" -> dailyTrendSlope,
     "q164_corpus_diff" -> corpusDiff,
-    "q165_kmv_setops" -> ((s, d) => kmvSetOps(s, d))
+    "q165_kmv_setops" -> ((s, d) => kmvSetOps(s, d)),
+    "q167_typed_udaf" -> typedMicroStats
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_typed_udaf" ->
+      // the same integer micro-unit summary the custom Aggregator
+      // folds (round-half-away-from-zero scaling matches Spark's
+      // round; integer sums are order-free)
+      """WITH m AS (SELECT event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS micros
+           FROM events)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(micros) AS BIGINT) AS sum_micros,
+           min(micros) AS min_micros, max(micros) AS max_micros
+         FROM m GROUP BY 1 ORDER BY 1""",
     "q164_corpus_diff" ->
       """WITH d AS (SELECT doc_id, source, md5(text) AS fp
                     FROM documents),

@@ -687,6 +687,17 @@ object TrainingData {
       .orderBy("media_id")
   }
 
+  /** FUZZY (EDIT-DISTANCE) DUPLICATE PAIRS (q166): the typo-grade
+    * dedup modality — `Dedup.editDistancePairs` blocks on (lang,
+    * 8-char prefix) and runs codegen'd `levenshtein` over 40-char
+    * title keys, catching near-identical strings that token-shingle
+    * methods miss. Exact integer distances, identical definition in
+    * DuckDB → hash-oracled end to end. */
+  def fuzzyDupPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.editDistancePairs(
+      docs(spark, dir), "doc_id", "text", "lang", maxDist = 12)
+      .orderBy("id_a", "id_b")
+
   /** HTML BOILERPLATE STRIP (q162): every web-crawl pipeline's first
     * cleaning pass, run end-to-end under the oracle. Each document is
     * wrapped in deterministic page chrome (head/nav/footer markup with
@@ -2781,6 +2792,7 @@ object TrainingData {
     "q28_byte_stats" -> byteStats,
     "q161_audio_features" -> audioFeatures,
     "q162_html_strip" -> htmlStrip,
+    "q166_fuzzy_pairs" -> fuzzyDupPairs,
     "q29_embed_neardup" -> embedNearDup,
     "q30_ann_ivf" -> annIvf,
     "q31_winnow_neardup" -> winnowNearDup,
@@ -3501,6 +3513,18 @@ object TrainingData {
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
              AS norm
          FROM embeddings ORDER BY vec_id""",
+    "q166_fuzzy_pairs" ->
+      // identical blocking + identical edit-distance definition
+      """WITH k AS (SELECT doc_id, lang,
+             substr(text, 1, 40) AS key, substr(text, 1, 8) AS block
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.key, b.key) AS INT) AS edit_dist
+         FROM k a JOIN k b
+           ON a.lang = b.lang AND a.block = b.block
+          AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.key, b.key) <= 12
+         ORDER BY id_a, id_b""",
     "q162_html_strip" ->
       // identical chrome wrap + identical strip semantics (explicit
       // whitespace class, 'g' flag = Spark's replace-all default)
