@@ -819,6 +819,49 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** CCNET-STYLE LM PERPLEXITY QUALITY SCORE (q168) — the canonical
+    * "filter web text by language-model perplexity" pass (CCNet /
+    * GPT-2 WebText): an add-one-smoothed top-V unigram LM scores
+    * every document; low average log-probability marks boilerplate
+    * and gibberish. This is the avg-logp q68 deliberately AVOIDED
+    * (double sums are shuffle-order-dependent) made hash-safe: each
+    * token's log-prob rounds to integer MICRO-NATS in the V-row
+    * vocabulary frame FIRST, so the per-doc aggregation is a LONG
+    * sum — order-independent, bit-identical cross-engine (the q130
+    * scaled-ln discipline). Scale shape: token counts collapse
+    * map-side; the V-row vocab (scored once) broadcasts back over
+    * the token stream; per-doc sums are one partial-agg shuffle. */
+  def lmQualityScore(spark: SparkSession, dir: String,
+      vocabSize: Int = 512): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val vc = Analytics
+      .topKPerGroup(toks.withColumn("__g", lit(0)), "__g", "term",
+        vocabSize, shards = 32)
+    val vstat = vc.agg(count(lit(1)).as("v"))
+    // p(t) = (c_t + 1) / (N + V + 1); p(oov) = 1 / (N + V + 1)
+    val denom = (col("total") + col("v") + lit(1)).cast("double")
+    val vocab = vc.crossJoin(broadcast(total)).crossJoin(broadcast(vstat))
+      .select(col("term"),
+        round(log((col("n") + lit(1)).cast("double") / denom) * 1000000)
+          .cast("long").as("lp"))
+    val oov = total.crossJoin(vstat)
+      .select(round(log(lit(1.0) / denom) * 1000000)
+        .cast("long").as("olp"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("lp").isNull, 1)).as("n_oov"),
+        sum(coalesce(col("lp"), col("olp"))).as("sum_logp_micros"))
+      .withColumn("avg_logp_micros",
+        col("sum_logp_micros").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "n_oov", "sum_logp_micros",
+        "avg_logp_micros")
+      .orderBy("doc_id")
+  }
+
   /** Bigram-LM coverage scoring — q68's unigram vocabulary check
     * upgraded to CONDITIONAL statistics, the perplexity-proxy quality
     * gate (CCNet-style: a doc whose word transitions never occur in
@@ -2793,6 +2836,7 @@ object TrainingData {
     "q161_audio_features" -> audioFeatures,
     "q162_html_strip" -> htmlStrip,
     "q166_fuzzy_pairs" -> fuzzyDupPairs,
+    "q168_lm_quality" -> ((s, d) => lmQualityScore(s, d)),
     "q29_embed_neardup" -> embedNearDup,
     "q30_ann_ivf" -> annIvf,
     "q31_winnow_neardup" -> winnowNearDup,
@@ -3513,6 +3557,32 @@ object TrainingData {
            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
              AS norm
          FROM embeddings ORDER BY vec_id""",
+    "q168_lm_quality" ->
+      // identical top-V vocab (count desc, term asc), identical
+      // add-one smoothing, per-token micro-nat rounding BEFORE the
+      // doc sum (LONG arithmetic from there on)
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS term
+           FROM documents),
+         tot AS (SELECT count(*) AS total FROM toks),
+         vc AS (SELECT term, count(*) AS n FROM toks GROUP BY 1
+                ORDER BY n DESC, term LIMIT 512),
+         vstat AS (SELECT count(*) AS v FROM vc),
+         vocab AS (SELECT term,
+             CAST(round(ln((n + 1.0) / (total + v + 1)) * 1000000)
+               AS BIGINT) AS lp
+           FROM vc, tot, vstat),
+         oov AS (SELECT
+             CAST(round(ln(1.0 / (total + v + 1)) * 1000000)
+               AS BIGINT) AS olp
+           FROM tot, vstat)
+         SELECT doc_id, count(*) AS n_tokens,
+           count(CASE WHEN lp IS NULL THEN 1 END) AS n_oov,
+           CAST(sum(coalesce(lp, olp)) AS BIGINT) AS sum_logp_micros,
+           CAST(sum(coalesce(lp, olp)) AS BIGINT)
+             / CAST(count(*) AS DOUBLE) AS avg_logp_micros
+         FROM toks LEFT JOIN vocab USING (term), oov
+         GROUP BY doc_id ORDER BY doc_id""",
     "q166_fuzzy_pairs" ->
       // identical blocking + identical edit-distance definition
       """WITH k AS (SELECT doc_id, lang,
