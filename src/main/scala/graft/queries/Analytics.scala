@@ -654,6 +654,28 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** NATIVE `session_window` (q169): Spark's built-in gap-session
+    * operator — the DECLARATIVE counterpart to q158's
+    * flatMapGroupsWithState formulation — run in batch mode and
+    * hash-compared to the gaps-and-islands SQL. Pins the built-in's
+    * exact semantics (a session extends while consecutive events are
+    * STRICTLY LESS than `gap` apart — `session_window`'s boundary is
+    * exclusive where q47's `> gap` flag is inclusive, hence the `>=`
+    * in the oracle's flag) at millisecond grain. One shuffle on
+    * (user, session) like any grouped aggregate. */
+  def nativeSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "events")
+      .select(col("user_id"),
+        date_trunc("millisecond", col("ts")).as("ts"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -677,10 +699,33 @@ object Analytics {
     "q160_trend_slope" -> dailyTrendSlope,
     "q164_corpus_diff" -> corpusDiff,
     "q165_kmv_setops" -> ((s, d) => kmvSetOps(s, d)),
-    "q167_typed_udaf" -> typedMicroStats
+    "q167_typed_udaf" -> typedMicroStats,
+    "q169_session_window" -> nativeSessionWindow
   )
 
   val oracles: Map[String, String] = Map(
+    "q169_session_window" ->
+      // session_window's boundary is EXCLUSIVE (an event exactly
+      // `gap` after the last starts a NEW session), so the flag is
+      // >=; window end = last event + gap
+      """WITH e AS (SELECT user_id, event_id,
+             date_trunc('milliseconds', CAST(ts AS TIMESTAMP)) AS ts
+           FROM events),
+         lagd AS (SELECT user_id, event_id, ts,
+             lag(epoch_ms(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM e),
+         flag AS (SELECT *, CASE WHEN prev_ms IS NULL
+             OR epoch_ms(ts) - prev_ms >= 1800000
+             THEN 1 ELSE 0 END AS new_sess FROM lagd),
+         sess AS (SELECT *, sum(new_sess) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+           FROM flag)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q167_typed_udaf" ->
       // the same integer micro-unit summary the custom Aggregator
       // folds (round-half-away-from-zero scaling matches Spark's

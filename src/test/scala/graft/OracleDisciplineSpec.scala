@@ -48,6 +48,7 @@ class OracleDisciplineSpec extends AnyFunSuite {
     // whose outputs are all CAST/count/double (q46/q47 fix pattern).
     "q47_sessionize" -> 1,
     "q158_streaming_sessionize" -> 1, // same sid-only windowed sum
+    "q169_session_window" -> 1, // same sid-only windowed sum
     // len_d CTE feeds TF-IDF / BM25 double scoring only.
     "q59_tfidf_topterms" -> 1,
     "q60_bm25_topterms" -> 1,
