@@ -642,6 +642,32 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** MULTI-DIMENSIONAL Z-ORDER + CONJUNCTIVE SKIPPING under the
+    * oracle (q170 — M2×M12 jointly, where q148 pins one dimension):
+    * orders are Z-ORDERED on (o_orderkey, o_custkey) — the interleaved
+    * curve gives every file a TIGHT [min,max] envelope on BOTH
+    * columns — then `readWhere` plans only the files whose recorded
+    * envelopes intersect BOTH ranges and row-filters the survivors.
+    * The oracle is the plain conjunctive WHERE, so wrong pruning in
+    * either dimension (skipped rows or unfiltered extras)
+    * hash-mismatches. At 100 TB this is the Delta OPTIMIZE ZORDER +
+    * data-skipping contract: scan cost follows the 2-D selectivity,
+    * not table size, for ANY conjunctive range combination —
+    * single-column range clustering can only serve its own column. */
+  def zorderSkippingRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-zskip")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    graft.maintenance.Maintenance.zOrderBy(spark, root,
+      Seq("o_orderkey", "o_custkey"), numPartitions = Some(16))
+    vt.readWhere(Map(
+        "o_orderkey" -> (1000.0, 9000.0),
+        "o_custkey" -> (200.0, 900.0)))
+      .orderBy("o_orderkey")
+  }
+
   /** HIVE-PARTITION PRUNING under the oracle (q149, previously
     * spec-only): orders committed hive-partitioned by a derived
     * bucket column, then `readWherePartitionIn` plans only the
@@ -1291,6 +1317,7 @@ object Relational {
     "q147_incremental_view" -> incrementalViewRollup,
     "q156_incremental_minmax" -> incrementalMinMaxRollup,
     "q163_column_mapping" -> columnMappingRead,
+    "q170_zorder_skipping" -> zorderSkippingRead,
     "q155_overlap_duration" -> overlapDuration,
     "q148_data_skipping" -> dataSkippingRead,
     "q149_partition_pruning" -> partitionPrunedRead,
@@ -1509,6 +1536,11 @@ object Relational {
                WHERE c_custkey % 7 <> 0)
            ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
+    "q170_zorder_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey BETWEEN 1000 AND 9000
+           AND o_custkey BETWEEN 200 AND 900
+         ORDER BY o_orderkey""",
     "q163_column_mapping" ->
       // the mapped table's final state: all orders minus the DV
       // range, price = renamed o_totalprice, status dropped
