@@ -208,8 +208,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
           }
         case _ => (Seq.empty, df.schema)
       }
-      writeManifest(next,
-        VersionManifest(Some(schema), prior ++ added, parts, mapping0))
+      val generatedOut =
+        if (mode == SaveMode.Append)
+          cur.map(_.generated).getOrElse(Seq.empty)
+        else Seq.empty
+      writeManifest(next, VersionManifest(Some(schema), prior ++ added,
+        parts, mapping0, generatedOut))
       appendHistory(next, operation, (prior ++ added).map(_.liveRows).sum)
       pointTo(next)
       next
@@ -279,8 +283,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val schema = snapshotSchema(cur) // physical names, frozen
       val next = curV + 1
       val entries = cur.entries.filter(keep) ++ added
-      writeManifest(next,
-        VersionManifest(Some(schema), entries, parts, cur.mapping))
+      writeManifest(next, VersionManifest(Some(schema), entries,
+        parts, cur.mapping, cur.generated))
       appendHistory(next, operation, entries.map(_.liveRows).sum)
       pointTo(next)
       next
@@ -572,7 +576,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(preds.nonEmpty, "readMatching needs at least one predicate")
     val compiled = preds.map(compilePredicate)
     prunedRead(compiled.map(_._1).reduce(_ && _),
-      (e, partCols) => compiled.forall(_._2(e, partCols)))
+      (e, partCols) => compiled.forall(_._2(e, partCols)), preds)
   }
 
   /** (row-level predicate, file-survives test) for one conjunct. The
@@ -649,12 +653,26 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * `survives` admits, plan the scan over just those, and re-apply the
     * row-level predicate. Zero surviving files still returns a frame
     * with the snapshot schema. */
+  /** The manifest entries a [[readMatching]] with these predicates
+    * would plan — the observable the pruning specs assert on. */
+  private[graft] def matchingEntries(
+      preds: VersionedTable.TablePredicate*): Seq[ManifestEntry] = {
+    val m = readManifest(currentVersion.getOrElse(
+      sys.error(s"table $root does not exist")))
+    val compiled = preds.map(compilePredicate)
+    val gen = generatedSurvives(m, preds)
+    m.entries.filter(e =>
+      compiled.forall(_._2(e, m.partitionBy.toSet)) && gen(e))
+  }
+
   private def prunedRead(pred: org.apache.spark.sql.Column,
-      survives: (ManifestEntry, Set[String]) => Boolean): DataFrame = {
+      survives: (ManifestEntry, Set[String]) => Boolean,
+      preds: Seq[VersionedTable.TablePredicate] = Seq.empty): DataFrame = {
     val v = currentVersion.getOrElse(sys.error(s"table $root does not exist"))
     val m = readManifest(v)
     val partCols = m.partitionBy.toSet
-    val keep = m.entries.filter(survives(_, partCols))
+    val gen = generatedSurvives(m, preds)
+    val keep = m.entries.filter(e => survives(e, partCols) && gen(e))
     if (keep.isEmpty) {
       // every file excluded: an empty frame with the snapshot schema
       return readVersion(v).limit(0).filter(pred)
@@ -687,8 +705,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val entries = cur.entries
         .filterNot(_.partitionValues.get(column).exists(values))
       val next = curV + 1
-      writeManifest(next,
-        VersionManifest(cur.schema, entries, cur.partitionBy, cur.mapping))
+      writeManifest(next, VersionManifest(cur.schema, entries,
+        cur.partitionBy, cur.mapping, cur.generated))
       appendHistory(next,
         s"DELETE $column IN (${values.toSeq.sorted.mkString(",")})",
         entries.map(_.liveRows).sum)
@@ -904,8 +922,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       e.copy(relPath = absPath(e.relPath),
         dvDir = e.dvDir.map(_ => newDvRel.get))
     }
-    dest.writeManifest(0L,
-      VersionManifest(m.schema, entries, m.partitionBy, m.mapping))
+    dest.writeManifest(0L, VersionManifest(m.schema, entries,
+      m.partitionBy, m.mapping, m.generated))
     dest.appendHistory(0L, s"CLONE $root@v$curV",
       entries.map(_.liveRows).sum)
     dest.pointTo(0L)
@@ -979,8 +997,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
         case es => es
       }
       val next = nowV + 1
-      writeManifest(next,
-        VersionManifest(now.schema, entries, now.partitionBy, now.mapping))
+      writeManifest(next, VersionManifest(now.schema, entries,
+        now.partitionBy, now.mapping, now.generated))
       appendHistory(next, opDesc, entries.map(_.liveRows).sum)
       pointTo(next)
       next
@@ -1166,6 +1184,69 @@ final class VersionedTable(spark: SparkSession, root: String) {
       s"no version of $root existed at or before $ts " +
         s"(earliest commit: ${all.lastOption.map(_.timestamp)
           .getOrElse("none")})"))
+  }
+
+  private val dayGenRe = "^day\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
+
+  /** Declare a GENERATED partition column (Delta `GENERATED ALWAYS
+    * AS` pruning semantics) as a manifest-only commit: `partCol`'s
+    * value is `genExpr` of a source column — grammar currently
+    * `day(<tsCol>)`, the UTC calendar day (`yyyy-MM-dd`) of a
+    * timestamp. From then on a `TsRange` predicate on the SOURCE
+    * column prunes the derived partitions directly (the writer
+    * remains responsible for actually computing the column — same
+    * contract as Delta, where the writer path enforces generation).
+    * Appends inherit the declaration like partitioning does. */
+  def recordGenerated(partCol: String, genExpr: String): Long = {
+    val src = genExpr match {
+      case dayGenRe(s) => s
+      case _ => sys.error(
+        s"unsupported generator '$genExpr' (grammar: day(<col>))")
+    }
+    commitWithRebase(rebase = false) { () =>
+      val curV = currentVersion.getOrElse(
+        sys.error(s"table $root does not exist"))
+      val cur = readManifest(curV)
+      require(cur.partitionBy.contains(partCol),
+        s"$partCol is not a partition column of $root " +
+          s"(partitioned by: ${cur.partitionBy.mkString(",")})")
+      require(snapshotSchema(cur).fieldNames.contains(src),
+        s"generator source column $src does not exist at $root")
+      require(!cur.generated.exists(_._1 == partCol),
+        s"$partCol already has a generator at $root")
+      val next = curV + 1
+      writeManifest(next,
+        cur.copy(generated = cur.generated :+ (partCol, genExpr)))
+      appendHistory(next, s"GENERATED $partCol AS $genExpr",
+        cur.entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
+  /** Survive-test derived from the generated-column declarations: a
+    * `TsRange` on a generator's SOURCE column excludes files whose
+    * generated partition DAY lies outside the range's UTC day span.
+    * Files with no partition value for the column are kept
+    * (conservative, like all stats pruning). */
+  private def generatedSurvives(m: VersionManifest,
+      preds: Seq[VersionedTable.TablePredicate])
+      : ManifestEntry => Boolean = {
+    val dayTests: Seq[ManifestEntry => Boolean] = for {
+      (partCol, gen) <- m.generated
+      src <- dayGenRe.findFirstMatchIn(gen).map(_.group(1)).toSeq
+      VersionedTable.TsRange(c, loIso, hiIso) <- preds if c == src
+    } yield {
+      val loDay = java.time.Instant.parse(loIso)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val hiDay = java.time.Instant.parse(hiIso)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      (e: ManifestEntry) => e.partitionValues.get(partCol).forall { v =>
+        scala.util.Try(java.time.LocalDate.parse(v)).toOption.forall(d =>
+          !d.isBefore(loDay) && !d.isAfter(hiDay))
+      }
+    }
+    e => dayTests.forall(_(e))
   }
 
   /** M5: restore — a NEW version whose manifest is a copy of the
@@ -1635,8 +1716,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // header and were rename-published, hence always complete)
     val declared = lines.find(_.startsWith("#entries="))
       .map(_.stripPrefix("#entries=").toInt)
+    val generated = lines.find(_.startsWith("#generated="))
+      .map(_.stripPrefix("#generated=").split(',').toSeq
+        .filter(_.nonEmpty).map { pair =>
+          val i = pair.indexOf('>')
+          require(i > 0, s"malformed #generated pair '$pair' in $root v$v")
+          (pair.substring(0, i), pair.substring(i + 1))
+        }).getOrElse(Seq.empty)
     if (declared.exists(_ != entries.size)) None
-    else Some(VersionManifest(schema, entries, partitionBy, mapping))
+    else Some(VersionManifest(schema, entries, partitionBy, mapping,
+      generated))
   }
 
   /** Commit a manifest: atomic CLAIM of the destination name, then
@@ -1667,6 +1756,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
         s"#partitionBy=${m.partitionBy.mkString(",")}\n" else "") +
       (if (m.mapping.nonEmpty)
         s"#mapping=${m.mapping.map { case (l, p) => s"$l>$p" }
+          .mkString(",")}\n" else "") +
+      (if (m.generated.nonEmpty)
+        s"#generated=${m.generated.map { case (c, g) => s"$c>$g" }
           .mkString(",")}\n" else "")
     val body = header + m.entries.map(ManifestEntry.encodeLine).mkString("\n")
     val dest = manifestPath(v)
@@ -1954,7 +2046,14 @@ object ManifestEntry {
   * physical → logical, writes project back. A physical column absent
   * from the mapping is DROPPED: invisible to reads, null-filled files
   * remain untouched. */
+/** `generated` records GENERATED partition columns (Delta
+  * `GENERATED ALWAYS AS` pruning semantics): (partitionCol,
+  * generatorExpr) pairs, generator grammar currently `day(<srcCol>)`
+  * — the UTC calendar day of a timestamp column. A range predicate
+  * on the SOURCE column then prunes the derived partitions directly
+  * (see `readMatching`). */
 final case class VersionManifest(schema: Option[StructType],
     entries: Seq[ManifestEntry],
     partitionBy: Seq[String] = Seq.empty,
-    mapping: Seq[(String, String)] = Seq.empty)
+    mapping: Seq[(String, String)] = Seq.empty,
+    generated: Seq[(String, String)] = Seq.empty)

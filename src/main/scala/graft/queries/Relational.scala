@@ -668,6 +668,34 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** GENERATED-COLUMN PARTITION PRUNING under the oracle (q171 —
+    * Delta `GENERATED ALWAYS AS` semantics): events land partitioned
+    * by a `day` column the writer derives from `ts`, the table
+    * declares `day = day(ts)` (`recordGenerated`, a manifest-only
+    * commit), and a TIMESTAMP-range read on the SOURCE column then
+    * prunes whole day partitions straight from the manifest — the
+    * user never mentions the partition column. The row-level
+    * predicate stays on top for exactness at the boundary days. The
+    * oracle is the plain `ts BETWEEN`, so pruning a day it shouldn't
+    * (lost rows) or skipping the row filter (extra rows)
+    * hash-mismatches. At 100 TB this is the idiom that makes
+    * "last week's events" a 7-partition scan without the caller
+    * knowing the layout. */
+  def generatedPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-gencol")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day")),
+      partitionBy = Some(Seq("day")))
+    vt.recordGenerated("day", "day(ts)")
+    vt.readWhereTimestamp("ts",
+        "2024-01-10T06:00:00Z", "2024-01-13T18:00:00Z")
+      .select("event_id", "user_id", "event_type", "day")
+      .orderBy("event_id")
+  }
+
   /** HIVE-PARTITION PRUNING under the oracle (q149, previously
     * spec-only): orders committed hive-partitioned by a derived
     * bucket column, then `readWherePartitionIn` plans only the
@@ -1318,6 +1346,7 @@ object Relational {
     "q156_incremental_minmax" -> incrementalMinMaxRollup,
     "q163_column_mapping" -> columnMappingRead,
     "q170_zorder_skipping" -> zorderSkippingRead,
+    "q171_generated_pruning" -> generatedPrunedRead,
     "q155_overlap_duration" -> overlapDuration,
     "q148_data_skipping" -> dataSkippingRead,
     "q149_partition_pruning" -> partitionPrunedRead,
@@ -1536,6 +1565,15 @@ object Relational {
                WHERE c_custkey % 7 <> 0)
            ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
+    "q171_generated_pruning" ->
+      // events.ts is TIMESTAMP(NANOS) — CAST truncates to micros on
+      // both sides; day derives in UTC on both sides
+      """SELECT event_id, user_id, event_type,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+         FROM events
+         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 06:00:00'
+           AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-13 18:00:00'
+         ORDER BY event_id""",
     "q170_zorder_skipping" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderkey BETWEEN 1000 AND 9000
