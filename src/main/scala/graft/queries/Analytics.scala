@@ -528,6 +528,148 @@ object Analytics {
       .orderBy("user_id", "session_start")
   }
 
+  /** TRIANGLE COUNT over the part co-occurrence graph (q175):
+    * degree-ordered orientation — every undirected edge points from
+    * its lower (degree, id) endpoint to the higher — turns the
+    * graph into a DAG where each triangle is closed at EXACTLY ONE
+    * edge (the one between its two smallest vertices), so
+    * Σ_{(u,v)∈E} |N⁺(u) ∩ N⁺(v)| counts each triangle once, no
+    * dedup (Suri & Vassilvitskii WWW'11 node-iterator++, executed
+    * as adjacency-array intersection instead of a wedge self-join —
+    * the Σd⁺² wedge stream never hits a shuffle; only the m edge
+    * rows and the per-node neighbor arrays move). The orientation
+    * is the scale trick: out-degree is bounded by O(√m) however
+    * skewed the raw degrees, so arrays stay small and a web-scale
+    * hub node stops being a quadratic bomb. The (deg, id) order is
+    * encoded as one BIGINT key (deg·2³¹ + id) so both engines
+    * compare identically. All counts exact BIGINTs; output one
+    * summary row (nodes, edges, wedges, triangles). */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val co = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val deg = co.select(col("u").as("n"))
+      .unionAll(co.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val ok = deg.select(col("n"),
+      (col("deg") * lit(2147483648L) + col("n")).as("okey"))
+    val e = co
+      .join(ok.select(col("n").as("u"), col("okey").as("oku")), "u")
+      .join(ok.select(col("n").as("v"), col("okey").as("okv")), "v")
+      .select(
+        when(col("oku") < col("okv"), col("u")).otherwise(col("v"))
+          .as("src"),
+        when(col("oku") < col("okv"), col("v")).otherwise(col("u"))
+          .as("dst"),
+        greatest(col("oku"), col("okv")).as("okdst"))
+      // referenced four times below (the intersection joins + the two
+      // edge stats); without persist the co-occurrence self-join
+      // would re-run per reference. At 100 TB this is a written
+      // table, not a cache.
+      .persist()
+    // adjacency-intersection form: per oriented edge (u,v), triangles
+    // closed at it are |N⁺(u) ∩ N⁺(v)| — the wedge join without ever
+    // materializing the Σd⁺² wedge stream through a shuffle. The
+    // adjacency table is one row per node with its O(√m)-bounded
+    // out-neighbor array.
+    val adj = e.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("nbrs"))
+    val nTri = e.select(col("src"), col("dst"))
+      .join(adj.select(col("src").as("a_u"), col("nbrs").as("nu")),
+        col("src") === col("a_u"))
+      .join(adj.select(col("src").as("a_v"), col("nbrs").as("nv")),
+        col("dst") === col("a_v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+      .agg(sum(col("t")).cast("long").as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nWedges = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+  }
+
+  /** MARKOV TRANSITION MATRIX over per-user event sequences (q174):
+    * each user's events ordered by (ts, event_id), lag gives the
+    * previous event type, and the (prev → next) counts normalize to
+    * an empirical first-order transition matrix — the session-model
+    * input for behavioral simulation / anomaly scoring. All counts
+    * are exact BIGINTs; the probability is ONE IEEE division of two
+    * exact integers (float-discipline rule: ratios divide once at
+    * the end, never accumulate). Scale: one shuffle to co-locate
+    * each user's sequence for the lag window (users are independent
+    * ⇒ perfectly parallel), then the transition pairs collapse
+    * map-side to ≤ |types|² rows. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = trans.groupBy(col("prev_type"))
+      .agg(sum(col("n_transitions")).as("n_from"))
+    trans.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n_transitions"),
+        (col("n_transitions").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** STREAM-STREAM INTERVAL JOIN under the DuckDB oracle (q172):
+    * click→view attribution — every view by the same user within 24 h
+    * of a click — executed as a REAL stream-stream inner join
+    * ([[graft.streaming.Streaming.intervalJoin]]): two file-source
+    * streams (the click stream and the view stream), watermarks on
+    * both event-time columns, and the time-range bound inside the
+    * join condition so Spark's symmetric hash join can size its state
+    * buffers. Inner joins emit each matched pair exactly once as soon
+    * as both rows arrive, so under `Trigger.AvailableNow` the emitted
+    * multiset provably equals the batch join — the property the hash
+    * check pins cross-engine (a row buffered too short, a watermark
+    * mis-applied, a duplicate emission all hash-mismatch). The lag is
+    * an exact integer-microsecond division. At 100 TB this is the
+    * unbounded form: state holds only the 24 h range horizon per
+    * side, evicted as the watermarks advance. */
+  def streamStreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-join").toString
+    ev.write.mode("overwrite").parquet(srcDir)
+    def side(t: String): DataFrame =
+      spark.readStream.schema(ev.schema).parquet(srcDir)
+        .filter(col("event_type") === t)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = side("view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    val joined = graft.streaming.Streaming.intervalJoin(
+      clicks, "click_ts", "0 seconds", views, "view_ts", "0 seconds",
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+    val mem = "q172_stream_join"
+    spark.catalog.dropTempView(mem)
+    val q = joined.writeStream.format("memory").queryName(mem)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(mem)
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        expr("(unix_micros(view_ts) - unix_micros(click_ts)) div 60000000")
+          .as("lag_min"))
+      .orderBy("click_id", "view_id")
+  }
+
   /** PAGERANK over the part co-occurrence graph (q157;
     * `graph.PageRank`): parts appearing in the same order link both
     * ways (the co-purchase graph), then 3 exact integer-arithmetic
@@ -700,10 +842,70 @@ object Analytics {
     "q164_corpus_diff" -> corpusDiff,
     "q165_kmv_setops" -> ((s, d) => kmvSetOps(s, d)),
     "q167_typed_udaf" -> typedMicroStats,
-    "q169_session_window" -> nativeSessionWindow
+    "q169_session_window" -> nativeSessionWindow,
+    "q172_stream_stream_join" -> streamStreamAttribution,
+    "q174_markov_transitions" -> markovTransitions,
+    "q175_triangle_count" -> triangleCount
   )
 
   val oracles: Map[String, String] = Map(
+    "q175_triangle_count" ->
+      // same degree-ordered orientation, encoded as deg*2^31+id so
+      // both engines order identically; all counts exact BIGINTs
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         co AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+         deg AS (SELECT n, count(*) AS deg FROM
+                   (SELECT u AS n FROM co UNION ALL SELECT v FROM co)
+                 GROUP BY 1),
+         ok AS (SELECT n, deg * 2147483648 + n AS okey FROM deg),
+         e AS (SELECT CASE WHEN a.okey < b.okey THEN co.u ELSE co.v END
+                   AS src,
+                 CASE WHEN a.okey < b.okey THEN co.v ELSE co.u END AS dst,
+                 CASE WHEN a.okey < b.okey THEN b.okey ELSE a.okey END
+                   AS okdst
+               FROM co JOIN ok a ON co.u = a.n JOIN ok b ON co.v = b.n)
+         SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM
+             (SELECT src, count(*) AS d FROM e GROUP BY 1)) AS n_wedges,
+           (SELECT count(*) FROM e e1
+              JOIN e e2 ON e1.src = e2.src AND e1.okdst < e2.okdst
+              JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+             AS n_triangles""",
+    "q174_markov_transitions" ->
+      // exact BIGINT pair counts; p = one IEEE division of exact ints
+      """WITH seq AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+           FROM events),
+         t AS (SELECT prev_type, event_type AS next_type,
+                 count(*) AS n_transitions
+               FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT prev_type,
+                   CAST(sum(n_transitions) AS BIGINT) AS n_from
+                 FROM t GROUP BY 1)
+         SELECT t.prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+         FROM t JOIN tot ON t.prev_type = tot.prev_type
+         ORDER BY 1, 2""",
+    "q172_stream_stream_join" ->
+      // the BATCH interval join: the stream-stream emitted multiset
+      // must equal it exactly (lag is exact integer-us division)
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM e WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM e WHERE event_type = 'view')
+         SELECT c.user_id, click_id, view_id,
+           CAST((epoch_us(view_ts) - epoch_us(click_ts)) // 60000000
+             AS BIGINT) AS lag_min
+         FROM c JOIN v ON c.user_id = v.user_id
+           AND view_ts >= click_ts
+           AND view_ts <= click_ts + INTERVAL 24 HOUR
+         ORDER BY click_id, view_id""",
     "q169_session_window" ->
       // session_window's boundary is EXCLUSIVE (an event exactly
       // `gap` after the last starts a NEW session), so the flag is

@@ -1298,6 +1298,46 @@ object Relational {
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy("p_partkey")
 
+  /** BUCKETED CO-LOCATED JOIN (q173): orders and customer written as
+    * bucketed tables on the join key (`bucketBy(8, custkey)` +
+    * `sortBy`), then joined and aggregated BY THE BUCKET KEY — the
+    * layout under which neither the join nor the aggregation
+    * shuffles. The bucketed scan reports hash(custkey) output
+    * partitioning, so sort-merge join consumes both sides in place
+    * and the per-customer aggregate reuses the same partitioning;
+    * the ONLY exchange in the whole plan is the final presentation
+    * sort. At 100 TB this is the canonical fact×fact co-location
+    * story: pay the bucketed write once, and every subsequent
+    * key-aligned join/agg on the table is exchange-free
+    * (BucketedJoinSpec pins the zero-shuffle plan; the oracle pins
+    * the rows). DECIMAL pre-agg keeps money sums engine-exact. */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed")
+      .toString
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("o_totalprice"))
+    val c = load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_customer")
+    o.write.mode("overwrite").format("parquet")
+      .option("path", s"$tmp/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_bucketed_orders")
+    c.write.mode("overwrite").format("parquet")
+      .option("path", s"$tmp/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_bucketed_customer")
+    spark.table("graft_bucketed_orders")
+      .join(spark.table("graft_bucketed_customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).cast("double").as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1347,6 +1387,7 @@ object Relational {
     "q163_column_mapping" -> columnMappingRead,
     "q170_zorder_skipping" -> zorderSkippingRead,
     "q171_generated_pruning" -> generatedPrunedRead,
+    "q173_bucketed_join" -> bucketedJoin,
     "q155_overlap_duration" -> overlapDuration,
     "q148_data_skipping" -> dataSkippingRead,
     "q149_partition_pruning" -> partitionPrunedRead,
@@ -1360,6 +1401,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_bucketed_join" ->
+      // plain join+group: bucketing changes the PLAN (zero
+      // exchanges), never the rows
+      """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+             AS DOUBLE) AS total_spend
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY 1""",
     "q01_daily_kpis" ->
       """SELECT CAST(o_orderdate AS DATE) AS order_date,
          count(*) AS n_orders,

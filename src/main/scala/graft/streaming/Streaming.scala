@@ -185,6 +185,23 @@ object Streaming {
         s"$marker$batchId")
   }
 
+  /** STREAM-STREAM inner join with bounded state: both sides carry an
+    * event-time watermark, and `cond` must include a time-range bound
+    * between the two event-time columns (e.g. `right.ts BETWEEN
+    * left.ts AND left.ts + INTERVAL x`) so Spark can derive how long
+    * each side's rows must be buffered. State is then
+    * O(rows inside the watermark+range horizon) per side, not the
+    * whole stream — the only shape under which an unbounded
+    * stream-stream join is runnable at all. Inner joins emit each
+    * matched pair exactly once, as soon as both rows are present, so
+    * with `Trigger.AvailableNow` the emitted set equals the batch
+    * join — which is exactly what q172 hash-pins cross-engine. */
+  def intervalJoin(left: DataFrame, leftTsCol: String, leftDelay: String,
+      right: DataFrame, rightTsCol: String, rightDelay: String,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTsCol, leftDelay)
+      .join(right.withWatermark(rightTsCol, rightDelay), cond)
+
   // ------------------------------------------------------------ sessions
 
   final case class SessionEvent(key: String, ts: java.sql.Timestamp)

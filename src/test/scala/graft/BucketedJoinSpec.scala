@@ -40,4 +40,33 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_dims")
     }
   }
+
+  test("aggregation on the bucket key reuses the bucketed partitioning") {
+    // the q173 claim: join on the bucket key THEN groupBy it — the agg
+    // inherits hash(key) from the scan, so the whole join+agg plan has
+    // ZERO exchanges (HashPartitioning(key) satisfies the clustered
+    // distribution of any grouping that includes key)
+    val facts = (1L to 500L).map(i => (i % 50, i, i * 2.0))
+      .toDF("key", "id", "amount")
+    val dims = (0L until 50L).map(i => (i, s"seg${i % 3}"))
+      .toDF("key", "segment")
+    TableIO.writeBucketed(facts, "b2_facts", "key", 4)
+    TableIO.writeBucketed(dims, "b2_dims", "key", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val agg = spark.table("b2_facts")
+        .join(spark.table("b2_dims"), "key")
+        .groupBy("key", "segment")
+        .agg(sum("amount").as("total"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-key join+agg must be exchange-free:\n$plan")
+      assert(agg.count() === 50)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b2_facts")
+      spark.sql("DROP TABLE IF EXISTS b2_dims")
+    }
+  }
 }
