@@ -56,12 +56,13 @@ object IncrementalAgg {
     * a null-safe match guarantees both sides hold the same value. */
   def update(prior: DataFrame, changes: DataFrame, keys: Seq[String],
       sums: Seq[String]): DataFrame = {
-    // Same tag-domain contract as IncrementalJoin.signOf: only
-    // VersionedTable.changes feeds (insert/delete) are supported, and
-    // an unrecognized tag raises rather than silently zeroing — a
-    // CDF-style update_preimage/postimage row would corrupt the view.
-    val sign = when(col("_change_type") === "insert", lit(1))
-      .when(col("_change_type") === "delete", lit(-1))
+    // Same tag-domain contract as IncrementalJoin.signOf: the full
+    // CDF set folds naturally — update_preimage is a signed delete,
+    // update_postimage a signed insert — and an unrecognized tag
+    // raises rather than silently zeroing the row.
+    val sign =
+      when(col("_change_type").isin("insert", "update_postimage"), lit(1))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1))
       .otherwise(raise_error(concat(
         lit("IncrementalAgg: unsupported _change_type '"),
         col("_change_type"), lit("'"))))

@@ -34,18 +34,19 @@ object IncrementalJoin {
   /** Sign column the delta rows carry. */
   val SignCol = "_sign"
 
-  // Only VersionedTable.changes feeds are supported: the tag domain is
-  // exactly {insert, delete} (an UPDATE arrives as delete+insert). A
-  // Delta-CDF-style update_preimage/update_postimage row would
-  // otherwise be silently dropped and corrupt the maintained view, so
-  // an unrecognized tag RAISES at evaluation time instead.
+  // The tag domain is the full CDF set: {insert, delete} from
+  // VersionedTable.changes, plus {update_preimage, update_postimage}
+  // from changesWithUpdates — an update is exactly a signed
+  // (−preimage, +postimage) pair, so it folds with no special case.
+  // An unrecognized tag RAISES at evaluation time instead of being
+  // silently dropped (which would corrupt the maintained view).
   private def signOf: Column =
-    when(col("_change_type") === "insert", lit(1))
-      .when(col("_change_type") === "delete", lit(-1))
+    when(col("_change_type").isin("insert", "update_postimage"), lit(1))
+      .when(col("_change_type").isin("delete", "update_preimage"), lit(-1))
       .otherwise(raise_error(concat(
         lit("IncrementalJoin: unsupported _change_type '"),
         col("_change_type"),
-        lit("' — only VersionedTable.changes feeds (insert/delete) " +
+        lit("' — insert/delete/update_preimage/update_postimage " +
           "are supported"))))
 
   /** The signed join delta `ΔA ⋈ B_old ⊕ A_new ⋈ ΔB`. `changesA` /

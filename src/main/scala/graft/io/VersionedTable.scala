@@ -146,6 +146,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(parts.forall(df.columns.contains),
       s"partition columns ${parts.mkString(",")} must exist in the frame " +
         s"written to $root (has: ${df.columns.mkString(",")})")
+    require(!df.columns.contains(RowIdPhysCol),
+      s"$RowIdPhysCol is reserved for row tracking; rewrites that carry " +
+        s"it go through replaceWhere, not write, at $root")
     // fail the cheap checks BEFORE paying for the data write
     val mapping0: Seq[(String, String)] =
       if (mode == SaveMode.Append) cur0.map(_.mapping).getOrElse(Seq.empty)
@@ -166,6 +169,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // are never deleted here). Non-append writes pre-check the manifest
     // too: same error the commit arbiter raises, caught before the
     // data write (an append doesn't bother — it would rebase anyway).
+    enforceConstraints(df, cur0.map(_.constraints).getOrElse(Seq.empty))
     val dir = newCommitDir(next0)
     if (mode != SaveMode.Append && manifestCommitted(next0))
       throw VersionConflictException(
@@ -212,8 +216,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
         if (mode == SaveMode.Append)
           cur.map(_.generated).getOrElse(Seq.empty)
         else Seq.empty
-      writeManifest(next, VersionManifest(Some(schema), prior ++ added,
-        parts, mapping0, generatedOut))
+      // row tracking: fresh files take fresh contiguous id ranges off
+      // the high-water mark (which only ever grows — an Overwrite drops
+      // rows but never recycles their ids)
+      val (added2, hw2) = assignRowIds(cur.flatMap(_.rowIdHw), added)
+      writeManifest(next, VersionManifest(Some(schema), prior ++ added2,
+        parts, mapping0, generatedOut,
+        cur.map(_.constraints).getOrElse(Seq.empty), hw2))
       appendHistory(next, operation, (prior ++ added).map(_.liveRows).sum)
       pointTo(next)
       next
@@ -240,7 +249,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(parts.forall(df.columns.contains),
       s"partition columns ${parts.mkString(",")} must exist in the frame " +
         s"written to $root")
-    reconcileAppendSchema(df, logicalSchema(base), allowEvolution = false)
+    // the internal materialized-row-id column rides along on tracked
+    // rewrites; it is never part of the table schema
+    reconcileAppendSchema(df.drop(RowIdPhysCol), logicalSchema(base),
+      allowEvolution = false)
+    enforceConstraints(df, base.constraints)
     val dir = newCommitDir(currentVersion.get + 1)
     writeCommitData(delogicalize(base.mapping, df), parts, dir)
     val added = listCommitFiles(dir)
@@ -279,12 +292,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
       require(cur.mapping == base.mapping,
         s"concurrent column rename/drop at $root while a replaceWhere " +
           "was in flight; re-run against the new schema")
-      reconcileAppendSchema(df, logicalSchema(cur), allowEvolution = false)
+      reconcileAppendSchema(df.drop(RowIdPhysCol), logicalSchema(cur),
+        allowEvolution = false)
       val schema = snapshotSchema(cur) // physical names, frozen
       val next = curV + 1
-      val entries = cur.entries.filter(keep) ++ added
+      val (added2, hw2) = assignRowIds(cur.rowIdHw, added)
+      val entries = cur.entries.filter(keep) ++ added2
       writeManifest(next, VersionManifest(Some(schema), entries,
-        parts, cur.mapping, cur.generated))
+        parts, cur.mapping, cur.generated, cur.constraints, hw2))
       appendHistory(next, operation, entries.map(_.liveRows).sum)
       pointTo(next)
       next
@@ -378,6 +393,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * them — so a fixed-length strip recovers the manifest-relative
     * path without any URI-encoding pitfalls. */
   private def rootPrefixLen: Int = fs.makeQualified(rootPath).toString.length
+
+  /** Physical name of the materialized row-id column tracked rewrites
+    * carry INSIDE their data files. Never part of the snapshot schema;
+    * normal reads never request it. */
+  private[graft] val RowIdPhysCol = "__graft_rid"
+
+  /** Logical name of the stable row id [[readWithRowIds]] surfaces. */
+  val RowIdCol = "_row_id"
 
   /** A file path as a DV-sidecar key: table-relative when the file
     * lives under this table's root, the FULL qualified path otherwise
@@ -705,8 +728,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val entries = cur.entries
         .filterNot(_.partitionValues.get(column).exists(values))
       val next = curV + 1
-      writeManifest(next, VersionManifest(cur.schema, entries,
-        cur.partitionBy, cur.mapping, cur.generated))
+      writeManifest(next, cur.copy(entries = entries))
       appendHistory(next,
         s"DELETE $column IN (${values.toSeq.sorted.mkString(",")})",
         entries.map(_.liveRows).sum)
@@ -731,8 +753,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val mayMatch = rangeMayMatch(m.partitionBy.toSet, column, lo, hi) _
     val candidates = m.entries.filter(mayMatch)
     if (candidates.isEmpty) return curV // provably nothing to delete
-    val survivors = readFiles(m, candidates)
-      .filter(!(col(column) >= lo && col(column) <= hi))
+    // tracked tables rewrite WITH each survivor's materialized row id
+    val src = if (m.rowIdHw.isDefined)
+      logicalize(m, readFilesPhysicalRid(m, candidates))
+    else readFiles(m, candidates)
+    val survivors = src.filter(!(col(column) >= lo && col(column) <= hi))
     replaceWhere(survivors, e => !mayMatch(e),
       s"DELETE $column IN [$lo,$hi]", basisVersion = Some(curV))
   }
@@ -763,14 +788,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val candidates = m.entries.filter(mayMatch)
     if (candidates.isEmpty) return curV // provably nothing to update
     val matches = col(column) >= lo && col(column) <= hi
-    val rewritten = readFiles(m, candidates).select(schema.fields.toSeq.map { f =>
+    val tracked = m.rowIdHw.isDefined
+    val src = if (tracked) logicalize(m, readFilesPhysicalRid(m, candidates))
+              else readFiles(m, candidates)
+    val outCols = schema.fields.toSeq.map { f =>
       set.get(f.name) match {
         case Some(expr) =>
           when(matches, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
       }
-    }: _*)
-    replaceWhere(rewritten, e => !mayMatch(e),
+    // an updated row KEEPS its row id — that is what lets the change
+    // feed call it an update instead of a delete+insert
+    } ++ (if (tracked) Seq(col(RowIdPhysCol)) else Seq.empty)
+    replaceWhere(src.select(outCols: _*), e => !mayMatch(e),
       s"UPDATE $column IN [$lo,$hi]", basisVersion = Some(curV))
   }
 
@@ -922,8 +952,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       e.copy(relPath = absPath(e.relPath),
         dvDir = e.dvDir.map(_ => newDvRel.get))
     }
-    dest.writeManifest(0L, VersionManifest(m.schema, entries,
-      m.partitionBy, m.mapping, m.generated))
+    dest.writeManifest(0L, m.copy(entries = entries))
     dest.appendHistory(0L, s"CLONE $root@v$curV",
       entries.map(_.liveRows).sum)
     dest.pointTo(0L)
@@ -997,8 +1026,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         case es => es
       }
       val next = nowV + 1
-      writeManifest(next, VersionManifest(now.schema, entries,
-        now.partitionBy, now.mapping, now.generated))
+      writeManifest(next, now.copy(entries = entries))
       appendHistory(next, opDesc, entries.map(_.liveRows).sum)
       pointTo(next)
       next
@@ -1026,11 +1054,270 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * files untouched until [[vacuum]] reclaims them. Returns the new
     * version. */
   def compact(targetFileMB: Int = 128): Long = {
-    val entries = readManifest(currentVersion.getOrElse(
-      sys.error(s"table $root does not exist"))).entries
-    val n = math.max(1L, entries.map(_.bytes).sum /
+    val m = readManifest(currentVersion.getOrElse(
+      sys.error(s"table $root does not exist")))
+    val n = math.max(1L, m.entries.map(_.bytes).sum /
       (targetFileMB.toLong * 1024 * 1024)).toInt
-    write(read().repartition(n), SaveMode.Overwrite, "OPTIMIZE")
+    if (m.rowIdHw.isDefined)
+      // tracked: rewrite through replaceWhere (schema stays frozen)
+      // with ids materialized, so OPTIMIZE preserves row identity and
+      // the change feed sees a no-op
+      replaceWhere(readWithRowIds()
+          .withColumnRenamed(RowIdCol, RowIdPhysCol).repartition(n),
+        _ => false, "OPTIMIZE")
+    else write(read().repartition(n), SaveMode.Overwrite, "OPTIMIZE")
+  }
+
+  /** REORG … PURGE (Delta `REORG TABLE … APPLY (PURGE)`): physically
+    * drop soft-deleted rows by rewriting ONLY the DV-masked files —
+    * every plain file keeps its manifest entry (and its bloom/stats
+    * usefulness) untouched. [[compact]] rewrites the whole table;
+    * purge touches exactly the files that carry a mask, so on a
+    * 100 TB table where a GDPR pass masked 0.1% of files, purge
+    * rewrites that 0.1% and nothing else. After the commit the
+    * current manifest references no DV sidecar, so [[vacuum]] can
+    * reclaim the sidecars once prior versions age out; prior
+    * versions still read the masked view (snapshot isolation).
+    * Commits with `rebase = false`: a concurrent rewrite/re-mask of
+    * a candidate file must surface, not be replayed over.
+    * Returns the current version unchanged when no file is masked. */
+  def reorgPurge(): Long = {
+    val curV0 = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m0 = readManifest(curV0)
+    val masked = m0.entries.filter(_.dvDir.isDefined)
+    if (masked.isEmpty) return curV0
+    val maskedKey = masked.map(e => (e.relPath, e.dvDir, e.dvRows)).toSet
+    val maskedPaths = masked.map(_.relPath).toSet
+    // one distributed pass: masked files with their DVs applied, in
+    // PHYSICAL column names (writeCommitData's contract); tracked
+    // tables carry each survivor's row id into the rewritten files
+    val survivors =
+      if (m0.rowIdHw.isDefined) readFilesPhysicalRid(m0, masked)
+      else readFilesPhysical(m0, masked, isStreaming = false,
+        withRowMeta = false)
+    val dir = newCommitDir(curV0 + 1)
+    writeCommitData(survivors, m0.partitionBy, dir)
+    val added = listCommitFiles(dir)
+    commitWithRebase(rebase = false) { () =>
+      val curV = currentVersion.get
+      val cur = readManifest(curV)
+      val nowMasked = cur.entries
+        .filter(e => maskedPaths.contains(e.relPath))
+        .map(e => (e.relPath, e.dvDir, e.dvRows)).toSet
+      if (nowMasked != maskedKey) sys.error(
+        s"concurrent write conflict at $root: a file this purge " +
+          "rewrites was rewritten or re-masked mid-flight; re-run " +
+          "against the new snapshot")
+      val next = curV + 1
+      val (added2, hw2) = assignRowIds(cur.rowIdHw, added)
+      val entries =
+        cur.entries.filterNot(e => maskedPaths.contains(e.relPath)) ++ added2
+      writeManifest(next, VersionManifest(Some(snapshotSchema(cur)),
+        entries, cur.partitionBy, cur.mapping, cur.generated,
+        cur.constraints, hw2))
+      appendHistory(next, "REORG PURGE", entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
+  // ------------------------------------------------------- row tracking
+
+  /** One contiguous id range per new file, carved off the manifest's
+    * high-water mark (None = tracking not enabled — entries pass
+    * through untouched). Ranges cover PHYSICAL rows, so a file's ids
+    * are `base + row_index` with zero per-row bookkeeping; masked rows
+    * keep ids that simply never surface. The mark only ever grows. */
+  private def assignRowIds(hw: Option[Long], added: Seq[ManifestEntry])
+      : (Seq[ManifestEntry], Option[Long]) = hw match {
+    case None => (added, None)
+    case Some(h0) =>
+      var h = h0
+      val out = added.map { e =>
+        val b = h; h += e.rows; e.copy(baseRowId = Some(b))
+      }
+      (out, Some(h))
+  }
+
+  def rowTrackingEnabled: Boolean =
+    currentVersion.exists(readManifest(_).rowIdHw.isDefined)
+
+  /** ROW TRACKING (Delta's row tracking feature): give every row a
+    * STABLE `_row_id` that survives file rewrites — the identity that
+    * lets a change feed say "this row was UPDATED" instead of the
+    * delete+insert pair value-diffing degrades to. Enabling is a
+    * metadata-only commit: each existing file takes a contiguous id
+    * range (`baseRowId`, in manifest order), so a row's id is
+    * `base + row_index` — O(files) manifest bytes, not O(rows)
+    * anywhere. From then on every commit assigns fresh ranges off the
+    * persisted high-water mark (`#rowIdHw=` header), and REWRITES
+    * (UPDATE / DELETE-rewrite / OPTIMIZE / REORG PURGE) carry each
+    * surviving row's id through as a materialized `__graft_rid`
+    * column INSIDE the rewritten files — invisible to normal reads
+    * (the snapshot schema never contains it), read back by
+    * [[readWithRowIds]] via `coalesce(materialized, base + index)`,
+    * which also makes MERGE-style mixed frames work for free: carried
+    * rows keep their ids, genuinely new rows read null and fall back
+    * to the fresh range. Idempotent. */
+  def enableRowTracking(): Long = commitWithRebase(rebase = false) { () =>
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val cur = readManifest(curV)
+    if (cur.rowIdHw.isDefined) curV
+    else {
+      require(!snapshotSchema(cur).fieldNames.contains(RowIdPhysCol),
+        s"$root has a data column named $RowIdPhysCol — the name is " +
+          "reserved for row tracking")
+      var h = 0L
+      val entries = cur.entries.map { e =>
+        val b = h; h += e.rows; e.copy(baseRowId = Some(b))
+      }
+      val next = curV + 1
+      writeManifest(next, cur.copy(entries = entries, rowIdHw = Some(h)))
+      appendHistory(next, "ENABLE ROW TRACKING",
+        entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
+  /** Current snapshot with its stable row ids as a `_row_id` column. */
+  def readWithRowIds(): DataFrame = readVersionWithRowIds(
+    currentVersion.getOrElse(sys.error(s"table $root does not exist")))
+
+  def readVersionWithRowIds(v: Long): DataFrame = {
+    require(manifestCommitted(v), s"version $v does not exist at $root")
+    val m = readManifest(v)
+    require(m.rowIdHw.isDefined,
+      s"row tracking is not enabled at $root (call enableRowTracking)")
+    require(m.entries.nonEmpty, s"version $v of $root has an empty manifest")
+    logicalize(m, readFilesPhysicalRid(m, m.entries))
+      .withColumnRenamed(RowIdPhysCol, RowIdCol)
+  }
+
+  /** [[readFilesPhysical]] plus the row id (still under its PHYSICAL
+    * name): scan with the snapshot schema EXTENDED by the nullable
+    * materialized-id column (files without it — plain appends — read
+    * null), resolve `coalesce(materialized, base + row_index)` with
+    * the per-file bases broadcast from the manifest, and apply DV
+    * masks exactly as the plain read does. */
+  private def readFilesPhysicalRid(m: VersionManifest,
+      entries: Seq[ManifestEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+    def finish(df: DataFrame, es: Seq[ManifestEntry]): DataFrame = {
+      import spark.implicits._
+      val bases = es.map(e => (e.relPath, e.baseRowId.getOrElse(
+        sys.error(s"row tracking: ${e.relPath} of $root has no base row " +
+          "id — was the file committed before enableRowTracking?"))))
+        .toDF("__rid_file", "__rid_base")
+      val fileRel = fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
+      df.join(broadcast(bases), fileRel === col("__rid_file"), "left")
+        .withColumn(RowIdPhysCol, coalesce(col(RowIdPhysCol),
+          col("__rid_base") + col(graftbridge.ManifestScan.RowIndexCol)))
+        .drop("__rid_file", "__rid_base",
+          graftbridge.ManifestScan.FilePathCol,
+          graftbridge.ManifestScan.RowIndexCol)
+    }
+    val (masked, plain) = entries.partition(_.dvDir.isDefined)
+    val plainDf =
+      if (plain.isEmpty) None else Some(finish(rawScanRid(m, plain), plain))
+    val maskedDf = if (masked.isEmpty) None else {
+      val dv = readDvRows(masked.flatMap(_.dvDir).distinct)
+      val mdf = rawScanRid(m, masked)
+      val fileRel = fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
+      val alive = mdf.join(dv,
+        fileRel === dv("file_rel") &&
+          col(graftbridge.ManifestScan.RowIndexCol) === dv("pos"),
+        "left_anti")
+      Some(finish(alive, masked))
+    }
+    (plainDf, maskedDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case _ => sys.error(s"rid read over zero entries at $root")
+    }
+  }
+
+  /** [[rawScan]] under the rid-extended schema, always with row meta. */
+  private def rawScanRid(m: VersionManifest,
+      entries: Seq[ManifestEntry]): DataFrame = {
+    val qualifiedRoot = fs.makeQualified(rootPath)
+    val files = entries.map(e => graftbridge.ManifestFile(
+      new Path(qualifiedRoot, e.relPath).toString, e.bytes,
+      e.partitionValues))
+    val ext = StructType(snapshotSchema(m).fields :+
+      org.apache.spark.sql.types.StructField(RowIdPhysCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    graftbridge.ManifestScan.parquetTable(spark, qualifiedRoot, ext,
+      m.partitionBy, files, isStreaming = false, rowMeta = true)
+  }
+
+  /** Change feed WITH UPDATE IMAGES (Delta CDF `update_preimage` /
+    * `update_postimage`): row tracking pairs each from-row with its
+    * to-row by `_row_id`, so a rewritten row surfaces as an update,
+    * a row only in `fromV` as a delete, only in `toV` as an insert —
+    * and a row that merely MOVED files (compaction, purge) with
+    * identical values produces NOTHING, which the value-diffing
+    * [[changes]] cannot promise. Reads ONLY the delta file sets (files
+    * added/removed/re-masked between the versions), so cost is
+    * O(changed files) whatever the table size. Output: `toV`'s logical
+    * columns + `_row_id` + `_change_type`; updates emit both images
+    * under the same id. */
+  def changesWithUpdates(fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{array, coalesce, col, explode,
+      lit, struct, when}
+    val fromM = readManifest(fromV)
+    val toM = readManifest(toV)
+    require(fromM.rowIdHw.isDefined && toM.rowIdHw.isDefined,
+      s"changesWithUpdates needs row tracking enabled at both ends of " +
+        s"$root v$fromV..v$toV")
+    val fromByPath = fromM.entries.map(e => e.relPath -> e).toMap
+    val toByPath = toM.entries.map(e => e.relPath -> e).toMap
+    def dvChanged(a: ManifestEntry, b: ManifestEntry) =
+      a.dvDir != b.dvDir || a.dvRows != b.dvRows
+    // a surviving file whose DV changed joins on BOTH sides: its
+    // untouched rows pair up value-equal and vanish, its newly masked
+    // rows surface as deletes (resurrected ones as inserts)
+    val fromDelta = fromM.entries.filter(e => toByPath.get(e.relPath)
+      .forall(t => dvChanged(e, t)))
+    val toDelta = toM.entries.filter(e => fromByPath.get(e.relPath)
+      .forall(f => dvChanged(e, f)))
+    val target = logicalSchema(toM)
+    def aligned(m: VersionManifest, es: Seq[ManifestEntry]): DataFrame = {
+      val base =
+        if (es.nonEmpty)
+          logicalize(m, readFilesPhysicalRid(m, es))
+            .withColumnRenamed(RowIdPhysCol, RowIdCol)
+        else readVersionWithRowIds(toV).limit(0)
+      base.select((target.fields.toSeq.map { f =>
+        (if (base.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)
+      } :+ col(RowIdCol)): _*)
+    }
+    val valCols = target.fields.toSeq.map(f => col(f.name))
+    val pre = aligned(fromM, fromDelta)
+      .select(col(RowIdCol).as("__rid_l"), struct(valCols: _*).as("_pre"))
+    val post = aligned(toM, toDelta)
+      .select(col(RowIdCol).as("__rid_r"), struct(valCols: _*).as("_post"))
+    pre.join(post, col("__rid_l") === col("__rid_r"), "full_outer")
+      // rows that only changed address (compaction/purge) are NOT
+      // changes; insert/delete rows have one side null, so <=> is false
+      .filter(!(col("_pre") <=> col("_post")))
+      .select(coalesce(col("__rid_l"), col("__rid_r")).as(RowIdCol),
+        explode(
+          when(col("__rid_l").isNull,
+            array(struct(col("_post").as("v"), lit("insert").as("t"))))
+          .when(col("__rid_r").isNull,
+            array(struct(col("_pre").as("v"), lit("delete").as("t"))))
+          .otherwise(array(
+            struct(col("_pre").as("v"), lit("update_preimage").as("t")),
+            struct(col("_post").as("v"), lit("update_postimage").as("t")))))
+          .as("_e"))
+      .select((Seq(col(RowIdCol)) ++
+        target.fields.toSeq.map(f => col(s"_e.v.${f.name}").as(f.name)) :+
+        col("_e.t").as("_change_type")): _*)
   }
 
   /** Change feed between two versions (Delta CDF substitute): rows
@@ -1252,11 +1539,201 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** M5: restore — a NEW version whose manifest is a copy of the
     * target's (Delta RESTORE semantics). No data is copied or moved;
     * version numbers are never reused. */
+  // ------------------------------------------------------------ bloom index
+
+  private def bloomDirFor(v: Long, column: String) =
+    new Path(root, s"_bloom/v$v/$column")
+
+  /** PER-FILE BLOOM-FILTER INDEX (Delta's bloom filter index): one
+    * bloom per data file over `column`, for POINT-LOOKUP file
+    * skipping where min/max stats are useless — a hash-distributed
+    * key column spans the whole domain in every file, so range stats
+    * prune nothing, but a bloom answers "this file definitely does
+    * not contain key k" per file. Built in ONE distributed pass:
+    * scan with file provenance, `xxhash64` the column (fixed 8-byte
+    * items whatever the type), one shuffle grouping by file, one
+    * bloom per file sized from the manifest's exact per-file row
+    * count. The sidecar (`_bloom/v<version>/<column>/`) is
+    * O(files × bits) — ~1 MB per 1M-row file at 3% fpp.
+    *
+    * Correctness is one-sided by construction: a bloom may claim a
+    * key it doesn't hold (file read for nothing) but never misses
+    * one it does, files written AFTER the index build have no bloom
+    * and are always read, and compaction/UPDATE rewrites change
+    * relPaths so rewritten files also degrade to "always read" —
+    * rebuild the index after maintenance to restore skipping. DV
+    * masks don't shrink blooms (deleted keys stay as false
+    * positives — reads stay correct, the row predicate still
+    * applies). */
+  def buildBloomIndex(column: String, fpp: Double = 0.03): Unit = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val phys = mappingOrIdentity(m).find(_._1 == column).map(_._2)
+      .getOrElse(sys.error(s"no column $column at $root"))
+    val rowsByFile = m.entries.map(e => e.relPath -> e.rows).toMap
+    val scan = rawScan(m, m.entries, isStreaming = false,
+      withRowMeta = true)
+    import spark.implicits._
+    val pairs = scan.select(
+        fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
+          .as("file_rel"),
+        xxhash64(col(phys)).as("h"))
+      .as[(String, Long)]
+    val blooms = pairs.groupByKey(_._1).mapGroups { (file, it) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(1L, rowsByFile.getOrElse(file, 1L)), fpp)
+      it.foreach(t => bf.putLong(t._2))
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      (file, bos.toByteArray)
+    }.toDF("file_rel", "bloom")
+    blooms.write.mode(SaveMode.Overwrite)
+      .parquet(bloomDirFor(curV, column).toString)
+  }
+
+  /** Newest version ≤ current with a bloom sidecar for `column`. */
+  private def bloomVersionFor(column: String): Option[Long] = {
+    val dir = new Path(root, "_bloom")
+    if (!fs.exists(dir)) return None
+    val cur = currentVersion.getOrElse(return None)
+    val vRe = """^v(\d+)$""".r
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case vRe(v) if v.toLong <= cur &&
+        fs.exists(bloomDirFor(v.toLong, column)) => v.toLong
+    }.sorted.lastOption
+  }
+
+  /** The manifest entries a `column IN (values)` read must open,
+    * after bloom skipping: indexed files whose bloom matches any
+    * probe, plus every file without a bloom (post-index writes,
+    * maintenance rewrites). Exposed for the skip-count spec. */
+  private[graft] def bloomPlannedEntries(column: String,
+      values: Seq[Any]): Seq[ManifestEntry] = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    bloomVersionFor(column) match {
+      case None => m.entries
+      case Some(bv) =>
+        val dt = logicalSchema(m)(column).dataType
+        // probe hashes computed by the SAME Spark kernel that built
+        // the index (xxhash64 is type-sensitive — cast to the column
+        // type first)
+        val hashes = values.map(v => spark.range(1)
+          .select(xxhash64(lit(v).cast(dt))).head().getLong(0))
+        val blooms = spark.read.parquet(bloomDirFor(bv, column).toString)
+          .collect().map(r => r.getString(0) ->
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+          .toMap
+        m.entries.filter { e =>
+          blooms.get(e.relPath)
+            .forall(bf => hashes.exists(bf.mightContainLong))
+        }
+    }
+  }
+
+  /** Point-lookup read: `column IN (values)` planned through the
+    * bloom index when one exists (falling back to a plain filtered
+    * read when none does). The row predicate always applies on top,
+    * so bloom false positives cost I/O, never wrong rows. */
+  def readWhereKeyIn(column: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val kept = bloomPlannedEntries(column, values)
+    val pred = col(column).isin(values: _*)
+    if (kept.isEmpty) readFiles(m, m.entries).filter(pred).limit(0)
+    else readFiles(m, kept).filter(pred)
+  }
+
+  /** CHECK CONSTRAINTS (Delta `ALTER TABLE … ADD CONSTRAINT`): a named
+    * SQL predicate recorded in the manifest (`#constraints=` header)
+    * and enforced at BOTH choke points every data-adding path funnels
+    * through ([[write]] and [[replaceWhere]] — so appends, MERGE,
+    * UPDATE rewrites, and compaction are all covered): a frame with
+    * any row where the predicate evaluates to FALSE is rejected
+    * before a byte of data is written. SQL CHECK semantics: NULL
+    * passes (write `x IS NOT NULL` for NOT NULL enforcement). Adding
+    * a constraint validates EXISTING rows first (one scan), exactly
+    * like Delta; the commit itself is metadata-only. Enforcement cost
+    * per write is one extra pass over the INCOMING frame only —
+    * all constraints folded into a single aggregate. */
+  def addCheckConstraint(name: String, sqlExpr: String): Long = {
+    require(identRe.matches(name),
+      s"constraint name '$name' must be a plain identifier")
+    // parse errors surface at add time, not at the first write
+    org.apache.spark.sql.functions.expr(sqlExpr)
+    commitWithRebase(rebase = false) { () =>
+      val curV = currentVersion.getOrElse(
+        sys.error(s"table $root does not exist"))
+      val cur = readManifest(curV)
+      require(!cur.constraints.exists(_._1 == name),
+        s"constraint $name already exists at $root")
+      enforceConstraints(read(), Seq(name -> sqlExpr))
+      val next = curV + 1
+      writeManifest(next,
+        cur.copy(constraints = cur.constraints :+ (name, sqlExpr)))
+      appendHistory(next, s"ADD CONSTRAINT $name",
+        cur.entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
+  def dropCheckConstraint(name: String): Long =
+    commitWithRebase(rebase = false) { () =>
+      val curV = currentVersion.getOrElse(
+        sys.error(s"table $root does not exist"))
+      val cur = readManifest(curV)
+      require(cur.constraints.exists(_._1 == name),
+        s"no constraint $name at $root " +
+          s"(has: ${cur.constraints.map(_._1).mkString(",")})")
+      val next = curV + 1
+      writeManifest(next,
+        cur.copy(constraints = cur.constraints.filterNot(_._1 == name)))
+      appendHistory(next, s"DROP CONSTRAINT $name",
+        cur.entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+
+  /** Active (name, SQL predicate) constraints at the current version. */
+  def checkConstraints: Seq[(String, String)] =
+    currentVersion.map(readManifest(_).constraints).getOrElse(Seq.empty)
+
+  /** One aggregate pass counting violations of ALL constraints over
+    * `df`; throws [[ConstraintViolationException]] naming the first
+    * violated constraint. NULL predicate results pass (SQL CHECK). */
+  private def enforceConstraints(df: DataFrame,
+      cs: Seq[(String, String)]): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val aggs = cs.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(coalesce(expr(e), lit(true)), 0L).otherwise(1L)).as(s"c$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0L) throw ConstraintViolationException(
+        s"CHECK constraint $n ($e) violated by $bad row(s) written to " +
+          root)
+    }
+  }
+
   def restore(v: Long): Unit = {
     require(manifestCommitted(v), s"version $v does not exist at $root")
     val m = readManifest(v)
     val next = currentVersion.map(_ + 1).getOrElse(0L)
-    writeManifest(next, m)
+    // row-id high water NEVER rewinds: a restore drops rows created
+    // after v, but re-issuing their ids to future appends would let
+    // two distinct rows ever share an id across the version history
+    val curHw = currentVersion.map(readManifest).flatMap(_.rowIdHw)
+    writeManifest(next,
+      m.copy(rowIdHw = m.rowIdHw.map(h => curHw.fold(h)(c => h max c))))
     appendHistory(next, s"RESTORE to v$v", m.entries.map(_.liveRows).sum)
     pointTo(next)
   }
@@ -1723,9 +2200,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
           require(i > 0, s"malformed #generated pair '$pair' in $root v$v")
           (pair.substring(0, i), pair.substring(i + 1))
         }).getOrElse(Seq.empty)
+    // CHECK constraint exprs are arbitrary SQL (commas, spaces) —
+    // base64-coded in the header, names stay plain
+    val constraints = lines.find(_.startsWith("#constraints="))
+      .map(_.stripPrefix("#constraints=").split(',').toSeq
+        .filter(_.nonEmpty).map { pair =>
+          val i = pair.indexOf('>')
+          require(i > 0, s"malformed #constraints pair '$pair' in $root v$v")
+          (pair.substring(0, i), new String(java.util.Base64.getDecoder
+            .decode(pair.substring(i + 1)), StandardCharsets.UTF_8))
+        }).getOrElse(Seq.empty)
+    val rowIdHw = lines.find(_.startsWith("#rowIdHw="))
+      .map(_.stripPrefix("#rowIdHw=").toLong)
     if (declared.exists(_ != entries.size)) None
     else Some(VersionManifest(schema, entries, partitionBy, mapping,
-      generated))
+      generated, constraints, rowIdHw))
   }
 
   /** Commit a manifest: atomic CLAIM of the destination name, then
@@ -1759,7 +2248,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
           .mkString(",")}\n" else "") +
       (if (m.generated.nonEmpty)
         s"#generated=${m.generated.map { case (c, g) => s"$c>$g" }
-          .mkString(",")}\n" else "")
+          .mkString(",")}\n" else "") +
+      (if (m.constraints.nonEmpty)
+        s"#constraints=${m.constraints.map { case (n, e) =>
+          s"$n>${java.util.Base64.getEncoder.encodeToString(
+            e.getBytes(StandardCharsets.UTF_8))}" }.mkString(",")}\n"
+      else "") +
+      m.rowIdHw.map(h => s"#rowIdHw=$h\n").getOrElse("")
     val body = header + m.entries.map(ManifestEntry.encodeLine).mkString("\n")
     val dest = manifestPath(v)
     claimManifest(dest, v)
@@ -1908,6 +2403,11 @@ final case class HistoryEntry(
 
 /** Lost the manifest-rename commit race. Appends (and partition-safe
   * replaceWheres) auto-rebase and retry; overwrites propagate it. */
+/** A write carried rows failing an active CHECK constraint; nothing
+  * was committed. */
+final case class ConstraintViolationException(message: String)
+    extends RuntimeException(message)
+
 final case class VersionConflictException(message: String)
     extends RuntimeException(message)
 
@@ -1924,7 +2424,8 @@ final case class VersionConflictException(message: String)
 final case class ManifestEntry(relPath: String, rows: Long, bytes: Long,
     stats: Map[String, (Double, Double)] = Map.empty,
     strStats: Map[String, (String, String)] = Map.empty,
-    dvDir: Option[String] = None, dvRows: Long = 0L) {
+    dvDir: Option[String] = None, dvRows: Long = 0L,
+    baseRowId: Option[Long] = None) {
 
   /** Rows a read of this file yields: physical rows minus the rows its
     * deletion vector masks. */
@@ -1965,10 +2466,11 @@ object ManifestEntry {
     * a key would corrupt the field). Fields 6 and 7 are the deletion
     * vector: masked-row count and the sidecar dir (a commit dir this
     * table allocated itself — plain `c<v>_<uid>` names, never
-    * user-controlled, so raw encoding is safe). Decode accepts 3–7
-    * fields: trailing empty fields vanish under split, and older
-    * manifest generations wrote fewer (r6: no DV; r4: no string
-    * stats; r3: no stats). */
+    * user-controlled, so raw encoding is safe). Field 8 is the file's
+    * base row id (row tracking; empty = unassigned). Decode accepts
+    * 3–8 fields: trailing empty fields vanish under split, and older
+    * manifest generations wrote fewer (r10: no base row id; r6: no
+    * DV; r4: no string stats; r3: no stats). */
   private[graft] def encodeLine(e: ManifestEntry): String = {
     val st = e.stats.toSeq.sortBy(_._1)
       .map { case (k, (mn, mx)) => s"$k:$mn:$mx" }.mkString(",")
@@ -1978,7 +2480,8 @@ object ManifestEntry {
       s"$k:${enc(mn)}:${enc(mx)}"
     }.mkString(",")
     s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st\t$ss" +
-      s"\t${e.dvRows}\t${e.dvDir.getOrElse("")}"
+      s"\t${e.dvRows}\t${e.dvDir.getOrElse("")}" +
+      s"\t${e.baseRowId.map(_.toString).getOrElse("")}"
   }
 
   private[graft] def decodeLine(line: String, table: String = "?"): ManifestEntry = {
@@ -2006,6 +2509,10 @@ object ManifestEntry {
       case Array(p, r, b, st, ss, dvr, dvd) =>
         ManifestEntry(p, r.toLong, b.toLong, parseStats(st),
           parseStrStats(ss), Some(dvd).filter(_.nonEmpty), dvr.toLong)
+      case Array(p, r, b, st, ss, dvr, dvd, rid) =>
+        ManifestEntry(p, r.toLong, b.toLong, parseStats(st),
+          parseStrStats(ss), Some(dvd).filter(_.nonEmpty), dvr.toLong,
+          Some(rid).filter(_.nonEmpty).map(_.toLong))
       case other => sys.error(
         s"malformed manifest line at $table: '${other.mkString("\\t")}'")
     }
@@ -2056,4 +2563,6 @@ final case class VersionManifest(schema: Option[StructType],
     entries: Seq[ManifestEntry],
     partitionBy: Seq[String] = Seq.empty,
     mapping: Seq[(String, String)] = Seq.empty,
-    generated: Seq[(String, String)] = Seq.empty)
+    generated: Seq[(String, String)] = Seq.empty,
+    constraints: Seq[(String, String)] = Seq.empty,
+    rowIdHw: Option[Long] = None)

@@ -1298,6 +1298,146 @@ object Relational {
         concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy("p_partkey")
 
+  /** BLOOM-INDEX POINT LOOKUP (q177): orders hash-scattered into 8
+    * files (every file spans the full key range — min/max stats
+    * prune NOTHING, the exact layout where Delta reaches for its
+    * bloom filter index), a per-file bloom built in one distributed
+    * pass, then a 6-key `IN` lookup planned through it: only files
+    * whose bloom might hold a probe are opened, the row predicate on
+    * top keeps false positives harmless. The oracle is the plain
+    * `IN` — skipping must change I/O, never rows. At 100 TB a 1M-row
+    * file costs ~1 MB of sidecar and a t-key lookup opens O(t)
+    * files instead of all of them. */
+  def bloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bloomq")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8, col("o_orderkey")))
+    vt.buildBloomIndex("o_orderkey")
+    vt.readWhereKeyIn("o_orderkey",
+        Seq(11L, 502L, 1003L, 7004L, 9005L, 14321L))
+      .orderBy("o_orderkey")
+  }
+
+  /** CHECK CONSTRAINTS enforced end-to-end (q176): a versioned table
+    * gains `ADD CONSTRAINT` predicates (positive price, status
+    * domain — the NOT-NULL/domain gates every curated layer needs),
+    * a valid append lands, and a BATCH THAT VIOLATES them is
+    * REJECTED atomically — the commit never happens, the version
+    * number proves it, and the final table is exactly base ∪ valid
+    * append. The oracle replays precisely that: the violating rows
+    * never appear. Enforcement is one extra aggregate pass over the
+    * INCOMING frame only (all constraints folded into a single agg),
+    * so at 100 TB the cost is O(batch), never O(table); adding a
+    * constraint scans existing data once, like Delta. */
+  def constraintGatedTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-constraint")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+    vt.write(orders.filter(col("o_orderkey") % 3 =!= 0))
+    vt.addCheckConstraint("positive_price", "o_totalprice > 0")
+    vt.addCheckConstraint("status_domain", "o_orderstatus IN ('O','F','P')")
+    vt.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append)
+    val before = vt.currentVersion.get
+    val bad = orders.limit(50)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    try {
+      vt.write(bad, org.apache.spark.sql.SaveMode.Append)
+      sys.error("violating append must be rejected")
+    } catch { case _: graft.io.ConstraintViolationException => () }
+    require(vt.currentVersion.get == before,
+      "rejected append must not commit a version")
+    vt.read().groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** REORG PURGE (q178): a versioned orders table takes a DV delete
+    * (soft delete — masks, no rewrite), then `reorgPurge()` rewrites
+    * ONLY the masked files so the deletes become physical; plain
+    * files keep their entries untouched. The read after purge must
+    * equal the read before it (purge moves bytes, never rows) — the
+    * oracle is orders minus the deleted range. The query asserts the
+    * purged manifest carries no DV, so the oracle equality really is
+    * exercised against the rewritten files. At 100 TB: compaction is
+    * O(table), purge is O(masked files) — the difference between a
+    * weekend job and a minutes job after a targeted GDPR erasure. */
+  def reorgPurgedTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-purge")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartition(8, col("o_orderkey")))
+    vt.deleteVectorized("o_totalprice", 50000.0, 100000.0)
+    vt.reorgPurge()
+    require(vt.manifestEntries(vt.currentVersion.get)
+      .forall(_.dvDir.isEmpty), "purge must leave no DV mask")
+    vt.read().groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** ROW TRACKING + UPDATE-IMAGE CHANGE FEED driving IVM (q179): the
+    * versioned store enables row tracking (stable `_row_id` per row —
+    * manifest base ranges + materialized ids through rewrites), takes
+    * an UPDATE, a full OPTIMIZE rewrite, an append, and a DV delete,
+    * and the maintained aggregate is fed ONLY by
+    * `changesWithUpdates(v0, v1)` — whose update_preimage/postimage
+    * pairs fold into `IncrementalAgg` as signed rows. The OPTIMIZE in
+    * the middle is the point: it rewrites every byte of the table,
+    * and the feed must still contain EXACTLY the three logical
+    * mutations (asserted: the compaction-only window is empty),
+    * because row identity — not file identity, not value diffing —
+    * is what pairs the versions. At 100 TB: the feed costs O(changed
+    * files), maintenance O(changed rows) + a merge against the
+    * status-sized aggregate; the table is never rescanned. The oracle
+    * replays the mutations relationally. */
+  def rowTrackedUpdateFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("graft-rowtrack")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,4)").as("price"))
+    vt.write(orders.filter(col("o_orderkey") % 4 =!= 0)
+      .repartition(8, col("o_orderkey")))
+    vt.enableRowTracking()
+    val v0 = vt.currentVersion.get
+    val agg0 = IncrementalAgg.compute(
+      vt.read(), Seq("o_orderstatus"), Seq("price"))
+    // mutation script: UPDATE, then a FULL physical rewrite, then an
+    // append, then a DV delete
+    vt.updateBetween("o_orderkey", 500, 1500,
+      Map("price" -> (col("price") + 10)))
+    val vUpd = vt.currentVersion.get
+    vt.compact()
+    require(vt.changesWithUpdates(vUpd, vt.currentVersion.get)
+      .isEmpty, "a compaction-only window must produce an empty feed")
+    vt.write(orders.filter(col("o_orderkey") % 4 === 0),
+      org.apache.spark.sql.SaveMode.Append)
+    vt.deleteVectorized("o_orderkey", 3000, 3500)
+    val v1 = vt.currentVersion.get
+    val agg1 = IncrementalAgg.update(agg0,
+      vt.changesWithUpdates(v0, v1), Seq("o_orderstatus"), Seq("price"))
+    agg1.select(col("o_orderstatus"),
+      col(IncrementalAgg.CountCol).as("n_orders"),
+      round(col(IncrementalAgg.sumCol("price")), 2).cast("double")
+        .as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** BUCKETED CO-LOCATED JOIN (q173): orders and customer written as
     * bucketed tables on the join key (`bucketBy(8, custkey)` +
     * `sortBy`), then joined and aggregated BY THE BUCKET KEY — the
@@ -1388,6 +1528,10 @@ object Relational {
     "q170_zorder_skipping" -> zorderSkippingRead,
     "q171_generated_pruning" -> generatedPrunedRead,
     "q173_bucketed_join" -> bucketedJoin,
+    "q176_check_constraints" -> constraintGatedTable,
+    "q177_bloom_lookup" -> bloomPointLookup,
+    "q178_reorg_purge" -> reorgPurgedTable,
+    "q179_row_tracking_cdf" -> rowTrackedUpdateFeed,
     "q155_overlap_duration" -> overlapDuration,
     "q148_data_skipping" -> dataSkippingRead,
     "q149_partition_pruning" -> partitionPrunedRead,
@@ -1401,6 +1545,45 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q179_row_tracking_cdf" ->
+      // replay the mutation script relationally: base (key%4<>0) took
+      // the +10 bump on [500,1500], the append (key%4=0) did not, the
+      // DV delete removed [3000,3500] from both; OPTIMIZE moved bytes
+      // only. Decimal arithmetic is exact on both engines.
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(round(sum(CASE
+               WHEN o_orderkey % 4 <> 0
+                    AND o_orderkey BETWEEN 500 AND 1500
+               THEN CAST(o_totalprice AS DECIMAL(18,4)) + 10
+               ELSE CAST(o_totalprice AS DECIMAL(18,4)) END), 2)
+             AS DOUBLE) AS revenue
+         FROM orders
+         WHERE NOT (o_orderkey BETWEEN 3000 AND 3500)
+         GROUP BY 1 ORDER BY 1""",
+    "q178_reorg_purge" ->
+      // purge moves bytes, never rows: the table is orders minus the
+      // DV-deleted price range, whatever the file layout
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+             AS DOUBLE) AS total_price
+         FROM orders
+         WHERE NOT (o_totalprice >= 50000.0 AND o_totalprice <= 100000.0)
+         GROUP BY 1 ORDER BY 1""",
+    "q177_bloom_lookup" ->
+      // the plain IN: bloom skipping changes which files open, never
+      // which rows return (o_totalprice is a copied raw double)
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_orderkey IN (11, 502, 1003, 7004, 9005, 14321)
+         ORDER BY o_orderkey""",
+    "q176_check_constraints" ->
+      // base (key%3<>0) + valid append (key%3=0) = all orders; the
+      // violating batch was rejected before commit, so it never
+      // contributes a row
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+             AS DOUBLE) AS total_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q173_bucketed_join" ->
       // plain join+group: bucketing changes the PLAN (zero
       // exchanges), never the rows

@@ -150,21 +150,38 @@ class IncrementalJoinSpec extends AnyFunSuite {
 
   test("unrecognized _change_type raises instead of silently dropping") {
     import spark.implicits._
-    // a Delta-CDF-style feed (update_preimage/update_postimage) is NOT
-    // the VersionedTable.changes contract; zero-signing it would
-    // corrupt the maintained view invisibly, so it must throw
-    val cdfStyle = Seq((1L, 3L, "update_postimage"))
+    // the supported tag domain is the full CDF set (insert/delete/
+    // update_preimage/update_postimage); anything else zero-signed
+    // would corrupt the maintained view invisibly, so it must throw
+    val bogus = Seq((1L, 3L, "upsert"))
       .toDF("k", "x", "_change_type")
     val b = Seq((1L, "n1")).toDF("k", "name")
     val aNew = Seq.empty[(Long, Long)].toDF("k", "x")
     val noChangesB = b.withColumn("_change_type", lit("insert")).limit(0)
     val ex = intercept[Exception] {
-      IncrementalJoin.deltaJoin(cdfStyle, b, aNew,
+      IncrementalJoin.deltaJoin(bogus, b, aNew,
         noChangesB, Seq("k")).collect()
     }
-    assert(ex.getMessage.contains("update_postimage") ||
-      Option(ex.getCause).exists(_.getMessage.contains("update_postimage")),
+    assert(ex.getMessage.contains("upsert") ||
+      Option(ex.getCause).exists(_.getMessage.contains("upsert")),
       s"expected the bad tag in the error, got: ${ex.getMessage}")
+  }
+
+  test("CDF update images fold as signed pairs in deltaJoin") {
+    import spark.implicits._
+    // an UPDATE of A's row (1, 2)→(1, 5) arrives as preimage/postimage
+    // under the same key; the folded view must equal the recompute
+    val updates = Seq((1L, 2L, "update_preimage"),
+      (1L, 5L, "update_postimage")).toDF("k", "x", "_change_type")
+    val b = Seq((1L, "n1")).toDF("k", "name")
+    val aNew = Seq((1L, 5L)).toDF("k", "x")
+    val noChangesB = b.withColumn("_change_type", lit("insert")).limit(0)
+    val delta = IncrementalJoin.deltaJoin(updates, b, aNew,
+      noChangesB, Seq("k"))
+    val prior = Seq((1L, 2L, "n1")).toDF("k", "x", "name")
+    val view = IncrementalJoin.applyKeyed(prior, delta, Seq("k"))
+    assert(view.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2))).toSeq === Seq((1L, 5L, "n1")))
   }
 
   test("applyMultiset resolves net multiplicity without a row key") {

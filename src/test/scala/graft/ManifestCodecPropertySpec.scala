@@ -54,7 +54,9 @@ class ManifestCodecPropertySpec extends AnyFunSuite {
     strStats <- Gen.mapOfN(nStr, Gen.zip(keyGen, Gen.zip(strBoundGen, strBoundGen)))
     dvDir <- Gen.option(Gen.choose(0, 99).map(v => f"_data/c$v%08d_dv12ab34"))
     dvRows <- if (dvDir.isEmpty) Gen.const(0L) else Gen.choose(1L, rows.max(1L))
-  } yield ManifestEntry(p, rows, bytes, stats, strStats, dvDir, dvRows)
+    baseRowId <- Gen.option(Gen.choose(0L, Long.MaxValue / 2))
+  } yield ManifestEntry(p, rows, bytes, stats, strStats, dvDir, dvRows,
+    baseRowId)
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i =>
