@@ -485,6 +485,43 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** LOCF GAP-FILL onto a per-user daily grid (q180): sparse per-user
+    * observations become a DENSE regular time series — every user gets
+    * one row per day between their first and last event, with missing
+    * days carrying the LAST OBSERVATION FORWARD. The canonical
+    * feature-engineering reshape (a model wants aligned daily features,
+    * telemetry arrives when it arrives). Three narrow steps: (1) last
+    * observation per (user, day) via one row_number window (ties broken
+    * ts desc, event_id desc — deterministic cross-engine); (2) the grid
+    * as `explode(sequence(d0, d1))` per user — generated, never stored;
+    * (3) `last(value, ignoreNulls)` over the per-user day order. Scale:
+    * everything partitions by user_id — one shuffle, users independent,
+    * no driver-side calendar; the grid is at most span-days × users
+    * rows and never wider than the answer. The carried value is a RAW
+    * double (no arithmetic), so the hash check is exact. */
+  def locfDailyGrid(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+    val byDay = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "day")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val grid = ev.groupBy("user_id")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(byDay, Seq("user_id", "day"), "left")
+      .withColumn("value", last(col("value"), ignoreNulls = true).over(
+        Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("value"))
+      .orderBy("user_id", "day")
+  }
+
   /** STREAMING SESSIONIZATION under the DuckDB oracle (q158): the
     * `flatMapGroupsWithState` gap-session operator
     * (`Streaming.sessionize`, previously spec-only) run as a real
@@ -670,6 +707,32 @@ object Analytics {
       .orderBy("click_id", "view_id")
   }
 
+  /** SINGLE-SOURCE BFS over the part co-occurrence graph (q181;
+    * `graph.Bfs`): exact shortest hop counts from the smallest part
+    * node, capped at 3 hops — the reachability/radius primitive
+    * (recommendation neighborhoods, contamination blast radius)
+    * completing the graph family: components (q36), PageRank (q157),
+    * triangles (q175), now distances. The oracle is a recursive CTE
+    * enumerating (node, dist ≤ 3) pairs and taking min — DuckDB's
+    * working-table recursion against Spark's relational frontier
+    * expansion, exact integers on both sides. The one driver-side
+    * scalar is the source pick (`min(src)`, one row — the documented
+    * bounded-collect convention). Scale: O(rounds) edge scans, each
+    * one equi-join + distinct + node-sized anti-join; frontiers are
+    * checkpointed so AQE sizes them for broadcast. */
+  def bfsHopsParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val source = edges.agg(min(col("src"))).head().getLong(0)
+    graft.graph.Bfs.shortestHops(edges, source, maxHops = 3)
+      .orderBy("node")
+  }
+
   /** PAGERANK over the part co-occurrence graph (q157;
     * `graph.PageRank`): parts appearing in the same order link both
     * ways (the co-purchase graph), then 3 exact integer-arithmetic
@@ -839,6 +902,8 @@ object Analytics {
     "q157_pagerank" -> pagerankParts,
     "q158_streaming_sessionize" -> streamingSessionize,
     "q160_trend_slope" -> dailyTrendSlope,
+    "q180_locf_gapfill" -> locfDailyGrid,
+    "q181_bfs_hops" -> bfsHopsParts,
     "q164_corpus_diff" -> corpusDiff,
     "q165_kmv_setops" -> ((s, d) => kmvSetOps(s, d)),
     "q167_typed_udaf" -> typedMicroStats,
@@ -982,6 +1047,46 @@ object Analytics {
          SELECT est_click, est_view, est_union,
            est_click + est_view - est_union AS est_intersect, exact_union
          FROM ea, eb, eu, ex""",
+    "q181_bfs_hops" ->
+      // recursive working-table BFS: enumerate (node, dist<=3) pairs,
+      // min per node; exact integers end to end
+      """WITH RECURSIVE edges AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         bfs(node, dist) AS (
+           SELECT (SELECT min(src) FROM edges), 0
+           UNION
+           SELECT e.dst, b.dist + 1
+           FROM bfs b JOIN edges e ON e.src = b.node
+           WHERE b.dist < 3)
+         SELECT node, min(dist) AS dist FROM bfs
+         GROUP BY 1 ORDER BY 1""",
+    "q180_locf_gapfill" ->
+      // same three steps relationally; the filled value is a raw
+      // double carried from the source (no arithmetic), day rendered
+      // as a string so both engines sort and hash identically
+      """WITH e AS (SELECT user_id,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(ts AS TIMESTAMP) AS tts, event_id, value FROM events),
+         byday AS (SELECT user_id, day, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, day
+               ORDER BY tts DESC, event_id DESC) AS rn FROM e)
+           WHERE rn = 1),
+         grid AS (SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+           FROM (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM e GROUP BY 1)),
+         filled AS (SELECT g.user_id, g.day,
+             last_value(b.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+           FROM grid g LEFT JOIN byday b
+             ON g.user_id = b.user_id AND g.day = b.day)
+         SELECT user_id, strftime(day, '%Y-%m-%d') AS day, value
+         FROM filled ORDER BY 1, 2""",
     "q160_trend_slope" ->
       // exact BIGINT regression sums; slope = one IEEE division of
       // exact ints (no rounding — float-discipline rule #2)
