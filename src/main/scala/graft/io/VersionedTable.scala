@@ -750,7 +750,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val curV = currentVersion.getOrElse(
       sys.error(s"table $root does not exist"))
     val m = readManifest(curV)
-    val mayMatch = rangeMayMatch(m.partitionBy.toSet, column, lo, hi) _
+    val mayMatch =
+      rangeMayMatch(m.partitionBy.toSet, physFor(m, column), lo, hi) _
     val candidates = m.entries.filter(mayMatch)
     if (candidates.isEmpty) return curV // provably nothing to delete
     // tracked tables rewrite WITH each survivor's materialized row id
@@ -778,13 +779,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val curV = currentVersion.getOrElse(
       sys.error(s"table $root does not exist"))
     val m = readManifest(curV)
-    val schema = snapshotSchema(m)
+    // `src` below is LOGICALIZED, so key validation and the output
+    // projection run against the LOGICAL schema — on a mapped table
+    // (post rename/drop) the physical snapshot names would not even
+    // resolve (replaceWhere delogicalizes on write either way)
+    val schema = logicalSchema(m)
     set.keys.foreach(k => require(schema.fieldNames.contains(k),
       s"update sets unknown column '$k' at $root"))
     require(!set.keys.exists(m.partitionBy.contains),
       s"cannot update partition columns of $root in place " +
         "(rows would change partitions) — use a MERGE")
-    val mayMatch = rangeMayMatch(m.partitionBy.toSet, column, lo, hi) _
+    val mayMatch =
+      rangeMayMatch(m.partitionBy.toSet, physFor(m, column), lo, hi) _
     val candidates = m.entries.filter(mayMatch)
     if (candidates.isEmpty) return curV // provably nothing to update
     val matches = col(column) >= lo && col(column) <= hi
@@ -835,7 +841,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     import org.apache.spark.sql.functions.col
     deleteVectorizedCore(
       mask = _.filter(col(column) >= lo && col(column) <= hi),
-      mayMatch0 = parts => rangeMayMatch(parts, column, lo, hi),
+      mayMatch0 = m => rangeMayMatch(m.partitionBy.toSet,
+        physFor(m, column), lo, hi),
       opDesc = s"DELETE DV $column IN [$lo,$hi]")
   }
 
@@ -856,7 +863,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val hi = values.max.toDouble
     deleteVectorizedCore(
       mask = _.filter(col(column).isin(values.toSeq: _*)),
-      mayMatch0 = parts => rangeMayMatch(parts, column, lo, hi),
+      mayMatch0 = m => rangeMayMatch(m.partitionBy.toSet,
+        physFor(m, column), lo, hi),
       opDesc = s"DELETE DV $column IN SET(${values.size})")
   }
 
@@ -883,7 +891,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val (lo, hi) = (env.getDouble(0), env.getDouble(1))
     deleteVectorizedCore(
       mask = _.join(k, Seq(column), "left_semi"),
-      mayMatch0 = parts => rangeMayMatch(parts, column, lo, hi),
+      mayMatch0 = m => rangeMayMatch(m.partitionBy.toSet,
+        physFor(m, column), lo, hi),
       opDesc = s"DELETE DV $column IN KEYS[$lo,$hi]")
   }
 
@@ -960,13 +969,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
   }
 
   private def deleteVectorizedCore(mask: DataFrame => DataFrame,
-      mayMatch0: Set[String] => ManifestEntry => Boolean,
+      mayMatch0: VersionManifest => ManifestEntry => Boolean,
       opDesc: String): Long = {
     import org.apache.spark.sql.functions.{col, substring}
     val curV = currentVersion.getOrElse(
       sys.error(s"table $root does not exist"))
     val m = readManifest(curV)
-    val mayMatch = mayMatch0(m.partitionBy.toSet)
+    val mayMatch = mayMatch0(m)
     val candidates = m.entries.filter(mayMatch)
     if (candidates.isEmpty) return curV // provably nothing to delete
     val qualifiedRoot = fs.makeQualified(rootPath)
@@ -1169,7 +1178,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
       require(!snapshotSchema(cur).fieldNames.contains(RowIdPhysCol),
         s"$root has a data column named $RowIdPhysCol — the name is " +
           "reserved for row tracking")
-      var h = 0L
+      // NEVER-REUSE across the whole retained history, not just the
+      // current manifest: a RESTORE to a pre-tracking version leaves
+      // rowIdHw=None while ids were already issued in later versions —
+      // seeding from 0 would hand those ids to different rows and let
+      // changesWithUpdates mispair them across the restore boundary.
+      // One manifest-header read per retained version, only on this
+      // one-time enable (vacuumed versions are gone along with every
+      // row that ever held their ids).
+      var h = committedVersions
+        .flatMap(v => readManifestOnce(v).flatMap(_.rowIdHw))
+        .foldLeft(0L)(_ max _)
       val entries = cur.entries.map { e =>
         val b = h; h += e.rows; e.copy(baseRowId = Some(b))
       }
@@ -1379,6 +1398,20 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * mapping from the physical schema on first use. Mapping ops
     * require identifier-shaped column names (the manifest header
     * encodes pairs with `>` and `,`). */
+  /** Physical name for a LOGICAL column under the active mapping.
+    * Row-level DELETE/UPDATE frames are logicalized, but manifest
+    * stats are keyed by PHYSICAL parquet names — after a rename the
+    * logical name may even equal a DIFFERENT (dropped) physical
+    * column, so an untranslated stats lookup could prune files that
+    * DO hold matching rows. Identity when no mapping is active;
+    * unknown logical names fail loudly (a dropped column has no
+    * stats semantics to fall back to). */
+  private def physFor(m: VersionManifest, column: String): String =
+    if (m.mapping.isEmpty) column
+    else m.mapping.find(_._1 == column).map(_._2).getOrElse(sys.error(
+      s"no column $column at $root " +
+        s"(has: ${m.mapping.map(_._1).mkString(",")})"))
+
   private def mappingOrIdentity(m: VersionManifest): Seq[(String, String)] =
     if (m.mapping.nonEmpty) m.mapping
     else {

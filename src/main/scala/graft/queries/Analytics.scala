@@ -578,9 +578,12 @@ object Analytics {
     * is the scale trick: out-degree is bounded by O(√m) however
     * skewed the raw degrees, so arrays stay small and a web-scale
     * hub node stops being a quadratic bomb. The (deg, id) order is
-    * encoded as one BIGINT key (deg·2³¹ + id) so both engines
-    * compare identically. All counts exact BIGINTs; output one
-    * summary row (nodes, edges, wedges, triangles). */
+    * a lexicographic STRUCT/row comparison — identical in Spark and
+    * DuckDB, and total for the full 64-bit id range (a packed
+    * deg·2³¹+id key would collide across degree buckets once ids
+    * exceed 2³¹, silently mis-orienting edges at web scale). All
+    * counts exact BIGINTs; output one summary row (nodes, edges,
+    * wedges, triangles — 0, never NULL, on a triangle-free graph). */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
@@ -592,17 +595,13 @@ object Analytics {
     val deg = co.select(col("u").as("n"))
       .unionAll(co.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    val ok = deg.select(col("n"),
-      (col("deg") * lit(2147483648L) + col("n")).as("okey"))
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     val e = co
-      .join(ok.select(col("n").as("u"), col("okey").as("oku")), "u")
-      .join(ok.select(col("n").as("v"), col("okey").as("okv")), "v")
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
       .select(
-        when(col("oku") < col("okv"), col("u")).otherwise(col("v"))
-          .as("src"),
-        when(col("oku") < col("okv"), col("v")).otherwise(col("u"))
-          .as("dst"),
-        greatest(col("oku"), col("okv")).as("okdst"))
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"))
       // referenced four times below (the intersection joins + the two
       // edge stats); without persist the co-occurrence self-join
       // would re-run per reference. At 100 TB this is a written
@@ -621,7 +620,10 @@ object Analytics {
       .join(adj.select(col("src").as("a_v"), col("nbrs").as("nv")),
         col("dst") === col("a_v"))
       .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
-      .agg(sum(col("t")).cast("long").as("n_triangles"))
+      // coalesce: a triangle-free graph (no oriented edge with any
+      // out-neighbor match) must report 0, not NULL
+      .agg(coalesce(sum(col("t")), lit(0L)).cast("long")
+        .as("n_triangles"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val nWedges = e.groupBy("src").agg(count(lit(1)).as("d"))
@@ -915,8 +917,9 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q175_triangle_count" ->
-      // same degree-ordered orientation, encoded as deg*2^31+id so
-      // both engines order identically; all counts exact BIGINTs
+      // same degree-ordered orientation as a LEXICOGRAPHIC (deg, id)
+      // row comparison — total over the full id range, identical in
+      // both engines; all counts exact BIGINTs
       """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
          co AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
                 FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
@@ -924,19 +927,20 @@ object Analytics {
          deg AS (SELECT n, count(*) AS deg FROM
                    (SELECT u AS n FROM co UNION ALL SELECT v FROM co)
                  GROUP BY 1),
-         ok AS (SELECT n, deg * 2147483648 + n AS okey FROM deg),
-         e AS (SELECT CASE WHEN a.okey < b.okey THEN co.u ELSE co.v END
-                   AS src,
-                 CASE WHEN a.okey < b.okey THEN co.v ELSE co.u END AS dst,
-                 CASE WHEN a.okey < b.okey THEN b.okey ELSE a.okey END
-                   AS okdst
-               FROM co JOIN ok a ON co.u = a.n JOIN ok b ON co.v = b.n)
+         e AS (SELECT CASE WHEN (a.deg, co.u) < (b.deg, co.v)
+                   THEN co.u ELSE co.v END AS src,
+                 CASE WHEN (a.deg, co.u) < (b.deg, co.v)
+                   THEN co.v ELSE co.u END AS dst,
+                 CASE WHEN (a.deg, co.u) < (b.deg, co.v)
+                   THEN b.deg ELSE a.deg END AS ddst
+               FROM co JOIN deg a ON co.u = a.n JOIN deg b ON co.v = b.n)
          SELECT (SELECT count(*) FROM deg) AS n_nodes,
            (SELECT count(*) FROM e) AS n_edges,
            (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM
              (SELECT src, count(*) AS d FROM e GROUP BY 1)) AS n_wedges,
            (SELECT count(*) FROM e e1
-              JOIN e e2 ON e1.src = e2.src AND e1.okdst < e2.okdst
+              JOIN e e2 ON e1.src = e2.src
+               AND (e1.ddst, e1.dst) < (e2.ddst, e2.dst)
               JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
              AS n_triangles""",
     "q174_markov_transitions" ->

@@ -3609,8 +3609,8 @@ object TrainingData {
              trim(regexp_replace(
                replace(replace(replace(replace(replace(
                  regexp_replace(html, '<[^>]*>', ' ', 'g'),
-                 '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-                 '&quot;', '"'), '&nbsp;', ' '),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&nbsp;', ' '), '&amp;', '&'),
                '[ \t\n\r]+', ' ', 'g')) AS cleaned
            FROM h)
          SELECT doc_id, length(cleaned) AS clean_chars,

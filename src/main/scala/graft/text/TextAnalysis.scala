@@ -176,8 +176,11 @@ object TextAnalysis {
     * byte, with parser-grade extraction downstream on survivors. */
   def stripHtml(html: Column): Column = {
     val noTags = regexp_replace(html, "<[^>]*>", " ")
-    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&nbsp;" -> " ")
+    // `&amp;` decodes LAST (standard unescape order): decoding it
+    // first would double-decode escaped entities ('&amp;lt;' must
+    // yield the literal '&lt;', not '<')
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
   }

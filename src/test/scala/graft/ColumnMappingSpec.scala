@@ -150,6 +150,54 @@ class ColumnMappingSpec extends AnyFunSuite {
     intercept[RuntimeException](vt.recordGenerated("day", "hour(ts)"))
   }
 
+  test("row-level UPDATE and range DELETE address LOGICAL names on a " +
+    "mapped table") {
+    val root = Fixtures.tempDir("colmap-u") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((0L until 100L).map(i => (i, i * 2, s"s$i"))
+      .toDF("id", "val", "tag"))
+    vt.renameColumn("val", "score")
+    vt.dropColumn("tag")
+    // UPDATE sets the logical name with an expression over logical cols
+    vt.updateBetween("id", 10, 19,
+      Map("score" -> (col("score") + lit(1000L))))
+    assert(vt.read().filter(col("id") === 15L)
+      .select("score").head().getLong(0) === 1030L)
+    assert(vt.read().filter(col("id") === 50L)
+      .select("score").head().getLong(0) === 100L)
+    // the retired physical name is NOT addressable
+    intercept[Exception](
+      vt.updateBetween("id", 0, 1, Map("val" -> lit(0L))))
+    // range DELETE through the renamed column
+    vt.deleteBetween("score", 1020.0, 1038.0)
+    assert(vt.read().count() === 90)
+    assert(vt.read().filter(col("score") >= 1000L).count() === 0)
+  }
+
+  test("stats pruning on a mapped table consults PHYSICAL stats keys " +
+    "(a stale same-name physical column cannot mis-prune)") {
+    val root = Fixtures.tempDir("colmap-s") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    // physical `b` spans 1000+, physical `a` spans 0..99; after
+    // drop(b) + rename(a→b), logical `b` reads physical `a` — a
+    // lookup keyed by the LOGICAL name would hit the stale physical
+    // `b` stats and prune files that DO match
+    vt.write((0L until 50L).map(i => (i, i, 1000L + i))
+      .toDF("id", "a", "b"))
+    vt.write((50L until 100L).map(i => (i, i, 1000L + i))
+      .toDF("id", "a", "b"), SaveMode.Append)
+    vt.dropColumn("b")
+    vt.renameColumn("a", "b")
+    vt.deleteBetween("b", 0.0, 9.0)
+    assert(vt.read().count() === 90)
+    assert(vt.read().agg(min(col("b"))).head().getLong(0) === 10L)
+    vt.updateBetween("b", 90.0, 99.0, Map("b" -> lit(-1L)))
+    assert(vt.read().filter(col("b") === -1L).count() === 10)
+    // DV delete through the mapping too
+    vt.deleteVectorized("b", 10.0, 14.0)
+    assert(vt.read().count() === 85)
+  }
+
   test("clone and restore carry the mapping") {
     val root = Fixtures.tempDir("colmap-c") + "/tbl"
     val vt = new VersionedTable(spark, root)

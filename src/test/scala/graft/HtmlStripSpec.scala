@@ -18,6 +18,9 @@ class HtmlStripSpec extends AnyFunSuite {
   test("stripHtml: tags, entities, whitespace, idempotence") {
     assert(strip("<p>a  b</p>") === "a b")
     assert(strip("<a href=\"/x\">link</a> &amp; more") === "link & more")
+    // escaped entities decode ONCE: `&amp;` is replaced LAST, so
+    // `&amp;lt;` yields the literal `&lt;`, never `<`
+    assert(strip("code &amp;lt;tag&amp;gt; here") === "code &lt;tag&gt; here")
     assert(strip("x&lt;y&gt;z &quot;q&quot;&nbsp;w") === "x<y>z \"q\" w")
     assert(strip("  <br/>\n\t hello <b>world</b>\r\n") === "hello world")
     assert(strip("no markup at all") === "no markup at all")

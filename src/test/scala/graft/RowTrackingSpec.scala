@@ -137,6 +137,22 @@ class RowTrackingSpec extends AnyFunSuite {
       "ids of rows dropped by the restore must never be re-issued")
   }
 
+  test("re-enable after RESTORE to a PRE-tracking version seeds off " +
+    "the historical high-water mark, never reusing issued ids") {
+    val vt = newTable("rid-restore-pre")
+    vt.write((0L until 10L).map(i => (i, "base")).toDF("id", "s")) // v0
+    val v0 = vt.currentVersion.get
+    vt.enableRowTracking() // ids 0..9, hw=10
+    vt.write((10L until 20L).map(i => (i, "more")).toDF("id", "s"),
+      SaveMode.Append) // ids 10..19, hw=20
+    vt.restore(v0) // pre-tracking manifest: rowIdHw gone
+    assert(!vt.rowTrackingEnabled)
+    vt.enableRowTracking()
+    val ids = rids(vt.readWithRowIds())
+    assert(ids === (20L until 30L),
+      "ids 0..19 were issued before the restore and must never recur")
+  }
+
   test("IncrementalAgg consumes an update feed exactly") {
     val vt = newTable("rid-ivm")
     vt.write((1L to 50L).map(i => (i, (i % 5).toString, i * 1.0))
