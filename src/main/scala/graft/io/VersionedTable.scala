@@ -759,8 +759,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       logicalize(m, readFilesPhysicalRid(m, candidates))
     else readFiles(m, candidates)
     val survivors = src.filter(!(col(column) >= lo && col(column) <= hi))
-    replaceWhere(survivors, e => !mayMatch(e),
+    val v = replaceWhere(survivors, e => !mayMatch(e),
       s"DELETE $column IN [$lo,$hi]", basisVersion = Some(curV))
+    refreshBloomIndexes(v)
+    v
   }
 
   /** Row-level UPDATE (Delta `UPDATE ... WHERE column BETWEEN`):
@@ -806,8 +808,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // an updated row KEEPS its row id — that is what lets the change
     // feed call it an update instead of a delete+insert
     } ++ (if (tracked) Seq(col(RowIdPhysCol)) else Seq.empty)
-    replaceWhere(src.select(outCols: _*), e => !mayMatch(e),
+    val v = replaceWhere(src.select(outCols: _*), e => !mayMatch(e),
       s"UPDATE $column IN [$lo,$hi]", basisVersion = Some(curV))
+    refreshBloomIndexes(v)
+    v
   }
 
   /** Row-level DELETE of `column` ∈ [lo, hi] via DELETION VECTORS
@@ -1067,7 +1071,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       sys.error(s"table $root does not exist")))
     val n = math.max(1L, m.entries.map(_.bytes).sum /
       (targetFileMB.toLong * 1024 * 1024)).toInt
-    if (m.rowIdHw.isDefined)
+    val v = if (m.rowIdHw.isDefined)
       // tracked: rewrite through replaceWhere (schema stays frozen)
       // with ids materialized, so OPTIMIZE preserves row identity and
       // the change feed sees a no-op
@@ -1075,6 +1079,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
           .withColumnRenamed(RowIdCol, RowIdPhysCol).repartition(n),
         _ => false, "OPTIMIZE")
     else write(read().repartition(n), SaveMode.Overwrite, "OPTIMIZE")
+    refreshBloomIndexes(v)
+    v
   }
 
   /** REORG … PURGE (Delta `REORG TABLE … APPLY (PURGE)`): physically
@@ -1127,6 +1133,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         cur.constraints, hw2))
       appendHistory(next, "REORG PURGE", entries.map(_.liveRows).sum)
       pointTo(next)
+      refreshBloomIndexes(next)
       next
     }
   }
@@ -1591,30 +1598,46 @@ final class VersionedTable(spark: SparkSession, root: String) {
     *
     * Correctness is one-sided by construction: a bloom may claim a
     * key it doesn't hold (file read for nothing) but never misses
-    * one it does, files written AFTER the index build have no bloom
-    * and are always read, and compaction/UPDATE rewrites change
-    * relPaths so rewritten files also degrade to "always read" —
-    * rebuild the index after maintenance to restore skipping. DV
-    * masks don't shrink blooms (deleted keys stay as false
-    * positives — reads stay correct, the row predicate still
-    * applies). */
+    * one it does, and files without a bloom are always read. Files
+    * written after the build (plain appends) stay unindexed until
+    * the next maintenance pass; maintenance rewrites (OPTIMIZE /
+    * REORG PURGE / row-level UPDATE and DELETE) refresh the sidecar
+    * themselves ([[refreshBloomIndexes]]) so point-lookup skipping
+    * survives them with no manual rebuild — Delta's
+    * OPTIMIZE-preserves-index behavior. DV masks don't shrink blooms
+    * (deleted keys stay as false positives — reads stay correct, the
+    * row predicate still applies). */
   def buildBloomIndex(column: String, fpp: Double = 0.03): Unit = {
-    import org.apache.spark.sql.functions.{col, xxhash64}
     val curV = currentVersion.getOrElse(
       sys.error(s"table $root does not exist"))
     val m = readManifest(curV)
     val phys = mappingOrIdentity(m).find(_._1 == column).map(_._2)
       .getOrElse(sys.error(s"no column $column at $root"))
-    val rowsByFile = m.entries.map(e => e.relPath -> e.rows).toMap
-    val scan = rawScan(m, m.entries, isStreaming = false,
-      withRowMeta = true)
+    val dir = bloomDirFor(curV, column)
+    bloomFrame(m, m.entries, phys, fpp).write.mode(SaveMode.Overwrite)
+      .parquet(dir.toString)
+    writeFppMarker(dir, fpp)
+  }
+
+  /** One (file_rel, serialized bloom) row per file of `entries` over
+    * PHYSICAL column `phys` — the shared distributed build pass of
+    * [[buildBloomIndex]] (all files) and [[refreshBloomIndexes]]
+    * (only files missing a bloom). One scan of exactly `entries`,
+    * one shuffle grouping rows by file, each bloom sized from the
+    * manifest's exact per-file row count. */
+  private def bloomFrame(m: VersionManifest, entries: Seq[ManifestEntry],
+      phys: String, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
     import spark.implicits._
+    val rowsByFile = entries.map(e => e.relPath -> e.rows).toMap
+    val scan = rawScan(m, entries, isStreaming = false,
+      withRowMeta = true)
     val pairs = scan.select(
         fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
           .as("file_rel"),
         xxhash64(col(phys)).as("h"))
       .as[(String, Long)]
-    val blooms = pairs.groupByKey(_._1).mapGroups { (file, it) =>
+    pairs.groupByKey(_._1).mapGroups { (file, it) =>
       val bf = org.apache.spark.util.sketch.BloomFilter.create(
         math.max(1L, rowsByFile.getOrElse(file, 1L)), fpp)
       it.foreach(t => bf.putLong(t._2))
@@ -1622,8 +1645,76 @@ final class VersionedTable(spark: SparkSession, root: String) {
       bf.writeTo(bos)
       (file, bos.toByteArray)
     }.toDF("file_rel", "bloom")
-    blooms.write.mode(SaveMode.Overwrite)
-      .parquet(bloomDirFor(curV, column).toString)
+  }
+
+  /** The build fpp rides with the sidecar (`_fpp`, underscore-prefixed
+    * so the parquet reader ignores it) so maintenance refreshes build
+    * new blooms at the SAME error rate; absent marker (pre-refresh
+    * sidecars) falls back to the build default. */
+  private def writeFppMarker(dir: Path, fpp: Double): Unit = {
+    val out = fs.create(new Path(dir, "_fpp"), true)
+    try out.write(fpp.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readFppMarker(dir: Path): Double = {
+    val p = new Path(dir, "_fpp")
+    if (!fs.exists(p)) 0.03
+    else scala.util.Try(readWholeFile(p).trim.toDouble).getOrElse(0.03)
+  }
+
+  /** Bring every bloom sidecar current with version `v` — called by
+    * the maintenance rewrites (OPTIMIZE / REORG PURGE / row-level
+    * UPDATE and DELETE), whose fresh output files would otherwise
+    * silently degrade to "always read" until a manual rebuild. Files
+    * that already have a bloom keep it (carried forward by a
+    * distributed semi-join — sidecar bytes never touch the driver);
+    * files missing one (the rewrite's output, plus any post-index
+    * appends swept up along the way) get blooms built by scanning
+    * ONLY those files. Cost O(un-indexed data + sidecar size), never
+    * a table scan; a no-op when no index exists or nothing is
+    * missing. */
+  private def refreshBloomIndexes(v: Long): Unit = {
+    val dir = new Path(root, "_bloom")
+    if (!fs.exists(dir)) return
+    val vRe = """^v(\d+)$""".r
+    val byColumn: Map[String, Long] = fs.listStatus(dir).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case vRe(d) if d.toLong <= v =>
+          fs.listStatus(s.getPath).toSeq
+            .map(c => c.getPath.getName -> d.toLong)
+        case _ => Seq.empty
+      }).groupMapReduce(_._1)(_._2)(_ max _)
+    if (byColumn.isEmpty) return
+    val m = readManifest(v)
+    byColumn.foreach { case (column, bv) =>
+      if (bv != v) refreshBloomColumn(m, v, column, bv)
+    }
+  }
+
+  private def refreshBloomColumn(m: VersionManifest, v: Long,
+      column: String, bv: Long): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    // the indexed column may have been renamed/dropped since the
+    // build — a vanished logical name quietly ends the index's life
+    // (lookups fall back to reading every file, never wrong rows)
+    val phys = mappingOrIdentity(m).find(_._1 == column).map(_._2)
+      .getOrElse(return)
+    val oldDir = bloomDirFor(bv, column)
+    val old = spark.read.parquet(oldDir.toString)
+      .select("file_rel", "bloom")
+    // names only on the driver (manifest-sized, like the entries list)
+    val oldNames = old.select("file_rel").as[String].collect().toSet
+    val missing = m.entries.filterNot(e => oldNames.contains(e.relPath))
+    if (missing.isEmpty) return // every live file indexed; extras inert
+    val fpp = readFppMarker(oldDir)
+    val live = m.entries.map(_.relPath).toDF("file_rel")
+    val out = old.join(broadcast(live), Seq("file_rel"), "left_semi")
+      .unionByName(bloomFrame(m, missing, phys, fpp))
+    val newDir = bloomDirFor(v, column)
+    out.write.mode(SaveMode.Overwrite).parquet(newDir.toString)
+    writeFppMarker(newDir, fpp)
   }
 
   /** Newest version ≤ current with a bloom sidecar for `column`. */
@@ -1640,11 +1731,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   /** The manifest entries a `column IN (values)` read must open,
     * after bloom skipping: indexed files whose bloom matches any
-    * probe, plus every file without a bloom (post-index writes,
-    * maintenance rewrites). Exposed for the skip-count spec. */
+    * probe, plus every file without a bloom (post-index writes).
+    * Exposed for the skip-count spec.
+    *
+    * Scale shape: the per-file blooms are evaluated IN EXECUTORS —
+    * one distributed pass over the sidecar parquet — and only the
+    * NAMES of provably-unneeded files return to the driver
+    * (file-name-sized, like every other manifest-pruning path).
+    * Pulling the blooms themselves to the driver would be ~1 TB of
+    * sidecar bytes on a 100 TB table (~800K files × ~1.2 MB); driver
+    * cost here is O(file names), independent of bloom size. The
+    * probe hashes are computed in ONE one-row job whatever the probe
+    * count (not one job per value). */
   private[graft] def bloomPlannedEntries(column: String,
       values: Seq[Any]): Seq[ManifestEntry] = {
-    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    import spark.implicits._
     val curV = currentVersion.getOrElse(
       sys.error(s"table $root does not exist"))
     val m = readManifest(curV)
@@ -1652,20 +1754,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
       case None => m.entries
       case Some(bv) =>
         val dt = logicalSchema(m)(column).dataType
-        // probe hashes computed by the SAME Spark kernel that built
-        // the index (xxhash64 is type-sensitive — cast to the column
-        // type first)
-        val hashes = values.map(v => spark.range(1)
-          .select(xxhash64(lit(v).cast(dt))).head().getLong(0))
-        val blooms = spark.read.parquet(bloomDirFor(bv, column).toString)
-          .collect().map(r => r.getString(0) ->
-            org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
-          .toMap
-        m.entries.filter { e =>
-          blooms.get(e.relPath)
-            .forall(bf => hashes.exists(bf.mightContainLong))
-        }
+        // all probe hashes batched into one single-row projection,
+        // by the SAME Spark kernel that built the index (xxhash64 is
+        // type-sensitive — cast to the column type first)
+        val row = spark.range(1).select(values.zipWithIndex.map {
+          case (v, i) => xxhash64(lit(v).cast(dt)).as(s"h$i") }: _*)
+          .head()
+        val hs = Array.tabulate(values.size)(row.getLong)
+        val dropped = spark.read
+          .parquet(bloomDirFor(bv, column).toString)
+          .select("file_rel", "bloom").as[(String, Array[Byte])]
+          .mapPartitions(_.collect {
+            case (f, b)
+              if !VersionedTable.bloomMightContainAny(b, hs) => f
+          })
+          .collect().toSet
+        m.entries.filterNot(e => dropped.contains(e.relPath))
     }
   }
 
@@ -1958,6 +2062,30 @@ final class VersionedTable(spark: SparkSession, root: String) {
           if (kept.isEmpty) fs.delete(dir, true)
           else garbage.foreach(fs.delete(_, false))
         }
+      }
+    }
+    // bloom sidecars: lookups only ever consult the NEWEST sidecar
+    // ≤ current per column ([[bloomVersionFor]]) — anything older is
+    // dead weight left behind by maintenance refreshes
+    val bloomRoot = new Path(root, "_bloom")
+    if (fs.exists(bloomRoot)) {
+      val vRe = """^v(\d+)$""".r
+      val dirs = fs.listStatus(bloomRoot).toSeq.map(_.getPath)
+        .flatMap(p => p.getName match {
+          case vRe(d) => Some(d.toLong -> p)
+          case _ => None
+        })
+      val newestPerCol: Map[String, Long] = dirs.flatMap { case (d, p) =>
+        if (d <= cur) fs.listStatus(p).toSeq
+          .map(_.getPath.getName -> d)
+        else Seq.empty
+      }.groupMapReduce(_._1)(_._2)(_ max _)
+      dirs.foreach { case (d, p) =>
+        fs.listStatus(p).toSeq.foreach { c =>
+          if (newestPerCol.get(c.getPath.getName).exists(_ > d))
+            fs.delete(c.getPath, true)
+        }
+        if (fs.listStatus(p).isEmpty) fs.delete(p, true)
       }
     }
     drop
@@ -2429,6 +2557,19 @@ object VersionedTable {
     * claim→fill gap (microseconds); low enough that a crashed writer
     * doesn't wedge its version number for long. */
   val claimGraceMs: Long = 600000L
+
+  /** Executor-side bloom probe: does the serialized per-file bloom
+    * claim ANY of the probe hashes? Lives in the companion so the
+    * planning task closure captures no table state — and so
+    * [[VersionedTable.bloomPlannedEntries]] provably never
+    * deserializes a bloom on the driver (BloomIndexSpec pins its body
+    * lexically: no `readFrom` outside this helper). */
+  private[io] def bloomMightContainAny(bytes: Array[Byte],
+      hs: Array[Long]): Boolean = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    hs.exists(bf.mightContainLong)
+  }
 }
 
 final case class HistoryEntry(
