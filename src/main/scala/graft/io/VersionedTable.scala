@@ -1301,6 +1301,30 @@ final class VersionedTable(spark: SparkSession, root: String) {
         s"$root v$fromV..v$toV")
     val fromByPath = fromM.entries.map(e => e.relPath -> e).toMap
     val toByPath = toM.entries.map(e => e.relPath -> e).toMap
+    // REWRITE-ONLY FAST PATH: when every commit in (fromV, toV] is a
+    // value-preserving layout op (OPTIMIZE / REORG PURGE — both carry
+    // each surviving row's id and values by contract), the feed is
+    // empty BY CONSTRUCTION — answer from the history alone instead
+    // of proving emptiness with a table-sized self-join (the relPath
+    // churn otherwise puts every file in both delta sets, so an
+    // OPTIMIZE inside the window degraded the read to O(table)).
+    // The version-count guard keeps the path honest if any history
+    // line is unreadable: missing lines fall through to the diff.
+    val windowOps = history(limit = Int.MaxValue)
+      .filter(h => h.version > fromV && h.version <= toV)
+    val rewriteOnly = windowOps.size == (toV - fromV) &&
+      windowOps.forall(h =>
+        h.operation == "OPTIMIZE" || h.operation == "REORG PURGE")
+    if (rewriteOnly) {
+      val fields = org.apache.spark.sql.types.StructField(
+          RowIdCol, org.apache.spark.sql.types.LongType) +:
+        logicalSchema(toM).fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(fields))
+    }
     def dvChanged(a: ManifestEntry, b: ManifestEntry) =
       a.dvDir != b.dvDir || a.dvRows != b.dvRows
     // a surviving file whose DV changed joins on BOTH sides: its

@@ -89,8 +89,13 @@ class RowTrackingSpec extends AnyFunSuite {
     vt.compact(targetFileMB = 1)
     assert(rids(vt.readWithRowIds()) === ids0,
       "compaction preserves every id")
-    assert(vt.changesWithUpdates(v0, vt.currentVersion.get).count() === 0L,
-      "a pure layout change is not a change")
+    val feed0 = vt.changesWithUpdates(v0, vt.currentVersion.get)
+    assert(feed0.count() === 0L, "a pure layout change is not a change")
+    // the rewrite-only window answers from HISTORY, not a table diff:
+    // the plan must contain no file scan at all
+    val plan0 = feed0.queryExecution.executedPlan.toString
+    assert(!plan0.contains("Scan parquet") && !plan0.contains("FileScan"),
+      s"compaction-only window must plan zero data-file reads:\n$plan0")
 
     // DV-delete then purge: the delete IS a change, the purge is not
     vt.deleteVectorizedIn("id", Set(5L, 6L))
@@ -101,8 +106,14 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(dels.select("id").as[Long].collect().sorted.toSeq
       === Seq(5L, 6L))
     vt.reorgPurge()
-    assert(vt.changesWithUpdates(vDel, vt.currentVersion.get).count() === 0L,
-      "purge moves bytes, never rows")
+    val feedP = vt.changesWithUpdates(vDel, vt.currentVersion.get)
+    assert(feedP.count() === 0L, "purge moves bytes, never rows")
+    val planP = feedP.queryExecution.executedPlan.toString
+    assert(!planP.contains("Scan parquet") && !planP.contains("FileScan"),
+      "purge-only window must plan zero data-file reads")
+    // a window MIXING a rewrite with a real change still diffs right
+    assert(vt.changesWithUpdates(v0, vt.currentVersion.get)
+      .select("_change_type").as[String].collect().toSet === Set("delete"))
     assert(rids(vt.readWithRowIds()).size === 198)
   }
 
