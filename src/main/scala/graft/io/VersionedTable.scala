@@ -1537,23 +1537,45 @@ final class VersionedTable(spark: SparkSession, root: String) {
           .getOrElse("none")})"))
   }
 
-  private val dayGenRe = "^day\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
+  private val genExprRe =
+    "^(day|to_date|month|hour)\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
+
+  /** The generator grammar: each form names the UTC truncation the
+    * WRITER must render the partition value in (zero-padded, so the
+    * string order IS the time order and pruning is one lexicographic
+    * range test). `day`/`to_date` → `yyyy-MM-dd`, `month` →
+    * `yyyy-MM`, `hour` → `yyyy-MM-dd-HH` (hyphenated: path-safe).
+    * Writers produce it with
+    * `date_format(col, <pattern>)` under a UTC session. */
+  private def genFormat(gen: String): Option[(String, String, scala.util.matching.Regex)] =
+    gen match {
+      case genExprRe(kind, src) =>
+        val (pattern, valueRe) = kind match {
+          case "day" | "to_date" =>
+            ("yyyy-MM-dd", """^\d{4}-\d{2}-\d{2}$""".r)
+          case "month" => ("yyyy-MM", """^\d{4}-\d{2}$""".r)
+          case "hour" =>
+            ("yyyy-MM-dd-HH", """^\d{4}-\d{2}-\d{2}-\d{2}$""".r)
+        }
+        Some((src, pattern, valueRe))
+      case _ => None
+    }
 
   /** Declare a GENERATED partition column (Delta `GENERATED ALWAYS
     * AS` pruning semantics) as a manifest-only commit: `partCol`'s
-    * value is `genExpr` of a source column — grammar currently
-    * `day(<tsCol>)`, the UTC calendar day (`yyyy-MM-dd`) of a
-    * timestamp. From then on a `TsRange` predicate on the SOURCE
-    * column prunes the derived partitions directly (the writer
-    * remains responsible for actually computing the column — same
-    * contract as Delta, where the writer path enforces generation).
-    * Appends inherit the declaration like partitioning does. */
+    * value is `genExpr` of a source column — grammar `day(<tsCol>)`
+    * / `to_date(<tsCol>)` (UTC calendar day, `yyyy-MM-dd`),
+    * `month(<tsCol>)` (`yyyy-MM`), `hour(<tsCol>)`
+    * (`yyyy-MM-dd-HH`). From then on a `TsRange` predicate on the
+    * SOURCE column prunes the derived partitions directly (the
+    * writer remains responsible for actually computing the column —
+    * same contract as Delta, where the writer path enforces
+    * generation). Appends inherit the declaration like partitioning
+    * does. */
   def recordGenerated(partCol: String, genExpr: String): Long = {
-    val src = genExpr match {
-      case dayGenRe(s) => s
-      case _ => sys.error(
-        s"unsupported generator '$genExpr' (grammar: day(<col>))")
-    }
+    val src = genFormat(genExpr).map(_._1).getOrElse(sys.error(
+      s"unsupported generator '$genExpr' (grammar: day(<col>), " +
+        "to_date(<col>), month(<col>), hour(<col>))"))
     commitWithRebase(rebase = false) { () =>
       val curV = currentVersion.getOrElse(
         sys.error(s"table $root does not exist"))
@@ -1577,27 +1599,30 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   /** Survive-test derived from the generated-column declarations: a
     * `TsRange` on a generator's SOURCE column excludes files whose
-    * generated partition DAY lies outside the range's UTC day span.
-    * Files with no partition value for the column are kept
-    * (conservative, like all stats pruning). */
+    * generated partition value lies outside the range's UTC span at
+    * the generator's granularity. The truncation formats are
+    * zero-padded, so string order IS time order and the test is one
+    * lexicographic range check per entry — after validating the
+    * value's shape first: files whose partition value doesn't parse
+    * (foreign spellings, missing values) are kept, conservative like
+    * all stats pruning. */
   private def generatedSurvives(m: VersionManifest,
       preds: Seq[VersionedTable.TablePredicate])
       : ManifestEntry => Boolean = {
-    val dayTests: Seq[ManifestEntry => Boolean] = for {
+    val tests: Seq[ManifestEntry => Boolean] = for {
       (partCol, gen) <- m.generated
-      src <- dayGenRe.findFirstMatchIn(gen).map(_.group(1)).toSeq
+      (src, pattern, valueRe) <- genFormat(gen).toSeq
       VersionedTable.TsRange(c, loIso, hiIso) <- preds if c == src
     } yield {
-      val loDay = java.time.Instant.parse(loIso)
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate
-      val hiDay = java.time.Instant.parse(hiIso)
-        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      val fmt = java.time.format.DateTimeFormatter.ofPattern(pattern)
+        .withZone(java.time.ZoneOffset.UTC)
+      val loStr = fmt.format(java.time.Instant.parse(loIso))
+      val hiStr = fmt.format(java.time.Instant.parse(hiIso))
       (e: ManifestEntry) => e.partitionValues.get(partCol).forall { v =>
-        scala.util.Try(java.time.LocalDate.parse(v)).toOption.forall(d =>
-          !d.isBefore(loDay) && !d.isAfter(hiDay))
+        !valueRe.matches(v) || (v >= loStr && v <= hiStr)
       }
     }
-    e => dayTests.forall(_(e))
+    e => tests.forall(_(e))
   }
 
   /** M5: restore — a NEW version whose manifest is a copy of the

@@ -696,6 +696,36 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** GENERATED hour() PRUNING under the oracle (q182): the
+    * hour-partitioned layout every streaming ingest lands in —
+    * events partitioned by an `hr` column the writer derives as the
+    * UTC `yyyy-MM-dd-HH` truncation of `ts`, declared
+    * `hr = hour(ts)` (the generator grammar past day(): to_date /
+    * month / hour). A timestamp-range read on the SOURCE column then
+    * prunes whole HOUR partitions straight from the manifest — a
+    * sub-day window on a 100 TB events table plans ~20 partitions
+    * instead of a month of them, with the row predicate on top for
+    * boundary exactness. The oracle is the plain `ts BETWEEN`, so
+    * over- OR under-pruning hash-mismatches. */
+  def generatedHourPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-genhour")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    // a week-long slice keeps the fixture at ~170 hour partitions
+    val slice = load(spark, dir, "events")
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-17 00:00:00").cast("timestamp"))
+    vt.write(slice
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        date_format(col("ts"), "yyyy-MM-dd-HH").as("hr")),
+      partitionBy = Some(Seq("hr")))
+    vt.recordGenerated("hr", "hour(ts)")
+    vt.readWhereTimestamp("ts",
+        "2024-01-12T06:30:00Z", "2024-01-13T02:15:00Z")
+      .select("event_id", "user_id", "event_type", "hr")
+      .orderBy("event_id")
+  }
+
   /** HIVE-PARTITION PRUNING under the oracle (q149, previously
     * spec-only): orders committed hive-partitioned by a derived
     * bucket column, then `readWherePartitionIn` plans only the
@@ -1527,6 +1557,7 @@ object Relational {
     "q163_column_mapping" -> columnMappingRead,
     "q170_zorder_skipping" -> zorderSkippingRead,
     "q171_generated_pruning" -> generatedPrunedRead,
+    "q182_generated_hour" -> generatedHourPrunedRead,
     "q173_bucketed_join" -> bucketedJoin,
     "q176_check_constraints" -> constraintGatedTable,
     "q177_bloom_lookup" -> bloomPointLookup,
@@ -1805,6 +1836,15 @@ object Relational {
          FROM events
          WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 06:00:00'
            AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-13 18:00:00'
+         ORDER BY event_id""",
+    "q182_generated_hour" ->
+      // hr derives as the UTC hour truncation on both sides; the
+      // narrow window sits strictly inside the written week slice
+      """SELECT event_id, user_id, event_type,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d-%H') AS hr
+         FROM events
+         WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-12 06:30:00'
+           AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-13 02:15:00'
          ORDER BY event_id""",
     "q170_zorder_skipping" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -147,7 +147,7 @@ class ColumnMappingSpec extends AnyFunSuite {
     // guards
     intercept[RuntimeException](vt.recordGenerated("day", "day(ts)"))
     intercept[RuntimeException](vt.recordGenerated("nope", "day(ts)"))
-    intercept[RuntimeException](vt.recordGenerated("day", "hour(ts)"))
+    intercept[RuntimeException](vt.recordGenerated("day", "year(ts)"))
   }
 
   test("row-level UPDATE and range DELETE address LOGICAL names on a " +

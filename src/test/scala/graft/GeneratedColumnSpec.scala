@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VersionedTable
+import graft.io.VersionedTable.TsRange
+
+/** Generated-column partition pruning (Delta GENERATED ALWAYS AS),
+  * one pin per grammar form: a TsRange on the SOURCE column must plan
+  * exactly the overlapped derived partitions — day(<col>) is covered
+  * by ColumnMappingSpec; here hour / month / to_date, plus the
+  * conservative keep for foreign partition spellings and the grammar
+  * guard. */
+class GeneratedColumnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(iso: String) =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  test("hour(ts): a sub-day range plans exactly the overlapped hours") {
+    val root = Fixtures.tempDir("gen-hour") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    // 3 days x 24 hourly events at :30 past
+    val rows = for (d <- 1 to 3; h <- 0 until 24) yield
+      ((d * 100 + h).toLong, ts(f"2024-03-0$d%dT$h%02d:30:00Z"))
+    vt.write(rows.toDF("id", "ts")
+      .withColumn("hr", date_format(col("ts"), "yyyy-MM-dd-HH")),
+      partitionBy = Some(Seq("hr")))
+    vt.recordGenerated("hr", "hour(ts)")
+    val planned = vt.matchingEntries(
+        TsRange("ts", "2024-03-02T05:10:00Z", "2024-03-02T08:45:00Z"))
+      .flatMap(_.partitionValues.get("hr")).toSet
+    assert(planned === Set("2024-03-02-05", "2024-03-02-06",
+      "2024-03-02-07", "2024-03-02-08"),
+      s"hour pruning planned wrong partitions: $planned")
+    val ids = vt.readWhereTimestamp("ts",
+        "2024-03-02T05:10:00Z", "2024-03-02T08:45:00Z")
+      .select("id").as[Long].collect().sorted
+    assert(ids === Array(205L, 206L, 207L, 208L))
+  }
+
+  test("month(ts): a cross-month range plans exactly the overlapped " +
+    "months") {
+    val root = Fixtures.tempDir("gen-month") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val rows = for (m <- 1 to 6; d <- Seq(5, 20)) yield
+      ((m * 100 + d).toLong, ts(f"2024-$m%02d-$d%02dT12:00:00Z"))
+    vt.write(rows.toDF("id", "ts")
+      .withColumn("mth", date_format(col("ts"), "yyyy-MM")),
+      partitionBy = Some(Seq("mth")))
+    vt.recordGenerated("mth", "month(ts)")
+    val planned = vt.matchingEntries(
+        TsRange("ts", "2024-02-10T00:00:00Z", "2024-04-10T00:00:00Z"))
+      .flatMap(_.partitionValues.get("mth")).toSet
+    assert(planned === Set("2024-02", "2024-03", "2024-04"),
+      s"month pruning planned wrong partitions: $planned")
+    val ids = vt.readWhereTimestamp("ts",
+        "2024-02-10T00:00:00Z", "2024-04-10T00:00:00Z")
+      .select("id").as[Long].collect().sorted
+    assert(ids === Array(220L, 305L, 320L, 405L))
+  }
+
+  test("to_date(ts): day-granularity pruning, day() alias semantics") {
+    val root = Fixtures.tempDir("gen-todate") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val rows = for (d <- 1 to 9) yield
+      (d.toLong, ts(f"2024-05-0$d%dT08:00:00Z"))
+    vt.write(rows.toDF("id", "ts")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd")),
+      partitionBy = Some(Seq("dt")))
+    vt.recordGenerated("dt", "to_date(ts)")
+    val planned = vt.matchingEntries(
+        TsRange("ts", "2024-05-03T00:00:00Z", "2024-05-04T23:59:59Z"))
+      .flatMap(_.partitionValues.get("dt")).toSet
+    assert(planned === Set("2024-05-03", "2024-05-04"))
+    assert(vt.readWhereTimestamp("ts",
+        "2024-05-03T00:00:00Z", "2024-05-04T23:59:59Z")
+      .select("id").as[Long].collect().sorted === Array(3L, 4L))
+  }
+
+  test("foreign partition spellings are kept, never pruned") {
+    val root = Fixtures.tempDir("gen-foreign") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    // writer rendered the partition in a NON-contract spelling: the
+    // declaration must not prune what it cannot parse. The file's ts
+    // span straddles the probe range so timestamp STATS cannot prune
+    // it either — the generator test is the only decider.
+    vt.write(Seq(
+        (1L, ts("2024-03-02T05:30:00Z"), "march-mixed"),
+        (2L, ts("2030-06-01T00:00:00Z"), "march-mixed"))
+      .toDF("id", "ts", "hr").coalesce(1),
+      partitionBy = Some(Seq("hr")))
+    vt.recordGenerated("hr", "hour(ts)")
+    val planned = vt.matchingEntries(
+      TsRange("ts", "2030-01-01T00:00:00Z", "2030-12-31T00:00:00Z"))
+    assert(planned.nonEmpty,
+      "unparseable partition values must survive pruning (conservative)")
+  }
+
+  test("grammar guard: unsupported generator forms are refused") {
+    val root = Fixtures.tempDir("gen-guard") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, ts("2024-01-01T00:00:00Z"), "2024"))
+      .toDF("id", "ts", "y"), partitionBy = Some(Seq("y")))
+    intercept[RuntimeException](vt.recordGenerated("y", "year(ts)"))
+    intercept[RuntimeException](vt.recordGenerated("y", "minute(ts)"))
+    intercept[RuntimeException](vt.recordGenerated("y", "day(ts)+1"))
+  }
+}

