@@ -2079,7 +2079,42 @@ final class VersionedTable(spark: SparkSession, root: String) {
       orphanGraceMs: Long = 3600000L): Seq[Long] = {
     val cur = currentVersion.getOrElse(return Seq.empty)
     val committed = committedVersions
-    val keep = committed.filter(v => v == cur || v > cur - retainVersions)
+    vacuumKeeping(committed.filter(v => v == cur ||
+      v > cur - retainVersions), orphanGraceMs)
+  }
+
+  /** TIME-based retention — the reference's operational idiom
+    * (`vacuum(retention_hours=h)`, utils/delta_ops.py:65-104; the
+    * runbook's "retain 168 hours"): drop every version whose COMMIT
+    * TIMESTAMP (checkpointed history) is older than `retentionHours`
+    * before `nowMs`, always keeping the current version. Version
+    * count ≠ wall time under bursty commit rates — a streaming sink
+    * commits thousands of versions a day, so "keep 2 versions" and
+    * "keep 7 days" are different promises; this is the one a
+    * retention runbook makes. Versions with no readable history line
+    * are KEPT (conservative — never GC on missing evidence). `nowMs`
+    * is injectable for deterministic tests. */
+  def vacuumRetainHours(retentionHours: Double,
+      orphanGraceMs: Long = 3600000L,
+      nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    val cur = currentVersion.getOrElse(return Seq.empty)
+    val cutoffMs = nowMs - (retentionHours * 3600000.0).toLong
+    val tsByVersion: Map[Long, Long] = history(limit = Int.MaxValue)
+      .flatMap(h => scala.util.Try(
+        h.version -> java.time.Instant.parse(h.timestamp).toEpochMilli)
+        .toOption).toMap
+    vacuumKeeping(committedVersions.filter(v => v == cur ||
+      tsByVersion.get(v).forall(_ >= cutoffMs)), orphanGraceMs)
+  }
+
+  /** The shared GC pass under an explicit keep-set: drop the other
+    * manifests, roll history, then reclaim every data file, DV
+    * sidecar dir, and superseded bloom sidecar no retained manifest
+    * references. */
+  private def vacuumKeeping(keep: Seq[Long],
+      orphanGraceMs: Long): Seq[Long] = {
+    val cur = currentVersion.getOrElse(return Seq.empty)
+    val committed = committedVersions
     val drop = committed.diff(keep)
     drop.foreach(v => fs.delete(manifestPath(v), false))
     if (drop.nonEmpty) {

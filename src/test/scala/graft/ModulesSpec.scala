@@ -922,6 +922,32 @@ class VersionedTableSpec extends AnyFunSuite {
       "restore-shared files must survive vacuum of the original version")
   }
 
+  test("time-based vacuum: commit ts older than the horizon drops, " +
+    "newer keeps, current always survives (injected clock)") {
+    val root = Fixtures.tempDir("graft-vt-hours") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a")).toDF("id", "v")) // v0
+    vt.write(Seq((2L, "b")).toDF("id", "v"), SaveMode.Append) // v1
+    vt.write(Seq((3L, "c")).toDF("id", "v"), SaveMode.Append) // v2
+    val hist = vt.history()
+    def tsOf(v: Long) = java.time.Instant
+      .parse(hist.find(_.version == v).get.timestamp).toEpochMilli
+    assert(tsOf(1L) < tsOf(2L), "commit instants must be distinct")
+    // clock pinned so the horizon falls exactly ON v2's commit:
+    // v2 (ts >= cutoff) kept, v0/v1 (strictly older) dropped
+    val retainH = 2.0
+    val dropped = vt.vacuumRetainHours(retainH, orphanGraceMs = 0L,
+      nowMs = tsOf(2L) + (retainH * 3600000).toLong)
+    assert(dropped.toSet === Set(0L, 1L))
+    assert(vt.committedVersions === Seq(2L))
+    assert(vt.read().count() === 3, "current snapshot intact")
+    // the current version NEVER drops, however old
+    val dropped2 = vt.vacuumRetainHours(0.001, orphanGraceMs = 0L,
+      nowMs = tsOf(2L) + 86400000L)
+    assert(dropped2.isEmpty)
+    assert(vt.read().count() === 3)
+  }
+
   test("partitioned table: metadata inheritance + manifest partition pruning") {
     val root = Fixtures.tempDir("graft-vt-part") + "/tbl"
     val vt = new VersionedTable(spark, root)
