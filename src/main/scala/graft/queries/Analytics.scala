@@ -709,6 +709,57 @@ object Analytics {
       .orderBy("click_id", "view_id")
   }
 
+  /** STREAM-STREAM LEFT-OUTER INTERVAL JOIN under the oracle (q183):
+    * q172's attribution join in the shape real pipelines need —
+    * every click accounted for: matched pairs emit like the inner
+    * join, and a click with NO view inside its 24 h window emits
+    * once with null view columns, but only after the event-time
+    * watermark provably passes its join horizon. Under
+    * `Trigger.AvailableNow` the final watermark is
+    * min(max click_ts, max view_ts) (both delays 0), so the emitted
+    * set is deterministic and the oracle replays it exactly: batch
+    * left join, unmatched rows kept only where
+    * `click_ts + 24 h < watermark` — at sf0.01 that splits 1260
+    * emitted null-rows from 46 horizon-suppressed ones, so a join
+    * that emits unmatched rows too early (or never) hash-mismatches.
+    * At 100 TB the state story is [[q172]]'s: O(24 h horizon) per
+    * side, left state dropped at the same watermark crossing that
+    * emits its null row. */
+  def streamStreamOuterAttribution(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-outer").toString
+    ev.write.mode("overwrite").parquet(srcDir)
+    def side(t: String): DataFrame =
+      spark.readStream.schema(ev.schema).parquet(srcDir)
+        .filter(col("event_type") === t)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = side("view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    val joined = graft.streaming.Streaming.intervalJoinLeftOuter(
+      clicks, "click_ts", "0 seconds", views, "view_ts", "0 seconds",
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+    val mem = "q183_stream_outer"
+    spark.catalog.dropTempView(mem)
+    val q = joined.writeStream.format("memory").queryName(mem)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(mem)
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        expr("(unix_micros(view_ts) - unix_micros(click_ts)) div 60000000")
+          .as("lag_min"))
+      .orderBy("click_id", "view_id")
+  }
+
   /** SINGLE-SOURCE BFS over the part co-occurrence graph (q181;
     * `graph.Bfs`): exact shortest hop counts from the smallest part
     * node, capped at 3 hops — the reachability/radius primitive
@@ -911,6 +962,7 @@ object Analytics {
     "q167_typed_udaf" -> typedMicroStats,
     "q169_session_window" -> nativeSessionWindow,
     "q172_stream_stream_join" -> streamStreamAttribution,
+    "q183_stream_outer_join" -> streamStreamOuterAttribution,
     "q174_markov_transitions" -> markovTransitions,
     "q175_triangle_count" -> triangleCount
   )
@@ -959,6 +1011,38 @@ object Analytics {
            CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
          FROM t JOIN tot ON t.prev_type = tot.prev_type
          ORDER BY 1, 2""",
+    "q183_stream_outer_join" ->
+      // batch LEFT join + the watermark emission rule: unmatched
+      // clicks appear ONLY where the final watermark
+      // (min of both sides' max event time, delay 0) passed the
+      // click's 24 h join horizon — emitted-vs-suppressed is part of
+      // the hash
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events
+           WHERE event_type IN ('click', 'view')),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM e WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM e WHERE event_type = 'view'),
+         wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                             (SELECT max(view_ts) FROM v)) AS w),
+         m AS (SELECT c.user_id, click_id, view_id,
+                 CAST((epoch_us(view_ts) - epoch_us(click_ts)) // 60000000
+                   AS BIGINT) AS lag_min
+               FROM c JOIN v ON c.user_id = v.user_id
+                 AND view_ts >= click_ts
+                 AND view_ts <= click_ts + INTERVAL 24 HOUR),
+         u AS (SELECT c.user_id, click_id,
+                 CAST(NULL AS BIGINT) AS view_id,
+                 CAST(NULL AS BIGINT) AS lag_min
+               FROM c, wm
+               WHERE c.click_ts + INTERVAL 24 HOUR < wm.w
+                 AND NOT EXISTS (SELECT 1 FROM v
+                   WHERE v.user_id = c.user_id
+                     AND v.view_ts >= c.click_ts
+                     AND v.view_ts <= c.click_ts + INTERVAL 24 HOUR))
+         SELECT * FROM m UNION ALL SELECT * FROM u
+         ORDER BY click_id, view_id NULLS FIRST""",
     "q172_stream_stream_join" ->
       // the BATCH interval join: the stream-stream emitted multiset
       // must equal it exactly (lag is exact integer-us division)

@@ -202,6 +202,28 @@ object Streaming {
     left.withWatermark(leftTsCol, leftDelay)
       .join(right.withWatermark(rightTsCol, rightDelay), cond)
 
+  /** STREAM-STREAM LEFT-OUTER interval join — the attribution shape
+    * production pipelines actually need (every click accounted for:
+    * converted OR provably unconverted). Matched pairs emit exactly
+    * like the inner join, as soon as both rows are present; an
+    * UNMATCHED left row emits once, right columns null, only after
+    * the event-time watermark passes its join horizon (left ts +
+    * range bound) — before that a match could still arrive, so
+    * emitting earlier would be wrong, and never emitting would lose
+    * the row. Same state bound as [[intervalJoin]]: each side
+    * buffers O(watermark + range horizon); the left row's state is
+    * DROPPED at the same watermark crossing that emits its null row.
+    * Under `Trigger.AvailableNow` the trailing no-data batch
+    * advances the watermark to max(event time) − delay (min across
+    * the two streams), so the emitted set is deterministic: batch
+    * left join restricted to left rows whose horizon the final
+    * watermark passed — exactly what the q183 oracle replays. */
+  def intervalJoinLeftOuter(left: DataFrame, leftTsCol: String,
+      leftDelay: String, right: DataFrame, rightTsCol: String,
+      rightDelay: String, cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTsCol, leftDelay)
+      .join(right.withWatermark(rightTsCol, rightDelay), cond, "left_outer")
+
   // ------------------------------------------------------------ sessions
 
   final case class SessionEvent(key: String, ts: java.sql.Timestamp)

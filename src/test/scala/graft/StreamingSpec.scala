@@ -273,6 +273,61 @@ class StreamingSpec extends AnyFunSuite {
         s"only-batch=${expected -- got}")
   }
 
+  test("intervalJoinLeftOuter: unmatched rows emit ONLY after the " +
+    "watermark passes their join horizon") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // clicks: A matches a view; B unmatched, horizon PASSED by the
+    // final watermark; C unmatched, horizon NOT passed (1 h before
+    // the watermark frontier); L pushes the click-side watermark.
+    // view VZ pushes the view-side watermark (user nobody matches).
+    val t0 = ts("2024-06-01 00:00:00")
+    def plus(base: Timestamp, h: Double): Timestamp =
+      new Timestamp(base.getTime + (h * 3600000).toLong)
+    val tLate = plus(t0, 80.0)
+    val dir = Fixtures.tempDir("outer-join-src")
+    val clicks0 = Seq(
+      ("a", 1L, t0),
+      ("b", 2L, plus(t0, 1.0)),
+      ("c", 3L, plus(tLate, -1.0)),
+      ("l", 4L, tLate))
+    val views0 = Seq(
+      ("a", 100L, plus(t0, 0.5)),
+      ("zz", 101L, tLate))
+    clicks0.toDF("user_id", "click_id", "click_ts")
+      .write.parquet(s"$dir/clicks")
+    views0.toDF("v_user_id", "view_id", "view_ts")
+      .write.parquet(s"$dir/views")
+    val clicks = spark.readStream
+      .schema("user_id string, click_id long, click_ts timestamp")
+      .parquet(s"$dir/clicks")
+    val views = spark.readStream
+      .schema("v_user_id string, view_id long, view_ts timestamp")
+      .parquet(s"$dir/views")
+    val joined = graft.streaming.Streaming.intervalJoinLeftOuter(
+      clicks, "click_ts", "0 seconds", views, "view_ts", "0 seconds",
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+    val mem = "outer_join_spec"
+    spark.catalog.dropTempView(mem)
+    val q = joined.writeStream.format("memory").queryName(mem)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(mem)
+      .select(col("click_id"), col("view_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    // watermark = min(max click_ts, max view_ts) = tLate.
+    // A: matched. B: horizon t0+25h < tLate → null row emitted.
+    // C: horizon tLate+23h > tLate → suppressed (a view could still
+    // come). L: horizon not passed either → suppressed.
+    assert(rows === Set((1L, Some(100L)), (2L, None)),
+      s"got $rows — unmatched rows must emit exactly when the " +
+        "watermark passes their horizon, never before")
+  }
+
   test("sessionize rejects a non-positive gap") {
     import spark.implicits._
     import graft.streaming.Streaming.{SessionEvent, sessionize}
