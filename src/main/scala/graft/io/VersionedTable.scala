@@ -927,9 +927,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * files a clone still references breaks the clone. Clone for
     * short-lived sandboxes, or retain source history for the clone's
     * lifetime. */
-  def shallowCloneTo(destRoot: String): VersionedTable = {
-    val curV = currentVersion.getOrElse(
-      sys.error(s"table $root does not exist"))
+  def shallowCloneTo(destRoot: String,
+      asOfVersion: Option[Long] = None): VersionedTable = {
+    // CLONE ... VERSION AS OF: pin the clone to any retained version
+    // (the "reproduce last week's training run" sandbox); default is
+    // the current snapshot
+    val curV = asOfVersion.getOrElse(currentVersion.getOrElse(
+      sys.error(s"table $root does not exist")))
+    require(manifestCommitted(curV),
+      s"version $curV does not exist at $root")
     val m = readManifest(curV)
     val dest = new VersionedTable(spark, destRoot)
     require(dest.currentVersion.isEmpty,
@@ -1079,6 +1085,42 @@ final class VersionedTable(spark: SparkSession, root: String) {
           .withColumnRenamed(RowIdCol, RowIdPhysCol).repartition(n),
         _ => false, "OPTIMIZE")
     else write(read().repartition(n), SaveMode.Overwrite, "OPTIMIZE")
+    refreshBloomIndexes(v)
+    v
+  }
+
+  /** OPTIMIZE WHERE (Delta `OPTIMIZE tbl WHERE part IN (...)`):
+    * compact ONLY the selected partitions' files — every other
+    * partition's manifest entries survive byte-identically (never
+    * read, never rewritten). This is how compaction is actually run
+    * at 100 TB: yesterday's hot partition gets its small streamed
+    * files folded while the other 10 000 partitions cost nothing.
+    * DV masks on the selected partitions are purged by the rewrite
+    * (survivors only), like [[compact]]; tracked tables carry row
+    * ids through. The operation string stays "OPTIMIZE"-prefixed so
+    * the [[changesWithUpdates]] rewrite-only fast path applies.
+    * Returns the current version unchanged when nothing matches. */
+  def compactWhere(partCol: String, values: Set[String],
+      targetFileMB: Int = 128): Long = {
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    require(m.partitionBy.contains(partCol),
+      s"$partCol is not a partition column of $root " +
+        s"(partitioned by: ${m.partitionBy.mkString(",")})")
+    def selected(e: ManifestEntry): Boolean =
+      e.partitionValues.get(partCol).exists(values.contains)
+    val target = m.entries.filter(selected)
+    if (target.isEmpty) return curV
+    val n = math.max(1L, target.map(_.bytes).sum /
+      (targetFileMB.toLong * 1024 * 1024)).toInt
+    val src =
+      if (m.rowIdHw.isDefined)
+        logicalize(m, readFilesPhysicalRid(m, target)).repartition(n)
+      else readFiles(m, target).repartition(n)
+    val v = replaceWhere(src, e => !selected(e),
+      s"OPTIMIZE WHERE $partCol IN (${values.toSeq.sorted.mkString(",")})",
+      basisVersion = Some(curV))
     refreshBloomIndexes(v)
     v
   }
@@ -1314,7 +1356,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .filter(h => h.version > fromV && h.version <= toV)
     val rewriteOnly = windowOps.size == (toV - fromV) &&
       windowOps.forall(h =>
-        h.operation == "OPTIMIZE" || h.operation == "REORG PURGE")
+        h.operation.startsWith("OPTIMIZE") || // incl. OPTIMIZE WHERE
+          h.operation == "REORG PURGE")
     if (rewriteOnly) {
       val fields = org.apache.spark.sql.types.StructField(
           RowIdCol, org.apache.spark.sql.types.LongType) +:

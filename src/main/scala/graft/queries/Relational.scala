@@ -748,6 +748,32 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** OPTIMIZE WHERE under the oracle (q186): partition-scoped
+    * compaction — the way OPTIMIZE actually runs at 100 TB, folding
+    * yesterday's hot partition's small streamed files while the
+    * other ten thousand partitions are never read. The chain: two
+    * appends build multi-file hive partitions, a DV delete masks a
+    * range, then `compactWhere` rewrites ONLY buckets 2 and 5
+    * (purging their masks; the other buckets' entries survive
+    * byte-identically — spec-pinned). The oracle is the final
+    * relational state, so a compaction that loses rows, resurrects
+    * masked rows, or touches the wrong partitions hash-mismatches. */
+  def compactWhereRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-optwhere")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val base = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderkey") % 8).cast("string").as("bucket"))
+    vt.write(base.filter(col("o_orderkey") % 2 === 0),
+      partitionBy = Some(Seq("bucket")))
+    vt.write(base.filter(col("o_orderkey") % 2 === 1),
+      org.apache.spark.sql.SaveMode.Append)
+    vt.deleteVectorized("o_orderkey", 500, 1500)
+    vt.compactWhere("bucket", Set("2", "5"))
+    vt.read().orderBy("o_orderkey")
+  }
+
   /** RESTORE under the oracle (q150, previously spec-only — M5): the
     * chain write v0 → DV-delete v1 → compact v2 → RESTORE v0 (as v3)
     * must read back EXACTLY the original rows — the time-travel undo
@@ -1558,6 +1584,7 @@ object Relational {
     "q170_zorder_skipping" -> zorderSkippingRead,
     "q171_generated_pruning" -> generatedPrunedRead,
     "q182_generated_hour" -> generatedHourPrunedRead,
+    "q186_optimize_where" -> compactWhereRead,
     "q173_bucketed_join" -> bucketedJoin,
     "q176_check_constraints" -> constraintGatedTable,
     "q177_bloom_lookup" -> bloomPointLookup,
@@ -1837,6 +1864,14 @@ object Relational {
          WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 06:00:00'
            AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-13 18:00:00'
          ORDER BY event_id""",
+    "q186_optimize_where" ->
+      // the final state after append+append -> DV delete ->
+      // partition-scoped OPTIMIZE: all orders minus the masked range
+      """SELECT o_orderkey, o_totalprice,
+           CAST(o_orderkey % 8 AS VARCHAR) AS bucket
+         FROM orders
+         WHERE NOT (o_orderkey BETWEEN 500 AND 1500)
+         ORDER BY o_orderkey""",
     "q182_generated_hour" ->
       // hr derives as the UTC hour truncation on both sides; the
       // narrow window sits strictly inside the written week slice

@@ -731,6 +731,67 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** JSONL INGEST with corrupt-record quarantine (q184): the shape
+    * every LLM-corpus ingest starts from — a line-delimited JSON feed
+    * where some lines are truncated/garbled, parsed with an explicit
+    * schema and the bad lines QUARANTINED, never dropped silently and
+    * never allowed to poison the batch. The fixture builds each line
+    * by pure-ASCII concatenation (identical bytes on both engines —
+    * no engine-specific JSON serialization in the fixture), truncates
+    * every 17th line into invalid JSON, then each engine runs its own
+    * REAL JSON parser: Spark `from_json` (permissive mode → all-null
+    * struct on corrupt input), DuckDB `json_valid`/`json_extract`.
+    * Output is the ingest ledger: parse status + extracted fields per
+    * line. Scale shape: narrow per-row parse, zero shuffles before
+    * the output sort — a 100 TB JSONL crawl parses at scan speed with
+    * the corrupt tail routed to a quarantine sink. */
+  def jsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    val line0 = format_string("""{"doc_id":%d,"lang":"%s","n":%d}""",
+      col("doc_id"), col("lang"), length(col("text")))
+    docs(spark, dir)
+      .select(col("doc_id"), line0.as("line0"))
+      .withColumn("line",
+        when(col("doc_id") % 17 === 0,
+          expr("substring(line0, 1, length(line0) - 5)"))
+          .otherwise(col("line0")))
+      .withColumn("p",
+        from_json(col("line"), "doc_id LONG, lang STRING, n LONG",
+          Map.empty[String, String]))
+      .select(col("doc_id"),
+        when(col("p.doc_id").isNotNull, 1L).otherwise(0L).as("ok"),
+        when(col("p.doc_id").isNotNull, col("p.lang")).as("lang_out"),
+        when(col("p.doc_id").isNotNull, col("p.n")).as("n_out"))
+      .orderBy("doc_id")
+  }
+
+  /** SLIDING-WINDOW CHUNKING (q185): documents cut into fixed-size
+    * token windows with stride overlap — the RAG/pretraining chunker
+    * (64-token windows, stride 48 ⇒ 16-token overlap). Tokens are
+    * exact whitespace splits (empties preserved, so rejoining
+    * reproduces the original slice byte-for-byte and the md5 CHUNK
+    * FINGERPRINT is engine-portable); chunk starts are
+    * `sequence(0, n-1, stride)`, the window a bounded array slice.
+    * Output: per-chunk token count + content fingerprint — the chunk
+    * table a retrieval index ingests. Scale shape: one narrow pass,
+    * output rows ∝ tokens/stride; the window arrays never leave the
+    * row, so a 100 TB corpus chunks at scan speed with zero
+    * shuffles. */
+  def slidingChunks(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("start", explode(sequence(lit(0),
+        greatest(size(col("toks")) - 1, lit(0)), lit(S))))
+      .select(col("doc_id"),
+        (col("start") / S).cast("long").as("chunk_idx"),
+        size(slice(col("toks"), col("start") + 1, lit(W))).cast("long")
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(W))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ------------------------------------------------------- sequence packing
 
   /** Sequence packing for pretraining (the concat-and-chop op): docs
@@ -2835,6 +2896,8 @@ object TrainingData {
     "q28_byte_stats" -> byteStats,
     "q161_audio_features" -> audioFeatures,
     "q162_html_strip" -> htmlStrip,
+    "q184_jsonl_ingest" -> jsonlIngest,
+    "q185_sliding_chunks" -> slidingChunks,
     "q166_fuzzy_pairs" -> fuzzyDupPairs,
     "q168_lm_quality" -> ((s, d) => lmQualityScore(s, d)),
     "q29_embed_neardup" -> embedNearDup,
@@ -3595,6 +3658,44 @@ object TrainingData {
           AND a.doc_id < b.doc_id
          WHERE levenshtein(a.key, b.key) <= 12
          ORDER BY id_a, id_b""",
+    "q184_jsonl_ingest" ->
+      // identical ASCII line fixture (concatenation, no JSON
+      // serializer), every 17th line truncated invalid; DuckDB's
+      // REAL JSON parser decides validity exactly like from_json
+      """WITH l AS (SELECT doc_id,
+             '{"doc_id":' || doc_id || ',"lang":"' || lang ||
+             '","n":' || length(text) || '}' AS line0
+           FROM documents),
+         c AS (SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN substr(line0, 1, length(line0) - 5)
+                  ELSE line0 END AS line
+           FROM l)
+         SELECT doc_id,
+           CAST(CASE WHEN json_valid(line) THEN 1 ELSE 0 END
+             AS BIGINT) AS ok,
+           CASE WHEN json_valid(line)
+                THEN json_extract_string(line, '$.lang') END AS lang_out,
+           CASE WHEN json_valid(line)
+                THEN CAST(json_extract(line, '$.n') AS BIGINT)
+             END AS n_out
+         FROM c ORDER BY doc_id""",
+    "q185_sliding_chunks" ->
+      // same whitespace tokenization (empties preserved), same
+      // 64/48 window arithmetic, same md5-of-rejoined-slice
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         x AS (SELECT doc_id, toks,
+             UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, 48))
+               AS start
+           FROM t)
+         SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + 64))
+             AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, start + 1, start + 64),
+             ' ')) AS chunk_md5
+         FROM x ORDER BY doc_id, chunk_idx""",
     "q162_html_strip" ->
       // identical chrome wrap + identical strip semantics (explicit
       // whitespace class, 'g' flag = Spark's replace-all default)

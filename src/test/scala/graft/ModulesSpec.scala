@@ -922,6 +922,36 @@ class VersionedTableSpec extends AnyFunSuite {
       "restore-shared files must survive vacuum of the original version")
   }
 
+  test("compactWhere: only the selected partitions rewrite; the rest " +
+    "survive byte-identically, masks purge, rows exact") {
+    val root = Fixtures.tempDir("graft-vt-optwhere") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    def frame(ids: Range) = ids.map(i => (i.toLong, (i % 3).toString))
+      .toDF("id", "p").repartition(4)
+    vt.write(frame(0 until 90), partitionBy = Some(Seq("p")))
+    vt.write(frame(90 until 180), SaveMode.Append)
+    vt.deleteVectorized("id", 10.0, 40.0) // masks across partitions
+    val before = vt.manifestEntries(vt.currentVersion.get)
+    def paths(es: Seq[graft.io.ManifestEntry], p: String) =
+      es.filter(_.partitionValues.get("p").contains(p)).map(_.relPath).toSet
+    val v = vt.compactWhere("p", Set("1"), targetFileMB = 128)
+    val after = vt.manifestEntries(v)
+    // untouched partitions: identical entries (same relPaths, same DVs)
+    assert(paths(after, "0") === paths(before, "0"))
+    assert(paths(after, "2") === paths(before, "2"))
+    // selected partition: rewritten (fresh paths), masks purged
+    assert(paths(after, "1").intersect(paths(before, "1")).isEmpty)
+    assert(after.filter(_.partitionValues.get("p").contains("1"))
+      .forall(_.dvDir.isEmpty), "rewrite must purge the selected DVs")
+    // rows exact: everything minus the deleted range
+    assert(vt.read().select("id").as[Long].collect().sorted.toSeq ===
+      (0L until 180L).filterNot(i => i >= 10 && i <= 40))
+    // no matching partition -> same version back
+    assert(vt.compactWhere("p", Set("nope")) === v)
+    intercept[IllegalArgumentException](
+      vt.compactWhere("id", Set("1")))
+  }
+
   test("time-based vacuum: commit ts older than the horizon drops, " +
     "newer keeps, current always survives (injected clock)") {
     val root = Fixtures.tempDir("graft-vt-hours") + "/tbl"

@@ -115,6 +115,28 @@ class ShallowCloneSpec extends AnyFunSuite {
     assert(clone.read().count() === 101)
   }
 
+  test("clone VERSION AS OF pins a historical snapshot; later source " +
+    "commits and the clone stay independent") {
+    val src = Fixtures.tempDir("clone-asof-src") + "/tbl"
+    val vt = new VersionedTable(spark, src)
+    vt.write((0L until 50L).map(i => (i, s"v$i")).toDF("id", "s")) // v0
+    val v0 = vt.currentVersion.get
+    vt.write((50L until 80L).map(i => (i, s"v$i")).toDF("id", "s"),
+      SaveMode.Append) // v1
+    val clone = vt.shallowCloneTo(
+      Fixtures.tempDir("clone-asof-dst") + "/tbl", asOfVersion = Some(v0))
+    assert(clone.read().count() === 50,
+      "the clone must read the PINNED version, not the current one")
+    // the source moved on; the clone did not
+    vt.write((80L until 90L).map(i => (i, s"v$i")).toDF("id", "s"),
+      SaveMode.Append)
+    assert(clone.read().count() === 50)
+    // a nonexistent version is refused loudly
+    intercept[IllegalArgumentException](vt.shallowCloneTo(
+      Fixtures.tempDir("clone-asof-bad") + "/tbl",
+      asOfVersion = Some(99L)))
+  }
+
   test("cloning into an existing table is refused") {
     val src = Fixtures.tempDir("clone-src3") + "/tbl"
     val vt = new VersionedTable(spark, src)
