@@ -471,6 +471,86 @@ final class VersionedTable(spark: SparkSession, root: String) {
     readFiles(toM, entries, isStreaming = true)
   }
 
+  /** One CHANGE-FEED micro-batch for (fromV, toV] — the streaming CDF
+    * source's planner (Delta `readChangeFeed` streaming): rows tagged
+    * `_change_type`, planned from manifests + DV sidecars, streaming-
+    * tagged throughout (the V1 Source contract; a row-level diff via
+    * exceptAll can't be streaming-planned, which is exactly why the
+    * feed is derived from file/mask deltas instead).
+    *
+    *  - initial batch (fromV None): the snapshot at toV as "insert"
+    *  - files ADDED in the range: their live rows as "insert" (toV's
+    *    masks applied — a row inserted and DV-deleted inside one
+    *    range collapses away, standard compacted-CDC semantics)
+    *  - DV deltas on SURVIVING files: the newly masked rows as
+    *    "delete" (a streaming scan of just those files semi-joined
+    *    against the mask delta — O(changed files + masked rows))
+    *  - a range that REMOVED files: nothing if the range's commits
+    *    are all value-preserving rewrites (OPTIMIZE* / REORG PURGE);
+    *    otherwise it fails loudly — a rewrite's row-level diff is
+    *    not derivable from manifests (that includes a DV delete that
+    *    empties a file entirely, which drops the file). Keep the
+    *    stream's lag inside the maintenance cadence, as with any
+    *    CDC reader. */
+  def streamChangeBatch(fromV: Option[Long], toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val toM = readManifest(toV)
+    val target = logicalSchema(toM)
+    def tag(df: DataFrame, t: String): DataFrame =
+      df.select(target.fields.toSeq.map(f => col(f.name)) :+
+        lit(t).as("_change_type"): _*)
+    def emptyBatch: DataFrame =
+      tag(readFiles(toM, Seq.empty, isStreaming = true), "insert")
+        .filter(lit(false))
+    fromV match {
+      case None =>
+        tag(readFiles(toM, toM.entries, isStreaming = true), "insert")
+      case Some(f) =>
+        val fromM = readManifest(f)
+        val fromByPath = fromM.entries.map(e => e.relPath -> e).toMap
+        val toPaths = toM.entries.map(_.relPath).toSet
+        val removed = fromM.entries.filterNot(e => toPaths.contains(e.relPath))
+        if (removed.nonEmpty) {
+          val ops = history(limit = Int.MaxValue)
+            .filter(h => h.version > f && h.version <= toV)
+          val rewriteOnly = ops.size == (toV - f) && ops.forall(h =>
+            h.operation.startsWith("OPTIMIZE") ||
+              h.operation == "REORG PURGE")
+          if (!rewriteOnly) sys.error(
+            s"versions $f..$toV of $root removed ${removed.size} file(s) " +
+              "outside a pure OPTIMIZE/REORG PURGE window — the change " +
+              "feed cannot derive a row-level diff of a rewrite from " +
+              "manifests; keep the stream's lag inside the maintenance " +
+              "cadence or re-seed the stream")
+          return emptyBatch // rewrites move bytes, never rows
+        }
+        val added = toM.entries.filterNot(e => fromByPath.contains(e.relPath))
+        val inserts = tag(readFiles(toM, added, isStreaming = true), "insert")
+        val dvChangedEntries = toM.entries.filter(e =>
+          fromByPath.get(e.relPath).exists(o =>
+            o.dvDir != e.dvDir || o.dvRows != e.dvRows))
+        if (dvChangedEntries.isEmpty) inserts
+        else {
+          val toDirs = dvChangedEntries.flatMap(_.dvDir).distinct
+          val fromDirs = dvChangedEntries
+            .flatMap(e => fromByPath(e.relPath).dvDir).distinct
+          val newMask =
+            if (fromDirs.isEmpty) readDvRows(toDirs)
+            else readDvRows(toDirs).exceptAll(readDvRows(fromDirs))
+          val mdf = rawScan(toM, dvChangedEntries, isStreaming = true,
+            withRowMeta = true)
+          val fileRel = fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
+          val deleted = mdf.join(newMask,
+            fileRel === newMask("file_rel") &&
+              col(graftbridge.ManifestScan.RowIndexCol) === newMask("pos"),
+            "left_semi")
+            .drop(graftbridge.ManifestScan.FilePathCol,
+              graftbridge.ManifestScan.RowIndexCol)
+          inserts.unionByName(tag(logicalize(toM, deleted), "delete"))
+        }
+    }
+  }
+
   /** S4: newest version committed at or before `ts` (ISO-8601 instant)
     * — Delta `timestampAsOf`. Commit times come from the history files;
     * RESTORE commits count (they are real versions here). */

@@ -760,6 +760,52 @@ object Analytics {
       .orderBy("click_id", "view_id")
   }
 
+  /** STREAMING CHANGE FEED under the oracle (q188;
+    * `Streaming.changeFeedSource` — Delta's
+    * `readStream.option("readChangeFeed", true)`): a versioned table
+    * streamed as `_change_type`-tagged rows across two AvailableNow
+    * drains sharing one checkpoint. Drain 1 consumes the base commit
+    * (snapshot as inserts); then an append and a DV delete land, and
+    * drain 2 resumes FROM THE CHECKPOINT to stream exactly the new
+    * rows: the appended rows as inserts and the newly masked rows as
+    * deletes — read back from the files + mask delta, never a table
+    * diff. The oracle replays the ledger relationally (every row
+    * inserted once; the deleted range also emits a delete), so a
+    * feed that re-streams the snapshot, misses the delta, or drops
+    * the delete rows hash-mismatches. Scale: each batch plans
+    * O(changed files + masked rows) from manifests — the table is
+    * never rescanned after the initial load. */
+  def changeFeedStreamRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base0 = java.nio.file.Files
+      .createTempDirectory("graft-cdf-q").toString
+    val root = s"$base0/tbl"
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") <= 2000)
+    vt.write(orders.filter(col("o_orderkey") % 2 === 0)) // v0
+    val out = s"$base0/out"
+    def drain(): Unit = {
+      val q = graft.streaming.Streaming.changeFeedSource(spark, root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base0/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // snapshot as inserts
+    vt.write(orders.filter(col("o_orderkey") % 2 === 1),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    drain() // resumes from checkpoint: v1's rows as inserts
+    vt.deleteVectorized("o_orderkey", 100, 300) // v2
+    drain() // the newly masked rows as deletes (a same-batch
+    // append+delete would instead COLLAPSE the overlap — compacted
+    // CDC semantics; per-commit drains keep the full ledger)
+    spark.read.parquet(out)
+      .select(col("o_orderkey"), col("o_totalprice"), col("_change_type"))
+      .orderBy("o_orderkey", "_change_type")
+  }
+
   /** SINGLE-SOURCE BFS over the part co-occurrence graph (q181;
     * `graph.Bfs`): exact shortest hop counts from the smallest part
     * node, capped at 3 hops — the reachability/radius primitive
@@ -963,6 +1009,7 @@ object Analytics {
     "q169_session_window" -> nativeSessionWindow,
     "q172_stream_stream_join" -> streamStreamAttribution,
     "q183_stream_outer_join" -> streamStreamOuterAttribution,
+    "q188_change_feed_stream" -> changeFeedStreamRead,
     "q174_markov_transitions" -> markovTransitions,
     "q175_triangle_count" -> triangleCount
   )
@@ -1011,6 +1058,18 @@ object Analytics {
            CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
          FROM t JOIN tot ON t.prev_type = tot.prev_type
          ORDER BY 1, 2""",
+    "q188_change_feed_stream" ->
+      // the CDC ledger replayed relationally: every key <= 2000
+      // inserted exactly once (evens in v0, odds in v1), the masked
+      // range also emits a delete row
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey <= 2000)
+         SELECT o_orderkey, o_totalprice, 'insert' AS _change_type
+         FROM o
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'delete' AS _change_type
+         FROM o WHERE o_orderkey BETWEEN 100 AND 300
+         ORDER BY o_orderkey, _change_type""",
     "q183_stream_outer_join" ->
       // batch LEFT join + the watermark emission rule: unmatched
       // clicks appear ONLY where the final watermark

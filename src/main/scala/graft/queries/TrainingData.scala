@@ -792,6 +792,36 @@ object TrainingData {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** REPEATED-CHUNK BOILERPLATE CENSUS (q187): q185's chunk
+    * fingerprints turned into the C4-style paragraph-dedup signal —
+    * a chunk whose fingerprint recurs across ≥ 2 DISTINCT documents
+    * is boilerplate (nav chrome, license headers, templated spam),
+    * and the census (how many docs, how many occurrences, how wide a
+    * token span) is what a cleaning pass consults before cutting.
+    * Scale shape: chunks collapse by fingerprint with map-side
+    * partial aggregation — the shuffle carries one row per DISTINCT
+    * chunk, not per occurrence; the census output is bounded by the
+    * repeated vocabulary, tiny next to the corpus. */
+  def repeatedChunks(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("start", explode(sequence(lit(0),
+        greatest(size(col("toks")) - 1, lit(0)), lit(S))))
+      .select(col("doc_id"),
+        size(slice(col("toks"), col("start") + 1, lit(W)))
+          .cast("long").as("n_toks"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(W))))
+          .as("chunk_md5"))
+    chunks.groupBy("chunk_md5")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("n_toks")).as("max_tokens"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_md5")
+  }
+
   // ------------------------------------------------------- sequence packing
 
   /** Sequence packing for pretraining (the concat-and-chop op): docs
@@ -2898,6 +2928,7 @@ object TrainingData {
     "q162_html_strip" -> htmlStrip,
     "q184_jsonl_ingest" -> jsonlIngest,
     "q185_sliding_chunks" -> slidingChunks,
+    "q187_repeated_chunks" -> repeatedChunks,
     "q166_fuzzy_pairs" -> fuzzyDupPairs,
     "q168_lm_quality" -> ((s, d) => lmQualityScore(s, d)),
     "q29_embed_neardup" -> embedNearDup,
@@ -3680,6 +3711,29 @@ object TrainingData {
                 THEN CAST(json_extract(line, '$.n') AS BIGINT)
              END AS n_out
          FROM c ORDER BY doc_id""",
+    "q187_repeated_chunks" ->
+      // q185's chunk fingerprints aggregated: distinct-doc count,
+      // occurrences, widest token span, repeated-only
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         x AS (SELECT doc_id, toks,
+             UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, 48))
+               AS start
+           FROM t),
+         ch AS (SELECT doc_id,
+             CAST(len(list_slice(toks, start + 1, start + 64))
+               AS BIGINT) AS n_toks,
+             md5(array_to_string(
+               list_slice(toks, start + 1, start + 64), ' '))
+               AS chunk_md5
+           FROM x)
+         SELECT chunk_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(n_toks) AS BIGINT) AS max_tokens
+         FROM ch GROUP BY chunk_md5
+         HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY chunk_md5""",
     "q185_sliding_chunks" ->
       // same whitespace tokenization (empties preserved), same
       // 64/48 window arithmetic, same md5-of-rejoined-slice

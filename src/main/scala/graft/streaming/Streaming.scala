@@ -263,6 +263,24 @@ object Streaming {
       .option("ignoreChanges", ignoreChanges.toString)
       .load()
 
+  /** STREAMING CHANGE FEED over a versioned table (Delta
+    * `readStream.option("readChangeFeed", true)`): rows tagged
+    * `_change_type` — the initial batch is the snapshot as inserts,
+    * appends stream as inserts, DV deletes as delete rows (the newly
+    * masked rows, read back from the files + mask delta), and pure
+    * OPTIMIZE/REORG PURGE windows contribute NOTHING — so a
+    * downstream IVM consumer does zero work for layout churn. A
+    * rewrite it cannot express row-level fails loudly; keep the
+    * stream's lag inside the maintenance cadence. Offsets are
+    * versions, checkpoint-resumable like [[versionedSource]]. */
+  def changeFeedSource(spark: SparkSession, root: String): DataFrame =
+    spark.readStream
+      .format(classOf[
+        org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
+      .option("path", root)
+      .option("readChangeFeed", "true")
+      .load()
+
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
       watermarkDelay: String): Dataset[SessionSummary] = {
     require(gapMs > 0, s"session gap must be positive, got $gapMs")

@@ -33,11 +33,12 @@ import org.apache.spark.sql.types.StructType
   * (a DSv2 MicroBatchStream would re-implement parquet reading).
   */
 final class VersionedStreamSource(spark: SparkSession, path: String,
-    ignoreChanges: Boolean) extends Source {
+    ignoreChanges: Boolean, changeFeed: Boolean = false) extends Source {
 
   private val vt = new graft.io.VersionedTable(spark, path)
 
-  override val schema: StructType = vt.read().schema
+  override val schema: StructType =
+    VersionedStreamSource.schemaFor(spark, path, changeFeed)
 
   private def version(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -48,9 +49,21 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
   override def getOffset: Option[Offset] = vt.currentVersion.map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
-    vt.streamBatch(start.map(version), version(end), ignoreChanges)
+    if (changeFeed) vt.streamChangeBatch(start.map(version), version(end))
+    else vt.streamBatch(start.map(version), version(end), ignoreChanges)
 
   override def stop(): Unit = ()
+}
+
+object VersionedStreamSource {
+  /** Table schema, plus `_change_type` in change-feed mode. */
+  def schemaFor(spark: SparkSession, path: String,
+      changeFeed: Boolean): StructType = {
+    val base = new graft.io.VersionedTable(spark, path).read().schema
+    if (!changeFeed) base
+    else StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+      "_change_type", org.apache.spark.sql.types.StringType))
+  }
 }
 
 /** `spark.readStream.format(<this class's companion name>)` provider.
@@ -65,15 +78,18 @@ final class VersionedStreamSourceProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "option 'path' (a versioned table root) is required"))
 
+  private def changeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      new graft.io.VersionedTable(ctx.sparkSession, tablePath(parameters))
-        .read().schema))
+    (shortName(), schema.getOrElse(VersionedStreamSource.schemaFor(
+      ctx.sparkSession, tablePath(parameters), changeFeed(parameters))))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new VersionedStreamSource(ctx.sparkSession, tablePath(parameters),
-      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean))
+      ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
+      changeFeed = changeFeed(parameters))
 }

@@ -273,6 +273,50 @@ class StreamingSpec extends AnyFunSuite {
         s"only-batch=${expected -- got}")
   }
 
+  test("changeFeedSource: appends stream as inserts, DV deletes as " +
+    "delete rows, OPTIMIZE windows silent, rewrites fail loudly") {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-cdfsrc")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    // one multi-row file: a DV delete must stay PARTIAL (a fully
+    // masked file drops from the manifest — the documented
+    // full-kill limitation of the manifest-derived feed)
+    vt.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      .coalesce(1)) // v0
+    val out = s"$base/out"
+    def drain(): Unit = {
+      val q = Streaming.changeFeedSource(spark, root).writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rows() = spark.read.parquet(out)
+      .select("id", "s", "_change_type")
+      .as[(Long, String, String)].collect().toSeq.sorted
+    drain()
+    val snap = Seq((1L, "a", "insert"), (2L, "b", "insert"),
+      (3L, "c", "insert"))
+    assert(rows() === snap)
+    vt.write(Seq((4L, "d")).toDF("id", "s"), SaveMode.Append) // v1
+    vt.deleteVectorized("id", 2.0, 2.0) // v2
+    drain() // one batch spanning append + DV delete
+    assert(rows() === (snap ++ Seq((2L, "b", "delete"),
+      (4L, "d", "insert"))).sorted)
+    vt.compact(targetFileMB = 1) // v3: pure rewrite — silent
+    drain()
+    assert(rows() === (snap ++ Seq((2L, "b", "delete"),
+      (4L, "d", "insert"))).sorted, "OPTIMIZE must emit nothing")
+    vt.write(Seq((9L, "z")).toDF("id", "s")) // v4: overwrite
+    intercept[Exception](drain())
+  }
+
   test("intervalJoinLeftOuter: unmatched rows emit ONLY after the " +
     "watermark passes their join horizon") {
     import org.apache.spark.sql.functions._
