@@ -709,6 +709,55 @@ object Analytics {
       .orderBy("click_id", "view_id")
   }
 
+  /** PIVOT under the oracle (q189): the daily event-type matrix —
+    * `groupBy(day).pivot(event_type, <explicit values>)` with an
+    * EXPLICIT value list, which is the scale-correct form: without
+    * it Spark runs a distinct-values collect job before planning
+    * (driver round-trip + nondeterministic column order). Absent
+    * combinations surface as 0, not null (the contract a BI layer
+    * expects). The oracle is the manual CASE-sum matrix. Scale: a
+    * pivot with k explicit values is ONE grouped aggregate with k
+    * conditional counts — map-side partial, one shuffle on day,
+    * never a join. */
+  def pivotDailyEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    load(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("day") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("day")
+  }
+
+  /** EXACT PERCENTILE_DISC per group (q190): per-source token-count
+    * p50/p90 as EXACT ELEMENTS of the sorted distribution (rank
+    * `ceil(p·n)` via pure integer arithmetic — no float rank, no
+    * interpolation), the corpus-length profile a mixing policy reads.
+    * PERCENTILE_DISC semantics make the picked VALUE deterministic
+    * even under ties, so the hash check is stable where interpolated
+    * percentiles would flake. Scale: one window shuffle on source,
+    * then a per-source collapse; the sorted distribution is never
+    * collected. */
+  def percentileDiscTokens(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.queries.Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val byN = Window.partitionBy("source").orderBy("n_tokens")
+    val part = Window.partitionBy("source")
+    c.withColumn("rn", row_number().over(byN))
+      .withColumn("nd", count(lit(1)).over(part))
+      .groupBy("source")
+      .agg(max(col("nd")).as("n_docs"),
+        max(when(col("rn") === expr("(nd + 1) div 2"),
+          col("n_tokens"))).as("p50_tokens"),
+        max(when(col("rn") === expr("(9 * nd + 9) div 10"),
+          col("n_tokens"))).as("p90_tokens"))
+      .orderBy("source")
+  }
+
   /** STREAM-STREAM LEFT-OUTER INTERVAL JOIN under the oracle (q183):
     * q172's attribution join in the shape real pipelines need —
     * every click accounted for: matched pairs emit like the inner
@@ -1010,6 +1059,8 @@ object Analytics {
     "q172_stream_stream_join" -> streamStreamAttribution,
     "q183_stream_outer_join" -> streamStreamOuterAttribution,
     "q188_change_feed_stream" -> changeFeedStreamRead,
+    "q189_pivot_matrix" -> pivotDailyEvents,
+    "q190_percentile_disc" -> percentileDiscTokens,
     "q174_markov_transitions" -> markovTransitions,
     "q175_triangle_count" -> triangleCount
   )
@@ -1058,6 +1109,38 @@ object Analytics {
            CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
          FROM t JOIN tot ON t.prev_type = tot.prev_type
          ORDER BY 1, 2""",
+    "q189_pivot_matrix" ->
+      // the manual CASE-sum matrix; absent combos are 0 by SUM over
+      // an empty CASE set... COUNT of matching rows per type
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+             AS BIGINT) AS n_click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+             AS BIGINT) AS n_error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+             AS BIGINT) AS n_purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END)
+             AS BIGINT) AS n_signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+             AS BIGINT) AS n_view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q190_percentile_disc" ->
+      // identical integer rank arithmetic: ceil(p*n) as (n+1)//2 and
+      // (9n+9)//10 — no float rank, exact elements either engine
+      """WITH c AS (SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (SELECT source, n_tokens,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_tokens) AS rn,
+             count(*) OVER (PARTITION BY source) AS nd
+           FROM c)
+         SELECT source, CAST(max(nd) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = (nd + 1) // 2 THEN n_tokens END)
+             AS BIGINT) AS p50_tokens,
+           CAST(max(CASE WHEN rn = (9 * nd + 9) // 10 THEN n_tokens
+             END) AS BIGINT) AS p90_tokens
+         FROM r GROUP BY source ORDER BY source""",
     "q188_change_feed_stream" ->
       // the CDC ledger replayed relationally: every key <= 2000
       // inserted exactly once (evens in v0, odds in v1), the masked
