@@ -709,6 +709,56 @@ object Analytics {
       .orderBy("click_id", "view_id")
   }
 
+  /** STREAMING CDF → INCREMENTAL VIEW MAINTENANCE, end to end
+    * (q191): the loop q188's source exists for, actually closed — a
+    * `foreachBatch` consumer folds every change-feed micro-batch
+    * into a maintained per-status rollup via `IncrementalAgg.update`
+    * (insert/delete rows are signed deltas), across three drains of
+    * one checkpointed stream: base snapshot, an append, a DV delete.
+    * The maintained aggregate must equal the direct aggregate of the
+    * FINAL table state — the IVM invariant, hash-checked. Money sums
+    * ride as exact integer cents (DECIMAL→LONG per row), so the
+    * incremental fold order can't flake the hash. Scale: each batch
+    * folds O(changed rows) against the status-sized rollup; the
+    * table is never rescanned after the snapshot batch — this is
+    * the materialized-view pattern for a 100 TB CDC tail. */
+  def streamIvmRollup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base0 = java.nio.file.Files
+      .createTempDirectory("graft-stream-ivm").toString
+    val root = s"$base0/tbl"
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long").as("cents"))
+    vt.write(orders.filter(col("o_orderkey") % 3 === 0).coalesce(1)) // v0
+    var prior = vt.read().limit(0).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+      .localCheckpoint()
+    def drain(): Unit = {
+      val q = graft.streaming.Streaming.changeFeedSource(spark, root)
+        .writeStream
+        .option("checkpointLocation", s"$base0/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          prior = graft.incremental.IncrementalAgg.update(
+            prior, batch, Seq("o_orderstatus"), Seq("cents"))
+            .localCheckpoint()
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // snapshot batch
+    vt.write(orders.filter(col("o_orderkey") % 3 === 1).coalesce(1),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    drain() // insert delta
+    vt.deleteVectorized("o_orderkey", 1000, 2000) // v2
+    drain() // delete delta
+    prior.orderBy("o_orderstatus")
+  }
+
   /** PIVOT under the oracle (q189): the daily event-type matrix —
     * `groupBy(day).pivot(event_type, <explicit values>)` with an
     * EXPLICIT value list, which is the scale-correct form: without
@@ -1060,6 +1110,7 @@ object Analytics {
     "q183_stream_outer_join" -> streamStreamOuterAttribution,
     "q188_change_feed_stream" -> changeFeedStreamRead,
     "q189_pivot_matrix" -> pivotDailyEvents,
+    "q191_stream_ivm" -> streamIvmRollup,
     "q190_percentile_disc" -> percentileDiscTokens,
     "q174_markov_transitions" -> markovTransitions,
     "q175_triangle_count" -> triangleCount
@@ -1109,6 +1160,19 @@ object Analytics {
            CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
          FROM t JOIN tot ON t.prev_type = tot.prev_type
          ORDER BY 1, 2""",
+    "q191_stream_ivm" ->
+      // the IVM invariant: the maintained rollup equals the direct
+      // aggregate of the FINAL state (evens+odds of %3, minus the
+      // deleted range); cents are exact integers on both engines
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+               AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderkey <= 4000 AND o_orderkey % 3 <> 2)
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM o WHERE NOT (o_orderkey BETWEEN 1000 AND 2000)
+         GROUP BY 1 ORDER BY 1""",
     "q189_pivot_matrix" ->
       // the manual CASE-sum matrix; absent combos are 0 by SUM over
       // an empty CASE set... COUNT of matching rows per type
