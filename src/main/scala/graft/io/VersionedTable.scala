@@ -1575,13 +1575,34 @@ final class VersionedTable(spark: SparkSession, root: String) {
       names.map(n => (n, n))
     }
 
+  /** Refuse schema changes to a column other table features depend
+    * on — Delta's rule: a column referenced by a CHECK constraint or
+    * a generated-column declaration can be neither renamed nor
+    * dropped (the stored SQL/generator text would silently dangle:
+    * enforcement and pruning would either break loudly later or,
+    * worse, keep matching a stale physical name). Constraint exprs
+    * are matched on identifier word boundaries. */
+  private def requireUnreferenced(m: VersionManifest, name: String,
+      what: String): Unit = {
+    m.generated.find(g => genFormat(g._2).exists(_._1 == name))
+      .foreach(g => sys.error(
+        s"cannot $what column $name of $root: generated partition " +
+          s"column ${g._1} derives from it (${g._2})"))
+    val wordRe = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    m.constraints.find { case (_, e) => wordRe.findFirstIn(e).isDefined }
+      .foreach { case (n, e) => sys.error(
+        s"cannot $what column $name of $root: CHECK constraint $n " +
+          s"($e) references it — drop the constraint first") }
+  }
+
   /** ALTER TABLE … RENAME COLUMN without rewriting a byte of data
     * (Delta column-mapping semantics): a manifest-only commit records
     * the new LOGICAL name against the unchanged PHYSICAL parquet
     * column. Partition columns are refused (their name is baked into
-    * every file path and partition-value map). Reads at prior
-    * versions still see the old name — the mapping is versioned state
-    * like everything else. */
+    * every file path and partition-value map), as are columns a CHECK
+    * constraint or generated-column declaration references. Reads at
+    * prior versions still see the old name — the mapping is versioned
+    * state like everything else. */
   def renameColumn(oldName: String, newName: String): Long = {
     require(identRe.matches(newName),
       s"new column name '$newName' must be a plain identifier")
@@ -1591,6 +1612,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val cur = readManifest(curV)
       require(!cur.partitionBy.contains(oldName),
         s"cannot rename partition column $oldName of $root")
+      requireUnreferenced(cur, oldName, "rename")
       val mapping = mappingOrIdentity(cur)
       require(mapping.exists(_._1 == oldName),
         s"no column $oldName at $root " +
@@ -1622,6 +1644,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val cur = readManifest(curV)
       require(!cur.partitionBy.contains(name),
         s"cannot drop partition column $name of $root")
+      requireUnreferenced(cur, name, "drop")
       val mapping = mappingOrIdentity(cur)
       require(mapping.exists(_._1 == name),
         s"no column $name at $root " +
@@ -1706,7 +1729,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
       require(cur.partitionBy.contains(partCol),
         s"$partCol is not a partition column of $root " +
           s"(partitioned by: ${cur.partitionBy.mkString(",")})")
-      require(snapshotSchema(cur).fieldNames.contains(src),
+      // LOGICAL schema: the generator names the column users filter
+      // on, which on a mapped table is the logical name (predicates
+      // in generatedSurvives match logical names; renames of a
+      // referenced source are refused from here on)
+      require(logicalSchema(cur).fieldNames.contains(src),
         s"generator source column $src does not exist at $root")
       require(!cur.generated.exists(_._1 == partCol),
         s"$partCol already has a generator at $root")

@@ -99,6 +99,40 @@ class GeneratedColumnSpec extends AnyFunSuite {
       "unparseable partition values must survive pruning (conservative)")
   }
 
+  test("referenced columns are schema-change-protected; a RENAMED " +
+    "source declares by its logical name") {
+    val root = Fixtures.tempDir("gen-refs") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, ts("2024-03-02T05:30:00Z"), "2024-03-02", 5L, 7L))
+      .toDF("id", "event_ts", "day", "x", "xx"),
+      partitionBy = Some(Seq("day")))
+    // declare AFTER a rename: the generator names the LOGICAL column
+    vt.renameColumn("event_ts", "ts")
+    vt.recordGenerated("day", "day(ts)")
+    // the generator's source can no longer be renamed or dropped
+    val e1 = intercept[RuntimeException](vt.renameColumn("ts", "ts2"))
+    assert(e1.getMessage.contains("derives from it"))
+    val e2 = intercept[RuntimeException](vt.dropColumn("ts"))
+    assert(e2.getMessage.contains("derives from it"))
+    // same protection for CHECK-constraint references
+    vt.addCheckConstraint("x_pos", "x > 0")
+    val e3 = intercept[RuntimeException](vt.renameColumn("x", "y"))
+    assert(e3.getMessage.contains("CHECK constraint"))
+    val e4 = intercept[RuntimeException](vt.dropColumn("x"))
+    assert(e4.getMessage.contains("CHECK constraint"))
+    // pruning works through the renamed (logical) source
+    val planned = vt.matchingEntries(graft.io.VersionedTable.TsRange(
+      "ts", "2024-03-02T00:00:00Z", "2024-03-02T23:00:00Z"))
+    assert(planned.nonEmpty)
+    // an UNreferenced column still renames fine
+    vt.renameColumn("id", "row_id2")
+    assert(vt.read().columns.contains("row_id2"))
+    // word-boundary matching: the constraint names `x`, not `xx` —
+    // `xx` stays free to change
+    vt.renameColumn("xx", "zz")
+    assert(vt.read().columns.contains("zz"))
+  }
+
   test("grammar guard: unsupported generator forms are refused") {
     val root = Fixtures.tempDir("gen-guard") + "/tbl"
     val vt = new VersionedTable(spark, root)
