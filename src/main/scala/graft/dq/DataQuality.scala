@@ -308,6 +308,29 @@ final class DataQualityFramework(spark: SparkSession) {
       df.columns.toSeq.map(c => count(when(col(c).isNull, 1)).as(s"nulls_$c"))
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** K-ANONYMITY CENSUS over a quasi-identifier tuple — the privacy
+    * gate a training-data release runs before shipping: any
+    * quasi-identifier combination shared by fewer than `k` rows
+    * re-identifies its members, so the census reports how much of
+    * the table sits in risky groups (the release decision input:
+    * suppress, generalize, or pass). One summary row:
+    * total groups / risky groups / rows in risky groups / smallest
+    * group. Scale shape: one partial-agg shuffle on the quasi tuple
+    * (bounded by the quasi-value cross product, not the row count),
+    * then a scalar collapse — never a sort, never a join. */
+  def kAnonymityCensus(df: DataFrame, quasi: Seq[String],
+      k: Long): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymityCensus needs quasi-identifiers")
+    require(k > 0, s"k must be positive, got $k")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("n_rows") < k, 1)).as("n_risky_groups"),
+        coalesce(sum(when(col("n_rows") < k, col("n_rows"))), lit(0L))
+          .as("n_risky_rows"),
+        min(col("n_rows")).as("min_group_size"))
+  }
 }
 
 object DataQualityFramework {

@@ -759,6 +759,23 @@ object Analytics {
     prior.orderBy("o_orderstatus")
   }
 
+  /** K-ANONYMITY CENSUS under the oracle (q194;
+    * [[graft.dq.DataQuality.kAnonymityCensus]]): the privacy gate on
+    * a quasi-identifier tuple — here (event type, UTC day, a
+    * 100-bucket user cohort), k=5. The census answers "how much of
+    * this table re-identifies its members": total groups, groups
+    * under k, rows inside them, smallest group — the
+    * suppress/generalize/release decision input. Exact integer
+    * counts only; one partial-agg shuffle bounded by the quasi-value
+    * cross product. */
+  def kAnonymityEvents(spark: SparkSession, dir: String): DataFrame =
+    new graft.dq.DataQualityFramework(spark).kAnonymityCensus(
+      load(spark, dir, "events").select(
+        col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (col("user_id") % 100).as("cohort")),
+      Seq("event_type", "day", "cohort"), k = 5L)
+
   /** PIVOT under the oracle (q189): the daily event-type matrix —
     * `groupBy(day).pivot(event_type, <explicit values>)` with an
     * EXPLICIT value list, which is the scale-correct form: without
@@ -1111,6 +1128,7 @@ object Analytics {
     "q188_change_feed_stream" -> changeFeedStreamRead,
     "q189_pivot_matrix" -> pivotDailyEvents,
     "q191_stream_ivm" -> streamIvmRollup,
+    "q194_k_anonymity" -> kAnonymityEvents,
     "q190_percentile_disc" -> percentileDiscTokens,
     "q174_markov_transitions" -> markovTransitions,
     "q175_triangle_count" -> triangleCount
@@ -1160,6 +1178,19 @@ object Analytics {
            CAST(n_transitions AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
          FROM t JOIN tot ON t.prev_type = tot.prev_type
          ORDER BY 1, 2""",
+    "q194_k_anonymity" ->
+      // same quasi tuple, same k; exact integer census
+      """WITH g AS (SELECT event_type,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             user_id % 100 AS cohort, count(*) AS n_rows
+           FROM events GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(CASE WHEN n_rows < 5 THEN 1 END)
+             AS BIGINT) AS n_risky_groups,
+           CAST(coalesce(sum(CASE WHEN n_rows < 5 THEN n_rows END), 0)
+             AS BIGINT) AS n_risky_rows,
+           CAST(min(n_rows) AS BIGINT) AS min_group_size
+         FROM g""",
     "q191_stream_ivm" ->
       // the IVM invariant: the maintained rollup equals the direct
       // aggregate of the FINAL state (evens+odds of %3, minus the

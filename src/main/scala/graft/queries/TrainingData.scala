@@ -858,6 +858,42 @@ object TrainingData {
       .select("doc_id", "n_tokens", "dsir_micro_nats")
   }
 
+  /** URL CANONICALIZATION + CANONICAL-KEY DEDUP CENSUS (q193): each
+    * doc gets a deterministically MESSY url (upper-cased host,
+    * explicit :80, doubled slashes, rotating utm params, fragments,
+    * optional trailing slash — the variants real crawls produce for
+    * one page), [[TextAnalysis.canonicalizeUrl]] reduces them, and
+    * the census groups by the canonical key: docs per page, distinct
+    * RAW variants collapsed, first doc. The oracle rebuilds the same
+    * bytes and mirrors every canonicalization step in RE2, so a
+    * regex that over- or under-normalizes hash-mismatches. Scale:
+    * narrow per-row regex kernels, one group shuffle on the
+    * canonical key — the standard first join key of crawl dedup. */
+  def urlCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      lit("HTTP://WWW."), upper(col("source")), lit(".COM:80//docs//"),
+      (id % 50).cast("string"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 3 === 0, concat(
+        lit("?utm_source=feed&utm_medium=rss&page="),
+        (id % 4).cast("string")))
+        .when(id % 3 === 1, concat(lit("?page="),
+          (id % 4).cast("string"), lit("&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(id % 2 === 0, concat(lit("#sec-"), (id % 7).cast("string")))
+        .otherwise(lit("")))
+    docs(spark, dir)
+      .select(id, url.as("raw_url"))
+      .withColumn("canonical_url",
+        TextAnalysis.canonicalizeUrl(col("raw_url")))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_raw_variants"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("canonical_url")
+  }
+
   // ------------------------------------------------------- sequence packing
 
   /** Sequence packing for pretraining (the concat-and-chop op): docs
@@ -2966,6 +3002,7 @@ object TrainingData {
     "q185_sliding_chunks" -> slidingChunks,
     "q187_repeated_chunks" -> repeatedChunks,
     "q192_dsir_weights" -> dsirWeights,
+    "q193_url_canonical" -> urlCanonicalDedup,
     "q166_fuzzy_pairs" -> fuzzyDupPairs,
     "q168_lm_quality" -> ((s, d) => lmQualityScore(s, d)),
     "q29_embed_neardup" -> embedNearDup,
@@ -3748,6 +3785,53 @@ object TrainingData {
                 THEN CAST(json_extract(line, '$.n') AS BIGINT)
              END AS n_out
          FROM c ORDER BY doc_id""",
+    "q193_url_canonical" ->
+      // identical byte fixture + every canonicalization step
+      // mirrored in RE2 ('g' = Spark replace-all; anchored patterns
+      // match at most once either way)
+      """WITH u AS (SELECT doc_id,
+             'HTTP://WWW.' || upper(source) || '.COM:80//docs//' ||
+             CAST(doc_id % 50 AS VARCHAR) ||
+             CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN '?utm_source=feed&utm_medium=rss&page=' ||
+                       CAST(doc_id % 4 AS VARCHAR)
+                  WHEN doc_id % 3 = 1
+                  THEN '?page=' || CAST(doc_id % 4 AS VARCHAR) ||
+                       '&utm_campaign=x'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN '#sec-' || CAST(doc_id % 7 AS VARCHAR)
+                  ELSE '' END AS raw_url
+           FROM documents),
+         c AS (SELECT doc_id, raw_url,
+             (SELECT CASE
+                 WHEN sh2 LIKE 'http://%'
+                   THEN regexp_replace(sh2, ':80$', '')
+                 WHEN sh2 LIKE 'https://%'
+                   THEN regexp_replace(sh2, ':443$', '')
+                 ELSE sh2 END ||
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(raw_url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+                     '#.*$', ''),
+                   '&utm_[^&]*', '', 'g'),
+                 '\?utm_[^&]*&', '?'),
+                 '\?utm_[^&]*$', ''),
+                 '/{2,}', '/', 'g'),
+                 '/\?', '?'),
+                 '/$', '')
+              FROM (SELECT lower(regexp_extract(raw_url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) AS sh2))
+             AS canonical_url
+           FROM u)
+         SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+         FROM c GROUP BY canonical_url ORDER BY canonical_url""",
     "q192_dsir_weights" ->
       // one ln of an exact-integer ratio per DISTINCT term, rounded
       // to micro-nat LONGs BEFORE the per-doc sum (q130/q168 rule);

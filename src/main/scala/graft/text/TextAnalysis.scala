@@ -185,6 +185,36 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \t\n\r]+", " "))
   }
 
+  /** URL CANONICALIZATION — the crawl-dedup key derivation (two
+    * fetches of the "same page" differ in host case, default ports,
+    * tracking params, fragments, duplicate/trailing slashes; dedup
+    * must group them). Steps, all engine-portable regex (no
+    * lookaround — RE2-safe, 'g' semantics = Spark's replace-all):
+    * scheme+host lowercased; default :80/:443 stripped per scheme;
+    * fragment dropped; every `utm_*` query param removed (non-first
+    * params, then a leading utm with a successor, then a lone one);
+    * duplicate path slashes collapsed; trailing slash dropped
+    * (before `?` too). Pure per-row codegen'd kernels — a 100 TB
+    * crawl canonicalizes at scan speed. */
+  def canonicalizeUrl(url: Column): Column = {
+    val shPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val sh1 = lower(regexp_extract(url, shPat, 0))
+    val sh2 = when(sh1.startsWith("http://"),
+        regexp_replace(sh1, ":80$", ""))
+      .when(sh1.startsWith("https://"),
+        regexp_replace(sh1, ":443$", ""))
+      .otherwise(sh1)
+    val rest0 = regexp_replace(url, shPat, "")
+    val r1 = regexp_replace(rest0, "#.*$", "")
+    val r2 = regexp_replace(r1, "&utm_[^&]*", "")
+    val r3 = regexp_replace(r2, "[?]utm_[^&]*&", "?")
+    val r4 = regexp_replace(r3, "[?]utm_[^&]*$", "")
+    val r5 = regexp_replace(r4, "/{2,}", "/")
+    val r6 = regexp_replace(r5, "/[?]", "?")
+    val r7 = regexp_replace(r6, "/$", "")
+    concat(sh2, r7)
+  }
+
   /** 60-bit content fingerprint: first 15 hex digits of md5(lower(text))
     * as a long. Used for exact-duplicate detection at scale — group or
     * join on the fingerprint instead of the full text (shuffle keys are
