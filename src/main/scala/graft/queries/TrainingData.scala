@@ -822,42 +822,6 @@ object TrainingData {
       .orderBy("chunk_md5")
   }
 
-  /** DSIR-STYLE IMPORTANCE WEIGHTS (q192): Data Selection via
-    * Importance Resampling (Xie et al., NeurIPS 2023) in its unigram
-    * form — the modern "pick pretraining data that looks like the
-    * target domain" selector. Target = the `lang='en'` slice; every
-    * document scores `Σ_t ln(p_target(t)/p_source(t))` under add-one
-    * smoothing, and the top-100 by weight (doc_id tie-break) are the
-    * selected batch. Hash discipline: each DISTINCT term's log-ratio
-    * is ONE `ln` of an exact-integer ratio rounded to micro-nat
-    * LONGs in the vocabulary frame (the q130/q168 rule), so per-doc
-    * sums are order-free integer adds. Scale shape: term counts
-    * collapse map-side to the vocabulary; the scored vocab joins
-    * back over the token stream (plain shuffle join — at corpus
-    * scale the vocabulary outgrows a broadcast); one partial-agg
-    * shuffle per doc; TakeOrdered for the top-k. */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir).select(col("doc_id"), col("lang"),
-      explode(TextAnalysis.tokens(col("text"))).as("w"))
-    val vocab = toks.groupBy("w").agg(
-      count(lit(1)).as("ns"),
-      count(when(col("lang") === "en", 1)).as("nt"))
-    val tot = vocab.agg(sum(col("ns")).as("ts"),
-      sum(col("nt")).as("tt"), count(lit(1)).as("vv"))
-    val wt = vocab.crossJoin(broadcast(tot))
-      .select(col("w"), round(log(
-        ((col("nt") + 1) * (col("ts") + col("vv"))).cast("double") /
-          ((col("ns") + 1) * (col("tt") + col("vv"))).cast("double"))
-        * 1000000).cast("long").as("wln"))
-    toks.join(wt, Seq("w"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("wln")).as("dsir_micro_nats"))
-      .orderBy(desc("dsir_micro_nats"), col("doc_id"))
-      .limit(100)
-      .select("doc_id", "n_tokens", "dsir_micro_nats")
-  }
-
   /** URL CANONICALIZATION + CANONICAL-KEY DEDUP CENSUS (q193): each
     * doc gets a deterministically MESSY url (upper-cased host,
     * explicit :80, doubled slashes, rotating utm params, fragments,
@@ -3001,7 +2965,6 @@ object TrainingData {
     "q184_jsonl_ingest" -> jsonlIngest,
     "q185_sliding_chunks" -> slidingChunks,
     "q187_repeated_chunks" -> repeatedChunks,
-    "q192_dsir_weights" -> dsirWeights,
     "q193_url_canonical" -> urlCanonicalDedup,
     "q166_fuzzy_pairs" -> fuzzyDupPairs,
     "q168_lm_quality" -> ((s, d) => lmQualityScore(s, d)),
@@ -3832,30 +3795,6 @@ object TrainingData {
            CAST(count(DISTINCT raw_url) AS BIGINT) AS n_raw_variants,
            CAST(min(doc_id) AS BIGINT) AS first_doc
          FROM c GROUP BY canonical_url ORDER BY canonical_url""",
-    "q192_dsir_weights" ->
-      // one ln of an exact-integer ratio per DISTINCT term, rounded
-      // to micro-nat LONGs BEFORE the per-doc sum (q130/q168 rule);
-      // DuckDB ln == Spark log (natural)
-      """WITH tk AS (SELECT doc_id, lang,
-             UNNEST(string_split(lower(text), ' ')) AS w
-           FROM documents),
-         v AS (SELECT w, CAST(count(*) AS BIGINT) AS ns,
-             CAST(count(CASE WHEN lang = 'en' THEN 1 END)
-               AS BIGINT) AS nt
-           FROM tk GROUP BY 1),
-         tot AS (SELECT CAST(sum(ns) AS BIGINT) AS ts,
-             CAST(sum(nt) AS BIGINT) AS tt,
-             CAST(count(*) AS BIGINT) AS vv FROM v),
-         wt AS (SELECT w, CAST(round(ln(
-             CAST((nt + 1) * (ts + vv) AS DOUBLE) /
-             CAST((ns + 1) * (tt + vv) AS DOUBLE)) * 1000000)
-             AS BIGINT) AS wln
-           FROM v, tot),
-         d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             CAST(sum(wln) AS BIGINT) AS dsir_micro_nats
-           FROM tk JOIN wt USING (w) GROUP BY 1)
-         SELECT doc_id, n_tokens, dsir_micro_nats FROM d
-         ORDER BY dsir_micro_nats DESC, doc_id LIMIT 100""",
     "q187_repeated_chunks" ->
       // q185's chunk fingerprints aggregated: distinct-doc count,
       // occurrences, widest token span, repeated-only
