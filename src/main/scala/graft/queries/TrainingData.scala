@@ -764,37 +764,10 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  /** SLIDING-WINDOW CHUNKING (q185): documents cut into fixed-size
-    * token windows with stride overlap — the RAG/pretraining chunker
-    * (64-token windows, stride 48 ⇒ 16-token overlap). Tokens are
-    * exact whitespace splits (empties preserved, so rejoining
-    * reproduces the original slice byte-for-byte and the md5 CHUNK
-    * FINGERPRINT is engine-portable); chunk starts are
-    * `sequence(0, n-1, stride)`, the window a bounded array slice.
-    * Output: per-chunk token count + content fingerprint — the chunk
-    * table a retrieval index ingests. Scale shape: one narrow pass,
-    * output rows ∝ tokens/stride; the window arrays never leave the
-    * row, so a 100 TB corpus chunks at scan speed with zero
-    * shuffles. */
-  def slidingChunks(spark: SparkSession, dir: String): DataFrame = {
-    val W = 64
-    val S = 48
-    docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("start", explode(sequence(lit(0),
-        greatest(size(col("toks")) - 1, lit(0)), lit(S))))
-      .select(col("doc_id"),
-        (col("start") / S).cast("long").as("chunk_idx"),
-        size(slice(col("toks"), col("start") + 1, lit(W))).cast("long")
-          .as("n_chunk_tokens"),
-        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(W))))
-          .as("chunk_md5"))
-      .orderBy("doc_id", "chunk_idx")
-  }
-
-  /** REPEATED-CHUNK BOILERPLATE CENSUS (q187): q185's chunk
-    * fingerprints turned into the C4-style paragraph-dedup signal —
-    * a chunk whose fingerprint recurs across ≥ 2 DISTINCT documents
+  /** REPEATED-CHUNK BOILERPLATE CENSUS (q187): the 64/48 sliding
+    * chunker's windows (q105's operator shape) reduced to md5
+    * fingerprints and turned into the C4-style paragraph-dedup signal
+    * — a chunk whose fingerprint recurs across ≥ 2 DISTINCT documents
     * is boilerplate (nav chrome, license headers, templated spam),
     * and the census (how many docs, how many occurrences, how wide a
     * token span) is what a cleaning pass consults before cutting.
@@ -2963,7 +2936,6 @@ object TrainingData {
     "q161_audio_features" -> audioFeatures,
     "q162_html_strip" -> htmlStrip,
     "q184_jsonl_ingest" -> jsonlIngest,
-    "q185_sliding_chunks" -> slidingChunks,
     "q187_repeated_chunks" -> repeatedChunks,
     "q193_url_canonical" -> urlCanonicalDedup,
     "q166_fuzzy_pairs" -> fuzzyDupPairs,
@@ -3818,22 +3790,6 @@ object TrainingData {
          FROM ch GROUP BY chunk_md5
          HAVING count(DISTINCT doc_id) >= 2
          ORDER BY chunk_md5""",
-    "q185_sliding_chunks" ->
-      // same whitespace tokenization (empties preserved), same
-      // 64/48 window arithmetic, same md5-of-rejoined-slice
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-           FROM documents),
-         x AS (SELECT doc_id, toks,
-             UNNEST(range(0, greatest(len(toks) - 1, 0) + 1, 48))
-               AS start
-           FROM t)
-         SELECT doc_id,
-           CAST(start // 48 AS BIGINT) AS chunk_idx,
-           CAST(len(list_slice(toks, start + 1, start + 64))
-             AS BIGINT) AS n_chunk_tokens,
-           md5(array_to_string(list_slice(toks, start + 1, start + 64),
-             ' ')) AS chunk_md5
-         FROM x ORDER BY doc_id, chunk_idx""",
     "q162_html_strip" ->
       // identical chrome wrap + identical strip semantics (explicit
       // whitespace class, 'g' flag = Spark's replace-all default)
