@@ -776,29 +776,6 @@ object Analytics {
         (col("user_id") % 100).as("cohort")),
       Seq("event_type", "day", "cohort"), k = 5L)
 
-  /** PIVOT under the oracle (q189): the daily event-type matrix —
-    * `groupBy(day).pivot(event_type, <explicit values>)` with an
-    * EXPLICIT value list, which is the scale-correct form: without
-    * it Spark runs a distinct-values collect job before planning
-    * (driver round-trip + nondeterministic column order). Absent
-    * combinations surface as 0, not null (the contract a BI layer
-    * expects). The oracle is the manual CASE-sum matrix. Scale: a
-    * pivot with k explicit values is ONE grouped aggregate with k
-    * conditional counts — map-side partial, one shuffle on day,
-    * never a join. */
-  def pivotDailyEvents(spark: SparkSession, dir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
-    load(spark, dir, "events")
-      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        col("event_type"))
-      .groupBy("day")
-      .pivot("event_type", types)
-      .agg(count(lit(1)))
-      .select(col("day") +:
-        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
-      .orderBy("day")
-  }
-
   /** EXACT PERCENTILE_DISC per group (q190): per-source token-count
     * p50/p90 as EXACT ELEMENTS of the sorted distribution (rank
     * `ceil(p·n)` via pure integer arithmetic — no float rank, no
@@ -1126,7 +1103,6 @@ object Analytics {
     "q172_stream_stream_join" -> streamStreamAttribution,
     "q183_stream_outer_join" -> streamStreamOuterAttribution,
     "q188_change_feed_stream" -> changeFeedStreamRead,
-    "q189_pivot_matrix" -> pivotDailyEvents,
     "q191_stream_ivm" -> streamIvmRollup,
     "q194_k_anonymity" -> kAnonymityEvents,
     "q190_percentile_disc" -> percentileDiscTokens,
@@ -1204,21 +1180,6 @@ object Analytics {
            CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM o WHERE NOT (o_orderkey BETWEEN 1000 AND 2000)
          GROUP BY 1 ORDER BY 1""",
-    "q189_pivot_matrix" ->
-      // the manual CASE-sum matrix; absent combos are 0 by SUM over
-      // an empty CASE set... COUNT of matching rows per type
-      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-           CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
-             AS BIGINT) AS n_click,
-           CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
-             AS BIGINT) AS n_error,
-           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
-             AS BIGINT) AS n_purchase,
-           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END)
-             AS BIGINT) AS n_signup,
-           CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
-             AS BIGINT) AS n_view
-         FROM events GROUP BY 1 ORDER BY 1""",
     "q190_percentile_disc" ->
       // identical integer rank arithmetic: ceil(p*n) as (n+1)//2 and
       // (9n+9)//10 — no float rank, exact elements either engine
