@@ -144,6 +144,22 @@ class BloomIndexSpec extends AnyFunSuite {
         "only, via VersionedTable.bloomMightContainAny")
   }
 
+  test("renaming the indexed column degrades lookups SAFELY: the " +
+    "sidecar is keyed by the old name, so the new name plans all " +
+    "files — extra I/O, never wrong rows") {
+    val vt = scattered(400)
+    vt.buildBloomIndex("k")
+    assert(vt.bloomPlannedEntries("k", Seq(7L)).size < 8)
+    vt.renameColumn("k", "key")
+    assert(vt.bloomPlannedEntries("key", Seq(7L)).size === 8,
+      "no sidecar under the new logical name -> conservative full plan")
+    assert(vt.readWhereKeyIn("key", Seq(7L)).count() === 1)
+    // rebuilding under the new name restores skipping
+    vt.buildBloomIndex("key")
+    assert(vt.bloomPlannedEntries("key", Seq(7L)).size < 8)
+    assert(vt.readWhereKeyIn("key", Seq(7L)).count() === 1)
+  }
+
   test("vacuum drops superseded bloom sidecars; lookups unaffected") {
     val root = Fixtures.tempDir("bloomvac") + "/tbl"
     val vt = new VersionedTable(spark, root)
