@@ -454,6 +454,117 @@ object Analytics {
       .orderBy("hour_bucket", "event_type")
   }
 
+  /** STREAMING AT-LEAST-ONCE DEDUP (q197; `Streaming.dedupStream` /
+    * `dropDuplicatesWithinWatermark`): the events feed replayed with
+    * injected redelivery — every 3rd and every 7th event re-sent, the
+    * at-least-once delivery duplicates every real message bus
+    * produces — then deduplicated by event_id with watermark-bounded
+    * state. Duplicates are byte-identical rows, so the "keep first
+    * arrival" semantics are order-independent and the oracle is
+    * simply the original feed. The fixture is written as ONE file so
+    * AvailableNow sees one batch (documented determinism convention,
+    * cf. q188); the horizon is generous so nothing is late-dropped —
+    * the spec suite pins the eviction semantics separately. Scale:
+    * state is 8-byte keys within the horizon, evicted by event time —
+    * the unbounded form of exactly-once ingest dedup. */
+  def streamingDedupAtLeastOnce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val dups = ev
+      .unionAll(ev.filter(col("event_id") % 3 === 0))
+      .unionAll(ev.filter(col("event_id") % 7 === 0))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sdedup-src")
+      .toString
+    dups.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val deduped = graft.streaming.Streaming.dedupStream(
+      stream, "ts", Seq("event_id"), "365 days")
+    val mem = "q197_stream_dedup"
+    spark.catalog.dropTempView(mem)
+    val q = deduped.writeStream.format("memory").queryName(mem)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(mem)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  /** STREAM–STATIC ENRICHMENT JOIN (q198): the events stream joined
+    * against a STATIC broadcast dimension (nation, via the arithmetic
+    * user_id→nationkey mapping) before a watermarked daily window
+    * aggregate — the canonical streaming-enrichment shape (clicks ×
+    * user table, logs × geo table). The static side is planned as a
+    * broadcast hash join inside every micro-batch, so the stream is
+    * never shuffled for the join; only the (window, name) partials
+    * shuffle for the aggregate. Money discipline as q132: exact
+    * DECIMAL sums, one cast to double. At 100 TB/day this is
+    * broadcast-join + map-side-combined window agg — no scale cliff. */
+  def streamStaticEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = load(spark, dir, "events")
+      .select(col("ts"), col("user_id"),
+        col("value").cast("decimal(18,4)").as("value"))
+    val nation = load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-senrich-src")
+      .toString
+    ev.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val agg = stream
+      .join(broadcast(nation), pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val mem = "q198_stream_static"
+    spark.catalog.dropTempView(mem)
+    val q = agg.writeStream.format("memory").queryName(mem)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(mem)
+      .select(col("window.start").as("day_bucket"), col("n_name"),
+        col("n_events"),
+        round(col("sum_value"), 2).cast("double").as("sum_value"))
+      .orderBy("day_bucket", "n_name")
+  }
+
+  /** EVENT-TYPE CO-OCCURRENCE PMI (q199): pointwise mutual
+    * information over per-user event-type incidence — "which actions
+    * co-occur in the same users beyond chance", the association-
+    * mining statistic behind co-purchase panels, query-term
+    * suggestion, and feature cross selection. All counts are exact
+    * BIGINTs (distinct-user incidence, per-type counts, pair counts);
+    * the PMI itself follows the q130/q168 ln discipline — one
+    * `round(ln(ratio)·1e6)` per OUTPUT row (output is bounded by
+    * types², not data), emitted as a LONG so the hash never touches a
+    * raw float. The single driver-side scalar is the user universe
+    * size (one count — the documented bounded-collect convention).
+    * Scale: incidence collapses map-side to ≤ users·types rows, the
+    * pair join is per-user (bounded fan-out by types), and the final
+    * shuffle carries one row per type pair. */
+  def cooccurrencePmi(spark: SparkSession, dir: String): DataFrame = {
+    val inc = load(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = inc.select(col("user_id")).distinct().count()
+    val ci = inc.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val pairs = inc.as("a")
+      .join(inc.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(ci.select(col("event_type").as("type_a"), col("c").as("ca")),
+        "type_a")
+      .join(ci.select(col("event_type").as("type_b"), col("c").as("cb")),
+        "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(log((lit(nUsers) * col("n_both")).cast("double") /
+          (col("ca") * col("cb")).cast("double")) * lit(1e6))
+          .cast("long").as("pmi_micro"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** PER-GROUP TREND SLOPE (q160): the least-squares slope of daily
     * event counts per event type — "is this source growing or
     * decaying", the volume-drift companion to q120's KS
@@ -853,6 +964,54 @@ object Analytics {
       .orderBy("click_id", "view_id")
   }
 
+  /** STREAM-STREAM FULL-OUTER interval join (q202;
+    * `Streaming.intervalJoinFullOuter`): the q183 attribution with
+    * BOTH ledgers complete — unmatched clicks emit null view columns
+    * (as q183), and unmatched VIEWS now also emit (null click
+    * columns) once the watermark passes the view's own event time,
+    * which is its join horizon under `click_ts ≤ view_ts ≤ click_ts +
+    * 24 h`. The oracle replays all three legs with their distinct
+    * emission rules from the final watermark (min of both sides' max
+    * event times), so emitting a view too early, never emitting one,
+    * or mixing up the two horizons all hash-mismatch. Scale identical
+    * to q172/q183: state per side O(watermark + 24 h), both sides'
+    * state dropped at the crossing that emits their null row. */
+  def streamStreamFullOuterAttribution(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-fouter").toString
+    ev.write.mode("overwrite").parquet(srcDir)
+    def side(t: String): DataFrame =
+      spark.readStream.schema(ev.schema).parquet(srcDir)
+        .filter(col("event_type") === t)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = side("view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    val joined = graft.streaming.Streaming.intervalJoinFullOuter(
+      clicks, "click_ts", "0 seconds", views, "view_ts", "0 seconds",
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+    val mem = "q202_stream_full_outer"
+    spark.catalog.dropTempView(mem)
+    val q = joined.writeStream.format("memory").queryName(mem)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(mem)
+      .select(coalesce(col("user_id"), col("v_user_id")).as("user_id"),
+        col("click_id"), col("view_id"),
+        expr("(unix_micros(view_ts) - unix_micros(click_ts)) div 60000000")
+          .as("lag_min"))
+      .orderBy("click_id", "view_id")
+  }
+
   /** STREAMING CHANGE FEED under the oracle (q188;
     * `Streaming.changeFeedSource` — Delta's
     * `readStream.option("readChangeFeed", true)`): a versioned table
@@ -922,6 +1081,34 @@ object Analytics {
       .distinct()
     val source = edges.agg(min(col("src"))).head().getLong(0)
     graft.graph.Bfs.shortestHops(edges, source, maxHops = 3)
+      .orderBy("node")
+  }
+
+  /** WEIGHTED single-source shortest paths (q195; `graph.Sssp`): the
+    * cost-aware sibling of q181 — same part co-occurrence graph, each
+    * edge carrying a deterministic integer weight, relaxed for 3
+    * frontier Bellman-Ford rounds. After k rounds the tentative
+    * distances are EXACTLY the minimum path weight over paths of ≤ k
+    * edges (the Bellman-Ford invariant), which the oracle reproduces
+    * as a recursive CTE with a hop counter — min over enumerated
+    * ≤3-hop path weights. Weights are derived arithmetically from the
+    * endpoint keys (`(src+dst) % 9 + 1`) so both engines compute the
+    * identical exact-integer graph without a side table. Same
+    * bounded-collect convention as q181 for the source pick. Scale:
+    * each round is one edge-list join against a node-sized frontier +
+    * one map-side-combined `groupBy(dst).min` — O(rounds) edge scans,
+    * frontiers checkpointed, no driver data path. */
+  def ssspParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .withColumn("w", (col("src") + col("dst")) % 9 + 1)
+    val source = edges.agg(min(col("src"))).head().getLong(0)
+    graft.graph.Sssp.shortestPaths(edges, source, maxRounds = 3)
       .orderBy("node")
   }
 
@@ -1096,15 +1283,20 @@ object Analytics {
     "q160_trend_slope" -> dailyTrendSlope,
     "q180_locf_gapfill" -> locfDailyGrid,
     "q181_bfs_hops" -> bfsHopsParts,
+    "q195_sssp_weighted" -> ssspParts,
     "q164_corpus_diff" -> corpusDiff,
     "q165_kmv_setops" -> ((s, d) => kmvSetOps(s, d)),
     "q167_typed_udaf" -> typedMicroStats,
     "q169_session_window" -> nativeSessionWindow,
     "q172_stream_stream_join" -> streamStreamAttribution,
     "q183_stream_outer_join" -> streamStreamOuterAttribution,
+    "q202_stream_full_outer" -> streamStreamFullOuterAttribution,
     "q188_change_feed_stream" -> changeFeedStreamRead,
     "q191_stream_ivm" -> streamIvmRollup,
     "q194_k_anonymity" -> kAnonymityEvents,
+    "q197_stream_dedup" -> streamingDedupAtLeastOnce,
+    "q198_stream_static_join" -> streamStaticEnrich,
+    "q199_cooccur_pmi" -> cooccurrencePmi,
     "q190_percentile_disc" -> percentileDiscTokens,
     "q174_markov_transitions" -> markovTransitions,
     "q175_triangle_count" -> triangleCount
@@ -1241,6 +1433,46 @@ object Analytics {
                      AND v.view_ts <= c.click_ts + INTERVAL 24 HOUR))
          SELECT * FROM m UNION ALL SELECT * FROM u
          ORDER BY click_id, view_id NULLS FIRST""",
+    "q202_stream_full_outer" ->
+      // three legs, two distinct horizons: matched pairs; unmatched
+      // clicks where wm passed click_ts + 24h; unmatched views where
+      // wm passed the view's own event time
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events
+           WHERE event_type IN ('click', 'view')),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM e WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+               FROM e WHERE event_type = 'view'),
+         wm AS (SELECT least((SELECT max(click_ts) FROM c),
+                             (SELECT max(view_ts) FROM v)) AS w),
+         m AS (SELECT c.user_id, click_id, view_id,
+                 CAST((epoch_us(view_ts) - epoch_us(click_ts)) // 60000000
+                   AS BIGINT) AS lag_min
+               FROM c JOIN v ON c.user_id = v.user_id
+                 AND view_ts >= click_ts
+                 AND view_ts <= click_ts + INTERVAL 24 HOUR),
+         u AS (SELECT c.user_id, click_id,
+                 CAST(NULL AS BIGINT) AS view_id,
+                 CAST(NULL AS BIGINT) AS lag_min
+               FROM c, wm
+               WHERE c.click_ts + INTERVAL 24 HOUR < wm.w
+                 AND NOT EXISTS (SELECT 1 FROM v
+                   WHERE v.user_id = c.user_id
+                     AND v.view_ts >= c.click_ts
+                     AND v.view_ts <= c.click_ts + INTERVAL 24 HOUR)),
+         r AS (SELECT v.user_id, CAST(NULL AS BIGINT) AS click_id,
+                 view_id, CAST(NULL AS BIGINT) AS lag_min
+               FROM v, wm
+               WHERE v.view_ts < wm.w
+                 AND NOT EXISTS (SELECT 1 FROM c
+                   WHERE c.user_id = v.user_id
+                     AND v.view_ts >= c.click_ts
+                     AND v.view_ts <= c.click_ts + INTERVAL 24 HOUR))
+         SELECT * FROM m
+         UNION ALL SELECT * FROM u
+         UNION ALL SELECT * FROM r
+         ORDER BY click_id NULLS FIRST, view_id NULLS FIRST""",
     "q172_stream_stream_join" ->
       // the BATCH interval join: the stream-stream emitted multiset
       // must equal it exactly (lag is exact integer-us division)
@@ -1348,6 +1580,61 @@ object Analytics {
            FROM bfs b JOIN edges e ON e.src = b.node
            WHERE b.dist < 3)
          SELECT node, min(dist) AS dist FROM bfs
+         GROUP BY 1 ORDER BY 1""",
+    "q197_stream_dedup" ->
+      // at-least-once redelivery collapses back to the original feed:
+      // duplicates are byte-identical, so "first arrival wins" == the
+      // source rows themselves
+      """SELECT event_id, event_type, value FROM events ORDER BY 1""",
+    "q198_stream_static_join" ->
+      // stream x static broadcast enrichment + daily window agg;
+      // exact DECIMAL money sums, one cast to double
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_bucket,
+                n_name, count(*) AS n_events,
+                CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                  AS sum_value
+         FROM events JOIN nation ON user_id % 25 = n_nationkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q199_cooccur_pmi" ->
+      // exact BIGINT incidence/pair counts; PMI per the q130/q168 ln
+      // discipline: one round(ln(ratio)*1e6) per (bounded) output row,
+      // emitted as BIGINT so no raw float reaches the hash
+      """WITH inc AS (SELECT DISTINCT user_id, event_type FROM events),
+         n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+               FROM events),
+         ci AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+                FROM inc GROUP BY 1),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                          CAST(count(*) AS BIGINT) AS n_both
+                   FROM inc a JOIN inc b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+         SELECT type_a, type_b, n_both,
+                CAST(round(ln(CAST(n.n * n_both AS DOUBLE) /
+                              CAST(ca.c * cb.c AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS pmi_micro
+         FROM pairs CROSS JOIN n
+         JOIN ci ca ON ca.event_type = type_a
+         JOIN ci cb ON cb.event_type = type_b
+         ORDER BY 1, 2""",
+    "q195_sssp_weighted" ->
+      // recursive working-table Bellman-Ford: enumerate (node, path
+      // weight, hops<=3) triples, min weight per node; the hop
+      // counter makes the recursion match the operator's k-round
+      // invariant exactly; all arithmetic exact BIGINT
+      """WITH RECURSIVE edges AS (
+           SELECT src, dst, (src + dst) % 9 + 1 AS w FROM (
+             SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey <> b.l_partkey)),
+         sssp(node, dist, hops) AS (
+           SELECT (SELECT min(src) FROM edges), CAST(0 AS BIGINT), 0
+           UNION
+           SELECT e.dst, s.dist + e.w, s.hops + 1
+           FROM sssp s JOIN edges e ON e.src = s.node
+           WHERE s.hops < 3)
+         SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM sssp
          GROUP BY 1 ORDER BY 1""",
     "q180_locf_gapfill" ->
       // same three steps relationally; the filled value is a raw

@@ -224,6 +224,23 @@ object Streaming {
     left.withWatermark(leftTsCol, leftDelay)
       .join(right.withWatermark(rightTsCol, rightDelay), cond, "left_outer")
 
+  /** STREAM-STREAM FULL-OUTER interval join — BOTH ledgers complete:
+    * every left row accounted for (as [[intervalJoinLeftOuter]]) AND
+    * every right row (orphaned conversions surface instead of
+    * silently dropping — the reconciliation shape audit pipelines
+    * need). Matched pairs emit like the inner join; each side's
+    * unmatched rows emit once, other side null, only after the
+    * event-time watermark passes THAT row's own join horizon (for a
+    * right row whose matches satisfy `left_ts ∈ [right_ts − range,
+    * right_ts]`, the horizon is simply its own event time). State
+    * bound unchanged: O(watermark + range horizon) per side, and each
+    * row's state drops at the same crossing that emits its null row. */
+  def intervalJoinFullOuter(left: DataFrame, leftTsCol: String,
+      leftDelay: String, right: DataFrame, rightTsCol: String,
+      rightDelay: String, cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTsCol, leftDelay)
+      .join(right.withWatermark(rightTsCol, rightDelay), cond, "full_outer")
+
   // ------------------------------------------------------------ sessions
 
   final case class SessionEvent(key: String, ts: java.sql.Timestamp)
