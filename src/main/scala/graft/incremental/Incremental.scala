@@ -72,10 +72,17 @@ object Upsert {
     * the target's old value when a matched source row intentionally
     * nulls an update column (Delta's whenMatchedUpdate writes the
     * NULL), and symmetrically resurrect a matched target's legitimate
-    * NULL in non-update columns from the source. */
+    * NULL in non-update columns from the source.
+    *
+    * `evolveSchema` (Delta `withSchemaEvolution` / mergeSchema):
+    * source columns ABSENT from the target are appended to the output
+    * schema — matched and inserted rows take the source's value,
+    * target-only rows read NULL. Off (the default), source-only
+    * columns are dropped, exactly as Delta MERGE without the flag. */
   def upsert(target: DataFrame, source: DataFrame, mergeKeys: Seq[String],
       updateColumns: Option[Seq[String]] = None,
-      broadcastSource: Boolean = false): DataFrame = {
+      broadcastSource: Boolean = false,
+      evolveSchema: Boolean = false): DataFrame = {
     require(mergeKeys.nonEmpty, "mergeKeys must be non-empty")
     val updateCols = updateColumns.getOrElse(
       source.columns.toSeq.filterNot(mergeKeys.contains))
@@ -98,7 +105,12 @@ object Upsert {
           when(tgtPresent, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
         else col(s"t.$c").as(c)
       }
-    joined.select(projection: _*)
+    val evolved: Seq[Column] =
+      if (!evolveSchema) Seq.empty
+      else source.columns.toSeq.filterNot(target.columns.contains)
+        .filterNot(_ == "_s_present")
+        .map(c => when(srcPresent, col(s"s.$c")).as(c))
+    joined.select(projection ++ evolved: _*)
   }
 
   /** Full Delta-MERGE clause surface over the same marker-based
@@ -125,7 +137,8 @@ object Upsert {
       updateWhen: Option[Column] = None,
       insertWhen: Option[Column] = None,
       updateColumns: Option[Seq[String]] = None,
-      broadcastSource: Boolean = false): DataFrame = {
+      broadcastSource: Boolean = false,
+      evolveSchema: Boolean = false): DataFrame = {
     require(mergeKeys.nonEmpty, "mergeKeys must be non-empty")
     val updateCols = updateColumns.getOrElse(
       source.columns.toSeq.filterNot(mergeKeys.contains))
@@ -153,10 +166,55 @@ object Upsert {
           when(tgtPresent, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
         else col(s"t.$c").as(c)
       }
+    // evolveSchema: source-only columns land only through the update
+    // or insert clause (Delta withSchemaEvolution) — a matched row
+    // whose update clause did not fire keeps the column NULL, exactly
+    // like the target-only pass-throughs
+    val evolved: Seq[Column] =
+      if (!evolveSchema) Seq.empty
+      else source.columns.toSeq.filterNot(target.columns.contains)
+        .filterNot(_ == "_s_present")
+        .map(c => when(upd || ins, col(s"s.$c")).as(c))
     joined
       .filter(tgtPresent || ins) // source-only rows need the insert clause
       .filter(!del) // matched delete-clause rows drop
-      .select(projection: _*)
+      .select(projection ++ evolved: _*)
+  }
+
+  /** APPLY CHANGES (the DLT `APPLY CHANGES INTO` / SCD-Type-1 shape):
+    * fold an OUT-OF-ORDER CDC feed down to each key's latest row by a
+    * sequence column, then merge that collapsed batch — late-arriving
+    * older changes can never clobber newer state, the property raw
+    * MERGE lacks. `opCol` rows valued `"delete"` delete the key (and
+    * never insert); everything else upserts. The sequence must be a
+    * total order per key (the CDC log position); ties would make the
+    * fold nondeterministic, so the window orders by it alone and the
+    * caller owns uniqueness.
+    *
+    * Scale: the fold is one window shuffle over the FEED (batch-sized,
+    * not table-sized); the merge then costs exactly what
+    * [[upsertWithClauses]] costs. */
+  def applyChanges(target: DataFrame, feed: DataFrame,
+      mergeKeys: Seq[String], seqCol: String,
+      opCol: Option[String] = None,
+      broadcastSource: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(mergeKeys.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val latest = feed
+      .withColumn("_ac_rn", row_number().over(w))
+      .filter(col("_ac_rn") === 1)
+      .drop("_ac_rn", seqCol)
+    opCol match {
+      case Some(oc) => upsertWithClauses(target, latest, mergeKeys,
+        deleteWhen = Some(col(s"s.$oc") === "delete"),
+        insertWhen = Some(col(s"s.$oc") =!= "delete"),
+        updateColumns = Some(latest.columns.toSeq
+          .filterNot(mergeKeys.contains).filterNot(_ == oc)),
+        broadcastSource = broadcastSource)
+      case None =>
+        upsert(target, latest, mergeKeys, broadcastSource = broadcastSource)
+    }
   }
 
   /** Merge into a stored table (reference `utils/incremental.py:116-136`,
@@ -276,13 +334,20 @@ object Upsert {
     * the hive path encodes — exact for string/numeric/date partition
     * columns, the kinds partition columns should be.
     *
+    * `evolveSchema` is Delta's MERGE `withSchemaEvolution`: source
+    * columns the table lacks are added to the snapshot schema (target
+    * rows read them NULL). The evolution COMMIT runs as a full
+    * overwrite — replaceWhere is strict-schema by design — but once
+    * the schema has grown, subsequent merges scope normally.
+    *
     * Returns rows WRITTEN by this merge (from the new files' manifest
     * row counts — no re-scan). */
   def mergeIntoVersionedTable(spark: SparkSession, source: DataFrame,
       targetRoot: String, mergeKeys: Seq[String],
       updateColumns: Option[Seq[String]] = None,
       partitionBy: Option[Seq[String]] = None,
-      assumeStablePartitions: Boolean = false): Long = {
+      assumeStablePartitions: Boolean = false,
+      evolveSchema: Boolean = false): Long = {
     val vt = new graft.io.VersionedTable(spark, targetRoot)
     def newRows(v: Long): Long = vt.manifestEntries(v)
       .filter(_.relPath.startsWith(f"_data/c$v%08d")).map(_.rows).sum
@@ -295,8 +360,15 @@ object Upsert {
     // replaceWhere instead of slipping between two separate reads
     val basisV = vt.currentVersion.get
     val parts = vt.partitionColumns
+    // An EVOLVING merge (source adds columns) always runs as a full
+    // overwrite commit: replaceWhere is strict-schema by design, and
+    // the evolution commit must establish the new snapshot schema for
+    // every file anyway. Later non-evolving merges scope again.
+    val evolving = evolveSchema &&
+      source.columns.exists(c => !vt.read().columns.contains(c))
     val scopedCol = parts.headOption
       .filter(p => mergeKeys.contains(p) || assumeStablePartitions)
+      .filterNot(_ => evolving)
     scopedCol match {
       case Some(pcol) =>
         // one row per touched partition value, rendered exactly as the
@@ -305,7 +377,7 @@ object Upsert {
           .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
         if (vals.contains(null))
           return newRows(fullVersionedRewrite(vt, source, mergeKeys,
-            updateColumns))
+            updateColumns, evolveSchema))
         val valSet = vals.toSet
         // refuse layouts where a file has no recorded partition value
         // (pre-partitioning manifests): the pruned read below excludes
@@ -327,16 +399,19 @@ object Upsert {
           operation = s"MERGE $pcol IN (${vals.sorted.mkString(",")})",
           basisVersion = Some(basisV)))
       case None =>
-        newRows(fullVersionedRewrite(vt, source, mergeKeys, updateColumns))
+        newRows(fullVersionedRewrite(vt, source, mergeKeys, updateColumns,
+          evolveSchema))
     }
   }
 
   private def fullVersionedRewrite(vt: graft.io.VersionedTable,
       source: DataFrame, mergeKeys: Seq[String],
-      updateColumns: Option[Seq[String]]): Long = {
+      updateColumns: Option[Seq[String]],
+      evolveSchema: Boolean = false): Long = {
     // reads the snapshot being replaced — safe: the overwrite commit
     // writes NEW files, old versions' files are immutable until vacuum
-    val merged = upsert(vt.read(), source, mergeKeys, updateColumns)
+    val merged = upsert(vt.read(), source, mergeKeys, updateColumns,
+      evolveSchema = evolveSchema)
     vt.write(merged, SaveMode.Overwrite, "MERGE")
   }
 

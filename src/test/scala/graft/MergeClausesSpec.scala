@@ -58,4 +58,89 @@ class MergeClausesSpec extends AnyFunSuite {
       updateColumns = Some(Seq("v")))
     assert(canon(out) === Seq("1|s1"), "NULL delete-cond row still updates")
   }
+
+  test("schema evolution OFF (default): source-only columns dropped") {
+    val target = Seq((1L, "t1")).toDF("id", "v")
+    val source = Seq((1L, "s1", "extra")).toDF("id", "v", "tag")
+    assert(Upsert.upsert(target, source, Seq("id")).columns.toSeq ===
+      Seq("id", "v"))
+  }
+
+  test("schema evolution: new column from source on matched+inserted, " +
+    "NULL on target-only rows") {
+    val target = Seq((1L, "t1"), (2L, "t2")).toDF("id", "v")
+    val source = Seq((2L, "s2", "g2"), (3L, "s3", "g3")).toDF("id", "v", "tag")
+    val out = Upsert.upsert(target, source, Seq("id"), evolveSchema = true)
+    assert(out.columns.toSeq === Seq("id", "v", "tag"))
+    assert(canon(out) === Seq("1|t1|null", "2|s2|g2", "3|s3|g3"))
+  }
+
+  test("schema evolution with clauses: the new column lands only where " +
+    "update/insert actually fired") {
+    val target = Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("id", "v")
+    val source = Seq(
+      (1L, "s1", "upsert", "g1"), // matched update -> takes tag
+      (2L, "s2", "delete", "g2"), // matched delete -> row gone
+      (4L, "s4", "upsert", "g4") // insert -> takes tag
+    ).toDF("id", "v", "op", "tag")
+    val out = Upsert.upsertWithClauses(target, source, Seq("id"),
+      deleteWhen = Some(col("s.op") === "delete"),
+      insertWhen = Some(col("s.op") =!= "delete"),
+      updateColumns = Some(Seq("v")), evolveSchema = true)
+    assert(out.columns.toSeq === Seq("id", "v", "op", "tag"))
+    assert(canon(out.select("id", "v", "tag")) ===
+      Seq("1|s1|g1", "3|t3|null", "4|s4|g4"))
+  }
+
+  test("applyChanges folds an out-of-order CDC feed to latest-by-seq " +
+    "before merging: late old changes never clobber newer state") {
+    val target = Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("id", "v")
+    val feed = Seq(
+      (1L, "old", 1L, "upsert"), (1L, "new", 2L, "upsert"), // fold to new
+      (2L, "late", 3L, "upsert"), (2L, "x", 5L, "delete"), // delete wins
+      (4L, "ins", 1L, "upsert"), // unmatched upsert -> insert
+      (5L, "gone", 2L, "delete") // unmatched delete -> no insert
+    ).toDF("id", "v", "seq", "op")
+    val out = Upsert.applyChanges(target, feed, Seq("id"), "seq",
+      opCol = Some("op"))
+    assert(canon(out.select("id", "v")) === Seq("1|new", "3|t3", "4|ins"))
+  }
+
+  test("applyChanges without an op column is SCD1 latest-wins upsert") {
+    val target = Seq((1L, "t1")).toDF("id", "v")
+    val feed = Seq((1L, "b", 9L), (1L, "a", 7L), (2L, "c", 1L))
+      .toDF("id", "v", "seq")
+    val out = Upsert.applyChanges(target, feed, Seq("id"), "seq")
+    assert(canon(out) === Seq("1|b", "2|c"))
+  }
+
+  test("versioned evolution merge: snapshot schema grows once, old rows " +
+    "read NULL, later merges scope normally") {
+    val root = Fixtures.tempDir("mergeevo") + "/tbl"
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("id", "v", "bucket"),
+      org.apache.spark.sql.SaveMode.Overwrite, "WRITE",
+      partitionBy = Some(Seq("bucket"))) // v0, partitioned
+    Upsert.mergeIntoVersionedTable(spark,
+      Seq((2L, "b2", 1L, "g2"), (3L, "c", 0L, "g3"))
+        .toDF("id", "v", "bucket", "tag"),
+      root, Seq("id"), assumeStablePartitions = true, evolveSchema = true)
+    val after = vt.read()
+    assert(after.columns.sorted.toSeq === Seq("bucket", "id", "tag", "v"))
+    assert(canon(after.select("id", "v", "tag")) ===
+      Seq("1|a|null", "2|b2|g2", "3|c|g3"))
+    // the grown schema persists: a later NON-evolving merge scopes and
+    // leaves the tag column intact for untouched rows
+    Upsert.mergeIntoVersionedTable(spark,
+      Seq((1L, "a2", 0L, null.asInstanceOf[String]))
+        .toDF("id", "v", "bucket", "tag"),
+      root, Seq("id"), assumeStablePartitions = true)
+    assert(canon(vt.read().select("id", "v", "tag")) ===
+      Seq("1|a2|null", "2|b2|g2", "3|c|g3"))
+    // without the flag, an adding source still fails loudly at write
+    // (columns dropped before the write -> no silent type surprises)
+    assert(Upsert.upsert(vt.read(), Seq((9L, "z", 2L, "g", "x"))
+        .toDF("id", "v", "bucket", "tag", "brandnew"), Seq("id"))
+      .columns.count(_ == "brandnew") === 0)
+  }
 }
