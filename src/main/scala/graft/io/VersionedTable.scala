@@ -122,7 +122,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * set. With `allowSchemaEvolution`, an Append may ADD columns
     * (Delta mergeSchema): the snapshot schema grows, and reads fill
     * the column null for pre-evolution files. Shared columns must
-    * always type-match — a silent type change corrupts reads.
+    * type-match — a silent type change corrupts reads — except under
+    * `allowTypeWidening` (Delta type widening): an Append may WIDEN a
+    * column along int→long / float→double (the snapshot schema grows
+    * to the wider type, existing narrow files read upcast natively),
+    * and narrower incoming data is accepted under a wider snapshot
+    * schema. Never narrowing, in either direction.
     *
     * `partitionBy` hive-partitions the commit's files INSIDE the
     * version dir (Delta's partitionValues: each manifest entry's
@@ -138,7 +143,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
       operation: String = "WRITE",
       allowSchemaEvolution: Boolean = false,
-      partitionBy: Option[Seq[String]] = None): Long = {
+      partitionBy: Option[Seq[String]] = None,
+      allowTypeWidening: Boolean = false): Long = {
     val next0 = currentVersion.map(_ + 1).getOrElse(0L)
     val cur0: Option[VersionManifest] = currentVersion.map(readManifest)
     val parts: Seq[String] = partitionBy.getOrElse(
@@ -149,13 +155,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(!df.columns.contains(RowIdPhysCol),
       s"$RowIdPhysCol is reserved for row tracking; rewrites that carry " +
         s"it go through replaceWhere, not write, at $root")
+    cur0.flatMap(_.identity).foreach { case (n, _, _) =>
+      require(!df.columns.contains(n),
+        s"$n is GENERATED ALWAYS AS IDENTITY at $root; its values are " +
+          "always table-assigned and cannot be written explicitly")
+    }
     // fail the cheap checks BEFORE paying for the data write
     val mapping0: Seq[(String, String)] =
       if (mode == SaveMode.Append) cur0.map(_.mapping).getOrElse(Seq.empty)
       else Seq.empty
     cur0.filter(_ => mode == SaveMode.Append).foreach { c =>
       if (c.mapping.isEmpty)
-        reconcileAppendSchema(df, snapshotSchema(c), allowSchemaEvolution)
+        reconcileAppendSchema(df, snapshotSchema(c), allowSchemaEvolution,
+          allowTypeWidening)
       else {
         require(!allowSchemaEvolution,
           s"schema evolution under an active column mapping is not " +
@@ -204,7 +216,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
           if (cur.get.mapping.isEmpty)
             (cur.get.entries,
               reconcileAppendSchema(df, snapshotSchema(cur.get),
-                allowSchemaEvolution))
+                allowSchemaEvolution, allowTypeWidening))
           else {
             reconcileAppendSchema(df, logicalSchema(cur.get),
               allowEvolution = false)
@@ -222,7 +234,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val (added2, hw2) = assignRowIds(cur.flatMap(_.rowIdHw), added)
       writeManifest(next, VersionManifest(Some(schema), prior ++ added2,
         parts, mapping0, generatedOut,
-        cur.map(_.constraints).getOrElse(Seq.empty), hw2))
+        cur.map(_.constraints).getOrElse(Seq.empty), hw2,
+        cur.flatMap(_.identity)))
       appendHistory(next, operation, (prior ++ added).map(_.liveRows).sum)
       pointTo(next)
       next
@@ -299,7 +312,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val (added2, hw2) = assignRowIds(cur.rowIdHw, added)
       val entries = cur.entries.filter(keep) ++ added2
       writeManifest(next, VersionManifest(Some(schema), entries,
-        parts, cur.mapping, cur.generated, cur.constraints, hw2))
+        parts, cur.mapping, cur.generated, cur.constraints, hw2,
+        cur.identity))
       appendHistory(next, operation, entries.map(_.liveRows).sum)
       pointTo(next)
       next
@@ -980,6 +994,65 @@ final class VersionedTable(spark: SparkSession, root: String) {
       opDesc = s"DELETE DV $column IN KEYS[$lo,$hi]")
   }
 
+  /** COPY INTO (Delta `COPY INTO`): idempotent FILE-LEVEL ingest of a
+    * directory of raw files — the scheduled-landing-zone loader.
+    * Re-running after a crash or on a cron never double-loads a file;
+    * files that appeared since the last run load exactly once.
+    *
+    * Exactly-once protocol (intent ledger + commit confirmation):
+    * a run writes its file list to `_copy_ledger/` tagged with a
+    * fresh token, THEN commits the data with the token in the history
+    * operation line. A ledger entry whose token never reached the
+    * history is a crashed intent — its files stay eligible — so the
+    * crash window between ledger and commit re-loads nothing and
+    * loses nothing. Already-loaded files are the ledger entries whose
+    * tokens ARE confirmed; the set difference is driver-side O(file
+    * names), the same metadata scale the manifest itself holds. The
+    * ledger survives vacuum (GC only sweeps `_data`/`_bloom`).
+    * Concurrency: one scheduler owns COPY INTO per table (two
+    * concurrent runs could both see a file unconfirmed — same
+    * single-loader discipline as Delta's COPY INTO).
+    *
+    * Returns the committed version (current version when nothing new
+    * to load). */
+  def copyInto(srcDir: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): Long = {
+    val srcPath = new Path(srcDir)
+    require(fs.exists(srcPath), s"COPY INTO source $srcDir does not exist")
+    val suffix = "." + format
+    val it = fs.listFiles(srcPath, true)
+    val srcFiles: Seq[String] = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+      .map(s => fs.makeQualified(s.getPath).toString).toSeq.sorted
+    val tokRe = "COPY INTO token=([0-9a-f-]+)".r
+    val confirmed: Set[String] =
+      if (!exists) Set.empty
+      else history(limit = Int.MaxValue)
+        .flatMap(h => tokRe.findFirstMatchIn(h.operation).map(_.group(1)))
+        .toSet
+    val ledgerDir = new Path(root, "_copy_ledger")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val confirmedFiles: Set[String] =
+      if (confirmed.isEmpty || !fs.exists(ledgerDir)) Set.empty
+      else spark.read.parquet(ledgerDir.toString)
+        .filter(col("token").isin(confirmed.toSeq: _*))
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val newFiles = srcFiles.filterNot(confirmedFiles.contains)
+    if (newFiles.isEmpty)
+      return currentVersion.getOrElse(sys.error(
+        s"COPY INTO $root: source $srcDir holds no .$format files and " +
+          "the table does not exist yet"))
+    val token = java.util.UUID.randomUUID().toString
+    newFiles.toDF("file").withColumn("token", lit(token))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(ledgerDir.toString)
+    val df = spark.read.format(format).options(options).load(newFiles: _*)
+    val mode = if (exists) SaveMode.Append else SaveMode.Overwrite
+    write(df, mode, s"COPY INTO token=$token")
+  }
+
   /** SHALLOW CLONE (Delta `CLONE` semantics): commit a new table at
     * `destRoot` whose v0 manifest REFERENCES this table's current
     * data files by qualified absolute path — ZERO data files copied,
@@ -1054,6 +1127,67 @@ final class VersionedTable(spark: SparkSession, root: String) {
     dest.writeManifest(0L, m.copy(entries = entries))
     dest.appendHistory(0L, s"CLONE $root@v$curV",
       entries.map(_.liveRows).sum)
+    dest.pointTo(0L)
+    dest
+  }
+
+  /** DEEP CLONE (Delta `CLONE ... DEEP`): materialize the pinned
+    * snapshot at `destRoot` by BYTE-COPYING its data files and DV
+    * sidecars in one distributed job, then committing a v0 manifest
+    * whose entries are the source's VERBATIM. Because the copy
+    * preserves each file's relative layout, everything the manifest
+    * derives from paths or files carries unchanged: per-file stats
+    * and partition values (path `col=value` segments), row-tracking
+    * base ids (`rowIdHw` and byte-identical files), and DV sidecar
+    * `file_rel` keys (source-internal files render the same relative
+    * key under either root) — the clone is immediately
+    * indistinguishable from the source snapshot, minus the history.
+    *
+    * Unlike [[shallowCloneTo]], the clone owns its bytes: source
+    * VACUUM/retention can never break it — the trade is one
+    * distributed copy job, O(live files), executed by executors (the
+    * driver only ships the O(files) relative-path list). Bloom-index
+    * sidecars are NOT copied — lookups on the clone degrade safely to
+    * reading all files until `buildBloomIndex` runs there.
+    *
+    * Deep-cloning a SHALLOW clone is refused (its entries reference
+    * external files whose hive segments this table's root does not
+    * own); `compact()` the shallow clone first to localize its bytes. */
+  def deepCloneTo(destRoot: String,
+      asOfVersion: Option[Long] = None): VersionedTable = {
+    val curV = asOfVersion.getOrElse(currentVersion.getOrElse(
+      sys.error(s"table $root does not exist")))
+    require(manifestCommitted(curV),
+      s"version $curV does not exist at $root")
+    val m = readManifest(curV)
+    require(m.entries.forall(e => !new Path(e.relPath).isAbsolute),
+      s"deep clone of $root would copy external (shallow-clone) file " +
+        "references; compact() first to localize them, then deep clone")
+    val dest = new VersionedTable(spark, destRoot)
+    require(dest.currentVersion.isEmpty,
+      s"clone destination $destRoot already exists")
+    // rel → rel copy list: data files verbatim; each DV dir's part
+    // files listed driver-side (O(sidecar part files), names only)
+    val dvRels: Seq[String] = m.entries.flatMap(_.dvDir).distinct
+      .flatMap { d =>
+        fs.listStatus(new Path(rootPath, d)).filter(_.isFile)
+          .map(s => d + "/" + s.getPath.getName)
+      }
+    val rels = m.entries.map(_.relPath) ++ dvRels
+    val srcRootStr = fs.makeQualified(rootPath).toString
+    val destRootStr = dest.fs.makeQualified(dest.rootPath).toString
+    val par = math.max(1, math.min(rels.size, 64))
+    spark.sparkContext.parallelize(rels, par).foreach { rel =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val sp = new Path(srcRootStr, rel)
+      val dp = new Path(destRootStr, rel)
+      if (!org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf), sp,
+          dp.getFileSystem(conf), dp, false, true, conf))
+        sys.error(s"deep clone: copy failed for $rel")
+    }
+    dest.writeManifest(0L, m)
+    dest.appendHistory(0L, s"CLONE DEEP $root@v$curV",
+      m.entries.map(_.liveRows).sum)
     dest.pointTo(0L)
     dest
   }
@@ -1252,7 +1386,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         cur.entries.filterNot(e => maskedPaths.contains(e.relPath)) ++ added2
       writeManifest(next, VersionManifest(Some(snapshotSchema(cur)),
         entries, cur.partitionBy, cur.mapping, cur.generated,
-        cur.constraints, hw2))
+        cur.constraints, hw2, cur.identity))
       appendHistory(next, "REORG PURGE", entries.map(_.liveRows).sum)
       pointTo(next)
       refreshBloomIndexes(next)
@@ -1333,6 +1467,52 @@ final class VersionedTable(spark: SparkSession, root: String) {
   /** Current snapshot with its stable row ids as a `_row_id` column. */
   def readWithRowIds(): DataFrame = readVersionWithRowIds(
     currentVersion.getOrElse(sys.error(s"table $root does not exist")))
+
+  /** IDENTITY COLUMN (Delta `GENERATED ALWAYS AS IDENTITY`): declare a
+    * surrogate-key column whose value is `startWith + step · row_id`,
+    * DERIVED from the row-tracking id — pure manifest metadata, zero
+    * bytes written now or on any future commit. Everything the
+    * surrogate key must promise falls out of the row-id machinery it
+    * rides: values are unique and never reused (ids come off the
+    * monotone high-water mark), a fresh append takes the next
+    * contiguous block, and rewrites (UPDATE / OPTIMIZE / REORG PURGE)
+    * carry each surviving row's id — so its identity value — through
+    * materialization, which is the Delta guarantee. Like Delta, the
+    * column is ALWAYS table-assigned: [[write]] refuses frames that
+    * carry it. Read it back with [[readWithIdentity]] (the plain
+    * [[read]] schema is unchanged — the column costs nothing until
+    * asked for). Enables row tracking if not already on. */
+  def addIdentityColumn(name: String, startWith: Long = 1L,
+      step: Long = 1L): Long = {
+    require(step != 0L, "identity step must be non-zero")
+    enableRowTracking() // idempotent
+    commitWithRebase(rebase = false) { () =>
+      val curV = currentVersion.get
+      val cur = readManifest(curV)
+      cur.identity.foreach { case (n, _, _) => sys.error(
+        s"table $root already has an identity column ($n)") }
+      require(!logicalSchema(cur).fieldNames.contains(name),
+        s"column $name already exists at $root")
+      val next = curV + 1
+      writeManifest(next, cur.copy(identity = Some((name, startWith, step))))
+      appendHistory(next, s"ADD IDENTITY $name START $startWith STEP $step",
+        cur.entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
+  /** Current snapshot plus its identity column (appended last). */
+  def readWithIdentity(): DataFrame = {
+    val v = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val (name, start, step) = readManifest(v).identity.getOrElse(
+      sys.error(s"no identity column at $root (call addIdentityColumn)"))
+    import org.apache.spark.sql.functions.{col, lit}
+    readVersionWithRowIds(v)
+      .withColumn(name, lit(start) + lit(step) * col(RowIdCol))
+      .drop(RowIdCol)
+  }
 
   def readVersionWithRowIds(v: Long): DataFrame = {
     require(manifestCommitted(v), s"version $v does not exist at $root")
@@ -1669,6 +1849,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * versions by NUMBER. Throws if `ts` predates the first commit. */
   def readTimestampAsOf(ts: String): DataFrame =
     readVersion(versionAtTimestamp(ts))
+
+  /** RESTORE ... TO TIMESTAMP AS OF (Delta): [[restore]] to the
+    * version [[versionAtTimestamp]] resolves — "roll the table back
+    * to what it said at 2 am", the operational form every incident
+    * runbook uses (version numbers are what the postmortem finds,
+    * timestamps are what the pager says). Same forward-commit
+    * semantics as restore(v): history is preserved, row-id high water
+    * never rewinds. */
+  def restoreToTimestamp(ts: String): Unit = restore(versionAtTimestamp(ts))
 
   /** The version [[readTimestampAsOf]] resolves. */
   def versionAtTimestamp(ts: String): Long = {
@@ -2233,6 +2422,46 @@ final class VersionedTable(spark: SparkSession, root: String) {
       v > cur - retainVersions), orphanGraceMs)
   }
 
+  /** VACUUM DRY RUN (Delta `VACUUM ... DRY RUN`): what [[vacuum]]
+    * with the same arguments WOULD remove — (dropped versions,
+    * deleted data/DV parquet files as table-relative paths) — without
+    * touching a byte. The enumeration mirrors the live pass
+    * (manifest-referenced set, DV-dir unit skip, commit-dir mtime
+    * grace); VacuumDryRunSpec pins dry-run == actual on the same
+    * table so the two can never drift silently. Read-only: safe to
+    * run from a monitor on a table with active writers (bloom-sidecar
+    * GC, a maintenance nicety, is not part of the report). */
+  def vacuumDryRun(retainVersions: Int = 2,
+      orphanGraceMs: Long = 3600000L): (Seq[Long], Seq[String]) = {
+    val cur = currentVersion.getOrElse(return (Seq.empty, Seq.empty))
+    val committed = committedVersions
+    val keep = committed.filter(v => v == cur || v > cur - retainVersions)
+    val drop = committed.diff(keep)
+    val keptManifests = keep.map(readManifest)
+    val referenced: Set[String] =
+      keptManifests.flatMap(_.entries.map(_.relPath)).toSet
+    val referencedDvDirs: Set[String] =
+      keptManifests.flatMap(_.entries.flatMap(_.dvDir)).toSet
+    val garbage = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(dataRoot)) {
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      fs.listStatus(dataRoot).foreach { dirStatus =>
+        val dir = dirStatus.getPath
+        if (commitDirVersion(dir.getName).exists(_ <= cur) &&
+            dirStatus.getModificationTime <= cutoff &&
+            !referencedDvDirs.contains(relativize(dir))) {
+          val it = fs.listFiles(dir, true)
+          Iterator.continually(it).takeWhile(_.hasNext)
+            .map(_.next().getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .filterNot(f => referenced.contains(relativize(f)))
+            .foreach(f => garbage += relativize(f))
+        }
+      }
+    }
+    (drop, garbage.toSeq.sorted)
+  }
+
   /** TIME-based retention — the reference's operational idiom
     * (`vacuum(retention_hours=h)`, utils/delta_ops.py:65-104; the
     * runbook's "retain 168 hours"): drop every version whose COMMIT
@@ -2521,13 +2750,30 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * union-based append enforced compatibility implicitly; with
     * manifests a silent mismatch would corrupt reads, so fail fast. */
   private def reconcileAppendSchema(df: DataFrame, cur: StructType,
-      allowEvolution: Boolean): StructType = {
+      allowEvolution: Boolean, allowWidening: Boolean = false): StructType = {
     val curTypes = cur.fields.map(f => f.name -> f.dataType).toMap
+    val widened = scala.collection.mutable.Map.empty[String,
+      org.apache.spark.sql.types.DataType]
     df.schema.fields.foreach { f =>
       curTypes.get(f.name) match {
-        case Some(t) => require(t == f.dataType,
-          s"append type mismatch at $root column ${f.name}: " +
-            s"table has ${t.catalogString}, append has ${f.dataType.catalogString}")
+        case Some(t) =>
+          if (t == f.dataType) ()
+          else if (allowWidening && VersionedTable.widens(t, f.dataType))
+            // TYPE WIDENING (Delta type widening): the snapshot schema
+            // grows to the wider type; files already written narrow
+            // read widened natively by the parquet reader
+            widened(f.name) = f.dataType
+          else if (allowWidening && VersionedTable.widens(f.dataType, t))
+            () // narrower incoming data reads widened under the
+          // existing (wider) snapshot schema — nothing to record
+          else require(t == f.dataType,
+            s"append type mismatch at $root column ${f.name}: " +
+              s"table has ${t.catalogString}, append has " +
+              s"${f.dataType.catalogString}" + (
+              if (VersionedTable.widens(t, f.dataType) ||
+                VersionedTable.widens(f.dataType, t))
+                "; pass allowTypeWidening=true (int->long, float->double)"
+              else ""))
         case None => require(allowEvolution,
           s"append adds column ${f.name} at $root; " +
             "pass allowSchemaEvolution=true to evolve the snapshot schema")
@@ -2535,7 +2781,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
     val added = df.schema.fields
       .filterNot(f => curTypes.contains(f.name)).map(_.copy(nullable = true))
-    StructType(cur.fields ++ added)
+    StructType(cur.fields.map(f =>
+      widened.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
+      ++ added)
   }
 
   /** Parse a manifest, waiting out a concurrent writer's content fill:
@@ -2607,9 +2855,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
         }).getOrElse(Seq.empty)
     val rowIdHw = lines.find(_.startsWith("#rowIdHw="))
       .map(_.stripPrefix("#rowIdHw=").toLong)
+    val identity = lines.find(_.startsWith("#identity="))
+      .map { l =>
+        val a = l.stripPrefix("#identity=").split('>')
+        require(a.length == 3, s"malformed #identity header in $root v$v")
+        (a(0), a(1).toLong, a(2).toLong)
+      }
     if (declared.exists(_ != entries.size)) None
     else Some(VersionManifest(schema, entries, partitionBy, mapping,
-      generated, constraints, rowIdHw))
+      generated, constraints, rowIdHw, identity))
   }
 
   /** Commit a manifest: atomic CLAIM of the destination name, then
@@ -2649,7 +2903,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
           s"$n>${java.util.Base64.getEncoder.encodeToString(
             e.getBytes(StandardCharsets.UTF_8))}" }.mkString(",")}\n"
       else "") +
-      m.rowIdHw.map(h => s"#rowIdHw=$h\n").getOrElse("")
+      m.rowIdHw.map(h => s"#rowIdHw=$h\n").getOrElse("") +
+      m.identity.map { case (c, s, st) => s"#identity=$c>$s>$st\n" }
+        .getOrElse("")
     val body = header + m.entries.map(ManifestEntry.encodeLine).mkString("\n")
     val dest = manifestPath(v)
     claimManifest(dest, v)
@@ -2760,6 +3016,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
 object VersionedTable {
   /** Commits between automatic history-checkpoint rolls. */
   val historyCheckpointInterval: Int = 128
+
+  /** TYPE WIDENING lattice (Delta type widening): `from` data is read
+    * correctly under a `to` snapshot schema by Spark's parquet reader
+    * with no rewrite — exactly the pairs verified against the
+    * vectorized reader (int32→int64 upcast, float→double upcast).
+    * Widening is strictly one-way: the reverse would truncate. */
+  private[io] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{IntegerType, LongType,
+      FloatType, DoubleType}
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
 
   /** One conjunct of a unified [[VersionedTable.readMatching]] read —
     * the typed predicate shapes the single-column readWhere* family
@@ -2973,4 +3245,5 @@ final case class VersionManifest(schema: Option[StructType],
     mapping: Seq[(String, String)] = Seq.empty,
     generated: Seq[(String, String)] = Seq.empty,
     constraints: Seq[(String, String)] = Seq.empty,
-    rowIdHw: Option[Long] = None)
+    rowIdHw: Option[Long] = None,
+    identity: Option[(String, Long, Long)] = None)

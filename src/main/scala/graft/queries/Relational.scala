@@ -272,6 +272,79 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** MERGE with SCHEMA EVOLUTION through the versioned store (q196;
+    * Delta MERGE `withSchemaEvolution` / mergeSchema, reference
+    * `utils/delta_ops.py` MERGE): the q13 target is committed as v0
+    * WITHOUT a priority column, then a source batch carrying the new
+    * `o_orderpriority` column merges with `evolveSchema = true` — the
+    * snapshot schema grows, matched and inserted rows take the
+    * source's value, and untouched target rows read the column NULL.
+    * The oracle replays the evolution as a full-outer join whose
+    * new-column leg comes only from the source side, so a merge that
+    * dropped the column (the non-evolving default), resurrected a
+    * target value into it, or null-filled a matched row would all
+    * hash-mismatch. Scale: the evolution COMMIT is a one-time full
+    * rewrite (replaceWhere is strict-schema by contract); every
+    * subsequent merge scopes normally against the grown schema. */
+  def mergeEvolveVersioned(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-vmergeevo")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    vt.write(target, org.apache.spark.sql.SaveMode.Overwrite, "WRITE") // v0
+    val source = o.filter(col("o_custkey") % 2 === 0)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice").cast("decimal(18,4)") * lit(BigDecimal("1.1")), 2)
+          .cast("double").as("o_totalprice"),
+        col("o_orderpriority"))
+    graft.incremental.Upsert.mergeIntoVersionedTable(spark, source, root,
+      Seq("o_orderkey"), evolveSchema = true) // v1: schema grows
+    vt.read()
+      .select(col("o_orderkey"), col("o_totalprice").as("price_after"),
+        col("o_orderpriority").as("priority_after"))
+      .orderBy("o_orderkey")
+  }
+
+  /** APPLY CHANGES / SCD-Type-1 CDC apply (q204;
+    * `Upsert.applyChanges` — the DLT `APPLY CHANGES INTO` shape): two
+    * CDC batches with overlapping keys land IN ONE FEED — sequence 1
+    * upserts the even-customer orders, sequence 2 (the newer truth)
+    * re-prices every 5th order and deletes every 10th — and the
+    * operator folds the feed to each key's latest row by sequence
+    * BEFORE merging, so the late-arriving older change can never
+    * clobber the newer one. The oracle replays the fold (window
+    * latest-by-seq) plus all clause outcomes; a raw MERGE of the
+    * unfolded feed, a min-instead-of-max fold, or delete rows
+    * leaking as inserts all hash-mismatch. Scale: the fold shuffles
+    * the FEED (batch-sized), the merge costs one q13. */
+  def applyChangesScd1(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.Upsert
+    val o = load(spark, dir, "orders")
+    val target = o.filter(col("o_orderkey") % 3 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    def priced(mult: String): Column =
+      round(col("o_totalprice").cast("decimal(18,4)") * lit(BigDecimal(mult)), 2)
+        .cast("double").as("o_totalprice")
+    val b1 = o.filter(col("o_custkey") % 2 === 0)
+      .select(col("o_orderkey"), priced("1.1"),
+        lit("U1").as("o_orderstatus"), lit("upsert").as("op"),
+        lit(1L).as("seq"))
+    val b2 = o.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), priced("1.2"),
+        lit("U2").as("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        lit(2L).as("seq"))
+    Upsert.applyChanges(target, b1.unionByName(b2), Seq("o_orderkey"),
+        "seq", opCol = Some("op"))
+      .select(col("o_orderkey"), col("o_totalprice").as("price_after"),
+        col("o_orderstatus").as("status_after"))
+      .orderBy("o_orderkey")
+  }
+
   /** S7/J1 through the VERSIONED store (reference `utils/delta_ops.py`
     * MERGE + `utils/incremental.py:116-136`): the q13 merge executed
     * against a real manifest-log table — create a bucket-partitioned
@@ -588,6 +661,125 @@ object Relational {
     clone.read().withColumn("side", lit("clone"))
       .unionByName(vt.read().withColumn("side", lit("source")))
       .orderBy("side", "o_orderkey")
+  }
+
+  /** DEEP CLONE SURVIVES SOURCE GC (q200; Delta `CLONE ... DEEP`,
+    * `VersionedTable.deepCloneTo`): the q131 scenario taken to the
+    * clone form shallow CAN'T survive — clone the DV-masked snapshot,
+    * then OVERWRITE the source and VACUUM its old versions so every
+    * byte the snapshot referenced is deleted at the source. The deep
+    * clone still reads the masked snapshot exactly (it owns byte
+    * copies; the verbatim-manifest copy carries per-file stats, DV
+    * keys and row ids), which is precisely the disaster-recovery /
+    * archival contract deep clone exists for. A shallow clone in this
+    * chain would throw on read — so the oracle match pins the
+    * deep-copy semantics, not just clone bookkeeping. Scale: the
+    * clone is one distributed O(live files) copy job; the driver
+    * ships only the relative-path list. */
+  def deepCloneSurvivesGc(spark: SparkSession, dir: String): DataFrame = {
+    val srcRoot = java.nio.file.Files.createTempDirectory("graft-dclone-src")
+      .resolve("tbl").toString
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft-dclone-dst")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, srcRoot)
+    vt.write(load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")))
+    vt.deleteVectorized("o_orderkey", 100, 199) // v1: source mask
+    val clone = vt.deepCloneTo(dstRoot)
+    // destroy the source: overwrite, then GC every pre-overwrite byte
+    vt.write(load(spark, dir, "orders").filter(col("o_orderkey") === 1L)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus")),
+      org.apache.spark.sql.SaveMode.Overwrite, "OVERWRITE")
+    vt.vacuum(retainVersions = 1, orphanGraceMs = 0L)
+    clone.read().orderBy("o_orderkey")
+  }
+
+  /** IDENTITY COLUMN ALLOCATION (q201; Delta GENERATED ALWAYS AS
+    * IDENTITY, `VersionedTable.addIdentityColumn`): a surrogate key
+    * declared as pure manifest metadata riding the row-tracking ids —
+    * write a slice, add `order_sk START 1000 STEP 2`, append the rest,
+    * then OPTIMIZE (ids must survive the rewrite). Individual id↔row
+    * pairings are allocation-order-dependent (exactly like Delta), but
+    * the allocation CONTRACT is deterministic and that is what the
+    * oracle hashes: N unique values forming the arithmetic progression
+    * 1000, 1002, … — so count, distinct count, min, max and sum are
+    * all closed forms of N. A duplicate id, a skipped block, a
+    * compaction dropping materialized ids, or step drift each break a
+    * closed form and hash-mismatch. Scale: zero bytes per row ever
+    * written for the column; O(files) manifest arithmetic. */
+  def identityAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-idcol")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    vt.write(o.filter(col("o_orderkey") % 3 =!= 0)) // v0
+    vt.addIdentityColumn("order_sk", startWith = 1000L, step = 2L)
+    vt.write(o.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // fresh id block
+    vt.compact() // ids must survive the rewrite
+    vt.readWithIdentity().agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("order_sk")).as("n_distinct_sk"),
+      min(col("order_sk")).as("min_sk"),
+      max(col("order_sk")).as("max_sk"),
+      sum(col("order_sk")).as("sum_sk"))
+  }
+
+  /** TYPE WIDENING under the oracle (q203; Delta type widening,
+    * `write(allowTypeWidening = true)`): a table created with NARROW
+    * types (int key, float price) takes an append carrying the WIDE
+    * types (long, double) — the snapshot schema widens in place and
+    * the original narrow files read upcast natively, zero rewrite.
+    * The oracle replays the precision seam exactly: the narrow
+    * slice's price is `double(float(price))` (IEEE float→double is
+    * exact, identical in both engines), the wide slice's is the raw
+    * double — so a widening that rewrote/re-rounded data, dropped the
+    * narrow files, or read them at the wrong type all hash-mismatch.
+    * Scale: widening is O(1) manifest metadata at any table size —
+    * the alternative (rewrite to migrate int→long) is the O(table)
+    * cost this feature exists to avoid. */
+  def typeWideningRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-widen")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    vt.write(o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_totalprice").cast("float").as("o_totalprice"))) // narrow v0
+    vt.write(o.filter(col("o_orderkey") % 2 === 1),
+      org.apache.spark.sql.SaveMode.Append,
+      allowTypeWidening = true) // wide append: schema widens in place
+    vt.read().orderBy("o_orderkey")
+  }
+
+  /** COPY INTO exactly-once ingest (q205; Delta COPY INTO,
+    * `VersionedTable.copyInto`): a landing zone staged as four
+    * parquet drops — the first COPY INTO loads two, a RE-RUN loads
+    * nothing (idempotence), then two more files land and the third
+    * run loads exactly those — and the final table must equal the
+    * source exactly once. Any double-load (the naive re-run failure),
+    * missed file, or ledger/confirmation drift duplicates or drops a
+    * slice and hash-mismatches. Scale: per run the cost is reading
+    * the NEW files plus O(file names) driver metadata — the manifest
+    * scale the table already carries. */
+  def copyIntoIngest(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-copyinto")
+      .toString
+    val src = s"$base/landing"
+    val root = s"$base/tbl"
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    def stage(n: Int): Unit = o.filter(col("o_orderkey") % 4 === n)
+      .coalesce(1).write.parquet(s"$src/slice$n")
+    val vt = new graft.io.VersionedTable(spark, root)
+    stage(0); stage(1)
+    vt.copyInto(src)
+    vt.copyInto(src) // idempotent re-run: loads nothing
+    stage(2); stage(3)
+    vt.copyInto(src) // loads exactly the two new drops
+    vt.read().orderBy("o_orderkey")
   }
 
   /** PER-VERSION SNAPSHOT WALK (q129): time travel itself under the
@@ -1570,6 +1762,12 @@ object Relational {
     "q129_version_walk" -> versionWalk,
     "q131_shallow_clone" -> shallowCloneRead,
     "q133_merge_clauses" -> mergeWithClauses,
+    "q196_merge_evolve" -> mergeEvolveVersioned,
+    "q200_deep_clone" -> deepCloneSurvivesGc,
+    "q201_identity" -> identityAllocation,
+    "q203_type_widening" -> typeWideningRead,
+    "q204_apply_changes" -> applyChangesScd1,
+    "q205_copy_into" -> copyIntoIngest,
     "q134_metadata_count" -> metadataCount,
     "q135_unpivot" -> unpivotMeasures,
     "q140_scd2_join" -> scd2PointInTime,
@@ -1719,6 +1917,83 @@ object Relational {
                 COALESCE(s.o_totalprice, t.o_totalprice) AS price_after,
                 COALESCE(s.o_orderstatus, t.o_orderstatus) AS status_after
          FROM target t FULL OUTER JOIN source s USING (o_orderkey)""",
+    "q201_identity" ->
+      // identity values are allocation-order-dependent row to row, but
+      // the CONTRACT is deterministic: N unique ids forming the
+      // progression 1000, 1002, ... — every summary is a closed form
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+         SELECT n AS n_rows, n AS n_distinct_sk,
+                CAST(1000 AS BIGINT) AS min_sk,
+                CAST(1000 + 2 * (n - 1) AS BIGINT) AS max_sk,
+                CAST(1000 * n + n * (n - 1) AS BIGINT) AS sum_sk
+         FROM n""",
+    "q205_copy_into" ->
+      // three COPY INTO runs over a growing landing zone must load the
+      // source exactly once — no dups on re-run, no missed drops
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+         ORDER BY 1""",
+    "q204_apply_changes" ->
+      // fold the mixed-sequence feed to latest-by-seq per key, then
+      // replay the clause outcomes: delete drops (and never inserts),
+      // upsert updates or inserts, untouched target rows pass through
+      """WITH t AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+                    FROM orders WHERE o_orderkey % 3 <> 0),
+         b1 AS (SELECT o_orderkey,
+                  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2)
+                    AS DOUBLE) AS p, 'U1' AS s, 'upsert' AS op, 1 AS seq
+                FROM orders WHERE o_custkey % 2 = 0),
+         b2 AS (SELECT o_orderkey,
+                  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.2, 2)
+                    AS DOUBLE) AS p, 'U2' AS s,
+                  CASE WHEN o_orderkey % 10 = 0 THEN 'delete'
+                       ELSE 'upsert' END AS op, 2 AS seq
+                FROM orders WHERE o_orderkey % 5 = 0),
+         latest AS (SELECT o_orderkey, p, s, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC) AS rn
+             FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2))
+           WHERE rn = 1)
+         SELECT COALESCE(t.o_orderkey, l.o_orderkey) AS o_orderkey,
+                CASE WHEN l.o_orderkey IS NOT NULL THEN l.p
+                     ELSE t.o_totalprice END AS price_after,
+                CASE WHEN l.o_orderkey IS NOT NULL THEN l.s
+                     ELSE t.o_orderstatus END AS status_after
+         FROM t FULL OUTER JOIN latest l ON t.o_orderkey = l.o_orderkey
+         WHERE l.op IS NULL OR l.op <> 'delete'
+         ORDER BY 1""",
+    "q203_type_widening" ->
+      // the precision seam is part of the hash: the narrow slice reads
+      // as double(float(price)) — IEEE float->double is exact and
+      // engine-identical — the wide slice as the raw double
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                     ELSE o_totalprice END AS o_totalprice
+         FROM orders ORDER BY 1""",
+    "q200_deep_clone" ->
+      // the deep clone must read the masked v1 snapshot even though
+      // the source's bytes were overwritten and vacuumed away
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+         WHERE o_orderkey NOT BETWEEN 100 AND 199
+         ORDER BY 1""",
+    "q196_merge_evolve" ->
+      // schema-evolving merge: the new column's values come ONLY from
+      // the source side (matched + inserted rows); target-only rows
+      // read NULL — exactly Delta withSchemaEvolution
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey % 3 <> 0),
+         source AS (
+           SELECT o_orderkey,
+                  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2)
+                    AS DOUBLE) AS o_totalprice,
+                  o_orderpriority FROM orders
+           WHERE o_custkey % 2 = 0)
+         SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                COALESCE(s.o_totalprice, t.o_totalprice) AS price_after,
+                s.o_orderpriority AS priority_after
+         FROM target t FULL OUTER JOIN source s USING (o_orderkey)
+         ORDER BY 1""",
     "q14_star_join_agg" ->
       """SELECT n_name, count(*) AS n_orders,
          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue

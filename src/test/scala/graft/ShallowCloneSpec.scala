@@ -145,4 +145,48 @@ class ShallowCloneSpec extends AnyFunSuite {
       vt.shallowCloneTo(src)
     }
   }
+
+  test("deep clone: owns its bytes — identical reads (row ids and DV " +
+    "masks included), survives total destruction of the source") {
+    val src = Fixtures.tempDir("dclone-src") + "/tbl"
+    val dst = Fixtures.tempDir("dclone-dst") + "/tbl"
+    val vt = new VersionedTable(spark, src)
+    vt.write((0L until 500L).map(i => (i, s"v$i")).toDF("id", "v"))
+    vt.enableRowTracking() // ids must carry through the byte copy
+    vt.deleteVectorized("id", 100, 199) // DV mask must carry too
+    def tagged(t: VersionedTable): Seq[String] =
+      t.readWithRowIds().collect().map(_.mkString("|")).sorted.toSeq
+    val srcRows = tagged(vt)
+    val clone = vt.deepCloneTo(dst)
+    assert(tagged(clone) === srcRows)
+    assert(parquetDataFiles(dst).nonEmpty, "deep clone must copy bytes")
+    // destroy the source completely: overwrite, GC, then rm -rf
+    vt.write(Seq((1L, "x")).toDF("id", "v"), SaveMode.Overwrite, "OVERWRITE")
+    vt.vacuum(retainVersions = 1, orphanGraceMs = 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    assert(tagged(clone) === srcRows,
+      "a deep clone must not reference a single source byte")
+  }
+
+  test("deep clone pins a version; refuses external (shallow) references") {
+    val src = Fixtures.tempDir("dclone-src2") + "/tbl"
+    val vt = new VersionedTable(spark, src)
+    vt.write((0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")) // v0
+    val v0 = vt.currentVersion.get
+    vt.write((40L until 60L).map(i => (i, s"v$i")).toDF("id", "v"),
+      SaveMode.Append) // v1
+    val clone = vt.deepCloneTo(
+      Fixtures.tempDir("dclone-dst2") + "/tbl", asOfVersion = Some(v0))
+    assert(clone.read().count() === 40)
+    // a shallow clone's entries are external -> deep clone refuses
+    val shallow = vt.shallowCloneTo(Fixtures.tempDir("dclone-sh") + "/tbl")
+    intercept[IllegalArgumentException] {
+      shallow.deepCloneTo(Fixtures.tempDir("dclone-sh-deep") + "/tbl")
+    }
+    // ... and compact() localizes the shallow clone, unblocking it
+    shallow.compact()
+    val deepened = shallow.deepCloneTo(
+      Fixtures.tempDir("dclone-sh-deep2") + "/tbl")
+    assert(deepened.read().count() === 60)
+  }
 }
