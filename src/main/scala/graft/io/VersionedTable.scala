@@ -140,13 +140,30 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * rewriting the table unpartitioned. Partition values power
     * manifest-level pruning in [[readWhere]]/[[readWherePartition]].
     * Returns the new version number. */
-  def write(df: DataFrame, mode: SaveMode = SaveMode.Overwrite,
+  def write(df0: DataFrame, mode: SaveMode = SaveMode.Overwrite,
       operation: String = "WRITE",
       allowSchemaEvolution: Boolean = false,
       partitionBy: Option[Seq[String]] = None,
       allowTypeWidening: Boolean = false): Long = {
     val next0 = currentVersion.map(_ + 1).getOrElse(0L)
     val cur0: Option[VersionManifest] = currentVersion.map(readManifest)
+    // GENERATED ALWAYS materialization (the Delta writer path): a
+    // declared generated partition column missing from an APPEND frame
+    // is computed here from its source column — streaming writers
+    // append raw events and the layout derives itself. Frames that
+    // carry the column keep their values (the declaration's recorded
+    // rendering is what recordGenerated validated).
+    val df: DataFrame = cur0.filter(_ => mode == SaveMode.Append)
+      .map(_.generated).getOrElse(Seq.empty)
+      .foldLeft(df0) { case (d, (pcol, gen)) =>
+        if (d.columns.contains(pcol)) d
+        else genFormat(gen) match {
+          case Some((src, pattern, _)) if d.columns.contains(src) =>
+            d.withColumn(pcol, org.apache.spark.sql.functions
+              .date_format(org.apache.spark.sql.functions.col(src), pattern))
+          case _ => d
+        }
+      }
     val parts: Seq[String] = partitionBy.getOrElse(
       cur0.map(_.partitionBy).getOrElse(Seq.empty))
     require(parts.forall(df.columns.contains),

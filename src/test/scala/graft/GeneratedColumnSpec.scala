@@ -41,6 +41,32 @@ class GeneratedColumnSpec extends AnyFunSuite {
     assert(ids === Array(205L, 206L, 207L, 208L))
   }
 
+  test("writer-path materialization: an APPEND missing the generated " +
+    "column derives it (Delta writer semantics); pruning stays exact") {
+    val root = Fixtures.tempDir("gen-mat") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val day1 = (0 until 4).map(h => ((100 + h).toLong,
+      ts(f"2024-03-01T$h%02d:30:00Z")))
+    vt.write(day1.toDF("id", "ts")
+      .withColumn("hr", date_format(col("ts"), "yyyy-MM-dd-HH")),
+      partitionBy = Some(Seq("hr")))
+    vt.recordGenerated("hr", "hour(ts)")
+    // raw append: NO hr column — the write path must derive it
+    val day2 = (0 until 4).map(h => ((200 + h).toLong,
+      ts(f"2024-03-02T$h%02d:30:00Z")))
+    vt.write(day2.toDF("id", "ts"), org.apache.spark.sql.SaveMode.Append)
+    val planned = vt.matchingEntries(
+        TsRange("ts", "2024-03-02T01:00:00Z", "2024-03-02T02:45:00Z"))
+      .flatMap(_.partitionValues.get("hr")).toSet
+    assert(planned === Set("2024-03-02-01", "2024-03-02-02"),
+      s"materialized append must land prunable hour partitions: $planned")
+    val ids = vt.readWhereTimestamp("ts",
+        "2024-03-02T01:00:00Z", "2024-03-02T02:45:00Z")
+      .select("id").as[Long].collect().sorted
+    assert(ids === Array(201L, 202L))
+    assert(vt.read().count() === 8)
+  }
+
   test("month(ts): a cross-month range plans exactly the overlapped " +
     "months") {
     val root = Fixtures.tempDir("gen-month") + "/tbl"
