@@ -1411,6 +1411,26 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Commit version an entry's path was written by (None for external
+    * — shallow-clone — references). */
+  private[graft] def entryCommitVersion(e: ManifestEntry): Option[Long] = {
+    val segs = e.relPath.split('/')
+    if (segs.length >= 2 && segs(0) == "_data") commitDirVersion(segs(1))
+    else None
+  }
+
+  /** Live rows of exactly `entries` under the CURRENT manifest, the
+    * row-id column riding along on tracked tables — the read half of
+    * a partial rewrite (feed the result to [[replaceWhere]] with a
+    * keep predicate excluding these entries, as compactWhere does). */
+  private[graft] def readEntriesForRewrite(
+      entries: Seq[ManifestEntry]): DataFrame = {
+    val m = readManifest(currentVersion.getOrElse(
+      sys.error(s"table $root does not exist")))
+    if (m.rowIdHw.isDefined) logicalize(m, readFilesPhysicalRid(m, entries))
+    else readFiles(m, entries)
+  }
+
   // ------------------------------------------------------- row tracking
 
   /** One contiguous id range per new file, carved off the manifest's
@@ -2079,7 +2099,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * ONLY those files. Cost O(un-indexed data + sidecar size), never
     * a table scan; a no-op when no index exists or nothing is
     * missing. */
-  private def refreshBloomIndexes(v: Long): Unit = {
+  private[graft] def refreshBloomIndexes(v: Long): Unit = {
     val dir = new Path(root, "_bloom")
     if (!fs.exists(dir)) return
     val vRe = """^v(\d+)$""".r

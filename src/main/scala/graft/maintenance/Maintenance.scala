@@ -274,20 +274,21 @@ object Maintenance {
     }
   }
 
-  private def curveOrderBy(spark: SparkSession, path: String,
+  /** Curve-sort a frame: quantile-bucket each cluster column, compute
+    * the space-filling-curve index, range-partition + sort by it.
+    * The read/sort half shared by the full rewrite ([[zOrderBy]] /
+    * [[hilbertOrderBy]]) and the incremental pass
+    * ([[clusterIncrementalBy]]). Bounds come from THIS frame — for an
+    * incremental slice that is the new data's own distribution, which
+    * is what makes its per-file envelopes tight. */
+  private[graft] def curveSort(df: org.apache.spark.sql.DataFrame,
       cCols: Seq[String], bitsPerDim: Int, numPartitions: Option[Int],
       curve: (Seq[org.apache.spark.sql.Column], Seq[Seq[Double]]) =>
         org.apache.spark.sql.Column,
-      tag: String): Unit = {
+      where: String): org.apache.spark.sql.DataFrame = {
     require(cCols.nonEmpty, "cluster rewrite requires at least one column")
     require(bitsPerDim * cCols.size <= 63,
       s"${cCols.size} dims at $bitsPerDim bits exceed a long")
-    // raw tables: recover a crashed previous swap BEFORE reading
-    if (!new graft.io.VersionedTable(spark, path).exists) {
-      val p = new org.apache.hadoop.fs.Path(path)
-      recoverCrashedRewrite(TableIO.fs(spark, p), p, tag)
-    }
-    val df = TableIO.readTable(spark, path)
     val buckets = 1 << bitsPerDim
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     // one scan computes every dimension's quantile edges
@@ -298,7 +299,7 @@ object Maintenance {
     // require deep in the rewrite
     bounds.toSeq.zip(cCols).foreach { case (bs, c) =>
       require(bs.nonEmpty,
-        s"cluster column '$c' has no non-null values to bucket at $path")
+        s"cluster column '$c' has no non-null values to bucket at $where")
     }
     val idx = curve(cCols.map(c => asCurveDouble(df, c)),
       bounds.toSeq.map(_.toSeq))
@@ -307,9 +308,62 @@ object Maintenance {
       case Some(n) => withIdx.repartitionByRange(n, col("__curve"))
       case None => withIdx.repartitionByRange(col("__curve"))
     }
-    val sorted = ranged.sortWithinPartitions(col("__curve")).drop("__curve")
+    ranged.sortWithinPartitions(col("__curve")).drop("__curve")
+  }
+
+  private def curveOrderBy(spark: SparkSession, path: String,
+      cCols: Seq[String], bitsPerDim: Int, numPartitions: Option[Int],
+      curve: (Seq[org.apache.spark.sql.Column], Seq[Seq[Double]]) =>
+        org.apache.spark.sql.Column,
+      tag: String): Unit = {
+    // raw tables: recover a crashed previous swap BEFORE reading
+    if (!new graft.io.VersionedTable(spark, path).exists) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      recoverCrashedRewrite(TableIO.fs(spark, p), p, tag)
+    }
+    val df = TableIO.readTable(spark, path)
+    val sorted = curveSort(df, cCols, bitsPerDim, numPartitions, curve, path)
     rewriteSorted(spark, path, sorted, tag,
       s"OPTIMIZE ZORDER (${cCols.mkString(",")})")
+  }
+
+  /** LIQUID-STYLE INCREMENTAL CLUSTERING (the OPTIMIZE form Delta's
+    * liquid clustering runs on a schedule): cluster-sort ONLY the
+    * files committed since the last clustering pass — already-
+    * clustered files keep their manifest entries byte-identically.
+    * A streaming table that lands small unsorted files all day pays
+    * one pass over the new data each night, never an O(table)
+    * rewrite; multi-column skipping holds across BOTH file
+    * populations because each clustering pass left tight per-file
+    * envelopes behind. First call (no prior pass) clusters the whole
+    * table. DV masks on rewritten files purge with the rewrite;
+    * tracked tables carry row ids; the `OPTIMIZE`-prefixed operation
+    * keeps the rewrite-only CDF fast path; bloom sidecars refresh.
+    * Returns the current version unchanged when nothing new landed. */
+  def clusterIncrementalBy(spark: SparkSession, path: String,
+      cCols: Seq[String], bitsPerDim: Int = 8,
+      targetFileMB: Int = 128, numPartitions: Option[Int] = None): Long = {
+    val vt = new graft.io.VersionedTable(spark, path)
+    val curV = vt.currentVersion.getOrElse(
+      sys.error(s"table $path does not exist"))
+    val lastCluster = vt.history(limit = Int.MaxValue)
+      .filter(h => h.operation.startsWith("OPTIMIZE ZORDER") ||
+        h.operation.startsWith("OPTIMIZE CLUSTER"))
+      .map(_.version).foldLeft(-1L)(_ max _)
+    val target = vt.manifestEntries(curV)
+      .filter(e => vt.entryCommitVersion(e).forall(_ > lastCluster))
+    if (target.isEmpty) return curV
+    val n = numPartitions.getOrElse(math.max(1L, target.map(_.bytes).sum /
+      (targetFileMB.toLong * 1024 * 1024)).toInt)
+    val sorted = curveSort(vt.readEntriesForRewrite(target), cCols,
+      bitsPerDim, Some(n), graft.functions.ZValue.zvalue, path)
+    val targetPaths = target.map(_.relPath).toSet
+    val v = vt.replaceWhere(sorted,
+      e => !targetPaths.contains(e.relPath),
+      s"OPTIMIZE CLUSTER (${cCols.mkString(",")})",
+      basisVersion = Some(curV))
+    vt.refreshBloomIndexes(v)
+    v
   }
 
   /** M2: cluster-sort rewrite (single-column-prefix Z-ORDER substitute,

@@ -860,6 +860,37 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** LIQUID-STYLE INCREMENTAL CLUSTERING under the oracle (q206;
+    * `Maintenance.clusterIncrementalBy` — the OPTIMIZE form Delta's
+    * liquid clustering schedules): half the orders land and are
+    * clustered on (orderkey, custkey); the other half then lands
+    * UNSORTED and a second incremental pass clusters ONLY those new
+    * files — the first pass's entries survive byte-identically
+    * (LiquidClusterSpec pins that) — before a conjunctive 2-D
+    * readWhere spans BOTH file populations. The oracle is the plain
+    * conjunctive BETWEEN, so over-pruning in either population loses
+    * rows and hash-mismatches. Scale: nightly clustering costs one
+    * pass over the DAY'S files, never an O(table) rewrite, and
+    * multi-column skipping holds across every generation of files. */
+  def liquidClusterRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-liquid")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    vt.write(o.filter(col("o_orderkey") % 2 === 0).repartition(8))
+    graft.maintenance.Maintenance.clusterIncrementalBy(spark, root,
+      Seq("o_orderkey", "o_custkey"), numPartitions = Some(8))
+    vt.write(o.filter(col("o_orderkey") % 2 === 1).repartition(8),
+      org.apache.spark.sql.SaveMode.Append)
+    graft.maintenance.Maintenance.clusterIncrementalBy(spark, root,
+      Seq("o_orderkey", "o_custkey"), numPartitions = Some(8))
+    vt.readWhere(Map(
+        "o_orderkey" -> (1000.0, 9000.0),
+        "o_custkey" -> (200.0, 900.0)))
+      .orderBy("o_orderkey")
+  }
+
   /** GENERATED-COLUMN PARTITION PRUNING under the oracle (q171 —
     * Delta `GENERATED ALWAYS AS` semantics): events land partitioned
     * by a `day` column the writer derives from `ts`, the table
@@ -1780,6 +1811,7 @@ object Relational {
     "q156_incremental_minmax" -> incrementalMinMaxRollup,
     "q163_column_mapping" -> columnMappingRead,
     "q170_zorder_skipping" -> zorderSkippingRead,
+    "q206_liquid_cluster" -> liquidClusterRead,
     "q171_generated_pruning" -> generatedPrunedRead,
     "q182_generated_hour" -> generatedHourPrunedRead,
     "q186_optimize_where" -> compactWhereRead,
@@ -2157,6 +2189,13 @@ object Relational {
            AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-13 02:15:00'
          ORDER BY event_id""",
     "q170_zorder_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey BETWEEN 1000 AND 9000
+           AND o_custkey BETWEEN 200 AND 900
+         ORDER BY o_orderkey""",
+    "q206_liquid_cluster" ->
+      // same conjunctive box as q170, but served across TWO clustered
+      // file populations (initial pass + incremental pass)
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderkey BETWEEN 1000 AND 9000
            AND o_custkey BETWEEN 200 AND 900
