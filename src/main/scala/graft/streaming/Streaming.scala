@@ -272,13 +272,16 @@ object Streaming {
     * rows); without it such commits fail the query loudly. Vacuum
     * retention must cover the stream's maximum lag. */
   def versionedSource(spark: SparkSession, root: String,
-      ignoreChanges: Boolean = false): DataFrame =
-    spark.readStream
+      ignoreChanges: Boolean = false,
+      maxVersionsPerBatch: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
       .option("path", root)
       .option("ignoreChanges", ignoreChanges.toString)
-      .load()
+    maxVersionsPerBatch.fold(r)(m =>
+      r.option("maxVersionsPerBatch", m.toString)).load()
+  }
 
   /** STREAMING CHANGE FEED over a versioned table (Delta
     * `readStream.option("readChangeFeed", true)`): rows tagged

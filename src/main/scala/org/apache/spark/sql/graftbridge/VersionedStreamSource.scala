@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -33,7 +34,9 @@ import org.apache.spark.sql.types.StructType
   * (a DSv2 MicroBatchStream would re-implement parquet reading).
   */
 final class VersionedStreamSource(spark: SparkSession, path: String,
-    ignoreChanges: Boolean, changeFeed: Boolean = false) extends Source {
+    ignoreChanges: Boolean, changeFeed: Boolean = false,
+    maxVersionsPerBatch: Option[Long] = None)
+  extends Source with SupportsAdmissionControl {
 
   private val vt = new graft.io.VersionedTable(spark, path)
 
@@ -47,6 +50,29 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
   }
 
   override def getOffset: Option[Offset] = vt.currentVersion.map(LongOffset(_))
+
+  /** RATE LIMITING (Delta `maxFilesPerTrigger` at this source's
+    * version granularity): with `maxVersionsPerBatch = m`, a stream
+    * that fell behind catches up in ≤m-version micro-batches instead
+    * of one unbounded batch — admission control hands us the START
+    * offset, so the cap survives restarts (the plain V1 `getOffset`
+    * cannot see its consumer's position). The INITIAL snapshot batch
+    * is one batch by design — version offsets cannot split a single
+    * version. Unset ⇒ everything available, the V1 behavior. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val cur = vt.currentVersion
+    val capped: Option[Long] = (cur, maxVersionsPerBatch) match {
+      case (Some(c), Some(m)) =>
+        Option(start).map(o => version(o.asInstanceOf[Offset])) match {
+          case Some(from) => Some(math.min(c, from + m))
+          case None => Some(c) // initial snapshot: one batch by design
+        }
+      case (c, _) => c
+    }
+    capped.map(LongOffset(_)).orNull
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame =
     if (changeFeed) vt.streamChangeBatch(start.map(version), version(end))
@@ -68,7 +94,10 @@ object VersionedStreamSource {
 
 /** `spark.readStream.format(<this class's companion name>)` provider.
   * Options: `path` (versioned table root, required), `ignoreChanges`
-  * (tolerate non-append commits by streaming only added files). */
+  * (tolerate non-append commits by streaming only added files),
+  * `maxVersionsPerBatch` (rate limiting: cap each micro-batch at this
+  * many versions past the last committed offset — Delta's
+  * maxFilesPerTrigger at version granularity). */
 final class VersionedStreamSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -91,5 +120,9 @@ final class VersionedStreamSourceProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source =
     new VersionedStreamSource(ctx.sparkSession, tablePath(parameters),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
-      changeFeed = changeFeed(parameters))
+      changeFeed = changeFeed(parameters),
+      maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
+        .map(_.toLong).map { m =>
+          require(m > 0, "maxVersionsPerBatch must be positive"); m
+        })
 }

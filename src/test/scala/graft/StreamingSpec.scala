@@ -73,6 +73,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q4.stop()
   }
 
+  test("maxVersionsPerBatch rate-limits catch-up into bounded " +
+    "micro-batches (admission control: the cap survives restarts)") {
+    import org.apache.spark.sql.SaveMode
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-vsrc-rate")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v0
+    val out = s"$base/out"
+    def sink(df: org.apache.spark.sql.DataFrame) = df.writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append)
+    def ids() = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val q = sink(Streaming.versionedSource(spark, root,
+      maxVersionsPerBatch = Some(2L))).start()
+    try { q.processAllAvailable() } finally q.stop() // snapshot batch
+    assert(ids() === Seq(1L, 2L))
+    // the stream falls 5 versions behind while it is down
+    (3L to 7L).foreach { i =>
+      vt.write(Seq((i, s"v$i")).toDF("id", "s"), SaveMode.Append)
+    }
+    val q2 = sink(Streaming.versionedSource(spark, root,
+      maxVersionsPerBatch = Some(2L))).start()
+    try {
+      q2.processAllAvailable()
+      assert(ids() === (1L to 7L), "catch-up delivers exactly once")
+      val batches = q2.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3,
+        s"5 versions at cap 2 must take >= 3 micro-batches, got $batches")
+    } finally q2.stop()
+  }
+
   test("windowedAgg: hourly counts per key from a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
