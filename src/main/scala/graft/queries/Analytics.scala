@@ -554,10 +554,10 @@ object Analytics {
         col("b.event_type").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
     pairs
-      .join(ci.select(col("event_type").as("type_a"), col("c").as("ca")),
-        "type_a")
-      .join(ci.select(col("event_type").as("type_b"), col("c").as("cb")),
-        "type_b")
+      .join(broadcast(ci.select(col("event_type").as("type_a"),
+        col("c").as("ca"))), "type_a")
+      .join(broadcast(ci.select(col("event_type").as("type_b"),
+        col("c").as("cb"))), "type_b")
       .select(col("type_a"), col("type_b"), col("n_both"),
         round(log((lit(nUsers) * col("n_both")).cast("double") /
           (col("ca") * col("cb")).cast("double")) * lit(1e6))
