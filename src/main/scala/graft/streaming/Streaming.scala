@@ -273,14 +273,17 @@ object Streaming {
     * retention must cover the stream's maximum lag. */
   def versionedSource(spark: SparkSession, root: String,
       ignoreChanges: Boolean = false,
-      maxVersionsPerBatch: Option[Long] = None): DataFrame = {
-    val r = spark.readStream
+      maxVersionsPerBatch: Option[Long] = None,
+      startingVersion: Option[Long] = None): DataFrame = {
+    val r0 = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
       .option("path", root)
       .option("ignoreChanges", ignoreChanges.toString)
-    maxVersionsPerBatch.fold(r)(m =>
-      r.option("maxVersionsPerBatch", m.toString)).load()
+    val r1 = maxVersionsPerBatch.fold(r0)(m =>
+      r0.option("maxVersionsPerBatch", m.toString))
+    startingVersion.fold(r1)(v =>
+      r1.option("startingVersion", v.toString)).load()
   }
 
   /** STREAMING CHANGE FEED over a versioned table (Delta
@@ -293,13 +296,16 @@ object Streaming {
     * rewrite it cannot express row-level fails loudly; keep the
     * stream's lag inside the maintenance cadence. Offsets are
     * versions, checkpoint-resumable like [[versionedSource]]. */
-  def changeFeedSource(spark: SparkSession, root: String): DataFrame =
-    spark.readStream
+  def changeFeedSource(spark: SparkSession, root: String,
+      startingVersion: Option[Long] = None): DataFrame = {
+    val r0 = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
       .option("path", root)
       .option("readChangeFeed", "true")
+    startingVersion.fold(r0)(v => r0.option("startingVersion", v.toString))
       .load()
+  }
 
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
       watermarkDelay: String): Dataset[SessionSummary] = {

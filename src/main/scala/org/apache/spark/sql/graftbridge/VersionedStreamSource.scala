@@ -35,8 +35,12 @@ import org.apache.spark.sql.types.StructType
   */
 final class VersionedStreamSource(spark: SparkSession, path: String,
     ignoreChanges: Boolean, changeFeed: Boolean = false,
-    maxVersionsPerBatch: Option[Long] = None)
+    maxVersionsPerBatch: Option[Long] = None,
+    startingVersion: Option[Long] = None)
   extends Source with SupportsAdmissionControl {
+
+  startingVersion.foreach(v => require(v >= 1,
+    "startingVersion must be >= 1 (omit it to start from the snapshot)"))
 
   private val vt = new graft.io.VersionedTable(spark, path)
 
@@ -74,9 +78,16 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     capped.map(LongOffset(_)).orNull
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
-    if (changeFeed) vt.streamChangeBatch(start.map(version), version(end))
-    else vt.streamBatch(start.map(version), version(end), ignoreChanges)
+  /** First batch without a checkpointed start: the snapshot — unless
+    * `startingVersion = v` (Delta's option of the same name) makes it
+    * the CHANGES of versions [v, end] instead, skipping the snapshot
+    * entirely (the "subscribe from here on" form for a consumer that
+    * bootstrapped out of band). */
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(version).orElse(startingVersion.map(_ - 1))
+    if (changeFeed) vt.streamChangeBatch(from, version(end))
+    else vt.streamBatch(from, version(end), ignoreChanges)
+  }
 
   override def stop(): Unit = ()
 }
@@ -124,5 +135,6 @@ final class VersionedStreamSourceProvider extends StreamSourceProvider
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
         .map(_.toLong).map { m =>
           require(m > 0, "maxVersionsPerBatch must be positive"); m
-        })
+        },
+      startingVersion = parameters.get("startingVersion").map(_.toLong))
 }

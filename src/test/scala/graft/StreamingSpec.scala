@@ -73,6 +73,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q4.stop()
   }
 
+  test("startingVersion skips the snapshot: the stream subscribes " +
+    "from a version (plain and change-feed modes)") {
+    import org.apache.spark.sql.SaveMode
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-vsrc-sv")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v0 snapshot
+    vt.write(Seq((3L, "c")).toDF("id", "s"), SaveMode.Append) // v1
+    vt.write(Seq((4L, "d")).toDF("id", "s"), SaveMode.Append) // v2
+    def drain(df: org.apache.spark.sql.DataFrame, tag: String) = {
+      val out = s"$base/out-$tag"
+      val q = df.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/ckpt-$tag")
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out)
+    }
+    // plain mode from v1: the v0 snapshot must NOT replay
+    val plain = drain(Streaming.versionedSource(spark, root,
+      startingVersion = Some(1L)), "plain")
+    assert(plain.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(3L, 4L))
+    // change feed from v2: only v2's inserts
+    val cdf = drain(Streaming.changeFeedSource(spark, root,
+      startingVersion = Some(2L)), "cdf")
+    assert(cdf.select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((4L, "insert")))
+  }
+
   test("maxVersionsPerBatch rate-limits catch-up into bounded " +
     "micro-batches (admission control: the cap survives restarts)") {
     import org.apache.spark.sql.SaveMode
