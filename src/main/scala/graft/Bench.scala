@@ -48,6 +48,11 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // same isolation rationale for STREAMING state: unload
+        // accumulated state-store providers so late stateful queries
+        // aren't charged for earlier queries' residue (q172/q202 read
+        // 2x slow late in a 200-query session, fast in a fresh JVM)
+        org.apache.spark.sql.graftbridge.StateStoreHygiene.unloadAll()
         dt
       }
       name -> times.min
