@@ -67,13 +67,15 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val cur = vt.currentVersion
-    val capped: Option[Long] = (cur, maxVersionsPerBatch) match {
-      case (Some(c), Some(m)) =>
-        Option(start).map(o => version(o.asInstanceOf[Offset])) match {
-          case Some(from) => Some(math.min(c, from + m))
-          case None => Some(c) // initial snapshot: one batch by design
-        }
-      case (c, _) => c
+    // startingVersion gives the FIRST batch a defined start too, so
+    // the cap applies there as well; a plain snapshot first batch
+    // stays uncapped by design (one version, indivisible)
+    val from: Option[Long] = Option(start)
+      .map(o => version(o.asInstanceOf[Offset]))
+      .orElse(startingVersion.map(_ - 1))
+    val capped: Option[Long] = (cur, maxVersionsPerBatch, from) match {
+      case (Some(c), Some(m), Some(f)) => Some(math.min(c, f + m))
+      case (c, _, _) => c
     }
     capped.map(LongOffset(_)).orNull
   }
