@@ -1,0 +1,55 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** K-CORE PEELING over a directed edge frame `edges(src, dst)`
+  * (symmetric for undirected graphs, like the co-occurrence graphs
+  * the rest of the family runs on) — the cohesion primitive behind
+  * spam-farm detection, community cores, and link-graph quality
+  * weighting: nodes that only hang off the periphery peel away,
+  * leaving the densely interconnected core.
+  *
+  * One synchronized peel round:
+  *
+  * {{{
+  *   deg(n)  = out-degree of n in the surviving edge set
+  *   keep    = { n : deg(n) ≥ k }
+  *   edges'  = edges with BOTH endpoints in keep
+  * }}}
+  *
+  * Running a FIXED number of rounds makes the operator well-defined
+  * without a convergence proof — exactly the bounded-rounds trick
+  * [[Sssp]] uses — and lets the oracle replay it as R chained CTEs.
+  * (Full k-core = run until a round removes nothing; each round only
+  * shrinks the node set, so rounds ≤ |V|.)
+  *
+  * Scale shape: each round is one map-side-combined `groupBy(src)`
+  * degree count plus two node-sized semi-joins back onto the edge
+  * list, localCheckpointed so the plan stays flat — O(rounds) edge
+  * scans, no driver data path, exact integer degrees so the output
+  * hashes identically at any partitioning. */
+object KCore {
+
+  /** Surviving `(node, deg)` after `rounds` synchronized peels at
+    * threshold `k`; `deg` is the node's degree WITHIN the surviving
+    * subgraph. */
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    var e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= k).select(col("src").as("n"))
+        .localCheckpoint()
+      e = e
+        .join(keep, e("src") === keep("n"), "left_semi")
+        .join(keep, col("dst") === keep("n"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+}

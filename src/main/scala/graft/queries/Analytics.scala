@@ -565,6 +565,33 @@ object Analytics {
       .orderBy("type_a", "type_b")
   }
 
+  /** PER-TYPE EWMA OF DAILY VOLUME (q208): zero-seeded exponentially
+    * weighted moving average (α = 1/2) over each event type's daily
+    * counts — the smoothing primitive behind alerting baselines and
+    * drift monitors, complementing q160's linear trend. Float
+    * discipline: the fold is order-DEFINED on both engines (left fold
+    * in day order — `aggregate(array_sort(...))` here, DuckDB
+    * `list_reduce(list_prepend(0.0, list(... ORDER BY day)))` so both
+    * sides run the SAME zero-seeded recurrence), α = 1/2 keeps every
+    * step one correctly-rounded IEEE add plus an exact halving, so
+    * the doubles match bitwise. Scale: daily counts collapse map-side
+    * to (type, day) partials; each fold runs over ≤ days elements of
+    * one group — the array never exceeds the calendar. */
+  def ewmaDailyVolume(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("y"))))
+        .as("xs"))
+      .select(col("event_type"),
+        size(col("xs")).cast("long").as("n_days"),
+        aggregate(expr("transform(xs, s -> cast(s.y as double))"),
+          lit(0.0), (acc, x) => (acc + x) / lit(2.0)).as("ewma"))
+      .orderBy("event_type")
+  }
+
   /** PER-GROUP TREND SLOPE (q160): the least-squares slope of daily
     * event counts per event type — "is this source growing or
     * decaying", the volume-drift companion to q120's KS
@@ -1112,6 +1139,28 @@ object Analytics {
       .orderBy("node")
   }
 
+  /** K-CORE PEELING over the part co-occurrence graph (q207;
+    * `graph.KCore`): three synchronized peel rounds at k=90 strip
+    * the periphery and leave the densely co-purchased core with each
+    * survivor's in-core degree — the cohesion primitive (spam-farm
+    * cores, community kernels, link-quality weighting) completing
+    * the graph family next to components/PageRank/triangles/BFS/
+    * SSSP. Fixed rounds make the operator well-defined and let the
+    * oracle replay it as three chained CTE peels — the q195
+    * bounded-rounds trick. Exact integer degrees; same O(rounds)
+    * edge-scan shape as BFS with node-sized semi-joins. */
+  def kcoreParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    graft.graph.KCore.peel(edges, k = 90, rounds = 3)
+      .orderBy("node")
+  }
+
   /** PAGERANK over the part co-occurrence graph (q157;
     * `graph.PageRank`): parts appearing in the same order link both
     * ways (the co-purchase graph), then 3 exact integer-arithmetic
@@ -1284,6 +1333,8 @@ object Analytics {
     "q180_locf_gapfill" -> locfDailyGrid,
     "q181_bfs_hops" -> bfsHopsParts,
     "q195_sssp_weighted" -> ssspParts,
+    "q207_kcore" -> kcoreParts,
+    "q208_ewma" -> ewmaDailyVolume,
     "q164_corpus_diff" -> corpusDiff,
     "q165_kmv_setops" -> ((s, d) => kmvSetOps(s, d)),
     "q167_typed_udaf" -> typedMicroStats,
@@ -1617,6 +1668,40 @@ object Analytics {
          JOIN ci ca ON ca.event_type = type_a
          JOIN ci cb ON cb.event_type = type_b
          ORDER BY 1, 2""",
+    "q208_ewma" ->
+      // zero-seeded order-DEFINED left fold in day order; alpha=1/2
+      // keeps every step one correctly-rounded add + an exact halving
+      """WITH daily AS (SELECT event_type,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+           list_reduce(
+             list_prepend(0.0, list(CAST(y AS DOUBLE) ORDER BY day)),
+             (acc, x) -> (acc + x) / 2) AS ewma
+         FROM daily GROUP BY 1 ORDER BY 1""",
+    "q207_kcore" ->
+      // three chained synchronized peels (the q195 bounded-rounds
+      // trick, unrolled): degree >= 90 survives, edges keep only
+      // survivor endpoints; output = surviving in-core degrees
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey <> b.l_partkey),
+         k1 AS (SELECT src AS n FROM e0 GROUP BY 1
+                HAVING count(*) >= 90),
+         e1 AS (SELECT e0.src, e0.dst FROM e0
+                JOIN k1 a ON e0.src = a.n JOIN k1 b ON e0.dst = b.n),
+         k2 AS (SELECT src AS n FROM e1 GROUP BY 1
+                HAVING count(*) >= 90),
+         e2 AS (SELECT e1.src, e1.dst FROM e1
+                JOIN k2 a ON e1.src = a.n JOIN k2 b ON e1.dst = b.n),
+         k3 AS (SELECT src AS n FROM e2 GROUP BY 1
+                HAVING count(*) >= 90),
+         e3 AS (SELECT e2.src, e2.dst FROM e2
+                JOIN k3 a ON e2.src = a.n JOIN k3 b ON e2.dst = b.n)
+         SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         FROM e3 GROUP BY 1 ORDER BY 1""",
     "q195_sssp_weighted" ->
       // recursive working-table Bellman-Ford: enumerate (node, path
       // weight, hops<=3) triples, min weight per node; the hop
