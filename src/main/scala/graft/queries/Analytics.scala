@@ -1161,6 +1161,47 @@ object Analytics {
       .orderBy("node")
   }
 
+  /** DEGREE ASSORTATIVITY of the part co-occurrence graph (q209):
+    * the Pearson correlation of endpoint degrees over all directed
+    * edges — one scalar that says whether hubs attach to hubs
+    * (assortative, r > 0) or to the periphery (disassortative,
+    * r < 0; typical for co-purchase and web graphs), the global
+    * structure statistic next to the family's node-level outputs.
+    * Float discipline is q160's closed-form rule: every moment (m,
+    * Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT (bounds checked:
+    * degrees ≤ ~2²⁰, edges ≤ ~2³², every product < 2⁶³), and r is ONE
+    * identical expression tree over them — two long→double casts, a
+    * multiply, a correctly-rounded sqrt, a divide — so the double
+    * matches bitwise. Scale: the degree table is node-sized and
+    * BROADCAST twice onto the edge scan; the moments collapse
+    * map-side to a single row. */
+  def assortativityParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val xy = edges
+      .join(broadcast(deg.select(col("src"), col("d").as("x"))), "src")
+      .join(broadcast(deg.select(col("src").as("dst"), col("d").as("y"))),
+        "dst")
+    xy.agg(
+        count(lit(1)).as("m"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("m"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("syy"),
+        ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("assortativity"))
+  }
+
   /** PAGERANK over the part co-occurrence graph (q157;
     * `graph.PageRank`): parts appearing in the same order link both
     * ways (the co-purchase graph), then 3 exact integer-arithmetic
@@ -1335,6 +1376,7 @@ object Analytics {
     "q195_sssp_weighted" -> ssspParts,
     "q207_kcore" -> kcoreParts,
     "q208_ewma" -> ewmaDailyVolume,
+    "q209_assortativity" -> assortativityParts,
     "q164_corpus_diff" -> corpusDiff,
     "q165_kmv_setops" -> ((s, d) => kmvSetOps(s, d)),
     "q167_typed_udaf" -> typedMicroStats,
@@ -1668,6 +1710,30 @@ object Analytics {
          JOIN ci ca ON ca.event_type = type_a
          JOIN ci cb ON cb.event_type = type_b
          ORDER BY 1, 2""",
+    "q209_assortativity" ->
+      // exact BIGINT moments; r = one identical IEEE tree (two casts,
+      // a multiply, a correctly-rounded sqrt, a divide) both engines
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS d
+                 FROM e GROUP BY 1),
+         xy AS (SELECT dx.d AS x, dy.d AS y FROM e
+                JOIN deg dx ON e.src = dx.n
+                JOIN deg dy ON e.dst = dy.n),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+               FROM xy)
+         SELECT m, sx, sy, sxy, sxx, syy,
+           CAST(m * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(m * sxx - sx * sx AS DOUBLE) *
+                  CAST(m * syy - sy * sy AS DOUBLE)) AS assortativity
+         FROM s""",
     "q208_ewma" ->
       // zero-seeded order-DEFINED left fold in day order; alpha=1/2
       // keeps every step one correctly-rounded add + an exact halving
