@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SYNCHRONOUS LABEL PROPAGATION over a directed edge frame
+  * `edges(src, dst)` (symmetric for undirected graphs, like the part
+  * co-occurrence graphs the rest of the family runs on) — the
+  * standard cheap community detector (Raghavan et al. 2007), the
+  * primitive a training pipeline runs to cluster a domain/link graph
+  * before assigning per-community mixing or quality policies.
+  *
+  * Every node starts in its own community (`label = node id`). One
+  * synchronized round reassigns EVERY node the most frequent label
+  * among its in-neighbors, breaking frequency ties toward the SMALLEST
+  * label:
+  *
+  * {{{
+  *   votes(n, l) = |{ (s, n) ∈ E : label(s) = l }|
+  *   label'(n)   = argmax_l (votes(n, l), -l)   // max count, min label
+  * }}}
+  *
+  * Both the frequency count and the tie-break are exact integer
+  * decisions, so the round is DETERMINISTIC at any partitioning —
+  * unlike classic asynchronous LPA, whose result depends on visit
+  * order. A FIXED number of rounds makes the operator well-defined
+  * without a convergence proof (the [[Sssp]]/[[KCore]] bounded-rounds
+  * trick) and lets an external oracle replay it as R chained
+  * count+argmax CTEs. Nodes with no in-edges keep their own label.
+  *
+  * Scale shape: each round is one edge-list equi-join against the
+  * node-sized label frame (broadcast-ready after the first round's
+  * shrinkage), one map-side-combined `groupBy(dst, label)` count, and
+  * one per-node argmax window over the vote list (votes per node ≤
+  * degree) — O(rounds) edge scans, localCheckpointed flat plans, no
+  * driver data path. */
+object LabelProp {
+
+  /** `(node, community)` after `rounds` synchronized propagation
+    * rounds; `community` is the propagated label (a node id). */
+  def run(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var lab = nodes.select(col("node"), col("node").as("community"))
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val votes = e
+        .join(lab.select(col("node").as("src"), col("community")), "src")
+        .groupBy(col("dst").as("node"), col("community"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("community").asc)
+      val picked = votes.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).select(col("node"), col("community"))
+      // a node with no in-edges this round keeps its current label
+      lab = nodes
+        .join(picked, Seq("node"), "left_outer")
+        .join(lab.withColumnRenamed("community", "_prev"), Seq("node"))
+        .select(col("node"),
+          coalesce(col("community"), col("_prev")).as("community"))
+        .localCheckpoint()
+    }
+    lab
+  }
+}

@@ -1909,6 +1909,51 @@ final class VersionedTable(spark: SparkSession, root: String) {
           .getOrElse("none")})"))
   }
 
+  /** The FIRST version committed at or after `ts` (ISO-8601 instant) —
+    * the resolution Delta's `startingTimestamp` uses: "subscribe to
+    * every change from this instant on" rounds FORWARD to the next
+    * commit, where [[versionAtTimestamp]]'s "what did the table say
+    * then" rounds BACK to the previous one. `None` when `ts` is after
+    * the newest commit (nothing has happened there yet — a streaming
+    * consumer starts with whatever commits next). Same bounded history
+    * walk as [[versionAtTimestamp]]. */
+  def firstVersionAtOrAfter(ts: String): Option[Long] = {
+    val target = java.time.Instant.parse(ts)
+    history(limit = Int.MaxValue) // newest-first
+      .takeWhile(h => !java.time.Instant.parse(h.timestamp).isBefore(target))
+      .lastOption.map(_.version)
+  }
+
+  /** Change feed between two TIMESTAMPS (Delta CDF's
+    * `startingTimestamp`/`endingTimestamp` form): operators think in
+    * wall-clock instants ("what changed between 2 am and the page"),
+    * so both endpoints resolve through the commit history — the start
+    * rounds FORWARD to the first version committed at or after
+    * `fromTs` (that commit's changes are INCLUDED, Delta's inclusive
+    * contract), the end rounds BACK to the last version at or before
+    * `toTs`. Resolution is two bounded history walks; the feed itself
+    * is [[changes]] with all its fast paths (append-only file-level,
+    * O(changed files)). A start that resolves to the table's creating
+    * commit diffs against the empty prelude — the whole `toV` snapshot
+    * as inserts. Throws when no commit falls inside the window (the
+    * caller asked for changes in an interval where nothing happened —
+    * an empty feed would be indistinguishable from a wrong clock). */
+  def changesBetweenTimestamps(fromTs: String, toTs: String): DataFrame = {
+    val fromV = firstVersionAtOrAfter(fromTs).getOrElse(sys.error(
+      s"no commit of $root at or after $fromTs " +
+        s"(newest: ${history(limit = 1).headOption.map(_.timestamp)
+          .getOrElse("none")})"))
+    val toV = versionAtTimestamp(toTs)
+    require(fromV <= toV,
+      s"no commits of $root inside [$fromTs, $toTs] " +
+        s"(first at-or-after start: v$fromV; last at-or-before end: v$toV)")
+    if (fromV == 0) {
+      import org.apache.spark.sql.functions.lit
+      // diff against the empty prelude: everything at toV is an insert
+      readVersion(toV).withColumn("_change_type", lit("insert"))
+    } else changes(fromV - 1, toV)
+  }
+
   private val genExprRe =
     "^(day|to_date|month|hour)\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
 

@@ -897,6 +897,74 @@ object Analytics {
     prior.orderBy("o_orderstatus")
   }
 
+  /** STREAMING CDC APPLY, end to end (q211;
+    * [[graft.streaming.Streaming.versionedApplyChangesBatch]]): the
+    * composed loop q204's batch operator and q188's source exist for —
+    * `changeFeedSource(feed) → foreachBatch { apply changes } →
+    * downstream versioned SCD1 table`, exactly-once per micro-batch
+    * via the q132 history markers. The CDC feed is itself a versioned
+    * table taking three appended commits, drained one checkpointed
+    * batch each: seq-1 upserts (keys ≡0 mod 3), seq-2 upserts (keys
+    * ≡1 mod 3 new, ≡0 mod 15 updated, cents+7), then a batch mixing
+    * seq-3 deletes of [500,1500] with LATE seq-0 upserts for every
+    * ≡0-mod-3 key carrying a poisoned value (cents+999983) — which
+    * must LOSE to the stored newer sequences: the maintained table
+    * keeps `seq`, and each merge is a fold-to-latest over
+    * (state ∪ batch), the cross-batch ordering guarantee the batch
+    * operator alone cannot give. The oracle folds the ENTIRE feed
+    * relationally (per-key max seq, surviving op ≠ delete), so a sink
+    * that re-applies a batch, lets the late rows clobber, or loses
+    * the delete hash-mismatches. Money rides as exact integer cents.
+    * Scale: each batch is one window shuffle over (dimension-sized
+    * state + batch); the feed streams from manifests, never rescanned. */
+  def streamCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base0 = java.nio.file.Files
+      .createTempDirectory("graft-cdc-apply").toString
+    val feedRoot = s"$base0/feed"
+    val targetRoot = s"$base0/target"
+    val feedVt = new graft.io.VersionedTable(spark, feedRoot)
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 3000)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long").as("cents"))
+      .localCheckpoint()
+    def commit(df: DataFrame, mode: org.apache.spark.sql.SaveMode): Unit = {
+      feedVt.write(df.coalesce(1), mode); ()
+    }
+    def drain(): Unit = {
+      val q = graft.streaming.Streaming.changeFeedSource(spark, feedRoot)
+        .writeStream
+        .option("checkpointLocation", s"$base0/ckpt")
+        .foreachBatch(graft.streaming.Streaming.versionedApplyChangesBatch(
+          targetRoot, "cdc-apply-q211", Seq("o_orderkey"), "seq", "op"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    commit(o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("cents"), lit(1L).as("seq"),
+        lit("upsert").as("op")), org.apache.spark.sql.SaveMode.Overwrite)
+    drain() // batch 0: initial upserts
+    commit(o.filter(col("o_orderkey") % 3 === 1 ||
+        col("o_orderkey") % 15 === 0)
+      .select(col("o_orderkey"), (col("cents") + 7).as("cents"),
+        lit(2L).as("seq"), lit("upsert").as("op")),
+      org.apache.spark.sql.SaveMode.Append)
+    drain() // batch 1: inserts + updates
+    commit(o.filter(col("o_orderkey").between(500, 1500))
+      .select(col("o_orderkey"), lit(0L).as("cents"), lit(3L).as("seq"),
+        lit("delete").as("op"))
+      .unionByName(o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), (col("cents") + 999983).as("cents"),
+          lit(0L).as("seq"), lit("upsert").as("op"))),
+      org.apache.spark.sql.SaveMode.Append)
+    drain() // batch 2: deletes + late out-of-order rows (must lose)
+    new graft.io.VersionedTable(spark, targetRoot).read()
+      .select(col("o_orderkey"), col("cents"), col("seq"))
+      .orderBy("o_orderkey")
+  }
+
   /** K-ANONYMITY CENSUS under the oracle (q194;
     * [[graft.dq.DataQuality.kAnonymityCensus]]): the privacy gate on
     * a quasi-identifier tuple — here (event type, UTC day, a
@@ -1085,6 +1153,66 @@ object Analytics {
       .orderBy("o_orderkey", "_change_type")
   }
 
+  /** TIMESTAMP-SUBSCRIBED CHANGE FEED, streaming + batch (q210;
+    * `startingTimestamp` on [[graft.streaming.Streaming.changeFeedSource]]
+    * and [[graft.io.VersionedTable.changesBetweenTimestamps]] — Delta's
+    * timestamp forms of the same options): operators think in
+    * wall-clock instants, so both APIs resolve instants through the
+    * commit history — the start rounds FORWARD to the first commit at
+    * or after it, the end BACK to the last at or before. The scenario
+    * is q188's ledger with the snapshot SKIPPED: v0 (evens) must not
+    * replay because the subscription starts at v1's own commit
+    * timestamp; two per-commit drains of one checkpointed stream then
+    * deliver v1's odds as inserts and v2's DV-masked range as deletes
+    * (`channel = 'stream'`). The SAME window read as one batch
+    * timestamp-range CDF (`channel = 'batch'`) exercises the COMPACTED
+    * semantics instead — one snapshot diff v0→v2, so odds masked
+    * inside the delete range never surface and the deletes are the
+    * evens the diff lost — and the oracle replays both ledgers, so a
+    * feed that re-streams the snapshot, resolves an instant to the
+    * wrong side, or compacts when it should not (or vice versa)
+    * hash-mismatches. Scale: resolution is two bounded history walks;
+    * the stream plans O(changed files + masked rows) per batch from
+    * manifests; the batch diff pays the documented row-level fallback
+    * only because the window crosses a DV commit. */
+  def changeFeedFromTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base0 = java.nio.file.Files
+      .createTempDirectory("graft-cdf-ts").toString
+    val root = s"$base0/tbl"
+    val vt = new graft.io.VersionedTable(spark, root)
+    val orders = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") <= 2000)
+    vt.write(orders.filter(col("o_orderkey") % 2 === 0)) // v0 snapshot
+    vt.write(orders.filter(col("o_orderkey") % 2 === 1),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    val ts1 = vt.history(limit = Int.MaxValue)
+      .find(_.version == 1L).get.timestamp
+    val out = s"$base0/out"
+    def drain(): Unit = {
+      val q = graft.streaming.Streaming.changeFeedSource(spark, root,
+          startingTimestamp = Some(ts1))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base0/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // subscribed at t(v1): v1's odds as inserts, NO snapshot
+    vt.deleteVectorized("o_orderkey", 100, 300) // v2
+    drain() // resumes from checkpoint: the masked rows as deletes
+    val ts2 = vt.history(limit = Int.MaxValue)
+      .find(_.version == 2L).get.timestamp
+    val streamed = spark.read.parquet(out)
+      .select(lit("stream").as("channel"), col("o_orderkey"),
+        col("o_totalprice"), col("_change_type"))
+    val batch = vt.changesBetweenTimestamps(ts1, ts2)
+      .select(lit("batch").as("channel"), col("o_orderkey"),
+        col("o_totalprice"), col("_change_type"))
+    streamed.unionByName(batch)
+      .orderBy("channel", "o_orderkey", "_change_type")
+  }
+
   /** SINGLE-SOURCE BFS over the part co-occurrence graph (q181;
     * `graph.Bfs`): exact shortest hop counts from the smallest part
     * node, capped at 3 hops — the reachability/radius primitive
@@ -1161,6 +1289,34 @@ object Analytics {
       .orderBy("node")
   }
 
+  /** LABEL-PROPAGATION COMMUNITIES over the part co-occurrence graph
+    * (q212; `graph.LabelProp`): two synchronized rounds of "adopt the
+    * most frequent neighbor label, ties to the smallest" — the cheap
+    * community detector a training pipeline runs over a domain/link
+    * graph before assigning per-community mixing or quality policies;
+    * with components (q36), PageRank (q157), triangles (q175), BFS
+    * (q181), SSSP (q195), k-core (q207) and assortativity (q209) this
+    * closes the standard graph-primitive set. Synchronous rounds with
+    * an exact integer argmax (max vote count, min label) make the
+    * result partitioning-invariant — classic asynchronous LPA is
+    * visit-order-dependent and unhashable — and the fixed round count
+    * (the q195/q207 trick) lets the oracle replay both rounds as
+    * chained count+argmax CTEs. Output: every node's community after
+    * round 2. Scale: O(rounds) edge scans — per round one edge⋈label
+    * equi-join, one map-side-combined vote count, one per-node argmax
+    * window bounded by degree; label frames localCheckpointed flat. */
+  def labelPropParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    graft.graph.LabelProp.run(edges, rounds = 2)
+      .orderBy("node")
+  }
+
   /** DEGREE ASSORTATIVITY of the part co-occurrence graph (q209):
     * the Pearson correlation of endpoint degrees over all directed
     * edges — one scalar that says whether hubs attach to hubs
@@ -1172,9 +1328,12 @@ object Analytics {
     * degrees ≤ ~2²⁰, edges ≤ ~2³², every product < 2⁶³), and r is ONE
     * identical expression tree over them — two long→double casts, a
     * multiply, a correctly-rounded sqrt, a divide — so the double
-    * matches bitwise. Scale: the degree table is node-sized and
-    * BROADCAST twice onto the edge scan; the moments collapse
-    * map-side to a single row. */
+    * matches bitwise. Scale: the degree table is node-sized — LEFT TO
+    * AQE to broadcast when it fits, off the degree shuffle's runtime
+    * stats (a forced hint would OOM the driver on a 10⁹-node graph;
+    * unhinted, the planner falls back to a shuffle join exactly when
+    * it must); the edge list is checkpointed once for its three
+    * consumers; the moments collapse map-side to a single row. */
   def assortativityParts(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
@@ -1183,11 +1342,13 @@ object Analytics {
         col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+      .localCheckpoint() // referenced 3x (degree + both join sides):
+    // checkpoint the EDGE list once instead of re-running the
+    // self-join per branch
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val xy = edges
-      .join(broadcast(deg.select(col("src"), col("d").as("x"))), "src")
-      .join(broadcast(deg.select(col("src").as("dst"), col("d").as("y"))),
-        "dst")
+      .join(deg.select(col("src"), col("d").as("x")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("y")), "dst")
     xy.agg(
         count(lit(1)).as("m"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -1392,10 +1553,86 @@ object Analytics {
     "q199_cooccur_pmi" -> cooccurrencePmi,
     "q190_percentile_disc" -> percentileDiscTokens,
     "q174_markov_transitions" -> markovTransitions,
-    "q175_triangle_count" -> triangleCount
+    "q175_triangle_count" -> triangleCount,
+    "q210_cdf_timestamp" -> changeFeedFromTimestamp,
+    "q211_stream_cdc_apply" -> streamCdcApply,
+    "q212_label_prop" -> labelPropParts
   )
 
   val oracles: Map[String, String] = Map(
+    "q210_cdf_timestamp" ->
+      // both ledgers replayed relationally: the stream channel is
+      // q188's per-commit ledger MINUS the skipped snapshot (odds
+      // inserted once, the masked range also deletes); the batch
+      // channel is the COMPACTED v0→v2 diff (masked odds never
+      // surface; the deletes are the evens the diff lost)
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey <= 2000)
+         SELECT * FROM (
+           SELECT 'stream' AS channel, o_orderkey, o_totalprice,
+             'insert' AS _change_type FROM o WHERE o_orderkey % 2 = 1
+           UNION ALL
+           SELECT 'stream', o_orderkey, o_totalprice, 'delete'
+           FROM o WHERE o_orderkey BETWEEN 100 AND 300
+           UNION ALL
+           SELECT 'batch', o_orderkey, o_totalprice, 'insert'
+           FROM o WHERE o_orderkey % 2 = 1
+            AND o_orderkey NOT BETWEEN 100 AND 300
+           UNION ALL
+           SELECT 'batch', o_orderkey, o_totalprice, 'delete'
+           FROM o WHERE o_orderkey % 2 = 0
+            AND o_orderkey BETWEEN 100 AND 300)
+         ORDER BY channel, o_orderkey, _change_type""",
+    "q211_stream_cdc_apply" ->
+      // the whole CDC feed folded relationally: per-key max seq wins,
+      // a surviving 'delete' leaves the table — so replayed batches,
+      // late-row clobbers, or lost deletes all hash-mismatch; cents
+      // are exact integers on both engines
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+               AS cents
+           FROM orders WHERE o_orderkey <= 3000),
+         feed AS (
+           SELECT k, cents AS v, CAST(1 AS BIGINT) AS seq,
+             'upsert' AS op FROM o WHERE k % 3 = 0
+           UNION ALL SELECT k, cents + 7, 2, 'upsert' FROM o
+             WHERE k % 3 = 1 OR k % 15 = 0
+           UNION ALL SELECT k, 0, 3, 'delete' FROM o
+             WHERE k BETWEEN 500 AND 1500
+           UNION ALL SELECT k, cents + 999983, 0, 'upsert' FROM o
+             WHERE k % 3 = 0),
+         latest AS (SELECT k, v, seq, op,
+             row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+           FROM feed)
+         SELECT k AS o_orderkey, v AS cents, seq FROM latest
+         WHERE rn = 1 AND op <> 'delete' ORDER BY o_orderkey""",
+    "q212_label_prop" ->
+      // two synchronized rounds as chained count+argmax CTEs; the
+      // argmax is exact-integer (max votes, min label) in both engines
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey <> b.l_partkey),
+         l0 AS (SELECT DISTINCT src AS node, src AS community FROM e),
+         v1 AS (SELECT e.dst AS node, l.community, count(*) AS c
+                FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+         p1 AS (SELECT node, community FROM (
+                  SELECT node, community, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, community ASC)
+                    AS rn FROM v1) WHERE rn = 1),
+         l1 AS (SELECT l.node, coalesce(p.community, l.community)
+                  AS community
+                FROM l0 l LEFT JOIN p1 p ON l.node = p.node),
+         v2 AS (SELECT e.dst AS node, l.community, count(*) AS c
+                FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+         p2 AS (SELECT node, community FROM (
+                  SELECT node, community, row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, community ASC)
+                    AS rn FROM v2) WHERE rn = 1),
+         l2 AS (SELECT l.node, coalesce(p.community, l.community)
+                  AS community
+                FROM l1 l LEFT JOIN p2 p ON l.node = p.node)
+         SELECT node, community FROM l2 ORDER BY node""",
     "q175_triangle_count" ->
       // same degree-ordered orientation as a LEXICOGRAPHIC (deg, id)
       // row comparison — total over the full id range, identical in

@@ -54,6 +54,44 @@ object TrainingData {
       col("doc_id"),
       TextAnalysis.fingerprint64(col("text")).as("fp"))
 
+  /** RELATIONALLY-TRAINED QUALITY/LANGUAGE CLASSIFIER (q213;
+    * [[graft.ml.LinearClassifier]]): the fastText/CCNet-style gate a
+    * training pipeline learns rather than hand-tunes — three
+    * full-batch gradient rounds over q19's cheap relational features
+    * (stopword ratio, punctuation density, length saturation) against
+    * the `lang = 'en'` label, unrolled entirely as plan construction
+    * (the q151 power-iteration technique applied to supervised
+    * learning), then every document scored with the trained weights.
+    * The Elliott sigmoid link keeps the whole computation inside
+    * +,*,/,abs, and every gradient component per-term-rounds to an
+    * exact LONG, so the STATIC oracle replays all three rounds as
+    * chained CTEs with nothing frozen and the scores hash
+    * bit-identically. Scale: each round is one broadcast of the
+    * 4-weight row onto the feature frame plus one map-side-combined
+    * gradient fold — the corpus streams through map tasks once per
+    * round, no driver-side vectors, no collect. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(lower(col("text")), " ")
+    val feats = docs(spark, dir)
+      .withColumn("_t", t)
+      .withColumn("_ntok", size(col("_t")))
+      .withColumn("_hits", graft.functions.StopwordHitCount
+        .stopwordHits(col("_t"), TextAnalysis.enStopwords))
+      .withColumn("_npunct",
+        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")))
+      .select(col("doc_id"),
+        (col("_hits").cast("double") / col("_ntok")).as("sr"),
+        (col("_npunct").cast("double") / length(col("text"))).as("pr"),
+        least(col("_ntok") / lit(100.0), lit(1.0)).as("flen"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    graft.ml.LinearClassifier
+      .trainAndScore(feats, Seq("sr", "pr", "flen"), "y",
+        rounds = 3, lr = 0.5)
+      .select(col("doc_id"), col("score"), col("pred"),
+        col("y").cast("long").as("is_en"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- deduplication
 
   /** Exact dedup via content hash on a corpus with fabricated exact
@@ -3003,7 +3041,8 @@ object TrainingData {
     "q117_ann_rp" -> annRp,
     "q118_repeated_spans" -> ((s, d) => repeatedSpans(s, d)),
     "q119_span_cut" -> ((s, d) => spanCut(s, d)),
-    "q120_length_ks" -> lengthKsDrift
+    "q120_length_ks" -> lengthKsDrift,
+    "q213_quality_classifier" -> qualityClassifier
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -3060,6 +3099,68 @@ object TrainingData {
 
   private val enStops = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
   private val xxStops = TextAnalysis.xxStopwords.map(w => s"'$w'").mkString(", ")
+
+  /** q213's static oracle: [[graft.ml.LinearClassifier]]'s three
+    * training rounds unrolled as chained CTEs, generated so the
+    * per-round expression trees are mechanically identical to the
+    * Scala plan (same left-assoc z, same Elliott link, same per-term
+    * round→LONG gradient folds, same `w − g/10⁶/n·lr` update) —
+    * nothing frozen, the q151 discipline. */
+  private val classifierOracleSql: String = {
+    // z under the weights of CTE `w`: same fold order as
+    // LinearClassifier.zOf — ((w0 + w1*sr) + w2*pr) + w3*flen
+    def z(w: String): String =
+      s"(SELECT w0 FROM $w) + (SELECT w1 FROM $w) * sr + " +
+        s"(SELECT w2 FROM $w) * pr + (SELECT w3 FROM $w) * flen"
+    // MATERIALIZED: every weight feeds the next round through scalar
+    // subqueries referenced many times; inlined CTEs would re-derive
+    // the whole training chain per reference (exponential in rounds)
+    def rnd(r: Int, wPrev: String): String = {
+      val zz = z(wPrev)
+      def g(i: Int, term: String) =
+        s"CAST(sum(CAST(round(r $term 1000000) AS BIGINT)) AS BIGINT) AS g$i"
+      s"""s$r AS MATERIALIZED (SELECT sr, pr, flen,
+             0.5 + ($zz) / (2.0 * (1.0 + abs($zz))) - y AS r
+           FROM f),
+         g$r AS MATERIALIZED (SELECT count(*) AS n,
+             ${g(0, "*")},
+             ${g(1, "* sr *")},
+             ${g(2, "* pr *")},
+             ${g(3, "* flen *")}
+           FROM s$r),
+         w$r AS MATERIALIZED (SELECT
+             ${(0 to 3).map(i =>
+               s"(SELECT w$i FROM $wPrev) - CAST(g$i AS DOUBLE) " +
+                 s"/ 1000000.0 / n * 0.5 AS w$i").mkString(",\n             ")}
+           FROM g$r)"""
+    }
+    val zF = z("w3")
+    s"""WITH base AS (
+         SELECT doc_id, lang, string_split(lower(text), ' ') AS t,
+           length(text) AS n_ch,
+           length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+             AS n_punct
+         FROM documents),
+       f AS MATERIALIZED (SELECT doc_id,
+           CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
+             AS DOUBLE) / len(t) AS sr,
+           CAST(n_punct AS DOUBLE) / n_ch AS pr,
+           least(len(t) / 100.0, 1.0) AS flen,
+           CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END AS y
+         FROM base),
+       w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+           CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+       ${rnd(1, "w0")},
+       ${rnd(2, "w1")},
+       ${rnd(3, "w2")}
+       SELECT doc_id,
+         0.5 + ($zF) / (2.0 * (1.0 + abs($zF))) AS score,
+         CASE WHEN 0.5 + ($zF) / (2.0 * (1.0 + abs($zF))) > 0.5
+           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred,
+         CAST(y AS BIGINT) AS is_en
+       FROM f ORDER BY doc_id"""
+  }
 
   /** Simhash expression over `bits` (≤ 32) bits, generated to mirror
     * Dedup.simhash; consumed by the q24 (16-bit) oracle only — q38's
@@ -3162,6 +3263,7 @@ object TrainingData {
        WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""
 
   val oracles: Map[String, String] = Map(
+    "q213_quality_classifier" -> classifierOracleSql,
     "q18_token_stats" ->
       s"""SELECT doc_id,
          len(string_split(lower(text), ' ')) AS n_ws_tokens,

@@ -185,6 +185,66 @@ object Streaming {
         s"$marker$batchId")
   }
 
+  /** foreachBatch sink folding a CDC CHANGE FEED into a maintained
+    * SCD-Type-1 table — the streaming half of
+    * [[graft.incremental.Incremental.applyChanges]] (the DLT `APPLY
+    * CHANGES INTO` loop, closed end to end: `changeFeedSource →
+    * foreachBatch { this } → versioned table`). Each micro-batch is
+    * folded to its per-key latest row by `seqCol`, merged against the
+    * table's CURRENT state, and committed as ONE version — EXACTLY-ONCE
+    * per `appId` via the same `STREAM_<appId>_BATCH_<n>` history
+    * markers as [[versionedAppendBatch]] (foreachBatch replays are
+    * detected and skipped).
+    *
+    * Cross-batch ordering: the table STORES `seqCol`, and the merge is
+    * itself a fold-to-latest over (current state ∪ batch) — so a
+    * late-arriving batch carrying an OLDER change for a key loses to
+    * the stored newer sequence instead of clobbering it, the guarantee
+    * the batch operator can only give within one feed. Rows whose
+    * surviving op is `"delete"` leave the table (no tombstone is
+    * retained: a delete followed by a LOWER-sequence upsert in a
+    * later batch would resurrect the key — DLT's tombstone-retention
+    * caveat; sequence-monotonic feeds, the CDC-log norm, are exact).
+    *
+    * Scale: the per-batch fold is one window shuffle over
+    * (state + batch); each commit rewrites the state table, which is
+    * keyed-dimension-sized (the SCD1 shape), never raw-feed-sized.
+    * `opCol` rows valued `"delete"` delete; everything else upserts. */
+  def versionedApplyChangesBatch(root: String, appId: String,
+      mergeKeys: Seq[String], seqCol: String, opCol: String)
+      : (DataFrame, Long) => Unit = {
+    require(appId.matches("[A-Za-z0-9.-]+"),
+      s"appId must be [A-Za-z0-9.-]+, got '$appId'")
+    val marker = s"STREAM_${appId}_BATCH_"
+    (batch0, batchId) =>
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val spark = batch0.sparkSession
+    val vt = new graft.io.VersionedTable(spark, root)
+    val lastCommitted = vt.lastOperationWith(marker)
+      .map(_.operation.stripPrefix(marker).toLong)
+    if (lastCommitted.forall(_ < batchId) && !batch0.isEmpty) {
+      // the change-feed source tags rows _change_type; the CDC ops the
+      // fold consumes live in opCol, so the tag is transport metadata
+      val batch = batch0.drop("_change_type")
+      val cols = batch.columns.toSeq
+      require(cols.contains(seqCol) && cols.contains(opCol),
+        s"feed must carry $seqCol and $opCol; has ${cols.mkString(",")}")
+      val state: DataFrame =
+        if (vt.currentVersion.isDefined)
+          vt.read().withColumn(opCol, lit("upsert"))
+            .select(cols.map(col): _*)
+        else batch.limit(0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(mergeKeys.map(col): _*).orderBy(col(seqCol).desc)
+      val next = state.unionByName(batch)
+        .withColumn("_ac_rn", row_number().over(w))
+        .filter(col("_ac_rn") === 1 && col(opCol) =!= "delete")
+        .drop("_ac_rn", opCol)
+      vt.write(next, org.apache.spark.sql.SaveMode.Overwrite,
+        s"$marker$batchId")
+    }
+  }
+
   /** STREAM-STREAM inner join with bounded state: both sides carry an
     * event-time watermark, and `cond` must include a time-range bound
     * between the two event-time columns (e.g. `right.ts BETWEEN
@@ -274,7 +334,8 @@ object Streaming {
   def versionedSource(spark: SparkSession, root: String,
       ignoreChanges: Boolean = false,
       maxVersionsPerBatch: Option[Long] = None,
-      startingVersion: Option[Long] = None): DataFrame = {
+      startingVersion: Option[Long] = None,
+      startingTimestamp: Option[String] = None): DataFrame = {
     val r0 = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
@@ -282,8 +343,10 @@ object Streaming {
       .option("ignoreChanges", ignoreChanges.toString)
     val r1 = maxVersionsPerBatch.fold(r0)(m =>
       r0.option("maxVersionsPerBatch", m.toString))
-    startingVersion.fold(r1)(v =>
-      r1.option("startingVersion", v.toString)).load()
+    val r2 = startingVersion.fold(r1)(v =>
+      r1.option("startingVersion", v.toString))
+    startingTimestamp.fold(r2)(ts =>
+      r2.option("startingTimestamp", ts)).load()
   }
 
   /** STREAMING CHANGE FEED over a versioned table (Delta
@@ -297,14 +360,17 @@ object Streaming {
     * stream's lag inside the maintenance cadence. Offsets are
     * versions, checkpoint-resumable like [[versionedSource]]. */
   def changeFeedSource(spark: SparkSession, root: String,
-      startingVersion: Option[Long] = None): DataFrame = {
+      startingVersion: Option[Long] = None,
+      startingTimestamp: Option[String] = None): DataFrame = {
     val r0 = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
       .option("path", root)
       .option("readChangeFeed", "true")
-    startingVersion.fold(r0)(v => r0.option("startingVersion", v.toString))
-      .load()
+    val r1 = startingVersion.fold(r0)(v =>
+      r0.option("startingVersion", v.toString))
+    startingTimestamp.fold(r1)(ts =>
+      r1.option("startingTimestamp", ts)).load()
   }
 
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,

@@ -36,13 +36,38 @@ import org.apache.spark.sql.types.StructType
 final class VersionedStreamSource(spark: SparkSession, path: String,
     ignoreChanges: Boolean, changeFeed: Boolean = false,
     maxVersionsPerBatch: Option[Long] = None,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    startingTimestamp: Option[String] = None)
   extends Source with SupportsAdmissionControl {
 
   startingVersion.foreach(v => require(v >= 1,
     "startingVersion must be >= 1 (omit it to start from the snapshot)"))
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "startingVersion and startingTimestamp are mutually exclusive")
 
   private val vt = new graft.io.VersionedTable(spark, path)
+
+  /** The version subscription actually starts at. `startingTimestamp`
+    * (Delta's option: "every change committed at or after this
+    * instant, inclusive") resolves ONCE, at first poll, through the
+    * commit history: the first version at or after the instant. An
+    * instant AHEAD of the newest commit fails loudly — Delta's
+    * contract, and the only restart-stable one: any "wait for the
+    * next commit" fallback resolves to a different version on every
+    * restart, and the engine REPLAYS the previously planned batch
+    * from the offset log, so an unstable resolution corrupts the
+    * replayed range. An instant at or before the CREATING commit
+    * resolves to `None` = the plain snapshot-first behavior, which is
+    * the same rows ("everything from the beginning") without a
+    * degenerate diff-against-nothing batch. */
+  private lazy val effectiveStartingVersion: Option[Long] =
+    startingVersion.orElse(startingTimestamp.flatMap { ts =>
+      val v = vt.firstVersionAtOrAfter(ts).getOrElse(sys.error(
+        s"startingTimestamp $ts is after the newest commit of $path — " +
+          "nothing to subscribe to yet; resolution must be " +
+          "restart-stable, so commit first or use startingVersion"))
+      if (v == 0) None else Some(v)
+    })
 
   override val schema: StructType =
     VersionedStreamSource.schemaFor(spark, path, changeFeed)
@@ -72,7 +97,7 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     // stays uncapped by design (one version, indivisible)
     val from: Option[Long] = Option(start)
       .map(o => version(o.asInstanceOf[Offset]))
-      .orElse(startingVersion.map(_ - 1))
+      .orElse(effectiveStartingVersion.map(_ - 1))
     val capped: Option[Long] = (cur, maxVersionsPerBatch, from) match {
       case (Some(c), Some(m), Some(f)) => Some(math.min(c, f + m))
       case (c, _, _) => c
@@ -86,7 +111,7 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     * entirely (the "subscribe from here on" form for a consumer that
     * bootstrapped out of band). */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(version).orElse(startingVersion.map(_ - 1))
+    val from = start.map(version).orElse(effectiveStartingVersion.map(_ - 1))
     if (changeFeed) vt.streamChangeBatch(from, version(end))
     else vt.streamBatch(from, version(end), ignoreChanges)
   }
@@ -110,7 +135,11 @@ object VersionedStreamSource {
   * (tolerate non-append commits by streaming only added files),
   * `maxVersionsPerBatch` (rate limiting: cap each micro-batch at this
   * many versions past the last committed offset — Delta's
-  * maxFilesPerTrigger at version granularity). */
+  * maxFilesPerTrigger at version granularity), `startingVersion` /
+  * `startingTimestamp` (mutually exclusive — subscribe from a version,
+  * or from the first version committed at or after an ISO-8601
+  * instant, skipping the snapshot; Delta's options of the same
+  * names). */
 final class VersionedStreamSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -138,5 +167,9 @@ final class VersionedStreamSourceProvider extends StreamSourceProvider
         .map(_.toLong).map { m =>
           require(m > 0, "maxVersionsPerBatch must be positive"); m
         },
-      startingVersion = parameters.get("startingVersion").map(_.toLong))
+      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      startingTimestamp = parameters.get("startingTimestamp").map { ts =>
+        java.time.Instant.parse(ts) // fail at construction, not first poll
+        ts
+      })
 }

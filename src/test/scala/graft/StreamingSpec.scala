@@ -535,4 +535,89 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingTimestamp subscribes from an instant and resumes " +
+    "across restarts; instants ahead of history wait for new commits") {
+    import org.apache.spark.sql.SaveMode
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-vsrc-st")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v0 snapshot
+    vt.write(Seq((3L, "c")).toDF("id", "s"), SaveMode.Append) // v1
+    vt.write(Seq((4L, "d")).toDF("id", "s"), SaveMode.Append) // v2
+    val ts1 = vt.history(limit = Int.MaxValue)
+      .find(_.version == 1L).get.timestamp
+    def drain(tag: String, startTs: String): Seq[Long] = {
+      val out = s"$base/out-$tag"
+      val q = Streaming.versionedSource(spark, root,
+          startingTimestamp = Some(startTs))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/ckpt-$tag")
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(out).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    }
+    // subscribe at t(v1): v1 and v2 arrive, the snapshot does NOT
+    assert(drain("a", ts1) === Seq(3L, 4L))
+    // restart from the same checkpoint: only the new commit arrives
+    vt.write(Seq((5L, "e")).toDF("id", "s"), SaveMode.Append) // v3
+    assert(drain("a", ts1) === Seq(3L, 4L, 5L),
+      "resume-from-timestamp must not re-deliver")
+    // an instant AHEAD of all history fails loudly (Delta's contract —
+    // the only restart-stable resolution: the engine replays planned
+    // batches from the offset log, so "wait for the next commit"
+    // would resolve differently per restart and corrupt the range)
+    val future = java.time.Instant
+      .parse(vt.history(limit = 1).head.timestamp)
+      .plusSeconds(3600).toString
+    val err = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain("b", future)
+    }
+    assert(err.getMessage.contains("after the newest commit") ||
+      Option(err.getCause).exists(
+        _.getMessage.contains("after the newest commit")))
+    // the options are mutually exclusive
+    intercept[IllegalArgumentException] {
+      new org.apache.spark.sql.graftbridge.VersionedStreamSource(
+        spark, root, ignoreChanges = false,
+        startingVersion = Some(1L), startingTimestamp = Some(ts1))
+    }
+  }
+
+  test("versionedApplyChangesBatch: SCD1 fold with stored sequences; " +
+    "replays are no-ops; late older rows cannot clobber") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-cdc-sink")
+    val root = s"$base/tbl"
+    val sink = Streaming.versionedApplyChangesBatch(root, "t3",
+      Seq("k"), "seq", "op")
+    val vt = new VersionedTable(spark, root)
+    def state(): Map[Long, (String, Long)] = vt.read().collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("v"), r.getAs[Long]("seq"))).toMap
+
+    // batch 0: two upserts, out of order within the batch
+    sink(Seq((1L, "x1", 2L, "upsert"), (1L, "x0", 1L, "upsert"),
+      (2L, "y0", 1L, "upsert")).toDF("k", "v", "seq", "op"), 0L)
+    assert(state() === Map(1L -> ("x1", 2L), 2L -> ("y0", 1L)))
+    val vAfter0 = vt.currentVersion.get
+
+    // replay of batch 0 (foreachBatch's at-least-once): a no-op
+    sink(Seq((1L, "poison", 9L, "upsert")).toDF("k", "v", "seq", "op"), 0L)
+    assert(vt.currentVersion.get === vAfter0, "replayed batch must skip")
+    assert(state() === Map(1L -> ("x1", 2L), 2L -> ("y0", 1L)))
+
+    // batch 1: a delete, a new key, and a LATE row older than k=1's
+    // stored seq 2 — it must lose to the state, not clobber it
+    sink(Seq((2L, "", 3L, "delete"), (3L, "z0", 3L, "upsert"),
+      (1L, "late", 1L, "upsert")).toDF("k", "v", "seq", "op"), 1L)
+    assert(state() === Map(1L -> ("x1", 2L), 3L -> ("z0", 3L)))
+  }
+
 }
