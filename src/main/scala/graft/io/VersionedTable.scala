@@ -472,6 +472,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
     spark.read.schema(dvSchema)
       .parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
 
+  /** Number of data files version `v` ADDED relative to `v-1` (for
+    * v=0: the creating commit's file count) — the admission-control
+    * unit behind the streaming source's `maxFilesPerBatch` (Delta's
+    * `maxFilesPerTrigger` counts the same thing). Two manifest reads,
+    * O(files) set difference, no data touched; callers memoize per
+    * poll loop. */
+  def addedFileCount(v: Long): Long = {
+    val toM = readManifest(v)
+    if (v == 0) toM.entries.size.toLong
+    else {
+      val prev = readManifest(v - 1).entries.map(_.relPath).toSet
+      toM.entries.count(e => !prev.contains(e.relPath)).toLong
+    }
+  }
+
   /** One micro-batch of the streaming source
     * ([[org.apache.spark.sql.graftbridge.VersionedStreamSource]] /
     * `Streaming.versionedSource`): the full snapshot at `toV` when
@@ -1988,9 +2003,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * walk as [[versionAtTimestamp]]. */
   def firstVersionAtOrAfter(ts: String): Option[Long] = {
     val target = java.time.Instant.parse(ts)
-    history(limit = Int.MaxValue) // newest-first
-      .takeWhile(h => !java.time.Instant.parse(h.timestamp).isBefore(target))
-      .lastOption.map(_.version)
+    // filter + min, NOT takeWhile: commit timestamps are wall clock,
+    // and a clock step-back between commits would truncate a prefix
+    // scan at the dent — the full filter stays correct under any
+    // non-monotone history (versionAtTimestamp already scans this way)
+    val at = history(limit = Int.MaxValue)
+      .filter(h => !java.time.Instant.parse(h.timestamp).isBefore(target))
+      .map(_.version)
+    if (at.isEmpty) None else Some(at.min)
   }
 
   /** Change feed between two TIMESTAMPS (Delta CDF's

@@ -847,6 +847,51 @@ object Analytics {
       .orderBy("click_id", "view_id")
   }
 
+  /** STREAM-STREAM LEFT-SEMI INTERVAL JOIN under the oracle (q218;
+    * `Streaming.intervalJoinLeftSemi`): "the clicks that converted",
+    * each emitted AT MOST ONCE at its first qualifying view —
+    * completing the streaming join family (inner q172, left-outer
+    * q183, full-outer q202) with its simplest member: a semi row
+    * needs no null-completion, so nothing waits for a watermark
+    * horizon and under AvailableNow the emitted set equals the batch
+    * EXISTS exactly, which the oracle replays. The gating shape
+    * pipelines want when "≥1 match" is the question (conversion
+    * gates, qualified-lead filters) — one output per qualifying row,
+    * never one per match. State story as q172: O(24 h horizon) per
+    * side; unmatched clicks age out silently. */
+  def streamStreamSemiAttribution(spark: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = load(spark, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-semi").toString
+    ev.write.mode("overwrite").parquet(srcDir)
+    def side(t: String): DataFrame =
+      spark.readStream.schema(ev.schema).parquet(srcDir)
+        .filter(col("event_type") === t)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val views = side("view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    val joined = graft.streaming.Streaming.intervalJoinLeftSemi(
+      clicks, "click_ts", "0 seconds", views, "view_ts", "0 seconds",
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+    val mem = "q218_stream_semi"
+    spark.catalog.dropTempView(mem)
+    val q = joined.writeStream.format("memory").queryName(mem)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(mem)
+      .select(col("user_id"), col("click_id"))
+      .orderBy("click_id")
+  }
+
   /** STREAMING CDF → INCREMENTAL VIEW MAINTENANCE, end to end
     * (q191): the loop q188's source exists for, actually closed — a
     * `foreachBatch` consumer folds every change-feed micro-batch
@@ -1597,7 +1642,8 @@ object Analytics {
     "q210_cdf_timestamp" -> changeFeedFromTimestamp,
     "q211_stream_cdc_apply" -> streamCdcApply,
     "q212_label_prop" -> labelPropParts,
-    "q215_lpa_modularity" -> labelPropModularity
+    "q215_lpa_modularity" -> labelPropModularity,
+    "q218_stream_semi_join" -> streamStreamSemiAttribution
   )
 
   /** q212/q215's shared oracle chain: the part co-occurrence graph and
@@ -1632,6 +1678,22 @@ object Analytics {
          FROM l1 l LEFT JOIN p2 p ON l.node = p.node)"""
 
   val oracles: Map[String, String] = Map(
+    "q218_stream_semi_join" ->
+      // batch EXISTS: a semi row emits at its first match, no horizon
+      // wait, so the streamed set equals this exactly
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events
+           WHERE event_type IN ('click', 'view')),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+               FROM e WHERE event_type = 'click'),
+         v AS (SELECT user_id, ts AS view_ts
+               FROM e WHERE event_type = 'view')
+         SELECT c.user_id, click_id FROM c
+         WHERE EXISTS (SELECT 1 FROM v
+           WHERE v.user_id = c.user_id
+             AND v.view_ts >= c.click_ts
+             AND v.view_ts <= c.click_ts + INTERVAL 24 HOUR)
+         ORDER BY click_id""",
     "q210_cdf_timestamp" ->
       // both ledgers replayed relationally: the stream channel is
       // q188's per-commit ledger MINUS the skipped snapshot (odds

@@ -1123,6 +1123,52 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** PER-DOCUMENT CROSS-ENTROPY under the corpus bigram LM (q217):
+    * model-based quality scoring — the KenLM/CCNet perplexity filter
+    * shape, over q77's own LM (top-512 bigram vocabulary, conditional
+    * `ln(c12/c1)` from exact integer counts). Per document: the mean
+    * negative log-probability of its IN-VOCAB bigrams — high
+    * cross-entropy = unusual text under the corpus distribution (the
+    * gibberish/boilerplate signal length heuristics miss), with the
+    * OOV count reported alongside (q77's oov story). Float contract:
+    * each bigram's logp per-term-rounds to an exact LONG (q199's ln
+    * discipline), so the per-doc sum is aggregation-order free and
+    * xent is one fixed expression over exact ints. Scale: counts are
+    * two map-side-combined folds; the ≤V-row logp table BROADCASTS
+    * into the bigram stream; per-doc collapse is one partial-agg
+    * shuffle on doc_id. */
+  def lmCrossEntropy(spark: SparkSession, dir: String,
+      vocabSize: Int = 512): DataFrame = {
+    val bgs = docs(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> concat_ws(' ', slice(t, i + 1, 2)))")).as("bg"))
+    val cnt = bgs.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val pref = cnt
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = Analytics
+      .topKPerGroup(bgs.withColumn("__g", lit(0)), "__g", "bg",
+        vocabSize, shards = 32)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val vocabLp = pref.join(broadcast(vocab), "w1")
+      .select(col("bg"),
+        log(col("n").cast("double") / col("c1")).as("logp"))
+    bgs.join(broadcast(vocabLp), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("logp").isNull, 1)).as("n_oov"),
+        sum(round(col("logp") * 1e6).cast("long")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        when(col("n_bigrams") > col("n_oov"),
+          -(col("slp").cast("double") / lit(1000000.0)
+            / (col("n_bigrams") - col("n_oov")))).as("xent"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source nearest neighbor — the "is this document a copy of
     * another SOURCE's document" probe (cross-crawl/cross-dump
     * contamination, license-laundering detection). Sign-LSH buckets
@@ -3118,7 +3164,8 @@ object TrainingData {
     "q119_span_cut" -> ((s, d) => spanCut(s, d)),
     "q120_length_ks" -> lengthKsDrift,
     "q213_quality_classifier" -> qualityClassifier,
-    "q214_classifier_auc" -> classifierAuc
+    "q214_classifier_auc" -> classifierAuc,
+    "q217_lm_xent" -> ((s, d) => lmCrossEntropy(s, d))
   )
 
   /** q103's water-filling chain as CTE bodies ending in a relation
@@ -3385,6 +3432,38 @@ object TrainingData {
   val oracles: Map[String, String] = Map(
     "q213_quality_classifier" -> classifierOracleSql,
     "q214_classifier_auc" -> classifierAucOracleSql,
+    "q217_lm_xent" ->
+      // q77's LM CTEs verbatim, then the per-doc fold: each in-vocab
+      // bigram's logp per-term-rounds to an exact LONG (q199's ln
+      // discipline), xent = one fixed expression over exact ints
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+           FROM documents),
+         bgs AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+             i -> t[i+1] || ' ' || t[i+2])) AS bg
+           FROM toks WHERE len(t) >= 2),
+         cnt AS (SELECT bg, count(*) AS c12 FROM bgs GROUP BY 1),
+         pref AS (SELECT string_split(bg, ' ')[1] AS w1,
+                    CAST(sum(c12) AS BIGINT) AS c1
+                  FROM cnt GROUP BY 1),
+         r AS (SELECT bg, c12, row_number() OVER
+                 (ORDER BY c12 DESC, bg) AS rn FROM cnt),
+         vocab AS (SELECT r.bg,
+                     ln(CAST(r.c12 AS DOUBLE) / p.c1) AS logp
+                   FROM r JOIN pref p
+                     ON string_split(r.bg, ' ')[1] = p.w1
+                   WHERE r.rn <= 512),
+         agg AS (SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(CASE WHEN v.logp IS NULL THEN 1 END)
+               AS BIGINT) AS n_oov,
+             CAST(sum(CAST(round(v.logp * 1000000) AS BIGINT))
+               AS BIGINT) AS slp
+           FROM bgs b LEFT JOIN vocab v USING (bg) GROUP BY 1)
+         SELECT doc_id, n_bigrams, n_oov,
+           CASE WHEN n_bigrams > n_oov THEN
+             -(CAST(slp AS DOUBLE) / 1000000.0 / (n_bigrams - n_oov))
+           END AS xent
+         FROM agg ORDER BY doc_id""",
     "q18_token_stats" ->
       s"""SELECT doc_id,
          len(string_split(lower(text), ' ')) AS n_ws_tokens,

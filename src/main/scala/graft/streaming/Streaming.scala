@@ -301,6 +301,22 @@ object Streaming {
     left.withWatermark(leftTsCol, leftDelay)
       .join(right.withWatermark(rightTsCol, rightDelay), cond, "full_outer")
 
+  /** STREAM-STREAM LEFT-SEMI interval join — "keep the clicks that
+    * converted", without materializing the match columns: each left
+    * row emits AT MOST ONCE, as soon as its FIRST match arrives (no
+    * horizon wait — a semi row needs no null-completion), and an
+    * unmatched left row silently ages out of state at its watermark
+    * horizon. Same bounded-state contract as [[intervalJoin]]; under
+    * `Trigger.AvailableNow` the emitted set equals the batch EXISTS —
+    * the simplest deterministic member of the join family, and the
+    * shape dedup-style gating pipelines want (emit each qualifying
+    * row once, never one output per match). */
+  def intervalJoinLeftSemi(left: DataFrame, leftTsCol: String,
+      leftDelay: String, right: DataFrame, rightTsCol: String,
+      rightDelay: String, cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTsCol, leftDelay)
+      .join(right.withWatermark(rightTsCol, rightDelay), cond, "left_semi")
+
   // ------------------------------------------------------------ sessions
 
   final case class SessionEvent(key: String, ts: java.sql.Timestamp)
@@ -335,7 +351,8 @@ object Streaming {
       ignoreChanges: Boolean = false,
       maxVersionsPerBatch: Option[Long] = None,
       startingVersion: Option[Long] = None,
-      startingTimestamp: Option[String] = None): DataFrame = {
+      startingTimestamp: Option[String] = None,
+      maxFilesPerBatch: Option[Long] = None): DataFrame = {
     val r0 = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
@@ -345,8 +362,10 @@ object Streaming {
       r0.option("maxVersionsPerBatch", m.toString))
     val r2 = startingVersion.fold(r1)(v =>
       r1.option("startingVersion", v.toString))
-    startingTimestamp.fold(r2)(ts =>
-      r2.option("startingTimestamp", ts)).load()
+    val r3 = startingTimestamp.fold(r2)(ts =>
+      r2.option("startingTimestamp", ts))
+    maxFilesPerBatch.fold(r3)(m =>
+      r3.option("maxFilesPerBatch", m.toString)).load()
   }
 
   /** STREAMING CHANGE FEED over a versioned table (Delta

@@ -37,7 +37,8 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     ignoreChanges: Boolean, changeFeed: Boolean = false,
     maxVersionsPerBatch: Option[Long] = None,
     startingVersion: Option[Long] = None,
-    startingTimestamp: Option[String] = None)
+    startingTimestamp: Option[String] = None,
+    maxFilesPerBatch: Option[Long] = None)
   extends Source with SupportsAdmissionControl {
 
   startingVersion.foreach(v => require(v >= 1,
@@ -90,6 +91,14 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     * version. Unset ⇒ everything available, the V1 behavior. */
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Memoized per-version added-file counts for the file-based cap —
+    * each version's count is asked once per catch-up, not once per
+    * poll. */
+  private val addedFilesMemo =
+    scala.collection.mutable.Map.empty[Long, Long]
+  private def addedFiles(v: Long): Long =
+    addedFilesMemo.getOrElseUpdate(v, vt.addedFileCount(v))
+
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val cur = vt.currentVersion
     // startingVersion gives the FIRST batch a defined start too, so
@@ -98,9 +107,31 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     val from: Option[Long] = Option(start)
       .map(o => version(o.asInstanceOf[Offset]))
       .orElse(effectiveStartingVersion.map(_ - 1))
-    val capped: Option[Long] = (cur, maxVersionsPerBatch, from) match {
+    val byVersions: Option[Long] = (cur, maxVersionsPerBatch, from) match {
       case (Some(c), Some(m), Some(f)) => Some(math.min(c, f + m))
       case (c, _, _) => c
+    }
+    // FILE-based rate limiting (Delta `maxFilesPerTrigger` proper):
+    // admit whole versions while their cumulative added-file count
+    // fits the cap — but always at least ONE version, or a single
+    // commit larger than the cap would stall the stream forever
+    // (Delta's same progress rule). Composes with the version cap by
+    // taking the smaller admitted end.
+    val byFiles: Option[Long] = (cur, maxFilesPerBatch, from) match {
+      case (Some(c), Some(cap), Some(f)) =>
+        var v = f
+        var files = 0L
+        while (v < c &&
+            (files == 0L || files + addedFiles(v + 1) <= cap)) {
+          files += addedFiles(v + 1)
+          v += 1
+        }
+        Some(v)
+      case (c, _, _) => c
+    }
+    val capped = (byVersions, byFiles) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case _ => byVersions.orElse(byFiles)
     }
     capped.map(LongOffset(_)).orNull
   }
@@ -135,7 +166,11 @@ object VersionedStreamSource {
   * (tolerate non-append commits by streaming only added files),
   * `maxVersionsPerBatch` (rate limiting: cap each micro-batch at this
   * many versions past the last committed offset — Delta's
-  * maxFilesPerTrigger at version granularity), `startingVersion` /
+  * maxFilesPerTrigger at version granularity), `maxFilesPerBatch`
+  * (Delta's maxFilesPerTrigger proper: admit whole versions while
+  * their cumulative added-file count fits the cap, always at least
+  * one version for progress; composes with the version cap),
+  * `startingVersion` /
   * `startingTimestamp` (mutually exclusive — subscribe from a version,
   * or from the first version committed at or after an ISO-8601
   * instant, skipping the snapshot; Delta's options of the same
@@ -171,5 +206,9 @@ final class VersionedStreamSourceProvider extends StreamSourceProvider
       startingTimestamp = parameters.get("startingTimestamp").map { ts =>
         java.time.Instant.parse(ts) // fail at construction, not first poll
         ts
-      })
+      },
+      maxFilesPerBatch = parameters.get("maxFilesPerBatch")
+        .map(_.toLong).map { m =>
+          require(m > 0, "maxFilesPerBatch must be positive"); m
+        })
 }

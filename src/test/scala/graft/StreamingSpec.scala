@@ -588,6 +588,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("maxFilesPerBatch admits whole versions by cumulative file " +
+    "count; an oversized single commit still makes progress") {
+    import org.apache.spark.sql.SaveMode
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-vsrc-files")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a")).toDF("id", "s").coalesce(1)) // v0: 1 file
+    val out = s"$base/out"
+    def sink(df: org.apache.spark.sql.DataFrame) = df.writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append)
+    def ids() = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val q = sink(Streaming.versionedSource(spark, root,
+      maxFilesPerBatch = Some(3L))).start()
+    try q.processAllAvailable() finally q.stop() // snapshot batch
+    assert(ids() === Seq(1L))
+    // fall behind: v1/v2 add 2 files each, v3 adds 4 (over the cap)
+    vt.write(Seq((2L, "b"), (3L, "c")).toDF("id", "s").repartition(2),
+      SaveMode.Append) // v1
+    vt.write(Seq((4L, "d"), (5L, "e")).toDF("id", "s").repartition(2),
+      SaveMode.Append) // v2
+    vt.write(Seq((6L, "f"), (7L, "g"), (8L, "h"), (9L, "i"))
+      .toDF("id", "s").repartition(4), SaveMode.Append) // v3
+    val q2 = sink(Streaming.versionedSource(spark, root,
+      maxFilesPerBatch = Some(3L))).start()
+    try {
+      q2.processAllAvailable()
+      assert(ids() === (1L to 9L), "catch-up delivers exactly once")
+      // v1 (2 files) alone fits; v1+v2 (4) would not -> batch 1 = v1;
+      // batch 2 = v2; batch 3 = v3 alone (4 files > cap, but a single
+      // commit must still be admitted or the stream stalls forever)
+      val batches = q2.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3,
+        s"2+2+4 files at cap 3 must take >= 3 micro-batches, got $batches")
+    } finally q2.stop()
+  }
+
   test("versionedApplyChangesBatch: SCD1 fold with stored sequences; " +
     "replays are no-ops; late older rows cannot clobber") {
     import graft.io.VersionedTable
