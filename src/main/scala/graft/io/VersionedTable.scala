@@ -3210,7 +3210,23 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * means replayed batches append twice. nanoTime suffix is
     * uniqueness paranoia only. */
   private def appendHistory(v: Long, op: String, rows: Long): Unit = {
-    val ts = java.time.Instant.now().toString
+    // IN-COMMIT TIMESTAMP MONOTONICITY (Delta's in-commit-timestamps
+    // contract): commit times drive every timestamp resolution
+    // (timestampAsOf, startingTimestamp, timestamp-range CDF, time
+    // vacuum), and wall clocks step BACKWARD (NTP corrections, VM
+    // migrations). A later version carrying an earlier instant would
+    // make "the first version at or after t" ambiguous — so a commit
+    // whose clock reads at-or-before its predecessor's recorded time
+    // is stamped predecessor + 1ms instead. One newest-history read
+    // per commit; readers stay hardened regardless (filter, not
+    // prefix scans).
+    val prev =
+      if (v == 0) None
+      else scala.util.Try(history(limit = 1).headOption
+        .map(h => java.time.Instant.parse(h.timestamp)))
+        .toOption.flatten
+    val ts = VersionedTable
+      .monotoneCommitTime(prev, java.time.Instant.now()).toString
     val line = renderHistoryLine(HistoryEntry(v, ts, op, rows))
     val f = new Path(historyDir, f"v$v%08d_${System.nanoTime()}%020d.json")
     val out = fs.create(f, false)
@@ -3235,6 +3251,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
 object VersionedTable {
   /** Commits between automatic history-checkpoint rolls. */
   val historyCheckpointInterval: Int = 128
+
+  /** The instant a commit records: the wall clock, clamped FORWARD to
+    * strictly after the previous commit's recorded time (predecessor
+    * + 1ms on a tie or step-back). Pure so the clamp itself is
+    * unit-testable without controlling a clock. */
+  def monotoneCommitTime(prev: Option[java.time.Instant],
+      now: java.time.Instant): java.time.Instant =
+    prev.filter(p => !now.isAfter(p)).map(_.plusMillis(1)).getOrElse(now)
 
   /** TYPE WIDENING lattice (Delta type widening): `from` data is read
     * correctly under a `to` snapshot schema by Spark's parquet reader

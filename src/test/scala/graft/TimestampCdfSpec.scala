@@ -60,6 +60,25 @@ class TimestampCdfSpec extends AnyFunSuite {
     assert(rows === Seq((1L, "delete")))
   }
 
+  test("commit timestamps are strictly monotone (in-commit clamp)") {
+    import java.time.Instant
+    // the pure clamp: step-back and tie both land at prev + 1ms
+    val t = Instant.parse("2026-01-01T00:00:00Z")
+    assert(VersionedTable.monotoneCommitTime(Some(t), t.minusSeconds(5))
+      === t.plusMillis(1))
+    assert(VersionedTable.monotoneCommitTime(Some(t), t)
+      === t.plusMillis(1))
+    assert(VersionedTable.monotoneCommitTime(Some(t), t.plusSeconds(1))
+      === t.plusSeconds(1))
+    assert(VersionedTable.monotoneCommitTime(None, t) === t)
+    // and the recorded history honors it across rapid commits
+    val (vt, _) = fixture
+    val ts = vt.history(limit = Int.MaxValue).map(_.timestamp)
+      .map(java.time.Instant.parse) // newest-first
+    assert(ts.zip(ts.tail).forall { case (newer, older) =>
+      newer.isAfter(older) }, s"non-monotone history: $ts")
+  }
+
   test("degenerate windows fail loudly") {
     val (vt, ts) = fixture
     // nothing committed at or after the start
