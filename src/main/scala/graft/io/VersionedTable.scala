@@ -2044,14 +2044,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
   }
 
   private val genExprRe =
-    "^(day|to_date|month|hour)\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
+    "^(day|to_date|month|hour|year)\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
 
   /** The generator grammar: each form names the UTC truncation the
     * WRITER must render the partition value in (zero-padded, so the
     * string order IS the time order and pruning is one lexicographic
     * range test). `day`/`to_date` → `yyyy-MM-dd`, `month` →
-    * `yyyy-MM`, `hour` → `yyyy-MM-dd-HH` (hyphenated: path-safe).
-    * Writers produce it with
+    * `yyyy-MM`, `hour` → `yyyy-MM-dd-HH` (hyphenated: path-safe),
+    * `year` → `yyyy`. Writers produce it with
     * `date_format(col, <pattern>)` under a UTC session. */
   private def genFormat(gen: String): Option[(String, String, scala.util.matching.Regex)] =
     gen match {
@@ -2060,6 +2060,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
           case "day" | "to_date" =>
             ("yyyy-MM-dd", """^\d{4}-\d{2}-\d{2}$""".r)
           case "month" => ("yyyy-MM", """^\d{4}-\d{2}$""".r)
+          case "year" => ("yyyy", """^\d{4}$""".r)
           case "hour" =>
             ("yyyy-MM-dd-HH", """^\d{4}-\d{2}-\d{2}-\d{2}$""".r)
         }
@@ -2081,7 +2082,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def recordGenerated(partCol: String, genExpr: String): Long = {
     val src = genFormat(genExpr).map(_._1).getOrElse(sys.error(
       s"unsupported generator '$genExpr' (grammar: day(<col>), " +
-        "to_date(<col>), month(<col>), hour(<col>))"))
+        "to_date(<col>), month(<col>), hour(<col>), year(<col>))"))
     commitWithRebase(rebase = false) { () =>
       val curV = currentVersion.getOrElse(
         sys.error(s"table $root does not exist"))

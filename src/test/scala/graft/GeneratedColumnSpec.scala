@@ -164,8 +164,32 @@ class GeneratedColumnSpec extends AnyFunSuite {
     val vt = new VersionedTable(spark, root)
     vt.write(Seq((1L, ts("2024-01-01T00:00:00Z"), "2024"))
       .toDF("id", "ts", "y"), partitionBy = Some(Seq("y")))
-    intercept[RuntimeException](vt.recordGenerated("y", "year(ts)"))
+    intercept[RuntimeException](vt.recordGenerated("y", "quarter(ts)"))
     intercept[RuntimeException](vt.recordGenerated("y", "minute(ts)"))
     intercept[RuntimeException](vt.recordGenerated("y", "day(ts)+1"))
+  }
+
+  test("year(<col>): yearly partitions prune and materialize") {
+    import org.apache.spark.sql.SaveMode
+    val root = Fixtures.tempDir("gen-year") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, ts("2023-06-01T00:00:00Z"), "2023"),
+        (2L, ts("2024-06-01T00:00:00Z"), "2024"))
+      .toDF("id", "ts", "y"), partitionBy = Some(Seq("y")))
+    vt.recordGenerated("y", "year(ts)")
+    // writer materialization: an append WITHOUT the partition column
+    // derives it from the source at year granularity
+    vt.write(Seq((3L, ts("2025-06-01T00:00:00Z"))).toDF("id", "ts"),
+      SaveMode.Append)
+    val got = vt.read().select("id", "y").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "2023", 2L -> "2024", 3L -> "2025"))
+    // pruning: a TsRange inside 2024 must plan only that partition
+    val planned = vt.readMatching(graft.io.VersionedTable.TsRange(
+        "ts", "2024-01-01T00:00:00Z", "2024-12-31T00:00:00Z"))
+    assert(planned.inputFiles.forall(_.contains("y=2024")),
+      s"yearly pruning leaked: ${planned.inputFiles.mkString(",")}")
+    assert(planned.select("id").collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
   }
 }
