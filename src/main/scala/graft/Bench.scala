@@ -61,8 +61,12 @@ object Bench {
       .mkString("{", ",", "}")
     val fq = failures.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // "registry" = the TOTAL registered-query count, independent of any
+    // name filter: the downstream gate classifies the run's measurement
+    // context (full vs focused) against it, instead of against baseline
+    // names that can go stale
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failures":$fq}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"registry":${SparkEntry.queries.size},"failures":$fq}"""
     println(line)
     // Also write the JSON to a file: sbt decorates the forwarded stdout
     // with "[info] " prefixes, which breaks machine parsing of the

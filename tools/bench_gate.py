@@ -21,9 +21,29 @@ exceeding 2x a full-context best is a genuine regression), while a
 full run is NEVER compared against a focused best (the direction that
 cried wolf).
 
+NOISE HANDLING (round-14 hardening; rounds 11-13 produced 10/6/16
+ratio-only false alarms, every one adjudicated as machine co-tenancy):
+  1. ABSOLUTE FLOOR — a flag needs a meaningful absolute delta, not
+     just a ratio over a sub-second best: t - best > max(FLOOR,
+     0.5*best) (after drift scaling), so 0.10s -> 0.22s never flags.
+  2. DRIFT NORMALIZATION — machine contention is GLOBAL, code
+     regressions are LOCAL: the median of t/best across a full run of
+     byte-identical code measures the machine, so bests are scaled by
+     median(t/best) (when >= MIN_DRIFT_SAMPLES comparisons; never
+     below 1.0) before the ratio test.
+  3. CONTENDED-RUN DEMOTION — when the run is measurably contended
+     (drift > DRIFT_SUSPECT), residual flags are printed as SUSPECT
+     and the gate exits 0: inside a drifted run no per-query statistic
+     separates a 5x contention spike from a 5x regression, so the
+     verdict defers to a quiet re-measure (the documented workflow).
+     A quiet run (drift <= DRIFT_SUSPECT) still hard-fails.
+  Limitation (accepted): a code change slowing EVERY query uniformly
+  is indistinguishable from machine drift by timing alone — the
+  committed quiet full-registry artifact is the guard for that case.
+
 Usage:
   python3 tools/bench_gate.py <current.json> [--baseline tools/bench_best.<sf>.json]
-                              [--ratio 2.0] [--update]
+                              [--ratio 2.0] [--floor 1.0] [--update]
 
   --update  refresh the recorded best (in the run's context slot) with
             any query that ran FASTER (each slot only ever ratchets
@@ -48,9 +68,17 @@ Exit codes: 0 ok, 1 regression, 2 usage/missing files.
 import argparse
 import json
 import os
+import statistics
 import sys
 
 FULL_FRACTION = 0.9
+# minimum (query, best) comparisons before the run's median t/best is
+# trusted as a machine-drift estimate — a 3-query focused re-measure
+# cannot estimate the machine, a 200-query registry run can
+MIN_DRIFT_SAMPLES = 20
+# a run whose median t/best exceeds this is contended: residual flags
+# demote to SUSPECT (exit 0) pending a quiet re-measure
+DRIFT_SUSPECT = 1.25
 
 
 def load_baseline(path):
@@ -75,6 +103,8 @@ def main() -> int:
     ap.add_argument("current")
     ap.add_argument("--baseline", default=None)
     ap.add_argument("--ratio", type=float, default=2.0)
+    ap.add_argument("--floor", type=float, default=1.0,
+                    help="minimum absolute regression in seconds")
     ap.add_argument("--update", action="store_true")
     ap.add_argument("--reset", action="append", default=[],
                     metavar="QUERY")
@@ -115,10 +145,21 @@ def main() -> int:
         print("bench_gate: migrated legacy flat baseline -> context slots "
               "(legacy values recorded as 'focused' bests)")
 
-    # context of THIS run: full-registry or focused re-measure
-    known = set(best["queries"]) | set(queries)
-    ctx = "full" if known and len(queries) >= FULL_FRACTION * len(known) \
-        else "focused"
+    # context of THIS run: full-registry or focused re-measure. The
+    # run's own "registry" field (the count of REGISTERED queries,
+    # emitted by graft.Bench regardless of any name filter) is
+    # authoritative; the legacy fallback classifies against
+    # baseline ∪ current names, which misreads a full run as focused
+    # once enough baseline names go stale (renamed/removed queries
+    # are never pruned from the baseline).
+    registry = cur.get("registry")
+    if isinstance(registry, (int, float)) and registry > 0:
+        ctx = "full" if len(queries) >= FULL_FRACTION * registry \
+            else "focused"
+    else:
+        known = set(best["queries"]) | set(queries)
+        ctx = "full" if known and len(queries) >= FULL_FRACTION * len(known) \
+            else "focused"
 
     for name in args.reset:
         if name not in queries:
@@ -133,25 +174,50 @@ def main() -> int:
               f"{old if old is None else f'{old:.2f}s'} -> "
               f"{queries[name]:.2f}s (adjudicated machine drift)")
 
-    regressions = []
-    improved = {}
-    for name, t in sorted(queries.items()):
+    def best_for(name):
         slot = best["queries"].get(name, {})
         b = slot.get(ctx)
         if ctx == "focused" and b is None:
             # quieter setting: a full-context best still bounds it
             b = slot.get("full")
+        return b
+
+    # machine-drift estimate: the median t/best over this run's
+    # comparable queries (contention is global, regressions are local
+    # — one slow query barely moves a 200-sample median). Never < 1.0:
+    # a fast run must not tighten the gate below the recorded bests.
+    drift_ratios = [t / best_for(n) for n, t in queries.items()
+                    if best_for(n)]
+    drift = 1.0
+    if len(drift_ratios) >= MIN_DRIFT_SAMPLES:
+        drift = max(1.0, statistics.median(drift_ratios))
+
+    regressions = []
+    improved = {}
+    for name, t in sorted(queries.items()):
+        slot = best["queries"].get(name, {})
+        b = best_for(name)
         if b is None or b <= 0:
             improved[name] = t  # new query/context: record it
             continue
-        if t > args.ratio * b:
+        scaled = b * drift
+        if t > args.ratio * scaled and \
+                t - scaled > max(args.floor, 0.5 * scaled):
             regressions.append((name, t, b))
         elif t < slot.get(ctx, float("inf")):
             improved[name] = t
 
+    # a measurably contended run cannot adjudicate its own flags: no
+    # per-query statistic separates a contention spike from a true
+    # regression when the whole machine reads slow — demote to SUSPECT
+    # and require the quiet re-measure the workflow already prescribes
+    suspect_only = drift > DRIFT_SUSPECT
     for name, t, b in regressions:
-        print(f"REGRESSION {name}: {t:.2f}s > {args.ratio:g}x best {b:.2f}s "
-              f"[{ctx}]")
+        kind = "SUSPECT" if suspect_only else "REGRESSION"
+        print(f"{kind} {name}: {t:.2f}s > {args.ratio:g}x best {b:.2f}s "
+              f"(drift-scaled {b * drift:.2f}s) [{ctx}]" +
+              (" — contended run: re-measure quietly before adjudicating"
+               if suspect_only else ""))
     if improved and args.update:
         for name, t in improved.items():
             best["queries"].setdefault(name, {})[ctx] = t
@@ -160,9 +226,12 @@ def main() -> int:
 
     total = sum(queries.values())
     print(f"bench_gate: {len(queries)} queries ({ctx} context), "
-          f"total {total:.1f}s, "
-          f"{len(regressions)} regression(s) at ratio {args.ratio:g}")
-    return 1 if regressions else 0
+          f"total {total:.1f}s, machine drift {drift:.2f}x, "
+          f"{len(regressions)} flag(s) at ratio {args.ratio:g} "
+          f"floor {args.floor:g}s"
+          + (" — all SUSPECT (contended run), not gating"
+             if regressions and suspect_only else ""))
+    return 1 if regressions and not suspect_only else 0
 
 
 if __name__ == "__main__":
