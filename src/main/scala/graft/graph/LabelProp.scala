@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * order. A FIXED number of rounds makes the operator well-defined
   * without a convergence proof (the [[Sssp]]/[[KCore]] bounded-rounds
   * trick) and lets an external oracle replay it as R chained
-  * count+argmax CTEs. Nodes with no in-edges keep their own label.
+  * count+argmax CTEs. The node universe is src ∪ dst, so a SINK node
+  * (in-edges only — possible in a directed graph) is a first-class
+  * member, not silently dropped; nodes with no in-edges (sources,
+  * and isolated self-universe nodes) keep their own label.
   *
   * Scale shape: each round is one edge-list equi-join against the
   * node-sized label frame (broadcast-ready after the first round's
@@ -43,7 +46,8 @@ object LabelProp {
     require(rounds >= 1, "rounds must be >= 1")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     var lab = nodes.select(col("node"), col("node").as("community"))
     var r = 0

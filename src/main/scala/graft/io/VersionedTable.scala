@@ -1318,6 +1318,32 @@ final class VersionedTable(spark: SparkSession, root: String) {
       case None => true // no stats: must assume yes
     }
 
+  /** The READ half of a stats-pruned key-scoped rewrite (the Delta
+    * MERGE touched-files shape, exposed for key-scoped folds like the
+    * streaming CDC apply sink): the scan of every file that MAY hold
+    * `column` ∈ [lo, hi] — ALL rows of those files, DVs applied — plus
+    * the predicate marking the entries that were NOT planned (their
+    * stats/partition value PROVE the range absent, so a
+    * [[replaceWhere]] with this `keep` re-references them untouched)
+    * and the snapshot version the scan planned against (hand it to
+    * replaceWhere's `basisVersion` so a racing commit is caught, not
+    * lost). Files without usable stats are conservatively scanned.
+    * On row-tracked tables the rewritten rows take fresh row ids, as
+    * any MERGE rewrite does. */
+  def scanMayMatch(column: String, lo: Double, hi: Double)
+      : (DataFrame, ManifestEntry => Boolean, Long) = {
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val mayMatch =
+      rangeMayMatch(m.partitionBy.toSet, physFor(m, column), lo, hi) _
+    val candidates = m.entries.filter(mayMatch)
+    val scan =
+      if (candidates.isEmpty) readVersion(curV).limit(0)
+      else readFiles(m, candidates)
+    (scan, e => !mayMatch(e), curV)
+  }
+
   /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
     * semantics). Rewrites the current snapshot into ~`targetFileMB`
     * files as a fresh commit; prior versions keep referencing the old
@@ -3119,11 +3145,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
       else "") +
       // READER PROTOCOL (Delta's readerVersion idea): list the
       // features a reader MUST understand to produce correct results
-      // from this manifest. A reader that ignored an unknown
-      // read-semantic header would return WRONG DATA silently (e.g. a
-      // pre-defaults reader sees nulls where the backfill belongs) —
-      // so unknown required features fail loudly at read instead.
-      // Only read-semantic features gate; layout-only headers don't.
+      // from this manifest, so a GATE-AWARE reader meeting a future
+      // feature it lacks fails loudly instead of silently returning
+      // wrong data. The guarantee is FORWARD-ONLY: library versions
+      // predating the gate itself have no check, ignore unknown #
+      // headers, and would misread (a pre-defaults reader sees nulls
+      // where the backfill belongs) — protecting those retroactively
+      // would take a format break, the larger harm. Only
+      // read-semantic features gate; layout-only headers don't.
       (if (m.defaults.nonEmpty)
         s"#requires=${VersionManifest.FeatureDefaults}\n" else "")
     val body = header + m.entries.map(ManifestEntry.encodeLine).mkString("\n")
@@ -3498,7 +3527,10 @@ object VersionManifest {
     * a manifest whose `#requires=` header names a token outside this
     * set fails loudly at read — read-semantic features a reader
     * silently ignored would return WRONG data (a pre-defaults reader
-    * would see nulls where the lazy backfill belongs). Tokens are
+    * would see nulls where the lazy backfill belongs). The protection
+    * is FORWARD-ONLY: it covers gate-aware readers meeting features
+    * added after their build, not library versions predating the gate
+    * itself (those ignore unknown `#` headers entirely). Tokens are
     * written ONLY while the feature is actively in use, so tables not
     * using a feature stay readable by older library versions. */
   val FeatureDefaults = "column-defaults"

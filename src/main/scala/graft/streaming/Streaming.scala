@@ -200,15 +200,33 @@ object Streaming {
     * itself a fold-to-latest over (current state ∪ batch) — so a
     * late-arriving batch carrying an OLDER change for a key loses to
     * the stored newer sequence instead of clobbering it, the guarantee
-    * the batch operator can only give within one feed. Rows whose
+    * the batch operator can only give within one feed. Equal-sequence
+    * collisions resolve DETERMINISTICALLY: the batch row beats stored
+    * state (a re-delivered change converges), and within a batch a
+    * delete beats an upsert — the window orders by (seq desc,
+    * batch-over-state, op asc), never by arrival. Rows whose
     * surviving op is `"delete"` leave the table (no tombstone is
     * retained: a delete followed by a LOWER-sequence upsert in a
     * later batch would resurrect the key — DLT's tombstone-retention
     * caveat; sequence-monotonic feeds, the CDC-log norm, are exact).
     *
+    * The feed must be append-only AS A TABLE: rows tagged by the
+    * change-feed source with `_change_type` other than `"insert"`
+    * (a DV delete or rewrite of the FEED itself) fail the batch
+    * loudly — folding a transport-level delete as if it were a CDC
+    * command would corrupt the state.
+    *
     * Scale: the per-batch fold is one window shuffle over
-    * (state + batch); each commit rewrites the state table, which is
-    * keyed-dimension-sized (the SCD1 shape), never raw-feed-sized.
+    * (touched state + batch), and each commit is a STATS-PRUNED
+    * [[graft.io.VersionedTable.replaceWhere]]: only files whose
+    * recorded key range may overlap the batch's keys are read, folded,
+    * and rewritten — every other file is re-referenced byte-identical,
+    * so a batch touching 1% of keys rewrites ~1% of files, not the
+    * table. To give that pruning something to bite on, the state is
+    * kept RANGE-CLUSTERED on the first merge key (one extra range
+    * shuffle per batch over the rewritten subset — dimension-sized,
+    * the SCD1 shape). Non-numeric first keys fall back to a full
+    * rewrite (stats ranges are numeric).
     * `opCol` rows valued `"delete"` delete; everything else upserts. */
   def versionedApplyChangesBatch(root: String, appId: String,
       mergeKeys: Seq[String], seqCol: String, opCol: String)
@@ -217,31 +235,65 @@ object Streaming {
       s"appId must be [A-Za-z0-9.-]+, got '$appId'")
     val marker = s"STREAM_${appId}_BATCH_"
     (batch0, batchId) =>
-    import org.apache.spark.sql.functions.{col, lit, row_number}
+    import org.apache.spark.sql.functions.{col, lit, min, max, row_number}
     val spark = batch0.sparkSession
     val vt = new graft.io.VersionedTable(spark, root)
     val lastCommitted = vt.lastOperationWith(marker)
       .map(_.operation.stripPrefix(marker).toLong)
     if (lastCommitted.forall(_ < batchId) && !batch0.isEmpty) {
       // the change-feed source tags rows _change_type; the CDC ops the
-      // fold consumes live in opCol, so the tag is transport metadata
+      // fold consumes live in opCol, so the tag is transport metadata —
+      // but only the "insert" tag is foldable (see scaladoc)
+      if (batch0.columns.contains("_change_type"))
+        require(batch0.filter(col("_change_type") =!= "insert").isEmpty,
+          s"CDC apply feed for $root carries non-insert _change_type " +
+            "rows (the FEED table was rewritten/deleted from); these " +
+            "are transport-level changes, not CDC commands — re-seed " +
+            "the stream from a snapshot instead of folding them")
       val batch = batch0.drop("_change_type")
       val cols = batch.columns.toSeq
       require(cols.contains(seqCol) && cols.contains(opCol),
         s"feed must carry $seqCol and $opCol; has ${cols.mkString(",")}")
-      val state: DataFrame =
-        if (vt.currentVersion.isDefined)
-          vt.read().withColumn(opCol, lit("upsert"))
+      val keyCol = mergeKeys.head
+      def fold(state: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(mergeKeys.map(col): _*)
+          .orderBy(col(seqCol).desc, col("_ac_src").desc, col(opCol).asc)
+        state.withColumn("_ac_src", lit(0))
+          .unionByName(batch.withColumn("_ac_src", lit(1)))
+          .withColumn("_ac_rn", row_number().over(w))
+          .filter(col("_ac_rn") === 1 && col(opCol) =!= "delete")
+          .drop("_ac_rn", "_ac_src", opCol)
+          // range-clustered on the key so the NEXT batch's stats
+          // pruning can prove files disjoint from its key envelope
+          .repartitionByRange(col(keyCol))
+      }
+      if (vt.currentVersion.isEmpty) {
+        vt.write(fold(batch.limit(0)),
+          org.apache.spark.sql.SaveMode.Overwrite, s"$marker$batchId")
+        ()
+      } else {
+        // the batch's key envelope: two scalars off a batch-sized scan
+        val env = batch
+          .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"))
+          .head()
+        if (env.isNullAt(0) || env.isNullAt(1)) {
+          // non-numeric (or all-null) key: stats can't prune — full fold
+          val state = vt.read().withColumn(opCol, lit("upsert"))
             .select(cols.map(col): _*)
-        else batch.limit(0)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(mergeKeys.map(col): _*).orderBy(col(seqCol).desc)
-      val next = state.unionByName(batch)
-        .withColumn("_ac_rn", row_number().over(w))
-        .filter(col("_ac_rn") === 1 && col(opCol) =!= "delete")
-        .drop("_ac_rn", opCol)
-      vt.write(next, org.apache.spark.sql.SaveMode.Overwrite,
-        s"$marker$batchId")
+          vt.write(fold(state), org.apache.spark.sql.SaveMode.Overwrite,
+            s"$marker$batchId")
+          ()
+        } else {
+          val (scan, keep, basisV) =
+            vt.scanMayMatch(keyCol, env.getDouble(0), env.getDouble(1))
+          val state = scan.withColumn(opCol, lit("upsert"))
+            .select(cols.map(col): _*)
+          vt.replaceWhere(fold(state), keep, s"$marker$batchId",
+            basisVersion = Some(basisV))
+          ()
+        }
+      }
     }
   }
 

@@ -46,6 +46,17 @@ class LabelPropSpec extends AnyFunSuite {
       Map(20L -> 20L, 21L -> 21L))
   }
 
+  test("directed graphs: sink nodes (in-edges only) are first-class " +
+    "members of the node universe, not dropped") {
+    // 30 -> 31 -> 32: 32 is a pure sink (never appears as src)
+    val chain = Seq((30L, 31L), (31L, 32L)).toDF("src", "dst")
+    assert(toMap(LabelProp.run(chain, rounds = 1)) === Map(
+      30L -> 30L, // no in-edges: keeps its own label
+      31L -> 30L, 32L -> 31L))
+    assert(toMap(LabelProp.run(chain, rounds = 2)) === Map(
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
   test("partitioning invariance") {
     val a = toMap(LabelProp.run(sym.repartition(7), rounds = 2))
     val b = toMap(LabelProp.run(sym.repartition(2), rounds = 2))

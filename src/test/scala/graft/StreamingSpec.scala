@@ -662,4 +662,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === Map(1L -> ("x1", 2L), 3L -> ("z0", 3L)))
   }
 
+  test("versionedApplyChangesBatch: a narrow batch rewrites only the " +
+    "files whose key range it may touch; the rest survive byte-identical") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-cdc-pruned")
+    val root = s"$base/tbl"
+    val sink = Streaming.versionedApplyChangesBatch(root, "t4",
+      Seq("k"), "seq", "op")
+    val vt = new VersionedTable(spark, root)
+    // seed a key-clustered state table: 4 files with disjoint k ranges
+    // (at spec scale AQE would coalesce the sink's own range shuffle
+    // into one file — correct for tiny data, useless for this assert)
+    vt.write((1L to 400L).map(k => (k, s"v$k", 1L)).toDF("k", "v", "seq")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k")),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val before = vt.manifestEntries(vt.currentVersion.get)
+    assert(before.size > 1, "seed must produce several files")
+    // batch 0 touches only [10, 20]
+    sink((10L to 20L).map(k => (k, s"u$k", 2L, "upsert"))
+      .toDF("k", "v", "seq", "op"), 0L)
+    val after = vt.manifestEntries(vt.currentVersion.get)
+    val afterPaths = after.map(_.relPath).toSet
+    val (touched, untouched) = before.partition(e =>
+      e.stats.get("k").forall { case (mn, mx) => mx >= 10.0 && mn <= 20.0 })
+    assert(untouched.nonEmpty, "some files must be provably outside [10,20]")
+    untouched.foreach(e => assert(afterPaths.contains(e.relPath),
+      s"${e.relPath} is outside the batch's key range and must be " +
+        "re-referenced, not rewritten"))
+    touched.foreach(e => assert(!afterPaths.contains(e.relPath),
+      s"${e.relPath} overlaps the batch's key range and must be rewritten"))
+    // and the fold is still exact
+    val st = vt.read().collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    assert(st.size === 400)
+    assert(st(9L) === "v9" && st(10L) === "u10" && st(20L) === "u20" &&
+      st(21L) === "v21")
+  }
+
+  test("versionedApplyChangesBatch: equal-sequence collisions resolve " +
+    "deterministically (batch beats state; in-batch delete beats upsert)") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-cdc-ties")
+    val root = s"$base/tbl"
+    val sink = Streaming.versionedApplyChangesBatch(root, "t5",
+      Seq("k"), "seq", "op")
+    val vt = new VersionedTable(spark, root)
+    def state(): Map[Long, String] = vt.read().collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+    sink(Seq((1L, "x", 2L, "upsert"), (2L, "y", 2L, "upsert"))
+      .toDF("k", "v", "seq", "op"), 0L)
+    // k=1: batch row at the SAME seq as stored state — the batch wins
+    // (a re-delivered change converges); k=2 untouched
+    sink(Seq((1L, "tie", 2L, "upsert")).toDF("k", "v", "seq", "op"), 1L)
+    assert(state() === Map(1L -> "tie", 2L -> "y"))
+    // k=2: one batch carries BOTH a delete and an upsert at the same
+    // seq — the delete wins (op asc), deterministically
+    sink(Seq((2L, "z", 3L, "upsert"), (2L, "", 3L, "delete"))
+      .toDF("k", "v", "seq", "op"), 2L)
+    assert(state() === Map(1L -> "tie"))
+  }
+
+  test("versionedApplyChangesBatch: non-insert _change_type rows fail " +
+    "loudly instead of folding as upserts") {
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-cdc-guard")
+    val sink = Streaming.versionedApplyChangesBatch(s"$base/tbl", "t6",
+      Seq("k"), "seq", "op")
+    val bad = Seq((1L, "x", 1L, "upsert", "insert"),
+      (2L, "y", 1L, "upsert", "delete"))
+      .toDF("k", "v", "seq", "op", "_change_type")
+    val e = intercept[IllegalArgumentException] { sink(bad, 0L) }
+    assert(e.getMessage.contains("non-insert _change_type"))
+  }
+
 }
