@@ -121,16 +121,29 @@ object Upsert {
     *   WHEN MATCHED [AND updateWhen]      THEN UPDATE SET *  (update cols)
     *   WHEN MATCHED (neither condition)   THEN keep target row
     *   WHEN NOT MATCHED [AND insertWhen]  THEN INSERT *
-    *   target-only rows                   pass through
+    *   WHEN NOT MATCHED BY SOURCE AND deleteWhenNotMatchedBySource
+    *                                      THEN DELETE
+    *   WHEN NOT MATCHED BY SOURCE AND updateWhenNotMatchedBySource
+    *                                      THEN UPDATE SET <map>
+    *   target-only rows (no NMBS clause fires)  pass through
     * }}}
     *
+    * The NOT-MATCHED-BY-SOURCE clauses are the snapshot-sync shape
+    * (Delta `whenNotMatchedBySourceDelete/Update`): merging a FULL
+    * snapshot deletes (or flags) the target rows the snapshot no
+    * longer contains. Their conditions and the `set` expressions see
+    * only the `t.` alias — there is no source row on that side; pass
+    * `Some(lit(true))` for an unconditional clause. Delete is tested
+    * before update, mirroring the matched clauses.
+    *
     * Clause conditions reference the joined row through the `s.` /
-    * `t.` aliases (e.g. `col("s.op") === "delete"`). Clause order
-    * follows Delta: delete is tested before update. One shuffle (or
+    * `t.` aliases (e.g. `col("s.op") === "delete"`). One shuffle (or
     * zero with `broadcastSource` — merge batches are usually
     * dimension-sized); the conditions evaluate inside the join's
     * projection, so at 100 TB this costs exactly what [[upsert]]
-    * costs. */
+    * costs. NOTE the scoping consequence: NMBS clauses examine EVERY
+    * target row, so a stored-table merge using them can never
+    * partition-prune the target read (Delta pays the same). */
   def upsertWithClauses(target: DataFrame, source: DataFrame,
       mergeKeys: Seq[String],
       deleteWhen: Option[Column] = None,
@@ -138,8 +151,20 @@ object Upsert {
       insertWhen: Option[Column] = None,
       updateColumns: Option[Seq[String]] = None,
       broadcastSource: Boolean = false,
-      evolveSchema: Boolean = false): DataFrame = {
+      evolveSchema: Boolean = false,
+      deleteWhenNotMatchedBySource: Option[Column] = None,
+      updateWhenNotMatchedBySource: Option[Column] = None,
+      notMatchedBySourceSet: Map[String, Column] = Map.empty): DataFrame = {
     require(mergeKeys.nonEmpty, "mergeKeys must be non-empty")
+    require(updateWhenNotMatchedBySource.isDefined ==
+      notMatchedBySourceSet.nonEmpty,
+      "updateWhenNotMatchedBySource and notMatchedBySourceSet come " +
+        "together: the clause needs assignments, the assignments a clause")
+    val tgtCols = target.columns.toSeq
+    notMatchedBySourceSet.keys.foreach(k => require(
+      tgtCols.contains(k) && !mergeKeys.contains(k),
+      s"notMatchedBySourceSet assigns '$k', which must be an existing " +
+        "non-key target column (there is no source row to take it from)"))
     val updateCols = updateColumns.getOrElse(
       source.columns.toSeq.filterNot(mergeKeys.contains))
     val src0 = source.withColumn("_s_present", lit(true))
@@ -149,6 +174,7 @@ object Upsert {
     val srcPresent = col("s._s_present").isNotNull
     val tgtPresent = col("t._t_present").isNotNull
     val matched = srcPresent && tgtPresent
+    val tgtOnly = tgtPresent && !srcPresent
     // Delta clause semantics: a condition evaluating NULL means "this
     // clause's condition is not satisfied" — the row falls through to
     // the next clause, it is not frozen. `<=> true` folds NULL→false.
@@ -158,18 +184,27 @@ object Upsert {
       updateWhen.map(_ <=> lit(true)).getOrElse(lit(true))
     val ins = !tgtPresent && srcPresent &&
       insertWhen.map(_ <=> lit(true)).getOrElse(lit(true))
+    val nmbsDel = deleteWhenNotMatchedBySource
+      .map(c => (tgtOnly && c) <=> lit(true)).getOrElse(lit(false))
+    val nmbsUpd = updateWhenNotMatchedBySource
+      .map(c => (tgtOnly && !nmbsDel && c) <=> lit(true))
+      .getOrElse(lit(false))
     val projection: Seq[Column] = mergeKeys.map(col) ++
-      target.columns.toSeq.filterNot(mergeKeys.contains).map { c =>
-        if (updateCols.contains(c) && source.columns.contains(c))
-          when(upd || ins, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
-        else if (source.columns.contains(c))
-          when(tgtPresent, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
-        else col(s"t.$c").as(c)
+      tgtCols.filterNot(mergeKeys.contains).map { c =>
+        val base =
+          if (updateCols.contains(c) && source.columns.contains(c))
+            when(upd || ins, col(s"s.$c")).otherwise(col(s"t.$c"))
+          else if (source.columns.contains(c))
+            when(tgtPresent, col(s"t.$c")).otherwise(col(s"s.$c"))
+          else col(s"t.$c")
+        notMatchedBySourceSet.get(c)
+          .map(e => when(nmbsUpd, e).otherwise(base).as(c))
+          .getOrElse(base.as(c))
       }
     // evolveSchema: source-only columns land only through the update
     // or insert clause (Delta withSchemaEvolution) — a matched row
     // whose update clause did not fire keeps the column NULL, exactly
-    // like the target-only pass-throughs
+    // like the target-only rows (NMBS-updated or passed through)
     val evolved: Seq[Column] =
       if (!evolveSchema) Seq.empty
       else source.columns.toSeq.filterNot(target.columns.contains)
@@ -178,6 +213,7 @@ object Upsert {
     joined
       .filter(tgtPresent || ins) // source-only rows need the insert clause
       .filter(!del) // matched delete-clause rows drop
+      .filter(!nmbsDel) // target-only rows the sync deletes
       .select(projection ++ evolved: _*)
   }
 
@@ -402,6 +438,51 @@ object Upsert {
         newRows(fullVersionedRewrite(vt, source, mergeKeys, updateColumns,
           evolveSchema))
     }
+  }
+
+  /** [[upsertWithClauses]] against a stored
+    * [[graft.io.VersionedTable]], committed as ONE atomic MERGE
+    * version (snapshot-isolated readers, history/time travel intact).
+    *
+    * Always a FULL-REWRITE commit, by semantics, not laziness: the
+    * NOT-MATCHED-BY-SOURCE clauses examine every target row — a
+    * partition- or stats-scoped read could never prove an unread row
+    * unmatched, so any pruned variant would silently skip
+    * deletes/updates outside the scanned files (Delta's MERGE gives up
+    * target-side file pruning under whenNotMatchedBySource for exactly
+    * this reason). Merges without NMBS clauses that want scoping go
+    * through [[mergeIntoVersionedTable]]. Creating-table merges refuse
+    * NMBS clauses rather than guessing (there is no target to sync).
+    *
+    * Returns rows WRITTEN (the new snapshot's row count). */
+  def mergeClausesIntoVersionedTable(spark: SparkSession, source: DataFrame,
+      targetRoot: String, mergeKeys: Seq[String],
+      deleteWhen: Option[Column] = None,
+      updateWhen: Option[Column] = None,
+      insertWhen: Option[Column] = None,
+      updateColumns: Option[Seq[String]] = None,
+      evolveSchema: Boolean = false,
+      deleteWhenNotMatchedBySource: Option[Column] = None,
+      updateWhenNotMatchedBySource: Option[Column] = None,
+      notMatchedBySourceSet: Map[String, Column] = Map.empty): Long = {
+    val vt = new graft.io.VersionedTable(spark, targetRoot)
+    require(vt.exists || (deleteWhenNotMatchedBySource.isEmpty &&
+      updateWhenNotMatchedBySource.isEmpty),
+      s"$targetRoot does not exist: a NOT MATCHED BY SOURCE clause " +
+        "needs a target table to sync against")
+    if (!vt.exists) {
+      val v = vt.write(source, SaveMode.Overwrite, "MERGE")
+      return vt.manifestEntries(v).map(_.liveRows).sum
+    }
+    val merged = upsertWithClauses(vt.read(), source, mergeKeys,
+      deleteWhen = deleteWhen, updateWhen = updateWhen,
+      insertWhen = insertWhen, updateColumns = updateColumns,
+      evolveSchema = evolveSchema,
+      deleteWhenNotMatchedBySource = deleteWhenNotMatchedBySource,
+      updateWhenNotMatchedBySource = updateWhenNotMatchedBySource,
+      notMatchedBySourceSet = notMatchedBySourceSet)
+    val v = vt.write(merged, SaveMode.Overwrite, "MERGE")
+    vt.manifestEntries(v).map(_.liveRows).sum
   }
 
   private def fullVersionedRewrite(vt: graft.io.VersionedTable,

@@ -272,6 +272,47 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** SNAPSHOT-SYNC MERGE (q219; Delta `whenNotMatchedBySource`,
+    * [[graft.incremental.Upsert.mergeClausesIntoVersionedTable]]): the
+    * clause surface's missing half — a FULL filtered snapshot (every
+    * even-custkey order, price re-stated +5%) merges into a maintained
+    * versioned table, and target rows the snapshot no longer contains
+    * are handled by NOT-MATCHED-BY-SOURCE clauses: non-final orders
+    * are DELETED (sync the disappearance), finalized orders are
+    * UPDATED to an archival status `X` (audit retention). Matched rows
+    * take the snapshot's values, snapshot-only rows insert — so one
+    * merge exercises all four row fates, and the oracle replays each
+    * from the same full-outer frame (a clause-ordering, presence-flag,
+    * or pass-through bug hash-mismatches). Runs as one atomic
+    * versioned commit; necessarily a full rewrite — an NMBS clause
+    * examines every target row, so no pruned read can be correct
+    * (Delta drops target-side file pruning under this clause too). */
+  def mergeSyncSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.Upsert
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-syncsnap")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(o.filter(col("o_orderkey") % 5 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    val snapshot = o.filter(col("o_custkey") % 2 === 0)
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice").cast("decimal(18,4)") * lit(BigDecimal("1.05")), 2)
+          .cast("double").as("o_totalprice"),
+        lit("S").as("o_orderstatus"))
+    Upsert.mergeClausesIntoVersionedTable(spark, snapshot, root,
+      Seq("o_orderkey"),
+      deleteWhenNotMatchedBySource = Some(col("t.o_orderstatus") =!= "F"),
+      updateWhenNotMatchedBySource = Some(col("t.o_orderstatus") === "F"),
+      notMatchedBySourceSet = Map("o_orderstatus" -> lit("X")))
+    vt.read()
+      .select(col("o_orderkey"),
+        col("o_totalprice").as("price_after"),
+        col("o_orderstatus").as("status_after"))
+      .orderBy("o_orderkey")
+  }
+
   /** MERGE with SCHEMA EVOLUTION through the versioned store (q196;
     * Delta MERGE `withSchemaEvolution` / mergeSchema, reference
     * `utils/delta_ops.py` MERGE): the q13 target is committed as v0
@@ -1823,6 +1864,7 @@ object Relational {
     "q131_shallow_clone" -> shallowCloneRead,
     "q133_merge_clauses" -> mergeWithClauses,
     "q196_merge_evolve" -> mergeEvolveVersioned,
+    "q219_merge_sync_snapshot" -> mergeSyncSnapshot,
     "q200_deep_clone" -> deepCloneSurvivesGc,
     "q201_identity" -> identityAllocation,
     "q203_type_widening" -> typeWideningRead,
@@ -2363,6 +2405,34 @@ object Relational {
          UNION ALL SELECT 2, n FROM c2
          UNION ALL SELECT 3, n FROM c2
          ORDER BY version""",
+    "q219_merge_sync_snapshot" ->
+      // the four row fates of a snapshot sync: matched -> snapshot
+      // values, snapshot-only -> insert, target-only non-final ->
+      // deleted (NOT EXISTS), target-only final -> archived status X
+      """WITH target AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+           WHERE o_orderkey % 5 <> 0),
+         source AS (
+           SELECT o_orderkey,
+                  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.05, 2)
+                    AS DOUBLE) AS o_totalprice,
+                  'S' AS o_orderstatus
+           FROM orders WHERE o_custkey % 2 = 0),
+         j AS (
+           SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                  t.o_totalprice AS tp, t.o_orderstatus AS tstat,
+                  s.o_totalprice AS sp, s.o_orderstatus AS sstat,
+                  s.o_orderkey IS NOT NULL AS sm,
+                  t.o_orderkey IS NOT NULL AS tm
+           FROM target t FULL OUTER JOIN source s USING (o_orderkey))
+         SELECT o_orderkey,
+                CASE WHEN sm THEN sp ELSE tp END AS price_after,
+                CASE WHEN sm THEN sstat
+                     WHEN tstat = 'F' THEN 'X'
+                     ELSE tstat END AS status_after
+         FROM j
+         WHERE sm OR (tm AND tstat = 'F')
+         ORDER BY o_orderkey""",
     "q133_merge_clauses" ->
       // four clause outcomes: matched+delete drops, matched+upsert
       // takes source values, unmatched delete-commands never insert,

@@ -114,6 +114,95 @@ class MergeClausesSpec extends AnyFunSuite {
     assert(canon(out) === Seq("1|b", "2|c"))
   }
 
+  test("whenNotMatchedBySource: unconditional delete syncs target to " +
+    "the snapshot; matched/inserted rows unaffected") {
+    val target = Seq((1L, "t1"), (2L, "t2"), (3L, "t3")).toDF("id", "v")
+    val snapshot = Seq((1L, "s1"), (4L, "s4")).toDF("id", "v")
+    val out = Upsert.upsertWithClauses(target, snapshot, Seq("id"),
+      deleteWhenNotMatchedBySource = Some(lit(true)))
+    assert(canon(out) === Seq("1|s1", "4|s4"),
+      "rows 2 and 3 left the snapshot and must leave the table")
+  }
+
+  test("whenNotMatchedBySource: conditional delete + conditional update " +
+    "set; unaffected target-only rows pass through") {
+    val target = Seq((1L, "t1", "open"), (2L, "t2", "final"),
+      (3L, "t3", "open"), (4L, "t4", "held")).toDF("id", "v", "st")
+    val snapshot = Seq((1L, "s1", "open")).toDF("id", "v", "st")
+    val out = Upsert.upsertWithClauses(target, snapshot, Seq("id"),
+      deleteWhenNotMatchedBySource = Some(col("t.st") === "open"),
+      updateWhenNotMatchedBySource = Some(col("t.st") === "final"),
+      notMatchedBySourceSet = Map("st" -> lit("archived")))
+    // 1 matched-updates, 3 deletes (open), 2 archives (final),
+    // 4 passes through (held: no NMBS clause fires)
+    assert(canon(out) === Seq("1|s1|open", "2|t2|archived", "4|t4|held"))
+  }
+
+  test("whenNotMatchedBySource: delete tested before update; NULL " +
+    "conditions mean not taken; set may reference t. columns") {
+    val target = Seq((1L, "a", null.asInstanceOf[String]),
+      (2L, "b", "keep")).toDF("id", "v", "st")
+    val snapshot = Seq.empty[(Long, String, String)].toDF("id", "v", "st")
+    val out = Upsert.upsertWithClauses(target, snapshot, Seq("id"),
+      // st NULL: delete cond is NULL -> not taken, falls to update
+      deleteWhenNotMatchedBySource = Some(col("t.st") === "drop"),
+      updateWhenNotMatchedBySource = Some(lit(true)),
+      notMatchedBySourceSet = Map("v" -> concat(col("t.v"), lit("!"))))
+    assert(canon(out) === Seq("1|a!|null", "2|b!|keep"))
+  }
+
+  test("whenNotMatchedBySource composes with schema evolution: evolved " +
+    "columns stay NULL on NMBS-updated rows") {
+    val target = Seq((1L, "t1"), (2L, "t2")).toDF("id", "v")
+    val snapshot = Seq((1L, "s1", "g1")).toDF("id", "v", "tag")
+    val out = Upsert.upsertWithClauses(target, snapshot, Seq("id"),
+      evolveSchema = true,
+      updateWhenNotMatchedBySource = Some(lit(true)),
+      notMatchedBySourceSet = Map("v" -> lit("stale")))
+    assert(out.columns.toSeq === Seq("id", "v", "tag"))
+    assert(canon(out) === Seq("1|s1|g1", "2|stale|null"))
+  }
+
+  test("whenNotMatchedBySource guards: set without clause (and the " +
+    "reverse), and assignments must name existing non-key columns") {
+    val t = Seq((1L, "a")).toDF("id", "v")
+    val s = Seq((1L, "b")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Upsert.upsertWithClauses(t, s, Seq("id"),
+        notMatchedBySourceSet = Map("v" -> lit("x")))
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.upsertWithClauses(t, s, Seq("id"),
+        updateWhenNotMatchedBySource = Some(lit(true)))
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.upsertWithClauses(t, s, Seq("id"),
+        updateWhenNotMatchedBySource = Some(lit(true)),
+        notMatchedBySourceSet = Map("nope" -> lit("x")))
+    }
+  }
+
+  test("mergeClausesIntoVersionedTable: snapshot sync is one atomic " +
+    "MERGE version; NMBS needs an existing target") {
+    val root = Fixtures.tempDir("mergesync") + "/tbl"
+    val vt = new graft.io.VersionedTable(spark, root)
+    intercept[IllegalArgumentException] {
+      Upsert.mergeClausesIntoVersionedTable(spark,
+        Seq((1L, "a")).toDF("id", "v"), root, Seq("id"),
+        deleteWhenNotMatchedBySource = Some(lit(true)))
+    }
+    vt.write(Seq((1L, "t1"), (2L, "t2")).toDF("id", "v"),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val written = Upsert.mergeClausesIntoVersionedTable(spark,
+      Seq((1L, "s1"), (3L, "s3")).toDF("id", "v"), root, Seq("id"),
+      deleteWhenNotMatchedBySource = Some(lit(true)))
+    assert(written === 2L)
+    assert(canon(vt.read()) === Seq("1|s1", "3|s3"))
+    assert(vt.currentVersion.get === 1L, "one commit for the whole sync")
+    // time travel still sees the pre-sync table
+    assert(canon(vt.readVersion(0L)) === Seq("1|t1", "2|t2"))
+  }
+
   test("versioned evolution merge: snapshot schema grows once, old rows " +
     "read NULL, later merges scope normally") {
     val root = Fixtures.tempDir("mergeevo") + "/tbl"
