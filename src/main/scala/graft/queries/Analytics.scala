@@ -1010,6 +1010,51 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** BOUNDED STREAMING REPLAY (q220; Delta CDF
+    * `endingVersion`/`endingTimestamp`,
+    * [[graft.streaming.Streaming.versionedSource]]): a versioned
+    * table takes three commits (thirds of orders by key mod 3), and a
+    * stream subscribes with `endingVersion = 1` — under AvailableNow
+    * it delivers the SNAPSHOT AS OF THE BOUND (v0 ∪ v1) and
+    * terminates, never planning v2. This is the "replay a closed
+    * window through the streaming pipeline" shape (backfills, audits,
+    * incident re-processing): the same pipeline code runs over a
+    * frozen range and STOPS, instead of tailing forever. The oracle
+    * aggregates exactly the two admitted thirds, so a source that
+    * snapshots at CURRENT (leaking v2), drains past the bound, or
+    * drops the bound on restart hash-mismatches. Money rides as exact
+    * integer cents. Scale: the bound caps `latestOffset` — planning
+    * stays O(manifests in the window); nothing past the bound is
+    * listed, read, or buffered. */
+  def boundedReplay(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bounded-replay").toString
+    val root = s"$base/tbl"
+    val vt = new graft.io.VersionedTable(spark, root)
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long").as("cents"))
+      .localCheckpoint()
+    vt.write(o.filter(col("o_orderkey") % 3 === 0).coalesce(1)) // v0
+    vt.write(o.filter(col("o_orderkey") % 3 === 1).coalesce(1),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    vt.write(o.filter(col("o_orderkey") % 3 === 2).coalesce(1),
+      org.apache.spark.sql.SaveMode.Append) // v2 — beyond the bound
+    val out = s"$base/out"
+    val q = graft.streaming.Streaming
+      .versionedSource(spark, root, endingVersion = Some(1L))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"))
+      .orderBy("o_orderstatus")
+  }
+
   /** K-ANONYMITY CENSUS under the oracle (q194;
     * [[graft.dq.DataQuality.kAnonymityCensus]]): the privacy gate on
     * a quasi-identifier tuple — here (event type, UTC day, a
@@ -1641,6 +1686,7 @@ object Analytics {
     "q175_triangle_count" -> triangleCount,
     "q210_cdf_timestamp" -> changeFeedFromTimestamp,
     "q211_stream_cdc_apply" -> streamCdcApply,
+    "q220_bounded_replay" -> boundedReplay,
     "q212_label_prop" -> labelPropParts,
     "q215_lpa_modularity" -> labelPropModularity,
     "q218_stream_semi_join" -> streamStreamSemiAttribution
@@ -1740,6 +1786,15 @@ object Analytics {
            FROM feed)
          SELECT k AS o_orderkey, v AS cents, seq FROM latest
          WHERE rn = 1 AND op <> 'delete' ORDER BY o_orderkey""",
+    "q220_bounded_replay" ->
+      // the stream's ending bound admits v0 (keys ≡0 mod 3) and v1
+      // (≡1) and must never plan v2 (≡2): a source snapshotting at
+      // CURRENT or draining past the bound leaks the third slice
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+             AS BIGINT)) AS BIGINT) AS cents
+         FROM orders WHERE o_orderkey % 3 IN (0, 1)
+         GROUP BY 1 ORDER BY 1""",
     "q212_label_prop" ->
       // two synchronized rounds as chained count+argmax CTEs; the
       // argmax is exact-integer (max votes, min label) in both engines

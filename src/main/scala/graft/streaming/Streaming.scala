@@ -404,7 +404,9 @@ object Streaming {
       maxVersionsPerBatch: Option[Long] = None,
       startingVersion: Option[Long] = None,
       startingTimestamp: Option[String] = None,
-      maxFilesPerBatch: Option[Long] = None): DataFrame = {
+      maxFilesPerBatch: Option[Long] = None,
+      endingVersion: Option[Long] = None,
+      endingTimestamp: Option[String] = None): DataFrame = {
     val r0 = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
@@ -416,8 +418,12 @@ object Streaming {
       r1.option("startingVersion", v.toString))
     val r3 = startingTimestamp.fold(r2)(ts =>
       r2.option("startingTimestamp", ts))
-    maxFilesPerBatch.fold(r3)(m =>
-      r3.option("maxFilesPerBatch", m.toString)).load()
+    val r4 = maxFilesPerBatch.fold(r3)(m =>
+      r3.option("maxFilesPerBatch", m.toString))
+    val r5 = endingVersion.fold(r4)(v =>
+      r4.option("endingVersion", v.toString))
+    endingTimestamp.fold(r5)(ts =>
+      r5.option("endingTimestamp", ts)).load()
   }
 
   /** STREAMING CHANGE FEED over a versioned table (Delta
@@ -432,7 +438,9 @@ object Streaming {
     * versions, checkpoint-resumable like [[versionedSource]]. */
   def changeFeedSource(spark: SparkSession, root: String,
       startingVersion: Option[Long] = None,
-      startingTimestamp: Option[String] = None): DataFrame = {
+      startingTimestamp: Option[String] = None,
+      endingVersion: Option[Long] = None,
+      endingTimestamp: Option[String] = None): DataFrame = {
     val r0 = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
@@ -440,8 +448,12 @@ object Streaming {
       .option("readChangeFeed", "true")
     val r1 = startingVersion.fold(r0)(v =>
       r0.option("startingVersion", v.toString))
-    startingTimestamp.fold(r1)(ts =>
-      r1.option("startingTimestamp", ts)).load()
+    val r2 = startingTimestamp.fold(r1)(ts =>
+      r1.option("startingTimestamp", ts))
+    val r3 = endingVersion.fold(r2)(v =>
+      r2.option("endingVersion", v.toString))
+    endingTimestamp.fold(r3)(ts =>
+      r3.option("endingTimestamp", ts)).load()
   }
 
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,

@@ -38,15 +38,38 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     maxVersionsPerBatch: Option[Long] = None,
     startingVersion: Option[Long] = None,
     startingTimestamp: Option[String] = None,
-    maxFilesPerBatch: Option[Long] = None)
+    maxFilesPerBatch: Option[Long] = None,
+    endingVersion: Option[Long] = None,
+    endingTimestamp: Option[String] = None)
   extends Source with SupportsAdmissionControl {
 
   startingVersion.foreach(v => require(v >= 1,
     "startingVersion must be >= 1 (omit it to start from the snapshot)"))
   require(startingVersion.isEmpty || startingTimestamp.isEmpty,
     "startingVersion and startingTimestamp are mutually exclusive")
+  endingVersion.foreach(v => require(v >= 0,
+    "endingVersion must be >= 0"))
+  require(endingVersion.isEmpty || endingTimestamp.isEmpty,
+    "endingVersion and endingTimestamp are mutually exclusive")
+  for (s <- startingVersion; e <- endingVersion) require(e >= s,
+    s"endingVersion $e is below startingVersion $s — an empty window")
 
   private val vt = new graft.io.VersionedTable(spark, path)
+
+  /** BOUNDED REPLAY (Delta CDF `endingVersion`/`endingTimestamp`): the
+    * stream never plans past this version — under
+    * `Trigger.AvailableNow` it drains to the bound and terminates,
+    * the "replay a closed window through the streaming pipeline"
+    * shape. `endingTimestamp` resolves per POLL, not once: the bound
+    * is the newest version committed at or before the instant — a
+    * pure function of committed history (restart-stable by M33
+    * in-commit-timestamp monotonicity), and an instant still ahead of
+    * the newest commit keeps admitting commits as they land at or
+    * before it, which IS "changes up to ts". A bound below the
+    * stream's current position admits nothing more (graceful stop,
+    * never a backwards batch). */
+  private def endBound: Option[Long] =
+    endingVersion.orElse(endingTimestamp.map(vt.versionAtTimestamp))
 
   /** The version subscription actually starts at. `startingTimestamp`
     * (Delta's option: "every change committed at or after this
@@ -79,7 +102,8 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     case other => other.json.trim.toLong
   }
 
-  override def getOffset: Option[Offset] = vt.currentVersion.map(LongOffset(_))
+  override def getOffset: Option[Offset] = vt.currentVersion
+    .map(v => LongOffset(endBound.fold(v)(math.min(v, _))))
 
   /** RATE LIMITING (Delta `maxFilesPerTrigger` at this source's
     * version granularity): with `maxVersionsPerBatch = m`, a stream
@@ -133,7 +157,14 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
       case (Some(a), Some(b)) => Some(math.min(a, b))
       case _ => byVersions.orElse(byFiles)
     }
-    capped.map(LongOffset(_)).orNull
+    // bounded replay: never plan past the end bound — and never plan
+    // BACKWARDS either (a restart with a lower bound, or a bound below
+    // startingVersion, admits nothing more rather than a from>to batch)
+    val bounded = capped.map { c =>
+      val b = endBound.fold(c)(math.min(c, _))
+      from.fold(b)(f => math.max(b, f))
+    }
+    bounded.map(LongOffset(_)).orNull
   }
 
   /** First batch without a checkpointed start: the snapshot — unless
@@ -174,7 +205,10 @@ object VersionedStreamSource {
   * `startingTimestamp` (mutually exclusive — subscribe from a version,
   * or from the first version committed at or after an ISO-8601
   * instant, skipping the snapshot; Delta's options of the same
-  * names). */
+  * names), `endingVersion` / `endingTimestamp` (mutually exclusive —
+  * BOUNDED REPLAY, Delta CDF's options: the stream never plans past
+  * the bound; under `Trigger.AvailableNow` it drains the closed
+  * window and terminates). */
 final class VersionedStreamSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
 
@@ -210,5 +244,10 @@ final class VersionedStreamSourceProvider extends StreamSourceProvider
       maxFilesPerBatch = parameters.get("maxFilesPerBatch")
         .map(_.toLong).map { m =>
           require(m > 0, "maxFilesPerBatch must be positive"); m
-        })
+        },
+      endingVersion = parameters.get("endingVersion").map(_.toLong),
+      endingTimestamp = parameters.get("endingTimestamp").map { ts =>
+        java.time.Instant.parse(ts) // fail at construction, not first poll
+        ts
+      })
 }

@@ -662,6 +662,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(state() === Map(1L -> ("x1", 2L), 3L -> ("z0", 3L)))
   }
 
+  test("endingVersion bounds the stream: AvailableNow drains to the " +
+    "bound and stops; a restart past more commits delivers nothing new") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-bounded")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a")).toDF("id", "s")) // v0
+    vt.write(Seq((2L, "b")).toDF("id", "s"), SaveMode.Append) // v1
+    vt.write(Seq((3L, "c")).toDF("id", "s"), SaveMode.Append) // v2
+    val out = s"$base/out"
+    def drain(): Unit = {
+      val q = Streaming.versionedSource(spark, root,
+          endingVersion = Some(1L))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def ids() = spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    drain()
+    assert(ids() === Seq(1L, 2L), "snapshot as of the BOUND, v2 excluded")
+    vt.write(Seq((4L, "d")).toDF("id", "s"), SaveMode.Append) // v3
+    drain() // restart: the bound still holds
+    assert(ids() === Seq(1L, 2L), "nothing past the bound, ever")
+  }
+
+  test("endingTimestamp: the bounded change-feed stream equals " +
+    "changesBetweenTimestamps over the same window") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-bounded-ts")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a")).toDF("id", "s")) // v0
+    vt.write(Seq((2L, "b")).toDF("id", "s"), SaveMode.Append) // v1
+    vt.write(Seq((3L, "c")).toDF("id", "s"), SaveMode.Append) // v2
+    val ts = vt.history(limit = Int.MaxValue)
+      .map(h => h.version -> h.timestamp).toMap
+    val out = s"$base/out"
+    val q = Streaming.changeFeedSource(spark, root,
+        startingVersion = Some(1L), endingTimestamp = Some(ts(1L)))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("id", "s", "_change_type").collect()
+      .map(_.mkString("|")).sorted.toSeq
+    val batch = vt.changesBetweenTimestamps(ts(1L), ts(1L))
+      .select("id", "s", "_change_type").collect()
+      .map(_.mkString("|")).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed === Seq("2|b|insert"))
+  }
+
+  test("bounded replay guards: ending/starting combinations") {
+    import graft.streaming.Streaming
+    import graft.io.VersionedTable
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-bounded-guards")
+    val root = s"$base/tbl"
+    new VersionedTable(spark, root).write(Seq((1L, "a")).toDF("id", "s"))
+    def run(ev: Option[Long], et: Option[String],
+        sv: Option[Long] = None): Unit = {
+      val q = Streaming.versionedSource(spark, root, startingVersion = sv,
+          endingVersion = ev, endingTimestamp = et)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$base/ckpt-${ev.getOrElse(et)}-$sv")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Some(2L), Some("2020-01-01T00:00:00Z")) // mutually exclusive
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Some(1L), None, sv = Some(2L)) // empty window
+    }
+  }
+
   test("versionedApplyChangesBatch: a narrow batch rewrites only the " +
     "files whose key range it may touch; the rest survive byte-identical") {
     import graft.io.VersionedTable
