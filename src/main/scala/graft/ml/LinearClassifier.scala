@@ -83,16 +83,24 @@ object LinearClassifier {
     w
   }
 
-  /** [[train]], then score every input row with the final weights:
-    * adds `score` (σ̃ of the final linear form) and `pred`
-    * (1 when score > 0.5 ⇔ positive logit, else 0). */
+  /** Score `feats` with a trained ONE-ROW weight frame (from
+    * [[train]]): adds `score` (σ̃ of the linear form) and `pred`
+    * (1 when score > 0.5 ⇔ positive logit, else 0). The weight row
+    * broadcasts — one map pass over the scored frame, the held-out /
+    * production-inference half of the train/serve split. */
+  def score(feats: DataFrame, weights: DataFrame,
+      featureCols: Seq[String]): DataFrame =
+    feats.crossJoin(broadcast(weights))
+      .withColumn("score", link(zOf(featureCols)))
+      .withColumn("pred", when(col("score") > 0.5, 1L).otherwise(0L))
+      .drop("w0" +: featureCols.indices.map(i => s"w${i + 1}"): _*)
+
+  /** [[train]], then [[score]] every input row with the final
+    * weights. */
   def trainAndScore(feats0: DataFrame, featureCols: Seq[String],
       labelCol: String, rounds: Int, lr: Double): DataFrame = {
     val feats = feats0.localCheckpoint()
     val w = trainOn(feats, featureCols, labelCol, rounds, lr)
-    feats.crossJoin(broadcast(w))
-      .withColumn("score", link(zOf(featureCols)))
-      .withColumn("pred", when(col("score") > 0.5, 1L).otherwise(0L))
-      .drop("w0" +: featureCols.indices.map(i => s"w${i + 1}"): _*)
+    score(feats, w, featureCols)
   }
 }

@@ -130,10 +130,41 @@ object TrainingData {
     * partial-agg shuffle to distinct scores, then a window over the
     * SCORE VOCABULARY (bounded by distinct feature tuples, not the
     * corpus), then two one-row folds. */
-  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
-    val scored = graft.ml.LinearClassifier
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame =
+    aucAndConfusion(graft.ml.LinearClassifier
       .trainAndScore(classifierFeatures(spark, dir),
-        Seq("sr", "pr", "flen"), "y", rounds = ClfRounds, lr = ClfLr)
+        Seq("sr", "pr", "flen"), "y", rounds = ClfRounds, lr = ClfLr))
+
+  /** HELD-OUT CLASSIFIER EVALUATION (q221): the eval q214 runs on the
+    * training set, done the way a real gate must be — q44's
+    * deterministic hash split carves the corpus 80/20, the q213
+    * trainer fits ONLY the train split, and the exact Mann–Whitney
+    * AUC + confusion census run ONLY on the held-out 20% the model
+    * never saw. Generalization, not memorization, is what licenses a
+    * classifier to filter a corpus; with a hash-of-doc_id split the
+    * membership is a pure row function (stable under re-runs,
+    * appends, partitioning — q44's contract), so the entire chain
+    * train→score→rank stays static-CTE-replayable and the held-out
+    * AUC hashes bit-identically. Scale: training is q213's
+    * broadcast-weight rounds over the 80% slice; scoring is one map
+    * pass over the 20%; the rank fold windows over the held-out score
+    * vocabulary. */
+  def classifierHoldout(spark: SparkSession, dir: String): DataFrame = {
+    val feats = Seq("sr", "pr", "flen")
+    val f = classifierFeatures(spark, dir)
+      .withColumn("u", hashUniform("split", col("doc_id")))
+      .localCheckpoint() // feeds train and held-out slices
+    val w = graft.ml.LinearClassifier.train(
+      f.filter(col("u") < 0.8), feats, "y", rounds = ClfRounds, lr = ClfLr)
+    aucAndConfusion(graft.ml.LinearClassifier.score(
+      f.filter(col("u") >= 0.8), w, feats))
+  }
+
+  /** The q214 exact-eval shape over any scored frame carrying
+    * (score, pred, y): average-rank Mann–Whitney AUC from exact
+    * BIGINTs + the 0.5-threshold confusion census. */
+  private def aucAndConfusion(scored0: DataFrame): DataFrame = {
+    val scored = scored0
       .select(col("score"), col("pred"), col("y").cast("long").as("label"))
       .localCheckpoint() // feeds both the rank fold and the confusion
     val byScore = scored.groupBy("score")
@@ -3165,6 +3196,7 @@ object TrainingData {
     "q120_length_ks" -> lengthKsDrift,
     "q213_quality_classifier" -> qualityClassifier,
     "q214_classifier_auc" -> classifierAuc,
+    "q221_classifier_holdout" -> classifierHoldout,
     "q217_lm_xent" -> ((s, d) => lmCrossEntropy(s, d))
   )
 
@@ -3223,14 +3255,18 @@ object TrainingData {
   private val enStops = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
   private val xxStops = TextAnalysis.xxStopwords.map(w => s"'$w'").mkString(", ")
 
-  /** q213/q214's static oracle chain: [[graft.ml.LinearClassifier]]'s
-    * three training rounds unrolled as chained CTEs, generated so the
+  /** q213/q214/q221's static oracle chain: [[graft.ml.LinearClassifier]]'s
+    * training rounds unrolled as chained CTEs, generated so the
     * per-round expression trees are mechanically identical to the
     * Scala plan (same left-assoc z, same Elliott link, same per-term
     * round→LONG gradient folds, same `w − g/10⁶/n·lr` update) —
     * nothing frozen, the q151 discipline. Ends in a relation
-    * `scored(doc_id, score, pred, is_en)`. */
-  private val classifierCtes: String = {
+    * `scored(doc_id, score, pred, label)`. `trainRel`/`scoreWhere`
+    * carve the q44 hash split for the held-out eval (q221): training
+    * folds read `ftr` (u < 0.8), scoring filters to the held-out
+    * rows. */
+  private def classifierCtes(trainRel: String = "f",
+      scoreWhere: String = ""): String = {
     // z under the weights of CTE `w`: same fold order as
     // LinearClassifier.zOf — ((w0 + w1*sr) + w2*pr) + w3*flen
     def z(w: String): String =
@@ -3245,7 +3281,7 @@ object TrainingData {
         s"CAST(sum(CAST(round(r $term 1000000) AS BIGINT)) AS BIGINT) AS g$i"
       s"""s$r AS MATERIALIZED (SELECT sr, pr, flen,
              0.5 + ($zz) / (2.0 * (1.0 + abs($zz))) - y AS r
-           FROM f),
+           FROM $trainRel),
          g$r AS MATERIALIZED (SELECT count(*) AS n,
              ${g(0, "*")},
              ${g(1, "* sr *")},
@@ -3262,6 +3298,10 @@ object TrainingData {
     val zF = z(s"w$ClfRounds")
     val rounds = (1 to ClfRounds)
       .map(r => rnd(r, s"w${r - 1}")).mkString(",\n       ")
+    val ftr =
+      if (trainRel == "f") ""
+      else s""",
+       $trainRel AS MATERIALIZED (SELECT * FROM f WHERE u < 0.8)"""
     s"""clf_base AS (
          SELECT doc_id, string_split(lower(text), ' ') AS t,
            length(text) AS n_ch,
@@ -3272,12 +3312,14 @@ object TrainingData {
            CAST(len(list_filter(t, x -> list_contains([$enStops], x)))
              AS DOUBLE) / len(t) AS sr,
            CAST(n_punct AS DOUBLE) / n_ch AS pr,
-           least(len(t) / 100.0, 1.0) AS flen
+           least(len(t) / 100.0, 1.0) AS flen,
+           CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) / 4294967296.0 AS u
          FROM clf_base),
        f AS MATERIALIZED (SELECT *,
            CASE WHEN sr * 0.5 + (1.0 - pr) * 0.3 + flen * 0.2 > 0.44
              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
-         FROM f0),
+         FROM f0)$ftr,
        w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
            CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
        $rounds,
@@ -3286,19 +3328,21 @@ object TrainingData {
          CASE WHEN 0.5 + ($zF) / (2.0 * (1.0 + abs($zF))) > 0.5
            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred,
          CAST(y AS BIGINT) AS label
-       FROM f)"""
+       FROM f $scoreWhere)"""
   }
 
   private val classifierOracleSql: String =
-    s"""WITH $classifierCtes
+    s"""WITH ${classifierCtes()}
        SELECT doc_id, score, pred, label FROM scored ORDER BY doc_id"""
 
   /** q214's oracle: the same training replay, then the exact
     * average-rank Mann–Whitney AUC and the 0.5-threshold confusion —
     * every count and rank sum an exact BIGINT, AUC and accuracy each
-    * ONE division of exact ints. */
-  private val classifierAucOracleSql: String =
-    s"""WITH $classifierCtes,
+    * ONE division of exact ints. q221 runs the identical eval over
+    * the held-out carve of the same chain (train CTEs read only the
+    * u < 0.8 slice, `scored` only the rest). */
+  private def classifierAucSqlOver(ctes: String): String =
+    s"""WITH $ctes,
        sg AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(label) AS BIGINT) AS npos
          FROM scored GROUP BY 1),
@@ -3328,6 +3372,12 @@ object TrainingData {
          CAST(tp + tn AS DOUBLE)
            / CAST(tp + fp + tn + fn AS DOUBLE) AS accuracy
        FROM c CROSS JOIN a"""
+
+  private val classifierAucOracleSql: String =
+    classifierAucSqlOver(classifierCtes())
+
+  private val classifierHoldoutOracleSql: String =
+    classifierAucSqlOver(classifierCtes("ftr", "WHERE u >= 0.8"))
 
   /** Simhash expression over `bits` (≤ 32) bits, generated to mirror
     * Dedup.simhash; consumed by the q24 (16-bit) oracle only — q38's
@@ -3432,6 +3482,7 @@ object TrainingData {
   val oracles: Map[String, String] = Map(
     "q213_quality_classifier" -> classifierOracleSql,
     "q214_classifier_auc" -> classifierAucOracleSql,
+    "q221_classifier_holdout" -> classifierHoldoutOracleSql,
     "q217_lm_xent" ->
       // q77's LM CTEs verbatim, then the per-doc fold: each in-vocab
       // bigram's logp per-term-rounds to an exact LONG (q199's ln

@@ -41,6 +41,27 @@ class LinearClassifierSpec extends AnyFunSuite {
     assert(scored(1L)._1 === scored(2L)._1)
   }
 
+  test("score(frame, weights) is the inference half of trainAndScore: " +
+    "same weights give bit-identical scores on any frame") {
+    val w = LinearClassifier.train(toy, Seq("f1"), "y",
+      rounds = 3, lr = 0.5)
+    val viaTrain = LinearClassifier.trainAndScore(toy, Seq("f1"), "y",
+      rounds = 3, lr = 0.5)
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaScore = LinearClassifier.score(toy, w, Seq("f1"))
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaScore === viaTrain)
+    // and a held-out frame the trainer never saw scores through the
+    // same fixed expression tree
+    import spark.implicits._
+    val hold = Seq((9L, 4.0)).toDF("id", "f1")
+    val s = LinearClassifier.score(hold, w, Seq("f1")).collect().head
+    assert(s.schema.fieldNames.contains("score") &&
+      s.schema.fieldNames.contains("pred"))
+  }
+
   test("trained weights are bit-identical at any partitioning") {
     def ws(parts: Int): Seq[Double] = {
       val r = LinearClassifier.train(toy.repartition(parts),
