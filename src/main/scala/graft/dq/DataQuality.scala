@@ -331,6 +331,33 @@ final class DataQualityFramework(spark: SparkSession) {
           .as("n_risky_rows"),
         min(col("n_rows")).as("min_group_size"))
   }
+
+  /** L-DIVERSITY census (Machanavajjhala et al. 2007): k-anonymity
+    * bounds group SIZE, l-diversity bounds what a group REVEALS —
+    * every quasi-identifier group must contain at least `l` distinct
+    * values of the sensitive attribute, or membership in the group
+    * alone discloses it (the homogeneity attack k-anonymity misses:
+    * a 50-person group is 50-anonymous and zero-private if all 50
+    * share one diagnosis). One row: total groups, groups below `l`,
+    * rows inside them, and the worst observed diversity — the
+    * suppress/generalize/release decision input next to
+    * [[kAnonymityCensus]]. Exact integer counts; one partial-agg
+    * shuffle bounded by the quasi-value cross product (the distinct
+    * count shuffles (quasi, sensitive) pairs, still cross-product
+    * bounded, never row-bounded). */
+  def lDiversityCensus(df: DataFrame, quasi: Seq[String],
+      sensitive: String, l: Long): DataFrame = {
+    require(quasi.nonEmpty, "lDiversityCensus needs quasi-identifiers")
+    require(l > 0, s"l must be positive, got $l")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitive)).as("n_sens"))
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("n_sens") < l, 1)).as("n_low_div_groups"),
+        coalesce(sum(when(col("n_sens") < l, col("n_rows"))), lit(0L))
+          .as("n_exposed_rows"),
+        min(col("n_sens")).as("min_diversity"))
+  }
 }
 
 object DataQualityFramework {

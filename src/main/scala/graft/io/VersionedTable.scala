@@ -1031,6 +1031,42 @@ final class VersionedTable(spark: SparkSession, root: String) {
       opDesc = s"DELETE DV $column IN KEYS[$lo,$hi]")
   }
 
+  /** CONVERT TO versioned table, IN PLACE (Delta `CONVERT TO DELTA`):
+    * adopt an existing plain-parquet directory — flat or
+    * hive-partitioned — as this table's version 0 WITHOUT moving,
+    * rewriting, or even reading a data page. The creating manifest
+    * simply references every `.parquet` file found under the root,
+    * with row counts and min/max stats read from the parquet FOOTERS
+    * (one driver-side metadata read per file, parallelized — the same
+    * machinery every commit already uses), and hive `col=value` path
+    * segments become partition values exactly as written commits
+    * record them. From v0 on, the adopted files are first-class:
+    * time travel, appends, MERGE, DV deletes, OPTIMIZE, CDF, and the
+    * streaming source all work over them unchanged — a 100 TB legacy
+    * parquet lake upgrades to versioned semantics with one manifest
+    * write. Refuses directories that are already versioned tables and
+    * partition columns some file's path does not carry (their rows
+    * could not be proven into any partition). Returns version 0. */
+  def convertInPlace(partitionBy: Seq[String] = Seq.empty): Long = {
+    require(currentVersion.isEmpty && !fs.exists(manifestsRoot),
+      s"$root is already a versioned table — CONVERT adopts plain " +
+        "parquet directories only")
+    val entries = listCommitFiles(rootPath)
+    require(entries.nonEmpty, s"no parquet files under $root to convert")
+    partitionBy.foreach(p => require(
+      entries.forall(_.partitionValues.contains(p)),
+      s"convert: not every file under $root carries a $p=... path " +
+        "segment; rows outside the layout cannot be adopted as " +
+        "partitioned"))
+    // schema via Spark's reader (partition discovery types the hive
+    // columns exactly as a written table's snapshot records them)
+    val schema = spark.read.parquet(root).schema
+    writeManifest(0L, VersionManifest(Some(schema), entries, partitionBy))
+    appendHistory(0L, "CONVERT", entries.map(_.liveRows).sum)
+    pointTo(0L)
+    0L
+  }
+
   /** COPY INTO (Delta `COPY INTO`): idempotent FILE-LEVEL ingest of a
     * directory of raw files — the scheduled-landing-zone loader.
     * Re-running after a crash or on a cron never double-loads a file;

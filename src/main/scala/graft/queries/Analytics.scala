@@ -1072,6 +1072,24 @@ object Analytics {
         (col("user_id") % 100).as("cohort")),
       Seq("event_type", "day", "cohort"), k = 5L)
 
+  /** L-DIVERSITY CENSUS (q223;
+    * [[graft.dq.DataQualityFramework.lDiversityCensus]]): the privacy
+    * gate k-anonymity (q194) cannot close — a (day, cohort) group is
+    * large enough to hide IN yet still discloses WHAT its members did
+    * if every row shares one event type (the homogeneity attack).
+    * Here: quasi = (UTC day, 100-bucket user cohort), sensitive =
+    * event_type, l = 3 — the census reports how many groups expose a
+    * near-uniform behavior profile and the worst diversity observed.
+    * Exact integer counts; one partial-agg shuffle bounded by the
+    * quasi×sensitive cross product, never row count. */
+  def lDiversityEvents(spark: SparkSession, dir: String): DataFrame =
+    new graft.dq.DataQualityFramework(spark).lDiversityCensus(
+      load(spark, dir, "events").select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        (col("user_id") % 100).as("cohort"),
+        col("event_type")),
+      Seq("day", "cohort"), sensitive = "event_type", l = 3L)
+
   /** EXACT PERCENTILE_DISC per group (q190): per-source token-count
     * p50/p90 as EXACT ELEMENTS of the sorted distribution (rank
     * `ceil(p·n)` via pure integer arithmetic — no float rank, no
@@ -1678,6 +1696,7 @@ object Analytics {
     "q188_change_feed_stream" -> changeFeedStreamRead,
     "q191_stream_ivm" -> streamIvmRollup,
     "q194_k_anonymity" -> kAnonymityEvents,
+    "q223_l_diversity" -> lDiversityEvents,
     "q197_stream_dedup" -> streamingDedupAtLeastOnce,
     "q198_stream_static_join" -> streamStaticEnrich,
     "q199_cooccur_pmi" -> cooccurrencePmi,
@@ -1876,6 +1895,21 @@ object Analytics {
            CAST(coalesce(sum(CASE WHEN n_rows < 5 THEN n_rows END), 0)
              AS BIGINT) AS n_risky_rows,
            CAST(min(n_rows) AS BIGINT) AS min_group_size
+         FROM g""",
+    "q223_l_diversity" ->
+      // quasi = (day, cohort), sensitive = event_type, l = 3; the
+      // per-group distinct count is exact on both engines
+      """WITH g AS (SELECT
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             user_id % 100 AS cohort, count(*) AS n_rows,
+             count(DISTINCT event_type) AS n_sens
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(count(CASE WHEN n_sens < 3 THEN 1 END)
+             AS BIGINT) AS n_low_div_groups,
+           CAST(coalesce(sum(CASE WHEN n_sens < 3 THEN n_rows END), 0)
+             AS BIGINT) AS n_exposed_rows,
+           CAST(min(n_sens) AS BIGINT) AS min_diversity
          FROM g""",
     "q191_stream_ivm" ->
       // the IVM invariant: the maintained rollup equals the direct

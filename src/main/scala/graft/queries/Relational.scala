@@ -272,6 +272,36 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** CONVERT TO versioned, IN PLACE (q224; Delta `CONVERT TO DELTA`,
+    * [[graft.io.VersionedTable.convertInPlace]]): a plain
+    * hive-partitioned parquet directory (the even-key orders,
+    * partitioned by status) is ADOPTED as version 0 — zero data moved
+    * or rewritten, footers supply row counts and stats, path segments
+    * supply partition values — and then lives as a first-class
+    * versioned table: v1 appends the odd keys through the normal
+    * commit path, v2 DV-deletes a key range THROUGH THE ADOPTED FILES
+    * (the mask applies to files the library never wrote). The oracle
+    * replays the final state, so a conversion that dropped files,
+    * mis-derived partition values, or broke DV addressing over
+    * foreign files hash-mismatches. At 100 TB this is the legacy-lake
+    * upgrade: one manifest write, no migration job. */
+  def convertInPlaceRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-convert")
+      .resolve("tbl").toString
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    graft.io.TableIO.write(o.filter(col("o_orderkey") % 2 === 0), root,
+      org.apache.spark.sql.SaveMode.Overwrite, Some("o_orderstatus"))
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.convertInPlace(Seq("o_orderstatus")) // v0: adoption, no rewrite
+    vt.write(o.filter(col("o_orderkey") % 2 =!= 0),
+      org.apache.spark.sql.SaveMode.Append) // v1: normal commit
+    vt.deleteVectorized("o_orderkey", 100, 299) // v2: DVs over adopted files
+    vt.read()
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** SNAPSHOT-SYNC MERGE (q219; Delta `whenNotMatchedBySource`,
     * [[graft.incremental.Upsert.mergeClausesIntoVersionedTable]]): the
     * clause surface's missing half — a FULL filtered snapshot (every
@@ -1865,6 +1895,7 @@ object Relational {
     "q133_merge_clauses" -> mergeWithClauses,
     "q196_merge_evolve" -> mergeEvolveVersioned,
     "q219_merge_sync_snapshot" -> mergeSyncSnapshot,
+    "q224_convert_in_place" -> convertInPlaceRead,
     "q200_deep_clone" -> deepCloneSurvivesGc,
     "q201_identity" -> identityAllocation,
     "q203_type_widening" -> typeWideningRead,
@@ -2405,6 +2436,13 @@ object Relational {
          UNION ALL SELECT 2, n FROM c2
          UNION ALL SELECT 3, n FROM c2
          ORDER BY version""",
+    "q224_convert_in_place" ->
+      // adoption moves no rows: the table is all orders minus the
+      // DV-deleted range, whatever files the rows started in
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+         FROM orders
+         WHERE NOT (o_orderkey BETWEEN 100 AND 299)
+         ORDER BY o_orderkey""",
     "q219_merge_sync_snapshot" ->
       // the four row fates of a snapshot sync: matched -> snapshot
       // values, snapshot-only -> insert, target-only non-final ->

@@ -345,6 +345,41 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** DETERMINISTIC WEIGHTED SAMPLING without replacement (q222) —
+    * Efraimidis–Spirakis A-Res, reshaped for exact cross-engine
+    * replay: each document draws the sample key
+    * `max(u_1 … u_w)` of `w` independent md5 uniforms, which is
+    * DISTRIBUTIONALLY IDENTICAL to the textbook `u^(1/w)` for integer
+    * weights but uses only hash arithmetic — no `pow`/`ln`, whose
+    * last-ulp disagreement between engines could flip membership at
+    * the top-k boundary. The top-k keys per source are the weighted
+    * sample: selection favors weight-w docs exactly as E-S prescribes,
+    * membership is a pure function of (doc_id, weight) — stable under
+    * re-runs, appends, partitioning, the q43/q44 contract extended to
+    * WEIGHTED draws. Weight here = length tier 1..4 (longer docs
+    * sampled preferentially — the "prefer substantive documents"
+    * recipe); in production, any small-integer priority. Scale: a
+    * narrow map computes keys, then ONE [[graft.plans.TopKPerKey]]
+    * pass (per-partition bounded heaps before the exchange) — never a
+    * full sort, never a per-group collect. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val maxW = 4
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), length(col("text")).as("n_ch"))
+      .withColumn("w", (lit(1)
+        + (col("n_ch") > 175).cast("int")
+        + (col("n_ch") > 300).cast("int")
+        + (col("n_ch") > 420).cast("int")).cast("long"))
+      .withColumn("skey", greatest((1 to maxW).map(j =>
+        when(col("w") >= j, hashUniform(s"ws$j", col("doc_id")))
+          .otherwise(lit(-1.0))): _*))
+    graft.plans.TopKPerKey.perKey(
+        d.select(col("source"), col("doc_id"), col("w"), col("skey")),
+        Seq(col("source")),
+        Seq(col("skey").desc, col("doc_id").asc), k = 8)
+      .orderBy("source", "doc_id")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any
     * whitespace-8-gram with a benchmark set (here the deterministic
     * doc_id % 10 pseudo-benchmark; in production, the eval suites) —
@@ -3197,6 +3232,7 @@ object TrainingData {
     "q213_quality_classifier" -> qualityClassifier,
     "q214_classifier_auc" -> classifierAuc,
     "q221_classifier_holdout" -> classifierHoldout,
+    "q222_weighted_sample" -> weightedSample,
     "q217_lm_xent" -> ((s, d) => lmCrossEntropy(s, d))
   )
 
@@ -3604,6 +3640,29 @@ object TrainingData {
                AS BIGINT) / 4294967296.0 AS u
            FROM documents)
          ORDER BY doc_id""",
+    "q222_weighted_sample" -> {
+      // E-S weighted sample replay: identical md5 uniforms, identical
+      // max-of-w key, identical (skey desc, doc_id) top-8 per source
+      val terms = (1 to 4).map { j =>
+        val u = duckHash(s"'ws$j'", "CAST(doc_id AS VARCHAR)") +
+          " / 4294967296.0"
+        if (j == 1) u else s"CASE WHEN w >= $j THEN $u ELSE -1.0 END"
+      }.mkString(",\n           ")
+      s"""WITH d AS (
+           SELECT doc_id, source,
+             CAST(1 + CASE WHEN length(text) > 175 THEN 1 ELSE 0 END
+                    + CASE WHEN length(text) > 300 THEN 1 ELSE 0 END
+                    + CASE WHEN length(text) > 420 THEN 1 ELSE 0 END
+               AS BIGINT) AS w
+           FROM documents),
+         k AS (SELECT source, doc_id, w, greatest(
+           $terms) AS skey FROM d),
+         r AS (SELECT *, row_number() OVER (
+                 PARTITION BY source ORDER BY skey DESC, doc_id ASC) AS rn
+               FROM k)
+         SELECT source, doc_id, w, skey FROM r WHERE rn <= 8
+         ORDER BY source, doc_id"""
+    },
     "q45_decontaminate" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
