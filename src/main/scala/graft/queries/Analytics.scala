@@ -1537,6 +1537,32 @@ object Analytics {
       .select(col("node").as("part"), col("rank"))
   }
 
+  /** HITS HUBS AND AUTHORITIES (q226; [[graft.graph.Hits]]): two
+    * mutual-recursion rounds over the bipartite buyer→part purchase
+    * graph — hub customers are those buying authoritative parts,
+    * authoritative parts those bought by hub customers, the TWO-ROLE
+    * scoring PageRank's single score conflates (and the right scorer
+    * for bipartite graphs, where PageRank needs artificial back
+    * edges). All-integer micro-unit arithmetic with max
+    * normalization (one integral div per half-round), so the oracle
+    * replays both rounds as chained CTEs and the top-10 of each side
+    * hashes exactly. Scale: per round two edge-scan joins against
+    * node-sized score frames + map-side-combined sums; the top-k is
+    * TakeOrdered, never a full sort. */
+  def hitsBuyersParts(spark: SparkSession, dir: String): DataFrame = {
+    val e = load(spark, dir, "orders")
+      .join(load(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+    val (h, a) = graft.graph.Hits.run(e, rounds = 2)
+    def top(df: DataFrame, c: String, side: String): DataFrame =
+      df.orderBy(col(c).desc, col("node").asc).limit(10)
+        .select(lit(side).as("side"), col("node"), col(c).as("score"))
+    top(h, "hub", "hub").unionByName(top(a, "auth", "auth"))
+      .orderBy("side", "node")
+  }
+
   /** CORPUS DIFF via multiset set-operations (q164): two crawl
     * snapshots compared by content fingerprint — `exceptAll` both
     * ways for added/removed, `intersectAll` for carried-over — then
@@ -1697,6 +1723,7 @@ object Analytics {
     "q191_stream_ivm" -> streamIvmRollup,
     "q194_k_anonymity" -> kAnonymityEvents,
     "q223_l_diversity" -> lDiversityEvents,
+    "q226_hits" -> hitsBuyersParts,
     "q197_stream_dedup" -> streamingDedupAtLeastOnce,
     "q198_stream_static_join" -> streamStaticEnrich,
     "q199_cooccur_pmi" -> cooccurrencePmi,
@@ -1896,6 +1923,43 @@ object Analytics {
              AS BIGINT) AS n_risky_rows,
            CAST(min(n_rows) AS BIGINT) AS min_group_size
          FROM g""",
+    "q226_hits" ->
+      // two HITS rounds as chained integer CTEs: sum-of-BIGINT
+      // half-steps, max-normalized by one integral division each —
+      // identical micro-unit scores, then top-10 per side
+      """WITH e AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         h0 AS (SELECT DISTINCT src AS node,
+                  CAST(1000000 AS BIGINT) AS hub FROM e),
+         a1s AS MATERIALIZED (
+           SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS s
+           FROM e JOIN h0 h ON e.src = h.node GROUP BY 1),
+         a1 AS MATERIALIZED (SELECT node,
+           (s * 1000000) // (SELECT max(s) FROM a1s) AS auth FROM a1s),
+         h1s AS MATERIALIZED (
+           SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS s
+           FROM e JOIN a1 a ON e.dst = a.node GROUP BY 1),
+         h1 AS MATERIALIZED (SELECT node,
+           (s * 1000000) // (SELECT max(s) FROM h1s) AS hub FROM h1s),
+         a2s AS MATERIALIZED (
+           SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS s
+           FROM e JOIN h1 h ON e.src = h.node GROUP BY 1),
+         a2 AS MATERIALIZED (SELECT node,
+           (s * 1000000) // (SELECT max(s) FROM a2s) AS auth FROM a2s),
+         h2s AS MATERIALIZED (
+           SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS s
+           FROM e JOIN a2 a ON e.dst = a.node GROUP BY 1),
+         h2 AS MATERIALIZED (SELECT node,
+           (s * 1000000) // (SELECT max(s) FROM h2s) AS hub FROM h2s)
+         SELECT * FROM (
+           SELECT 'hub' AS side, node, hub AS score FROM h2
+           ORDER BY hub DESC, node ASC LIMIT 10)
+         UNION ALL
+         SELECT * FROM (
+           SELECT 'auth' AS side, node, auth AS score FROM a2
+           ORDER BY auth DESC, node ASC LIMIT 10)
+         ORDER BY side, node""",
     "q223_l_diversity" ->
       // quasi = (day, cohort), sensitive = event_type, l = 3; the
       // per-group distinct count is exact on both engines

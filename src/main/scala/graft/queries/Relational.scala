@@ -272,6 +272,35 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** SNAPSHOT CDC (q225; DLT `APPLY CHANGES FROM SNAPSHOT`'s diff
+    * half, [[graft.incremental.Upsert.snapshotCdc]]): two FULL orders
+    * snapshots — yesterday's (keys ≢0 mod 7, raw prices) and today's
+    * (keys ≢0 mod 5, even-custkey prices re-stated +10%) — diffed
+    * into a Delta-CDF-shaped change feed: appearing keys as `insert`,
+    * vanished keys as `delete`, value changes as
+    * `update_preimage`/`update_postimage` PAIRS, and the unchanged
+    * majority emitting NOTHING (churn-proportional output, the
+    * property that makes snapshot CDC usable when the upstream can
+    * only hand over periodic dumps). The oracle rebuilds all four row
+    * classes relationally, so a missed null-safe comparison, a
+    * dropped image, or a leaked unchanged row hash-mismatches. One
+    * full-outer shuffle + a narrow conditional explode. */
+  def snapshotCdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.Upsert
+    val o = load(spark, dir, "orders")
+    val prev = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val next = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_custkey") % 2 === 0,
+          round(col("o_totalprice").cast("decimal(18,4)") * lit(BigDecimal("1.1")), 2)
+            .cast("double"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    Upsert.snapshotCdc(prev, next, Seq("o_orderkey"))
+      .orderBy("o_orderkey", "_change_type")
+  }
+
   /** CONVERT TO versioned, IN PLACE (q224; Delta `CONVERT TO DELTA`,
     * [[graft.io.VersionedTable.convertInPlace]]): a plain
     * hive-partitioned parquet directory (the even-key orders,
@@ -1896,6 +1925,7 @@ object Relational {
     "q196_merge_evolve" -> mergeEvolveVersioned,
     "q219_merge_sync_snapshot" -> mergeSyncSnapshot,
     "q224_convert_in_place" -> convertInPlaceRead,
+    "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q200_deep_clone" -> deepCloneSurvivesGc,
     "q201_identity" -> identityAllocation,
     "q203_type_widening" -> typeWideningRead,
@@ -2436,6 +2466,34 @@ object Relational {
          UNION ALL SELECT 2, n FROM c2
          UNION ALL SELECT 3, n FROM c2
          ORDER BY version""",
+    "q225_snapshot_cdc" ->
+      // the four change classes rebuilt relationally; the unchanged
+      // majority (odd custkeys in both snapshots) contributes nothing
+      """WITH p AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus, o_custkey
+           FROM orders WHERE o_orderkey % 7 <> 0),
+         n AS (
+           SELECT o_orderkey,
+             CASE WHEN o_custkey % 2 = 0
+               THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2)
+                 AS DOUBLE)
+               ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus, o_custkey
+           FROM orders WHERE o_orderkey % 5 <> 0)
+         SELECT * FROM (
+           SELECT o_orderkey, o_totalprice, o_orderstatus,
+             'insert' AS _change_type
+           FROM n WHERE o_orderkey % 7 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, o_orderstatus, 'delete'
+           FROM p WHERE o_orderkey % 5 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, o_orderstatus, 'update_preimage'
+           FROM p WHERE o_orderkey % 5 <> 0 AND o_custkey % 2 = 0
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, o_orderstatus, 'update_postimage'
+           FROM n WHERE o_orderkey % 7 <> 0 AND o_custkey % 2 = 0)
+         ORDER BY o_orderkey, _change_type""",
     "q224_convert_in_place" ->
       // adoption moves no rows: the table is all orders minus the
       // DV-deleted range, whatever files the rows started in
