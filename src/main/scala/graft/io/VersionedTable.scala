@@ -161,7 +161,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
           case Some((src, pattern, _)) if d.columns.contains(src) =>
             d.withColumn(pcol, org.apache.spark.sql.functions
               .date_format(org.apache.spark.sql.functions.col(src), pattern))
-          case _ => d
+          case _ => genBucket(gen) match {
+            case Some((src, n)) if d.columns.contains(src) =>
+              d.withColumn(pcol, org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.xxhash64(
+                  org.apache.spark.sql.functions.col(src)),
+                org.apache.spark.sql.functions.lit(n)))
+            case _ => d
+          }
         }
       }
     val parts: Seq[String] = partitionBy.getOrElse(
@@ -2108,6 +2115,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
   private val genExprRe =
     "^(day|to_date|month|hour|year)\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
 
+  /** Iceberg-style HASH-BUCKET partition transform:
+    * `bucket<n>(<col>)` (comma-free spelling — the manifest's
+    * `#generated` pair codec is comma-separated) — the partition
+    * value is `pmod(xxhash64(col), n)` (xxhash64 at Spark's default
+    * seed 42), the layout for HIGH-CARDINALITY key columns where
+    * calendar truncations don't apply: n stays cluster-friendly while
+    * POINT LOOKUPS on the source column prune to one bucket (1/n of
+    * the files) straight from the manifest. Restricted to BIGINT
+    * source columns so the driver-side hash at prune time is computed
+    * over exactly the type the writer hashed. */
+  private val genBucketRe = "^bucket(\\d+)\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
+  private def genBucket(gen: String): Option[(String, Int)] = gen match {
+    case genBucketRe(n, src) => Some((src, n.toInt))
+    case _ => None
+  }
+
   /** The generator grammar: each form names the UTC truncation the
     * WRITER must render the partition value in (zero-padded, so the
     * string order IS the time order and pruning is one lexicographic
@@ -2135,16 +2158,23 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * value is `genExpr` of a source column — grammar `day(<tsCol>)`
     * / `to_date(<tsCol>)` (UTC calendar day, `yyyy-MM-dd`),
     * `month(<tsCol>)` (`yyyy-MM`), `hour(<tsCol>)`
-    * (`yyyy-MM-dd-HH`). From then on a `TsRange` predicate on the
-    * SOURCE column prunes the derived partitions directly (the
-    * writer remains responsible for actually computing the column —
-    * same contract as Delta, where the writer path enforces
-    * generation). Appends inherit the declaration like partitioning
-    * does. */
+    * (`yyyy-MM-dd-HH`), `bucket<n>(<bigintCol>)` (Iceberg-style
+    * hash bucket `pmod(xxhash64(col), n)`). From then on a `TsRange`
+    * predicate on a truncation's SOURCE column — or a POINT
+    * `NumRange` on a bucket's — prunes the derived partitions
+    * directly (the writer remains responsible for actually computing
+    * the column — same contract as Delta, where the writer path
+    * enforces generation). Appends inherit the declaration like
+    * partitioning does. */
   def recordGenerated(partCol: String, genExpr: String): Long = {
-    val src = genFormat(genExpr).map(_._1).getOrElse(sys.error(
-      s"unsupported generator '$genExpr' (grammar: day(<col>), " +
-        "to_date(<col>), month(<col>), hour(<col>), year(<col>))"))
+    val src = genFormat(genExpr).map(_._1)
+      .orElse(genBucket(genExpr).map(_._1)).getOrElse(sys.error(
+        s"unsupported generator '$genExpr' (grammar: day(<col>), " +
+          "to_date(<col>), month(<col>), hour(<col>), year(<col>), " +
+          "bucket<n>(<col>))"))
+    genBucket(genExpr).foreach { case (_, n) =>
+      require(n > 0, s"bucket() needs a positive bucket count, got $n")
+    }
     commitWithRebase(rebase = false) { () =>
       val curV = currentVersion.getOrElse(
         sys.error(s"table $root does not exist"))
@@ -2158,6 +2188,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
       // referenced source are refused from here on)
       require(logicalSchema(cur).fieldNames.contains(src),
         s"generator source column $src does not exist at $root")
+      // bucket prune-time hashing must reproduce the writer's hash
+      // bit-for-bit, so the source type is pinned to BIGINT (xxhash64
+      // of an int and of a long differ)
+      genBucket(genExpr).foreach { case (s, _) =>
+        require(logicalSchema(cur)(s).dataType ==
+          org.apache.spark.sql.types.LongType,
+          s"bucket() generators need a BIGINT source column; $s is " +
+            s"${logicalSchema(cur)(s).dataType.simpleString} at $root")
+      }
       require(!cur.generated.exists(_._1 == partCol),
         s"$partCol already has a generator at $root")
       val next = curV + 1
@@ -2195,7 +2234,30 @@ final class VersionedTable(spark: SparkSession, root: String) {
         !valueRe.matches(v) || (v >= loStr && v <= hiStr)
       }
     }
-    e => tests.forall(_(e))
+    // bucket generators prune POINT lookups on the source column (a
+    // NumRange collapsed to one exactly-integral value): the expected
+    // bucket is the writer's own hash recomputed driver-side —
+    // xxhash64 at seed 42 over the BIGINT value recordGenerated pinned
+    // the source type to. Ranges wider than a point can't prune
+    // (hash buckets scatter ranges), conservative like all pruning.
+    val bucketTests: Seq[ManifestEntry => Boolean] = for {
+      (partCol, gen) <- m.generated
+      (src, n) <- genBucket(gen).toSeq
+      VersionedTable.NumRange(c, lo, hi) <- preds
+      if c == src && lo == hi && lo.isWhole &&
+        math.abs(lo) <= 9007199254740992.0 // exact-long doubles only
+    } yield {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(lo.toLong)),
+        42L) // the xxhash64() function's fixed seed — the writer's
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
+      val expected = (((h % n) + n) % n).toString
+      (e: ManifestEntry) => e.partitionValues.get(partCol).forall { v =>
+        !v.matches("-?\\d+") || v == expected
+      }
+    }
+    e => tests.forall(_(e)) && bucketTests.forall(_(e))
   }
 
   /** M5: restore — a NEW version whose manifest is a copy of the

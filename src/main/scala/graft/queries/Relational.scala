@@ -1078,6 +1078,38 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** BUCKET-TRANSFORM PRUNING under the oracle (q227; Iceberg
+    * `bucket(N, col)` partition transform as a generated column): a
+    * high-cardinality BIGINT key can't be calendar-partitioned, but
+    * `kb = pmod(xxhash64(o_orderkey), 8)` gives a bounded layout
+    * where a POINT LOOKUP on the key prunes to ONE bucket — 1/8 of
+    * the files — straight from the manifest, recomputing the writer's
+    * hash driver-side. v0 carries the column explicitly; v1 appends
+    * RAW rows and the `bucket8(o_orderkey)` declaration derives the
+    * layout in the writer (Delta GENERATED ALWAYS semantics), so the
+    * lookup must prune across BOTH commits' files. The oracle is the
+    * plain key-IN read — over-pruning (lost rows) or a mis-derived
+    * append layout hash-mismatches. The row predicate stays on top,
+    * so hash collisions inside the bucket never leak rows. */
+  def bucketPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketgen")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    vt.write(o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("kb", pmod(xxhash64(col("o_orderkey")), lit(8))),
+      partitionBy = Some(Seq("kb")))
+    vt.recordGenerated("kb", "bucket8(o_orderkey)")
+    vt.write(o.filter(col("o_orderkey") % 2 =!= 0),
+      org.apache.spark.sql.SaveMode.Append) // raw: the writer derives kb
+    Seq(11L, 502L, 7004L)
+      .map(k => vt.readWhere(Map("o_orderkey" -> (k.toDouble, k.toDouble))))
+      .reduce(_.unionByName(_))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** HIVE-PARTITION PRUNING under the oracle (q149, previously
     * spec-only): orders committed hive-partitioned by a derived
     * bucket column, then `readWherePartitionIn` plans only the
@@ -1926,6 +1958,7 @@ object Relational {
     "q219_merge_sync_snapshot" -> mergeSyncSnapshot,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
+    "q227_bucket_pruning" -> bucketPrunedRead,
     "q200_deep_clone" -> deepCloneSurvivesGc,
     "q201_identity" -> identityAllocation,
     "q203_type_widening" -> typeWideningRead,
@@ -2466,6 +2499,12 @@ object Relational {
          UNION ALL SELECT 2, n FROM c2
          UNION ALL SELECT 3, n FROM c2
          ORDER BY version""",
+    "q227_bucket_pruning" ->
+      // bucket pruning changes which FILES open, never which rows
+      // return: the plain point-lookup union is the truth
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+         FROM orders WHERE o_orderkey IN (11, 502, 7004)
+         ORDER BY o_orderkey""",
     "q225_snapshot_cdc" ->
       // the four change classes rebuilt relationally; the unchanged
       // majority (odd custkeys in both snapshots) contributes nothing

@@ -159,6 +159,50 @@ class GeneratedColumnSpec extends AnyFunSuite {
     assert(vt.read().columns.contains("zz"))
   }
 
+  test("bucket(n,col): point lookups prune to the one hash bucket; " +
+    "appends derive the layout; ranges stay conservative") {
+    val root = Fixtures.tempDir("gen-bucket") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((1L to 64L).map(i => (i, s"v$i")).toDF("id", "s")
+        .withColumn("kb", pmod(xxhash64(col("id")), lit(4)))
+        .repartition(1),
+      partitionBy = Some(Seq("kb")))
+    vt.recordGenerated("kb", "bucket4(id)")
+    // append WITHOUT the column: the declaration derives it
+    vt.write((65L to 96L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(1), org.apache.spark.sql.SaveMode.Append)
+    assert(vt.manifestEntries(vt.currentVersion.get)
+      .forall(_.partitionValues.contains("kb")),
+      "appended files must land in derived kb partitions")
+    // point lookup: exactly one bucket's files planned (both commits)
+    val planned = vt.matchingEntries(VersionedTable.NumRange("id", 70, 70))
+      .flatMap(_.partitionValues.get("kb")).toSet
+    assert(planned.size === 1, s"expected one bucket, planned $planned")
+    val all = vt.manifestEntries(vt.currentVersion.get)
+      .flatMap(_.partitionValues.get("kb")).toSet
+    assert(all.size > 1, "fixture must span several buckets")
+    // and the read is exact
+    assert(vt.readWhere(Map("id" -> (70.0, 70.0)))
+      .select("s").collect().map(_.getString(0)).toSeq === Seq("v70"))
+    // a RANGE on the source column must NOT bucket-prune (hash
+    // buckets scatter ranges): every bucket stays planned
+    val ranged = vt.matchingEntries(VersionedTable.NumRange("id", 1, 96))
+      .flatMap(_.partitionValues.get("kb")).toSet
+    assert(ranged === all, "ranges must stay conservative under bucket()")
+  }
+
+  test("bucket(n,col) guards: positive n, BIGINT source column") {
+    val root = Fixtures.tempDir("gen-bucket-guard") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1, "a", 0L)).toDF("id", "s", "kb"),
+      partitionBy = Some(Seq("kb")))
+    intercept[RuntimeException] { vt.recordGenerated("kb", "bucket0(id)") }
+    // id is INT here, not BIGINT: the prune-time hash would differ
+    intercept[IllegalArgumentException] {
+      vt.recordGenerated("kb", "bucket4(id)")
+    }
+  }
+
   test("grammar guard: unsupported generator forms are refused") {
     val root = Fixtures.tempDir("gen-guard") + "/tbl"
     val vt = new VersionedTable(spark, root)
