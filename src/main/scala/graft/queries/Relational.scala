@@ -1110,6 +1110,34 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** ORC SOURCE/SINK round trip (q229): the third file format next to
+    * parquet and CSV/JSONL — orders written as STATUS-PARTITIONED ORC
+    * and read back through `spark.read.orc` with a predicate that
+    * exercises both partition pruning and ORC's own row-group
+    * pushdown, then aggregated. The oracle computes the same census
+    * straight from the parquet source, so any round-trip value drift
+    * (timestamp/decimal/string encodings differ subtly between
+    * columnar formats) or a pushdown dropping rows hash-mismatches.
+    * Exact-integer money (cents) keeps the comparison float-free. At
+    * 100 TB the point is format OPTIONALITY: the engine's operators
+    * are format-blind behind the scan, so an ORC lake needs no
+    * conversion to run every query here. */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-orc")
+      .resolve("tbl").toString
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long").as("cents"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").orc(root)
+    spark.read.orc(root)
+      .filter(col("o_orderstatus") =!= "P" && col("o_orderkey") % 3 === 0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("cents"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("o_orderstatus")
+  }
+
   /** HIVE-PARTITION PRUNING under the oracle (q149, previously
     * spec-only): orders committed hive-partitioned by a derived
     * bucket column, then `readWherePartitionIn` plans only the
@@ -1959,6 +1987,7 @@ object Relational {
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
+    "q229_orc_roundtrip" -> orcRoundTrip,
     "q200_deep_clone" -> deepCloneSurvivesGc,
     "q201_identity" -> identityAllocation,
     "q203_type_widening" -> typeWideningRead,
@@ -2499,6 +2528,16 @@ object Relational {
          UNION ALL SELECT 2, n FROM c2
          UNION ALL SELECT 3, n FROM c2
          ORDER BY version""",
+    "q229_orc_roundtrip" ->
+      // the same census straight from the source table: the ORC
+      // round trip must be value-preserving and pushdown-exact
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+             AS BIGINT)) AS BIGINT) AS cents,
+           count(DISTINCT o_custkey) AS n_customers
+         FROM orders
+         WHERE o_orderstatus <> 'P' AND o_orderkey % 3 = 0
+         GROUP BY 1 ORDER BY 1""",
     "q227_bucket_pruning" ->
       // bucket pruning changes which FILES open, never which rows
       // return: the plain point-lookup union is the truth

@@ -2881,6 +2881,41 @@ object TrainingData {
       .orderBy("q_id")
   }
 
+  /** MATRYOSHKA TRUNCATION EVAL (q228) — the "can we cheapen the
+    * embeddings 4×" decision table: retrieval recall@3 of
+    * PREFIX-TRUNCATED embeddings (dims 8/16/32 of 64) against the
+    * full-dimension exact ground truth, per truncation width. MRL-
+    * trained embedding families put the information mass in the
+    * prefix, so serving at a fraction of the dimension is a standard
+    * cost lever — but only a measured recall curve licenses it; this
+    * is that measurement, run entirely relationally. Recall is one
+    * division of exact hit counts (the q209 float rule); ranking ties
+    * break on neighbor id in both engines. Scale: each width is the
+    * q26 brute kernel over sliced vectors — queries broadcast, corpus
+    * streamed, and the slice cuts the dot-product cost proportionally
+    * (the point being measured). */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    def topk(frame: DataFrame): DataFrame =
+      Similarity.bruteForceTopK(
+        corpus = frame.filter(col("vec_id") >= 5),
+        queries = frame.filter(col("vec_id") < 5),
+        idCol = "vec_id", vecCol = "embedding", k = 3)
+        .select("q_id", "neighbor_id")
+    val gt = topk(e).localCheckpoint()
+    val tot = gt.agg(count(lit(1)).as("n_truth"))
+    Seq(8, 16, 32).map { d =>
+      val sys = topk(e.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding")))
+      sys.join(gt, Seq("q_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(tot))
+        .select(lit(d.toLong).as("dim"), col("n_hits"), col("n_truth"),
+          (col("n_hits").cast("double") / col("n_truth").cast("double"))
+            .as("recall_at_3"))
+    }.reduce(_.unionByName(_)).orderBy("dim")
+  }
+
   /** CLUSTER-BALANCED SUBSAMPLING (q114) — the diversity-preserving
     * downsample (DataComp/SemDeDup-family recipe): cap each k-means
     * cluster at `cap` members so dominant modes shrink and rare modes
@@ -3233,6 +3268,7 @@ object TrainingData {
     "q214_classifier_auc" -> classifierAuc,
     "q221_classifier_holdout" -> classifierHoldout,
     "q222_weighted_sample" -> weightedSample,
+    "q228_matryoshka_recall" -> matryoshkaRecall,
     "q217_lm_xent" -> ((s, d) => lmCrossEntropy(s, d))
   )
 
@@ -3784,6 +3820,36 @@ object TrainingData {
          WHERE len(list_intersect(a.s, b.s)) * 1.0
            / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
          ORDER BY doc_a, doc_b""",
+    "q228_matryoshka_recall" -> {
+      // per width: the q26 kernel over sliced lists; recall = one
+      // division of exact hit counts against the full-dim truth
+      def cos(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+          s"sqrt(list_dot_product($b, $b)))"
+      def top(rel: String, qv: String, cv: String) =
+        s"""(SELECT q_id, neighbor_id FROM (
+             SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 ${cos(qv, cv)} DESC, c.vec_id ASC) AS rn
+             FROM $rel q JOIN $rel c ON q.vec_id < 5 AND c.vec_id >= 5)
+           WHERE rn <= 3)"""
+      val sys = Seq(8, 16, 32).map(d =>
+        s"""r$d AS (SELECT CAST($d AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS n_hits
+           FROM ${top("e", s"q.v[1:$d]", s"c.v[1:$d]")} s
+           JOIN gt USING (q_id, neighbor_id))""").mkString(",\n         ")
+      s"""WITH e AS MATERIALIZED (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         gt AS MATERIALIZED (
+           SELECT * FROM ${top("e", "q.v", "c.v")}),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM gt),
+         $sys
+         SELECT dim, n_hits, n_truth,
+           CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall_at_3
+         FROM (SELECT * FROM r8 UNION ALL SELECT * FROM r16
+               UNION ALL SELECT * FROM r32)
+         CROSS JOIN tot ORDER BY dim"""
+    },
     "q26_knn_cosine_brute" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
