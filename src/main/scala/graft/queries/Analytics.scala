@@ -1010,6 +1010,67 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** STREAMING GOLD-TABLE MAINTENANCE (q230): the reference's gold
+    * job in streaming form, closed end to end — `events stream →
+    * watermarked 1-day windowed agg (update mode) → foreachBatch
+    * PARTITION-SCOPED MERGE into a day-partitioned versioned gold
+    * table`. Update mode emits only the (day, type) rows a batch
+    * changed, and the merge restates exactly those keys from the
+    * state-backed cumulative totals — so each commit rewrites the
+    * touched DAY partitions and re-references every other day's files
+    * untouched ([[graft.incremental.Upsert.mergeIntoVersionedTable]]
+    * scoping: the partition column is a merge key). Replays are safe
+    * WITHOUT markers: merging the same restated totals twice is
+    * idempotent, the at-least-once + idempotent = exactly-once
+    * argument. Money rides as per-term-rounded exact micros, so the
+    * streaming accumulation order cannot perturb the sums and the
+    * oracle is the plain daily census. Scale: per batch one window
+    * shuffle over the delta + a merge that rewrites only the touched
+    * days of the gold table — the 100 TB shape of "keep the daily
+    * rollup current forever". */
+  def streamGoldMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-stream-gold").toString
+    val feedRoot = s"$base/feed"
+    val goldRoot = s"$base/gold"
+    val feedVt = new graft.io.VersionedTable(spark, feedRoot)
+    val ev = load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 1000000).cast("long").as("micro"))
+      .localCheckpoint()
+    feedVt.write(ev.filter(col("event_id") % 3 === 0).coalesce(1)) // v0
+    feedVt.write(ev.filter(col("event_id") % 3 === 1).coalesce(1),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    feedVt.write(ev.filter(col("event_id") % 3 === 2).coalesce(1),
+      org.apache.spark.sql.SaveMode.Append) // v2
+    val agg = graft.streaming.Streaming
+      .versionedSource(spark, feedRoot)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("micro")).as("sum_micro"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select(
+          date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("sum_micro"))
+        if (!rows.isEmpty) {
+          graft.incremental.Upsert.mergeIntoVersionedTable(
+            batch.sparkSession, rows, goldRoot,
+            mergeKeys = Seq("day", "event_type"),
+            partitionBy = Some(Seq("day")))
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    new graft.io.VersionedTable(spark, goldRoot).read()
+      .select("day", "event_type", "n_events", "sum_micro")
+      .orderBy("day", "event_type")
+  }
+
   /** BOUNDED STREAMING REPLAY (q220; Delta CDF
     * `endingVersion`/`endingTimestamp`,
     * [[graft.streaming.Streaming.versionedSource]]): a versioned
@@ -1724,6 +1785,7 @@ object Analytics {
     "q194_k_anonymity" -> kAnonymityEvents,
     "q223_l_diversity" -> lDiversityEvents,
     "q226_hits" -> hitsBuyersParts,
+    "q230_stream_gold_merge" -> streamGoldMerge,
     "q197_stream_dedup" -> streamingDedupAtLeastOnce,
     "q198_stream_static_join" -> streamStaticEnrich,
     "q199_cooccur_pmi" -> cooccurrencePmi,
@@ -1923,6 +1985,14 @@ object Analytics {
              AS BIGINT) AS n_risky_rows,
            CAST(min(n_rows) AS BIGINT) AS min_group_size
          FROM g""",
+    "q230_stream_gold_merge" ->
+      // the maintained gold table must equal the direct daily census;
+      // micros are per-term-rounded exact integers on both engines
+      """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_micro
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "q226_hits" ->
       // two HITS rounds as chained integer CTEs: sum-of-BIGINT
       // half-steps, max-normalized by one integral division each —

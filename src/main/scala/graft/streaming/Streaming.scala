@@ -336,6 +336,20 @@ object Streaming {
     left.withWatermark(leftTsCol, leftDelay)
       .join(right.withWatermark(rightTsCol, rightDelay), cond, "left_outer")
 
+  /** STREAM-STREAM RIGHT-OUTER interval join — the mirror of
+    * [[intervalJoinLeftOuter]] (every RIGHT row accounted for:
+    * matched, or emitted once with left columns null after its
+    * watermark horizon passes), completing the join family's fifth
+    * type. Provided as a first-class member rather than "swap your
+    * sides": attribution pipelines often read more naturally with the
+    * conversion stream on the right, and the state/emission bounds
+    * are exactly the left-outer ones mirrored. */
+  def intervalJoinRightOuter(left: DataFrame, leftTsCol: String,
+      leftDelay: String, right: DataFrame, rightTsCol: String,
+      rightDelay: String, cond: org.apache.spark.sql.Column): DataFrame =
+    left.withWatermark(leftTsCol, leftDelay)
+      .join(right.withWatermark(rightTsCol, rightDelay), cond, "right_outer")
+
   /** STREAM-STREAM FULL-OUTER interval join — BOTH ledgers complete:
     * every left row accounted for (as [[intervalJoinLeftOuter]]) AND
     * every right row (orphaned conversions surface instead of

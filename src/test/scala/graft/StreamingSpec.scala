@@ -440,6 +440,52 @@ class StreamingSpec extends AnyFunSuite {
         "watermark passes their horizon, never before")
   }
 
+  test("intervalJoinRightOuter mirrors the left-outer semantics with " +
+    "the roles swapped") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // views: A matched; B unmatched with horizon passed (its own ts,
+    // for a view-side window [view_ts-24h, view_ts]); C at the
+    // frontier, horizon not passed.
+    val t0 = ts("2024-06-01 00:00:00")
+    def plus(base: Timestamp, h: Double): Timestamp =
+      new Timestamp(base.getTime + (h * 3600000).toLong)
+    val tLate = plus(t0, 80.0)
+    val dir = Fixtures.tempDir("router-join-src")
+    Seq(("a", 1L, t0), ("l", 4L, tLate))
+      .toDF("user_id", "click_id", "click_ts")
+      .write.parquet(s"$dir/clicks")
+    Seq(("a", 100L, plus(t0, 0.5)), ("b", 101L, plus(t0, 1.0)),
+      ("c", 102L, tLate))
+      .toDF("v_user_id", "view_id", "view_ts")
+      .write.parquet(s"$dir/views")
+    val clicks = spark.readStream
+      .schema("user_id string, click_id long, click_ts timestamp")
+      .parquet(s"$dir/clicks")
+    val views = spark.readStream
+      .schema("v_user_id string, view_id long, view_ts timestamp")
+      .parquet(s"$dir/views")
+    val joined = graft.streaming.Streaming.intervalJoinRightOuter(
+      clicks, "click_ts", "0 seconds", views, "view_ts", "0 seconds",
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") &&
+        col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+    val mem = "router_join_spec"
+    spark.catalog.dropTempView(mem)
+    val q = joined.writeStream.format("memory").queryName(mem)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table(mem)
+      .select(col("view_id"), col("click_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    // watermark = tLate. A: matched. B: horizon (its own ts + 0) well
+    // before tLate -> null row. C: at the frontier -> suppressed.
+    assert(rows === Set((100L, Some(1L)), (101L, None)),
+      s"got $rows — right-outer must mirror left-outer emission")
+  }
+
   test("sessionize rejects a non-positive gap") {
     import spark.implicits._
     import graft.streaming.Streaming.{SessionEvent, sessionize}
