@@ -167,7 +167,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
                 org.apache.spark.sql.functions.xxhash64(
                   org.apache.spark.sql.functions.col(src)),
                 org.apache.spark.sql.functions.lit(n)))
-            case _ => d
+            case _ => genTrunc(gen) match {
+              case Some((src, w)) if d.columns.contains(src) =>
+                // floor truncation via pmod (non-negative remainder):
+                // exact integer arithmetic at any sign
+                d.withColumn(pcol,
+                  org.apache.spark.sql.functions.col(src) -
+                    org.apache.spark.sql.functions.pmod(
+                      org.apache.spark.sql.functions.col(src),
+                      org.apache.spark.sql.functions.lit(w)))
+              case _ => d
+            }
           }
         }
       }
@@ -2131,6 +2141,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
     case _ => None
   }
 
+  /** Iceberg-style TRUNCATE partition transform: `trunc<w>(<col>)` —
+    * the partition value is `col - pmod(col, w)` (floor truncation to
+    * a width-w stripe, exact integer arithmetic), the ORDER-PRESERVING
+    * sibling of [[genBucketRe]]: because stripes are contiguous, RANGE
+    * predicates on the source column prune (a `[lo, hi]` read plans
+    * only the stripes intersecting it), which a hash bucket can never
+    * offer. Integral source columns only. Completes the Iceberg
+    * transform family: identity (plain partitioning), bucket,
+    * truncate, year/month/day/hour. */
+  private val genTruncRe = "^trunc(\\d+)\\(([A-Za-z_][A-Za-z0-9_]*)\\)$".r
+  private def genTrunc(gen: String): Option[(String, Long)] = gen match {
+    case genTruncRe(w, src) => Some((src, w.toLong))
+    case _ => None
+  }
+
   /** The generator grammar: each form names the UTC truncation the
     * WRITER must render the partition value in (zero-padded, so the
     * string order IS the time order and pruning is one lexicographic
@@ -2168,12 +2193,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * partitioning does. */
   def recordGenerated(partCol: String, genExpr: String): Long = {
     val src = genFormat(genExpr).map(_._1)
-      .orElse(genBucket(genExpr).map(_._1)).getOrElse(sys.error(
+      .orElse(genBucket(genExpr).map(_._1))
+      .orElse(genTrunc(genExpr).map(_._1)).getOrElse(sys.error(
         s"unsupported generator '$genExpr' (grammar: day(<col>), " +
           "to_date(<col>), month(<col>), hour(<col>), year(<col>), " +
-          "bucket<n>(<col>))"))
+          "bucket<n>(<col>), trunc<w>(<col>))"))
     genBucket(genExpr).foreach { case (_, n) =>
       require(n > 0, s"bucket() needs a positive bucket count, got $n")
+    }
+    genTrunc(genExpr).foreach { case (_, w) =>
+      require(w > 0, s"trunc() needs a positive stripe width, got $w")
     }
     commitWithRebase(rebase = false) { () =>
       val curV = currentVersion.getOrElse(
@@ -2196,6 +2225,13 @@ final class VersionedTable(spark: SparkSession, root: String) {
           org.apache.spark.sql.types.LongType,
           s"bucket() generators need a BIGINT source column; $s is " +
             s"${logicalSchema(cur)(s).dataType.simpleString} at $root")
+      }
+      genTrunc(genExpr).foreach { case (s, _) =>
+        val dt = logicalSchema(cur)(s).dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+          dt == org.apache.spark.sql.types.IntegerType,
+          s"trunc() generators need an integral source column; $s is " +
+            s"${dt.simpleString} at $root")
       }
       require(!cur.generated.exists(_._1 == partCol),
         s"$partCol already has a generator at $root")
@@ -2257,7 +2293,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
         !v.matches("-?\\d+") || v == expected
       }
     }
-    e => tests.forall(_(e)) && bucketTests.forall(_(e))
+    // truncate generators prune RANGES: a width-w stripe whose start
+    // is v covers [v, v + w - 1], so a file survives a [lo, hi] read
+    // iff its stripe intersects it — contiguity is exactly what the
+    // hash bucket trades away
+    val truncTests: Seq[ManifestEntry => Boolean] = for {
+      (partCol, gen) <- m.generated
+      (src, w) <- genTrunc(gen).toSeq
+      VersionedTable.NumRange(c, lo, hi) <- preds if c == src
+    } yield { (e: ManifestEntry) =>
+      e.partitionValues.get(partCol).forall { pv =>
+        scala.util.Try(pv.toLong).toOption.forall(v =>
+          v <= hi && (v + w - 1) >= lo)
+      }
+    }
+    e => tests.forall(_(e)) && bucketTests.forall(_(e)) &&
+      truncTests.forall(_(e))
   }
 
   /** M5: restore — a NEW version whose manifest is a copy of the

@@ -1110,6 +1110,36 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** TRUNCATE-TRANSFORM RANGE PRUNING (q231; Iceberg
+    * `truncate(width, col)`, grammar `trunc<w>(<col>)`): orders laid
+    * out in 2000-key stripes of `o_orderkey` — the ORDER-PRESERVING
+    * transform the hash bucket (q227) trades away: because stripes
+    * are contiguous, a RANGE read on the key plans only the stripes
+    * intersecting it, straight from the manifest. v0 carries the
+    * stripe column explicitly, v1 appends RAW rows and the
+    * declaration derives the layout in the writer; the range read
+    * must prune across both commits' files, with the row predicate
+    * on top for boundary exactness. With this, the full Iceberg
+    * transform family is in: identity, bucket, truncate,
+    * year/month/day/hour. */
+  def truncPrunedRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-truncgen")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    vt.write(o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("ks", col("o_orderkey") -
+          pmod(col("o_orderkey"), lit(2000L))),
+      partitionBy = Some(Seq("ks")))
+    vt.recordGenerated("ks", "trunc2000(o_orderkey)")
+    vt.write(o.filter(col("o_orderkey") % 2 =!= 0),
+      org.apache.spark.sql.SaveMode.Append) // raw: the writer derives ks
+    vt.readWhere(Map("o_orderkey" -> (3000.0, 7000.0)))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
   /** ORC SOURCE/SINK round trip (q229): the third file format next to
     * parquet and CSV/JSONL — orders written as STATUS-PARTITIONED ORC
     * and read back through `spark.read.orc` with a predicate that
@@ -1988,6 +2018,7 @@ object Relational {
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
     "q229_orc_roundtrip" -> orcRoundTrip,
+    "q231_trunc_pruning" -> truncPrunedRead,
     "q200_deep_clone" -> deepCloneSurvivesGc,
     "q201_identity" -> identityAllocation,
     "q203_type_widening" -> typeWideningRead,
@@ -2528,6 +2559,12 @@ object Relational {
          UNION ALL SELECT 2, n FROM c2
          UNION ALL SELECT 3, n FROM c2
          ORDER BY version""",
+    "q231_trunc_pruning" ->
+      // stripe pruning changes which FILES open, never which rows
+      // return: the plain range read is the truth
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+         FROM orders WHERE o_orderkey BETWEEN 3000 AND 7000
+         ORDER BY o_orderkey""",
     "q229_orc_roundtrip" ->
       // the same census straight from the source table: the ORC
       // round trip must be value-preserving and pushdown-exact

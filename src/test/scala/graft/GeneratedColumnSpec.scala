@@ -203,6 +203,31 @@ class GeneratedColumnSpec extends AnyFunSuite {
     }
   }
 
+  test("trunc(w,col): range reads plan only the intersecting stripes; " +
+    "appends derive the layout") {
+    val root = Fixtures.tempDir("gen-trunc") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((1L to 50L).map(i => (i, s"v$i")).toDF("id", "s")
+        .withColumn("ks", col("id") - pmod(col("id"), lit(10L)))
+        .repartition(1),
+      partitionBy = Some(Seq("ks")))
+    vt.recordGenerated("ks", "trunc10(id)")
+    vt.write((51L to 100L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(1), org.apache.spark.sql.SaveMode.Append)
+    // [25, 44] intersects stripes 20, 30, 40 only
+    val planned = vt.matchingEntries(VersionedTable.NumRange("id", 25, 44))
+      .flatMap(_.partitionValues.get("ks")).toSet
+    assert(planned === Set("20", "30", "40"),
+      s"trunc pruning planned wrong stripes: $planned")
+    // across the append boundary too
+    val high = vt.matchingEntries(VersionedTable.NumRange("id", 95, 99))
+      .flatMap(_.partitionValues.get("ks")).toSet
+    assert(high === Set("90"))
+    // the read stays row-exact at stripe boundaries
+    assert(vt.readWhere(Map("id" -> (25.0, 44.0))).count() === 20L)
+    intercept[RuntimeException] { vt.recordGenerated("ks", "trunc0(id)") }
+  }
+
   test("grammar guard: unsupported generator forms are refused") {
     val root = Fixtures.tempDir("gen-guard") + "/tbl"
     val vt = new VersionedTable(spark, root)
