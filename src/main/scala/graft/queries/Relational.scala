@@ -1128,12 +1128,17 @@ object Relational {
     val vt = new graft.io.VersionedTable(spark, root)
     val o = load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    // cluster each commit by the stripe so files align with stripes
+    // (one file per stripe per commit, tight per-file stats) — the
+    // layout hygiene a real striped table keeps
     vt.write(o.filter(col("o_orderkey") % 2 === 0)
         .withColumn("ks", col("o_orderkey") -
-          pmod(col("o_orderkey"), lit(2000L))),
+          pmod(col("o_orderkey"), lit(2000L)))
+        .repartition(col("ks")),
       partitionBy = Some(Seq("ks")))
     vt.recordGenerated("ks", "trunc2000(o_orderkey)")
-    vt.write(o.filter(col("o_orderkey") % 2 =!= 0),
+    vt.write(o.filter(col("o_orderkey") % 2 =!= 0)
+        .repartition(col("o_orderkey") - pmod(col("o_orderkey"), lit(2000L))),
       org.apache.spark.sql.SaveMode.Append) // raw: the writer derives ks
     vt.readWhere(Map("o_orderkey" -> (3000.0, 7000.0)))
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
