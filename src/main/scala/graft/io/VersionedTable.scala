@@ -836,6 +836,26 @@ final class VersionedTable(spark: SparkSession, root: String) {
       compiled.forall(_._2(e, m.partitionBy.toSet)) && gen(e))
   }
 
+  /** SCAN-ECONOMICS REPORT for a predicated read — the audit number a
+    * table owner actually watches: how many files / bytes / rows a
+    * read with these predicates PLANS versus the snapshot total,
+    * computed with the very survive tests the reads use (so the
+    * report IS the plan, not an estimate). Pure driver-side manifest
+    * arithmetic — zero data IO — which is what makes "is my layout
+    * still earning its keep" a free question to ask on a 100 TB
+    * table. */
+  def pruningReport(preds: VersionedTable.TablePredicate*)
+      : VersionedTable.PruningReport = {
+    val all = manifestEntries(currentVersion.getOrElse(
+      sys.error(s"table $root does not exist")))
+    val kept = matchingEntries(preds: _*)
+    VersionedTable.PruningReport(
+      plannedFiles = kept.size, totalFiles = all.size,
+      plannedBytes = kept.map(_.bytes).sum, totalBytes = all.map(_.bytes).sum,
+      plannedRows = kept.map(_.liveRows).sum,
+      totalRows = all.map(_.liveRows).sum)
+  }
+
   private def prunedRead(pred: org.apache.spark.sql.Column,
       survives: (ManifestEntry, Set[String]) => Boolean,
       preds: Seq[VersionedTable.TablePredicate] = Seq.empty): DataFrame = {
@@ -3479,6 +3499,16 @@ object VersionedTable {
   /** String range over the short-ASCII string stats. */
   final case class StrRange(column: String, lo: String, hi: String)
       extends TablePredicate
+
+  /** [[VersionedTable.pruningReport]]'s answer: planned vs total scan
+    * economics of a predicated read, straight from the manifest. */
+  final case class PruningReport(plannedFiles: Int, totalFiles: Int,
+      plannedBytes: Long, totalBytes: Long,
+      plannedRows: Long, totalRows: Long) {
+    /** Fraction of snapshot bytes the read plans (1.0 = no pruning). */
+    def byteFraction: Double =
+      if (totalBytes == 0L) 0.0 else plannedBytes.toDouble / totalBytes
+  }
 
   /** Age beyond which a zero-byte manifest counts as a CRASHED claim
     * (reclaimable) rather than an in-flight commit. Far above any real

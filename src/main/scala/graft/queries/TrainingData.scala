@@ -2881,6 +2881,57 @@ object TrainingData {
       .orderBy("q_id")
   }
 
+  /** GOPHER-RULES QUALITY CENSUS (q232; Rae et al. 2021 §A1.1, the
+    * canonical named pre-filter set every large text pipeline runs
+    * before model-based scoring): per source, how many documents fail
+    * each structural rule — word count out of [50, 100k], mean word
+    * length out of [3, 10], fewer than 2 stopword hits, <80% of words
+    * containing an alphabetic character, symbol-to-word ratio >0.1 —
+    * plus the count passing ALL rules. Every rule evaluates in EXACT
+    * INTEGER arithmetic (means and ratios compare by
+    * cross-multiplication: `sum_len < 3·n_words` instead of
+    * `sum_len/n < 3`), so there is no float anywhere and the census
+    * hashes trivially. Distinct from q19's continuous score: this is
+    * the named RULE breakdown an ablation report tabulates — which
+    * rule bites, where. Scale: one narrow token pass per doc + one
+    * partial-agg shuffle on source. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = TextAnalysis.tokens(col("text"))
+    val d = docs(spark, dir)
+      .withColumn("_t", t)
+      .withColumn("nw", size(col("_t")).cast("long"))
+      .withColumn("sumlen", aggregate(col("_t"), lit(0L),
+        (acc, w) => acc + length(w)))
+      .withColumn("nalpha", size(filter(col("_t"),
+        w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("nsym", size(filter(col("_t"),
+        w => w.rlike("^[^a-z0-9]+$"))).cast("long"))
+      .withColumn("nstop", graft.functions.StopwordHitCount
+        .stopwordHits(col("_t"), TextAnalysis.enStopwords).cast("long"))
+      .select(col("source"),
+        (col("nw") < 50 || col("nw") > 100000L).cast("long").as("f_wc"),
+        // mean word length in [3, 10] by cross-multiplication
+        (col("sumlen") < lit(3L) * col("nw") ||
+          col("sumlen") > lit(10L) * col("nw")).cast("long").as("f_mwl"),
+        (col("nstop") < 2).cast("long").as("f_stop"),
+        // >= 80% of words must contain an alphabetic char
+        (lit(5L) * col("nalpha") < lit(4L) * col("nw")).cast("long")
+          .as("f_alpha"),
+        // symbol-to-word ratio <= 0.1
+        (lit(10L) * col("nsym") > col("nw")).cast("long").as("f_sym"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_wc")).as("n_fail_wordcount"),
+        sum(col("f_mwl")).as("n_fail_meanlen"),
+        sum(col("f_stop")).as("n_fail_stopwords"),
+        sum(col("f_alpha")).as("n_fail_alpha"),
+        sum(col("f_sym")).as("n_fail_symbol"),
+        sum(when(col("f_wc") + col("f_mwl") + col("f_stop") +
+          col("f_alpha") + col("f_sym") === 0L, 1L).otherwise(0L))
+          .as("n_pass"))
+      .orderBy("source")
+  }
+
   /** MATRYOSHKA TRUNCATION EVAL (q228) — the "can we cheapen the
     * embeddings 4×" decision table: retrieval recall@3 of
     * PREFIX-TRUNCATED embeddings (dims 8/16/32 of 64) against the
@@ -3269,6 +3320,7 @@ object TrainingData {
     "q221_classifier_holdout" -> classifierHoldout,
     "q222_weighted_sample" -> weightedSample,
     "q228_matryoshka_recall" -> matryoshkaRecall,
+    "q232_gopher_rules" -> gopherRules,
     "q217_lm_xent" -> ((s, d) => lmCrossEntropy(s, d))
   )
 
@@ -3820,6 +3872,40 @@ object TrainingData {
          WHERE len(list_intersect(a.s, b.s)) * 1.0
            / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
          ORDER BY doc_a, doc_b""",
+    "q232_gopher_rules" ->
+      // every rule in exact integer arithmetic (cross-multiplied
+      // ratio comparisons), mirroring the Scala expressions
+      s"""WITH d AS (
+           SELECT source, string_split(lower(text), ' ') AS t
+           FROM documents),
+         f AS (SELECT source,
+           CAST(len(t) AS BIGINT) AS nw,
+           CAST(list_sum(list_transform(t, w -> length(w)))
+             AS BIGINT) AS sumlen,
+           CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+             AS BIGINT) AS nalpha,
+           CAST(len(list_filter(t, w -> regexp_matches(w, '^[^a-z0-9]+$$')))
+             AS BIGINT) AS nsym,
+           CAST(len(list_filter(t, w -> list_contains([$enStops], w)))
+             AS BIGINT) AS nstop
+         FROM d),
+         r AS (SELECT source,
+           CASE WHEN nw < 50 OR nw > 100000 THEN 1 ELSE 0 END AS f_wc,
+           CASE WHEN sumlen < 3 * nw OR sumlen > 10 * nw
+             THEN 1 ELSE 0 END AS f_mwl,
+           CASE WHEN nstop < 2 THEN 1 ELSE 0 END AS f_stop,
+           CASE WHEN 5 * nalpha < 4 * nw THEN 1 ELSE 0 END AS f_alpha,
+           CASE WHEN 10 * nsym > nw THEN 1 ELSE 0 END AS f_sym
+         FROM f)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(f_wc) AS BIGINT) AS n_fail_wordcount,
+           CAST(sum(f_mwl) AS BIGINT) AS n_fail_meanlen,
+           CAST(sum(f_stop) AS BIGINT) AS n_fail_stopwords,
+           CAST(sum(f_alpha) AS BIGINT) AS n_fail_alpha,
+           CAST(sum(f_sym) AS BIGINT) AS n_fail_symbol,
+           CAST(sum(CASE WHEN f_wc + f_mwl + f_stop + f_alpha + f_sym = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM r GROUP BY 1 ORDER BY 1""",
     "q228_matryoshka_recall" -> {
       // per width: the q26 kernel over sliced lists; recall = one
       // division of exact hit counts against the full-dim truth

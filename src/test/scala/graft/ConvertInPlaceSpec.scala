@@ -70,6 +70,26 @@ class ConvertInPlaceSpec extends AnyFunSuite {
     assert(vt.readVersion(0L).count() === 2L, "time travel to adoption")
   }
 
+  test("pruningReport: planned-vs-total scan economics match the plan " +
+    "the reads actually make") {
+    val root = Fixtures.tempDir("convert-report") + "/tbl"
+    TableIO.write((1L to 100L).map(i => (i, i % 2))
+      .toDF("id", "bucket").repartitionByRange(4, col("id")),
+      root, SaveMode.Overwrite, Some("bucket"))
+    val vt = new VersionedTable(spark, root)
+    vt.convertInPlace(Seq("bucket"))
+    val r = vt.pruningReport(VersionedTable.NumRange("id", 1, 5))
+    assert(r.plannedFiles ===
+      vt.matchingEntries(VersionedTable.NumRange("id", 1, 5)).size,
+      "the report IS the plan")
+    assert(r.plannedFiles < r.totalFiles && r.plannedFiles > 0)
+    assert(r.plannedBytes < r.totalBytes && r.byteFraction < 1.0)
+    assert(r.totalRows === 100L)
+    val all = vt.pruningReport() // no predicates: everything planned
+    assert(all.plannedFiles === all.totalFiles &&
+      all.byteFraction === 1.0)
+  }
+
   test("refusals: already-versioned directories and partition columns " +
     "the layout does not carry") {
     val root = Fixtures.tempDir("convert-refuse") + "/tbl"
