@@ -1071,6 +1071,67 @@ object Analytics {
       .orderBy("day", "event_type")
   }
 
+  /** STREAMING EXPECTATIONS with QUARANTINE (q233; the DLT
+    * `expect_or_drop` + quarantine-table pattern): a streamed feed is
+    * split per micro-batch by a data-quality predicate — passing rows
+    * append to the serving table, violations append to a QUARANTINE
+    * table carrying the failed expectation's name — both through the
+    * exactly-once versioned sink (per-table replay markers), so a
+    * replayed batch never double-routes either side. Quarantine
+    * beats silent dropping (violations are INSPECTABLE — the triage
+    * loop DQ teams actually run) and beats failing the pipeline (one
+    * bad upstream row doesn't stall the stream). The oracle rebuilds
+    * both sides from the same predicate, so a row routed to the
+    * wrong side, dropped, or duplicated hash-mismatches. Scale: the
+    * split is one narrow predicate pass per batch; each side's
+    * append is one manifest commit. */
+  def streamExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-expectations").toString
+    val feedRoot = s"$base/feed"
+    val validRoot = s"$base/valid"
+    val quarRoot = s"$base/quarantine"
+    val feedVt = new graft.io.VersionedTable(spark, feedRoot)
+    val o = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long").as("cents"))
+      .localCheckpoint()
+    feedVt.write(o.filter(col("o_orderkey") % 2 === 0).coalesce(1)) // v0
+    feedVt.write(o.filter(col("o_orderkey") % 2 =!= 0).coalesce(1),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    val validSink = graft.streaming.Streaming
+      .versionedAppendBatch(validRoot, "exp-valid")
+    val quarSink = graft.streaming.Streaming
+      .versionedAppendBatch(quarRoot, "exp-quarantine")
+    val expectation = col("cents") > 0L && col("cents") < 30000000L
+    val q = graft.streaming.Streaming.versionedSource(spark, feedRoot)
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        validSink(batch.filter(expectation), id)
+        quarSink(batch.filter(!expectation)
+          .withColumn("failed_expectation", lit("cents_in_range")), id)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def census(root: String, side: String): DataFrame =
+      new graft.io.VersionedTable(spark, root).read()
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+        .withColumn("side", lit(side))
+        .select("side", "o_orderstatus", "n_rows", "cents")
+    // a violation-free feed never creates the quarantine table — an
+    // empty census is the right answer, not an error
+    val quar =
+      if (new graft.io.VersionedTable(spark, quarRoot).exists)
+        census(quarRoot, "quarantine")
+      else census(validRoot, "quarantine").limit(0)
+    census(validRoot, "valid").unionByName(quar)
+      .orderBy("side", "o_orderstatus")
+  }
+
   /** BOUNDED STREAMING REPLAY (q220; Delta CDF
     * `endingVersion`/`endingTimestamp`,
     * [[graft.streaming.Streaming.versionedSource]]): a versioned
@@ -1786,6 +1847,7 @@ object Analytics {
     "q223_l_diversity" -> lDiversityEvents,
     "q226_hits" -> hitsBuyersParts,
     "q230_stream_gold_merge" -> streamGoldMerge,
+    "q233_stream_expectations" -> streamExpectations,
     "q197_stream_dedup" -> streamingDedupAtLeastOnce,
     "q198_stream_static_join" -> streamStaticEnrich,
     "q199_cooccur_pmi" -> cooccurrencePmi,
@@ -1985,6 +2047,22 @@ object Analytics {
              AS BIGINT) AS n_risky_rows,
            CAST(min(n_rows) AS BIGINT) AS min_group_size
          FROM g""",
+    "q233_stream_expectations" ->
+      // both routing sides rebuilt from the same predicate: a row on
+      // the wrong side, dropped, or double-appended hash-mismatches
+      """WITH o AS (SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+               AS cents
+           FROM orders)
+         SELECT * FROM (
+           SELECT 'valid' AS side, o_orderstatus, count(*) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS cents
+           FROM o WHERE cents > 0 AND cents < 30000000 GROUP BY 2
+           UNION ALL
+           SELECT 'quarantine', o_orderstatus, count(*),
+             CAST(sum(cents) AS BIGINT)
+           FROM o WHERE NOT (cents > 0 AND cents < 30000000) GROUP BY 2)
+         ORDER BY side, o_orderstatus""",
     "q230_stream_gold_merge" ->
       // the maintained gold table must equal the direct daily census;
       // micros are per-term-rounded exact integers on both engines
