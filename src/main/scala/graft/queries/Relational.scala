@@ -1145,6 +1145,31 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** SQL SURFACE (q235): the same engine through `spark.sql` — tables
+    * registered as temp views, then ONE ANSI SQL string (a
+    * region-filtered star join with an exact-decimal revenue rollup)
+    * executed verbatim. The VERY SAME string is the DuckDB oracle, so
+    * the check is cross-engine ANSI portability itself: a user of the
+    * reference who writes SQL rather than DataFrames switches with
+    * zero translation, and Catalyst plans it identically to the
+    * DataFrame form (same joins, same partial aggregation — the SQL
+    * front end is a parser, not a second engine). */
+  private val sqlStarJoinText: String =
+    """SELECT n_name, count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+           AS DOUBLE) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name IN ('ASIA', 'EUROPE')
+       GROUP BY n_name ORDER BY n_name"""
+
+  def sqlEntry(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer", "nation", "region").foreach(t =>
+      load(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(sqlStarJoinText)
+  }
+
   /** ORC SOURCE/SINK round trip (q229): the third file format next to
     * parquet and CSV/JSONL — orders written as STATUS-PARTITIONED ORC
     * and read back through `spark.read.orc` with a predicate that
@@ -2024,6 +2049,7 @@ object Relational {
     "q227_bucket_pruning" -> bucketPrunedRead,
     "q229_orc_roundtrip" -> orcRoundTrip,
     "q231_trunc_pruning" -> truncPrunedRead,
+    "q235_sql_entry" -> sqlEntry,
     "q200_deep_clone" -> deepCloneSurvivesGc,
     "q201_identity" -> identityAllocation,
     "q203_type_widening" -> typeWideningRead,
@@ -2570,6 +2596,7 @@ object Relational {
       """SELECT o_orderkey, o_totalprice, o_orderstatus
          FROM orders WHERE o_orderkey BETWEEN 3000 AND 7000
          ORDER BY o_orderkey""",
+    "q235_sql_entry" -> sqlStarJoinText, // literally the same string
     "q229_orc_roundtrip" ->
       // the same census straight from the source table: the ORC
       // round trip must be value-preserving and pushdown-exact

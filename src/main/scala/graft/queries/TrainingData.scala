@@ -2932,6 +2932,49 @@ object TrainingData {
       .orderBy("source")
   }
 
+  /** STREAMING DECONTAMINATION (q234): the q45/q72 benchmark gate
+    * moved INTO the ingest stream — documents stream from a versioned
+    * feed, each batch fingerprints its texts (the q21 md5-64 content
+    * fingerprint) and LEFT-ANTI joins the BROADCAST static benchmark
+    * fingerprint set, so contaminated documents never land in the
+    * serving corpus at all (gate-at-ingest beats scrub-after: nothing
+    * downstream can accidentally train on a row that never arrived).
+    * Clean rows append through the exactly-once versioned sink. The
+    * oracle rebuilds the census with a relational NOT IN, so a leaked
+    * contaminated row or an over-dropped clean one hash-mismatches.
+    * Scale: eval suites are tiny next to a corpus — the broadcast
+    * anti-join costs one map pass per batch, no stream-side shuffle
+    * at all. */
+  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-stream-decon").toString
+    val feedRoot = s"$base/feed"
+    val outRoot = s"$base/clean"
+    val feedVt = new graft.io.VersionedTable(spark, feedRoot)
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+      .localCheckpoint()
+    feedVt.write(d.filter(col("doc_id") % 2 === 0).coalesce(1)) // v0
+    feedVt.write(d.filter(col("doc_id") % 2 =!= 0).coalesce(1),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    val bench = d.filter(col("doc_id") % 10 === 0)
+      .select(TextAnalysis.fingerprint64(col("text")).as("fp")).distinct()
+    val sink = graft.streaming.Streaming
+      .versionedAppendBatch(outRoot, "decon-clean")
+    val q = graft.streaming.Streaming.versionedSource(spark, feedRoot)
+      .withColumn("fp", TextAnalysis.fingerprint64(col("text")))
+      .join(broadcast(bench), Seq("fp"), "left_anti")
+      .select("doc_id", "source")
+      .writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch(sink)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    new graft.io.VersionedTable(spark, outRoot).read()
+      .groupBy("source").agg(count(lit(1)).as("n_clean"))
+      .orderBy("source")
+  }
+
   /** MATRYOSHKA TRUNCATION EVAL (q228) — the "can we cheapen the
     * embeddings 4×" decision table: retrieval recall@3 of
     * PREFIX-TRUNCATED embeddings (dims 8/16/32 of 64) against the
@@ -3321,6 +3364,7 @@ object TrainingData {
     "q222_weighted_sample" -> weightedSample,
     "q228_matryoshka_recall" -> matryoshkaRecall,
     "q232_gopher_rules" -> gopherRules,
+    "q234_stream_decontaminate" -> streamDecontaminate,
     "q217_lm_xent" -> ((s, d) => lmCrossEntropy(s, d))
   )
 
@@ -3872,6 +3916,17 @@ object TrainingData {
          WHERE len(list_intersect(a.s, b.s)) * 1.0
            / len(list_distinct(list_concat(a.s, b.s))) >= 0.6
          ORDER BY doc_a, doc_b""",
+    "q234_stream_decontaminate" ->
+      // the gate's census rebuilt relationally: fp NOT IN the
+      // benchmark fingerprint set (fingerprints are never null)
+      """WITH fp AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(lower(text)), 1, 15)) AS BIGINT)
+               AS fp
+           FROM documents),
+         bench AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 = 0)
+         SELECT source, count(*) AS n_clean
+         FROM fp WHERE fp NOT IN (SELECT fp FROM bench)
+         GROUP BY 1 ORDER BY 1""",
     "q232_gopher_rules" ->
       // every rule in exact integer arithmetic (cross-multiplied
       // ratio comparisons), mirroring the Scala expressions
