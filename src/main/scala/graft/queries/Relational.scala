@@ -301,6 +301,41 @@ object Relational {
       .orderBy("o_orderkey", "_change_type")
   }
 
+  /** SNAPSHOT→CDC→APPLY round trip (q236; DLT `APPLY CHANGES FROM
+    * SNAPSHOT` closed end to end): the q225 diff feed, re-applied —
+    * yesterday's table + `snapshotCdc(yesterday, today)` through
+    * [[graft.incremental.Upsert.applyChanges]] must RECONSTRUCT
+    * today's snapshot exactly. This is the identity that licenses the
+    * whole snapshot-CDC pattern: if diff∘apply were lossy anywhere
+    * (a dropped delete, a pre-image applied as an upsert, a missed
+    * null-safe comparison), the rebuilt table would differ from the
+    * snapshot it came from — and the oracle IS today's snapshot, so
+    * any such loss hash-mismatches. The apply consumes post-images
+    * only (pre-images are audit metadata); deletes map to the op
+    * column. Costs the q225 diff + one q204-shaped merge. */
+  def snapshotCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.Upsert
+    val o = load(spark, dir, "orders")
+    val prev = o.filter(col("o_orderkey") % 7 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val next = o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_custkey") % 2 === 0,
+          round(col("o_totalprice").cast("decimal(18,4)") * lit(BigDecimal("1.1")), 2)
+            .cast("double"))
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderstatus"))
+    val feed = Upsert.snapshotCdc(prev, next, Seq("o_orderkey"))
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("op", when(col("_change_type") === "delete", "delete")
+        .otherwise("upsert"))
+      .withColumn("seq", lit(1L))
+      .drop("_change_type")
+    Upsert.applyChanges(prev, feed, Seq("o_orderkey"), "seq",
+        opCol = Some("op"))
+      .orderBy("o_orderkey")
+  }
+
   /** CONVERT TO versioned, IN PLACE (q224; Delta `CONVERT TO DELTA`,
     * [[graft.io.VersionedTable.convertInPlace]]): a plain
     * hive-partitioned parquet directory (the even-key orders,
@@ -2050,6 +2085,7 @@ object Relational {
     "q229_orc_roundtrip" -> orcRoundTrip,
     "q231_trunc_pruning" -> truncPrunedRead,
     "q235_sql_entry" -> sqlEntry,
+    "q236_snapshot_cdc_apply" -> snapshotCdcApply,
     "q200_deep_clone" -> deepCloneSurvivesGc,
     "q201_identity" -> identityAllocation,
     "q203_type_widening" -> typeWideningRead,
@@ -2612,6 +2648,17 @@ object Relational {
       // return: the plain point-lookup union is the truth
       """SELECT o_orderkey, o_totalprice, o_orderstatus
          FROM orders WHERE o_orderkey IN (11, 502, 7004)
+         ORDER BY o_orderkey""",
+    "q236_snapshot_cdc_apply" ->
+      // diff∘apply is the identity: the rebuilt table IS today's
+      // snapshot, so the oracle is the snapshot definition itself
+      """SELECT o_orderkey,
+           CASE WHEN o_custkey % 2 = 0
+             THEN CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2)
+               AS DOUBLE)
+             ELSE o_totalprice END AS o_totalprice,
+           o_orderstatus
+         FROM orders WHERE o_orderkey % 5 <> 0
          ORDER BY o_orderkey""",
     "q225_snapshot_cdc" ->
       // the four change classes rebuilt relationally; the unchanged
