@@ -52,6 +52,52 @@ object PageRank {
     * the EDGE stream twice per round). Pass false for node sets
     * beyond broadcast reach: rounds become edge-stream shuffle
     * joins, still never a driver-side loop. */
+  /** PERSONALIZED PageRank (PPR): teleportation returns to the SEED
+    * set instead of everywhere — rank measures proximity TO THE SEEDS
+    * through the link structure, the expansion primitive behind
+    * "grow my trusted-domain set" / related-item discovery. Same
+    * all-integer micro-unit discipline as [[run]]: seeds start with
+    * unit mass, each round is `base·[node ∈ seeds] + damp·Σ
+    * contrib div dampDen`, every term an exact BIGINT — so the result
+    * is partitioning-invariant and an oracle replays the rounds as
+    * chained CTEs. Non-seed nodes unreachable from the seeds keep
+    * rank 0 (exactly right: no proximity). Same per-round cost shape
+    * as [[run]]; the seed flag joins as one more node-sized
+    * broadcast. */
+  def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      broadcastVectors: Boolean = true): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastVectors) broadcast(df) else df
+    val flag = nodes
+      .join(bc(seeds.select(col("node")).distinct()
+        .withColumn("_s", lit(1L))), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val base = Scale - (dampNum * Scale) / dampDen
+    var ranks = flag.select(col("node"),
+      when(col("is_seed") === 1L, lit(Scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(bc(ranks.withColumnRenamed("node", "src")), Seq("src"))
+        .join(bc(deg), Seq("src"))
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("c"))
+      ranks = flag
+        .join(bc(contrib), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed") === 1L, lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(c, 0L)) div $dampDen")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
   def run(edges: DataFrame, iterations: Int,
       dampNum: Long = 85L, dampDen: Long = 100L,
       broadcastVectors: Boolean = true): DataFrame = {

@@ -1659,6 +1659,34 @@ object Analytics {
       .select(col("node").as("part"), col("rank"))
   }
 
+  /** PERSONALIZED PAGERANK (q237; [[graft.graph.PageRank.personalized]]):
+    * random-walk-with-restart proximity TO A SEED SET — here "parts
+    * co-purchased near Brand#11's catalog", the related-item /
+    * trusted-set-expansion primitive global PageRank can't express
+    * (its score is seed-blind popularity). Teleportation returns only
+    * to the seeds, so rank decays with link distance from them and
+    * unreachable nodes honestly score 0. Two exact-integer rounds
+    * (the q157 micro-unit discipline plus a seed-flag base term), so
+    * the oracle replays them as chained CTEs and the top-20 hashes
+    * exactly. Scale: q157's per-round cost + one node-sized seed-flag
+    * broadcast. */
+  def pprBrandParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val seeds = load(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey").as("node"))
+    graft.graph.PageRank.personalized(edges, seeds, iterations = 2)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(20)
+      .select(col("node").as("part"), col("rank"))
+  }
+
   /** HITS HUBS AND AUTHORITIES (q226; [[graft.graph.Hits]]): two
     * mutual-recursion rounds over the bipartite buyer→part purchase
     * graph — hub customers are those buying authoritative parts,
@@ -1846,6 +1874,7 @@ object Analytics {
     "q194_k_anonymity" -> kAnonymityEvents,
     "q223_l_diversity" -> lDiversityEvents,
     "q226_hits" -> hitsBuyersParts,
+    "q237_ppr" -> pprBrandParts,
     "q230_stream_gold_merge" -> streamGoldMerge,
     "q233_stream_expectations" -> streamExpectations,
     "q197_stream_dedup" -> streamingDedupAtLeastOnce,
@@ -2525,6 +2554,41 @@ object Analytics {
          WHERE epoch_ms(session_end) + 1800000 <
                (SELECT max(epoch_ms(ts)) FROM e)
          ORDER BY user_id, session_start""",
+    "q237_ppr" ->
+      // 2 unrolled personalized-PageRank rounds: q157's integer
+      // arithmetic plus a seed-flag base term (teleport to seeds only)
+      """WITH edges AS (
+           SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey <> b.l_partkey),
+         deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         seeds AS (SELECT DISTINCT p_partkey AS node FROM part
+                   WHERE p_brand = 'Brand#11'),
+         sf AS (SELECT n.node,
+                  CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+                FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         r0 AS (SELECT node, CAST(CASE WHEN is_seed = 1 THEN 1000000
+                  ELSE 0 END AS BIGINT) AS rank FROM sf),
+         c1 AS (SELECT e.dst AS node,
+                  CAST(sum(r.rank // d.outdeg) AS BIGINT) AS c
+                FROM edges e JOIN r0 r ON e.src = r.node
+                JOIN deg d ON e.src = d.src GROUP BY 1),
+         r1 AS (SELECT f.node,
+                  CAST(CASE WHEN f.is_seed = 1 THEN 150000 ELSE 0 END
+                    + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS rank
+                FROM sf f LEFT JOIN c1 c ON f.node = c.node),
+         c2 AS (SELECT e.dst AS node,
+                  CAST(sum(r.rank // d.outdeg) AS BIGINT) AS c
+                FROM edges e JOIN r1 r ON e.src = r.node
+                JOIN deg d ON e.src = d.src GROUP BY 1),
+         r2 AS (SELECT f.node,
+                  CAST(CASE WHEN f.is_seed = 1 THEN 150000 ELSE 0 END
+                    + (85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS rank
+                FROM sf f LEFT JOIN c2 c ON f.node = c.node)
+         SELECT node AS part, rank FROM r2
+         ORDER BY rank DESC, part ASC LIMIT 20""",
     "q157_pagerank" ->
       // 3 unrolled exact-integer PageRank rounds: rank//outdeg
       // per-edge contributions (both engines truncate positives

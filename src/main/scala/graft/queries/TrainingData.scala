@@ -160,6 +160,33 @@ object TrainingData {
       f.filter(col("u") >= 0.8), w, feats))
   }
 
+  /** CLASSIFIER CALIBRATION TABLE (q238) — the reliability diagram's
+    * data, next to q214's AUC and q221's held-out check: per score
+    * DECILE, how does the mean predicted score compare to the
+    * empirical positive rate? AUC only ranks; a gate that THRESHOLDS
+    * on score (q84's shape) needs the score to mean what it says,
+    * and miscalibration is invisible to rank metrics. Counts are
+    * exact BIGINTs; the two per-bucket means are each ONE division of
+    * exact integers (scores per-term-round to micro-LONGs before
+    * summing), so the table hashes bit-identically. Scale: one
+    * partial-agg shuffle over ten buckets. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ml.LinearClassifier
+      .trainAndScore(classifierFeatures(spark, dir),
+        Seq("sr", "pr", "flen"), "y", rounds = ClfRounds, lr = ClfLr)
+      .select(col("score"), col("y").cast("long").as("label"))
+    scored
+      .withColumn("bucket",
+        least(floor(col("score") * 10), lit(9.0)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"),
+        sum(round(col("score") * 1000000).cast("long")).as("sm"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (col("sm").cast("double") / 1000000.0 / col("n")).as("mean_score"),
+        (col("n_pos").cast("double") / col("n")).as("pos_rate"))
+      .orderBy("bucket")
+  }
+
   /** The q214 exact-eval shape over any scored frame carrying
     * (score, pred, y): average-rank Mann–Whitney AUC from exact
     * BIGINTs + the 0.5-threshold confusion census. */
@@ -3365,6 +3392,7 @@ object TrainingData {
     "q228_matryoshka_recall" -> matryoshkaRecall,
     "q232_gopher_rules" -> gopherRules,
     "q234_stream_decontaminate" -> streamDecontaminate,
+    "q238_calibration" -> classifierCalibration,
     "q217_lm_xent" -> ((s, d) => lmCrossEntropy(s, d))
   )
 
@@ -3544,6 +3572,21 @@ object TrainingData {
   private val classifierAucOracleSql: String =
     classifierAucSqlOver(classifierCtes())
 
+  /** q238's oracle: the same training replay, then the decile
+    * reliability table — exact counts, micro-LONG score sums, each
+    * mean ONE division of exact integers. */
+  private val classifierCalibrationOracleSql: String =
+    s"""WITH ${classifierCtes()},
+       b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS sm
+         FROM scored GROUP BY 1)
+       SELECT bucket, n, n_pos,
+         CAST(sm AS DOUBLE) / 1000000.0 / n AS mean_score,
+         CAST(n_pos AS DOUBLE) / n AS pos_rate
+       FROM b ORDER BY bucket"""
+
   private val classifierHoldoutOracleSql: String =
     classifierAucSqlOver(classifierCtes("ftr", "WHERE u >= 0.8"))
 
@@ -3651,6 +3694,7 @@ object TrainingData {
     "q213_quality_classifier" -> classifierOracleSql,
     "q214_classifier_auc" -> classifierAucOracleSql,
     "q221_classifier_holdout" -> classifierHoldoutOracleSql,
+    "q238_calibration" -> classifierCalibrationOracleSql,
     "q217_lm_xent" ->
       // q77's LM CTEs verbatim, then the per-doc fold: each in-vocab
       // bigram's logp per-term-rounds to an exact LONG (q199's ln
