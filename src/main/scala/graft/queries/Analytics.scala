@@ -1659,6 +1659,38 @@ object Analytics {
       .select(col("node").as("part"), col("rank"))
   }
 
+  /** MULTI-TOUCH ATTRIBUTION (q239): each purchase splits its credit
+    * EQUALLY across the user's clicks in the preceding 24 h (linear
+    * attribution — the model marketing analytics defaults to when
+    * last-touch overstates the final click), rolled up by the click's
+    * hour of day: which hours' clicks actually drive purchases.
+    * Credit is the INTEGER micro-share `1000000 div n` — fractional
+    * credits as floats would sum order-dependently across thousands
+    * of purchases, so the share truncates to an exact long once per
+    * purchase and every downstream sum is exact (the deliberate
+    * penny-rounding trade, documented). Shape: one user-keyed range
+    * join (clicks buffered per user, the q34/q146 shape), one
+    * purchase-sized window for the share, one 24-bucket rollup. */
+  def multiTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts").as("cts"))
+    val j = p.join(c, Seq("user_id"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+    val w = j.withColumn("n", count(lit(1)).over(Window.partitionBy("pid")))
+      .withColumn("credit", expr("1000000L div n"))
+    w.groupBy(hour(col("cts")).cast("long").as("click_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("pid")).as("n_purchases"),
+        sum(col("credit")).as("credit_micro"))
+      .orderBy("click_hour")
+  }
+
   /** PERSONALIZED PAGERANK (q237; [[graft.graph.PageRank.personalized]]):
     * random-walk-with-restart proximity TO A SEED SET — here "parts
     * co-purchased near Brand#11's catalog", the related-item /
@@ -1875,6 +1907,7 @@ object Analytics {
     "q223_l_diversity" -> lDiversityEvents,
     "q226_hits" -> hitsBuyersParts,
     "q237_ppr" -> pprBrandParts,
+    "q239_multitouch" -> multiTouchAttribution,
     "q230_stream_gold_merge" -> streamGoldMerge,
     "q233_stream_expectations" -> streamExpectations,
     "q197_stream_dedup" -> streamingDedupAtLeastOnce,
@@ -2554,6 +2587,25 @@ object Analytics {
          WHERE epoch_ms(session_end) + 1800000 <
                (SELECT max(epoch_ms(ts)) FROM e)
          ORDER BY user_id, session_start""",
+    "q239_multitouch" ->
+      // same range join, same integer micro-share per purchase: the
+      // truncating division makes every credit sum exact
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events),
+         p AS (SELECT event_id AS pid, user_id, ts AS pts
+               FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS cid, user_id, ts AS cts
+               FROM e WHERE event_type = 'click'),
+         j AS (SELECT pid, cid, cts FROM p JOIN c USING (user_id)
+               WHERE cts <= pts AND cts >= pts - INTERVAL 24 HOUR),
+         w AS (SELECT pid, cid, cts,
+                 1000000 // count(*) OVER (PARTITION BY pid) AS credit
+               FROM j)
+         SELECT CAST(extract(hour FROM cts) AS BIGINT) AS click_hour,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+           CAST(sum(credit) AS BIGINT) AS credit_micro
+         FROM w GROUP BY 1 ORDER BY 1""",
     "q237_ppr" ->
       // 2 unrolled personalized-PageRank rounds: q157's integer
       // arithmetic plus a seed-flag base term (teleport to seeds only)
