@@ -39,19 +39,6 @@ object PageRank {
   /** Micro-unit scale of a unit rank. */
   val Scale = 1000000L
 
-  /** `iterations` rounds over a directed `edges(src, dst)` frame.
-    * Every node must appear as a `src` (no dangling nodes) — callers
-    * with dangling nodes add self-loops or symmetrize first. Returns
-    * `(node, rank)` with rank in micro-units (BIGINT). Damping
-    * defaults to the classic 0.85 as 85/100.
-    *
-    * `broadcastVectors` (default true) broadcasts the |V|-row rank
-    * and degree vectors to the edge scan — the right plan whenever
-    * the node set fits an executor (checkpointed frames hide size
-    * stats, so AQE alone would fall back to sort-merge and shuffle
-    * the EDGE stream twice per round). Pass false for node sets
-    * beyond broadcast reach: rounds become edge-stream shuffle
-    * joins, still never a driver-side loop. */
   /** PERSONALIZED PageRank (PPR): teleportation returns to the SEED
     * set instead of everywhere — rank measures proximity TO THE SEEDS
     * through the link structure, the expansion primitive behind
@@ -63,7 +50,12 @@ object PageRank {
     * chained CTEs. Non-seed nodes unreachable from the seeds keep
     * rank 0 (exactly right: no proximity). Same per-round cost shape
     * as [[run]]; the seed flag joins as one more node-sized
-    * broadcast. */
+    * broadcast.
+    *
+    * Same structural contract as [[run]]: every node must appear as
+    * a `src` (no dangling nodes) — in particular a SEED that is
+    * dst-only never enters the node set and is silently absent from
+    * the output; symmetrize or add self-loops first. */
   def personalized(edges: DataFrame, seeds: DataFrame, iterations: Int,
       dampNum: Long = 85L, dampDen: Long = 100L,
       broadcastVectors: Boolean = true): DataFrame = {
@@ -98,6 +90,19 @@ object PageRank {
     ranks
   }
 
+  /** `iterations` rounds over a directed `edges(src, dst)` frame.
+    * Every node must appear as a `src` (no dangling nodes) — callers
+    * with dangling nodes add self-loops or symmetrize first. Returns
+    * `(node, rank)` with rank in micro-units (BIGINT). Damping
+    * defaults to the classic 0.85 as 85/100.
+    *
+    * `broadcastVectors` (default true) broadcasts the |V|-row rank
+    * and degree vectors to the edge scan — the right plan whenever
+    * the node set fits an executor (checkpointed frames hide size
+    * stats, so AQE alone would fall back to sort-merge and shuffle
+    * the EDGE stream twice per round). Pass false for node sets
+    * beyond broadcast reach: rounds become edge-stream shuffle
+    * joins, still never a driver-side loop. */
   def run(edges: DataFrame, iterations: Int,
       dampNum: Long = 85L, dampDen: Long = 100L,
       broadcastVectors: Boolean = true): DataFrame = {

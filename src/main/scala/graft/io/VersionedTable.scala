@@ -1417,6 +1417,45 @@ final class VersionedTable(spark: SparkSession, root: String) {
     (scan, e => !mayMatch(e), curV)
   }
 
+  /** May `e` contain a row with STRING `column` in [lo, hi]? The
+    * manifest's short-ASCII string min/max (M12 footer stats — only
+    * recorded when provably order-safe: parquet's byte-wise-unsigned
+    * binary ordering, Spark's UTF-8 byte ordering, and Java String
+    * ordering all agree when the stored bounds are pure ASCII, and an
+    * ASCII max proves every value in the file is ASCII) or an exact
+    * partition value prove absence; anything unknown must assume
+    * presence — same conservatism as the numeric [[scanMayMatch]]. */
+  private def strRangeMayMatch(partCols: Set[String], column: String,
+      lo: String, hi: String)(e: ManifestEntry): Boolean =
+    if (partCols.contains(column))
+      e.partitionValues.get(column) match {
+        case Some(v) => v >= lo && v <= hi
+        case None => true // unknown partition value: must assume yes
+      }
+    else e.strStats.get(column) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true // no stats: must assume yes
+    }
+
+  /** [[scanMayMatch]] for a STRING key column — the doc-id /
+    * content-hash keys LLM-pipeline dimension tables are actually
+    * keyed on: the scan of every file that MAY hold `column` ∈
+    * [lo, hi] by string stats / partition values, the keep predicate
+    * for [[replaceWhere]], and the snapshot version scanned. */
+  def scanMayMatchString(column: String, lo: String, hi: String)
+      : (DataFrame, ManifestEntry => Boolean, Long) = {
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val mayMatch =
+      strRangeMayMatch(m.partitionBy.toSet, physFor(m, column), lo, hi) _
+    val candidates = m.entries.filter(mayMatch)
+    val scan =
+      if (candidates.isEmpty) readVersion(curV).limit(0)
+      else readFiles(m, candidates)
+    (scan, e => !mayMatch(e), curV)
+  }
+
   /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
     * semantics). Rewrites the current snapshot into ~`targetFileMB`
     * files as a fresh commit; prior versions keep referencing the old
@@ -2323,8 +2362,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
       VersionedTable.NumRange(c, lo, hi) <- preds if c == src
     } yield { (e: ManifestEntry) =>
       e.partitionValues.get(partCol).forall { pv =>
-        scala.util.Try(pv.toLong).toOption.forall(v =>
-          v <= hi && (v + w - 1) >= lo)
+        scala.util.Try(pv.toLong).toOption.forall { v =>
+          // conservative at the edges: stripe starts beyond the
+          // exact-double range can't be compared reliably (keep the
+          // file), and an overflowing stripe end (v + w - 1 wraps
+          // negative) means the TRUE end exceeds Long.MaxValue — it
+          // certainly reaches lo, so only the hi test can prune
+          math.abs(v) > 9007199254740992L || {
+            val end = v + (w - 1) // w >= 1, so overflow iff end < v
+            v <= hi && (end < v || end >= lo)
+          }
+        }
       }
     }
     e => tests.forall(_(e)) && bucketTests.forall(_(e)) &&

@@ -158,8 +158,11 @@ object IvfIndex {
     val centroids = loadCentroids(spark, root)
     val centLit = array(centroids.toIndexedSeq.map(c =>
       array(c.toIndexedSeq.map(lit): _*)): _*)
-    val q = broadcast(
-      queries.select(col(idCol).cast("long").as("q_id"),
+    // NOT broadcast-hinted here: `q` is also the source of the
+    // driver-side probed-cluster collect below, and a hint on a
+    // non-join relation logs a HintErrorLogger warning per query
+    // (masking real hint regressions) — the hint lands at the join
+    val q = queries.select(col(idCol).cast("long").as("q_id"),
         Similarity.toDouble(col(vecCol)).as("qv"))
         .withColumn("_dists", transform(centLit, cc =>
           graft.functions.vector.arrayL2Sq(cc, col("qv"))))
@@ -170,7 +173,7 @@ object IvfIndex {
         .withColumn("_probe", explode(slice(col("_ranked"), 1, nprobe)))
         .withColumn("cluster", col("_probe").cast("int"))
         .select(col("q_id"), col("qv"), col("cluster"))
-        .withColumn("nq", sqrt(Similarity.dot(col("qv"), col("qv")))))
+        .withColumn("nq", sqrt(Similarity.dot(col("qv"), col("qv"))))
     // the probed-cluster set is a driver-side value (queries×nprobe
     // rows, bounded) — it selects PARTITIONS, so the corpus scan plans
     // only those clusters' files from the manifest
@@ -183,7 +186,7 @@ object IvfIndex {
         col("cluster").cast("int").as("cluster"), col("v"))
       .withColumn("nv", sqrt(Similarity.dot(col("v"), col("v"))))
     Similarity.rankTopK(
-      q.join(c, Seq("cluster"))
+      broadcast(q).join(c, Seq("cluster"))
         .filter(col("q_id") =!= col("neighbor_id")), k)
   }
 }

@@ -495,7 +495,10 @@ object Similarity {
     val cbLit = array(codebooks.toIndexedSeq.map(cb =>
       array(cb.toIndexedSeq.map(c =>
         array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
-    broadcast(queries
+    // not broadcast-hinted here: IvfPqIndex.query collects the probed
+    // clusters off this frame (the hint would warn on a non-join
+    // relation); adcRerank applies the hint at its join
+    (queries
       .select(col(idCol).cast("long").as("q_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
       .withColumn("_qn", transform(col("qv"), x => x / col("nq")))
@@ -520,7 +523,7 @@ object Similarity {
   private[similarity] def adcRerank(q: DataFrame, codes: DataFrame,
       vecs: DataFrame, r: Int, k: Int): DataFrame = {
     val candidates = keepTopPerQuery(
-      q.join(codes, Seq("cluster"))
+      broadcast(q).join(codes, Seq("cluster"))
         .filter(col("q_id") =!= col("neighbor_id"))
         .withColumn("_adc", aggregate(
           zip_with(col("_tabs"), col("codes"), (t, c) => element_at(t, c + 1)),

@@ -235,7 +235,7 @@ object Streaming {
       s"appId must be [A-Za-z0-9.-]+, got '$appId'")
     val marker = s"STREAM_${appId}_BATCH_"
     (batch0, batchId) =>
-    import org.apache.spark.sql.functions.{col, lit, min, max, row_number}
+    import org.apache.spark.sql.functions.{col, count, lit, min, max, row_number}
     val spark = batch0.sparkSession
     val vt = new graft.io.VersionedTable(spark, root)
     val lastCommitted = vt.lastOperationWith(marker)
@@ -273,25 +273,62 @@ object Streaming {
           org.apache.spark.sql.SaveMode.Overwrite, s"$marker$batchId")
         ()
       } else {
-        // the batch's key envelope: two scalars off a batch-sized scan
-        val env = batch
-          .agg(min(col(keyCol)).cast("double"), max(col(keyCol)).cast("double"))
-          .head()
-        if (env.isNullAt(0) || env.isNullAt(1)) {
-          // non-numeric (or all-null) key: stats can't prune — full fold
+        // Stats-pruned fold (M35): scan only the state files that MAY
+        // hold the batch's keys, re-reference the rest untouched. The
+        // pruned path is taken ONLY when the key envelope is provably
+        // sound: a NULL key in the batch would never be seen against
+        // null-key state rows living in envelope-pruned files (the
+        // window dedup needs them in the same fold — two rows for the
+        // null key otherwise), and a numeric key beyond 2^53 can round
+        // under the double-typed manifest stats such that a file
+        // actually holding a batch key is pruned — both fall back to
+        // the full fold. String keys prune via the manifest's
+        // short-ASCII string stats (scanMayMatchString).
+        def fullFold(): Unit = {
           val state = vt.read().withColumn(opCol, lit("upsert"))
             .select(cols.map(col): _*)
           vt.write(fold(state), org.apache.spark.sql.SaveMode.Overwrite,
             s"$marker$batchId")
           ()
-        } else {
-          val (scan, keep, basisV) =
-            vt.scanMayMatch(keyCol, env.getDouble(0), env.getDouble(1))
+        }
+        def prunedFold(scan: DataFrame,
+            keep: graft.io.ManifestEntry => Boolean, basisV: Long): Unit = {
           val state = scan.withColumn(opCol, lit("upsert"))
             .select(cols.map(col): _*)
           vt.replaceWhere(fold(state), keep, s"$marker$batchId",
             basisVersion = Some(basisV))
           ()
+        }
+        import org.apache.spark.sql.types._
+        batch.schema(keyCol).dataType match {
+          case ByteType | ShortType | IntegerType | LongType |
+               FloatType | DoubleType =>
+            // the batch's key envelope: four scalars off one
+            // batch-sized scan (count(*) vs count(key) = null check)
+            val env = batch.agg(
+              min(col(keyCol)).cast("double"),
+              max(col(keyCol)).cast("double"),
+              count(lit(1)), count(col(keyCol))).head()
+            if (env.isNullAt(0) || env.getLong(2) != env.getLong(3) ||
+                math.abs(env.getDouble(0)) > 9007199254740992.0 ||
+                math.abs(env.getDouble(1)) > 9007199254740992.0)
+              fullFold()
+            else {
+              val (scan, keep, basisV) = vt.scanMayMatch(
+                keyCol, env.getDouble(0), env.getDouble(1))
+              prunedFold(scan, keep, basisV)
+            }
+          case StringType =>
+            val env = batch.agg(min(col(keyCol)), max(col(keyCol)),
+              count(lit(1)), count(col(keyCol))).head()
+            if (env.isNullAt(0) || env.getLong(2) != env.getLong(3))
+              fullFold()
+            else {
+              val (scan, keep, basisV) = vt.scanMayMatchString(
+                keyCol, env.getString(0), env.getString(1))
+              prunedFold(scan, keep, basisV)
+            }
+          case _ => fullFold() // no stats semantics for this key type
         }
       }
     }

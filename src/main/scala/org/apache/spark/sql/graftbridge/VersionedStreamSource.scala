@@ -60,16 +60,35 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     * stream never plans past this version — under
     * `Trigger.AvailableNow` it drains to the bound and terminates,
     * the "replay a closed window through the streaming pipeline"
-    * shape. `endingTimestamp` resolves per POLL, not once: the bound
+    * shape. `endingTimestamp` re-resolves as commits land (the bound
     * is the newest version committed at or before the instant — a
-    * pure function of committed history (restart-stable by M33
-    * in-commit-timestamp monotonicity), and an instant still ahead of
-    * the newest commit keeps admitting commits as they land at or
-    * before it, which IS "changes up to ts". A bound below the
-    * stream's current position admits nothing more (graceful stop,
-    * never a backwards batch). */
+    * pure function of committed history, restart-stable by M33
+    * in-commit-timestamp monotonicity; an instant still ahead of the
+    * newest commit keeps admitting commits as they land at or before
+    * it, which IS "changes up to ts") — but MEMOIZED per table
+    * version, so the history walk runs once per new commit, not
+    * twice per poll. A timestamp BEFORE the first commit resolves to
+    * an empty window: the stream admits nothing (Some(-1) bound)
+    * instead of crashing at poll time with a time-travel error. A
+    * bound below the stream's current position admits nothing more
+    * (graceful stop, never a backwards batch). */
+  private var endTsMemo: Option[(Long, Long)] = None // (atVersion, bound)
   private def endBound: Option[Long] =
-    endingVersion.orElse(endingTimestamp.map(vt.versionAtTimestamp))
+    endingVersion.orElse(endingTimestamp.map { ts =>
+      val cur = vt.currentVersion.getOrElse(-1L)
+      endTsMemo match {
+        case Some((at, b)) if at == cur => b
+        case _ =>
+          val target = java.time.Instant.parse(ts)
+          // newest version committed at or before ts; -1 = none yet
+          val b = vt.history(limit = Int.MaxValue)
+            .filter(h => !java.time.Instant.parse(h.timestamp)
+              .isAfter(target))
+            .map(_.version).headOption.getOrElse(-1L)
+          endTsMemo = Some((cur, b))
+          b
+      }
+    })
 
   /** The version subscription actually starts at. `startingTimestamp`
     * (Delta's option: "every change committed at or after this
@@ -103,7 +122,9 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
   }
 
   override def getOffset: Option[Offset] = vt.currentVersion
-    .map(v => LongOffset(endBound.fold(v)(math.min(v, _))))
+    .map(v => endBound.fold(v)(math.min(v, _)))
+    .filter(_ >= 0) // empty ending window: nothing admissible yet
+    .map(LongOffset(_))
 
   /** RATE LIMITING (Delta `maxFilesPerTrigger` at this source's
     * version granularity): with `maxVersionsPerBatch = m`, a stream
@@ -164,7 +185,9 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
       val b = endBound.fold(c)(math.min(c, _))
       from.fold(b)(f => math.max(b, f))
     }
-    bounded.map(LongOffset(_)).orNull
+    // an empty ending window (timestamp before the first commit) with
+    // no prior offset admits NOTHING — not a version "-1" batch
+    bounded.filter(_ >= 0).map(LongOffset(_)).orNull
   }
 
   /** First batch without a checkpointed start: the snapshot — unless
