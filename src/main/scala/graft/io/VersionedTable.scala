@@ -1456,6 +1456,335 @@ final class VersionedTable(spark: SparkSession, root: String) {
     (scan, e => !mayMatch(e), curV)
   }
 
+  /** The may-match test for a SOURCE frame's key envelope — numeric
+    * keys through [[rangeMayMatch]] (exact-double range only), string
+    * keys through [[strRangeMayMatch]]; anything else (or an all-null
+    * key) cannot prune and every file is a candidate. NULL source
+    * keys are safe to ignore here: an equi-join key never matches
+    * NULL, so null-key source rows are always inserts. */
+  private def sourceKeyMayMatch(m: VersionManifest, source: DataFrame,
+      keyCol: String): ManifestEntry => Boolean = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types._
+    val phys = physFor(m, keyCol)
+    val partCols = m.partitionBy.toSet
+    source.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType =>
+        val env = source.agg(min(col(keyCol)).cast("double"),
+          max(col(keyCol)).cast("double")).head()
+        if (env.isNullAt(0) ||
+            math.abs(env.getDouble(0)) > 9007199254740992.0 ||
+            math.abs(env.getDouble(1)) > 9007199254740992.0)
+          (_: ManifestEntry) => true
+        else rangeMayMatch(partCols, phys,
+          env.getDouble(0), env.getDouble(1)) _
+      case StringType =>
+        val env = source.agg(min(col(keyCol)), max(col(keyCol))).head()
+        if (env.isNullAt(0)) (_: ManifestEntry) => true
+        else strRangeMayMatch(partCols, phys,
+          env.getString(0), env.getString(1)) _
+      case _ => (_: ManifestEntry) => true
+    }
+  }
+
+  /** MERGE via DELETION VECTORS (Delta 3.x DV-backed DML): matched
+    * target rows are RETIRED by masking their (file, row_index) into
+    * a fresh DV sidecar, and their updated images — plus the
+    * not-matched inserts — land as appended files, all in ONE atomic
+    * commit. No data file is rewritten, ever: write amplification is
+    * O(changed rows), not O(size of every file holding a match) — at
+    * 100 TB a 0.1%-churn merge writes ~0.1% of a day's bytes where
+    * the rewrite path ([[graft.incremental.Incremental
+    * .mergeIntoVersionedTable]]) rewrites whole files. Semantics
+    * match `whenMatchedUpdate(set) + whenNotMatchedInsertAll`:
+    * matched rows take the source's values for `updateColumns`
+    * (default: all non-key source columns, explicit NULLs included),
+    * unmatched source rows insert whole (target-only columns NULL),
+    * untouched target rows stay exactly where they are.
+    *
+    * Scale shape: candidate files come from the source's first-key
+    * envelope against manifest stats / partition values ([[
+    * scanMayMatch]]'s test — numeric AND string keys), so a
+    * range-clustered table is touched only where the batch's keys
+    * live. Pass 1 finds matched rows reading ONLY the key columns
+    * (column-pruned scan); pass 2 reads the candidates once more to
+    * build the update images. On row-tracked tables updated rows
+    * CARRY their row id through materialization, so
+    * [[changesWithUpdates]] reports them as `update_preimage` /
+    * `update_postimage` pairs — not delete+insert — and a no-op
+    * update (source equals target) produces no feed row at all.
+    *
+    * Source keys must be UNIQUE on `mergeKeys` (checked — a duplicate
+    * would both double-mask a matched row and write two conflicting
+    * images; Delta raises the same error). Schema evolution is not
+    * supported on this path (source columns must exist in the
+    * snapshot schema) — evolving merges take the rewrite path.
+    * Concurrency is WriteSerializable, as [[deleteVectorized]]: a
+    * candidate file rewritten or re-masked mid-flight fails loudly;
+    * blind appends racing in commit cleanly and are NOT re-scanned
+    * (their rows, even matching, survive as-is — Delta's documented
+    * append-vs-DML rule). Returns the committed version. */
+  def mergeVectorized(source: DataFrame, mergeKeys: Seq[String],
+      updateColumns: Option[Seq[String]] = None): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(mergeKeys.nonEmpty, "mergeKeys must be non-empty")
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val schema = logicalSchema(m)
+    val tgtCols = schema.fieldNames.toSeq
+    mergeKeys.foreach(k => require(tgtCols.contains(k) &&
+      source.columns.contains(k),
+      s"merge key $k must exist in both $root and the source"))
+    source.columns.foreach(c => require(tgtCols.contains(c),
+      s"DV MERGE cannot evolve schema at $root: source column '$c' is " +
+        "not in the snapshot — use the rewrite path with evolveSchema"))
+    val updateCols = updateColumns.getOrElse(
+      source.columns.toSeq.filterNot(mergeKeys.contains))
+    updateCols.foreach(c => require(
+      tgtCols.contains(c) && !mergeKeys.contains(c),
+      s"update column '$c' must be an existing non-key column of $root"))
+    val src = source.localCheckpoint() // envelope, guard, and 3 joins
+    if (src.isEmpty) return curV
+    require(src.groupBy(mergeKeys.map(col): _*).count()
+      .filter(col("count") > 1).isEmpty,
+      s"MERGE source has duplicate rows on (${mergeKeys.mkString(",")}) " +
+        "— each target row may match at most one source row")
+    val keyCol = mergeKeys.head
+    val mayMatch = sourceKeyMayMatch(m, src, keyCol)
+    val candidates = m.entries.filter(mayMatch)
+    val tracked = m.rowIdHw.isDefined
+    val qualifiedRoot = fs.makeQualified(rootPath)
+    val metaFile = graftbridge.ManifestScan.FilePathCol
+    val metaPos = graftbridge.ManifestScan.RowIndexCol
+    val srcKeys = src.select(mergeKeys.map(col): _*)
+    // PASS 1 — matched rows as (keys, file, pos), key columns only
+    // (the scan column-prunes to the keys + row meta); O(matched)
+    // rows, checkpointed once and reused for the mask AND the
+    // insert anti-join
+    val pairs =
+      if (candidates.isEmpty) null
+      else readFiles(m, candidates, withRowMeta = true)
+        .select(mergeKeys.map(col) :+ col(metaFile) :+ col(metaPos): _*)
+        .join(srcKeys, mergeKeys, "left_semi")
+        .localCheckpoint()
+    val newDvDir = newCommitDir(curV + 1)
+    val counts: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
+      else {
+        val matchedPairs = pairs.select(
+          fileRelCol(col(metaFile)).as("file_rel"), col(metaPos).as("pos"))
+        val existingDirs = candidates.flatMap(_.dvDir).distinct
+        val dvAll =
+          if (existingDirs.isEmpty) matchedPairs
+          else matchedPairs.unionByName(readDvRows(existingDirs)).distinct()
+        dvAll.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+        spark.read.schema(dvSchema).parquet(newDvDir.toString)
+          .groupBy("file_rel").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val dvRel = relativize(newDvDir)
+    // PASS 2 — the new images: matched rows updated + unmatched
+    // source rows inserted; row-tracked updates CARRY their id
+    val tgtScan =
+      if (candidates.isEmpty) {
+        val e = readVersion(curV).limit(0)
+        if (tracked) e.withColumn(RowIdPhysCol, lit(null).cast("long"))
+        else e
+      }
+      else if (tracked) logicalize(m, readFilesPhysicalRid(m, candidates))
+      else readFiles(m, candidates)
+    val updates = tgtScan.alias("t").join(src.alias("s"), mergeKeys, "inner")
+      .select(mergeKeys.map(col) ++
+        tgtCols.filterNot(mergeKeys.contains).map { c =>
+          if (updateCols.contains(c) && source.columns.contains(c))
+            col(s"s.$c").as(c)
+          else col(s"t.$c").as(c)
+        } ++
+        (if (tracked) Seq(col(s"t.$RowIdPhysCol").as(RowIdPhysCol))
+         else Seq.empty): _*)
+    val matchedKeys =
+      if (candidates.isEmpty) srcKeys.limit(0)
+      else pairs.select(mergeKeys.map(col): _*).distinct()
+    val inserts = src.join(matchedKeys, mergeKeys, "left_anti")
+      .select(mergeKeys.map(col) ++
+        tgtCols.filterNot(mergeKeys.contains).map { c =>
+          val f = schema(c)
+          if (source.columns.contains(c)) col(c).cast(f.dataType).as(c)
+          else lit(null).cast(f.dataType).as(c)
+        } ++
+        (if (tracked) Seq(lit(null).cast("long").as(RowIdPhysCol))
+         else Seq.empty): _*)
+    val newImages = updates.unionByName(inserts)
+    reconcileAppendSchema(newImages.drop(RowIdPhysCol), schema,
+      allowEvolution = false)
+    enforceConstraints(newImages, m.constraints)
+    val dataDir = newCommitDir(curV + 1)
+    writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
+      dataDir)
+    val added = listCommitFiles(dataDir)
+    def renderedRel(e: ManifestEntry): String = renderKey(
+      qualifiedRoot.toString, new Path(qualifiedRoot, e.relPath).toString)
+    val candByPath = candidates.map(e => e.relPath -> e).toMap
+    val v = commitWithRebase(rebase = true) { () =>
+      val nowV = currentVersion.get
+      val now = readManifest(nowV)
+      require(now.partitionBy == m.partitionBy,
+        s"concurrent write changed partitioning of $root while a DV " +
+          "merge was in flight")
+      require(now.mapping == m.mapping,
+        s"concurrent column rename/drop at $root while a DV merge was " +
+          "in flight; re-run against the new schema")
+      val nowByPath = now.entries.map(e => e.relPath -> e).toMap
+      candidates.foreach { c =>
+        val n = nowByPath.getOrElse(c.relPath, sys.error(
+          s"concurrent write conflict at $root: ${c.relPath} was " +
+            "rewritten while a DV merge was in flight; re-run against " +
+            "the new snapshot"))
+        if (n.dvDir != c.dvDir || n.dvRows != c.dvRows) sys.error(
+          s"concurrent write conflict at $root: ${c.relPath} was " +
+            "re-masked while a DV merge was in flight; re-run against " +
+            "the new snapshot")
+      }
+      val kept = now.entries.flatMap { e =>
+        if (!candByPath.contains(e.relPath)) Some(e)
+        else counts.getOrElse(renderedRel(e), 0L) match {
+          case 0L => Some(e) // nothing of this file matched
+          case masked if masked >= e.rows => None // fully retired
+          case masked => Some(e.copy(dvDir = Some(dvRel), dvRows = masked))
+        }
+      }
+      val next = nowV + 1
+      val (added2, hw2) = assignRowIds(now.rowIdHw, added)
+      val entries = (kept ++ added2) match {
+        // every stored row retired and nothing new written: keep ONE
+        // fully-masked entry so the manifest stays non-empty
+        case Seq() => Seq(candidates.head.copy(
+          dvDir = Some(dvRel), dvRows = candidates.head.rows))
+        case es => es
+      }
+      writeManifest(next, now.copy(entries = entries, rowIdHw = hw2))
+      appendHistory(next, s"MERGE DV ON (${mergeKeys.mkString(",")})",
+        entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+    refreshBloomIndexes(v)
+    v
+  }
+
+  /** Row-level UPDATE of `column` ∈ [lo, hi] via DELETION VECTORS —
+    * [[updateBetween]] with O(changed rows) write amplification: the
+    * matched rows are masked out of their files (never rewritten) and
+    * their updated images appended, one atomic commit, exactly the
+    * [[mergeVectorized]] mechanics with the match coming from a
+    * predicate instead of a source join. Row-tracked tables carry
+    * each updated row's id, so the change feed reports updates as
+    * update pre/post image pairs. Partition columns can't be set
+    * (Delta's rule — use a MERGE); concurrency as
+    * [[deleteVectorized]] (WriteSerializable). */
+  def updateVectorizedBetween(column: String, lo: Double, hi: Double,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(set.nonEmpty, "updateVectorizedBetween needs a column to set")
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val schema = logicalSchema(m)
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"update sets unknown column '$k' at $root"))
+    require(!set.keys.exists(m.partitionBy.contains),
+      s"cannot update partition columns of $root in place " +
+        "(rows would change partitions) — use a MERGE")
+    val mayMatch =
+      rangeMayMatch(m.partitionBy.toSet, physFor(m, column), lo, hi) _
+    val candidates = m.entries.filter(mayMatch)
+    if (candidates.isEmpty) return curV // provably nothing to update
+    val matches = col(column) >= lo && col(column) <= hi
+    val tracked = m.rowIdHw.isDefined
+    val qualifiedRoot = fs.makeQualified(rootPath)
+    val metaFile = graftbridge.ManifestScan.FilePathCol
+    val metaPos = graftbridge.ManifestScan.RowIndexCol
+    // PASS 1 — mask the matched rows (predicate-column-pruned scan)
+    val matchedPairs = readFiles(m, candidates, withRowMeta = true)
+      .filter(matches)
+      .select(fileRelCol(col(metaFile)).as("file_rel"),
+        col(metaPos).as("pos"))
+    val existingDirs = candidates.flatMap(_.dvDir).distinct
+    val dvAll =
+      if (existingDirs.isEmpty) matchedPairs
+      else matchedPairs.unionByName(readDvRows(existingDirs)).distinct()
+    val newDvDir = newCommitDir(curV + 1)
+    dvAll.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+    val dvRel = relativize(newDvDir)
+    val counts: Map[String, Long] = spark.read.schema(dvSchema)
+      .parquet(newDvDir.toString).groupBy("file_rel").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // PASS 2 — the updated images, ids carried on tracked tables
+    val scan =
+      if (tracked) logicalize(m, readFilesPhysicalRid(m, candidates))
+      else readFiles(m, candidates)
+    val newImages = scan.filter(matches)
+      .select(schema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(expr) => expr.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      } ++ (if (tracked) Seq(col(RowIdPhysCol)) else Seq.empty): _*)
+    enforceConstraints(newImages, m.constraints)
+    val dataDir = newCommitDir(curV + 1)
+    writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
+      dataDir)
+    val added = listCommitFiles(dataDir)
+    def renderedRel(e: ManifestEntry): String = renderKey(
+      qualifiedRoot.toString, new Path(qualifiedRoot, e.relPath).toString)
+    val candByPath = candidates.map(e => e.relPath -> e).toMap
+    val v = commitWithRebase(rebase = true) { () =>
+      val nowV = currentVersion.get
+      val now = readManifest(nowV)
+      require(now.partitionBy == m.partitionBy,
+        s"concurrent write changed partitioning of $root while a DV " +
+          "update was in flight")
+      require(now.mapping == m.mapping,
+        s"concurrent column rename/drop at $root while a DV update " +
+          "was in flight; re-run against the new schema")
+      val nowByPath = now.entries.map(e => e.relPath -> e).toMap
+      candidates.foreach { c =>
+        val n = nowByPath.getOrElse(c.relPath, sys.error(
+          s"concurrent write conflict at $root: ${c.relPath} was " +
+            "rewritten while a DV update was in flight; re-run against " +
+            "the new snapshot"))
+        if (n.dvDir != c.dvDir || n.dvRows != c.dvRows) sys.error(
+          s"concurrent write conflict at $root: ${c.relPath} was " +
+            "re-masked while a DV update was in flight; re-run against " +
+            "the new snapshot")
+      }
+      val kept = now.entries.flatMap { e =>
+        if (!candByPath.contains(e.relPath)) Some(e)
+        else counts.getOrElse(renderedRel(e), 0L) match {
+          case 0L => Some(e)
+          case masked if masked >= e.rows => None
+          case masked => Some(e.copy(dvDir = Some(dvRel), dvRows = masked))
+        }
+      }
+      val next = nowV + 1
+      val (added2, hw2) = assignRowIds(now.rowIdHw, added)
+      val entries = (kept ++ added2) match {
+        case Seq() => Seq(candidates.head.copy(
+          dvDir = Some(dvRel), dvRows = candidates.head.rows))
+        case es => es
+      }
+      writeManifest(next, now.copy(entries = entries, rowIdHw = hw2))
+      appendHistory(next, s"UPDATE DV $column IN [$lo,$hi]",
+        entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+    refreshBloomIndexes(v)
+    v
+  }
+
   /** M1 on a versioned table: OPTIMIZE as a NEW version (Delta
     * semantics). Rewrites the current snapshot into ~`targetFileMB`
     * files as a fresh commit; prior versions keep referencing the old

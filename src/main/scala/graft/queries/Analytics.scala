@@ -1010,6 +1010,64 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** STREAMING CDC APPLY ON A STRING KEY (q242): q211's composed loop
+    * with the merge key a DOC-ID STRING — the key shape LLM-pipeline
+    * dimension tables actually use. The sink's stats-pruned fold now
+    * rides the manifest's short-ASCII string min/max (M12 →
+    * [[graft.io.VersionedTable.scanMayMatchString]]): each narrow
+    * batch replaceWhere-rewrites only the files whose STRING key
+    * range it may touch and re-references the rest byte-identically
+    * (StreamingSpec pins the file-level contract) — before r15 a
+    * string key silently fell back to a FULL table overwrite per
+    * batch. Feed: even keys seed at seq 1; a narrow band updates at
+    * seq 2 (odd keys in the band become inserts); a disjoint band
+    * deletes at seq 2. The oracle folds the whole feed relationally
+    * (per-key max seq, survivor op ≠ delete). */
+  def streamCdcApplyStringKey(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base0 = java.nio.file.Files
+      .createTempDirectory("graft-cdc-strkey").toString
+    val feedRoot = s"$base0/feed"
+    val targetRoot = s"$base0/target"
+    val feedVt = new graft.io.VersionedTable(spark, feedRoot)
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 3000)
+      .select(
+        concat(lit("d"), lpad(col("o_orderkey").cast("string"), 7, "0"))
+          .as("doc_id"),
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long").as("cents"))
+      .localCheckpoint()
+    def commit(df: DataFrame, mode: org.apache.spark.sql.SaveMode): Unit = {
+      feedVt.write(df.coalesce(1), mode); ()
+    }
+    def drain(): Unit = {
+      val q = graft.streaming.Streaming.changeFeedSource(spark, feedRoot)
+        .writeStream
+        .option("checkpointLocation", s"$base0/ckpt")
+        .foreachBatch(graft.streaming.Streaming.versionedApplyChangesBatch(
+          targetRoot, "cdc-apply-q242", Seq("doc_id"), "seq", "op"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    commit(o.filter(col("k") % 2 === 0)
+      .select(col("doc_id"), col("cents"), lit(1L).as("seq"),
+        lit("upsert").as("op")), org.apache.spark.sql.SaveMode.Overwrite)
+    drain() // batch 0: even keys seed the dimension
+    commit(o.filter(col("k").between(500, 800))
+      .select(col("doc_id"), (col("cents") + 7).as("cents"),
+        lit(2L).as("seq"), lit("upsert").as("op"))
+      .unionByName(o.filter(col("k").between(900, 1200))
+        .select(col("doc_id"), lit(0L).as("cents"), lit(2L).as("seq"),
+          lit("delete").as("op"))),
+      org.apache.spark.sql.SaveMode.Append)
+    drain() // batch 1: narrow-band updates/inserts + disjoint deletes
+    new graft.io.VersionedTable(spark, targetRoot).read()
+      .select(col("doc_id"), col("cents"), col("seq"))
+      .orderBy("doc_id")
+  }
+
   /** STREAMING GOLD-TABLE MAINTENANCE (q230): the reference's gold
     * job in streaming form, closed end to end — `events stream →
     * watermarked 1-day windowed agg (update mode) → foreachBatch
@@ -1918,6 +1976,7 @@ object Analytics {
     "q175_triangle_count" -> triangleCount,
     "q210_cdf_timestamp" -> changeFeedFromTimestamp,
     "q211_stream_cdc_apply" -> streamCdcApply,
+    "q242_stream_cdc_string_key" -> streamCdcApplyStringKey,
     "q220_bounded_replay" -> boundedReplay,
     "q212_label_prop" -> labelPropParts,
     "q215_lpa_modularity" -> labelPropModularity,
@@ -2018,6 +2077,30 @@ object Analytics {
            FROM feed)
          SELECT k AS o_orderkey, v AS cents, seq FROM latest
          WHERE rn = 1 AND op <> 'delete' ORDER BY o_orderkey""",
+    "q242_stream_cdc_string_key" ->
+      // the string-keyed feed folded relationally: per-doc-id max seq
+      // wins, a surviving 'delete' leaves the table — a sink that
+      // loses pruned-away state rows (the r15 string-envelope path),
+      // re-applies a batch, or drops the delete band hash-mismatches
+      """WITH o AS (SELECT
+             'd' || lpad(CAST(o_orderkey AS VARCHAR), 7, '0') AS doc_id,
+             o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+               AS cents
+           FROM orders WHERE o_orderkey <= 3000),
+         feed AS (
+           SELECT doc_id, cents AS v, CAST(1 AS BIGINT) AS seq,
+             'upsert' AS op FROM o WHERE k % 2 = 0
+           UNION ALL SELECT doc_id, cents + 7, 2, 'upsert' FROM o
+             WHERE k BETWEEN 500 AND 800
+           UNION ALL SELECT doc_id, 0, 2, 'delete' FROM o
+             WHERE k BETWEEN 900 AND 1200),
+         latest AS (SELECT doc_id, v, seq, op,
+             row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+               AS rn
+           FROM feed)
+         SELECT doc_id, v AS cents, seq FROM latest
+         WHERE rn = 1 AND op <> 'delete' ORDER BY doc_id""",
     "q220_bounded_replay" ->
       // the stream's ending bound admits v0 (keys ≡0 mod 3) and v1
       // (≡1) and must never plan v2 (≡2): a source snapshotting at

@@ -443,6 +443,62 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** DV-BACKED MERGE (q240; Delta 3.x deletion-vector DML,
+    * [[graft.io.VersionedTable.mergeVectorized]]): the q13 upsert
+    * semantics with O(changed rows) write amplification — matched
+    * rows are retired by (file, row_index) masks, their updated
+    * images plus the inserts land as appended files, and NO data file
+    * is rewritten (DvMergeSpec pins the file-level contract:
+    * untouched files survive byte-identical, only a sidecar + image
+    * files are written). Keys ≡0 mod 7 update (matched where ≢0 mod
+    * 5, inserted where ≡0 mod 5 — the target excludes those), so one
+    * source exercises both clauses. The target is range-clustered on
+    * the key so the source envelope stats-prunes the candidate set —
+    * the 100 TB shape: a churn batch masks rows in the few files its
+    * key range touches and appends its own images, a KB-scale commit
+    * against a TB-scale table. The oracle replays the merge as a
+    * full-outer coalesce; money rides as exact integer cents. */
+  def mergeDv(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-dvmerge")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val cents = (col("o_totalprice").cast("decimal(18,4)") * 100)
+      .cast("long")
+    vt.write(o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"), cents.as("cents"), col("o_orderstatus"))
+      .repartitionByRange(8, col("o_orderkey")))
+    val source = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), (cents + 13).as("cents"),
+        lit("U").as("o_orderstatus"))
+    vt.mergeVectorized(source, Seq("o_orderkey"))
+    vt.read().orderBy("o_orderkey")
+  }
+
+  /** DV-BACKED UPDATE (q241;
+    * [[graft.io.VersionedTable.updateVectorizedBetween]]): the q42
+    * row-level UPDATE re-expressed as mask + append — the matched
+    * band's rows are DV-masked out of their files and their updated
+    * images appended in one atomic commit, so a 0.1%-band update on
+    * a 100 TB table writes O(band) bytes instead of rewriting every
+    * touched file. Range-clustered layout makes the band's candidate
+    * set a few files (stats pruning); the oracle is the plain CASE
+    * WHEN restatement. DvMergeSpec pins equivalence with the rewrite
+    * path and the CDF update pre/post images on tracked tables. */
+  def updateDv(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-dvupdate")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(o.select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"), col("o_orderstatus"))
+      .repartitionByRange(8, col("o_orderkey")))
+    vt.updateVectorizedBetween("o_orderkey", 1000, 3000,
+      Map("cents" -> (col("cents") + 5L), "o_orderstatus" -> lit("Z")))
+    vt.read().orderBy("o_orderkey")
+  }
+
   /** APPLY CHANGES / SCD-Type-1 CDC apply (q204;
     * `Upsert.applyChanges` — the DLT `APPLY CHANGES INTO` shape): two
     * CDC batches with overlapping keys land IN ONE FEED — sequence 1
@@ -2079,6 +2135,8 @@ object Relational {
     "q133_merge_clauses" -> mergeWithClauses,
     "q196_merge_evolve" -> mergeEvolveVersioned,
     "q219_merge_sync_snapshot" -> mergeSyncSnapshot,
+    "q240_merge_dv" -> mergeDv,
+    "q241_update_dv" -> updateDv,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -2723,6 +2781,43 @@ object Relational {
          FROM j
          WHERE sm OR (tm AND tstat = 'F')
          ORDER BY o_orderkey""",
+    "q240_merge_dv" ->
+      // the DV merge must equal the plain upsert replay: matched keys
+      // take the source's values, unmatched source keys insert,
+      // untouched target rows pass through — a mask that retired the
+      // wrong rows, a lost insert, or a stale surviving image all
+      // hash-mismatch; cents are exact integers on both engines
+      """WITH t AS (
+           SELECT o_orderkey AS k,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents,
+                  o_orderstatus AS st
+           FROM orders WHERE o_orderkey % 5 <> 0),
+         s AS (
+           SELECT o_orderkey AS k,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) + 13 AS cents,
+                  'U' AS st
+           FROM orders WHERE o_orderkey % 7 = 0)
+         SELECT COALESCE(s.k, t.k) AS o_orderkey,
+                COALESCE(s.cents, t.cents) AS cents,
+                COALESCE(s.st, t.st) AS o_orderstatus
+         FROM t FULL OUTER JOIN s ON t.k = s.k
+         ORDER BY o_orderkey""",
+    "q241_update_dv" ->
+      // the DV update is the CASE WHEN restatement: masked-band rows
+      // carry the new values, every other row must survive EXACTLY
+      // (a mask leaking outside the band, or a lost unmasked row,
+      // hash-mismatches)
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+                     THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                       AS BIGINT) + 5
+                     ELSE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                       AS BIGINT) END AS cents,
+                CASE WHEN o_orderkey BETWEEN 1000 AND 3000 THEN 'Z'
+                     ELSE o_orderstatus END AS o_orderstatus
+         FROM orders ORDER BY o_orderkey""",
     "q133_merge_clauses" ->
       // four clause outcomes: matched+delete drops, matched+upsert
       // takes source values, unmatched delete-commands never insert,

@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VersionedTable
+import graft.incremental.Upsert
+
+/** DV-backed MERGE / UPDATE (Delta 3.x deletion-vector DML): matched
+  * rows are retired by masks, their new images appended — write
+  * amplification O(changed rows), no data file ever rewritten. The
+  * specs pin (a) row-for-row equivalence with the rewrite path,
+  * (b) the file-level contract (untouched files byte-identical, only
+  * a sidecar + new-image files written), and (c) exact CDF update
+  * pre/post images through the row-tracking machinery. */
+class DvMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Range-clustered table: ids 0..n-1 sorted, so manifest stats can
+    * prove most files outside a narrow key envelope. */
+  private def freshTable(prefix: String, n: Int = 1000,
+      tracked: Boolean = false): (VersionedTable, String) = {
+    val root = Fixtures.tempDir(prefix) + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val df = (0 until n).map(i => (i.toLong, s"s$i", i * 10L))
+      .toDF("id", "s", "v").repartitionByRange(8, col("id"))
+    vt.write(df)
+    if (tracked) vt.enableRowTracking()
+    (vt, root)
+  }
+
+  test("mergeVectorized == rewrite-path upsert, row for row") {
+    val (vt, _) = freshTable("graft-dvm-equiv")
+    val before = vt.read().localCheckpoint()
+    // updates on a narrow band + inserts beyond the table
+    val source = ((100 until 120).map(i => (i.toLong, s"u$i", -1L)) ++
+      (2000 until 2010).map(i => (i.toLong, s"n$i", -2L)))
+      .toDF("id", "s", "v")
+    val expected = Upsert.upsert(before, source, Seq("id"))
+      .collect().map(_.toSeq).toSet
+    vt.mergeVectorized(source, Seq("id"))
+    val got = vt.read().collect().map(_.toSeq).toSet
+    assert(got === expected)
+    assert(vt.read().count() === 1010L)
+  }
+
+  test("file contract: untouched files byte-identical, only a DV " +
+      "sidecar and new-image files written") {
+    val (vt, _) = freshTable("graft-dvm-files")
+    val v0 = vt.currentVersion.get
+    val before = vt.manifestEntries(v0)
+    val source = (100 until 120).map(i => (i.toLong, s"u$i", -1L))
+      .toDF("id", "s", "v")
+    val v1 = vt.mergeVectorized(source, Seq("id"))
+    val after = vt.manifestEntries(v1)
+    val beforeByPath = before.map(e => e.relPath -> e).toMap
+    // every pre-merge file is STILL REFERENCED (never rewritten),
+    // with identical bytes/rows
+    assert(before.map(_.relPath).toSet.subsetOf(after.map(_.relPath).toSet))
+    after.filter(e => beforeByPath.contains(e.relPath)).foreach { e =>
+      val b = beforeByPath(e.relPath)
+      assert(e.bytes === b.bytes && e.rows === b.rows)
+    }
+    // masked rows = exactly the 20 matched rows, on files whose stats
+    // admit the envelope; stats-excluded files carry no DV
+    assert(after.map(_.dvRows).sum === 20L)
+    after.filter(_.dvDir.isDefined).foreach(e =>
+      assert(e.stats.get("id").exists { case (mn, mx) =>
+        mx >= 100.0 && mn <= 119.0 }))
+    after.filter(e => beforeByPath.contains(e.relPath) &&
+        e.stats.get("id").exists { case (mn, mx) =>
+          mx < 100.0 || mn > 119.0 })
+      .foreach(e => assert(e.dvDir.isEmpty))
+    // new files hold exactly the 20 update images
+    val newFiles = after.filterNot(e => beforeByPath.contains(e.relPath))
+    assert(newFiles.nonEmpty && newFiles.map(_.rows).sum === 20L)
+    // snapshot isolation: v0 unchanged
+    assert(vt.readVersion(v0).filter(col("s").startsWith("u")).count() === 0L)
+  }
+
+  test("CDF over a DV merge: exact update pre/post images, inserts " +
+      "as inserts, no-op updates emit nothing") {
+    val (vt, _) = freshTable("graft-dvm-cdf", tracked = true)
+    val v0 = vt.currentVersion.get
+    val source = Seq(
+      (50L, "changed", 999L),   // real update
+      (51L, "s51", 510L),       // NO-OP: equals the stored row
+      (5000L, "fresh", 1L))     // insert
+      .toDF("id", "s", "v")
+    val v1 = vt.mergeVectorized(source, Seq("id"))
+    val feed = vt.changesWithUpdates(v0, v1)
+      .select("id", "s", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(feed === Set(
+      (50L, "s50", 500L, "update_preimage"),
+      (50L, "changed", 999L, "update_postimage"),
+      (5000L, "fresh", 1L, "insert")))
+    // the update kept its row id (pre and post pair under one id)
+    val ids = vt.changesWithUpdates(v0, v1).filter(col("id") === 50L)
+      .select("_row_id").as[Long].collect().toSet
+    assert(ids.size === 1)
+  }
+
+  test("pure-insert merge: no file masked, inserts appended") {
+    val (vt, _) = freshTable("graft-dvm-insert")
+    val v0 = vt.currentVersion.get
+    val source = (5000 until 5020).map(i => (i.toLong, s"n$i", 0L))
+      .toDF("id", "s", "v")
+    val v1 = vt.mergeVectorized(source, Seq("id"))
+    val after = vt.manifestEntries(v1)
+    assert(after.forall(_.dvRows === 0L))
+    assert(vt.read().count() === 1020L)
+    assert(v1 === v0 + 1)
+  }
+
+  test("string keys: envelope prunes via string stats, result exact") {
+    val root = Fixtures.tempDir("graft-dvm-str") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    val df = (0 until 1000).map(i => (f"doc$i%04d", i.toLong))
+      .toDF("doc_id", "score").repartitionByRange(8, col("doc_id"))
+    vt.write(df)
+    val before = vt.manifestEntries(vt.currentVersion.get)
+    val source = Seq(("doc0100", -1L), ("doc0105", -2L), ("zzz", 7L))
+      .toDF("doc_id", "score")
+    val v1 = vt.mergeVectorized(source, Seq("doc_id"))
+    val after = vt.manifestEntries(v1)
+    // only files whose string stats admit ["doc0100","zzz"] are masked
+    val beforePaths = before.map(_.relPath).toSet
+    after.filter(e => beforePaths.contains(e.relPath) &&
+        e.strStats.get("doc_id").exists { case (_, mx) => mx < "doc0100" })
+      .foreach(e => assert(e.dvDir.isEmpty))
+    assert(after.map(_.dvRows).sum === 2L)
+    assert(vt.read().filter(col("doc_id") === "doc0100")
+      .select("score").as[Long].head() === -1L)
+    assert(vt.read().count() === 1001L)
+  }
+
+  test("duplicate source keys are refused") {
+    val (vt, _) = freshTable("graft-dvm-dup", n = 100)
+    val source = Seq((1L, "a", 0L), (1L, "b", 0L)).toDF("id", "s", "v")
+    val e = intercept[IllegalArgumentException] {
+      vt.mergeVectorized(source, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("updateVectorizedBetween == updateBetween semantics, files " +
+      "untouched, CDF reports updates") {
+    val (vt, _) = freshTable("graft-dvm-upd", tracked = true)
+    val v0 = vt.currentVersion.get
+    val before = vt.manifestEntries(v0)
+    val v1 = vt.updateVectorizedBetween("id", 100, 119,
+      Map("v" -> (col("v") + 1L)))
+    val after = vt.manifestEntries(v1)
+    // no pre-update file rewritten
+    assert(before.map(_.relPath).toSet.subsetOf(after.map(_.relPath).toSet))
+    assert(after.map(_.dvRows).sum === 20L)
+    // values: the 20 rows bumped, everything else untouched
+    assert(vt.read().filter(col("id").between(100, 119))
+      .select(sum(col("v") - col("id") * 10L)).as[Long].head() === 20L)
+    assert(vt.read().filter(!col("id").between(100, 119))
+      .filter(col("v") =!= col("id") * 10L).count() === 0L)
+    assert(vt.read().count() === 1000L)
+    // CDF: 20 update pairs, ids carried
+    val feed = vt.changesWithUpdates(v0, v1)
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .count() === 20L)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .count() === 20L)
+    assert(feed.filter(col("_change_type").isin("insert", "delete"))
+      .count() === 0L)
+  }
+
+  test("repeated DV merges compose: masks union, time travel intact") {
+    val (vt, _) = freshTable("graft-dvm-repeat", n = 200)
+    val s1 = Seq((10L, "a1", -1L)).toDF("id", "s", "v")
+    val s2 = Seq((10L, "a2", -2L), (11L, "b2", -3L)).toDF("id", "s", "v")
+    val v1 = vt.mergeVectorized(s1, Seq("id"))
+    val v2 = vt.mergeVectorized(s2, Seq("id"))
+    assert(vt.read().count() === 200L)
+    assert(vt.read().filter(col("id") === 10L).select("s")
+      .as[String].head() === "a2")
+    assert(vt.readVersion(v1).filter(col("id") === 10L).select("s")
+      .as[String].head() === "a1")
+    assert(vt.readVersion(0L).filter(col("id") === 10L).select("s")
+      .as[String].head() === "s10")
+    assert(v2 === v1 + 1)
+  }
+}

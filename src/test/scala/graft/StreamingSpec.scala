@@ -874,4 +874,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-insert _change_type"))
   }
 
+  test("versionedApplyChangesBatch: STRING keys prune via string " +
+    "stats — files outside the batch's key range are re-referenced") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-cdc-strprune")
+    val root = s"$base/tbl"
+    val sink = Streaming.versionedApplyChangesBatch(root, "t7",
+      Seq("k"), "seq", "op")
+    val vt = new VersionedTable(spark, root)
+    // doc-id-keyed dimension state, range-clustered into several files
+    vt.write((1 to 400).map(i => (f"doc$i%04d", s"v$i", 1L))
+      .toDF("k", "v", "seq")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k")),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    val before = vt.manifestEntries(vt.currentVersion.get)
+    assert(before.size > 1, "seed must produce several files")
+    assert(before.forall(_.strStats.contains("k")),
+      "short-ASCII keys must carry string stats")
+    // the batch touches only ["doc0010", "doc0020"]
+    sink((10 to 20).map(i => (f"doc$i%04d", s"u$i", 2L, "upsert"))
+      .toDF("k", "v", "seq", "op"), 0L)
+    val after = vt.manifestEntries(vt.currentVersion.get)
+    val afterPaths = after.map(_.relPath).toSet
+    val (touched, untouched) = before.partition(e =>
+      e.strStats.get("k").forall { case (mn, mx) =>
+        mx >= "doc0010" && mn <= "doc0020" })
+    assert(untouched.nonEmpty, "some files must be provably outside")
+    untouched.foreach(e => assert(afterPaths.contains(e.relPath),
+      s"${e.relPath} is outside the batch's string key range and must " +
+        "be re-referenced, not rewritten"))
+    touched.foreach(e => assert(!afterPaths.contains(e.relPath),
+      s"${e.relPath} overlaps the batch's key range and must be rewritten"))
+    val st = vt.read().collect()
+      .map(r => r.getAs[String]("k") -> r.getAs[String]("v")).toMap
+    assert(st.size === 400)
+    assert(st("doc0009") === "v9" && st("doc0010") === "u10" &&
+      st("doc0020") === "u20" && st("doc0021") === "v21")
+  }
+
+  test("versionedApplyChangesBatch: a batch with NULL keys falls back " +
+    "to the full fold — the stored null-key row is never duplicated") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-cdc-nullkey")
+    val root = s"$base/tbl"
+    val sink = Streaming.versionedApplyChangesBatch(root, "t8",
+      Seq("k"), "seq", "op")
+    val vt = new VersionedTable(spark, root)
+    // state: numeric-clustered files PLUS one null-key row — the null
+    // row's file stats ignore NULLs, so a numeric envelope could
+    // prove it absent while the batch's null row folds blind
+    vt.write(((1 to 200).map(i => (Some(i.toLong), s"v$i", 1L)) :+
+      ((Option.empty[Long], "vnull", 1L))).toDF("k", "v", "seq")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k")),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    // batch mixes a narrow numeric key with a NULL key update
+    sink(Seq((Some(10L), "u10", 2L, "upsert"),
+      (Option.empty[Long], "unull", 2L, "upsert"))
+      .toDF("k", "v", "seq", "op"), 0L)
+    val nulls = vt.read()
+      .filter(org.apache.spark.sql.functions.col("k").isNull).collect()
+    assert(nulls.length === 1, "exactly one null-key row must survive")
+    assert(nulls.head.getAs[String]("v") === "unull")
+    assert(vt.read().count() === 201L)
+    // and keys beyond 2^53 fold exactly too (full-fold fallback)
+    val big = Long.MaxValue - 10
+    sink(Seq((Some(big), "ubig", 3L, "upsert"))
+      .toDF("k", "v", "seq", "op"), 1L)
+    assert(vt.read().filter(
+      org.apache.spark.sql.functions.col("k") === big).count() === 1L)
+    assert(vt.read().count() === 202L)
+  }
+
 }
