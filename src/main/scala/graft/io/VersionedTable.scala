@@ -2248,6 +2248,121 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** Commit timestamps (M33 monotone in-commit time) for versions in
+    * (fromV, toV] — one bounded history walk. Fails loudly on a
+    * missing line: stamping a guessed time would corrupt every
+    * downstream cursor keyed on it. */
+  private def commitTimestamps(fromV: Long, toV: Long)
+      : Map[Long, java.sql.Timestamp] = {
+    val byV = history(limit = Int.MaxValue)
+      .filter(h => h.version > fromV && h.version <= toV)
+      .map(h => h.version -> java.sql.Timestamp.from(
+        java.time.Instant.parse(h.timestamp))).toMap
+    ((fromV + 1) to toV).foreach(v => require(byV.contains(v),
+      s"no history line for version $v of $root — cannot stamp " +
+        "_commit_timestamp"))
+    byV
+  }
+
+  /** Change feed WITH COMMIT METADATA (Delta CDF's `_commit_version` /
+    * `_commit_timestamp` columns — the fields downstream consumers key
+    * cursors, audits, and SCD2 effective-dates off): [[changes]]
+    * computed per VERSION slice, each stamped with its version (a
+    * plan-time literal — the version is known per planned file set)
+    * and its M33 in-commit timestamp. Cost is the same O(changed
+    * files) as the endpoint diff: each slice plans only the files its
+    * version added/re-masked, and the version loop is driver-side
+    * manifest arithmetic. Slices align to `toV`'s logical schema, so
+    * a range crossing a schema evolution still unions. */
+  def changesWithMeta(fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromV <= toV,
+      s"changesWithMeta range is backwards: $fromV > $toV")
+    require(fromV >= -1, s"changesWithMeta fromV must be >= -1: $fromV")
+    val target = logicalSchema(readManifest(toV))
+    val tsByV = commitTimestamps(fromV, toV)
+    def align(df: DataFrame): DataFrame =
+      df.select(target.fields.toSeq.map { f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)
+      } ++ Seq(col("_change_type"), col("_commit_version"),
+        col("_commit_timestamp")): _*)
+    val empty = align(changes(toV, toV)
+      .withColumn("_commit_version", lit(null).cast("long"))
+      .withColumn("_commit_timestamp", lit(null).cast("timestamp")))
+      .limit(0)
+    ((fromV + 1) to toV).map { v =>
+      // fromV = -1 admits the CREATING commit: the v0 slice is the
+      // whole v0 snapshot as inserts (the empty-prelude diff)
+      val slice =
+        if (v == 0L) readVersion(0L)
+          .withColumn("_change_type", lit("insert"))
+        else changes(v - 1, v)
+      align(slice
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(tsByV(v))))
+    }.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** [[changesWithUpdates]] with the commit-metadata columns — the
+    * row-tracked update-image feed, per-version sliced and stamped:
+    * each update pre/post pair (and insert/delete) carries the
+    * version and M33 commit time of the commit that produced it.
+    * Same O(changed files) planning per slice. */
+  def changesWithUpdatesMeta(fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV <= toV,
+      s"changesWithUpdatesMeta range is backwards: $fromV > $toV")
+    val tsByV = commitTimestamps(fromV, toV)
+    val empty = changesWithUpdates(toV, toV)
+      .withColumn("_commit_version", lit(null).cast("long"))
+      .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
+      .limit(0)
+    ((fromV + 1) to toV).map { v =>
+      changesWithUpdates(v - 1, v)
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(tsByV(v)))
+    }.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** [[changesBetweenTimestamps]] with the commit-metadata columns —
+    * same endpoint resolution (start rounds FORWARD, end rounds
+    * BACK), the feed itself per-version stamped. */
+  def changesBetweenTimestampsWithMeta(fromTs: String,
+      toTs: String): DataFrame = {
+    val fromV = firstVersionAtOrAfter(fromTs).getOrElse(sys.error(
+      s"no commit of $root at or after $fromTs " +
+        s"(newest: ${history(limit = 1).headOption.map(_.timestamp)
+          .getOrElse("none")})"))
+    val toV = versionAtTimestamp(toTs)
+    require(fromV <= toV,
+      s"no commit of $root inside [$fromTs, $toTs]")
+    changesWithMeta(fromV - 1, toV)
+  }
+
+  /** [[streamChangeBatch]] with the commit-metadata columns: the
+    * range splits into per-version slices, each stamped with its
+    * version literal and M33 in-commit timestamp; the initial
+    * snapshot batch stamps the snapshot's own version (Delta's CDF
+    * streaming behavior). Same O(changed files) planning. */
+  def streamChangeBatchMeta(fromV: Option[Long], toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    fromV match {
+      case None =>
+        val ts = commitTimestamps(toV - 1, toV)(toV)
+        streamChangeBatch(None, toV)
+          .withColumn("_commit_version", lit(toV))
+          .withColumn("_commit_timestamp", lit(ts))
+      case Some(f) =>
+        val tsByV = commitTimestamps(f, toV)
+        ((f + 1) to toV).map { v =>
+          streamChangeBatch(Some(v - 1), v)
+            .withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", lit(tsByV(v)))
+        }.reduce(_ unionByName _)
+    }
+  }
+
   // ------------------------------------------------------ column mapping
 
   private val identRe = "^[A-Za-z_][A-Za-z0-9_]*$".r

@@ -475,6 +475,41 @@ object Relational {
     vt.read().orderBy("o_orderkey")
   }
 
+  /** CDF COMMIT METADATA (q243; Delta CDF `_commit_version` /
+    * `_commit_timestamp`, [[graft.io.VersionedTable.changesWithMeta]]):
+    * the change feed per VERSION slice, each row stamped with the
+    * version that produced it — the columns downstream consumers key
+    * cursors, audits, and SCD2 effective-dates off. v0 creates (keys
+    * ≡0 mod 3), v1 appends (≡1 mod 3), v2 DV-deletes a band; the feed
+    * over (0, 2] must attribute the inserts to v1 and the deletes to
+    * v2 exactly (the oracle stamps versions from the known commit
+    * partition of the data). `_commit_timestamp` is wall-clock (M33
+    * monotone commit time) so the hash covers its PRESENCE
+    * (`has_ts`); CdfMetaSpec pins the monotonicity. Planning stays
+    * O(changed files) per appended slice; a masked slice pays the
+    * value-diff fallback by [[graft.io.VersionedTable.changes]]'s
+    * contract. */
+  def cdfCommitMeta(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-cdfmeta")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val cents = (col("o_totalprice").cast("decimal(18,4)") * 100)
+      .cast("long")
+    vt.write(o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), cents.as("cents"))
+      .repartitionByRange(4, col("o_orderkey"))) // v0
+    vt.write(o.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), cents.as("cents")),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    vt.deleteVectorized("o_orderkey", 1000, 2000) // v2
+    vt.changesWithMeta(0L, 2L)
+      .select(col("o_orderkey"), col("cents"), col("_change_type"),
+        col("_commit_version"),
+        col("_commit_timestamp").isNotNull.as("has_ts"))
+      .orderBy("o_orderkey", "_commit_version", "_change_type")
+  }
+
   /** DV-BACKED UPDATE (q241;
     * [[graft.io.VersionedTable.updateVectorizedBetween]]): the q42
     * row-level UPDATE re-expressed as mask + append — the matched
@@ -2137,6 +2172,7 @@ object Relational {
     "q219_merge_sync_snapshot" -> mergeSyncSnapshot,
     "q240_merge_dv" -> mergeDv,
     "q241_update_dv" -> updateDv,
+    "q243_cdf_commit_meta" -> cdfCommitMeta,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -2818,6 +2854,25 @@ object Relational {
                 CASE WHEN o_orderkey BETWEEN 1000 AND 3000 THEN 'Z'
                      ELSE o_orderstatus END AS o_orderstatus
          FROM orders ORDER BY o_orderkey""",
+    "q243_cdf_commit_meta" ->
+      // versions are stamped from the known commit partition of the
+      // data: v1 = the %3=1 appends as inserts, v2 = the band's
+      // then-alive rows as deletes — a feed that mis-attributes a row
+      // to the wrong commit, leaks v0 snapshot rows, or loses the
+      // timestamp column hash-mismatches
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+               AS cents
+           FROM orders),
+         f AS (
+           SELECT k, cents, 'insert' AS ct, CAST(1 AS BIGINT) AS cv
+           FROM o WHERE k % 3 = 1
+           UNION ALL
+           SELECT k, cents, 'delete', 2 FROM o
+           WHERE k % 3 IN (0, 1) AND k BETWEEN 1000 AND 2000)
+         SELECT k AS o_orderkey, cents, ct AS _change_type,
+                cv AS _commit_version, TRUE AS has_ts
+         FROM f ORDER BY o_orderkey, _commit_version, _change_type""",
     "q133_merge_clauses" ->
       // four clause outcomes: matched+delete drops, matched+upsert
       // takes source values, unmatched delete-commands never insert,

@@ -491,12 +491,17 @@ object Streaming {
       startingVersion: Option[Long] = None,
       startingTimestamp: Option[String] = None,
       endingVersion: Option[Long] = None,
-      endingTimestamp: Option[String] = None): DataFrame = {
-    val r0 = spark.readStream
+      endingTimestamp: Option[String] = None,
+      withCommitMeta: Boolean = false): DataFrame = {
+    val r00 = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
       .option("path", root)
       .option("readChangeFeed", "true")
+    // Delta CDF's _commit_version/_commit_timestamp columns, stamped
+    // per version slice from the manifest log + M33 commit times
+    val r0 = if (withCommitMeta) r00.option("changeFeedMeta", "true")
+             else r00
     val r1 = startingVersion.fold(r0)(v =>
       r0.option("startingVersion", v.toString))
     val r2 = startingTimestamp.fold(r1)(ts =>

@@ -35,6 +35,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class VersionedStreamSource(spark: SparkSession, path: String,
     ignoreChanges: Boolean, changeFeed: Boolean = false,
+    changeFeedMeta: Boolean = false,
     maxVersionsPerBatch: Option[Long] = None,
     startingVersion: Option[Long] = None,
     startingTimestamp: Option[String] = None,
@@ -112,8 +113,11 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
       if (v == 0) None else Some(v)
     })
 
+  require(!changeFeedMeta || changeFeed,
+    "changeFeedMeta requires readChangeFeed=true")
+
   override val schema: StructType =
-    VersionedStreamSource.schemaFor(spark, path, changeFeed)
+    VersionedStreamSource.schemaFor(spark, path, changeFeed, changeFeedMeta)
 
   private def version(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -197,7 +201,9 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     * bootstrapped out of band). */
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).orElse(effectiveStartingVersion.map(_ - 1))
-    if (changeFeed) vt.streamChangeBatch(from, version(end))
+    if (changeFeed && changeFeedMeta)
+      vt.streamChangeBatchMeta(from, version(end))
+    else if (changeFeed) vt.streamChangeBatch(from, version(end))
     else vt.streamBatch(from, version(end), ignoreChanges)
   }
 
@@ -205,13 +211,23 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
 }
 
 object VersionedStreamSource {
-  /** Table schema, plus `_change_type` in change-feed mode. */
+  /** Table schema, plus `_change_type` in change-feed mode, plus the
+    * Delta CDF commit-metadata columns under `changeFeedMeta`. */
   def schemaFor(spark: SparkSession, path: String,
-      changeFeed: Boolean): StructType = {
+      changeFeed: Boolean, changeFeedMeta: Boolean = false): StructType = {
     val base = new graft.io.VersionedTable(spark, path).read().schema
     if (!changeFeed) base
-    else StructType(base.fields :+ org.apache.spark.sql.types.StructField(
-      "_change_type", org.apache.spark.sql.types.StringType))
+    else {
+      val cdf = StructType(base.fields :+
+        org.apache.spark.sql.types.StructField(
+          "_change_type", org.apache.spark.sql.types.StringType))
+      if (!changeFeedMeta) cdf
+      else StructType(cdf.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType)))
+    }
   }
 }
 
@@ -244,10 +260,14 @@ final class VersionedStreamSourceProvider extends StreamSourceProvider
   private def changeFeed(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
+  private def changeFeedMeta(parameters: Map[String, String]): Boolean =
+    parameters.get("changeFeedMeta").exists(_.toBoolean)
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse(VersionedStreamSource.schemaFor(
-      ctx.sparkSession, tablePath(parameters), changeFeed(parameters))))
+      ctx.sparkSession, tablePath(parameters), changeFeed(parameters),
+      changeFeedMeta(parameters))))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -255,6 +275,7 @@ final class VersionedStreamSourceProvider extends StreamSourceProvider
     new VersionedStreamSource(ctx.sparkSession, tablePath(parameters),
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       changeFeed = changeFeed(parameters),
+      changeFeedMeta = changeFeedMeta(parameters),
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
         .map(_.toLong).map { m =>
           require(m > 0, "maxVersionsPerBatch must be positive"); m
