@@ -475,6 +475,47 @@ object Relational {
     vt.read().orderBy("o_orderkey")
   }
 
+  /** SQL TIME TRAVEL (q244; Delta SQL `VERSION AS OF` / `TIMESTAMP AS
+    * OF`, [[graft.sql.GraftSql]]): ONE SQL string joins the CURRENT
+    * snapshot against the SAME table at `VERSION AS OF 0` and at
+    * `TIMESTAMP AS OF` v0's commit instant — the as-of-then vs now
+    * census every audit asks for. v0 holds the even keys; v1 appends
+    * the odd ones; both travel legs must resolve to the even-key
+    * snapshot (the oracle replays them as the filtered snapshot), so
+    * a travel clause binding to the wrong version, leaking v1 rows,
+    * or diverging between the version- and timestamp-addressed forms
+    * hash-mismatches. Each travel leg plans from its own manifest —
+    * the S4 read, zero data movement. */
+  def sqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-sqltravel")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val cents = (col("o_totalprice").cast("decimal(18,4)") * 100)
+      .cast("long")
+    vt.write(o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), cents.as("cents"))) // v0: even keys
+    val t0 = vt.history(limit = 1).head.timestamp // v0's commit instant
+    vt.write(o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), cents.as("cents")),
+      org.apache.spark.sql.SaveMode.Append) // v1: odd keys
+    graft.sql.GraftSql.sql(spark,
+      s"""SELECT cur.grp, cur.n_now, old.n_then, ts.n_then_ts,
+                 cur.cents_now, old.cents_then
+          FROM (SELECT o_orderkey % 10 AS grp, count(*) AS n_now,
+                       sum(cents) AS cents_now
+                FROM t GROUP BY o_orderkey % 10) cur
+          JOIN (SELECT o_orderkey % 10 AS grp, count(*) AS n_then,
+                       sum(cents) AS cents_then
+                FROM t VERSION AS OF 0 GROUP BY o_orderkey % 10) old
+            ON cur.grp = old.grp
+          JOIN (SELECT o_orderkey % 10 AS grp, count(*) AS n_then_ts
+                FROM t TIMESTAMP AS OF '$t0' GROUP BY o_orderkey % 10) ts
+            ON cur.grp = ts.grp
+          ORDER BY cur.grp""",
+      versionedTables = Map("t" -> root))
+  }
+
   /** CDF COMMIT METADATA (q243; Delta CDF `_commit_version` /
     * `_commit_timestamp`, [[graft.io.VersionedTable.changesWithMeta]]):
     * the change feed per VERSION slice, each row stamped with the
@@ -2173,6 +2214,7 @@ object Relational {
     "q240_merge_dv" -> mergeDv,
     "q241_update_dv" -> updateDv,
     "q243_cdf_commit_meta" -> cdfCommitMeta,
+    "q244_sql_time_travel" -> sqlTimeTravel,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -2873,6 +2915,24 @@ object Relational {
          SELECT k AS o_orderkey, cents, ct AS _change_type,
                 cv AS _commit_version, TRUE AS has_ts
          FROM f ORDER BY o_orderkey, _commit_version, _change_type""",
+    "q244_sql_time_travel" ->
+      // both travel legs replay as the v0 (even-key) snapshot; the
+      // current leg sees everything — a clause binding to the wrong
+      // version or the two travel forms diverging hash-mismatches
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+               AS cents
+           FROM orders),
+         cur AS (SELECT k % 10 AS grp, count(*) AS n_now,
+                        CAST(sum(cents) AS BIGINT) AS cents_now
+                 FROM o GROUP BY 1),
+         old AS (SELECT k % 10 AS grp, count(*) AS n_then,
+                        CAST(sum(cents) AS BIGINT) AS cents_then
+                 FROM o WHERE k % 2 = 0 GROUP BY 1)
+         SELECT cur.grp, n_now, n_then, n_then AS n_then_ts,
+                cents_now, cents_then
+         FROM cur JOIN old ON cur.grp = old.grp
+         ORDER BY cur.grp""",
     "q133_merge_clauses" ->
       // four clause outcomes: matched+delete drops, matched+upsert
       // takes source values, unmatched delete-commands never insert,
