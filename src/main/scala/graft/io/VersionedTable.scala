@@ -539,6 +539,61 @@ final class VersionedTable(spark: SparkSession, root: String) {
     readFiles(toM, entries, isStreaming = true)
   }
 
+  /** One micro-batch with PER-COMMIT delete/rewrite tolerance (Delta's
+    * `ignoreDeletes` / `skipChangeCommits` options — finer-grained
+    * than the all-or-nothing `ignoreChanges`):
+    *
+    *  - a commit that only ADDS files streams its added files, always;
+    *  - `ignoreDeletes`: a commit that only REMOVES files or only
+    *    extends DV masks (partition deletes, DV row deletes) is
+    *    admitted WITHOUT rows — deletes are tolerable without row
+    *    loss; a commit that both removes and adds (a rewrite:
+    *    UPDATE/MERGE/overwrite) still fails loudly, because silently
+    *    streaming its adds would double rewritten rows;
+    *  - `skipChangeCommits`: commits that change existing data
+    *    (remove files or extend masks) are skipped WHOLESALE — their
+    *    added files never stream either (Delta 2.4's semantics:
+    *    the stream is "new data only", rewrites are invisible).
+    *
+    * Classification is a per-version manifest walk (driver-side,
+    * O(files) set arithmetic per commit); admitted files are planned
+    * AS THEY APPEARED at their commit (their DV state then), so a
+    * file masked later in the range still streams its at-commit rows
+    * — the same at-least-once stance as `ignoreChanges`. */
+  def streamBatchSelective(fromV: Option[Long], toV: Long,
+      ignoreDeletes: Boolean, skipChangeCommits: Boolean): DataFrame = {
+    val toM = readManifest(toV)
+    val entries = fromV match {
+      case None => toM.entries // initial snapshot batch, unchanged
+      case Some(f) =>
+        var prev = readManifest(f)
+        ((f + 1) to toV).flatMap { v =>
+          val cur = readManifest(v)
+          val prevByPath = prev.entries.map(e => e.relPath -> e).toMap
+          val curPaths = cur.entries.map(_.relPath).toSet
+          val added = cur.entries
+            .filterNot(e => prevByPath.contains(e.relPath))
+          val removed = prevByPath.keySet -- curPaths
+          val masked = cur.entries.exists(e =>
+            prevByPath.get(e.relPath).exists(o =>
+              o.dvDir != e.dvDir || o.dvRows != e.dvRows))
+          prev = cur
+          if (removed.isEmpty && !masked) added // pure append
+          else if (skipChangeCommits) Seq.empty // rewrite: invisible
+          else if (ignoreDeletes && added.isEmpty) Seq.empty // pure delete
+          else sys.error(
+            s"version $v of $root is a rewrite commit (removed " +
+              s"${removed.size} file(s)" +
+              (if (masked) ", extended DV masks" else "") +
+              s", added ${added.size}) — ignoreDeletes only admits " +
+              "delete-only commits; use skipChangeCommits to skip " +
+              "rewrites wholesale, or ignoreChanges to stream their " +
+              "added files at-least-once")
+        }
+    }
+    readFiles(toM, entries, isStreaming = true)
+  }
+
   /** One CHANGE-FEED micro-batch for (fromV, toV] — the streaming CDF
     * source's planner (Delta `readChangeFeed` streaming): rows tagged
     * `_change_type`, planned from manifests + DV sidecars, streaming-

@@ -1068,6 +1068,77 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  /** DELETE-TOLERANT STREAMING (q245; Delta's `skipChangeCommits` /
+    * `ignoreDeletes`,
+    * [[graft.io.VersionedTable.streamBatchSelective]]): per-commit
+    * tolerance the all-or-nothing `ignoreChanges` cannot give. Leg A
+    * streams a history `seed → append → UPDATE-rewrite → append` with
+    * `skipChangeCommits`: the rewrite commit is invisible WHOLESALE
+    * (its added files never stream — a leak shows the bumped cents
+    * and hash-mismatches). Leg B streams `seed → DV delete → append`
+    * with `ignoreDeletes`: the delete-only commit admits nothing and
+    * the stream keeps going (before r15 it failed loudly), so the
+    * sink still holds every seeded row — "new data only", Delta's
+    * contract. Both sinks fold to a per-group census the oracle
+    * restates from the slices. Classification is a driver-side
+    * manifest walk; admitted files plan as-at-commit. */
+  def streamDeleteTolerant(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-skipcc").toString
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 6000)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long").as("cents"))
+      .localCheckpoint()
+    def drain(root: String, sink: String, ckpt: String,
+        skipChanges: Boolean, ignoreDel: Boolean): Unit = {
+      val q = graft.streaming.Streaming.versionedSource(spark, root,
+          skipChangeCommits = skipChanges, ignoreDeletes = ignoreDel)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(sink); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // Leg A: skipChangeCommits across an UPDATE rewrite
+    val rootA = s"$base/a"; val sinkA = s"$base/sinkA"
+    val vtA = new graft.io.VersionedTable(spark, rootA)
+    vtA.write(o.filter(col("o_orderkey") % 3 === 0)) // v0
+    drain(rootA, sinkA, s"$base/ckptA", skipChanges = true,
+      ignoreDel = false)
+    vtA.write(o.filter(col("o_orderkey") % 3 === 1),
+      org.apache.spark.sql.SaveMode.Append) // v1: append
+    vtA.updateBetween("o_orderkey", 0, 6000,
+      Map("cents" -> (col("cents") + 999L))) // v2: rewrite — invisible
+    vtA.write(o.filter(col("o_orderkey") % 3 === 2),
+      org.apache.spark.sql.SaveMode.Append) // v3: append
+    drain(rootA, sinkA, s"$base/ckptA", skipChanges = true,
+      ignoreDel = false)
+    // Leg B: ignoreDeletes across a DV-delete-only commit
+    val rootB = s"$base/b"; val sinkB = s"$base/sinkB"
+    val vtB = new graft.io.VersionedTable(spark, rootB)
+    vtB.write(o.filter(col("o_orderkey") % 2 === 0)) // v0
+    drain(rootB, sinkB, s"$base/ckptB", skipChanges = false,
+      ignoreDel = true)
+    vtB.deleteVectorized("o_orderkey", 1000, 2000) // v1: delete-only
+    vtB.write(o.filter(col("o_orderkey") % 2 === 1),
+      org.apache.spark.sql.SaveMode.Append) // v2: append
+    drain(rootB, sinkB, s"$base/ckptB", skipChanges = false,
+      ignoreDel = true)
+    def census(path: String, leg: String): DataFrame =
+      spark.read.parquet(path)
+        .groupBy((col("o_orderkey") % 10).as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("leg", lit(leg))
+    census(sinkA, "skip_changes").unionByName(census(sinkB, "ignore_deletes"))
+      .select("leg", "grp", "n", "cents")
+      .orderBy("leg", "grp")
+  }
+
   /** STREAMING GOLD-TABLE MAINTENANCE (q230): the reference's gold
     * job in streaming form, closed end to end — `events stream →
     * watermarked 1-day windowed agg (update mode) → foreachBatch
@@ -1977,6 +2048,7 @@ object Analytics {
     "q210_cdf_timestamp" -> changeFeedFromTimestamp,
     "q211_stream_cdc_apply" -> streamCdcApply,
     "q242_stream_cdc_string_key" -> streamCdcApplyStringKey,
+    "q245_stream_delete_tolerant" -> streamDeleteTolerant,
     "q220_bounded_replay" -> boundedReplay,
     "q212_label_prop" -> labelPropParts,
     "q215_lpa_modularity" -> labelPropModularity,
@@ -2101,6 +2173,26 @@ object Analytics {
            FROM feed)
          SELECT doc_id, v AS cents, seq FROM latest
          WHERE rn = 1 AND op <> 'delete' ORDER BY doc_id""",
+    "q245_stream_delete_tolerant" ->
+      // leg A sees the three appended slices with ORIGINAL cents (the
+      // UPDATE rewrite is invisible wholesale — a leak adds +999 rows
+      // or values); leg B sees both seeded slices in full (the DV
+      // delete-only commit admits nothing but the stream keeps going)
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+               AS cents
+           FROM orders WHERE o_orderkey <= 6000),
+         a AS (SELECT k, cents FROM o), -- %3 in (0,1,2) = everything
+         b AS (SELECT k, cents FROM o)  -- %2 in (0,1) = everything
+         SELECT leg, grp, n, cents FROM (
+           SELECT 'skip_changes' AS leg, k % 10 AS grp,
+                  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+           FROM a GROUP BY 2
+           UNION ALL
+           SELECT 'ignore_deletes', k % 10, count(*),
+                  CAST(sum(cents) AS BIGINT)
+           FROM b GROUP BY 2)
+         ORDER BY leg, grp""",
     "q220_bounded_replay" ->
       // the stream's ending bound admits v0 (keys ≡0 mod 3) and v1
       // (≡1) and must never plan v2 (≡2): a source snapshotting at

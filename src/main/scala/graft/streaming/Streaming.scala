@@ -457,12 +457,21 @@ object Streaming {
       startingTimestamp: Option[String] = None,
       maxFilesPerBatch: Option[Long] = None,
       endingVersion: Option[Long] = None,
-      endingTimestamp: Option[String] = None): DataFrame = {
-    val r0 = spark.readStream
+      endingTimestamp: Option[String] = None,
+      ignoreDeletes: Boolean = false,
+      skipChangeCommits: Boolean = false): DataFrame = {
+    val r00 = spark.readStream
       .format(classOf[
         org.apache.spark.sql.graftbridge.VersionedStreamSourceProvider].getName)
       .option("path", root)
       .option("ignoreChanges", ignoreChanges.toString)
+    // per-commit tolerance (Delta's finer-grained options): delete-only
+    // commits admitted without rows / rewrite commits skipped wholesale
+    val r0 = (if (ignoreDeletes) r00.option("ignoreDeletes", "true")
+              else r00) match {
+      case b => if (skipChangeCommits) b.option("skipChangeCommits", "true")
+                else b
+    }
     val r1 = maxVersionsPerBatch.fold(r0)(m =>
       r0.option("maxVersionsPerBatch", m.toString))
     val r2 = startingVersion.fold(r1)(v =>

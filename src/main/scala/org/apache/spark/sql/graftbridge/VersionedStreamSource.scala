@@ -36,6 +36,8 @@ import org.apache.spark.sql.types.StructType
 final class VersionedStreamSource(spark: SparkSession, path: String,
     ignoreChanges: Boolean, changeFeed: Boolean = false,
     changeFeedMeta: Boolean = false,
+    ignoreDeletes: Boolean = false,
+    skipChangeCommits: Boolean = false,
     maxVersionsPerBatch: Option[Long] = None,
     startingVersion: Option[Long] = None,
     startingTimestamp: Option[String] = None,
@@ -115,6 +117,12 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
 
   require(!changeFeedMeta || changeFeed,
     "changeFeedMeta requires readChangeFeed=true")
+  require(!(ignoreChanges && (ignoreDeletes || skipChangeCommits)),
+    "ignoreChanges supersedes ignoreDeletes/skipChangeCommits — set " +
+      "one policy, not both")
+  require(!(changeFeed && (ignoreDeletes || skipChangeCommits)),
+    "ignoreDeletes/skipChangeCommits apply to the data stream, not " +
+      "the change feed (the feed derives deletes itself)")
 
   override val schema: StructType =
     VersionedStreamSource.schemaFor(spark, path, changeFeed, changeFeedMeta)
@@ -204,6 +212,9 @@ final class VersionedStreamSource(spark: SparkSession, path: String,
     if (changeFeed && changeFeedMeta)
       vt.streamChangeBatchMeta(from, version(end))
     else if (changeFeed) vt.streamChangeBatch(from, version(end))
+    else if (ignoreDeletes || skipChangeCommits)
+      vt.streamBatchSelective(from, version(end), ignoreDeletes,
+        skipChangeCommits)
     else vt.streamBatch(from, version(end), ignoreChanges)
   }
 
@@ -276,6 +287,9 @@ final class VersionedStreamSourceProvider extends StreamSourceProvider
       ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean),
       changeFeed = changeFeed(parameters),
       changeFeedMeta = changeFeedMeta(parameters),
+      ignoreDeletes = parameters.get("ignoreDeletes").exists(_.toBoolean),
+      skipChangeCommits =
+        parameters.get("skipChangeCommits").exists(_.toBoolean),
       maxVersionsPerBatch = parameters.get("maxVersionsPerBatch")
         .map(_.toLong).map { m =>
           require(m > 0, "maxVersionsPerBatch must be positive"); m

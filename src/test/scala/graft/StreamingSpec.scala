@@ -874,6 +874,96 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-insert _change_type"))
   }
 
+  test("ignoreDeletes: delete-only commits admit nothing, appends " +
+    "stream, rewrite commits still fail loudly") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-ignoredel")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(): Unit = {
+      val q = Streaming.versionedSource(spark, root, ignoreDeletes = true)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("k").as[Long].collect().foreach(seen.add); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    vt.write((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v")) // v0
+    drain()
+    assert(seen.size === 10)
+    vt.deleteVectorized("k", 3, 5) // v1: DV-only delete commit
+    vt.write(Seq((11L, "v11")).toDF("k", "v"),
+      org.apache.spark.sql.SaveMode.Append) // v2: append
+    drain() // the delete admits nothing, the append streams
+    assert(seen.size === 11)
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet === ((1L to 11L).toSet))
+    // a REWRITE commit (remove + add) still fails loudly
+    vt.updateBetween("k", 7, 7, Map("v" ->
+      org.apache.spark.sql.functions.lit("x"))) // v3
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getMessage.contains("rewrite commit") ||
+      Option(e.getCause).exists(_.getMessage.contains("rewrite commit")))
+  }
+
+  test("skipChangeCommits: rewrite commits are invisible wholesale; " +
+    "append commits stream") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-skipchange")
+    val root = s"$base/tbl"
+    val vt = new VersionedTable(spark, root)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    def drain(): Unit = {
+      val q = Streaming.versionedSource(spark, root,
+          skipChangeCommits = true)
+        .writeStream.option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("k", "v").as[(Long, String)].collect()
+            .foreach(seen.add); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    vt.write((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v")) // v0
+    drain()
+    // v1: a rewrite (UPDATE rewrites files) — must be invisible, its
+    // ADDED files included; v2: a plain append — must stream
+    vt.updateBetween("k", 2, 4, Map("v" ->
+      org.apache.spark.sql.functions.lit("rewritten")))
+    vt.write(Seq((11L, "v11")).toDF("k", "v"),
+      org.apache.spark.sql.SaveMode.Append)
+    drain()
+    import scala.jdk.CollectionConverters._
+    val rows = seen.asScala.toSeq
+    assert(rows.size === 11)
+    assert(!rows.exists(_._2 == "rewritten"),
+      "the rewrite commit's added files must never stream")
+    assert(rows.toMap.apply(11L) === "v11")
+    // mutually exclusive with ignoreChanges (one policy at a time);
+    // the guard fires at source construction = stream start
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val bad = Streaming.versionedSource(spark, root,
+          ignoreChanges = true, skipChangeCommits = true)
+        .writeStream.option("checkpointLocation", s"$base/ckpt-bad")
+        .format("noop").trigger(Trigger.AvailableNow()).start()
+      bad.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("supersedes")))
+  }
+
   test("versionedApplyChangesBatch: STRING keys prune via string " +
     "stats — files outside the batch's key range are re-referenced") {
     import graft.io.VersionedTable
