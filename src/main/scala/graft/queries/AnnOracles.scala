@@ -45,7 +45,7 @@ object AnnOracles {
     "q30_ann_ivf", "q69_ann_ivf_indexed", "q75_ann_ivf_filtered",
     "q57_ann_pq", "q58_ann_ivfpq", "q70_ann_ivfpq_indexed",
     "q86_cluster_profile", "q93_semdedup", "q113_ann_eval",
-    "q114_balanced_sample")
+    "q114_balanced_sample", "q246_ann_staleness")
 
   def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
     val ivf = ivfSql(spark, dir)
@@ -66,6 +66,7 @@ object AnnOracles {
       "q86_cluster_profile" -> kmeansProfileSql(spark, dir),
       "q93_semdedup" -> semDedupSql(spark, dir),
       "q113_ann_eval" -> annEvalSql(spark, dir),
+      "q246_ann_staleness" -> annStalenessSql(spark, dir),
       "q114_balanced_sample" -> balancedSampleSql(spark, dir))
     assert(out.keySet == keys,
       s"AnnOracles.dynamic drifted from AnnOracles.keys: ${
@@ -284,6 +285,68 @@ object AnnOracles {
     val ivf = ivfSql(spark, dir)
     s"""WITH ivf AS ($ivf),
        ${baseTables()},
+       bscored AS (
+         SELECT q.id AS q_id, c.id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.id
+             ORDER BY ${cos("q.v", "c.v")} DESC, c.id ASC) AS rn
+         FROM queries q CROSS JOIN corpus c),
+       gt AS (SELECT q_id, neighbor_id FROM bscored WHERE rn <= 3),
+       sysr AS (
+         SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY cosine DESC, neighbor_id ASC) AS rk
+         FROM ivf),
+       hits AS (
+         SELECT s.q_id, count(*) AS nhit, min(rk) AS minrk
+         FROM sysr s JOIN gt
+           ON gt.q_id = s.q_id AND gt.neighbor_id = s.neighbor_id
+         GROUP BY 1)
+       SELECT q.q_id,
+         CAST(coalesce(nhit, 0) AS DOUBLE) / 3.0 AS recall_at_3,
+         coalesce(1.0 / minrk, 0.0) AS mrr
+       FROM (SELECT DISTINCT q_id FROM gt) q LEFT JOIN hits USING (q_id)
+       ORDER BY q_id"""
+  }
+
+  // ---------------------------------------------------------------- q246
+
+  /** Index-staleness oracle: the SAME frozen centroids as q30/q113
+    * (the stored model never retrains through the churn), replayed
+    * over the CHURNED corpus — ids ≡0 mod 3 gone, their negated
+    * re-keyed (+10^6) replacements in. Kept rows and stale-model
+    * appends assign identically (one nearest-centroid pass), exactly
+    * what `IvfIndex.build` + `append` produce on disk; ground truth
+    * is the exact-cosine brute force on the churned corpus; the
+    * metric fold mirrors q113. Mirrors `TrainingData.annStaleness`
+    * (nlist=8, nprobe=3, k=3). */
+  def annStalenessSql(spark: SparkSession, dir: String): String = {
+    val e = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.ivfTrain(
+      e.filter(col("vec_id") >= QuerySplit), "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val dim = centroids(0).length
+    val churned =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         corpus AS (
+           SELECT vec_id AS id, v FROM e
+           WHERE vec_id >= $QuerySplit AND vec_id % 3 <> 0
+           UNION ALL
+           SELECT vec_id + 1000000 AS id,
+             list_transform(v, x -> -x) AS v
+           FROM e WHERE vec_id >= $QuerySplit AND vec_id % 3 = 0),
+         queries AS (SELECT vec_id AS id, v FROM e
+                     WHERE vec_id < $QuerySplit)"""
+    val ivf =
+      s"""WITH cent AS (SELECT * FROM ${centRelation(centroids)}),
+         $churned,
+         ${assign("ca", "corpus", "v", dim)},
+         ${assign("probe", "queries", "v", dim, limit = 3)},
+         cand AS (
+           SELECT p.id AS q_id, ca.id AS neighbor_id
+           FROM probe p JOIN ca ON ca.cluster = p.cluster
+           WHERE p.id <> ca.id),
+         ${rerankTail(k = 3)}"""
+    s"""WITH ivf AS ($ivf),
+       $churned,
        bscored AS (
          SELECT q.id AS q_id, c.id AS neighbor_id,
            row_number() OVER (PARTITION BY q.id

@@ -2908,6 +2908,65 @@ object TrainingData {
       .orderBy("q_id")
   }
 
+  /** ANN INDEX STALENESS REPORT (q246) — the retrain-trigger metric a
+    * persisted-index owner watches: after a delete + append churn
+    * cycle (a third of the corpus deleted via DV masks, replaced by
+    * drifted vectors — negated embeddings re-keyed +10^6 — assigned
+    * by the STORED, now-stale centroids), recall@3 and MRR of the
+    * stale index against the exact brute-force ground truth on the
+    * CURRENT corpus. Drifted vectors land in whatever stale cluster
+    * is nearest, so probes miss some of them — recall degrades below
+    * the fresh-index q113 levels, and THAT gap is the "rebuild me"
+    * signal. Oracle: generated ([[AnnOracles.annStalenessSql]]) —
+    * frozen centroids replay assignment over the churned corpus (kept
+    * rows and appends assign identically: same model), probe + rank +
+    * metric fold all restated in SQL. Scale: the churn writes
+    * O(changed rows) (DV masks + one append commit); the probe still
+    * reads ~nprobe/nlist of the corpus. */
+  def annStaleness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val e = embs(spark, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stale_").toString
+    val corpus = e.filter(col("vec_id") >= 5)
+    graft.similarity.IvfIndex.build(spark, corpus, "vec_id", "embedding",
+      root, nlist = 8, iters = 2)
+    // churn: a third of the ids leave (DV masks, O(deleted rows))…
+    val delIds = corpus.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    graft.similarity.IvfIndex.delete(spark, root, delIds)
+    // …and drifted replacements arrive, assigned by the STALE model
+    val appended = corpus.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    graft.similarity.IvfIndex.append(spark, appended, "vec_id",
+      "embedding", root)
+    val queries = e.filter(col("vec_id") < 5)
+    val sys = graft.similarity.IvfIndex.query(spark, root, queries,
+      "vec_id", "embedding", k = 3, nprobe = 3)
+    // exact ground truth on the corpus AS IT IS NOW
+    val cur = corpus.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(appended)
+    val gt = Similarity.bruteForceTopK(cur, queries,
+      idCol = "vec_id", vecCol = "embedding", k = 3)
+    val sysR = sys.withColumn("rk", row_number().over(
+      Window.partitionBy("q_id")
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+    val perQ = sysR
+      .join(gt.select("q_id", "neighbor_id"), Seq("q_id", "neighbor_id"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("nhit"), min("rk").as("minrk"))
+    gt.select("q_id").distinct()
+      .join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("nhit"), lit(0L)).cast("double") / lit(3.0))
+          .as("recall_at_3"),
+        coalesce(lit(1.0) / col("minrk"), lit(0.0)).as("mrr"))
+      .orderBy("q_id")
+  }
+
   /** GOPHER-RULES QUALITY CENSUS (q232; Rae et al. 2021 §A1.1, the
     * canonical named pre-filter set every large text pipeline runs
     * before model-based scoring): per source, how many documents fail
@@ -3378,6 +3437,7 @@ object TrainingData {
     "q111_contamination_rate" -> contaminationBySource,
     "q112_embedding_qa" -> embeddingQa,
     "q113_ann_eval" -> annEval,
+    "q246_ann_staleness" -> annStaleness,
     "q114_balanced_sample" -> ((s, d) => clusterBalancedSample(s, d)),
     "q115_curriculum" -> curriculumSchedule,
     "q116_filter_cascade" -> filterCascade,
