@@ -88,17 +88,35 @@ object IvfIndex {
   }
 
   /** UPSERT (MERGE by id): replace any existing rows carrying the
-    * incoming ids — a DV delete, O(matched rows) — then [[append]]
-    * with the stored model. Two commits; a reader between them sees
-    * the ids absent (the delete) rather than doubled, and time travel
-    * serves every intermediate state. The re-embed-and-reindex shape:
-    * documents change, their vectors re-encode, the index never
-    * rebuilds. */
+    * incoming ids and insert the rest, as ONE DV-backed MERGE commit
+    * ([[graft.io.VersionedTable.mergeVectorized]]): matched rows
+    * retire via masks (O(matched rows) sidecar bytes), the re-encoded
+    * rows append — readers never see an id absent or doubled, and no
+    * data file is rewritten. Re-assignment uses the STORED model, so
+    * a changed embedding can MOVE cluster partitions (the merge
+    * handles partition movement: masked out of the old cluster's
+    * file, appended into the new one's). The re-embed-and-reindex
+    * shape: documents change, their vectors re-encode, the index
+    * never rebuilds. Duplicate incoming ids are refused (each id is
+    * one vector). */
   def upsert(spark: SparkSession, vectors: DataFrame, idCol: String,
       vecCol: String, root: String): Long = {
-    new VersionedTable(spark, s"$root/vectors").deleteVectorizedKeys(
-      "id", vectors.select(col(idCol).cast("long")))
-    append(spark, vectors, idCol, vecCol, root)
+    val centroids = loadCentroids(spark, root)
+    val vt = new VersionedTable(spark, s"$root/vectors")
+    val payload = vt.read().columns.toSeq
+      .filterNot(Set("id", "cluster", "v"))
+    require(payload.forall(vectors.columns.contains),
+      s"index at $root stores payload columns [${payload.mkString(",")}] " +
+        s"— the upserted frame must supply them (has: " +
+        s"${vectors.columns.mkString(",")})")
+    val assigned = Similarity.withCluster(
+      vectors.select(col(idCol).cast("long").as("id") +:
+        Similarity.toDouble(col(vecCol)).as("v") +:
+        payload.map(col): _*),
+      centroids)
+    vt.mergeVectorized(
+      assigned.select((Seq("id", "cluster", "v") ++ payload).map(col): _*),
+      Seq("id"))
   }
 
   /** Row-level DELETE of indexed ids via deletion vectors on the

@@ -91,19 +91,34 @@ object IvfPqIndex {
       .write(codes, org.apache.spark.sql.SaveMode.Append)
   }
 
-  /** UPSERT (MERGE by id): DV-delete any existing rows carrying the
-    * incoming ids from BOTH tables, then [[append]] (stored-model
-    * assignment + residual encode). O(matched) masks + O(new) data;
-    * the index never rebuilds and every intermediate state stays
-    * time-travelable. */
+  /** UPSERT (MERGE by id): ONE DV-backed MERGE commit PER TABLE
+    * ([[graft.io.VersionedTable.mergeVectorized]]) — matched rows
+    * retire via masks, the re-encoded rows append, so within each
+    * table a reader never sees an id absent or doubled (the old
+    * delete-then-append left a two-commit absent window per table).
+    * Stored-model assignment + residual encode, exactly [[append]]'s
+    * kernels; changed embeddings may MOVE cluster partitions (the
+    * merge masks the old cluster's row and appends into the new
+    * one's). O(matched) masks + O(new) data; the index never rebuilds
+    * and every intermediate state stays time-travelable. Duplicate
+    * incoming ids are refused. */
   def upsert(spark: SparkSession, vectors: DataFrame, idCol: String,
       vecCol: String, root: String): Long = {
-    val ids = vectors.select(col(idCol).cast("long"))
-    new VersionedTable(spark, s"$root/vectors")
-      .deleteVectorizedKeys("id", ids)
+    val (centroids, codebooks) = loadModel(spark, root)
+    val dsub = codebooks(0)(0).length
+    val assigned = Similarity.withCluster(
+      Similarity.normalizedFrame(vectors, idCol, vecCol), centroids)
+    val resid = assigned.withColumn("v",
+      Similarity.residualOf(centroids)(col("v"), col("cluster")))
+    val codes = Similarity.withPqCodes(resid, codebooks, dsub)
+      .select("id", "cluster", "codes")
+    new VersionedTable(spark, s"$root/vectors").mergeVectorized(
+      vectors.select(col(idCol).cast("long").as("id"),
+        Similarity.toDouble(col(vecCol)).as("v"))
+        .join(assigned.select(col("id"), col("cluster")), "id"),
+      Seq("id"))
     new VersionedTable(spark, s"$root/codes")
-      .deleteVectorizedKeys("id", ids)
-    append(spark, vectors, idCol, vecCol, root)
+      .mergeVectorized(codes, Seq("id"))
   }
 
   /** Row-level DELETE of indexed ids from BOTH index tables via

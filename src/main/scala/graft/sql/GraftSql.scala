@@ -54,6 +54,21 @@ object GraftSql {
         vt.readAsOf(ts).createOrReplaceTempView(view)
         view
       })
+      // table_changes('t', from[, to]) — Databricks SQL's CDF TVF:
+      // INCLUSIVE version bounds, rows carry _change_type +
+      // _commit_version + _commit_timestamp; `to` defaults to current
+      val tcRe = ("(?i)\\btable_changes\\s*\\(\\s*'" +
+        java.util.regex.Pattern.quote(name) +
+        "'\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
+      q = tcRe.replaceAllIn(q, m => {
+        val from = m.group(1).toLong
+        val to = Option(m.group(2)).map(_.toLong)
+          .getOrElse(vt.currentVersion.getOrElse(sys.error(
+            s"table $root does not exist")))
+        val view = s"${name}__changes_${from}_$to"
+        vt.changesWithMeta(from - 1, to).createOrReplaceTempView(view)
+        view
+      })
       vt.read().createOrReplaceTempView(name)
     }
     spark.sql(q)

@@ -61,6 +61,24 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(n === ((3L, 15L)))
   }
 
+  test("table_changes TVF: inclusive version bounds, commit-meta " +
+      "columns, end defaults to current") {
+    val root = Fixtures.tempDir("graft-sql-tc") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) // v0
+    vt.write(Seq((3L, "c")).toDF("k", "v"), SaveMode.Append) // v1
+    val out = GraftSql.sql(spark,
+      """SELECT _commit_version, count(*) AS n
+         FROM table_changes('t', 0, 1)
+         GROUP BY _commit_version ORDER BY _commit_version""",
+      Map("t" -> root)).as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((0L, 2L), (1L, 1L)))
+    val n = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM table_changes('t', 1)",
+      Map("t" -> root)).as[Long].head()
+    assert(n === 1L)
+  }
+
   test("travel reads see DV masks and case-insensitive keywords work") {
     val root = Fixtures.tempDir("graft-sql-dv") + "/tbl"
     val vt = new VersionedTable(spark, root)
