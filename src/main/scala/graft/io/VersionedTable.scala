@@ -1610,7 +1610,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val mayMatch = sourceKeyMayMatch(m, src, keyCol)
     val candidates = m.entries.filter(mayMatch)
     val tracked = m.rowIdHw.isDefined
-    val qualifiedRoot = fs.makeQualified(rootPath)
     val metaFile = graftbridge.ManifestScan.FilePathCol
     val metaPos = graftbridge.ManifestScan.RowIndexCol
     val srcKeys = src.select(mergeKeys.map(col): _*)
@@ -1679,52 +1678,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
       dataDir)
     val added = listCommitFiles(dataDir)
-    def renderedRel(e: ManifestEntry): String = renderKey(
-      qualifiedRoot.toString, new Path(qualifiedRoot, e.relPath).toString)
-    val candByPath = candidates.map(e => e.relPath -> e).toMap
-    val v = commitWithRebase(rebase = true) { () =>
-      val nowV = currentVersion.get
-      val now = readManifest(nowV)
-      require(now.partitionBy == m.partitionBy,
-        s"concurrent write changed partitioning of $root while a DV " +
-          "merge was in flight")
-      require(now.mapping == m.mapping,
-        s"concurrent column rename/drop at $root while a DV merge was " +
-          "in flight; re-run against the new schema")
-      val nowByPath = now.entries.map(e => e.relPath -> e).toMap
-      candidates.foreach { c =>
-        val n = nowByPath.getOrElse(c.relPath, sys.error(
-          s"concurrent write conflict at $root: ${c.relPath} was " +
-            "rewritten while a DV merge was in flight; re-run against " +
-            "the new snapshot"))
-        if (n.dvDir != c.dvDir || n.dvRows != c.dvRows) sys.error(
-          s"concurrent write conflict at $root: ${c.relPath} was " +
-            "re-masked while a DV merge was in flight; re-run against " +
-            "the new snapshot")
-      }
-      val kept = now.entries.flatMap { e =>
-        if (!candByPath.contains(e.relPath)) Some(e)
-        else counts.getOrElse(renderedRel(e), 0L) match {
-          case 0L => Some(e) // nothing of this file matched
-          case masked if masked >= e.rows => None // fully retired
-          case masked => Some(e.copy(dvDir = Some(dvRel), dvRows = masked))
-        }
-      }
-      val next = nowV + 1
-      val (added2, hw2) = assignRowIds(now.rowIdHw, added)
-      val entries = (kept ++ added2) match {
-        // every stored row retired and nothing new written: keep ONE
-        // fully-masked entry so the manifest stays non-empty
-        case Seq() => Seq(candidates.head.copy(
-          dvDir = Some(dvRel), dvRows = candidates.head.rows))
-        case es => es
-      }
-      writeManifest(next, now.copy(entries = entries, rowIdHw = hw2))
-      appendHistory(next, s"MERGE DV ON (${mergeKeys.mkString(",")})",
-        entries.map(_.liveRows).sum)
-      pointTo(next)
-      next
-    }
+    val v = commitMaskAppend(m, candidates, counts, dvRel, added,
+      s"MERGE DV ON (${mergeKeys.mkString(",")})")
     refreshBloomIndexes(v)
     v
   }
@@ -1758,7 +1713,6 @@ final class VersionedTable(spark: SparkSession, root: String) {
     if (candidates.isEmpty) return curV // provably nothing to update
     val matches = col(column) >= lo && col(column) <= hi
     val tracked = m.rowIdHw.isDefined
-    val qualifiedRoot = fs.makeQualified(rootPath)
     val metaFile = graftbridge.ManifestScan.FilePathCol
     val metaPos = graftbridge.ManifestScan.RowIndexCol
     // PASS 1 — mask the matched rows (predicate-column-pruned scan)
@@ -1792,50 +1746,211 @@ final class VersionedTable(spark: SparkSession, root: String) {
     writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
       dataDir)
     val added = listCommitFiles(dataDir)
+    val v = commitMaskAppend(m, candidates, counts, dvRel, added,
+      s"UPDATE DV $column IN [$lo,$hi]")
+    refreshBloomIndexes(v)
+    v
+  }
+
+  /** Shared COMMIT half of the DV mask+append DML family
+    * ([[mergeVectorized]] / [[updateVectorizedBetween]] /
+    * [[mergeClausesVectorized]]): atomically re-point the candidate
+    * entries at the new sidecar (per-file cumulative mask `counts`,
+    * keyed by scan-rendered path; 0 = untouched, >= rows = dropped),
+    * keep everything else verbatim, append `added` with fresh row-id
+    * ranges. Fails loudly when a candidate was rewritten or re-masked
+    * since `basis` (lost update); files committed SINCE the basis
+    * survive untouched and unexamined — WriteSerializable, the
+    * documented append-vs-DML rule. */
+  private def commitMaskAppend(basis: VersionManifest,
+      candidates: Seq[ManifestEntry], counts: Map[String, Long],
+      dvRel: String, added: Seq[ManifestEntry], opDesc: String): Long = {
+    val qualifiedRoot = fs.makeQualified(rootPath)
     def renderedRel(e: ManifestEntry): String = renderKey(
       qualifiedRoot.toString, new Path(qualifiedRoot, e.relPath).toString)
     val candByPath = candidates.map(e => e.relPath -> e).toMap
-    val v = commitWithRebase(rebase = true) { () =>
+    commitWithRebase(rebase = true) { () =>
       val nowV = currentVersion.get
       val now = readManifest(nowV)
-      require(now.partitionBy == m.partitionBy,
+      require(now.partitionBy == basis.partitionBy,
         s"concurrent write changed partitioning of $root while a DV " +
-          "update was in flight")
-      require(now.mapping == m.mapping,
-        s"concurrent column rename/drop at $root while a DV update " +
-          "was in flight; re-run against the new schema")
+          s"commit ($opDesc) was in flight")
+      require(now.mapping == basis.mapping,
+        s"concurrent column rename/drop at $root while a DV commit " +
+          s"($opDesc) was in flight; re-run against the new schema")
       val nowByPath = now.entries.map(e => e.relPath -> e).toMap
       candidates.foreach { c =>
         val n = nowByPath.getOrElse(c.relPath, sys.error(
           s"concurrent write conflict at $root: ${c.relPath} was " +
-            "rewritten while a DV update was in flight; re-run against " +
-            "the new snapshot"))
+            s"rewritten while a DV commit ($opDesc) was in flight; " +
+            "re-run against the new snapshot"))
         if (n.dvDir != c.dvDir || n.dvRows != c.dvRows) sys.error(
           s"concurrent write conflict at $root: ${c.relPath} was " +
-            "re-masked while a DV update was in flight; re-run against " +
-            "the new snapshot")
+            s"re-masked while a DV commit ($opDesc) was in flight; " +
+            "re-run against the new snapshot")
       }
       val kept = now.entries.flatMap { e =>
         if (!candByPath.contains(e.relPath)) Some(e)
         else counts.getOrElse(renderedRel(e), 0L) match {
-          case 0L => Some(e)
-          case masked if masked >= e.rows => None
+          case 0L => Some(e) // nothing of this file masked
+          case masked if masked >= e.rows => None // fully retired
           case masked => Some(e.copy(dvDir = Some(dvRel), dvRows = masked))
         }
       }
       val next = nowV + 1
       val (added2, hw2) = assignRowIds(now.rowIdHw, added)
       val entries = (kept ++ added2) match {
+        // every stored row retired and nothing new written: keep ONE
+        // fully-masked entry so the manifest stays non-empty
         case Seq() => Seq(candidates.head.copy(
           dvDir = Some(dvRel), dvRows = candidates.head.rows))
         case es => es
       }
       writeManifest(next, now.copy(entries = entries, rowIdHw = hw2))
-      appendHistory(next, s"UPDATE DV $column IN [$lo,$hi]",
-        entries.map(_.liveRows).sum)
+      appendHistory(next, opDesc, entries.map(_.liveRows).sum)
       pointTo(next)
       next
     }
+  }
+
+  /** CLAUSE MERGE via DELETION VECTORS — the full Delta-MERGE clause
+    * surface ([[graft.incremental.Upsert.upsertWithClauses]]'s
+    * semantics, NOT-MATCHED-BY-SOURCE included) with O(changed rows)
+    * WRITE amplification. The NMBS clauses force a FULL-TABLE READ by
+    * semantics (no pruned read can prove an unread row unmatched —
+    * Delta pays the same), but nothing forces a full-table WRITE:
+    * rows a clause deletes or updates retire via DV masks, the
+    * updated/NMBS-set images and the inserts append, and every
+    * UNTOUCHED row stays exactly where it is — on a weekly snapshot
+    * sync of a 100 TB table where 0.1% changed, this commit writes
+    * 0.1%, where [[graft.incremental.Upsert
+    * .mergeClausesIntoVersionedTable]] rewrites everything. ONE
+    * table-scan join: the changed-row set (masks + images + flags)
+    * checkpoints at O(changed rows) and both the sidecar and the
+    * image files derive from it. Row-tracked tables carry updated
+    * rows' ids (CDF update pre/post pairs); schema evolution is not
+    * supported on this path (use the rewrite form). Source keys must
+    * be unique on `mergeKeys`. Concurrency as [[mergeVectorized]].
+    * Clause semantics — conditions through the `t.`/`s.` aliases,
+    * NULL conditions fall through, delete-before-update on both
+    * sides — match upsertWithClauses exactly. */
+  def mergeClausesVectorized(source: DataFrame, mergeKeys: Seq[String],
+      deleteWhen: Option[org.apache.spark.sql.Column] = None,
+      updateWhen: Option[org.apache.spark.sql.Column] = None,
+      insertWhen: Option[org.apache.spark.sql.Column] = None,
+      updateColumns: Option[Seq[String]] = None,
+      deleteWhenNotMatchedBySource: Option[org.apache.spark.sql.Column] = None,
+      updateWhenNotMatchedBySource: Option[org.apache.spark.sql.Column] = None,
+      notMatchedBySourceSet: Map[String, org.apache.spark.sql.Column] =
+        Map.empty): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(mergeKeys.nonEmpty, "mergeKeys must be non-empty")
+    require(updateWhenNotMatchedBySource.isDefined ==
+      notMatchedBySourceSet.nonEmpty,
+      "updateWhenNotMatchedBySource and notMatchedBySourceSet come " +
+        "together: the clause needs assignments, the assignments a clause")
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val schema = logicalSchema(m)
+    val tgtCols = schema.fieldNames.toSeq
+    mergeKeys.foreach(k => require(tgtCols.contains(k) &&
+      source.columns.contains(k),
+      s"merge key $k must exist in both $root and the source"))
+    source.columns.foreach(c => require(tgtCols.contains(c),
+      s"DV clause MERGE cannot evolve schema at $root: source column " +
+        s"'$c' is not in the snapshot — use the rewrite path"))
+    notMatchedBySourceSet.keys.foreach(k => require(
+      tgtCols.contains(k) && !mergeKeys.contains(k),
+      s"notMatchedBySourceSet assigns '$k', which must be an existing " +
+        "non-key target column"))
+    val updateCols = updateColumns.getOrElse(
+      source.columns.toSeq.filterNot(mergeKeys.contains))
+    val src = source.localCheckpoint()
+    require(src.groupBy(mergeKeys.map(col): _*).count()
+      .filter(col("count") > 1).isEmpty,
+      s"MERGE source has duplicate rows on (${mergeKeys.mkString(",")}) " +
+        "— each target row may match at most one source row")
+    val tracked = m.rowIdHw.isDefined
+    // NMBS examines every target row — EVERY file is a candidate, by
+    // semantics, exactly like Delta giving up pruning under the clause
+    val candidates = m.entries
+    val metaFile = graftbridge.ManifestScan.FilePathCol
+    val metaPos = graftbridge.ManifestScan.RowIndexCol
+    val scan =
+      if (tracked)
+        logicalize(m, readFilesPhysicalRid(m, candidates, keepMeta = true))
+      else readFiles(m, candidates, withRowMeta = true)
+    val tgt0 = scan.withColumn("_t_present", lit(true))
+    val src0 = src.withColumn("_s_present", lit(true))
+    val joined = tgt0.alias("t").join(src0.alias("s"), mergeKeys,
+      "full_outer")
+    val srcPresent = col("s._s_present").isNotNull
+    val tgtPresent = col("t._t_present").isNotNull
+    val matchedF = srcPresent && tgtPresent
+    val tgtOnly = tgtPresent && !srcPresent
+    // Delta clause semantics: NULL conditions fall through (<=> folds)
+    val del = deleteWhen.map(c => (matchedF && c) <=> lit(true))
+      .getOrElse(lit(false))
+    val upd = matchedF && !del &&
+      updateWhen.map(_ <=> lit(true)).getOrElse(lit(true))
+    val ins = !tgtPresent && srcPresent &&
+      insertWhen.map(_ <=> lit(true)).getOrElse(lit(true))
+    val nmbsDel = deleteWhenNotMatchedBySource
+      .map(c => (tgtOnly && c) <=> lit(true)).getOrElse(lit(false))
+    val nmbsUpd = updateWhenNotMatchedBySource
+      .map(c => (tgtOnly && !nmbsDel && c) <=> lit(true))
+      .getOrElse(lit(false))
+    val imageCols: Seq[org.apache.spark.sql.Column] =
+      mergeKeys.map(k => col(k).as(k)) ++
+        tgtCols.filterNot(mergeKeys.contains).map { c =>
+          val base =
+            if (updateCols.contains(c) && source.columns.contains(c))
+              when(upd || ins, col(s"s.$c")).otherwise(col(s"t.$c"))
+            else if (source.columns.contains(c))
+              when(tgtPresent, col(s"t.$c")).otherwise(col(s"s.$c"))
+            else col(s"t.$c")
+          notMatchedBySourceSet.get(c)
+            .map(e => when(nmbsUpd, e).otherwise(base))
+            .getOrElse(base).cast(schema(c).dataType).as(c)
+        }
+    val maskFlag = tgtPresent && (del || upd || nmbsDel || nmbsUpd)
+    val emitFlag = (upd || nmbsUpd || ins) <=> lit(true)
+    // ONE table-scan join; the surviving frame is O(changed rows)
+    val changed = joined.filter(maskFlag || emitFlag)
+      .select(imageCols ++ Seq(
+        col(s"t.$metaFile").as("__mc_file"),
+        col(s"t.$metaPos").as("__mc_pos"),
+        maskFlag.as("__mc_mask"), emitFlag.as("__mc_emit")) ++
+        (if (tracked)
+          Seq(when(tgtPresent, col(s"t.$RowIdPhysCol")).as(RowIdPhysCol))
+         else Seq.empty): _*)
+      .localCheckpoint()
+    val matchedPairs = changed.filter(col("__mc_mask"))
+      .select(fileRelCol(col("__mc_file")).as("file_rel"),
+        col("__mc_pos").as("pos"))
+    val existingDirs = candidates.flatMap(_.dvDir).distinct
+    val dvAll =
+      if (existingDirs.isEmpty) matchedPairs
+      else matchedPairs.unionByName(readDvRows(existingDirs)).distinct()
+    val newDvDir = newCommitDir(curV + 1)
+    dvAll.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+    val dvRel = relativize(newDvDir)
+    val counts: Map[String, Long] = spark.read.schema(dvSchema)
+      .parquet(newDvDir.toString).groupBy("file_rel").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newImages = changed.filter(col("__mc_emit"))
+      .select(tgtCols.map(col) ++
+        (if (tracked) Seq(col(RowIdPhysCol)) else Seq.empty): _*)
+    reconcileAppendSchema(newImages.drop(RowIdPhysCol), schema,
+      allowEvolution = false)
+    enforceConstraints(newImages, m.constraints)
+    val dataDir = newCommitDir(curV + 1)
+    writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
+      dataDir)
+    val added = listCommitFiles(dataDir)
+    val v = commitMaskAppend(m, candidates, counts, dvRel, added,
+      s"MERGE DV CLAUSES ON (${mergeKeys.mkString(",")})")
     refreshBloomIndexes(v)
     v
   }
@@ -2110,7 +2225,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * the per-file bases broadcast from the manifest, and apply DV
     * masks exactly as the plain read does. */
   private def readFilesPhysicalRid(m: VersionManifest,
-      entries: Seq[ManifestEntry]): DataFrame = {
+      entries: Seq[ManifestEntry], keepMeta: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col}
     def finish(df: DataFrame, es: Seq[ManifestEntry]): DataFrame = {
       import spark.implicits._
@@ -2119,12 +2234,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
           "id — was the file committed before enableRowTracking?"))))
         .toDF("__rid_file", "__rid_base")
       val fileRel = fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
-      df.join(broadcast(bases), fileRel === col("__rid_file"), "left")
+      val withRid = df
+        .join(broadcast(bases), fileRel === col("__rid_file"), "left")
         .withColumn(RowIdPhysCol, coalesce(col(RowIdPhysCol),
           col("__rid_base") + col(graftbridge.ManifestScan.RowIndexCol)))
-        .drop("__rid_file", "__rid_base",
-          graftbridge.ManifestScan.FilePathCol,
-          graftbridge.ManifestScan.RowIndexCol)
+        .drop("__rid_file", "__rid_base")
+      if (keepMeta) withRid
+      else withRid.drop(graftbridge.ManifestScan.FilePathCol,
+        graftbridge.ManifestScan.RowIndexCol)
     }
     val (masked, plain) = entries.partition(_.dvDir.isDefined)
     val plainDf =

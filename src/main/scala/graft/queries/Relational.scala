@@ -475,6 +475,42 @@ object Relational {
     vt.read().orderBy("o_orderkey")
   }
 
+  /** DV-BACKED SNAPSHOT-SYNC MERGE (q247;
+    * [[graft.io.VersionedTable.mergeClausesVectorized]]): q219's full
+    * clause surface — matched update, unmatched insert,
+    * NOT-MATCHED-BY-SOURCE delete/archive — with O(changed rows)
+    * WRITE amplification. The NMBS clauses force a full-table READ
+    * (no pruned read can prove an unread row unmatched; Delta gives
+    * up pruning the same way), but the WRITE is masks + changed
+    * images only: a weekly 0.1%-churn snapshot sync of a 100 TB
+    * table commits 0.1%, where the rewrite form rewrites everything.
+    * One table-scan join; the changed-row set checkpoints at
+    * O(changed). The oracle replays the four row fates relationally
+    * — identical output to the rewrite path, which DvMergeSpec pins
+    * row-for-row alongside the file-level contract. */
+  def mergeClausesDv(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-dvmc")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val cents = (col("o_totalprice").cast("decimal(18,4)") * 100)
+      .cast("long")
+    vt.write(o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"), cents.as("cents"), col("o_orderstatus"))
+      .repartitionByRange(8, col("o_orderkey")))
+    val snapshot = o.filter(col("o_custkey") % 2 === 0)
+      .select(col("o_orderkey"), (cents + 21).as("cents"),
+        lit("S").as("o_orderstatus"))
+    vt.mergeClausesVectorized(snapshot, Seq("o_orderkey"),
+      deleteWhenNotMatchedBySource = Some(col("t.o_orderstatus") =!= "F"),
+      updateWhenNotMatchedBySource = Some(col("t.o_orderstatus") === "F"),
+      notMatchedBySourceSet = Map("o_orderstatus" -> lit("X")))
+    vt.read()
+      .select(col("o_orderkey"), col("cents").as("cents_after"),
+        col("o_orderstatus").as("status_after"))
+      .orderBy("o_orderkey")
+  }
+
   /** SQL TIME TRAVEL (q244; Delta SQL `VERSION AS OF` / `TIMESTAMP AS
     * OF`, [[graft.sql.GraftSql]]): ONE SQL string joins the CURRENT
     * snapshot against the SAME table at `VERSION AS OF 0` and at
@@ -2215,6 +2251,7 @@ object Relational {
     "q241_update_dv" -> updateDv,
     "q243_cdf_commit_meta" -> cdfCommitMeta,
     "q244_sql_time_travel" -> sqlTimeTravel,
+    "q247_merge_clauses_dv" -> mergeClausesDv,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -2933,6 +2970,39 @@ object Relational {
                 cents_now, cents_then
          FROM cur JOIN old ON cur.grp = old.grp
          ORDER BY cur.grp""",
+    "q247_merge_clauses_dv" ->
+      // the four row fates of the DV snapshot sync: matched ->
+      // snapshot values, snapshot-only -> insert, target-only
+      // non-final -> deleted (absent), target-only final -> archived
+      // X — identical semantics to the rewrite-path q219, now proven
+      // through masks + appends; exact integer cents
+      """WITH target AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents,
+                  o_orderstatus
+           FROM orders WHERE o_orderkey % 5 <> 0),
+         source AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) + 21 AS cents,
+                  'S' AS o_orderstatus
+           FROM orders WHERE o_custkey % 2 = 0),
+         j AS (
+           SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                  t.cents AS tc, t.o_orderstatus AS tstat,
+                  s.cents AS sc, s.o_orderstatus AS sstat,
+                  s.o_orderkey IS NOT NULL AS sm,
+                  t.o_orderkey IS NOT NULL AS tm
+           FROM target t FULL OUTER JOIN source s USING (o_orderkey))
+         SELECT o_orderkey,
+                CASE WHEN sm THEN sc ELSE tc END AS cents_after,
+                CASE WHEN sm THEN sstat
+                     WHEN tstat = 'F' THEN 'X'
+                     ELSE tstat END AS status_after
+         FROM j
+         WHERE sm OR (tm AND tstat = 'F')
+         ORDER BY o_orderkey""",
     "q133_merge_clauses" ->
       // four clause outcomes: matched+delete drops, matched+upsert
       // takes source values, unmatched delete-commands never insert,

@@ -174,6 +174,88 @@ class DvMergeSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("mergeClausesVectorized == rewrite-path clause merge; only " +
+      "changed rows are written") {
+    val (vt, _) = freshTable("graft-dvmc-equiv")
+    val before = vt.read().localCheckpoint()
+    val v0 = vt.currentVersion.get
+    val filesBefore = vt.manifestEntries(v0)
+    // a snapshot sync: matched keys update, new keys insert, absent
+    // keys delete-or-archive depending on a target-side condition
+    val source = ((100 until 300 by 2).map(i => (i.toLong, s"u$i", -1L)) ++
+      (2000 until 2010).map(i => (i.toLong, s"n$i", -2L)))
+      .toDF("id", "s", "v")
+    val expected = Upsert.upsertWithClauses(before, source, Seq("id"),
+      deleteWhenNotMatchedBySource = Some(col("t.v") % 100L === 0L),
+      updateWhenNotMatchedBySource = Some(col("t.v") % 100L =!= 0L),
+      notMatchedBySourceSet = Map("s" -> lit("archived")))
+      .collect().map(_.toSeq).toSet
+    vt.mergeClausesVectorized(source, Seq("id"),
+      deleteWhenNotMatchedBySource = Some(col("t.v") % 100L === 0L),
+      updateWhenNotMatchedBySource = Some(col("t.v") % 100L =!= 0L),
+      notMatchedBySourceSet = Map("s" -> lit("archived")))
+    val got = vt.read().collect().map(_.toSeq).toSet
+    assert(got === expected)
+    // file contract: every pre-merge file still referenced, never
+    // rewritten (this merge touches EVERY row via NMBS, yet writes
+    // only masks + changed images)
+    val after = vt.manifestEntries(vt.currentVersion.get)
+    val beforePaths = filesBefore.map(_.relPath).toSet
+    assert(beforePaths.subsetOf(after.map(_.relPath).toSet) ||
+      // a fully-retired file may legitimately drop
+      filesBefore.forall(e => after.exists(_.relPath == e.relPath) ||
+        after.filter(a => a.relPath == e.relPath).isEmpty))
+    val newFiles = after.filterNot(e => beforePaths.contains(e.relPath))
+    // new bytes = updated images + NMBS-updated images + inserts ONLY
+    val nUpd = before.filter(col("id").between(100, 299) &&
+      col("id") % 2 === 0).count()
+    val nArch = before.filter(!(col("id").between(100, 299) &&
+      col("id") % 2 === 0) && col("v") % 100L =!= 0L).count()
+    assert(newFiles.map(_.rows).sum === nUpd + nArch + 10L)
+  }
+
+  test("mergeClausesVectorized: matched delete + conditional update " +
+      "+ conditional insert, all as masks and appends") {
+    val (vt, _) = freshTable("graft-dvmc-clauses", n = 200)
+    val before = vt.read().localCheckpoint()
+    val source = Seq(
+      (10L, "del", 0L),   // matched, delete clause fires
+      (11L, "upd", 5L),   // matched, update clause fires (v>0)
+      (12L, "skip", -1L), // matched, neither fires -> target kept
+      (500L, "ins", 1L),  // unmatched, insert fires (v>0)
+      (501L, "no", -1L))  // unmatched, insert blocked
+      .toDF("id", "s", "v")
+    val expected = Upsert.upsertWithClauses(before, source, Seq("id"),
+      deleteWhen = Some(col("s.s") === "del"),
+      updateWhen = Some(col("s.v") > 0L),
+      insertWhen = Some(col("s.v") > 0L))
+      .collect().map(_.toSeq).toSet
+    vt.mergeClausesVectorized(source, Seq("id"),
+      deleteWhen = Some(col("s.s") === "del"),
+      updateWhen = Some(col("s.v") > 0L),
+      insertWhen = Some(col("s.v") > 0L))
+    assert(vt.read().collect().map(_.toSeq).toSet === expected)
+    assert(vt.read().count() === 200L) // -1 delete +1 insert
+    // masked: the deleted row + the updated row = 2
+    assert(vt.manifestEntries(vt.currentVersion.get)
+      .map(_.dvRows).sum === 2L)
+  }
+
+  test("mergeClausesVectorized on a tracked table: CDF update images " +
+      "for clause updates, deletes as deletes") {
+    val (vt, _) = freshTable("graft-dvmc-cdf", n = 100, tracked = true)
+    val v1 = vt.currentVersion.get
+    val source = Seq((7L, "seven", 700L)).toDF("id", "s", "v")
+    val v2 = vt.mergeClausesVectorized(source, Seq("id"),
+      deleteWhenNotMatchedBySource = Some(col("t.id") === 50L))
+    val feed = vt.changesWithUpdates(v1, v2)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set(
+      (7L, "update_preimage"), (7L, "update_postimage"),
+      (50L, "delete")))
+  }
+
   test("repeated DV merges compose: masks union, time travel intact") {
     val (vt, _) = freshTable("graft-dvm-repeat", n = 200)
     val s1 = Seq((10L, "a1", -1L)).toDF("id", "s", "v")
