@@ -1752,6 +1752,77 @@ final class VersionedTable(spark: SparkSession, root: String) {
     v
   }
 
+  /** DV-BACKED KEYED FOLD (the streaming CDC-apply write primitive,
+    * [[graft.streaming.Streaming.versionedApplyChangesBatchDv]]):
+    * every stored row whose `mergeKeys` appear in `batchKeys` retires
+    * via a DV mask, and whatever `foldWith` computes FROM those
+    * affected rows appends — one atomic commit. `foldWith` receives
+    * the affected state (logical columns, existing masks applied) and
+    * returns the rows that should now exist for the touched keys
+    * (typically `window-dedup(affected ∪ batch) minus deletes`); rows
+    * for keys NOT in `batchKeys` are untouched by construction, so
+    * the commit writes O(batch ∪ affected) — not O(touched files),
+    * which even the stats-pruned replaceWhere fold pays.
+    *
+    * Soundness needs every stored row of a touched key in `affected`:
+    * candidates come from `batchKeys`' envelope against manifest
+    * stats (numeric AND string keys) and the per-row membership is an
+    * exact semi-join. The caller must pre-exclude NULL keys (a NULL
+    * never semi-joins, so a stored null-key row would silently evade
+    * its mask — the CDC sink falls back to the full fold on null-key
+    * batches for exactly this reason). Concurrency as the other DV
+    * DML ([[commitMaskAppend]]'s WriteSerializable protocol). */
+  def foldVectorized(batchKeys: DataFrame, mergeKeys: Seq[String],
+      operation: String)(foldWith: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    require(mergeKeys.nonEmpty, "mergeKeys must be non-empty")
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val keys = batchKeys.select(mergeKeys.map(col): _*).distinct()
+      .localCheckpoint() // envelope agg AND the semi-join read it
+    val mayMatch = sourceKeyMayMatch(m, keys, mergeKeys.head)
+    val candidates = m.entries.filter(mayMatch)
+    val metaFile = graftbridge.ManifestScan.FilePathCol
+    val metaPos = graftbridge.ManifestScan.RowIndexCol
+    val affected =
+      if (candidates.isEmpty) null
+      else readFiles(m, candidates, withRowMeta = true)
+        .join(keys, mergeKeys, "left_semi")
+        .localCheckpoint() // O(affected rows), read twice below
+    val newDvDir = newCommitDir(curV + 1)
+    val counts: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
+      else {
+        val pairs = affected.select(
+          fileRelCol(col(metaFile)).as("file_rel"), col(metaPos).as("pos"))
+        val existingDirs = candidates.flatMap(_.dvDir).distinct
+        val dvAll =
+          if (existingDirs.isEmpty) pairs
+          else pairs.unionByName(readDvRows(existingDirs)).distinct()
+        dvAll.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+        spark.read.schema(dvSchema).parquet(newDvDir.toString)
+          .groupBy("file_rel").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+    val dvRel = relativize(newDvDir)
+    val affectedState =
+      if (candidates.isEmpty) readVersion(curV).limit(0)
+      else affected.drop(metaFile, metaPos)
+    val newImages = foldWith(affectedState)
+    reconcileAppendSchema(newImages, logicalSchema(m),
+      allowEvolution = false)
+    enforceConstraints(newImages, m.constraints)
+    val dataDir = newCommitDir(curV + 1)
+    writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
+      dataDir)
+    val added = listCommitFiles(dataDir)
+    val v = commitMaskAppend(m, candidates, counts, dvRel, added,
+      operation)
+    refreshBloomIndexes(v)
+    v
+  }
+
   /** Shared COMMIT half of the DV mask+append DML family
     * ([[mergeVectorized]] / [[updateVectorizedBetween]] /
     * [[mergeClausesVectorized]]): atomically re-point the candidate

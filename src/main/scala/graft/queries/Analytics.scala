@@ -1068,6 +1068,68 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  /** STREAMING CDC APPLY VIA THE DV FOLD (q248;
+    * [[graft.streaming.Streaming.versionedApplyChangesBatchDv]] →
+    * [[graft.io.VersionedTable.foldVectorized]]): q211's composed
+    * loop with the per-batch WRITE dropped from O(touched files) to
+    * O(batch ∪ affected rows) — each micro-batch masks ONLY the
+    * stored rows whose keys it touches and appends the fold winners;
+    * membership is an exact semi-join (stats only prune candidates),
+    * so every key type is safe and the seed files are NEVER
+    * rewritten (StreamingSpec pins fold-equivalence and the
+    * zero-rewrite file contract). Feed: seq-1 seed (keys ≡0 mod 2),
+    * a narrow seq-2 update band + a disjoint delete band, then a
+    * LATE seq-1 batch that must lose to the stored seq-2 rows —
+    * the cross-batch ordering the fold guarantees. The oracle folds
+    * the whole feed relationally. */
+  def streamCdcApplyDvFold(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base0 = java.nio.file.Files
+      .createTempDirectory("graft-cdc-dvfold").toString
+    val feedRoot = s"$base0/feed"
+    val targetRoot = s"$base0/target"
+    val feedVt = new graft.io.VersionedTable(spark, feedRoot)
+    val o = load(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 3000)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long").as("cents"))
+      .localCheckpoint()
+    def commit(df: DataFrame, mode: org.apache.spark.sql.SaveMode): Unit = {
+      feedVt.write(df.coalesce(1), mode); ()
+    }
+    def drain(): Unit = {
+      val q = graft.streaming.Streaming.changeFeedSource(spark, feedRoot)
+        .writeStream
+        .option("checkpointLocation", s"$base0/ckpt")
+        .foreachBatch(
+          graft.streaming.Streaming.versionedApplyChangesBatchDv(
+            targetRoot, "cdc-dvfold-q248", Seq("o_orderkey"), "seq", "op"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    commit(o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("cents"), lit(1L).as("seq"),
+        lit("upsert").as("op")), org.apache.spark.sql.SaveMode.Overwrite)
+    drain() // batch 0: seed
+    commit(o.filter(col("o_orderkey").between(400, 700))
+      .select(col("o_orderkey"), (col("cents") + 11).as("cents"),
+        lit(2L).as("seq"), lit("upsert").as("op"))
+      .unionByName(o.filter(col("o_orderkey").between(800, 1100))
+        .select(col("o_orderkey"), lit(0L).as("cents"), lit(2L).as("seq"),
+          lit("delete").as("op"))),
+      org.apache.spark.sql.SaveMode.Append)
+    drain() // batch 1: narrow updates/inserts + disjoint deletes
+    commit(o.filter(col("o_orderkey").between(500, 600))
+      .select(col("o_orderkey"), (col("cents") + 999983).as("cents"),
+        lit(1L).as("seq"), lit("upsert").as("op")),
+      org.apache.spark.sql.SaveMode.Append)
+    drain() // batch 2: LATE seq-1 rows — must lose to stored seq 2
+    new graft.io.VersionedTable(spark, targetRoot).read()
+      .select(col("o_orderkey"), col("cents"), col("seq"))
+      .orderBy("o_orderkey")
+  }
+
   /** DELETE-TOLERANT STREAMING (q245; Delta's `skipChangeCommits` /
     * `ignoreDeletes`,
     * [[graft.io.VersionedTable.streamBatchSelective]]): per-commit
@@ -2049,6 +2111,7 @@ object Analytics {
     "q211_stream_cdc_apply" -> streamCdcApply,
     "q242_stream_cdc_string_key" -> streamCdcApplyStringKey,
     "q245_stream_delete_tolerant" -> streamDeleteTolerant,
+    "q248_stream_cdc_dv_fold" -> streamCdcApplyDvFold,
     "q220_bounded_replay" -> boundedReplay,
     "q212_label_prop" -> labelPropParts,
     "q215_lpa_modularity" -> labelPropModularity,
@@ -2193,6 +2256,30 @@ object Analytics {
                   CAST(sum(cents) AS BIGINT)
            FROM b GROUP BY 2)
          ORDER BY leg, grp""",
+    "q248_stream_cdc_dv_fold" ->
+      // the whole feed folded relationally (per-key max seq wins, a
+      // surviving 'delete' leaves the table): a DV fold that masks
+      // the wrong rows, loses an unmasked stored row, double-applies
+      // a batch, or lets the late seq-1 rows clobber hash-mismatches
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+               AS cents
+           FROM orders WHERE o_orderkey <= 3000),
+         feed AS (
+           SELECT k, cents AS v, CAST(1 AS BIGINT) AS seq,
+             'upsert' AS op, 0 AS src FROM o WHERE k % 2 = 0
+           UNION ALL SELECT k, cents + 11, 2, 'upsert', 1 FROM o
+             WHERE k BETWEEN 400 AND 700
+           UNION ALL SELECT k, 0, 2, 'delete', 1 FROM o
+             WHERE k BETWEEN 800 AND 1100
+           UNION ALL SELECT k, cents + 999983, 1, 'upsert', 2 FROM o
+             WHERE k BETWEEN 500 AND 600),
+         latest AS (SELECT k, v, seq, op,
+             row_number() OVER (PARTITION BY k
+               ORDER BY seq DESC, src ASC) AS rn
+           FROM feed)
+         SELECT k AS o_orderkey, v AS cents, seq FROM latest
+         WHERE rn = 1 AND op <> 'delete' ORDER BY o_orderkey""",
     "q220_bounded_replay" ->
       // the stream's ending bound admits v0 (keys ≡0 mod 3) and v1
       // (≡1) and must never plan v2 (≡2): a source snapshotting at

@@ -228,8 +228,26 @@ object Streaming {
     * the SCD1 shape). Non-numeric first keys fall back to a full
     * rewrite (stats ranges are numeric).
     * `opCol` rows valued `"delete"` delete; everything else upserts. */
-  def versionedApplyChangesBatch(root: String, appId: String,
+  /** [[versionedApplyChangesBatch]] with the DV-BACKED fold
+    * ([[graft.io.VersionedTable.foldVectorized]]): each batch masks
+    * ONLY the stored rows whose keys it touches and appends the fold
+    * winners — per-batch write cost O(batch ∪ affected rows), where
+    * even the stats-pruned replaceWhere fold rewrites every row of
+    * every may-match FILE. Same exactly-once markers, same fold
+    * semantics (spec pins equivalence); null-key batches still fall
+    * back to the exact full fold (a NULL never semi-joins, so a
+    * stored null-key row would evade its mask). Repeated batches
+    * accumulate masks; run OPTIMIZE/REORG PURGE on the maintenance
+    * cadence like any DV-heavy table. */
+  def versionedApplyChangesBatchDv(root: String, appId: String,
       mergeKeys: Seq[String], seqCol: String, opCol: String)
+      : (DataFrame, Long) => Unit =
+    versionedApplyChangesBatch(root, appId, mergeKeys, seqCol, opCol,
+      dvFold = true)
+
+  def versionedApplyChangesBatch(root: String, appId: String,
+      mergeKeys: Seq[String], seqCol: String, opCol: String,
+      dvFold: Boolean = false)
       : (DataFrame, Long) => Unit = {
     require(appId.matches("[A-Za-z0-9.-]+"),
       s"appId must be [A-Za-z0-9.-]+, got '$appId'")
@@ -300,7 +318,25 @@ object Streaming {
           ()
         }
         import org.apache.spark.sql.types._
-        batch.schema(keyCol).dataType match {
+        if (dvFold) {
+          // DV fold: exact semi-join membership makes every key TYPE
+          // safe (stats only PRUNE candidates; they never decide
+          // membership) — the one hazard is NULL in ANY merge key,
+          // which never semi-joins and would evade its mask
+          val nullCheck = batch.agg(count(lit(1)),
+            mergeKeys.map(k => count(col(k))): _*).head()
+          val hasNullKey = mergeKeys.indices
+            .exists(i => nullCheck.getLong(i + 1) != nullCheck.getLong(0))
+          if (hasNullKey) fullFold()
+          else {
+            vt.foldVectorized(batch, mergeKeys, s"$marker$batchId") {
+              affected =>
+                fold(affected.withColumn(opCol, lit("upsert"))
+                  .select(cols.map(col): _*))
+            }
+            ()
+          }
+        } else batch.schema(keyCol).dataType match {
           case ByteType | ShortType | IntegerType | LongType |
                FloatType | DoubleType =>
             // the batch's key envelope: four scalars off one

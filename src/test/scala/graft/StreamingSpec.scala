@@ -1004,6 +1004,51 @@ class StreamingSpec extends AnyFunSuite {
       st("doc0020") === "u20" && st("doc0021") === "v21")
   }
 
+  test("versionedApplyChangesBatchDv: fold ≡ rewrite sink; NO stored " +
+    "file is ever rewritten — untouched keys' rows stay in place") {
+    import graft.io.VersionedTable
+    import graft.streaming.Streaming
+    import spark.implicits._
+    val base = Fixtures.tempDir("graft-cdc-dvfold")
+    val rootA = s"$base/rewrite"
+    val rootB = s"$base/dv"
+    val sinkA = Streaming.versionedApplyChangesBatch(rootA, "ta",
+      Seq("k"), "seq", "op")
+    val sinkB = Streaming.versionedApplyChangesBatchDv(rootB, "tb",
+      Seq("k"), "seq", "op")
+    def feed(i: Long): org.apache.spark.sql.DataFrame = i match {
+      case 0L => (1L to 400L).map(k => (k, s"v$k", 1L, "upsert"))
+        .toDF("k", "v", "seq", "op")
+      case 1L => ((10L to 20L).map(k => (k, s"u$k", 2L, "upsert")) ++
+        Seq((100L, "", 2L, "delete"), (999L, "new", 2L, "upsert")))
+        .toDF("k", "v", "seq", "op")
+      case _ => Seq((15L, "late", 1L, "upsert")) // must LOSE to seq 2
+        .toDF("k", "v", "seq", "op")
+    }
+    (0L to 2L).foreach { i => sinkA(feed(i), i); sinkB(feed(i), i) }
+    val a = new VersionedTable(spark, rootA).read().collect()
+      .map(_.toSeq).toSet
+    val vtB = new VersionedTable(spark, rootB)
+    val b = vtB.read().collect().map(_.toSeq).toSet
+    assert(b === a, "DV fold must equal the rewrite fold row-for-row")
+    // file contract: every file the seed batch wrote is STILL
+    // referenced at HEAD (batches only masked + appended)
+    val seedFiles = vtB.manifestEntries(0L).map(_.relPath).toSet
+    val headFiles = vtB.manifestEntries(vtB.currentVersion.get)
+    assert(seedFiles.subsetOf(headFiles.map(_.relPath).toSet),
+      "the DV fold must never rewrite a stored file")
+    // masks: batch 1 touched 11 updates + 1 delete = 12 stored rows;
+    // batch 2's late row re-masked k=15 (already masked rows carry
+    // over) — total masked rows = 12 + 1 new image of k=15
+    assert(headFiles.map(_.dvRows).sum === 13L)
+    // null-key batches fall back to the full fold, exactly once each
+    sinkB(Seq((Option.empty[Long], "n", 3L, "upsert"))
+      .toDF("k", "v", "seq", "op"), 3L)
+    assert(vtB.read().filter(
+      org.apache.spark.sql.functions.col("k").isNull).count() === 1L)
+    assert(vtB.read().count() === 401L) // 400 +999 -100 deleted +null
+  }
+
   test("versionedApplyChangesBatch: a batch with NULL keys falls back " +
     "to the full fold — the stored null-key row is never duplicated") {
     import graft.io.VersionedTable
