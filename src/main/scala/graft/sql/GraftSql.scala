@@ -69,6 +69,28 @@ object GraftSql {
         vt.changesWithMeta(from - 1, to).createOrReplaceTempView(view)
         view
       })
+      // timestamp form: table_changes('t', 'fromTs'[, 'toTs']) — the
+      // start rounds FORWARD, the end BACK (Delta's inclusive rule);
+      // `toTs` defaults to "now" = the newest commit
+      val tcTsRe = ("(?i)\\btable_changes\\s*\\(\\s*'" +
+        java.util.regex.Pattern.quote(name) +
+        "'\\s*,\\s*'([^']+)'\\s*(?:,\\s*'([^']+)'\\s*)?\\)").r
+      q = tcTsRe.replaceAllIn(q, m => {
+        val fromTs = m.group(1)
+        val view = s"${name}__changes_ts" +
+          (fromTs + Option(m.group(2)).getOrElse(""))
+            .replaceAll("[^0-9]", "")
+        val feed = Option(m.group(2)) match {
+          case Some(toTs) =>
+            vt.changesBetweenTimestampsWithMeta(fromTs, toTs)
+          case None =>
+            val fromV = vt.firstVersionAtOrAfter(fromTs).getOrElse(
+              sys.error(s"no commit of $root at or after $fromTs"))
+            vt.changesWithMeta(fromV - 1, vt.currentVersion.get)
+        }
+        feed.createOrReplaceTempView(view)
+        view
+      })
       vt.read().createOrReplaceTempView(name)
     }
     spark.sql(q)

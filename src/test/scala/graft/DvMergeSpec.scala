@@ -256,6 +256,25 @@ class DvMergeSpec extends AnyFunSuite {
       (50L, "delete")))
   }
 
+  test("vacuum keeps the sidecars retained versions reference and " +
+      "reclaims the rest") {
+    val (vt, _) = freshTable("graft-dvm-vacuum", n = 300)
+    vt.mergeVectorized(Seq((10L, "a", -1L)).toDF("id", "s", "v"),
+      Seq("id")) // v1: sidecar A
+    vt.mergeVectorized(Seq((11L, "b", -2L)).toDF("id", "s", "v"),
+      Seq("id")) // v2: sidecar B (A's masks carried in)
+    vt.compact() // v3: rewrite purges masks
+    vt.write(Seq((5000L, "x", 0L)).toDF("id", "s", "v"),
+      SaveMode.Append) // v4
+    val headRows = vt.read().collect().map(_.toSeq).toSet
+    vt.vacuum(retainVersions = 2) // keeps v3, v4 only
+    // the retained snapshot still reads exactly
+    assert(vt.read().collect().map(_.toSeq).toSet === headRows)
+    assert(vt.read().count() === 301L)
+    // pre-vacuum versions are gone along with their sidecars
+    intercept[Exception] { vt.readVersion(1L).count() }
+  }
+
   test("repeated DV merges compose: masks union, time travel intact") {
     val (vt, _) = freshTable("graft-dvm-repeat", n = 200)
     val s1 = Seq((10L, "a1", -1L)).toDF("id", "s", "v")

@@ -77,6 +77,16 @@ class GraftSqlSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM table_changes('t', 1)",
       Map("t" -> root)).as[Long].head()
     assert(n === 1L)
+    // timestamp form: start rounds forward, end rounds back
+    val t1 = vt.history(limit = 1).head.timestamp
+    val byTs = GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM table_changes('t', '1970-01-01T00:00:00Z', '$t1')",
+      Map("t" -> root)).as[Long].head()
+    assert(byTs === 3L) // v0's 2 rows + v1's 1
+    val open = GraftSql.sql(spark,
+      s"SELECT _commit_version FROM table_changes('t', '$t1')",
+      Map("t" -> root)).as[Long].collect().toSet
+    assert(open === Set(1L)) // from v1's instant to current
   }
 
   test("travel reads see DV masks and case-insensitive keywords work") {
