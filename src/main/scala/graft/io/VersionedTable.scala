@@ -694,6 +694,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * the metadata surface for table detail / tooling. */
   def manifestEntries(v: Long): Seq[ManifestEntry] = readManifest(v).entries
 
+  /** The current snapshot's manifest — test/diagnostic access for the
+    * skipping analyzers ([[predicateMayMatch]]). */
+  private[graft] def currentManifest: VersionManifest =
+    readManifest(currentVersion.getOrElse(
+      sys.error(s"table $root does not exist")))
+
   /** Manifest-level data skipping (Delta stats-based file pruning):
     * read only the files whose recorded [min, max] for `column`
     * intersects [lo, hi], then apply the predicate for row-level
@@ -1123,6 +1129,26 @@ final class VersionedTable(spark: SparkSession, root: String) {
       opDesc = s"DELETE DV $column IN KEYS[$lo,$hi]")
   }
 
+  /** Row-level DELETE of every row satisfying an ARBITRARY predicate
+    * via deletion vectors — the `DELETE FROM t WHERE <anything>` a
+    * SQL user actually writes, at the same O(deleted rows) write
+    * amplification as [[deleteVectorized]]. Candidate files come
+    * from [[predicateMayMatch]]'s data skipping: the predicate's
+    * comparison / IN / BETWEEN / prefix conjuncts are tested against
+    * each file's recorded stats (numeric and short-ASCII string
+    * min/max, exact partition values), so a selective predicate on a
+    * clustered column reads only the files it could touch — exactly
+    * Delta's data-skipping-for-DML shape. Conjuncts the analyzer
+    * cannot prove anything about are conservatively non-skipping;
+    * the row mask itself is always the exact `filter(pred)` (rows
+    * where the predicate is NULL survive — SQL three-valued WHERE).
+    * Same WriteSerializable concurrency as the range flavor. */
+  def deleteVectorizedWhere(pred: org.apache.spark.sql.Column): Long =
+    deleteVectorizedCore(
+      mask = _.filter(pred),
+      mayMatch0 = m => predicateMayMatch(m, pred),
+      opDesc = s"DELETE DV WHERE $pred")
+
   /** CONVERT TO versioned table, IN PLACE (Delta `CONVERT TO DELTA`):
     * adopt an existing plain-parquet directory — flat or
     * hive-partitioned — as this table's version 0 WITHOUT moving,
@@ -1492,6 +1518,167 @@ final class VersionedTable(spark: SparkSession, root: String) {
       case None => true // no stats: must assume yes
     }
 
+  /** Data skipping derived from an ARBITRARY predicate's expression
+    * tree (Delta's stats-based skipping applied to DML candidates):
+    * walk the Catalyst tree of `pred` and compose per-file may-match
+    * tests from the conjuncts it can reason about — `=`, `<`, `<=`,
+    * `>`, `>=`, `<=>`, `BETWEEN` (parses to AND), `IN` (literal-list
+    * envelope), and `startsWith`/prefix-`LIKE`, each against a bare
+    * column and a literal, pruned through the manifest's numeric or
+    * short-ASCII string min/max stats (or an exact partition value).
+    * AND needs both sides possible, OR either; everything else — IS
+    * NULL, NOT, casts, cross-column comparisons, scalar functions —
+    * is conservatively non-skipping (the test answers "may match";
+    * the row-level filter decides). Strict bounds are widened to
+    * inclusive (a superset — sound), a finite numeric bound beyond
+    * 2^53 refuses to prune (stats are doubles), and a numeric literal
+    * against a string-stats column (or vice versa) finds no stats and
+    * passes every file. The walk runs on the UNRESOLVED tree, so no
+    * implicit casts hide a column. */
+  private[graft] def predicateMayMatch(m: VersionManifest,
+      pred: org.apache.spark.sql.Column): ManifestEntry => Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val partCols = m.partitionBy.toSet
+    val all: ManifestEntry => Boolean = _ => true
+    def attr(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def numOf(e: Expression): Option[Double] = e match {
+      case Literal(v, dt) if v != null => dt match {
+        case ByteType => Some(v.asInstanceOf[Byte].toDouble)
+        case ShortType => Some(v.asInstanceOf[Short].toDouble)
+        case IntegerType => Some(v.asInstanceOf[Int].toDouble)
+        case LongType => Some(v.asInstanceOf[Long].toDouble)
+        case FloatType => Some(v.asInstanceOf[Float].toDouble)
+        case DoubleType => Some(v.asInstanceOf[Double])
+        case _: DecimalType => Some(v.asInstanceOf[Decimal].toDouble)
+        case _ => None
+      }
+      case _ => None
+    }
+    def strOf(e: Expression): Option[String] = e match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def range(name: String, lo: Double, hi: Double)
+        : ManifestEntry => Boolean =
+      if ((!lo.isInfinite && math.abs(lo) > 9007199254740992.0) ||
+          (!hi.isInfinite && math.abs(hi) > 9007199254740992.0)) all
+      else rangeMayMatch(partCols, physFor(m, name), lo, hi) _
+    def srange(name: String, lo: String, hi: String)
+        : ManifestEntry => Boolean =
+      strRangeMayMatch(partCols, physFor(m, name), lo, hi) _
+    // (column, literal) of a comparison, either operand order;
+    // `flip` = the literal was on the LEFT (so `5 <= c` is `c >= 5`)
+    def sides(l: Expression, r: Expression)
+        : Option[(String, Either[Double, String], Boolean)] =
+      attr(l) match {
+        case Some(n) => numOf(r).map(d => (n, scala.Left(d), false))
+          .orElse(strOf(r).map(s => (n, scala.Right(s), false)))
+        case None => attr(r) match {
+          case Some(n) => numOf(l).map(d => (n, scala.Left(d), true))
+            .orElse(strOf(l).map(s => (n, scala.Right(s), true)))
+          case None => None
+        }
+      }
+    def eqTest(l: Expression, r: Expression): ManifestEntry => Boolean =
+      sides(l, r) match {
+        case Some((n, scala.Left(d), _)) => range(n, d, d)
+        case Some((n, scala.Right(s), _)) => srange(n, s, s)
+        case None => all
+      }
+    // `upper` = the comparison bounds the column from ABOVE when the
+    // column is the left operand (`c <= v`); flipped literals invert
+    def boundTest(l: Expression, r: Expression, upper: Boolean)
+        : ManifestEntry => Boolean =
+      sides(l, r) match {
+        case Some((n, scala.Left(d), flip)) =>
+          if (upper != flip) range(n, Double.NegativeInfinity, d)
+          else range(n, d, Double.PositiveInfinity)
+        case Some((n, scala.Right(s), flip)) =>
+          // string stats are ASCII-only, so "\uffff" bounds them all
+          if (upper != flip) srange(n, "", s)
+          else srange(n, s, "\uffff")
+        case None => all
+      }
+    def inTest(a: Expression, vs: Seq[Expression]): ManifestEntry => Boolean =
+      attr(a) match {
+        case Some(n) if vs.nonEmpty =>
+          val nums = vs.map(numOf)
+          val strs = vs.map(strOf)
+          if (nums.forall(_.isDefined)) {
+            val ds = nums.flatten
+            range(n, ds.min, ds.max)
+          } else if (strs.forall(_.isDefined)) {
+            val ss = strs.flatten
+            srange(n, ss.min, ss.max)
+          } else all
+        case _ => all
+      }
+    def startsTest(a: Expression, p: Expression): ManifestEntry => Boolean =
+      (attr(a), strOf(p)) match {
+        // ASCII stats: every value with this prefix sorts inside
+        // [prefix, prefix + U+FFFF]
+        case (Some(n), Some(pre)) => srange(n, pre, pre + "\uffff")
+        case _ => all
+      }
+    def likeTest(a: Expression, p: Expression): ManifestEntry => Boolean =
+      (attr(a), strOf(p)) match {
+        // prefix-only LIKE ('abc%'): same envelope as startsWith;
+        // any other wildcard shape is non-skipping
+        case (Some(n), Some(pat)) if pat.endsWith("%") &&
+            !pat.dropRight(1).exists(c =>
+              c == '%' || c == '_' || c == '\\') =>
+          srange(n, pat.dropRight(1), pat.dropRight(1) + "\uffff")
+        case _ => all
+      }
+    def build(e: Expression): ManifestEntry => Boolean = e match {
+      case And(l, r) =>
+        val fl = build(l); val fr = build(r)
+        en => fl(en) && fr(en)
+      case Or(l, r) =>
+        val fl = build(l); val fr = build(r)
+        en => fl(en) || fr(en)
+      case EqualTo(l, r) => eqTest(l, r)
+      case EqualNullSafe(l, r) => eqTest(l, r)
+      case LessThan(l, r) => boundTest(l, r, upper = true)
+      case LessThanOrEqual(l, r) => boundTest(l, r, upper = true)
+      case GreaterThan(l, r) => boundTest(l, r, upper = false)
+      case GreaterThanOrEqual(l, r) => boundTest(l, r, upper = false)
+      case In(a, vs) => inTest(a, vs)
+      case StartsWith(a, p) => startsTest(a, p)
+      case Like(a, p, _) => likeTest(a, p)
+      // the Column DSL (`col("k") === 150L`, `.isin`, `.startsWith`)
+      // reaches here UNRESOLVED: operators are UnresolvedFunction
+      // nodes until analysis \u2014 normalize the ones we can skip on
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.length == 1 =>
+        (u.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+          u.arguments) match {
+          case ("and", Seq(l, r)) =>
+            val fl = build(l); val fr = build(r)
+            en => fl(en) && fr(en)
+          case ("or", Seq(l, r)) =>
+            val fl = build(l); val fr = build(r)
+            en => fl(en) || fr(en)
+          case ("=" | "==" | "<=>", Seq(l, r)) => eqTest(l, r)
+          case ("<" | "<=", Seq(l, r)) => boundTest(l, r, upper = true)
+          case (">" | ">=", Seq(l, r)) => boundTest(l, r, upper = false)
+          case ("in", a +: vs) if vs.nonEmpty => inTest(a, vs)
+          case ("startswith", Seq(a, p)) => startsTest(a, p)
+          case ("like", Seq(a, p)) => likeTest(a, p)
+          case _ => all
+        }
+      case _ => all
+    }
+    build(graftbridge.ColumnBridge.catalystExpression(pred))
+  }
+
   /** [[scanMayMatch]] for a STRING key column — the doc-id /
     * content-hash keys LLM-pipeline dimension tables are actually
     * keyed on: the scan of every file that MAY hold `column` ∈
@@ -1696,8 +1883,38 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * [[deleteVectorized]] (WriteSerializable). */
   def updateVectorizedBetween(column: String, lo: Double, hi: Double,
       set: Map[String, org.apache.spark.sql.Column]): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
-    require(set.nonEmpty, "updateVectorizedBetween needs a column to set")
+    import org.apache.spark.sql.functions.col
+    updateVectorizedCore(
+      matches = col(column) >= lo && col(column) <= hi,
+      mayMatch0 = m => rangeMayMatch(m.partitionBy.toSet,
+        physFor(m, column), lo, hi),
+      set = set,
+      opDesc = s"UPDATE DV $column IN [$lo,$hi]")
+  }
+
+  /** Row-level UPDATE of every row satisfying an ARBITRARY predicate
+    * via deletion vectors — [[updateVectorizedBetween]] generalized to
+    * whatever WHERE clause a SQL `UPDATE` carries. Candidate files
+    * come from [[predicateMayMatch]]'s data skipping (comparisons /
+    * IN / BETWEEN / prefix conjuncts against recorded stats); rows
+    * where the predicate is NULL are NOT updated (SQL three-valued
+    * WHERE). Same O(changed rows) write amplification, partition-
+    * column rule, and WriteSerializable concurrency as the range
+    * form. */
+  def updateVectorizedWhere(pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long =
+    updateVectorizedCore(
+      matches = pred,
+      mayMatch0 = m => predicateMayMatch(m, pred),
+      set = set,
+      opDesc = s"UPDATE DV WHERE $pred")
+
+  private def updateVectorizedCore(matches: org.apache.spark.sql.Column,
+      mayMatch0: VersionManifest => ManifestEntry => Boolean,
+      set: Map[String, org.apache.spark.sql.Column],
+      opDesc: String): Long = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "updateVectorized needs a column to set")
     val curV = currentVersion.getOrElse(
       sys.error(s"table $root does not exist"))
     val m = readManifest(curV)
@@ -1707,11 +1924,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
     require(!set.keys.exists(m.partitionBy.contains),
       s"cannot update partition columns of $root in place " +
         "(rows would change partitions) — use a MERGE")
-    val mayMatch =
-      rangeMayMatch(m.partitionBy.toSet, physFor(m, column), lo, hi) _
+    val mayMatch = mayMatch0(m)
     val candidates = m.entries.filter(mayMatch)
     if (candidates.isEmpty) return curV // provably nothing to update
-    val matches = col(column) >= lo && col(column) <= hi
     val tracked = m.rowIdHw.isDefined
     val metaFile = graftbridge.ManifestScan.FilePathCol
     val metaPos = graftbridge.ManifestScan.RowIndexCol
@@ -1746,8 +1961,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
       dataDir)
     val added = listCommitFiles(dataDir)
-    val v = commitMaskAppend(m, candidates, counts, dvRel, added,
-      s"UPDATE DV $column IN [$lo,$hi]")
+    val v = commitMaskAppend(m, candidates, counts, dvRel, added, opDesc)
     refreshBloomIndexes(v)
     v
   }

@@ -1,0 +1,191 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, And => CatAnd,
+  AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType,
+  LongType, ShortType}
+
+/** One registered materialized aggregate: queries that group the BASE
+  * table by a subset of `dims` and compute sums / counts / mins /
+  * maxes over the registered measures can be answered from the (much
+  * smaller) MV table by RE-AGGREGATING its partial aggregates —
+  * sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes — the
+  * classic OLAP aggregate-navigator rollup.
+  *
+  * @param baseRoot  versioned-table root the MV summarizes
+  * @param mv        current MV snapshot (re-planned per query, so IVM
+  *                  maintenance commits are picked up immediately)
+  * @param dims      MV grouping columns (same names in base and MV)
+  * @param sums      base measure column → MV column holding
+  *                  `sum(measure)`
+  * @param count     MV column holding `count(*)`, if materialized
+  * @param mins      base measure column → MV column holding `min(...)`
+  * @param maxs      base measure column → MV column holding `max(...)`
+  */
+final case class MvDef(
+    baseRoot: String,
+    mv: () => DataFrame,
+    dims: Seq[String],
+    sums: Map[String, String] = Map.empty,
+    count: Option[String] = None,
+    mins: Map[String, String] = Map.empty,
+    maxs: Map[String, String] = Map.empty)
+
+/** AGGREGATE-AWARE QUERY REWRITE (the OLAP "aggregate navigator" /
+  * Delta "materialized view query rewrite" shape) as a Catalyst
+  * optimizer rule: an `Aggregate` whose child scans a registered base
+  * table, whose grouping keys are a subset of the MV's dimensions,
+  * and whose aggregates decompose over the MV's partials, is rewritten
+  * to the same aggregate over the MV scan. The 100 TB payoff is the
+  * point of materialized views: a dashboard's `GROUP BY status` over
+  * a 100 TB fact table becomes a scan of a KB-scale summary — without
+  * the query author knowing the MV exists.
+  *
+  * Matching is deliberately conservative (a missed rewrite is just the
+  * base-table plan; a wrong one is corruption):
+  *   - the child must be the base table's manifest scan
+  *     ([[org.apache.spark.sql.graftbridge.ManifestFileIndex]]) —
+  *     optionally under a column-pruning Project of bare attributes
+  *     and/or a Filter referencing ONLY dimension columns (the filter
+  *     re-binds onto the MV's columns: rows of untouched groups
+  *     filter identically before and after rollup). A DV-masked or
+  *     column-mapped snapshot plans as a join/projection and simply
+  *     never matches.
+  *   - every grouping expression must be a bare dimension attribute.
+  *   - every output must be a dimension, `sum(measure)` (int/long/
+  *     float/double — decimal re-sums would widen the type), a
+  *     literal `count(*)`/`count(1)`, or `min`/`max` of a registered
+  *     measure; DISTINCT or filtered aggregates never match.
+  *   - rewritten outputs keep their original names AND exprIds, so
+  *     parent operators (sorts, projections, havings) re-bind
+  *     untouched.
+  *
+  * Register per session via `spark.experimental.extraOptimizations`
+  * (or a `SparkSessionExtensions.injectOptimizerRule`); definitions
+  * are session-global in [[MvRewrite.register]]. The MV frame is
+  * re-planned at every rewrite, so an IVM-maintained MV (q73/q147
+  * machinery) serves its freshest committed version. */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  private val defs = new java.util.concurrent.CopyOnWriteArrayList[MvDef]
+
+  def register(d: MvDef): Unit = defs.add(d)
+  def clear(): Unit = defs.clear()
+
+  private def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.getPath
+
+  /** Strip a column-pruning Project / dims-only Filter down to the
+    * base manifest scan; returns the optional filter condition. */
+  private def baseScan(plan: LogicalPlan, d: MvDef)
+      : Option[Option[Expression]] = plan match {
+    case lr: LogicalRelation if (lr.relation match {
+        case rel: HadoopFsRelation =>
+          rel.location.isInstanceOf[
+            org.apache.spark.sql.graftbridge.ManifestFileIndex] &&
+            rel.location.rootPaths.headOption.exists(p =>
+              normPath(p.toString) == normPath(d.baseRoot))
+        case _ => false
+      }) =>
+      Some(None)
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      baseScan(child, d)
+    case Filter(cond, child)
+        if cond.references.forall(r => d.dims.contains(r.name)) =>
+      baseScan(child, d).map {
+        case None => Some(cond)
+        case Some(prev) => Some(CatAnd(prev, cond))
+      }
+    case _ => None
+  }
+
+  private val summableTypes: Set[org.apache.spark.sql.types.DataType] =
+    Set(IntegerType, LongType, ShortType, FloatType, DoubleType)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (defs.isEmpty) return plan
+    plan.transform {
+      case agg @ Aggregate(groupings, aggExprs, child, _) =>
+        import scala.jdk.CollectionConverters._
+        defs.asScala.view
+          .flatMap(d => tryRewrite(agg, groupings, aggExprs, child, d))
+          .headOption.getOrElse(agg)
+    }
+  }
+
+  private def tryRewrite(agg: Aggregate, groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan,
+      d: MvDef): Option[LogicalPlan] = {
+    val filterOpt = baseScan(child, d) match {
+      case Some(f) => f
+      case None => return None
+    }
+    if (!groupings.forall {
+      case a: AttributeReference => d.dims.contains(a.name)
+      case _ => false
+    }) return None
+    val mvPlan = d.mv().queryExecution.analyzed
+    def mvAttr(name: String): Option[AttributeReference] =
+      mvPlan.output.collectFirst {
+        case a: AttributeReference if a.name == name => a
+      }
+    // every MV column the rewrite needs must exist, or abort whole
+    def rebuilt(ne: NamedExpression): Option[NamedExpression] = ne match {
+      case a: AttributeReference if d.dims.contains(a.name) =>
+        mvAttr(a.name).map(m => Alias(m, a.name)(exprId = a.exprId))
+      case al @ Alias(AggregateExpression(
+          Sum(attr: AttributeReference, _), _, false, None, _), name)
+          if d.sums.contains(attr.name) &&
+            summableTypes.contains(attr.dataType) =>
+        mvAttr(d.sums(attr.name)).map(m => Alias(
+          AggregateExpression(Sum(m), Complete, isDistinct = false),
+          name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(
+          Count(Seq(Literal(_, _))), _, false, None, _), name)
+          if d.count.isDefined =>
+        mvAttr(d.count.get).map(m => Alias(
+          Coalesce(Seq(
+            AggregateExpression(Sum(m), Complete, isDistinct = false),
+            Literal(0L, LongType))),
+          name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(
+          Min(attr: AttributeReference), _, false, None, _), name)
+          if d.mins.contains(attr.name) =>
+        mvAttr(d.mins(attr.name)).map(m => Alias(
+          AggregateExpression(Min(m), Complete, isDistinct = false),
+          name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(
+          Max(attr: AttributeReference), _, false, None, _), name)
+          if d.maxs.contains(attr.name) =>
+        mvAttr(d.maxs(attr.name)).map(m => Alias(
+          AggregateExpression(Max(m), Complete, isDistinct = false),
+          name)(exprId = al.exprId))
+      case _ => None
+    }
+    val newAggs = aggExprs.map(rebuilt)
+    if (newAggs.exists(_.isEmpty)) return None
+    val newGroupings = groupings.map {
+      case a: AttributeReference => mvAttr(a.name).getOrElse(return None)
+    }
+    val newChild = filterOpt match {
+      case None => mvPlan
+      case Some(cond) =>
+        // re-bind the dims-only filter onto the MV's attributes
+        val rebound = cond.transform {
+          case a: AttributeReference =>
+            mvAttr(a.name).getOrElse(return None)
+        }
+        Filter(rebound, mvPlan)
+    }
+    Some(Aggregate(newGroupings, newAggs.map(_.get), newChild))
+  }
+}

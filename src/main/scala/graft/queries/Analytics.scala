@@ -1262,6 +1262,52 @@ object Analytics {
       .orderBy("day", "event_type")
   }
 
+  /** STREAMING MATERIALIZED VIEW (q256; Delta Live Tables'
+    * incrementally-maintained aggregate, closed end to end:
+    * `changeFeedSource → foreachBatch(versionedIvmAggBatch) →
+    * summary table`): the base's CHANGE FEED streams through the
+    * signed IVM fold — the snapshot-as-inserts first batch
+    * initializes the EMPTY-seeded summary, the append's inserts and
+    * the DV band delete's delete rows maintain it, all exactly-once
+    * via per-batch history markers, and the BASE IS NEVER
+    * RE-AGGREGATED. The oracle recomputes the final state from raw
+    * orders: a missed batch, double-folded replay, or wrong signed
+    * delta hash-mismatches. Scale: per batch one O(batch)+O(groups)
+    * fold and a groups-sized summary rewrite; layout-only base
+    * commits contribute no feed rows (the M13 CDF contract), so
+    * OPTIMIZE churn costs the MV nothing. */
+  def streamMvMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.incremental.IncrementalAgg
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streammv").toString
+    val baseRoot = s"$root/base"
+    val mvRoot = s"$root/mv"
+    val base = new graft.io.VersionedTable(spark, baseRoot)
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"))
+    val keys = Seq("o_orderstatus", "o_orderpriority")
+    val sums = Seq("cents")
+    base.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // v0
+    base.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    base.deleteVectorized("o_orderkey", 1000, 1999) // v2
+    val mv = new graft.io.VersionedTable(spark, mvRoot)
+    mv.write(IncrementalAgg.compute(base.read().limit(0), keys, sums))
+    val q = graft.streaming.Streaming.changeFeedSource(spark, baseRoot)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(graft.streaming.Streaming.versionedIvmAggBatch(
+        mvRoot, keys, sums, "q256mv"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    mv.read().select(col("o_orderstatus"), col("o_orderpriority"),
+        col(IncrementalAgg.CountCol), col(IncrementalAgg.sumCol("cents")))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** STREAMING EXPECTATIONS with QUARANTINE (q233; the DLT
     * `expect_or_drop` + quarantine-table pattern): a streamed feed is
     * split per micro-batch by a data-quality predicate — passing rows
@@ -2112,6 +2158,7 @@ object Analytics {
     "q242_stream_cdc_string_key" -> streamCdcApplyStringKey,
     "q245_stream_delete_tolerant" -> streamDeleteTolerant,
     "q248_stream_cdc_dv_fold" -> streamCdcApplyDvFold,
+    "q256_stream_mv" -> streamMvMaintain,
     "q220_bounded_replay" -> boundedReplay,
     "q212_label_prop" -> labelPropParts,
     "q215_lpa_modularity" -> labelPropModularity,
@@ -2256,6 +2303,21 @@ object Analytics {
                   CAST(sum(cents) AS BIGINT)
            FROM b GROUP BY 2)
          ORDER BY leg, grp""",
+    "q256_stream_mv" ->
+      // the streamed IVM fold must equal a from-scratch aggregate of
+      // the FINAL base state (all rows minus the DV band): a missed
+      // batch, a double-folded replay, or a wrong signed delete
+      // delta hash-mismatches; exact integer cents
+      """WITH b AS (
+           SELECT o_orderstatus, o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderkey NOT BETWEEN 1000 AND 1999)
+         SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+                CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM b GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, o_orderpriority""",
     "q248_stream_cdc_dv_fold" ->
       // the whole feed folded relationally (per-key max seq wins, a
       // surviving 'delete' leaves the table): a DV fold that masks

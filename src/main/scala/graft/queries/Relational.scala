@@ -611,6 +611,232 @@ object Relational {
     vt.read().orderBy("o_orderkey")
   }
 
+  /** SQL DML (q249; Delta SQL `DELETE FROM` / `UPDATE ... SET`,
+    * [[graft.sql.GraftSql.exec]]): the statements a Delta user types
+    * all day, routed to the DV kernels — the DELETE's conjunctive
+    * predicate (a key band AND a status) and the UPDATE's
+    * (status AND an upper key bound) each commit O(changed rows) via
+    * deletion vectors, with the candidate file set pruned by the
+    * predicate's OWN expression tree against manifest stats
+    * ([[graft.io.VersionedTable.predicateMayMatch]]): the
+    * range-clustered layout means the banded DELETE plans only the
+    * stripes its key range touches — at 100 TB, a KB-scale commit
+    * against the few files a WHERE clause can reach. The oracle is
+    * the relational restatement (filter + CASE); a predicate dropped,
+    * widened, or applied to the wrong rows hash-mismatches. */
+  def sqlDml(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-sqldml")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    vt.write(o.select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"), col("o_orderstatus"))
+      .repartitionByRange(8, col("o_orderkey")))
+    val t = Map("t" -> root)
+    graft.sql.GraftSql.exec(spark,
+      "DELETE FROM t WHERE o_orderkey BETWEEN 1000 AND 2000 " +
+        "AND o_orderstatus = 'O'", t)
+    graft.sql.GraftSql.exec(spark,
+      "UPDATE t SET cents = cents + 7 " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey < 5000", t)
+    vt.read().orderBy("o_orderkey")
+  }
+
+  /** SQL MERGE (q250; Delta SQL `MERGE INTO`,
+    * [[graft.sql.GraftSql.exec]]): the full clause surface — matched
+    * DELETE (source rows flagged 'D'), matched UPDATE SET *,
+    * unmatched INSERT *, and a NOT-MATCHED-BY-SOURCE archive — parsed
+    * from one SQL string into the DV clause merge
+    * ([[graft.io.VersionedTable.mergeClausesVectorized]]), so the
+    * whole statement commits masks + changed images at O(changed
+    * rows). The oracle replays the four row fates over a full-outer
+    * join; a clause mis-parsed (aliases, conditions, delete-vs-update
+    * precedence) or mis-applied hash-mismatches. Scale: identical to
+    * q247 — the parse is O(|SQL|), the merge one table-scan join. */
+  def sqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-sqlmerge")
+      .resolve("tbl").toString
+    val vt = new graft.io.VersionedTable(spark, root)
+    val cents = (col("o_totalprice").cast("decimal(18,4)") * 100)
+      .cast("long")
+    vt.write(o.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"), cents.as("cents"), col("o_orderstatus"))
+      .repartitionByRange(8, col("o_orderkey")))
+    o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), (cents + 13).as("cents"),
+        when(col("o_orderkey") % 3 === 0, "D").otherwise("U")
+          .as("o_orderstatus"))
+      .createOrReplaceTempView("q250_src")
+    graft.sql.GraftSql.exec(spark,
+      """MERGE INTO t USING q250_src AS src ON t.o_orderkey = src.o_orderkey
+         WHEN MATCHED AND src.o_orderstatus = 'D' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F'
+           THEN UPDATE SET o_orderstatus = 'X'""",
+      Map("t" -> root))
+    vt.read().orderBy("o_orderkey")
+  }
+
+  /** MATERIALIZED-VIEW QUERY REWRITE (q253; the OLAP aggregate
+    * navigator / MV auto-routing, [[graft.plans.MvRewrite]]): the
+    * query groups the BASE fact table by status, but the registered
+    * Catalyst rule re-plans it onto the (status, priority) summary
+    * table — sum-of-sums, sum-of-counts — and the `require` proves
+    * the physical scan reads the MV, not the base (the result is
+    * checkpointed under the rule, so the verified rows ARE the MV
+    * rollup). The oracle aggregates the raw table: a wrong rollup
+    * decomposition, a stale MV, or a mis-bound attribute
+    * hash-mismatches. Scale: this is the POINT of MVs at 100 TB — a
+    * dashboard group-by becomes a KB-scale summary scan, invisible to
+    * the query author; the rewrite itself is O(plan size) driver
+    * work. */
+  def mvRewriteRollup(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-mvrw")
+      .toString
+    val base = new graft.io.VersionedTable(spark, root + "/base")
+    base.write(o.select(col("o_orderstatus"), col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents")))
+    val mv = new graft.io.VersionedTable(spark, root + "/mv")
+    mv.write(base.read().groupBy("o_orderstatus", "o_orderpriority")
+      .agg(sum("cents").as("sum_cents"), count(lit(1)).as("cnt")))
+    graft.plans.MvRewrite.register(graft.plans.MvDef(
+      baseRoot = root + "/base",
+      mv = () => new graft.io.VersionedTable(spark, root + "/mv").read(),
+      dims = Seq("o_orderstatus", "o_orderpriority"),
+      sums = Map("cents" -> "sum_cents"),
+      count = Some("cnt")))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MvRewrite
+    try {
+      val out = base.read().groupBy("o_orderstatus")
+        .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+      val roots = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case rel: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              rel.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(roots.nonEmpty && roots.forall(_.endsWith("/mv")),
+        s"MV rewrite did not fire: scanned $roots")
+      out.localCheckpoint() // materialize THROUGH the MV plan
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.MvRewrite.clear()
+    }
+  }
+
+  /** IVM-MAINTAINED MV SERVING QUERIES THROUGH THE REWRITE (q254; the
+    * full materialized-view lifecycle — q73's O(delta) maintenance ×
+    * q253's transparent serving): the (status, priority) summary is
+    * initialized once, then maintained from the base's CHANGE FEED
+    * through an append commit (insert deltas) and a DV band delete
+    * (signed delete deltas) — the base is never re-aggregated — and a
+    * REORG PURGE restores the base to a pure scan so the registered
+    * rewrite serves the final rollup from the maintained MV (the
+    * `require` proves the plan reads the MV; the maintenance cadence
+    * is the real-world one: masks accumulate, REORG on schedule). The
+    * oracle recomputes the final base state from scratch, so a wrong
+    * signed fold, a missed delta, OR a wrong rollup decomposition
+    * hash-mismatches. Scale: each maintenance step shuffles O(changed
+    * rows) + O(groups); the dashboard query reads the KB-scale MV. */
+  def mvIvmRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.incremental.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("graft-mvivm")
+      .toString
+    val base = new graft.io.VersionedTable(spark, root + "/base")
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"))
+    val keys = Seq("o_orderstatus", "o_orderpriority")
+    val sums = Seq("cents")
+    base.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // base v0
+    val v0 = base.currentVersion.get
+    val mv = new graft.io.VersionedTable(spark, root + "/mv")
+    mv.write(IncrementalAgg.compute(base.read(), keys, sums)) // MV init
+    base.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // base v1: inserts
+    val v1 = base.currentVersion.get
+    mv.write(IncrementalAgg.update(mv.read(), base.changes(v0, v1),
+      keys, sums)) // O(delta) maintenance, base never re-read
+    base.deleteVectorized("o_orderkey", 100, 299) // base v2: deletes
+    val v2 = base.currentVersion.get
+    mv.write(IncrementalAgg.update(mv.read(), base.changes(v1, v2),
+      keys, sums))
+    base.reorgPurge() // masks out, pure scan back — the rewrite's shape
+    graft.plans.MvRewrite.register(graft.plans.MvDef(
+      baseRoot = root + "/base",
+      mv = () => new graft.io.VersionedTable(spark, root + "/mv").read(),
+      dims = keys,
+      sums = Map("cents" -> IncrementalAgg.sumCol("cents")),
+      count = Some(IncrementalAgg.CountCol)))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MvRewrite
+    try {
+      val out = base.read().groupBy("o_orderstatus")
+        .agg(sum("cents").as("cents_total"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+      val roots = out.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case rel: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              rel.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(roots.nonEmpty && roots.forall(_.endsWith("/mv")),
+        s"MV rewrite did not fire: scanned $roots")
+      out.localCheckpoint() // materialize THROUGH the MV plan
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      graft.plans.MvRewrite.clear()
+    }
+  }
+
+  /** SQL CATALOG PIPELINE (q255; CTAS + bare-name resolution over a
+    * warehouse catalog, [[graft.sql.GraftCatalog]] +
+    * [[graft.sql.GraftSql.exec]]): the bronze→gold flow a SQL-only
+    * user runs — CTAS lands the fact table in the warehouse, a
+    * bare-name DELETE routes to the predicate DV kernel (M46), a
+    * second CTAS aggregates facts into gold BY NAME (no paths, no
+    * Maps — the directory is the catalog), and the final SELECT reads
+    * gold. The oracle recomputes gold from raw orders, so a broken
+    * name resolution, lost CTAS, or mis-routed DELETE
+    * hash-mismatches. Scale: the catalog listing is driver-side
+    * metadata; every data operation costs what its kernel costs. */
+  def sqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlcat")
+      .toString + "/wh"
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    load(spark, dir, "orders").select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"), col("o_orderstatus"))
+      .createOrReplaceTempView("q255_orders")
+    graft.sql.GraftSql.exec(spark,
+      "CREATE TABLE facts AS SELECT * FROM q255_orders", cat)
+    graft.sql.GraftSql.exec(spark,
+      "DELETE FROM facts WHERE o_orderkey BETWEEN 500 AND 999", cat)
+    graft.sql.GraftSql.exec(spark,
+      """CREATE TABLE gold AS
+         SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS cents_total,
+                count(*) AS n_orders
+         FROM facts GROUP BY o_orderstatus""", cat)
+    graft.sql.GraftSql.exec(spark,
+      "SELECT * FROM gold ORDER BY o_orderstatus", cat)
+  }
+
   /** APPLY CHANGES / SCD-Type-1 CDC apply (q204;
     * `Upsert.applyChanges` — the DLT `APPLY CHANGES INTO` shape): two
     * CDC batches with overlapping keys land IN ONE FEED — sequence 1
@@ -2252,6 +2478,11 @@ object Relational {
     "q243_cdf_commit_meta" -> cdfCommitMeta,
     "q244_sql_time_travel" -> sqlTimeTravel,
     "q247_merge_clauses_dv" -> mergeClausesDv,
+    "q249_sql_dml" -> sqlDml,
+    "q250_sql_merge" -> sqlMerge,
+    "q253_mv_rewrite" -> mvRewriteRollup,
+    "q254_mv_ivm_rewrite" -> mvIvmRewrite,
+    "q255_sql_catalog" -> sqlCatalog,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -3003,6 +3234,87 @@ object Relational {
          FROM j
          WHERE sm OR (tm AND tstat = 'F')
          ORDER BY o_orderkey""",
+    "q249_sql_dml" ->
+      // the two SQL statements replay relationally: the banded-O
+      // DELETE rows are absent, the F-under-5000 UPDATE rows carry
+      // +7 cents, everything else is untouched — a predicate dropped,
+      // widened, or mis-parsed hash-mismatches
+      """SELECT o_orderkey,
+                CASE WHEN o_orderstatus = 'F' AND o_orderkey < 5000
+                     THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                       AS BIGINT) + 7
+                     ELSE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                       AS BIGINT) END AS cents,
+                o_orderstatus
+         FROM orders
+         WHERE NOT (o_orderkey BETWEEN 1000 AND 2000
+                    AND o_orderstatus = 'O')
+         ORDER BY o_orderkey""",
+    "q250_sql_merge" ->
+      // the SQL MERGE's four row fates over a full-outer replay:
+      // matched 'D'-flagged source rows delete their target row,
+      // other matched rows take the source's values, source-only
+      // rows insert, target-only 'F' rows archive to 'X' — exact
+      // integer cents on both engines
+      """WITH o AS (SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT)
+               AS cents,
+             o_orderstatus AS st
+           FROM orders),
+         t AS (SELECT * FROM o WHERE k % 5 <> 0),
+         s AS (SELECT k, cents + 13 AS cents,
+                      CASE WHEN k % 3 = 0 THEN 'D' ELSE 'U' END AS st
+               FROM o WHERE k % 7 = 0)
+         SELECT COALESCE(t.k, s.k) AS o_orderkey,
+                CASE WHEN s.k IS NOT NULL THEN s.cents
+                     ELSE t.cents END AS cents,
+                CASE WHEN s.k IS NOT NULL THEN s.st
+                     WHEN t.st = 'F' THEN 'X'
+                     ELSE t.st END AS o_orderstatus
+         FROM t FULL OUTER JOIN s ON t.k = s.k
+         WHERE NOT (t.k IS NOT NULL AND s.k IS NOT NULL AND s.st = 'D')
+         ORDER BY o_orderkey""",
+    "q253_mv_rewrite" ->
+      // the MV-served rollup must equal the raw aggregate: the Spark
+      // side groups the BASE by status but (provably, via the plan
+      // check) reads the (status, priority) summary and re-aggregates
+      // its partials — a wrong sum-of-sums/sum-of-counts, stale MV,
+      // or mis-bound attribute hash-mismatches
+      """SELECT o_orderstatus,
+                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                  AS BIGINT)) AS BIGINT) AS sum_cents,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q254_mv_ivm_rewrite" ->
+      // the MV was maintained purely from the change feed (insert
+      // deltas from the append, signed deletes from the DV band), so
+      // the oracle recomputes the FINAL base state from scratch: a
+      // wrong signed fold, a missed delta, or a wrong rollup
+      // decomposition all hash-mismatch; exact integer cents
+      """WITH b AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderkey NOT BETWEEN 100 AND 299)
+         SELECT o_orderstatus,
+                CAST(sum(cents) AS BIGINT) AS cents_total,
+                count(*) AS n_orders
+         FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q255_sql_catalog" ->
+      // gold recomputed from raw orders: the CTAS chain + the
+      // bare-name DV DELETE must net to the band-filtered aggregate;
+      // exact integer cents
+      """WITH b AS (
+           SELECT o_orderstatus,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderkey NOT BETWEEN 500 AND 999)
+         SELECT o_orderstatus,
+                CAST(sum(cents) AS BIGINT) AS cents_total,
+                count(*) AS n_orders
+         FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q133_merge_clauses" ->
       // four clause outcomes: matched+delete drops, matched+upsert
       // takes source values, unmatched delete-commands never insert,

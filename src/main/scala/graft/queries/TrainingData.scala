@@ -1869,6 +1869,50 @@ object TrainingData {
       idCol = "vec_id", vecCol = "embedding", k = 3)
   }
 
+  /** BINARY-QUANTIZED ANN top-3 (q251) for the q26 query set — see
+    * [[Similarity.binaryTopK]]: 1-bit sign codes, integer
+    * Hamming-agreement shortlist, exact-cosine re-rank. The
+    * 32×-compression end of the quantization ladder (SQ8 q96 is 4×,
+    * PQ q69/q70 inbetween); sign codes need NO training pass at all,
+    * so the oracle is fully static SQL like q96's. */
+  def annBinary(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.binaryTopK(
+      corpus = e.filter(col("vec_id") >= 5),
+      queries = e.filter(col("vec_id") < 5),
+      idCol = "vec_id", vecCol = "embedding", k = 3)
+  }
+
+  /** FLESCH–KINCAID READABILITY (q252) — the classic grade-level
+    * formula (Kincaid et al. 1975) as a per-document quality feature:
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59, with
+    * sentences = runs of [.!?] and syllables = runs of [aeiouy] in
+    * the lowercased text (the standard vowel-group heuristic; both
+    * counts floored at 1 so empty/unpunctuated docs stay finite).
+    * Readability sits in every pretraining quality stack next to the
+    * q19 ratio score — too-low grades flag fragment soup, too-high
+    * flag run-on boilerplate. Determinism: all three counts are exact
+    * integers (regex run counting), and the grade is one fixed-order
+    * chain of IEEE ops on their ratios, identical cross-engine;
+    * rounded to 4dp for the hash. Scale: a pure per-row map (two
+    * regex passes inside codegen), no shuffle at all — the orderBy is
+    * presentation. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val lowered = lower(col("text"))
+    val words = greatest(size(split(lowered, " ")).cast("long"), lit(1L))
+    val sentences = greatest(
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+    val syllables = greatest(
+      regexp_count(lowered, lit("[aeiouy]+")).cast("long"), lit(1L))
+    d.select(col("doc_id"), words.as("words"),
+        sentences.as("sentences"), syllables.as("syllables"),
+        round(lit(0.39) * (words.cast("double") / sentences) +
+          lit(11.8) * (syllables.cast("double") / words) - lit(15.59), 4)
+          .as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
   /** DETERMINISTIC EPOCH SHUFFLE (q97) — the global training-order
     * permutation: every epoch E assigns each document the position of
     * md5("ep<E>:doc_id") in sorted order. The permutation is a pure
@@ -3420,6 +3464,8 @@ object TrainingData {
     "q94_quality_quartile" -> ((s, d) => qualityQuartileGate(s, d)),
     "q95_temperature_mix" -> temperatureMix,
     "q96_ann_sq8" -> annSq,
+    "q251_ann_binary" -> annBinary,
+    "q252_readability" -> readability,
     "q97_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
     "q98_length_buckets" -> lengthBuckets,
     "q99_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
@@ -5411,6 +5457,61 @@ object TrainingData {
            JOIN corpus c ON c.id = sl.neighbor_id)
          SELECT q_id, neighbor_id, round(cos, 4) AS cosine
          FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q251_ann_binary" ->
+      // mirrors Similarity.binaryTopK: 1-bit sign codes (b_j = 1 iff
+      // x_j >= 0 — scale-invariant, no training pass), integer
+      // Hamming-AGREEMENT top-10 shortlist (ties by neighbor_id),
+      // exact-cosine top-3 re-rank. Every shortlist score is an exact
+      // integer, so the proxy ranking is bit-identical cross-engine
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         corpus AS (SELECT vec_id AS id, v FROM e WHERE vec_id >= 5),
+         queries AS (SELECT vec_id AS id, v FROM e WHERE vec_id < 5),
+         cb AS (SELECT id, list_transform(v, x ->
+                  CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS b
+                FROM corpus),
+         qb AS (SELECT id, list_transform(v, x ->
+                  CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS b
+                FROM queries),
+         sl AS (SELECT q_id, neighbor_id FROM (
+                  SELECT q.id AS q_id, c2.id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.id
+                      ORDER BY list_sum(list_transform(
+                          range(1, len(q.b) + 1), i ->
+                          CASE WHEN q.b[i] = c2.b[i] THEN 1 ELSE 0 END))
+                        DESC, c2.id ASC) AS rn
+                  FROM qb q CROSS JOIN cb c2) WHERE rn <= 10),
+         scored AS (SELECT sl.q_id, sl.neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos,
+             row_number() OVER (PARTITION BY sl.q_id
+               ORDER BY list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))) DESC,
+                 sl.neighbor_id ASC) AS rn
+           FROM sl
+           JOIN queries q ON q.id = sl.q_id
+           JOIN corpus c ON c.id = sl.neighbor_id)
+         SELECT q_id, neighbor_id, round(cos, 4) AS cosine
+         FROM scored WHERE rn <= 3 ORDER BY q_id, neighbor_id""",
+    "q252_readability" ->
+      // exact integer counts (regex-run counting, floored at 1) and a
+      // fixed-order IEEE chain for the grade — bit-identical
+      // cross-engine, rounded to 4dp for the hash
+      """SELECT doc_id,
+           greatest(len(string_split(lower(text), ' ')), 1) AS words,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+             AS sentences,
+           greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+             AS syllables,
+           round(0.39 * (CAST(greatest(len(string_split(lower(text), ' ')),
+                   1) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+             + 11.8 * (CAST(greatest(len(regexp_extract_all(lower(text),
+                   '[aeiouy]+')), 1) AS DOUBLE)
+                 / greatest(len(string_split(lower(text), ' ')), 1))
+             - 15.59, 4) AS fk_grade
+         FROM documents ORDER BY doc_id""",
     "q120_length_ks" ->
       // exact integer cumulative counts on the union length grid; one
       // ratio pair per (source, grid point); max |ΔF| per source

@@ -709,4 +709,48 @@ object Similarity {
         .join(c.select(col("neighbor_id"), col("v"), col("nv")),
           Seq("neighbor_id")), k)
   }
+
+  /** BINARY-QUANTIZED ANN top-k (1-bit signs + Hamming prefilter +
+    * exact re-rank): each vector compresses to its per-dimension SIGN
+    * BITS (b_j = 1 iff x_j ≥ 0 — scale-invariant, so normalization
+    * does not change the code), the shortlist ranks corpus codes by
+    * Hamming SIMILARITY to the query's code (agreement count — an
+    * exact integer, so the shortlist order is bit-identical on any
+    * engine), and the top-m survivors re-rank by exact cosine. This
+    * is the 32×-compression baseline of the quantized-ANN family
+    * (vs SQ8's 4× in [[sqTopK]] and PQ's codebooks): binary codes of
+    * a d-dim float corpus cost d bits a row, the proxy scan reads
+    * ONLY the bits, and at 100 TB the d/32-words-per-row scan with
+    * XOR+popcount arithmetic is the cheapest first pass there is —
+    * here the agreement sum is a fused zip_with/aggregate inside
+    * whole-stage codegen (a packed-word popcount variant changes the
+    * constant, not the shape). No training pass at all (even SQ8's
+    * min/max scan disappears), so the oracle is fully static SQL.
+    * Queries broadcast; the corpus never shuffles. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 10): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .localCheckpoint() // bit scan + re-rank
+    def bits(v: Column): Column =
+      transform(v, x => when(x >= 0, 1L).otherwise(0L))
+    val q = broadcast(queries.select(col(idCol).cast("long").as("q_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
+      .withColumn("qb", bits(col("qv"))))
+    val shortlist = keepTopPerQuery(
+      q.select(col("q_id"), col("qb"))
+        .crossJoin(c.select(col("neighbor_id"), bits(col("v")).as("cb")))
+        .select(col("q_id"), col("neighbor_id"),
+          aggregate(zip_with(col("qb"), col("cb"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+            lit(0L), (acc, t) => acc + t).as("_s")),
+      m, Seq(col("_s").desc, col("neighbor_id").asc))
+    rankTopK(
+      shortlist.select("q_id", "neighbor_id")
+        .join(q.select(col("q_id"), col("qv"), col("nq")), Seq("q_id"))
+        .join(c.select(col("neighbor_id"), col("v"), col("nv")),
+          Seq("neighbor_id")), k)
+  }
 }

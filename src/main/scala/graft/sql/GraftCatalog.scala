@@ -1,0 +1,71 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.VersionedTable
+
+/** Name → table catalog over a WAREHOUSE directory — the metastore a
+  * Delta user gets from Hive/Unity, reduced to its essence so the SQL
+  * surface ([[GraftSql.exec]]) can resolve bare table names without
+  * the caller passing a map. A table named `t` IS the versioned table
+  * at `<warehouse>/t`: existence is "the root has a current version",
+  * so there is no separate catalog file to corrupt, keep in sync, or
+  * lock — creation atomicity is the versioned commit protocol's
+  * (concurrent CREATEs race on v0's manifest rename; exactly one
+  * wins), and a half-written table simply does not exist yet.
+  *
+  * Scale: `tables` is one directory listing + one tiny manifest-HEAD
+  * probe per entry, all driver-side; nothing here touches data. */
+final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
+
+  private val nameRe = "[A-Za-z_][A-Za-z0-9_]*"
+
+  def rootOf(name: String): String = {
+    require(name.matches(nameRe), s"bad table name: $name")
+    s"${warehouse.stripSuffix("/")}/$name"
+  }
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean =
+    new VersionedTable(spark, rootOf(name)).currentVersion.isDefined
+
+  /** Every name with a committed current version, name → root. */
+  def tables: Map[String, String] = {
+    val dir = new Path(warehouse)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.matches(nameRe) && exists(n))
+      .map(n => n -> rootOf(n))
+      .toMap
+  }
+
+  /** CREATE TABLE name AS df — fails if the table exists unless
+    * `orReplace`; optional hive-style layout via `partitionBy`
+    * (partition pruning then applies to every name-resolved read).
+    * Returns the committed version. */
+  def createTable(name: String, df: DataFrame,
+      orReplace: Boolean = false,
+      partitionBy: Option[Seq[String]] = None): Long = {
+    if (!orReplace) require(!exists(name),
+      s"table $name already exists in $warehouse")
+    new VersionedTable(spark, rootOf(name)).write(df,
+      partitionBy = partitionBy)
+  }
+
+  def table(name: String): DataFrame = {
+    require(exists(name), s"table $name does not exist in $warehouse")
+    new VersionedTable(spark, rootOf(name)).read()
+  }
+
+  /** DROP TABLE — removes the table's entire root (every version;
+    * this is the catalog's `PURGE`, there is no soft drop). */
+  def dropTable(name: String): Unit = {
+    require(exists(name), s"table $name does not exist in $warehouse")
+    fs.delete(new Path(rootOf(name)), true)
+  }
+}

@@ -245,6 +245,45 @@ object Streaming {
     versionedApplyChangesBatch(root, appId, mergeKeys, seqCol, opCol,
       dvFold = true)
 
+  /** foreachBatch sink maintaining a persisted INCREMENTAL AGGREGATE
+    * from the change feed — the STREAMING MATERIALIZED VIEW: each
+    * micro-batch of `changeFeedSource` rows folds into the summary
+    * table via [[graft.incremental.IncrementalAgg.update]] (insert
+    * and delete rows are SIGNED deltas; the base table is never
+    * read), committed EXACTLY-ONCE per `appId` through the same
+    * `STREAM_<appId>_BATCH_<n>` history markers as
+    * [[versionedAppendBatch]] — a replayed batch is detected and
+    * skipped, so no delta ever folds twice. Seed the MV with the
+    * EMPTY aggregate shape (`IncrementalAgg.compute(base.limit(0))`)
+    * and start the feed from version 0: the snapshot-as-inserts first
+    * batch initializes the summary through the same fold that
+    * maintains it. Serve queries through
+    * [[graft.plans.MvRewrite]] for the full lifecycle (q254/q256).
+    *
+    * Scale: the fold shuffles O(batch) + O(groups), and the commit
+    * rewrites the GROUPS-SIZED summary — small by the definition of
+    * an aggregate MV (a summary too big to rewrite per batch wants
+    * the q211 key-scoped merge instead). Layout-only base commits
+    * (OPTIMIZE / REORG) contribute no feed rows and cost nothing. */
+  def versionedIvmAggBatch(mvRoot: String, keys: Seq[String],
+      sums: Seq[String], appId: String): (DataFrame, Long) => Unit = {
+    require(appId.matches("[A-Za-z0-9.-]+"),
+      s"appId must be [A-Za-z0-9.-]+, got '$appId'")
+    val marker = s"STREAM_${appId}_BATCH_"
+    (batch, batchId) =>
+    import org.apache.spark.sql.functions.col
+    val vt = new graft.io.VersionedTable(batch.sparkSession, mvRoot)
+    val lastCommitted = vt.lastOperationWith(marker)
+      .map(_.operation.stripPrefix(marker).toLong)
+    if (lastCommitted.forall(_ < batchId) && !batch.isEmpty) {
+      val cols = (keys ++ sums :+ "_change_type").map(col)
+      val updated = graft.incremental.IncrementalAgg.update(
+        vt.read(), batch.select(cols: _*), keys, sums)
+      vt.write(updated, org.apache.spark.sql.SaveMode.Overwrite,
+        s"$marker$batchId")
+    }
+  }
+
   def versionedApplyChangesBatch(root: String, appId: String,
       mergeKeys: Seq[String], seqCol: String, opCol: String,
       dvFold: Boolean = false)

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VersionedTable
+
+/** Predicate-driven DV DML
+  * ([[graft.io.VersionedTable.deleteVectorizedWhere]] /
+  * [[graft.io.VersionedTable.updateVectorizedWhere]]): arbitrary
+  * WHERE clauses at O(changed rows) write amplification, with the
+  * candidate file set pruned by the predicate's own expression tree
+  * against manifest stats ([[graft.io.VersionedTable.predicateMayMatch]]).
+  */
+class DvPredicateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic 4-file fixture: k 1..400 in EXACT stripes of 100,
+    * one file per commit so every file's min/max stats are known. */
+  private def clustered(prefix: String): (VersionedTable, String) = {
+    val root = Fixtures.tempDir(prefix) + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    def stripe(lo: Long, hi: Long) = (lo to hi).map(k =>
+      (k, s"nm${"%03d".format(k)}", if (k % 2 == 0) "E" else "O"))
+      .toDF("k", "name", "tag").coalesce(1)
+    vt.write(stripe(1, 100))
+    Seq((101L, 200L), (201L, 300L), (301L, 400L)).foreach { case (lo, hi) =>
+      vt.write(stripe(lo, hi), SaveMode.Append)
+    }
+    (vt, root)
+  }
+
+  test("deleteVectorizedWhere matches the filter semantics for a " +
+      "conjunctive predicate and leaves provably-out files untouched") {
+    val (vt, _) = clustered("dv-pred-del")
+    val before = vt.manifestEntries(vt.currentVersion.get)
+    vt.deleteVectorizedWhere(col("k") >= 150 && col("k") <= 160 &&
+      col("tag") === "E")
+    val got = vt.read().select("k").as[Long].collect().sorted
+    val want = (1L to 400L).filterNot(k => k >= 150 && k <= 160 && k % 2 == 0)
+    assert(got.toSeq === want)
+    // only the stripe holding [150,160] may carry a DV; the other
+    // three files are re-referenced byte-identical
+    val after = vt.manifestEntries(vt.currentVersion.get)
+    val untouched = after.filter(_.dvDir.isEmpty)
+    assert(after.count(_.dvDir.isDefined) === 1)
+    assert(untouched.map(_.relPath).toSet.subsetOf(
+      before.map(_.relPath).toSet))
+    assert(untouched.size === 3)
+  }
+
+  test("updateVectorizedWhere applies SET under an OR-of-ranges " +
+      "predicate; rows where the predicate is NULL survive") {
+    val root = Fixtures.tempDir("dv-pred-upd") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq[(Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (2L, null, "b"), (3L, 30L, "c"), (4L, 40L, "d"))
+      .toDF("k", "v", "s"))
+    vt.updateVectorizedWhere(col("v") < 20 || col("v") > 35,
+      Map("s" -> lit("HIT")))
+    val got = vt.read().orderBy("k").as[(Long, Option[Long], String)]
+      .collect().toSeq
+    assert(got === Seq((1L, Some(10L), "HIT"), (2L, None, "b"),
+      (3L, Some(30L), "c"), (4L, Some(40L), "HIT")))
+  }
+
+  test("predicateMayMatch prunes through numeric, string, IN, " +
+      "prefix and OR shapes — and refuses where it cannot prove") {
+    val (vt, _) = clustered("dv-pred-skip")
+    val m = vt.currentManifest
+    val entries = m.entries
+    def matchedFiles(pred: org.apache.spark.sql.Column): Int =
+      entries.count(vt.predicateMayMatch(m, pred))
+    assert(matchedFiles(col("k") === 150L) === 1)
+    assert(matchedFiles(col("k") > 390L) === 1)
+    assert(matchedFiles(lit(5L) >= col("k")) === 1) // flipped literal
+    assert(matchedFiles(col("k").isin(50L, 60L)) === 1) // envelope
+    assert(matchedFiles(col("k") === 150L || col("k") === 350L) === 2)
+    assert(matchedFiles(col("k") === 150L && col("k") === 350L) === 0)
+    assert(matchedFiles(col("name") === "nm050") === 1)
+    assert(matchedFiles(col("name").startsWith("nm39")) === 1)
+    assert(matchedFiles(expr("name LIKE 'nm39%'")) === 1)
+    // non-analyzable conjuncts are conservative: every file may match
+    assert(matchedFiles(col("k") % 7 === 0) === 4)
+    assert(matchedFiles(col("k").isNull) === 4)
+    assert(matchedFiles(!(col("k") === 1L)) === 4)
+    // a bound beyond 2^53 refuses to prune (stats are doubles)
+    assert(matchedFiles(col("k") === 9223372036854775000L) === 4)
+    // cross-column comparison: no literal side, no pruning
+    assert(matchedFiles(col("k") === col("v2")) === 4)
+  }
+
+  test("DELETE WHERE equals the rewrite-path semantics on an " +
+      "unprunable predicate (mask is exact even when skipping is not)") {
+    val (vt, _) = clustered("dv-pred-mod")
+    vt.deleteVectorizedWhere(col("k") % 7 === 0)
+    val got = vt.read().select("k").as[Long].collect().sorted
+    assert(got.toSeq === (1L to 400L).filterNot(_ % 7 == 0))
+  }
+}

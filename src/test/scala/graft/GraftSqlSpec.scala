@@ -89,6 +89,108 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(open === Set(1L)) // from v1's instant to current
   }
 
+  test("exec: DELETE and UPDATE route to the DV kernels; SELECT " +
+      "falls through to sql()") {
+    val root = Fixtures.tempDir("graft-sql-dml") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((1L to 20L).map(k => (k, k * 10L, if (k % 2 == 0) "E" else "O"))
+      .toDF("k", "v", "tag")) // v0
+    val t = Map("t" -> root)
+    val del = GraftSql.exec(spark,
+      "DELETE FROM t WHERE k >= 15 AND tag = 'O'", t)
+      .as[(String, Long)].head()
+    assert(del === (("DELETE", 1L)))
+    assert(vt.history(limit = 1).head.operation.startsWith("DELETE DV"))
+    GraftSql.exec(spark, "UPDATE t SET v = v + 1000 WHERE k <= 3", t)
+    assert(vt.history(limit = 1).head.operation.startsWith("UPDATE DV"))
+    val got = GraftSql.exec(spark,
+      "SELECT count(*) AS n, sum(v) AS s FROM t", t)
+      .as[(Long, Long)].head()
+    val want = (1L to 20L).filterNot(k => k >= 15 && k % 2 == 1)
+      .map(k => k * 10L + (if (k <= 3) 1000L else 0L))
+    assert(got === ((want.size.toLong, want.sum)))
+  }
+
+  test("exec: MERGE INTO with matched update/delete, unmatched " +
+      "insert, and NMBS clauses parses into the DV clause merge") {
+    val root = Fixtures.tempDir("graft-sql-merge") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, 10L, "keep"), (2L, 20L, "upd"), (3L, 30L, "del"),
+      (5L, 50L, "nmbs")).toDF("k", "v", "st")) // v0
+    Seq((2L, 200L, "upd"), (3L, 999L, "del"), (4L, 40L, "new"))
+      .toDF("k", "v", "st").createOrReplaceTempView("src")
+    GraftSql.exec(spark,
+      """MERGE INTO t AS tgt USING src AS s ON tgt.k = s.k
+         WHEN MATCHED AND s.st = 'del' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *
+         WHEN NOT MATCHED BY SOURCE AND tgt.st = 'nmbs'
+           THEN UPDATE SET v = tgt.v + 1""",
+      Map("t" -> root))
+    val got = vt.read().orderBy("k").as[(Long, Long, String)].collect()
+    assert(got.toSeq === Seq((1L, 10L, "keep"), (2L, 200L, "upd"),
+      (4L, 40L, "new"), (5L, 51L, "nmbs")))
+    // a MERGE with ONLY a delete clause must not update survivors
+    GraftSql.exec(spark,
+      """MERGE INTO t USING src ON t.k = src.k
+         WHEN MATCHED AND src.v = 999 THEN DELETE""",
+      Map("t" -> root))
+    val after = vt.read().orderBy("k").as[(Long, Long, String)].collect()
+    assert(after.toSeq === Seq((1L, 10L, "keep"), (2L, 200L, "upd"),
+      (4L, 40L, "new"), (5L, 51L, "nmbs"))) // k=3 already gone; no churn
+  }
+
+  test("exec: INSERT INTO (VALUES and SELECT), RESTORE, DESCRIBE " +
+      "HISTORY, OPTIMIZE, VACUUM DRY RUN") {
+    val root = Fixtures.tempDir("graft-sql-util") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, 10L)).toDF("k", "v")) // v0
+    val t = Map("t" -> root)
+    GraftSql.exec(spark, "INSERT INTO t (k, v) VALUES " +
+      "(CAST(2 AS BIGINT), CAST(20 AS BIGINT)), " +
+      "(CAST(3 AS BIGINT), CAST(30 AS BIGINT))", t)
+    GraftSql.exec(spark,
+      "INSERT INTO t SELECT k + 10 AS k, v AS v FROM t WHERE k = 1", t)
+    assert(vt.read().orderBy("k").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (11L, 10L)))
+    GraftSql.exec(spark, "RESTORE TABLE t TO VERSION AS OF 0", t)
+    assert(vt.read().as[(Long, Long)].collect().toSeq === Seq((1L, 10L)))
+    val hist = GraftSql.exec(spark, "DESCRIBE HISTORY t", t)
+    assert(hist.columns.toSeq ===
+      Seq("version", "timestamp", "operation", "numRows"))
+    assert(hist.count() >= 4)
+    GraftSql.exec(spark, "OPTIMIZE t", t)
+    val dry = GraftSql.exec(spark, "VACUUM t DRY RUN", t)
+    assert(dry.columns.toSeq === Seq("kind", "target"))
+    assert(vt.read().as[(Long, Long)].collect().toSeq === Seq((1L, 10L)))
+  }
+
+  test("exec: ALTER TABLE family — rename/drop/add column and CHECK " +
+      "constraints, all metadata-only commits") {
+    val root = Fixtures.tempDir("graft-sql-alter") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "s"))
+    val t = Map("t" -> root)
+    GraftSql.exec(spark, "ALTER TABLE t RENAME COLUMN v TO amount", t)
+    assert(vt.read().columns.toSeq === Seq("k", "amount", "s"))
+    GraftSql.exec(spark,
+      "ALTER TABLE t ADD COLUMN src STRING DEFAULT 'seed'", t)
+    assert(vt.read().select("src").distinct().as[String].collect()
+      .toSeq === Seq("seed"))
+    GraftSql.exec(spark, "ALTER TABLE t DROP COLUMN s", t)
+    assert(vt.read().columns.toSeq === Seq("k", "amount", "src"))
+    GraftSql.exec(spark,
+      "ALTER TABLE t ADD CONSTRAINT amount_pos CHECK (amount > 0)", t)
+    intercept[graft.io.ConstraintViolationException] {
+      vt.write(Seq((3L, -5L, "x")).toDF("k", "amount", "src"),
+        SaveMode.Append)
+    }
+    GraftSql.exec(spark, "ALTER TABLE t DROP CONSTRAINT amount_pos", t)
+    vt.write(Seq((3L, -5L, "x")).toDF("k", "amount", "src"),
+      SaveMode.Append)
+    assert(vt.read().count() === 3L)
+  }
+
   test("travel reads see DV masks and case-insensitive keywords work") {
     val root = Fixtures.tempDir("graft-sql-dv") + "/tbl"
     val vt = new VersionedTable(spark, root)

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VersionedTable
+import graft.plans.{MvDef, MvRewrite}
+
+/** Aggregate-aware query rewrite ([[graft.plans.MvRewrite]]): an
+  * Aggregate over a registered base table whose groupings/aggregates
+  * decompose over a materialized view's partials re-plans onto the MV
+  * scan — names, exprIds, filters, and rollup arithmetic preserved;
+  * anything not provably decomposable scans the base untouched. */
+class MvRewriteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withRule[T](f: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ MvRewrite
+    try f
+    finally {
+      spark.experimental.extraOptimizations = prev
+      MvRewrite.clear()
+    }
+  }
+
+  /** Base (6 rows, dims status×prio, measure amount) + its MV. */
+  private def fixture(prefix: String): String = {
+    val dir = Fixtures.tempDir(prefix)
+    val base = new VersionedTable(spark, dir + "/base")
+    base.write(Seq(
+      ("A", "hi", 10L, 1L), ("A", "hi", 20L, 2L), ("A", "lo", 5L, 3L),
+      ("B", "hi", 7L, 4L), ("B", "lo", 3L, 5L), ("B", "lo", 9L, 6L))
+      .toDF("status", "prio", "amount", "k"))
+    val mv = new VersionedTable(spark, dir + "/mv")
+    mv.write(base.read().groupBy("status", "prio").agg(
+      sum("amount").as("sum_amount"), count(lit(1)).as("cnt"),
+      min("amount").as("min_amount"), max("amount").as("max_amount")))
+    MvRewrite.register(MvDef(
+      baseRoot = dir + "/base",
+      mv = () => new VersionedTable(spark, dir + "/mv").read(),
+      dims = Seq("status", "prio"),
+      sums = Map("amount" -> "sum_amount"),
+      count = Some("cnt"),
+      mins = Map("amount" -> "min_amount"),
+      maxs = Map("amount" -> "max_amount")))
+    dir
+  }
+
+  /** Roots of every relation scan in the OPTIMIZED plan — exactly
+    * what the rule rewrote (the physical plan hides behind AQE). */
+  private def scannedRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            rel.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+
+  test("rollup by one dim answers from the MV — sum/count/min/max, " +
+      "names and a downstream sort survive the exprId handoff") {
+    val dir = fixture("mv-rollup")
+    withRule {
+      val df = new VersionedTable(spark, dir + "/base").read()
+        .groupBy("status")
+        .agg(sum("amount").as("total"), count(lit(1)).as("n"),
+          min("amount").as("lo"), max("amount").as("hi"))
+        .orderBy(desc("total"))
+      val roots = scannedRoots(df)
+      assert(roots.nonEmpty && roots.forall(_.endsWith("/mv")), roots)
+      assert(df.as[(String, Long, Long, Long, Long)].collect().toSeq ===
+        Seq(("A", 35L, 3L, 5L, 20L), ("B", 19L, 3L, 3L, 9L)))
+    }
+  }
+
+  test("dims-only filter re-binds onto the MV; a global aggregate " +
+      "rolls every group up") {
+    val dir = fixture("mv-filter")
+    withRule {
+      val filtered = new VersionedTable(spark, dir + "/base").read()
+        .filter(col("prio") === "hi")
+        .groupBy("status").agg(sum("amount").as("total"))
+        .orderBy("status")
+      assert(scannedRoots(filtered).forall(_.endsWith("/mv")))
+      assert(filtered.as[(String, Long)].collect().toSeq ===
+        Seq(("A", 30L), ("B", 7L)))
+      val global = new VersionedTable(spark, dir + "/base").read()
+        .agg(sum("amount").as("total"), count(lit(1)).as("n"))
+      assert(scannedRoots(global).forall(_.endsWith("/mv")))
+      assert(global.as[(Long, Long)].head() === ((54L, 6L)))
+    }
+  }
+
+  test("conservative aborts: non-dim grouping, non-measure aggregate, " +
+      "non-dim filter, and DISTINCT all scan the base") {
+    val dir = fixture("mv-abort")
+    withRule {
+      def base(df: DataFrame): Boolean =
+        scannedRoots(df).forall(_.endsWith("/base"))
+      val vt = new VersionedTable(spark, dir + "/base")
+      assert(base(vt.read().groupBy("k").agg(sum("amount"))))
+      assert(base(vt.read().groupBy("status").agg(sum("k"))))
+      assert(base(vt.read().filter(col("k") > 2)
+        .groupBy("status").agg(sum("amount"))))
+      assert(base(vt.read().groupBy("status")
+        .agg(countDistinct("amount"))))
+      // and they are all still CORRECT (the rule just declined)
+      assert(vt.read().groupBy("status").agg(sum("k").as("s"))
+        .orderBy("status").as[(String, Long)].collect().toSeq ===
+        Seq(("A", 6L), ("B", 15L)))
+    }
+  }
+
+  test("the MV re-plans per query: a maintenance commit is served " +
+      "immediately") {
+    val dir = fixture("mv-fresh")
+    val base = new VersionedTable(spark, dir + "/base")
+    base.write(Seq(("C", "hi", 100L, 7L)).toDF("status", "prio", "amount", "k"),
+      org.apache.spark.sql.SaveMode.Append)
+    // maintain the MV (here: recompute; IVM delta-merge is q73's job)
+    new VersionedTable(spark, dir + "/mv").write(
+      base.read().groupBy("status", "prio").agg(
+        sum("amount").as("sum_amount"), count(lit(1)).as("cnt"),
+        min("amount").as("min_amount"), max("amount").as("max_amount")))
+    withRule {
+      val df = base.read().groupBy("status")
+        .agg(sum("amount").as("total")).orderBy("status")
+      assert(scannedRoots(df).forall(_.endsWith("/mv")))
+      assert(df.as[(String, Long)].collect().toSeq ===
+        Seq(("A", 35L), ("B", 19L), ("C", 100L)))
+    }
+  }
+}
