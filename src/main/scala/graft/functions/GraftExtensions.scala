@@ -97,6 +97,9 @@ object VectorFoldRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => VectorFoldRewrite)
+    // MV auto-routing: a no-op until MvRewrite.register is called, so
+    // injecting it unconditionally costs nothing
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction(

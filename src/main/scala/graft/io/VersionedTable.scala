@@ -1565,14 +1565,21 @@ final class VersionedTable(spark: SparkSession, root: String) {
       case Literal(v, StringType) if v != null => Some(v.toString)
       case _ => None
     }
+    val schema = logicalSchema(m)
     def range(name: String, lo: Double, hi: Double)
         : ManifestEntry => Boolean =
       if ((!lo.isInfinite && math.abs(lo) > 9007199254740992.0) ||
           (!hi.isInfinite && math.abs(hi) > 9007199254740992.0)) all
       else rangeMayMatch(partCols, physFor(m, name), lo, hi) _
+    // a string envelope is only sound on a DECLARED string column:
+    // strRangeMayMatch's partition branch compares partition values
+    // LEXICALLY, which on a numeric partition column would prune
+    // files the analyzed (cast) comparison actually matches
     def srange(name: String, lo: String, hi: String)
         : ManifestEntry => Boolean =
-      strRangeMayMatch(partCols, physFor(m, name), lo, hi) _
+      if (!schema.fields.exists(f =>
+          f.name == name && f.dataType == StringType)) all
+      else strRangeMayMatch(partCols, physFor(m, name), lo, hi) _
     // (column, literal) of a comparison, either operand order;
     // `flip` = the literal was on the LEFT (so `5 <= c` is `c >= 5`)
     def sides(l: Expression, r: Expression)

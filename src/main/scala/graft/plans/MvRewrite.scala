@@ -83,16 +83,54 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def normPath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
 
+  /** Roots of every manifest-backed relation scan in a frame's
+    * OPTIMIZED plan — what q253/q254 (and the spec) use to PROVE a
+    * rewrite fired (the physical plan hides behind AQE). */
+  def scannedManifestRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case rel: HadoopFsRelation =>
+          rel.location.rootPaths.map(_.toString)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  /** Is this scan EXACTLY the base table's current snapshot? The root
+    * path alone is not identity: a `VERSION AS OF` read or a
+    * file-pruned partial scan plans the SAME root with a different
+    * file set, and rewriting those onto the (current, complete) MV
+    * would return wrong aggregates. Match = same qualified file set
+    * as the current manifest, no DV masks, no column mapping;
+    * anything unprovable (including a racing commit between plan and
+    * optimize) declines. */
+  private def isCurrentSnapshot(
+      mfi: org.apache.spark.sql.graftbridge.ManifestFileIndex,
+      d: MvDef): Boolean =
+    try {
+      val root = mfi.rootPaths.head
+      if (normPath(root.toString) != normPath(d.baseRoot)) return false
+      val vt = new graft.io.VersionedTable(
+        org.apache.spark.sql.SparkSession.active, d.baseRoot)
+      vt.currentVersion.exists { _ =>
+        val m = vt.currentManifest
+        m.mapping.isEmpty && m.entries.forall(_.dvDir.isEmpty) && {
+          val expected = m.entries.map(e =>
+            new org.apache.hadoop.fs.Path(root, e.relPath).toString).toSet
+          mfi.manifestFilePaths.toSet == expected
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Strip a column-pruning Project / dims-only Filter down to the
     * base manifest scan; returns the optional filter condition. */
   private def baseScan(plan: LogicalPlan, d: MvDef)
       : Option[Option[Expression]] = plan match {
     case lr: LogicalRelation if (lr.relation match {
-        case rel: HadoopFsRelation =>
-          rel.location.isInstanceOf[
-            org.apache.spark.sql.graftbridge.ManifestFileIndex] &&
-            rel.location.rootPaths.headOption.exists(p =>
-              normPath(p.toString) == normPath(d.baseRoot))
+        case rel: HadoopFsRelation => rel.location match {
+          case mfi: org.apache.spark.sql.graftbridge.ManifestFileIndex =>
+            isCurrentSnapshot(mfi, d)
+          case _ => false
+        }
         case _ => false
       }) =>
       Some(None)
@@ -150,8 +188,8 @@ object MvRewrite extends Rule[LogicalPlan] {
           AggregateExpression(Sum(m), Complete, isDistinct = false),
           name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(
-          Count(Seq(Literal(_, _))), _, false, None, _), name)
-          if d.count.isDefined =>
+          Count(Seq(Literal(v, _))), _, false, None, _), name)
+          if d.count.isDefined && v != null => // count(NULL) is 0, not n
         mvAttr(d.count.get).map(m => Alias(
           Coalesce(Seq(
             AggregateExpression(Sum(m), Complete, isDistinct = false),

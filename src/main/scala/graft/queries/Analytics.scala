@@ -200,14 +200,26 @@ object Analytics {
     kth.join(exact, Seq("event_type")).orderBy("event_type")
   }
 
+  /** The engine-portable KMV hash fraction of a column — md5 hex →
+    * 52-bit integer / 16^13, exact in double (see [[kmvDistinct]]). */
+  private def kmvFrac(valueCol: String) =
+    (conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 13),
+      16, 10).cast("double") / pow(lit(16.0), lit(13.0))).as("frac")
+
   /** (groupCol, kmv_estimate) per group — the reusable sketch stage;
     * see [[kmvDistinct]] for the portable-hash and scale rationale. */
   def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int, shards: Int): DataFrame = {
-    val frac =
-      (conv(substring(md5(col(valueCol).cast("string").cast("binary")), 1, 13),
-        16, 10).cast("double") / pow(lit(16.0), lit(13.0))).as("frac")
-    val hashed = df.select(col(groupCol), frac).distinct()
+      k: Int, shards: Int): DataFrame =
+    kmvEstimate(df.select(col(groupCol), kmvFrac(valueCol)).distinct(),
+      groupCol, k)
+
+  /** The estimate stage over an ALREADY-HASHED (groupCol, frac) frame
+    * — split out so MERGED sketches (q257's partial-union rollup) run
+    * the identical pick: k smallest per group via the partial-heap
+    * operator, then (k-1)/h_k (or the exact survivor count for
+    * small groups). */
+  private[queries] def kmvEstimate(hashed: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
     val wGlobal = Window.partitionBy(col(groupCol)).orderBy(col("frac"))
     // Groups with fewer than k distinct values hold their ENTIRE value
     // set after the pre-prune (the operator kept everything), so the
@@ -224,6 +236,53 @@ object Analytics {
         when(col("_cnt") < k, col("_cnt").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("frac"))
           .as("kmv_estimate"))
+  }
+
+  /** SKETCH-PARTIAL MATERIALIZED VIEW (q257; the Druid/BigQuery
+    * "materialized sketch" pattern): the persisted summary stores,
+    * per FINE grain (event_type, day), the sorted k-minimum-value
+    * sketch of the day's distinct users — and any COARSER distinct
+    * count rolls up by MERGING sketches (union → distinct → k
+    * smallest), which is exact for KMV: a frac among the k smallest
+    * of the union is among the k smallest of every day containing
+    * it, so the merged pick equals the sketch computed directly on
+    * the union. That is the property that makes approximate distinct
+    * counts ROLLUP-SAFE where raw countDistinct is not (you cannot
+    * add distinct counts). The oracle computes the rollup straight
+    * from the base table — identical by the merge law — plus the
+    * exact count for reference. Scale: the MV holds k doubles per
+    * (type, day); the rollup explodes only the MV (days × k rows),
+    * never the base; both pick stages ride the partial-heap
+    * TopKPerKey operator. */
+  def sketchMvRollup(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sketchmv").toString
+    val ev = load(spark, dir, "events")
+    val hashedFine = ev
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        kmvFrac("user_id"))
+      .distinct()
+    val perDay = graft.plans.TopKPerKey
+      .perKey(hashedFine, Seq(col("event_type"), col("day")),
+        Seq(col("frac").asc), k)
+      .groupBy("event_type", "day")
+      .agg(sort_array(collect_list(col("frac"))).as("sketch"))
+    val mv = new graft.io.VersionedTable(spark, root + "/mv")
+    mv.write(perDay)
+    // rollup: union the day sketches, drop cross-day duplicates (the
+    // same user's frac recurs under every active day), re-pick k
+    val merged = mv.read()
+      .select(col("event_type"), explode(col("sketch")).as("frac"))
+      .distinct()
+    val est = kmvEstimate(merged, "event_type", k)
+    val meta = mv.read().groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(meta, Seq("event_type")).join(exact, Seq("event_type"))
+      .orderBy("event_type")
   }
 
   // ----------------------------------------------------- cohort retention
@@ -2159,6 +2218,7 @@ object Analytics {
     "q245_stream_delete_tolerant" -> streamDeleteTolerant,
     "q248_stream_cdc_dv_fold" -> streamCdcApplyDvFold,
     "q256_stream_mv" -> streamMvMaintain,
+    "q257_sketch_mv" -> ((s, d) => sketchMvRollup(s, d)),
     "q220_bounded_replay" -> boundedReplay,
     "q212_label_prop" -> labelPropParts,
     "q215_lpa_modularity" -> labelPropModularity,
@@ -2318,6 +2378,34 @@ object Analytics {
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM b GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
+    "q257_sketch_mv" ->
+      // the KMV merge law makes the MV rollup equal the direct
+      // computation on the base, so the oracle IS the direct form: k
+      // smallest distinct hash fractions per type, (k-1)/h_k (exact
+      // survivor count for small groups), day-grain row count, exact
+      // distinct for reference — a merge that lost a day's sketch,
+      // kept duplicate fracs, or re-hashed hash-mismatches
+      """WITH h AS (SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+             AS BIGINT) / 4503599627370496.0 AS frac
+           FROM events),
+         r AS (SELECT event_type, frac,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY frac) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS cnt FROM h),
+         d AS (SELECT event_type,
+                 count(DISTINCT strftime(CAST(ts AS TIMESTAMP),
+                   '%Y-%m-%d')) AS n_days
+               FROM events GROUP BY 1),
+         x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+               FROM events GROUP BY 1)
+         SELECT r.event_type,
+           CASE WHEN cnt < 64 THEN CAST(cnt AS DOUBLE)
+                ELSE 63.0 / frac END AS kmv_estimate,
+           d.n_days, x.n_exact
+         FROM r JOIN d USING (event_type) JOIN x USING (event_type)
+         WHERE rn = CASE WHEN cnt < 64 THEN cnt ELSE 64 END
+         ORDER BY 1""",
     "q248_stream_cdc_dv_fold" ->
       // the whole feed folded relationally (per-key max seq wins, a
       // surviving 'delete' leaves the table): a DV fold that masks

@@ -717,15 +717,7 @@ object Relational {
       val out = base.read().groupBy("o_orderstatus")
         .agg(sum("cents").as("sum_cents"), count(lit(1)).as("n_orders"))
         .orderBy("o_orderstatus")
-      val roots = out.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case rel: org.apache.spark.sql.execution.datasources
-                .HadoopFsRelation =>
-              rel.location.rootPaths.map(_.toString)
-            case _ => Seq.empty[String]
-          }
-      }.flatten
+      val roots = graft.plans.MvRewrite.scannedManifestRoots(out)
       require(roots.nonEmpty && roots.forall(_.endsWith("/mv")),
         s"MV rewrite did not fire: scanned $roots")
       out.localCheckpoint() // materialize THROUGH the MV plan
@@ -787,15 +779,7 @@ object Relational {
       val out = base.read().groupBy("o_orderstatus")
         .agg(sum("cents").as("cents_total"), count(lit(1)).as("n_orders"))
         .orderBy("o_orderstatus")
-      val roots = out.queryExecution.optimizedPlan.collect {
-        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-          lr.relation match {
-            case rel: org.apache.spark.sql.execution.datasources
-                .HadoopFsRelation =>
-              rel.location.rootPaths.map(_.toString)
-            case _ => Seq.empty[String]
-          }
-      }.flatten
+      val roots = graft.plans.MvRewrite.scannedManifestRoots(out)
       require(roots.nonEmpty && roots.forall(_.endsWith("/mv")),
         s"MV rewrite did not fire: scanned $roots")
       out.localCheckpoint() // materialize THROUGH the MV plan

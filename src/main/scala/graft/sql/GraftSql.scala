@@ -28,6 +28,48 @@ object GraftSql {
 
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
 
+  // statement grammars — compiled once at object init, not per call
+  private val deleteRe =
+    s"(?is)^DELETE\\s+FROM\\s+($ident)(\\s+WHERE\\s+.*)?$$".r
+  private val updateRe = s"(?is)^UPDATE\\s+($ident)\\s+SET\\s+(.*)$$".r
+  private val insertRe =
+    s"(?is)^INSERT\\s+INTO\\s+($ident)\\s*(?:\\(([^)]*)\\)\\s*)?(.+)$$".r
+  private val restoreVRe = (s"(?is)^RESTORE\\s+(?:TABLE\\s+)?($ident)\\s+TO\\s+" +
+    "VERSION\\s+AS\\s+OF\\s+(\\d+)$").r
+  private val restoreTRe = (s"(?is)^RESTORE\\s+(?:TABLE\\s+)?($ident)\\s+TO\\s+" +
+    "TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'$").r
+  private val optimizeRe = (s"(?is)^OPTIMIZE\\s+($ident)" +
+    "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?$").r
+  private val vacuumRe = (s"(?is)^VACUUM\\s+($ident)" +
+    "(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?$").r
+  private val historyRe = s"(?is)^DESCRIBE\\s+HISTORY\\s+($ident)$$".r
+  private val detailRe = s"(?is)^DESCRIBE\\s+DETAIL\\s+($ident)$$".r
+  private val alterRenameRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+RENAME" +
+    s"\\s+COLUMN\\s+($ident)\\s+TO\\s+($ident)$$").r
+  private val alterDropColRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+DROP" +
+    s"\\s+COLUMN\\s+($ident)$$").r
+  private val alterAddColRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+ADD" +
+    s"\\s+COLUMN\\s+($ident)\\s+([A-Za-z0-9_()<>, ]+?)" +
+    "\\s+DEFAULT\\s+(.+)$").r
+  private val alterAddConRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+ADD" +
+    s"\\s+CONSTRAINT\\s+($ident)\\s+CHECK\\s*\\((.*)\\)$$").r
+  private val alterDropConRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+DROP" +
+    s"\\s+CONSTRAINT\\s+($ident)$$").r
+  private val mergeRe = (s"(?is)^MERGE\\s+INTO\\s+($ident)" +
+    s"(?:\\s+(?:AS\\s+)?($ident))?\\s+USING\\s+($ident)" +
+    s"(?:\\s+(?:AS\\s+)?($ident))?\\s+ON\\s+(.*?)\\s+(WHEN\\s+.*)$$").r
+  private val ctasRe = (s"(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+($ident)" +
+    "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.*)$").r
+  private val dropRe = s"(?is)^DROP\\s+TABLE\\s+($ident)$$".r
+  private val showRe = "(?is)^SHOW\\s+TABLES$".r
+  private val srcColRe = (s"(?is)^($ident)\\.($ident)$$").r
+  private val matchedRe =
+    "(?is)^MATCHED(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*)$".r
+  private val notMatchedRe = ("(?is)^NOT\\s+MATCHED(?:\\s+BY\\s+TARGET)?" +
+    "(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+INSERT\\s+\\*$").r
+  private val nmbsRe = ("(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE" +
+    "(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*)$").r
+
   /** Run `query`, resolving `VERSION AS OF` / `TIMESTAMP AS OF`
     * clauses on the table names in `versionedTables` (name → table
     * root). Every registered name is also bound (current snapshot)
@@ -150,36 +192,6 @@ object GraftSql {
       Seq((op, version)).toDF("operation", "version")
     }
 
-    val deleteRe =
-      s"(?is)^DELETE\\s+FROM\\s+($ident)(\\s+WHERE\\s+.*)?$$".r
-    val updateRe = s"(?is)^UPDATE\\s+($ident)\\s+SET\\s+(.*)$$".r
-    val insertRe =
-      s"(?is)^INSERT\\s+INTO\\s+($ident)\\s*(?:\\(([^)]*)\\)\\s*)?(.+)$$".r
-    val restoreVRe = (s"(?is)^RESTORE\\s+(?:TABLE\\s+)?($ident)\\s+TO\\s+" +
-      "VERSION\\s+AS\\s+OF\\s+(\\d+)$").r
-    val restoreTRe = (s"(?is)^RESTORE\\s+(?:TABLE\\s+)?($ident)\\s+TO\\s+" +
-      "TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'$").r
-    val optimizeRe = (s"(?is)^OPTIMIZE\\s+($ident)" +
-      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?$").r
-    val vacuumRe = (s"(?is)^VACUUM\\s+($ident)" +
-      "(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?$").r
-    val historyRe = s"(?is)^DESCRIBE\\s+HISTORY\\s+($ident)$$".r
-    val detailRe = s"(?is)^DESCRIBE\\s+DETAIL\\s+($ident)$$".r
-    val alterRenameRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+RENAME" +
-      s"\\s+COLUMN\\s+($ident)\\s+TO\\s+($ident)$$").r
-    val alterDropColRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+DROP" +
-      s"\\s+COLUMN\\s+($ident)$$").r
-    val alterAddColRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+ADD" +
-      s"\\s+COLUMN\\s+($ident)\\s+([A-Za-z0-9_()<>, ]+?)" +
-      "\\s+DEFAULT\\s+(.+)$").r
-    val alterAddConRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+ADD" +
-      s"\\s+CONSTRAINT\\s+($ident)\\s+CHECK\\s*\\((.*)\\)$$").r
-    val alterDropConRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+DROP" +
-      s"\\s+CONSTRAINT\\s+($ident)$$").r
-    val mergeRe = (s"(?is)^MERGE\\s+INTO\\s+($ident)" +
-      s"(?:\\s+(?:AS\\s+)?($ident))?\\s+USING\\s+($ident)" +
-      s"(?:\\s+(?:AS\\s+)?($ident))?\\s+ON\\s+(.*?)\\s+(WHEN\\s+.*)$$").r
-
     st match {
       case deleteRe(name, whereOpt) =>
         val vt = vtOf(name)
@@ -204,12 +216,21 @@ object GraftSql {
           Option(tAliasOpt), sName, Option(sAliasOpt), onTxt, clausesTxt))
       case insertRe(name, colsOpt, query0) =>
         val vt = vtOf(name)
-        val query = if (query0.trim.toUpperCase.startsWith("VALUES"))
+        val isValues = query0.trim.toUpperCase.startsWith("VALUES")
+        val query = if (isValues)
           s"SELECT * FROM ( ${query0.trim} ) AS __graft_values"
         else query0.trim
         val df0 = sql(spark, query, versionedTables)
         val df = Option(colsOpt) match {
           case Some(cols) => df0.toDF(splitTop(cols): _*)
+          case None if isValues =>
+            // a bare VALUES yields col1/col2/... — bind positionally
+            // to the table's schema, SQL's INSERT contract
+            val target = vt.read().columns.toSeq
+            require(df0.columns.length == target.length,
+              s"INSERT INTO $name VALUES arity ${df0.columns.length} " +
+                s"!= table arity ${target.length}")
+            df0.toDF(target: _*)
           case None => df0
         }
         status("INSERT", vt.write(df, org.apache.spark.sql.SaveMode.Append))
@@ -232,7 +253,14 @@ object GraftSql {
       case vacuumRe(name, hoursOpt, dryOpt) =>
         val vt = vtOf(name)
         (Option(hoursOpt), Option(dryOpt)) match {
-          case (_, Some(_)) =>
+          case (Some(_), Some(_)) =>
+            // refusing beats a dry run that reports the WRONG policy
+            // (vacuumDryRun models version-count retention, not hours)
+            sys.error("VACUUM ... RETAIN n HOURS DRY RUN is not " +
+              "supported: the dry run models version-count retention; " +
+              "run the dry run without RETAIN, or the RETAIN vacuum " +
+              "directly")
+          case (None, Some(_)) =>
             import spark.implicits._
             val (gone, orphans) = vt.vacuumDryRun()
             (gone.map(v => ("version", v.toString)) ++
@@ -314,10 +342,6 @@ object GraftSql {
   def exec(spark: SparkSession, statement: String,
       catalog: GraftCatalog): DataFrame = {
     val st = statement.trim.stripSuffix(";").trim
-    val ctasRe = (s"(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+($ident)" +
-      "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.*)$").r
-    val dropRe = s"(?is)^DROP\\s+TABLE\\s+($ident)$$".r
-    val showRe = "(?is)^SHOW\\s+TABLES$".r
     st match {
       case ctasRe(orReplace, name, partCols, query) =>
         val df = sql(spark, query.trim, catalog.tables)
@@ -328,6 +352,9 @@ object GraftSql {
         Seq(("CREATE TABLE", name, v)).toDF("operation", "table", "version")
       case dropRe(name) =>
         catalog.dropTable(name)
+        // earlier statements registered the name as a temp view; a
+        // stale view over deleted files must not outlive the table
+        spark.catalog.dropTempView(name)
         import spark.implicits._
         Seq(("DROP TABLE", name)).toDF("operation", "table")
       case showRe() =>
@@ -354,10 +381,10 @@ object GraftSql {
     }
     val ta = tAlias.getOrElse(tName)
     val sa = sAlias.getOrElse(sName)
+    require(!ta.equalsIgnoreCase(sa),
+      s"MERGE target and source aliases must differ, both are '$ta'")
     // conditions reference the join through the kernel's t./s. aliases
-    def rewrite(cond: String): String = cond
-      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(ta)}\\.", "t.")
-      .replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(sa)}\\.", "s.")
+    def rewrite(cond: String): String = rewriteAliases(cond, ta, sa)
     val eqRe = (s"(?is)^($ident)\\.($ident)\\s*=\\s*($ident)\\.($ident)$$").r
     val keys = splitTopOn(onTxt, "AND").map(_.trim).map {
       case eqRe(a1, c1, a2, c2) =>
@@ -369,69 +396,128 @@ object GraftSql {
       case other => sys.error("MERGE ON must be a conjunction of " +
         s"alias-qualified key equalities, got: $other")
     }
-    var deleteWhen: Option[Column] = None
-    var updateWhen: Option[Column] = Some(lit(false)) // no clause: keep
-    var insertWhen: Option[Column] = Some(lit(false)) // no clause: drop
-    var updateColumns: Option[Seq[String]] = None
-    var nmbsDelete: Option[Column] = None
-    var nmbsUpdate: Option[Column] = None
-    var nmbsSet: Map[String, Column] = Map.empty
-    val srcColRe = (s"(?is)^($ident)\\.($ident)$$").r
-    val matchedRe =
-      "(?is)^MATCHED(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*)$".r
-    val notMatchedRe = ("(?is)^NOT\\s+MATCHED(?:\\s+BY\\s+TARGET)?" +
-      "(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+INSERT\\s+\\*$").r
-    val nmbsRe = ("(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE" +
-      "(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*)$").r
     def cond(c: String): Option[Column] =
       Option(c).map(t => expr(rewrite(t.trim)))
-    splitTopOn(clausesTxt, "WHEN").map(_.trim).filter(_.nonEmpty)
-      .foreach {
-        case notMatchedRe(c) =>
-          insertWhen = cond(c) // None = insert every unmatched row
-        case nmbsRe(c, action) => action.trim match {
-          case d if d.equalsIgnoreCase("DELETE") =>
-            nmbsDelete = Some(cond(c).getOrElse(lit(true)))
-          case u if u.toUpperCase.startsWith("UPDATE") =>
-            val assigns = u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
-            nmbsSet = splitTop(assigns).map { a =>
-              val i = a.indexOf('=')
-              require(i > 0, s"malformed NMBS SET assignment: $a")
-              a.substring(0, i).trim -> expr(rewrite(a.substring(i + 1).trim))
-            }.toMap
-            nmbsUpdate = Some(cond(c).getOrElse(lit(true)))
-          case other => sys.error(s"unsupported NMBS action: $other")
+    // parse into ORDERED clause records first: SQL MERGE is
+    // first-match-wins per side, while the kernel tests
+    // delete-before-update — the fold below makes a later DELETE
+    // yield to an earlier UPDATE's claim
+    sealed trait Clause
+    case class MUpd(c: Option[Column], cols: Option[Seq[String]])
+      extends Clause
+    case class MDel(c: Option[Column]) extends Clause
+    case class NIns(c: Option[Column]) extends Clause
+    case class SDel(c: Option[Column]) extends Clause
+    case class SUpd(c: Option[Column], set: Map[String, Column])
+      extends Clause
+    val clauses: Seq[Clause] =
+      splitTopOn(clausesTxt, "WHEN").map(_.trim).filter(_.nonEmpty)
+        .map {
+          case notMatchedRe(c) => NIns(cond(c))
+          case nmbsRe(c, action) => action.trim match {
+            case d if d.equalsIgnoreCase("DELETE") => SDel(cond(c))
+            case u if u.toUpperCase.startsWith("UPDATE") =>
+              val assigns = u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
+              SUpd(cond(c), splitTop(assigns).map { a =>
+                val i = a.indexOf('=')
+                require(i > 0, s"malformed NMBS SET assignment: $a")
+                a.substring(0, i).trim ->
+                  expr(rewrite(a.substring(i + 1).trim))
+              }.toMap)
+            case other => sys.error(s"unsupported NMBS action: $other")
+          }
+          case matchedRe(c, action) => action.trim match {
+            case d if d.equalsIgnoreCase("DELETE") => MDel(cond(c))
+            case u if u.toUpperCase.startsWith("UPDATE") =>
+              val assigns = u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
+              val cols = if (assigns.trim == "*") None
+                else Some(splitTop(assigns).map { a =>
+                  val i = a.indexOf('=')
+                  require(i > 0, s"malformed SET assignment: $a")
+                  val (l, r) =
+                    (a.substring(0, i).trim, a.substring(i + 1).trim)
+                  r match {
+                    case srcColRe(al, col) if al.equalsIgnoreCase(sa) &&
+                        col.equalsIgnoreCase(l) => l
+                    case _ => sys.error("the DV clause merge updates " +
+                      "whole source columns: SET must be `*` or " +
+                      s"`x = $sa.x`, got $a")
+                  }
+                })
+              MUpd(cond(c), cols)
+            case other => sys.error(s"unsupported MATCHED action: $other")
+          }
+          case other => sys.error(s"unsupported MERGE clause: WHEN $other")
         }
-        case matchedRe(c, action) => action.trim match {
-          case d if d.equalsIgnoreCase("DELETE") =>
-            deleteWhen = Some(cond(c).getOrElse(lit(true)))
-          case u if u.toUpperCase.startsWith("UPDATE") =>
-            val assigns = u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
-            if (assigns.trim == "*") updateColumns = None
-            else updateColumns = Some(splitTop(assigns).map { a =>
-              val i = a.indexOf('=')
-              require(i > 0, s"malformed SET assignment: $a")
-              val (l, r) = (a.substring(0, i).trim, a.substring(i + 1).trim)
-              r match {
-                case srcColRe(al, col) if al.equalsIgnoreCase(sa) &&
-                    col.equalsIgnoreCase(l) => l
-                case _ => sys.error("the DV clause merge updates whole " +
-                  s"source columns: SET must be `*` or `x = $sa.x`, got $a")
-              }
-            })
-            updateWhen = cond(c) // None = every matched row updates
-          case other => sys.error(s"unsupported MATCHED action: $other")
-        }
-        case other => sys.error(s"unsupported MERGE clause: WHEN $other")
+    Seq("WHEN MATCHED UPDATE" -> clauses.count(_.isInstanceOf[MUpd]),
+      "WHEN MATCHED DELETE" -> clauses.count(_.isInstanceOf[MDel]),
+      "WHEN NOT MATCHED INSERT" -> clauses.count(_.isInstanceOf[NIns]),
+      "NMBS DELETE" -> clauses.count(_.isInstanceOf[SDel]),
+      "NMBS UPDATE" -> clauses.count(_.isInstanceOf[SUpd])
+    ).foreach { case (kind, n) => require(n <= 1,
+      s"at most one $kind clause is supported, got $n") }
+    val mUpd = clauses.collectFirst { case u: MUpd => u }
+    val mDel = clauses.collectFirst { case d: MDel => d }
+    val nIns = clauses.collectFirst { case i: NIns => i }
+    val sDel = clauses.collectFirst { case d: SDel => d }
+    val sUpd = clauses.collectFirst { case u: SUpd => u }
+    // an UPDATE clause textually BEFORE a DELETE claims its rows
+    // first (SQL order); the kernel tests delete first, so subtract
+    // the update's claim from the delete condition (NULL-safe: a
+    // NULL update condition falls through to the delete, as in SQL)
+    def yieldToEarlierUpdate(del: Option[Column], delIdx: Int,
+        upd: Option[Option[Column]], updIdx: Int): Option[Column] =
+      del.map { d =>
+        if (upd.isDefined && updIdx >= 0 && updIdx < delIdx)
+          d && !(upd.get.getOrElse(lit(true)) <=> lit(true))
+        else d
       }
+    val deleteWhen = yieldToEarlierUpdate(
+      mDel.map(_.c.getOrElse(lit(true))),
+      clauses.indexWhere(_.isInstanceOf[MDel]),
+      mUpd.map(_.c), clauses.indexWhere(_.isInstanceOf[MUpd]))
+    val nmbsDelete = yieldToEarlierUpdate(
+      sDel.map(_.c.getOrElse(lit(true))),
+      clauses.indexWhere(_.isInstanceOf[SDel]),
+      sUpd.map(_.c), clauses.indexWhere(_.isInstanceOf[SUpd]))
     vt.mergeClausesVectorized(source, keys,
       deleteWhen = deleteWhen,
-      updateWhen = updateWhen,
-      insertWhen = insertWhen,
-      updateColumns = updateColumns,
+      // no UPDATE clause: matched rows keep (Some(false)), never the
+      // kernel's update-all default (None)
+      updateWhen = mUpd.map(_.c).getOrElse(Some(lit(false))),
+      insertWhen = nIns.map(_.c).getOrElse(Some(lit(false))),
+      updateColumns = mUpd.flatMap(_.cols),
       deleteWhenNotMatchedBySource = nmbsDelete,
-      updateWhenNotMatchedBySource = nmbsUpdate,
-      notMatchedBySourceSet = nmbsSet)
+      updateWhenNotMatchedBySource =
+        sUpd.map(u => u.c.getOrElse(lit(true))),
+      notMatchedBySourceSet = sUpd.map(_.set).getOrElse(Map.empty))
+  }
+
+  /** Rewrite `talias.` / `salias.` column qualifiers onto the
+    * kernel's `t.` / `s.` join aliases in ONE pass (sequential
+    * replaceAll would let the first rewrite's output collide with the
+    * second alias — e.g. source alias `t`), word-boundary-anchored
+    * and string-literal-safe. */
+  private def rewriteAliases(s: String, ta: String, sa: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; sb += c; i += 1 }
+      else {
+        val boundary = i == 0 || !isIdentChar(s.charAt(i - 1))
+        def hit(a: String): Boolean = boundary &&
+          s.regionMatches(true, i, a, 0, a.length) &&
+          i + a.length < s.length && s.charAt(i + a.length) == '.'
+        if (hit(ta)) { sb ++= "t."; i += ta.length + 1 }
+        else if (hit(sa)) { sb ++= "s."; i += sa.length + 1 }
+        else { sb += c; i += 1 }
+      }
+    }
+    sb.toString
   }
 
   /** Index of the first top-level (outside quotes and parens)

@@ -44,6 +44,12 @@ final class ManifestFileIndex(
 
   override def rootPaths: Seq[Path] = Seq(root)
 
+  /** Qualified paths of every file this index plans — the snapshot
+    * IDENTITY consumers like [[graft.plans.MvRewrite]] match on (a
+    * root path alone cannot distinguish the current snapshot from a
+    * time-travel or file-pruned scan of the same table). */
+  def manifestFilePaths: Seq[String] = files.map(_.path)
+
   /** Decoded string partition values → a typed values row, via Cast
     * from the string form Spark itself rendered at write time (the
     * exact inverse Spark's own partition inference applies). A missing

@@ -92,6 +92,24 @@ class DvPredicateSpec extends AnyFunSuite {
     assert(matchedFiles(col("k") === col("v2")) === 4)
   }
 
+  test("a STRING literal against a NUMERIC partition column never " +
+      "prunes (lexical partition-value order would be unsound)") {
+    val root = Fixtures.tempDir("dv-pred-strpart") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"),
+      partitionBy = Some(Seq("k")))
+    // '10' as a STRING literal: lexically "2" > "10", so an unsound
+    // string envelope would prune partition k=2 — the analyzed filter
+    // casts and MATCHES it
+    val m = vt.currentManifest
+    val f = vt.predicateMayMatch(m, expr("k <= '10'"))
+    assert(m.entries.forall(f), "string-vs-numeric must not prune")
+    // and the DELETE itself deletes exactly what the cast filter says
+    vt.deleteVectorizedWhere(expr("k <= '10'"))
+    assert(vt.read().select("k").as[Long].collect().sorted.toSeq ===
+      (11L to 20L))
+  }
+
   test("DELETE WHERE equals the rewrite-path semantics on an " +
       "unprunable predicate (mask is exact even when skipping is not)") {
     val (vt, _) = clustered("dv-pred-mod")

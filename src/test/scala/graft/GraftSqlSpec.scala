@@ -140,6 +140,27 @@ class GraftSqlSpec extends AnyFunSuite {
       (4L, 40L, "new"), (5L, 51L, "nmbs"))) // k=3 already gone; no churn
   }
 
+  test("exec: MERGE clause ORDER is SQL's first-match-wins — an " +
+      "UPDATE before a DELETE claims its rows; a source named 't' " +
+      "does not corrupt target-qualified conditions") {
+    val root = Fixtures.tempDir("graft-sql-merge-ord") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, 10L, "U"), (2L, 20L, "D"), (3L, 30L, "keep"))
+      .toDF("k", "v", "st"))
+    // source view literally named "t" — the alias-rewrite trap
+    Seq((1L, 100L, "U"), (2L, 200L, "D"))
+      .toDF("k", "v", "st").createOrReplaceTempView("t")
+    GraftSql.exec(spark,
+      """MERGE INTO facts USING t ON facts.k = t.k
+         WHEN MATCHED AND t.st = 'U' AND facts.v < 1000
+           THEN UPDATE SET *
+         WHEN MATCHED THEN DELETE""",
+      Map("facts" -> root))
+    // SQL order: k=1 (st U) UPDATES; k=2 falls to DELETE; k=3 keeps
+    assert(vt.read().orderBy("k").as[(Long, Long, String)].collect()
+      .toSeq === Seq((1L, 100L, "U"), (3L, 30L, "keep")))
+  }
+
   test("exec: INSERT INTO (VALUES and SELECT), RESTORE, DESCRIBE " +
       "HISTORY, OPTIMIZE, VACUUM DRY RUN") {
     val root = Fixtures.tempDir("graft-sql-util") + "/tbl"
@@ -163,6 +184,16 @@ class GraftSqlSpec extends AnyFunSuite {
     val dry = GraftSql.exec(spark, "VACUUM t DRY RUN", t)
     assert(dry.columns.toSeq === Seq("kind", "target"))
     assert(vt.read().as[(Long, Long)].collect().toSeq === Seq((1L, 10L)))
+    // bare VALUES (no column list) binds positionally to the schema
+    GraftSql.exec(spark, "INSERT INTO t VALUES (CAST(7 AS BIGINT), " +
+      "CAST(70 AS BIGINT))", t)
+    assert(vt.read().orderBy("k").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (7L, 70L)))
+    // RETAIN + DRY RUN would report the WRONG policy: refuse loudly
+    val e = intercept[RuntimeException] {
+      GraftSql.exec(spark, "VACUUM t RETAIN 168 HOURS DRY RUN", t)
+    }
+    assert(e.getMessage.contains("not supported"))
   }
 
   test("exec: ALTER TABLE family — rename/drop/add column and CHECK " +

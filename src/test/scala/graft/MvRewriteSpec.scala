@@ -49,17 +49,8 @@ class MvRewriteSpec extends AnyFunSuite {
     dir
   }
 
-  /** Roots of every relation scan in the OPTIMIZED plan — exactly
-    * what the rule rewrote (the physical plan hides behind AQE). */
   private def scannedRoots(df: DataFrame): Seq[String] =
-    df.queryExecution.optimizedPlan.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case rel: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            rel.location.rootPaths.map(_.toString)
-          case _ => Seq.empty[String]
-        }
-    }.flatten
+    MvRewrite.scannedManifestRoots(df)
 
   test("rollup by one dim answers from the MV — sum/count/min/max, " +
       "names and a downstream sort survive the exprId handoff") {
@@ -112,6 +103,27 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(vt.read().groupBy("status").agg(sum("k").as("s"))
         .orderBy("status").as[(String, Long)].collect().toSeq ===
         Seq(("A", 6L), ("B", 15L)))
+    }
+  }
+
+  test("time-travel and file-pruned reads of the base are NOT " +
+      "rewritten — the match is snapshot identity, not root path") {
+    val dir = fixture("mv-travel")
+    val base = new VersionedTable(spark, dir + "/base")
+    base.write(Seq(("C", "hi", 100L, 7L)).toDF("status", "prio", "amount", "k"),
+      org.apache.spark.sql.SaveMode.Append) // base v1 (MV still at v0 state)
+    withRule {
+      // v0 read: same root, DIFFERENT file set -> must scan the base
+      val historic = base.readVersion(0).groupBy("status")
+        .agg(sum("amount").as("total")).orderBy("status")
+      assert(scannedRoots(historic).forall(_.endsWith("/base")))
+      assert(historic.as[(String, Long)].collect().toSeq ===
+        Seq(("A", 35L), ("B", 19L))) // no C: the v0 truth
+      // current read: file set differs from the (stale) MV's basis is
+      // irrelevant — identity is vs the CURRENT manifest, so this
+      // STILL rewrites; the MV is simply stale until maintained.
+      // What must never happen is the historic read above serving
+      // current totals.
     }
   }
 
