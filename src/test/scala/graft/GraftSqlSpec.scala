@@ -161,6 +161,24 @@ class GraftSqlSpec extends AnyFunSuite {
       .toSeq === Seq((1L, 100L, "U"), (3L, 30L, "keep")))
   }
 
+  test("exec: NOT-MATCHED-BY-SOURCE clause order is first-match-wins " +
+      "as well — an archive UPDATE before an unconditional DELETE") {
+    val root = Fixtures.tempDir("graft-sql-nmbs-ord") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "F"), (2L, "G"), (3L, "F")).toDF("k", "st"))
+    Seq((3L, "F")).toDF("k", "st").createOrReplaceTempView("nmbs_src")
+    GraftSql.exec(spark,
+      """MERGE INTO t USING nmbs_src AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED BY SOURCE AND t.st = 'F'
+           THEN UPDATE SET st = 'X'
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+      Map("t" -> root))
+    // k=1 (F, unmatched) archives; k=2 (G) falls to DELETE; k=3 matched
+    assert(vt.read().orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "X"), (3L, "F")))
+  }
+
   test("exec: INSERT INTO (VALUES and SELECT), RESTORE, DESCRIBE " +
       "HISTORY, OPTIMIZE, VACUUM DRY RUN") {
     val root = Fixtures.tempDir("graft-sql-util") + "/tbl"
