@@ -1659,7 +1659,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       case GreaterThanOrEqual(l, r) => boundTest(l, r, upper = false)
       case In(a, vs) => inTest(a, vs)
       case StartsWith(a, p) => startsTest(a, p)
-      case Like(a, p, _) => likeTest(a, p)
+      // only the DEFAULT escape char: a custom ESCAPE changes what
+      // the prefix means, and likeTest's '\\'-guard only models the
+      // default (a mis-read prefix would falsely prune)
+      case Like(a, p, esc) if esc == '\\' => likeTest(a, p)
       // the Column DSL (`col("k") === 150L`, `.isin`, `.startsWith`)
       // reaches here UNRESOLVED: operators are UnresolvedFunction
       // nodes until analysis \u2014 normalize the ones we can skip on
@@ -4398,9 +4401,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
       catch { case scala.util.control.NonFatal(_) => () }
   }
 
-  private def renderHistoryLine(e: HistoryEntry): String =
+  private def renderHistoryLine(e: HistoryEntry): String = {
+    // operation strings may embed user text (a SQL WHERE clause's
+    // literals) — a quote or newline would corrupt the one-line JSON
+    // and make the commit vanish from history (timestamp travel then
+    // resolves PAST it); sanitize and bound rather than escape, since
+    // the parse regex forbids quotes by design
+    val op = e.operation.replaceAll("[\"\\r\\n]", "'").take(400)
     s"""{"version": ${e.version}, "timestamp": "${e.timestamp}", """ +
-      s""""operation": "${e.operation}", "numRows": ${e.numRows}}"""
+      s""""operation": "$op", "numRows": ${e.numRows}}"""
+  }
 }
 
 object VersionedTable {

@@ -29,6 +29,15 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType,
   * @param count     MV column holding `count(*)`, if materialized
   * @param mins      base measure column → MV column holding `min(...)`
   * @param maxs      base measure column → MV column holding `max(...)`
+  * @param basisVersion the BASE version this MV reflects, re-read per
+  *                  rewrite: `Some(v)` makes the rule decline whenever
+  *                  the base's current version ≠ v (a stale MV then
+  *                  falls back to the base plan instead of serving old
+  *                  totals — Delta's MV rewrite substitutes only when
+  *                  fresh); the default `None` asserts the CALLER
+  *                  keeps the MV fresh (a synchronous IVM loop that
+  *                  maintains the summary in the same step as every
+  *                  base commit)
   */
 final case class MvDef(
     baseRoot: String,
@@ -37,7 +46,8 @@ final case class MvDef(
     sums: Map[String, String] = Map.empty,
     count: Option[String] = None,
     mins: Map[String, String] = Map.empty,
-    maxs: Map[String, String] = Map.empty)
+    maxs: Map[String, String] = Map.empty,
+    basisVersion: () => Option[Long] = () => None)
 
 /** AGGREGATE-AWARE QUERY REWRITE (the OLAP "aggregate navigator" /
   * Delta "materialized view query rewrite" shape) as a Catalyst
@@ -111,12 +121,14 @@ object MvRewrite extends Rule[LogicalPlan] {
       if (normPath(root.toString) != normPath(d.baseRoot)) return false
       val vt = new graft.io.VersionedTable(
         org.apache.spark.sql.SparkSession.active, d.baseRoot)
-      vt.currentVersion.exists { _ =>
-        val m = vt.currentManifest
-        m.mapping.isEmpty && m.entries.forall(_.dvDir.isEmpty) && {
-          val expected = m.entries.map(e =>
-            new org.apache.hadoop.fs.Path(root, e.relPath).toString).toSet
-          mfi.manifestFilePaths.toSet == expected
+      vt.currentVersion.exists { cur =>
+        d.basisVersion().forall(_ == cur) && {
+          val m = vt.currentManifest
+          m.mapping.isEmpty && m.entries.forall(_.dvDir.isEmpty) && {
+            val expected = m.entries.map(e =>
+              new org.apache.hadoop.fs.Path(root, e.relPath).toString).toSet
+            mfi.manifestFilePaths.toSet == expected
+          }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => false }
@@ -138,7 +150,10 @@ object MvRewrite extends Rule[LogicalPlan] {
         if projectList.forall(_.isInstanceOf[AttributeReference]) =>
       baseScan(child, d)
     case Filter(cond, child)
-        if cond.references.forall(r => d.dims.contains(r.name)) =>
+        // deterministic only: re-binding rand() < 0.5 from per-base-row
+        // to per-MV-group-row would change semantics, not just cost
+        if cond.deterministic &&
+          cond.references.forall(r => d.dims.contains(r.name)) =>
       baseScan(child, d).map {
         case None => Some(cond)
         case Some(prev) => Some(CatAnd(prev, cond))

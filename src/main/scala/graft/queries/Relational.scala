@@ -704,12 +704,14 @@ object Relational {
     val mv = new graft.io.VersionedTable(spark, root + "/mv")
     mv.write(base.read().groupBy("o_orderstatus", "o_orderpriority")
       .agg(sum("cents").as("sum_cents"), count(lit(1)).as("cnt")))
+    val basis = base.currentVersion // the version this MV reflects
     graft.plans.MvRewrite.register(graft.plans.MvDef(
       baseRoot = root + "/base",
       mv = () => new graft.io.VersionedTable(spark, root + "/mv").read(),
       dims = Seq("o_orderstatus", "o_orderpriority"),
       sums = Map("cents" -> "sum_cents"),
-      count = Some("cnt")))
+      count = Some("cnt"),
+      basisVersion = () => basis))
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       prev :+ graft.plans.MvRewrite
@@ -766,12 +768,14 @@ object Relational {
     mv.write(IncrementalAgg.update(mv.read(), base.changes(v1, v2),
       keys, sums))
     base.reorgPurge() // masks out, pure scan back — the rewrite's shape
+    val basis = base.currentVersion // REORG moved bytes, not rows
     graft.plans.MvRewrite.register(graft.plans.MvDef(
       baseRoot = root + "/base",
       mv = () => new graft.io.VersionedTable(spark, root + "/mv").read(),
       dims = keys,
       sums = Map("cents" -> IncrementalAgg.sumCol("cents")),
-      count = Some(IncrementalAgg.CountCol)))
+      count = Some(IncrementalAgg.CountCol),
+      basisVersion = () => basis))
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations =
       prev :+ graft.plans.MvRewrite

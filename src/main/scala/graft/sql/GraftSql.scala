@@ -79,61 +79,69 @@ object GraftSql {
     var q = query
     versionedTables.foreach { case (name, root) =>
       require(name.matches(ident), s"table name must be an identifier: $name")
-      val vt = new graft.io.VersionedTable(spark, root)
-      val verRe = ("(?i)\\b" + java.util.regex.Pattern.quote(name) +
-        "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)").r
-      q = verRe.replaceAllIn(q, m => {
-        val v = m.group(1).toLong
-        val view = s"${name}__v$v"
-        vt.readVersion(v).createOrReplaceTempView(view)
-        view
-      })
-      val tsRe = ("(?i)\\b" + java.util.regex.Pattern.quote(name) +
-        "\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'").r
-      q = tsRe.replaceAllIn(q, m => {
-        val ts = m.group(1)
-        val view = s"${name}__ts${ts.replaceAll("[^0-9]", "")}"
-        vt.readAsOf(ts).createOrReplaceTempView(view)
-        view
-      })
-      // table_changes('t', from[, to]) — Databricks SQL's CDF TVF:
-      // INCLUSIVE version bounds, rows carry _change_type +
-      // _commit_version + _commit_timestamp; `to` defaults to current
-      val tcRe = ("(?i)\\btable_changes\\s*\\(\\s*'" +
-        java.util.regex.Pattern.quote(name) +
-        "'\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
-      q = tcRe.replaceAllIn(q, m => {
-        val from = m.group(1).toLong
-        val to = Option(m.group(2)).map(_.toLong)
-          .getOrElse(vt.currentVersion.getOrElse(sys.error(
-            s"table $root does not exist")))
-        val view = s"${name}__changes_${from}_$to"
-        vt.changesWithMeta(from - 1, to).createOrReplaceTempView(view)
-        view
-      })
-      // timestamp form: table_changes('t', 'fromTs'[, 'toTs']) — the
-      // start rounds FORWARD, the end BACK (Delta's inclusive rule);
-      // `toTs` defaults to "now" = the newest commit
-      val tcTsRe = ("(?i)\\btable_changes\\s*\\(\\s*'" +
-        java.util.regex.Pattern.quote(name) +
-        "'\\s*,\\s*'([^']+)'\\s*(?:,\\s*'([^']+)'\\s*)?\\)").r
-      q = tcTsRe.replaceAllIn(q, m => {
-        val fromTs = m.group(1)
-        val view = s"${name}__changes_ts" +
-          (fromTs + Option(m.group(2)).getOrElse(""))
-            .replaceAll("[^0-9]", "")
-        val feed = Option(m.group(2)) match {
-          case Some(toTs) =>
-            vt.changesBetweenTimestampsWithMeta(fromTs, toTs)
-          case None =>
-            val fromV = vt.firstVersionAtOrAfter(fromTs).getOrElse(
-              sys.error(s"no commit of $root at or after $fromTs"))
-            vt.changesWithMeta(fromV - 1, vt.currentVersion.get)
-        }
-        feed.createOrReplaceTempView(view)
-        view
-      })
-      vt.read().createOrReplaceTempView(name)
+      // bind ONLY names the statement references: rebinding every
+      // registered table would clobber same-named user temp views as
+      // a side effect of statements that never mention them
+      val mentioned = ("(?i)(?<![A-Za-z0-9_])" +
+        java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
+        .findFirstIn(q).isDefined
+      if (mentioned) {
+        val vt = new graft.io.VersionedTable(spark, root)
+        val verRe = ("(?i)\\b" + java.util.regex.Pattern.quote(name) +
+          "\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)").r
+        q = verRe.replaceAllIn(q, m => {
+          val v = m.group(1).toLong
+          val view = s"${name}__v$v"
+          vt.readVersion(v).createOrReplaceTempView(view)
+          view
+        })
+        val tsRe = ("(?i)\\b" + java.util.regex.Pattern.quote(name) +
+          "\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'").r
+        q = tsRe.replaceAllIn(q, m => {
+          val ts = m.group(1)
+          val view = s"${name}__ts${ts.replaceAll("[^0-9]", "")}"
+          vt.readAsOf(ts).createOrReplaceTempView(view)
+          view
+        })
+        // table_changes('t', from[, to]) — Databricks SQL's CDF TVF:
+        // INCLUSIVE version bounds, rows carry _change_type +
+        // _commit_version + _commit_timestamp; `to` defaults to current
+        val tcRe = ("(?i)\\btable_changes\\s*\\(\\s*'" +
+          java.util.regex.Pattern.quote(name) +
+          "'\\s*,\\s*(\\d+)\\s*(?:,\\s*(\\d+)\\s*)?\\)").r
+        q = tcRe.replaceAllIn(q, m => {
+          val from = m.group(1).toLong
+          val to = Option(m.group(2)).map(_.toLong)
+            .getOrElse(vt.currentVersion.getOrElse(sys.error(
+              s"table $root does not exist")))
+          val view = s"${name}__changes_${from}_$to"
+          vt.changesWithMeta(from - 1, to).createOrReplaceTempView(view)
+          view
+        })
+        // timestamp form: table_changes('t', 'fromTs'[, 'toTs']) — the
+        // start rounds FORWARD, the end BACK (Delta's inclusive rule);
+        // `toTs` defaults to "now" = the newest commit
+        val tcTsRe = ("(?i)\\btable_changes\\s*\\(\\s*'" +
+          java.util.regex.Pattern.quote(name) +
+          "'\\s*,\\s*'([^']+)'\\s*(?:,\\s*'([^']+)'\\s*)?\\)").r
+        q = tcTsRe.replaceAllIn(q, m => {
+          val fromTs = m.group(1)
+          val view = s"${name}__changes_ts" +
+            (fromTs + Option(m.group(2)).getOrElse(""))
+              .replaceAll("[^0-9]", "")
+          val feed = Option(m.group(2)) match {
+            case Some(toTs) =>
+              vt.changesBetweenTimestampsWithMeta(fromTs, toTs)
+            case None =>
+              val fromV = vt.firstVersionAtOrAfter(fromTs).getOrElse(
+                sys.error(s"no commit of $root at or after $fromTs"))
+              vt.changesWithMeta(fromV - 1, vt.currentVersion.get)
+          }
+          feed.createOrReplaceTempView(view)
+          view
+        })
+        vt.read().createOrReplaceTempView(name)
+      }
     }
     spark.sql(q)
   }
@@ -221,18 +229,26 @@ object GraftSql {
           s"SELECT * FROM ( ${query0.trim} ) AS __graft_values"
         else query0.trim
         val df0 = sql(spark, query, versionedTables)
-        val df = Option(colsOpt) match {
-          case Some(cols) => df0.toDF(splitTop(cols): _*)
-          case None if isValues =>
-            // a bare VALUES yields col1/col2/... — bind positionally
-            // to the table's schema, SQL's INSERT contract
-            val target = vt.read().columns.toSeq
-            require(df0.columns.length == target.length,
-              s"INSERT INTO $name VALUES arity ${df0.columns.length} " +
-                s"!= table arity ${target.length}")
-            df0.toDF(target: _*)
-          case None => df0
+        val targetSchema = vt.read().schema
+        // SQL's INSERT contract is POSITIONAL (with assignment casts),
+        // not by-name: `INSERT INTO t SELECT b, a` puts b into the
+        // FIRST column. An explicit column list names the positions.
+        val boundNames = Option(colsOpt) match {
+          case Some(cols) => splitTop(cols)
+          case None =>
+            require(df0.columns.length == targetSchema.length,
+              s"INSERT INTO $name arity ${df0.columns.length} != " +
+                s"table arity ${targetSchema.length}")
+            targetSchema.fieldNames.toSeq
         }
+        val bound = df0.toDF(boundNames: _*)
+        val df = bound.select(bound.columns.toSeq.map { c =>
+          targetSchema.find(_.name == c) match {
+            case Some(f) => org.apache.spark.sql.functions.col(c)
+              .cast(f.dataType).as(c)
+            case None => org.apache.spark.sql.functions.col(c)
+          }
+        }: _*)
         status("INSERT", vt.write(df, org.apache.spark.sql.SaveMode.Append))
       case restoreVRe(name, v) =>
         val vt = vtOf(name)
@@ -275,7 +291,9 @@ object GraftSql {
         }
       case historyRe(name) =>
         import spark.implicits._
-        vtOf(name).history().map(h =>
+        // the FULL history: the default limit (20) would silently
+        // truncate a streaming table's audit trail
+        vtOf(name).history(limit = Int.MaxValue).map(h =>
           (h.version, h.timestamp, h.operation, h.numRows))
           .toDF("version", "timestamp", "operation", "numRows")
       // ALTER TABLE — the metadata-only DDL family (M14 column
@@ -411,7 +429,7 @@ object GraftSql {
     case class SUpd(c: Option[Column], set: Map[String, Column])
       extends Clause
     val clauses: Seq[Clause] =
-      splitTopOn(clausesTxt, "WHEN").map(_.trim).filter(_.nonEmpty)
+      splitClauses(clausesTxt).map(_.trim).filter(_.nonEmpty)
         .map {
           case notMatchedRe(c) => NIns(cond(c))
           case nmbsRe(c, action) => action.trim match {
@@ -542,6 +560,49 @@ object GraftSql {
       i += 1
     }
     -1
+  }
+
+  /** Index of the next top-level `WHEN` that BEGINS a merge clause —
+    * followed by MATCHED or NOT (word-bounded) — at or after `from`.
+    * A CASE expression's WHEN inside a clause condition or SET
+    * expression never qualifies, so it never splits. */
+  private def nextClauseStart(s: String, from: Int): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    def wordAt(j: Int, w: String): Boolean =
+      s.regionMatches(true, j, w, 0, w.length) &&
+        (j + w.length >= s.length || !isIdent(s.charAt(j + w.length)))
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (i >= from && depth == 0 && wordAt(i, "WHEN") &&
+              (i == 0 || !isIdent(s.charAt(i - 1)))) {
+            var j = i + 4
+            while (j < s.length && s.charAt(j).isWhitespace) j += 1
+            if (wordAt(j, "MATCHED") || wordAt(j, "NOT")) return i
+          }
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** The MERGE clause list, split at clause-starting WHENs only;
+    * fragments come back without the leading keyword. */
+  private def splitClauses(s: String): Seq[String] = {
+    val starts = Iterator.iterate(nextClauseStart(s, 0))(p =>
+      if (p < 0) -1 else nextClauseStart(s, p + 4))
+      .takeWhile(_ >= 0).toSeq
+    if (starts.isEmpty) Seq(s)
+    else starts.zipWithIndex.map { case (a, ix) =>
+      if (ix + 1 < starts.length) s.substring(a + 4, starts(ix + 1))
+      else s.substring(a + 4)
+    }
   }
 
   /** Split on every top-level occurrence of keyword `kw`. */

@@ -179,6 +179,21 @@ class GraftSqlSpec extends AnyFunSuite {
       Seq((1L, "X"), (3L, "F")))
   }
 
+  test("exec: an unparenthesized CASE WHEN inside an NMBS SET " +
+      "expression does not split the clause list") {
+    val root = Fixtures.tempDir("graft-sql-casewhen") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, 10L), (2L, 3L)).toDF("k", "v"))
+    Seq((99L, 0L)).toDF("k", "v").createOrReplaceTempView("cw_src")
+    GraftSql.exec(spark,
+      """MERGE INTO t USING cw_src AS s ON t.k = s.k
+         WHEN NOT MATCHED BY SOURCE
+           THEN UPDATE SET v = CASE WHEN t.v > 5 THEN 1 ELSE 0 END""",
+      Map("t" -> root))
+    assert(vt.read().orderBy("k").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 1L), (2L, 0L)))
+  }
+
   test("exec: INSERT INTO (VALUES and SELECT), RESTORE, DESCRIBE " +
       "HISTORY, OPTIMIZE, VACUUM DRY RUN") {
     val root = Fixtures.tempDir("graft-sql-util") + "/tbl"

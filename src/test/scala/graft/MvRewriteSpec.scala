@@ -119,11 +119,37 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(scannedRoots(historic).forall(_.endsWith("/base")))
       assert(historic.as[(String, Long)].collect().toSeq ===
         Seq(("A", 35L), ("B", 19L))) // no C: the v0 truth
-      // current read: file set differs from the (stale) MV's basis is
-      // irrelevant — identity is vs the CURRENT manifest, so this
-      // STILL rewrites; the MV is simply stale until maintained.
-      // What must never happen is the historic read above serving
-      // current totals.
+    }
+  }
+
+  test("a pinned basisVersion declines the moment the base advances " +
+      "— a stale MV falls back to the base plan, never serves old " +
+      "totals") {
+    val dir = Fixtures.tempDir("mv-basis")
+    val base = new VersionedTable(spark, dir + "/base")
+    base.write(Seq(("A", "hi", 10L, 1L), ("B", "hi", 20L, 2L))
+      .toDF("status", "prio", "amount", "k"))
+    val mv = new VersionedTable(spark, dir + "/mv")
+    mv.write(base.read().groupBy("status", "prio").agg(
+      sum("amount").as("sum_amount"), count(lit(1)).as("cnt")))
+    val basis = base.currentVersion
+    MvRewrite.register(MvDef(
+      baseRoot = dir + "/base",
+      mv = () => new VersionedTable(spark, dir + "/mv").read(),
+      dims = Seq("status", "prio"),
+      sums = Map("amount" -> "sum_amount"),
+      count = Some("cnt"),
+      basisVersion = () => basis))
+    withRule {
+      def q = new VersionedTable(spark, dir + "/base").read()
+        .groupBy("status").agg(sum("amount").as("total"))
+        .orderBy("status")
+      assert(scannedRoots(q).forall(_.endsWith("/mv"))) // fresh: serves
+      base.write(Seq(("C", "lo", 5L, 3L)).toDF("status", "prio", "amount", "k"),
+        org.apache.spark.sql.SaveMode.Append) // base advances, MV stale
+      assert(scannedRoots(q).forall(_.endsWith("/base"))) // declines
+      assert(q.as[(String, Long)].collect().toSeq ===
+        Seq(("A", 10L), ("B", 20L), ("C", 5L))) // CURRENT truth
     }
   }
 
