@@ -40,6 +40,8 @@ object GraftSql {
     "TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'$").r
   private val optimizeRe = (s"(?is)^OPTIMIZE\\s+($ident)" +
     "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?$").r
+  private val optimizeWhereRe = (s"(?is)^OPTIMIZE\\s+($ident)\\s+WHERE" +
+    s"\\s+($ident)\\s*(?:=\\s*'([^']*)'|IN\\s*\\(([^)]*)\\))$$").r
   private val vacuumRe = (s"(?is)^VACUUM\\s+($ident)" +
     "(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?$").r
   private val historyRe = s"(?is)^DESCRIBE\\s+HISTORY\\s+($ident)$$".r
@@ -258,6 +260,14 @@ object GraftSql {
         val vt = vtOf(name)
         vt.restoreToTimestamp(ts)
         status("RESTORE", vt.currentVersion.get)
+      case optimizeWhereRe(name, partCol, eqVal, inVals) =>
+        // Delta `OPTIMIZE t WHERE part = 'x'`: partition-scoped
+        // compaction — selected partitions' files fold, every other
+        // partition costs nothing
+        val vt = vtOf(name)
+        val values: Set[String] = Option(eqVal).map(Set(_)).getOrElse(
+          splitTop(inVals).map(_.stripPrefix("'").stripSuffix("'")).toSet)
+        status("OPTIMIZE", vt.compactWhere(partCol, values))
       case optimizeRe(name, zColsOpt) =>
         val vt = vtOf(name)
         Option(zColsOpt) match {

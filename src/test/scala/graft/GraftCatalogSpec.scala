@@ -91,5 +91,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(GraftSql.exec(spark,
       "SELECT count(*) AS n FROM p WHERE grp = 'A'", cat)
       .as[Long].head() === 2L)
+    // partition-scoped OPTIMIZE: only grp=A's files fold; B/C entries
+    // are re-referenced untouched
+    val before = vt.manifestEntries(vt.currentVersion.get)
+      .filterNot(_.partitionValues.get("grp").contains("A"))
+      .map(_.relPath).toSet
+    GraftSql.exec(spark, "OPTIMIZE p WHERE grp = 'A'", cat)
+    val after = vt.manifestEntries(vt.currentVersion.get)
+    assert(before.subsetOf(after.map(_.relPath).toSet))
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) AS n FROM p WHERE grp = 'A'", cat)
+      .as[Long].head() === 2L)
   }
 }
