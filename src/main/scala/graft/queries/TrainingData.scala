@@ -1913,6 +1913,50 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** SFT CHAT-TEMPLATE SPANS (q258) — the loss-mask arithmetic every
+    * supervised-fine-tuning pipeline runs: documents become
+    * alternating user/assistant pseudo-turns (10-word windows — the
+    * corpus has no sentence punctuation; a real SFT feed brings its
+    * own turn column), each turn renders through a fixed template
+    * (`<|role|>content<|end|>`), and the output is the EXACT
+    * character span [start, end) of every ASSISTANT turn's content
+    * inside the rendered string — the offsets a trainer masks loss
+    * to. Everything is integer string arithmetic: per-turn lengths,
+    * a running-prefix window sum per document, plus the role-tag
+    * offset; a template change, an off-by-one in the prefix, or a
+    * dropped empty trailing sentence all hash-mismatch. Scale: one
+    * posexplode + one per-doc window (partition-local, no global
+    * sort); the rendered string itself is never materialized — spans
+    * derive from lengths alone, which is the point at 100 TB (mask
+    * offsets without rewriting the corpus). */
+  def chatTemplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val userTag = 8L // "<|user|>"
+    val asstTag = 13L // "<|assistant|>"
+    val endTag = 7L // "<|end|>"
+    // pseudo-turns: every 10 words (the corpus has no sentence
+    // punctuation); alternating roles
+    val words = split(col("text"), " ")
+    val nTurns = floor((size(words) - 1) / 10).cast("int") + 1
+    val turnArr = transform(sequence(lit(0), nTurns - 1),
+      i => array_join(slice(words, i * 10 + 1, lit(10)), " "))
+    val turns = docs(spark, dir)
+      .select(col("doc_id"), posexplode(turnArr).as(Seq("pos", "sent")))
+    val turnLen = when(col("pos") % 2 === 0, lit(userTag))
+      .otherwise(lit(asstTag)) + length(col("sent")) + lit(endTag)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns
+      .withColumn("_prefix", coalesce(sum(turnLen).over(w), lit(0L)))
+      .filter(col("pos") % 2 === 1) // assistant turns carry the loss
+      .select(col("doc_id"), col("pos").cast("long").as("turn_idx"),
+        (col("_prefix") + lit(asstTag)).as("span_start"),
+        (col("_prefix") + lit(asstTag) + length(col("sent")))
+          .as("span_end"),
+        length(col("sent")).cast("long").as("turn_chars"))
+      .orderBy("doc_id", "turn_idx")
+  }
+
   /** DETERMINISTIC EPOCH SHUFFLE (q97) — the global training-order
     * permutation: every epoch E assigns each document the position of
     * md5("ep<E>:doc_id") in sorted order. The permutation is a pure
@@ -3466,6 +3510,7 @@ object TrainingData {
     "q96_ann_sq8" -> annSq,
     "q251_ann_binary" -> annBinary,
     "q252_readability" -> readability,
+    "q258_chat_spans" -> chatTemplateSpans,
     "q97_epoch_shuffle" -> ((s, d) => epochShuffle(s, d)),
     "q98_length_buckets" -> lengthBuckets,
     "q99_bpe_pairs" -> ((s, d) => bpePairs(s, d)),
@@ -5512,6 +5557,38 @@ object TrainingData {
                  / greatest(len(string_split(lower(text), ' ')), 1))
              - 15.59, 4) AS fk_grade
          FROM documents ORDER BY doc_id""",
+    "q258_chat_spans" ->
+      // pure integer string arithmetic: per-turn template lengths
+      // (8 = <|user|>, 13 = <|assistant|>, 7 = <|end|>), a running
+      // prefix sum per document, assistant turns only — an off-by-one
+      // anywhere in the span math hash-mismatches
+      """WITH s AS (SELECT doc_id,
+                 list_transform(
+                   range(0, (len(string_split(text, ' ')) + 9) // 10),
+                   i -> array_to_string(
+                     string_split(text, ' ')[i * 10 + 1 : i * 10 + 10],
+                     ' ')) AS ss
+               FROM documents),
+         t AS (SELECT doc_id, u.pos, u.sent FROM s,
+                 LATERAL (SELECT unnest(list_transform(
+                     range(1, len(ss) + 1),
+                     i -> {'pos': i - 1, 'sent': ss[i]}),
+                   recursive := true)) u),
+         l AS (SELECT doc_id, pos, sent,
+                 CASE WHEN pos % 2 = 0 THEN 8 ELSE 13 END
+                   + length(sent) + 7 AS turn_len
+               FROM t),
+         p AS (SELECT doc_id, pos, sent,
+                 CAST(coalesce(sum(turn_len) OVER (PARTITION BY doc_id
+                   ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+               FROM l)
+         SELECT doc_id, CAST(pos AS BIGINT) AS turn_idx,
+                CAST(prefix + 13 AS BIGINT) AS span_start,
+                CAST(prefix + 13 + length(sent) AS BIGINT) AS span_end,
+                CAST(length(sent) AS BIGINT) AS turn_chars
+         FROM p WHERE pos % 2 = 1
+         ORDER BY doc_id, turn_idx""",
     "q120_length_ks" ->
       // exact integer cumulative counts on the union length grid; one
       // ratio pair per (source, grid point); max |ΔF| per source
