@@ -412,7 +412,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // DV-bearing files: read WITH per-row provenance, anti-join away the
     // masked (file, row_index) pairs, and only then drop the provenance
     // columns. Files without a DV never pay the join.
-    val dv = readDvRows(masked.flatMap(_.dvDir).distinct)
+    val dv = readDvRows(masked.flatMap(_.dvDirs).distinct)
     val mdf = rawScan(m, masked, isStreaming, withRowMeta = true)
     val fileRel = fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
     val alive = mdf.join(dv,
@@ -654,11 +654,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
             o.dvDir != e.dvDir || o.dvRows != e.dvRows))
         if (dvChangedEntries.isEmpty) inserts
         else {
-          val toDirs = dvChangedEntries.flatMap(_.dvDir).distinct
+          val toDirs = dvChangedEntries.flatMap(_.dvDirs).distinct
           val fromDirs = dvChangedEntries
-            .flatMap(e => fromByPath(e.relPath).dvDir).distinct
+            .flatMap(e => fromByPath(e.relPath).dvDirs).distinct
+          val fromSet = fromDirs.toSet
+          val deltaDirs = toDirs.filterNot(fromSet)
           val newMask =
             if (fromDirs.isEmpty) readDvRows(toDirs)
+            else if (fromDirs.forall(toDirs.contains) && deltaDirs.nonEmpty)
+              // chains only GROW on surviving files (collapse implies a
+              // rewrite, which drops the file and takes the branch
+              // above), so the newly masked rows are exactly the
+              // appended delta links — no exceptAll over full chains
+              readDvRows(deltaDirs)
             else readDvRows(toDirs).exceptAll(readDvRows(fromDirs))
           val mdf = rawScan(toM, dvChangedEntries, isStreaming = true,
             withRowMeta = true)
@@ -1305,7 +1313,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
           (srcRendered(e.relPath), destRendered(absPath(e.relPath)))
         }.toDF("file_rel", "_new_rel")
         val dir = dest.newCommitDir(0L)
-        readDvRows(masked.flatMap(_.dvDir).distinct)
+        readDvRows(masked.flatMap(_.dvDirs).distinct)
           .join(mapping, Seq("file_rel"))
           .select(col("_new_rel").as("file_rel"), col("pos"))
           .write.mode(SaveMode.Overwrite).parquet(dir.toString)
@@ -1359,7 +1367,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
       s"clone destination $destRoot already exists")
     // rel → rel copy list: data files verbatim; each DV dir's part
     // files listed driver-side (O(sidecar part files), names only)
-    val dvRels: Seq[String] = m.entries.flatMap(_.dvDir).distinct
+    val dvRels: Seq[String] = m.entries.flatMap(_.dvDirs).distinct
       .flatMap { d =>
         fs.listStatus(new Path(rootPath, d)).filter(_.isFile)
           .map(s => d + "/" + s.getPath.getName)
@@ -1402,16 +1410,16 @@ final class VersionedTable(spark: SparkSession, root: String) {
         fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
           .as("file_rel"),
         col(graftbridge.ManifestScan.RowIndexCol).as("pos"))
-    // …and the existing masks are carried over verbatim, so the new
-    // sidecar fully REPLACES the candidates' old DV pointers.
-    val existingDirs = candidates.flatMap(_.dvDir).distinct
-    val dvAll =
-      if (existingDirs.isEmpty) matches
-      else matches.unionByName(readDvRows(existingDirs)).distinct()
+    // …and the existing masks stay where they are: this commit writes
+    // ONLY its own delta pairs and APPENDS one link to each touched
+    // file's DV chain — O(this delete's rows) written, whatever the
+    // accumulated mask size (the amortized-cost claim holds
+    // unconditionally under sustained churn; maintenance collapses
+    // chains, it is no longer needed to keep commits cheap).
     val dir = newCommitDir(curV + 1)
-    dvAll.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    matches.write.mode(SaveMode.Overwrite).parquet(dir.toString)
     val dvRel = relativize(dir)
-    // per-file cumulative mask counts — bounded by |candidate files|
+    // per-file NEWLY-masked counts — bounded by |candidate files|
     val counts: Map[String, Long] = spark.read.schema(dvSchema)
       .parquet(dir.toString).groupBy("file_rel").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1439,14 +1447,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
         if (!candByPath.contains(e.relPath)) Some(e)
         else counts.getOrElse(renderedRel(e), 0L) match {
           case 0L => Some(e) // predicate matched nothing in this file
-          case masked if masked >= e.rows => None // fully dead: drop it
-          case masked => Some(e.copy(dvDir = Some(dvRel), dvRows = masked))
+          // chain-cumulative: this delta on top of the existing mask
+          case n if e.dvRows + n >= e.rows => None // fully dead: drop it
+          case n => Some(e.copy(
+            dvDir = Some((e.dvDirs :+ dvRel).mkString(",")),
+            dvRows = e.dvRows + n))
         }
       } match {
         // every row of the table deleted: keep ONE fully-masked entry so
         // the manifest stays non-empty (reads yield 0 rows, right schema)
-        case Seq() => Seq(candidates.head.copy(
-          dvDir = Some(dvRel), dvRows = candidates.head.rows))
+        case Seq() =>
+          val h = candidates.head
+          Seq(h.copy(dvDir = Some((h.dvDirs :+ dvRel).mkString(",")),
+            dvRows = h.rows))
         case es => es
       }
       val next = nowV + 1
@@ -1824,13 +1837,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val counts: Map[String, Long] =
       if (candidates.isEmpty) Map.empty
       else {
+        // delta sidecar: ONLY this merge's newly retired rows — the
+        // existing masks stay in their own chain links (O(changed
+        // rows) written per commit, unconditionally)
         val matchedPairs = pairs.select(
           fileRelCol(col(metaFile)).as("file_rel"), col(metaPos).as("pos"))
-        val existingDirs = candidates.flatMap(_.dvDir).distinct
-        val dvAll =
-          if (existingDirs.isEmpty) matchedPairs
-          else matchedPairs.unionByName(readDvRows(existingDirs)).distinct()
-        dvAll.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+        matchedPairs.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
         spark.read.schema(dvSchema).parquet(newDvDir.toString)
           .groupBy("file_rel").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1945,12 +1957,9 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .filter(matches)
       .select(fileRelCol(col(metaFile)).as("file_rel"),
         col(metaPos).as("pos"))
-    val existingDirs = candidates.flatMap(_.dvDir).distinct
-    val dvAll =
-      if (existingDirs.isEmpty) matchedPairs
-      else matchedPairs.unionByName(readDvRows(existingDirs)).distinct()
+    // delta sidecar only (see mergeVectorized) — chain-appended below
     val newDvDir = newCommitDir(curV + 1)
-    dvAll.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+    matchedPairs.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
     val dvRel = relativize(newDvDir)
     val counts: Map[String, Long] = spark.read.schema(dvSchema)
       .parquet(newDvDir.toString).groupBy("file_rel").count()
@@ -2018,13 +2027,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val counts: Map[String, Long] =
       if (candidates.isEmpty) Map.empty
       else {
+        // delta sidecar only (see mergeVectorized) — chain-appended in
+        // commitMaskAppend
         val pairs = affected.select(
           fileRelCol(col(metaFile)).as("file_rel"), col(metaPos).as("pos"))
-        val existingDirs = candidates.flatMap(_.dvDir).distinct
-        val dvAll =
-          if (existingDirs.isEmpty) pairs
-          else pairs.unionByName(readDvRows(existingDirs)).distinct()
-        dvAll.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+        pairs.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
         spark.read.schema(dvSchema).parquet(newDvDir.toString)
           .groupBy("file_rel").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -2049,11 +2056,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   /** Shared COMMIT half of the DV mask+append DML family
     * ([[mergeVectorized]] / [[updateVectorizedBetween]] /
-    * [[mergeClausesVectorized]]): atomically re-point the candidate
-    * entries at the new sidecar (per-file cumulative mask `counts`,
-    * keyed by scan-rendered path; 0 = untouched, >= rows = dropped),
-    * keep everything else verbatim, append `added` with fresh row-id
-    * ranges. Fails loudly when a candidate was rewritten or re-masked
+    * [[mergeClausesVectorized]]): atomically APPEND the new delta
+    * sidecar to each touched candidate's DV chain (per-file
+    * NEWLY-masked `counts`, keyed by scan-rendered path; 0 =
+    * untouched, chain total >= rows = dropped), keep everything else
+    * verbatim, append `added` with fresh row-id ranges. Fails loudly when a candidate was rewritten or re-masked
     * since `basis` (lost update); files committed SINCE the basis
     * survive untouched and unexamined — WriteSerializable, the
     * documented append-vs-DML rule. */
@@ -2088,8 +2095,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
         if (!candByPath.contains(e.relPath)) Some(e)
         else counts.getOrElse(renderedRel(e), 0L) match {
           case 0L => Some(e) // nothing of this file masked
-          case masked if masked >= e.rows => None // fully retired
-          case masked => Some(e.copy(dvDir = Some(dvRel), dvRows = masked))
+          // chain-cumulative: this delta on top of the existing mask
+          case n if e.dvRows + n >= e.rows => None // fully retired
+          case n => Some(e.copy(
+            dvDir = Some((e.dvDirs :+ dvRel).mkString(",")),
+            dvRows = e.dvRows + n))
         }
       }
       val next = nowV + 1
@@ -2097,8 +2107,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
       val entries = (kept ++ added2) match {
         // every stored row retired and nothing new written: keep ONE
         // fully-masked entry so the manifest stays non-empty
-        case Seq() => Seq(candidates.head.copy(
-          dvDir = Some(dvRel), dvRows = candidates.head.rows))
+        case Seq() =>
+          val h = candidates.head
+          Seq(h.copy(dvDir = Some((h.dvDirs :+ dvRel).mkString(",")),
+            dvRows = h.rows))
         case es => es
       }
       writeManifest(next, now.copy(entries = entries, rowIdHw = hw2))
@@ -2224,12 +2236,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val matchedPairs = changed.filter(col("__mc_mask"))
       .select(fileRelCol(col("__mc_file")).as("file_rel"),
         col("__mc_pos").as("pos"))
-    val existingDirs = candidates.flatMap(_.dvDir).distinct
-    val dvAll =
-      if (existingDirs.isEmpty) matchedPairs
-      else matchedPairs.unionByName(readDvRows(existingDirs)).distinct()
+    // delta sidecar only (see mergeVectorized) — chain-appended in
+    // commitMaskAppend
     val newDvDir = newCommitDir(curV + 1)
-    dvAll.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+    matchedPairs.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
     val dvRel = relativize(newDvDir)
     val counts: Map[String, Long] = spark.read.schema(dvSchema)
       .parquet(newDvDir.toString).groupBy("file_rel").count()
@@ -2542,7 +2552,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val plainDf =
       if (plain.isEmpty) None else Some(finish(rawScanRid(m, plain), plain))
     val maskedDf = if (masked.isEmpty) None else {
-      val dv = readDvRows(masked.flatMap(_.dvDir).distinct)
+      val dv = readDvRows(masked.flatMap(_.dvDirs).distinct)
       val mdf = rawScanRid(m, masked)
       val fileRel = fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
       val alive = mdf.join(dv,
@@ -3767,7 +3777,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val referenced: Set[String] =
       keptManifests.flatMap(_.entries.map(_.relPath)).toSet
     val referencedDvDirs: Set[String] =
-      keptManifests.flatMap(_.entries.flatMap(_.dvDir)).toSet
+      keptManifests.flatMap(_.entries.flatMap(_.dvDirs)).toSet
     val garbage = scala.collection.mutable.ArrayBuffer.empty[String]
     if (fs.exists(dataRoot)) {
       val cutoff = System.currentTimeMillis() - orphanGraceMs
@@ -3833,7 +3843,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // dir, not its part files) — skip the whole dir if any retained
     // version still masks through it
     val referencedDvDirs: Set[String] =
-      keptManifests.flatMap(_.entries.flatMap(_.dvDir)).toSet
+      keptManifests.flatMap(_.entries.flatMap(_.dvDirs)).toSet
     if (fs.exists(dataRoot)) {
       val cutoff = System.currentTimeMillis() - orphanGraceMs
       fs.listStatus(dataRoot).foreach { dirStatus =>
@@ -4281,8 +4291,17 @@ final class VersionedTable(spark: SparkSession, root: String) {
       // where the backfill belongs) — protecting those retroactively
       // would take a format break, the larger harm. Only
       // read-semantic features gate; layout-only headers don't.
-      (if (m.defaults.nonEmpty)
-        s"#requires=${VersionManifest.FeatureDefaults}\n" else "")
+      {
+        val required =
+          (if (m.defaults.nonEmpty)
+            Seq(VersionManifest.FeatureDefaults) else Nil) ++
+          // a multi-link DV chain read as a single dir path would fail
+          // nonsensically in a pre-chain reader; gate it by name
+          (if (m.entries.exists(_.dvDir.exists(_.contains(','))))
+            Seq(VersionManifest.FeatureDvChain) else Nil)
+        if (required.nonEmpty) s"#requires=${required.mkString(",")}\n"
+        else ""
+      }
     val body = header + m.entries.map(ManifestEntry.encodeLine).mkString("\n")
     val dest = manifestPath(v)
     claimManifest(dest, v)
@@ -4529,6 +4548,18 @@ final case class ManifestEntry(relPath: String, rows: Long, bytes: Long,
     * deletion vector masks. */
   def liveRows: Long = rows - dvRows
 
+  /** The deletion-vector sidecar CHAIN: `dvDir` holds one or more
+    * PER-COMMIT delta dirs joined by ',' (oldest first — commit dir
+    * names are `c<v>_<hex>`, never containing ','). Each DV commit
+    * masks only the rows IT retires and appends one link, so DV DML
+    * writes O(that commit's changed rows) unconditionally — never the
+    * file's accumulated mask. Deltas are disjoint by construction
+    * (each commit masks live rows of a scan that already applied the
+    * existing chain), so the full mask is the plain union of the
+    * links; OPTIMIZE / REORG PURGE / clone collapse chains. */
+  def dvDirs: Seq[String] =
+    dvDir.toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+
   /** The file's partition values (Delta's per-file partitionValues),
     * DERIVED from the hive-style `col=value` segments of its path
     * rather than stored — the path already encodes them exactly, so
@@ -4679,5 +4710,8 @@ object VersionManifest {
     * written ONLY while the feature is actively in use, so tables not
     * using a feature stay readable by older library versions. */
   val FeatureDefaults = "column-defaults"
-  val ReaderFeatures: Set[String] = Set(FeatureDefaults)
+  /** Per-commit deletion-vector delta CHAINS: `dvDir` may hold several
+    * ','-joined sidecar dirs whose union is the file's mask. */
+  val FeatureDvChain = "dv-chain"
+  val ReaderFeatures: Set[String] = Set(FeatureDefaults, FeatureDvChain)
 }

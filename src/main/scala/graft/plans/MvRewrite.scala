@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, And => CatAnd,
-  AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+  AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If,
+  Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Complete, Count, Max, Min, Sum}
+  Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -27,6 +28,11 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType,
   * @param sums      base measure column → MV column holding
   *                  `sum(measure)`
   * @param count     MV column holding `count(*)`, if materialized
+  * @param counts    base measure column → MV column holding
+  *                  `count(measure)` (the per-measure NON-NULL count —
+  *                  what `avg(measure)` decomposition divides by;
+  *                  `count(*)` would be wrong the moment a measure
+  *                  value is NULL, so avg never falls back to it)
   * @param mins      base measure column → MV column holding `min(...)`
   * @param maxs      base measure column → MV column holding `max(...)`
   * @param basisVersion the BASE version this MV reflects, re-read per
@@ -45,9 +51,17 @@ final case class MvDef(
     dims: Seq[String],
     sums: Map[String, String] = Map.empty,
     count: Option[String] = None,
+    counts: Map[String, String] = Map.empty,
     mins: Map[String, String] = Map.empty,
     maxs: Map[String, String] = Map.empty,
     basisVersion: () => Option[Long] = () => None)
+
+/** Deregistration handle for ONE [[MvRewrite.register]] call — scoped
+  * cleanup that cannot clobber definitions other sessions or queries
+  * registered concurrently. Idempotent. */
+final class MvHandle private[plans] (d: MvDef) {
+  def deregister(): Unit = MvRewrite.remove(d)
+}
 
 /** AGGREGATE-AWARE QUERY REWRITE (the OLAP "aggregate navigator" /
   * Delta "materialized view query rewrite" shape) as a Catalyst
@@ -87,8 +101,16 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   private val defs = new java.util.concurrent.CopyOnWriteArrayList[MvDef]
 
-  def register(d: MvDef): Unit = defs.add(d)
+  /** Register a definition; the returned handle deregisters THIS
+    * definition only — concurrent sessions' registrations survive
+    * (a blanket [[clear]] would silently cost them their rewrite). */
+  def register(d: MvDef): MvHandle = { defs.add(d); new MvHandle(d) }
+
+  /** Wipe EVERY registration (test teardown only — in shared-session
+    * code prefer the [[register]] handle's `deregister()`). */
   def clear(): Unit = defs.clear()
+
+  private[plans] def remove(d: MvDef): Unit = defs.remove(d)
 
   private def normPath(s: String): String =
     new org.apache.hadoop.fs.Path(s).toUri.getPath
@@ -210,6 +232,32 @@ object MvRewrite extends Rule[LogicalPlan] {
             AggregateExpression(Sum(m), Complete, isDistinct = false),
             Literal(0L, LongType))),
           name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(
+          Average(attr: AttributeReference, _), _, false, None, _), name)
+          if d.sums.contains(attr.name) && d.counts.contains(attr.name) &&
+            summableTypes.contains(attr.dataType) =>
+        // avg(m) = sum(mv_sum_m) / sum(mv_count_m) — the PER-MEASURE
+        // non-null count, so NULL measure values divide out exactly as
+        // the base plan's Average does; an all-NULL rollup bucket
+        // (total count 0) yields NULL, never a division error. Both
+        // operands cast to double = Average's own output type for
+        // these input types (decimals are excluded with the Sum case's
+        // rationale: re-aggregation would widen the type).
+        for {
+          mSum <- mvAttr(d.sums(attr.name))
+          mCnt <- mvAttr(d.counts(attr.name))
+        } yield {
+          val sumE = Cast(
+            AggregateExpression(Sum(mSum), Complete, isDistinct = false),
+            DoubleType)
+          val cntE = Coalesce(Seq(
+            AggregateExpression(Sum(mCnt), Complete, isDistinct = false),
+            Literal(0L, LongType)))
+          Alias(If(EqualTo(cntE, Literal(0L, LongType)),
+            Literal(null, DoubleType),
+            Divide(sumE, Cast(cntE, DoubleType))),
+            name)(exprId = al.exprId)
+        }
       case al @ Alias(AggregateExpression(
           Min(attr: AttributeReference), _, false, None, _), name)
           if d.mins.contains(attr.name) =>

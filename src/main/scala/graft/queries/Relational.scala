@@ -705,7 +705,7 @@ object Relational {
     mv.write(base.read().groupBy("o_orderstatus", "o_orderpriority")
       .agg(sum("cents").as("sum_cents"), count(lit(1)).as("cnt")))
     val basis = base.currentVersion // the version this MV reflects
-    graft.plans.MvRewrite.register(graft.plans.MvDef(
+    val handle = graft.plans.MvRewrite.register(graft.plans.MvDef(
       baseRoot = root + "/base",
       mv = () => new graft.io.VersionedTable(spark, root + "/mv").read(),
       dims = Seq("o_orderstatus", "o_orderpriority"),
@@ -725,7 +725,7 @@ object Relational {
       out.localCheckpoint() // materialize THROUGH the MV plan
     } finally {
       spark.experimental.extraOptimizations = prev
-      graft.plans.MvRewrite.clear()
+      handle.deregister() // OWN def only — concurrent queries keep theirs
     }
   }
 
@@ -769,7 +769,7 @@ object Relational {
       keys, sums))
     base.reorgPurge() // masks out, pure scan back — the rewrite's shape
     val basis = base.currentVersion // REORG moved bytes, not rows
-    graft.plans.MvRewrite.register(graft.plans.MvDef(
+    val handle = graft.plans.MvRewrite.register(graft.plans.MvDef(
       baseRoot = root + "/base",
       mv = () => new graft.io.VersionedTable(spark, root + "/mv").read(),
       dims = keys,
@@ -789,7 +789,65 @@ object Relational {
       out.localCheckpoint() // materialize THROUGH the MV plan
     } finally {
       spark.experimental.extraOptimizations = prev
-      graft.plans.MvRewrite.clear()
+      handle.deregister() // OWN def only — concurrent queries keep theirs
+    }
+  }
+
+  /** MV REWRITE OF avg() (q259; the aggregate navigator's first
+    * NON-TRIVIAL decomposition — the reference's own flagship gold
+    * aggregate is avg-shaped, etl/gold_job.py:86-87): the dashboard
+    * query computes `avg(cents)` over the base, and the rule re-plans
+    * it as `sum(mv_sum_cents) / sum(mv_cnt_cents)` over the summary —
+    * dividing by the PER-MEASURE non-null count, not `count(*)`,
+    * because every 10th order here has a NULL amount (exactly the
+    * case where the naive decomposition is silently wrong). A
+    * dims-only filter rides along to prove filters re-bind under the
+    * avg path too, and the `require` proves the scan reads the MV.
+    * The oracle recomputes sum/count from raw rows as an explicit
+    * double division (bit-identical to both the rewritten plan and
+    * Spark's own Average over these magnitudes). Scale: as q253 — the
+    * avg-shaped daily-KPI query is THE most common dashboard query;
+    * serving it from a KB-scale summary instead of the 100 TB fact
+    * table is the MV tier's whole value. */
+  def mvAvgRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val root = java.nio.file.Files.createTempDirectory("graft-mvavg")
+      .toString
+    val base = new graft.io.VersionedTable(spark, root + "/base")
+    base.write(o.select(col("o_orderstatus"), col("o_orderpriority"),
+      when(col("o_orderkey") % 10 === 0, lit(null))
+        .otherwise((col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long")).as("cents")))
+    val mv = new graft.io.VersionedTable(spark, root + "/mv")
+    mv.write(base.read().groupBy("o_orderstatus", "o_orderpriority")
+      .agg(sum("cents").as("sum_cents"),
+        count(col("cents")).as("cnt_cents"), // non-null count: avg's divisor
+        count(lit(1)).as("cnt")))
+    val basis = base.currentVersion
+    val handle = graft.plans.MvRewrite.register(graft.plans.MvDef(
+      baseRoot = root + "/base",
+      mv = () => new graft.io.VersionedTable(spark, root + "/mv").read(),
+      dims = Seq("o_orderstatus", "o_orderpriority"),
+      sums = Map("cents" -> "sum_cents"),
+      count = Some("cnt"),
+      counts = Map("cents" -> "cnt_cents"),
+      basisVersion = () => basis))
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MvRewrite
+    try {
+      val out = base.read()
+        .filter(col("o_orderpriority") =!= "1-URGENT") // dims-only filter
+        .groupBy("o_orderstatus")
+        .agg(avg("cents").as("avg_cents"), count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+      val roots = graft.plans.MvRewrite.scannedManifestRoots(out)
+      require(roots.nonEmpty && roots.forall(_.endsWith("/mv")),
+        s"avg MV rewrite did not fire: scanned $roots")
+      out.localCheckpoint() // materialize THROUGH the MV plan
+    } finally {
+      spark.experimental.extraOptimizations = prev
+      handle.deregister()
     }
   }
 
@@ -2471,6 +2529,7 @@ object Relational {
     "q253_mv_rewrite" -> mvRewriteRollup,
     "q254_mv_ivm_rewrite" -> mvIvmRewrite,
     "q255_sql_catalog" -> sqlCatalog,
+    "q259_mv_avg_rewrite" -> mvAvgRewrite,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -3273,6 +3332,23 @@ object Relational {
                   AS BIGINT)) AS BIGINT) AS sum_cents,
                 count(*) AS n_orders
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q259_mv_avg_rewrite" ->
+      // avg(cents) served from the MV must equal the raw aggregate
+      // with NULL amounts divided out (per-measure count, NOT
+      // count(*)); explicit double division on the oracle side is
+      // bit-identical to the rewritten sum/count plan — integer
+      // dividend/divisor, both < 2^53
+      """WITH b AS (
+           SELECT o_orderstatus, o_orderpriority,
+                  CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                       ELSE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                         AS BIGINT) END AS cents
+           FROM orders)
+         SELECT o_orderstatus,
+                CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents,
+                count(*) AS n_orders
+         FROM b WHERE o_orderpriority <> '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q254_mv_ivm_rewrite" ->
       // the MV was maintained purely from the change feed (insert
       // deltas from the append, signed deletes from the DV band), so

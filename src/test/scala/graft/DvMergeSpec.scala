@@ -290,4 +290,70 @@ class DvMergeSpec extends AnyFunSuite {
       .as[String].head() === "s10")
     assert(v2 === v1 + 1)
   }
+
+  test("per-commit DV deltas: the k-th merge over the SAME hot file " +
+      "writes O(that merge's changed rows), not the accumulated mask") {
+    val (vt, root) = freshTable("graft-dvm-delta", n = 1000)
+    val fsRoot = new org.apache.hadoop.fs.Path(root)
+    val fs = fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dvRowsInDir(rel: String): Long =
+      spark.read.parquet(new org.apache.hadoop.fs.Path(fsRoot, rel)
+        .toString).count()
+    // 4 successive merges, each updating DIFFERENT rows of the same
+    // narrow band (same files); each commit's NEW sidecar must hold
+    // exactly that commit's changed rows — under the old accumulate-
+    // and-rewrite scheme the k-th sidecar held k*batch rows
+    val batch = 10
+    val perCommitDvRows = (0 until 4).map { k =>
+      val src = (100 + k * batch until 100 + (k + 1) * batch)
+        .map(i => (i.toLong, s"m$k-$i", -k.toLong)).toDF("id", "s", "v")
+      val v = vt.mergeVectorized(src, Seq("id"))
+      val chains = vt.manifestEntries(v).flatMap(_.dvDirs).distinct
+      val newest = chains.filter(_.startsWith(f"_data/c$v%08d")) match {
+        case Seq(one) => one
+        case other => fail(s"expected exactly one new DV link at v$v, " +
+          s"got $other")
+      }
+      dvRowsInDir(newest)
+    }
+    assert(perCommitDvRows === Seq.fill(4)(batch.toLong),
+      "each commit's sidecar must hold only ITS changed rows")
+    // the chain accumulated 4 links on the hot file(s)…
+    val hot = vt.manifestEntries(vt.currentVersion.get)
+      .filter(_.dvDir.isDefined)
+    assert(hot.exists(_.dvDirs.size > 1), "successive merges must " +
+      "append chain links, not rewrite the mask")
+    // …reads fold the chain exactly
+    assert(vt.read().count() === 1000L)
+    assert(vt.read().filter(col("s").startsWith("m")).count() ===
+      (4 * batch).toLong)
+    (0 until 4).foreach { k =>
+      assert(vt.read().filter(col("id") === (100 + k * batch).toLong)
+        .select("s").as[String].head() === s"m$k-${100 + k * batch}")
+    }
+    // REORG PURGE collapses the chains away
+    val vp = vt.reorgPurge()
+    assert(vt.manifestEntries(vp).forall(_.dvDir.isEmpty))
+    assert(vt.read().count() === 1000L)
+  }
+
+  test("dv-chain protocol gate: a chained manifest names the feature; " +
+      "single-link tables stay gate-free") {
+    val (vt, root) = freshTable("graft-dvm-gate", n = 100)
+    val v1 = vt.mergeVectorized(
+      Seq((10L, "x", -1L)).toDF("id", "s", "v"), Seq("id"))
+    val v2 = vt.mergeVectorized(
+      Seq((11L, "y", -2L)).toDF("id", "s", "v"), Seq("id"))
+    def manifestText(v: Long): String = {
+      val p = new org.apache.hadoop.fs.Path(root,
+        f"_manifests/v$v%08d.txt")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(!manifestText(v1).contains("dv-chain"),
+      "one link is the pre-chain format — no gate")
+    assert(manifestText(v2).contains("#requires=") &&
+      manifestText(v2).contains("dv-chain"))
+  }
 }

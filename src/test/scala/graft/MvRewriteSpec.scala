@@ -153,6 +153,82 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("avg(measure) decomposes to sum(mv_sum)/sum(mv_cnt) — the " +
+      "PER-MEASURE count, so NULL measure values divide out exactly; " +
+      "a dims-only filter rides along") {
+    val dir = Fixtures.tempDir("mv-avg")
+    val base = new VersionedTable(spark, dir + "/base")
+    base.write(Seq(
+      ("A", "hi", Some(10L)), ("A", "hi", None), ("A", "lo", Some(5L)),
+      ("B", "hi", Some(7L)), ("B", "lo", None), ("B", "lo", Some(9L)))
+      .toDF("status", "prio", "amount"))
+    val mv = new VersionedTable(spark, dir + "/mv")
+    mv.write(base.read().groupBy("status", "prio").agg(
+      sum("amount").as("sum_amount"), count(col("amount")).as("cnt_amount"),
+      count(lit(1)).as("cnt")))
+    MvRewrite.register(MvDef(
+      baseRoot = dir + "/base",
+      mv = () => new VersionedTable(spark, dir + "/mv").read(),
+      dims = Seq("status", "prio"),
+      sums = Map("amount" -> "sum_amount"),
+      count = Some("cnt"),
+      counts = Map("amount" -> "cnt_amount")))
+    withRule {
+      val df = new VersionedTable(spark, dir + "/base").read()
+        .groupBy("status").agg(avg("amount").as("a"), count(lit(1)).as("n"))
+        .orderBy("status")
+      assert(scannedRoots(df).forall(_.endsWith("/mv")))
+      // avg ignores the NULL: A = (10+5)/2, B = (7+9)/2 — count(*)
+      // as divisor would give /3
+      assert(df.as[(String, Double, Long)].collect().toSeq ===
+        Seq(("A", 7.5d, 3L), ("B", 8.0d, 3L)))
+      val filtered = new VersionedTable(spark, dir + "/base").read()
+        .filter(col("prio") === "hi")
+        .groupBy("status").agg(avg("amount").as("a")).orderBy("status")
+      assert(scannedRoots(filtered).forall(_.endsWith("/mv")))
+      assert(filtered.as[(String, Double)].collect().toSeq ===
+        Seq(("A", 10.0d), ("B", 7.0d)))
+    }
+  }
+
+  test("avg over an ALL-NULL rollup bucket yields NULL from the MV, " +
+      "exactly as the base plan") {
+    val dir = Fixtures.tempDir("mv-avg-null")
+    val base = new VersionedTable(spark, dir + "/base")
+    base.write(Seq(("A", "hi", None: Option[Long]), ("A", "lo", None),
+      ("B", "hi", Some(4L))).toDF("status", "prio", "amount"))
+    val mv = new VersionedTable(spark, dir + "/mv")
+    mv.write(base.read().groupBy("status", "prio").agg(
+      sum("amount").as("sum_amount"), count(col("amount")).as("cnt_amount")))
+    MvRewrite.register(MvDef(
+      baseRoot = dir + "/base",
+      mv = () => new VersionedTable(spark, dir + "/mv").read(),
+      dims = Seq("status", "prio"),
+      sums = Map("amount" -> "sum_amount"),
+      counts = Map("amount" -> "cnt_amount")))
+    withRule {
+      val df = new VersionedTable(spark, dir + "/base").read()
+        .groupBy("status").agg(avg("amount").as("a")).orderBy("status")
+      assert(scannedRoots(df).forall(_.endsWith("/mv")))
+      val rows = df.collect()
+      assert(rows.length === 2 && rows(0).isNullAt(1) &&
+        rows(1).getDouble(1) === 4.0d)
+    }
+  }
+
+  test("avg DECLINES when the per-measure count is not registered — " +
+      "count(*) is never substituted (NULLs would corrupt the mean)") {
+    val dir = fixture("mv-avg-decline") // sums + count(*), no counts
+    withRule {
+      val df = new VersionedTable(spark, dir + "/base").read()
+        .groupBy("status").agg(avg("amount").as("a")).orderBy("status")
+      assert(scannedRoots(df).forall(_.endsWith("/base")))
+      // and still correct through the base plan
+      assert(df.as[(String, Double)].collect().toSeq ===
+        Seq(("A", 35.0d / 3), ("B", 19.0d / 3)))
+    }
+  }
+
   test("the MV re-plans per query: a maintenance commit is served " +
       "immediately") {
     val dir = fixture("mv-fresh")
