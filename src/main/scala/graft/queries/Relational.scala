@@ -851,6 +851,66 @@ object Relational {
     }
   }
 
+  /** SQL-ONLY MATERIALIZED-VIEW LIFECYCLE (q260; the M47/M48 DDL
+    * surface of the MV tier, [[graft.sql.MaterializedView]]): ONE SQL
+    * session — with comment-bearing script statements — creates the
+    * fact table, declares `CREATE MATERIALIZED VIEW` over it (summary
+    * CTAS + persisted definition + rewrite registration, basis
+    * stamped in the backing table's own history), mutates the base
+    * through M47 DML (a DV band DELETE), OPTIMIZEs the base back to a
+    * pure scan, and `REFRESH`es the view — an IVM fold of the change
+    * feed since the recorded basis, never a re-aggregation. The final
+    * dashboard SELECT (sum + avg + count) is then provably
+    * REWRITE-SERVED from the summary (`scannedManifestRoots` must
+    * name the MV root). The oracle recomputes everything from raw
+    * orders: a wrong fold, a stale basis, a mis-parsed DDL, or a
+    * wrong avg decomposition hash-mismatches. Scale: CREATE costs one
+    * base aggregation; REFRESH O(changed rows) + the KB-scale merge;
+    * the SELECT reads the summary — the full MV economics, now
+    * reachable without a line of Scala. */
+  def sqlMaterializedView(spark: SparkSession, dir: String): DataFrame = {
+    val o = load(spark, dir, "orders")
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlmv")
+      .toString + "/wh"
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    o.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_orderpriority"),
+      when(col("o_orderkey") % 10 === 0, lit(null))
+        .otherwise((col("o_totalprice").cast("decimal(18,4)") * 100)
+          .cast("long")).as("cents"))
+      .createOrReplaceTempView("q260_orders")
+    graft.sql.GraftSql.execScript(spark,
+      """-- bronze: land the facts; every 10th order has no amount
+         CREATE TABLE facts AS SELECT * FROM q260_orders;
+         CREATE MATERIALIZED VIEW kpis AS
+           SELECT o_orderstatus, o_orderpriority,
+                  sum(cents) AS sum_cents, count(*) AS n,
+                  count(cents) AS cnt_cents
+           FROM facts GROUP BY o_orderstatus, o_orderpriority;
+         DELETE FROM facts WHERE o_orderkey BETWEEN 100 AND 299; /* M47;
+           the DV masks make the base temporarily unservable */
+         OPTIMIZE facts; -- masks folded away: pure scan again
+         REFRESH MATERIALIZED VIEW kpis""", cat)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MvRewrite
+    try {
+      val out = graft.sql.GraftSql.exec(spark,
+        """SELECT o_orderstatus, sum(cents) AS sum_cents,
+                  avg(cents) AS avg_cents, count(*) AS n_orders
+           FROM facts GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+        cat)
+      val roots = graft.plans.MvRewrite.scannedManifestRoots(out)
+      require(roots.nonEmpty && roots.forall(_.endsWith("/kpis")),
+        s"SQL MV rewrite did not fire: scanned $roots")
+      val result = out.localCheckpoint() // materialize THROUGH the MV
+      graft.sql.GraftSql.exec(spark, "DROP MATERIALIZED VIEW kpis", cat)
+      result
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   /** SQL CATALOG PIPELINE (q255; CTAS + bare-name resolution over a
     * warehouse catalog, [[graft.sql.GraftCatalog]] +
     * [[graft.sql.GraftSql.exec]]): the bronze→gold flow a SQL-only
@@ -875,10 +935,14 @@ object Relational {
     graft.sql.GraftSql.exec(spark,
       "DELETE FROM facts WHERE o_orderkey BETWEEN 500 AND 999", cat)
     graft.sql.GraftSql.exec(spark,
-      """CREATE TABLE gold AS
+      """CREATE TABLE gold_candidate AS
          SELECT o_orderstatus, CAST(sum(cents) AS BIGINT) AS cents_total,
                 count(*) AS n_orders
          FROM facts GROUP BY o_orderstatus""", cat)
+    // the blue/green swap: verify the candidate, promote by RENAME —
+    // one directory move, history intact (the M48 table-rename route)
+    graft.sql.GraftSql.exec(spark,
+      "ALTER TABLE gold_candidate RENAME TO gold", cat)
     graft.sql.GraftSql.exec(spark,
       "SELECT * FROM gold ORDER BY o_orderstatus", cat)
   }
@@ -2530,6 +2594,7 @@ object Relational {
     "q254_mv_ivm_rewrite" -> mvIvmRewrite,
     "q255_sql_catalog" -> sqlCatalog,
     "q259_mv_avg_rewrite" -> mvAvgRewrite,
+    "q260_sql_mv" -> sqlMaterializedView,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -3349,6 +3414,23 @@ object Relational {
                 count(*) AS n_orders
          FROM b WHERE o_orderpriority <> '1-URGENT'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q260_sql_mv" ->
+      // the SQL session's CREATE MV + DV DELETE + OPTIMIZE + REFRESH
+      // must net to the raw band-filtered aggregate; avg divides by
+      // the non-null count (every 10th cents is NULL), as an explicit
+      // double division on both sides
+      """WITH b AS (
+           SELECT o_orderstatus,
+                  CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                       ELSE CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                         AS BIGINT) END AS cents
+           FROM orders
+           WHERE o_orderkey NOT BETWEEN 100 AND 299)
+         SELECT o_orderstatus,
+                CAST(sum(cents) AS BIGINT) AS sum_cents,
+                CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents,
+                count(*) AS n_orders
+         FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q254_mv_ivm_rewrite" ->
       // the MV was maintained purely from the change feed (insert
       // deltas from the append, signed deletes from the DV band), so

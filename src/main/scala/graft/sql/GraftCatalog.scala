@@ -68,4 +68,24 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     require(exists(name), s"table $name does not exist in $warehouse")
     fs.delete(new Path(rootOf(name)), true)
   }
+
+  /** ALTER TABLE … RENAME TO — one directory move, zero data IO and
+    * zero manifest rewrites: every manifest entry, DV-chain link, and
+    * history line is TABLE-RELATIVE by construction, so the whole
+    * version history (time travel included) survives under the new
+    * name. The blue/green idiom: build `t_new`, verify, rename `t` →
+    * `t_old` and `t_new` → `t` — both renames are metadata-instant.
+    * Refuses when the target DIRECTORY exists at all (even a
+    * half-written non-table: colliding roots would interleave two
+    * tables' commits). Caveat (Delta shares it): a SHALLOW clone
+    * addresses its source by absolute path, so renaming a clone's
+    * SOURCE strands the clone. */
+  def renameTable(from: String, to: String): Unit = {
+    require(exists(from), s"table $from does not exist in $warehouse")
+    val target = new Path(rootOf(to)) // rootOf validates the name
+    require(!fs.exists(target),
+      s"rename target $to already exists in $warehouse")
+    require(fs.rename(new Path(rootOf(from)), target),
+      s"filesystem rename $from -> $to failed")
+  }
 }

@@ -63,14 +63,20 @@ object GraftSql {
   private val ctasRe = (s"(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+($ident)" +
     "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.*)$").r
   private val dropRe = s"(?is)^DROP\\s+TABLE\\s+($ident)$$".r
+  private val createMvRe = (s"(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
+    s"($ident)\\s+AS\\s+(.*)$$").r
+  private val refreshMvRe =
+    s"(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+($ident)$$".r
+  private val dropMvRe =
+    s"(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+($ident)$$".r
+  private val alterTableRenameRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)" +
+    s"\\s+RENAME\\s+TO\\s+($ident)$$").r
   private val showRe = "(?is)^SHOW\\s+TABLES$".r
   private val srcColRe = (s"(?is)^($ident)\\.($ident)$$").r
-  private val matchedRe =
-    "(?is)^MATCHED(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*)$".r
-  private val notMatchedRe = ("(?is)^NOT\\s+MATCHED(?:\\s+BY\\s+TARGET)?" +
-    "(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+INSERT\\s+\\*$").r
-  private val nmbsRe = ("(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE" +
-    "(?:\\s+AND\\s+(.*?))?\\s+THEN\\s+(.*)$").r
+  private val nmbsHeadRe = "(?is)^NOT\\s+MATCHED\\s+BY\\s+SOURCE\\b(.*)$".r
+  private val nmtHeadRe =
+    "(?is)^NOT\\s+MATCHED(?:\\s+BY\\s+TARGET)?\\b(.*)$".r
+  private val matchedHeadRe = "(?is)^MATCHED\\b(.*)$".r
 
   /** Run `query`, resolving `VERSION AS OF` / `TIMESTAMP AS OF`
     * clauses on the table names in `versionedTables` (name → table
@@ -234,9 +240,27 @@ object GraftSql {
         val targetSchema = vt.read().schema
         // SQL's INSERT contract is POSITIONAL (with assignment casts),
         // not by-name: `INSERT INTO t SELECT b, a` puts b into the
-        // FIRST column. An explicit column list names the positions.
+        // FIRST column. An explicit column list names the positions;
+        // every listed name is validated UP FRONT (a typo must fail
+        // here, not as a confusing schema-reconcile error later).
+        // Unlisted columns fill with their recorded DEFAULT (M31),
+        // else NULL when nullable, else a clear refusal — writing
+        // NULL into a non-nullable field would round-trip as garbage
+        // (parquet reads a non-nullable long's null slot as 0).
         val boundNames = Option(colsOpt) match {
-          case Some(cols) => splitTop(cols)
+          case Some(cols) =>
+            val names = splitTop(cols)
+            val dup = names.diff(names.distinct).distinct
+            require(dup.isEmpty,
+              s"duplicate column in INSERT list: ${dup.mkString(", ")}")
+            names.foreach(c => require(
+              targetSchema.fieldNames.contains(c),
+              s"INSERT INTO $name names unknown column '$c' " +
+                s"(table columns: ${targetSchema.fieldNames.mkString(", ")})"))
+            require(df0.columns.length == names.length,
+              s"INSERT INTO $name lists ${names.length} column(s) but " +
+                s"the query produces ${df0.columns.length}")
+            names
           case None =>
             require(df0.columns.length == targetSchema.length,
               s"INSERT INTO $name arity ${df0.columns.length} != " +
@@ -244,11 +268,25 @@ object GraftSql {
             targetSchema.fieldNames.toSeq
         }
         val bound = df0.toDF(boundNames: _*)
-        val df = bound.select(bound.columns.toSeq.map { c =>
-          targetSchema.find(_.name == c) match {
-            case Some(f) => org.apache.spark.sql.functions.col(c)
-              .cast(f.dataType).as(c)
-            case None => org.apache.spark.sql.functions.col(c)
+        val manifest = vt.currentManifest
+        def defaultFor(logical: String): Option[String] = {
+          // defaults are keyed by PHYSICAL name (frozen under renames)
+          val phys = manifest.mapping.find(_._1 == logical)
+            .map(_._2).getOrElse(logical)
+          manifest.defaults.find(_._1 == phys).map(_._2)
+        }
+        val df = bound.select(targetSchema.fields.toSeq.map { f =>
+          if (boundNames.contains(f.name))
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)
+          else defaultFor(f.name) match {
+            case Some(dflt) => expr(dflt).cast(f.dataType).as(f.name)
+            case None =>
+              require(f.nullable, s"INSERT INTO $name omits column " +
+                s"'${f.name}', which is not nullable and has no " +
+                "DEFAULT — list it explicitly")
+              org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
           }
         }: _*)
         status("INSERT", vt.write(df, org.apache.spark.sql.SaveMode.Append))
@@ -345,10 +383,13 @@ object GraftSql {
   /** Run a `;`-separated SQL SCRIPT — each statement through the
     * catalog-aware [[exec]] in order, returning the LAST statement's
     * frame (the bronze→gold pipeline as ONE string). The split is
-    * string-literal-safe; empty statements are skipped. */
+    * string-literal-safe and COMMENT-safe (line and block comments
+    * stripped first — a ';' inside a comment must not split
+    * mid-statement); empty statements are skipped. */
   def execScript(spark: SparkSession, script: String,
       catalog: GraftCatalog): DataFrame = {
-    val stmts = splitTopChar(script, ';').map(_.trim).filter(_.nonEmpty)
+    val stmts = splitTopChar(stripSqlComments(script), ';')
+      .map(_.trim).filter(_.nonEmpty)
     require(stmts.nonEmpty, "empty SQL script")
     stmts.map(s => exec(spark, s, catalog)).last
   }
@@ -371,6 +412,31 @@ object GraftSql {
       catalog: GraftCatalog): DataFrame = {
     val st = statement.trim.stripSuffix(";").trim
     st match {
+      // MATERIALIZED VIEW DDL — the MV tier's SQL surface (create /
+      // refresh / drop route to graft.sql.MaterializedView)
+      case createMvRe(name, select) =>
+        val v = MaterializedView.create(catalog, name, select.trim)
+        import spark.implicits._
+        Seq(("CREATE MATERIALIZED VIEW", name, v))
+          .toDF("operation", "table", "version")
+      case refreshMvRe(name) =>
+        val v = MaterializedView.refresh(catalog, name)
+        import spark.implicits._
+        Seq(("REFRESH MATERIALIZED VIEW", name, v))
+          .toDF("operation", "table", "version")
+      case dropMvRe(name) =>
+        MaterializedView.drop(catalog, name)
+        spark.catalog.dropTempView(name)
+        import spark.implicits._
+        Seq(("DROP MATERIALIZED VIEW", name)).toDF("operation", "table")
+      case alterTableRenameRe(from, to) =>
+        catalog.renameTable(from, to)
+        // earlier statements may have bound the OLD name as a temp
+        // view; a stale view over the moved root must not survive
+        spark.catalog.dropTempView(from)
+        import spark.implicits._
+        Seq(("ALTER TABLE RENAME", from, to))
+          .toDF("operation", "table", "renamed_to")
       case ctasRe(orReplace, name, partCols, query) =>
         val df = sql(spark, query.trim, catalog.tables)
         val v = catalog.createTable(name, df,
@@ -438,43 +504,69 @@ object GraftSql {
     case class SDel(c: Option[Column]) extends Clause
     case class SUpd(c: Option[Column], set: Map[String, Column])
       extends Clause
+    // split each fragment at its TOP-LEVEL THEN (paren-, string-, and
+    // CASE-aware — a CASE … WHEN … THEN inside the clause condition
+    // must not claim the clause's own THEN), then classify
+    def splitAtThen(frag: String): (Option[String], String) = {
+      val r = frag.trim
+      val thenIdx = topThenIndex(r)
+      require(thenIdx >= 0, s"MERGE clause missing THEN: WHEN $frag")
+      val head = r.substring(0, thenIdx).trim
+      val action = r.substring(thenIdx + 4).trim
+      val condTxt =
+        if (head.isEmpty) None
+        else {
+          require(head.matches("(?is)^AND\\s.*"),
+            s"unexpected text before THEN in MERGE clause: $head")
+          Some(head.replaceFirst("(?is)^AND\\s+", ""))
+        }
+      (condTxt, action)
+    }
     val clauses: Seq[Clause] =
       splitClauses(clausesTxt).map(_.trim).filter(_.nonEmpty)
         .map {
-          case notMatchedRe(c) => NIns(cond(c))
-          case nmbsRe(c, action) => action.trim match {
-            case d if d.equalsIgnoreCase("DELETE") => SDel(cond(c))
-            case u if u.toUpperCase.startsWith("UPDATE") =>
-              val assigns = u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
-              SUpd(cond(c), splitTop(assigns).map { a =>
-                val i = a.indexOf('=')
-                require(i > 0, s"malformed NMBS SET assignment: $a")
-                a.substring(0, i).trim ->
-                  expr(rewrite(a.substring(i + 1).trim))
-              }.toMap)
-            case other => sys.error(s"unsupported NMBS action: $other")
-          }
-          case matchedRe(c, action) => action.trim match {
-            case d if d.equalsIgnoreCase("DELETE") => MDel(cond(c))
-            case u if u.toUpperCase.startsWith("UPDATE") =>
-              val assigns = u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
-              val cols = if (assigns.trim == "*") None
-                else Some(splitTop(assigns).map { a =>
+          case nmbsHeadRe(rest) =>
+            val (c, action) = splitAtThen(rest)
+            action match {
+              case d if d.equalsIgnoreCase("DELETE") => SDel(cond(c.orNull))
+              case u if u.toUpperCase.startsWith("UPDATE") =>
+                val assigns = u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
+                SUpd(cond(c.orNull), splitTop(assigns).map { a =>
                   val i = a.indexOf('=')
-                  require(i > 0, s"malformed SET assignment: $a")
-                  val (l, r) =
-                    (a.substring(0, i).trim, a.substring(i + 1).trim)
-                  r match {
-                    case srcColRe(al, col) if al.equalsIgnoreCase(sa) &&
-                        col.equalsIgnoreCase(l) => l
-                    case _ => sys.error("the DV clause merge updates " +
-                      "whole source columns: SET must be `*` or " +
-                      s"`x = $sa.x`, got $a")
-                  }
-                })
-              MUpd(cond(c), cols)
-            case other => sys.error(s"unsupported MATCHED action: $other")
-          }
+                  require(i > 0, s"malformed NMBS SET assignment: $a")
+                  a.substring(0, i).trim ->
+                    expr(rewrite(a.substring(i + 1).trim))
+                }.toMap)
+              case other => sys.error(s"unsupported NMBS action: $other")
+            }
+          case nmtHeadRe(rest) =>
+            val (c, action) = splitAtThen(rest)
+            require(action.matches("(?is)^INSERT\\s*\\*$"),
+              s"unsupported NOT MATCHED action: $action")
+            NIns(cond(c.orNull))
+          case matchedHeadRe(rest) =>
+            val (c, action) = splitAtThen(rest)
+            action match {
+              case d if d.equalsIgnoreCase("DELETE") => MDel(cond(c.orNull))
+              case u if u.toUpperCase.startsWith("UPDATE") =>
+                val assigns = u.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
+                val cols = if (assigns.trim == "*") None
+                  else Some(splitTop(assigns).map { a =>
+                    val i = a.indexOf('=')
+                    require(i > 0, s"malformed SET assignment: $a")
+                    val (l, r) =
+                      (a.substring(0, i).trim, a.substring(i + 1).trim)
+                    r match {
+                      case srcColRe(al, col) if al.equalsIgnoreCase(sa) &&
+                          col.equalsIgnoreCase(l) => l
+                      case _ => sys.error("the DV clause merge updates " +
+                        "whole source columns: SET must be `*` or " +
+                        s"`x = $sa.x`, got $a")
+                    }
+                  })
+                MUpd(cond(c.orNull), cols)
+              case other => sys.error(s"unsupported MATCHED action: $other")
+            }
           case other => sys.error(s"unsupported MERGE clause: WHEN $other")
         }
     Seq("WHEN MATCHED UPDATE" -> clauses.count(_.isInstanceOf[MUpd]),
@@ -572,6 +664,65 @@ object GraftSql {
     -1
   }
 
+  /** Index of the first top-level `THEN` that belongs to the MERGE
+    * clause itself — outside parens and strings, AND outside any
+    * `CASE … END` block (whose own THENs are expression syntax, not
+    * clause syntax), so `WHEN MATCHED AND CASE WHEN x THEN y END = z
+    * THEN DELETE` splits at the right keyword. -1 when absent. */
+  private def topThenIndex(s: String): Int = {
+    var depth = 0; var caseDepth = 0; var inStr = false; var i = 0
+    def isIdent(c: Char) = c.isLetterOrDigit || c == '_'
+    def wordAt(j: Int, w: String): Boolean =
+      s.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !isIdent(s.charAt(j - 1))) &&
+        (j + w.length >= s.length || !isIdent(s.charAt(j + w.length)))
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && wordAt(i, "CASE")) { caseDepth += 1; i += 4 }
+          else if (depth == 0 && caseDepth > 0 && wordAt(i, "END")) {
+            caseDepth -= 1; i += 3
+          }
+          else if (depth == 0 && caseDepth == 0 && wordAt(i, "THEN"))
+            return i
+          else i += 1
+      }
+    }
+    -1
+  }
+
+  /** Strip SQL comments (`-- …` to end-of-line, and slash-star block
+    * comments possibly spanning lines) OUTSIDE string literals — a
+    * ';' or keyword inside a comment must not affect statement
+    * splitting or parsing. Newlines after `--` survive (token
+    * separation); an unterminated block comment swallows to
+    * end-of-input, as parsers do. */
+  private[sql] def stripSqlComments(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; sb += c; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < s.length &&
+            !(s.charAt(i) == '*' && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(s.length, i + 2)
+        sb += ' '
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   /** Index of the next top-level `WHEN` that BEGINS a merge clause —
     * followed by MATCHED or NOT (word-bounded) — at or after `from`.
     * A CASE expression's WHEN inside a clause condition or SET
@@ -632,6 +783,9 @@ object GraftSql {
   /** Split a comma-list at top level (commas inside parens or string
     * literals don't split). */
   private def splitTop(s: String): Seq[String] = splitTopChar(s, ',')
+
+  /** [[splitTop]] for sibling parsers ([[MaterializedView]]). */
+  private[sql] def splitTopList(s: String): Seq[String] = splitTop(s)
 
   private def splitTopChar(s: String, delim: Char): Seq[String] = {
     val out = scala.collection.mutable.Buffer[String]()

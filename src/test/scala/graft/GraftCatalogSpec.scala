@@ -103,4 +103,39 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT count(*) AS n FROM p WHERE grp = 'A'", cat)
       .as[Long].head() === 2L)
   }
+
+  test("ALTER TABLE ... RENAME TO: one directory move — DML works on " +
+      "the new name, the full version history (time travel, DV masks) " +
+      "survives, the old name is gone, an existing target refuses") {
+    val wh = Fixtures.tempDir("graft-catalog-rename") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    (1L to 10L).map(k => (k, k * 100L)).toDF("k", "cents")
+      .createOrReplaceTempView("ren_seed")
+    GraftSql.exec(spark, "CREATE TABLE old_name AS SELECT * FROM ren_seed",
+      cat)
+    // a DV delete BEFORE the rename: masks are table-relative and must
+    // survive the move
+    GraftSql.exec(spark, "DELETE FROM old_name WHERE k <= 2", cat)
+    GraftSql.exec(spark, "ALTER TABLE old_name RENAME TO new_name", cat)
+    assert(!cat.exists("old_name") && cat.exists("new_name"))
+    // DML on the NEW name
+    GraftSql.exec(spark, "INSERT INTO new_name VALUES (11, 1100)", cat)
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) AS n FROM new_name", cat).as[Long].head() === 9L)
+    // time travel across the rename boundary: v0 = the 10 seed rows
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) AS n FROM new_name VERSION AS OF 0", cat)
+      .as[Long].head() === 10L)
+    // the pre-rename DV mask still applies (v1 = 8 live rows)
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) AS n FROM new_name VERSION AS OF 1", cat)
+      .as[Long].head() === 8L)
+    // refusals: unknown source, existing target
+    intercept[IllegalArgumentException] {
+      cat.renameTable("old_name", "other") }
+    GraftSql.exec(spark, "CREATE TABLE blocker AS SELECT 1 AS x", cat)
+    val e = intercept[IllegalArgumentException] {
+      cat.renameTable("new_name", "blocker") }
+    assert(e.getMessage.contains("already exists"))
+  }
 }

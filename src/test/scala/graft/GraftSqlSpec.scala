@@ -266,4 +266,178 @@ class GraftSqlSpec extends AnyFunSuite {
       Map("t" -> root)).as[(Long, Long)].head()
     assert(out === ((7L, 10L)))
   }
+
+  // ─────────────────────── materialized-view DDL ───────────────────────
+
+  test("MATERIALIZED VIEW lifecycle: CREATE registers the rewrite, a " +
+      "base DML statement makes it decline (stale -> base plan), " +
+      "REFRESH folds the change feed and serves again, DROP unwires") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-mv-ddl") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    // NULL measure via SQL VALUES (a typed Seq can't hold a null Long)
+    spark.sql("SELECT grp, CASE WHEN cents = 5 THEN NULL ELSE cents END " +
+      "AS cents FROM (SELECT * FROM VALUES ('A', 10L), ('A', 20L), " +
+      "('B', 5L), ('B', 9L) AS t(grp, cents))")
+      .createOrReplaceTempView("mvddl_seed")
+    GraftSql.exec(spark,
+      "CREATE TABLE facts AS SELECT * FROM mvddl_seed", cat)
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW mv AS
+         SELECT grp, sum(cents) AS sum_cents, count(*) AS n,
+                count(cents) AS cnt_cents
+         FROM facts GROUP BY grp""", cat)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MvRewrite
+    try {
+      def q = GraftSql.exec(spark,
+        """SELECT grp, sum(cents) AS total, avg(cents) AS mean,
+                  count(*) AS n
+           FROM facts GROUP BY grp ORDER BY grp""", cat)
+      def roots(df: org.apache.spark.sql.DataFrame) =
+        graft.plans.MvRewrite.scannedManifestRoots(df)
+      // fresh: served from the MV (sum AND avg decompose)
+      val served = q
+      assert(roots(served).nonEmpty &&
+        roots(served).forall(_.endsWith("/mv")), roots(served))
+      assert(served.as[(String, Long, Double, Long)].collect().toSeq ===
+        Seq(("A", 30L, 15.0, 2L), ("B", 9L, 9.0, 2L)))
+      // base DML through the SAME SQL session: MV goes stale
+      GraftSql.exec(spark,
+        "INSERT INTO facts VALUES ('B', 1)", cat)
+      val stale = q
+      assert(roots(stale).forall(_.endsWith("/facts")),
+        "a stale MV must fall back to the base plan")
+      assert(stale.as[(String, Long, Double, Long)].collect().toSeq ===
+        Seq(("A", 30L, 15.0, 2L), ("B", 10L, 5.0, 3L)))
+      // REFRESH: IVM fold over changes(basis, cur), serves again
+      GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW mv", cat)
+      val again = q
+      assert(roots(again).nonEmpty &&
+        roots(again).forall(_.endsWith("/mv")), roots(again))
+      assert(again.as[(String, Long, Double, Long)].collect().toSeq ===
+        Seq(("A", 30L, 15.0, 2L), ("B", 10L, 5.0, 3L)))
+      // DELETE the group's last non-null value: count(m) folds the
+      // sum back to NULL, a group emptied entirely vanishes
+      GraftSql.exec(spark, "DELETE FROM facts WHERE grp = 'A'", cat)
+      GraftSql.exec(spark,
+        "UPDATE facts SET cents = NULL WHERE cents = 1", cat)
+      GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW mv", cat)
+      // group A vanished (count reached exactly 0); B's n=3 rows carry
+      // sum 9 over cnt_cents=1 non-null value
+      val mvRows = cat.table("mv").orderBy("grp")
+        .select("grp", "n", "sum_cents", "cnt_cents").collect()
+      assert(mvRows.length === 1 && mvRows(0).getString(0) === "B" &&
+        mvRows(0).getLong(1) === 3L && mvRows(0).getLong(2) === 9L &&
+        mvRows(0).getLong(3) === 1L)
+      val afterDel = q
+      assert(roots(afterDel).forall(_.endsWith("/mv")))
+      assert(afterDel.as[(String, Long, Double, Long)].collect().toSeq ===
+        Seq(("B", 9L, 9.0, 3L)))
+      // DROP: rewrite unwired, table gone
+      GraftSql.exec(spark, "DROP MATERIALIZED VIEW mv", cat)
+      assert(!cat.exists("mv"))
+      assert(roots(q).forall(_.endsWith("/facts")))
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
+  test("MATERIALIZED VIEW guards: min/max refused with the " +
+      "alternative named; count(*) required; a non-integral sum " +
+      "refused; CREATE over an existing name refused") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-mv-guard") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    Seq(("A", 1L, 1.5)).toDF("grp", "cents", "ratio")
+      .createOrReplaceTempView("mvguard_seed")
+    GraftSql.exec(spark,
+      "CREATE TABLE g AS SELECT * FROM mvguard_seed", cat)
+    val e1 = intercept[RuntimeException] { GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW m1 AS
+         SELECT grp, count(*) AS n, min(cents) AS lo
+         FROM g GROUP BY grp""", cat) }
+    assert(e1.getMessage.contains("not incrementally maintainable"))
+    val e2 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW m2 AS
+         SELECT grp, sum(cents) AS s FROM g GROUP BY grp""", cat) }
+    assert(e2.getMessage.contains("count(*)"))
+    val e3 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW m3 AS
+         SELECT grp, sum(ratio) AS s, count(*) AS n
+         FROM g GROUP BY grp""", cat) }
+    assert(e3.getMessage.contains("integral"))
+    val e4 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW g AS
+         SELECT grp, count(*) AS n FROM g GROUP BY grp""", cat) }
+    assert(e4.getMessage.contains("already exists"))
+  }
+
+  // ───────────────────────── INSERT guards ─────────────────────────
+
+  test("INSERT column list: unlisted columns take their DEFAULT or " +
+      "NULL when nullable; a non-nullable default-less omission, a " +
+      "typo, and a duplicate name all fail clearly up front") {
+    val root = Fixtures.tempDir("graft-sql-insert") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "a", Some(10L))).toDF("k", "s", "v")) // v nullable
+    vt.addColumnWithDefault("tag",
+      org.apache.spark.sql.types.StringType, "'untagged'")
+    val t = Map("t" -> root)
+    // subset list: v unlisted -> NULL (nullable), tag -> its default
+    GraftSql.exec(spark, "INSERT INTO t (k, s) VALUES (2, 'b')", t)
+    val r = vt.read().filter(col("k") === 2L)
+      .select("s", "v", "tag").collect().head
+    assert(r.getString(0) === "b" && r.isNullAt(1) &&
+      r.getString(2) === "untagged")
+    val e1 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      "INSERT INTO t (k, nosuch) VALUES (3, 'x')", t) }
+    assert(e1.getMessage.contains("unknown column 'nosuch'"))
+    val e2 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      "INSERT INTO t (k, k) VALUES (3, 4)", t) }
+    assert(e2.getMessage.contains("duplicate column in INSERT list"))
+    // omitting a NON-NULLABLE default-less column refuses (writing
+    // NULL there would round-trip as 0)
+    val root2 = Fixtures.tempDir("graft-sql-insert2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    vt2.write(Seq((1L, 10L)).toDF("k", "v")) // both non-nullable
+    val e3 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      "INSERT INTO t2 (k) VALUES (2)", Map("t2" -> root2)) }
+    assert(e3.getMessage.contains("not nullable"))
+  }
+
+  // ─────────────────── script comments and CASE THEN ───────────────────
+
+  test("execScript: ';' inside line and block comments never splits " +
+      "a statement") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-comments") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    Seq((1L, "x")).toDF("k", "s").createOrReplaceTempView("cmt_seed")
+    val out = GraftSql.execScript(spark,
+      """-- leading comment; with a semicolon
+         CREATE TABLE c AS SELECT * FROM cmt_seed; /* block; comment;
+         spanning lines */ INSERT INTO c VALUES (2, 'y'); -- tail; note
+         SELECT count(*) AS n FROM c""", cat)
+    assert(out.as[Long].head() === 2L)
+  }
+
+  test("MERGE: a CASE ... THEN inside a clause condition does not " +
+      "split the clause at the wrong THEN") {
+    val root = Fixtures.tempDir("graft-sql-casethen") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"))
+    Seq((1L, 11L), (2L, 21L), (9L, 99L)).toDF("k", "v")
+      .createOrReplaceTempView("casethen_src")
+    GraftSql.exec(spark,
+      """MERGE INTO t USING casethen_src AS s ON t.k = s.k
+         WHEN MATCHED AND CASE WHEN s.v > 15 THEN true ELSE false END
+           THEN DELETE
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("t" -> root))
+    assert(vt.read().orderBy("k").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 11L), (3L, 30L), (9L, 99L))) // 2 deleted, 1 updated, 1 inserted
+  }
 }
