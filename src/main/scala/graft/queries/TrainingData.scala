@@ -3020,10 +3020,12 @@ object TrainingData {
     val corpus = e.filter(col("vec_id") >= 5)
     graft.similarity.IvfIndex.build(spark, corpus, "vec_id", "embedding",
       root, nlist = 8, iters = 2)
-    // churn: a third of the ids leave (DV masks, O(deleted rows))…
-    val delIds = corpus.filter(col("vec_id") % 3 === 0)
-      .select(col("vec_id").cast("long")).as[Long].collect().toSet
-    graft.similarity.IvfIndex.delete(spark, root, delIds)
+    // churn: a third of the ids leave (DV masks, O(deleted rows)) —
+    // through the DISTRIBUTED frame API: the victim list never
+    // collects (at 100 TB churn the id set does not fit a driver)
+    graft.similarity.IvfIndex.delete(spark, root,
+      corpus.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").cast("long")))
     // …and drifted replacements arrive, assigned by the STALE model
     val appended = corpus.filter(col("vec_id") % 3 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),

@@ -131,6 +131,21 @@ object IvfIndex {
     ()
   }
 
+  /** DISTRIBUTED delete — the id set as a single-column FRAME, riding
+    * [[graft.io.VersionedTable.deleteVectorizedKeys]]' semi-join mask:
+    * the victim list never collects to the driver (only its 2-element
+    * [min, max] envelope does, for manifest pruning), so deleting a
+    * third of a 100 TB index costs the same driver memory as deleting
+    * three rows. Duplicate ids are harmless (distinct'd in the
+    * kernel) and NULL ids delete nothing (an equi-semi-join never
+    * matches NULL). This is the form churn pipelines should call —
+    * the `Set[Long]` overload stays for interactive use. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    new VersionedTable(spark, s"$root/vectors")
+      .deleteVectorizedKeys("id", ids)
+    ()
+  }
+
   /** OPTIMIZE the vectors table: repeated [[append]]s accumulate one+
     * small file per touched cluster partition per batch; compaction
     * rewrites the snapshot into ~`targetFileMB` files as a NEW version

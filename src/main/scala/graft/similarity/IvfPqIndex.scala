@@ -135,6 +135,23 @@ object IvfPqIndex {
     new VersionedTable(spark, s"$root/codes").deleteVectorizedIn("id", ids)
   }
 
+  /** DISTRIBUTED delete — ids as a single-column FRAME through the
+    * semi-join mask kernel ([[graft.io.VersionedTable
+    * .deleteVectorizedKeys]]): victims never collect to the driver
+    * (only the [min, max] envelope does, for pruning). Vectors mask
+    * first, as the Set overload (a deleted id is unreturnable from
+    * that commit on; a stale code row only wastes a candidate slot).
+    * The frame is checkpointed once here so the two table commits
+    * mask the SAME id set even if `ids` is non-deterministic. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame): Unit = {
+    val pinned = ids.localCheckpoint()
+    new VersionedTable(spark, s"$root/vectors")
+      .deleteVectorizedKeys("id", pinned)
+    new VersionedTable(spark, s"$root/codes")
+      .deleteVectorizedKeys("id", pinned)
+    ()
+  }
+
   /** OPTIMIZE both data tables of the index: repeated [[append]]s
     * accumulate small files per cluster partition; compaction rewrites
     * each snapshot into ~`targetFileMB` files as a NEW version

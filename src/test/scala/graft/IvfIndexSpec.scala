@@ -323,4 +323,62 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(planned.nonEmpty && planned.size <= 2,
       s"post-compact probe must stay pruned: $planned")
   }
+
+  test("distributed frame delete: victims never collected, NULL and " +
+      "duplicate ids harmless, the [min,max] envelope prunes " +
+      "out-of-band files, both index tables mask in step") {
+    import graft.similarity.IvfPqIndex
+    import spark.implicits._
+    val corpus = embs.filter(col("vec_id") >= 5)
+    val queries = embs.filter(col("vec_id") < 5)
+    val root = Fixtures.tempDir("graft-ivf-fdel") + "/idx"
+    IvfIndex.build(spark, corpus, "vec_id", "embedding", root,
+      nlist = 8, iters = 2)
+    val total = corpus.count()
+    // victim frame WITH a NULL and duplicates: id % 3 == 0 twice + null
+    val victims = corpus.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").cast("long").as("id"))
+    val messy = victims.unionByName(victims)
+      .unionByName(Seq(Option.empty[Long]).toDF("id"))
+    IvfIndex.delete(spark, root, messy)
+    val vt = new graft.io.VersionedTable(spark, s"$root/vectors")
+    val nVictims = victims.count()
+    assert(vt.read().count() === total - nVictims,
+      "exactly the distinct non-null victims must be masked")
+    assert(vt.read().filter(col("id") % 3 === 0).count() === 0L)
+    val served = IvfIndex.query(spark, root, queries,
+      "vec_id", "embedding", k = 3, nprobe = 8)
+      .collect().map(_.getLong(1))
+    assert(served.nonEmpty && served.forall(_ % 3 != 0))
+
+    // envelope pruning: a NARROW victim band leaves out-of-band files
+    // maskless (their stats exclude the [min,max] envelope)
+    val lo = vt.read().agg(min("id")).head().getLong(0)
+    IvfIndex.delete(spark, root,
+      vt.read().filter(col("id") === lo).select("id"))
+    val entries = vt.manifestEntries(vt.currentVersion.get)
+    val outOfBand = entries.filter(_.stats.get("id")
+      .exists { case (mn, _) => mn > lo.toDouble })
+    assert(outOfBand.nonEmpty, "fixture needs files beyond the envelope")
+    // out-of-band files gained no NEW mask link in this commit: the
+    // newest commit dir never appears in their chains
+    val newest = entries.flatMap(_.dvDirs).distinct
+      .filter(_.startsWith(f"_data/c${vt.currentVersion.get}%08d"))
+    assert(newest.nonEmpty, "the delete must have written a delta link")
+    assert(outOfBand.forall(e => !e.dvDirs.exists(newest.contains)),
+      "files whose id stats exclude the envelope must not be touched")
+
+    // IVF+PQ flavor: one frame, both tables commit the same id set
+    val rootPq = Fixtures.tempDir("graft-ivfpq-fdel") + "/idx"
+    IvfPqIndex.build(spark, corpus, "vec_id", "embedding", rootPq,
+      nlist = 8, m = 8, ksub = 16, iters = 2)
+    IvfPqIndex.delete(spark, rootPq,
+      corpus.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").cast("long")))
+    val vecsPq = new graft.io.VersionedTable(spark, s"$rootPq/vectors")
+    val codesPq = new graft.io.VersionedTable(spark, s"$rootPq/codes")
+    assert(vecsPq.read().filter(col("id") % 3 === 0).count() === 0L)
+    assert(codesPq.read().filter(col("id") % 3 === 0).count() === 0L)
+    assert(vecsPq.read().count() === codesPq.read().count())
+  }
 }
