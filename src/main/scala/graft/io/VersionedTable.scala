@@ -489,6 +489,80 @@ final class VersionedTable(spark: SparkSession, root: String) {
     spark.read.schema(dvSchema)
       .parquet(dirs.map(d => new Path(rootPath, d).toString): _*)
 
+  /** Chain cap: how many per-commit DV delta links a file may carry
+    * before the NEXT DV commit folds its accumulated mask into that
+    * commit's sidecar (collapsing the chain to one link). Folding
+    * costs O(that file's mask) once per `cap` commits — amortized
+    * O(changed rows) still — and bounds every reader's sidecar fan-in
+    * without depending on the OPTIMIZE/REORG cadence. Spark conf
+    * `graft.dv.maxChainLinks`, default 16. */
+  private def maxDvChainLinks: Int =
+    spark.conf.getOption("graft.dv.maxChainLinks").map(_.toInt)
+      .getOrElse(16)
+
+  /** Write ONE DML commit's DV sidecar at `dir`: the commit's new
+    * delta pairs plus, for candidate files whose chain has reached
+    * [[maxDvChainLinks]], their accumulated mask rows FOLDED in
+    * (restricted to exactly those files — shared chain dirs also hold
+    * other files' rows, which must not duplicate). Deltas are
+    * disjoint from existing masks by construction (the matching scan
+    * already applied them), so per-file counts in the new dir are
+    * CUMULATIVE for folded files and DELTA for the rest — returned
+    * alongside the folded relPath set so the commit half can
+    * re-point chains accordingly. */
+  private def writeDvSidecar(newPairs: DataFrame,
+      candidates: Seq[ManifestEntry],
+      dir: Path): (Set[String], Map[String, Long]) = {
+    val qualifiedRoot = fs.makeQualified(rootPath)
+    def renderedRel(e: ManifestEntry): String =
+      renderKey(qualifiedRoot.toString,
+        new Path(qualifiedRoot, e.relPath).toString)
+    val cap = maxDvChainLinks
+    val foldable = candidates.filter(_.dvDirs.size >= cap)
+    val out =
+      if (foldable.isEmpty) newPairs
+      else {
+        import spark.implicits._
+        val rels = foldable.map(renderedRel).toDF("file_rel")
+        val accumulated = readDvRows(foldable.flatMap(_.dvDirs).distinct)
+          .join(org.apache.spark.sql.functions.broadcast(rels),
+            Seq("file_rel"), "left_semi")
+        newPairs.unionByName(accumulated)
+      }
+    out.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val counts: Map[String, Long] = spark.read.schema(dvSchema)
+      .parquet(dir.toString).groupBy("file_rel").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (foldable.map(_.relPath).toSet, counts)
+  }
+
+  /** One candidate entry's post-commit form under a [[writeDvSidecar]]
+    * result: `n` rows of it in the new sidecar (cumulative if the
+    * file's chain was folded there, delta otherwise), `None` when
+    * fully dead. */
+  private def maskedEntry(e: ManifestEntry, n: Long,
+      folded: Set[String], dvRel: String): Option[ManifestEntry] =
+    if (n == 0L) Some(e) // nothing of this file masked this commit
+    else if (folded.contains(e.relPath)) {
+      if (n >= e.rows) None
+      else Some(e.copy(dvDir = Some(dvRel), dvRows = n))
+    } else {
+      val total = e.dvRows + n
+      if (total >= e.rows) None
+      else Some(e.copy(dvDir = Some((e.dvDirs :+ dvRel).mkString(",")),
+        dvRows = total))
+    }
+
+  /** The all-rows-dead fallback entry: the manifest must stay
+    * non-empty, so ONE candidate survives fully masked (reads yield
+    * zero rows with the right schema). */
+  private def fullyMaskedKeeper(h: ManifestEntry, folded: Set[String],
+      dvRel: String): ManifestEntry = {
+    val chain = if (folded.contains(h.relPath)) dvRel
+      else (h.dvDirs :+ dvRel).mkString(",")
+    h.copy(dvDir = Some(chain), dvRows = h.rows)
+  }
+
   /** Number of data files version `v` ADDED relative to `v-1` (for
     * v=0: the creating commit's file count) — the admission-control
     * unit behind the streaming source's `maxFilesPerBatch` (Delta's
@@ -1414,15 +1488,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
     // ONLY its own delta pairs and APPENDS one link to each touched
     // file's DV chain — O(this delete's rows) written, whatever the
     // accumulated mask size (the amortized-cost claim holds
-    // unconditionally under sustained churn; maintenance collapses
-    // chains, it is no longer needed to keep commits cheap).
+    // unconditionally under sustained churn; files at the chain cap
+    // fold their mask here, once per cap commits).
     val dir = newCommitDir(curV + 1)
-    matches.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val (folded, counts) = writeDvSidecar(matches, candidates, dir)
     val dvRel = relativize(dir)
-    // per-file NEWLY-masked counts — bounded by |candidate files|
-    val counts: Map[String, Long] = spark.read.schema(dvSchema)
-      .parquet(dir.toString).groupBy("file_rel").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // a manifest entry's path as the scan renders it (Path.toString
     // normalization) — the key `counts` is expressed in
     def renderedRel(e: ManifestEntry): String =
@@ -1445,21 +1515,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }
       val entries = now.entries.flatMap { e =>
         if (!candByPath.contains(e.relPath)) Some(e)
-        else counts.getOrElse(renderedRel(e), 0L) match {
-          case 0L => Some(e) // predicate matched nothing in this file
-          // chain-cumulative: this delta on top of the existing mask
-          case n if e.dvRows + n >= e.rows => None // fully dead: drop it
-          case n => Some(e.copy(
-            dvDir = Some((e.dvDirs :+ dvRel).mkString(",")),
-            dvRows = e.dvRows + n))
-        }
+        else maskedEntry(e, counts.getOrElse(renderedRel(e), 0L),
+          folded, dvRel)
       } match {
         // every row of the table deleted: keep ONE fully-masked entry so
         // the manifest stays non-empty (reads yield 0 rows, right schema)
-        case Seq() =>
-          val h = candidates.head
-          Seq(h.copy(dvDir = Some((h.dvDirs :+ dvRel).mkString(",")),
-            dvRows = h.rows))
+        case Seq() => Seq(fullyMaskedKeeper(candidates.head, folded, dvRel))
         case es => es
       }
       val next = nowV + 1
@@ -1523,7 +1584,18 @@ final class VersionedTable(spark: SparkSession, root: String) {
       lo: String, hi: String)(e: ManifestEntry): Boolean =
     if (partCols.contains(column))
       e.partitionValues.get(column) match {
-        case Some(v) => v >= lo && v <= hi
+        // ASCII-gated like the stats branch: a pure-ASCII value
+        // compares identically under Java UTF-16, Spark UTF-8-byte,
+        // and parquet orderings AGAINST ANY bound (the first
+        // differing position is either ASCII-vs-ASCII or
+        // ASCII-vs-higher, consistent in all three), while two
+        // non-ASCII sides can flip order across them (U+FFFF sorts
+        // above a supplementary character in UTF-16 but below it in
+        // UTF-8 bytes) — a value of `prefix + U+FFFF + more` against
+        // a prefix envelope's `prefix + U+FFFF` upper sentinel would
+        // be WRONGLY pruned under plain Java comparison
+        case Some(v) if v.forall(_ < 128) => v >= lo && v <= hi
+        case Some(_) => true // non-ASCII value: ordering not provable
         case None => true // unknown partition value: must assume yes
       }
     else e.strStats.get(column) match {
@@ -1834,18 +1906,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
         .join(srcKeys, mergeKeys, "left_semi")
         .localCheckpoint()
     val newDvDir = newCommitDir(curV + 1)
-    val counts: Map[String, Long] =
-      if (candidates.isEmpty) Map.empty
+    val (folded, counts) =
+      if (candidates.isEmpty) (Set.empty[String], Map.empty[String, Long])
       else {
         // delta sidecar: ONLY this merge's newly retired rows — the
         // existing masks stay in their own chain links (O(changed
-        // rows) written per commit, unconditionally)
+        // rows) written per commit; cap-length chains fold here)
         val matchedPairs = pairs.select(
           fileRelCol(col(metaFile)).as("file_rel"), col(metaPos).as("pos"))
-        matchedPairs.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
-        spark.read.schema(dvSchema).parquet(newDvDir.toString)
-          .groupBy("file_rel").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        writeDvSidecar(matchedPairs, candidates, newDvDir)
       }
     val dvRel = relativize(newDvDir)
     // PASS 2 — the new images: matched rows updated + unmatched
@@ -1887,7 +1956,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
       dataDir)
     val added = listCommitFiles(dataDir)
-    val v = commitMaskAppend(m, candidates, counts, dvRel, added,
+    val v = commitMaskAppend(m, candidates, counts, folded, dvRel, added,
       s"MERGE DV ON (${mergeKeys.mkString(",")})")
     refreshBloomIndexes(v)
     v
@@ -1957,13 +2026,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .filter(matches)
       .select(fileRelCol(col(metaFile)).as("file_rel"),
         col(metaPos).as("pos"))
-    // delta sidecar only (see mergeVectorized) — chain-appended below
+    // delta sidecar only (see mergeVectorized) — chain-appended in
+    // commitMaskAppend, cap-length chains folded
     val newDvDir = newCommitDir(curV + 1)
-    matchedPairs.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+    val (folded, counts) = writeDvSidecar(matchedPairs, candidates,
+      newDvDir)
     val dvRel = relativize(newDvDir)
-    val counts: Map[String, Long] = spark.read.schema(dvSchema)
-      .parquet(newDvDir.toString).groupBy("file_rel").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // PASS 2 — the updated images, ids carried on tracked tables
     val scan =
       if (tracked) logicalize(m, readFilesPhysicalRid(m, candidates))
@@ -1980,7 +2048,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
       dataDir)
     val added = listCommitFiles(dataDir)
-    val v = commitMaskAppend(m, candidates, counts, dvRel, added, opDesc)
+    val v = commitMaskAppend(m, candidates, counts, folded, dvRel, added, opDesc)
     refreshBloomIndexes(v)
     v
   }
@@ -2024,17 +2092,14 @@ final class VersionedTable(spark: SparkSession, root: String) {
         .join(keys, mergeKeys, "left_semi")
         .localCheckpoint() // O(affected rows), read twice below
     val newDvDir = newCommitDir(curV + 1)
-    val counts: Map[String, Long] =
-      if (candidates.isEmpty) Map.empty
+    val (folded, counts) =
+      if (candidates.isEmpty) (Set.empty[String], Map.empty[String, Long])
       else {
         // delta sidecar only (see mergeVectorized) — chain-appended in
-        // commitMaskAppend
+        // commitMaskAppend, cap-length chains folded
         val pairs = affected.select(
           fileRelCol(col(metaFile)).as("file_rel"), col(metaPos).as("pos"))
-        pairs.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
-        spark.read.schema(dvSchema).parquet(newDvDir.toString)
-          .groupBy("file_rel").count()
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        writeDvSidecar(pairs, candidates, newDvDir)
       }
     val dvRel = relativize(newDvDir)
     val affectedState =
@@ -2048,7 +2113,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
       dataDir)
     val added = listCommitFiles(dataDir)
-    val v = commitMaskAppend(m, candidates, counts, dvRel, added,
+    val v = commitMaskAppend(m, candidates, counts, folded, dvRel, added,
       operation)
     refreshBloomIndexes(v)
     v
@@ -2066,7 +2131,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * documented append-vs-DML rule. */
   private def commitMaskAppend(basis: VersionManifest,
       candidates: Seq[ManifestEntry], counts: Map[String, Long],
-      dvRel: String, added: Seq[ManifestEntry], opDesc: String): Long = {
+      folded: Set[String], dvRel: String, added: Seq[ManifestEntry],
+      opDesc: String): Long = {
     val qualifiedRoot = fs.makeQualified(rootPath)
     def renderedRel(e: ManifestEntry): String = renderKey(
       qualifiedRoot.toString, new Path(qualifiedRoot, e.relPath).toString)
@@ -2093,24 +2159,15 @@ final class VersionedTable(spark: SparkSession, root: String) {
       }
       val kept = now.entries.flatMap { e =>
         if (!candByPath.contains(e.relPath)) Some(e)
-        else counts.getOrElse(renderedRel(e), 0L) match {
-          case 0L => Some(e) // nothing of this file masked
-          // chain-cumulative: this delta on top of the existing mask
-          case n if e.dvRows + n >= e.rows => None // fully retired
-          case n => Some(e.copy(
-            dvDir = Some((e.dvDirs :+ dvRel).mkString(",")),
-            dvRows = e.dvRows + n))
-        }
+        else maskedEntry(e, counts.getOrElse(renderedRel(e), 0L),
+          folded, dvRel)
       }
       val next = nowV + 1
       val (added2, hw2) = assignRowIds(now.rowIdHw, added)
       val entries = (kept ++ added2) match {
         // every stored row retired and nothing new written: keep ONE
         // fully-masked entry so the manifest stays non-empty
-        case Seq() =>
-          val h = candidates.head
-          Seq(h.copy(dvDir = Some((h.dvDirs :+ dvRel).mkString(",")),
-            dvRows = h.rows))
+        case Seq() => Seq(fullyMaskedKeeper(candidates.head, folded, dvRel))
         case es => es
       }
       writeManifest(next, now.copy(entries = entries, rowIdHw = hw2))
@@ -2237,13 +2294,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .select(fileRelCol(col("__mc_file")).as("file_rel"),
         col("__mc_pos").as("pos"))
     // delta sidecar only (see mergeVectorized) — chain-appended in
-    // commitMaskAppend
+    // commitMaskAppend, cap-length chains folded
     val newDvDir = newCommitDir(curV + 1)
-    matchedPairs.write.mode(SaveMode.Overwrite).parquet(newDvDir.toString)
+    val (folded, counts) = writeDvSidecar(matchedPairs, candidates,
+      newDvDir)
     val dvRel = relativize(newDvDir)
-    val counts: Map[String, Long] = spark.read.schema(dvSchema)
-      .parquet(newDvDir.toString).groupBy("file_rel").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val newImages = changed.filter(col("__mc_emit"))
       .select(tgtCols.map(col) ++
         (if (tracked) Seq(col(RowIdPhysCol)) else Seq.empty): _*)
@@ -2254,7 +2309,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     writeCommitData(delogicalize(m.mapping, newImages), m.partitionBy,
       dataDir)
     val added = listCommitFiles(dataDir)
-    val v = commitMaskAppend(m, candidates, counts, dvRel, added,
+    val v = commitMaskAppend(m, candidates, counts, folded, dvRel, added,
       s"MERGE DV CLAUSES ON (${mergeKeys.mkString(",")})")
     refreshBloomIndexes(v)
     v

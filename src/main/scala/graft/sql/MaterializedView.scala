@@ -60,6 +60,7 @@ object MaterializedView {
   private val cntColRe =
     s"(?is)^COUNT\\s*\\(\\s*($ident)\\s*\\)\\s+AS\\s+($ident)$$".r
   private val minMaxRe = "(?is)^(MIN|MAX)\\s*\\(.*".r
+  private val avgRe = s"(?is)^AVG\\s*\\(\\s*($ident)\\s*\\).*".r
 
   /** One parsed, persisted definition. `sums`/`counts` map base
     * measure → MV column; `countStar` is the MV's `count(*)` column
@@ -311,6 +312,12 @@ object MaterializedView {
       case cntColRe(m, as) =>
         require(!counts.contains(m), s"duplicate count($m) in the SELECT")
         counts += m -> as
+      case avgRe(m) => sys.error(
+        s"avg($m) is DERIVED, not materialized: declare `sum($m) AS " +
+          s"sum_$m, count($m) AS cnt_$m` instead — avg() queries over " +
+          "the base then rewrite onto those partials automatically " +
+          "(exact under NULLs; a materialized avg column could not be " +
+          "incrementally maintained or re-rolled-up)")
       case mm if minMaxRe.findFirstIn(mm).isDefined => sys.error(
         "min/max are not incrementally maintainable (deleting the " +
           "current extremum needs the group's other rows) — " +

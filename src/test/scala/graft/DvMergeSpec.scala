@@ -337,6 +337,35 @@ class DvMergeSpec extends AnyFunSuite {
     assert(vt.read().count() === 1000L)
   }
 
+  test("chain cap: a file at graft.dv.maxChainLinks folds its " +
+      "accumulated mask into the next commit's sidecar — chains stay " +
+      "bounded without maintenance, reads stay exact") {
+    spark.conf.set("graft.dv.maxChainLinks", "2")
+    try {
+      val (vt, _) = freshTable("graft-dvm-cap", n = 1000)
+      val batch = 5
+      (0 until 6).foreach { k =>
+        val src = (100 + k * batch until 100 + (k + 1) * batch)
+          .map(i => (i.toLong, s"c$k-$i", -k.toLong)).toDF("id", "s", "v")
+        vt.mergeVectorized(src, Seq("id"))
+        val chains = vt.manifestEntries(vt.currentVersion.get)
+          .filter(_.dvDir.isDefined).map(_.dvDirs.size)
+        assert(chains.nonEmpty && chains.max <= 2,
+          s"chain lengths must stay <= cap, got $chains at merge $k")
+      }
+      // reads fold exactly through every collapse
+      assert(vt.read().count() === 1000L)
+      assert(vt.read().filter(col("s").startsWith("c")).count() === 30L)
+      (0 until 6).foreach { k =>
+        assert(vt.read().filter(col("id") === (100 + k * batch).toLong)
+          .select("s").as[String].head() === s"c$k-${100 + k * batch}")
+      }
+      // time travel across fold boundaries still serves each version
+      assert(vt.readVersion(1L).filter(col("s").startsWith("c")).count()
+        === batch.toLong)
+    } finally spark.conf.unset("graft.dv.maxChainLinks")
+  }
+
   test("dv-chain protocol gate: a chained manifest names the feature; " +
       "single-link tables stay gate-free") {
     val (vt, root) = freshTable("graft-dvm-gate", n = 100)

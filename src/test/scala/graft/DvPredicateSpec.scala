@@ -117,4 +117,40 @@ class DvPredicateSpec extends AnyFunSuite {
     val got = vt.read().select("k").as[Long].collect().sorted
     assert(got.toSeq === (1L to 400L).filterNot(_ % 7 == 0))
   }
+
+  test("non-ASCII string PARTITION values never prune: a value of " +
+      "prefix+U+FFFF+tail outsorts the prefix envelope's UTF-16 upper " +
+      "sentinel yet MAY match; pure-ASCII partitions still skip") {
+    // manifest-level check (this FS's JVM encoding cannot even WRITE a
+    // U+FFFF path, but object stores can — the analyzer must be sound
+    // for them): hand-build entries and probe predicateMayMatch
+    import graft.io.{ManifestEntry, VersionManifest}
+    import org.apache.spark.sql.types._
+    val root = Fixtures.tempDir("dv-pred-uni") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "seed")).toDF("k", "p")) // host instance only
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("p", StringType)))
+    def entry(p: String) =
+      ManifestEntry(s"p=$p/f.parquet", 1L, 1L)
+    val tricky = entry("pre￿x") // Java-sorts ABOVE 'pre'+U+FFFF
+    val inBand = entry("pre_a")
+    val outBand = entry("zzz")
+    val m = VersionManifest(Some(schema),
+      Seq(tricky, inBand, outBand), partitionBy = Seq("p"))
+    val f = vt.predicateMayMatch(m, col("p").startsWith("pre"))
+    assert(f(tricky), "a non-ASCII partition value must never prune " +
+      "(UTF-16 vs UTF-8 ordering can disagree above ASCII)")
+    assert(f(inBand), "an in-envelope ASCII value stays a candidate")
+    assert(!f(outBand), "an out-of-envelope ASCII value still skips")
+    // and end-to-end on ASCII: a provably-absent partition equality
+    // no-ops the whole DELETE
+    val root2 = Fixtures.tempDir("dv-pred-uni2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    vt2.write(Seq((1L, "aa"), (2L, "bb")).toDF("k", "p"),
+      partitionBy = Some(Seq("p")))
+    val v0 = vt2.currentVersion.get
+    assert(vt2.deleteVectorizedWhere(col("p") === "zz") === v0,
+      "a provably-absent ASCII partition equality must no-op")
+  }
 }

@@ -372,6 +372,13 @@ class GraftSqlSpec extends AnyFunSuite {
       """CREATE MATERIALIZED VIEW g AS
          SELECT grp, count(*) AS n FROM g GROUP BY grp""", cat) }
     assert(e4.getMessage.contains("already exists"))
+    // avg is DERIVED: the refusal teaches the sum+count spelling
+    val e5 = intercept[RuntimeException] { GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW m5 AS
+         SELECT grp, avg(cents) AS a, count(*) AS n
+         FROM g GROUP BY grp""", cat) }
+    assert(e5.getMessage.contains("sum(cents)") &&
+      e5.getMessage.contains("count(cents)"))
   }
 
   // ───────────────────────── INSERT guards ─────────────────────────
