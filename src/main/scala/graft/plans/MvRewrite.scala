@@ -233,6 +233,17 @@ object MvRewrite extends Rule[LogicalPlan] {
             Literal(0L, LongType))),
           name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(
+          Count(Seq(attr: AttributeReference)), _, false, None, _), name)
+          if d.counts.contains(attr.name) =>
+        // count(m) — the per-measure NON-NULL count — re-aggregates as
+        // sum of the MV's count partials; 0 (never NULL) on an empty
+        // rollup, exactly Count's own semantics
+        mvAttr(d.counts(attr.name)).map(m => Alias(
+          Coalesce(Seq(
+            AggregateExpression(Sum(m), Complete, isDistinct = false),
+            Literal(0L, LongType))),
+          name)(exprId = al.exprId))
+      case al @ Alias(AggregateExpression(
           Average(attr: AttributeReference, _), _, false, None, _), name)
           if d.sums.contains(attr.name) && d.counts.contains(attr.name) &&
             summableTypes.contains(attr.dataType) =>

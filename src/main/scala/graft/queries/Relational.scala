@@ -839,7 +839,9 @@ object Relational {
       val out = base.read()
         .filter(col("o_orderpriority") =!= "1-URGENT") // dims-only filter
         .groupBy("o_orderstatus")
-        .agg(avg("cents").as("avg_cents"), count(lit(1)).as("n_orders"))
+        .agg(avg("cents").as("avg_cents"),
+          count(col("cents")).as("n_amounts"), // non-null count, also MV-served
+          count(lit(1)).as("n_orders"))
         .orderBy("o_orderstatus")
       val roots = graft.plans.MvRewrite.scannedManifestRoots(out)
       require(roots.nonEmpty && roots.forall(_.endsWith("/mv")),
@@ -3411,6 +3413,7 @@ object Relational {
            FROM orders)
          SELECT o_orderstatus,
                 CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents,
+                count(cents) AS n_amounts,
                 count(*) AS n_orders
          FROM b WHERE o_orderpriority <> '1-URGENT'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",

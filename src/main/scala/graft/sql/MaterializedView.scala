@@ -329,6 +329,11 @@ object MaterializedView {
     require(countStar.isDefined, "CREATE MATERIALIZED VIEW requires a " +
       "count(*) column — it is how REFRESH detects emptied groups " +
       "(and what count(*) rollups serve from)")
+    val outNames = dims ++ (sums.values.toSeq ++ counts.values.toSeq) ++
+      countStar.toSeq
+    val dupNames = outNames.diff(outNames.distinct).distinct
+    require(dupNames.isEmpty, "duplicate output column(s) in the MV " +
+      s"SELECT: ${dupNames.mkString(", ")}")
     val baseRoot = catalog.rootOf(baseName)
     val base = new VersionedTable(catalog.spark, baseRoot)
     require(base.currentVersion.isDefined,

@@ -188,6 +188,14 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(scannedRoots(filtered).forall(_.endsWith("/mv")))
       assert(filtered.as[(String, Double)].collect().toSeq ===
         Seq(("A", 10.0d), ("B", 7.0d)))
+      // count(measure) — the NON-NULL count — decomposes over the same
+      // per-measure partials (count(*) would say 3)
+      val cnt = new VersionedTable(spark, dir + "/base").read()
+        .groupBy("status").agg(count(col("amount")).as("c"))
+        .orderBy("status")
+      assert(scannedRoots(cnt).forall(_.endsWith("/mv")))
+      assert(cnt.as[(String, Long)].collect().toSeq ===
+        Seq(("A", 2L), ("B", 2L)))
     }
   }
 
