@@ -69,6 +69,7 @@ object GraftSql {
     s"(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+($ident)$$".r
   private val dropMvRe =
     s"(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+($ident)$$".r
+  private val showMvRe = "(?is)^SHOW\\s+MATERIALIZED\\s+VIEWS$".r
   private val alterTableRenameRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)" +
     s"\\s+RENAME\\s+TO\\s+($ident)$$").r
   private val showRe = "(?is)^SHOW\\s+TABLES$".r
@@ -429,6 +430,10 @@ object GraftSql {
         spark.catalog.dropTempView(name)
         import spark.implicits._
         Seq(("DROP MATERIALIZED VIEW", name)).toDF("operation", "table")
+      case showMvRe() =>
+        import spark.implicits._
+        MaterializedView.list(catalog)
+          .toDF("name", "base", "basis_version", "base_version", "fresh")
       case alterTableRenameRe(from, to) =>
         catalog.renameTable(from, to)
         // earlier statements may have bound the OLD name as a temp

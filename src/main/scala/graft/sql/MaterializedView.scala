@@ -266,6 +266,25 @@ object MaterializedView {
     mvVt.write(folded, operation = s"REFRESH MATERIALIZED VIEW basis=$cur")
   }
 
+  /** The warehouse's MV listing with FRESHNESS — the ops question "is
+    * my dashboard stale, and by how many base commits?": one row per
+    * persisted MV — (name, base, basis version, base's current
+    * version, fresh flag). Driver-side metadata only (a definition
+    * read + two manifest-HEAD probes per MV); a row is exactly as
+    * fresh as the rewrite's own decision, since both read the same
+    * recorded basis. */
+  def list(catalog: GraftCatalog): Seq[(String, String, Long, Long,
+      Boolean)] =
+    catalog.tables.keys.toSeq.sorted
+      .filter(isMaterializedView(catalog, _))
+      .map { n =>
+        val d = readDef(catalog, n)
+        val basis = currentBasis(catalog.spark, catalog.rootOf(n))
+        val cur = new VersionedTable(catalog.spark,
+          catalog.rootOf(d.baseName)).currentVersion.getOrElse(-1L)
+        (n, d.baseName, basis, cur, basis == cur)
+      }
+
   /** DROP: deregister the rewrite, drop the backing table (definition
     * sidecar goes with the directory). */
   def drop(catalog: GraftCatalog, name: String): Unit = {

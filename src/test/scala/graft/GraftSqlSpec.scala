@@ -303,9 +303,15 @@ class GraftSqlSpec extends AnyFunSuite {
         roots(served).forall(_.endsWith("/mv")), roots(served))
       assert(served.as[(String, Long, Double, Long)].collect().toSeq ===
         Seq(("A", 30L, 15.0, 2L), ("B", 9L, 9.0, 2L)))
+      // the ops listing: one fresh MV
+      def mvListing = GraftSql.exec(spark, "SHOW MATERIALIZED VIEWS", cat)
+        .as[(String, String, Long, Long, Boolean)].collect().toSeq
+      assert(mvListing === Seq(("mv", "facts", 0L, 0L, true)))
       // base DML through the SAME SQL session: MV goes stale
       GraftSql.exec(spark,
         "INSERT INTO facts VALUES ('B', 1)", cat)
+      assert(mvListing === Seq(("mv", "facts", 0L, 1L, false)),
+        "the listing must report the staleness the rewrite acts on")
       val stale = q
       assert(roots(stale).forall(_.endsWith("/facts")),
         "a stale MV must fall back to the base plan")
@@ -335,10 +341,11 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(roots(afterDel).forall(_.endsWith("/mv")))
       assert(afterDel.as[(String, Long, Double, Long)].collect().toSeq ===
         Seq(("B", 9L, 9.0, 3L)))
-      // DROP: rewrite unwired, table gone
+      // DROP: rewrite unwired, table gone, listing empty
       GraftSql.exec(spark, "DROP MATERIALIZED VIEW mv", cat)
       assert(!cat.exists("mv"))
       assert(roots(q).forall(_.endsWith("/facts")))
+      assert(mvListing.isEmpty)
     } finally {
       spark.experimental.extraOptimizations = prev
     }
