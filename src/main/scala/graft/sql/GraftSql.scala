@@ -58,7 +58,8 @@ object GraftSql {
   private val alterDropConRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+DROP" +
     s"\\s+CONSTRAINT\\s+($ident)$$").r
   private val mergeRe = (s"(?is)^MERGE\\s+INTO\\s+($ident)" +
-    s"(?:\\s+(?:AS\\s+)?($ident))?\\s+USING\\s+($ident)" +
+    s"(?:\\s+(?:AS\\s+)?($ident))?\\s+USING\\s+($ident|\\([^()]*" +
+    s"(?:\\([^()]*\\)[^()]*)*\\))" + // a name, or one paren-nested subquery
     s"(?:\\s+(?:AS\\s+)?($ident))?\\s+ON\\s+(.*?)\\s+(WHEN\\s+.*)$$").r
   private val ctasRe = (s"(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+($ident)" +
     "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.*)$").r
@@ -176,7 +177,10 @@ object GraftSql {
     *     assignments must be `x = <source alias>.x` (the DV path's
     *     update-columns contract); NMBS assignments are arbitrary
     *     expressions over the target alias. `USING s` takes a
-    *     registered versioned name or an existing temp view.
+    *     registered versioned name, an existing temp view, or a
+    *     parenthesized subquery with a mandatory alias
+    *     (`USING (SELECT ...) AS s` — travel clauses inside resolve;
+    *     parentheses nest one level).
     *   - `INSERT INTO t [(cols)] SELECT ... | VALUES ...` → append
     *   - `RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'`
     *   - `OPTIMIZE t [ZORDER BY (c1, c2)]` → compact / Z-order rewrite
@@ -474,10 +478,21 @@ object GraftSql {
     val vt = new graft.io.VersionedTable(spark,
       versionedTables.getOrElse(tName, sys.error(
         s"'$tName' is not a registered versioned table")))
-    val source: DataFrame = versionedTables.get(sName) match {
-      case Some(root) => new graft.io.VersionedTable(spark, root).read()
-      case None => spark.table(sName)
-    }
+    // the source: a registered versioned name, an existing temp view,
+    // or a parenthesized subquery (Delta's `USING (SELECT ...) AS s` —
+    // travel clauses inside it resolve through sql(); an alias is then
+    // mandatory, there is no name to fall back on)
+    val isSubquery = sName.startsWith("(")
+    if (isSubquery) require(sAlias.isDefined,
+      "MERGE ... USING (subquery) requires an alias: USING (...) AS s")
+    val source: DataFrame =
+      if (isSubquery)
+        sql(spark, sName.substring(1, sName.length - 1).trim,
+          versionedTables)
+      else versionedTables.get(sName) match {
+        case Some(root) => new graft.io.VersionedTable(spark, root).read()
+        case None => spark.table(sName)
+      }
     val ta = tAlias.getOrElse(tName)
     val sa = sAlias.getOrElse(sName)
     require(!ta.equalsIgnoreCase(sa),

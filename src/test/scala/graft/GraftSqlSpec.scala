@@ -437,6 +437,28 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(out.as[Long].head() === 2L)
   }
 
+  test("MERGE USING (subquery) AS s: the source SELECT runs through " +
+      "the catalog-aware sql(), alias mandatory") {
+    val root = Fixtures.tempDir("graft-sql-subq") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+    Seq((1L, 100L), (3L, 300L), (4L, 999L)).toDF("k", "v")
+      .createOrReplaceTempView("subq_feed")
+    GraftSql.exec(spark,
+      """MERGE INTO t USING (SELECT k, v FROM subq_feed WHERE v < 500)
+           AS s ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("t" -> root))
+    assert(vt.read().orderBy("k").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 100L), (2L, 20L), (3L, 300L)))
+    val e = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      """MERGE INTO t USING (SELECT k, v FROM subq_feed) ON t.k = k
+         WHEN MATCHED THEN DELETE""",
+      Map("t" -> root)) }
+    assert(e.getMessage.contains("requires an alias"))
+  }
+
   test("MERGE: a CASE ... THEN inside a clause condition does not " +
       "split the clause at the wrong THEN") {
     val root = Fixtures.tempDir("graft-sql-casethen") + "/tbl"
