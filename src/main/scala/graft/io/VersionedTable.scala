@@ -1611,8 +1611,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * envelope), and `startsWith`/prefix-`LIKE`, each against a bare
     * column and a literal, pruned through the manifest's numeric or
     * short-ASCII string min/max stats (or an exact partition value).
-    * AND needs both sides possible, OR either; everything else — IS
-    * NULL, NOT, casts, cross-column comparisons, scalar functions —
+    * plus `IS [NOT] NULL` against recorded per-file null counts (and
+    * hive partition values, which prove a column non-null wholesale).
+    * AND needs both sides possible, OR either; everything else —
+    * NOT, casts, cross-column comparisons, scalar functions —
     * is conservatively non-skipping (the test answers "may match";
     * the row-level filter decides). Strict bounds are widened to
     * inclusive (a superset — sound), a finite numeric bound beyond
@@ -1719,6 +1721,31 @@ final class VersionedTable(spark: SparkSession, root: String) {
         case (Some(n), Some(pre)) => srange(n, pre, pre + "\uffff")
         case _ => all
       }
+    // IS NULL / IS NOT NULL against recorded per-file NULL COUNTS
+    // (type-agnostic): 0 nulls proves IS NULL empty, all-null proves
+    // IS NOT NULL empty; a hive partition VALUE in the path proves the
+    // whole file non-null for that column (a null partition encodes as
+    // __HIVE_DEFAULT_PARTITION__, which partitionValues omits \u2192 the
+    // .get miss stays conservative). Files without recorded counts
+    // (pre-r16 manifests) never prune.
+    def nullTest(a: Expression, wantNull: Boolean)
+        : ManifestEntry => Boolean =
+      attr(a) match {
+        case Some(n) =>
+          val phys = physFor(m, n)
+          (e: ManifestEntry) =>
+            if (partCols.contains(phys))
+              e.partitionValues.get(phys) match {
+                case Some(_) => !wantNull // value present: no null rows
+                case None => true
+              }
+            else e.nullCounts.get(phys) match {
+              case Some(0L) => !wantNull
+              case Some(nc) if nc >= e.rows => wantNull // all null
+              case _ => true
+            }
+        case None => all
+      }
     def likeTest(a: Expression, p: Expression): ManifestEntry => Boolean =
       (attr(a), strOf(p)) match {
         // prefix-only LIKE ('abc%'): same envelope as startsWith;
@@ -1743,6 +1770,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
       case GreaterThan(l, r) => boundTest(l, r, upper = false)
       case GreaterThanOrEqual(l, r) => boundTest(l, r, upper = false)
       case In(a, vs) => inTest(a, vs)
+      case IsNull(a) => nullTest(a, wantNull = true)
+      case IsNotNull(a) => nullTest(a, wantNull = false)
       case StartsWith(a, p) => startsTest(a, p)
       // only the DEFAULT escape char: a custom ESCAPE changes what
       // the prefix means, and likeTest's '\\'-guard only models the
@@ -1765,6 +1794,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
           case ("<" | "<=", Seq(l, r)) => boundTest(l, r, upper = true)
           case (">" | ">=", Seq(l, r)) => boundTest(l, r, upper = false)
           case ("in", a +: vs) if vs.nonEmpty => inTest(a, vs)
+          case ("isnull", Seq(a)) => nullTest(a, wantNull = true)
+          case ("isnotnull", Seq(a)) => nullTest(a, wantNull = false)
           case ("startswith", Seq(a, p)) => startsTest(a, p)
           case ("like", Seq(a, p)) => likeTest(a, p)
           case _ => all
@@ -4007,19 +4038,27 @@ final class VersionedTable(spark: SparkSession, root: String) {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(s, conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val (rows, stats, strStats) = try {
+        val (rows, stats, strStats, nullCounts) = try {
           val mins = scala.collection.mutable.Map[String, Double]()
           val maxs = scala.collection.mutable.Map[String, Double]()
           val sMins = scala.collection.mutable.Map[String, String]()
           val sMaxs = scala.collection.mutable.Map[String, String]()
+          val nulls = scala.collection.mutable.Map[String, Long]()
           var statless = Set.empty[String]
           var sStatless = Set.empty[String]
+          var nullless = Set.empty[String]
           reader.getFooter.getBlocks.asScala.foreach { block =>
             block.getColumns.asScala.foreach { c =>
               val path = c.getPath.toDotString
               val st: org.apache.parquet.column.statistics.Statistics[_] =
                 c.getStatistics
               if (path.matches("[A-Za-z0-9_]+")) {
+                // NULL COUNTS (any type): the exactness IS NULL /
+                // IS NOT NULL skipping proves absence with. One block
+                // without the count makes the file's total unknown.
+                if (st != null && st.isNumNullsSet && st.getNumNulls >= 0)
+                  nulls(path) = nulls.getOrElse(path, 0L) + st.getNumNulls
+                else nullless += path
                 val isString = c.getPrimitiveType.getLogicalTypeAnnotation ==
                   org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
                 val range: Option[(Double, Double)] =
@@ -4084,9 +4123,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
           val sst = (sMins.keySet.toSet -- sStatless).map { k =>
             k -> (sMins(k), sMaxs(k))
           }.toMap
-          (reader.getRecordCount, st, sst)
+          val nc = (nulls.keySet.toSet -- nullless).map(k =>
+            k -> nulls(k)).toMap
+          (reader.getRecordCount, st, sst, nc)
         } finally reader.close()
-        ManifestEntry(relativize(s.getPath), rows, s.getLen, stats, strStats)
+        ManifestEntry(relativize(s.getPath), rows, s.getLen, stats,
+          strStats, nullCounts = nullCounts)
       }.seq.toSeq
   }
 
@@ -4597,7 +4639,8 @@ final case class ManifestEntry(relPath: String, rows: Long, bytes: Long,
     stats: Map[String, (Double, Double)] = Map.empty,
     strStats: Map[String, (String, String)] = Map.empty,
     dvDir: Option[String] = None, dvRows: Long = 0L,
-    baseRowId: Option[Long] = None) {
+    baseRowId: Option[Long] = None,
+    nullCounts: Map[String, Long] = Map.empty) {
 
   /** Rows a read of this file yields: physical rows minus the rows its
     * deletion vector masks. */
@@ -4651,10 +4694,12 @@ object ManifestEntry {
     * vector: masked-row count and the sidecar dir (a commit dir this
     * table allocated itself — plain `c<v>_<uid>` names, never
     * user-controlled, so raw encoding is safe). Field 8 is the file's
-    * base row id (row tracking; empty = unassigned). Decode accepts
-    * 3–8 fields: trailing empty fields vanish under split, and older
-    * manifest generations wrote fewer (r10: no base row id; r6: no
-    * DV; r4: no string stats; r3: no stats). */
+    * base row id (row tracking; empty = unassigned). Field 9 is the
+    * per-column NULL counts (`k:n` comma-joined — what IS NULL /
+    * IS NOT NULL data skipping proves absence with). Decode accepts
+    * 3–9 fields: trailing empty fields vanish under split, and older
+    * manifest generations wrote fewer (r15: no null counts; r10: no
+    * base row id; r6: no DV; r4: no string stats; r3: no stats). */
   private[graft] def encodeLine(e: ManifestEntry): String = {
     val st = e.stats.toSeq.sortBy(_._1)
       .map { case (k, (mn, mx)) => s"$k:$mn:$mx" }.mkString(",")
@@ -4663,9 +4708,12 @@ object ManifestEntry {
         .encodeToString(s.getBytes(StandardCharsets.UTF_8))
       s"$k:${enc(mn)}:${enc(mx)}"
     }.mkString(",")
+    val nc = e.nullCounts.toSeq.sortBy(_._1)
+      .map { case (k, n) => s"$k:$n" }.mkString(",")
     s"${e.relPath}\t${e.rows}\t${e.bytes}\t$st\t$ss" +
       s"\t${e.dvRows}\t${e.dvDir.getOrElse("")}" +
-      s"\t${e.baseRowId.map(_.toString).getOrElse("")}"
+      s"\t${e.baseRowId.map(_.toString).getOrElse("")}" +
+      s"\t$nc"
   }
 
   private[graft] def decodeLine(line: String, table: String = "?"): ManifestEntry = {
@@ -4697,6 +4745,13 @@ object ManifestEntry {
         ManifestEntry(p, r.toLong, b.toLong, parseStats(st),
           parseStrStats(ss), Some(dvd).filter(_.nonEmpty), dvr.toLong,
           Some(rid).filter(_.nonEmpty).map(_.toLong))
+      case Array(p, r, b, st, ss, dvr, dvd, rid, nc) =>
+        ManifestEntry(p, r.toLong, b.toLong, parseStats(st),
+          parseStrStats(ss), Some(dvd).filter(_.nonEmpty), dvr.toLong,
+          Some(rid).filter(_.nonEmpty).map(_.toLong),
+          nc.split(',').filter(_.nonEmpty).map { kv =>
+            val Array(k, n) = kv.split(':'); k -> n.toLong
+          }.toMap)
       case other => sys.error(
         s"malformed manifest line at $table: '${other.mkString("\\t")}'")
     }

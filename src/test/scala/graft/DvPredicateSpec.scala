@@ -82,9 +82,11 @@ class DvPredicateSpec extends AnyFunSuite {
     assert(matchedFiles(col("name") === "nm050") === 1)
     assert(matchedFiles(col("name").startsWith("nm39")) === 1)
     assert(matchedFiles(expr("name LIKE 'nm39%'")) === 1)
+    // IS NULL on a never-null column: null counts prove every file out
+    assert(matchedFiles(col("k").isNull) === 0)
+    assert(matchedFiles(col("k").isNotNull) === 4)
     // non-analyzable conjuncts are conservative: every file may match
     assert(matchedFiles(col("k") % 7 === 0) === 4)
-    assert(matchedFiles(col("k").isNull) === 4)
     assert(matchedFiles(!(col("k") === 1L)) === 4)
     // a bound beyond 2^53 refuses to prune (stats are doubles)
     assert(matchedFiles(col("k") === 9223372036854775000L) === 4)
@@ -116,6 +118,50 @@ class DvPredicateSpec extends AnyFunSuite {
     vt.deleteVectorizedWhere(col("k") % 7 === 0)
     val got = vt.read().select("k").as[Long].collect().sorted
     assert(got.toSeq === (1L to 400L).filterNot(_ % 7 == 0))
+  }
+
+  test("IS NULL / IS NOT NULL data skipping: recorded null counts " +
+      "prove absence — a no-null file takes no mask link from a " +
+      "DELETE WHERE ... IS NULL, an all-null file proves IS NOT NULL " +
+      "empty, and the masks themselves are exact") {
+    val root = Fixtures.tempDir("dv-pred-null") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    def stripe(lo: Long, hi: Long, name: Long => Option[String]) =
+      (lo to hi).map(k => (k, name(k).orNull)).toDF("k", "name").coalesce(1)
+    vt.write(stripe(1, 100, k => Some(s"nm$k")))              // no nulls
+    vt.write(stripe(101, 200, _ => None), SaveMode.Append)    // ALL null
+    vt.write(stripe(201, 300,                                 // mixed
+      k => if (k % 2 == 0) None else Some(s"nm$k")), SaveMode.Append)
+    val before = vt.manifestEntries(vt.currentVersion.get)
+    def byLo(es: Seq[graft.io.ManifestEntry], lo: Double) =
+      es.find(_.stats.get("k").exists(_._1 == lo))
+    // the scrape recorded the counts
+    assert(byLo(before, 1.0).get.nullCounts.get("name") === Some(0L))
+    assert(byLo(before, 101.0).get.nullCounts.get("name") === Some(100L))
+    assert(byLo(before, 201.0).get.nullCounts.get("name") === Some(50L))
+    val v = vt.deleteVectorizedWhere(col("name").isNull)
+    val after = vt.manifestEntries(v)
+    // no-null stripe: provably out — untouched, no chain link
+    assert(byLo(after, 1.0).exists(_.dvDir.isEmpty))
+    // all-null stripe: fully dead — dropped from the manifest
+    assert(byLo(after, 101.0).isEmpty)
+    // mixed stripe: exactly its 50 nulls masked
+    assert(byLo(after, 201.0).exists(e =>
+      e.dvDir.isDefined && e.dvRows === 50L))
+    assert(vt.read().count() === 150L)
+    assert(vt.read().filter(col("name").isNull).count() === 0L)
+    // IS NOT NULL prunes the all-null file: a fresh table's UPDATE
+    // touches only files that can hold a non-null value
+    val root2 = Fixtures.tempDir("dv-pred-null2") + "/tbl"
+    val vt2 = new VersionedTable(spark, root2)
+    vt2.write(stripe(1, 100, _ => None))                      // ALL null
+    vt2.write(stripe(101, 200, k => Some(s"nm$k")), SaveMode.Append)
+    vt2.updateVectorizedWhere(col("name").isNotNull,
+      Map("name" -> lit("seen")))
+    val after2 = vt2.manifestEntries(vt2.currentVersion.get)
+    assert(byLo(after2, 1.0).exists(_.dvDir.isEmpty),
+      "the all-null file must be pruned from an IS NOT NULL update")
+    assert(vt2.read().filter(col("name") === "seen").count() === 100L)
   }
 
   test("non-ASCII string PARTITION values never prune: a value of " +

@@ -52,11 +52,16 @@ class ManifestCodecPropertySpec extends AnyFunSuite {
     stats <- Gen.mapOfN(nStats, Gen.zip(keyGen, Gen.zip(doubleGen, doubleGen)))
     nStr <- Gen.choose(0, 4)
     strStats <- Gen.mapOfN(nStr, Gen.zip(keyGen, Gen.zip(strBoundGen, strBoundGen)))
-    dvDir <- Gen.option(Gen.choose(0, 99).map(v => f"_data/c$v%08d_dv12ab34"))
+    // a CHAIN of 1..3 delta dirs, ','-joined (the M49 encoding)
+    dvDir <- Gen.option(Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 99).map(v => f"_data/c$v%08d_dv12ab34"))
+        .map(_.mkString(","))))
     dvRows <- if (dvDir.isEmpty) Gen.const(0L) else Gen.choose(1L, rows.max(1L))
     baseRowId <- Gen.option(Gen.choose(0L, Long.MaxValue / 2))
+    nNulls <- Gen.choose(0, 4)
+    nullCounts <- Gen.mapOfN(nNulls, Gen.zip(keyGen, Gen.choose(0L, rows)))
   } yield ManifestEntry(p, rows, bytes, stats, strStats, dvDir, dvRows,
-    baseRowId)
+    baseRowId, nullCounts)
 
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i =>
