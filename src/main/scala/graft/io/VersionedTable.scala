@@ -1629,6 +1629,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
     import org.apache.spark.sql.types._
     val partCols = m.partitionBy.toSet
     val all: ManifestEntry => Boolean = _ => true
+    val schema = logicalSchema(m)
     def attr(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute if a.nameParts.length == 1 =>
         Some(a.nameParts.head)
@@ -1644,15 +1645,52 @@ final class VersionedTable(spark: SparkSession, root: String) {
         case FloatType => Some(v.asInstanceOf[Float].toDouble)
         case DoubleType => Some(v.asInstanceOf[Double])
         case _: DecimalType => Some(v.asInstanceOf[Decimal].toDouble)
+        // typed temporal literals carry the stats' own physical units
+        // (DateType = epoch days as Int, TimestampType = epoch micros
+        // as Long — exactly what the footer scrape records)
+        case DateType => Some(v.asInstanceOf[Int].toDouble)
+        case TimestampType => Some(v.asInstanceOf[Long].toDouble)
         case _ => None
       }
       case _ => None
     }
+    // a STRING literal against a DATE/TIMESTAMP column: the analyzer
+    // casts the string to the column's type, so the envelope converts
+    // to the stats' units here — date-only strings exactly (the one
+    // shape Spark's cast and LocalDate.parse agree on byte for byte);
+    // timestamps from tz-carrying ISO instants always, and from bare
+    // local forms only under a UTC session (they cast in session
+    // time); anything unparseable stays conservative
+    def tsMicrosOf(s: String): Option[Double] = {
+      val inst: Option[java.time.Instant] =
+        scala.util.Try(java.time.Instant.parse(s)).toOption
+          .orElse(scala.util.Try(
+            java.time.OffsetDateTime.parse(s).toInstant).toOption)
+          .orElse {
+            if (spark.conf.get("spark.sql.session.timeZone", "") != "UTC")
+              None
+            else {
+              val norm = s.trim.replace(' ', 'T')
+              scala.util.Try(java.time.LocalDateTime.parse(norm)
+                .toInstant(java.time.ZoneOffset.UTC)).toOption
+                .orElse(scala.util.Try(java.time.LocalDate.parse(norm)
+                  .atStartOfDay.toInstant(java.time.ZoneOffset.UTC))
+                  .toOption)
+            }
+          }
+      inst.map(i => i.getEpochSecond * 1e6 + i.getNano / 1000.0)
+    }
+    def temporalOf(name: String, s: String): Option[Double] =
+      schema.fields.find(_.name == name).map(_.dataType) match {
+        case Some(DateType) => scala.util.Try(
+          java.time.LocalDate.parse(s).toEpochDay.toDouble).toOption
+        case Some(TimestampType) => tsMicrosOf(s)
+        case _ => None
+      }
     def strOf(e: Expression): Option[String] = e match {
       case Literal(v, StringType) if v != null => Some(v.toString)
       case _ => None
     }
-    val schema = logicalSchema(m)
     def range(name: String, lo: Double, hi: Double)
         : ManifestEntry => Boolean =
       if ((!lo.isInfinite && math.abs(lo) > 9007199254740992.0) ||
@@ -1668,15 +1706,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
           f.name == name && f.dataType == StringType)) all
       else strRangeMayMatch(partCols, physFor(m, name), lo, hi) _
     // (column, literal) of a comparison, either operand order;
-    // `flip` = the literal was on the LEFT (so `5 <= c` is `c >= 5`)
+    // `flip` = the literal was on the LEFT (so `5 <= c` is `c >= 5`).
+    // A string literal against a temporal column converts to the
+    // stats' numeric units (the analyzer casts the STRING side).
+    def lift(n: String, e: Expression): Option[Either[Double, String]] =
+      numOf(e).map(scala.Left(_))
+        .orElse(strOf(e).map(s =>
+          temporalOf(n, s).map(scala.Left(_)).getOrElse(scala.Right(s))))
     def sides(l: Expression, r: Expression)
         : Option[(String, Either[Double, String], Boolean)] =
       attr(l) match {
-        case Some(n) => numOf(r).map(d => (n, scala.Left(d), false))
-          .orElse(strOf(r).map(s => (n, scala.Right(s), false)))
+        case Some(n) => lift(n, r).map(v => (n, v, false))
         case None => attr(r) match {
-          case Some(n) => numOf(l).map(d => (n, scala.Left(d), true))
-            .orElse(strOf(l).map(s => (n, scala.Right(s), true)))
+          case Some(n) => lift(n, l).map(v => (n, v, true))
           case None => None
         }
       }
@@ -1710,7 +1752,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
             range(n, ds.min, ds.max)
           } else if (strs.forall(_.isDefined)) {
             val ss = strs.flatten
-            srange(n, ss.min, ss.max)
+            val temps = ss.map(temporalOf(n, _))
+            if (temps.forall(_.isDefined)) {
+              // IN over date/timestamp strings: numeric envelope
+              val ds = temps.flatten
+              range(n, ds.min, ds.max)
+            } else srange(n, ss.min, ss.max)
           } else all
         case _ => all
       }
@@ -1770,6 +1817,12 @@ final class VersionedTable(spark: SparkSession, root: String) {
       case GreaterThan(l, r) => boundTest(l, r, upper = false)
       case GreaterThanOrEqual(l, r) => boundTest(l, r, upper = false)
       case In(a, vs) => inTest(a, vs)
+      // parsed SQL BETWEEN is a RuntimeReplaceable node PRE-analysis
+      // (it only desugars to >= AND <= later); compose the two bounds
+      case b: Between =>
+        val fl = boundTest(b.input, b.lower, upper = false)
+        val fr = boundTest(b.input, b.upper, upper = true)
+        en => fl(en) && fr(en)
       case IsNull(a) => nullTest(a, wantNull = true)
       case IsNotNull(a) => nullTest(a, wantNull = false)
       case StartsWith(a, p) => startsTest(a, p)
@@ -1794,6 +1847,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
           case ("<" | "<=", Seq(l, r)) => boundTest(l, r, upper = true)
           case (">" | ">=", Seq(l, r)) => boundTest(l, r, upper = false)
           case ("in", a +: vs) if vs.nonEmpty => inTest(a, vs)
+          case ("between", Seq(a, lo, hi)) =>
+            val fl = boundTest(a, lo, upper = false)
+            val fr = boundTest(a, hi, upper = true)
+            en => fl(en) && fr(en)
           case ("isnull", Seq(a)) => nullTest(a, wantNull = true)
           case ("isnotnull", Seq(a)) => nullTest(a, wantNull = false)
           case ("startswith", Seq(a, p)) => startsTest(a, p)

@@ -120,6 +120,43 @@ class DvPredicateSpec extends AnyFunSuite {
     assert(got.toSeq === (1L to 400L).filterNot(_ % 7 == 0))
   }
 
+  test("date/timestamp predicates prune: typed literals AND the " +
+      "string spellings a SQL user writes convert to the stats' " +
+      "epoch units; the masks stay exact") {
+    val root = Fixtures.tempDir("dv-pred-time") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    def day(d: Int) = java.sql.Date.valueOf(f"2023-01-$d%02d")
+    def ts(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2023-01-$d%02d $h%02d:00:00")
+    // four single-file stripes of 7 days each (s0: 1-7 … s3: 22-28)
+    (0 until 4).foreach { s =>
+      val df = (1 to 10).map { i =>
+        val d = s * 7 + ((i - 1) % 7) + 1 // days within the stripe
+        (s * 100 + i.toLong, day(d), ts(d, i % 24))
+      }.toDF("k", "d", "t").coalesce(1)
+      if (s == 0) vt.write(df) else vt.write(df, SaveMode.Append)
+    }
+    val m = vt.currentManifest
+    def matched(pred: org.apache.spark.sql.Column): Int =
+      m.entries.count(vt.predicateMayMatch(m, pred))
+    // typed literals
+    assert(matched(col("d") === lit(day(15))) === 1)
+    assert(matched(col("t") >= lit(ts(20, 0))) === 2)
+    // the string spellings (analyzer casts the string side)
+    assert(matched(expr("d = '2023-01-15'")) === 1)
+    assert(matched(expr("d BETWEEN '2023-01-16' AND '2023-01-20'")) === 1)
+    assert(matched(expr("t >= '2023-01-25 00:00:00'")) === 1)
+    assert(matched(expr("t >= '2023-01-25T00:00:00Z'")) === 1)
+    assert(matched(expr("d IN ('2023-01-02', '2023-01-05')")) === 1)
+    // unparseable spellings never prune
+    assert(matched(expr("d = 'not-a-date'")) === 4)
+    // and the DELETE itself is exact through the pruned candidates
+    vt.deleteVectorizedWhere(expr("d BETWEEN '2023-01-11' AND '2023-01-17'"))
+    assert(vt.read().filter(col("d").between("2023-01-11", "2023-01-17"))
+      .count() === 0L)
+    assert(vt.read().count() === 30L)
+  }
+
   test("IS NULL / IS NOT NULL data skipping: recorded null counts " +
       "prove absence — a no-null file takes no mask link from a " +
       "DELETE WHERE ... IS NULL, an all-null file proves IS NOT NULL " +
