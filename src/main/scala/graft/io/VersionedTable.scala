@@ -500,6 +500,79 @@ final class VersionedTable(spark: SparkSession, root: String) {
     spark.conf.getOption("graft.dv.maxChainLinks").map(_.toInt)
       .getOrElse(16)
 
+  /** The (file_rel, pos) pairs NEWLY masked going from each entry's
+    * `fromChain` to its CURRENT chain — per-FILE precise across chain
+    * folds. A fold writes one file's CUMULATIVE mask into the same
+    * commit dir other files use as a plain delta link, so matching at
+    * DIR granularity re-emits a folded file's pre-range rows as if
+    * they were new; a dir's rows therefore count for a file ONLY when
+    * that dir is an APPENDED link of that file's own chain, and a
+    * file whose chain collapsed in the range (a fold) diffs its own
+    * to-chain against its own from-chain, restricted to its path.
+    * Cost: O(appended delta links + folded files' masks) sidecar rows
+    * — never the table. Masks only GROW per row outside RESTORE
+    * windows (callers gate on the operation), so to∖from is the
+    * complete answer. */
+  private def newlyMaskedPairs(
+      changed: Seq[(ManifestEntry, Seq[String])]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val qualifiedRoot = fs.makeQualified(rootPath)
+    def rel(e: ManifestEntry): String = renderKey(qualifiedRoot.toString,
+      new Path(qualifiedRoot, e.relPath).toString)
+    // append class: the from-chain survives as a prefix of the
+    // to-chain, so the new rows are exactly the appended links' rows
+    // for this file; fold class: the chain was rewritten (cumulative
+    // fold), diff the file's own chains
+    val (appends, folds) = changed.partition { case (e, fromChain) =>
+      fromChain.forall(e.dvDirs.contains) }
+    def restricted(pairs: Seq[(String, String)]): DataFrame = {
+      import spark.implicits._
+      val parts = pairs.groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (dir, ps) =>
+          val rows = readDvRows(Seq(dir))
+          val rels = ps.map(_._1).distinct
+          if (rels.size == 1)
+            rows.filter(col("file_rel") === lit(rels.head))
+          else rows.join(broadcast(rels.toDF("file_rel")),
+            Seq("file_rel"), "left_semi")
+      }
+      parts.reduceOption(_ unionByName _).getOrElse(
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          dvSchema))
+    }
+    val deltaRows = restricted(appends.flatMap { case (e, fromChain) =>
+      e.dvDirs.filterNot(fromChain.contains).map(d => rel(e) -> d) })
+    if (folds.isEmpty) deltaRows
+    else {
+      val toRows = restricted(folds.flatMap { case (e, _) =>
+        e.dvDirs.map(d => rel(e) -> d) })
+      val fromRows = restricted(folds.flatMap { case (e, fc) =>
+        fc.map(d => rel(e) -> d) })
+      deltaRows.unionByName(toRows.exceptAll(fromRows))
+    }
+  }
+
+  /** Deletes feed for DV-extended surviving files: scan ONLY those
+    * files (raw, with row provenance) semi-joined against the
+    * per-file newly-masked pairs — O(changed files + masked rows). */
+  private def newlyMaskedRows(toM: VersionManifest,
+      changed: Seq[(ManifestEntry, Seq[String])],
+      isStreaming: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val newMask = newlyMaskedPairs(changed)
+    val mdf = rawScan(toM, changed.map(_._1), isStreaming = isStreaming,
+      withRowMeta = true)
+    val fileRel = fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
+    val deleted = mdf.join(newMask,
+      fileRel === newMask("file_rel") &&
+        col(graftbridge.ManifestScan.RowIndexCol) === newMask("pos"),
+      "left_semi")
+      .drop(graftbridge.ManifestScan.FilePathCol,
+        graftbridge.ManifestScan.RowIndexCol)
+    logicalize(toM, deleted)
+  }
+
   /** Write ONE DML commit's DV sidecar at `dir`: the commit's new
     * delta pairs plus, for candidate files whose chain has reached
     * [[maxDvChainLinks]], their accumulated mask rows FOLDED in
@@ -728,30 +801,19 @@ final class VersionedTable(spark: SparkSession, root: String) {
             o.dvDir != e.dvDir || o.dvRows != e.dvRows))
         if (dvChangedEntries.isEmpty) inserts
         else {
-          val toDirs = dvChangedEntries.flatMap(_.dvDirs).distinct
-          val fromDirs = dvChangedEntries
-            .flatMap(e => fromByPath(e.relPath).dvDirs).distinct
-          val fromSet = fromDirs.toSet
-          val deltaDirs = toDirs.filterNot(fromSet)
-          val newMask =
-            if (fromDirs.isEmpty) readDvRows(toDirs)
-            else if (fromDirs.forall(toDirs.contains) && deltaDirs.nonEmpty)
-              // chains only GROW on surviving files (collapse implies a
-              // rewrite, which drops the file and takes the branch
-              // above), so the newly masked rows are exactly the
-              // appended delta links — no exceptAll over full chains
-              readDvRows(deltaDirs)
-            else readDvRows(toDirs).exceptAll(readDvRows(fromDirs))
-          val mdf = rawScan(toM, dvChangedEntries, isStreaming = true,
-            withRowMeta = true)
-          val fileRel = fileRelCol(col(graftbridge.ManifestScan.FilePathCol))
-          val deleted = mdf.join(newMask,
-            fileRel === newMask("file_rel") &&
-              col(graftbridge.ManifestScan.RowIndexCol) === newMask("pos"),
-            "left_semi")
-            .drop(graftbridge.ManifestScan.FilePathCol,
-              graftbridge.ManifestScan.RowIndexCol)
-          inserts.unionByName(tag(logicalize(toM, deleted), "delete"))
+          // a SHRUNK mask (RESTORE behind the cursor) is not an append
+          // of deletes — resurrected rows are not derivable here
+          dvChangedEntries.foreach { e =>
+            val o = fromByPath(e.relPath)
+            if (e.dvRows < o.dvRows) sys.error(
+              s"versions $f..$toV of $root shrank the deletion mask of " +
+                s"${e.relPath} (a RESTORE) — the change feed cannot " +
+                "derive resurrected rows; re-seed the stream")
+          }
+          val deleted = newlyMaskedRows(toM,
+            dvChangedEntries.map(e => e -> fromByPath(e.relPath).dvDirs),
+            isStreaming = true)
+          inserts.unionByName(tag(deleted, "delete"))
         }
     }
   }
@@ -886,11 +948,22 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * are re-applied on top for exactness; files a conjunct has no
     * information about are conservatively read (None → read, never
     * drop). */
-  def readMatching(preds: VersionedTable.TablePredicate*): DataFrame = {
+  def readMatching(preds: VersionedTable.TablePredicate*): DataFrame =
+    readMatchingAt(None, preds: _*)
+
+  /** [[readMatching]] pinned at a version: the group-scoped
+    * re-aggregation read of an MV REFRESH (min/max after deletes)
+    * must see exactly the snapshot the basis advances to — a racing
+    * commit between the change-feed read and the re-aggregation would
+    * otherwise leak future rows into partials stamped with an older
+    * basis. */
+  def readMatchingAt(atVersion: Option[Long],
+      preds: VersionedTable.TablePredicate*): DataFrame = {
     require(preds.nonEmpty, "readMatching needs at least one predicate")
     val compiled = preds.map(compilePredicate)
     prunedRead(compiled.map(_._1).reduce(_ && _),
-      (e, partCols) => compiled.forall(_._2(e, partCols)), preds)
+      (e, partCols) => compiled.forall(_._2(e, partCols)), preds,
+      atVersion)
   }
 
   /** (row-level predicate, file-survives test) for one conjunct. The
@@ -1001,8 +1074,10 @@ final class VersionedTable(spark: SparkSession, root: String) {
 
   private def prunedRead(pred: org.apache.spark.sql.Column,
       survives: (ManifestEntry, Set[String]) => Boolean,
-      preds: Seq[VersionedTable.TablePredicate] = Seq.empty): DataFrame = {
-    val v = currentVersion.getOrElse(sys.error(s"table $root does not exist"))
+      preds: Seq[VersionedTable.TablePredicate] = Seq.empty,
+      atVersion: Option[Long] = None): DataFrame = {
+    val v = atVersion.orElse(currentVersion)
+      .getOrElse(sys.error(s"table $root does not exist"))
     val m = readManifest(v)
     val partCols = m.partitionBy.toSet
     val gen = generatedSurvives(m, preds)
@@ -2821,51 +2896,154 @@ final class VersionedTable(spark: SparkSession, root: String) {
     * added and removed going `fromV` → `toV`, tagged `_change_type`
     * ("insert" / "delete").
     *
-    * Append-only ranges take the FILE-LEVEL fast path: the inserted
-    * rows are exactly the files present in `toV`'s manifest but not
-    * `fromV`'s, so a day of appends on a 100 TB table reads one day of
-    * files — never the table. If the range also removed files
-    * (overwrite / restore / compaction), file identity no longer maps
-    * to row identity (a compaction rewrites every file while changing
-    * nothing), so it falls back to a row-level symmetric diff
-    * (`exceptAll` both ways — two shuffles, multiset semantics). */
+    * The feed is DERIVED from manifests + DV delta chains whenever the
+    * window's evidence allows — O(changed files + masked rows), never
+    * the table:
+    *
+    *  - append-only windows: the files in `toV`'s manifest but not
+    *    `fromV`'s, as inserts — a day of appends on a 100 TB table
+    *    reads one day of files;
+    *  - windows whose only mutations are appends and DV DML
+    *    (DELETE/UPDATE/MERGE via deletion vectors): added files as
+    *    inserts (toV's masks applied — a row inserted and deleted
+    *    inside the window collapses away), each surviving file's
+    *    per-file chain delta as deletes, and a file the DV DML
+    *    emptied entirely (dropped from the manifest) contributes its
+    *    fromV-live rows as deletes;
+    *  - pure OPTIMIZE / REORG PURGE windows: empty by construction —
+    *    layout ops move bytes, never rows.
+    *
+    * Only genuinely non-derivable windows — true overwrites, RESTOREs
+    * (masks can shrink), OPTIMIZE mixed with DML in one window (file
+    * identity broken), or gaps in the history — fall back to the
+    * row-level symmetric diff (`exceptAll` both ways over both
+    * snapshots — two full scans; keep CDC cursors inside the
+    * maintenance cadence to stay on the derived path). Note the
+    * derived feed is IDENTITY-based (an UPDATE that rewrites a row to
+    * the same values emits a delete+insert pair), the fallback is
+    * VALUE-based (such pairs cancel); signed consumers (IVM folds)
+    * are insensitive to the difference. */
   def changes(fromV: Long, toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val fromM = readManifest(fromV)
     val fromByPath = fromM.entries.map(e => e.relPath -> e).toMap
     val fromFiles = fromByPath.keySet
     val toManifest = readManifest(toV)
     val added = toManifest.entries.filterNot(e => fromFiles.contains(e.relPath))
-    val removed = fromFiles -- toManifest.entries.map(_.relPath).toSet
-    // a DV added/extended on a surviving file deletes rows without
-    // touching the file set — file identity no longer maps to row
-    // identity, exactly like a removal
-    val dvChanged = toManifest.entries.exists(e =>
+    val removed = fromM.entries.filterNot(e =>
+      toManifest.entries.exists(_.relPath == e.relPath))
+    val dvChangedEntries = toManifest.entries.filter(e =>
       fromByPath.get(e.relPath).exists(o =>
         o.dvDir != e.dvDir || o.dvRows != e.dvRows))
-    if (removed.isEmpty && !dvChanged) {
+    if (removed.isEmpty && dvChangedEntries.isEmpty) {
       if (added.isEmpty)
         readVersion(toV).limit(0).withColumn("_change_type", lit("insert"))
       else
         readFiles(toManifest, added).withColumn("_change_type", lit("insert"))
     } else {
-      // exceptAll demands identical schemas; a range crossing a
-      // schema-evolution (or rename/drop) boundary has different
-      // column sets, so align BOTH snapshots to `toV`'s LOGICAL
-      // schema (missing columns null-filled — the same value reads of
-      // the pre-evolution files produce; readVersion output is
-      // logical, so the target must be too)
       val target = logicalSchema(toManifest)
-      def align(df: DataFrame): DataFrame = df.select(target.fields.toSeq.map { f =>
-        import org.apache.spark.sql.functions.col
-        (if (df.columns.contains(f.name)) col(f.name)
-         else lit(null).cast(f.dataType)).as(f.name)
-      }: _*)
-      val a = align(readVersion(fromV))
-      val b = align(readVersion(toV))
-      b.exceptAll(a).withColumn("_change_type", lit("insert"))
-        .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
+      def align(df: DataFrame): DataFrame =
+        df.select(target.fields.toSeq.map { f =>
+          (if (df.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)
+        } ++ (if (df.columns.contains("_change_type"))
+                Seq(col("_change_type")) else Seq.empty): _*)
+      // window evidence: every commit's history line, else fallback
+      val ops = history(limit = Int.MaxValue)
+        .filter(h => h.version > fromV && h.version <= toV)
+      val complete = ops.size == (toV - fromV)
+      def rewriteSafe(op: String) =
+        op.startsWith("OPTIMIZE") || op == "REORG PURGE"
+      if (complete && removed.nonEmpty && ops.forall(h =>
+          rewriteSafe(h.operation))) {
+        // pure layout window: empty by construction (answered from
+        // history — proving emptiness with a diff would be O(table))
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType(target.fields :+
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType)))
+      }
+      // derivable iff: history complete; no RESTORE (masks may
+      // shrink) and no layout op (file identity broken) inside a
+      // window that also mutates rows; every file REMOVAL is a DV DML
+      // death (fully-masked file dropped — its pre-window live rows
+      // are exactly the deleted rows); masks only grew
+      val derivable = complete &&
+        ops.forall(h => !rewriteSafe(h.operation) &&
+          !h.operation.startsWith("RESTORE")) &&
+        (removed.isEmpty || removalsAllDvDeaths(fromV, toV)) &&
+        dvChangedEntries.forall(e =>
+          e.dvRows >= fromByPath(e.relPath).dvRows)
+      if (derivable) {
+        val inserts = align(readFiles(toManifest, added)
+          .withColumn("_change_type", lit("insert")))
+        val survivorDeletes =
+          if (dvChangedEntries.isEmpty) None
+          else Some(align(newlyMaskedRows(toManifest,
+            dvChangedEntries.map(e => e -> fromByPath(e.relPath).dvDirs),
+            isStreaming = false)
+            .withColumn("_change_type", lit("delete"))))
+        val deathDeletes =
+          if (removed.isEmpty) None
+          else Some(align(readFiles(fromM, removed)
+            .withColumn("_change_type", lit("delete"))))
+        (Seq(inserts) ++ survivorDeletes ++ deathDeletes)
+          .reduce(_ unionByName _)
+      } else {
+        // exceptAll demands identical schemas; a range crossing a
+        // schema-evolution (or rename/drop) boundary has different
+        // column sets, so align BOTH snapshots to `toV`'s LOGICAL
+        // schema (missing columns null-filled — the same value reads
+        // of the pre-evolution files produce)
+        val a = align(readVersion(fromV))
+        val b = align(readVersion(toV))
+        b.exceptAll(a).withColumn("_change_type", lit("insert"))
+          .unionByName(
+            a.exceptAll(b).withColumn("_change_type", lit("delete")))
+      }
     }
+  }
+
+  /** Was every file removal in (fromV, toV] a DV death (a DML commit
+    * dropping a file its mask fully covered)? A per-commit manifest
+    * walk — driver-side set arithmetic over O(window commits) small
+    * manifest reads; commits that remove files must be DV DML (their
+    * removals are deaths by construction: [[maskedEntry]] only drops
+    * an entry when the chain covers every row). Any removal by a
+    * non-DV operation (overwrite, TRUNCATE, layout op that slipped
+    * the op-name check) makes the window non-derivable. */
+  private def removalsAllDvDeaths(fromV: Long, toV: Long): Boolean = {
+    val opByV = history(limit = Int.MaxValue)
+      .filter(h => h.version > fromV && h.version <= toV)
+      .map(h => h.version -> h.operation).toMap
+    def dvDml(op: String) = op.startsWith("DELETE DV") ||
+      op.startsWith("UPDATE DV") || op.startsWith("MERGE DV")
+    var prev = readManifest(fromV).entries.map(_.relPath).toSet
+    ((fromV + 1) to toV).forall { v =>
+      val cur = readManifest(v).entries.map(_.relPath).toSet
+      val removedHere = (prev -- cur).nonEmpty
+      prev = cur
+      !removedHere || opByV.get(v).exists(dvDml)
+    }
+  }
+
+  /** [[changes]] computed PER COMMIT and unioned — the EVENT-form feed
+    * for signed consumers (IVM folds: inserts +, deletes −, so an
+    * insert-then-delete pair inside the window cancels arithmetically
+    * rather than by compaction). Each single-commit slice classifies
+    * independently, so a window MIXING DML with OPTIMIZE/REORG stays
+    * O(changed files + masked rows): the layout slices answer empty
+    * from history, the DML slices ride their manifest/DV fast paths —
+    * the mix that forces the endpoint form of [[changes]] into its
+    * two-full-scan fallback. Driver cost: O(window commits) manifest
+    * reads. */
+  def changesPerCommit(fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 0 && fromV <= toV,
+      s"changesPerCommit range is invalid: $fromV..$toV")
+    if (fromV == toV) return changes(toV, toV)
+    ((fromV + 1) to toV).map(v => changes(v - 1, v))
+      .reduce(_ unionByName _)
   }
 
   /** Commit timestamps (M33 monotone in-commit time) for versions in
@@ -4118,13 +4296,46 @@ final class VersionedTable(spark: SparkSession, root: String) {
                 else nullless += path
                 val isString = c.getPrimitiveType.getLogicalTypeAnnotation ==
                   org.apache.parquet.schema.LogicalTypeAnnotation.stringType()
+                // INT64 timestamp stats carry the FILE's unit
+                // annotation (MICROS when this engine wrote them,
+                // MILLIS when a CONVERT adopted foreign files or the
+                // session chose it) while the manifest contract is
+                // epoch-MICROS — normalize MILLIS, and record nothing
+                // for NANOS (its engine-visible type depends on reader
+                // config, so no single unit is sound). A mixed-unit
+                // manifest would otherwise prune every file on a
+                // micros envelope (stats max << lo) and DML would
+                // silently miss matching rows.
+                val tsScale: Option[Option[Long]] =
+                  c.getPrimitiveType.getLogicalTypeAnnotation match {
+                    case t: org.apache.parquet.schema
+                        .LogicalTypeAnnotation
+                        .TimestampLogicalTypeAnnotation =>
+                      t.getUnit match {
+                        case org.apache.parquet.schema
+                            .LogicalTypeAnnotation.TimeUnit.MICROS =>
+                          Some(Some(1L))
+                        case org.apache.parquet.schema
+                            .LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                          Some(Some(1000L))
+                        case _ => Some(None) // NANOS
+                      }
+                    case _ => None
+                  }
                 val range: Option[(Double, Double)] =
                   if (st == null || !st.hasNonNullValue) None
                   else (st.genericGetMin, st.genericGetMax) match {
                     case (mn: java.lang.Integer, mx: java.lang.Integer) =>
                       Some((mn.toDouble, mx.toDouble))
                     case (mn: java.lang.Long, mx: java.lang.Long) =>
-                      Some((mn.toDouble, mx.toDouble))
+                      tsScale match {
+                        case None => Some((mn.toDouble, mx.toDouble))
+                        case Some(None) => None
+                        case Some(Some(k)) =>
+                          try Some((Math.multiplyExact(mn, k).toDouble,
+                            Math.multiplyExact(mx, k).toDouble))
+                          catch { case _: ArithmeticException => None }
+                      }
                     case (mn: java.lang.Float, mx: java.lang.Float) =>
                       Some((mn.toDouble, mx.toDouble))
                     case (mn: java.lang.Double, mx: java.lang.Double) =>

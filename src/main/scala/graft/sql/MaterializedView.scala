@@ -27,11 +27,15 @@ import graft.plans.{MvDef, MvHandle, MvRewrite}
   *   - `DROP MATERIALIZED VIEW mv` deregisters the rewrite and drops
   *     the backing table.
   *
-  * Allowed aggregates are the ADDITIVE ones — `sum(m)`, `count(*)`
+  * Allowed aggregates: the ADDITIVE ones — `sum(m)`, `count(*)`
   * (required: it detects emptied groups), `count(m)` (what `avg(m)`
-  * rewrites divide by) — the classic IVM boundary; `min`/`max` are
-  * not decrementable and are refused at CREATE with the alternative
-  * spelled out. Measures must be integral (long sums are exact under
+  * rewrites divide by) — plus `min(m)`/`max(m)` via SCOPED
+  * RE-AGGREGATION: insert-only deltas fold free
+  * (`least`/`greatest`), and a REFRESH whose delta removed rows from
+  * a group re-aggregates ONLY that group (per-group predicates
+  * pushed to the base's manifest pruning — on a dim-partitioned
+  * 100 TB base that plans just the affected groups' files, never the
+  * table). Sum measures must be integral (long sums are exact under
   * any delta order; double sums are not, so an IVM-maintained double
   * sum would drift from a recompute).
   *
@@ -59,23 +63,31 @@ object MaterializedView {
     s"(?is)^COUNT\\s*\\(\\s*(?:\\*|1)\\s*\\)\\s+AS\\s+($ident)$$".r
   private val cntColRe =
     s"(?is)^COUNT\\s*\\(\\s*($ident)\\s*\\)\\s+AS\\s+($ident)$$".r
-  private val minMaxRe = "(?is)^(MIN|MAX)\\s*\\(.*".r
+  private val minRe =
+    s"(?is)^MIN\\s*\\(\\s*($ident)\\s*\\)\\s+AS\\s+($ident)$$".r
+  private val maxRe =
+    s"(?is)^MAX\\s*\\(\\s*($ident)\\s*\\)\\s+AS\\s+($ident)$$".r
   private val avgRe = s"(?is)^AVG\\s*\\(\\s*($ident)\\s*\\).*".r
 
-  /** One parsed, persisted definition. `sums`/`counts` map base
-    * measure → MV column; `countStar` is the MV's `count(*)` column
-    * (mandatory). */
+  /** One parsed, persisted definition. `sums`/`counts`/`mins`/`maxs`
+    * map base measure → MV column; `countStar` is the MV's `count(*)`
+    * column (mandatory). */
   final case class Def(baseName: String, dims: Seq[String],
       sums: Map[String, String], counts: Map[String, String],
-      countStar: String) {
-    private[sql] def encode: String =
+      countStar: String,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty) {
+    private[sql] def encode: String = {
+      def enc(p: Map[String, String]) =
+        p.toSeq.sorted.map { case (m, c) => s"$m>$c" }.mkString(",")
       Seq(s"base=$baseName",
         s"dims=${dims.mkString(",")}",
-        s"sums=${sums.toSeq.sorted.map { case (m, c) => s"$m>$c" }
-          .mkString(",")}",
-        s"counts=${counts.toSeq.sorted.map { case (m, c) => s"$m>$c" }
-          .mkString(",")}",
-        s"countStar=$countStar").mkString("\n")
+        s"sums=${enc(sums)}",
+        s"counts=${enc(counts)}",
+        s"countStar=$countStar",
+        s"mins=${enc(mins)}",
+        s"maxs=${enc(maxs)}").mkString("\n")
+    }
   }
 
   private def decodeDef(text: String): Def = {
@@ -88,7 +100,8 @@ object MaterializedView {
       }.toMap
     Def(kv("base"), kv("dims").split(',').filter(_.nonEmpty).toSeq,
       pairs(kv.getOrElse("sums", "")), pairs(kv.getOrElse("counts", "")),
-      kv("countStar"))
+      kv("countStar"),
+      pairs(kv.getOrElse("mins", "")), pairs(kv.getOrElse("maxs", "")))
   }
 
   private def defPath(catalog: GraftCatalog, name: String): Path =
@@ -146,6 +159,8 @@ object MaterializedView {
       sums = d.sums,
       count = Some(d.countStar),
       counts = d.counts,
+      mins = d.mins,
+      maxs = d.maxs,
       // re-read per rewrite: a REFRESH in between is picked up, a
       // base commit after the basis makes the rule decline (stale →
       // base plan)
@@ -194,6 +209,7 @@ object MaterializedView {
     * basis in the same commit. No-op (returns the current MV version)
     * when already fresh. */
   def refresh(catalog: GraftCatalog, name: String): Long = {
+    lastReaggRead = None
     val spark = catalog.spark
     val d = readDef(catalog, name)
     val mvRoot = catalog.rootOf(name)
@@ -206,7 +222,13 @@ object MaterializedView {
       s"basis is v$basis — the base was RESTOREd behind the MV; drop " +
       "and re-create the view")
     if (cur == basis) return mvVt.currentVersion.get
-    val changes = baseVt.changes(basis, cur)
+    // the PER-COMMIT event feed: every slice derives from manifests +
+    // DV delta chains (O(changed files + masked rows)), including
+    // windows that mix DML with OPTIMIZE/REORG — the signed fold
+    // below cancels any insert-then-delete pair arithmetically, so
+    // event form costs nothing in correctness and never pays the
+    // endpoint feed's full-snapshot fallback
+    val changes = baseVt.changesPerCommit(basis, cur)
     val sign =
       when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
         .when(col("_change_type").isin("delete", "update_preimage"),
@@ -216,22 +238,56 @@ object MaterializedView {
           col("_change_type"), lit("'"))))
     def dcol(c: String) = s"_delta_$c"
     def dkey(k: String) = s"_delta_key_$k"
+    val hasMinMax = d.mins.nonEmpty || d.maxs.nonEmpty
+    val isIns = col("_change_type").isin("insert", "update_postimage")
+    val isDel = col("_change_type").isin("delete", "update_preimage")
     val deltaAggs: Seq[org.apache.spark.sql.Column] =
       Seq(sum(sign).as(dcol(d.countStar))) ++
         d.sums.toSeq.map { case (m, c) =>
           sum(col(m) * sign).as(dcol(c)) } ++
         d.counts.toSeq.map { case (m, c) =>
-          sum(when(col(m).isNotNull, sign).otherwise(0L)).as(dcol(c)) }
-    val delta = changes.groupBy(d.dims.map(col): _*).agg(
+          sum(when(col(m).isNotNull, sign).otherwise(0L)).as(dcol(c)) } ++
+        // min/max partials fold FREE over insert-only deltas; a group
+        // whose delta removed rows is flagged for the group-scoped
+        // re-aggregation below (deleting the extremum needs the
+        // group's other rows — but ONLY that group's)
+        d.mins.toSeq.map { case (m, c) =>
+          min(when(isIns, col(m))).as(dcol(c)) } ++
+        d.maxs.toSeq.map { case (m, c) =>
+          max(when(isIns, col(m))).as(dcol(c)) } ++
+        (if (hasMinMax)
+           Seq(max(when(isDel, 1).otherwise(0)).as("_delta_had_deletes"))
+         else Seq.empty)
+    val delta0 = changes.groupBy(d.dims.map(col): _*).agg(
         deltaAggs.head, deltaAggs.tail: _*)
       .select(d.dims.map(k => col(k).as(dkey(k))) ++
-        (d.countStar +: (d.sums.values.toSeq ++ d.counts.values.toSeq))
-          .map(c => col(dcol(c))): _*)
+        (d.countStar +: (d.sums.values.toSeq ++ d.counts.values.toSeq ++
+          d.mins.values.toSeq ++ d.maxs.values.toSeq))
+          .map(c => col(dcol(c))) ++
+        (if (hasMinMax) Seq(col("_delta_had_deletes"))
+         else Seq.empty): _*)
+    // the delta is read twice when min/max groups need re-aggregation
+    // (once for the affected-group keys, once for the merge) —
+    // materialize the O(changed groups) frame instead of re-running
+    // the change feed
+    val delta = if (hasMinMax) delta0.localCheckpoint() else delta0
+    val reagg: Option[DataFrame] =
+      if (!hasMinMax) None
+      else {
+        val affected = delta.filter(col("_delta_had_deletes") === 1)
+          .select(d.dims.map(k => col(dkey(k))): _*)
+        Some(scopedMinMax(baseVt, cur, d, affected))
+      }
     val prior = mvVt.read()
     // null-safe merge: NULL is a real group to groupBy, so it must be
     // to the join too (IncrementalAgg's contract)
     val cond = d.dims.map(k => prior(k) <=> col(dkey(k))).reduce(_ && _)
-    val merged = prior.join(delta, cond, "full_outer")
+    val merged0 = prior.join(delta, cond, "full_outer")
+    val merged = reagg.fold(merged0) { rg =>
+      val rcond = d.dims.map(k =>
+        coalesce(prior(k), col(dkey(k))) <=> rg(rkey(k))).reduce(_ && _)
+      merged0.join(rg, rcond, "left_outer")
+    }
     val newN = (coalesce(col(d.countStar), lit(0L)) +
       coalesce(col(dcol(d.countStar)), lit(0L)))
     // measure → its count(m) MV column, when materialized: folds the
@@ -250,10 +306,25 @@ object MaterializedView {
         case None => s
       }
     }
+    // min/max: least/greatest skip NULLs, so an absent delta keeps
+    // the prior extremum and a new group takes the delta's; a
+    // delete-affected group takes its re-aggregated exact value
+    def foldedExtremum(c: String, isMin: Boolean)
+        : org.apache.spark.sql.Column = {
+      val fold = if (isMin) least(col(c), col(dcol(c)))
+                 else greatest(col(c), col(dcol(c)))
+      if (reagg.isEmpty) fold
+      else when(col("_delta_had_deletes") === 1, col(rcol(c)))
+        .otherwise(fold)
+    }
     val outCols: Seq[org.apache.spark.sql.Column] =
       d.dims.map(k => coalesce(prior(k), col(dkey(k))).as(k)) ++
         prior.columns.toSeq.filterNot(d.dims.contains).map { c =>
           if (c == d.countStar) newN.as(c)
+          else if (d.mins.exists(_._2 == c))
+            foldedExtremum(c, isMin = true).as(c)
+          else if (d.maxs.exists(_._2 == c))
+            foldedExtremum(c, isMin = false).as(c)
           else d.sums.find(_._2 == c) match {
             case Some((m, _)) => foldedSum(m, c).as(c)
             case None =>
@@ -294,13 +365,67 @@ object MaterializedView {
     catalog.dropTable(name)
   }
 
+  private def rcol(c: String) = s"_reagg_$c"
+  private def rkey(k: String) = s"_reagg_key_$k"
+
+  /** How many delete-affected groups REFRESH enumerates into
+    * per-group predicate reads (manifest-pruned); beyond the cap the
+    * re-aggregation is one semi-joined scan — at that churn a single
+    * pass beats thousands of per-group plans anyway. */
+  private val reaggGroupCap = 64
+
+  /** Test observable: the scoped re-aggregation read of the LAST
+    * refresh (None when no delete-affected min/max group existed) —
+    * specs assert its planned files to PROVE the read was
+    * group-scoped, not a table scan. */
+  @volatile private[graft] var lastReaggRead: Option[DataFrame] = None
+
+  /** Min/max re-aggregation of ONLY the delete-affected groups, read
+    * from the PINNED base snapshot: each enumerated group becomes a
+    * per-dim predicate pushed to the manifest (partition/stats file
+    * pruning — on a dim-partitioned 100 TB base this plans just the
+    * affected groups' files). Groups beyond [[reaggGroupCap]] or with
+    * NULL dims (no per-group predicate can express NULL) fall back to
+    * ONE semi-joined scan — still row-exact, never wrong. */
+  private def scopedMinMax(baseVt: VersionedTable, cur: Long, d: Def,
+      affectedKeys: DataFrame): DataFrame = {
+    import graft.io.{VersionedTable => VT}
+    val keyRows = affectedKeys.limit(reaggGroupCap + 1).collect()
+    val enumerable = keyRows.length <= reaggGroupCap &&
+      keyRows.forall(r => d.dims.indices.forall(i => !r.isNullAt(i)))
+    val scoped =
+      if (keyRows.isEmpty) baseVt.readVersion(cur).limit(0)
+        .filter(lit(false))
+      else if (enumerable)
+        keyRows.toSeq.map { r =>
+          baseVt.readMatchingAt(Some(cur), d.dims.zipWithIndex.map {
+            case (dim, i) => VT.PartitionEq(dim, r.get(i).toString)
+          }: _*)
+        }.reduce(_ unionByName _)
+      else {
+        val keys = affectedKeys.toDF(d.dims.map(k => s"__aff_$k"): _*)
+        val c = d.dims.map(k => col(k) <=> col(s"__aff_$k"))
+          .reduce(_ && _)
+        baseVt.readVersion(cur).join(broadcast(keys), c, "left_semi")
+      }
+    lastReaggRead = if (keyRows.isEmpty) None else Some(scoped)
+    val aggs = d.mins.toSeq.map { case (m, c) => min(col(m)).as(rcol(c)) } ++
+      d.maxs.toSeq.map { case (m, c) => max(col(m)).as(rcol(c)) }
+    scoped.groupBy(d.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(d.dims.map(k => col(k).as(rkey(k))) ++
+        (d.mins.values.toSeq ++ d.maxs.values.toSeq)
+          .map(c => col(rcol(c))): _*)
+  }
+
   /** The CREATE's initial aggregation, exactly the shape REFRESH
     * maintains. */
   private def aggregate(base: DataFrame, d: Def): DataFrame = {
     val aggs: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as(d.countStar)) ++
         d.sums.toSeq.map { case (m, c) => sum(col(m)).as(c) } ++
-        d.counts.toSeq.map { case (m, c) => count(col(m)).as(c) }
+        d.counts.toSeq.map { case (m, c) => count(col(m)).as(c) } ++
+        d.mins.toSeq.map { case (m, c) => min(col(m)).as(c) } ++
+        d.maxs.toSeq.map { case (m, c) => max(col(m)).as(c) }
     base.groupBy(d.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -319,6 +444,8 @@ object MaterializedView {
     val dims = groupBy
     var sums = Map.empty[String, String]
     var counts = Map.empty[String, String]
+    var mins = Map.empty[String, String]
+    var maxs = Map.empty[String, String]
     var countStar = Option.empty[String]
     items.map(_.trim).foreach {
       case d if d.matches(ident) && dims.contains(d) => () // a dim
@@ -331,25 +458,27 @@ object MaterializedView {
       case cntColRe(m, as) =>
         require(!counts.contains(m), s"duplicate count($m) in the SELECT")
         counts += m -> as
+      case minRe(m, as) =>
+        require(!mins.contains(m), s"duplicate min($m) in the SELECT")
+        mins += m -> as
+      case maxRe(m, as) =>
+        require(!maxs.contains(m), s"duplicate max($m) in the SELECT")
+        maxs += m -> as
       case avgRe(m) => sys.error(
         s"avg($m) is DERIVED, not materialized: declare `sum($m) AS " +
           s"sum_$m, count($m) AS cnt_$m` instead — avg() queries over " +
           "the base then rewrite onto those partials automatically " +
           "(exact under NULLs; a materialized avg column could not be " +
           "incrementally maintained or re-rolled-up)")
-      case mm if minMaxRe.findFirstIn(mm).isDefined => sys.error(
-        "min/max are not incrementally maintainable (deleting the " +
-          "current extremum needs the group's other rows) — " +
-          "materialize them as a plain CTAS table instead: " + mm)
       case other => sys.error("CREATE MATERIALIZED VIEW supports dims, " +
-        "sum(col) AS name, count(*) AS name, count(col) AS name — " +
-        s"got: $other")
+        "sum(col) AS name, count(*) AS name, count(col) AS name, " +
+        s"min(col) AS name, max(col) AS name — got: $other")
     }
     require(countStar.isDefined, "CREATE MATERIALIZED VIEW requires a " +
       "count(*) column — it is how REFRESH detects emptied groups " +
       "(and what count(*) rollups serve from)")
-    val outNames = dims ++ (sums.values.toSeq ++ counts.values.toSeq) ++
-      countStar.toSeq
+    val outNames = dims ++ (sums.values.toSeq ++ counts.values.toSeq ++
+      mins.values.toSeq ++ maxs.values.toSeq) ++ countStar.toSeq
     val dupNames = outNames.diff(outNames.distinct).distinct
     require(dupNames.isEmpty, "duplicate output column(s) in the MV " +
       s"SELECT: ${dupNames.mkString(", ")}")
@@ -360,7 +489,8 @@ object MaterializedView {
     val schema = base.read().schema
     dims.foreach(dd => require(schema.fieldNames.contains(dd),
       s"dimension $dd is not a column of $baseName"))
-    val measures = sums.keySet ++ counts.keySet
+    val measures = sums.keySet ++ counts.keySet ++ mins.keySet ++
+      maxs.keySet
     measures.foreach { m =>
       require(schema.fieldNames.contains(m),
         s"measure $m is not a column of $baseName")
@@ -373,6 +503,19 @@ object MaterializedView {
         s"IVM maintenance (got ${t.typeName}) — double sums drift " +
         "under delta reordering; cast to cents/long first")
     }
-    Def(baseName, dims, sums, counts, countStar.get)
+    (mins.keys ++ maxs.keys).foreach { m =>
+      val t = schema(m).dataType
+      val orderable = t match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }
+      require(orderable,
+        s"min/max($m) needs an orderable atomic column, got ${t.typeName}")
+    }
+    Def(baseName, dims, sums, counts, countStar.get, mins, maxs)
   }
 }

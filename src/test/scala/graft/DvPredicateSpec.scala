@@ -236,4 +236,37 @@ class DvPredicateSpec extends AnyFunSuite {
     assert(vt2.deleteVectorizedWhere(col("p") === "zz") === v0,
       "a provably-absent ASCII partition equality must no-op")
   }
+
+  test("TIMESTAMP_MILLIS files (a foreign/adopted unit) keep temporal " +
+      "skipping sound: the scrape normalizes INT64 stats to the " +
+      "manifest's epoch-micros contract, so DML still finds its rows") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key, "INT96")
+    spark.conf.set(key, "TIMESTAMP_MILLIS") // writeCommitData honors it
+    try {
+      val root = Fixtures.tempDir("dv-pred-millis") + "/tbl"
+      val vt = new VersionedTable(spark, root)
+      def ts(d: Int) =
+        java.sql.Timestamp.valueOf(f"2023-01-$d%02d 12:00:00")
+      // two single-file stripes: days 1-7 and days 10-17
+      vt.write((1 to 7).map(d => (d.toLong, ts(d))).toDF("k", "t")
+        .coalesce(1))
+      vt.write((10 to 17).map(d => (d.toLong, ts(d))).toDF("k", "t")
+        .coalesce(1), SaveMode.Append)
+      val m = vt.currentManifest
+      // the stats landed in MICROS despite the MILLIS physical unit
+      val micros = ts(1).getTime * 1000.0
+      assert(m.entries.exists(_.stats.get("t").exists(_._1 == micros)),
+        s"expected micros-normalized stats, got " +
+          m.entries.map(_.stats.get("t")).mkString(", "))
+      def matched(pred: org.apache.spark.sql.Column): Int =
+        m.entries.count(vt.predicateMayMatch(m, pred))
+      // a micros envelope against millis-unit raw stats pruned BOTH
+      // files before the fix; normalized stats prune exactly one
+      assert(matched(expr("t >= '2023-01-10 00:00:00'")) === 1)
+      // and the DELETE finds its rows instead of silently missing them
+      vt.deleteVectorizedWhere(expr("t >= '2023-01-10 00:00:00'"))
+      assert(vt.read().count() === 7L)
+    } finally spark.conf.set(key, prev)
+  }
 }

@@ -351,8 +351,8 @@ class GraftSqlSpec extends AnyFunSuite {
     }
   }
 
-  test("MATERIALIZED VIEW guards: min/max refused with the " +
-      "alternative named; count(*) required; a non-integral sum " +
+  test("MATERIALIZED VIEW guards: an alias-less aggregate refused; " +
+      "count(*) required; a non-integral sum " +
       "refused; CREATE over an existing name refused") {
     import graft.sql.GraftCatalog
     val wh = Fixtures.tempDir("graft-mv-guard") + "/wh"
@@ -361,11 +361,13 @@ class GraftSqlSpec extends AnyFunSuite {
       .createOrReplaceTempView("mvguard_seed")
     GraftSql.exec(spark,
       "CREATE TABLE g AS SELECT * FROM mvguard_seed", cat)
+    // min/max are ACCEPTED since r17 (scoped re-aggregation) — but
+    // every aggregate still needs its alias
     val e1 = intercept[RuntimeException] { GraftSql.exec(spark,
       """CREATE MATERIALIZED VIEW m1 AS
-         SELECT grp, count(*) AS n, min(cents) AS lo
+         SELECT grp, count(*) AS n, min(cents)
          FROM g GROUP BY grp""", cat) }
-    assert(e1.getMessage.contains("not incrementally maintainable"))
+    assert(e1.getMessage.contains("min(col) AS name"))
     val e2 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
       """CREATE MATERIALIZED VIEW m2 AS
          SELECT grp, sum(cents) AS s FROM g GROUP BY grp""", cat) }
@@ -386,6 +388,67 @@ class GraftSqlSpec extends AnyFunSuite {
          FROM g GROUP BY grp""", cat) }
     assert(e5.getMessage.contains("sum(cents)") &&
       e5.getMessage.contains("count(cents)"))
+  }
+
+  test("min/max MATERIALIZED VIEW: insert-only deltas fold free " +
+      "(no re-aggregation read); a DELETE removing a group's extremum " +
+      "re-aggregates ONLY that group (planned files prove the scope " +
+      "on a partitioned base); the SELECT stays rewrite-served") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-mv-minmax") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    Seq(("A", 10L), ("A", 20L), ("A", 30L), ("B", 5L), ("B", 15L),
+      ("C", 7L)).toDF("grp", "v")
+      .createOrReplaceTempView("mvminmax_seed")
+    GraftSql.exec(spark, "CREATE TABLE sales PARTITIONED BY (grp) AS " +
+      "SELECT * FROM mvminmax_seed", cat)
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW mvx AS
+         SELECT grp, count(*) AS n, min(v) AS lo, max(v) AS hi
+         FROM sales GROUP BY grp""", cat)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      def q = GraftSql.exec(spark,
+        """SELECT grp, min(v) AS lo, max(v) AS hi
+           FROM sales GROUP BY grp ORDER BY grp""", cat)
+      def roots(df: org.apache.spark.sql.DataFrame) =
+        graft.plans.MvRewrite.scannedManifestRoots(df)
+      def vals(df: org.apache.spark.sql.DataFrame) =
+        df.as[(String, Long, Long)].collect().toSeq
+      assert(roots(q).nonEmpty && roots(q).forall(_.endsWith("/mvx")))
+      assert(vals(q) === Seq(("A", 10L, 30L), ("B", 5L, 15L),
+        ("C", 7L, 7L)))
+      // insert-only refresh: least/greatest fold, NO base read at all
+      GraftSql.exec(spark, "INSERT INTO sales VALUES ('A', 40)", cat)
+      GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW mvx", cat)
+      assert(graft.sql.MaterializedView.lastReaggRead.isEmpty,
+        "an insert-only refresh must not touch the base")
+      assert(vals(q) === Seq(("A", 10L, 40L), ("B", 5L, 15L),
+        ("C", 7L, 7L)))
+      // DELETE the group's max: ONLY grp=A files may be re-read
+      GraftSql.exec(spark, "DELETE FROM sales WHERE v = 40", cat)
+      GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW mvx", cat)
+      val scoped = graft.sql.MaterializedView.lastReaggRead
+      assert(scoped.isDefined, "a delete-affected min/max group must " +
+        "trigger the scoped re-aggregation")
+      val files = scoped.get.inputFiles.toSeq
+      assert(files.nonEmpty && files.forall(_.contains("grp=A")),
+        s"the re-agg read must plan only grp=A's files, got $files")
+      assert(vals(q) === Seq(("A", 10L, 30L), ("B", 5L, 15L),
+        ("C", 7L, 7L)))
+      assert(roots(q).forall(_.endsWith("/mvx")),
+        "the refreshed min/max MV must serve the SELECT")
+      // a group emptied entirely vanishes from the summary
+      GraftSql.exec(spark, "DELETE FROM sales WHERE grp = 'C'", cat)
+      GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW mvx", cat)
+      assert(vals(q) === Seq(("A", 10L, 30L), ("B", 5L, 15L)))
+      // and min/max survive a rollup: the rewrite still fires on a
+      // coarser grouping (min-of-mins over the MV)
+      val roll = GraftSql.exec(spark,
+        "SELECT min(v) AS lo, max(v) AS hi FROM sales", cat)
+      assert(roll.as[(Long, Long)].collect().toSeq === Seq((5L, 30L)))
+    } finally spark.experimental.extraOptimizations = prev
   }
 
   // ───────────────────────── INSERT guards ─────────────────────────
