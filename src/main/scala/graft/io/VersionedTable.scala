@@ -359,6 +359,78 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** TRUNCATE TABLE: ONE metadata commit that empties the snapshot —
+    * zero data read, written, or deleted. Prior versions still see
+    * every row (time travel and RESTORE undo a truncate), vacuum
+    * reclaims the bytes later; schema, partitioning, constraints,
+    * defaults, and column mapping all survive, so the next INSERT
+    * needs no re-declaration. */
+  def truncate(): Long = commitWithRebase(rebase = true) { () =>
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val cur = readManifest(curV)
+    val next = curV + 1
+    // materialize the schema if this manifest predates recorded
+    // schemas — an empty entry list has no file footer to fall back on
+    writeManifest(next, cur.copy(
+      schema = Some(snapshotSchema(cur)), entries = Seq.empty))
+    appendHistory(next, "TRUNCATE", 0L)
+    pointTo(next)
+    next
+  }
+
+  /** CREATE TABLE with a DECLARED schema and no data — the v0 commit
+    * is a manifest with zero files (reads yield an empty frame of
+    * exactly this schema; the first INSERT needs no inference).
+    * Fails if the table exists. */
+  def createEmpty(schema: StructType,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    require(currentVersion.isEmpty, s"table $root already exists")
+    partitionBy.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column $p is not in the declared schema"))
+    commitWithRebase(rebase = false) { () =>
+      require(currentVersion.isEmpty, s"table $root already exists")
+      writeManifest(0L, VersionManifest(Some(schema), Seq.empty,
+        partitionBy))
+      appendHistory(0L, "CREATE TABLE", 0L)
+      pointTo(0L)
+      0L
+    }
+  }
+
+  /** `INSERT OVERWRITE ... [REPLACE] WHERE pred`: atomically replace
+    * EXACTLY the rows matching `pred` with `df` — Delta's
+    * `replaceWhere` write. Files the predicate provably misses
+    * (manifest stats / partition pruning) are RE-REFERENCED
+    * untouched — on a partition-aligned predicate this writes only
+    * the replaced partitions; files it may touch are rewritten with
+    * their non-matching rows preserved (row-exact on arbitrary
+    * predicates, not just partition bounds). Refuses a frame holding
+    * rows OUTSIDE the predicate — silently keeping them would make
+    * the op non-deterministic (Delta enforces the same). */
+  def insertOverwriteWhere(df: DataFrame,
+      pred: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.not
+    require(df.filter(not(pred)).limit(1).isEmpty,
+      s"INSERT OVERWRITE WHERE at $root: the inserted frame holds " +
+        "row(s) outside the replace predicate — every inserted row " +
+        "must satisfy it")
+    val curV = currentVersion.getOrElse(
+      sys.error(s"table $root does not exist"))
+    val m = readManifest(curV)
+    val mayMatch = predicateMayMatch(m, pred)
+    val touched = m.entries.filter(mayMatch)
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(readFiles(m, touched).filter(not(pred)))
+    val out = survivors.fold(df)(s =>
+      df.select(s.columns.map(org.apache.spark.sql.functions.col): _*)
+        .unionByName(s))
+    replaceWhere(out, e => !mayMatch(e),
+      operation = "INSERT OVERWRITE WHERE",
+      basisVersion = Some(curV))
+  }
+
   /** Run one commit attempt; on losing the manifest race, either
     * re-run it against the new current snapshot (`rebase` — bounded
     * attempts, jittered backoff) or propagate the conflict. */
@@ -386,7 +458,11 @@ final class VersionedTable(spark: SparkSession, root: String) {
   def readVersion(v: Long): DataFrame = {
     require(manifestCommitted(v), s"version $v does not exist at $root")
     val m = readManifest(v)
-    require(m.entries.nonEmpty, s"version $v of $root has an empty manifest")
+    // zero entries is a real snapshot (TRUNCATE / declared-schema
+    // CREATE) when the schema is recorded; without one there is no
+    // file footer to plan from
+    require(m.entries.nonEmpty || m.schema.isDefined,
+      s"version $v of $root has an empty manifest and no recorded schema")
     readFiles(m, m.entries)
   }
 
@@ -2736,7 +2812,8 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val m = readManifest(v)
     require(m.rowIdHw.isDefined,
       s"row tracking is not enabled at $root (call enableRowTracking)")
-    require(m.entries.nonEmpty, s"version $v of $root has an empty manifest")
+    require(m.entries.nonEmpty || m.schema.isDefined,
+      s"version $v of $root has an empty manifest and no recorded schema")
     logicalize(m, readFilesPhysicalRid(m, m.entries))
       .withColumnRenamed(RowIdPhysCol, RowIdCol)
   }

@@ -913,6 +913,138 @@ object Relational {
     }
   }
 
+  /** SQL DDL TIER 2 (q261; the M52 surface — `CREATE TABLE` with a
+    * DECLARED schema, `INSERT OVERWRITE … REPLACE WHERE`, and
+    * `TRUNCATE TABLE`, [[graft.sql.GraftSql]]): a SQL-only session
+    * declares an EMPTY partitioned fact table (schema first, data
+    * later — no CTAS inference), fills it positionally, then
+    * REPLACES exactly one partition with a reduced re-statement of
+    * itself (the replaceWhere kernel: every other partition's files
+    * are RE-REFERENCED, asserted via the manifest), and runs the
+    * TRUNCATE lifecycle on a scratch table (metadata-empty, time
+    * travel intact, re-INSERT without re-declaration). The oracle
+    * recomputes the final state from raw orders. Scale: the
+    * partition replace writes one partition; TRUNCATE writes one
+    * manifest line; nothing here scans the table. */
+  def sqlDdlTier2(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlddl2")
+      .toString + "/wh"
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    load(spark, dir, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"))
+      .createOrReplaceTempView("q261_orders")
+    graft.sql.GraftSql.execScript(spark,
+      """CREATE TABLE facts (k BIGINT, st STRING, cents BIGINT)
+           PARTITIONED BY (st);
+         INSERT INTO facts SELECT k, st, cents FROM q261_orders;
+         -- replace ONE partition with a reduced, re-priced statement
+         INSERT OVERWRITE facts REPLACE WHERE st = 'F'
+           SELECT k, st, cents * 2 FROM q261_orders
+           WHERE st = 'F' AND k % 3 = 0;
+         -- the TRUNCATE lifecycle on a scratch table
+         CREATE TABLE audit AS SELECT 1 AS marker;
+         TRUNCATE TABLE audit;
+         INSERT INTO audit VALUES (7)""", cat)
+    // other partitions' files must be RE-REFERENCED by the replace,
+    // and the truncated v0 must still time-travel
+    val factsVt = new graft.io.VersionedTable(spark, cat.rootOf("facts"))
+    val cur = factsVt.currentVersion.get
+    val kept = factsVt.manifestEntries(cur - 1).map(_.relPath)
+      .filterNot(_.contains("st=F")).toSet
+    require(kept.subsetOf(factsVt.manifestEntries(cur).map(_.relPath)
+      .toSet), "REPLACE WHERE rewrote partitions outside the predicate")
+    val auditVt = new graft.io.VersionedTable(spark, cat.rootOf("audit"))
+    require(auditVt.readVersion(0L).count() == 1L &&
+      auditVt.readVersion(1L).count() == 0L,
+      "TRUNCATE must keep history and empty the snapshot")
+    graft.sql.GraftSql.exec(spark,
+      """SELECT f.st, count(*) AS n, CAST(sum(f.cents) AS BIGINT) AS
+           cents_total, (SELECT max(marker) FROM audit) AS marker
+         FROM facts f GROUP BY f.st ORDER BY f.st""", cat)
+  }
+
+  /** SQL LOGICAL VIEWS (q262; `CREATE VIEW` — the M53 named-query
+    * tier, [[graft.sql.GraftCatalog.createView]]): a view persists
+    * its defining QUERY (a sidecar, no backing table), expands at
+    * resolution against the CURRENT base — so the DV DELETE landing
+    * AFTER both views are declared still flows through them — and
+    * composes (the second view reads the first). The oracle
+    * recomputes the view chain from the post-delete base; a stale
+    * expansion (view bound at creation time) or a broken view-on-view
+    * resolution hash-mismatches. Scale: a view is O(|SQL|) driver
+    * text — the plan is the underlying table scan with every pushdown
+    * intact. */
+  def sqlViews(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-sqlview")
+      .toString + "/wh"
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    load(spark, dir, "lineitem").select(col("l_orderkey"),
+      (col("l_extendedprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"))
+      .createOrReplaceTempView("q262_lineitem")
+    graft.sql.GraftSql.execScript(spark,
+      """CREATE TABLE li AS SELECT * FROM q262_lineitem;
+         CREATE VIEW v_rev AS
+           SELECT l_orderkey, CAST(sum(cents) AS BIGINT) AS rev
+           FROM li GROUP BY l_orderkey;
+         CREATE VIEW v_big AS
+           SELECT l_orderkey, rev FROM v_rev WHERE rev >= 20000000;
+         -- the views must reflect THIS delete, not creation-time state
+         DELETE FROM li WHERE l_orderkey % 100 = 0""", cat)
+    graft.sql.GraftSql.exec(spark,
+      """SELECT count(*) AS n_big, CAST(sum(rev) AS BIGINT) AS rev_total
+         FROM v_big""", cat)
+  }
+
+  /** MIN/MAX MATERIALIZED VIEW (q263; scoped re-aggregation —
+    * [[graft.sql.MaterializedView]] M50 grown to the extremum
+    * dashboard): CREATE materializes min/max partials next to the
+    * counts; a DV DELETE then removes the upper band — taking some
+    * groups' maxima with it — and REFRESH folds the additive columns
+    * while re-aggregating ONLY the delete-affected groups (per-group
+    * predicates against the base's manifest pruning; an insert-only
+    * delta would have folded free via least/greatest). The final
+    * extremum dashboard is rewrite-served from the summary (asserted
+    * via `scannedManifestRoots`). The oracle recomputes min/max/count
+    * from the post-delete base. Scale: REFRESH reads the changed
+    * rows + the affected groups' files — never the table — and the
+    * dashboard reads the KB-scale summary. */
+  def mvMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvminmax")
+      .toString + "/wh"
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    load(spark, dir, "orders").select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"))
+      .createOrReplaceTempView("q263_orders")
+    graft.sql.GraftSql.execScript(spark,
+      """CREATE TABLE facts AS SELECT * FROM q263_orders;
+         CREATE MATERIALIZED VIEW extremes AS
+           SELECT st, count(*) AS n, min(cents) AS lo, max(cents) AS hi
+           FROM facts GROUP BY st;
+         -- the upper band leaves: some groups lose their recorded max
+         DELETE FROM facts WHERE cents >= 40000000;
+         OPTIMIZE facts; -- masks folded away: pure scan again
+         REFRESH MATERIALIZED VIEW extremes""", cat)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      val out = graft.sql.GraftSql.exec(spark,
+        """SELECT st, min(cents) AS lo, max(cents) AS hi, count(*) AS n
+           FROM facts GROUP BY st ORDER BY st""", cat)
+      val roots = graft.plans.MvRewrite.scannedManifestRoots(out)
+      require(roots.nonEmpty && roots.forall(_.endsWith("/extremes")),
+        s"min/max MV rewrite did not fire: scanned $roots")
+      val result = out.localCheckpoint()
+      graft.sql.GraftSql.exec(spark, "DROP MATERIALIZED VIEW extremes",
+        cat)
+      result
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   /** SQL CATALOG PIPELINE (q255; CTAS + bare-name resolution over a
     * warehouse catalog, [[graft.sql.GraftCatalog]] +
     * [[graft.sql.GraftSql.exec]]): the bronze→gold flow a SQL-only
@@ -2597,6 +2729,9 @@ object Relational {
     "q255_sql_catalog" -> sqlCatalog,
     "q259_mv_avg_rewrite" -> mvAvgRewrite,
     "q260_sql_mv" -> sqlMaterializedView,
+    "q261_sql_ddl2" -> sqlDdlTier2,
+    "q262_sql_views" -> sqlViews,
+    "q263_mv_minmax" -> mvMinMax,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -3434,6 +3569,47 @@ object Relational {
                 CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents,
                 count(*) AS n_orders
          FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q261_sql_ddl2" ->
+      // declared-schema CREATE + positional INSERT + one-partition
+      // REPLACE WHERE + the TRUNCATE lifecycle: the oracle rebuilds
+      // the final state — F replaced by its k%3=0 re-priced subset,
+      // everything else untouched, the audit marker re-inserted
+      """WITH v AS (
+           SELECT o_orderkey AS k, o_orderstatus AS st,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM orders),
+         f AS (
+           SELECT k, st, cents FROM v WHERE st <> 'F'
+           UNION ALL
+           SELECT k, st, cents * 2 FROM v WHERE st = 'F' AND k % 3 = 0)
+         SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS
+           cents_total, 7 AS marker
+         FROM f GROUP BY st ORDER BY st""",
+    "q262_sql_views" ->
+      // both views must reflect the post-delete base (expansion at
+      // resolution, not at CREATE), composed view-on-view
+      """WITH li AS (
+           SELECT l_orderkey,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM lineitem WHERE l_orderkey % 100 <> 0),
+         rev AS (
+           SELECT l_orderkey, CAST(sum(cents) AS BIGINT) AS rev
+           FROM li GROUP BY l_orderkey)
+         SELECT count(*) AS n_big, CAST(sum(rev) AS BIGINT) AS rev_total
+         FROM rev WHERE rev >= 20000000""",
+    "q263_mv_minmax" ->
+      // the min/max MV after the upper-band DELETE + REFRESH must
+      // equal a from-scratch extremum aggregate of the surviving rows
+      """WITH f AS (
+           SELECT o_orderstatus AS st,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM orders)
+         SELECT st, min(cents) AS lo, max(cents) AS hi, count(*) AS n
+         FROM f WHERE cents < 40000000
+         GROUP BY st ORDER BY st""",
     "q254_mv_ivm_rewrite" ->
       // the MV was maintained purely from the change feed (insert
       // deltas from the append, signed deletes from the DV band), so

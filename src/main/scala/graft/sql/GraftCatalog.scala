@@ -53,8 +53,70 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       partitionBy: Option[Seq[String]] = None): Long = {
     if (!orReplace) require(!exists(name),
       s"table $name already exists in $warehouse")
+    require(!isView(name),
+      s"$name is a view in $warehouse — DROP VIEW it first")
     new VersionedTable(spark, rootOf(name)).write(df,
       partitionBy = partitionBy)
+  }
+
+  /** CREATE TABLE name (declared schema) — an EMPTY v0 the first
+    * INSERT needs no inference for. */
+  def createTableEmpty(name: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    require(!exists(name), s"table $name already exists in $warehouse")
+    require(!isView(name),
+      s"$name is a view in $warehouse — DROP VIEW it first")
+    new VersionedTable(spark, rootOf(name)).createEmpty(schema,
+      partitionBy)
+  }
+
+  // ------------------------------------------------------------ views
+
+  private def viewDefPath(name: String): Path =
+    new Path(rootOf(name), "_view_def.txt")
+
+  /** Is `name` a persisted LOGICAL view (a definition sidecar with no
+    * versioned table)? */
+  def isView(name: String): Boolean =
+    name.matches(nameRe) && fs.exists(viewDefPath(name))
+
+  /** Every persisted view name. */
+  def views: Seq[String] = {
+    val dir = new Path(warehouse)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.matches(nameRe) && isView(n)).sorted
+  }
+
+  /** CREATE [OR REPLACE] VIEW — persist the defining query text (the
+    * MV tier's sidecar pattern, minus the backing table): a named
+    * query, expanded at resolution time, always reflecting the
+    * CURRENT base tables. Refuses names that are tables. */
+  def createView(name: String, selectSql: String,
+      orReplace: Boolean = false): Unit = {
+    require(!exists(name),
+      s"$name is a table in $warehouse — a view cannot shadow it")
+    if (!orReplace) require(!isView(name),
+      s"view $name already exists in $warehouse (use OR REPLACE)")
+    val p = viewDefPath(name)
+    val out = fs.create(p, true)
+    try out.write(selectSql.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The persisted defining query of a view. */
+  def viewSql(name: String): String = {
+    require(isView(name), s"view $name does not exist in $warehouse")
+    val in = fs.open(viewDefPath(name))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** DROP VIEW — removes the definition (and its holder directory). */
+  def dropView(name: String): Unit = {
+    require(isView(name), s"view $name does not exist in $warehouse")
+    fs.delete(new Path(rootOf(name)), true)
   }
 
   def table(name: String): DataFrame = {
@@ -66,6 +128,10 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
     * this is the catalog's `PURGE`, there is no soft drop). */
   def dropTable(name: String): Unit = {
     require(exists(name), s"table $name does not exist in $warehouse")
+    // an MV's backing table leaving through the PLAIN route must not
+    // strand its rewrite registration (matching is file-set-gated so a
+    // dangling entry stays correct, but it is a leak)
+    MaterializedView.deregisterRoot(rootOf(name))
     fs.delete(new Path(rootOf(name)), true)
   }
 
@@ -87,5 +153,9 @@ final class GraftCatalog(val spark: SparkSession, val warehouse: String) {
       s"rename target $to already exists in $warehouse")
     require(fs.rename(new Path(rootOf(from)), target),
       s"filesystem rename $from -> $to failed")
+    // a renamed MV re-keys its rewrite registration onto the new root
+    MaterializedView.deregisterRoot(rootOf(from))
+    if (MaterializedView.isMaterializedView(this, to))
+      MaterializedView.rearm(this, to)
   }
 }

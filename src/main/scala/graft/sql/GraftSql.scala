@@ -63,7 +63,20 @@ object GraftSql {
     s"(?:\\s+(?:AS\\s+)?($ident))?\\s+ON\\s+(.*?)\\s+(WHEN\\s+.*)$$").r
   private val ctasRe = (s"(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+($ident)" +
     "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.*)$").r
+  // two forms: the mandatory-PARTITIONED one first, because a greedy
+  // column-list group would otherwise swallow an optional clause
+  private val createSchemaPartRe = (s"(?is)^CREATE\\s+TABLE\\s+($ident)" +
+    "\\s*\\((.*)\\)\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\)\\s*$").r
+  private val createSchemaRe = (s"(?is)^CREATE\\s+TABLE\\s+($ident)" +
+    "\\s*\\((.*)\\)\\s*$").r
   private val dropRe = s"(?is)^DROP\\s+TABLE\\s+($ident)$$".r
+  private val truncateRe = s"(?is)^TRUNCATE\\s+TABLE\\s+($ident)$$".r
+  private val insertOverwriteRe =
+    s"(?is)^INSERT\\s+OVERWRITE\\s+(?:TABLE\\s+)?($ident)\\s+(.*)$$".r
+  private val createViewRe = (s"(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?" +
+    s"VIEW\\s+($ident)\\s+AS\\s+(.*)$$").r
+  private val dropViewRe = s"(?is)^DROP\\s+VIEW\\s+($ident)$$".r
+  private val showViewsRe = "(?is)^SHOW\\s+VIEWS$".r
   private val createMvRe = (s"(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
     s"($ident)\\s+AS\\s+(.*)$$").r
   private val refreshMvRe =
@@ -235,6 +248,50 @@ object GraftSql {
       case mergeRe(tName, tAliasOpt, sName, sAliasOpt, onTxt, clausesTxt) =>
         status("MERGE", execMerge(spark, versionedTables, tName,
           Option(tAliasOpt), sName, Option(sAliasOpt), onTxt, clausesTxt))
+      case truncateRe(name) =>
+        status("TRUNCATE", vtOf(name).truncate())
+      case insertOverwriteRe(name, rest0) =>
+        val vt = vtOf(name)
+        val rest = rest0.trim
+        val upper = rest.toUpperCase
+        // Databricks spells it `REPLACE WHERE`; accept bare WHERE too
+        val (predOpt, queryTxt) =
+          if (upper.startsWith("REPLACE WHERE") ||
+              upper.startsWith("WHERE")) {
+            val afterKw = rest.substring(upper.indexOf("WHERE") + 5)
+            val cut = Seq(topIndexOf(afterKw, "SELECT"),
+              topIndexOf(afterKw, "VALUES")).filter(_ >= 0).sorted
+              .headOption.getOrElse(sys.error(
+                "INSERT OVERWRITE ... WHERE needs a SELECT or VALUES " +
+                  "query after the predicate"))
+            (Some(afterKw.substring(0, cut).trim),
+              afterKw.substring(cut).trim)
+          } else (None, rest)
+        val isValues = queryTxt.toUpperCase.startsWith("VALUES")
+        val q = if (isValues)
+          s"SELECT * FROM ( $queryTxt ) AS __graft_values"
+        else queryTxt
+        val df0 = sql(spark, q, versionedTables)
+        val targetSchema = vt.read().schema
+        require(df0.columns.length == targetSchema.length,
+          s"INSERT OVERWRITE $name arity ${df0.columns.length} != " +
+            s"table arity ${targetSchema.length}")
+        val df = df0.toDF(targetSchema.fieldNames.toSeq: _*)
+          .select(targetSchema.fields.toSeq.map(f =>
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)): _*)
+        predOpt match {
+          case Some(p) =>
+            status("INSERT OVERWRITE",
+              vt.insertOverwriteWhere(df, expr(p)))
+          case None =>
+            // a full overwrite keeps the table's current layout
+            val parts = vt.partitionColumns
+            status("INSERT OVERWRITE", vt.write(df,
+              org.apache.spark.sql.SaveMode.Overwrite,
+              "INSERT OVERWRITE",
+              partitionBy = if (parts.nonEmpty) Some(parts) else None))
+        }
       case insertRe(name, colsOpt, query0) =>
         val vt = vtOf(name)
         val isValues = query0.trim.toUpperCase.startsWith("VALUES")
@@ -405,10 +462,17 @@ object GraftSql {
     *   - `CREATE [OR REPLACE] TABLE t AS <query>` → the query runs
     *     with every catalog table bound, result committed as `t`'s v0
     *     (or a new version under OR REPLACE)
-    *   - `DROP TABLE t` → the catalog's purge drop
+    *   - `CREATE TABLE t (col type, …) [PARTITIONED BY (…)]` → an
+    *     EMPTY v0 with the declared schema (no CTAS inference)
+    *   - `DROP TABLE t` → the catalog's purge drop (deregisters a
+    *     dropped MV's rewrite)
+    *   - `CREATE [OR REPLACE] VIEW v AS <query>` / `DROP VIEW` /
+    *     `SHOW VIEWS` → persisted logical views, expanded at
+    *     resolution (view-on-view composes; travel clauses refused)
     *   - `SHOW TABLES` → (name, root) listing
     *   - everything else → [[exec]] over the catalog's current tables
-    *     (DML, MERGE, travel-clause SELECTs, utilities)
+    *     (DML, MERGE, INSERT OVERWRITE, TRUNCATE, travel-clause
+    *     SELECTs, utilities), with any mentioned views bound first
     *
     * The catalog listing is re-read per statement, so a CTAS in one
     * call is queryable in the next — session-to-session too, since
@@ -453,6 +517,34 @@ object GraftSql {
           partitionBy = Option(partCols).map(splitTop))
         import spark.implicits._
         Seq(("CREATE TABLE", name, v)).toDF("operation", "table", "version")
+      case createSchemaPartRe(name, colDefs, partCols) =>
+        val schema =
+          org.apache.spark.sql.types.StructType.fromDDL(colDefs.trim)
+        val v = catalog.createTableEmpty(name, schema, splitTop(partCols))
+        import spark.implicits._
+        Seq(("CREATE TABLE", name, v)).toDF("operation", "table", "version")
+      case createSchemaRe(name, colDefs) =>
+        // CREATE TABLE t (col type, ...) — an empty v0 with the
+        // DECLARED schema (NOT NULL honored by the DDL parser)
+        val schema =
+          org.apache.spark.sql.types.StructType.fromDDL(colDefs.trim)
+        val v = catalog.createTableEmpty(name, schema, Seq.empty)
+        import spark.implicits._
+        Seq(("CREATE TABLE", name, v)).toDF("operation", "table", "version")
+      case createViewRe(orReplace, name, select) =>
+        catalog.createView(name, select.trim,
+          orReplace = orReplace != null)
+        import spark.implicits._
+        Seq(("CREATE VIEW", name)).toDF("operation", "view")
+      case dropViewRe(name) =>
+        catalog.dropView(name)
+        spark.catalog.dropTempView(name)
+        import spark.implicits._
+        Seq(("DROP VIEW", name)).toDF("operation", "view")
+      case showViewsRe() =>
+        import spark.implicits._
+        catalog.views.map(v => (v, catalog.viewSql(v)))
+          .toDF("name", "definition")
       case dropRe(name) =>
         catalog.dropTable(name)
         // earlier statements registered the name as a temp view; a
@@ -463,8 +555,44 @@ object GraftSql {
       case showRe() =>
         import spark.implicits._
         catalog.tables.toSeq.sorted.toDF("name", "root")
-      case _ => exec(spark, st, catalog.tables)
+      case _ =>
+        // LOGICAL VIEW expansion: any persisted view this statement
+        // mentions binds as a temp view of its (recursively expanded)
+        // defining query — always the CURRENT base tables. Travel
+        // clauses on a view are refused: a view has no version
+        // history of its own.
+        catalog.views.filter(v => mentionedIn(v, st)).foreach { v =>
+          val travel = ("(?i)(?<![A-Za-z0-9_])" +
+            java.util.regex.Pattern.quote(v) +
+            "\\s+(VERSION|TIMESTAMP)\\s+AS\\s+OF\\b").r
+          require(travel.findFirstIn(st).isEmpty,
+            s"time travel is not supported on views: '$v' is a view " +
+              "with no version history — travel on the underlying " +
+              "table(s) inside the view's query instead")
+          bindView(spark, catalog, v, Set(v))
+        }
+        exec(spark, st, catalog.tables)
     }
+  }
+
+  /** Word-bounded, case-insensitive mention of `name` in `s`. */
+  private def mentionedIn(name: String, s: String): Boolean =
+    ("(?i)(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+      "(?![A-Za-z0-9_])").r.findFirstIn(s).isDefined
+
+  /** Bind view `name` as a temp view of its expanded defining query,
+    * dependencies (view-on-view) first; a reference cycle fails
+    * loudly instead of recursing forever. */
+  private def bindView(spark: SparkSession, catalog: GraftCatalog,
+      name: String, seen: Set[String]): Unit = {
+    val q = catalog.viewSql(name)
+    catalog.views.filter(v => v != name && mentionedIn(v, q)).foreach {
+      v =>
+        require(!seen.contains(v),
+          s"view reference cycle: ${(seen + v).mkString(" -> ")}")
+        bindView(spark, catalog, v, seen + v)
+    }
+    sql(spark, q, catalog.tables).createOrReplaceTempView(name)
   }
 
   /** The MERGE route of [[exec]] — parse the clause list and hand it

@@ -174,6 +174,23 @@ object MaterializedView {
     catalog.tables.keys.filter(isMaterializedView(catalog, _))
       .foreach(n => register(catalog, n, readDef(catalog, n)))
 
+  /** Unwire the rewrite registration (if any) keyed on `root` — the
+    * DROP TABLE / RENAME hook closing the dangling-registration leak
+    * when an MV's backing table leaves through a PLAIN catalog route.
+    * No-op on non-MV roots. */
+  private[sql] def deregisterRoot(root: String): Unit =
+    registrations.remove(root).foreach(_.deregister())
+
+  /** Re-register a persisted MV under its (possibly new) name — the
+    * RENAME re-key. */
+  private[sql] def rearm(catalog: GraftCatalog, name: String): Unit =
+    register(catalog, name, readDef(catalog, name))
+
+  /** Test observable: the roots currently holding a rewrite
+    * registration in this JVM. */
+  private[graft] def registeredRoots: Set[String] =
+    registrations.keySet.toSet
+
   /** CREATE MATERIALIZED VIEW: parse the SELECT, aggregate the base
     * ONCE at its current version, commit as the MV's v0 (basis
     * stamped), persist the definition, register the rewrite. Returns

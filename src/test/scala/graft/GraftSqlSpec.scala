@@ -451,6 +451,158 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  // ──────────────── TRUNCATE / CREATE TABLE(schema) / OVERWRITE ────
+
+  test("TRUNCATE TABLE: one metadata commit empties the snapshot; " +
+      "time travel still sees every row; the next INSERT needs no " +
+      "re-declaration") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-trunc") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .createOrReplaceTempView("trunc_seed")
+    GraftSql.exec(spark, "CREATE TABLE t AS SELECT * FROM trunc_seed",
+      cat)
+    GraftSql.exec(spark, "TRUNCATE TABLE t", cat)
+    val vt = new VersionedTable(spark, cat.rootOf("t"))
+    assert(vt.read().count() === 0L)
+    assert(vt.read().columns.toSeq === Seq("k", "s"))
+    assert(vt.readVersion(0L).count() === 2L, "time travel undoes it")
+    assert(vt.history(limit = 1).head.operation === "TRUNCATE")
+    GraftSql.exec(spark, "INSERT INTO t VALUES (3, 'c')", cat)
+    assert(GraftSql.exec(spark, "SELECT k FROM t", cat)
+      .as[Long].collect().toSeq === Seq(3L))
+  }
+
+  test("CREATE TABLE with a declared schema: empty v0, INSERT INTO " +
+      "it, partitioned layout prunes from birth") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-schema") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    GraftSql.exec(spark,
+      "CREATE TABLE ev (k BIGINT, grp STRING, v BIGINT) " +
+        "PARTITIONED BY (grp)", cat)
+    assert(cat.exists("ev"))
+    val vt = new VersionedTable(spark, cat.rootOf("ev"))
+    assert(vt.read().count() === 0L)
+    assert(vt.read().schema.fieldNames.toSeq === Seq("k", "grp", "v"))
+    assert(vt.partitionColumns === Seq("grp"))
+    GraftSql.exec(spark,
+      "INSERT INTO ev VALUES (1, 'A', 10), (2, 'B', 20)", cat)
+    assert(GraftSql.exec(spark,
+      "SELECT k FROM ev WHERE grp = 'B'", cat)
+      .as[Long].collect().toSeq === Seq(2L))
+    // the hive layout is real: the partition read plans only B
+    assert(vt.readWherePartition(Map("grp" -> "B")).count() === 1L)
+  }
+
+  test("INSERT OVERWRITE: full overwrite keeps the layout and the " +
+      "history; REPLACE WHERE rewrites ONLY the predicate's " +
+      "partitions — the others stay byte-identical (re-referenced)") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-iow") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L), (4L, "C", 40L))
+      .toDF("k", "grp", "v").createOrReplaceTempView("iow_seed")
+    GraftSql.exec(spark, "CREATE TABLE f PARTITIONED BY (grp) AS " +
+      "SELECT * FROM iow_seed", cat)
+    val vt = new VersionedTable(spark, cat.rootOf("f"))
+    val before = vt.manifestEntries(vt.currentVersion.get)
+    val untouched = before.filterNot(_.relPath.contains("grp=A"))
+      .map(_.relPath).toSet
+    assert(untouched.nonEmpty)
+    // scoped: replace exactly partition A
+    GraftSql.exec(spark, "INSERT OVERWRITE f REPLACE WHERE grp = 'A' " +
+      "VALUES (9, 'A', 90)", cat)
+    val after = vt.manifestEntries(vt.currentVersion.get)
+    assert(after.map(_.relPath).toSet.intersect(untouched) === untouched,
+      "files outside the predicate must be RE-REFERENCED, not rewritten")
+    assert(GraftSql.exec(spark, "SELECT k FROM f ORDER BY k", cat)
+      .as[Long].collect().toSeq === Seq(3L, 4L, 9L))
+    // a frame violating the predicate is refused up front
+    val e = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      "INSERT OVERWRITE f REPLACE WHERE grp = 'A' VALUES (8, 'B', 80)",
+      cat) }
+    assert(e.getMessage.contains("outside the replace predicate"))
+    // full overwrite: layout preserved, history travels
+    GraftSql.exec(spark, "INSERT OVERWRITE f VALUES (7, 'D', 70)", cat)
+    assert(vt.read().count() === 1L)
+    assert(vt.partitionColumns === Seq("grp"))
+    assert(vt.readVersion(1L).count() === 3L)
+    assert(vt.history(limit = 1).head.operation === "INSERT OVERWRITE")
+  }
+
+  // ───────────────────────── logical views ─────────────────────────
+
+  test("CREATE VIEW round-trip: a named query over CURRENT tables, " +
+      "view-on-view expands, SHOW VIEWS lists, DROP VIEW removes; " +
+      "travel clauses on a view are refused; cycles fail loudly") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-view") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "B", 30L))
+      .toDF("k", "grp", "v").createOrReplaceTempView("view_seed")
+    GraftSql.exec(spark, "CREATE TABLE base AS SELECT * FROM view_seed",
+      cat)
+    GraftSql.exec(spark, "CREATE VIEW bgrp AS " +
+      "SELECT grp, sum(v) AS total FROM base GROUP BY grp", cat)
+    GraftSql.exec(spark, "CREATE VIEW btop AS " +
+      "SELECT grp FROM bgrp WHERE total >= 50", cat)
+    assert(GraftSql.exec(spark, "SHOW VIEWS", cat)
+      .select("name").as[String].collect().toSeq === Seq("bgrp", "btop"))
+    assert(GraftSql.exec(spark,
+      "SELECT grp, total FROM bgrp ORDER BY grp", cat)
+      .as[(String, Long)].collect().toSeq ===
+      Seq(("A", 10L), ("B", 50L)))
+    assert(GraftSql.exec(spark, "SELECT grp FROM btop", cat)
+      .as[String].collect().toSeq === Seq("B"))
+    // a view always reflects the CURRENT base
+    GraftSql.exec(spark, "INSERT INTO base VALUES (4, 'A', 90)", cat)
+    assert(GraftSql.exec(spark, "SELECT grp FROM btop ORDER BY grp", cat)
+      .as[String].collect().toSeq === Seq("A", "B"))
+    // travel clause on a view: refused with the reason
+    val e1 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      "SELECT * FROM bgrp VERSION AS OF 0", cat) }
+    assert(e1.getMessage.contains("view"))
+    // a view cannot shadow a table, nor CTAS a view
+    val e2 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      "CREATE VIEW base AS SELECT 1 AS one", cat) }
+    assert(e2.getMessage.contains("table"))
+    val e3 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      "CREATE TABLE bgrp AS SELECT 1 AS one", cat) }
+    assert(e3.getMessage.contains("view"))
+    // reference cycle: created blind, caught at resolution
+    GraftSql.exec(spark, "CREATE VIEW c1 AS SELECT * FROM c2", cat)
+    GraftSql.exec(spark, "CREATE VIEW c2 AS SELECT grp FROM c1", cat)
+    val e4 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      "SELECT * FROM c1", cat) }
+    assert(e4.getMessage.contains("cycle"))
+    GraftSql.exec(spark, "DROP VIEW btop", cat)
+    assert(!cat.isView("btop") && cat.isView("bgrp"))
+  }
+
+  test("DROP TABLE and RENAME on an MV keep the rewrite registry " +
+      "clean: drop deregisters, rename re-keys onto the new root") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-mvleak") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    Seq(("A", 1L), ("B", 2L)).toDF("grp", "v")
+      .createOrReplaceTempView("mvleak_seed")
+    GraftSql.exec(spark, "CREATE TABLE b AS SELECT * FROM mvleak_seed",
+      cat)
+    GraftSql.exec(spark, "CREATE MATERIALIZED VIEW m AS " +
+      "SELECT grp, count(*) AS n FROM b GROUP BY grp", cat)
+    def roots = graft.sql.MaterializedView.registeredRoots
+    assert(roots.contains(cat.rootOf("m")))
+    // RENAME re-keys the registration
+    GraftSql.exec(spark, "ALTER TABLE m RENAME TO m2", cat)
+    assert(!roots.contains(cat.rootOf("m")) &&
+      roots.contains(cat.rootOf("m2")))
+    // plain DROP TABLE (not DROP MATERIALIZED VIEW) deregisters too
+    GraftSql.exec(spark, "DROP TABLE m2", cat)
+    assert(!roots.contains(cat.rootOf("m2")))
+  }
+
   // ───────────────────────── INSERT guards ─────────────────────────
 
   test("INSERT column list: unlisted columns take their DEFAULT or " +
