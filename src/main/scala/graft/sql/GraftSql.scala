@@ -57,10 +57,10 @@ object GraftSql {
     s"\\s+CONSTRAINT\\s+($ident)\\s+CHECK\\s*\\((.*)\\)$$").r
   private val alterDropConRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+DROP" +
     s"\\s+CONSTRAINT\\s+($ident)$$").r
-  private val mergeRe = (s"(?is)^MERGE\\s+INTO\\s+($ident)" +
-    s"(?:\\s+(?:AS\\s+)?($ident))?\\s+USING\\s+($ident|\\([^()]*" +
-    s"(?:\\([^()]*\\)[^()]*)*\\))" + // a name, or one paren-nested subquery
-    s"(?:\\s+(?:AS\\s+)?($ident))?\\s+ON\\s+(.*?)\\s+(WHEN\\s+.*)$$").r
+  private val mergeHeadRe = (s"(?is)^MERGE\\s+INTO\\s+($ident)" +
+    s"(?:\\s+(?:AS\\s+)?($ident))?\\s+USING\\s+(.*)$$").r
+  private val mergeTailRe =
+    s"(?is)^\\s*(?:(?:AS\\s+)?($ident)\\s+)?ON\\s+(.*?)\\s+(WHEN\\s+.*)$$".r
   private val ctasRe = (s"(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+($ident)" +
     "(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s+AS\\s+(.*)$").r
   // two forms: the mandatory-PARTITIONED one first, because a greedy
@@ -245,9 +245,16 @@ object GraftSql {
           a.substring(0, i).trim -> expr(a.substring(i + 1).trim)
         }.toMap
         status("UPDATE", vt.updateVectorizedWhere(expr(predTxt), set))
-      case mergeRe(tName, tAliasOpt, sName, sAliasOpt, onTxt, clausesTxt) =>
-        status("MERGE", execMerge(spark, versionedTables, tName,
-          Option(tAliasOpt), sName, Option(sAliasOpt), onTxt, clausesTxt))
+      case mergeHeadRe(tName, tAliasOpt, usingTail) =>
+        val (sName, tail) = mergeSource(usingTail.trim)
+        tail match {
+          case mergeTailRe(sAliasOpt, onTxt, clausesTxt) =>
+            status("MERGE", execMerge(spark, versionedTables, tName,
+              Option(tAliasOpt), sName, Option(sAliasOpt), onTxt,
+              clausesTxt))
+          case other => sys.error("MERGE expects `USING <src> [AS a] " +
+            s"ON <cond> WHEN ...`, got after the source: $other")
+        }
       case truncateRe(name) =>
         status("TRUNCATE", vtOf(name).truncate())
       case insertOverwriteRe(name, rest0) =>
@@ -574,6 +581,38 @@ object GraftSql {
         exec(spark, st, catalog.tables)
     }
   }
+
+  /** Split a MERGE's `USING` tail into (source operand, rest): the
+    * operand is either a parenthesized subquery — scanned to ITS
+    * matching close, string-literal-aware, so parens inside string
+    * literals and arbitrarily nested subselects parse (a fixed
+    * nesting-depth regex cannot) — or a bare identifier. */
+  private def mergeSource(rest: String): (String, String) =
+    if (rest.startsWith("(")) {
+      var depth = 0; var inStr = false; var i = 0; var end = -1
+      while (i < rest.length && end < 0) {
+        val c = rest.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      require(end > 0,
+        "MERGE ... USING (: unbalanced parentheses in the subquery")
+      (rest.substring(0, end + 1), rest.substring(end + 1))
+    } else {
+      val m = s"(?s)^($ident)(.*)$$".r
+      rest match {
+        case m(name, tail) => (name, tail)
+        case _ => sys.error(
+          s"MERGE ... USING expects a table name or (subquery), got: " +
+            rest.take(80))
+      }
+    }
 
   /** Word-bounded, case-insensitive mention of `name` in `s`. */
   private def mentionedIn(name: String, s: String): Boolean =

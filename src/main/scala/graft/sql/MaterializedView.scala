@@ -494,6 +494,15 @@ object MaterializedView {
     require(countStar.isDefined, "CREATE MATERIALIZED VIEW requires a " +
       "count(*) column — it is how REFRESH detects emptied groups " +
       "(and what count(*) rollups serve from)")
+    // every sum needs its paired non-null count: REFRESH's fold uses
+    // it to return an all-NULL group's sum to NULL exactly (coalesce-
+    // zero alone would freeze it at 0, diverging from the base plan),
+    // and it is what unlocks the avg() rewrite besides
+    sums.keys.foreach(m => require(counts.contains(m),
+      s"sum($m) needs its paired non-null count: add `count($m) AS " +
+        s"cnt_$m` to the SELECT — REFRESH folds the sum back to NULL " +
+        "through it when a group's last non-null value leaves, and " +
+        "avg() rewrites divide by it"))
     val outNames = dims ++ (sums.values.toSeq ++ counts.values.toSeq ++
       mins.values.toSeq ++ maxs.values.toSeq) ++ countStar.toSeq
     val dupNames = outNames.diff(outNames.distinct).distinct

@@ -140,6 +140,27 @@ class GraftSqlSpec extends AnyFunSuite {
       (4L, 40L, "new"), (5L, 51L, "nmbs"))) // k=3 already gone; no churn
   }
 
+  test("exec: MERGE USING (subquery) parses through parens inside " +
+      "string literals and two levels of nesting (scanner, not a " +
+      "fixed-depth regex)") {
+    val root = Fixtures.tempDir("graft-sql-merge-paren") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write(Seq((1L, "(x)"), (2L, "y")).toDF("k", "s"))
+    Seq((1L, "(x)"), (3L, "z"), (4L, "(x)"))
+      .toDF("k", "s").createOrReplaceTempView("mp_src")
+    GraftSql.exec(spark,
+      """MERGE INTO t USING (
+           SELECT k, s FROM (
+             SELECT k, s FROM mp_src WHERE s = '(x)'
+           ) inner_q WHERE k IN (SELECT k FROM mp_src WHERE k <= 4)
+         ) AS src ON t.k = src.k
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""",
+      Map("t" -> root))
+    assert(vt.read().orderBy("k").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "(x)"), (2L, "y"), (4L, "(x)")))
+  }
+
   test("exec: MERGE clause ORDER is SQL's first-match-wins — an " +
       "UPDATE before a DELETE claims its rows; a source named 't' " +
       "does not corrupt target-qualified conditions") {
@@ -374,9 +395,15 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("count(*)"))
     val e3 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
       """CREATE MATERIALIZED VIEW m3 AS
-         SELECT grp, sum(ratio) AS s, count(*) AS n
+         SELECT grp, sum(ratio) AS s, count(ratio) AS c, count(*) AS n
          FROM g GROUP BY grp""", cat) }
     assert(e3.getMessage.contains("integral"))
+    // a sum without its paired non-null count: refused with the fix
+    val e3b = intercept[IllegalArgumentException] { GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW m3b AS
+         SELECT grp, sum(cents) AS s, count(*) AS n
+         FROM g GROUP BY grp""", cat) }
+    assert(e3b.getMessage.contains("count(cents)"))
     val e4 = intercept[IllegalArgumentException] { GraftSql.exec(spark,
       """CREATE MATERIALIZED VIEW g AS
          SELECT grp, count(*) AS n FROM g GROUP BY grp""", cat) }
