@@ -3082,45 +3082,107 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
   }
 
-  /** Was every file removal in (fromV, toV] a DV death (a DML commit
-    * dropping a file its mask fully covered)? A per-commit manifest
-    * walk — driver-side set arithmetic over O(window commits) small
-    * manifest reads; commits that remove files must be DV DML (their
-    * removals are deaths by construction: [[maskedEntry]] only drops
-    * an entry when the chain covers every row). Any removal by a
-    * non-DV operation (overwrite, TRUNCATE, layout op that slipped
-    * the op-name check) makes the window non-derivable. */
+  /** Was every file removal in (fromV, toV] a whole-file DEATH — a
+    * removal whose rows are all provably deleted, so the feed can
+    * emit the file's prior live rows as deletes? Two derivable
+    * classes, checked per commit (driver-side set arithmetic over
+    * O(window commits) small manifest reads):
+    *
+    *  - DV DML commits: [[maskedEntry]] only drops an entry when its
+    *    chain covers every row, so their removals are deaths by
+    *    construction;
+    *  - pure-removal DELETE / TRUNCATE commits (removed files, added
+    *    NONE): a delete that rewrote survivors into new files would
+    *    have added them, so zero adds proves every removed row died —
+    *    this admits metadata partition deletes and TRUNCATE.
+    *
+    * Any other removal (overwrite, RESTORE, a rewrite-delete with
+    * surviving rows) makes the window non-derivable. */
   private def removalsAllDvDeaths(fromV: Long, toV: Long): Boolean = {
     val opByV = history(limit = Int.MaxValue)
       .filter(h => h.version > fromV && h.version <= toV)
       .map(h => h.version -> h.operation).toMap
     def dvDml(op: String) = op.startsWith("DELETE DV") ||
       op.startsWith("UPDATE DV") || op.startsWith("MERGE DV")
+    def pureRemovalOp(op: String) = op == "TRUNCATE" ||
+      op.toUpperCase.startsWith("DELETE")
     var prev = readManifest(fromV).entries.map(_.relPath).toSet
     ((fromV + 1) to toV).forall { v =>
       val cur = readManifest(v).entries.map(_.relPath).toSet
       val removedHere = (prev -- cur).nonEmpty
+      val addedHere = (cur -- prev).nonEmpty
       prev = cur
-      !removedHere || opByV.get(v).exists(dvDml)
+      !removedHere || opByV.get(v).exists(op =>
+        dvDml(op) || (pureRemovalOp(op) && !addedHere))
     }
   }
 
-  /** [[changes]] computed PER COMMIT and unioned — the EVENT-form feed
-    * for signed consumers (IVM folds: inserts +, deletes −, so an
-    * insert-then-delete pair inside the window cancels arithmetically
-    * rather than by compaction). Each single-commit slice classifies
-    * independently, so a window MIXING DML with OPTIMIZE/REORG stays
-    * O(changed files + masked rows): the layout slices answer empty
-    * from history, the DML slices ride their manifest/DV fast paths —
-    * the mix that forces the endpoint form of [[changes]] into its
-    * two-full-scan fallback. Driver cost: O(window commits) manifest
-    * reads. */
+  /** [[changes]] computed over COMMIT SPANS and unioned — the signed-
+    * consumer feed (IVM folds: inserts +, deletes −; any insert-then-
+    * delete pair either compacts inside a span or cancels
+    * arithmetically in the fold, so both give the same folded state).
+    * Commits classify individually, then MAXIMAL RUNS of derivable
+    * DML/append commits plan as ONE endpoint slice each — a 1000-
+    * commit append/DML backlog is one plan, not a 1000-way union —
+    * while layout commits (OPTIMIZE / REORG) contribute nothing and
+    * only genuinely non-derivable commits (overwrites, RESTOREs,
+    * history gaps) pay a single-commit snapshot diff. A window MIXING
+    * DML with OPTIMIZE therefore stays O(changed files + masked
+    * rows), where the plain endpoint form of [[changes]] must fall
+    * back. Driver cost: O(window commits) manifest reads. */
   def changesPerCommit(fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 0 && fromV <= toV,
       s"changesPerCommit range is invalid: $fromV..$toV")
     if (fromV == toV) return changes(toV, toV)
-    ((fromV + 1) to toV).map(v => changes(v - 1, v))
-      .reduce(_ unionByName _)
+    val opByV = history(limit = Int.MaxValue)
+      .filter(h => h.version > fromV && h.version <= toV)
+      .map(h => h.version -> h.operation).toMap
+    def rewriteSafe(op: String) =
+      op.startsWith("OPTIMIZE") || op == "REORG PURGE"
+    def dvDml(op: String) = op.startsWith("DELETE DV") ||
+      op.startsWith("UPDATE DV") || op.startsWith("MERGE DV")
+    def pureRemovalOp(op: String) = op == "TRUNCATE" ||
+      op.toUpperCase.startsWith("DELETE")
+    // 0 = mergeable (derivable DML/append), 1 = layout (empty),
+    // 2 = other (single-commit snapshot diff)
+    var prev = readManifest(fromV)
+    val classes: Seq[(Long, Int)] = ((fromV + 1) to toV).map { v =>
+      val cur = readManifest(v)
+      val prevBy = prev.entries.map(e => e.relPath -> e).toMap
+      val curPaths = cur.entries.map(_.relPath).toSet
+      val removed = prevBy.keySet.exists(!curPaths.contains(_))
+      val added = cur.entries.exists(e => !prevBy.contains(e.relPath))
+      val dvShrunk = cur.entries.exists(e =>
+        prevBy.get(e.relPath).exists(o => e.dvRows < o.dvRows))
+      prev = cur
+      val cls = opByV.get(v) match {
+        case None => 2 // history gap: prove nothing
+        case Some(op) if op.startsWith("RESTORE") => 2
+        case Some(op) if rewriteSafe(op) => 1 // layout moves no rows
+        case Some(_) if dvShrunk => 2
+        case Some(op) if removed &&
+          !(dvDml(op) || (pureRemovalOp(op) && !added)) => 2
+        case Some(_) => 0
+      }
+      v -> cls
+    }
+    // fold consecutive mergeable commits into one endpoint span
+    val slices = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var spanStart = -1L
+    def flushSpan(endV: Long): Unit = if (spanStart >= 0) {
+      slices += changes(spanStart - 1, endV)
+      spanStart = -1L
+    }
+    classes.foreach { case (v, cls) =>
+      cls match {
+        case 0 => if (spanStart < 0) spanStart = v
+        case 1 => flushSpan(v - 1) // layout: nothing to emit
+        case 2 => flushSpan(v - 1); slices += changes(v - 1, v)
+      }
+    }
+    flushSpan(toV)
+    if (slices.isEmpty) changes(toV, toV) // all-layout window: empty
+    else slices.reduce(_ unionByName _)
   }
 
   /** Commit timestamps (M33 monotone in-commit time) for versions in

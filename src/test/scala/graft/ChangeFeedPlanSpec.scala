@@ -148,6 +148,76 @@ class ChangeFeedPlanSpec extends AnyFunSuite {
       s"only the DV-touched base file may be planned, got $planned")
   }
 
+  test("a TRUNCATE window derives: prior live rows surface as deletes " +
+      "(no snapshot diff), and a truncate-then-reinsert window nets " +
+      "to delete-all + insert-new") {
+    val root = Fixtures.tempDir("cfp-trunc") + "/tbl"
+    val vt = new VersionedTable(spark, root)
+    vt.write((0L until 50L).map(i => (i, s"v$i")).toDF("id", "s"))  // v0
+    vt.deleteVectorized("id", 0, 9)                                 // v1
+    vt.truncate()                                                   // v2
+    // only v1's LIVE rows die at v2 (0..9 were already gone)
+    assert(rowsOf(vt.changes(1L, 2L)) ===
+      (10L until 50L).map(_ -> "delete").toSet)
+    vt.write(Seq((900L, "new")).toDF("id", "s"), SaveMode.Append)   // v3
+    assert(rowsOf(vt.changes(1L, 3L)) ===
+      ((10L until 50L).map(_ -> "delete").toSet + (900L -> "insert")))
+  }
+
+  test("property: replaying the per-commit feed reconstructs every " +
+      "snapshot across random DML + maintenance interleavings " +
+      "(folds, deaths, updates, optimize/reorg) under a tiny cap") {
+    spark.conf.set("graft.dv.maxChainLinks", "2")
+    try {
+      val rnd = new scala.util.Random(20260817L)
+      (0 until 2).foreach { trial =>
+        val root = Fixtures.tempDir(s"cfp-prop$trial") + "/tbl"
+        val vt = new VersionedTable(spark, root)
+        var nextId = 1000L
+        vt.write((0L until 200L).map(i => (i, s"v$i")).toDF("id", "s")
+          .repartitionByRange(3, col("id")))                      // v0
+        (0 until 10).foreach { _ =>
+          rnd.nextInt(5) match {
+            case 0 => vt.deleteVectorized("id",
+              rnd.nextInt(200).toDouble,
+              (rnd.nextInt(200) + 40).toDouble)
+            case 1 => vt.updateVectorizedWhere(
+              col("id") % (2 + rnd.nextInt(4)) === 0,
+              Map("s" -> concat(col("s"), lit("u"))))
+            case 2 =>
+              val rows = (0 until rnd.nextInt(4) + 1).map { _ =>
+                nextId += 1; (nextId, s"v$nextId") }
+              vt.write(rows.toDF("id", "s"), SaveMode.Append)
+            case 3 => vt.compact()
+            case 4 => vt.reorgPurge()
+          }
+        }
+        val head = vt.currentVersion.get
+        // replay: value-multiset folded from each commit's feed must
+        // equal the corresponding snapshot, at EVERY version
+        var state = scala.collection.mutable.Map[(Long, String), Long]()
+        vt.readVersion(0L).as[(Long, String)].collect()
+          .foreach(r => state(r) = state.getOrElse(r, 0L) + 1L)
+        (1L to head).foreach { v =>
+          vt.changes(v - 1, v).select("id", "s", "_change_type")
+            .as[(Long, String, String)].collect().foreach {
+              case (id, s, "insert") =>
+                state((id, s)) = state.getOrElse((id, s), 0L) + 1L
+              case (id, s, "delete") =>
+                val n = state.getOrElse((id, s), 0L) - 1L
+                if (n == 0L) state.remove((id, s)) else state((id, s)) = n
+              case other => fail(s"unexpected change row: $other")
+            }
+          val snap = scala.collection.mutable.Map[(Long, String), Long]()
+          vt.readVersion(v).as[(Long, String)].collect()
+            .foreach(r => snap(r) = snap.getOrElse(r, 0L) + 1L)
+          assert(state === snap,
+            s"trial $trial: replayed state diverged at v$v")
+        }
+      }
+    } finally spark.conf.unset("graft.dv.maxChainLinks")
+  }
+
   test("changesPerCommit stays O(changed) across a window MIXING DML " +
       "with OPTIMIZE: layout slices empty, DML slices file-pruned") {
     val root = Fixtures.tempDir("cfp-slices") + "/tbl"
