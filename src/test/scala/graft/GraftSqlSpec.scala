@@ -559,6 +559,40 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(vt.history(limit = 1).head.operation === "INSERT OVERWRITE")
   }
 
+  test("INSERT OVERWRITE REPLACE WHERE on a NON-partition predicate " +
+      "is row-exact: touched files rewrite with their non-matching " +
+      "rows preserved, provably-unaffected files re-referenced") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-iow-row") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    // three files striped by k: [1,100], [101,200], [201,300]
+    val vt = new VersionedTable(spark, cat.rootOf("t"))
+    vt.write((1L to 300L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartitionByRange(3, col("k")))
+    val before = vt.manifestEntries(vt.currentVersion.get)
+      .map(_.relPath).toSet
+    // replace rows 150..160 (inside ONE stripe) with two new rows
+    GraftSql.exec(spark, "INSERT OVERWRITE t " +
+      "REPLACE WHERE k BETWEEN 150 AND 160 " +
+      "VALUES (150, 999), (160, 888)", cat)
+    val after = vt.manifestEntries(vt.currentVersion.get)
+      .map(_.relPath).toSet
+    // stripes the stats prove unaffected are RE-REFERENCED
+    assert(before.intersect(after).size >= 1,
+      s"expected untouched stripes re-referenced; before=$before " +
+        s"after=$after")
+    val got = GraftSql.exec(spark,
+      "SELECT count(*) AS n, sum(v) AS s FROM t", cat)
+      .as[(Long, Long)].head()
+    val want = (1L to 300L).filterNot(k => k >= 150 && k <= 160)
+      .map(_ * 10L).sum + 999L + 888L
+    assert(got === ((300L - 11L + 2L, want)))
+    // the touched stripe's non-matching rows survived exactly
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) AS n FROM t WHERE k BETWEEN 101 AND 149", cat)
+      .as[Long].head() === 49L)
+  }
+
   // ───────────────────────── logical views ─────────────────────────
 
   test("CREATE VIEW round-trip: a named query over CURRENT tables, " +
