@@ -3416,6 +3416,54 @@ final class VersionedTable(spark: SparkSession, root: String) {
     }
   }
 
+  /** ALTER TABLE … ALTER COLUMN … TYPE (Delta type widening's DDL
+    * form) without rewriting a byte of data: ONE manifest-only commit
+    * records the WIDENED physical snapshot schema (int→long,
+    * float→double — the lossless promotions [[VersionedTable.widens]]
+    * sanctions); every existing file keeps its narrow physical type
+    * and the parquet vectorized reader up-casts at scan time, exactly
+    * as append-time widening already relies on. Stats pruning is
+    * unaffected — manifest min/max are stored as unit-preserving
+    * doubles and predicate literals convert through the (now wider)
+    * analyzed column type. Appends after the commit write the wide
+    * type natively; narrow producers keep working through the
+    * append path's `allowTypeWidening`. Partition columns are refused
+    * (their values live in file paths, typed by the layout). Time
+    * travel at prior versions sees the narrow type — versioned state
+    * like everything else. */
+  def widenColumnType(name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    commitWithRebase(rebase = false) { () =>
+      val curV = currentVersion.getOrElse(
+        sys.error(s"table $root does not exist"))
+      val cur = readManifest(curV)
+      val mapping = mappingOrIdentity(cur)
+      val phys = mapping.find(_._1 == name).map(_._2).getOrElse(
+        sys.error(s"no column $name at $root " +
+          s"(has: ${mapping.map(_._1).mkString(",")})"))
+      require(!cur.partitionBy.contains(phys),
+        s"cannot widen partition column $name of $root — partition " +
+          "values are typed by the file layout")
+      val schema = snapshotSchema(cur)
+      val f = schema(phys)
+      require(f.dataType != to,
+        s"column $name of $root is already ${to.catalogString}")
+      require(VersionedTable.widens(f.dataType, to),
+        s"ALTER COLUMN TYPE only widens losslessly " +
+          s"(int->bigint, float->double): $name is " +
+          s"${f.dataType.catalogString}, requested ${to.catalogString}")
+      val widened = StructType(schema.fields.map(x =>
+        if (x.name == phys) x.copy(dataType = to) else x))
+      val next = curV + 1
+      writeManifest(next, cur.copy(schema = Some(widened)))
+      appendHistory(next,
+        s"ALTER COLUMN $name TYPE ${to.catalogString}",
+        cur.entries.map(_.liveRows).sum)
+      pointTo(next)
+      next
+    }
+  }
+
   /** ALTER TABLE … ADD COLUMN … NOT NULL DEFAULT <literal> without
     * rewriting a byte of data — the Postgres "fast ADD COLUMN" /
     * Iceberg `initial-default` semantics a 100 TB backfill actually

@@ -1045,6 +1045,53 @@ object Relational {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** STAR-JOIN MATERIALIZED VIEW (q264; exact two-sided IVM —
+    * [[graft.sql.MaterializedView]] grown to `FROM fact JOIN dim`):
+    * the revenue-by-segment dashboard materializes over orders ⋈
+    * customer; then BOTH sides churn in one window — a DV DELETE
+    * retires an order band (fact delta) and an UPDATE migrates every
+    * 10th customer's segment (dim attribute move) — and REFRESH folds
+    * the signed identity `ΔF⋈D_new ∪ F_old⋈ΔD` into the summary: the
+    * fact delta joins the CURRENT dim (broadcast-sized), the dim
+    * delta joins the PINNED old fact with the changed join keys
+    * pushed toward manifest pruning, and the migrated customers'
+    * surviving orders re-sign out of their old segment and into
+    * MIGRATED. The oracle recomputes the dashboard from the mutated
+    * bases; a one-sided fold, a stale dim join, or double-counting
+    * the overlap all hash-mismatch. Scale: the refresh shuffles
+    * O(changed rows on either side) — never re-aggregates the join —
+    * and the dashboard reads the KB-scale summary by name. */
+  def mvJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvjoin")
+      .toString + "/wh"
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    load(spark, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"))
+      .createOrReplaceTempView("q264_orders")
+    load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .createOrReplaceTempView("q264_customer")
+    graft.sql.GraftSql.execScript(spark,
+      """CREATE TABLE fact AS SELECT * FROM q264_orders;
+         CREATE TABLE dim AS SELECT * FROM q264_customer;
+         CREATE MATERIALIZED VIEW seg_rev AS
+           SELECT c_mktsegment, sum(cents) AS cents_total,
+                  count(cents) AS cnt_cents, count(*) AS n_orders
+           FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+           GROUP BY c_mktsegment;
+         -- both sides churn before ONE refresh
+         DELETE FROM fact WHERE o_orderkey BETWEEN 100 AND 399;
+         UPDATE dim SET c_mktsegment = 'MIGRATED'
+           WHERE c_custkey % 10 = 0;
+         REFRESH MATERIALIZED VIEW seg_rev""", cat)
+    graft.sql.GraftSql.exec(spark,
+      """SELECT c_mktsegment, CAST(cents_total AS BIGINT) AS cents_total,
+                cnt_cents, n_orders
+         FROM seg_rev ORDER BY c_mktsegment""", cat)
+  }
+
   /** SQL CATALOG PIPELINE (q255; CTAS + bare-name resolution over a
     * warehouse catalog, [[graft.sql.GraftCatalog]] +
     * [[graft.sql.GraftSql.exec]]): the bronze→gold flow a SQL-only
@@ -2732,6 +2779,7 @@ object Relational {
     "q261_sql_ddl2" -> sqlDdlTier2,
     "q262_sql_views" -> sqlViews,
     "q263_mv_minmax" -> mvMinMax,
+    "q264_mv_join" -> mvJoin,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -3610,6 +3658,27 @@ object Relational {
          SELECT st, min(cents) AS lo, max(cents) AS hi, count(*) AS n
          FROM f WHERE cents < 40000000
          GROUP BY st ORDER BY st""",
+    "q264_mv_join" ->
+      // the star-join MV after BOTH-side churn (fact band DELETE +
+      // dim segment migration) must equal the dashboard recomputed
+      // from the mutated bases — a one-sided fold, a stale dim join,
+      // or overlap double-counting all hash-mismatch
+      """WITH f AS (
+           SELECT o_orderkey, o_custkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderkey NOT BETWEEN 100 AND 399),
+         d AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 10 = 0 THEN 'MIGRATED'
+                       ELSE c_mktsegment END AS c_mktsegment
+           FROM customer)
+         SELECT d.c_mktsegment,
+                CAST(sum(f.cents) AS BIGINT) AS cents_total,
+                count(f.cents) AS cnt_cents, count(*) AS n_orders
+         FROM f JOIN d ON f.o_custkey = d.c_custkey
+         GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""",
     "q254_mv_ivm_rewrite" ->
       // the MV was maintained purely from the change feed (insert
       // deltas from the append, signed deletes from the DV band), so

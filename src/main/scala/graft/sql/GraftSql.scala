@@ -46,6 +46,11 @@ object GraftSql {
     "(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?$").r
   private val historyRe = s"(?is)^DESCRIBE\\s+HISTORY\\s+($ident)$$".r
   private val detailRe = s"(?is)^DESCRIBE\\s+DETAIL\\s+($ident)$$".r
+  private val describeRe = s"(?is)^DESCRIBE\\s+(?:TABLE\\s+)?($ident)$$".r
+  private val reorgRe = (s"(?is)^REORG\\s+TABLE\\s+($ident)\\s+APPLY" +
+    "\\s*\\(\\s*PURGE\\s*\\)$").r
+  private val alterWidenRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+ALTER" +
+    s"\\s+COLUMN\\s+($ident)\\s+TYPE\\s+([A-Za-z0-9_()<>, ]+?)\\s*$$").r
   private val alterRenameRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+RENAME" +
     s"\\s+COLUMN\\s+($ident)\\s+TO\\s+($ident)$$").r
   private val alterDropColRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+DROP" +
@@ -73,6 +78,14 @@ object GraftSql {
   private val truncateRe = s"(?is)^TRUNCATE\\s+TABLE\\s+($ident)$$".r
   private val insertOverwriteRe =
     s"(?is)^INSERT\\s+OVERWRITE\\s+(?:TABLE\\s+)?($ident)\\s+(.*)$$".r
+  private val cloneRe = (s"(?is)^CREATE\\s+TABLE\\s+($ident)\\s+" +
+    s"(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+($ident)" +
+    "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)" +
+    "|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?$").r
+  private val convertRe = (s"(?is)^CONVERT\\s+TO\\s+(?:DELTA|GRAFT)" +
+    s"\\s+($ident)(?:\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?$$").r
+  private val showCreateRe =
+    s"(?is)^SHOW\\s+CREATE\\s+TABLE\\s+($ident)$$".r
   private val createViewRe = (s"(?is)^CREATE\\s+(OR\\s+REPLACE\\s+)?" +
     s"VIEW\\s+($ident)\\s+AS\\s+(.*)$$").r
   private val dropViewRe = s"(?is)^DROP\\s+VIEW\\s+($ident)$$".r
@@ -431,6 +444,33 @@ object GraftSql {
       case alterDropConRe(name, conName) =>
         status("ALTER DROP CONSTRAINT",
           vtOf(name).dropCheckConstraint(conName))
+      case describeRe(name) =>
+        // plain `DESCRIBE [TABLE] t` — Spark's three-column shape,
+        // with the partition-information section when partitioned;
+        // schema comes from the manifest plan, zero data IO
+        val vt = vtOf(name)
+        val schema = vt.read().schema
+        val partCols = vt.partitionColumns
+        val colRows = schema.fields.toSeq.map(f =>
+          (f.name, f.dataType.catalogString,
+            if (f.nullable) null else "NOT NULL"))
+        val partRows =
+          if (partCols.isEmpty) Seq.empty
+          else ("# Partition Information", "", null) +:
+            partCols.map(p =>
+              (p, schema(p).dataType.catalogString, null))
+        import spark.implicits._
+        (colRows ++ partRows).toDF("col_name", "data_type", "comment")
+      case reorgRe(name) =>
+        // Delta `REORG TABLE ... APPLY (PURGE)` — rewrite only the
+        // DV-masked files, dropping soft-deleted rows physically
+        status("REORG TABLE APPLY (PURGE)", vtOf(name).reorgPurge())
+      case alterWidenRe(name, colName, ddlType) =>
+        // Delta type widening's DDL form: metadata-only, int->bigint /
+        // float->double, existing files read up-cast natively
+        val to = org.apache.spark.sql.types.DataType.fromDDL(ddlType.trim)
+        status(s"ALTER COLUMN $colName TYPE ${to.catalogString}",
+          vtOf(name).widenColumnType(colName, to))
       case detailRe(name) =>
         // Delta `DESCRIBE DETAIL`: live table stats, straight from the
         // current manifest — zero data IO
@@ -517,6 +557,52 @@ object GraftSql {
         import spark.implicits._
         Seq(("ALTER TABLE RENAME", from, to))
           .toDF("operation", "table", "renamed_to")
+      case cloneRe(dest, kindOpt, src, vOpt, tsOpt) =>
+        // Delta `CREATE TABLE dest [SHALLOW|DEEP] CLONE src [VERSION
+        // AS OF n | TIMESTAMP AS OF 'ts']` — DEEP when unqualified
+        // (Delta's default): the clone owns its bytes. SHALLOW commits
+        // a manifest referencing the source's files (O(metadata)).
+        require(!catalog.isView(dest),
+          s"$dest is a view in ${catalog.warehouse} — DROP VIEW it first")
+        require(catalog.exists(src),
+          s"clone source $src does not exist in ${catalog.warehouse}")
+        val srcVt = new graft.io.VersionedTable(spark, catalog.rootOf(src))
+        val asOf: Option[Long] = Option(vOpt).map(_.toLong)
+          .orElse(Option(tsOpt).map(srcVt.versionAtTimestamp))
+        val shallow = Option(kindOpt).exists(_.equalsIgnoreCase("SHALLOW"))
+        if (shallow) srcVt.shallowCloneTo(catalog.rootOf(dest), asOf)
+        else srcVt.deepCloneTo(catalog.rootOf(dest), asOf)
+        import spark.implicits._
+        Seq(((if (shallow) "SHALLOW CLONE" else "DEEP CLONE"), dest, src,
+          asOf.getOrElse(srcVt.currentVersion.get)))
+          .toDF("operation", "table", "source", "source_version")
+      case convertRe(name, partCols) =>
+        // `CONVERT TO DELTA t [PARTITIONED BY (...)]` — adopt the
+        // plain-parquet directory at the catalog root in place: one
+        // manifest write, zero data IO
+        val vt = new graft.io.VersionedTable(spark, catalog.rootOf(name))
+        val v = vt.convertInPlace(
+          Option(partCols).map(splitTop).getOrElse(Seq.empty))
+        import spark.implicits._
+        Seq(("CONVERT", name, v)).toDF("operation", "table", "version")
+      case showCreateRe(name) =>
+        val stmt =
+          if (catalog.isView(name))
+            s"CREATE VIEW $name AS ${catalog.viewSql(name)}"
+          else if (MaterializedView.isMaterializedView(catalog, name))
+            MaterializedView.createStatement(catalog, name)
+          else {
+            require(catalog.exists(name),
+              s"table $name does not exist in ${catalog.warehouse}")
+            val vt = new graft.io.VersionedTable(spark,
+              catalog.rootOf(name))
+            val part = vt.partitionColumns
+            s"CREATE TABLE $name (${vt.read().schema.toDDL})" +
+              (if (part.isEmpty) ""
+               else s" PARTITIONED BY (${part.mkString(", ")})")
+          }
+        import spark.implicits._
+        Seq(stmt).toDF("createtab_stmt")
       case ctasRe(orReplace, name, partCols, query) =>
         val df = sql(spark, query.trim, catalog.tables)
         val v = catalog.createTable(name, df,

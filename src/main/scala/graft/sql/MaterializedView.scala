@@ -58,6 +58,10 @@ object MaterializedView {
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
   private val selectRe = (s"(?is)^SELECT\\s+(.*?)\\s+FROM\\s+($ident)" +
     "\\s+GROUP\\s+BY\\s+(.*)$").r
+  private val selectJoinRe = (s"(?is)^SELECT\\s+(.*?)\\s+FROM\\s+" +
+    s"($ident)(?:\\s+(?:AS\\s+)?($ident))?\\s+JOIN\\s+" +
+    s"($ident)(?:\\s+(?:AS\\s+)?($ident))?\\s+ON\\s+(.*?)" +
+    "\\s+GROUP\\s+BY\\s+(.*)$").r
   private val sumRe = s"(?is)^SUM\\s*\\(\\s*($ident)\\s*\\)\\s+AS\\s+($ident)$$".r
   private val cntStarRe =
     s"(?is)^COUNT\\s*\\(\\s*(?:\\*|1)\\s*\\)\\s+AS\\s+($ident)$$".r
@@ -69,14 +73,25 @@ object MaterializedView {
     s"(?is)^MAX\\s*\\(\\s*($ident)\\s*\\)\\s+AS\\s+($ident)$$".r
   private val avgRe = s"(?is)^AVG\\s*\\(\\s*($ident)\\s*\\).*".r
 
+  /** The dimension-table side of a STAR-JOIN materialized view
+    * (`FROM fact JOIN dim ON fact.fk = dim.k`): equi-join keys
+    * pairwise (`factKeys(i) = dimKeys(i)`), and the set of OUTPUT
+    * columns (dims/measures) that resolve against the dim table —
+    * persisted so side resolution can never drift under later schema
+    * evolution of either base. */
+  final case class JoinPart(dimName: String, factKeys: Seq[String],
+      dimKeys: Seq[String], dimSideCols: Seq[String])
+
   /** One parsed, persisted definition. `sums`/`counts`/`mins`/`maxs`
     * map base measure → MV column; `countStar` is the MV's `count(*)`
-    * column (mandatory). */
+    * column (mandatory); `join` present for star-join MVs (the base
+    * is then `fact JOIN dim`). */
   final case class Def(baseName: String, dims: Seq[String],
       sums: Map[String, String], counts: Map[String, String],
       countStar: String,
       mins: Map[String, String] = Map.empty,
-      maxs: Map[String, String] = Map.empty) {
+      maxs: Map[String, String] = Map.empty,
+      join: Option[JoinPart] = None) {
     private[sql] def encode: String = {
       def enc(p: Map[String, String]) =
         p.toSeq.sorted.map { case (m, c) => s"$m>$c" }.mkString(",")
@@ -86,7 +101,12 @@ object MaterializedView {
         s"counts=${enc(counts)}",
         s"countStar=$countStar",
         s"mins=${enc(mins)}",
-        s"maxs=${enc(maxs)}").mkString("\n")
+        s"maxs=${enc(maxs)}").mkString("\n") + join.fold("") { j =>
+        "\n" + Seq(s"join_dim=${j.dimName}",
+          s"join_fact_keys=${j.factKeys.mkString(",")}",
+          s"join_dim_keys=${j.dimKeys.mkString(",")}",
+          s"join_dim_cols=${j.dimSideCols.mkString(",")}").mkString("\n")
+      }
     }
   }
 
@@ -98,10 +118,17 @@ object MaterializedView {
       s.split(',').filter(_.nonEmpty).map { p =>
         val Array(m, c) = p.split('>'); m -> c
       }.toMap
+    def list(s: String): Seq[String] =
+      s.split(',').filter(_.nonEmpty).toSeq
+    val join = kv.get("join_dim").map(dn => JoinPart(dn,
+      list(kv.getOrElse("join_fact_keys", "")),
+      list(kv.getOrElse("join_dim_keys", "")),
+      list(kv.getOrElse("join_dim_cols", ""))))
     Def(kv("base"), kv("dims").split(',').filter(_.nonEmpty).toSeq,
       pairs(kv.getOrElse("sums", "")), pairs(kv.getOrElse("counts", "")),
       kv("countStar"),
-      pairs(kv.getOrElse("mins", "")), pairs(kv.getOrElse("maxs", "")))
+      pairs(kv.getOrElse("mins", "")), pairs(kv.getOrElse("maxs", "")),
+      join)
   }
 
   private def defPath(catalog: GraftCatalog, name: String): Path =
@@ -126,17 +153,27 @@ object MaterializedView {
     finally in.close()
   }
 
-  private val basisRe = """basis=(\d+)""".r.unanchored
+  private val basisRe = """(?<![a-z_])basis=(\d+)""".r.unanchored
+  private val dimBasisRe = """dim_basis=(\d+)""".r.unanchored
 
   /** The base version the MV currently reflects — recorded in the
     * backing table's commit history, so it advances atomically with
     * the fold itself. */
-  def currentBasis(spark: SparkSession, mvRoot: String): Long = {
+  def currentBasis(spark: SparkSession, mvRoot: String): Long =
+    currentBases(spark, mvRoot)._1
+
+  /** Both recorded bases: the fact basis, plus the dim basis for
+    * star-join MVs (None on single-table MVs). Read from the SAME
+    * history line, so the pair is always mutually consistent. */
+  def currentBases(spark: SparkSession, mvRoot: String): (Long,
+      Option[Long]) = {
     val vt = new VersionedTable(spark, mvRoot)
     vt.history(limit = Int.MaxValue)
       .collectFirst { case h if basisRe.findFirstMatchIn(h.operation)
         .isDefined =>
-        basisRe.findFirstMatchIn(h.operation).get.group(1).toLong }
+        (basisRe.findFirstMatchIn(h.operation).get.group(1).toLong,
+          dimBasisRe.findFirstMatchIn(h.operation).map(_.group(1).toLong))
+      }
       .getOrElse(sys.error(s"no basis recorded in the history of " +
         s"$mvRoot — not a materialized view's backing table"))
   }
@@ -152,6 +189,10 @@ object MaterializedView {
     val mvRoot = catalog.rootOf(name)
     val baseRoot = catalog.rootOf(d.baseName)
     registrations.remove(mvRoot).foreach(_.deregister())
+    // star-join MVs are served BY NAME (the standard warehouse MV
+    // contract); the single-base aggregate-navigator rewrite does not
+    // apply to an aggregate over a join
+    if (d.join.isDefined) return
     val handle = MvRewrite.register(MvDef(
       baseRoot = baseRoot,
       mv = () => new VersionedTable(spark, mvRoot).read(),
@@ -186,6 +227,32 @@ object MaterializedView {
   private[sql] def rearm(catalog: GraftCatalog, name: String): Unit =
     register(catalog, name, readDef(catalog, name))
 
+  /** `SHOW CREATE TABLE` rendering: the CREATE MATERIALIZED VIEW
+    * statement reconstructed from the persisted definition —
+    * re-executing it on an empty warehouse (with the base present)
+    * recreates an equivalent MV. */
+  private[sql] def createStatement(catalog: GraftCatalog,
+      name: String): String = {
+    val d = readDef(catalog, name)
+    val items = d.dims ++
+      d.sums.toSeq.sortBy(_._2).map { case (m, c) => s"sum($m) AS $c" } ++
+      d.counts.toSeq.sortBy(_._2)
+        .map { case (m, c) => s"count($m) AS $c" } ++
+      d.mins.toSeq.sortBy(_._2).map { case (m, c) => s"min($m) AS $c" } ++
+      d.maxs.toSeq.sortBy(_._2).map { case (m, c) => s"max($m) AS $c" } ++
+      Seq(s"count(*) AS ${d.countStar}")
+    val from = d.join match {
+      case None => d.baseName
+      case Some(j) =>
+        val on = j.factKeys.zip(j.dimKeys).map { case (a, b) =>
+          s"${d.baseName}.$a = ${j.dimName}.$b" }.mkString(" AND ")
+        s"${d.baseName} JOIN ${j.dimName} ON $on"
+    }
+    s"CREATE MATERIALIZED VIEW $name AS SELECT " +
+      items.mkString(", ") +
+      s" FROM $from GROUP BY ${d.dims.mkString(", ")}"
+  }
+
   /** Test observable: the roots currently holding a rewrite
     * registration in this JVM. */
   private[graft] def registeredRoots: Set[String] =
@@ -204,13 +271,23 @@ object MaterializedView {
     val baseVt = new VersionedTable(spark, catalog.rootOf(d.baseName))
     val basis = baseVt.currentVersion.getOrElse(
       sys.error(s"base table ${d.baseName} does not exist"))
-    // plan the aggregate against the PINNED basis version: a commit
+    // plan the aggregate against the PINNED basis version(s): a commit
     // racing between the aggregate and the basis stamp would otherwise
     // leave the MV claiming a version it does not reflect
-    val agg = aggregate(baseVt.readVersion(basis), d)
+    val (agg, op) = d.join match {
+      case None =>
+        (aggregate(baseVt.readVersion(basis), d),
+          s"CREATE MATERIALIZED VIEW basis=$basis")
+      case Some(j) =>
+        val dimVt = new VersionedTable(spark, catalog.rootOf(j.dimName))
+        val dimBasis = dimVt.currentVersion.getOrElse(
+          sys.error(s"dim table ${j.dimName} does not exist"))
+        (aggregate(joinedBase(baseVt.readVersion(basis),
+          dimVt.readVersion(dimBasis), d), d),
+          s"CREATE MATERIALIZED VIEW basis=$basis dim_basis=$dimBasis")
+    }
     val mvVt = new VersionedTable(spark, catalog.rootOf(name))
-    val v = mvVt.write(agg,
-      operation = s"CREATE MATERIALIZED VIEW basis=$basis")
+    val v = mvVt.write(agg, operation = op)
     val p = defPath(catalog, name)
     val fs = fsOf(catalog, name)
     val out = fs.create(p, true)
@@ -227,8 +304,28 @@ object MaterializedView {
     * when already fresh. */
   def refresh(catalog: GraftCatalog, name: String): Long = {
     lastReaggRead = None
-    val spark = catalog.spark
+    lastJoinFactRead = None
     val d = readDef(catalog, name)
+    if (d.join.isDefined) refreshJoin(catalog, name, d)
+    else refreshSingle(catalog, name, d)
+  }
+
+  /** The signed event feed's ±1 per `_change_type` — loud on any
+    * event kind the fold does not understand. */
+  private def changeSign: org.apache.spark.sql.Column =
+    when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .when(col("_change_type").isin("delete", "update_preimage"),
+        lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("MV refresh: unsupported _change_type '"),
+        col("_change_type"), lit("'"))))
+
+  private def dcol(c: String) = s"_delta_$c"
+  private def dkey(k: String) = s"_delta_key_$k"
+
+  private def refreshSingle(catalog: GraftCatalog, name: String,
+      d: Def): Long = {
+    val spark = catalog.spark
     val mvRoot = catalog.rootOf(name)
     val mvVt = new VersionedTable(spark, mvRoot)
     val baseVt = new VersionedTable(spark, catalog.rootOf(d.baseName))
@@ -246,15 +343,7 @@ object MaterializedView {
     // event form costs nothing in correctness and never pays the
     // endpoint feed's full-snapshot fallback
     val changes = baseVt.changesPerCommit(basis, cur)
-    val sign =
-      when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
-        .when(col("_change_type").isin("delete", "update_preimage"),
-          lit(-1L))
-        .otherwise(raise_error(concat(
-          lit("MV refresh: unsupported _change_type '"),
-          col("_change_type"), lit("'"))))
-    def dcol(c: String) = s"_delta_$c"
-    def dkey(k: String) = s"_delta_key_$k"
+    val sign = changeSign
     val hasMinMax = d.mins.nonEmpty || d.maxs.nonEmpty
     val isIns = col("_change_type").isin("insert", "update_postimage")
     val isDel = col("_change_type").isin("delete", "update_preimage")
@@ -295,6 +384,18 @@ object MaterializedView {
           .select(d.dims.map(k => col(dkey(k))): _*)
         Some(scopedMinMax(baseVt, cur, d, affected))
       }
+    mergeAndFold(mvVt, d, delta, reagg,
+      s"REFRESH MATERIALIZED VIEW basis=$cur")
+  }
+
+  /** The shared REFRESH tail: full-outer merge of the signed delta
+    * (columns `_delta_key_<dim>` / `_delta_<mvCol>`, optional
+    * `_delta_had_deletes` + `reagg`) against the KB-scale summary,
+    * fold per measure kind, drop exactly-emptied groups, commit with
+    * the new basis in the operation string. */
+  private def mergeAndFold(mvVt: VersionedTable, d: Def,
+      delta: DataFrame, reagg: Option[DataFrame],
+      newBasisOp: String): Long = {
     val prior = mvVt.read()
     // null-safe merge: NULL is a real group to groupBy, so it must be
     // to the join too (IncrementalAgg's contract)
@@ -351,7 +452,168 @@ object MaterializedView {
         }
     val folded = merged.select(outCols: _*)
       .filter(col(d.countStar) > 0) // a group only ever reaches EXACTLY 0
-    mvVt.write(folded, operation = s"REFRESH MATERIALIZED VIEW basis=$cur")
+    mvVt.write(folded, operation = newBasisOp)
+  }
+
+  /** Star-join REFRESH — EXACT two-sided incremental maintenance via
+    * the signed multiset identity
+    *
+    *   F₁⋈D₁ − F₀⋈D₀  =  ΔF⋈D₁  ∪  F₀⋈ΔD     (ΔF = F₁−F₀ signed)
+    *
+    * so the fold is the union of two delta-shaped joins, never a
+    * re-aggregation:
+    *
+    *   - `ΔF ⋈ D_new`: the fact's per-commit event feed (O(changed
+    *     files + masked rows)) joined to the CURRENT dim — the dim is
+    *     the small star-schema side, so this broadcasts; the common
+    *     "facts appended, dims untouched" refresh costs exactly the
+    *     single-table fold plus one broadcast.
+    *   - `F_old ⋈ ΔD`: the PINNED old fact joined to the dim's event
+    *     feed — ΔD is tiny (dim rows change rarely), and when its
+    *     changed join keys are enumerable the fact read is restricted
+    *     by a min/max key envelope pushed to MANIFEST stats pruning
+    *     plus an exact IN filter ([[scopedFactRead]]): on a
+    *     key-clustered 100 TB fact this plans only the affected
+    *     files. A dim ATTRIBUTE change flows exactly: its
+    *     delete+insert event pair re-signs the joined fact rows out
+    *     of the old group and into the new one.
+    *
+    * Events multiply signs (each term carries exactly one signed
+    * feed), and the shared [[mergeAndFold]] applies the same
+    * emptied-group / NULL-sum discipline as single-table MVs. Both
+    * bases advance atomically in the commit operation string. */
+  private def refreshJoin(catalog: GraftCatalog, name: String,
+      d: Def): Long = {
+    val spark = catalog.spark
+    val j = d.join.get
+    val mvRoot = catalog.rootOf(name)
+    val mvVt = new VersionedTable(spark, mvRoot)
+    val factVt = new VersionedTable(spark, catalog.rootOf(d.baseName))
+    val dimVt = new VersionedTable(spark, catalog.rootOf(j.dimName))
+    val (bf, bdOpt) = currentBases(spark, mvRoot)
+    val bd = bdOpt.getOrElse(sys.error(
+      s"$name is a star-join MV but its history records no dim_basis"))
+    val cf = factVt.currentVersion.getOrElse(
+      sys.error(s"fact table ${d.baseName} does not exist"))
+    val cd = dimVt.currentVersion.getOrElse(
+      sys.error(s"dim table ${j.dimName} does not exist"))
+    require(cf >= bf && cd >= bd, s"a base of $name was RESTOREd " +
+      s"behind the MV (fact v$cf vs basis v$bf, dim v$cd vs basis " +
+      s"v$bd); drop and re-create the view")
+    if (cf == bf && cd == bd) return mvVt.currentVersion.get
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (cf > bf) {
+      val ch = factVt.changesPerCommit(bf, cf)
+        .withColumn("_mv_sign", changeSign)
+      parts += joinedSigned(ch, dimVt.readVersion(cd), d,
+        signOnFact = true)
+    }
+    if (cd > bd) {
+      // the dim delta is read twice (join-key envelope + the join
+      // itself) — materialize the O(changed dim rows) frame
+      val ch = dimVt.changesPerCommit(bd, cd)
+        .withColumn("_mv_sign", changeSign).localCheckpoint()
+      parts += joinedSigned(scopedFactRead(factVt, bf, j, ch), ch, d,
+        signOnFact = false)
+    }
+    val events = parts.reduce(_ unionByName _)
+    val deltaAggs: Seq[org.apache.spark.sql.Column] =
+      Seq(sum(col("_mv_sign")).as(dcol(d.countStar))) ++
+        d.sums.toSeq.map { case (m, c) =>
+          sum(col(m) * col("_mv_sign")).as(dcol(c)) } ++
+        d.counts.toSeq.map { case (m, c) =>
+          sum(when(col(m).isNotNull, col("_mv_sign")).otherwise(0L))
+            .as(dcol(c)) }
+    val delta = events.groupBy(d.dims.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+      .select(d.dims.map(k => col(k).as(dkey(k))) ++
+        (d.countStar +: (d.sums.values.toSeq ++ d.counts.values.toSeq))
+          .map(c => col(dcol(c))): _*)
+    mergeAndFold(mvVt, d, delta, None,
+      s"REFRESH MATERIALIZED VIEW basis=$cf dim_basis=$cd")
+  }
+
+  /** The star join's OUTPUT projection: each MV dim/measure resolves
+    * against the side the persisted definition recorded, join keys
+    * pairwise-equal, inner semantics (NULL keys drop — consistently
+    * at CREATE and in every delta, so the algebra stays exact). */
+  private def joinedBase(fact: DataFrame, dim: DataFrame,
+      d: Def): DataFrame = {
+    val j = d.join.get
+    val cond = j.factKeys.zip(j.dimKeys).map { case (a, b) =>
+      col(s"__f.$a") === col(s"__d.$b") }.reduce(_ && _)
+    fact.as("__f").join(dim.as("__d"), cond, "inner")
+      .select(outputCols(d): _*)
+  }
+
+  /** [[joinedBase]] with the `_mv_sign` column carried through from
+    * the signed side. */
+  private def joinedSigned(fact: DataFrame, dim: DataFrame, d: Def,
+      signOnFact: Boolean): DataFrame = {
+    val j = d.join.get
+    val cond = j.factKeys.zip(j.dimKeys).map { case (a, b) =>
+      col(s"__f.$a") === col(s"__d.$b") }.reduce(_ && _)
+    val signSide = if (signOnFact) "__f" else "__d"
+    fact.as("__f").join(dim.as("__d"), cond, "inner")
+      .select(outputCols(d) :+
+        col(s"$signSide._mv_sign").as("_mv_sign"): _*)
+  }
+
+  private def outputCols(d: Def): Seq[org.apache.spark.sql.Column] = {
+    val j = d.join.get
+    val outs = (d.dims ++ (d.sums.keySet ++ d.counts.keySet ++
+      d.mins.keySet ++ d.maxs.keySet).toSeq.sorted).distinct
+    outs.map(c =>
+      (if (j.dimSideCols.contains(c)) col(s"__d.$c")
+       else col(s"__f.$c")).as(c))
+  }
+
+  /** Cap on enumerated changed-dim join keys — beyond it the old-fact
+    * read is a plain join (ΔD broadcasts; still delta-bounded
+    * output, just no file-level pruning). */
+  private val factScopeKeyCap = 64
+
+  /** Test observable: the old-fact read of the LAST star-join refresh
+    * (None when the dim side had no changes) — specs assert its
+    * planned files to PROVE the read was key-envelope-pruned. */
+  @volatile private[graft] var lastJoinFactRead: Option[DataFrame] = None
+
+  /** The `F_old ⋈ ΔD` fact read, restricted when possible: collect
+    * the dim delta's distinct changed join keys (capped, NULL-free,
+    * single-key numeric only); push their [min,max] envelope to the
+    * fact manifest's stats pruning and keep the exact membership as a
+    * row filter. Otherwise the full pinned snapshot (the join itself
+    * still bounds the OUTPUT by |ΔD| matches). */
+  private def scopedFactRead(factVt: VersionedTable, bf: Long,
+      j: JoinPart, dimDelta: DataFrame): DataFrame = {
+    import graft.io.{VersionedTable => VT}
+    val full = factVt.readVersion(bf)
+    val scoped =
+      if (j.factKeys.size != 1) full
+      else {
+        val keyRows = dimDelta.select(col(j.dimKeys.head)).distinct()
+          .limit(factScopeKeyCap + 1).collect()
+        val numeric = keyRows.nonEmpty &&
+          keyRows.length <= factScopeKeyCap &&
+          keyRows.forall(r => !r.isNullAt(0) && (r.get(0) match {
+            case _: Byte | _: Short | _: Int | _: Long => true
+            case _ => false
+          }))
+        if (!numeric) full
+        else {
+          val vals = keyRows.map(_.get(0) match {
+            case b: Byte => b.toLong
+            case s: Short => s.toLong
+            case i: Int => i.toLong
+            case l: Long => l
+          })
+          factVt.readMatchingAt(Some(bf), VT.NumRange(j.factKeys.head,
+            vals.min.toDouble, vals.max.toDouble))
+            .filter(col(j.factKeys.head).isin(vals.toSeq: _*))
+        }
+      }
+    lastJoinFactRead = Some(scoped)
+    scoped
   }
 
   /** The warehouse's MV listing with FRESHNESS — the ops question "is
@@ -367,10 +629,18 @@ object MaterializedView {
       .filter(isMaterializedView(catalog, _))
       .map { n =>
         val d = readDef(catalog, n)
-        val basis = currentBasis(catalog.spark, catalog.rootOf(n))
+        val (basis, dimBasis) =
+          currentBases(catalog.spark, catalog.rootOf(n))
         val cur = new VersionedTable(catalog.spark,
           catalog.rootOf(d.baseName)).currentVersion.getOrElse(-1L)
-        (n, d.baseName, basis, cur, basis == cur)
+        val dimFresh = d.join.forall { j =>
+          val dimCur = new VersionedTable(catalog.spark,
+            catalog.rootOf(j.dimName)).currentVersion.getOrElse(-1L)
+          dimBasis.contains(dimCur)
+        }
+        val baseLabel = d.baseName +
+          d.join.fold("")(j => s" JOIN ${j.dimName}")
+        (n, baseLabel, basis, cur, basis == cur && dimFresh)
       }
 
   /** DROP: deregister the rewrite, drop the backing table (definition
@@ -446,25 +716,18 @@ object MaterializedView {
     base.groupBy(d.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Parse `SELECT dims…, aggs… FROM base GROUP BY dims…` into a
-    * [[Def]]. Loud on everything outside the maintainable shape. */
-  private[sql] def parseSelect(catalog: GraftCatalog,
-      selectSql: String): Def = {
-    val (items, baseName, groupBy) = selectSql.trim match {
-      case selectRe(itemsTxt, base, gb) =>
-        (GraftSql.splitTopList(itemsTxt), base, GraftSql.splitTopList(gb))
-      case other => sys.error("CREATE MATERIALIZED VIEW expects " +
-        "`SELECT dims…, aggs… FROM <table> GROUP BY dims…`, got: " + other)
-    }
-    groupBy.foreach(g => require(g.matches(ident),
-      s"GROUP BY must list bare dimension columns, got: $g"))
-    val dims = groupBy
+  /** The parsed SELECT-item list, shared by both FROM forms. */
+  private final case class Items(sums: Map[String, String],
+      counts: Map[String, String], mins: Map[String, String],
+      maxs: Map[String, String], countStar: String)
+
+  private def parseItems(itemsTxt: String, dims: Seq[String]): Items = {
     var sums = Map.empty[String, String]
     var counts = Map.empty[String, String]
     var mins = Map.empty[String, String]
     var maxs = Map.empty[String, String]
     var countStar = Option.empty[String]
-    items.map(_.trim).foreach {
+    GraftSql.splitTopList(itemsTxt).map(_.trim).foreach {
       case d if d.matches(ident) && dims.contains(d) => () // a dim
       case cntStarRe(as) =>
         require(countStar.isEmpty, "duplicate count(*) in the SELECT")
@@ -508,40 +771,139 @@ object MaterializedView {
     val dupNames = outNames.diff(outNames.distinct).distinct
     require(dupNames.isEmpty, "duplicate output column(s) in the MV " +
       s"SELECT: ${dupNames.mkString(", ")}")
-    val baseRoot = catalog.rootOf(baseName)
-    val base = new VersionedTable(catalog.spark, baseRoot)
-    require(base.currentVersion.isDefined,
-      s"base table $baseName does not exist in ${catalog.warehouse}")
-    val schema = base.read().schema
-    dims.foreach(dd => require(schema.fieldNames.contains(dd),
-      s"dimension $dd is not a column of $baseName"))
-    val measures = sums.keySet ++ counts.keySet ++ mins.keySet ++
-      maxs.keySet
-    measures.foreach { m =>
-      require(schema.fieldNames.contains(m),
-        s"measure $m is not a column of $baseName")
-      require(!dims.contains(m), s"$m cannot be both a dim and a measure")
-    }
-    sums.keys.foreach { m =>
-      val t = schema(m).dataType
-      require(Seq("byte", "short", "integer", "long")
-        .contains(t.typeName), s"sum($m) must be integral for exact " +
-        s"IVM maintenance (got ${t.typeName}) — double sums drift " +
-        "under delta reordering; cast to cents/long first")
-    }
-    (mins.keys ++ maxs.keys).foreach { m =>
-      val t = schema(m).dataType
-      val orderable = t match {
-        case _: org.apache.spark.sql.types.NumericType => true
-        case org.apache.spark.sql.types.StringType |
-             org.apache.spark.sql.types.DateType |
-             org.apache.spark.sql.types.TimestampType |
-             org.apache.spark.sql.types.BooleanType => true
-        case _ => false
+    Items(sums, counts, mins, maxs, countStar.get)
+  }
+
+  private def requireIntegralSum(m: String,
+      t: org.apache.spark.sql.types.DataType, of: String): Unit =
+    require(Seq("byte", "short", "integer", "long").contains(t.typeName),
+      s"sum($m) must be integral for exact IVM maintenance (got " +
+        s"${t.typeName} in $of) — double sums drift under delta " +
+        "reordering; cast to cents/long first")
+
+  /** Parse `SELECT dims…, aggs… FROM base GROUP BY dims…` — or the
+    * star-join form `FROM fact [f] JOIN dim [d] ON f.k = d.k [AND …]
+    * GROUP BY …` — into a [[Def]]. Loud on everything outside the
+    * maintainable shape. */
+  private[sql] def parseSelect(catalog: GraftCatalog,
+      selectSql: String): Def = selectSql.trim match {
+    case selectJoinRe(itemsTxt, factName, fAliasOpt, dimName,
+        dAliasOpt, onTxt, gb) =>
+      parseJoinSelect(catalog, itemsTxt, factName, Option(fAliasOpt),
+        dimName, Option(dAliasOpt), onTxt, gb)
+    case selectRe(itemsTxt, baseName, gb) =>
+      val dims = GraftSql.splitTopList(gb)
+      dims.foreach(g => require(g.matches(ident),
+        s"GROUP BY must list bare dimension columns, got: $g"))
+      val it = parseItems(itemsTxt, dims)
+      val baseRoot = catalog.rootOf(baseName)
+      val base = new VersionedTable(catalog.spark, baseRoot)
+      require(base.currentVersion.isDefined,
+        s"base table $baseName does not exist in ${catalog.warehouse}")
+      val schema = base.read().schema
+      dims.foreach(dd => require(schema.fieldNames.contains(dd),
+        s"dimension $dd is not a column of $baseName"))
+      val measures = it.sums.keySet ++ it.counts.keySet ++
+        it.mins.keySet ++ it.maxs.keySet
+      measures.foreach { m =>
+        require(schema.fieldNames.contains(m),
+          s"measure $m is not a column of $baseName")
+        require(!dims.contains(m),
+          s"$m cannot be both a dim and a measure")
       }
-      require(orderable,
-        s"min/max($m) needs an orderable atomic column, got ${t.typeName}")
+      it.sums.keys.foreach(m =>
+        requireIntegralSum(m, schema(m).dataType, baseName))
+      (it.mins.keys ++ it.maxs.keys).foreach { m =>
+        val t = schema(m).dataType
+        val orderable = t match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.BooleanType => true
+          case _ => false
+        }
+        require(orderable, s"min/max($m) needs an orderable atomic " +
+          s"column, got ${t.typeName}")
+      }
+      Def(baseName, dims, it.sums, it.counts, it.countStar, it.mins,
+        it.maxs)
+    case other => sys.error("CREATE MATERIALIZED VIEW expects " +
+      "`SELECT dims…, aggs… FROM <table> [JOIN <dim> ON …] " +
+      "GROUP BY dims…`, got: " + other)
+  }
+
+  /** The star-join form's tail: parse the ON conjunction, resolve
+    * every output column to exactly one side, validate, and persist
+    * the sides in the [[JoinPart]] so resolution can never drift. */
+  private def parseJoinSelect(catalog: GraftCatalog, itemsTxt: String,
+      factName: String, fAliasOpt: Option[String], dimName: String,
+      dAliasOpt: Option[String], onTxt: String, gb: String): Def = {
+    val fAlias = fAliasOpt.getOrElse(factName)
+    val dAlias = dAliasOpt.getOrElse(dimName)
+    require(fAlias != dAlias,
+      s"star-join sides need distinct aliases, both are '$fAlias'")
+    val dims = GraftSql.splitTopList(gb)
+    dims.foreach(g => require(g.matches(ident),
+      "GROUP BY must list bare UNQUALIFIED dimension columns " +
+        s"(side resolution is by name), got: $g"))
+    val it = parseItems(itemsTxt, dims)
+    require(it.mins.isEmpty && it.maxs.isEmpty,
+      "min/max are not yet supported on star-join MVs — materialize " +
+        "sum/count partials, or define the extremum MV on a single " +
+        "pre-joined table")
+    val keyRe = s"(?is)^($ident)\\.($ident)\\s*=\\s*($ident)\\.($ident)$$".r
+    val pairs = onTxt.trim.split("(?i)\\s+AND\\s+").toSeq.map(_.trim)
+      .map {
+        case keyRe(a1, c1, a2, c2) =>
+          if (a1 == fAlias && a2 == dAlias) (c1, c2)
+          else if (a1 == dAlias && a2 == fAlias) (c2, c1)
+          else sys.error(s"ON conjunct must equate $fAlias.<col> " +
+            s"with $dAlias.<col>, got: $a1.$c1 = $a2.$c2")
+        case other => sys.error("star-join ON must be a conjunction " +
+          s"of alias-qualified key equalities, got: $other")
+      }
+    val factKeys = pairs.map(_._1)
+    val dimKeys = pairs.map(_._2)
+    val factVt = new VersionedTable(catalog.spark,
+      catalog.rootOf(factName))
+    require(factVt.currentVersion.isDefined,
+      s"fact table $factName does not exist in ${catalog.warehouse}")
+    val dimVt = new VersionedTable(catalog.spark, catalog.rootOf(dimName))
+    require(dimVt.currentVersion.isDefined,
+      s"dim table $dimName does not exist in ${catalog.warehouse}")
+    val factSchema = factVt.read().schema
+    val dimSchema = dimVt.read().schema
+    factKeys.foreach(k => require(factSchema.fieldNames.contains(k),
+      s"join key $k is not a column of $factName"))
+    dimKeys.foreach(k => require(dimSchema.fieldNames.contains(k),
+      s"join key $k is not a column of $dimName"))
+    val measures = it.sums.keySet ++ it.counts.keySet
+    measures.foreach(m => require(!dims.contains(m),
+      s"$m cannot be both a dim and a measure"))
+    // TRUE = the column reads from the dim side
+    def isDimSide(c: String): Boolean = {
+      val inF = factSchema.fieldNames.contains(c)
+      val inD = dimSchema.fieldNames.contains(c)
+      if (inF && inD) {
+        // a join-key pair member is value-equal across the inner
+        // join — resolve to the fact side; anything else is ambiguous
+        if (factKeys.contains(c) || dimKeys.contains(c)) false
+        else sys.error(s"column $c exists in both $factName and " +
+          s"$dimName — rename one side (resolution is by name)")
+      } else if (inF) false
+      else if (inD) true
+      else sys.error(
+        s"column $c is a column of neither $factName nor $dimName")
     }
-    Def(baseName, dims, sums, counts, countStar.get, mins, maxs)
+    val dimSideCols = (dims ++ measures.toSeq.sorted).distinct
+      .filter(isDimSide)
+    it.sums.keys.foreach { m =>
+      val (sch, of) = if (dimSideCols.contains(m)) (dimSchema, dimName)
+                      else (factSchema, factName)
+      requireIntegralSum(m, sch(m).dataType, of)
+    }
+    Def(factName, dims, it.sums, it.counts, it.countStar,
+      join = Some(JoinPart(dimName, factKeys, dimKeys, dimSideCols)))
   }
 }

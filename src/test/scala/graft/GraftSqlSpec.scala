@@ -752,4 +752,158 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(vt.read().orderBy("k").as[(Long, Long)].collect().toSeq ===
       Seq((1L, 11L), (3L, 30L), (9L, 99L))) // 2 deleted, 1 updated, 1 inserted
   }
+
+  // ───────────────────────── SQL tier 3 ─────────────────────────
+
+  test("CREATE TABLE ... CLONE: shallow + VERSION AS OF pins the " +
+      "historical snapshot; unqualified CLONE is deep and survives " +
+      "source mutation") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-clone") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    GraftSql.exec(spark,
+      "CREATE TABLE src AS SELECT id AS k, id * 10 AS v FROM range(10)",
+      cat)
+    GraftSql.exec(spark, "INSERT INTO src VALUES (100, 1000)", cat) // v1
+    // shallow clone pinned at v0: 10 rows, O(metadata) commit
+    GraftSql.exec(spark,
+      "CREATE TABLE snap SHALLOW CLONE src VERSION AS OF 0", cat)
+    assert(GraftSql.exec(spark, "SELECT count(*) AS n FROM snap", cat)
+      .as[Long].head() === 10L)
+    // deep clone of current: owns its bytes; a post-clone DELETE on
+    // the source must not leak through
+    GraftSql.exec(spark, "CREATE TABLE copy DEEP CLONE src", cat)
+    GraftSql.exec(spark, "DELETE FROM src WHERE k >= 5", cat)
+    assert(GraftSql.exec(spark, "SELECT count(*) AS n FROM copy", cat)
+      .as[Long].head() === 11L)
+    // unqualified CLONE defaults to DEEP (Delta's default): 11 rows
+    // minus the 6 just deleted (k in 5..9 and 100)
+    GraftSql.exec(spark, "CREATE TABLE copy2 CLONE src", cat)
+    assert(GraftSql.exec(spark, "SELECT count(*) AS n FROM copy2", cat)
+      .as[Long].head() === 5L)
+    // destination collision refused
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "CREATE TABLE copy CLONE src", cat) }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("SHOW CREATE TABLE renders a re-runnable statement for a " +
+      "table, a view, and a materialized view") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-showcreate") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    GraftSql.exec(spark,
+      "CREATE TABLE t (k BIGINT NOT NULL, v BIGINT, dt STRING) " +
+        "PARTITIONED BY (dt)", cat)
+    val tStmt = GraftSql.exec(spark, "SHOW CREATE TABLE t", cat)
+      .as[String].head()
+    assert(tStmt.contains("CREATE TABLE t (") &&
+      tStmt.contains("PARTITIONED BY (dt)") &&
+      tStmt.toUpperCase.contains("K BIGINT NOT NULL"))
+    GraftSql.exec(spark,
+      "CREATE VIEW tv AS SELECT k FROM t WHERE v > 0", cat)
+    assert(GraftSql.exec(spark, "SHOW CREATE TABLE tv", cat)
+      .as[String].head() ===
+      "CREATE VIEW tv AS SELECT k FROM t WHERE v > 0")
+    GraftSql.exec(spark, "INSERT INTO t VALUES (1, 2, 'a')", cat)
+    GraftSql.exec(spark, "CREATE MATERIALIZED VIEW mv AS " +
+      "SELECT dt, sum(v) AS sv, count(v) AS cv, count(*) AS n " +
+      "FROM t GROUP BY dt", cat)
+    val mvStmt = GraftSql.exec(spark, "SHOW CREATE TABLE mv", cat)
+      .as[String].head()
+    assert(mvStmt.startsWith("CREATE MATERIALIZED VIEW mv AS SELECT") &&
+      mvStmt.contains("sum(v) AS sv") && mvStmt.contains("GROUP BY dt"))
+  }
+
+  test("DESCRIBE TABLE lists columns with types and the partition " +
+      "section; DESCRIBE HISTORY/DETAIL still route distinctly") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-describe") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    GraftSql.exec(spark,
+      "CREATE TABLE d (k BIGINT, s STRING, dt STRING) " +
+        "PARTITIONED BY (dt)", cat)
+    val rows = GraftSql.exec(spark, "DESCRIBE TABLE d", cat)
+      .as[(String, String, String)].collect().toSeq
+    assert(rows.take(3).map(r => (r._1, r._2)) ===
+      Seq(("k", "bigint"), ("s", "string"), ("dt", "string")))
+    assert(rows.exists(_._1 == "# Partition Information") &&
+      rows.last === (("dt", "string", null)))
+    // the bare form works too, and HISTORY/DETAIL are untouched
+    assert(GraftSql.exec(spark, "DESCRIBE d", cat).count() === rows.size)
+    assert(GraftSql.exec(spark, "DESCRIBE HISTORY d", cat).count() >= 1)
+    assert(GraftSql.exec(spark, "DESCRIBE DETAIL d", cat)
+      .columns.contains("numFiles"))
+  }
+
+  test("REORG TABLE ... APPLY (PURGE) drops DV-masked rows " +
+      "physically via SQL") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-reorg") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    GraftSql.exec(spark,
+      "CREATE TABLE r AS SELECT id AS k FROM range(100)", cat)
+    GraftSql.exec(spark, "DELETE FROM r WHERE k < 40", cat)
+    val vt = new VersionedTable(spark, cat.rootOf("r"))
+    assert(vt.manifestEntries(vt.currentVersion.get)
+      .exists(_.dvDir.isDefined))
+    GraftSql.exec(spark, "REORG TABLE r APPLY (PURGE)", cat)
+    assert(!vt.manifestEntries(vt.currentVersion.get)
+      .exists(_.dvDir.isDefined))
+    assert(GraftSql.exec(spark, "SELECT count(*) AS n FROM r", cat)
+      .as[Long].head() === 60L)
+  }
+
+  test("ALTER TABLE ... ALTER COLUMN ... TYPE widens int->bigint as " +
+      "one metadata commit; narrow files read up-cast; time travel " +
+      "sees the narrow type; narrowing is refused") {
+    import graft.sql.GraftCatalog
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val wh = Fixtures.tempDir("graft-sql-widen") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    val vt = new VersionedTable(spark, cat.rootOf("w"))
+    vt.write(Seq((1, 10L), (2, 20L)).toDF("k", "v")) // k is int, v0
+    val filesBefore = vt.manifestEntries(0L).map(_.relPath).toSet
+    GraftSql.exec(spark, "ALTER TABLE w ALTER COLUMN k TYPE BIGINT", cat)
+    // metadata-only: same files, wider schema, values intact
+    assert(vt.manifestEntries(vt.currentVersion.get)
+      .map(_.relPath).toSet === filesBefore)
+    val df = vt.read()
+    assert(df.schema("k").dataType === LongType)
+    assert(df.orderBy("k").as[(Long, Long)].collect().toSeq ===
+      Seq((1L, 10L), (2L, 20L)))
+    assert(vt.readVersion(0L).schema("k").dataType === IntegerType)
+    // appends now write the wide type natively; totals stay exact
+    GraftSql.exec(spark,
+      "INSERT INTO w VALUES (4000000000, 40)", cat)
+    assert(GraftSql.exec(spark,
+      "SELECT sum(k) AS s FROM w", cat).as[Long].head() ===
+      4000000003L)
+    // stats pruning still fires on the widened column
+    GraftSql.exec(spark, "DELETE FROM w WHERE k > 3000000000", cat)
+    assert(GraftSql.exec(spark, "SELECT count(*) AS n FROM w", cat)
+      .as[Long].head() === 2L)
+    val e = intercept[RuntimeException] { GraftSql.exec(spark,
+      "ALTER TABLE w ALTER COLUMN v TYPE INT", cat) }
+    assert(e.getMessage.contains("widens"))
+  }
+
+  test("CONVERT TO DELTA adopts a plain-parquet catalog directory " +
+      "in place, partition layout preserved") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-convert") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    // a pre-existing plain parquet lake at the catalog root
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "dt")
+      .write.partitionBy("dt").parquet(cat.rootOf("legacy"))
+    GraftSql.exec(spark,
+      "CONVERT TO DELTA legacy PARTITIONED BY (dt)", cat)
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) AS n FROM legacy WHERE dt = 'a'", cat)
+      .as[Long].head() === 2L)
+    // versioned semantics from v0 on: DML works over adopted files
+    GraftSql.exec(spark, "DELETE FROM legacy WHERE k = 1", cat)
+    assert(GraftSql.exec(spark,
+      "SELECT count(*) AS n FROM legacy", cat).as[Long].head() === 2L)
+  }
 }

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.VersionedTable
+import graft.sql.{GraftCatalog, GraftSql, MaterializedView}
+
+/** Star-join materialized views ([[graft.sql.MaterializedView]]):
+  * `CREATE MATERIALIZED VIEW mv AS SELECT … FROM fact JOIN dim ON …
+  * GROUP BY …` with EXACT two-sided incremental maintenance —
+  * `F₁⋈D₁ − F₀⋈D₀ = ΔF⋈D₁ ∪ F₀⋈ΔD` — where the common fact-only
+  * refresh never reads the old fact, and a dim-side delta restricts
+  * the old-fact read by a join-key envelope pushed to manifest stats
+  * pruning. */
+class MvJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** fact(pid, cents) striped into 3 files by pid range;
+    * dim(pid, cat). */
+  private def starFixture(prefix: String)
+      : (GraftCatalog, VersionedTable, VersionedTable) = {
+    val wh = Fixtures.tempDir(prefix) + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    val fact = new VersionedTable(spark, cat.rootOf("fact"))
+    // pids 1..30, cents = pid*100; stripes [1,10] [11,20] [21,30]
+    fact.write((1L to 30L).map(p => (p, p * 100L)).toDF("pid", "cents")
+      .repartitionByRange(3, col("pid")))
+    val dim = new VersionedTable(spark, cat.rootOf("dim"))
+    dim.write((1L to 30L).map(p =>
+      (p, if (p <= 10) "a" else if (p <= 20) "b" else "c"))
+      .toDF("pid", "cat"))
+    (cat, fact, dim)
+  }
+
+  private def recompute(cat: GraftCatalog): Seq[(String, Long, Long)] =
+    GraftSql.exec(spark,
+      """SELECT d.cat AS cat, sum(f.cents) AS s, count(*) AS n
+         FROM fact f JOIN dim d ON f.pid = d.pid
+         GROUP BY d.cat ORDER BY cat""", cat)
+      .as[(String, Long, Long)].collect().toSeq
+
+  private def mvContents(cat: GraftCatalog): Seq[(String, Long, Long)] =
+    GraftSql.exec(spark,
+      "SELECT cat, s, n FROM jmv ORDER BY cat", cat)
+      .as[(String, Long, Long)].collect().toSeq
+
+  test("two-sided IVM: fact-only deltas never read the old fact; a " +
+      "dim attribute move regroups exactly with a key-pruned old-fact " +
+      "read; a both-sides window and an emptied group stay exact") {
+    val (cat, fact, _) = starFixture("graft-mvjoin")
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW jmv AS
+         SELECT cat, sum(cents) AS s, count(cents) AS c, count(*) AS n
+         FROM fact f JOIN dim d ON f.pid = d.pid
+         GROUP BY cat""", cat)
+    assert(mvContents(cat) === recompute(cat))
+    // 1) fact-only delta: the refresh is ΔF ⋈ D_new alone — the old
+    // fact snapshot must not be read at all; the unmatched new fact
+    // row (no dim entry yet) drops consistently on both paths
+    GraftSql.exec(spark, "INSERT INTO fact VALUES (31, 5000)", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+    assert(MaterializedView.lastJoinFactRead.isEmpty,
+      "a fact-only refresh must not read the old fact snapshot")
+    assert(mvContents(cat) === recompute(cat))
+    // the late-arriving dim row then joins the OLD fact via F₀⋈ΔD
+    GraftSql.exec(spark, "INSERT INTO dim VALUES (31, 'c')", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+    assert(MaterializedView.lastJoinFactRead.isDefined)
+    assert(mvContents(cat) === recompute(cat))
+    // 2) dim-only attribute move: pid=5 changes category a→b; the
+    // old-fact read must plan ONLY the stripe holding pid=5
+    GraftSql.exec(spark, "UPDATE dim SET cat = 'b' WHERE pid = 5", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+    val scoped = MaterializedView.lastJoinFactRead
+    assert(scoped.isDefined, "a dim delta must read the old fact")
+    val planned = scoped.get.inputFiles.toSeq
+    val allFiles = fact.read().inputFiles.toSeq
+    assert(planned.nonEmpty && planned.size < allFiles.size,
+      s"the old-fact read must be key-envelope-pruned: planned " +
+        s"${planned.size} of ${allFiles.size} files")
+    assert(mvContents(cat) === recompute(cat))
+    // 3) both sides in ONE window: new facts + another dim move
+    GraftSql.exec(spark, "INSERT INTO fact VALUES (32, 7000)", cat)
+    GraftSql.exec(spark, "INSERT INTO dim VALUES (32, 'a')", cat)
+    GraftSql.exec(spark, "UPDATE dim SET cat = 'b' WHERE pid = 1", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+    assert(mvContents(cat) === recompute(cat))
+    // 4) a group emptied entirely vanishes from the summary
+    GraftSql.exec(spark,
+      "DELETE FROM fact WHERE pid > 20 AND pid <= 31", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+    assert(mvContents(cat) === recompute(cat))
+    assert(!mvContents(cat).exists(_._1 == "c"),
+      "category c lost every fact row and must leave the MV")
+    // 5) already-fresh refresh is a no-op commit-wise
+    val mvVt = new VersionedTable(spark, cat.rootOf("jmv"))
+    val v = mvVt.currentVersion.get
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+    assert(mvVt.currentVersion.get === v)
+  }
+
+  test("freshness, SHOW CREATE round-trip, and registry hygiene for " +
+      "star-join MVs") {
+    val (cat, _, _) = starFixture("graft-mvjoin-meta")
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW jmv AS
+         SELECT cat, sum(cents) AS s, count(cents) AS c, count(*) AS n
+         FROM fact f JOIN dim d ON f.pid = d.pid
+         GROUP BY cat""", cat)
+    // fresh now; a DIM commit alone must flip the freshness flag
+    def freshRow = GraftSql.exec(spark, "SHOW MATERIALIZED VIEWS", cat)
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .find(_._1 == "jmv").get
+    assert(freshRow._2 === "fact JOIN dim" && freshRow._5 === true)
+    GraftSql.exec(spark, "INSERT INTO dim VALUES (99, 'z')", cat)
+    assert(freshRow._5 === false,
+      "a dim-side commit must read as stale")
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+    assert(freshRow._5 === true)
+    // SHOW CREATE reconstructs the join form
+    val stmt = GraftSql.exec(spark, "SHOW CREATE TABLE jmv", cat)
+      .as[String].head()
+    assert(stmt.contains("FROM fact JOIN dim ON fact.pid = dim.pid") &&
+      stmt.contains("sum(cents) AS s") && stmt.contains("GROUP BY cat"))
+    // a join MV takes no aggregate-navigator registration (it is
+    // served BY NAME): the registry must not hold its root
+    assert(!MaterializedView.registeredRoots.contains(
+      cat.rootOf("jmv")))
+    GraftSql.exec(spark, "DROP MATERIALIZED VIEW jmv", cat)
+    assert(GraftSql.exec(spark, "SHOW MATERIALIZED VIEWS", cat)
+      .filter(col("name") === "jmv").count() === 0L)
+  }
+
+  test("parse guards: ambiguous columns, min/max on a join, and " +
+      "non-equi ON are refused loudly; a RESTORE window folds exactly " +
+      "through the snapshot-diff slice") {
+    val (cat, _, _) = starFixture("graft-mvjoin-guards")
+    // a column living in BOTH sides (and not a join key) is ambiguous
+    val dim2 = new VersionedTable(spark, cat.rootOf("dim2"))
+    dim2.write(Seq((1L, 999L, "a")).toDF("pid", "cents", "cat"))
+    val e1 = intercept[RuntimeException] { GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW bad1 AS
+         SELECT cat, sum(cents) AS s, count(cents) AS c, count(*) AS n
+         FROM fact f JOIN dim2 d ON f.pid = d.pid
+         GROUP BY cat""", cat) }
+    assert(e1.getMessage.contains("both"))
+    val e2 = intercept[RuntimeException] { GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW bad2 AS
+         SELECT cat, min(cents) AS lo, count(*) AS n
+         FROM fact f JOIN dim d ON f.pid = d.pid
+         GROUP BY cat""", cat) }
+    assert(e2.getMessage.contains("star-join"))
+    val e3 = intercept[RuntimeException] { GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW bad3 AS
+         SELECT cat, count(*) AS n
+         FROM fact f JOIN dim d ON f.pid < d.pid
+         GROUP BY cat""", cat) }
+    assert(e3.getMessage.contains("conjunction") ||
+      e3.getMessage.contains("equate"))
+    // a RESTORE in the dim window is a non-derivable commit: the
+    // feed pays one snapshot diff for THAT slice and the fold stays
+    // exact — the un-did dim insert re-signs its joined facts away
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW jmv AS
+         SELECT cat, sum(cents) AS s, count(cents) AS c, count(*) AS n
+         FROM fact f JOIN dim d ON f.pid = d.pid
+         GROUP BY cat""", cat)
+    GraftSql.exec(spark, "UPDATE dim SET cat = 'z' WHERE pid = 7", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+    assert(mvContents(cat).exists(_._1 == "z"))
+    GraftSql.exec(spark, "RESTORE TABLE dim TO VERSION AS OF 0", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+    assert(mvContents(cat) === recompute(cat))
+    assert(!mvContents(cat).exists(_._1 == "z"),
+      "the RESTORE must fold category z back out of the MV")
+  }
+}
