@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, And => CatAnd,
   AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, If,
-  Literal, NamedExpression}
+  IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
-  LogicalPlan, Project}
+  Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -44,6 +45,10 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType,
   *                  keeps the MV fresh (a synchronous IVM loop that
   *                  maintains the summary in the same step as every
   *                  base commit)
+  * @param joinDim   present for STAR-JOIN MVs: the matched plan is
+  *                  then `Aggregate over fact ⋈ dim` (inner equi-join
+  *                  on exactly the registered key pairs, either join
+  *                  order) instead of a bare base scan
   */
 final case class MvDef(
     baseRoot: String,
@@ -54,7 +59,17 @@ final case class MvDef(
     counts: Map[String, String] = Map.empty,
     mins: Map[String, String] = Map.empty,
     maxs: Map[String, String] = Map.empty,
-    basisVersion: () => Option[Long] = () => None)
+    basisVersion: () => Option[Long] = () => None,
+    joinDim: Option[MvJoinDim] = None)
+
+/** The dim side of a registered star-join MV: `dimRoot`'s scan joined
+  * to the base on `factKeys(i) = dimKeys(i)`, fresh only at
+  * `dimBasisVersion`. */
+final case class MvJoinDim(
+    dimRoot: String,
+    factKeys: Seq[String],
+    dimKeys: Seq[String],
+    dimBasisVersion: () => Option[Long] = () => None)
 
 /** Deregistration handle for ONE [[MvRewrite.register]] call — scoped
   * cleanup that cannot clobber definitions other sessions or queries
@@ -127,24 +142,24 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
     }.flatten
 
-  /** Is this scan EXACTLY the base table's current snapshot? The root
-    * path alone is not identity: a `VERSION AS OF` read or a
-    * file-pruned partial scan plans the SAME root with a different
-    * file set, and rewriting those onto the (current, complete) MV
-    * would return wrong aggregates. Match = same qualified file set
-    * as the current manifest, no DV masks, no column mapping;
-    * anything unprovable (including a racing commit between plan and
-    * optimize) declines. */
+  /** Is this scan EXACTLY the table-at-`root`'s current snapshot AT
+    * the registered basis? The root path alone is not identity: a
+    * `VERSION AS OF` read or a file-pruned partial scan plans the
+    * SAME root with a different file set, and rewriting those onto
+    * the (current, complete) MV would return wrong aggregates.
+    * Match = same qualified file set as the current manifest, no DV
+    * masks, no column mapping; anything unprovable (including a
+    * racing commit between plan and optimize) declines. */
   private def isCurrentSnapshot(
       mfi: org.apache.spark.sql.graftbridge.ManifestFileIndex,
-      d: MvDef): Boolean =
+      tableRoot: String, basis: () => Option[Long]): Boolean =
     try {
       val root = mfi.rootPaths.head
-      if (normPath(root.toString) != normPath(d.baseRoot)) return false
+      if (normPath(root.toString) != normPath(tableRoot)) return false
       val vt = new graft.io.VersionedTable(
-        org.apache.spark.sql.SparkSession.active, d.baseRoot)
+        org.apache.spark.sql.SparkSession.active, tableRoot)
       vt.currentVersion.exists { cur =>
-        d.basisVersion().forall(_ == cur) && {
+        basis().forall(_ == cur) && {
           val m = vt.currentManifest
           m.mapping.isEmpty && m.entries.forall(_.dvDir.isEmpty) && {
             val expected = m.entries.map(e =>
@@ -155,32 +170,112 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
     } catch { case scala.util.control.NonFatal(_) => false }
 
-  /** Strip a column-pruning Project / dims-only Filter down to the
-    * base manifest scan; returns the optional filter condition. */
-  private def baseScan(plan: LogicalPlan, d: MvDef)
-      : Option[Option[Expression]] = plan match {
-    case lr: LogicalRelation if (lr.relation match {
-        case rel: HadoopFsRelation => rel.location match {
-          case mfi: org.apache.spark.sql.graftbridge.ManifestFileIndex =>
-            isCurrentSnapshot(mfi, d)
+  /** Strip a column-pruning Project / acceptable Filter down to the
+    * manifest scan of `tableRoot`@basis; returns the re-bindable
+    * filter condition (None = no filter). Acceptable conjuncts are
+    * deterministic dims-only predicates (they re-bind onto the MV:
+    * rows of untouched groups filter identically before and after
+    * rollup) and `IsNotNull(<join key>)` — Catalyst infers those from
+    * an inner join's constraints, and the MV's inner semantics
+    * already exclude null-key rows, so they DROP rather than re-bind. */
+  private def scanOf(plan: LogicalPlan, tableRoot: String,
+      basis: () => Option[Long], dims: Seq[String],
+      dropNotNullKeys: Set[String]): Option[Option[Expression]] =
+    plan match {
+      case lr: LogicalRelation if (lr.relation match {
+          case rel: HadoopFsRelation => rel.location match {
+            case mfi: org.apache.spark.sql.graftbridge.ManifestFileIndex =>
+              isCurrentSnapshot(mfi, tableRoot, basis)
+            case _ => false
+          }
           case _ => false
-        }
-        case _ => false
-      }) =>
-      Some(None)
-    case Project(projectList, child)
-        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      baseScan(child, d)
-    case Filter(cond, child)
+        }) =>
+        Some(None)
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        scanOf(child, tableRoot, basis, dims, dropNotNullKeys)
+      case Filter(cond, child) =>
         // deterministic only: re-binding rand() < 0.5 from per-base-row
         // to per-MV-group-row would change semantics, not just cost
-        if cond.deterministic &&
-          cond.references.forall(r => d.dims.contains(r.name)) =>
-      baseScan(child, d).map {
-        case None => Some(cond)
-        case Some(prev) => Some(CatAnd(prev, cond))
-      }
-    case _ => None
+        val conjuncts = splitConjuncts(cond)
+        val kept = conjuncts.filterNot {
+          case IsNotNull(a: AttributeReference) =>
+            dropNotNullKeys.contains(a.name)
+          case _ => false
+        }
+        if (!kept.forall(c => c.deterministic &&
+          c.references.forall(r => dims.contains(r.name)))) None
+        else scanOf(child, tableRoot, basis, dims, dropNotNullKeys).map {
+          prev => (prev.toSeq ++ kept).reduceOption(CatAnd.apply)
+        }
+      case _ => None
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case CatAnd(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Single-table child match (the original navigator shape). */
+  private def baseScan(plan: LogicalPlan, d: MvDef)
+      : Option[Option[Expression]] =
+    scanOf(plan, d.baseRoot, d.basisVersion, d.dims, Set.empty)
+
+  /** STAR-JOIN child match: `fact ⋈ dim` (either order) on exactly
+    * the registered key pairs, both sides current snapshots at their
+    * recorded bases, filters collected from above the join and from
+    * both sides (dims-only; inferred key IsNotNulls dropped). */
+  private def joinScan(plan: LogicalPlan, d: MvDef, jd: MvJoinDim)
+      : Option[Option[Expression]] = {
+    val keyNames = (jd.factKeys ++ jd.dimKeys).toSet
+    plan match {
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        joinScan(child, d, jd)
+      case Filter(cond, child) =>
+        val kept = splitConjuncts(cond).filterNot {
+          case IsNotNull(a: AttributeReference) =>
+            keyNames.contains(a.name)
+          case _ => false
+        }
+        if (!kept.forall(c => c.deterministic &&
+          c.references.forall(r => d.dims.contains(r.name)))) None
+        else joinScan(child, d, jd).map { prev =>
+          (prev.toSeq ++ kept).reduceOption(CatAnd.apply)
+        }
+      case Join(left, right, Inner, Some(cond), _) =>
+        // the condition must be EXACTLY the registered key equalities
+        val wanted: Set[(String, String)] =
+          jd.factKeys.zip(jd.dimKeys).toSet
+        def pairsOf(leftIsFact: Boolean): Option[Set[(String, String)]] = {
+          val (factSide, dimSide) =
+            if (leftIsFact) (left, right) else (right, left)
+          val got = splitConjuncts(cond).map {
+            case EqualTo(a: AttributeReference, b: AttributeReference) =>
+              if (factSide.outputSet.contains(a) &&
+                dimSide.outputSet.contains(b)) (a.name, b.name)
+              else if (factSide.outputSet.contains(b) &&
+                dimSide.outputSet.contains(a)) (b.name, a.name)
+              else return None
+            case _ => return None
+          }.toSet
+          if (got == wanted) Some(got) else None
+        }
+        def sides(leftIsFact: Boolean): Option[Option[Expression]] = {
+          val (factSide, dimSide) =
+            if (leftIsFact) (left, right) else (right, left)
+          if (pairsOf(leftIsFact).isEmpty) return None
+          for {
+            fFilter <- scanOf(factSide, d.baseRoot, d.basisVersion,
+              d.dims, keyNames)
+            dFilter <- scanOf(dimSide, jd.dimRoot, jd.dimBasisVersion,
+              d.dims, keyNames)
+          } yield (fFilter.toSeq ++ dFilter.toSeq)
+            .reduceOption(CatAnd.apply)
+        }
+        sides(leftIsFact = true).orElse(sides(leftIsFact = false))
+      case _ => None
+    }
   }
 
   private val summableTypes: Set[org.apache.spark.sql.types.DataType] =
@@ -200,7 +295,10 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan,
       d: MvDef): Option[LogicalPlan] = {
-    val filterOpt = baseScan(child, d) match {
+    val filterOpt = (d.joinDim match {
+      case Some(jd) => joinScan(child, d, jd)
+      case None => baseScan(child, d)
+    }) match {
       case Some(f) => f
       case None => return None
     }
@@ -217,6 +315,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     def rebuilt(ne: NamedExpression): Option[NamedExpression] = ne match {
       case a: AttributeReference if d.dims.contains(a.name) =>
         mvAttr(a.name).map(m => Alias(m, a.name)(exprId = a.exprId))
+      case al @ Alias(a: AttributeReference, name)
+          if d.dims.contains(a.name) =>
+        // a (possibly re-named) bare dim, e.g. `d.cat AS category`
+        mvAttr(a.name).map(m => Alias(m, name)(exprId = al.exprId))
       case al @ Alias(AggregateExpression(
           Sum(attr: AttributeReference, _), _, false, None, _), name)
           if d.sums.contains(attr.name) &&

@@ -1085,11 +1085,26 @@ object Relational {
          DELETE FROM fact WHERE o_orderkey BETWEEN 100 AND 399;
          UPDATE dim SET c_mktsegment = 'MIGRATED'
            WHERE c_custkey % 10 = 0;
+         OPTIMIZE fact; -- masks folded: both sides pure scans again
+         OPTIMIZE dim;
          REFRESH MATERIALIZED VIEW seg_rev""", cat)
-    graft.sql.GraftSql.exec(spark,
-      """SELECT c_mktsegment, CAST(cents_total AS BIGINT) AS cents_total,
-                cnt_cents, n_orders
-         FROM seg_rev ORDER BY c_mktsegment""", cat)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.MvRewrite
+    try {
+      // the dashboard is written AS THE JOIN — the navigator serves
+      // it from the KB-scale summary (join-shape match, both bases
+      // fresh), proven via the scanned roots
+      val out = graft.sql.GraftSql.exec(spark,
+        """SELECT d.c_mktsegment AS c_mktsegment,
+                  CAST(sum(f.cents) AS BIGINT) AS cents_total,
+                  count(f.cents) AS cnt_cents, count(*) AS n_orders
+           FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+           GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""", cat)
+      val roots = graft.plans.MvRewrite.scannedManifestRoots(out)
+      require(roots.nonEmpty && roots.forall(_.endsWith("/seg_rev")),
+        s"star-join MV rewrite did not fire: scanned $roots")
+      out.localCheckpoint()
+    } finally spark.experimental.extraOptimizations = prev
   }
 
   /** SQL CATALOG PIPELINE (q255; CTAS + bare-name resolution over a

@@ -189,10 +189,6 @@ object MaterializedView {
     val mvRoot = catalog.rootOf(name)
     val baseRoot = catalog.rootOf(d.baseName)
     registrations.remove(mvRoot).foreach(_.deregister())
-    // star-join MVs are served BY NAME (the standard warehouse MV
-    // contract); the single-base aggregate-navigator rewrite does not
-    // apply to an aggregate over a join
-    if (d.join.isDefined) return
     val handle = MvRewrite.register(MvDef(
       baseRoot = baseRoot,
       mv = () => new VersionedTable(spark, mvRoot).read(),
@@ -205,7 +201,14 @@ object MaterializedView {
       // re-read per rewrite: a REFRESH in between is picked up, a
       // base commit after the basis makes the rule decline (stale →
       // base plan)
-      basisVersion = () => Some(currentBasis(spark, mvRoot))))
+      basisVersion = () => Some(currentBases(spark, mvRoot)._1),
+      // star-join MVs additionally match `fact ⋈ dim` aggregates —
+      // fresh only when BOTH recorded bases are current
+      joinDim = d.join.map(j => graft.plans.MvJoinDim(
+        dimRoot = catalog.rootOf(j.dimName),
+        factKeys = j.factKeys,
+        dimKeys = j.dimKeys,
+        dimBasisVersion = () => currentBases(spark, mvRoot)._2))))
     registrations.put(mvRoot, handle)
   }
 

@@ -124,13 +124,75 @@ class MvJoinSpec extends AnyFunSuite {
       .as[String].head()
     assert(stmt.contains("FROM fact JOIN dim ON fact.pid = dim.pid") &&
       stmt.contains("sum(cents) AS s") && stmt.contains("GROUP BY cat"))
-    // a join MV takes no aggregate-navigator registration (it is
-    // served BY NAME): the registry must not hold its root
-    assert(!MaterializedView.registeredRoots.contains(
-      cat.rootOf("jmv")))
+    // a join MV registers for the aggregate-navigator rewrite too
+    assert(MaterializedView.registeredRoots.contains(cat.rootOf("jmv")))
     GraftSql.exec(spark, "DROP MATERIALIZED VIEW jmv", cat)
+    assert(!MaterializedView.registeredRoots.contains(cat.rootOf("jmv")))
     assert(GraftSql.exec(spark, "SHOW MATERIALIZED VIEWS", cat)
       .filter(col("name") === "jmv").count() === 0L)
+  }
+
+  test("the aggregate navigator serves fact⋈dim dashboards from the " +
+      "join MV: exact key-pair match either join order, dims-only " +
+      "filters re-bind, inferred IsNotNull(key)s drop; a measure " +
+      "filter or a stale base declines to the join plan") {
+    val (cat, _, _) = starFixture("graft-mvjoin-rewrite")
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW jmv AS
+         SELECT cat, sum(cents) AS s, count(cents) AS c, count(*) AS n
+         FROM fact f JOIN dim d ON f.pid = d.pid
+         GROUP BY cat""", cat)
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MvRewrite
+    try {
+      def roots(df: org.apache.spark.sql.DataFrame) =
+        graft.plans.MvRewrite.scannedManifestRoots(df)
+      val q = GraftSql.exec(spark,
+        """SELECT cat, sum(cents) AS s, count(*) AS n
+           FROM fact f JOIN dim d ON f.pid = d.pid
+           GROUP BY cat ORDER BY cat""", cat)
+      assert(roots(q).nonEmpty && roots(q).forall(_.endsWith("/jmv")),
+        s"join rewrite did not fire: scanned ${roots(q)}")
+      assert(q.as[(String, Long, Long)].collect().toSeq ===
+        Seq(("a", 5500L, 10L), ("b", 15500L, 10L), ("c", 25500L, 10L)))
+      // opposite join order matches too
+      val qSwap = GraftSql.exec(spark,
+        """SELECT cat, count(*) AS n
+           FROM dim d JOIN fact f ON f.pid = d.pid
+           GROUP BY cat ORDER BY cat""", cat)
+      assert(roots(qSwap).forall(_.endsWith("/jmv")))
+      // a dims-only WHERE re-binds onto the MV (Catalyst pushes it
+      // below the join and infers IsNotNulls — both handled)
+      val qf = GraftSql.exec(spark,
+        """SELECT cat, sum(cents) AS s
+           FROM fact f JOIN dim d ON f.pid = d.pid
+           WHERE cat <> 'b' GROUP BY cat ORDER BY cat""", cat)
+      assert(roots(qf).forall(_.endsWith("/jmv")),
+        s"dims-only filter must re-bind, scanned ${roots(qf)}")
+      assert(qf.as[(String, Long)].collect().toSeq ===
+        Seq(("a", 5500L), ("c", 25500L)))
+      // a MEASURE filter cannot re-bind: the join plan serves
+      val qm = GraftSql.exec(spark,
+        """SELECT cat, count(*) AS n
+           FROM fact f JOIN dim d ON f.pid = d.pid
+           WHERE cents > 500 GROUP BY cat""", cat)
+      assert(qm.count() >= 1 && !roots(qm).exists(_.endsWith("/jmv")))
+      // a commit on the DIM side alone makes the rewrite decline
+      GraftSql.exec(spark, "INSERT INTO dim VALUES (99, 'z')", cat)
+      val qStale = GraftSql.exec(spark,
+        """SELECT cat, count(*) AS n
+           FROM fact f JOIN dim d ON f.pid = d.pid
+           GROUP BY cat""", cat)
+      assert(!roots(qStale).exists(_.endsWith("/jmv")),
+        "a stale dim basis must fall back to the join plan")
+      GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv", cat)
+      val qFresh = GraftSql.exec(spark,
+        """SELECT cat, count(*) AS n
+           FROM fact f JOIN dim d ON f.pid = d.pid
+           GROUP BY cat""", cat)
+      assert(roots(qFresh).forall(_.endsWith("/jmv")))
+    } finally spark.experimental.extraOptimizations = prev
   }
 
   test("parse guards: ambiguous columns, min/max on a join, and " +
