@@ -45,10 +45,10 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType,
   *                  keeps the MV fresh (a synchronous IVM loop that
   *                  maintains the summary in the same step as every
   *                  base commit)
-  * @param joinDim   present for STAR-JOIN MVs: the matched plan is
-  *                  then `Aggregate over fact ⋈ dim` (inner equi-join
-  *                  on exactly the registered key pairs, either join
-  *                  order) instead of a bare base scan
+  * @param joinDims  non-empty for STAR-JOIN MVs: the matched plan is
+  *                  then `Aggregate over fact ⋈ d1 ⋈ … ⋈ dn` (inner
+  *                  equi-joins on exactly the registered key pairs,
+  *                  any join-tree shape) instead of a bare base scan
   */
 final case class MvDef(
     baseRoot: String,
@@ -60,7 +60,7 @@ final case class MvDef(
     mins: Map[String, String] = Map.empty,
     maxs: Map[String, String] = Map.empty,
     basisVersion: () => Option[Long] = () => None,
-    joinDim: Option[MvJoinDim] = None)
+    joinDims: Seq[MvJoinDim] = Seq.empty)
 
 /** The dim side of a registered star-join MV: `dimRoot`'s scan joined
   * to the base on `factKeys(i) = dimKeys(i)`, fresh only at
@@ -221,17 +221,29 @@ object MvRewrite extends Rule[LogicalPlan] {
       : Option[Option[Expression]] =
     scanOf(plan, d.baseRoot, d.basisVersion, d.dims, Set.empty)
 
-  /** STAR-JOIN child match: `fact ⋈ dim` (either order) on exactly
-    * the registered key pairs, both sides current snapshots at their
-    * recorded bases, filters collected from above the join and from
-    * both sides (dims-only; inferred key IsNotNulls dropped). */
-  private def joinScan(plan: LogicalPlan, d: MvDef, jd: MvJoinDim)
-      : Option[Option[Expression]] = {
-    val keyNames = (jd.factKeys ++ jd.dimKeys).toSet
-    plan match {
+  /** STAR-JOIN child match: `fact ⋈ d1 ⋈ … ⋈ dn` as ANY inner
+    * join-tree shape whose leaves are exactly the fact scan plus each
+    * registered dim scan (all provably-current snapshots at their
+    * recorded bases) and whose accumulated equi-conjuncts are exactly
+    * the registered key pairs, per dim. Filters are collected from
+    * anywhere in the tree (dims-only; inferred key IsNotNulls
+    * dropped) and re-bind onto the MV. */
+  private def joinScan(plan: LogicalPlan, d: MvDef,
+      jds: Seq[MvJoinDim]): Option[Option[Expression]] = {
+    val keyNames: Set[String] =
+      jds.flatMap(j => j.factKeys ++ j.dimKeys).toSet
+
+    // flatten the join tree: leaves + every equi-conjunct + filters
+    def flatten(p: LogicalPlan): Option[(Seq[LogicalPlan],
+        Seq[Expression], Seq[Expression])] = p match {
+      case Join(l, r, Inner, Some(cond), _) =>
+        for {
+          (ll, lc, lf) <- flatten(l)
+          (rl, rc, rf) <- flatten(r)
+        } yield (ll ++ rl, lc ++ rc ++ splitConjuncts(cond), lf ++ rf)
       case Project(projectList, child)
           if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-        joinScan(child, d, jd)
+        flatten(child)
       case Filter(cond, child) =>
         val kept = splitConjuncts(cond).filterNot {
           case IsNotNull(a: AttributeReference) =>
@@ -240,41 +252,55 @@ object MvRewrite extends Rule[LogicalPlan] {
         }
         if (!kept.forall(c => c.deterministic &&
           c.references.forall(r => d.dims.contains(r.name)))) None
-        else joinScan(child, d, jd).map { prev =>
-          (prev.toSeq ++ kept).reduceOption(CatAnd.apply)
+        else flatten(child).map { case (ls, cs, fs) =>
+          (ls, cs, fs ++ kept)
         }
-      case Join(left, right, Inner, Some(cond), _) =>
-        // the condition must be EXACTLY the registered key equalities
-        val wanted: Set[(String, String)] =
-          jd.factKeys.zip(jd.dimKeys).toSet
-        def pairsOf(leftIsFact: Boolean): Option[Set[(String, String)]] = {
-          val (factSide, dimSide) =
-            if (leftIsFact) (left, right) else (right, left)
-          val got = splitConjuncts(cond).map {
-            case EqualTo(a: AttributeReference, b: AttributeReference) =>
-              if (factSide.outputSet.contains(a) &&
-                dimSide.outputSet.contains(b)) (a.name, b.name)
-              else if (factSide.outputSet.contains(b) &&
-                dimSide.outputSet.contains(a)) (b.name, a.name)
-              else return None
-            case _ => return None
-          }.toSet
-          if (got == wanted) Some(got) else None
+      case leaf => Some((Seq(leaf), Seq.empty, Seq.empty))
+    }
+
+    flatten(plan).flatMap { case (leaves, conjuncts, filters) =>
+      if (leaves.size != jds.size + 1) return None
+      // assign each leaf to the fact or exactly one dim (roots are
+      // distinct paths, so a leaf can satisfy at most one target);
+      // every target must be covered exactly once
+      val targets: Seq[(String, () => Option[Long])] =
+        (d.baseRoot, d.basisVersion) +:
+          jds.map(j => (j.dimRoot, j.dimBasisVersion))
+      val assignment = Array.fill(targets.size)(-1)
+      leaves.zipWithIndex.foreach { case (leaf, li) =>
+        val hit = targets.indexWhere { case (root, basis) =>
+          scanOf(leaf, root, basis, d.dims, keyNames).isDefined
         }
-        def sides(leftIsFact: Boolean): Option[Option[Expression]] = {
-          val (factSide, dimSide) =
-            if (leftIsFact) (left, right) else (right, left)
-          if (pairsOf(leftIsFact).isEmpty) return None
-          for {
-            fFilter <- scanOf(factSide, d.baseRoot, d.basisVersion,
-              d.dims, keyNames)
-            dFilter <- scanOf(dimSide, jd.dimRoot, jd.dimBasisVersion,
-              d.dims, keyNames)
-          } yield (fFilter.toSeq ++ dFilter.toSeq)
-            .reduceOption(CatAnd.apply)
-        }
-        sides(leftIsFact = true).orElse(sides(leftIsFact = false))
-      case _ => None
+        if (hit < 0 || assignment(hit) >= 0) return None
+        assignment(hit) = li
+      }
+      if (assignment.exists(_ < 0)) return None
+      val factLeaf = leaves(assignment(0))
+      val dimLeaves = jds.indices.map(i => leaves(assignment(i + 1)))
+      // every conjunct must be a registered (fact key = that dim's
+      // key) equality; per dim, the pair SET must match exactly
+      val gotPairs = scala.collection.mutable.Map.empty[Int,
+        scala.collection.mutable.Set[(String, String)]]
+      conjuncts.foreach {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          val (fa, da) =
+            if (factLeaf.outputSet.contains(a)) (a, b)
+            else if (factLeaf.outputSet.contains(b)) (b, a)
+            else return None
+          val di = dimLeaves.indexWhere(_.outputSet.contains(da))
+          if (di < 0) return None
+          gotPairs.getOrElseUpdate(di,
+            scala.collection.mutable.Set.empty) += ((fa.name, da.name))
+        case _ => return None
+      }
+      val pairsOk = jds.indices.forall { i =>
+        gotPairs.get(i).map(_.toSet)
+          .contains(jds(i).factKeys.zip(jds(i).dimKeys).toSet)
+      }
+      if (!pairsOk) return None
+      // all side filters were collected (and vetted) by flatten on
+      // the way down — the leaves themselves are bare relations
+      Some(filters.reduceOption(CatAnd.apply))
     }
   }
 
@@ -295,10 +321,9 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def tryRewrite(agg: Aggregate, groupings: Seq[Expression],
       aggExprs: Seq[NamedExpression], child: LogicalPlan,
       d: MvDef): Option[LogicalPlan] = {
-    val filterOpt = (d.joinDim match {
-      case Some(jd) => joinScan(child, d, jd)
-      case None => baseScan(child, d)
-    }) match {
+    val filterOpt = (if (d.joinDims.nonEmpty) joinScan(child, d,
+      d.joinDims)
+    else baseScan(child, d)) match {
       case Some(f) => f
       case None => return None
     }

@@ -1107,6 +1107,58 @@ object Relational {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  /** N-DIM STAR MATERIALIZED VIEW (q265; the telescoping identity —
+    * [[graft.sql.MaterializedView]] at full star width): the
+    * brand×nation revenue cube materializes over lineitem ⋈ part ⋈
+    * supplier, then ALL THREE sides churn in one window — a DV
+    * DELETE retires every 7th order's line items (fact delta), a
+    * rebrand migrates every 5th part (dim-1 attribute move), and a
+    * nation re-assignment moves every 3rd supplier (dim-2 attribute
+    * move) — and one REFRESH folds the three-term identity
+    * `ΔF⋈P₁⋈S₁ ∪ F₀⋈ΔP⋈S₁ ∪ F₀⋈P₀⋈ΔS` into the summary (older dims
+    * at OLD versions, later at NEW — exactly one signed feed per
+    * term, so nothing double-counts). The oracle recomputes the cube
+    * from the three mutated bases; dropping a term, joining a dim at
+    * the wrong version, or overlap double-counting all
+    * hash-mismatch. Scale: each term is delta-bounded — the fact
+    * feed is O(changed files + masked rows), each dim feed is tiny
+    * and its old-fact read is key-envelope-restricted — and the cube
+    * itself is KB-scale. */
+  def mvStarN(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mvstar")
+      .toString + "/wh"
+    val cat = new graft.sql.GraftCatalog(spark, wh)
+    load(spark, dir, "lineitem").select(col("l_orderkey"),
+      col("l_partkey"), col("l_suppkey"),
+      (col("l_extendedprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"))
+      .createOrReplaceTempView("q265_lineitem")
+    load(spark, dir, "part").select(col("p_partkey"), col("p_brand"))
+      .createOrReplaceTempView("q265_part")
+    load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .createOrReplaceTempView("q265_supplier")
+    graft.sql.GraftSql.execScript(spark,
+      """CREATE TABLE fact AS SELECT * FROM q265_lineitem;
+         CREATE TABLE dimp AS SELECT * FROM q265_part;
+         CREATE TABLE dims AS SELECT * FROM q265_supplier;
+         CREATE MATERIALIZED VIEW brand_nation AS
+           SELECT p_brand, s_nationkey, sum(cents) AS cents_total,
+                  count(cents) AS cnt_cents, count(*) AS n_li
+           FROM fact f JOIN dimp p ON f.l_partkey = p.p_partkey
+                       JOIN dims s ON f.l_suppkey = s.s_suppkey
+           GROUP BY p_brand, s_nationkey;
+         -- all three sides churn before ONE refresh
+         DELETE FROM fact WHERE l_orderkey % 7 = 0;
+         UPDATE dimp SET p_brand = 'REBRANDED'
+           WHERE p_partkey % 5 = 0;
+         UPDATE dims SET s_nationkey = -1 WHERE s_suppkey % 3 = 0;
+         REFRESH MATERIALIZED VIEW brand_nation""", cat)
+    graft.sql.GraftSql.exec(spark,
+      """SELECT p_brand, s_nationkey, cents_total, cnt_cents, n_li
+         FROM brand_nation ORDER BY p_brand, s_nationkey""", cat)
+  }
+
   /** SQL CATALOG PIPELINE (q255; CTAS + bare-name resolution over a
     * warehouse catalog, [[graft.sql.GraftCatalog]] +
     * [[graft.sql.GraftSql.exec]]): the bronze→gold flow a SQL-only
@@ -2795,6 +2847,7 @@ object Relational {
     "q262_sql_views" -> sqlViews,
     "q263_mv_minmax" -> mvMinMax,
     "q264_mv_join" -> mvJoin,
+    "q265_mv_star" -> mvStarN,
     "q224_convert_in_place" -> convertInPlaceRead,
     "q225_snapshot_cdc" -> snapshotCdcFeed,
     "q227_bucket_pruning" -> bucketPrunedRead,
@@ -3694,6 +3747,33 @@ object Relational {
                 count(f.cents) AS cnt_cents, count(*) AS n_orders
          FROM f JOIN d ON f.o_custkey = d.c_custkey
          GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""",
+    "q265_mv_star" ->
+      // the brand×nation cube after three-sided churn must equal the
+      // recompute from the mutated bases — a dropped identity term, a
+      // dim joined at the wrong version, or overlap double-counting
+      // all hash-mismatch
+      """WITH f AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM lineitem WHERE l_orderkey % 7 <> 0),
+         p AS (
+           SELECT p_partkey,
+                  CASE WHEN p_partkey % 5 = 0 THEN 'REBRANDED'
+                       ELSE p_brand END AS p_brand
+           FROM part),
+         s AS (
+           SELECT s_suppkey,
+                  CASE WHEN s_suppkey % 3 = 0 THEN -1
+                       ELSE s_nationkey END AS s_nationkey
+           FROM supplier)
+         SELECT p.p_brand, s.s_nationkey,
+                CAST(sum(f.cents) AS BIGINT) AS cents_total,
+                count(f.cents) AS cnt_cents, count(*) AS n_li
+         FROM f JOIN p ON f.l_partkey = p.p_partkey
+                JOIN s ON f.l_suppkey = s.s_suppkey
+         GROUP BY p.p_brand, s.s_nationkey
+         ORDER BY p.p_brand, s.s_nationkey""",
     "q254_mv_ivm_rewrite" ->
       // the MV was maintained purely from the change feed (insert
       // deltas from the append, signed deletes from the DV band), so

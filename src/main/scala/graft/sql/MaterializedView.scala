@@ -58,9 +58,7 @@ object MaterializedView {
   private val ident = "[A-Za-z_][A-Za-z0-9_]*"
   private val selectRe = (s"(?is)^SELECT\\s+(.*?)\\s+FROM\\s+($ident)" +
     "\\s+GROUP\\s+BY\\s+(.*)$").r
-  private val selectJoinRe = (s"(?is)^SELECT\\s+(.*?)\\s+FROM\\s+" +
-    s"($ident)(?:\\s+(?:AS\\s+)?($ident))?\\s+JOIN\\s+" +
-    s"($ident)(?:\\s+(?:AS\\s+)?($ident))?\\s+ON\\s+(.*?)" +
+  private val selectAnyRe = (s"(?is)^SELECT\\s+(.*?)\\s+FROM\\s+(.*?)" +
     "\\s+GROUP\\s+BY\\s+(.*)$").r
   private val sumRe = s"(?is)^SUM\\s*\\(\\s*($ident)\\s*\\)\\s+AS\\s+($ident)$$".r
   private val cntStarRe =
@@ -73,25 +71,26 @@ object MaterializedView {
     s"(?is)^MAX\\s*\\(\\s*($ident)\\s*\\)\\s+AS\\s+($ident)$$".r
   private val avgRe = s"(?is)^AVG\\s*\\(\\s*($ident)\\s*\\).*".r
 
-  /** The dimension-table side of a STAR-JOIN materialized view
-    * (`FROM fact JOIN dim ON fact.fk = dim.k`): equi-join keys
-    * pairwise (`factKeys(i) = dimKeys(i)`), and the set of OUTPUT
-    * columns (dims/measures) that resolve against the dim table —
-    * persisted so side resolution can never drift under later schema
-    * evolution of either base. */
+  /** One dimension-table side of a STAR-JOIN materialized view
+    * (`FROM fact JOIN d1 ON … JOIN d2 ON …`): equi-join keys pairwise
+    * against the FACT (`factKeys(i) = dimKeys(i)` — star shape, every
+    * dim joins the fact directly), and the set of OUTPUT columns
+    * (dims/measures) that resolve against THIS dim table — persisted
+    * so side resolution can never drift under later schema evolution
+    * of any base. */
   final case class JoinPart(dimName: String, factKeys: Seq[String],
       dimKeys: Seq[String], dimSideCols: Seq[String])
 
   /** One parsed, persisted definition. `sums`/`counts`/`mins`/`maxs`
     * map base measure → MV column; `countStar` is the MV's `count(*)`
-    * column (mandatory); `join` present for star-join MVs (the base
-    * is then `fact JOIN dim`). */
+    * column (mandatory); `joins` non-empty for star-join MVs (the
+    * base is then `fact ⋈ d1 ⋈ … ⋈ dn`). */
   final case class Def(baseName: String, dims: Seq[String],
       sums: Map[String, String], counts: Map[String, String],
       countStar: String,
       mins: Map[String, String] = Map.empty,
       maxs: Map[String, String] = Map.empty,
-      join: Option[JoinPart] = None) {
+      joins: Seq[JoinPart] = Seq.empty) {
     private[sql] def encode: String = {
       def enc(p: Map[String, String]) =
         p.toSeq.sorted.map { case (m, c) => s"$m>$c" }.mkString(",")
@@ -101,12 +100,14 @@ object MaterializedView {
         s"counts=${enc(counts)}",
         s"countStar=$countStar",
         s"mins=${enc(mins)}",
-        s"maxs=${enc(maxs)}").mkString("\n") + join.fold("") { j =>
-        "\n" + Seq(s"join_dim=${j.dimName}",
-          s"join_fact_keys=${j.factKeys.mkString(",")}",
-          s"join_dim_keys=${j.dimKeys.mkString(",")}",
-          s"join_dim_cols=${j.dimSideCols.mkString(",")}").mkString("\n")
-      }
+        s"maxs=${enc(maxs)}").mkString("\n") +
+        joins.zipWithIndex.map { case (j, i) =>
+          "\n" + Seq(s"join${i}_dim=${j.dimName}",
+            s"join${i}_fact_keys=${j.factKeys.mkString(",")}",
+            s"join${i}_dim_keys=${j.dimKeys.mkString(",")}",
+            s"join${i}_dim_cols=${j.dimSideCols.mkString(",")}")
+            .mkString("\n")
+        }.mkString
     }
   }
 
@@ -120,15 +121,21 @@ object MaterializedView {
       }.toMap
     def list(s: String): Seq[String] =
       s.split(',').filter(_.nonEmpty).toSeq
-    val join = kv.get("join_dim").map(dn => JoinPart(dn,
-      list(kv.getOrElse("join_fact_keys", "")),
-      list(kv.getOrElse("join_dim_keys", "")),
-      list(kv.getOrElse("join_dim_cols", ""))))
+    def joinAt(prefix: String): Option[JoinPart] =
+      kv.get(s"${prefix}_dim").map(dn => JoinPart(dn,
+        list(kv.getOrElse(s"${prefix}_fact_keys", "")),
+        list(kv.getOrElse(s"${prefix}_dim_keys", "")),
+        list(kv.getOrElse(s"${prefix}_dim_cols", ""))))
+    // indexed form (join0_, join1_, …); the un-indexed `join_` prefix
+    // is the single-dim spelling earlier sidecars used
+    val joins = joinAt("join").toSeq ++
+      Iterator.from(0).map(i => joinAt(s"join$i"))
+        .takeWhile(_.isDefined).flatten.toSeq
     Def(kv("base"), kv("dims").split(',').filter(_.nonEmpty).toSeq,
       pairs(kv.getOrElse("sums", "")), pairs(kv.getOrElse("counts", "")),
       kv("countStar"),
       pairs(kv.getOrElse("mins", "")), pairs(kv.getOrElse("maxs", "")),
-      join)
+      joins)
   }
 
   private def defPath(catalog: GraftCatalog, name: String): Path =
@@ -154,7 +161,7 @@ object MaterializedView {
   }
 
   private val basisRe = """(?<![a-z_])basis=(\d+)""".r.unanchored
-  private val dimBasisRe = """dim_basis=(\d+)""".r.unanchored
+  private val dimBasisRe = """dim_basis=([\d,]+)""".r.unanchored
 
   /** The base version the MV currently reflects — recorded in the
     * backing table's commit history, so it advances atomically with
@@ -162,17 +169,18 @@ object MaterializedView {
   def currentBasis(spark: SparkSession, mvRoot: String): Long =
     currentBases(spark, mvRoot)._1
 
-  /** Both recorded bases: the fact basis, plus the dim basis for
-    * star-join MVs (None on single-table MVs). Read from the SAME
-    * history line, so the pair is always mutually consistent. */
+  /** Every recorded basis: the fact's, plus one PER DIM for star-join
+    * MVs (definition order; empty on single-table MVs). Read from the
+    * SAME history line, so the tuple is always mutually consistent. */
   def currentBases(spark: SparkSession, mvRoot: String): (Long,
-      Option[Long]) = {
+      Seq[Long]) = {
     val vt = new VersionedTable(spark, mvRoot)
     vt.history(limit = Int.MaxValue)
       .collectFirst { case h if basisRe.findFirstMatchIn(h.operation)
         .isDefined =>
         (basisRe.findFirstMatchIn(h.operation).get.group(1).toLong,
-          dimBasisRe.findFirstMatchIn(h.operation).map(_.group(1).toLong))
+          dimBasisRe.findFirstMatchIn(h.operation).map(_.group(1))
+            .map(_.split(',').map(_.toLong).toSeq).getOrElse(Seq.empty))
       }
       .getOrElse(sys.error(s"no basis recorded in the history of " +
         s"$mvRoot — not a materialized view's backing table"))
@@ -202,13 +210,16 @@ object MaterializedView {
       // base commit after the basis makes the rule decline (stale →
       // base plan)
       basisVersion = () => Some(currentBases(spark, mvRoot)._1),
-      // star-join MVs additionally match `fact ⋈ dim` aggregates —
-      // fresh only when BOTH recorded bases are current
-      joinDim = d.join.map(j => graft.plans.MvJoinDim(
-        dimRoot = catalog.rootOf(j.dimName),
-        factKeys = j.factKeys,
-        dimKeys = j.dimKeys,
-        dimBasisVersion = () => currentBases(spark, mvRoot)._2))))
+      // star-join MVs additionally match `fact ⋈ dims` aggregates —
+      // fresh only when EVERY recorded basis is current
+      joinDims = d.joins.zipWithIndex.map { case (j, i) =>
+        graft.plans.MvJoinDim(
+          dimRoot = catalog.rootOf(j.dimName),
+          factKeys = j.factKeys,
+          dimKeys = j.dimKeys,
+          dimBasisVersion =
+            () => currentBases(spark, mvRoot)._2.lift(i))
+      }))
     registrations.put(mvRoot, handle)
   }
 
@@ -244,13 +255,11 @@ object MaterializedView {
       d.mins.toSeq.sortBy(_._2).map { case (m, c) => s"min($m) AS $c" } ++
       d.maxs.toSeq.sortBy(_._2).map { case (m, c) => s"max($m) AS $c" } ++
       Seq(s"count(*) AS ${d.countStar}")
-    val from = d.join match {
-      case None => d.baseName
-      case Some(j) =>
-        val on = j.factKeys.zip(j.dimKeys).map { case (a, b) =>
-          s"${d.baseName}.$a = ${j.dimName}.$b" }.mkString(" AND ")
-        s"${d.baseName} JOIN ${j.dimName} ON $on"
-    }
+    val from = d.baseName + d.joins.map { j =>
+      val on = j.factKeys.zip(j.dimKeys).map { case (a, b) =>
+        s"${d.baseName}.$a = ${j.dimName}.$b" }.mkString(" AND ")
+      s" JOIN ${j.dimName} ON $on"
+    }.mkString
     s"CREATE MATERIALIZED VIEW $name AS SELECT " +
       items.mkString(", ") +
       s" FROM $from GROUP BY ${d.dims.mkString(", ")}"
@@ -277,18 +286,26 @@ object MaterializedView {
     // plan the aggregate against the PINNED basis version(s): a commit
     // racing between the aggregate and the basis stamp would otherwise
     // leave the MV claiming a version it does not reflect
-    val (agg, op) = d.join match {
-      case None =>
+    val (agg, op) =
+      if (d.joins.isEmpty)
         (aggregate(baseVt.readVersion(basis), d),
           s"CREATE MATERIALIZED VIEW basis=$basis")
-      case Some(j) =>
-        val dimVt = new VersionedTable(spark, catalog.rootOf(j.dimName))
-        val dimBasis = dimVt.currentVersion.getOrElse(
-          sys.error(s"dim table ${j.dimName} does not exist"))
-        (aggregate(joinedBase(baseVt.readVersion(basis),
-          dimVt.readVersion(dimBasis), d), d),
-          s"CREATE MATERIALIZED VIEW basis=$basis dim_basis=$dimBasis")
-    }
+      else {
+        val dimBases = d.joins.map { j =>
+          val dimVt = new VersionedTable(spark,
+            catalog.rootOf(j.dimName))
+          dimVt.currentVersion.getOrElse(
+            sys.error(s"dim table ${j.dimName} does not exist"))
+        }
+        val dimFrames = d.joins.zip(dimBases).map { case (j, v) =>
+          new VersionedTable(spark, catalog.rootOf(j.dimName))
+            .readVersion(v)
+        }
+        (aggregate(joinedBase(baseVt.readVersion(basis), dimFrames, d),
+          d),
+          s"CREATE MATERIALIZED VIEW basis=$basis " +
+            s"dim_basis=${dimBases.mkString(",")}")
+      }
     val mvVt = new VersionedTable(spark, catalog.rootOf(name))
     val v = mvVt.write(agg, operation = op)
     val p = defPath(catalog, name)
@@ -309,7 +326,7 @@ object MaterializedView {
     lastReaggRead = None
     lastJoinFactRead = None
     val d = readDef(catalog, name)
-    if (d.join.isDefined) refreshJoin(catalog, name, d)
+    if (d.joins.nonEmpty) refreshJoin(catalog, name, d)
     else refreshSingle(catalog, name, d)
   }
 
@@ -458,66 +475,80 @@ object MaterializedView {
     mvVt.write(folded, operation = newBasisOp)
   }
 
-  /** Star-join REFRESH — EXACT two-sided incremental maintenance via
-    * the signed multiset identity
+  /** Star-join REFRESH — EXACT all-sides incremental maintenance via
+    * the telescoping signed multiset identity (ΔX = X₁−X₀ signed):
     *
-    *   F₁⋈D₁ − F₀⋈D₀  =  ΔF⋈D₁  ∪  F₀⋈ΔD     (ΔF = F₁−F₀ signed)
+    *   F₁⋈D¹₁⋈…⋈Dⁿ₁ − F₀⋈D¹₀⋈…⋈Dⁿ₀
+    *     =  ΔF⋈D¹₁⋈…⋈Dⁿ₁
+    *     ∪  Σᵢ F₀ ⋈ D¹₀…D^{i-1}₀ ⋈ ΔDᵢ ⋈ D^{i+1}₁…Dⁿ₁
     *
-    * so the fold is the union of two delta-shaped joins, never a
+    * so the fold is a union of delta-shaped joins, never a
     * re-aggregation:
     *
-    *   - `ΔF ⋈ D_new`: the fact's per-commit event feed (O(changed
-    *     files + masked rows)) joined to the CURRENT dim — the dim is
-    *     the small star-schema side, so this broadcasts; the common
+    *   - `ΔF ⋈ dims@new`: the fact's per-commit event feed (O(changed
+    *     files + masked rows)) joined to every CURRENT dim — dims are
+    *     the small star-schema sides, so these broadcast; the common
     *     "facts appended, dims untouched" refresh costs exactly the
-    *     single-table fold plus one broadcast.
-    *   - `F_old ⋈ ΔD`: the PINNED old fact joined to the dim's event
-    *     feed — ΔD is tiny (dim rows change rarely), and when its
-    *     changed join keys are enumerable the fact read is restricted
-    *     by a min/max key envelope pushed to MANIFEST stats pruning
-    *     plus an exact IN filter ([[scopedFactRead]]): on a
-    *     key-clustered 100 TB fact this plans only the affected
-    *     files. A dim ATTRIBUTE change flows exactly: its
-    *     delete+insert event pair re-signs the joined fact rows out
-    *     of the old group and into the new one.
+    *     single-table fold plus the broadcasts.
+    *   - per changed dim i, `F_old ⋈ ΔDᵢ` (older dims at their OLD
+    *     versions, later dims at NEW — exactly one signed feed per
+    *     term): ΔDᵢ is tiny, and when its changed join keys are
+    *     enumerable the fact read is restricted by a min/max key
+    *     envelope pushed to MANIFEST stats pruning plus an exact IN
+    *     filter ([[scopedFactRead]]): on a key-clustered 100 TB fact
+    *     this plans only the affected files. A dim ATTRIBUTE change
+    *     flows exactly: its delete+insert event pair re-signs the
+    *     joined fact rows out of the old group and into the new one.
     *
     * Events multiply signs (each term carries exactly one signed
     * feed), and the shared [[mergeAndFold]] applies the same
-    * emptied-group / NULL-sum discipline as single-table MVs. Both
-    * bases advance atomically in the commit operation string. */
+    * emptied-group / NULL-sum discipline as single-table MVs. Every
+    * basis advances atomically in the one commit operation string. */
   private def refreshJoin(catalog: GraftCatalog, name: String,
       d: Def): Long = {
     val spark = catalog.spark
-    val j = d.join.get
     val mvRoot = catalog.rootOf(name)
     val mvVt = new VersionedTable(spark, mvRoot)
     val factVt = new VersionedTable(spark, catalog.rootOf(d.baseName))
-    val dimVt = new VersionedTable(spark, catalog.rootOf(j.dimName))
-    val (bf, bdOpt) = currentBases(spark, mvRoot)
-    val bd = bdOpt.getOrElse(sys.error(
-      s"$name is a star-join MV but its history records no dim_basis"))
+    val dimVts = d.joins.map(j =>
+      new VersionedTable(spark, catalog.rootOf(j.dimName)))
+    val (bf, bds) = currentBases(spark, mvRoot)
+    require(bds.size == d.joins.size, s"$name records ${bds.size} dim " +
+      s"bases but the definition joins ${d.joins.size} dims")
     val cf = factVt.currentVersion.getOrElse(
       sys.error(s"fact table ${d.baseName} does not exist"))
-    val cd = dimVt.currentVersion.getOrElse(
-      sys.error(s"dim table ${j.dimName} does not exist"))
-    require(cf >= bf && cd >= bd, s"a base of $name was RESTOREd " +
-      s"behind the MV (fact v$cf vs basis v$bf, dim v$cd vs basis " +
-      s"v$bd); drop and re-create the view")
-    if (cf == bf && cd == bd) return mvVt.currentVersion.get
+    val cds = d.joins.zip(dimVts).map { case (j, vt) =>
+      vt.currentVersion.getOrElse(
+        sys.error(s"dim table ${j.dimName} does not exist")) }
+    require(cf >= bf && cds.zip(bds).forall { case (c, b) => c >= b },
+      s"a base of $name was RESTOREd behind the MV (fact v$cf vs " +
+        s"basis v$bf, dims ${cds.mkString(",")} vs " +
+        s"${bds.mkString(",")}); drop and re-create the view")
+    if (cf == bf && cds == bds) return mvVt.currentVersion.get
+    val n = d.joins.size
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (cf > bf) {
       val ch = factVt.changesPerCommit(bf, cf)
         .withColumn("_mv_sign", changeSign)
-      parts += joinedSigned(ch, dimVt.readVersion(cd), d,
-        signOnFact = true)
+      parts += joinedSigned(ch,
+        dimVts.zip(cds).map { case (vt, v) => vt.readVersion(v) },
+        d, signIdx = -1)
     }
-    if (cd > bd) {
-      // the dim delta is read twice (join-key envelope + the join
-      // itself) — materialize the O(changed dim rows) frame
-      val ch = dimVt.changesPerCommit(bd, cd)
-        .withColumn("_mv_sign", changeSign).localCheckpoint()
-      parts += joinedSigned(scopedFactRead(factVt, bf, j, ch), ch, d,
-        signOnFact = false)
+    d.joins.indices.foreach { i =>
+      if (cds(i) > bds(i)) {
+        // the dim delta is read twice (join-key envelope + the join
+        // itself) — materialize the O(changed dim rows) frame
+        val ch = dimVts(i).changesPerCommit(bds(i), cds(i))
+          .withColumn("_mv_sign", changeSign).localCheckpoint()
+        val dimFrames = d.joins.indices.map { k =>
+          if (k < i) dimVts(k).readVersion(bds(k)) // old
+          else if (k == i) ch // the signed feed
+          else dimVts(k).readVersion(cds(k)) // new
+        }
+        parts += joinedSigned(
+          scopedFactRead(factVt, bf, d.joins(i), ch), dimFrames, d,
+          signIdx = i)
+      }
     }
     val events = parts.reduce(_ unionByName _)
     val deltaAggs: Seq[org.apache.spark.sql.Column] =
@@ -533,42 +564,47 @@ object MaterializedView {
         (d.countStar +: (d.sums.values.toSeq ++ d.counts.values.toSeq))
           .map(c => col(dcol(c))): _*)
     mergeAndFold(mvVt, d, delta, None,
-      s"REFRESH MATERIALIZED VIEW basis=$cf dim_basis=$cd")
+      s"REFRESH MATERIALIZED VIEW basis=$cf " +
+        s"dim_basis=${cds.mkString(",")}")
   }
 
-  /** The star join's OUTPUT projection: each MV dim/measure resolves
-    * against the side the persisted definition recorded, join keys
-    * pairwise-equal, inner semantics (NULL keys drop — consistently
-    * at CREATE and in every delta, so the algebra stays exact). */
-  private def joinedBase(fact: DataFrame, dim: DataFrame,
-      d: Def): DataFrame = {
-    val j = d.join.get
-    val cond = j.factKeys.zip(j.dimKeys).map { case (a, b) =>
-      col(s"__f.$a") === col(s"__d.$b") }.reduce(_ && _)
-    fact.as("__f").join(dim.as("__d"), cond, "inner")
-      .select(outputCols(d): _*)
-  }
+  /** The star join's OUTPUT projection over fact ⋈ every dim: each MV
+    * dim/measure resolves against the side the persisted definition
+    * recorded, join keys pairwise-equal per dim, inner semantics
+    * (NULL keys drop — consistently at CREATE and in every delta, so
+    * the algebra stays exact). */
+  private def joinedBase(fact: DataFrame, dims: Seq[DataFrame],
+      d: Def): DataFrame =
+    joinAll(fact, dims, d).select(outputCols(d): _*)
 
   /** [[joinedBase]] with the `_mv_sign` column carried through from
-    * the signed side. */
-  private def joinedSigned(fact: DataFrame, dim: DataFrame, d: Def,
-      signOnFact: Boolean): DataFrame = {
-    val j = d.join.get
-    val cond = j.factKeys.zip(j.dimKeys).map { case (a, b) =>
-      col(s"__f.$a") === col(s"__d.$b") }.reduce(_ && _)
-    val signSide = if (signOnFact) "__f" else "__d"
-    fact.as("__f").join(dim.as("__d"), cond, "inner")
-      .select(outputCols(d) :+
-        col(s"$signSide._mv_sign").as("_mv_sign"): _*)
+    * the signed side (`signIdx` = -1 for the fact, else the dim
+    * index). */
+  private def joinedSigned(fact: DataFrame, dims: Seq[DataFrame],
+      d: Def, signIdx: Int): DataFrame = {
+    val signSide = if (signIdx < 0) "__f" else s"__d$signIdx"
+    joinAll(fact, dims, d).select(outputCols(d) :+
+      col(s"$signSide._mv_sign").as("_mv_sign"): _*)
   }
 
+  private def joinAll(fact: DataFrame, dims: Seq[DataFrame],
+      d: Def): DataFrame =
+    d.joins.zipWithIndex.foldLeft(fact.as("__f")) {
+      case (acc, (j, i)) =>
+        val cond = j.factKeys.zip(j.dimKeys).map { case (a, b) =>
+          col(s"__f.$a") === col(s"__d$i.$b") }.reduce(_ && _)
+        acc.join(dims(i).as(s"__d$i"), cond, "inner")
+    }
+
   private def outputCols(d: Def): Seq[org.apache.spark.sql.Column] = {
-    val j = d.join.get
     val outs = (d.dims ++ (d.sums.keySet ++ d.counts.keySet ++
       d.mins.keySet ++ d.maxs.keySet).toSeq.sorted).distinct
-    outs.map(c =>
-      (if (j.dimSideCols.contains(c)) col(s"__d.$c")
-       else col(s"__f.$c")).as(c))
+    outs.map { c =>
+      val side = d.joins.zipWithIndex
+        .find { case (j, _) => j.dimSideCols.contains(c) }
+        .map { case (_, i) => s"__d$i" }.getOrElse("__f")
+      col(s"$side.$c").as(c)
+    }
   }
 
   /** Cap on enumerated changed-dim join keys — beyond it the old-fact
@@ -636,13 +672,13 @@ object MaterializedView {
           currentBases(catalog.spark, catalog.rootOf(n))
         val cur = new VersionedTable(catalog.spark,
           catalog.rootOf(d.baseName)).currentVersion.getOrElse(-1L)
-        val dimFresh = d.join.forall { j =>
+        val dimFresh = d.joins.zipWithIndex.forall { case (j, i) =>
           val dimCur = new VersionedTable(catalog.spark,
             catalog.rootOf(j.dimName)).currentVersion.getOrElse(-1L)
-          dimBasis.contains(dimCur)
+          dimBasis.lift(i).contains(dimCur)
         }
         val baseLabel = d.baseName +
-          d.join.fold("")(j => s" JOIN ${j.dimName}")
+          d.joins.map(j => s" JOIN ${j.dimName}").mkString
         (n, baseLabel, basis, cur, basis == cur && dimFresh)
       }
 
@@ -785,15 +821,14 @@ object MaterializedView {
         "reordering; cast to cents/long first")
 
   /** Parse `SELECT dims…, aggs… FROM base GROUP BY dims…` — or the
-    * star-join form `FROM fact [f] JOIN dim [d] ON f.k = d.k [AND …]
-    * GROUP BY …` — into a [[Def]]. Loud on everything outside the
-    * maintainable shape. */
+    * star-join form `FROM fact [f] JOIN d1 [a1] ON f.k = a1.k [AND …]
+    * [JOIN d2 [a2] ON …]… GROUP BY …` — into a [[Def]]. Loud on
+    * everything outside the maintainable shape. */
   private[sql] def parseSelect(catalog: GraftCatalog,
       selectSql: String): Def = selectSql.trim match {
-    case selectJoinRe(itemsTxt, factName, fAliasOpt, dimName,
-        dAliasOpt, onTxt, gb) =>
-      parseJoinSelect(catalog, itemsTxt, factName, Option(fAliasOpt),
-        dimName, Option(dAliasOpt), onTxt, gb)
+    case selectAnyRe(itemsTxt, fromTxt, gb)
+        if "(?is)\\sJOIN\\s".r.findFirstIn(fromTxt).isDefined =>
+      parseJoinSelect(catalog, itemsTxt, fromTxt, gb)
     case selectRe(itemsTxt, baseName, gb) =>
       val dims = GraftSql.splitTopList(gb)
       dims.foreach(g => require(g.matches(ident),
@@ -836,16 +871,35 @@ object MaterializedView {
       "GROUP BY dims…`, got: " + other)
   }
 
-  /** The star-join form's tail: parse the ON conjunction, resolve
-    * every output column to exactly one side, validate, and persist
-    * the sides in the [[JoinPart]] so resolution can never drift. */
+  /** The star-join form's tail: split the FROM text into
+    * `fact [alias] (JOIN dim [alias] ON …)+`, parse each ON
+    * conjunction against the FACT (star shape — every dim joins the
+    * fact directly; snowflake chains are refused), resolve every
+    * output column to exactly one side, validate, and persist the
+    * sides in the [[JoinPart]]s so resolution can never drift. */
   private def parseJoinSelect(catalog: GraftCatalog, itemsTxt: String,
-      factName: String, fAliasOpt: Option[String], dimName: String,
-      dAliasOpt: Option[String], onTxt: String, gb: String): Def = {
-    val fAlias = fAliasOpt.getOrElse(factName)
-    val dAlias = dAliasOpt.getOrElse(dimName)
-    require(fAlias != dAlias,
-      s"star-join sides need distinct aliases, both are '$fAlias'")
+      fromTxt: String, gb: String): Def = {
+    val segs = fromTxt.trim.split("(?is)\\s+JOIN\\s+").toSeq
+    require(segs.size >= 2, s"star-join FROM must contain at least " +
+      s"one JOIN, got: $fromTxt")
+    val headRe = s"(?is)^($ident)(?:\\s+(?:AS\\s+)?($ident))?$$".r
+    val segRe =
+      s"(?is)^($ident)(?:\\s+(?:AS\\s+)?($ident))?\\s+ON\\s+(.*)$$".r
+    val (factName, fAlias) = segs.head.trim match {
+      case headRe(n, a) => (n, Option(a).getOrElse(n))
+      case o => sys.error(
+        s"star-join FROM must start `fact [AS alias]`, got: $o")
+    }
+    val dimSegs: Seq[(String, String, String)] = segs.tail.map(_.trim)
+      .map {
+        case segRe(n, a, on) => (n, Option(a).getOrElse(n), on.trim)
+        case o => sys.error("each star-join clause must be " +
+          s"`JOIN dim [AS alias] ON …`, got: $o")
+      }
+    val aliases = fAlias +: dimSegs.map(_._2)
+    require(aliases.distinct.size == aliases.size,
+      s"star-join sides need distinct aliases, got: " +
+        aliases.mkString(", "))
     val dims = GraftSql.splitTopList(gb)
     dims.foreach(g => require(g.matches(ident),
       "GROUP BY must list bare UNQUALIFIED dimension columns " +
@@ -856,57 +910,83 @@ object MaterializedView {
         "sum/count partials, or define the extremum MV on a single " +
         "pre-joined table")
     val keyRe = s"(?is)^($ident)\\.($ident)\\s*=\\s*($ident)\\.($ident)$$".r
-    val pairs = onTxt.trim.split("(?i)\\s+AND\\s+").toSeq.map(_.trim)
-      .map {
-        case keyRe(a1, c1, a2, c2) =>
-          if (a1 == fAlias && a2 == dAlias) (c1, c2)
-          else if (a1 == dAlias && a2 == fAlias) (c2, c1)
-          else sys.error(s"ON conjunct must equate $fAlias.<col> " +
-            s"with $dAlias.<col>, got: $a1.$c1 = $a2.$c2")
-        case other => sys.error("star-join ON must be a conjunction " +
-          s"of alias-qualified key equalities, got: $other")
-      }
-    val factKeys = pairs.map(_._1)
-    val dimKeys = pairs.map(_._2)
+    val keyPairs: Seq[(Seq[String], Seq[String])] = dimSegs.map {
+      case (dimName, dAlias, onTxt) =>
+        val pairs = onTxt.split("(?i)\\s+AND\\s+").toSeq.map(_.trim)
+          .map {
+            case keyRe(a1, c1, a2, c2) =>
+              if (a1 == fAlias && a2 == dAlias) (c1, c2)
+              else if (a1 == dAlias && a2 == fAlias) (c2, c1)
+              else if (aliases.contains(a1) && aliases.contains(a2))
+                sys.error(s"ON conjunct $a1.$c1 = $a2.$c2 does not " +
+                  s"join $dimName to the FACT — star shape only: " +
+                  "every dim joins the fact directly (no snowflake " +
+                  "chains)")
+              else sys.error(s"ON conjunct must equate $fAlias.<col> " +
+                s"with $dAlias.<col>, got: $a1.$c1 = $a2.$c2")
+            case other => sys.error("star-join ON must be a " +
+              s"conjunction of alias-qualified key equalities, got: " +
+              other)
+          }
+        (pairs.map(_._1), pairs.map(_._2))
+    }
     val factVt = new VersionedTable(catalog.spark,
       catalog.rootOf(factName))
     require(factVt.currentVersion.isDefined,
       s"fact table $factName does not exist in ${catalog.warehouse}")
-    val dimVt = new VersionedTable(catalog.spark, catalog.rootOf(dimName))
-    require(dimVt.currentVersion.isDefined,
-      s"dim table $dimName does not exist in ${catalog.warehouse}")
     val factSchema = factVt.read().schema
-    val dimSchema = dimVt.read().schema
-    factKeys.foreach(k => require(factSchema.fieldNames.contains(k),
-      s"join key $k is not a column of $factName"))
-    dimKeys.foreach(k => require(dimSchema.fieldNames.contains(k),
-      s"join key $k is not a column of $dimName"))
+    val dimSchemas = dimSegs.map { case (dimName, _, _) =>
+      val vt = new VersionedTable(catalog.spark, catalog.rootOf(dimName))
+      require(vt.currentVersion.isDefined,
+        s"dim table $dimName does not exist in ${catalog.warehouse}")
+      vt.read().schema
+    }
+    keyPairs.zip(dimSegs).zip(dimSchemas).foreach {
+      case (((fks, dks), (dimName, _, _)), dimSchema) =>
+        fks.foreach(k => require(factSchema.fieldNames.contains(k),
+          s"join key $k is not a column of $factName"))
+        dks.foreach(k => require(dimSchema.fieldNames.contains(k),
+          s"join key $k is not a column of $dimName"))
+    }
     val measures = it.sums.keySet ++ it.counts.keySet
     measures.foreach(m => require(!dims.contains(m),
       s"$m cannot be both a dim and a measure"))
-    // TRUE = the column reads from the dim side
-    def isDimSide(c: String): Boolean = {
-      val inF = factSchema.fieldNames.contains(c)
-      val inD = dimSchema.fieldNames.contains(c)
-      if (inF && inD) {
-        // a join-key pair member is value-equal across the inner
-        // join — resolve to the fact side; anything else is ambiguous
-        if (factKeys.contains(c) || dimKeys.contains(c)) false
-        else sys.error(s"column $c exists in both $factName and " +
-          s"$dimName — rename one side (resolution is by name)")
-      } else if (inF) false
-      else if (inD) true
-      else sys.error(
-        s"column $c is a column of neither $factName nor $dimName")
+    val allKeyMembers: Set[String] =
+      keyPairs.flatMap { case (f, dd) => f ++ dd }.toSet
+    // resolve each output column to exactly one side: -1 = fact,
+    // i >= 0 = dim i. A join-key pair member is value-equal across
+    // the inner join and prefers the fact; anything else present on
+    // two sides is ambiguous.
+    def sideOf(c: String): Int = {
+      val owners: Seq[Int] =
+        (if (factSchema.fieldNames.contains(c)) Seq(-1) else Seq.empty) ++
+          dimSchemas.zipWithIndex.collect {
+            case (s, i) if s.fieldNames.contains(c) => i
+          }
+      owners match {
+        case Seq(one) => one
+        case Seq() => sys.error(s"column $c is a column of neither " +
+          s"$factName nor ${dimSegs.map(_._1).mkString("/")}")
+        case many if allKeyMembers.contains(c) && many.contains(-1) => -1
+        case _ => sys.error(s"column $c exists on multiple join " +
+          s"sides — rename one (resolution is by name)")
+      }
     }
-    val dimSideCols = (dims ++ measures.toSeq.sorted).distinct
-      .filter(isDimSide)
+    val outs = (dims ++ measures.toSeq.sorted).distinct
+    val sideIdx: Map[String, Int] = outs.map(c => c -> sideOf(c)).toMap
     it.sums.keys.foreach { m =>
-      val (sch, of) = if (dimSideCols.contains(m)) (dimSchema, dimName)
-                      else (factSchema, factName)
+      val (sch, of) = sideIdx(m) match {
+        case -1 => (factSchema, factName)
+        case i => (dimSchemas(i), dimSegs(i)._1)
+      }
       requireIntegralSum(m, sch(m).dataType, of)
     }
+    val joins = dimSegs.zip(keyPairs).zipWithIndex.map {
+      case (((dimName, _, _), (fks, dks)), i) =>
+        JoinPart(dimName, fks, dks,
+          outs.filter(c => sideIdx(c) == i))
+    }
     Def(factName, dims, it.sums, it.counts, it.countStar,
-      join = Some(JoinPart(dimName, factKeys, dimKeys, dimSideCols)))
+      joins = joins)
   }
 }

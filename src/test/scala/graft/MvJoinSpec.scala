@@ -195,6 +195,103 @@ class MvJoinSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("N-dim star: fact ⋈ dimP ⋈ dimS maintains exactly through " +
+      "fact-only, one-dim, and all-three-sides windows; the navigator " +
+      "serves the 3-leaf join and its rollups; a middle-dim commit " +
+      "declines") {
+    val wh = Fixtures.tempDir("graft-mvjoin-ndim") + "/wh"
+    val cat2 = new GraftCatalog(spark, wh)
+    val fact = new VersionedTable(spark, cat2.rootOf("fact"))
+    // pid 1..20, sid = pid % 4, cents = pid * 100
+    fact.write((1L to 20L).map(p => (p, p % 4, p * 100L))
+      .toDF("pid", "sid", "cents").repartitionByRange(2, col("pid")))
+    new VersionedTable(spark, cat2.rootOf("dimp"))
+      .write((1L to 20L).map(p => (p, if (p <= 10) "x" else "y"))
+        .toDF("pid", "cat"))
+    new VersionedTable(spark, cat2.rootOf("dims"))
+      .write((0L to 3L).map(s => (s, if (s < 2) "east" else "west"))
+        .toDF("sid", "region"))
+    def recompute2: Seq[(String, String, Long, Long)] =
+      GraftSql.exec(spark,
+        """SELECT p.cat AS cat, s.region AS region,
+                  sum(f.cents) AS sc, count(*) AS n
+           FROM fact f JOIN dimp p ON f.pid = p.pid
+                       JOIN dims s ON f.sid = s.sid
+           GROUP BY p.cat, s.region ORDER BY cat, region""", cat2)
+        .as[(String, String, Long, Long)].collect().toSeq
+    def mv2: Seq[(String, String, Long, Long)] =
+      GraftSql.exec(spark,
+        "SELECT cat, region, sc, n FROM jmv2 ORDER BY cat, region",
+        cat2).as[(String, String, Long, Long)].collect().toSeq
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW jmv2 AS
+         SELECT cat, region, sum(cents) AS sc, count(cents) AS cc,
+                count(*) AS n
+         FROM fact f JOIN dimp p ON f.pid = p.pid
+                     JOIN dims s ON f.sid = s.sid
+         GROUP BY cat, region""", cat2)
+    assert(mv2 === recompute2)
+    // fact-only window: neither dim read signed, old fact untouched
+    GraftSql.exec(spark, "INSERT INTO fact VALUES (21, 1, 9999)", cat2)
+    GraftSql.exec(spark, "INSERT INTO dimp VALUES (21, 'y')", cat2)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv2", cat2)
+    assert(mv2 === recompute2)
+    // one-dim window: a region flips; exact regrouping
+    GraftSql.exec(spark,
+      "UPDATE dims SET region = 'west' WHERE sid = 1", cat2)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv2", cat2)
+    assert(mv2 === recompute2)
+    // all three sides in ONE window
+    GraftSql.exec(spark, "INSERT INTO fact VALUES (22, 2, 777)", cat2)
+    GraftSql.exec(spark, "INSERT INTO dimp VALUES (22, 'x')", cat2)
+    GraftSql.exec(spark,
+      "UPDATE dimp SET cat = 'y' WHERE pid = 3", cat2)
+    GraftSql.exec(spark,
+      "UPDATE dims SET region = 'east' WHERE sid = 3", cat2)
+    GraftSql.exec(spark, "DELETE FROM fact WHERE pid BETWEEN 5 AND 8",
+      cat2)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv2", cat2)
+    assert(mv2 === recompute2)
+    // fold the DV masks away (pure scans again) and re-sync: the
+    // navigator only substitutes provably-identical snapshots
+    GraftSql.exec(spark, "OPTIMIZE fact", cat2)
+    GraftSql.exec(spark, "OPTIMIZE dimp", cat2)
+    GraftSql.exec(spark, "OPTIMIZE dims", cat2)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmv2", cat2)
+    // the navigator serves the 3-leaf join and a coarser rollup
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev :+ graft.plans.MvRewrite
+    try {
+      def roots(df: org.apache.spark.sql.DataFrame) =
+        graft.plans.MvRewrite.scannedManifestRoots(df)
+      val q3 = GraftSql.exec(spark,
+        """SELECT cat, region, sum(cents) AS sc, count(*) AS n
+           FROM fact f JOIN dimp p ON f.pid = p.pid
+                       JOIN dims s ON f.sid = s.sid
+           GROUP BY cat, region ORDER BY cat, region""", cat2)
+      assert(roots(q3).nonEmpty && roots(q3).forall(_.endsWith("/jmv2")),
+        s"3-leaf join rewrite did not fire: scanned ${roots(q3)}")
+      assert(q3.as[(String, String, Long, Long)].collect().toSeq ===
+        recompute2)
+      val qRoll = GraftSql.exec(spark,
+        """SELECT region, sum(cents) AS sc
+           FROM fact f JOIN dimp p ON f.pid = p.pid
+                       JOIN dims s ON f.sid = s.sid
+           GROUP BY region ORDER BY region""", cat2)
+      assert(roots(qRoll).forall(_.endsWith("/jmv2")),
+        "a coarser rollup over the star must still serve from the MV")
+      // a commit on ONE dim makes the whole star decline
+      GraftSql.exec(spark, "INSERT INTO dims VALUES (9, 'north')", cat2)
+      val qStale = GraftSql.exec(spark,
+        """SELECT cat, count(*) AS n
+           FROM fact f JOIN dimp p ON f.pid = p.pid
+                       JOIN dims s ON f.sid = s.sid
+           GROUP BY cat""", cat2)
+      assert(!roots(qStale).exists(_.endsWith("/jmv2")))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("parse guards: ambiguous columns, min/max on a join, and " +
       "non-equi ON are refused loudly; a RESTORE window folds exactly " +
       "through the snapshot-diff slice") {
@@ -207,7 +304,7 @@ class MvJoinSpec extends AnyFunSuite {
          SELECT cat, sum(cents) AS s, count(cents) AS c, count(*) AS n
          FROM fact f JOIN dim2 d ON f.pid = d.pid
          GROUP BY cat""", cat) }
-    assert(e1.getMessage.contains("both"))
+    assert(e1.getMessage.contains("multiple join sides"))
     val e2 = intercept[RuntimeException] { GraftSql.exec(spark,
       """CREATE MATERIALIZED VIEW bad2 AS
          SELECT cat, min(cents) AS lo, count(*) AS n
