@@ -1144,7 +1144,8 @@ object Relational {
          CREATE TABLE dims AS SELECT * FROM q265_supplier;
          CREATE MATERIALIZED VIEW brand_nation AS
            SELECT p_brand, s_nationkey, sum(cents) AS cents_total,
-                  count(cents) AS cnt_cents, count(*) AS n_li
+                  count(cents) AS cnt_cents, min(cents) AS cents_lo,
+                  max(cents) AS cents_hi, count(*) AS n_li
            FROM fact f JOIN dimp p ON f.l_partkey = p.p_partkey
                        JOIN dims s ON f.l_suppkey = s.s_suppkey
            GROUP BY p_brand, s_nationkey;
@@ -1155,7 +1156,8 @@ object Relational {
          UPDATE dims SET s_nationkey = -1 WHERE s_suppkey % 3 = 0;
          REFRESH MATERIALIZED VIEW brand_nation""", cat)
     graft.sql.GraftSql.exec(spark,
-      """SELECT p_brand, s_nationkey, cents_total, cnt_cents, n_li
+      """SELECT p_brand, s_nationkey, cents_total, cnt_cents,
+                cents_lo, cents_hi, n_li
          FROM brand_nation ORDER BY p_brand, s_nationkey""", cat)
   }
 
@@ -3769,7 +3771,9 @@ object Relational {
            FROM supplier)
          SELECT p.p_brand, s.s_nationkey,
                 CAST(sum(f.cents) AS BIGINT) AS cents_total,
-                count(f.cents) AS cnt_cents, count(*) AS n_li
+                count(f.cents) AS cnt_cents,
+                min(f.cents) AS cents_lo, max(f.cents) AS cents_hi,
+                count(*) AS n_li
          FROM f JOIN p ON f.l_partkey = p.p_partkey
                 JOIN s ON f.l_suppkey = s.s_suppkey
          GROUP BY p.p_brand, s.s_nationkey

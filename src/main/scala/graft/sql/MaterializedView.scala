@@ -551,21 +551,95 @@ object MaterializedView {
       }
     }
     val events = parts.reduce(_ unionByName _)
+    val hasMinMax = d.mins.nonEmpty || d.maxs.nonEmpty
+    val isIns = col("_mv_sign") > 0
+    val isDel = col("_mv_sign") < 0
     val deltaAggs: Seq[org.apache.spark.sql.Column] =
       Seq(sum(col("_mv_sign")).as(dcol(d.countStar))) ++
         d.sums.toSeq.map { case (m, c) =>
           sum(col(m) * col("_mv_sign")).as(dcol(c)) } ++
         d.counts.toSeq.map { case (m, c) =>
           sum(when(col(m).isNotNull, col("_mv_sign")).otherwise(0L))
-            .as(dcol(c)) }
-    val delta = events.groupBy(d.dims.map(col): _*)
+            .as(dcol(c)) } ++
+        // min/max partials fold FREE over insert-only deltas; a group
+        // whose delta removed joined rows (a fact delete OR a dim-move
+        // re-signing rows away) re-aggregates — but ONLY that group
+        d.mins.toSeq.map { case (m, c) =>
+          min(when(isIns, col(m))).as(dcol(c)) } ++
+        d.maxs.toSeq.map { case (m, c) =>
+          max(when(isIns, col(m))).as(dcol(c)) } ++
+        (if (hasMinMax)
+           Seq(max(when(isDel, 1).otherwise(0)).as("_delta_had_deletes"))
+         else Seq.empty)
+    val delta0 = events.groupBy(d.dims.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .select(d.dims.map(k => col(k).as(dkey(k))) ++
-        (d.countStar +: (d.sums.values.toSeq ++ d.counts.values.toSeq))
-          .map(c => col(dcol(c))): _*)
-    mergeAndFold(mvVt, d, delta, None,
+        (d.countStar +: (d.sums.values.toSeq ++ d.counts.values.toSeq ++
+          d.mins.values.toSeq ++ d.maxs.values.toSeq))
+          .map(c => col(dcol(c))) ++
+        (if (hasMinMax) Seq(col("_delta_had_deletes"))
+         else Seq.empty): _*)
+    val delta = if (hasMinMax) delta0.localCheckpoint() else delta0
+    val reagg: Option[DataFrame] =
+      if (!hasMinMax) None
+      else {
+        val affected = delta.filter(col("_delta_had_deletes") === 1)
+          .select(d.dims.map(k => col(dkey(k))): _*)
+        Some(scopedJoinMinMax(factVt, cf, dimVts, cds, d, affected))
+      }
+    mergeAndFold(mvVt, d, delta, reagg,
       s"REFRESH MATERIALIZED VIEW basis=$cf " +
         s"dim_basis=${cds.mkString(",")}")
+  }
+
+  /** Min/max re-aggregation over the star join for ONLY the
+    * delete-affected groups, read from the CURRENT pinned snapshots:
+    * the affected group keys broadcast as a left-semi filter on the
+    * joined base. When every MV dim is a FACT-side column and the
+    * groups are enumerable, the per-group predicates additionally
+    * push into the fact manifest's partition/stats pruning (the
+    * single-table scopedMinMax shape); dim-side dims restrict through
+    * the join itself — the dims are the small star sides, so their
+    * filtered rows bound the fact matches. Row-exact either way. */
+  private def scopedJoinMinMax(factVt: VersionedTable, cf: Long,
+      dimVts: Seq[VersionedTable], cds: Seq[Long], d: Def,
+      affectedKeys: DataFrame): DataFrame = {
+    import graft.io.{VersionedTable => VT}
+    val keyRows = affectedKeys.limit(reaggGroupCap + 1).collect()
+    val dimFrames = dimVts.zip(cds).map { case (vt, v) =>
+      vt.readVersion(v) }
+    val allFactSide =
+      d.dims.forall(c => !d.joins.exists(_.dimSideCols.contains(c)))
+    val enumerable = keyRows.nonEmpty &&
+      keyRows.length <= reaggGroupCap &&
+      keyRows.forall(r => d.dims.indices.forall(i => !r.isNullAt(i)))
+    val scoped =
+      if (keyRows.isEmpty)
+        joinedBase(factVt.readVersion(cf), dimFrames, d)
+          .limit(0).filter(lit(false))
+      else if (allFactSide && enumerable)
+        // fact-side dims: per-group predicates prune the FACT scan
+        keyRows.toSeq.map { r =>
+          joinedBase(factVt.readMatchingAt(Some(cf),
+            d.dims.zipWithIndex.map { case (dim, i) =>
+              VT.PartitionEq(dim, r.get(i).toString)
+            }: _*), dimFrames, d)
+        }.reduce(_ unionByName _)
+      else {
+        val keys = affectedKeys.toDF(d.dims.map(k => s"__aff_$k"): _*)
+        val c = d.dims.map(k => col(k) <=> col(s"__aff_$k"))
+          .reduce(_ && _)
+        joinedBase(factVt.readVersion(cf), dimFrames, d)
+          .join(broadcast(keys), c, "left_semi")
+      }
+    lastReaggRead = if (keyRows.isEmpty) None else Some(scoped)
+    val aggs = d.mins.toSeq.map { case (m, c) =>
+      min(col(m)).as(rcol(c)) } ++
+      d.maxs.toSeq.map { case (m, c) => max(col(m)).as(rcol(c)) }
+    scoped.groupBy(d.dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(d.dims.map(k => col(k).as(rkey(k))) ++
+        (d.mins.values.toSeq ++ d.maxs.values.toSeq)
+          .map(c => col(rcol(c))): _*)
   }
 
   /** The star join's OUTPUT projection over fact ⋈ every dim: each MV
@@ -905,10 +979,6 @@ object MaterializedView {
       "GROUP BY must list bare UNQUALIFIED dimension columns " +
         s"(side resolution is by name), got: $g"))
     val it = parseItems(itemsTxt, dims)
-    require(it.mins.isEmpty && it.maxs.isEmpty,
-      "min/max are not yet supported on star-join MVs — materialize " +
-        "sum/count partials, or define the extremum MV on a single " +
-        "pre-joined table")
     val keyRe = s"(?is)^($ident)\\.($ident)\\s*=\\s*($ident)\\.($ident)$$".r
     val keyPairs: Seq[(Seq[String], Seq[String])] = dimSegs.map {
       case (dimName, dAlias, onTxt) =>
@@ -948,7 +1018,8 @@ object MaterializedView {
         dks.foreach(k => require(dimSchema.fieldNames.contains(k),
           s"join key $k is not a column of $dimName"))
     }
-    val measures = it.sums.keySet ++ it.counts.keySet
+    val measures = it.sums.keySet ++ it.counts.keySet ++
+      it.mins.keySet ++ it.maxs.keySet
     measures.foreach(m => require(!dims.contains(m),
       s"$m cannot be both a dim and a measure"))
     val allKeyMembers: Set[String] =
@@ -974,12 +1045,27 @@ object MaterializedView {
     }
     val outs = (dims ++ measures.toSeq.sorted).distinct
     val sideIdx: Map[String, Int] = outs.map(c => c -> sideOf(c)).toMap
+    def ownerSchema(m: String) = sideIdx(m) match {
+      case -1 => (factSchema, factName)
+      case i => (dimSchemas(i), dimSegs(i)._1)
+    }
     it.sums.keys.foreach { m =>
-      val (sch, of) = sideIdx(m) match {
-        case -1 => (factSchema, factName)
-        case i => (dimSchemas(i), dimSegs(i)._1)
-      }
+      val (sch, of) = ownerSchema(m)
       requireIntegralSum(m, sch(m).dataType, of)
+    }
+    (it.mins.keys ++ it.maxs.keys).foreach { m =>
+      val (sch, _) = ownerSchema(m)
+      val t = sch(m).dataType
+      val orderable = t match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }
+      require(orderable, s"min/max($m) needs an orderable atomic " +
+        s"column, got ${t.typeName}")
     }
     val joins = dimSegs.zip(keyPairs).zipWithIndex.map {
       case (((dimName, _, _), (fks, dks)), i) =>
@@ -987,6 +1073,6 @@ object MaterializedView {
           outs.filter(c => sideIdx(c) == i))
     }
     Def(factName, dims, it.sums, it.counts, it.countStar,
-      joins = joins)
+      it.mins, it.maxs, joins = joins)
   }
 }

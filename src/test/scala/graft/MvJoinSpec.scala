@@ -292,7 +292,49 @@ class MvJoinSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
-  test("parse guards: ambiguous columns, min/max on a join, and " +
+  test("min/max on a star-join MV: insert-only windows fold free; a " +
+      "fact DELETE that removes a group's extremum — and a dim MOVE " +
+      "that re-signs it away — re-aggregate ONLY the affected groups " +
+      "over the joined base") {
+    val (cat, _, _) = starFixture("graft-mvjoin-minmax")
+    GraftSql.exec(spark,
+      """CREATE MATERIALIZED VIEW jmm AS
+         SELECT cat, min(cents) AS lo, max(cents) AS hi, count(*) AS n
+         FROM fact f JOIN dim d ON f.pid = d.pid
+         GROUP BY cat""", cat)
+    def mm: Seq[(String, Long, Long, Long)] =
+      GraftSql.exec(spark,
+        "SELECT cat, lo, hi, n FROM jmm ORDER BY cat", cat)
+        .as[(String, Long, Long, Long)].collect().toSeq
+    def regold: Seq[(String, Long, Long, Long)] =
+      GraftSql.exec(spark,
+        """SELECT d.cat AS cat, min(f.cents) AS lo, max(f.cents) AS hi,
+                  count(*) AS n
+           FROM fact f JOIN dim d ON f.pid = d.pid
+           GROUP BY d.cat ORDER BY cat""", cat)
+        .as[(String, Long, Long, Long)].collect().toSeq
+    assert(mm === regold)
+    // insert-only window: least/greatest fold, NO re-aggregation read
+    GraftSql.exec(spark, "INSERT INTO fact VALUES (7, 50)", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmm", cat)
+    assert(MaterializedView.lastReaggRead.isEmpty,
+      "an insert-only join refresh must not re-aggregate")
+    assert(mm === regold)
+    // a fact DELETE removes group a's max (pid=10, cents=1000):
+    // ONLY group a re-aggregates
+    GraftSql.exec(spark, "DELETE FROM fact WHERE cents = 1000", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmm", cat)
+    assert(MaterializedView.lastReaggRead.isDefined,
+      "a delete-affected min/max group must re-aggregate")
+    assert(mm === regold)
+    // a dim MOVE re-signs pid=20 (group b's max) into group c: BOTH
+    // groups change, the MV stays exact
+    GraftSql.exec(spark, "UPDATE dim SET cat = 'c' WHERE pid = 20", cat)
+    GraftSql.exec(spark, "REFRESH MATERIALIZED VIEW jmm", cat)
+    assert(mm === regold)
+  }
+
+  test("parse guards: ambiguous columns, unknown measures, and " +
       "non-equi ON are refused loudly; a RESTORE window folds exactly " +
       "through the snapshot-diff slice") {
     val (cat, _, _) = starFixture("graft-mvjoin-guards")
@@ -307,10 +349,10 @@ class MvJoinSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("multiple join sides"))
     val e2 = intercept[RuntimeException] { GraftSql.exec(spark,
       """CREATE MATERIALIZED VIEW bad2 AS
-         SELECT cat, min(cents) AS lo, count(*) AS n
-         FROM fact f JOIN dim d ON f.pid = d.pid
+         SELECT cat, min(ratio) AS lo, count(*) AS n
+         FROM fact f JOIN dim2 d ON f.pid = d.pid
          GROUP BY cat""", cat) }
-    assert(e2.getMessage.contains("star-join"))
+    assert(e2.getMessage.contains("neither"))
     val e3 = intercept[RuntimeException] { GraftSql.exec(spark,
       """CREATE MATERIALIZED VIEW bad3 AS
          SELECT cat, count(*) AS n
