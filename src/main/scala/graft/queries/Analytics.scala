@@ -1367,6 +1367,64 @@ object Analytics {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  /** STREAMING STAR-JOIN MATERIALIZED VIEW (q266; DLT's
+    * streaming-table-joins-dim pattern, closed end to end: the FACT's
+    * change feed → stream-static enrichment against the dim snapshot
+    * → signed IVM fold into the dim-keyed summary —
+    * `changeFeedSource(fact) → foreachBatch(versionedIvmStarBatch)`):
+    * the snapshot-as-inserts first batch initializes the
+    * EMPTY-seeded summary through the enriching fold, the append's
+    * inserts and the DV band delete's signed deletes maintain it —
+    * each event joining the dim AS OF ITS BATCH (the stream-static
+    * contract; the dim here is static for exactly that reason) —
+    * all exactly-once via per-batch history markers, and NEITHER the
+    * fact NOR the join is ever re-aggregated. The oracle recomputes
+    * the segment totals from the final fact state joined to the dim:
+    * a missed batch, a double-folded replay, a wrong signed delete,
+    * or an enrichment against the wrong dim rows all hash-mismatch.
+    * Scale: per batch one broadcast enrichment (the dim is the small
+    * star side) + one O(batch)+O(groups) fold + a groups-sized
+    * summary rewrite; dim ATTRIBUTE churn belongs to the batch
+    * REFRESH path (M55), not this sink. */
+  def streamStarMvMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.incremental.IncrementalAgg
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-streamstarmv").toString
+    val factRoot = s"$root/fact"
+    val dimRoot = s"$root/dim"
+    val mvRoot = s"$root/mv"
+    val fact = new graft.io.VersionedTable(spark, factRoot)
+    val dim = new graft.io.VersionedTable(spark, dimRoot)
+    val orders = load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").as("cents"))
+    dim.write(load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    fact.write(orders.filter(col("o_orderkey") % 3 =!= 0)) // v0
+    fact.write(orders.filter(col("o_orderkey") % 3 === 0),
+      org.apache.spark.sql.SaveMode.Append) // v1
+    fact.deleteVectorized("o_orderkey", 1000, 1999) // v2
+    val keys = Seq("c_mktsegment")
+    val sums = Seq("cents")
+    val mv = new graft.io.VersionedTable(spark, mvRoot)
+    mv.write(IncrementalAgg.compute(
+      fact.read().limit(0).join(dim.read().limit(0),
+        col("o_custkey") === col("c_custkey")), keys, sums))
+    val q = graft.streaming.Streaming.changeFeedSource(spark, factRoot)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(graft.streaming.Streaming.versionedIvmStarBatch(
+        mvRoot, Seq((dimRoot, Seq("o_custkey"), Seq("c_custkey"))),
+        keys, sums, "q266mv"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    mv.read().select(col("c_mktsegment"),
+        col(IncrementalAgg.CountCol), col(IncrementalAgg.sumCol("cents")))
+      .orderBy("c_mktsegment")
+  }
+
   /** STREAMING EXPECTATIONS with QUARANTINE (q233; the DLT
     * `expect_or_drop` + quarantine-table pattern): a streamed feed is
     * split per micro-batch by a data-quality predicate — passing rows
@@ -2218,6 +2276,7 @@ object Analytics {
     "q245_stream_delete_tolerant" -> streamDeleteTolerant,
     "q248_stream_cdc_dv_fold" -> streamCdcApplyDvFold,
     "q256_stream_mv" -> streamMvMaintain,
+    "q266_stream_star_mv" -> streamStarMvMaintain,
     "q257_sketch_mv" -> ((s, d) => sketchMvRollup(s, d)),
     "q220_bounded_replay" -> boundedReplay,
     "q212_label_prop" -> labelPropParts,
@@ -2378,6 +2437,22 @@ object Analytics {
                 CAST(sum(cents) AS BIGINT) AS sum_cents
          FROM b GROUP BY o_orderstatus, o_orderpriority
          ORDER BY o_orderstatus, o_orderpriority""",
+    "q266_stream_star_mv" ->
+      // the streamed star fold must equal a from-scratch aggregate of
+      // the FINAL fact state (all rows minus the DV band) joined to
+      // the dim: a missed batch, a double-folded replay, a wrong
+      // signed delete, or an enrichment against wrong dim rows all
+      // hash-mismatch; exact integer cents
+      """WITH f AS (
+           SELECT o_custkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100
+                    AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderkey NOT BETWEEN 1000 AND 1999)
+         SELECT c.c_mktsegment, count(*) AS n_rows,
+                CAST(sum(f.cents) AS BIGINT) AS sum_cents
+         FROM f JOIN customer c ON f.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
     "q257_sketch_mv" ->
       // the KMV merge law makes the MV rollup equal the direct
       // computation on the base, so the oracle IS the direct form: k

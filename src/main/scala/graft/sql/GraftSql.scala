@@ -47,6 +47,10 @@ object GraftSql {
   private val historyRe = s"(?is)^DESCRIBE\\s+HISTORY\\s+($ident)$$".r
   private val detailRe = s"(?is)^DESCRIBE\\s+DETAIL\\s+($ident)$$".r
   private val describeRe = s"(?is)^DESCRIBE\\s+(?:TABLE\\s+)?($ident)$$".r
+  private val showPartsRe = s"(?is)^SHOW\\s+PARTITIONS\\s+($ident)$$".r
+  private val showColsRe =
+    s"(?is)^SHOW\\s+COLUMNS\\s+(?:FROM|IN)\\s+($ident)$$".r
+  private val explainRe = "(?is)^EXPLAIN\\s+(.+)$".r
   private val reorgRe = (s"(?is)^REORG\\s+TABLE\\s+($ident)\\s+APPLY" +
     "\\s*\\(\\s*PURGE\\s*\\)$").r
   private val alterWidenRe = (s"(?is)^ALTER\\s+TABLE\\s+($ident)\\s+ALTER" +
@@ -465,6 +469,33 @@ object GraftSql {
         // Delta `REORG TABLE ... APPLY (PURGE)` — rewrite only the
         // DV-masked files, dropping soft-deleted rows physically
         status("REORG TABLE APPLY (PURGE)", vtOf(name).reorgPurge())
+      case showPartsRe(name) =>
+        // `SHOW PARTITIONS t` — hive specs straight from the current
+        // manifest's per-entry partition values, zero data IO
+        val vt = vtOf(name)
+        val v = vt.currentVersion.getOrElse(
+          sys.error(s"table $name does not exist"))
+        val partCols = vt.partitionColumns
+        require(partCols.nonEmpty,
+          s"SHOW PARTITIONS: $name is not a partitioned table")
+        import spark.implicits._
+        vt.manifestEntries(v)
+          .map(e => partCols.map(c => s"$c=${e.partitionValues
+            .getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
+            .mkString("/"))
+          .distinct.sorted.toDF("partition")
+      case showColsRe(name) =>
+        import spark.implicits._
+        vtOf(name).read().schema.fieldNames.toSeq.toDF("col_name")
+      case explainRe(inner) =>
+        // `EXPLAIN <query>` — the FORMATTED plan of the travel-aware
+        // query (pushed filters, pruned schemas, codegen spans all
+        // visible); DML statements are not explainable here
+        val df = sql(spark, inner.trim, versionedTables)
+        import spark.implicits._
+        Seq(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))).toDF("plan")
       case alterWidenRe(name, colName, ddlType) =>
         // Delta type widening's DDL form: metadata-only, int->bigint /
         // float->double, existing files read up-cast natively

@@ -284,6 +284,68 @@ object Streaming {
     }
   }
 
+  /** foreachBatch sink maintaining a persisted STAR-JOIN streaming
+    * MV: each micro-batch of the FACT's change feed enriches against
+    * the CURRENT dim snapshots — the stream-static join Spark itself
+    * gives a streaming fact (dims are the small star sides, so each
+    * enrichment broadcasts) — and folds SIGNED into the summary via
+    * [[graft.incremental.IncrementalAgg.update]], exactly-once per
+    * `appId` through the same history markers as
+    * [[versionedIvmAggBatch]]. The FACT is never re-aggregated and
+    * the dims are never scanned beyond their (tiny) snapshots.
+    *
+    * Semantics contract (the stream-static standard, stated rather
+    * than hidden): each fact event joins the dim state AS OF ITS
+    * PROCESSING BATCH — a dim row changed between batches enriches
+    * only later events, exactly like Spark's own stream-static join
+    * and DLT's streaming-table-joins-dim pattern. A dim ATTRIBUTE
+    * move should therefore re-sync via the BATCH
+    * `REFRESH MATERIALIZED VIEW` path (exact as-of-versions, M55)
+    * or a re-seed; this sink is for the high-velocity fact side.
+    *
+    * `dims` rows are `(dimRoot, factKeys, dimKeys)`, keys pairwise.
+    * Group `keys` and `sums` resolve by name against the feed first,
+    * then each dim in order. */
+  def versionedIvmStarBatch(mvRoot: String,
+      dims: Seq[(String, Seq[String], Seq[String])],
+      keys: Seq[String], sums: Seq[String], appId: String)
+      : (DataFrame, Long) => Unit = {
+    require(appId.matches("[A-Za-z0-9.-]+"),
+      s"appId must be [A-Za-z0-9.-]+, got '$appId'")
+    val marker = s"STREAM_${appId}_BATCH_"
+    (batch, batchId) =>
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val vt = new graft.io.VersionedTable(spark, mvRoot)
+    val lastCommitted = vt.lastOperationWith(marker)
+      .map(_.operation.stripPrefix(marker).toLong)
+    if (lastCommitted.forall(_ < batchId) && !batch.isEmpty) {
+      val dimDfs = dims.map { case (root, _, _) =>
+        new graft.io.VersionedTable(spark, root).read() }
+      val enriched = dims.zipWithIndex.foldLeft(batch.as("__f")) {
+        case (acc, ((_, fks, dks), i)) =>
+          val cond = fks.zip(dks).map { case (a, b) =>
+            col(s"__f.$a") === col(s"__d$i.$b") }.reduce(_ && _)
+          acc.join(dimDfs(i).as(s"__d$i"), cond, "inner")
+      }
+      val factCols = batch.columns.toSet
+      def res(c: String): org.apache.spark.sql.Column =
+        if (factCols.contains(c)) col(s"__f.$c")
+        else dimDfs.indexWhere(_.columns.contains(c)) match {
+          case -1 => sys.error(s"streaming star MV column $c is in " +
+            "neither the feed nor any dim")
+          case i => col(s"__d$i.$c")
+        }
+      val projected = enriched.select(
+        (keys ++ sums).map(c => res(c).as(c)) :+
+          col("__f._change_type").as("_change_type"): _*)
+      val updated = graft.incremental.IncrementalAgg.update(
+        vt.read(), projected, keys, sums)
+      vt.write(updated, org.apache.spark.sql.SaveMode.Overwrite,
+        s"$marker$batchId")
+    }
+  }
+
   def versionedApplyChangesBatch(root: String, appId: String,
       mergeKeys: Seq[String], seqCol: String, opCol: String,
       dvFold: Boolean = false)

@@ -888,6 +888,28 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("widens"))
   }
 
+  test("SHOW PARTITIONS from the manifest, SHOW COLUMNS, and EXPLAIN " +
+      "of a travel-aware query") {
+    import graft.sql.GraftCatalog
+    val wh = Fixtures.tempDir("graft-sql-showp") + "/wh"
+    val cat = new GraftCatalog(spark, wh)
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "dt")
+      .createOrReplaceTempView("showp_seed")
+    GraftSql.exec(spark, "CREATE TABLE p PARTITIONED BY (dt) AS " +
+      "SELECT * FROM showp_seed", cat)
+    assert(GraftSql.exec(spark, "SHOW PARTITIONS p", cat)
+      .as[String].collect().toSeq === Seq("dt=a", "dt=b"))
+    assert(GraftSql.exec(spark, "SHOW COLUMNS FROM p", cat)
+      .as[String].collect().toSet === Set("k", "dt"))
+    val plan = GraftSql.exec(spark,
+      "EXPLAIN SELECT k FROM p WHERE dt = 'a'", cat).as[String].head()
+    assert(plan.contains("Scan") && plan.contains("k"))
+    GraftSql.exec(spark, "CREATE TABLE flat AS SELECT 1 AS x", cat)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, "SHOW PARTITIONS flat", cat) }
+    assert(e.getMessage.contains("not a partitioned table"))
+  }
+
   test("CONVERT TO DELTA adopts a plain-parquet catalog directory " +
       "in place, partition layout preserved") {
     import graft.sql.GraftCatalog

@@ -172,6 +172,16 @@ class MvJoinSpec extends AnyFunSuite {
         s"dims-only filter must re-bind, scanned ${roots(qf)}")
       assert(qf.as[(String, Long)].collect().toSeq ===
         Seq(("a", 5500L), ("c", 25500L)))
+      // avg(measure) over the join decomposes onto the MV's
+      // sum/count partials — the per-measure NON-NULL count
+      val qAvg = GraftSql.exec(spark,
+        """SELECT cat, avg(cents) AS a
+           FROM fact f JOIN dim d ON f.pid = d.pid
+           GROUP BY cat ORDER BY cat""", cat)
+      assert(roots(qAvg).forall(_.endsWith("/jmv")),
+        s"avg over the join must serve from the MV: ${roots(qAvg)}")
+      assert(qAvg.as[(String, Double)].collect().toSeq ===
+        Seq(("a", 550.0), ("b", 1550.0), ("c", 2550.0)))
       // a MEASURE filter cannot re-bind: the join plan serves
       val qm = GraftSql.exec(spark,
         """SELECT cat, count(*) AS n
