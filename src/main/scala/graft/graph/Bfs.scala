@@ -32,11 +32,22 @@ object Bfs {
 
   /** Hop distances from `source`, capped at `maxHops`. Returns
     * `(node BIGINT, dist INT)` for every node reachable within the
-    * cap, including the source at distance 0. */
-  def shortestHops(edges: DataFrame, source: Long, maxHops: Int): DataFrame = {
+    * cap, including the source at distance 0.
+    *
+    * `broadcastVectors` (default true) broadcasts the node-sized
+    * frontier and settled frames into the edge scan — the same
+    * contract as [[PageRank.run]]: checkpointed frames inherit the
+    * upstream ESTIMATE (a co-occurrence self-join estimates in the
+    * TB), and with no exchange under them AQE never sees a runtime
+    * size either, so without the hint every round sort-merges the
+    * full edge list. Pass false past broadcast reach. */
+  def shortestHops(edges: DataFrame, source: Long, maxHops: Int,
+      broadcastVectors: Boolean = true): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val spark = edges.sparkSession
     import spark.implicits._
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastVectors) broadcast(df) else df
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
     var settled = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
@@ -44,13 +55,16 @@ object Bfs {
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
-      val next = e.join(frontier, e("src") === frontier("node"))
+      val next = e.join(bc(frontier), e("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
-        .join(settled.select(col("node").as("seen")),
+        .join(bc(settled.select(col("node").as("seen"))),
           col("node") === col("seen"), "left_anti")
         .select(col("node"), lit(hop).as("dist"))
         .localCheckpoint()
-      settled = settled.unionByName(next).localCheckpoint()
+      // settled stays a UNION of checkpointed hop frames (≤ maxHops
+      // flat leaves) — checkpointing the union re-materialized O(V)
+      // rows per round for one saved union node
+      settled = settled.unionByName(next)
       frontier = next.select(col("node"))
     }
     settled

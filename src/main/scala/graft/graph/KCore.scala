@@ -34,9 +34,18 @@ object KCore {
   /** Surviving `(node, deg)` after `rounds` synchronized peels at
     * threshold `k`; `deg` is the node's degree WITHIN the surviving
     * subgraph. */
-  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  /** `broadcastVectors` (default true) broadcasts the node-sized
+    * keep set into both semi-joins — the [[PageRank.run]] contract:
+    * the checkpointed edge frame carries a TB-scale upstream estimate
+    * and the keep set sits above no exchange the planner can size at
+    * runtime, so unhinted peels sort-merge the edge list twice per
+    * round. False past broadcast reach. */
+  def peel(edges: DataFrame, k: Int, rounds: Int,
+      broadcastVectors: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastVectors) broadcast(df) else df
     var e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
     var r = 0
@@ -46,8 +55,8 @@ object KCore {
         .filter(col("c") >= k).select(col("src").as("n"))
         .localCheckpoint()
       e = e
-        .join(keep, e("src") === keep("n"), "left_semi")
-        .join(keep, col("dst") === keep("n"), "left_semi")
+        .join(bc(keep), e("src") === keep("n"), "left_semi")
+        .join(bc(keep), col("dst") === keep("n"), "left_semi")
         .localCheckpoint()
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))

@@ -42,8 +42,17 @@ object LabelProp {
 
   /** `(node, community)` after `rounds` synchronized propagation
     * rounds; `community` is the propagated label (a node id). */
-  def run(edges: DataFrame, rounds: Int): DataFrame = {
+  /** `broadcastVectors` (default true) broadcasts the node-sized
+    * label frame into the edge scan and the patch joins — the
+    * [[PageRank.run]] contract: checkpointed frames inherit TB-scale
+    * upstream estimates with no exchange AQE can size at runtime, so
+    * unhinted rounds sort-merge the edge list. False past broadcast
+    * reach. */
+  def run(edges: DataFrame, rounds: Int,
+      broadcastVectors: Boolean = true): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastVectors) broadcast(df) else df
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -54,7 +63,8 @@ object LabelProp {
     while (r < rounds) {
       r += 1
       val votes = e
-        .join(lab.select(col("node").as("src"), col("community")), "src")
+        .join(bc(lab.select(col("node").as("src"), col("community"))),
+          "src")
         .groupBy(col("dst").as("node"), col("community"))
         .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("node")
@@ -63,8 +73,8 @@ object LabelProp {
         .filter(col("_rn") === 1).select(col("node"), col("community"))
       // a node with no in-edges this round keeps its current label
       lab = nodes
-        .join(picked, Seq("node"), "left_outer")
-        .join(lab.withColumnRenamed("community", "_prev"), Seq("node"))
+        .join(bc(picked), Seq("node"), "left_outer")
+        .join(bc(lab.withColumnRenamed("community", "_prev")), Seq("node"))
         .select(col("node"),
           coalesce(col("community"), col("_prev")).as("community"))
         .localCheckpoint()

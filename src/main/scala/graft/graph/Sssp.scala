@@ -48,11 +48,19 @@ object Sssp {
     * 0. Stops early once a round improves nothing (exact fixpoint —
     * all shortest paths found). Weights must be non-negative (checked
     * per-round candidates would mask negative cycles otherwise). */
+  /** `broadcastVectors` (default true) broadcasts the node-sized
+    * frontier/distance frames into the edge scan — the
+    * [[PageRank.run]] contract: checkpointed frames inherit TB-scale
+    * upstream estimates and AQE sees no runtime size under them, so
+    * unhinted rounds sort-merge the edge list. False past broadcast
+    * reach. */
   def shortestPaths(edges: DataFrame, source: Long,
-      maxRounds: Int): DataFrame = {
+      maxRounds: Int, broadcastVectors: Boolean = true): DataFrame = {
     require(maxRounds >= 0, "maxRounds must be >= 0")
     val spark = edges.sparkSession
     import spark.implicits._
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastVectors) broadcast(df) else df
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"),
       col("w").cast("long").as("w")).localCheckpoint()
@@ -61,17 +69,17 @@ object Sssp {
     var round = 0
     while (round < maxRounds && !active.isEmpty) {
       round += 1
-      val cand = e.join(active, e("src") === active("node"))
+      val cand = e.join(bc(active), e("src") === active("node"))
         .select(e("dst").as("node"), (active("dist") + e("w")).as("cand"))
         .groupBy("node").agg(min("cand").as("cand"))
       val improved = cand
-        .join(dist.select(col("node").as("seen"), col("dist").as("old")),
+        .join(bc(dist.select(col("node").as("seen"), col("dist").as("old"))),
           col("node") === col("seen"), "left")
         .filter(col("old").isNull || col("cand") < col("old"))
         .select(col("node"), col("cand").as("dist"))
         .localCheckpoint()
       dist = dist
-        .join(improved.select(col("node").as("upd")),
+        .join(bc(improved.select(col("node").as("upd"))),
           col("node") === col("upd"), "left_anti")
         .select(col("node"), col("dist"))
         .unionByName(improved)

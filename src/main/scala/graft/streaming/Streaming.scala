@@ -20,6 +20,52 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** State-partition count for a stateful streaming drain, derived
+    * from the SOURCE SIZE instead of a constant (guide §2: make
+    * partitioning scale-adaptive): one state partition per ~32 MB of
+    * source, floored at 1, capped at the session's configured shuffle
+    * parallelism. A stateful micro-batch pays per-partition fixed
+    * costs every batch — each state partition holds its own store
+    * instances (a stream-stream join keeps FOUR per partition), each
+    * committing a checkpoint delta per batch — so a KB-scale drain at
+    * the cluster's shuffle width spends its wall-clock on empty store
+    * commits (measured 6.9s → 2.8s at sf0.1 for the q172 join going
+    * 32 → 8 partitions, identical output). A 100 TB stream saturates
+    * the cap and keeps the session's cluster sizing. Override:
+    * `spark.graft.stream.statePartitions`. */
+  def adaptiveStatePartitions(spark: SparkSession, sourceBytes: Long): Int =
+    spark.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt).getOrElse {
+        val cap = math.max(1,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        val want = (sourceBytes / (32L << 20)).toInt + 1
+        math.max(1, math.min(cap, want))
+      }
+
+  /** Recursive byte size of a local directory — the driver-side
+    * source-size probe [[adaptiveStatePartitions]] clamps on. */
+  def dirBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isFile) f.length()
+    else Option(f.listFiles()).map(_.map(c => dirBytes(c.getPath)).sum)
+      .getOrElse(0L)
+  }
+
+  /** Run `body` (which STARTS a streaming query) with the session's
+    * shuffle partitions set by [[adaptiveStatePartitions]], restoring
+    * the prior value after. Safe to restore immediately: a streaming
+    * query clones the session at `start()`, so the drain keeps the
+    * sized setting for its whole life while the caller's session
+    * reverts. */
+  def withStatePartitions[T](spark: SparkSession, sourceBytes: Long)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key,
+      adaptiveStatePartitions(spark, sourceBytes).toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Event-time windowed counts/sums with a watermark — the streaming
     * twin of Relational.hourlyEventAgg. */
   def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
