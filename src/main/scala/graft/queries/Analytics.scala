@@ -1038,16 +1038,19 @@ object Analytics {
       .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
       .localCheckpoint()
     def drain(): Unit = {
-      val q = graft.streaming.Streaming.changeFeedSource(spark, root)
-        .writeStream
-        .option("checkpointLocation", s"$base0/ckpt")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          prior = graft.incremental.IncrementalAgg.update(
-            prior, batch, Seq("o_orderstatus"), Seq("cents"))
-            .localCheckpoint()
-          ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(root)) {
+      graft.streaming.Streaming.changeFeedSource(spark, root)
+          .writeStream
+          .option("checkpointLocation", s"$base0/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            prior = graft.incremental.IncrementalAgg.update(
+              prior, batch, Seq("o_orderstatus"), Seq("cents"))
+              .localCheckpoint()
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+    }
       q.awaitTermination()
     }
     drain() // snapshot batch
@@ -1096,12 +1099,15 @@ object Analytics {
       feedVt.write(df.coalesce(1), mode); ()
     }
     def drain(): Unit = {
-      val q = graft.streaming.Streaming.changeFeedSource(spark, feedRoot)
-        .writeStream
-        .option("checkpointLocation", s"$base0/ckpt")
-        .foreachBatch(graft.streaming.Streaming.versionedApplyChangesBatch(
-          targetRoot, "cdc-apply-q211", Seq("o_orderkey"), "seq", "op"))
-        .trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(feedRoot)) {
+      graft.streaming.Streaming.changeFeedSource(spark, feedRoot)
+          .writeStream
+          .option("checkpointLocation", s"$base0/ckpt")
+          .foreachBatch(graft.streaming.Streaming.versionedApplyChangesBatch(
+            targetRoot, "cdc-apply-q211", Seq("o_orderkey"), "seq", "op"))
+          .trigger(Trigger.AvailableNow()).start()
+    }
       q.awaitTermination()
     }
     commit(o.filter(col("o_orderkey") % 3 === 0)
@@ -1160,12 +1166,15 @@ object Analytics {
       feedVt.write(df.coalesce(1), mode); ()
     }
     def drain(): Unit = {
-      val q = graft.streaming.Streaming.changeFeedSource(spark, feedRoot)
-        .writeStream
-        .option("checkpointLocation", s"$base0/ckpt")
-        .foreachBatch(graft.streaming.Streaming.versionedApplyChangesBatch(
-          targetRoot, "cdc-apply-q242", Seq("doc_id"), "seq", "op"))
-        .trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(feedRoot)) {
+      graft.streaming.Streaming.changeFeedSource(spark, feedRoot)
+          .writeStream
+          .option("checkpointLocation", s"$base0/ckpt")
+          .foreachBatch(graft.streaming.Streaming.versionedApplyChangesBatch(
+            targetRoot, "cdc-apply-q242", Seq("doc_id"), "seq", "op"))
+          .trigger(Trigger.AvailableNow()).start()
+    }
       q.awaitTermination()
     }
     commit(o.filter(col("k") % 2 === 0)
@@ -1216,13 +1225,16 @@ object Analytics {
       feedVt.write(df.coalesce(1), mode); ()
     }
     def drain(): Unit = {
-      val q = graft.streaming.Streaming.changeFeedSource(spark, feedRoot)
-        .writeStream
-        .option("checkpointLocation", s"$base0/ckpt")
-        .foreachBatch(
-          graft.streaming.Streaming.versionedApplyChangesBatchDv(
-            targetRoot, "cdc-dvfold-q248", Seq("o_orderkey"), "seq", "op"))
-        .trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(feedRoot)) {
+      graft.streaming.Streaming.changeFeedSource(spark, feedRoot)
+          .writeStream
+          .option("checkpointLocation", s"$base0/ckpt")
+          .foreachBatch(
+            graft.streaming.Streaming.versionedApplyChangesBatchDv(
+              targetRoot, "cdc-dvfold-q248", Seq("o_orderkey"), "seq", "op"))
+          .trigger(Trigger.AvailableNow()).start()
+    }
       q.awaitTermination()
     }
     commit(o.filter(col("o_orderkey") % 2 === 0)
@@ -1273,14 +1285,17 @@ object Analytics {
       .localCheckpoint()
     def drain(root: String, sink: String, ckpt: String,
         skipChanges: Boolean, ignoreDel: Boolean): Unit = {
-      val q = graft.streaming.Streaming.versionedSource(spark, root,
-          skipChangeCommits = skipChanges, ignoreDeletes = ignoreDel)
-        .writeStream.option("checkpointLocation", ckpt)
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          df.write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(sink); ()
-        }
-        .trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(root)) {
+      graft.streaming.Streaming.versionedSource(spark, root,
+            skipChangeCommits = skipChanges, ignoreDeletes = ignoreDel)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(sink); ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+    }
       q.awaitTermination()
     }
     // Leg A: skipChangeCommits across an UPDATE rewrite
@@ -1416,12 +1431,15 @@ object Analytics {
     base.deleteVectorized("o_orderkey", 1000, 1999) // v2
     val mv = new graft.io.VersionedTable(spark, mvRoot)
     mv.write(IncrementalAgg.compute(base.read().limit(0), keys, sums))
-    val q = graft.streaming.Streaming.changeFeedSource(spark, baseRoot)
-      .writeStream
-      .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch(graft.streaming.Streaming.versionedIvmAggBatch(
-        mvRoot, keys, sums, "q256mv"))
-      .trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(baseRoot)) {
+      graft.streaming.Streaming.changeFeedSource(spark, baseRoot)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(graft.streaming.Streaming.versionedIvmAggBatch(
+          mvRoot, keys, sums, "q256mv"))
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     mv.read().select(col("o_orderstatus"), col("o_orderpriority"),
         col(IncrementalAgg.CountCol), col(IncrementalAgg.sumCol("cents")))
@@ -1473,13 +1491,16 @@ object Analytics {
     mv.write(IncrementalAgg.compute(
       fact.read().limit(0).join(dim.read().limit(0),
         col("o_custkey") === col("c_custkey")), keys, sums))
-    val q = graft.streaming.Streaming.changeFeedSource(spark, factRoot)
-      .writeStream
-      .option("checkpointLocation", s"$root/ckpt")
-      .foreachBatch(graft.streaming.Streaming.versionedIvmStarBatch(
-        mvRoot, Seq((dimRoot, Seq("o_custkey"), Seq("c_custkey"))),
-        keys, sums, "q266mv"))
-      .trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(factRoot)) {
+      graft.streaming.Streaming.changeFeedSource(spark, factRoot)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(graft.streaming.Streaming.versionedIvmStarBatch(
+          mvRoot, Seq((dimRoot, Seq("o_custkey"), Seq("c_custkey"))),
+          keys, sums, "q266mv"))
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     mv.read().select(col("c_mktsegment"),
         col(IncrementalAgg.CountCol), col(IncrementalAgg.sumCol("cents")))
@@ -1521,15 +1542,18 @@ object Analytics {
     val quarSink = graft.streaming.Streaming
       .versionedAppendBatch(quarRoot, "exp-quarantine")
     val expectation = col("cents") > 0L && col("cents") < 30000000L
-    val q = graft.streaming.Streaming.versionedSource(spark, feedRoot)
-      .writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        validSink(batch.filter(expectation), id)
-        quarSink(batch.filter(!expectation)
-          .withColumn("failed_expectation", lit("cents_in_range")), id)
-      }
-      .trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(feedRoot)) {
+      graft.streaming.Streaming.versionedSource(spark, feedRoot)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          validSink(batch.filter(expectation), id)
+          quarSink(batch.filter(!expectation)
+            .withColumn("failed_expectation", lit("cents_in_range")), id)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     def census(root: String, side: String): DataFrame =
       new graft.io.VersionedTable(spark, root).read()
@@ -1580,11 +1604,14 @@ object Analytics {
     vt.write(o.filter(col("o_orderkey") % 3 === 2).coalesce(1),
       org.apache.spark.sql.SaveMode.Append) // v2 — beyond the bound
     val out = s"$base/out"
-    val q = graft.streaming.Streaming
-      .versionedSource(spark, root, endingVersion = Some(1L))
-      .writeStream.format("parquet").option("path", out)
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(root)) {
+      graft.streaming.Streaming
+        .versionedSource(spark, root, endingVersion = Some(1L))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     spark.read.parquet(out)
       .groupBy("o_orderstatus")
@@ -1785,10 +1812,13 @@ object Analytics {
     vt.write(orders.filter(col("o_orderkey") % 2 === 0)) // v0
     val out = s"$base0/out"
     def drain(): Unit = {
-      val q = graft.streaming.Streaming.changeFeedSource(spark, root)
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", s"$base0/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(root)) {
+      graft.streaming.Streaming.changeFeedSource(spark, root)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", s"$base0/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
       q.awaitTermination()
     }
     drain() // snapshot as inserts
@@ -1842,11 +1872,14 @@ object Analytics {
       .find(_.version == 1L).get.timestamp
     val out = s"$base0/out"
     def drain(): Unit = {
-      val q = graft.streaming.Streaming.changeFeedSource(spark, root,
-          startingTimestamp = Some(ts1))
-        .writeStream.format("parquet").option("path", out)
-        .option("checkpointLocation", s"$base0/ckpt")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(root)) {
+      graft.streaming.Streaming.changeFeedSource(spark, root,
+            startingTimestamp = Some(ts1))
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", s"$base0/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
       q.awaitTermination()
     }
     drain() // subscribed at t(v1): v1's odds as inserts, NO snapshot

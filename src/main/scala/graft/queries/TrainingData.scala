@@ -3137,14 +3137,17 @@ object TrainingData {
       .select(TextAnalysis.fingerprint64(col("text")).as("fp")).distinct()
     val sink = graft.streaming.Streaming
       .versionedAppendBatch(outRoot, "decon-clean")
-    val q = graft.streaming.Streaming.versionedSource(spark, feedRoot)
-      .withColumn("fp", TextAnalysis.fingerprint64(col("text")))
-      .join(broadcast(bench), Seq("fp"), "left_anti")
-      .select("doc_id", "source")
-      .writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch(sink)
-      .trigger(Trigger.AvailableNow()).start()
+    val q = graft.streaming.Streaming.withStatePartitions(spark,
+      graft.streaming.Streaming.dirBytes(feedRoot)) {
+      graft.streaming.Streaming.versionedSource(spark, feedRoot)
+        .withColumn("fp", TextAnalysis.fingerprint64(col("text")))
+        .join(broadcast(bench), Seq("fp"), "left_anti")
+        .select("doc_id", "source")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch(sink)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     new graft.io.VersionedTable(spark, outRoot).read()
       .groupBy("source").agg(count(lit(1)).as("n_clean"))

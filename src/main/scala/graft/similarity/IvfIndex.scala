@@ -189,8 +189,7 @@ object IvfIndex {
       idCol: String, vecCol: String, k: Int, nprobe: Int,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val centroids = loadCentroids(spark, root)
-    val centLit = array(centroids.toIndexedSeq.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)): _*)
+    val centLit = typedLit(centroids.toIndexedSeq.map(_.toIndexedSeq))
     // NOT broadcast-hinted here: `q` is also the source of the
     // driver-side probed-cluster collect below, and a hint on a
     // non-join relation logs a HintErrorLogger warning per query

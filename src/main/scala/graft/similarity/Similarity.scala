@@ -199,7 +199,10 @@ object Similarity {
     * drift between the IVF and curation paths; callers drop `_dists`. */
   private def withNearest(vecs: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
-    val centLit = array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    // ONE array literal, not an nlist×d tree of lit() nodes — the
+    // expression-tree form re-pays analysis+codegen on every Lloyd
+    // round's fresh plan (guide §1.2 per-task work: plan cost counts)
+    val centLit = typedLit(centroids.toIndexedSeq.map(_.toIndexedSeq))
     vecs
       .withColumn("_dists", transform(centLit, c =>
         graft.functions.vector.arrayL2Sq(c, col("v"))))
@@ -265,7 +268,7 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("v")),
       centroids)
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
-    val centLit = array(centroids.toIndexedSeq.map(cc => array(cc.toIndexedSeq.map(lit): _*)): _*)
+    val centLit = typedLit(centroids.toIndexedSeq.map(_.toIndexedSeq))
     val q = broadcast(
       queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
         .withColumn("_dists", transform(centLit, cc =>
@@ -339,8 +342,7 @@ object Similarity {
   private[similarity] def withPqCodes(vecs: DataFrame,
       codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
     val coded = codebooks.zipWithIndex.foldLeft(vecs) { case (df, (cb, j)) =>
-      val cbLit = array(cb.toIndexedSeq.map(c =>
-        array(c.toIndexedSeq.map(lit): _*)): _*)
+      val cbLit = typedLit(cb.toIndexedSeq.map(_.toIndexedSeq))
       df.withColumn(s"_d$j", transform(cbLit, c =>
           graft.functions.vector.arrayL2Sq(c, slice(col("v"), j * dsub + 1, dsub))))
         .withColumn(s"_c$j",
@@ -383,9 +385,8 @@ object Similarity {
     val codes = withPqCodes(
       normalized(corpus, "neighbor_id"), codebooks, dsub)
       .select(col("neighbor_id"), col("codes"))
-    val cbLit = array(codebooks.toIndexedSeq.map(cb =>
-      array(cb.toIndexedSeq.map(c =>
-        array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val cbLit = typedLit(codebooks.toIndexedSeq.map(
+      _.toIndexedSeq.map(_.toIndexedSeq)))
     val q = broadcast(queries
       .select(col(idCol).cast("long").as("q_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("nq", sqrt(dot(col("qv"), col("qv"))))
@@ -450,8 +451,7 @@ object Similarity {
 
   private[similarity] def residualOf(centroids: Array[Array[Double]])(
       v: Column, cluster: Column): Column = {
-    val centLit = array(centroids.toIndexedSeq.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)): _*)
+    val centLit = typedLit(centroids.toIndexedSeq.map(_.toIndexedSeq))
     zip_with(v, element_at(centLit, cluster + 1), (x, c) => x - c)
   }
 
@@ -490,11 +490,9 @@ object Similarity {
       vecCol: String, centroids: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]], nprobe: Int): DataFrame = {
     val dsub = codebooks(0)(0).length
-    val centLit = array(centroids.toIndexedSeq.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)): _*)
-    val cbLit = array(codebooks.toIndexedSeq.map(cb =>
-      array(cb.toIndexedSeq.map(c =>
-        array(c.toIndexedSeq.map(lit): _*)): _*)): _*)
+    val centLit = typedLit(centroids.toIndexedSeq.map(_.toIndexedSeq))
+    val cbLit = typedLit(codebooks.toIndexedSeq.map(
+      _.toIndexedSeq.map(_.toIndexedSeq)))
     // not broadcast-hinted here: IvfPqIndex.query collects the probed
     // clusters off this frame (the hint would warn on a non-join
     // relation); adcRerank applies the hint at its join
