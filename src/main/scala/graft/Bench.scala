@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // local-FS commit hygiene: java.nio chmod instead of a /bin/chmod
+      // fork per permissioned mkdir/create (libhadoop is absent here);
+      // inert on cluster filesystems — see graft.io.FastLocalFileSystem
+      .config("spark.hadoop.fs.file.impl", "graft.io.FastLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/scheduler so the first measured query

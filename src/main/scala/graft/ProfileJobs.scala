@@ -18,6 +18,7 @@ object ProfileJobs {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl", "graft.io.FastLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -66,6 +67,8 @@ object ProfileJobs {
             st.headOption.map(f =>
               f.getClassName + "." + f.getMethodName).getOrElse("?"))
           samples.merge(key, 1, (a, b) => a + b)
+          if (key.contains("Shell") && samples.get(key) <= 3)
+            st.take(28).foreach(f => println("[shellstack] " + f))
         }
         Thread.sleep(20)
       }

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-FS commit hygiene: java.nio chmod instead of a /bin/chmod
+      // fork per permissioned mkdir/create (libhadoop is absent here);
+      // inert on cluster filesystems — see graft.io.FastLocalFileSystem
+      .config("spark.hadoop.fs.file.impl", "graft.io.FastLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

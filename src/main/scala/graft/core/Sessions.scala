@@ -36,6 +36,10 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // local-FS commit hygiene: java.nio chmod instead of a /bin/chmod
+      // fork per permissioned mkdir/create (libhadoop is absent here);
+      // inert on cluster filesystems — see graft.io.FastLocalFileSystem
+      .config("spark.hadoop.fs.file.impl", "graft.io.FastLocalFileSystem")
       // catalog tables (bucketed layouts) land under tmp, not the cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-$appName")

@@ -14,7 +14,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** SCHEMA memo per (sfDir, table): the source files are immutable
+    * inputs, and without a caller-supplied schema every `load` pays a
+    * driver-side footer-inference pass — a fixed ~tens-of-ms tax on
+    * each of the registry's ~500 loads per bench run (guide §6:
+    * listing/planning time is driver-side, single-process). Caches
+    * METADATA only — never rows or results. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    def read(path: String): DataFrame = {
+      val key = (sfDir, name)
+      val cached = schemaCache.get(key)
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val df = spark.read.parquet(path)
+        schemaCache.put(key, df.schema)
+        df
+      }
+    }
     val raw = if (name == "events") {
       // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
       // TIMESTAMP(MICROS) across harness generations, so resolve by
@@ -28,7 +47,7 @@ object Tables {
       //    already speaks (sessions run in UTC, so the instant is
       //    unchanged).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      val df = read(s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
@@ -37,7 +56,7 @@ object Tables {
         case _ => df
       }
     } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      read(s"$sfDir/$name.parquet")
     }
     lowercased(raw)
   }
