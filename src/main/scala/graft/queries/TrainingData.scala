@@ -1669,6 +1669,10 @@ object TrainingData {
         .agg(max(col("sim")).as("maxsim"))
       val picked = pick(roundScores,
         lit(lambda) * col("_cos") - lit(mu) * col("maxsim"), r)
+        // ≤1 row/query, but its plan references all PRIOR rounds
+        // several times (all + the remaining anti-join chain) —
+        // checkpoint so round r+1 reads rows, not a 4^r plan
+        .localCheckpoint()
       all = all.unionByName(picked)
       remaining = remaining.join(picked.select("q_id", "neighbor_id"),
         Seq("q_id", "neighbor_id"), "left_anti")
@@ -2006,8 +2010,14 @@ object TrainingData {
     * 3rd, … of each run — exactly greedy-leftmost. All windows
     * partition by WORD (bounded by word length); the only global
     * shuffle is the vocabulary-sized pair count. */
-  private[graft] def bpeRound(state: DataFrame): DataFrame = {
+  private[graft] def bpeRound(state0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the round references its input FOUR times (pair counts, start
+    // selection, both flag joins); checkpoint at entry so a chained
+    // round re-reads the prior round's ROWS instead of re-executing
+    // its plan per reference (two nested unchecked rounds measured 96
+    // exchanges in the final plan)
+    val state = state0.localCheckpoint()
     val wOrd = Window.partitionBy("word").orderBy("pos")
     val withNext = state.withColumn("_next", lead(col("sym"), 1).over(wOrd))
     val best = withNext.filter(col("_next").isNotNull)
