@@ -693,13 +693,15 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // localCheckpoint (eager) truncates the logical plan each round:
-      // the star operators reference their input several times, so
-      // lineage would otherwise grow ~6x per round and the PLANNER,
-      // not the data, becomes the bottleneck after ~8 rounds. On a
-      // cluster with fault-tolerance needs, use checkpoint() to a
-      // reliable directory instead — same plan shape.
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // localCheckpoint truncates the logical plan each round: the
+      // star operators reference their input several times, so lineage
+      // would otherwise grow ~6x per round and the PLANNER, not the
+      // data, becomes the bottleneck after ~8 rounds. LAZY (eager =
+      // false): the fingerprint action this round already pays
+      // materializes it — an eager checkpoint was a second full pass
+      // per round. On a cluster with fault-tolerance needs, use
+      // checkpoint() to a reliable directory instead — same plan shape.
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextFp = fingerprint(next)
       cur.unpersist()
       cur = next

@@ -60,7 +60,10 @@ object Bfs {
         .join(bc(settled.select(col("node").as("seen"))),
           col("node") === col("seen"), "left_anti")
         .select(col("node"), lit(hop).as("dist"))
-        .localCheckpoint()
+        // lazy (the PageRank pattern): the loop-guard isEmpty and the
+        // next hop's join materialize it; eager was one standalone
+        // O(frontier) job per hop
+        .localCheckpoint(eager = false)
       // settled stays a UNION of checkpointed hop frames (≤ maxHops
       // flat leaves) — checkpointing the union re-materialized O(V)
       // rows per round for one saved union node

@@ -53,11 +53,14 @@ object KCore {
       r += 1
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= k).select(col("src").as("n"))
-        .localCheckpoint()
+        // lazy (the PageRank pattern): no action runs inside the peel
+        // loop, so the final aggregate's one job materializes the whole
+        // chain — eager checkpoints were 2 standalone jobs per round
+        .localCheckpoint(eager = false)
       e = e
         .join(bc(keep), e("src") === keep("n"), "left_semi")
         .join(bc(keep), col("dst") === keep("n"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }

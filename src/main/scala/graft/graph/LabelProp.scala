@@ -77,7 +77,9 @@ object LabelProp {
         .join(bc(lab.withColumnRenamed("community", "_prev")), Seq("node"))
         .select(col("node"),
           coalesce(col("community"), col("_prev")).as("community"))
-        .localCheckpoint()
+        // lazy (the PageRank pattern): nothing acts inside the loop, so
+        // the caller's first job materializes the chain in one pass
+        .localCheckpoint(eager = false)
     }
     lab
   }

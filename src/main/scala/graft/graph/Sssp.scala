@@ -77,13 +77,16 @@ object Sssp {
           col("node") === col("seen"), "left")
         .filter(col("old").isNull || col("cand") < col("old"))
         .select(col("node"), col("cand").as("dist"))
-        .localCheckpoint()
+        // lazy (the PageRank pattern): the round's isEmpty/next-round
+        // jobs materialize it — an eager checkpoint is a standalone
+        // O(V) job per round bought for nothing
+        .localCheckpoint(eager = false)
       dist = dist
         .join(bc(improved.select(col("node").as("upd"))),
           col("node") === col("upd"), "left_anti")
         .select(col("node"), col("dist"))
         .unionByName(improved)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       active = improved
     }
     dist

@@ -1,18 +1,28 @@
 package graft.io
 
 import org.apache.hadoop.fs.permission.FsPermission
-import org.apache.hadoop.fs.{LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.{FileStatus, LocalFileSystem, Path, RawLocalFileSystem}
 
 /** `file://` implementation for sandboxes WITHOUT the Hadoop native
   * library: identical to the stock [[LocalFileSystem]] (checksums,
-  * buffering, semantics all inherited) except that `setPermission`
-  * uses java.nio instead of Hadoop's fallback, which FORKS
-  * `/bin/chmod` per call when libhadoop is absent. Every permissioned
-  * mkdir/create in a commit pays that fork — driver stack sampling
-  * showed `Shell.runCommand` under `RawLocalFileSystem.setPermission`
-  * costing ~0.1–1.6s per committing query (a 24-partition write forks
-  * ~50 times). Register with
-  * `spark.hadoop.fs.file.impl=graft.io.FastLocalFileSystem`.
+  * buffering, semantics all inherited) except that the operations
+  * Hadoop implements by FORKING a shell when libhadoop is absent go
+  * through java.nio instead:
+  *
+  *  - `setPermission` — stock forks `/bin/chmod` per call; every
+  *    permissioned mkdir/create in a commit pays it (a 24-partition
+  *    write forks ~50 times, ~0.1–1.6s per committing query).
+  *  - `getFileStatus`/`listStatus` — the stock
+  *    `DeprecatedRawLocalFileStatus` lazy-loads permission/owner by
+  *    forking `ls -ld` the first time `getPermission` is called, and
+  *    `FileSystem.listFiles`' `LocatedFileStatus` constructor calls it
+  *    for EVERY listed file — so each commit's file listing forked
+  *    once per data file (driver stack: `loadPermissionInfoByNonNativeIO`
+  *    under `listCommitFiles`). Here the status is built EAGERLY from
+  *    one `unix:` attribute read (mode incl. sticky bits, owner,
+  *    group) — no fork, same values.
+  *
+  * Register with `spark.hadoop.fs.file.impl=graft.io.FastLocalFileSystem`.
   *
   * Cluster note: this class only affects `file://` URIs — on real
   * deployments (HDFS/S3) it is inert; it exists so local-mode commit
@@ -22,6 +32,36 @@ class FastLocalFileSystem
     extends LocalFileSystem(new FastRawLocalFileSystem)
 
 class FastRawLocalFileSystem extends RawLocalFileSystem {
+
+  override def getFileStatus(f: Path): FileStatus =
+    eager(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val raw = super.listStatus(f)
+    if (raw == null) null else raw.map(eager)
+  }
+
+  /** Rebuild `st` with permission/owner/group loaded via ONE java.nio
+    * `unix:` attribute read — the full st_mode (sticky/setuid bits
+    * included), so values match the stock `ls -ld` fork exactly. Any
+    * failure (non-POSIX store, racing delete) returns the stock lazy
+    * status whose behavior is the contract. */
+  private def eager(st: FileStatus): FileStatus = {
+    if (st == null || st.isSymlink) return st
+    try {
+      val attrs = java.nio.file.Files.readAttributes(
+        pathToFile(st.getPath).toPath, "unix:mode,owner,group")
+      val mode = attrs.get("mode").asInstanceOf[Int]
+      new FileStatus(st.getLen, st.isDirectory, 1, st.getBlockSize,
+        st.getModificationTime, st.getAccessTime,
+        new FsPermission((mode & 0xFFF).toShort),
+        attrs.get("owner").asInstanceOf[java.nio.file.attribute.UserPrincipal]
+          .getName,
+        attrs.get("group").asInstanceOf[java.nio.file.attribute.GroupPrincipal]
+          .getName,
+        st.getPath)
+    } catch { case _: Exception => st }
+  }
 
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     // sticky/setuid/setgid bits aren't expressible via

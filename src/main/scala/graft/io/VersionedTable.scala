@@ -4908,16 +4908,34 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val tmp = new Path(root,
       s"_latest.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     try {
-      val out = fs.create(tmp, true)
-      try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      // Atomic swap: rename with OVERWRITE — no delete-then-rename
-      // window in which a crash leaves no `_latest` (currentVersion
-      // additionally recovers from the manifests if a table lost its
-      // pointer).
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        rootPath.toUri, spark.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, latestPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // Atomic swap: write tmp, rename with OVERWRITE — no
+      // delete-then-rename window in which a crash leaves no `_latest`
+      // (currentVersion additionally recovers from the manifests if a
+      // table lost its pointer). Local roots do both steps via
+      // java.nio: the FileContext route stats the destination through
+      // `getFileLinkStatus`, which FORKS `readlink`+`stat` per call
+      // without libhadoop — two process spawns per commit, on every
+      // committing query (driver stack sampling, round 18) — and the
+      // checksummed fs.create would leave an orphaned `.crc` sibling
+      // behind the raw rename anyway (the pointer is advisory; no
+      // reader verifies it).
+      if (fs.getUri.getScheme == "file") {
+        val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+        java.nio.file.Files.write(tmpNio,
+          v.toString.getBytes(StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmpNio,
+          java.nio.file.Paths.get(latestPath.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        val out = fs.create(tmp, true)
+        try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          rootPath.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, latestPath,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
     } catch {
       // BEST EFFORT: concurrent committers can trip over the pointer's
       // checksum sidecar (ChecksumFs renames the .crc non-atomically).

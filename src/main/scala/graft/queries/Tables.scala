@@ -19,13 +19,18 @@ object Tables {
     * driver-side footer-inference pass — a fixed ~tens-of-ms tax on
     * each of the registry's ~500 loads per bench run (guide §6:
     * listing/planning time is driver-side, single-process). Caches
-    * METADATA only — never rows or results. */
+    * METADATA only — never rows or results. The key carries the
+    * file's (mtime, length) freshness token so a fixture regenerated
+    * in-JVM with a different schema (events has shipped as both
+    * TIMESTAMP(NANOS)→Long and TIMESTAMP(MICROS)) is re-inferred
+    * instead of silently misread through a stale entry. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), org.apache.spark.sql.types.StructType]()
+    (String, String, Long, Long), org.apache.spark.sql.types.StructType]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     def read(path: String): DataFrame = {
-      val key = (sfDir, name)
+      val f = new java.io.File(path)
+      val key = (sfDir, name, f.lastModified(), f.length())
       val cached = schemaCache.get(key)
       if (cached != null) spark.read.schema(cached).parquet(path)
       else {

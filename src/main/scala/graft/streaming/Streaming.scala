@@ -31,24 +31,42 @@ object Streaming {
     * the cluster's shuffle width spends its wall-clock on empty store
     * commits (measured 6.9s → 2.8s at sf0.1 for the q172 join going
     * 32 → 8 partitions, identical output). A 100 TB stream saturates
-    * the cap and keeps the session's cluster sizing. Override:
+    * the cap and keeps the session's cluster sizing. An UNMEASURABLE
+    * source (`sourceBytes < 0`) gets the CAP, not the floor: running a
+    * production drain on one state partition because the size probe
+    * failed would funnel the whole stream through one store. Override:
     * `spark.graft.stream.statePartitions`. */
   def adaptiveStatePartitions(spark: SparkSession, sourceBytes: Long): Int =
     spark.conf.getOption("spark.graft.stream.statePartitions")
       .map(_.toInt).getOrElse {
         val cap = math.max(1,
           spark.conf.get("spark.sql.shuffle.partitions").toInt)
-        val want = (sourceBytes / (32L << 20)).toInt + 1
-        math.max(1, math.min(cap, want))
+        if (sourceBytes < 0) cap
+        else {
+          val want = (sourceBytes / (32L << 20)).toInt + 1
+          math.max(1, math.min(cap, want))
+        }
       }
 
-  /** Recursive byte size of a local directory — the driver-side
-    * source-size probe [[adaptiveStatePartitions]] clamps on. */
+  /** Byte size of the source at `path` — the driver-side probe
+    * [[adaptiveStatePartitions]] clamps on. Local paths sum
+    * recursively; anything else (an `hdfs://`/`s3a://` URI, a
+    * vanished dir) resolves through its Hadoop FileSystem, and a
+    * probe that fails returns UNKNOWN (-1) so the partition sizing
+    * fails OPEN to the session's parallelism instead of closed to
+    * one state partition. */
   def dirBytes(path: String): Long = {
     val f = new java.io.File(path)
     if (f.isFile) f.length()
-    else Option(f.listFiles()).map(_.map(c => dirBytes(c.getPath)).sum)
-      .getOrElse(0L)
+    else Option(f.listFiles()) match {
+      case Some(children) => children.map(c => dirBytes(c.getPath)).sum
+      case None =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .getContentSummary(p).getLength
+        } catch { case scala.util.control.NonFatal(_) => -1L }
+    }
   }
 
   /** Run `body` (which STARTS a streaming query) with the session's

@@ -193,7 +193,21 @@ object LexicalIndex {
       .orderBy("q_id", "neighbor_id")
   }
 
-  /** `(postings, statsRow)` for one batch of docs. */
+  /** `(postings, statsRow)` for one batch of docs.
+    *
+    * The postings frame is REPARTITIONED BY BUCKET before the caller
+    * writes it: an unclustered `partitionBy(bucket)` write has every
+    * write task emit one file per bucket it sees — `shuffle.partitions
+    * × nBuckets` small files, a per-file commit cost that GROWS with
+    * core count (q88 measured 3× FASTER on 8 cores than 32; c8/c32
+    * ratio 0.35). Clustered, the file count is `nBuckets ×
+    * salt-fanout` regardless of cores. The fanout is bytes-derived
+    * like the streaming state sizing (guide §2: scale-adaptive, never
+    * a local constant): one extra write task per ~128 MB of source per
+    * bucket, so a 100 TB corpus still writes ~128 MB postings files at
+    * full cluster width while a KB-scale batch writes exactly nBuckets
+    * files. Layout-only — the persisted index shape (hive-partitioned
+    * by bucket) and every query result are unchanged. */
   private def indexRows(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): (DataFrame, DataFrame) = {
     val tf = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -201,8 +215,25 @@ object LexicalIndex {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
       .localCheckpoint() // feeds len, postings, and the stats fold once
     val len = tf.groupBy("doc_id").agg(sum("n_td").as("len_d"))
+    val srcBytes: Long =
+      try docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+      catch { case scala.util.control.NonFatal(_) => -1L }
+    // Catalyst reports UNKNOWN source sizes as a huge default (EB
+    // scale — e.g. a streaming micro-batch plan); treat anything past
+    // 1 PB as unmeasured and fail OPEN to the session's shuffle width
+    // (the pre-clustering task count), never to a blown Int.
+    val perBucket: Long =
+      if (srcBytes < 0L || srcBytes > (1L << 50))
+        math.max(1L, docs.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toLong / nBuckets)
+      else 1L + srcBytes / (nBuckets.toLong * (128L << 20))
+    val totalParts = (nBuckets.toLong * perBucket)
+      .min(Int.MaxValue.toLong).toInt
     val postings = tf.join(len, "doc_id")
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .repartition(totalParts, col("bucket"),
+        pmod(xxhash64(col("doc_id")), lit(perBucket)))
     val stats = len.agg(count(lit(1)).as("n_docs"),
       sum("len_d").as("sum_len"), lit(nBuckets).as("n_buckets"))
     (postings, stats)

@@ -10,6 +10,10 @@ class FastLocalFileSystemSpec extends AnyFunSuite {
   test("setPermission applies the exact mode bits without forking") {
     val conf = new Configuration()
     conf.set("fs.file.impl", classOf[graft.io.FastLocalFileSystem].getName)
+    // the JVM-global FileSystem cache keys on (scheme, authority, ugi)
+    // and ignores fs.file.impl — an earlier suite's stock LocalFileSystem
+    // would be returned otherwise (test-order flakiness)
+    conf.setBoolean("fs.file.impl.disable.cache", true)
     val dir = java.nio.file.Files.createTempDirectory("graft-fastfs")
     val p = new Path(dir.toString, "f.txt")
     val fs = p.getFileSystem(conf)
@@ -32,6 +36,10 @@ class FastLocalFileSystemSpec extends AnyFunSuite {
   test("sticky/setuid modes fall back to the stock path, not dropped") {
     val conf = new Configuration()
     conf.set("fs.file.impl", classOf[graft.io.FastLocalFileSystem].getName)
+    // the JVM-global FileSystem cache keys on (scheme, authority, ugi)
+    // and ignores fs.file.impl — an earlier suite's stock LocalFileSystem
+    // would be returned otherwise (test-order flakiness)
+    conf.setBoolean("fs.file.impl.disable.cache", true)
     val dir = java.nio.file.Files.createTempDirectory("graft-fastfs2")
     val p = new Path(dir.toString, "g.txt")
     val fs = p.getFileSystem(conf)

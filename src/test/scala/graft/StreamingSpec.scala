@@ -1084,4 +1084,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(vt.read().count() === 202L)
   }
 
+  test("adaptiveStatePartitions: unmeasurable source fails OPEN to the cap") {
+    import graft.streaming.Streaming
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // a bogus/non-local path must never size the drain at 1 state
+    // partition — unknown size (-1) takes the session's parallelism
+    val bogus = Streaming.dirBytes("/definitely/not/a/real/dir/xyzzy")
+    assert(bogus === -1L, "unreadable path must report UNKNOWN, not 0")
+    assert(Streaming.adaptiveStatePartitions(spark, bogus) === cap)
+    // measurable sources still derive from bytes: tiny → 1
+    val tiny = Fixtures.tempDir("graft-adapt")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tiny, "f.bin"), Array.fill(128)(1.toByte))
+    assert(Streaming.dirBytes(tiny) === 128L)
+    assert(Streaming.adaptiveStatePartitions(spark, 128L) === 1)
+    // and a 100 TB source saturates the cap
+    assert(Streaming.adaptiveStatePartitions(spark, 100L << 40) === cap)
+    // the explicit override wins over everything
+    spark.conf.set("spark.graft.stream.statePartitions", "3")
+    try assert(Streaming.adaptiveStatePartitions(spark, -1L) === 3)
+    finally spark.conf.unset("spark.graft.stream.statePartitions")
+  }
+
 }
