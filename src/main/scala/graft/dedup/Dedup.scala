@@ -585,10 +585,19 @@ object Dedup {
     // The closure is the static join side of every round: shuffle it by
     // the join key ONCE and persist — each subsequent round reuses the
     // cached partitioning and only moves the (small) label frame.
+    // ONE reference to the edge plan: the closure explodes 4 rows per
+    // edge in a single pass. The union-of-4-selects alternative
+    // re-executes the (often expensive) upstream pair plan once per
+    // branch — exchange reuse only dedups the shuffles, not the
+    // post-shuffle verify stages, so q109's LSH pairs ran 4× (measured
+    // ~76 of its 79 task-seconds).
     val sym = fwd
-      .union(fwd.select(col("b").as("a"), col("a").as("b")))
-      .union(fwd.select(col("a"), col("a").as("b")))
-      .union(fwd.select(col("b").as("a"), col("b").as("b")))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")),
+        struct(col("a"), col("a").as("b")),
+        struct(col("b").as("a"), col("b").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .repartition(col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Round 1, join-free: label(a) = min over N+(a) of identity labels.

@@ -54,9 +54,14 @@ object IvfIndex {
         Similarity.toDouble(col(vecCol)).as("v") +:
         payload.map(col): _*),
       centroids)
+    // clustered by the hive column before the write (graft.io.
+    // WriteLayout): unclustered, file count = write tasks × clusters
+    // and grows with core count
     new VersionedTable(spark, s"$root/vectors")
-      .write(assigned.select(
-          (Seq("id", "cluster", "v") ++ payload).map(col): _*),
+      .write(graft.io.WriteLayout.clustered(
+          assigned.select(
+            (Seq("id", "cluster", "v") ++ payload).map(col): _*),
+          "cluster", nlist, col("id"), sizeFrom = Some(corpus)),
         partitionBy = Some(Seq("cluster")))
   }
 

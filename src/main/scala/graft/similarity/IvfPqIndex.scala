@@ -55,13 +55,22 @@ object IvfPqIndex {
         code <- codebooks(j).indices
         (x, pos) <- codebooks(j)(code).zipWithIndex
       } yield (j, code, pos, x)).toIndexedSeq.toDF("j", "code", "pos", "x"))
+    // cluster both partitioned writes by their hive column — see
+    // graft.io.WriteLayout: unclustered, file count = write tasks ×
+    // clusters and grows with core count
     new VersionedTable(spark, s"$root/vectors").write(
-      corpus.select(col(idCol).cast("long").as("id"),
-        Similarity.toDouble(col(vecCol)).as("v"))
-        .join(codes.select(col("id"), col("cluster")), "id"),
+      graft.io.WriteLayout.clustered(
+        corpus.select(col(idCol).cast("long").as("id"),
+          Similarity.toDouble(col(vecCol)).as("v"))
+          .join(codes.select(col("id"), col("cluster")), "id"),
+        "cluster", nlist, col("id"), sizeFrom = Some(corpus)),
       partitionBy = Some(Seq("cluster")))
     new VersionedTable(spark, s"$root/codes")
-      .write(codes, partitionBy = Some(Seq("cluster")))
+      .write(graft.io.WriteLayout.clustered(codes, "cluster", nlist,
+        // codes are ~64× smaller than the corpus; its scan estimate
+        // (the only reliable one here) just overshoots the fanout
+        col("id"), sizeFrom = Some(corpus)),
+        partitionBy = Some(Seq("cluster")))
   }
 
   /** Incremental ingest: normalize, assign, and residual-encode NEW

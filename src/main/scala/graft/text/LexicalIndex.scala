@@ -215,25 +215,12 @@ object LexicalIndex {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
       .localCheckpoint() // feeds len, postings, and the stats fold once
     val len = tf.groupBy("doc_id").agg(sum("n_td").as("len_d"))
-    val srcBytes: Long =
-      try docs.queryExecution.optimizedPlan.stats.sizeInBytes
-        .min(BigInt(Long.MaxValue)).toLong
-      catch { case scala.util.control.NonFatal(_) => -1L }
-    // Catalyst reports UNKNOWN source sizes as a huge default (EB
-    // scale — e.g. a streaming micro-batch plan); treat anything past
-    // 1 PB as unmeasured and fail OPEN to the session's shuffle width
-    // (the pre-clustering task count), never to a blown Int.
-    val perBucket: Long =
-      if (srcBytes < 0L || srcBytes > (1L << 50))
-        math.max(1L, docs.sparkSession.conf
-          .get("spark.sql.shuffle.partitions").toLong / nBuckets)
-      else 1L + srcBytes / (nBuckets.toLong * (128L << 20))
-    val totalParts = (nBuckets.toLong * perBucket)
-      .min(Int.MaxValue.toLong).toInt
-    val postings = tf.join(len, "doc_id")
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      .repartition(totalParts, col("bucket"),
-        pmod(xxhash64(col("doc_id")), lit(perBucket)))
+    // fanout derives from the DOCS plan size (the postings' own
+    // estimate inherits the checkpoint's unknown), see WriteLayout
+    val postings = graft.io.WriteLayout.clustered(
+      tf.join(len, "doc_id").withColumn("bucket",
+        pmod(xxhash64(col("term")), lit(nBuckets.toLong))),
+      "bucket", nBuckets, col("doc_id"), sizeFrom = Some(docs))
     val stats = len.agg(count(lit(1)).as("n_docs"),
       sum("len_d").as("sum_len"), lit(nBuckets).as("n_buckets"))
     (postings, stats)
