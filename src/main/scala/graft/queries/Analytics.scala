@@ -853,6 +853,10 @@ object Analytics {
     // aggregate exchange already clustered.
     val adj = e.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      // referenced three times (both intersection sides + the
+      // edge/wedge stats below) — persist the node-sized arrays once
+      // instead of re-running the groupBy over e per reference
+      .persist()
     val nTri = e.select(col("src"), col("dst"))
       .join(adj.select(col("src").as("a_u"), col("nbrs").as("nu"))
         .hint("shuffle_hash"), col("src") === col("a_u"))
@@ -871,10 +875,17 @@ object Analytics {
     val nNodes = e.select(col("src").as("n"))
       .unionAll(e.select(col("dst").as("n"))).distinct()
       .agg(count(lit(1)).as("n_nodes"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nWedges = e.groupBy("src").agg(count(lit(1)).as("d"))
-      .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+    // edge + wedge counts in ONE pass over the persisted adjacency
+    // arrays (out-degree = array size), replacing two separate
+    // aggregate branches over e: n_edges = Σ|N⁺|, wedges = Σ d(d−1)/2.
+    // coalesce on edges only — count(*) was never NULL, while the
+    // wedge sum's NULL-on-empty matches the former groupBy form.
+    val d = size(col("nbrs")).cast("long")
+    val edgeStats = adj.agg(
+      coalesce(sum(d), lit(0L)).as("n_edges"),
+      sum(expr("CAST(size(nbrs) AS BIGINT) * (size(nbrs) - 1) div 2"))
+        .as("n_wedges"))
+    nNodes.crossJoin(edgeStats).crossJoin(nTri)
   }
 
   /** MARKOV TRANSITION MATRIX over per-user event sequences (q174):

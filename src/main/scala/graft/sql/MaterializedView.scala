@@ -394,9 +394,11 @@ object MaterializedView {
          else Seq.empty): _*)
     // the delta is read twice when min/max groups need re-aggregation
     // (once for the affected-group keys, once for the merge) —
-    // materialize the O(changed groups) frame instead of re-running
-    // the change feed
-    val delta = if (hasMinMax) delta0.localCheckpoint() else delta0
+    // checkpoint the O(changed groups) frame instead of re-running
+    // the change feed; LAZY, so the re-aggregation's own key collect
+    // materializes it rather than a standalone job
+    val delta = if (hasMinMax) delta0.localCheckpoint(eager = false)
+                else delta0
     val reagg: Option[DataFrame] =
       if (!hasMinMax) None
       else {
@@ -537,9 +539,11 @@ object MaterializedView {
     d.joins.indices.foreach { i =>
       if (cds(i) > bds(i)) {
         // the dim delta is read twice (join-key envelope + the join
-        // itself) — materialize the O(changed dim rows) frame
+        // itself) — checkpoint the O(changed dim rows) frame; LAZY, so
+        // the envelope collect right after materializes it
         val ch = dimVts(i).changesPerCommit(bds(i), cds(i))
-          .withColumn("_mv_sign", changeSign).localCheckpoint()
+          .withColumn("_mv_sign", changeSign)
+          .localCheckpoint(eager = false)
         val dimFrames = d.joins.indices.map { k =>
           if (k < i) dimVts(k).readVersion(bds(k)) // old
           else if (k == i) ch // the signed feed
@@ -579,7 +583,8 @@ object MaterializedView {
           .map(c => col(dcol(c))) ++
         (if (hasMinMax) Seq(col("_delta_had_deletes"))
          else Seq.empty): _*)
-    val delta = if (hasMinMax) delta0.localCheckpoint() else delta0
+    val delta = if (hasMinMax) delta0.localCheckpoint(eager = false)
+                else delta0
     val reagg: Option[DataFrame] =
       if (!hasMinMax) None
       else {
