@@ -12,6 +12,10 @@ object Bench {
       // fork per permissioned mkdir/create (libhadoop is absent here);
       // inert on cluster filesystems — see graft.io.FastLocalFileSystem
       .config("spark.hadoop.fs.file.impl", "graft.io.FastLocalFileSystem")
+      // same fix for the FileContext API (streaming checkpoint
+      // renames fork readlink/stat per file otherwise)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.io.FastLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/scheduler so the first measured query

@@ -19,6 +19,10 @@ object ProfileJobs {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl", "graft.io.FastLocalFileSystem")
+      // same fix for the FileContext API (streaming checkpoint
+      // renames fork readlink/stat per file otherwise)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.io.FastLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()

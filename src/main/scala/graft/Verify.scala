@@ -21,6 +21,10 @@ object Verify {
       // fork per permissioned mkdir/create (libhadoop is absent here);
       // inert on cluster filesystems — see graft.io.FastLocalFileSystem
       .config("spark.hadoop.fs.file.impl", "graft.io.FastLocalFileSystem")
+      // same fix for the FileContext API (streaming checkpoint
+      // renames fork readlink/stat per file otherwise)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.io.FastLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

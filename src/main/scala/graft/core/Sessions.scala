@@ -40,6 +40,10 @@ object Sessions {
       // fork per permissioned mkdir/create (libhadoop is absent here);
       // inert on cluster filesystems — see graft.io.FastLocalFileSystem
       .config("spark.hadoop.fs.file.impl", "graft.io.FastLocalFileSystem")
+      // same fix for the FileContext API (streaming checkpoint
+      // renames fork readlink/stat per file otherwise)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.io.FastLocalFs")
       // catalog tables (bucketed layouts) land under tmp, not the cwd
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-$appName")

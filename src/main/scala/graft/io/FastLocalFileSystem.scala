@@ -31,10 +31,44 @@ import org.apache.hadoop.fs.{FileStatus, LocalFileSystem, Path, RawLocalFileSyst
 class FastLocalFileSystem
     extends LocalFileSystem(new FastRawLocalFileSystem)
 
+/** The [[FastLocalFileSystem]] counterpart for the FileContext /
+  * AbstractFileSystem API — which Structured Streaming's checkpoint
+  * file manager uses for EVERY offset/commit/state-delta rename:
+  * `FileContext.rename` stats the destination through
+  * `FileSystem#getFileLinkStatus`, and the stock local status forks
+  * `readlink` + `ls -ld` per call without libhadoop — several process
+  * spawns per micro-batch per streaming drain. Same checksummed
+  * semantics as the stock `LocalFs` (ChecksumFs wrapper), delegating
+  * to [[FastRawLocalFileSystem]]. Register with
+  * `spark.hadoop.fs.AbstractFileSystem.file.impl=graft.io.FastLocalFs`. */
+class FastLocalFs(uri: java.net.URI, conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.ChecksumFs(
+      new FastRawLocalFs(uri, conf))
+
+class FastRawLocalFs(uri: java.net.URI,
+    conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.hadoop.fs.DelegateToFileSystem(
+      org.apache.hadoop.fs.FsConstants.LOCAL_FS_URI,
+      new FastRawLocalFileSystem, conf,
+      org.apache.hadoop.fs.FsConstants.LOCAL_FS_URI.getScheme, false)
+
 class FastRawLocalFileSystem extends RawLocalFileSystem {
 
   override def getFileStatus(f: Path): FileStatus =
     eager(super.getFileStatus(f))
+
+  /** Non-symlink fast path: ONE lstat via java.nio instead of the
+    * stock `readlink` + `ls -ld` forks. Actual symlinks (none in any
+    * table/checkpoint layout this engine writes) keep the stock path
+    * whose semantics are the contract. */
+  override def getFileLinkStatus(f: Path): FileStatus = {
+    val nio =
+      try pathToFile(f).toPath
+      catch { case _: Exception => null }
+    if (nio != null && !java.nio.file.Files.isSymbolicLink(nio))
+      getFileStatus(f)
+    else super.getFileLinkStatus(f)
+  }
 
   override def listStatus(f: Path): Array[FileStatus] = {
     val raw = super.listStatus(f)
