@@ -47,10 +47,11 @@ object Bfs {
     val spark = edges.sparkSession
     import spark.implicits._
     def bc(df: DataFrame): DataFrame =
-      if (broadcastVectors) broadcast(df) else df
+      GraphBroadcast.bc(df, broadcastVectors)
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint()
-    var settled = Seq((source, 0)).toDF("node", "dist").localCheckpoint()
+      col("dst").cast("long").as("dst")).localCheckpoint(eager = false)
+    var settled = Seq((source, 0)).toDF("node", "dist")
+      .localCheckpoint(eager = false)
     var frontier = settled.select(col("node"))
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {

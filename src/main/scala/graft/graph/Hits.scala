@@ -45,15 +45,18 @@ object Hits {
   def run(edges: DataFrame, rounds: Int,
       broadcastVectors: Boolean = true): (DataFrame, DataFrame) = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // lazy: round 1's broadcast build materializes the edge list,
+    // cached for every later reference — no standalone checkpoint job
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
     def bc(df: DataFrame): DataFrame =
-      if (broadcastVectors) broadcast(df) else df
+      GraphBroadcast.bc(df, broadcastVectors)
     def normalize(scores: DataFrame, c: String): DataFrame =
       scores.crossJoin(broadcast(scores.agg(max(col(c)).as("_m"))))
         .select(col("node"), expr(s"($c * ${Scale}L) div _m").as(c))
         .localCheckpoint(eager = false)
     var h = e.select(col("src").as("node")).distinct()
-      .withColumn("hub", lit(Scale)).localCheckpoint()
+      .withColumn("hub", lit(Scale)).localCheckpoint(eager = false)
     var a: DataFrame = null
     for (_ <- 1 to rounds) {
       a = normalize(

@@ -45,9 +45,9 @@ object KCore {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
     def bc(df: DataFrame): DataFrame =
-      if (broadcastVectors) broadcast(df) else df
+      GraphBroadcast.bc(df, broadcastVectors)
     var e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint()
+      col("dst").cast("long").as("dst")).localCheckpoint(eager = false)
     var r = 0
     while (r < rounds) {
       r += 1

@@ -52,12 +52,15 @@ object LabelProp {
       broadcastVectors: Boolean = true): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     def bc(df: DataFrame): DataFrame =
-      if (broadcastVectors) broadcast(df) else df
+      GraphBroadcast.bc(df, broadcastVectors)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint()
+    // e stays EAGER: nodes' two union branches would otherwise race
+    // to compute the (expensive) upstream edge plan inside one job.
+    // nodes itself is single-consumer-at-a-time -> lazy.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var lab = nodes.select(col("node"), col("node").as("community"))
     var r = 0
     while (r < rounds) {

@@ -60,12 +60,14 @@ object PageRank {
       dampNum: Long = 85L, dampDen: Long = 100L,
       broadcastVectors: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // lazy, as in [[run]]
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node")).distinct()
     def bc(df: DataFrame): DataFrame =
-      if (broadcastVectors) broadcast(df) else df
+      GraphBroadcast.bc(df, broadcastVectors)
     val flag = nodes
       .join(bc(seeds.select(col("node")).distinct()
         .withColumn("_s", lit(1L))), Seq("node"), "left")
@@ -111,14 +113,18 @@ object PageRank {
     // iteration's contribution join re-read it, and an expensive
     // upstream (e.g. a co-occurrence self-join) would otherwise
     // re-execute per reference
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // all three lazy (each consumed one-branch-at-a-time through
+    // sequential broadcast builds): materialization folds into round
+    // 1's jobs instead of three standalone checkpoint jobs
+    val e = edges.select(col("src"), col("dst"))
+      .localCheckpoint(eager = false)
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val base = Scale - (dampNum * Scale) / dampDen // 0.15 in micro-units
     def bc(df: DataFrame): DataFrame =
-      if (broadcastVectors) broadcast(df) else df
+      GraphBroadcast.bc(df, broadcastVectors)
     var ranks = nodes.withColumn("rank", lit(Scale))
     for (_ <- 1 to iterations) {
       val contrib = e

@@ -60,11 +60,12 @@ object Sssp {
     val spark = edges.sparkSession
     import spark.implicits._
     def bc(df: DataFrame): DataFrame =
-      if (broadcastVectors) broadcast(df) else df
+      GraphBroadcast.bc(df, broadcastVectors)
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"),
-      col("w").cast("long").as("w")).localCheckpoint()
-    var dist = Seq((source, 0L)).toDF("node", "dist").localCheckpoint()
+      col("w").cast("long").as("w")).localCheckpoint(eager = false)
+    var dist = Seq((source, 0L)).toDF("node", "dist")
+      .localCheckpoint(eager = false)
     var active = dist
     var round = 0
     while (round < maxRounds && !active.isEmpty) {

@@ -2008,16 +2008,17 @@ object Analytics {
     val edges = coEdges(spark, dir)
       .localCheckpoint() // reused: LPA rounds + e_in + degree mass
     val com = graft.graph.LabelProp.run(edges, rounds = 2)
+    import graft.graph.GraphBroadcast.{bc => gbc}
     val eIn = edges
-      .join(broadcast(com.select(col("node").as("src"),
-        col("community").as("ca"))), "src")
-      .join(broadcast(com.select(col("node").as("dst"),
-        col("community").as("cb"))), "dst")
+      .join(gbc(com.select(col("node").as("src"),
+        col("community").as("ca")), param = true), "src")
+      .join(gbc(com.select(col("node").as("dst"),
+        col("community").as("cb")), param = true), "dst")
       .agg(count(lit(1)).as("m2"),
         sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e_in"))
     val dc2 = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .join(broadcast(com.select(col("node").as("src"), col("community"))),
-        "src")
+      .join(gbc(com.select(col("node").as("src"), col("community")),
+        param = true), "src")
       .groupBy("community").agg(sum(col("d")).as("dsum"))
       .agg(sum(col("dsum") * col("dsum")).as("sum_dc2"))
     eIn.crossJoin(dc2).select(col("m2"), col("e_in"), col("sum_dc2"),

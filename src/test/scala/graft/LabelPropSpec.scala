@@ -62,4 +62,14 @@ class LabelPropSpec extends AnyFunSuite {
     val b = toMap(LabelProp.run(sym.repartition(2), rounds = 2))
     assert(a === b)
   }
+
+  test("spark.graft.graph.broadcastVectors=false: same result through " +
+    "the shuffle-join arm (the past-broadcast-reach escape hatch)") {
+    val withBc = toMap(LabelProp.run(sym, rounds = 2))
+    spark.conf.set("spark.graft.graph.broadcastVectors", "false")
+    try {
+      val noBc = toMap(LabelProp.run(sym, rounds = 2))
+      assert(noBc === withBc)
+    } finally spark.conf.unset("spark.graft.graph.broadcastVectors")
+  }
 }
