@@ -4412,11 +4412,32 @@ final class VersionedTable(spark: SparkSession, root: String) {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.get(key, "INT96")
     if (prev == "INT96") spark.conf.set(key, "TIMESTAMP_MICROS")
+    // Commit-protocol scope (restored below, engine commits only):
+    // readers are gated by the MANIFEST, never by directory state, and
+    // every attempt dir is writer-unique — so the v1 committer's
+    // driver-side rename pass over _temporary (plus its _SUCCESS
+    // marker file) buys nothing here. v2 renames in the tasks;
+    // a failed attempt's leftovers live in an attempt dir no manifest
+    // ever references. Driver stack sampling (round 18, post-fork-fix)
+    // put the v1 rename pass at ~half of writeCommitData's driver time
+    // on commit-heavy scenarios.
+    val algoKey =
+      "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version"
+    val succKey =
+      "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prevAlgo = spark.conf.getOption(algoKey)
+    val prevSucc = spark.conf.getOption(succKey)
+    spark.conf.set(algoKey, "2")
+    spark.conf.set(succKey, "false")
     try {
       val writer = df.write.mode(SaveMode.Overwrite)
       (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
         .parquet(dir.toString)
-    } finally if (prev == "INT96") spark.conf.set(key, prev)
+    } finally {
+      if (prev == "INT96") spark.conf.set(key, prev)
+      prevAlgo.fold(spark.conf.unset(algoKey))(spark.conf.set(algoKey, _))
+      prevSucc.fold(spark.conf.unset(succKey))(spark.conf.set(succKey, _))
+    }
   }
 
   /** Table-root-relative path. Both sides are qualified through the

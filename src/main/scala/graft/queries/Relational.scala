@@ -1503,7 +1503,12 @@ object Relational {
       .select(col("c_custkey").as("o_custkey"), col("c_name"),
         col("c_nationkey"))) // B v0
     val b0 = vtB.currentVersion.get
+    // checkpointed (lazily): applyKeyed reads the prior view through
+    // both its anti and semi branches — unchecked, the A:B join plan
+    // executes twice in the final action (a production IVM keeps the
+    // view MATERIALIZED; this is that, per-invocation)
     val view0 = vtA.read().join(vtB.read(), Seq("o_custkey"))
+      .localCheckpoint(eager = false)
     // -- changes on both sides --
     vtA.write(orders.filter(col("o_orderkey") % 3 === 0),
       org.apache.spark.sql.SaveMode.Append) // A v1: file-level feed
@@ -1513,12 +1518,15 @@ object Relational {
       .filter(col("o_custkey") % 7 === 0)
     vtB.deleteVectorizedKeys("o_custkey", custVictims) // B v1
     val b1 = vtB.currentVersion.get
+    // lazy-checkpointed: the touched-key distinct and the net-sign
+    // union both read it — unchecked, the change-feed joins run twice
     val delta = IncrementalJoin.deltaJoin(
       changesA = vtA.changes(a0, a2),
       bOld = vtB.readVersion(b0),
       aNew = vtA.read(),
       changesB = vtB.changes(b0, b1),
       keys = Seq("o_custkey"))
+      .localCheckpoint(eager = false)
     IncrementalJoin.applyKeyed(view0, delta, rowKeys = Seq("o_orderkey"))
       .select("o_orderkey", "o_custkey", "o_totalprice", "c_name",
         "c_nationkey")
@@ -2153,8 +2161,11 @@ object Relational {
         count(lit(1)).as("n_orders"),
         min(col("price")).as("min_price"),
         max(col("price")).as("max_price"))
+    // checkpointed (lazily): referenced by agg0 AND both applyKeyed
+    // branches — unchecked, the A:B join executes three times
     val view0 = vtA.readVersion(a0)
       .join(vtB.readVersion(b0), Seq("o_custkey"))
+      .localCheckpoint(eager = false)
     val agg0 = rollup(view0)
     // changes on both sides (the q147 mutation script)
     vtA.write(orders.filter(col("o_orderkey") % 3 === 0),
@@ -2165,10 +2176,14 @@ object Relational {
       vtB.read().select(col("o_custkey"))
         .filter(col("o_custkey") % 7 === 0))
     val b1 = vtB.currentVersion.get
+    // lazy-checkpointed: applyKeyed (touched + union) and the
+    // affected-group rescan all read it — four change-feed-join
+    // executions otherwise
     val delta = IncrementalJoin.deltaJoin(
       changesA = vtA.changes(a0, a2), bOld = vtB.readVersion(b0),
       aNew = vtA.read(), changesB = vtB.changes(b0, b1),
       keys = Seq("o_custkey"))
+      .localCheckpoint(eager = false)
     // view maintained O(delta); min/max re-derived for touched groups
     val view1 = IncrementalJoin.applyKeyed(view0, delta, Seq("o_orderkey"))
     val agg1 = IncrementalAgg.updateByRecompute(
