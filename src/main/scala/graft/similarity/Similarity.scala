@@ -186,28 +186,23 @@ object Similarity {
 
   /** Assign each vector its nearest centroid (squared L2) — centroids
     * ship as a broadcast-sized literal array, so assignment is a pure
-    * map over the corpus. */
+    * map over the corpus — via the CODEGEN'D argmin kernel
+    * ([[graft.functions.NearestCentroidIndex]]): the former
+    * `transform(cents, c -> l2sq) + array_position(array_min)`
+    * composition is a higher-order function, which Spark evaluates
+    * INTERPRETED per row (CodegenFallback) — at corpus scale the
+    * assignment pass is the scan cost of every Lloyd round and of
+    * encoding. Same distances (ascending-index exact fold), same
+    * first-index tie-break, same null/NaN degradations
+    * (NearestCentroidSpec pins equality against the composition). */
   private[similarity] def withCluster(vecs: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame =
-    withNearest(vecs, centroids).drop("_dists")
-
-  /** The single nearest-centroid assignment kernel: adds `_dists`
-    * (per-centroid squared L2 against the broadcast centroid literal)
-    * and `cluster` (index of the minimum; lowest index on ties) to a
-    * frame with a `v` vector column. Shared by [[withCluster]] and
-    * [[assignClusters]] so the tie-break and distance semantics cannot
-    * drift between the IVF and curation paths; callers drop `_dists`. */
-  private def withNearest(vecs: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
     // ONE array literal, not an nlist×d tree of lit() nodes — the
     // expression-tree form re-pays analysis+codegen on every Lloyd
     // round's fresh plan (guide §1.2 per-task work: plan cost counts)
     val centLit = typedLit(centroids.toIndexedSeq.map(_.toIndexedSeq))
-    vecs
-      .withColumn("_dists", transform(centLit, c =>
-        graft.functions.vector.arrayL2Sq(c, col("v"))))
-      .withColumn("cluster",
-        expr("array_position(_dists, array_min(_dists)) - 1").cast("int"))
+    vecs.withColumn("cluster",
+      graft.functions.NearestCentroid.nearestIndex(centLit, col("v")))
   }
 
   /** Public nearest-centroid assignment of `(idCol, vecCol)` rows
@@ -216,15 +211,20 @@ object Similarity {
     * broadcast-literal map — no shuffle; the clustering analogue of
     * [[ivfTopK]]'s corpus side, exposed for curation-style profiling
     * (cluster sizes / purity / spread) where the distance itself is
-    * part of the answer. */
+    * part of the answer. Same codegen'd kernels as [[withCluster]]
+    * (one loop each for index and distance), so the tie-break and
+    * distance semantics cannot drift between the IVF and curation
+    * paths. */
   def assignClusters(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame =
-    withNearest(
-        corpus.select(col(idCol).cast("long").as("id"),
-          toDouble(col(vecCol)).as("v")),
-        centroids)
-      .withColumn("dist", sqrt(expr("array_min(_dists)")))
-      .drop("_dists")
+      centroids: Array[Array[Double]]): DataFrame = {
+    val centLit = typedLit(centroids.toIndexedSeq.map(_.toIndexedSeq))
+    corpus.select(col(idCol).cast("long").as("id"),
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("cluster",
+        graft.functions.NearestCentroid.nearestIndex(centLit, col("v")))
+      .withColumn("dist",
+        sqrt(graft.functions.NearestCentroid.nearestDistSq(centLit, col("v"))))
+  }
 
   /** Train an IVF coarse quantizer: deterministic init (the `nlist`
     * lowest-id vectors), then `iters` Lloyd rounds. Each round is one
@@ -341,13 +341,14 @@ object Similarity {
     * projection against broadcast-literal codebooks. */
   private[similarity] def withPqCodes(vecs: DataFrame,
       codebooks: Array[Array[Array[Double]]], dsub: Int): DataFrame = {
+    // per-subspace argmin via the codegen'd kernel scanning v's
+    // [j·dsub, (j+1)·dsub) window DIRECTLY — the HOF composition it
+    // replaces also copied each subspace out with `slice` per row
+    // (see withCluster's rationale; NearestCentroidSpec pins equality)
     val coded = codebooks.zipWithIndex.foldLeft(vecs) { case (df, (cb, j)) =>
       val cbLit = typedLit(cb.toIndexedSeq.map(_.toIndexedSeq))
-      df.withColumn(s"_d$j", transform(cbLit, c =>
-          graft.functions.vector.arrayL2Sq(c, slice(col("v"), j * dsub + 1, dsub))))
-        .withColumn(s"_c$j",
-          (expr(s"array_position(_d$j, array_min(_d$j))") - 1).cast("int"))
-        .drop(s"_d$j")
+      df.withColumn(s"_c$j", graft.functions.NearestCentroid
+        .nearestIndex(cbLit, col("v"), start = j * dsub, len = dsub))
     }
     coded
       .withColumn("codes",
