@@ -61,8 +61,10 @@ object PageRank {
       broadcastVectors: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // lazy, as in [[run]]
-    val e = edges.select(col("src"), col("dst"))
-      .localCheckpoint(eager = false)
+    // e stays EAGER: round 1 prepares the rank and degree broadcasts
+    // CONCURRENTLY and both subtrees descend into e — lazy, the two
+    // threads race to compute the expensive upstream self-join twice
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node")).distinct()
@@ -116,8 +118,10 @@ object PageRank {
     // all three lazy (each consumed one-branch-at-a-time through
     // sequential broadcast builds): materialization folds into round
     // 1's jobs instead of three standalone checkpoint jobs
-    val e = edges.select(col("src"), col("dst"))
-      .localCheckpoint(eager = false)
+    // e stays EAGER: round 1 prepares the rank and degree broadcasts
+    // CONCURRENTLY and both subtrees descend into e — lazy, the two
+    // threads race to compute the expensive upstream self-join twice
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node")).distinct()
