@@ -70,10 +70,17 @@ object LabelProp {
           "src")
         .groupBy(col("dst").as("node"), col("community"))
         .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("community").asc)
-      val picked = votes.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).select(col("node"), col("community"))
+      // argmax as a MIN-STRUCT aggregate, not a row_number window: the
+      // window sorts every node's full vote list per round (at 100 TB
+      // that is a second sort pass over |E|-scale rows), where the
+      // aggregate collapses map-side and never sorts. Tie-break is
+      // IDENTICAL: min(struct(-c, community)) = highest count, then
+      // lowest label (counts are ≥ 1, so -c cannot overflow).
+      val picked = votes
+        .select(col("node"),
+          struct((-col("c")).as("_nc"), col("community")).as("_s"))
+        .groupBy("node").agg(min(col("_s")).as("_s"))
+        .select(col("node"), col("_s.community").as("community"))
       // a node with no in-edges this round keeps its current label
       lab = nodes
         .join(bc(picked), Seq("node"), "left_outer")

@@ -4467,20 +4467,37 @@ final class VersionedTable(spark: SparkSession, root: String) {
       .takeWhile(_.hasNext).map(_.next()).toSeq
     // Footer reads are independent driver-side IO (~5-20 ms each); a
     // 32-partition commit pays 32 of them, so read them in parallel —
-    // this is a fixed slice of EVERY commit's latency.
+    // this is a fixed slice of EVERY commit's latency. SMALL commits
+    // (≤4 files) read sequentially: the parallel-collection
+    // fork/join handoff costs more than it saves there.
     import scala.collection.parallel.CollectionConverters._
-    val parFiles = found
+    val files = found
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.toString)
-      .par
-    parFiles.tasksupport =
-      new scala.collection.parallel.ExecutionContextTaskSupport(
-        scala.concurrent.ExecutionContext.global)
-    parFiles
-      .map { s =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromStatus(s, conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    def overFiles[T](f: org.apache.hadoop.fs.LocatedFileStatus => T)
+        : Seq[T] =
+      if (files.size <= 4) files.map(f)
+      else {
+        val p = files.par
+        p.tasksupport =
+          new scala.collection.parallel.ExecutionContextTaskSupport(
+            scala.concurrent.ExecutionContext.global)
+        p.map(f).seq.toSeq
+      }
+    overFiles { s =>
+        // local roots read footers via parquet's NIO InputFile — the
+        // Hadoop route goes through the checksummed FS (a second read
+        // of the CRC sibling per footer) and the FileSystem cache;
+        // these are engine-written files whose query-time reads still
+        // verify checksums through the normal scan path
+        val reader =
+          if (fs.getUri.getScheme == "file")
+            org.apache.parquet.hadoop.ParquetFileReader.open(
+              new org.apache.parquet.io.LocalInputFile(
+                java.nio.file.Paths.get(s.getPath.toUri.getPath)))
+          else org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, conf))
         val (rows, stats, strStats, nullCounts) = try {
           val mins = scala.collection.mutable.Map[String, Double]()
           val maxs = scala.collection.mutable.Map[String, Double]()
@@ -4605,7 +4622,7 @@ final class VersionedTable(spark: SparkSession, root: String) {
         } finally reader.close()
         ManifestEntry(relativize(s.getPath), rows, s.getLen, stats,
           strStats, nullCounts = nullCounts)
-      }.seq.toSeq
+      }
   }
 
   /** The snapshot schema of a manifest; falls back to a first-file
